@@ -1,13 +1,470 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.config.EngineConfig
+import graft.engine.InceptionEngine
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator from SURVEY.md §2 (parity pipeline
+  * over `documents`) or a relational/extension operator over the TPC-H-ish
+  * tables. Every SQL-expressible query has a DuckDB twin in `oracleSql`
+  * with IDENTICAL output column names and ordering.
+  *
+  * Determinism rules used throughout (so t2 hash-compare is stable):
+  *   - double aggregates accumulate via exact DECIMAL then cast to double
+  *     (associativity-proof — Spark partial aggregation order differs from
+  *     DuckDB's);
+  *   - timestamps are emitted as epoch microseconds (bigint) — parquet
+  *     nanos (DuckDB) vs micros (Spark) would otherwise hash-differ;
+  *   - every query ends in a total ORDER BY on a unique key.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val engine = new InceptionEngine(EngineConfig.default)
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact decimal sum of a double column, emitted as double. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,6)")).cast("double")
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Full embed pipeline: validate → chunk → embed → per-doc reassembly —
+    * zero-shuffle narrow plan (see InceptionEngine.embedDocuments).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    engine
+      .embedDocuments(tbl(spark, "/root/testdata/sf0.001", "documents"))
+      .toDF()
+
+  // ------------------------------------------------------------------
+  // Parity pipeline over `documents` (SURVEY.md §2.1)
+  // ------------------------------------------------------------------
+
+  /** O2 clean_text_for_json (utils.py:38-70). */
+  private def qCleanText(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), engine.cleanText(col("text")).as("cleaned"))
+      .orderBy("doc_id")
+
+  /** O3 /api/v1/validate/text (routes/embedding.py:129-150). */
+  private def qValidateText(s: SparkSession, dir: String): DataFrame =
+    engine
+      .validateText(tbl(s, dir, "documents"))
+      .select(col("doc_id"), col("processed_text"), col("is_valid"), col("error"))
+      .orderBy("doc_id")
+
+  /** O1 validate_text_length (utils.py:84-116) with maxTextLength=300 so
+    * both branches fire on the synthetic docs (n_chars 1..~1000).
+    */
+  private def qValidateLength(s: SparkSession, dir: String): DataFrame = {
+    val strict = new InceptionEngine(
+      EngineConfig.default.copy(maxTextLength = 300))
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), strict.textErrorType(col("text")).as("error_type"))
+      .orderBy("doc_id")
+  }
+
+  /** O4 sentence split stats (embedding_service.py:64-78). */
+  private def qSentenceStats(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(engine.sentencesUdf(col("text"))).as("n_sentences"))
+      .orderBy("doc_id")
+
+  /** O6 chunker, exploded (embedding_service.py:80-150). */
+  private def qSentenceChunks(s: SparkSession, dir: String): DataFrame =
+    engine
+      .chunkDocuments(tbl(s, dir, "documents"))
+      .orderBy("doc_id", "chunk_number")
+
+  /** O9 per-doc chunk counts (embedding_service.py:199). */
+  private def qChunkCounts(s: SparkSession, dir: String): DataFrame =
+    engine
+      .chunkDocuments(tbl(s, dir, "documents"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"))
+      .orderBy("doc_id")
+
+  /** O8+O10 embeddings, long format; first 4 components for stability. */
+  private def qDocEmbeddings(s: SparkSession, dir: String): DataFrame =
+    engine
+      .embedDocumentsExploded(tbl(s, dir, "documents"))
+      .toDF()
+      .select(
+        col("doc_id"),
+        col("chunk_number"),
+        round(col("embedding")(0).cast("double"), 5).as("e0"),
+        round(col("embedding")(1).cast("double"), 5).as("e1"),
+        round(col("embedding")(2).cast("double"), 5).as("e2"),
+        round(col("embedding")(3).cast("double"), 5).as("e3"))
+      .orderBy("doc_id", "chunk_number")
+
+  /** O7 query embedding (embedding_service.py:152-165), one row per dim. */
+  private def qQueryEmbedding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vec = engine.embedQuery("judicial opinion concerning equal protection")
+    vec.toSeq.zipWithIndex
+      .map { case (v, i) => (i, v.toDouble) }
+      .toDF("pos", "value")
+      .orderBy("pos")
+  }
+
+  // ------------------------------------------------------------------
+  // Relational surface over the TPC-H-ish tables (SURVEY.md §2.3 —
+  // supplied by Spark, exposed as first-class engine queries)
+  // ------------------------------------------------------------------
+
+  /** TPC-H Q1-style scan+agg: the partial-aggregation workhorse. */
+  private def qQ1Agg(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1999-06-30").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q6-style selective filter → pushed predicates, single agg row. */
+  private def qQ6Filter(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+
+  /** TPC-H Q3-style join + top-k (broadcast dims, tie-broken total sort). */
+  private def qQ3TopK(s: SparkSession, dir: String): DataFrame = {
+    val c = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = tbl(s, dir, "orders")
+    val l = tbl(s, dir, "lineitem")
+    l.join(broadcast(o), l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .select(
+        col("l_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  }
+
+  /** TPC-H Q5-style multi-join rollup to nation (broadcast dims). */
+  private def qQ5Join(s: SparkSession, dir: String): DataFrame = {
+    val n = tbl(s, dir, "nation")
+    val r = tbl(s, dir, "region")
+    val c = tbl(s, dir, "customer")
+    val o = tbl(s, dir, "orders")
+    val l = tbl(s, dir, "lineitem")
+    l.join(broadcast(o), l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Window functions: per-customer order numbering + exact running total
+    * in cents (bigint — immune to FP association).
+    */
+  private def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
+    val o = tbl(s, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    o.select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        row_number().over(w).as("rn"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("running_cents"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** ROLLUP grouping sets. */
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Left-semi join (EXISTS). */
+  private def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = tbl(s, dir, "customer")
+    val o = tbl(s, dir, "orders").filter(col("o_totalprice") > 100000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-anti join (NOT EXISTS). */
+  private def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = tbl(s, dir, "customer")
+    val o = tbl(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Set op: INTERSECT of key sets. */
+  private def qSetOp(s: SparkSession, dir: String): DataFrame = {
+    val lk = tbl(s, dir, "lineitem").select(col("l_partkey").as("partkey"))
+    val pk = tbl(s, dir, "part")
+      .filter(col("p_size") > 25)
+      .select(col("p_partkey").as("partkey"))
+    lk.intersect(pk).orderBy("partkey")
+  }
+
+  /** events.ts arrives as LongType nanoseconds (TIMESTAMP(NANOS) parquet
+    * read under spark.sql.legacy.parquet.nanosAsLong — see Verify.scala);
+    * integer µs arithmetic keeps it exact and oracle-comparable.
+    */
+  private def eventTsUs: Column = expr("ts DIV 1000")
+
+  /** Event-time tumbling window (1h) — batch twin of the streaming agg. */
+  private def qEventsTumbling(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events")
+      .groupBy(
+        (expr("ts DIV 1000") - pmod(expr("ts DIV 1000"), lit(3600000000L)))
+          .as("window_start_us"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy("window_start_us", "event_type")
+
+  /** Sessionization: 30-min-gap sessions via lag + running flag-sum —
+    * the classic event-stream window chain.
+    */
+  private def qEventsSessions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    tbl(s, dir, "events")
+      .withColumn("ts_us", eventTsUs)
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn(
+        "new_sess",
+        when(
+          col("prev_us").isNull ||
+            col("ts_us") - col("prev_us") > 1800L * 1000000L,
+          1L).otherwise(0L))
+      .withColumn(
+        "session_id",
+        sum(col("new_sess"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  // ------------------------------------------------------------------
+  // Text analysis extensions (training-data pipeline ops)
+  // ------------------------------------------------------------------
+
+  /** Per-doc text statistics (token counts, punctuation, word length). */
+  private def qTextStats(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(split(trim(col("text")), "[ \\t\\n]+")).as("n_tokens_ws"),
+        length(regexp_replace(col("text"), "[^.!?,;:]", "")).as("n_punct"),
+        round(
+          length(regexp_replace(col("text"), "[ \\t\\n]", "")).cast("double") /
+            size(split(trim(col("text")), "[ \\t\\n]+")),
+          6).as("avg_word_len"))
+      .orderBy("doc_id")
+
+  /** Exact-dup fingerprint: md5 over text, group stats (dedup base). */
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc_id"))
+      .orderBy("content_hash")
+
+  // ------------------------------------------------------------------
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "clean_text" -> qCleanText,
+    "validate_text" -> qValidateText,
+    "validate_length" -> qValidateLength,
+    "sentence_stats" -> qSentenceStats,
+    "sentence_chunks" -> qSentenceChunks,
+    "chunk_counts" -> qChunkCounts,
+    "doc_embeddings" -> qDocEmbeddings,
+    "query_embedding" -> qQueryEmbedding,
+    "q1_agg" -> qQ1Agg,
+    "q6_filter" -> qQ6Filter,
+    "q3_topk" -> qQ3TopK,
+    "q5_join" -> qQ5Join,
+    "q_window_running" -> qWindowRunning,
+    "q_rollup" -> qRollup,
+    "q_semijoin" -> qSemiJoin,
+    "q_antijoin" -> qAntiJoin,
+    "q_setop" -> qSetOp,
+    "events_tumbling" -> qEventsTumbling,
+    "events_sessions" -> qEventsSessions,
+    "text_stats" -> qTextStats,
+    "dedup_exact" -> qDedupExact
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for ops whose kernels are not
+    * SQL-expressible (sentence split / chunker / embedder) → driver
+    * records a weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "clean_text" ->
+      """SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(text, '[^\n\t\x20-\x7E]', '', 'g'),
+           '\t', ' ', 'g'),
+           '(?m)^ +| +$', '', 'g'),
+           '\n{3,}', chr(10)||chr(10), 'g'),
+           '^[\n ]+|[\n ]+$', '', 'g') AS cleaned
+         FROM documents ORDER BY doc_id""",
+    "validate_text" ->
+      """WITH c AS (SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(text, '[^\n\t\x20-\x7E]', '', 'g'),
+             '\t', ' ', 'g'),
+             '(?m)^ +| +$', '', 'g'),
+             '\n{3,}', chr(10)||chr(10), 'g'),
+             '^[\n ]+|[\n ]+$', '', 'g') AS processed_text
+         FROM documents)
+         SELECT doc_id, processed_text,
+           length(processed_text) > 0 AS is_valid,
+           CASE WHEN length(processed_text) > 0 THEN NULL
+                ELSE 'Text is empty after cleaning.' END AS error
+         FROM c ORDER BY doc_id""",
+    "validate_length" ->
+      """SELECT doc_id,
+           CASE WHEN length(regexp_replace(text,'^\s+|\s+$','','g')) < 1
+                  THEN 'text_too_short'
+                WHEN length(regexp_replace(text,'^\s+|\s+$','','g')) > 300
+                  THEN 'text_too_long'
+                ELSE NULL END AS error_type
+         FROM documents ORDER BY doc_id""",
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           COUNT(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1999-06-30'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q6_filter" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+           AND l_shipdate < TIMESTAMP '1999-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "q3_topk" ->
+      """SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY l_orderkey, o_orderdate
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q5_join" ->
+      """SELECT r_name, n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER w AS rn,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_semijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+         ORDER BY c_custkey""",
+    "q_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q_setop" ->
+      """SELECT l_partkey AS partkey FROM lineitem
+         INTERSECT
+         SELECT p_partkey AS partkey FROM part WHERE p_size > 25
+         ORDER BY partkey""",
+    "events_tumbling" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events
+         GROUP BY 1, 2 ORDER BY window_start_us, event_type""",
+    "events_sessions" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         f AS (
+           SELECT *, CASE WHEN prev_us IS NULL
+                          OR ts_us - prev_us > 1800 * 1000000
+                          THEN 1 ELSE 0 END AS new_sess
+           FROM e),
+         g AS (
+           SELECT *, SUM(new_sess) OVER
+             (PARTITION BY user_id ORDER BY ts_us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM f)
+         SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+         FROM g GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
+    "text_stats" ->
+      """SELECT doc_id, length(text) AS n_chars,
+           len(regexp_split_to_array(trim(text), '[ \t\n]+')) AS n_tokens_ws,
+           length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+           round(CAST(length(regexp_replace(text, '[ \t\n]', '', 'g')) AS DOUBLE)
+             / len(regexp_split_to_array(trim(text), '[ \t\n]+')), 6) AS avg_word_len
+         FROM documents ORDER BY doc_id""",
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, COUNT(*) AS n_copies,
+           MIN(doc_id) AS keep_doc_id
+         FROM documents GROUP BY md5(text) ORDER BY content_hash"""
+  )
 }

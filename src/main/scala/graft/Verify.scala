@@ -12,6 +12,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // testdata events.parquet uses TIMESTAMP(NANOS) which Spark cannot
+      // read natively — surface it as LongType nanos instead.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // read ms-precision NTZ parquet timestamps as session-TZ timestamps
+      // (session is UTC) so unix_micros matches DuckDB's epoch_us.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1,0 +1,119 @@
+package graft.embed
+
+import graft.text.SimpleTokenizer
+
+/** O7/O8 — deterministic embedding kernel standing in for
+  * SentenceTransformer("freelawproject/modernbert-embed-base_finetune_512")
+  * (reference: inception/embedding_service.py:152-165,207-213; model name
+  * inception/config.py:6-9). The real weights are unavailable offline
+  * (SURVEY.md §7.4.1); we preserve the pipeline CONTRACT:
+  *
+  *   - input is the full prefixed chunk/query text — the asymmetric
+  *     "search_document: " / "search_query: " prefixes participate in the
+  *     vector (embedding_service.py:90,162), so a query and an identical
+  *     document chunk embed differently, as in the nomic-style reference;
+  *   - output is a 768-dim L2-normalized Float vector
+  *     (README.md:15 — ModernBERT-base hidden size);
+  *   - fully deterministic: same text → same vector on any JVM/executor.
+  *
+  * Kernel: feature hashing. Each token (and each adjacent-token bigram, so
+  * word order matters) is hashed with splitmix64 into 3 (dimension, sign)
+  * pairs; contributions accumulate and the result is L2-normalized.
+  * Pure JVM arithmetic — safe inside whole-stage codegen / mapPartitions,
+  * no per-call allocation beyond the output array.
+  */
+object Embedder {
+
+  val Dim = 768
+  private val FeaturesPerToken = 3
+
+  /** splitmix64 — public-domain mixing function (Steele et al.),
+    * deterministic across platforms.
+    */
+  @inline private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  @inline private def hashString(s: String): Long = {
+    var h = 0xcbf29ce484222325L // FNV-1a 64 offset basis
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  @inline private def addFeature(vec: Array[Float], tokenHash: Long): Unit = {
+    var h = tokenHash
+    var k = 0
+    while (k < FeaturesPerToken) {
+      h = mix64(h)
+      val d = java.lang.Long.remainderUnsigned(h, Dim.toLong).toInt
+      val sign = if ((h >>> 62 & 1L) == 0L) 1.0f else -1.0f
+      vec(d) += sign
+      k += 1
+    }
+  }
+
+  /** Embed one text (already prefixed by the caller). */
+  def embed(text: String): Array[Float] = {
+    val vec = new Array[Float](Dim)
+    val tokens = SimpleTokenizer.encode(if (text == null) "" else text)
+    var prev = 0L
+    var i = 0
+    while (i < tokens.length) {
+      // strip carried whitespace so "a b" and "a  b" agree token-wise
+      val t = tokens(i).trim
+      val h = hashString(t)
+      addFeature(vec, h)
+      if (i > 0) addFeature(vec, mix64(prev) ^ h) // order-sensitive bigram
+      prev = h
+      i += 1
+    }
+    l2Normalize(vec)
+    vec
+  }
+
+  /** Batched variant mirroring the reference's `model.encode(sentences,
+    * batch_size=processing_batch_size)` call shape
+    * (embedding_service.py:207-213). On a GPU-backed kernel this is where
+    * device micro-batching would live; here it is a simple map.
+    */
+  def embedBatch(texts: Seq[String]): Seq[Array[Float]] = texts.map(embed)
+
+  /** Query embedding: prepend the query task prefix then embed
+    * (embedding_service.py:159-164).
+    */
+  def embedQuery(text: String): Array[Float] =
+    embed(graft.text.Chunker.QueryLead + text)
+
+  private def l2Normalize(vec: Array[Float]): Unit = {
+    var ss = 0.0
+    var i = 0
+    while (i < vec.length) { ss += vec(i).toDouble * vec(i); i += 1 }
+    if (ss > 0) {
+      val inv = (1.0 / math.sqrt(ss)).toFloat
+      i = 0
+      while (i < vec.length) { vec(i) *= inv; i += 1 }
+    }
+  }
+
+  /** Cosine similarity between two dense vectors (shared by the ANN and
+    * near-dup operators).
+    */
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+}

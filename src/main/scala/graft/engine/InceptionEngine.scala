@@ -1,0 +1,223 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+import graft.config.EngineConfig
+import graft.embed.Embedder
+import graft.text.{Chunker, SentenceSplitter, TextCleaner}
+
+/** One chunk's result — reference `ChunkEmbedding` (inception/schemas.py:46-59). */
+final case class ChunkEmbedding(
+    chunk_number: Int,
+    chunk: String,
+    embedding: Array[Float]
+)
+
+/** Reference `TextRequest` (inception/schemas.py:4-15). */
+final case class Document(doc_id: Long, text: String)
+
+/** Reference `TextResponse` (inception/schemas.py:62-84). */
+final case class DocumentEmbeddings(
+    doc_id: Long,
+    embeddings: Seq[ChunkEmbedding]
+)
+
+final case class EmbeddedChunk(
+    doc_id: Long,
+    chunk_number: Int,
+    chunk: String,
+    embedding: Array[Float]
+)
+
+/** The engine — every reference entry point (SURVEY.md §2.2) as a DataFrame
+  * op. Batch-first; the streaming variant reuses the same transforms via
+  * Structured Streaming (graft.streaming).
+  *
+  * Scale design notes (100 TB target):
+  *   - [[embedDocuments]] is the flagship and is a ZERO-SHUFFLE narrow
+  *     plan: scan → mapPartitions → done. Chunking + embedding happen
+  *     inside one pipelined stage and per-document results are assembled
+  *     in place, so the largest intermediate (embedding vectors) never
+  *     crosses the network. The reference's positional-zip reassembly
+  *     (embedding_service.py:220-257) disappears entirely.
+  *   - [[embedDocumentsExploded]] produces the long-format chunk table for
+  *     downstream relational use; it is equally narrow (posexplode is
+  *     pipelined) — any groupBy a consumer adds is their shuffle, keyed on
+  *     doc_id with bounded rows per key (max_text_length caps a doc at
+  *     ~5k chunks, SURVEY.md §4).
+  *   - Per-doc work is bounded by `maxTextLength`, so task skew is capped;
+  *     documents are hash-distributed across partitions by the scan.
+  */
+class InceptionEngine(val conf: EngineConfig = EngineConfig.default)
+    extends Serializable {
+
+  // ---- Column-level ops (pure expressions, whole-stage codegen) ----
+
+  /** O2 (utils.py:38-70). */
+  def cleanText(text: Column): Column = TextCleaner.cleanTextForJson(text)
+
+  /** O1 error routing for document texts. */
+  def textErrorType(text: Column): Column = Validation.textErrorType(text, conf)
+
+  /** O1+O3 error routing for query texts. */
+  def queryErrorType(text: Column): Column =
+    Validation.queryErrorType(text, conf)
+
+  // ---- UDFs (registered names for SQL callers) ----
+
+  /** O4 as UDF: sentence list. */
+  val sentencesUdf =
+    udf((text: String) => SentenceSplitter.split(Option(text).getOrElse("")))
+
+  /** O6 as UDF: lead-prefixed chunk list. */
+  val chunksUdf = {
+    val mt = conf.maxTokens
+    val ov = conf.numOverlapSentences
+    udf((text: String) => Chunker.split(Option(text).getOrElse(""), mt, ov))
+  }
+
+  /** O7/O8 kernel as scalar UDF (text must already carry its task prefix). */
+  val embedUdf = udf((text: String) => Embedder.embed(text))
+
+  def registerFunctions(spark: SparkSession): Unit = {
+    spark.udf.register("graft_sentences", sentencesUdf)
+    spark.udf.register("graft_chunks", chunksUdf)
+    spark.udf.register("graft_embed", embedUdf)
+  }
+
+  // ---- Endpoint equivalents ----
+
+  /** `/api/v1/validate/text` (routes/embedding.py:129-150): never errors;
+    * adds `processed_text`, `is_valid`, `error`.
+    */
+  def validateText(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val cleaned = cleanText(col(textCol))
+    df.withColumn("processed_text", cleaned)
+      .withColumn("is_valid", TextCleaner.isNonEmptyAfterCleaning(col("processed_text")))
+      .withColumn(
+        "error",
+        when(!col("is_valid"), lit("Text is empty after cleaning."))
+          .otherwise(lit(null: String))
+      )
+  }
+
+  /** O1 as row routing: adds `error_type` (null = valid). Callers split on
+    * it; [[embedDocuments]] drops invalid rows (the reference fails the
+    * whole batch on the first bad doc, routes/embedding.py:113-115 — a
+    * DataFrame engine routes instead, SURVEY.md §2.1 O1).
+    */
+  def withValidation(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("error_type", textErrorType(col(textCol)))
+
+  /** O4+O6: exploded chunk table `(doc_id, chunk_number, chunk)`, chunk
+    * lead-prefixed, chunk_number 1-based in document order
+    * (embedding_service.py:241-247). Narrow plan — no shuffle.
+    */
+  def chunkDocuments(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame =
+    df.select(
+        col(idCol).cast(LongType).as("doc_id"),
+        posexplode(chunksUdf(col(textCol))).as(Seq("pos", "chunk"))
+      )
+      .select(
+        col("doc_id"),
+        (col("pos") + 1).cast(IntegerType).as("chunk_number"),
+        col("chunk")
+      )
+
+  /** Long-format embedding table `(doc_id, chunk_number, chunk, embedding)`
+    * with the lead prefix stripped from `chunk` (embedding_service.py:221-223)
+    * but INCLUDED in the embedded text (ibid:90). Batched inference inside
+    * `mapPartitions` mirrors `model.encode(batch_size=processing_batch_size)`
+    * (embedding_service.py:207-213) — the standard Spark distributed-
+    * inference shape; still a narrow, shuffle-free plan.
+    */
+  def embedDocumentsExploded(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): Dataset[EmbeddedChunk] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val batchSize = conf.processingBatchSize
+    val valid = withValidation(df, textCol).filter(col("error_type").isNull)
+    val chunks = chunkDocuments(valid, idCol, textCol)
+      .as[(Long, Int, String)]
+    chunks.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val vecs = Embedder.embedBatch(batch.map(_._3))
+        batch.lazyZip(vecs).map { case ((id, n, chunk), v) =>
+          EmbeddedChunk(id, n, chunk.replace(Chunker.LeadText, ""), v)
+        }
+      }
+    }
+  }
+
+  /** FLAGSHIP — `/api/v1/embed/batch` (routes/embedding.py:95-126 →
+    * embedding_service.py:167-257): one row per document with its ordered
+    * `ChunkEmbedding` array. Zero shuffles: chunk, embed, and reassemble
+    * all happen inside one mapPartitions, eliminating the reference's
+    * order-coupled positional zip (SURVEY.md §7.4.4).
+    *
+    * Duplicate ids: the reference silently last-wins via dict build
+    * (routes/embedding.py:117); with no row order in a DataFrame we keep
+    * one arbitrary-but-deterministic row per id via max(text) when
+    * `dedupeIds` (documented divergence, SURVEY.md §7.4.4).
+    */
+  def embedDocuments(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      dedupeIds: Boolean = false
+  ): Dataset[DocumentEmbeddings] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val mt = conf.maxTokens
+    val ov = conf.numOverlapSentences
+    val batchSize = conf.processingBatchSize
+    val base0 = df.select(
+      col(idCol).cast(LongType).as("doc_id"),
+      col(textCol).as("text")
+    )
+    val base =
+      if (dedupeIds) base0.groupBy("doc_id").agg(max("text").as("text"))
+      else base0
+    val valid = withValidation(base).filter(col("error_type").isNull)
+      .select("doc_id", "text").as[Document]
+    valid.mapPartitions { docs =>
+      docs.map { d =>
+        val chunks = Chunker.split(d.text, mt, ov)
+        val vecs =
+          chunks.grouped(batchSize).flatMap(Embedder.embedBatch).toVector
+        val embs = chunks.lazyZip(vecs).zipWithIndex.map {
+          case ((chunk, v), idx) =>
+            ChunkEmbedding(idx + 1, chunk.replace(Chunker.LeadText, ""), v)
+        }
+        DocumentEmbeddings(d.doc_id, embs.toVector)
+      }
+    }
+  }
+
+  /** `/api/v1/embed/query` (routes/embedding.py:46-65): validate (1000-char
+    * cap) → clean → "search_query: " prefix → embed. Scalar path.
+    */
+  def embedQuery(text: String): Array[Float] = {
+    Validation.validateQueryLength(text, conf)
+    val processed = TextCleaner.cleanString(text)
+    if (processed.isEmpty)
+      throw new IllegalArgumentException("Text is empty after cleaning.")
+    Embedder.embedQuery(processed)
+  }
+
+  /** `GET /health` (routes/monitoring.py:16-28). */
+  def health: Map[String, Any] = Map(
+    "status" -> "healthy",
+    "model_loaded" -> true,
+    "gpu_available" -> false // JVM kernel; CPU-only by construction
+  )
+}

@@ -1,0 +1,39 @@
+package graft.engine
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.SparkContext
+import org.apache.spark.util.LongAccumulator
+
+/** O13 — metrics (reference: inception/metrics.py:3-32, Prometheus
+  * counters/histograms REQUEST_COUNT, PROCESSING_TIME, ERROR_COUNT,
+  * CHUNK_COUNT, MODEL_LOAD_TIME).
+  *
+  * Spark-native equivalent: named `LongAccumulator`s — they aggregate
+  * across executors exactly like the reference's per-process counters
+  * aggregate across Gunicorn workers, and tests can read them on the
+  * driver. Timings are recorded driver-side in millis (the reference's
+  * histograms collapse to sum+count here; bucket boundaries are a
+  * serving-layer concern).
+  */
+class Metrics(sc: SparkContext) extends Serializable {
+  private val acc = new ConcurrentHashMap[String, LongAccumulator]()
+
+  private def get(name: String): LongAccumulator =
+    acc.computeIfAbsent(name, n => sc.longAccumulator(s"graft.$n"))
+
+  def requestCount(endpoint: String): LongAccumulator =
+    get(s"request_count.$endpoint")
+  def errorCount(endpoint: String, errorType: String): LongAccumulator =
+    get(s"error_count.$endpoint.$errorType")
+  def chunkCount(endpoint: String): LongAccumulator =
+    get(s"chunk_count.$endpoint")
+  def processingTimeMs(endpoint: String): LongAccumulator =
+    get(s"processing_time_ms.$endpoint")
+
+  /** Snapshot for `/metrics`-style inspection (monitoring.py:30-35). */
+  def snapshot: Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    acc.asScala.map { case (k, v) => k -> v.value.toLong }.toMap
+  }
+}

@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs DuckDB on oracle_sql.json over the same parquet tables, loads each
+query's Spark parquet output, sorts columns by name and rows by value,
+and hash-compares. Usage:
+
+    python3 tools/verify_local.py <sfDir> <verifyOutDir>
+"""
+import hashlib
+import json
+import math
+import os
+import sys
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # driver-style: repr of float is stable; round-trip via repr
+        return repr(v)
+    return str(v)
+
+
+def table_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x01".join(norm_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    results = {}
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        tab = pq.read_table(d)
+        scols = tab.column_names
+        srows = [tuple(r[c] for c in scols) for r in tab.to_pylist()]
+        if name not in oracle:
+            results[name] = {"check": "rows_only", "rows": len(srows),
+                             "ok": len(srows) > 0}
+            continue
+        try:
+            cur = con.execute(oracle[name])
+            ocols = [c[0] for c in cur.description]
+            orows = cur.fetchall()
+        except Exception as e:
+            results[name] = {"check": "oracle_error", "ok": False,
+                             "error": str(e)[:300]}
+            continue
+        schema_ok = sorted(scols) == sorted(ocols)
+        rows_ok = len(srows) == len(orows)
+        hash_ok = schema_ok and table_hash(scols, srows) == table_hash(ocols, orows)
+        results[name] = {"check": "oracle", "rows": len(srows),
+                         "oracle_rows": len(orows), "schema_ok": schema_ok,
+                         "rows_ok": rows_ok, "hash_ok": hash_ok,
+                         "ok": schema_ok and rows_ok and hash_ok}
+        if not results[name]["ok"]:
+            # dump first differing line for debugging
+            order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+            order_o = sorted(range(len(ocols)), key=lambda i: ocols[i]) if schema_ok else []
+            ls = sorted("\x01".join(norm_cell(r[i]) for i in order_s) for r in srows)
+            lo = sorted("\x01".join(norm_cell(r[i]) for i in order_o) for r in orows) if schema_ok else []
+            for a, b in zip(ls, lo):
+                if a != b:
+                    results[name]["first_diff"] = {"spark": a[:200], "oracle": b[:200]}
+                    break
+    n_ok = sum(1 for r in results.values() if r["ok"])
+    print(json.dumps(results, indent=1))
+    print(f"== {n_ok}/{len(results)} ok")
+    return 0 if n_ok == len(results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
