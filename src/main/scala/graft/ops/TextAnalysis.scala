@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.SimpleTokenizer
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, document fingerprinting. All but the
+  * fingerprint/BPE counters are pure Column expressions (codegen'd,
+  * oracle-replicable in SQL).
+  */
+object TextAnalysis {
+
+  /** Tiny function-word lists per language — enough signal for a
+    * stopword-ratio heuristic language ID. Deliberately SQL-expressible
+    * (array_contains over a literal list) so the oracle can replicate it.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "a"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "von", "mit", "ein", "zu"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "de", "que", "en", "por"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que", "des", "dans", "pour", "une")
+  )
+
+  private def words(text: Column): Column =
+    split(lower(trim(text)), "[^a-zA-Z0-9_]+")
+
+  /** Count of words belonging to `lang`'s stopword list. */
+  def stopwordHits(text: Column, lang: String): Column = {
+    val lits = array(stopwords(lang).map(lit): _*)
+    size(filter(words(text), w => array_contains(lits, w)))
+  }
+
+  /** Heuristic language ID: argmax of stopword hits with deterministic
+    * tie-break on language code order (en < de < es < fr alphabetical by
+    * code: de, en, es, fr). Emits the code, or "und" when nothing hits.
+    */
+  def langId(text: Column): Column = {
+    val codes = stopwords.keys.toSeq.sorted // de, en, es, fr
+    val scored = codes.map(c => struct(stopwordHits(text, c).as("hits"),
+      lit(c).as("code")))
+    // array_max on struct compares fields in order: hits then code; ties
+    // break toward the LAST code alphabetically — mirror this exactly in
+    // the oracle SQL.
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("code")).otherwise("und")
+  }
+
+  /** Composite quality score in [0,1]: mean of
+    *   - length score: min(1, n_chars/500)
+    *   - word-shape score: min(1, n_words/80)
+    *   - alpha ratio: alphabetic chars / chars
+    * Pure integer/ratio arithmetic → oracle-exact after round(…, 6).
+    */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text)
+    val nWords = size(split(trim(text), "[ \\t\\n]+"))
+    val alpha = length(regexp_replace(text, "[^a-zA-Z]", ""))
+    val lenScore = least(lit(1.0), nChars.cast("double") / 500.0)
+    val wordScore = least(lit(1.0), nWords.cast("double") / 80.0)
+    val alphaRatio = when(nChars === 0, 0.0)
+      .otherwise(alpha.cast("double") / nChars.cast("double"))
+    round((lenScore + wordScore + alphaRatio) / 3.0, 6)
+  }
+
+  /** Whitespace token count (SQL-expressible). */
+  def tokenCountWs(text: Column): Column =
+    size(split(trim(text), "[ \\t\\n]+"))
+
+  /** BPE-ish token count via the engine tokenizer (UDF; the number the
+    * chunker budgets against).
+    */
+  val tokenCountBpeish =
+    udf((t: String) => SimpleTokenizer.countTokens(Option(t).getOrElse("")))
+
+  /** Rolling-hash winnowing fingerprint (Schleimer et al., SIGMOD'03
+    * style): k-gram rolling hashes, keep the min in each window of w —
+    * a compact, shift-robust document signature for near-dup screening.
+    */
+  def winnowingFingerprint(text: String, k: Int = 8, w: Int = 16): Array[Long] = {
+    val s = text.toLowerCase.replaceAll("\\s+", " ")
+    if (s.length < k) return if (s.isEmpty) Array.empty else Array(fnv(s))
+    val n = s.length - k + 1
+    val hashes = new Array[Long](n)
+    var i = 0
+    while (i < n) { hashes(i) = fnv(s.substring(i, i + k)); i += 1 }
+    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+    var start = 0
+    while (start + w <= n) {
+      var m = Long.MaxValue
+      var j = start
+      while (j < start + w) { if (hashes(j) < m) m = hashes(j); j += 1 }
+      out += m
+      start += w
+    }
+    if (out.isEmpty) out += hashes.min
+    out.toArray
+  }
+
+  val fingerprintUdf =
+    udf((t: String) => winnowingFingerprint(Option(t).getOrElse("")))
+
+  @inline private def fnv(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Full per-document profile. */
+  def profile(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("lang_pred", langId(col(textCol)))
+      .withColumn("quality", qualityScore(col(textCol)))
+      .withColumn("n_tokens_ws", tokenCountWs(col(textCol)))
+      .withColumn("n_tokens_bpeish", tokenCountBpeish(col(textCol)))
+      .withColumn("fingerprint", fingerprintUdf(col(textCol)))
+}

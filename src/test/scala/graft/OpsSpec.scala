@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Extension-operator specs: dedup recall/precision, ANN recall vs
+  * brute force, multimodal plumbing shapes.
+  */
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while seventeen " +
+      "magistrates deliberate upon the merits of the appellate briefs " +
+      "submitted last thursday regarding maritime insurance claims"
+
+  test("minhash LSH finds exact and near duplicates, skips unrelated") {
+    val df = docs(
+      1L -> base,
+      2L -> base, // exact dup
+      3L -> (base + " with a small appended tail"), // near dup
+      4L -> "completely unrelated text about cooking pasta with garlic and olive oil and fresh basil leaves from the garden")
+    val pairs = Dedup.minHashPairs(df, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash est_jaccard ~1.0 for exact duplicates") {
+    val df = docs(1L -> base, 2L -> base)
+    val row = Dedup.minHashPairs(df, "doc_id", "text").collect().head
+    assert(row.getAs[Double]("est_jaccard") == 1.0)
+    assert(row.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("simhash: hamming 0 for exact dup, small for near dup, large for unrelated") {
+    assert(Dedup.simHash(base) == Dedup.simHash(base))
+    val near = java.lang.Long.bitCount(
+      Dedup.simHash(base) ^ Dedup.simHash(base + " extra tail"))
+    val far = java.lang.Long.bitCount(
+      Dedup.simHash(base) ^ Dedup.simHash(
+        "entirely different content about astrophysics and neutron stars colliding in distant galaxies"))
+    assert(near < far, s"near=$near far=$far")
+    assert(near <= 8)
+    assert(far > 10)
+  }
+
+  test("simHashPairs finds planted dup") {
+    val df = docs(1L -> base, 2L -> base,
+      3L -> "unrelated pasta recipe with tomatoes basil garlic onions peppers and a pinch of oregano simmered slowly")
+    val pairs = Dedup.simHashPairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("exact jaccard math") {
+    val a = Dedup.shingles(base, 3)
+    assert(Dedup.jaccard(a, a) == 1.0)
+    assert(Dedup.jaccard(a, Array.empty[Long]) == 0.0)
+    assert(Dedup.jaccard(Array.empty[Long], Array.empty[Long]) == 1.0)
+  }
+
+  test("exactDuplicates marks non-keeper rows") {
+    val df = docs(1L -> "same text", 2L -> "same text", 3L -> "different")
+    val out = Dedup.exactDuplicates(df, "doc_id", "text")
+      .select("doc_id", "is_duplicate").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> false))
+  }
+
+  test("ANN: LSH top-k recall vs brute force on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.lshTopK(e, "vec_id", "embedding", q, 10,
+      numPlanes = 8, probeHamming = 3, dim = 64)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall") // probe<=3 of 8 planes
+    // self-match must always be found (same bucket by definition)
+    assert(approx.contains(0L))
+  }
+
+  test("ANN: brute-force top-1 is the query itself with cosine 1") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 7)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+    val top = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 1)
+      .collect().head
+    assert(top.getLong(0) == 7L)
+    assert(math.abs(top.getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("topKJoin: each query gets k ranked neighbors") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val out = Similarity.topKJoin(e, queries, "vec_id", "embedding",
+      "qid", "qv", 5).collect()
+    assert(out.length == 15)
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.map(_.getInt(3)).sorted.sameElements(1 to 5))
+      // rank 1 = the query vector itself
+      assert(rows.minBy(_.getInt(3)).getLong(1) == qid)
+    }
+  }
+
+  test("language ID picks the language whose stopwords dominate") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog went to the house of a friend"),
+      (2L, "der hund und die katze ist nicht von dem haus"),
+      (3L, "el perro y la casa es de los amigos en la ciudad"),
+      (4L, "xyzzy plugh qwerty")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      TextAnalysis.langId(col("text")).as("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "es")
+    assert(out(4L) == "und")
+  }
+
+  test("quality score ranges and monotonicity") {
+    import spark.implicits._
+    val df = Seq((1L, "short"), (2L, base + " " + base)).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("q")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(out(2L) > out(1L))
+  }
+
+  test("winnowing fingerprint is shift-robust-ish and deterministic") {
+    val f1 = TextAnalysis.winnowingFingerprint(base)
+    val f2 = TextAnalysis.winnowingFingerprint(base)
+    assert(f1.sameElements(f2))
+    assert(f1.nonEmpty)
+    // prepending text preserves most window minima
+    val f3 = TextAnalysis.winnowingFingerprint("PREFIX WORDS HERE " + base)
+    val overlap = f1.toSet.intersect(f3.toSet).size.toDouble / f1.length
+    assert(overlap > 0.5, s"overlap=$overlap")
+  }
+
+  test("multimodal: describeMedia + frame sampling shapes") {
+    import spark.implicits._
+    val df = Seq((1L, "some media bytes"), (2L, "other bytes"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+    val desc = Multimodal.describeMedia(df, "media").collect()
+    assert(desc.length == 2)
+    desc.foreach { r =>
+      val meta = r.getAs[org.apache.spark.sql.Row]("meta")
+      assert(meta.getAs[Boolean]("valid"))
+      assert(meta.getAs[Int]("width") >= 64)
+      assert(r.getAs[scala.collection.Seq[Float]]("features").length == 64)
+    }
+    val frames = Multimodal.sampleVideoFrames(df, "doc_id", "media", 3)
+      .collect()
+    assert(frames.length == 6)
+    assert(frames.map(_.getLong(0)).distinct.sorted.sameElements(Array(1L, 2L)))
+  }
+}

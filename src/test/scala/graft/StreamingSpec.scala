@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.EngineConfig
+import graft.engine.InceptionEngine
+import graft.streaming.StreamingEmbed
+
+/** Structured Streaming over the same logical plan (SURVEY.md §2.3): the
+  * embed pipeline is stateless per row, so streaming is the batch plan
+  * under a different source.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val engine = new InceptionEngine(EngineConfig.default)
+
+  test("streaming embed: memory source → chunk+embed rows match batch run") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val out = StreamingEmbed.embedStream(engine, stream)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("embed_out").start()
+    try {
+      mem.addData((1L, "First sentence. Second sentence."),
+        (2L, "Lone sentence here."))
+      q.processAllAvailable()
+      val got = spark.table("embed_out").collect()
+      val want = engine.embedDocumentsExploded(
+        Seq((1L, "First sentence. Second sentence."),
+          (2L, "Lone sentence here.")).toDF("doc_id", "text")).collect()
+      assert(got.length == want.length)
+      val gotIds = got.map(r => (r.getLong(0), r.getInt(1))).sorted
+      val wantIds = want.map(c => (c.doc_id, c.chunk_number)).sorted
+      assert(gotIds.sameElements(wantIds))
+    } finally q.stop()
+  }
+
+  test("streaming windowed event counts with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val stream = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamingEmbed.eventCountsStream(stream, "1 hour", "2 hours")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try {
+      def ts(h: Int, m: Int) =
+        java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      mem.addData(
+        (ts(0, 10), "click", 1.0), (ts(0, 40), "click", 2.0),
+        (ts(1, 5), "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out").collect()
+      assert(rows.length == 2)
+      val clicks = rows.find(_.getString(1) == "click").get
+      assert(clicks.getLong(2) == 2L)
+      assert(clicks.getDouble(3) == 3.0)
+    } finally q.stop()
+  }
+
+  test("foreachBatch reuses the batch pipeline per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val writer = StreamingEmbed.embedForeachBatch(engine, stream) {
+      (batch, _) => seen ++= batch.select("doc_id").collect().map(_.getLong(0))
+    }
+    val q = writer.start()
+    try {
+      mem.addData((5L, "A sentence for the stream."))
+      q.processAllAvailable()
+      assert(seen.toSet == Set(5L))
+    } finally q.stop()
+  }
+}
