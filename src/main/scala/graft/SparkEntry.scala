@@ -223,13 +223,18 @@ object SparkEntry {
       .orderBy("c_custkey")
   }
 
-  /** Set op: INTERSECT of key sets. */
+  /** Set op: INTERSECT of key sets, planned as distinct + broadcast
+    * left-semi (same semantics on non-null keys; partial aggregation
+    * collapses the fact-side scan before its shuffle, and the dim side
+    * broadcasts — Spark's default INTERSECT plan sort-merges both sides).
+    */
   private def qSetOp(s: SparkSession, dir: String): DataFrame = {
-    val lk = tbl(s, dir, "lineitem").select(col("l_partkey").as("partkey"))
+    val lk = tbl(s, dir, "lineitem")
+      .select(col("l_partkey").as("partkey")).distinct()
     val pk = tbl(s, dir, "part")
       .filter(col("p_size") > 25)
-      .select(col("p_partkey").as("partkey"))
-    lk.intersect(pk).orderBy("partkey")
+      .select(col("p_partkey").as("partkey")).distinct()
+    lk.join(broadcast(pk), Seq("partkey"), "left_semi").orderBy("partkey")
   }
 
   /** events.ts arrives as LongType nanoseconds (TIMESTAMP(NANOS) parquet

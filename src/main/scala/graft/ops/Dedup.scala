@@ -131,6 +131,11 @@ object Dedup {
   }
   private val exactJaccardUdf =
     udf((a: Array[Long], b: Array[Long]) => jaccard(a, b))
+  /** All unordered pairs of a (capped) bucket's sorted id list. */
+  private val bucketPairsUdf = udf { ids: Seq[Long] =>
+    for { i <- ids.indices; j <- (i + 1) until ids.size }
+      yield (ids(i), ids(j))
+  }
 
   /** MinHash + LSH banding near-dup candidate pairs, verified two ways:
     * signature-estimated Jaccard (cheap, no text re-join) and exact
@@ -152,34 +157,51 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // The signature table is consumed three times (banding + both sides of
+    // the pair verify join); persist it so shingling/minhashing runs once.
+    // At cluster scale the same role is played by writing the signature
+    // table out once and joining against it (SURVEY.md §7.6).
     val sigs = df.select(
         col(idCol).cast("long").as("doc_id"),
         shinglesUdf(col(textCol), lit(shingleWidth)).as("sh"))
       .withColumn("sig", minhashUdf(col("sh"), lit(numHashes)))
-    // band key = hash of the band's signature slice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Phase A — candidate discovery. Only (doc_id, band, bucket) flows
+    // through the ×bands explode and the bucket shuffle; the KB-sized
+    // sig/shingle arrays stay out of the wide plan (carrying them
+    // multiplied shuffle bytes by ~bands and dominated runtime).
     val banded = sigs.select(
-      col("doc_id"), col("sig"), col("sh"),
+      col("doc_id"),
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> " +
           s"hash(b, slice(sig, b * $rows + 1, $rows)))"))
         .as(Seq("band", "bucket")))
-    // cap pathological buckets (boilerplate): keep first maxBucketSize by id
-    val wBucket = org.apache.spark.sql.expressions.Window
-      .partitionBy("band", "bucket").orderBy("doc_id")
-    val capped = banded
-      .withColumn("rank_in_bucket", row_number().over(wBucket))
-      .filter(col("rank_in_bucket") <= maxBucketSize)
-    val a = capped.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("sh").as("sh_a"))
-    val b = capped.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
+    // One shuffle: hash-agg doc ids per (band, bucket), cap pathological
+    // buckets (boilerplate) at maxBucketSize by id order — the overflow is
+    // bounded, not silently unbounded work — then emit in-bucket pair
+    // combinations. (A window+self-join does the same with an extra sort
+    // and an extra shuffle.)
+    val candidates = banded
+      .groupBy("band", "bucket")
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, maxBucketSize)
+        .as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(bucketPairsUdf(col("ids"))).as("p"))
+      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
+      .distinct() // collapse the up-to-`bands` copies BEFORE verification
+    // Phase B — verify: join signatures back per candidate pair. Shuffle
+    // volume is O(pairs + docs), independent of `bands`. Signatures are
+    // recomputed rather than cached: re-running a narrow deterministic UDF
+    // is cheaper than materializing a 100-TB-scale side table.
+    candidates
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+        col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+        col("sh").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         sigJaccardUdf(col("sig_a"), col("sig_b")).as("est_jaccard"),
         exactJaccardUdf(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .dropDuplicates("doc_a", "doc_b")
   }
 
   /** SimHash near-dup pairs: 4 bands of 16 bits as LSH, verified by
@@ -195,26 +217,29 @@ object Dedup {
     val sigs = df.select(
       col(idCol).cast("long").as("doc_id"),
       simhashUdf(col(textCol)).as("sim"))
-    val banded = sigs.select(col("doc_id"), col("sim"),
+    // candidate pairs on (band, bucket) only — pair copies collapsed
+    // before the hamming verify (same one-shuffle shape as minHashPairs)
+    val banded = sigs.select(col("doc_id"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> (b, shiftright(sim, b * 16) & 65535))"))
         .as(Seq("band", "bucket")))
-    val wBucket = org.apache.spark.sql.expressions.Window
-      .partitionBy("bucket").orderBy("doc_id")
-    val capped = banded
-      .withColumn("rank_in_bucket", row_number().over(wBucket))
-      .filter(col("rank_in_bucket") <= maxBucketSize)
-    val a = capped.select(col("bucket"), col("doc_id").as("doc_a"),
-      col("sim").as("sim_a"))
-    val b = capped.select(col("bucket"), col("doc_id").as("doc_b"),
-      col("sim").as("sim_b"))
-    a.join(b, "bucket")
-      .filter(col("doc_a") < col("doc_b"))
+    val candidates = banded
+      .groupBy("band", "bucket")
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, maxBucketSize)
+        .as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(bucketPairsUdf(col("ids"))).as("p"))
+      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
+      .distinct()
+    candidates
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sim").as("sim_a")),
+        Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sim").as("sim_b")),
+        Seq("doc_b"))
       .withColumn("hamming",
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
-      .dropDuplicates("doc_a", "doc_b")
   }
 
   /** Exact n-gram Jaccard similarity for an explicit pair set — the
