@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+import graft.functions.CosineSimilarity
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions (and is the hook where future planner rules/strategies
+  * plug in). Activate with:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  *   ...
+  * }}}
+  *
+  * UDF-backed functions (sentence split, chunker, embedder) are
+  * session-state-bound and registered per-session via
+  * `InceptionEngine.registerFunctions` instead.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier(CosineSimilarity.name),
+      CosineSimilarity.info,
+      CosineSimilarity.builder _))
+  }
+}

@@ -282,6 +282,73 @@ object SparkEntry {
       .orderBy("user_id", "session_id")
   }
 
+  /** CUBE grouping sets (all four grouping combinations). */
+  private def qCube(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(
+        col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** Distinct aggregation: exact count-distinct per group (the expensive
+    * two-shuffle shape Spark plans via expand).
+    */
+  private def qDistinctAgg(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** Top-k per group: rank-filter window (each customer's 3 priciest
+    * orders).
+    */
+  private def qTopKPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    tbl(s, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+      .orderBy("o_custkey", "rk")
+  }
+
+  /** Scalar-function surface: string/date/math built-ins in one pass. */
+  private def qScalarFuncs(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_upper"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        length(col("p_type")).as("type_len"),
+        (col("p_size") % 7).as("size_mod"),
+        round(sqrt(col("p_retailprice")), 6).as("price_sqrt"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+      .orderBy("p_partkey")
+
+  /** Hopping (sliding) event-time windows: 1h length, 30min hop — each
+    * event lands in 2 windows via explode, the batch twin of streaming
+    * `window(ts, "1 hour", "30 minutes")`.
+    */
+  private def qEventsHopping(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events")
+      .withColumn("ts_us", eventTsUs)
+      .select(col("ts_us"), col("event_type"),
+        explode(expr("sequence(0, 1)")).as("hop"))
+      // window_start = 30min-floor(ts) - hop*30min covers both 1h windows
+      // containing ts
+      .select(
+        ((col("ts_us") - pmod(col("ts_us"), lit(1800000000L))) -
+          col("hop") * 1800000000L).as("window_start_us"),
+        col("event_type"))
+      .groupBy("window_start_us", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("window_start_us", "event_type")
+
   // ------------------------------------------------------------------
   // Text analysis extensions (training-data pipeline ops)
   // ------------------------------------------------------------------
@@ -473,6 +540,11 @@ object SparkEntry {
     "q_setop" -> qSetOp,
     "events_tumbling" -> qEventsTumbling,
     "events_sessions" -> qEventsSessions,
+    "events_hopping" -> qEventsHopping,
+    "q_cube" -> qCube,
+    "q_distinct_agg" -> qDistinctAgg,
+    "q_topk_per_group" -> qTopKPerGroup,
+    "q_scalar_funcs" -> qScalarFuncs,
     "text_stats" -> qTextStats,
     "dedup_exact" -> qDedupExact,
     "dedup_minhash" -> qDedupMinhash,
@@ -614,6 +686,45 @@ object SparkEntry {
            MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
          FROM g GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
+    "events_hopping" ->
+      """WITH e AS (
+           SELECT epoch_us(ts) AS ts_us, event_type,
+             unnest([0, 1]) AS hop
+           FROM events)
+         SELECT (ts_us - (ts_us % 1800000000) - hop * 1800000000)
+             AS window_start_us,
+           event_type, COUNT(*) AS n
+         FROM e GROUP BY 1, 2 ORDER BY window_start_us, event_type""",
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price
+         FROM orders
+         GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q_distinct_agg" ->
+      """SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_topk_per_group" ->
+      """SELECT o_custkey, rk, o_orderkey, price_cents FROM (
+           SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+           FROM orders) t
+         WHERE rk <= 3 ORDER BY o_custkey, rk""",
+    "q_scalar_funcs" ->
+      """SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           substr(p_name, 1, 8) AS name_prefix,
+           length(p_type) AS type_len,
+           p_size % 7 AS size_mod,
+           round(sqrt(p_retailprice), 6) AS price_sqrt,
+           concat_ws('|', p_brand, p_type) AS brand_type
+         FROM part ORDER BY p_partkey""",
     "text_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
            len(regexp_split_to_array(trim(text), '[ \t\n]+')) AS n_tokens_ws,

@@ -280,8 +280,7 @@ object Dedup {
   ): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
     val bucketU = udf((v: Array[Float]) => hyperplaneBucket(v, planes))
-    val cosU = udf((a: Array[Float], b: Array[Float]) =>
-      graft.embed.Embedder.cosine(a, b))
+    graft.functions.CosineSimilarity.register(df.sparkSession)
     val withB = df.select(col(idCol).cast("long").as("doc_id"),
       col(vecCol).as("v")).withColumn("bucket", bucketU(col("v")))
     val a = withB.select(col("bucket"), col("doc_id").as("doc_a"),
@@ -290,7 +289,8 @@ object Dedup {
       col("v").as("v_b"))
     a.join(b, "bucket")
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("cosine", cosU(col("v_a"), col("v_b")))
+      .withColumn("cosine",
+        graft.functions.CosineSimilarity.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select("doc_a", "doc_b", "cosine")
   }

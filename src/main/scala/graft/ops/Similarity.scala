@@ -22,7 +22,10 @@ object Similarity {
 
   /** Cosine similarity of an ARRAY<FLOAT> column against a constant query
     * vector, as a codegen-friendly Column expression (no UDF): dot product
-    * via zip_with + aggregate; norms likewise.
+    * via zip_with + aggregate; norms likewise. Kept as the
+    * built-ins-only formulation; the hot paths below use the fused native
+    * expression (graft.functions.CosineSimilarity), which computes the
+    * same value without the per-row intermediate array.
     */
   def cosineCol(vec: Column, query: Array[Float]): Column = {
     val q = array(query.map(v => lit(v.toDouble)): _*)
@@ -35,6 +38,13 @@ object Similarity {
       .otherwise(dot / (nv * lit(nq)))
   }
 
+  /** Native-expression cosine against a literal query vector. */
+  private def cosineNative(df: DataFrame, vec: Column, query: Array[Float]): Column = {
+    graft.functions.CosineSimilarity.register(df.sparkSession)
+    graft.functions.CosineSimilarity.cosine(
+      vec, array(query.map(lit(_)): _*))
+  }
+
   /** Exact cosine top-k: narrow scan + TakeOrderedAndProject. */
   def bruteForceTopK(
       df: DataFrame,
@@ -45,7 +55,7 @@ object Similarity {
   ): DataFrame =
     df.select(
         col(idCol).cast("long").as("vec_id"),
-        cosineCol(col(vecCol), query).as("cosine"))
+        cosineNative(df, col(vecCol), query).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
 
@@ -71,7 +81,7 @@ object Similarity {
         col(vecCol).as("v"))
       .withColumn("bucket", bucketU(col("v")))
       .filter(bit_count(col("bucket").bitwiseXOR(lit(qBucket))) <= probeHamming)
-      .select(col("vec_id"), cosineCol(col("v"), query).as("cosine"))
+      .select(col("vec_id"), cosineNative(df, col("v"), query).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
@@ -89,14 +99,14 @@ object Similarity {
       queryVec: String,
       k: Int
   ): DataFrame = {
-    val cosU = udf((a: Array[Float], b: Array[Float]) =>
-      graft.embed.Embedder.cosine(a, b))
+    graft.functions.CosineSimilarity.register(corpus.sparkSession)
     val joined = corpus
       .select(col(corpusId).cast("long").as("corpus_id"),
         col(corpusVec).as("cv"))
       .crossJoin(broadcast(queries.select(
         col(queryId).cast("long").as("query_id"), col(queryVec).as("qv"))))
-      .withColumn("cosine", cosU(col("cv"), col("qv")))
+      .withColumn("cosine",
+        graft.functions.CosineSimilarity.cosine(col("cv"), col("qv")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
     joined

@@ -160,6 +160,38 @@ class OpsSpec extends AnyFunSuite {
     assert(overlap > 0.5, s"overlap=$overlap")
   }
 
+  test("native cosine expression: matches zip_with formulation, works from SQL, codegen and interpreted agree") {
+    graft.functions.CosineSimilarity.register(spark)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 3)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+    val both = e.select(
+      Similarity.cosineCol(col("embedding"), q).as("zip"),
+      graft.functions.CosineSimilarity.cosine(
+        col("embedding"), array(q.map(lit(_)): _*)).as("native"))
+      .collect()
+    // zip_with multiplies float*float in float precision; the native
+    // expression promotes to double first — agreement to ~1e-7 is the
+    // expected float-vs-double product error, not a logic divergence
+    both.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-7,
+        s"zip=${r.getDouble(0)} native=${r.getDouble(1)}")
+    }
+    // SQL surface
+    e.createOrReplaceTempView("emb_v")
+    val viaSql = spark.sql(
+      "SELECT graft_cosine(embedding, embedding) AS c FROM emb_v LIMIT 5")
+      .collect()
+    viaSql.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-9))
+    // interpreted path (nullSafeEval) must agree with codegen
+    val expr = graft.functions.CosineSimilarity(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        q, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        q, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+    assert(math.abs(expr.eval(null).asInstanceOf[Double] - 1.0) < 1e-9)
+  }
+
   test("multimodal: describeMedia + frame sampling shapes") {
     import spark.implicits._
     val df = Seq((1L, "some media bytes"), (2L, "other bytes"))
