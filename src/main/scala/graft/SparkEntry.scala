@@ -349,6 +349,46 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
       .orderBy("window_start_us", "event_type")
 
+  /** As-of join: each purchase event enriched with the user's latest view
+    * at-or-before it (ops/AsOfJoin.scala — union + keyed window, one
+    * shuffle, no native operator needed). Oracle uses DuckDB's built-in
+    * ASOF JOIN.
+    */
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(s, dir, "events").withColumn("ts_us", eventTsUs)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us").as("view_ts_us"),
+        col("event_id").as("view_event_id"))
+    graft.ops.AsOfJoin
+      .asOf(purchases, views, Seq("user_id"), "ts_us", "view_ts_us",
+        Seq("view_ts_us", "view_event_id"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("asof_view_ts_us"), col("asof_view_event_id"))
+      .orderBy("event_id")
+  }
+
+  /** Per-label embedding centroid via the typed Aggregator UDAF
+    * (functions/VectorAggregates.scala) — partial aggregation map-side,
+    * O(groups × dim) shuffle. First 4 dims exposed for the oracle.
+    */
+  private def qCentroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = tbl(s, dir, "embeddings")
+      .select(col("label"), col("embedding"))
+      .as[(Int, Array[Float])]
+    ds.groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.functions.VectorAggregates.centroid(64).name("c"))
+      .select(col("key").as("label"),
+        round(col("c")(0).cast("double"), 4).as("c0"),
+        round(col("c")(1).cast("double"), 4).as("c1"),
+        round(col("c")(2).cast("double"), 4).as("c2"),
+        round(col("c")(3).cast("double"), 4).as("c3"))
+      .orderBy("label")
+  }
+
   // ------------------------------------------------------------------
   // Text analysis extensions (training-data pipeline ops)
   // ------------------------------------------------------------------
@@ -541,6 +581,8 @@ object SparkEntry {
     "events_tumbling" -> qEventsTumbling,
     "events_sessions" -> qEventsSessions,
     "events_hopping" -> qEventsHopping,
+    "q_asof_join" -> qAsofJoin,
+    "q_centroids" -> qCentroids,
     "q_cube" -> qCube,
     "q_distinct_agg" -> qDistinctAgg,
     "q_topk_per_group" -> qTopKPerGroup,
@@ -695,6 +737,21 @@ object SparkEntry {
              AS window_start_us,
            event_type, COUNT(*) AS n
          FROM e GROUP BY 1, 2 ORDER BY window_start_us, event_type""",
+    "q_asof_join" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+           epoch_us(v.ts) AS asof_view_ts_us,
+           v.event_id AS asof_view_event_id
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+           ON p.user_id = v.user_id AND p.ts >= v.ts
+         ORDER BY p.event_id""",
+    "q_centroids" ->
+      """SELECT label,
+           round(AVG(CAST(embedding[1] AS DOUBLE)), 4) AS c0,
+           round(AVG(CAST(embedding[2] AS DOUBLE)), 4) AS c1,
+           round(AVG(CAST(embedding[3] AS DOUBLE)), 4) AS c2,
+           round(AVG(CAST(embedding[4] AS DOUBLE)), 4) AS c3
+         FROM embeddings GROUP BY label ORDER BY label""",
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)

@@ -192,6 +192,36 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(expr.eval(null).asInstanceOf[Double] - 1.0) < 1e-9)
   }
 
+  test("as-of join: ties inclusive, no prior row → null, no cross-key leakage") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L), (2L, 100L, 20L), (3L, 200L, 5L))
+      .toDF("event_id", "user_id", "ts_us")
+    val right = Seq((100L, 10L, 7L), (100L, 15L, 8L), (200L, 50L, 9L))
+      .toDF("user_id", "r_ts", "r_val")
+    val out = graft.ops.AsOfJoin
+      .asOf(left, right, Seq("user_id"), "ts_us", "r_ts", Seq("r_ts", "r_val"))
+      .orderBy("event_id").collect()
+    // event 1 at ts=10: right row at ts=10 matches inclusively (val 7)
+    assert(out(0).getAs[Long]("asof_r_val") == 7L)
+    // event 2 at ts=20: latest right at 15 (val 8)
+    assert(out(1).getAs[Long]("asof_r_val") == 8L)
+    // event 3, user 200 at ts=5: right row is at 50 (future) → null
+    assert(out(2).isNullAt(out(2).fieldIndex("asof_r_val")))
+  }
+
+  test("centroid aggregator: mean of planted vectors; partial-merge path") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1, Array(1.0f, 2.0f)), (1, Array(3.0f, 4.0f)),
+      (2, Array(10.0f, 20.0f))).toDS()
+    val out = vecs.repartition(3) // force multiple partitions → merge()
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(graft.functions.VectorAggregates.centroid(2).name("c"))
+      .collect().toMap
+    assert(out(1).sameElements(Array(2.0f, 3.0f)))
+    assert(out(2).sameElements(Array(10.0f, 20.0f)))
+  }
+
   test("multimodal: describeMedia + frame sampling shapes") {
     import spark.implicits._
     val df = Seq((1L, "some media bytes"), (2L, "other bytes"))
