@@ -282,6 +282,51 @@ object SparkEntry {
       .orderBy("user_id", "session_id")
   }
 
+  /** Skew-salted aggregation over the 3-value l_returnflag key (each key
+    * a hot key): two-phase (key, salt) → key merge. The oracle is the
+    * PLAIN aggregate — salting must be result-invariant; sums stay exact
+    * under regrouping because they accumulate in DECIMAL.
+    */
+  private def qSaltedAgg(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Skew.saltedSumCount(
+        tbl(s, dir, "lineitem"),
+        keyCols = Seq("l_returnflag"),
+        valueCol = col("l_quantity").cast("decimal(18,6)"),
+        salts = 16,
+        spreadCol = "l_orderkey")
+      .select(col("l_returnflag"),
+        col("sum_value").cast("double").as("sum_qty"), col("n"))
+      .orderBy("l_returnflag")
+
+  /** Post-aggregation HAVING filter + join back to the dimension. */
+  private def qHaving(s: SparkSession, dir: String): DataFrame = {
+    val big = tbl(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_spent"))
+      .filter(col("n_orders") >= 15)
+    big.join(broadcast(tbl(s, dir, "customer")),
+        big("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_orders"),
+        col("total_spent"))
+      .orderBy("c_custkey")
+  }
+
+  /** Conditional (pivot-style) aggregation: per-returnflag revenue split
+    * by line status via sum(CASE WHEN ...).
+    */
+  private def qConditionalAgg(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        dsum(when(col("l_linestatus") === "F", col("l_extendedprice"))
+          .otherwise(0.0)).as("rev_f"),
+        dsum(when(col("l_linestatus") === "O", col("l_extendedprice"))
+          .otherwise(0.0)).as("rev_o"),
+        count(when(col("l_linestatus") === "F", 1)).as("n_f"),
+        count(when(col("l_linestatus") === "O", 1)).as("n_o"))
+      .orderBy("l_returnflag")
+
   /** CUBE grouping sets (all four grouping combinations). */
   private def qCube(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "orders")
@@ -348,6 +393,42 @@ object SparkEntry {
       .groupBy("window_start_us", "event_type")
       .agg(count(lit(1)).as("n"))
       .orderBy("window_start_us", "event_type")
+
+  /** Event-time tumbling counts computed BY A REAL STREAMING QUERY:
+    * file-stream source over the same parquet, Trigger.AvailableNow,
+    * complete-mode in-memory sink — then returned as a batch DataFrame.
+    * Hash-matches the same DuckDB SQL as the batch twin, proving the
+    * streaming plan computes identical results (SURVEY.md §2.3
+    * "streaming" — identical logical plan under Structured Streaming).
+    */
+  private def qEventsStreamTumbling(s: SparkSession, dir: String): DataFrame = {
+    val schema = tbl(s, dir, "events").schema
+    // FileStreamSource requires a directory; the testdata table is a
+    // single file — expose it through a temp dir symlink
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_events")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = s.readStream.schema(schema)
+      .parquet(streamDir.toString)
+      .withColumn("ts_us", eventTsUs)
+      .select(
+        (col("ts_us") - pmod(col("ts_us"), lit(3600000000L)))
+          .as("window_start_us"),
+        col("event_type"))
+      .groupBy("window_start_us", "event_type")
+      .agg(count(lit(1)).as("n"))
+    val sinkName = "graft_stream_tumbling"
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory").queryName(sinkName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    s.table(sinkName).orderBy("window_start_us", "event_type")
+  }
 
   /** As-of join: each purchase event enriched with the user's latest view
     * at-or-before it (ops/AsOfJoin.scala — union + keyed window, one
@@ -583,6 +664,10 @@ object SparkEntry {
     "events_hopping" -> qEventsHopping,
     "q_asof_join" -> qAsofJoin,
     "q_centroids" -> qCentroids,
+    "events_stream_tumbling" -> qEventsStreamTumbling,
+    "q_having" -> qHaving,
+    "q_conditional_agg" -> qConditionalAgg,
+    "q_salted_agg" -> qSaltedAgg,
     "q_cube" -> qCube,
     "q_distinct_agg" -> qDistinctAgg,
     "q_topk_per_group" -> qTopKPerGroup,
@@ -737,6 +822,33 @@ object SparkEntry {
              AS window_start_us,
            event_type, COUNT(*) AS n
          FROM e GROUP BY 1, 2 ORDER BY window_start_us, event_type""",
+    "events_stream_tumbling" ->
+      """SELECT (epoch_us(ts) - (epoch_us(ts) % 3600000000))
+             AS window_start_us,
+           event_type, COUNT(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type""",
+    "q_salted_agg" ->
+      """SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_having" ->
+      """SELECT c_custkey, c_name, n_orders, total_spent FROM (
+           SELECT o_custkey, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_spent
+           FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15) t
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY c_custkey""",
+    "q_conditional_agg" ->
+      """SELECT l_returnflag,
+           CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_extendedprice
+             ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS rev_f,
+           CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_extendedprice
+             ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS rev_o,
+           COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_f,
+           COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_o
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
            epoch_us(v.ts) AS asof_view_ts_us,

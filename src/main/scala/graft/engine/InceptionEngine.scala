@@ -50,8 +50,20 @@ final case class EmbeddedChunk(
   *   - Per-doc work is bounded by `maxTextLength`, so task skew is capped;
   *     documents are hash-distributed across partitions by the scan.
   */
-class InceptionEngine(val conf: EngineConfig = EngineConfig.default)
-    extends Serializable {
+class InceptionEngine(
+    val conf: EngineConfig = EngineConfig.default,
+    val metrics: Option[Metrics] = None
+) extends Serializable {
+
+  /** O13 REQUEST_COUNT/CHUNK_COUNT hooks (metrics.py:3-32): accumulators
+    * increment inside executor tasks and aggregate on the driver, like
+    * the reference's counters aggregate across workers. None = zero
+    * overhead.
+    */
+  @inline private def countChunks(endpoint: String, n: Int): Unit =
+    metrics.foreach(_.chunkCount(endpoint).add(n.toLong))
+  private def countRequest(endpoint: String): Unit =
+    metrics.foreach(_.requestCount(endpoint).add(1L))
 
   // ---- Column-level ops (pure expressions, whole-stage codegen) ----
 
@@ -148,8 +160,11 @@ class InceptionEngine(val conf: EngineConfig = EngineConfig.default)
     val valid = withValidation(df, textCol).filter(col("error_type").isNull)
     val chunks = chunkDocuments(valid, idCol, textCol)
       .as[(Long, Int, String)]
+    countRequest("batch")
+    val chunkAcc = metrics.map(_.chunkCount("text"))
     chunks.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
+        chunkAcc.foreach(_.add(batch.size.toLong))
         val vecs = Embedder.embedBatch(batch.map(_._3))
         batch.lazyZip(vecs).map { case ((id, n, chunk), v) =>
           EmbeddedChunk(id, n, chunk.replace(Chunker.LeadText, ""), v)
@@ -189,9 +204,12 @@ class InceptionEngine(val conf: EngineConfig = EngineConfig.default)
       else base0
     val valid = withValidation(base).filter(col("error_type").isNull)
       .select("doc_id", "text").as[Document]
+    countRequest("batch")
+    val chunkAcc = metrics.map(_.chunkCount("text"))
     valid.mapPartitions { docs =>
       docs.map { d =>
         val chunks = Chunker.split(d.text, mt, ov)
+        chunkAcc.foreach(_.add(chunks.size.toLong))
         val vecs =
           chunks.grouped(batchSize).flatMap(Embedder.embedBatch).toVector
         val embs = chunks.lazyZip(vecs).zipWithIndex.map {

@@ -222,6 +222,35 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2).sameElements(Array(10.0f, 20.0f)))
   }
 
+  test("salted aggregation equals plain aggregation") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val salted = graft.ops.Skew.saltedSumCount(li, Seq("l_returnflag"),
+        col("l_quantity").cast("decimal(18,6)"), 8, "l_orderkey")
+      .orderBy("l_returnflag").collect()
+    val plain = li.groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("sum_value"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag").collect()
+    assert(salted.length == plain.length)
+    salted.zip(plain).foreach { case (s, p) =>
+      assert(s.getString(0) == p.getString(0))
+      assert(s.getDecimal(1).compareTo(p.getDecimal(1)) == 0)
+      assert(s.getLong(2) == p.getLong(2))
+    }
+  }
+
+  test("metrics accumulators count chunks and requests") {
+    import spark.implicits._
+    val m = new graft.engine.Metrics(spark.sparkContext)
+    val engine = new graft.engine.InceptionEngine(
+      graft.config.EngineConfig.default, Some(m))
+    val df = Seq((1L, "One sentence. Two sentences."), (2L, "Another."))
+      .toDF("doc_id", "text")
+    engine.embedDocuments(df).collect()
+    assert(m.snapshot("request_count.batch") == 1L)
+    assert(m.snapshot("chunk_count.text") >= 2L)
+  }
+
   test("multimodal: describeMedia + frame sampling shapes") {
     import spark.implicits._
     val df = Seq((1L, "some media bytes"), (2L, "other bytes"))
