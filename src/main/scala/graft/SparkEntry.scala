@@ -586,6 +586,19 @@ object SparkEntry {
       .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** IVF-pruned approximate top-10 (coarse quantizer + nProbe lists;
+    * recall vs brute force measured in OpsSpec → rows-only check).
+    */
+  private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+    graft.ops.Similarity
+      .ivfTopK(e, "vec_id", "embedding", q, 10,
+        nLists = 8, nProbe = 3, dim = 64)
+      .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
   /** Stopword-ratio language ID (SQL-expressible heuristic). */
   private def qLangId(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
@@ -680,6 +693,7 @@ object SparkEntry {
     "neardup_embedding" -> qNearDupEmbedding,
     "ann_bruteforce" -> qAnnBruteForce,
     "ann_lsh" -> qAnnLsh,
+    "ann_ivf" -> qAnnIvf,
     "lang_id" -> qLangId,
     "quality_score" -> qQualityScore,
     "text_profile" -> qTextProfile,

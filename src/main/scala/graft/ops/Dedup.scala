@@ -150,11 +150,15 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleWidth: Int = 3,
-      numHashes: Int = 128,
-      bands: Int = 32,
+      numHashes: Int = 64,
+      bands: Int = 16,
       threshold: Double = 0.5,
       maxBucketSize: Int = 64
   ): DataFrame = {
+    // defaults: 16 bands × 4 rows. Recall at j=0.9 (near-dup territory):
+    // 1-(1-0.9^4)^16 ≈ 1-4e-8; false-candidate rate for unrelated docs
+    // (j≈0.1) is ~16·1e-4. Doubling to 128/32 buys nothing at these
+    // margins and doubles signature + explode cost.
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // The signature table is consumed three times (banding + both sides of

@@ -98,6 +98,20 @@ class OpsSpec extends AnyFunSuite {
     assert(approx.contains(0L))
   }
 
+  test("ANN: IVF top-k recall vs brute force; self-match always found") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(e, "vec_id", "embedding", q, 10,
+      nLists = 8, nProbe = 3, dim = 64)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
+    assert(ivf.contains(0L)) // query's own vector lives in the probed list
+  }
+
   test("ANN: brute-force top-1 is the query itself with cosine 1") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") === 7)
