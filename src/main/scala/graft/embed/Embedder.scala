@@ -60,20 +60,55 @@ object Embedder {
     }
   }
 
-  /** Embed one text (already prefixed by the caller). */
-  def embed(text: String): Array[Float] = {
-    val vec = new Array[Float](Dim)
-    val tokens = SimpleTokenizer.encode(if (text == null) "" else text)
-    var prev = 0L
-    var i = 0
-    while (i < tokens.length) {
-      // strip carried whitespace so "a b" and "a  b" agree token-wise
-      val t = tokens(i).trim
-      val h = hashString(t)
-      addFeature(vec, h)
-      if (i > 0) addFeature(vec, mix64(prev) ^ h) // order-sensitive bigram
-      prev = h
+  @inline private def hashRange(s: String, from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
       i += 1
+    }
+    h
+  }
+
+  /** Embed one text (already prefixed by the caller).
+    *
+    * Single allocation-free scan: subword char ranges are hashed in place
+    * — byte-identical to hashing SimpleTokenizer.encode's whitespace-
+    * trimmed token strings (EmbedderProps asserts the equivalence), at a
+    * fraction of the cost. This is the per-row hot loop of the 100-TB
+    * embed pass, so it must not allocate per token.
+    */
+  def embed(text0: String): Array[Float] = {
+    val text = if (text0 == null) "" else text0
+    val vec = new Array[Float](Dim)
+    var prev = 0L
+    var first = true
+    @inline def feed(h: Long): Unit = {
+      addFeature(vec, h)
+      if (!first) addFeature(vec, mix64(prev) ^ h) // order-sensitive bigram
+      first = false
+      prev = h
+    }
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      while (i < n && SimpleTokenizer.isWs(text.charAt(i))) i += 1
+      if (i < n) {
+        if (SimpleTokenizer.isWordChar(text.charAt(i))) {
+          val wStart = i
+          while (i < n && SimpleTokenizer.isWordChar(text.charAt(i))) i += 1
+          var j = wStart
+          while (j < i) {
+            val k = math.min(j + SimpleTokenizer.SubwordLen, i)
+            feed(hashRange(text, j, k))
+            j = k
+          }
+        } else {
+          feed(hashRange(text, i, i + 1))
+          i += 1
+        }
+      }
     }
     l2Normalize(vec)
     vec

@@ -33,11 +33,11 @@ object SimpleTokenizer {
   val SubwordLen = 4
   val NumSpecialTokens = 2
 
-  @inline private def isWordChar(c: Char): Boolean =
+  @inline def isWordChar(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
       (c >= '0' && c <= '9') || c == '_'
 
-  @inline private def isWs(c: Char): Boolean = Character.isWhitespace(c)
+  @inline def isWs(c: Char): Boolean = Character.isWhitespace(c)
 
   /** Tokenize into pieces; concatenation of pieces == input minus trailing
     * whitespace. Each piece carries its leading whitespace.
