@@ -282,6 +282,42 @@ object SparkEntry {
       .orderBy("user_id", "session_id")
   }
 
+  /** Correlated scalar subquery shape: each order with its customer's max
+    * order price (planned as window over the customer key — the
+    * decorrelated form Spark and DuckDB both reach).
+    */
+  private def qScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+    tbl(s, dir, "orders")
+      .withColumn("cust_max_cents",
+        max(round(col("o_totalprice") * 100).cast("long")).over(w))
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+        col("cust_max_cents"))
+      .orderBy("o_orderkey")
+  }
+
+  /** UNION (distinct) vs UNION ALL semantics over key sets. */
+  private def qUnionDistinct(s: SparkSession, dir: String): DataFrame = {
+    val a = tbl(s, dir, "orders").select(col("o_custkey").as("custkey"))
+    val b = tbl(s, dir, "customer")
+      .filter(col("c_acctbal") > 0).select(col("c_custkey").as("custkey"))
+    a.union(b).distinct().orderBy("custkey")
+  }
+
+  /** O1 query-endpoint validation (utils.py:105-116 query branch):
+    * maxQueryLength=300 so `query_too_long` fires on the longer docs;
+    * includes the O3 empty-after-cleaning branch queries go through.
+    */
+  private def qValidateQuery(s: SparkSession, dir: String): DataFrame = {
+    val strict = new InceptionEngine(
+      EngineConfig.default.copy(maxQueryLength = 300))
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        strict.queryErrorType(col("text")).as("error_type"))
+      .orderBy("doc_id")
+  }
+
   /** Skew-salted aggregation over the 3-value l_returnflag key (each key
     * a hot key): two-phase (key, salt) → key merge. The oracle is the
     * PLAIN aggregate — salting must be result-invariant; sums stay exact
@@ -681,6 +717,9 @@ object SparkEntry {
     "q_having" -> qHaving,
     "q_conditional_agg" -> qConditionalAgg,
     "q_salted_agg" -> qSaltedAgg,
+    "q_scalar_subquery" -> qScalarSubquery,
+    "q_union_distinct" -> qUnionDistinct,
+    "validate_query" -> qValidateQuery,
     "q_cube" -> qCube,
     "q_distinct_agg" -> qDistinctAgg,
     "q_topk_per_group" -> qTopKPerGroup,
@@ -841,6 +880,34 @@ object SparkEntry {
              AS window_start_us,
            event_type, COUNT(*) AS n
          FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type""",
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+           (SELECT MAX(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+            FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+             AS cust_max_cents
+         FROM orders o ORDER BY o_orderkey""",
+    "q_union_distinct" ->
+      """SELECT o_custkey AS custkey FROM orders
+         UNION
+         SELECT c_custkey FROM customer WHERE c_acctbal > 0
+         ORDER BY custkey""",
+    "validate_query" ->
+      """WITH c AS (SELECT doc_id, text,
+           length(regexp_replace(text,'^\s+|\s+$','','g')) AS slen,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(text, '[^\n\t\x20-\x7E]', '', 'g'),
+             '\t', ' ', 'g'),
+             '(?m)^ +| +$', '', 'g'),
+             '\n{3,}', chr(10)||chr(10), 'g'),
+             '^[\n ]+|[\n ]+$', '', 'g') AS cleaned
+         FROM documents)
+         SELECT doc_id,
+           CASE WHEN slen < 1 THEN 'text_too_short'
+                WHEN slen > 300 THEN 'query_too_long'
+                WHEN length(cleaned) = 0 THEN 'validation_error'
+                ELSE NULL END AS error_type
+         FROM c ORDER BY doc_id""",
     "q_salted_agg" ->
       """SELECT l_returnflag,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
