@@ -143,13 +143,17 @@ object SparkEntry {
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
       .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
 
-  /** TPC-H Q3-style join + top-k (broadcast dims, tie-broken total sort). */
+  /** TPC-H Q3-style join + top-k (tie-broken total sort). customer and
+    * orders scale with SF, so neither carries a broadcast hint — AQE
+    * broadcasts at runtime when a side is genuinely small, and falls back
+    * to a shuffle join at scale (a forced hint would OOM at 100 TB).
+    */
   private def qQ3TopK(s: SparkSession, dir: String): DataFrame = {
     val c = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val o = tbl(s, dir, "orders")
     val l = tbl(s, dir, "lineitem")
-    l.join(broadcast(o), l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
         .as("revenue"))
@@ -162,15 +166,19 @@ object SparkEntry {
 
   }
 
-  /** TPC-H Q5-style multi-join rollup to nation (broadcast dims). */
+  /** TPC-H Q5-style multi-join rollup to nation. Only the fixed-size dims
+    * (nation: 25 rows, region: 5 rows — SF-invariant) carry broadcast
+    * hints; orders/customer scale with SF, so their join strategy is left
+    * to AQE (broadcast when small at runtime, shuffle join at 100 TB).
+    */
   private def qQ5Join(s: SparkSession, dir: String): DataFrame = {
     val n = tbl(s, dir, "nation")
     val r = tbl(s, dir, "region")
     val c = tbl(s, dir, "customer")
     val o = tbl(s, dir, "orders")
     val l = tbl(s, dir, "lineitem")
-    l.join(broadcast(o), l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
@@ -223,10 +231,11 @@ object SparkEntry {
       .orderBy("c_custkey")
   }
 
-  /** Set op: INTERSECT of key sets, planned as distinct + broadcast
-    * left-semi (same semantics on non-null keys; partial aggregation
-    * collapses the fact-side scan before its shuffle, and the dim side
-    * broadcasts — Spark's default INTERSECT plan sort-merges both sides).
+  /** Set op: INTERSECT of key sets, planned as distinct + left-semi (same
+    * semantics on non-null keys; partial aggregation collapses the
+    * fact-side scan before its shuffle, and both sides share the partkey
+    * partitioning, so the semi join reuses it). part scales with SF —
+    * no broadcast hint; AQE broadcasts when the filtered side is small.
     */
   private def qSetOp(s: SparkSession, dir: String): DataFrame = {
     val lk = tbl(s, dir, "lineitem")
@@ -234,7 +243,7 @@ object SparkEntry {
     val pk = tbl(s, dir, "part")
       .filter(col("p_size") > 25)
       .select(col("p_partkey").as("partkey")).distinct()
-    lk.join(broadcast(pk), Seq("partkey"), "left_semi").orderBy("partkey")
+    lk.join(pk, Seq("partkey"), "left_semi").orderBy("partkey")
   }
 
   /** events.ts arrives as LongType nanoseconds (TIMESTAMP(NANOS) parquet
@@ -334,14 +343,16 @@ object SparkEntry {
         col("sum_value").cast("double").as("sum_qty"), col("n"))
       .orderBy("l_returnflag")
 
-  /** Post-aggregation HAVING filter + join back to the dimension. */
+  /** Post-aggregation HAVING filter + join back to the dimension.
+    * customer scales with SF — no broadcast hint (AQE decides).
+    */
   private def qHaving(s: SparkSession, dir: String): DataFrame = {
     val big = tbl(s, dir, "orders")
       .groupBy("o_custkey")
       .agg(count(lit(1)).as("n_orders"),
         dsum(col("o_totalprice")).as("total_spent"))
       .filter(col("n_orders") >= 15)
-    big.join(broadcast(tbl(s, dir, "customer")),
+    big.join(tbl(s, dir, "customer"),
         big("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("n_orders"),
         col("total_spent"))
@@ -814,9 +825,10 @@ object SparkEntry {
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey,
            ROW_NUMBER() OVER w AS rn,
-           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER
              (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS running_cents
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
          ORDER BY o_custkey, o_orderkey""",
@@ -858,9 +870,10 @@ object SparkEntry {
                           THEN 1 ELSE 0 END AS new_sess
            FROM e),
          g AS (
-           SELECT *, SUM(new_sess) OVER
+           SELECT *, CAST(SUM(new_sess) OVER
              (PARTITION BY user_id ORDER BY ts_us, event_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS session_id
            FROM f)
          SELECT user_id, session_id, COUNT(*) AS n_events,
            MIN(ts_us) AS start_us, MAX(ts_us) AS end_us

@@ -26,10 +26,19 @@ object TextAnalysis {
   private def words(text: Column): Column =
     split(lower(trim(text)), "[^a-zA-Z0-9_]+")
 
-  /** Count of words belonging to `lang`'s stopword list. */
+  /** Count of words belonging to `lang`'s stopword list.
+    *
+    * Implemented as `\b(w1|w2|...)\b` occurrence counting rather than
+    * split-then-filter: Java's `\b` is defined against `\w` =
+    * `[a-zA-Z0-9_]` — exactly the word class the oracle's
+    * `regexp_split_to_array(..., '[^a-zA-Z0-9_]+')` uses — so the counts
+    * are identical, but the expression codegens to a tiny compiled-Pattern
+    * loop instead of a higher-order-function fallback (which cost seconds
+    * of Janino compile per plan and interpreted per-row eval).
+    */
   def stopwordHits(text: Column, lang: String): Column = {
-    val lits = array(stopwords(lang).map(lit): _*)
-    size(filter(words(text), w => array_contains(lits, w)))
+    val pat = "\\b(" + stopwords(lang).mkString("|") + ")\\b"
+    size(regexp_extract_all(lower(text), lit(pat), lit(0)))
   }
 
   /** Heuristic language ID: argmax of stopword hits with deterministic

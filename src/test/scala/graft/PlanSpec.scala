@@ -32,11 +32,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("l_orderkey"), "scan reads unneeded column")
   }
 
-  test("q3_topk: dims broadcast and top-k is TakeOrderedAndProject (no full sort)") {
-    val plan = planOf("q3_topk")
-    assert(plan.contains("BroadcastHashJoin"))
+  /** Scale-correct join shape: no broadcast HINT may be forced onto an
+    * SF-scaling table (orders/customer/part/lineitem). With the
+    * auto-broadcast threshold disabled, only hinted joins still plan as
+    * BroadcastHashJoin — so q3 (no dims) must fall back entirely to
+    * shuffle joins, while q5 keeps exactly its nation/region broadcasts.
+    */
+  private def planNoAutoBroadcast(name: String): String = {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try planOf(name)
+    finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("q3_topk: no forced broadcast of fact tables; top-k is TakeOrderedAndProject") {
+    val plan = planNoAutoBroadcast("q3_topk")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "a broadcast hint is forced onto an SF-scaling table")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
     assert(plan.contains("TakeOrderedAndProject"))
-    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q5_join: fixed-size dims broadcast, fact joins shuffle") {
+    val plan = planNoAutoBroadcast("q5_join")
+    // nation/region are SF-invariant → their hints survive
+    assert(plan.contains("BroadcastHashJoin"))
+    // lineitem⋈orders⋈customer must be shuffle joins, not hinted broadcasts
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
   }
 
   test("flagship embed pipeline plans zero exchanges") {

@@ -67,6 +67,12 @@ def main(sf_dir, out_dir):
             cur = con.execute(oracle[name])
             ocols = [c[0] for c in cur.description]
             orows = cur.fetchall()
+            # The DRIVER reads the oracle via Arrow, where e.g. DuckDB
+            # SUM(BIGINT) surfaces as decimal128(38,0) and hash-mismatches
+            # Spark's int64 even when every value is equal (round-1
+            # q_window_running/events_sessions failure). fetchall() masks
+            # that, so ALSO compare Arrow type classes.
+            otab = con.execute(oracle[name]).arrow()
         except Exception as e:
             results[name] = {"check": "oracle_error", "ok": False,
                              "error": str(e)[:300]}
@@ -74,10 +80,36 @@ def main(sf_dir, out_dir):
         schema_ok = sorted(scols) == sorted(ocols)
         rows_ok = len(srows) == len(orows)
         hash_ok = schema_ok and table_hash(scols, srows) == table_hash(ocols, orows)
+
+        def tclass(t):
+            import pyarrow.types as pt
+            if pt.is_integer(t):
+                return "int"
+            if pt.is_floating(t):
+                return "float"
+            if pt.is_decimal(t):
+                return "decimal"
+            if pt.is_string(t) or pt.is_large_string(t):
+                return "str"
+            if pt.is_timestamp(t):
+                return "ts"
+            return str(t)
+
+        type_mismatch = []
+        if schema_ok:
+            stypes = {c: tclass(tab.schema.field(c).type) for c in scols}
+            otypes = {c: tclass(otab.schema.field(c).type) for c in ocols}
+            type_mismatch = [
+                {"col": c, "spark": stypes[c], "oracle": otypes[c]}
+                for c in scols if stypes[c] != otypes[c]
+            ]
         results[name] = {"check": "oracle", "rows": len(srows),
                          "oracle_rows": len(orows), "schema_ok": schema_ok,
                          "rows_ok": rows_ok, "hash_ok": hash_ok,
-                         "ok": schema_ok and rows_ok and hash_ok}
+                         "ok": (schema_ok and rows_ok and hash_ok
+                                and not type_mismatch)}
+        if type_mismatch:
+            results[name]["arrow_type_mismatch"] = type_mismatch
         if not results[name]["ok"]:
             # dump first differing line for debugging
             order_s = sorted(range(len(scols)), key=lambda i: scols[i])
