@@ -26,6 +26,27 @@ object SparkEntry {
 
   private val engine = new InceptionEngine(EngineConfig.default)
 
+  /** Session-scoped metrics-wired engine (O13): one Metrics per live
+    * SparkSession so accumulators register against the right context.
+    * Endpoint-shaped queries run through this engine, so REQUEST_COUNT /
+    * CHUNK_COUNT / ERROR_COUNT / PROCESSING_TIME accumulate during the
+    * verify and bench runs exactly as the reference's Prometheus counters
+    * accumulate in serving.
+    */
+  private val enginesWithMetrics =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, InceptionEngine]()
+  private def engineFor(s: SparkSession): InceptionEngine =
+    enginesWithMetrics.computeIfAbsent(
+      s,
+      k => new InceptionEngine(
+        EngineConfig.default, Some(new graft.engine.Metrics(k.sparkContext))))
+
+  /** Metrics snapshot for the session's endpoint engine (monitoring.py
+    * surface; asserted in EngineSpec). */
+  def metricsSnapshot(s: SparkSession): Map[String, Long] =
+    Option(enginesWithMetrics.get(s))
+      .flatMap(_.metrics).map(_.snapshot).getOrElse(Map.empty)
+
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -54,19 +75,37 @@ object SparkEntry {
 
   /** O3 /api/v1/validate/text (routes/embedding.py:129-150). */
   private def qValidateText(s: SparkSession, dir: String): DataFrame =
-    engine
+    engineFor(s)
       .validateText(tbl(s, dir, "documents"))
       .select(col("doc_id"), col("processed_text"), col("is_valid"), col("error"))
       .orderBy("doc_id")
 
   /** O1 validate_text_length (utils.py:84-116) with maxTextLength=300 so
-    * both branches fire on the synthetic docs (n_chars 1..~1000).
+    * both branches fire on the synthetic docs (n_chars 1..~1000). Emits
+    * both the error label and the per-document message (the "Document N:"
+    * prefix on the too-short branch, utils.py:97-103).
     */
   private def qValidateLength(s: SparkSession, dir: String): DataFrame = {
     val strict = new InceptionEngine(
       EngineConfig.default.copy(maxTextLength = 300))
-    tbl(s, dir, "documents")
-      .select(col("doc_id"), strict.textErrorType(col("text")).as("error_type"))
+    strict.withValidation(tbl(s, dir, "documents"))
+      .select(col("doc_id"), col("error_type"), col("error"))
+      .orderBy("doc_id")
+  }
+
+  /** decode_error path (routes/embedding.py:74-76 → utils.py:124-131):
+    * documents re-encoded as UTF-8 bytes, with a planted invalid byte
+    * sequence on every 7th doc — the engine decodes/validates the binary
+    * column; truth is known by construction for the oracle.
+    */
+  private def qDecodeUtf8(s: SparkSession, dir: String): DataFrame = {
+    val withBin = tbl(s, dir, "documents").select(
+      col("doc_id"),
+      when(col("doc_id") % 7 === 0, unhex(lit("FFFEFD")))
+        .otherwise(encode(col("text"), "UTF-8")).as("raw"))
+    engineFor(s).decodeUtf8(withBin, "raw")
+      .select(col("doc_id"), col("text").as("decoded"),
+        col("error_type"), col("error"))
       .orderBy("doc_id")
   }
 
@@ -94,7 +133,7 @@ object SparkEntry {
 
   /** O8+O10 embeddings, long format; first 4 components for stability. */
   private def qDocEmbeddings(s: SparkSession, dir: String): DataFrame =
-    engine
+    engineFor(s)
       .embedDocumentsExploded(tbl(s, dir, "documents"))
       .toDF()
       .select(
@@ -705,6 +744,7 @@ object SparkEntry {
     "clean_text" -> qCleanText,
     "validate_text" -> qValidateText,
     "validate_length" -> qValidateLength,
+    "decode_utf8" -> qDecodeUtf8,
     "sentence_stats" -> qSentenceStats,
     "sentence_chunks" -> qSentenceChunks,
     "chunk_counts" -> qChunkCounts,
@@ -781,12 +821,26 @@ object SparkEntry {
                 ELSE 'Text is empty after cleaning.' END AS error
          FROM c ORDER BY doc_id""",
     "validate_length" ->
+      """WITH c AS (SELECT doc_id,
+           length(regexp_replace(text,'^\s+|\s+$','','g')) AS slen
+         FROM documents)
+         SELECT doc_id,
+           CASE WHEN slen < 1 THEN 'text_too_short'
+                WHEN slen > 300 THEN 'text_too_long'
+                ELSE NULL END AS error_type,
+           CASE WHEN slen < 1 THEN 'Document ' || doc_id ||
+                  ': Text length (' || slen || ') below minimum (1)'
+                WHEN slen > 300 THEN 'Text length (' || slen ||
+                  ') exceeds maximum (300)'
+                ELSE NULL END AS error
+         FROM c ORDER BY doc_id""",
+    "decode_utf8" ->
       """SELECT doc_id,
-           CASE WHEN length(regexp_replace(text,'^\s+|\s+$','','g')) < 1
-                  THEN 'text_too_short'
-                WHEN length(regexp_replace(text,'^\s+|\s+$','','g')) > 300
-                  THEN 'text_too_long'
-                ELSE NULL END AS error_type
+           CASE WHEN doc_id % 7 = 0 THEN NULL ELSE text END AS decoded,
+           CASE WHEN doc_id % 7 = 0 THEN 'decode_error'
+                ELSE NULL END AS error_type,
+           CASE WHEN doc_id % 7 = 0 THEN 'Invalid UTF-8 encoding in text'
+                ELSE NULL END AS error
          FROM documents ORDER BY doc_id""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

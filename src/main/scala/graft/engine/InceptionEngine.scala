@@ -65,6 +65,29 @@ class InceptionEngine(
   private def countRequest(endpoint: String): Unit =
     metrics.foreach(_.requestCount(endpoint).add(1L))
 
+  /** O13 ERROR_COUNT (utils.py:96, 112, 126, 135, 144, 152): wraps an
+    * `error_type` expression so every non-null label increments the
+    * matching accumulator as the row is evaluated on the executor.
+    * Accumulators for the whole sealed taxonomy are captured up front
+    * (the SparkContext itself is not serializable); with no Metrics the
+    * expression passes through untouched — zero overhead on the hot path.
+    */
+  private def countedErrors(endpoint: String, errorType: Column): Column =
+    metrics match {
+      case Some(m) =>
+        val accs = Seq(Validation.TextTooShort, Validation.TextTooLong,
+          Validation.QueryTooLong, Validation.ValidationError,
+          Validation.DecodeError, Validation.GpuError,
+          Validation.ProcessingError)
+          .map(e => e.label -> m.errorCount(endpoint, e.label)).toMap
+        val f = udf { label: String =>
+          if (label != null) accs.get(label).foreach(_.add(1L))
+          label
+        }.asNondeterministic() // side effect: never elide or re-evaluate
+        f(errorType)
+      case None => errorType
+    }
+
   // ---- Column-level ops (pure expressions, whole-stage codegen) ----
 
   /** O2 (utils.py:38-70). */
@@ -105,6 +128,7 @@ class InceptionEngine(
     * adds `processed_text`, `is_valid`, `error`.
     */
   def validateText(df: DataFrame, textCol: String = "text"): DataFrame = {
+    countRequest("validate")
     val cleaned = cleanText(col(textCol))
     df.withColumn("processed_text", cleaned)
       .withColumn("is_valid", TextCleaner.isNonEmptyAfterCleaning(col("processed_text")))
@@ -115,13 +139,47 @@ class InceptionEngine(
       )
   }
 
-  /** O1 as row routing: adds `error_type` (null = valid). Callers split on
-    * it; [[embedDocuments]] drops invalid rows (the reference fails the
-    * whole batch on the first bad doc, routes/embedding.py:113-115 — a
-    * DataFrame engine routes instead, SURVEY.md §2.1 O1).
+  /** O1 as row routing: adds `error_type` (null = valid) and, when the
+    * frame carries `idCol`, a per-document `error` message in the
+    * reference's exact format ("Document {id}: Text length (…) below
+    * minimum (…)", utils.py:97-116) so a batch user can find the bad row.
+    * Callers split on `error_type`; [[embedDocuments]] drops invalid rows
+    * (the reference fails the whole batch on the first bad doc,
+    * routes/embedding.py:113-115 — a DataFrame engine routes instead,
+    * SURVEY.md §2.1 O1). Each invalid row increments ERROR_COUNT.
     */
-  def withValidation(df: DataFrame, textCol: String = "text"): DataFrame =
-    df.withColumn("error_type", textErrorType(col(textCol)))
+  def withValidation(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val base = df.withColumn("error_type",
+      countedErrors("batch", textErrorType(col(textCol))))
+    if (df.columns.contains(idCol))
+      base.withColumn("error",
+        Validation.textErrorMessage(col(idCol), col(textCol), conf))
+    else base
+  }
+
+  /** Binary→string decode with UTF-8 validation — the reference's
+    * `raw_text.decode("utf-8")` → UnicodeDecodeError → 422 "Invalid UTF-8
+    * encoding in text" path (routes/embedding.py:74-76, utils.py:124-131).
+    * Adds `text` (decoded, null when invalid), `error_type`
+    * (`decode_error`), and `error`. Pure expressions: a binary→string cast
+    * wraps the raw bytes unvalidated, and `is_valid_utf8` checks them —
+    * no UDF, fully codegen'd.
+    */
+  def decodeUtf8(df: DataFrame, binCol: String): DataFrame = {
+    val s = col(binCol).cast("string")
+    val bad = !is_valid_utf8(s)
+    df.withColumn("text", when(!bad, s))
+      .withColumn("error_type",
+        countedErrors("text",
+          when(bad, Validation.DecodeError.label).otherwise(lit(null: String))))
+      .withColumn("error",
+        when(bad, lit("Invalid UTF-8 encoding in text"))
+          .otherwise(lit(null: String)))
+  }
 
   /** O4+O6: exploded chunk table `(doc_id, chunk_number, chunk)`, chunk
     * lead-prefixed, chunk_number 1-based in document order
@@ -162,10 +220,13 @@ class InceptionEngine(
       .as[(Long, Int, String)]
     countRequest("batch")
     val chunkAcc = metrics.map(_.chunkCount("text"))
+    val timeAcc = metrics.map(_.processingTimeMs("batch"))
     chunks.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         chunkAcc.foreach(_.add(batch.size.toLong))
+        val t0 = System.nanoTime()
         val vecs = Embedder.embedBatch(batch.map(_._3))
+        timeAcc.foreach(_.add((System.nanoTime() - t0) / 1000000L))
         batch.lazyZip(vecs).map { case ((id, n, chunk), v) =>
           EmbeddedChunk(id, n, chunk.replace(Chunker.LeadText, ""), v)
         }
@@ -206,12 +267,15 @@ class InceptionEngine(
       .select("doc_id", "text").as[Document]
     countRequest("batch")
     val chunkAcc = metrics.map(_.chunkCount("text"))
+    val timeAcc = metrics.map(_.processingTimeMs("batch"))
     valid.mapPartitions { docs =>
       docs.map { d =>
+        val t0 = System.nanoTime()
         val chunks = Chunker.split(d.text, mt, ov)
         chunkAcc.foreach(_.add(chunks.size.toLong))
         val vecs =
           chunks.grouped(batchSize).flatMap(Embedder.embedBatch).toVector
+        timeAcc.foreach(_.add((System.nanoTime() - t0) / 1000000L))
         val embs = chunks.lazyZip(vecs).zipWithIndex.map {
           case ((chunk, v), idx) =>
             ChunkEmbedding(idx + 1, chunk.replace(Chunker.LeadText, ""), v)
@@ -225,11 +289,28 @@ class InceptionEngine(
     * cap) → clean → "search_query: " prefix → embed. Scalar path.
     */
   def embedQuery(text: String): Array[Float] = {
-    Validation.validateQueryLength(text, conf)
-    val processed = TextCleaner.cleanString(text)
-    if (processed.isEmpty)
-      throw new IllegalArgumentException("Text is empty after cleaning.")
-    Embedder.embedQuery(processed)
+    countRequest("query")
+    val t0 = System.nanoTime()
+    try {
+      Validation.validateQueryLength(text, conf, metrics)
+      val processed = TextCleaner.cleanString(text)
+      if (processed.isEmpty)
+        throw new IllegalArgumentException("Text is empty after cleaning.")
+      val out = Embedder.embedQuery(processed)
+      // PROCESSING_TIME observed on the success path only
+      // (routes/embedding.py:60-63)
+      metrics.foreach(
+        _.processingTimeMs("query").add((System.nanoTime() - t0) / 1000000L))
+      out
+    } catch {
+      case e: IllegalArgumentException =>
+        // handle_exception's ValueError branch also counts the same error
+        // as validation_error (utils.py:133-140) — the reference double-
+        // counts length failures; mirrored deliberately.
+        metrics.foreach(_.errorCount("query",
+          Validation.ValidationError.label).add(1L))
+        throw e
+    }
   }
 
   /** `GET /health` (routes/monitoring.py:16-28). */

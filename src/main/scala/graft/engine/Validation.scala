@@ -57,16 +57,45 @@ object Validation {
       .otherwise(lit(null: String))
   }
 
-  /** Plain-Scala validation for the scalar query path; throws like the
-    * reference (utils.py:95-116).
+  /** Per-document error MESSAGE for the text/batch endpoints, mirroring
+    * the reference's formats exactly — including its asymmetry: the
+    * too-short branch carries the "Document {id}: " prefix
+    * (utils.py:97-103), the too-long branch does not (utils.py:112-116).
+    * Null when valid.
     */
-  def validateQueryLength(text: String, conf: EngineConfig): Unit = {
+  def textErrorMessage(id: Column, text: Column, conf: EngineConfig): Column = {
+    val len = TextCleaner.strippedLength(text)
+    when(len < conf.minTextLength,
+      concat(lit("Document "), id.cast("string"),
+        lit(": Text length ("), len.cast("string"),
+        lit(s") below minimum (${conf.minTextLength})")))
+      .when(len > conf.maxTextLength,
+        concat(lit("Text length ("), len.cast("string"),
+          lit(s") exceeds maximum (${conf.maxTextLength})")))
+      .otherwise(lit(null: String))
+  }
+
+  /** Plain-Scala validation for the scalar query path; throws like the
+    * reference (utils.py:95-116) and, when `metrics` is given, increments
+    * ERROR_COUNT on each branch exactly where the reference does
+    * (utils.py:96, utils.py:112).
+    */
+  def validateQueryLength(
+      text: String,
+      conf: EngineConfig,
+      metrics: Option[Metrics] = None,
+      endpoint: String = "query"
+  ): Unit = {
     val len = text.replaceAll("^\\s+|\\s+$", "").length
-    if (len < conf.minTextLength)
+    if (len < conf.minTextLength) {
+      metrics.foreach(_.errorCount(endpoint, TextTooShort.label).add(1L))
       throw new IllegalArgumentException(
         s"Text length ($len) below minimum (${conf.minTextLength})")
-    if (len > conf.maxQueryLength)
+    }
+    if (len > conf.maxQueryLength) {
+      metrics.foreach(_.errorCount(endpoint, QueryTooLong.label).add(1L))
       throw new IllegalArgumentException(
         s"Query length ($len) exceeds maximum (${conf.maxQueryLength})")
+    }
   }
 }

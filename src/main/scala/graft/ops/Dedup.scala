@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * shape — per-row signature (narrow map) → explode to banding buckets →
   * ONE shuffle on bucket key → in-bucket candidate pairs → cheap verify.
   * Nothing is ever all-pairs; cost is O(n · bands) + bucket-local joins.
-  * Skewed buckets (boilerplate text) are capped at `maxBucketSize` with
-  * the overflow counted, not silently dropped.
+  * Skewed buckets (boilerplate text) are capped at `maxBucketSize` by id
+  * order before pair generation: work per bucket is bounded, and a doc cut
+  * from one hot bucket still pairs through its other bands.
   *
   * All signatures are deterministic (seeded splitmix64), so results are
   * reproducible across runs and cluster layouts.
@@ -269,30 +270,66 @@ object Dedup {
       .drop("sh_a", "sh_b")
   }
 
-  /** Embedding cosine near-dup over a vector table: random-hyperplane LSH
-    * (sign-bit bucketing) then exact cosine verify within buckets.
-    * `numPlanes` sign bits → one bucket per vector; near-identical vectors
-    * collide with high probability. Scale: one shuffle on bucket.
+  /** Embedding cosine near-dup over a vector table: BANDED random-
+    * hyperplane LSH (OR-amplification across `bands` independent tables of
+    * `bitsPerBand` sign bits each) then exact cosine verify on candidate
+    * pairs. A single sign-bit table has recall p^bits with
+    * p = 1 - angle/π — e.g. ~18% at cosine 0.95 with 16 bits; banding
+    * amplifies that to 1-(1-p^bits)^bands ≈ 0.96 at the defaults, while
+    * the verify filter keeps precision exact.
+    *
+    * Same scale shape as [[minHashPairs]]: only (doc_id, band, bucket)
+    * crosses the explode and the one bucket shuffle; buckets are capped at
+    * `maxBucketSize` before pair generation (bounded work on hot buckets —
+    * docs beyond the cap still pair through their other bands); vectors
+    * are joined back only for the surviving candidate pairs.
     */
   def embeddingNearDup(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double = 0.95,
-      numPlanes: Int = 16,
-      dim: Int = 768
+      bands: Int = 16,
+      bitsPerBand: Int = 16,
+      dim: Int = 768,
+      maxBucketSize: Int = 256
   ): DataFrame = {
-    val planes = hyperplanes(numPlanes, dim)
-    val bucketU = udf((v: Array[Float]) => hyperplaneBucket(v, planes))
+    val planes = hyperplanes(bands * bitsPerBand, dim)
+    val nb = bands
+    val bpb = bitsPerBand
+    // one pass over all planes per vector, packing per-band sign buckets
+    val bandBucketsU = udf { v: Array[Float] =>
+      val out = new Array[Int](nb)
+      var p = 0
+      while (p < nb * bpb) {
+        var dot = 0.0
+        val pl = planes(p)
+        val n = math.min(v.length, pl.length)
+        var i = 0
+        while (i < n) { dot += v(i).toDouble * pl(i); i += 1 }
+        if (dot >= 0) out(p / bpb) |= (1 << (p % bpb))
+        p += 1
+      }
+      out
+    }
     graft.functions.CosineSimilarity.register(df.sparkSession)
-    val withB = df.select(col(idCol).cast("long").as("doc_id"),
-      col(vecCol).as("v")).withColumn("bucket", bucketU(col("v")))
-    val a = withB.select(col("bucket"), col("doc_id").as("doc_a"),
-      col("v").as("v_a"))
-    val b = withB.select(col("bucket"), col("doc_id").as("doc_b"),
-      col("v").as("v_b"))
-    a.join(b, "bucket")
-      .filter(col("doc_a") < col("doc_b"))
+    val vecs = df.select(col(idCol).cast("long").as("doc_id"),
+      col(vecCol).as("v"))
+    val banded = vecs.select(col("doc_id"),
+      posexplode(bandBucketsU(col("v"))).as(Seq("band", "bucket")))
+    val candidates = banded
+      .groupBy("band", "bucket")
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, maxBucketSize)
+        .as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(bucketPairsUdf(col("ids"))).as("p"))
+      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
+      .distinct() // collapse up-to-`bands` copies BEFORE the vector join
+    candidates
+      .join(vecs.select(col("doc_id").as("doc_a"), col("v").as("v_a")),
+        Seq("doc_a"))
+      .join(vecs.select(col("doc_id").as("doc_b"), col("v").as("v_b")),
+        Seq("doc_b"))
       .withColumn("cosine",
         graft.functions.CosineSimilarity.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)

@@ -129,27 +129,22 @@ object Similarity {
       .limit(k)
   }
 
-  /** Mean vector per list (one distributed pass, collected — centroid
-    * count is tiny by construction).
+  /** Mean vector per list, computed DISTRIBUTED via the Centroid
+    * aggregator (partial element-wise sums map-side; shuffle volume is
+    * O(partitions × nLists × dim)). Only the nLists finished centroid
+    * vectors ever reach the driver — never the corpus.
     */
   private def refineCentroids(
       assigned: DataFrame, dim: Int): Array[(Int, Array[Float])] = {
     import org.apache.spark.sql.Row
+    val centroidU = udaf(
+      new graft.functions.VectorAggregates.Centroid(dim),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
     assigned.groupBy("list_id")
-      .agg(collect_list(col("v")).as("vs"))
+      .agg(centroidU(col("v")).as("c"))
       .collect()
-      .map { case Row(list: Int, vs: scala.collection.Seq[_]) =>
-        val sums = new Array[Double](dim)
-        vs.foreach { v =>
-          val arr = v.asInstanceOf[scala.collection.Seq[Float]]
-          var i = 0
-          val n = math.min(dim, arr.length)
-          while (i < n) { sums(i) += arr(i); i += 1 }
-        }
-        val c = new Array[Float](dim)
-        var i = 0
-        while (i < dim) { c(i) = (sums(i) / math.max(1, vs.size)).toFloat; i += 1 }
-        (list, c)
+      .map { case Row(list: Int, c: scala.collection.Seq[_]) =>
+        (list, c.asInstanceOf[scala.collection.Seq[Float]].toArray)
       }
   }
 

@@ -109,6 +109,59 @@ class EngineSpec extends AnyFunSuite {
     assert(h.contains("gpu_available"))
   }
 
+  test("metrics: failing docs increment ERROR_COUNT; kernel time and requests recorded") {
+    val m = new graft.engine.Metrics(spark.sparkContext)
+    val me = new InceptionEngine(EngineConfig.default, Some(m))
+    val df = docsDf(1L -> "", 2L -> ("valid document text. " * 20))
+    val out = me.embedDocuments(df).collect()
+    assert(out.length == 1) // invalid row routed out
+    // scalar query path: success records time, failure counts errors
+    me.embedQuery("a perfectly reasonable query")
+    intercept[IllegalArgumentException] { me.embedQuery("") }
+    val snap = m.snapshot
+    assert(snap.getOrElse("error_count.batch.text_too_short", 0L) >= 1L,
+      s"batch too-short not counted in $snap")
+    assert(snap.getOrElse("error_count.query.text_too_short", 0L) >= 1L)
+    // reference double-counts ValueError as validation_error (utils.py:133)
+    assert(snap.getOrElse("error_count.query.validation_error", 0L) >= 1L)
+    assert(snap.getOrElse("request_count.batch", 0L) >= 1L)
+    assert(snap.getOrElse("request_count.query", 0L) >= 2L)
+    assert(snap.getOrElse("processing_time_ms.batch", -1L) >= 0L,
+      "batch kernel time accumulator missing")
+    assert(snap.contains("processing_time_ms.query"))
+  }
+
+  test("decodeUtf8: invalid bytes -> decode_error with reference message; valid bytes round-trip") {
+    import spark.implicits._
+    val m = new graft.engine.Metrics(spark.sparkContext)
+    val me = new InceptionEngine(EngineConfig.default, Some(m))
+    val df = Seq(
+      (1L, "plain ascii".getBytes("UTF-8")),
+      (2L, "unicode … ✓ text".getBytes("UTF-8")),
+      (3L, Array(0xFF.toByte, 0xFE.toByte, 0xFD.toByte))
+    ).toDF("doc_id", "raw")
+    val out = me.decodeUtf8(df, "raw")
+      .select("doc_id", "text", "error_type", "error")
+      .collect().sortBy(_.getLong(0))
+    assert(out(0).getString(1) == "plain ascii" && out(0).isNullAt(2))
+    assert(out(1).getString(1) == "unicode … ✓ text" && out(1).isNullAt(2))
+    assert(out(2).isNullAt(1))
+    assert(out(2).getString(2) == "decode_error")
+    assert(out(2).getString(3) == "Invalid UTF-8 encoding in text")
+    assert(m.snapshot.getOrElse("error_count.text.decode_error", 0L) == 1L)
+  }
+
+  test("withValidation: per-doc error message carries the doc id on the too-short branch") {
+    val strict = new InceptionEngine(EngineConfig.default.copy(maxTextLength = 10))
+    val out = strict.withValidation(docsDf(
+        7L -> "", 8L -> "this text is certainly longer than ten chars", 9L -> "ok"))
+      .select("doc_id", "error_type", "error").collect().sortBy(_.getLong(0))
+    assert(out(0).getString(2) == "Document 7: Text length (0) below minimum (1)")
+    // reference asymmetry: no doc prefix on the too-long branch (utils.py:112-116)
+    assert(out(1).getString(2) == "Text length (44) exceeds maximum (10)")
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2))
+  }
+
   test("chunkDocuments numbering is 1-based and dense per doc") {
     val small = new InceptionEngine(EngineConfig.default.copy(maxTokens = 64))
     val df = docsDf(3L -> ("Sentence here. " * 120).trim)

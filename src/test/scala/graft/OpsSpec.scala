@@ -68,6 +68,54 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("banded embedding LSH: high recall on NON-identical pairs at cosine ~0.97") {
+    import spark.implicits._
+    val dim = 32
+    val rnd = new scala.util.Random(42)
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // 60 base vectors, each with a PERTURBED partner at cosine ~0.97
+    // (round 1's single-table LSH only passed because its planted pairs
+    // were exact copies — cosine 1.0 collides in every table)
+    val alpha = 0.97
+    val rows = (0 until 60).flatMap { i =>
+      val u = unit()
+      val w = unit()
+      // component of w orthogonal to u, re-normalized
+      val proj = cos(u, w)
+      val perp0 = w.zip(u).map { case (wi, ui) => wi - (proj * ui).toFloat }
+      val pn = math.sqrt(perp0.map(x => x.toDouble * x).sum)
+      val perp = perp0.map(x => (x / pn).toFloat)
+      val v = u.zip(perp).map { case (ui, pi) =>
+        (alpha * ui + math.sqrt(1 - alpha * alpha) * pi).toFloat }
+      Seq((i.toLong, u), (i.toLong + 1000L, v))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    // ground truth by exact all-pairs cosine
+    val truth = (for {
+      a <- rows; b <- rows if a._1 < b._1
+      if cos(a._2, b._2) >= 0.95
+    } yield (a._1, b._1)).toSet
+    assert(truth.size >= 60, "every planted pair must be in the truth set")
+    val found = Dedup.embeddingNearDup(df, "vec_id", "embedding",
+        threshold = 0.95, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.subsetOf(truth), "exact verify must keep precision 1.0")
+    val recall = found.size.toDouble / truth.size
+    assert(recall >= 0.9, s"recall $recall below 0.9 (${found.size}/${truth.size})")
+  }
+
   test("exact jaccard math") {
     val a = Dedup.shingles(base, 3)
     assert(Dedup.jaccard(a, a) == 1.0)
