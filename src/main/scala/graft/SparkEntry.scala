@@ -480,40 +480,65 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
       .orderBy("window_start_us", "event_type")
 
+  /** One reusable FileStreamSource directory per testdata dir (the source
+    * requires a directory; the table is a single file — symlinked once,
+    * not per invocation).
+    */
+  private val streamDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private def eventsStreamDir(dir: String): java.nio.file.Path =
+    streamDirCache.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files.createTempDirectory("graft_stream_events")
+      java.nio.file.Files.createSymbolicLink(
+        p.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+      p
+    })
+
   /** Event-time tumbling counts computed BY A REAL STREAMING QUERY:
-    * file-stream source over the same parquet, Trigger.AvailableNow,
-    * complete-mode in-memory sink — then returned as a batch DataFrame.
+    * file-stream source over the same parquet, event-time watermark (1h —
+    * bounds window state at scale), Trigger.AvailableNow, UPDATE-mode
+    * foreachBatch upsert. Each micro-batch delivers only the groups whose
+    * counts changed — the standard keyed-store sink shape — unlike
+    * complete mode, which re-materializes the entire aggregate on the
+    * driver every trigger. The driver-side map here stands in for the
+    * external keyed store a cluster deployment would upsert into.
     * Hash-matches the same DuckDB SQL as the batch twin, proving the
     * streaming plan computes identical results (SURVEY.md §2.3
     * "streaming" — identical logical plan under Structured Streaming).
     */
   private def qEventsStreamTumbling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val schema = tbl(s, dir, "events").schema
-    // FileStreamSource requires a directory; the testdata table is a
-    // single file — expose it through a temp dir symlink
-    val streamDir = java.nio.file.Files
-      .createTempDirectory("graft_stream_events")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
     val stream = s.readStream.schema(schema)
-      .parquet(streamDir.toString)
+      .parquet(eventsStreamDir(dir).toString)
       .withColumn("ts_us", eventTsUs)
-      .select(
-        (col("ts_us") - pmod(col("ts_us"), lit(3600000000L)))
-          .as("window_start_us"),
-        col("event_type"))
-      .groupBy("window_start_us", "event_type")
+      .withColumn("ts_event", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_event", "1 hour")
+      .groupBy(window(col("ts_event"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-    val sinkName = "graft_stream_tumbling"
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"))
+    val state =
+      new java.util.concurrent.ConcurrentHashMap[(Long, String), Long]()
     val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory").queryName(sinkName)
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // upsert the changed groups only (update-mode delta)
+        batch.collect().foreach { r =>
+          state.put((r.getLong(0), r.getString(1)), r.getLong(2))
+        }
+        ()
+      }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination()
     finally q.stop()
-    s.table(sinkName).orderBy("window_start_us", "event_type")
+    import scala.jdk.CollectionConverters._
+    state.asScala.toSeq
+      .map { case ((w, e), n) => (w, e, n) }
+      .toDF("window_start_us", "event_type", "n")
+      .orderBy("window_start_us", "event_type")
   }
 
   /** As-of join: each purchase event enriched with the user's latest view
@@ -704,7 +729,16 @@ object SparkEntry {
     tbl(s, dir, "documents")
       .select(col("doc_id"),
         graft.ops.TextAnalysis.tokenCountBpeish(col("text"))
-          .as("n_tokens_bpeish"),
+          .as("n_tokens_bpeish"))
+      .orderBy("doc_id")
+
+  /** Winnowing fingerprint surface (Schleimer et al. rolling-hash kernel —
+    * not SQL-expressible, so rows-only; invariants are spec-covered in
+    * OpsSpec).
+    */
+  private def qFingerprintStats(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
         size(graft.ops.TextAnalysis.fingerprintUdf(col("text")))
           .as("n_fingerprint"))
       .orderBy("doc_id")
@@ -787,6 +821,7 @@ object SparkEntry {
     "lang_id" -> qLangId,
     "quality_score" -> qQualityScore,
     "text_profile" -> qTextProfile,
+    "fingerprint_stats" -> qFingerprintStats,
     "multimodal_images" -> qMultimodalImages,
     "multimodal_frames" -> qMultimodalFrames
   )
@@ -1144,6 +1179,17 @@ object SparkEntry {
                     ELSE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
                       AS DOUBLE) / CAST(length(text) AS DOUBLE) END) / 3.0,
              6) AS quality
+         FROM documents ORDER BY doc_id""",
+    // BPE-ish cost model (SimpleTokenizer): ceil(len/4) per [A-Za-z0-9_]+
+    // run, +1 per non-word non-whitespace char; whitespace free
+    "text_profile" ->
+      """SELECT doc_id,
+           CAST(coalesce(list_sum(list_transform(
+               regexp_extract_all(text, '[A-Za-z0-9_]+'),
+               r -> CAST(ceil(length(r) / 4.0) AS BIGINT))), 0)
+             + length(regexp_replace(text, '[A-Za-z0-9_ \t\n\r\f\x0B]',
+                 '', 'g'))
+             AS INTEGER) AS n_tokens_bpeish
          FROM documents ORDER BY doc_id"""
   )
 }
