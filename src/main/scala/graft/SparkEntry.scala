@@ -697,6 +697,35 @@ object SparkEntry {
       .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** One LSH-bucketed parquet layout per testdata dir (written once,
+    * probed by every invocation — mirrors a persisted 100 TB index).
+    */
+  private val lshIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Partition-pruned ANN probe over the PERSISTED LSH layout
+    * (Similarity.writeLshIndex / lshTopKIndexed): the hamming predicate
+    * binds to the bucket partition column, so the scan reads only the
+    * probed directories — the true at-scale path, vs ann_lsh's
+    * filter-over-full-scan. Pruning is asserted mechanically in OpsSpec.
+    */
+  private def qAnnLshIndexed(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+    val idx = lshIndexCache.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_lsh_index").toString
+      graft.ops.Similarity.writeLshIndex(
+        tbl(s, d, "embeddings"), "vec_id", "embedding", p,
+        numPlanes = 8, dim = 64)
+      p
+    })
+    val q = e.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+    graft.ops.Similarity
+      .lshTopKIndexed(s, idx, q, 10, numPlanes = 8, probeHamming = 3)
+      .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
   /** IVF-pruned approximate top-10 (coarse quantizer + nProbe lists;
     * recall vs brute force measured in OpsSpec → rows-only check).
     */
@@ -817,6 +846,7 @@ object SparkEntry {
     "neardup_embedding" -> qNearDupEmbedding,
     "ann_bruteforce" -> qAnnBruteForce,
     "ann_lsh" -> qAnnLsh,
+    "ann_lsh_indexed" -> qAnnLshIndexed,
     "ann_ivf" -> qAnnIvf,
     "lang_id" -> qLangId,
     "quality_score" -> qQualityScore,

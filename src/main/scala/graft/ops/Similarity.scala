@@ -86,6 +86,54 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist the corpus in LSH-bucketed LAYOUT: parquet partitioned by the
+    * hyperplane bucket. One narrow pass + write. This is the 100 TB path
+    * [[lshTopK]]'s doc promises: after this, a probe reads ONLY the
+    * partition directories within `probeHamming` bits of the query bucket
+    * instead of filtering a full scan.
+    */
+  def writeLshIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      numPlanes: Int = 16,
+      dim: Int = 768
+  ): Unit = {
+    val planes = Dedup.hyperplanes(numPlanes, dim)
+    val bucketU = udf((v: Array[Float]) => Dedup.hyperplaneBucket(v, planes))
+    df.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
+      .withColumn("bucket", bucketU(col("v")))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+  }
+
+  /** Probe a [[writeLshIndex]] layout. The hamming predicate references
+    * only the `bucket` partition column, so Catalyst turns it into a
+    * PartitionFilter: the scan lists and reads just the ~sum(C(planes,i))
+    * matching directories (e.g. 16 planes, probe<=2: 137 of 65536 buckets)
+    * — asserted mechanically in SimilaritySpec.
+    */
+  def lshTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      query: Array[Float],
+      k: Int,
+      numPlanes: Int = 16,
+      probeHamming: Int = 2
+  ): DataFrame = {
+    val planes = Dedup.hyperplanes(numPlanes, query.length)
+    val qBucket = Dedup.hyperplaneBucket(query, planes)
+    graft.functions.CosineSimilarity.register(spark)
+    spark.read.parquet(indexPath)
+      .filter(
+        bit_count(col("bucket").bitwiseXOR(lit(qBucket))) <= probeHamming)
+      .select(col("vec_id"),
+        graft.functions.CosineSimilarity.cosine(
+          col("v"), array(query.map(lit(_)): _*)).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** IVF (inverted-file) approximate top-k: a coarse quantizer assigns
     * every vector to its nearest of `nLists` centroids (one narrow pass,
     * centroids broadcast); a query probes only the `nProbe` nearest

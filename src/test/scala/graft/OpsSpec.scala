@@ -146,6 +146,25 @@ class OpsSpec extends AnyFunSuite {
     assert(approx.contains(0L))
   }
 
+  test("ANN: bucketed LSH index probe is PARTITION-PRUNED and finds the self-match") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString
+    Similarity.writeLshIndex(e, "vec_id", "embedding", dir, dim = 64)
+    val q = e.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+    val probe = Similarity.lshTopKIndexed(spark, dir, q, 5)
+    // the hamming predicate must bind to the bucket PARTITION column —
+    // a probe that reads all directories is a full scan, not an index
+    val plan = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(pf.trim.nonEmpty, s"no partition filter in scan:\n$plan")
+    val top = probe.collect()
+    assert(top.head.getLong(0) == 0L, "self-match must be in the probed bucket")
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+  }
+
   test("ANN: IVF top-k recall vs brute force; self-match always found") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") === 0)

@@ -15,6 +15,8 @@ class PlanSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh").toString)
     .getOrCreate()
 
   private val sf = "/root/testdata/sf0.001"
@@ -85,6 +87,25 @@ class PlanSpec extends AnyFunSuite {
         s"expected exactly the 2 explicit repartitions, got $exchanges:\n$plan")
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("bucketed tables co-locate the join: NO exchange in the plan") {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val l = spark.read.parquet(s"$sf/lineitem.parquet")
+    graft.ops.Bucketing.writeBucketed(o, "orders_b", "o_orderkey", 4)
+    graft.ops.Bucketing.writeBucketed(l, "lineitem_b", "l_orderkey", 4)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = graft.ops.Bucketing.colocatedJoin(
+        spark, "lineitem_b", "orders_b", "l_orderkey", "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
 
