@@ -561,6 +561,27 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Same as-of semantics through the NATIVE custom operator
+    * (plans/AsOfJoinNative: resolved LogicalPlan -> planner Strategy ->
+    * sort-merge AsOfJoinExec; one exchange per side, single merge pass).
+    * Hash-checked against the SAME DuckDB ASOF JOIN oracle shape as
+    * `q_asof_join` — two independent implementations, one truth.
+    */
+  private def qAsofJoinNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(s, dir, "events").withColumn("ts_us", eventTsUs)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us").as("view_ts"),
+        col("event_id").as("view_event_id"))
+    graft.plans.AsOfJoinNative
+      .asOf(purchases, views, Seq("user_id"), "ts_us", "view_ts")
+      .select(purchases("event_id"), purchases("user_id"), col("ts_us"),
+        col("view_ts").as("asof_view_ts_us"),
+        col("view_event_id").as("asof_view_event_id"))
+      .orderBy("event_id")
+  }
+
   /** Per-label embedding centroid via the typed Aggregator UDAF
     * (functions/VectorAggregates.scala) — partial aggregation map-side,
     * O(groups × dim) shuffle. First 4 dims exposed for the oracle.
@@ -826,6 +847,7 @@ object SparkEntry {
     "events_sessions" -> qEventsSessions,
     "events_hopping" -> qEventsHopping,
     "q_asof_join" -> qAsofJoin,
+    "q_asof_join_native" -> qAsofJoinNative,
     "q_centroids" -> qCentroids,
     "events_stream_tumbling" -> qEventsStreamTumbling,
     "q_having" -> qHaving,
@@ -1063,6 +1085,14 @@ object SparkEntry {
            COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_o
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_asof_join" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+           epoch_us(v.ts) AS asof_view_ts_us,
+           v.event_id AS asof_view_event_id
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+           ON p.user_id = v.user_id AND p.ts >= v.ts
+         ORDER BY p.event_id""",
+    "q_asof_join_native" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
            epoch_us(v.ts) AS asof_view_ts_us,
            v.event_id AS asof_view_event_id

@@ -290,6 +290,50 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2).isNullAt(out(2).fieldIndex("asof_r_val")))
   }
 
+  test("NATIVE as-of join (custom LogicalPlan+Strategy+Exec): edge cases + agrees with composed variant") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L), (2L, 100L, 20L), (3L, 200L, 5L))
+      .toDF("event_id", "user_id", "ts_us")
+    val right = Seq((100L, 10L, 7L), (100L, 15L, 8L), (200L, 50L, 9L))
+      .toDF("user_id", "r_ts", "r_val")
+    val out = graft.plans.AsOfJoinNative
+      .asOf(left, right, Seq("user_id"), "ts_us", "r_ts")
+      .select(col("event_id"), col("r_ts").as("m_ts"), col("r_val").as("m_val"))
+      .orderBy("event_id").collect()
+    assert(out(0).getAs[Long]("m_val") == 7L)  // tie inclusive
+    assert(out(1).getAs[Long]("m_val") == 8L)  // latest at-or-before
+    assert(out(2).isNullAt(out(2).fieldIndex("m_val"))) // future-only → null
+    // plan shape: the custom exec is actually planned
+    val df = graft.plans.AsOfJoinNative
+      .asOf(left, right, Seq("user_id"), "ts_us", "r_ts")
+    // physical nodes print without the "Exec" suffix
+    assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin "))
+    // larger randomized agreement check vs the composed operator
+    val rnd = new scala.util.Random(7)
+    val bigL = Seq.tabulate(500)(i =>
+      (i.toLong, rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong))
+      .toDF("event_id", "user_id", "ts_us")
+    val bigR = Seq.tabulate(300)(i =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      .toDF("user_id", "r_ts", "r_val")
+      // dedupe (user_id, r_ts) so the as-of match is unique → both
+      // implementations and any tie-break agree
+      .groupBy("user_id", "r_ts").agg(max("r_val").as("r_val"))
+    val native = graft.plans.AsOfJoinNative
+      .asOf(bigL, bigR, Seq("user_id"), "ts_us", "r_ts")
+      .select(col("event_id"), col("r_ts"), col("r_val"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val composed = graft.ops.AsOfJoin
+      .asOf(bigL, bigR, Seq("user_id"), "ts_us", "r_ts", Seq("r_ts", "r_val"))
+      .select(col("event_id"), col("asof_r_ts"), col("asof_r_val"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(native == composed)
+  }
+
   test("centroid aggregator: mean of planted vectors; partial-merge path") {
     import spark.implicits._
     val vecs = Seq(
