@@ -48,4 +48,55 @@ object StreamingEmbed {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Per-user session accumulator carried across micro-batches: O(1)
+    * state per key regardless of stream length.
+    */
+  final case class SessionState(
+      sessionId: Long, lastTsUs: Long, nEvents: Long, startUs: Long)
+
+  /** One emitted (possibly still-open) session row. */
+  final case class SessionUpdate(
+      user_id: Long, session_id: Long, n_events: Long,
+      start_us: Long, end_us: Long)
+
+  /** Streaming sessionization via CUSTOM STATE
+    * (`flatMapGroupsWithState`) — the streaming twin of the batch
+    * `events_sessions` query: 30-min-gap sessions per user, session ids
+    * numbered 1.. in event-time order, exactly the batch lag+flag-sum
+    * semantics. Each micro-batch sorts its slice of a user's events by
+    * (ts, event_id) and folds it into the carried state; every session
+    * touched in the batch is re-emitted (update semantics — downstream
+    * upserts by (user_id, session_id)).
+    *
+    * Scale: state per user is a single 4-field record; the stream
+    * shuffles once on user_id (the groupByKey), identical to the batch
+    * window's partitioning.
+    */
+  def sessionizeStream(
+      events: org.apache.spark.sql.Dataset[(Long, Long, Long)], // (user_id, event_id, ts_us)
+      gapUs: Long = 1800L * 1000000L
+  ): org.apache.spark.sql.Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId, rows, state) =>
+          val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
+          val touched = scala.collection.mutable.LinkedHashMap.empty[Long, SessionUpdate]
+          sorted.foreach { case (_, _, ts) =>
+            st =
+              if (st.sessionId == 0L || ts - st.lastTsUs > gapUs)
+                SessionState(st.sessionId + 1, ts, 1L, ts)
+              else st.copy(lastTsUs = ts, nEvents = st.nEvents + 1)
+            touched(st.sessionId) =
+              SessionUpdate(userId, st.sessionId, st.nEvents, st.startUs, st.lastTsUs)
+          }
+          state.update(st)
+          touched.values.iterator
+      }
+  }
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source/sink breadth (SURVEY.md §2.3 scans row): the engine's operators
+  * are source-agnostic DataFrame transforms — prove parquet/JSON/CSV all
+  * feed the same pipeline with identical results.
+  */
+class SourcesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("JSON sink/source round-trips documents; same clean_text results as parquet") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    docs.write.mode("overwrite").json(dir)
+    val back = spark.read.json(dir).select("doc_id", "text")
+    val engine = new graft.engine.InceptionEngine()
+    def cleaned(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), engine.cleanText(col("text")).as("c"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(cleaned(back) == cleaned(docs))
+  }
+
+  test("CSV sink/source round-trips a projection (escaping-safe columns)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), length(col("text")).as("n_chars"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    docs.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(dir)
+      .select(col("doc_id").cast("long"), col("n_chars").cast("int"))
+    assert(back.collect().map(r => (r.getLong(0), r.getInt(1))).toSet ==
+      docs.collect().map(r => (r.getLong(0), r.getInt(1))).toSet)
+  }
+}

@@ -47,6 +47,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization matches batch fold across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gapUs = 1800L * 1000000L
+    // deterministic synthetic events: 5 users, gaps around the threshold
+    val rnd = new scala.util.Random(11)
+    val events = (0 until 400).map { i =>
+      val user = (i % 5).toLong
+      // jumps > gap roughly every ~6 events per user
+      val ts = (i / 5).toLong * 400000000L +
+        (if (rnd.nextInt(6) == 0) (i / 5).toLong * gapUs else 0L)
+      (user, i.toLong, ts)
+    }
+    // expected: plain-Scala fold per user in (ts, event_id) order —
+    // the batch events_sessions semantics
+    val expected = events.groupBy(_._1).flatMap { case (u, evs) =>
+      var sess = 0L; var last = Long.MinValue
+      var n = 0L; var start = 0L
+      val out = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+      evs.sortBy(e => (e._3, e._2)).foreach { case (_, _, ts) =>
+        if (sess == 0L || ts - last > gapUs) { sess += 1; n = 1; start = ts }
+        else n += 1
+        last = ts
+        out(sess) = (n, start, last)
+      }
+      out.map { case (s, (ne, st, en)) => (u, s, ne, st, en) }
+    }.toSet
+    val mem = MemoryStream[(Long, Long, Long)]
+    val upserts = new java.util.concurrent.ConcurrentHashMap[(Long, Long), (Long, Long, Long)]()
+    val q = StreamingEmbed.sessionizeStream(mem.toDS(), gapUs)
+      .writeStream.outputMode("update")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[StreamingEmbed.SessionUpdate],
+         _: Long) =>
+          batch.collect().foreach(s =>
+            upserts.put((s.user_id, s.session_id),
+              (s.n_events, s.start_us, s.end_us)))
+          ()
+      }
+      .start()
+    try {
+      // split mid-user-session to exercise cross-batch state carry
+      val (a, b) = events.sortBy(e => (e._3, e._2)).splitAt(150)
+      mem.addData(a)
+      q.processAllAvailable()
+      mem.addData(b)
+      q.processAllAvailable()
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val got = upserts.asScala.map { case ((u, s), (n, st, en)) =>
+      (u, s, n, st, en) }.toSet
+    assert(got == expected, s"sessions differ: got=${got.size} want=${expected.size}")
+  }
+
   test("streaming windowed event counts with watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
