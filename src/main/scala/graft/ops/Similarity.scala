@@ -104,6 +104,10 @@ object Similarity {
     val bucketU = udf((v: Array[Float]) => Dedup.hyperplaneBucket(v, planes))
     df.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
       .withColumn("bucket", bucketU(col("v")))
+      // co-locate each bucket in one task before the partitioned write:
+      // without this every task writes a file into every bucket dir
+      // (tasks × buckets tiny files — the classic partitionBy fan-out)
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
   }
 
