@@ -181,6 +181,57 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist the corpus in IVF layout: parquet partitioned by list id
+    * (the "WRITTEN PARTITIONED BY list id" path [[ivfTopK]]'s doc
+    * promises). Returns the centroids so probes can rank lists without
+    * touching the data. Same one-file-per-list repartition trick as
+    * [[writeLshIndex]].
+    */
+  def writeIvfIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      nLists: Int = 16,
+      dim: Int = 768
+  ): Array[(Int, Array[Float])] = {
+    val data = df.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).as("v"))
+    val planes = Dedup.hyperplanes(
+      math.max(1, (math.log(nLists.toDouble) / math.log(2)).ceil.toInt), dim)
+    val bucketU = udf((v: Array[Float]) =>
+      Dedup.hyperplaneBucket(v, planes) % nLists)
+    val init = data.withColumn("list_id", bucketU(col("v")))
+    val centroids = refineCentroids(init, dim)
+    assignToCentroids(data, centroids, dim)
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(path)
+    centroids
+  }
+
+  /** Probe a [[writeIvfIndex]] layout: ranks the persisted centroids,
+    * then scans ONLY the nProbe matching list directories (the list
+    * predicate binds to the partition column → PartitionFilters).
+    */
+  def ivfTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      centroids: Array[(Int, Array[Float])],
+      query: Array[Float],
+      k: Int,
+      nProbe: Int = 4
+  ): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val qLists = nearestLists(query, centroids, nProbe)
+    spark.read.parquet(indexPath)
+      .filter(col("list_id").isin(qLists: _*))
+      .select(col("vec_id"),
+        graft.functions.CosineSimilarity.cosine(
+          col("v"), array(query.map(lit(_)): _*)).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Mean vector per list, computed DISTRIBUTED via the Centroid
     * aggregator (partial element-wise sums map-side; shuffle volume is
     * O(partitions × nLists × dim)). Only the nLists finished centroid

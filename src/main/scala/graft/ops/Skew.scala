@@ -45,6 +45,34 @@ object Skew {
         merges.tail.map { case (n, c) => c.as(n) }.toSeq: _*)
   }
 
+  /** Salted equi-join for a skewed BIG side. Each big-side row is salted
+    * deterministically into one of `salts` sub-keys; the small side is
+    * replicated once per salt value, so a hot key's rows spread over
+    * `salts` reducers instead of serializing onto one. Result is
+    * identical to the plain equi-join (spec-checked); cost is a `salts`×
+    * replication of the SMALL side only. Complements AQE's skew-join
+    * splitting (which only kicks in for sort-merge shuffle joins it can
+    * re-plan at runtime).
+    */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      bigKey: String,
+      smallKey: String,
+      salts: Int,
+      spreadCol: String
+  ): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(hash(col(spreadCol)), lit(salts)))
+    val replicated = small.withColumn("__rsalt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedBig
+      .join(replicated,
+        saltedBig(bigKey) === replicated(smallKey) &&
+          saltedBig("__salt") === replicated("__rsalt"))
+      .drop("__salt", "__rsalt")
+  }
+
   /** Salted sum+count convenience (the common case). */
   def saltedSumCount(
       df: DataFrame,

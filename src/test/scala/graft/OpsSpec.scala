@@ -347,6 +347,43 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2).sameElements(Array(10.0f, 20.0f)))
   }
 
+  test("IVF index: partition-pruned probe, recall vs brute force") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    val centroids = Similarity.writeIvfIndex(
+      e, "vec_id", "embedding", dir, nLists = 8, dim = 64)
+    assert(centroids.length <= 8 && centroids.nonEmpty)
+    val q = e.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+    val probe = Similarity.ivfTopKIndexed(spark, dir, centroids, q, 5, nProbe = 3)
+    val plan = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(pf.trim.nonEmpty, s"no partition filter in scan:\n$plan")
+    val top = probe.collect()
+    assert(top.head.getLong(0) == 0L)
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("salted join equals plain join on a skewed key") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    // 5000 rows on one hot key + sparse tail
+    val big = ((0 until 5000).map(i => (1L, i.toLong)) ++
+      (0 until 200).map(i => (2L + rnd.nextInt(50).toLong, 10000L + i)))
+      .toDF("k", "payload")
+    val small = (1L to 60L).map(k => (k, s"dim_$k")).toDF("sk", "name")
+    val salted = graft.ops.Skew
+      .saltedJoin(big, small, "k", "sk", salts = 8, spreadCol = "payload")
+      .select("k", "payload", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val plain = big.join(small, big("k") === small("sk"))
+      .select("k", "payload", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(salted == plain && plain.size >= 5000)
+  }
+
   test("salted aggregation equals plain aggregation") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val salted = graft.ops.Skew.saltedSumCount(li, Seq("l_returnflag"),
