@@ -226,6 +226,43 @@ object SparkEntry {
       .orderBy("r_name", "n_name")
   }
 
+  /** Exact interpolated percentiles per group (Spark `percentile` and
+    * DuckDB `quantile_cont` share the linear-interpolation definition).
+    */
+  private def qPercentiles(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("med_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("med_price"))
+      .orderBy("l_returnflag")
+
+  /** GROUPING SETS through the engine's SQL surface (spark.sql over a
+    * registered view) — the explicit-sets sibling of rollup/cube.
+    */
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+         FROM lineitem_v
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                 (l_returnflag), ())
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+  }
+
+  /** HLL approximate distinct per group, emitted next to the exact count
+    * (sketch values are implementation-specific → rows-only gate; the
+    * <=5% relative-error bound is asserted in OpsSpec).
+    */
+  private def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+
   /** Window functions: per-customer order numbering + exact running total
     * in cents (bigint — immune to FP association).
     */
@@ -839,6 +876,9 @@ object SparkEntry {
     "q3_topk" -> qQ3TopK,
     "q5_join" -> qQ5Join,
     "q_window_running" -> qWindowRunning,
+    "q_percentiles" -> qPercentiles,
+    "q_grouping_sets" -> qGroupingSets,
+    "q_approx_distinct" -> qApproxDistinct,
     "q_rollup" -> qRollup,
     "q_semijoin" -> qSemiJoin,
     "q_antijoin" -> qAntiJoin,
@@ -973,6 +1013,19 @@ object SparkEntry {
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
          ORDER BY o_custkey, o_orderkey""",
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS med_qty,
+           round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS med_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                 (l_returnflag), ())
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty

@@ -366,6 +366,18 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("approx_count_distinct within 5% of exact on the query surface") {
+    val rows = SparkEntry.queries("q_approx_distinct")(
+      spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"approx $approx vs exact $exact")
+    }
+  }
+
   test("salted join equals plain join on a skewed key") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
