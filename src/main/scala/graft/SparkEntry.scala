@@ -322,6 +322,44 @@ object SparkEntry {
     lk.join(pk, Seq("partkey"), "left_semi").orderBy("partkey")
   }
 
+  /** Generator/UDTF shape: explode the word array, aggregate, global
+    * top-k with deterministic tie-break — the classic token-frequency
+    * pattern over the corpus.
+    */
+  private def qWordTopK(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(explode(split(lower(col("text")), "[^a-zA-Z0-9_]+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(20)
+
+  /** Set op: EXCEPT — lineitem part keys that are NOT in the filtered
+    * part set (distinct + anti-join plan, mirrors qSetOp's INTERSECT).
+    */
+  private def qExcept(s: SparkSession, dir: String): DataFrame = {
+    val lk = tbl(s, dir, "lineitem")
+      .select(col("l_partkey").as("partkey")).distinct()
+    val pk = tbl(s, dir, "part")
+      .filter(col("p_size") > 25)
+      .select(col("p_partkey").as("partkey")).distinct()
+    lk.join(pk, Seq("partkey"), "left_anti").orderBy("partkey")
+  }
+
+  /** LEFT OUTER join + aggregation: every customer with their order count
+    * and spend, zeros included (the outer-join sibling of q_antijoin).
+    */
+  private def qLeftOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = tbl(s, dir, "customer")
+    val o = tbl(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(c("c_custkey").as("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+      .orderBy("c_custkey")
+  }
+
   /** events.ts arrives as LongType nanoseconds (TIMESTAMP(NANOS) parquet
     * read under spark.sql.legacy.parquet.nanosAsLong — see Verify.scala);
     * integer µs arithmetic keeps it exact and oracle-comparable.
@@ -883,6 +921,9 @@ object SparkEntry {
     "q_semijoin" -> qSemiJoin,
     "q_antijoin" -> qAntiJoin,
     "q_setop" -> qSetOp,
+    "q_except" -> qExcept,
+    "q_left_outer" -> qLeftOuter,
+    "q_word_topk" -> qWordTopK,
     "events_tumbling" -> qEventsTumbling,
     "events_sessions" -> qEventsSessions,
     "events_hopping" -> qEventsHopping,
@@ -1046,6 +1087,24 @@ object SparkEntry {
          INTERSECT
          SELECT p_partkey AS partkey FROM part WHERE p_size > 25
          ORDER BY partkey""",
+    "q_except" ->
+      """SELECT l_partkey AS partkey FROM lineitem
+         EXCEPT
+         SELECT p_partkey AS partkey FROM part WHERE p_size > 25
+         ORDER BY partkey""",
+    "q_left_outer" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+           coalesce(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+             AS DOUBLE), 0.0) AS total_spent
+         FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "q_word_topk" ->
+      """WITH w AS (
+           SELECT unnest(regexp_split_to_array(lower(text),
+             '[^a-zA-Z0-9_]+')) AS word
+           FROM documents)
+         SELECT word, COUNT(*) AS n FROM w WHERE word <> ''
+         GROUP BY word ORDER BY n DESC, word LIMIT 20""",
     "events_tumbling" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
            event_type, COUNT(*) AS n,
