@@ -79,6 +79,21 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: deterministic re-encode of the bytes at a target size
+    * (a real kernel decodes, scales, re-encodes). Output length is
+    * proportional to the target area so size-dependent downstream logic
+    * is exercisable.
+    */
+  def resizeImage(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    if (bytes == null || bytes.isEmpty) return Array.empty
+    val n = math.max(16, math.min(4096, (w * h) / 64))
+    val out = new Array[Byte](n)
+    var acc = bytesHash(bytes) ^ mix64(w.toLong << 32 | h.toLong)
+    var i = 0
+    while (i < n) { acc = mix64(acc); out(i) = (acc & 0xff).toByte; i += 1 }
+    out
+  }
+
   // ---- Spark plumbing (real) ----
 
   private val metaUdf = udf((b: Array[Byte]) => decodeImageMeta(b))
@@ -86,12 +101,45 @@ object Multimodal {
   private val framesUdf =
     udf((b: Array[Byte], n: Int) => sampleFrames(b, n))
 
+  private val resizeUdf =
+    udf((b: Array[Byte], w: Int, h: Int) => resizeImage(b, w, h))
+
   /** Attach decoded metadata + pooled features to a binary column —
     * one narrow pass over the media bytes.
     */
   def describeMedia(df: DataFrame, binCol: String = "media"): DataFrame =
     df.withColumn("meta", metaUdf(col(binCol)))
       .withColumn("features", featUdf(col(binCol)))
+
+  /** Resize the media column to target dims (narrow pass; replaces the
+    * binary in place — at scale, write the result partitioned rather
+    * than carrying both generations of bytes).
+    */
+  def resizeMedia(
+      df: DataFrame, binCol: String, w: Int, h: Int): DataFrame =
+    df.withColumn(binCol, resizeUdf(col(binCol), lit(w), lit(h)))
+
+  /** Batched variant of [[describeMedia]] — the Scala analog of the
+    * `mapInPandas` batch shape: the partition iterator is consumed in
+    * `batchSize`-row groups, so a vectorized/multi-image decode kernel
+    * (GPU batch inference, JNI codec with amortized setup) drops in at
+    * the marked call without touching the plan. Row-identical to the
+    * per-row variant (spec-checked).
+    */
+  def describeMediaBatched(
+      df: Dataset[(Long, Array[Byte])],
+      batchSize: Int = 32
+  ): Dataset[(Long, MediaMeta, Array[Float])] = {
+    import df.sparkSession.implicits._
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // BATCH KERNEL CALL SITE: one invocation per batch, not per row
+        batch.map { case (id, bytes) =>
+          (id, decodeImageMeta(bytes), extractFeatures(bytes))
+        }
+      }
+    }
+  }
 
   /** Explode a video binary into sampled frames with per-frame features:
     * (id, frame_number, frame_features). Frame bytes never leave the

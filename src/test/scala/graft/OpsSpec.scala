@@ -425,6 +425,28 @@ class OpsSpec extends AnyFunSuite {
     assert(m.snapshot("chunk_count.text") >= 2L)
   }
 
+  test("multimodal: batched describe matches per-row; resize is deterministic and size-scaled") {
+    import spark.implicits._
+    val rows = Seq((1L, "abc".getBytes), (2L, "defgh".getBytes),
+      (3L, Array.empty[Byte]))
+    val df = rows.toDF("media_id", "media")
+    val perRow = Multimodal.describeMedia(df)
+      .select(col("media_id"), col("meta.format"), col("features"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getSeq[Float](2).toVector)).toSet
+    val batched = Multimodal.describeMediaBatched(
+        df.as[(Long, Array[Byte])], batchSize = 2)
+      .collect().map { case (id, m, f) => (id, m.format, f.toVector) }.toSet
+    assert(batched == perRow)
+    val small = Multimodal.resizeImage("abc".getBytes, 64, 64)
+    val big = Multimodal.resizeImage("abc".getBytes, 512, 512)
+    assert(small.length < big.length)
+    assert(Multimodal.resizeImage("abc".getBytes, 64, 64).toSeq == small.toSeq)
+    val resized = Multimodal.resizeMedia(df, "media", 128, 128)
+      .select("media").collect()
+    assert(resized.forall(r => r.getAs[Array[Byte]](0) != null))
+  }
+
   test("multimodal: describeMedia + frame sampling shapes") {
     import spark.implicits._
     val df = Seq((1L, "some media bytes"), (2L, "other bytes"))
