@@ -49,6 +49,30 @@ object StreamingEmbed {
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Stream-stream INNER interval join: enrich each left event with
+    * right events for the same key within `[l.ts - lookback, l.ts]`.
+    * Both sides carry watermarks, so the state store evicts right rows
+    * older than the watermark minus the interval — bounded state, the
+    * canonical streaming-join shape. Column names: left (key, ts, ...);
+    * right is aliased `r_` to keep outputs unambiguous.
+    */
+  def intervalJoinStreams(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      lookback: String = "1 hour",
+      watermark: String = "2 hours"
+  ): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark)
+    val r = right.toDF(right.columns.map("r_" + _): _*)
+      .withWatermark(s"r_$tsCol", watermark)
+    l.join(r,
+      col(keyCol) === col(s"r_$keyCol") &&
+        col(s"r_$tsCol") >= col(tsCol) - expr(s"INTERVAL $lookback") &&
+        col(s"r_$tsCol") <= col(tsCol))
+  }
+
   /** Per-user session accumulator carried across micro-batches: O(1)
     * state per key regardless of stream length.
     */

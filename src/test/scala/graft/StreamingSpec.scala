@@ -101,6 +101,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected, s"sessions differ: got=${got.size} want=${expected.size}")
   }
 
+  test("stream-stream interval join matches the batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(mins: Long) = new java.sql.Timestamp(base.getTime + mins * 60000L)
+    val purchases = (0 until 40).map(i =>
+      (i.toLong, (i % 4).toLong, ts(i * 7L)))
+    val views = (0 until 60).map(i =>
+      (1000L + i, (i % 4).toLong, ts(i * 5L)))
+    val memP = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val memV = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = StreamingEmbed.intervalJoinStreams(
+      memP.toDF().toDF("event_id", "user_id", "ts"),
+      memV.toDF().toDF("event_id", "user_id", "ts"),
+      "user_id", "ts", lookback = "30 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      memP.addData(purchases)
+      memV.addData(views)
+      q.processAllAvailable()
+      val got = spark.table("ssj_out")
+        .select("event_id", "r_event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (pid, pu, pts) <- purchases
+        (vid, vu, vts) <- views
+        if pu == vu &&
+          vts.getTime <= pts.getTime &&
+          vts.getTime >= pts.getTime - 30L * 60000L
+      } yield (pid, vid)).toSet
+      assert(got == want && want.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming windowed event counts with watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
