@@ -25,5 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(CosineSimilarity.name),
       CosineSimilarity.info,
       CosineSimilarity.builder _))
+    // native as-of join planner rule (plans/AsOfJoinNative); the
+    // DataFrame API also self-registers via experimental strategies for
+    // sessions built without extensions
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

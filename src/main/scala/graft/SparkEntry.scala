@@ -596,19 +596,27 @@ object SparkEntry {
         col("event_type"), col("n"))
     val state =
       new java.util.concurrent.ConcurrentHashMap[(Long, String), Long]()
-    val q = stream.writeStream
-      .outputMode("update")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // upsert the changed groups only (update-mode delta)
-        batch.collect().foreach { r =>
-          state.put((r.getLong(0), r.getString(1)), r.getLong(2))
+    // the stateful agg's state store allocates one instance per shuffle
+    // partition per micro-batch; size it to the aggregate's key
+    // cardinality (~3.4k windows×types here) rather than the relational
+    // default — at cluster scale this is the state-store parallelism knob
+    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = stream.writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // upsert the changed groups only (update-mode delta)
+          batch.collect().foreach { r =>
+            state.put((r.getLong(0), r.getString(1)), r.getLong(2))
+          }
+          ()
         }
-        ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally q.stop()
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
     import scala.jdk.CollectionConverters._
     state.asScala.toSeq
       .map { case ((w, e), n) => (w, e, n) }
