@@ -60,6 +60,15 @@ class InceptionEngine(
     * the reference's counters aggregate across workers. None = zero
     * overhead.
     */
+  // O13 MODEL_LOAD_TIME (metrics.py:28-32, embedding_service.py:52):
+  // observed once at engine construction — the JVM kernel's "load" is a
+  // warmup call (a real model swap-in times its weight load here)
+  metrics.foreach { m =>
+    val t0 = System.nanoTime()
+    Embedder.embed("warmup")
+    m.modelLoadTimeMs.add((System.nanoTime() - t0) / 1000000L)
+  }
+
   @inline private def countChunks(endpoint: String, n: Int): Unit =
     metrics.foreach(_.chunkCount(endpoint).add(n.toLong))
   private def countRequest(endpoint: String): Unit =

@@ -30,6 +30,8 @@ class Metrics(sc: SparkContext) extends Serializable {
     get(s"chunk_count.$endpoint")
   def processingTimeMs(endpoint: String): LongAccumulator =
     get(s"processing_time_ms.$endpoint")
+  def modelLoadTimeMs: LongAccumulator =
+    get("model_load_time_ms")
 
   /** Snapshot for `/metrics`-style inspection (monitoring.py:30-35). */
   def snapshot: Map[String, Long] = {

@@ -129,6 +129,7 @@ class EngineSpec extends AnyFunSuite {
     assert(snap.getOrElse("processing_time_ms.batch", -1L) >= 0L,
       "batch kernel time accumulator missing")
     assert(snap.contains("processing_time_ms.query"))
+    assert(snap.contains("model_load_time_ms"))
   }
 
   test("decodeUtf8: invalid bytes -> decode_error with reference message; valid bytes round-trip") {
