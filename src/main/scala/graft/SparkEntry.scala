@@ -488,6 +488,18 @@ object SparkEntry {
         count(when(col("l_linestatus") === "O", 1)).as("n_o"))
       .orderBy("l_returnflag")
 
+  /** Explicit PIVOT (RelationalGroupedDataset.pivot with a fixed value
+    * list — fixed so the plan needs no discovery pass; open-ended pivot
+    * would scan once for distinct values first).
+    */
+  private def qPivot(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(dsum(col("l_extendedprice")))
+      .select(col("l_returnflag"), col("F").as("rev_f"), col("O").as("rev_o"))
+      .orderBy("l_returnflag")
+
   /** CUBE grouping sets (all four grouping combinations). */
   private def qCube(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "orders")
@@ -941,6 +953,7 @@ object SparkEntry {
     "events_stream_tumbling" -> qEventsStreamTumbling,
     "q_having" -> qHaving,
     "q_conditional_agg" -> qConditionalAgg,
+    "q_pivot" -> qPivot,
     "q_salted_agg" -> qSaltedAgg,
     "q_scalar_subquery" -> qScalarSubquery,
     "q_union_distinct" -> qUnionDistinct,
@@ -1203,6 +1216,13 @@ object SparkEntry {
              ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS rev_o,
            COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_f,
            COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_o
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_pivot" ->
+      """SELECT l_returnflag,
+           CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_extendedprice
+             END AS DECIMAL(18,6))) AS DOUBLE) AS rev_f,
+           CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_extendedprice
+             END AS DECIMAL(18,6))) AS DOUBLE) AS rev_o
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,

@@ -101,6 +101,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected, s"sessions differ: got=${got.size} want=${expected.size}")
   }
 
+  test("streaming exact dedup: dropDuplicatesWithinWatermark drops replayed events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(mins: Long) = new java.sql.Timestamp(base.getTime + mins * 60000L)
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val deduped = mem.toDF().toDF("event_id", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      mem.addData((1L, ts(0)), (2L, ts(1)), (1L, ts(2))) // in-batch replay
+      q.processAllAvailable()
+      mem.addData((2L, ts(3)), (3L, ts(4))) // cross-batch replay
+      q.processAllAvailable()
+      val got = spark.table("dedup_out")
+        .select("event_id").collect().map(_.getLong(0)).sorted
+      assert(got.sameElements(Array(1L, 2L, 3L)),
+        s"expected each id once, got ${got.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
