@@ -101,6 +101,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected, s"sessions differ: got=${got.size} want=${expected.size}")
   }
 
+  test("sessionization state survives a query RESTART from checkpoint") {
+    import spark.implicits._
+    val gapUs = 1800L * 1000000L
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ckpt_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val upserts = new java.util.concurrent.ConcurrentHashMap[(Long, Long), Long]()
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema("u LONG, e LONG, t LONG").parquet(srcDir)
+        .toDF("_1", "_2", "_3").as[(Long, Long, Long)]
+      val q = StreamingEmbed.sessionizeStream(src, gapUs)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[StreamingEmbed.SessionUpdate],
+           _: Long) =>
+            b.collect().foreach(s =>
+              upserts.put((s.user_id, s.session_id), s.n_events))
+            ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(); q.stop()
+    }
+    // batch 1: users 1,2 — two events each, within the gap
+    Seq((1L, 1L, 0L), (1L, 2L, 1000000L), (2L, 3L, 0L), (2L, 4L, 1000000L))
+      .toDF("u", "e", "t").write.mode("append").parquet(srcDir)
+    runOnce()
+    assert(upserts.get((1L, 1L)) == 2L)
+    // batch 2 AFTER RESTART: user 1 continues within the gap (same
+    // session grows), user 2 jumps past the gap (new session id 2)
+    Seq((1L, 5L, 2000000L), (2L, 6L, 1000000L + gapUs + 1L))
+      .toDF("u", "e", "t").write.mode("append").parquet(srcDir)
+    runOnce()
+    assert(upserts.get((1L, 1L)) == 3L,
+      s"user 1 session must continue across restart: $upserts")
+    assert(upserts.containsKey((2L, 2L)) && upserts.get((2L, 2L)) == 1L,
+      s"user 2 must open session 2 after the gap: $upserts")
+  }
+
   test("streaming exact dedup: dropDuplicatesWithinWatermark drops replayed events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
