@@ -917,6 +917,186 @@ object SparkEntry {
       .orderBy("media_id", "frame_number")
 
   // ------------------------------------------------------------------
+  // Wider relational surface: window frames, range joins, statistical
+  // aggregates, date/string/array/JSON scalar breadth — all oracle-checked
+  // ------------------------------------------------------------------
+
+  /** Full window-frame surface in one pass: lag/lead offsets, an explicit
+    * ROWS frame for first_value and a 3-row moving sum, ntile bucketing
+    * and percent_rank — all over the same per-customer ordering (unique
+    * tie-break ⇒ deterministic). Money in integer cents so frame sums are
+    * FP-association-proof.
+    */
+  private def qWindowFrames(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    tbl(s, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(cents, 1).over(w).as("prev_cents"),
+        lead(cents, 1).over(w).as("next_cents"),
+        first(cents)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("first_cents"),
+        sum(cents).over(w.rowsBetween(-2, 0)).as("moving_cents"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** RANGE frame over a numeric ordering: per customer, orders placed in
+    * the trailing 30 days (value-based frame — peers by day, not rows;
+    * the time-decay aggregation shape).
+    */
+  private def qWindowRange(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-30, 0)
+    tbl(s, dir, "orders")
+      .withColumn("day",
+        datediff(col("o_orderdate").cast("date"),
+          lit("1990-01-01").cast("date")))
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      .select(col("o_custkey"), col("o_orderkey"), col("day"),
+        count(lit(1)).over(w).as("n_30d"),
+        sum(col("cents")).over(w).as("cents_30d"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Range (band/interval) join: parts bucketed into price bands via an
+    * inequality join against a tiny inline dimension — broadcast
+    * nested-loop, the scale-correct plan for band joins (the band table is
+    * O(1) regardless of SF).
+    */
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      (0, 0.0, 1000.0), (1, 1000.0, 1300.0),
+      (2, 1300.0, 1600.0), (3, 1600.0, 5000.0))
+      .toDF("band_id", "lo", "hi")
+    tbl(s, dir, "part")
+      .join(broadcast(bands),
+        col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n"), dsum(col("p_retailprice")).as("sum_price"))
+      .orderBy("band_id")
+  }
+
+  /** Statistical aggregate surface: Pearson correlation, sample
+    * stddev/variance/covariance per group (single-pass co-moment
+    * aggregates with map-side partials; normalized outputs rounded so the
+    * partial-merge association order can't flip a digit).
+    */
+  private def qStatsAgg(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("corr_qty_price"),
+        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 6).as("var_qty"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6)
+          .as("cov_qty_disc"))
+      .orderBy("l_returnflag")
+
+  /** Date/time scalar surface: component extraction, month truncation,
+    * day arithmetic, end-of-month — timestamps emitted as epoch micros
+    * (bigint) per the determinism rules.
+    */
+  private def qDateFuncs(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        quarter(col("o_orderdate")).as("qtr"),
+        unix_micros(date_trunc("MONTH", col("o_orderdate").cast("timestamp")))
+          .as("month_start_us"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1995-01-01").cast("date")).as("days_since_95"),
+        unix_micros(last_day(col("o_orderdate")).cast("timestamp"))
+          .as("eom_us"))
+      .orderBy("o_orderkey")
+
+  /** Fuzzy/string scalar surface: edit distance (the fuzzy-dedup
+    * primitive), reverse/pad/split/regex-extract/position.
+    */
+  private def qStringFuzzy(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        levenshtein(substring(col("p_name"), 1, 10), col("p_brand"))
+          .as("lev_dist"),
+        reverse(col("p_brand")).as("brand_rev"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+        element_at(split(col("p_type"), " "), 1).as("type_first"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("name_last_word"),
+        instr(col("p_name"), "al").as("al_pos"))
+      .orderBy("p_partkey")
+
+  /** Higher-order array functions over the embedding column — the
+    * codegen'd no-UDF path for vector math (aggregate/transform/filter/
+    * slice): L2 norm, positive-component count, head-slice mean.
+    */
+  private def qArrayFuncs(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        round(sqrt(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))), 5)
+          .as("l2_norm"),
+        size(filter(col("embedding"), x => x > lit(0.0f))).as("n_pos"),
+        round(aggregate(slice(col("embedding"), 1, 8), lit(0.0),
+          (acc, x) => acc + x.cast("double")) / 8.0, 6).as("head_mean"))
+      .orderBy("vec_id")
+
+  /** Subquery surface through the SQL front-end: uncorrelated IN plus
+    * correlated EXISTS (planned as semi joins after decorrelation).
+    */
+  private def qExistsSubquery(s: SparkSession, dir: String): DataFrame = {
+    tbl(s, dir, "customer").createOrReplaceTempView("customer_v")
+    tbl(s, dir, "nation").createOrReplaceTempView("nation_v")
+    tbl(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT c_custkey, c_name FROM customer_v
+         WHERE c_nationkey IN (SELECT n_nationkey FROM nation_v
+                               WHERE n_regionkey = 1)
+           AND EXISTS (SELECT 1 FROM orders_v
+                       WHERE o_custkey = c_custkey
+                         AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""")
+  }
+
+  /** FULL OUTER join: negative-balance customers vs per-customer order
+    * counts — nulls surface on both sides.
+    */
+  private def qFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = tbl(s, dir, "customer").filter(col("c_acctbal") < 0)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val oa = tbl(s, dir, "orders")
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+    c.join(oa, c("c_custkey") === oa("o_custkey"), "full_outer")
+      .select(coalesce(c("c_custkey"), oa("o_custkey")).as("custkey"),
+        col("c_acctbal"), col("n_orders"))
+      .orderBy("custkey")
+  }
+
+  /** JSON scalar surface: construct a JSON document per row, extract
+    * typed fields back out (get_json_object path expressions).
+    */
+  private def qJsonFuncs(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "part")
+      .withColumn("j",
+        concat(lit("{\"size\":"), col("p_size").cast("string"),
+          lit(",\"brand\":\""), col("p_brand"), lit("\"}")))
+      .select(
+        col("p_partkey"),
+        get_json_object(col("j"), "$.size").cast("int").as("jsize"),
+        get_json_object(col("j"), "$.brand").as("jbrand"))
+      .orderBy("p_partkey")
+
+  // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -977,7 +1157,17 @@ object SparkEntry {
     "text_profile" -> qTextProfile,
     "fingerprint_stats" -> qFingerprintStats,
     "multimodal_images" -> qMultimodalImages,
-    "multimodal_frames" -> qMultimodalFrames
+    "multimodal_frames" -> qMultimodalFrames,
+    "q_window_frames" -> qWindowFrames,
+    "q_window_range" -> qWindowRange,
+    "q_range_join" -> qRangeJoin,
+    "q_stats_agg" -> qStatsAgg,
+    "q_date_funcs" -> qDateFuncs,
+    "q_string_fuzzy" -> qStringFuzzy,
+    "q_array_funcs" -> qArrayFuncs,
+    "q_exists_subquery" -> qExistsSubquery,
+    "q_full_outer" -> qFullOuter,
+    "q_json_funcs" -> qJsonFuncs
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1390,6 +1580,109 @@ object SparkEntry {
              + length(regexp_replace(text, '[A-Za-z0-9_ \t\n\r\f\x0B]',
                  '', 'g'))
              AS INTEGER) AS n_tokens_bpeish
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    "q_window_frames" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+         SELECT o_custkey, o_orderkey,
+           lag(cents) OVER w AS prev_cents,
+           lead(cents) OVER w AS next_cents,
+           first_value(cents) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS first_cents,
+           CAST(SUM(cents) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS moving_cents,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank
+         FROM o
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+    "q_window_range" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day', DATE '1990-01-01',
+             CAST(o_orderdate AS DATE)) AS INTEGER) AS day,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+         SELECT o_custkey, o_orderkey, day,
+           COUNT(*) OVER w AS n_30d,
+           CAST(SUM(cents) OVER w AS BIGINT) AS cents_30d
+         FROM o
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+                      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+         ORDER BY o_custkey, o_orderkey""",
+    "q_range_join" ->
+      """SELECT band_id, COUNT(*) AS n,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price
+         FROM part
+         JOIN (VALUES (0, 0.0, 1000.0), (1, 1000.0, 1300.0),
+                      (2, 1300.0, 1600.0), (3, 1600.0, 5000.0))
+              b(band_id, lo, hi)
+           ON p_retailprice >= lo AND p_retailprice < hi
+         GROUP BY band_id ORDER BY band_id""",
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           round(var_samp(l_quantity), 6) AS var_qty,
+           round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           CAST(day(o_orderdate) AS INTEGER) AS dom,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           epoch_us(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)))
+             AS month_start_us,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+             AS INTEGER) AS days_since_95,
+           epoch_us(CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP))
+             AS eom_us
+         FROM orders ORDER BY o_orderkey""",
+    "q_string_fuzzy" ->
+      """SELECT p_partkey,
+           CAST(levenshtein(substring(p_name, 1, 10), p_brand) AS INTEGER)
+             AS lev_dist,
+           reverse(p_brand) AS brand_rev,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           split_part(p_type, ' ', 1) AS type_first,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS name_last_word,
+           CAST(instr(p_name, 'al') AS INTEGER) AS al_pos
+         FROM part ORDER BY p_partkey""",
+    "q_array_funcs" ->
+      """SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 5) AS l2_norm,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+           round(list_sum(list_transform(embedding[1:8],
+             x -> CAST(x AS DOUBLE))) / 8.0, 6) AS head_mean
+         FROM embeddings ORDER BY vec_id""",
+    "q_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+                               WHERE n_regionkey = 1)
+           AND EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey
+                         AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "q_full_outer" ->
+      """WITH c AS (SELECT c_custkey, c_acctbal FROM customer
+                    WHERE c_acctbal < 0),
+           oa AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+                  GROUP BY o_custkey)
+         SELECT coalesce(c_custkey, o_custkey) AS custkey, c_acctbal, n_orders
+         FROM c FULL OUTER JOIN oa ON c_custkey = o_custkey
+         ORDER BY custkey""",
+    "q_json_funcs" ->
+      """WITH p AS (SELECT p_partkey,
+           '{"size":' || p_size || ',"brand":"' || p_brand || '"}' AS j
+         FROM part)
+         SELECT p_partkey,
+           CAST(json_extract(j, '$.size') AS INTEGER) AS jsize,
+           json_extract_string(j, '$.brand') AS jbrand
+         FROM p ORDER BY p_partkey"""
   )
 }
