@@ -1082,6 +1082,63 @@ object SparkEntry {
       .orderBy("custkey")
   }
 
+  /** Sessionization computed BY A REAL STREAMING QUERY with CUSTOM STATE
+    * (streaming/StreamingEmbed.sessionizeStream — flatMapGroupsWithState,
+    * O(1) state per user): the streaming twin of `events_sessions`,
+    * hash-matched against the SAME DuckDB oracle. Update-mode foreachBatch
+    * upserts by (user_id, session_id); the driver-side map stands in for
+    * the external keyed store a cluster deployment would target.
+    */
+  private def qEventsStreamSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val schema = tbl(s, dir, "events").schema
+    val stream = s.readStream.schema(schema)
+      .parquet(eventsStreamDir(dir).toString)
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        eventTsUs.cast("long"))
+      .as[(Long, Long, Long)]
+    val sessions = graft.streaming.StreamingEmbed.sessionizeStream(stream)
+    val state = new java.util.concurrent.ConcurrentHashMap[
+      (Long, Long), (Long, Long, Long)]()
+    // state-store parallelism sized to the key cardinality (see the
+    // tumbling twin above for the rationale)
+    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = sessions.toDF().writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.collect().foreach { r =>
+            state.put((r.getLong(0), r.getLong(1)),
+              (r.getLong(2), r.getLong(3), r.getLong(4)))
+          }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+    import scala.jdk.CollectionConverters._
+    state.asScala.toSeq
+      .map { case ((u, sid), (n, st, en)) => (u, sid, n, st, en) }
+      .toDF("user_id", "session_id", "n_events", "start_us", "end_us")
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Deterministic content-hash sampling — the reproducible train/test
+    * split primitive for training-data pipelines: membership depends only
+    * on the key (md5 first hex char ⇒ a fixed 1/16 slice), never on
+    * partitioning, run order, or cluster layout, so the split is stable
+    * across reruns and engines — which is exactly why it is
+    * oracle-checkable while rand()-based sampling is not.
+    */
+  private def qSampleHash(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1) === "0")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .orderBy("o_orderkey")
+
   /** JSON scalar surface: construct a JSON document per row, extract
     * typed fields back out (get_json_object path expressions).
     */
@@ -1167,7 +1224,9 @@ object SparkEntry {
     "q_array_funcs" -> qArrayFuncs,
     "q_exists_subquery" -> qExistsSubquery,
     "q_full_outer" -> qFullOuter,
-    "q_json_funcs" -> qJsonFuncs
+    "q_json_funcs" -> qJsonFuncs,
+    "events_stream_sessions" -> qEventsStreamSessions,
+    "q_sample_hash" -> qSampleHash
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1683,6 +1742,33 @@ object SparkEntry {
          SELECT p_partkey,
            CAST(json_extract(j, '$.size') AS INTEGER) AS jsize,
            json_extract_string(j, '$.brand') AS jbrand
-         FROM p ORDER BY p_partkey"""
+         FROM p ORDER BY p_partkey""",
+    // same truth as the batch events_sessions — the streaming query with
+    // custom state must reproduce the batch fold exactly
+    "events_stream_sessions" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         f AS (
+           SELECT *, CASE WHEN prev_us IS NULL
+                          OR ts_us - prev_us > 1800 * 1000000
+                          THEN 1 ELSE 0 END AS new_sess
+           FROM e),
+         g AS (
+           SELECT *, CAST(SUM(new_sess) OVER
+             (PARTITION BY user_id ORDER BY ts_us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS session_id
+           FROM f)
+         SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+         FROM g GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
+    "q_sample_hash" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+         WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+         ORDER BY o_orderkey"""
   )
 }

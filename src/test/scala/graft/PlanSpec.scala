@@ -54,6 +54,15 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("q_range_join: inequality join broadcasts the O(1) band dim") {
+    val plan = planNoAutoBroadcast("q_range_join")
+    // the band table is SF-invariant, so the explicit broadcast survives
+    // even with auto-broadcast off; an un-broadcast inequality join would
+    // plan a cartesian product — the scale-killer shape
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q5_join: fixed-size dims broadcast, fact joins shuffle") {
     val plan = planNoAutoBroadcast("q5_join")
     // nation/region are SF-invariant → their hints survive
