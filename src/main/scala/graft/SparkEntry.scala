@@ -1139,6 +1139,50 @@ object SparkEntry {
       .select(col("o_orderkey"), col("o_custkey"))
       .orderBy("o_orderkey")
 
+  /** MERGE/upsert over immutable storage (ops/Merge.upsert): base
+    * snapshot ∪ change set, highest version wins per key — one max_by
+    * hash aggregation, no window sort, no self-join. Every 10th order
+    * gets a priced-up v2 row; the oracle replays the merge with
+    * union + QUALIFY row_number.
+    */
+  private def qMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = tbl(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+        lit(1L).as("version"))
+    val updates = base.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("price_cents", col("price_cents") + 500L)
+      .withColumn("version", lit(2L))
+    graft.ops.Merge.upsert(base, updates, Seq("o_orderkey"), "version")
+      .orderBy("o_orderkey")
+  }
+
+  /** TF-IDF top-3 terms per document — explode → tf/df aggregations →
+    * scalar doc count (broadcast) → rank window. Ordering uses the
+    * ROUNDED score so FP last-ulp differences can't flip ranks between
+    * engines.
+    */
+  private def qTfidf(s: SparkSession, dir: String): DataFrame = {
+    val words = tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-zA-Z0-9_]+")).as("word"))
+      .filter(col("word") =!= "")
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = words.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val ndocs = tbl(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("word"))
+    tf.join(dfreq, "word")
+      .crossJoin(broadcast(ndocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("word"), col("tfidf"))
+      .orderBy("doc_id", "rk")
+  }
+
   /** JSON scalar surface: construct a JSON document per row, extract
     * typed fields back out (get_json_object path expressions).
     */
@@ -1226,7 +1270,9 @@ object SparkEntry {
     "q_full_outer" -> qFullOuter,
     "q_json_funcs" -> qJsonFuncs,
     "events_stream_sessions" -> qEventsStreamSessions,
-    "q_sample_hash" -> qSampleHash
+    "q_sample_hash" -> qSampleHash,
+    "q_merge_upsert" -> qMergeUpsert,
+    "q_tfidf" -> qTfidf
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1769,6 +1815,36 @@ object SparkEntry {
     "q_sample_hash" ->
       """SELECT o_orderkey, o_custkey FROM orders
          WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
-         ORDER BY o_orderkey"""
+         ORDER BY o_orderkey""",
+    "q_merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             CAST(1 AS BIGINT) AS version
+           FROM orders),
+         upd AS (SELECT o_orderkey, o_custkey, price_cents + 500,
+             CAST(2 AS BIGINT)
+           FROM base WHERE o_orderkey % 10 = 0),
+         a AS (SELECT * FROM base UNION ALL SELECT * FROM upd)
+         SELECT o_orderkey, o_custkey, price_cents, version FROM a
+         QUALIFY row_number() OVER
+           (PARTITION BY o_orderkey ORDER BY version DESC) = 1
+         ORDER BY o_orderkey""",
+    "q_tfidf" ->
+      """WITH w AS (
+           SELECT doc_id, unnest(list_filter(
+             regexp_split_to_array(lower(text), '[^a-zA-Z0-9_]+'),
+             x -> x <> '')) AS word
+           FROM documents),
+         tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+         df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         x AS (SELECT tf.doc_id, tf.word,
+             round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+           FROM tf JOIN df USING (word) CROSS JOIN n)
+         SELECT doc_id, CAST(rk AS INTEGER) AS rk, word, tfidf FROM (
+           SELECT *, row_number() OVER
+             (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rk
+           FROM x)
+         WHERE rk <= 3 ORDER BY doc_id, rk"""
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Compaction, Dedup, Merge, Multimodal, Similarity, TextAnalysis}
 
 /** Extension-operator specs: dedup recall/precision, ANN recall vs
   * brute force, multimodal plumbing shapes.
@@ -464,5 +464,43 @@ class OpsSpec extends AnyFunSuite {
       .collect()
     assert(frames.length == 6)
     assert(frames.map(_.getLong(0)).distinct.sorted.sameElements(Array(1L, 2L)))
+  }
+
+  test("merge upsert: updates win, inserts land, untouched rows survive; deletes drop keys") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L))
+      .toDF("id", "v", "version")
+    val updates = Seq((2L, "b2", 2L), (4L, "d", 2L)) // update + insert
+      .toDF("id", "v", "version")
+    val merged = Merge.upsert(base, updates, Seq("id"), "version")
+      .orderBy("id").collect()
+    assert(merged.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b2"), (3L, "c"), (4L, "d")))
+    // merge plans a single aggregation, not a window sort or self-join
+    val plan = Merge.upsert(base, updates, Seq("id"), "version")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Join"), plan)
+    val deleted = Merge.applyDeletes(base, Seq(Tuple1(2L)).toDF("id"), Seq("id"))
+    assert(deleted.select("id").as[Long].collect().sorted.sameElements(Array(1L, 3L)))
+  }
+
+  test("compaction: many small files rewritten to the byte-sized target count") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact")
+    val in = s"$dir/in"
+    val out = s"$dir/out"
+    // 64 tiny files
+    (1 to 4096).map(i => (i.toLong, s"row $i")).toDF("id", "s")
+      .repartition(64).write.parquet(in)
+    val inFiles = new java.io.File(in).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(inFiles == 64)
+    val n = Compaction.compact(spark, in, out, targetBytes = 1L << 20)
+    val outFiles = new java.io.File(out).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(outFiles == n && n < 8, s"expected few big files, got $n")
+    assert(spark.read.parquet(out).count() == 4096)
+    // sorted rewrite: files carry disjoint-ish id ranges for footer pruning
+    val outSorted = s"$dir/out_sorted"
+    Compaction.compactSorted(spark, in, outSorted, Seq("id"), targetBytes = 1L << 18)
+    assert(spark.read.parquet(outSorted).count() == 4096)
   }
 }
