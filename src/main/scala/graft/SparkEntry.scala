@@ -789,6 +789,25 @@ object SparkEntry {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Near-dup CLUSTERING: the step downstream of pair generation every
+    * dedup pipeline needs — minhash pairs → distributed connected
+    * components (ops/ConnectedComponents: min-label propagation,
+    * converges in O(diameter) rounds) → one canonical keeper per
+    * component across ALL documents (singletons keep themselves). The
+    * oracle replays the components with a recursive-CTE transitive
+    * closure over the same brute-force pair set.
+    */
+  private def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+    val pairs = graft.ops.Dedup
+      .minHashPairs(docs, "doc_id", "text", threshold = 0.35)
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b")
+    graft.ops.ConnectedComponents
+      .canonicalize(docs, "doc_id", pairs, "doc_a", "doc_b")
+      .orderBy("doc_id")
+  }
+
   /** Brute-force cosine top-10 against the vec_id=0 vector (exact ANN
     * baseline; pure Column math, no UDF).
     */
@@ -1272,7 +1291,8 @@ object SparkEntry {
     "events_stream_sessions" -> qEventsStreamSessions,
     "q_sample_hash" -> qSampleHash,
     "q_merge_upsert" -> qMergeUpsert,
-    "q_tfidf" -> qTfidf
+    "q_tfidf" -> qTfidf,
+    "dedup_clusters" -> qDedupClusters
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1845,6 +1865,37 @@ object SparkEntry {
            SELECT *, row_number() OVER
              (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rk
            FROM x)
-         WHERE rk <= 3 ORDER BY doc_id, rk"""
+         WHERE rk <= 3 ORDER BY doc_id, rk""",
+    // transitive closure over the same brute-force pair set the
+    // dedup_minhash oracle derives; UNION (not UNION ALL) in the
+    // recursive term makes the closure terminate on cycles
+    "dedup_clusters" ->
+      """WITH RECURSIVE w AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)),
+               '[^a-zA-Z0-9_]+'), x -> x <> '') AS ws
+           FROM documents),
+         t AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(ws)-1, 2)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS tg
+           FROM w),
+         p AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM t a JOIN t b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE) /
+             (len(a.tg) + len(b.tg) - len(list_intersect(a.tg, b.tg))) >= 0.5),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+               UNION ALL SELECT doc_b, doc_a FROM p),
+         reach(id, r) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst),
+         comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+         SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS component,
+           coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
+         FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+         ORDER BY d.doc_id"""
   )
 }

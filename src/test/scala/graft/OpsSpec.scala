@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Compaction, Dedup, Merge, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Compaction, ConnectedComponents, Dedup, Merge, Multimodal, Similarity, TextAnalysis}
 
 /** Extension-operator specs: dedup recall/precision, ANN recall vs
   * brute force, multimodal plumbing shapes.
@@ -464,6 +464,24 @@ class OpsSpec extends AnyFunSuite {
       .collect()
     assert(frames.length == 6)
     assert(frames.map(_.getLong(0)).distinct.sorted.sameElements(Array(1L, 2L)))
+  }
+
+  test("connected components: chain + triangle collapse to min label; singletons keep themselves") {
+    import spark.implicits._
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), // 4-chain, reversed edge
+      (20L, 21L), (21L, 22L), (22L, 20L), // triangle
+      (30L, 31L)) // pair
+      .toDF("a", "b")
+    val comps = ConnectedComponents.components(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L, 31L -> 30L))
+    val docs = Seq(1L, 2L, 3L, 4L, 30L, 31L, 99L).toDF("doc_id")
+    val canon = ConnectedComponents
+      .canonicalize(docs, "doc_id", edges.filter(col("a") < 10), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(canon.toSet == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 1L, false), (30L, 30L, true), (31L, 31L, true), (99L, 99L, true)))
   }
 
   test("merge upsert: updates win, inserts land, untouched rows survive; deletes drop keys") {
