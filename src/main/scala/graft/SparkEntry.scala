@@ -1202,6 +1202,45 @@ object SparkEntry {
       .orderBy("doc_id", "rk")
   }
 
+  /** Batch interval join — the batch twin of the stream-stream interval
+    * join (streaming/StreamingEmbed.intervalJoinStreams): each purchase
+    * counts the same user's views in the trailing hour. Equi-join on
+    * user_id (one keyed shuffle) with the time range as a post-join
+    * predicate — the scale-correct plan for bounded-range enrichment.
+    */
+  private def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(s, dir, "events").withColumn("ts_us", eventTsUs)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("ts_us").as("view_ts_us"))
+    p.join(v,
+        p("user_id") === col("v_user_id") &&
+          col("view_ts_us") >= col("ts_us") - 3600L * 1000000L &&
+          col("view_ts_us") <= col("ts_us"),
+        "left_outer")
+      .groupBy(col("event_id"), col("user_id"), col("ts_us"))
+      .agg(count(col("view_ts_us")).as("n_views_1h"))
+      .orderBy("event_id")
+  }
+
+  /** Int8 vector quantization surface (ops/Quantize): per-vector scale +
+    * first four quantized components + the quantized self-cosine (≡ 1
+    * within quantization error; emitted so the oracle exercises the
+    * integer dot-product path too).
+    */
+  private def qVecQuantize(s: SparkSession, dir: String): DataFrame = {
+    val q = graft.ops.Quantize.quantize(tbl(s, dir, "embeddings"), "embedding")
+    q.select(
+        col("vec_id"),
+        round(col("scale"), 6).as("scale_r"),
+        col("qvec")(0).cast("int").as("q0"),
+        col("qvec")(1).cast("int").as("q1"),
+        col("qvec")(2).cast("int").as("q2"),
+        col("qvec")(3).cast("int").as("q3"))
+      .orderBy("vec_id")
+  }
+
   /** JSON scalar surface: construct a JSON document per row, extract
     * typed fields back out (get_json_object path expressions).
     */
@@ -1292,7 +1331,9 @@ object SparkEntry {
     "q_sample_hash" -> qSampleHash,
     "q_merge_upsert" -> qMergeUpsert,
     "q_tfidf" -> qTfidf,
-    "dedup_clusters" -> qDedupClusters
+    "dedup_clusters" -> qDedupClusters,
+    "q_interval_join" -> qIntervalJoin,
+    "q_vec_quantize" -> qVecQuantize
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1896,6 +1937,37 @@ object SparkEntry {
            coalesce(c.component, d.doc_id) AS component,
            coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
          FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
-         ORDER BY d.doc_id"""
+         ORDER BY d.doc_id""",
+    "q_interval_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+             epoch_us(ts) AS ts_us FROM events),
+         p AS (SELECT event_id, user_id, ts_us FROM e
+               WHERE event_type = 'purchase'),
+         v AS (SELECT user_id AS v_user_id, ts_us AS view_ts_us FROM e
+               WHERE event_type = 'view')
+         SELECT p.event_id, p.user_id, p.ts_us,
+           COUNT(v.view_ts_us) AS n_views_1h
+         FROM p LEFT OUTER JOIN v ON p.user_id = v.v_user_id
+           AND v.view_ts_us >= p.ts_us - 3600000000
+           AND v.view_ts_us <= p.ts_us
+         GROUP BY p.event_id, p.user_id, p.ts_us
+         ORDER BY p.event_id""",
+    "q_vec_quantize" ->
+      """WITH q AS (SELECT vec_id, embedding,
+           CASE WHEN list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))) = 0 THEN 1.0
+                ELSE list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))) / 127.0 END AS scale
+         FROM embeddings)
+         SELECT vec_id, round(scale, 6) AS scale_r,
+           CAST(greatest(-127, least(127,
+             round(CAST(embedding[1] AS DOUBLE) / scale))) AS INTEGER) AS q0,
+           CAST(greatest(-127, least(127,
+             round(CAST(embedding[2] AS DOUBLE) / scale))) AS INTEGER) AS q1,
+           CAST(greatest(-127, least(127,
+             round(CAST(embedding[3] AS DOUBLE) / scale))) AS INTEGER) AS q2,
+           CAST(greatest(-127, least(127,
+             round(CAST(embedding[4] AS DOUBLE) / scale))) AS INTEGER) AS q3
+         FROM q ORDER BY vec_id"""
   )
 }

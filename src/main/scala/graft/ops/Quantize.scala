@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Int8 vector quantization — the standard storage/bandwidth lever for
+  * embedding corpora at 100 TB: a 768-dim float32 vector (3 KB) becomes
+  * 768 bytes + one float scale (4× smaller at rest AND on the shuffle
+  * wire), while cosine rankings survive within ~1% error (spec-bounded).
+  *
+  * Symmetric per-vector scheme: scale = max|x| / 127, q_i =
+  * round(x_i / scale) ∈ [-127, 127]. Everything is pure Column
+  * expressions (higher-order array functions) — codegen'd, no UDF, and
+  * exactly reproducible in the DuckDB oracle.
+  */
+object Quantize {
+
+  private def maxAbs(vec: Column): Column =
+    array_max(transform(vec, x => abs(x.cast("double"))))
+
+  /** Per-vector scale; 0-vectors get scale 1 so q = 0 (not NaN). */
+  def scaleOf(vec: Column): Column = {
+    val m = maxAbs(vec)
+    when(m === 0.0, lit(1.0)).otherwise(m / 127.0)
+  }
+
+  /** ARRAY<TINYINT> quantized vector. */
+  def quantizeVec(vec: Column, scale: Column): Column =
+    transform(vec, x =>
+      greatest(lit(-127), least(lit(127),
+        round(x.cast("double") / scale).cast("int"))).cast("tinyint"))
+
+  /** ARRAY<FLOAT> reconstruction. */
+  def dequantizeVec(qvec: Column, scale: Column): Column =
+    transform(qvec, q => (q.cast("double") * scale).cast("float"))
+
+  /** Cosine between two quantized vectors. The per-vector scales cancel
+    * out of the cosine, so this is pure integer arithmetic until the
+    * final division; the long accumulator is exact (|sum| ≤ dim · 127²),
+    * so error comes only from the quantization itself.
+    */
+  def cosineQ(qa: Column, qb: Column): Column = {
+    def dot(u: Column, v: Column): Column =
+      aggregate(zip_with(u, v, (x, y) => (x.cast("long") * y.cast("long"))),
+        lit(0L), (acc, x) => acc + x).cast("double")
+    dot(qa, qb) / sqrt(dot(qa, qa)) / sqrt(dot(qb, qb))
+  }
+
+  /** Attach (scale, qvec) columns for `vecCol`. */
+  def quantize(df: DataFrame, vecCol: String): DataFrame = {
+    val s = scaleOf(col(vecCol))
+    df.withColumn("scale", s)
+      .withColumn("qvec", quantizeVec(col(vecCol), col("scale")))
+  }
+}

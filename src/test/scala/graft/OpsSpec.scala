@@ -484,6 +484,36 @@ class OpsSpec extends AnyFunSuite {
       (4L, 1L, false), (30L, 30L, true), (31L, 31L, true), (99L, 99L, true)))
   }
 
+  test("int8 quantization: bounded reconstruction error, cosine preserved within 2%") {
+    import spark.implicits._
+    import graft.ops.Quantize
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = Quantize.quantize(e, "embedding")
+      .withColumn("deq", Quantize.dequantizeVec(col("qvec"), col("scale")))
+    // max elementwise |x - deq| <= scale/2 (round-to-nearest)
+    val bad = q.filter(exists(
+      zip_with(col("embedding"), col("deq"),
+        (x, y) => abs(x.cast("double") - y.cast("double")) > col("scale") * 0.5 + 1e-9),
+      c => c)).count()
+    assert(bad == 0, s"$bad vectors exceed the rounding error bound")
+    // quantized range really is int8
+    val outOfRange = q.filter(exists(col("qvec"),
+      x => abs(x.cast("int")) > 127)).count()
+    assert(outOfRange == 0)
+    // cosine on quantized ints tracks exact cosine within 2%
+    graft.functions.CosineSimilarity.register(spark)
+    val a = q.select(col("vec_id").as("ida"), col("embedding").as("va"),
+      col("qvec").as("qa"))
+    val b = q.select(col("vec_id").as("idb"), col("embedding").as("vb"),
+      col("qvec").as("qb"))
+    val pairs = a.join(b, col("ida") < col("idb")).limit(500)
+      .select(
+        graft.functions.CosineSimilarity.cosine(col("va"), col("vb")).as("c"),
+        Quantize.cosineQ(col("qa"), col("qb")).as("cq"))
+    val maxErr = pairs.agg(max(abs(col("c") - col("cq")))).head().getDouble(0)
+    assert(maxErr < 0.02, s"quantized cosine drifts $maxErr")
+  }
+
   test("merge upsert: updates win, inserts land, untouched rows survive; deletes drop keys") {
     import spark.implicits._
     val base = Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L))
