@@ -808,6 +808,34 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** The END-TO-END training-data prep pipeline in one plan — what a
+    * user actually runs over a crawl: near-dup clustering keeps one
+    * canonical doc per component, then language + quality gates, then
+    * the token count the chunker budgets against. Composes
+    * Dedup.minHashPairs → ConnectedComponents.canonicalize →
+    * TextAnalysis.{langId, qualityScore, tokenCountBpeish}; the oracle
+    * replays every stage in DuckDB (recursive-CTE closure + list
+    * algebra).
+    */
+  private def qPipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+    val pairs = graft.ops.Dedup
+      .minHashPairs(docs, "doc_id", "text", threshold = 0.35)
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b")
+    val canon = graft.ops.ConnectedComponents
+      .canonicalize(docs, "doc_id", pairs, "doc_a", "doc_b")
+    docs.join(canon, "doc_id")
+      .filter(col("is_canonical"))
+      .withColumn("lang_pred", graft.ops.TextAnalysis.langId(col("text")))
+      .withColumn("quality", graft.ops.TextAnalysis.qualityScore(col("text")))
+      .filter(col("lang_pred") === "en" && col("quality") >= 0.5)
+      .select(col("doc_id"), col("quality"),
+        graft.ops.TextAnalysis.tokenCountBpeish(col("text"))
+          .as("n_tokens_bpeish"))
+      .orderBy("doc_id")
+  }
+
   /** Brute-force cosine top-10 against the vec_id=0 vector (exact ANN
     * baseline; pure Column math, no UDF).
     */
@@ -1333,7 +1361,8 @@ object SparkEntry {
     "q_tfidf" -> qTfidf,
     "dedup_clusters" -> qDedupClusters,
     "q_interval_join" -> qIntervalJoin,
-    "q_vec_quantize" -> qVecQuantize
+    "q_vec_quantize" -> qVecQuantize,
+    "pipeline_e2e" -> qPipelineE2e
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1968,6 +1997,75 @@ object SparkEntry {
              round(CAST(embedding[3] AS DOUBLE) / scale))) AS INTEGER) AS q2,
            CAST(greatest(-127, least(127,
              round(CAST(embedding[4] AS DOUBLE) / scale))) AS INTEGER) AS q3
-         FROM q ORDER BY vec_id"""
+         FROM q ORDER BY vec_id""",
+    // every stage of the e2e prep pipeline replayed: brute-force pair set
+    // → recursive-closure components → canonical keep → stopword lang ID
+    // → quality ratio → BPE-ish token count
+    "pipeline_e2e" ->
+      """WITH RECURSIVE w AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)),
+               '[^a-zA-Z0-9_]+'), x -> x <> '') AS ws
+           FROM documents),
+         t AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(ws)-1, 2)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS tg
+           FROM w),
+         p AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM t a JOIN t b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE) /
+             (len(a.tg) + len(b.tg) - len(list_intersect(a.tg, b.tg))) >= 0.5),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+               UNION ALL SELECT doc_b, doc_a FROM p),
+         reach(id, r) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst),
+         comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         keep AS (
+           SELECT d.doc_id, d.text FROM documents d
+           LEFT JOIN comp c ON d.doc_id = c.id
+           WHERE coalesce(c.component, d.doc_id) = d.doc_id),
+         h AS (
+           SELECT doc_id, text,
+             len(list_filter(regexp_split_to_array(lower(trim(text)),
+               '[^a-zA-Z0-9_]+'), x -> list_contains(
+               ['der','die','das','und','ist','nicht','von','mit','ein','zu'], x))) AS de_h,
+             len(list_filter(regexp_split_to_array(lower(trim(text)),
+               '[^a-zA-Z0-9_]+'), x -> list_contains(
+               ['the','and','of','to','in','is','that','for','with','a'], x))) AS en_h,
+             len(list_filter(regexp_split_to_array(lower(trim(text)),
+               '[^a-zA-Z0-9_]+'), x -> list_contains(
+               ['el','la','los','las','es','y','de','que','en','por'], x))) AS es_h,
+             len(list_filter(regexp_split_to_array(lower(trim(text)),
+               '[^a-zA-Z0-9_]+'), x -> list_contains(
+               ['le','la','les','et','est','que','des','dans','pour','une'], x))) AS fr_h
+           FROM keep),
+         lq AS (
+           SELECT doc_id, text,
+             CASE WHEN greatest(de_h, en_h, es_h, fr_h) = 0 THEN 'und'
+                  WHEN fr_h >= es_h AND fr_h >= en_h AND fr_h >= de_h THEN 'fr'
+                  WHEN es_h >= en_h AND es_h >= de_h THEN 'es'
+                  WHEN en_h >= de_h THEN 'en'
+                  ELSE 'de' END AS lang_pred,
+             round((least(1.0, CAST(length(text) AS DOUBLE) / 500.0)
+               + least(1.0, CAST(len(regexp_split_to_array(trim(text),
+                   '[ \t\n]+')) AS DOUBLE) / 80.0)
+               + CASE WHEN length(text) = 0 THEN 0.0
+                      ELSE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                        AS DOUBLE) / CAST(length(text) AS DOUBLE) END) / 3.0,
+               6) AS quality
+           FROM h)
+         SELECT doc_id, quality,
+           CAST(coalesce(list_sum(list_transform(
+               regexp_extract_all(text, '[A-Za-z0-9_]+'),
+               r -> CAST(ceil(length(r) / 4.0) AS BIGINT))), 0)
+             + length(regexp_replace(text, '[A-Za-z0-9_ \t\n\r\f\x0B]',
+                 '', 'g'))
+             AS INTEGER) AS n_tokens_bpeish
+         FROM lq WHERE lang_pred = 'en' AND quality >= 0.5
+         ORDER BY doc_id"""
   )
 }
