@@ -836,6 +836,18 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Fuzzy self-join: customers whose names differ by at most one edit
+    * (ops/FuzzyJoin — exact-recall symmetric-delete blocking + banded
+    * levenshtein verify). The oracle brute-forces all pairs; the Spark
+    * side never does.
+    */
+  private def qDedupFuzzy(s: SparkSession, dir: String): DataFrame =
+    graft.ops.FuzzyJoin
+      .pairsWithin1(
+        tbl(s, dir, "customer").select(col("c_custkey"), col("c_name")),
+        "c_custkey", "c_name")
+      .orderBy("id_a", "id_b")
+
   /** Brute-force cosine top-10 against the vec_id=0 vector (exact ANN
     * baseline; pure Column math, no UDF).
     */
@@ -1362,7 +1374,8 @@ object SparkEntry {
     "dedup_clusters" -> qDedupClusters,
     "q_interval_join" -> qIntervalJoin,
     "q_vec_quantize" -> qVecQuantize,
-    "pipeline_e2e" -> qPipelineE2e
+    "pipeline_e2e" -> qPipelineE2e,
+    "dedup_fuzzy" -> qDedupFuzzy
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2066,6 +2079,14 @@ object SparkEntry {
                  '', 'g'))
              AS INTEGER) AS n_tokens_bpeish
          FROM lq WHERE lang_pred = 'en' AND quality >= 0.5
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+    // brute-force all-pairs — feasible at oracle scale only; the Spark
+    // side blocks on delete-1 neighborhoods (recall 1.0 by construction)
+    "dedup_fuzzy" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS lev
+         FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+         WHERE levenshtein(a.c_name, b.c_name) <= 1
+         ORDER BY id_a, id_b"""
   )
 }

@@ -514,6 +514,52 @@ class OpsSpec extends AnyFunSuite {
     assert(maxErr < 0.02, s"quantized cosine drifts $maxErr")
   }
 
+  test("fuzzy join: delete-1 blocking finds exactly the brute-force lev<=1 pairs") {
+    import spark.implicits._
+    import graft.ops.FuzzyJoin
+    val names = Seq(
+      (1L, "Customer#001"), (2L, "Customer#002"), // sub at last char
+      (3L, "Customer#0021"), // insertion vs 2
+      (4L, "Custmer#002"), // deletion vs 2
+      (5L, "Totally different"), (6L, "Customer#001")) // exact dup of 1
+      .toDF("id", "name")
+    val got = FuzzyJoin.pairsWithin1(names, "id", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the same rows
+    val all = names.collect().map(r => (r.getLong(0), r.getString(1)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, sa) <- all; (ib, sb) <- all if ia < ib if lev(sa, sb) <= 1
+    } yield (ia, ib)).toSet
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("approx percentile within rank error of exact; CMS overestimates by at most eps*n") {
+    val l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val Array(exact, approx) = l
+      .select(expr("percentile(l_quantity, 0.5)"),
+        expr("approx_percentile(l_quantity, 0.5, 100)"))
+      .head().toSeq.map(_.toString.toDouble).toArray
+    // accuracy=100 → rank error 1%; quantity is 1..50 so value slack is small
+    assert(math.abs(exact - approx) <= 2.0, s"exact $exact approx $approx")
+    val n = l.count()
+    val lq = l.select(col("l_quantity").cast("long").as("q"))
+    val cms = lq.stat.countMinSketch(col("q"), eps = 0.01,
+      confidence = 0.99, seed = 42)
+    val exactCnt = lq.filter(col("q") === 25L).count()
+    val est = cms.estimateCount(25L)
+    assert(est >= exactCnt, "CMS never underestimates")
+    assert(est <= exactCnt + (0.01 * n).toLong + 1,
+      s"CMS overestimate $est vs $exactCnt beyond eps*n")
+  }
+
   test("merge upsert: updates win, inserts land, untouched rows survive; deletes drop keys") {
     import spark.implicits._
     val base = Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L))
