@@ -1227,8 +1227,11 @@ object SparkEntry {
         explode(split(lower(col("text")), "[^a-zA-Z0-9_]+")).as("word"))
       .filter(col("word") =!= "")
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val dfreq = words.select("doc_id", "word").distinct()
-      .groupBy("word").agg(count(lit(1)).as("df"))
+    // df derived FROM tf (its rows are exactly the distinct (doc, word)
+    // pairs): both consumers share the tf aggregation subtree, so Spark
+    // plans the expensive explode+aggregate ONCE (ReusedExchange) instead
+    // of exploding the corpus twice
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val ndocs = tbl(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tfidf").desc, col("word"))
