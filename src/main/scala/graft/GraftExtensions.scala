@@ -29,5 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // DataFrame API also self-registers via experimental strategies for
     // sessions built without extensions
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // bounded edit-distance comparisons run banded (O(k·n), early exit)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteBandedLevenshtein)
   }
 }

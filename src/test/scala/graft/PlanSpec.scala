@@ -54,6 +54,28 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("banded levenshtein rewrite: bounded comparisons get the threshold form, results unchanged") {
+    // parquet-backed input so constant folding can't evaluate the filter
+    // at plan time (a literal LocalRelation would)
+    val df = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_name").as("a"), col("c_mktsegment").as("b"))
+    val plain = df.filter(levenshtein(col("a"), col("b")) <= 12).count()
+    spark.experimental.extraOptimizations =
+      Seq(graft.plans.RewriteBandedLevenshtein)
+    try {
+      val q = df.filter(levenshtein(col("a"), col("b")) <= 12)
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(opt.contains("Some(12)) >= 0"), s"rule did not fire:\n$opt")
+      assert(q.count() == plain)
+      val q2 = df.filter(levenshtein(col("a"), col("b")) < 13)
+      assert(q2.queryExecution.optimizedPlan.toString.contains("Some(12)) >= 0"))
+      assert(q2.count() == plain)
+      // out-of-scope shape untouched: negative bound never matches
+      val q3 = df.filter(levenshtein(col("a"), col("b")) <= -1)
+      assert(!q3.queryExecution.optimizedPlan.toString.contains(">= 0"))
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("q_range_join: inequality join broadcasts the O(1) band dim") {
     val plan = planNoAutoBroadcast("q_range_join")
     // the band table is SF-invariant, so the explicit broadcast survives
