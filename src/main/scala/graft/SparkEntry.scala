@@ -1284,6 +1284,38 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  /** Ordered string aggregation (listagg WITHIN GROUP — deterministic by
+    * construction, unlike bare listagg whose concat order is
+    * partitioning-dependent).
+    */
+  private def qStringAgg(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("listagg(DISTINCT o_orderstatus, ',') " +
+          "WITHIN GROUP (ORDER BY o_orderstatus)").as("statuses"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  /** Stratified deterministic sampling: per-stratum rates (4/16 for 'A',
+    * 8/16 for 'N', 2/16 for 'R') decided by a content-hash digit of the
+    * unique row key — reproducible across engines/partitionings, counted
+    * against stratum totals in one pass (no second scan).
+    */
+  private def qSampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val digit = substring(md5(concat(col("l_orderkey").cast("string"),
+      lit("#"), col("l_linenumber").cast("string"))), 1, 1)
+    val cutoff = when(col("l_returnflag") === "A", lit("3"))
+      .when(col("l_returnflag") === "N", lit("7"))
+      .otherwise(lit("1"))
+    tbl(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(when(digit <= cutoff, 1)).as("n_sampled"),
+        count(lit(1)).as("n_total"))
+      .orderBy("l_returnflag")
+  }
+
   /** JSON scalar surface: construct a JSON document per row, extract
     * typed fields back out (get_json_object path expressions).
     */
@@ -1378,7 +1410,9 @@ object SparkEntry {
     "q_interval_join" -> qIntervalJoin,
     "q_vec_quantize" -> qVecQuantize,
     "pipeline_e2e" -> qPipelineE2e,
-    "dedup_fuzzy" -> qDedupFuzzy
+    "dedup_fuzzy" -> qDedupFuzzy,
+    "q_string_agg" -> qStringAgg,
+    "q_sample_stratified" -> qSampleStratified
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2090,6 +2124,21 @@ object SparkEntry {
            CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS lev
          FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
          WHERE levenshtein(a.c_name, b.c_name) <= 1
-         ORDER BY id_a, id_b"""
+         ORDER BY id_a, id_b""",
+    "q_string_agg" ->
+      """SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+             AS statuses,
+           COUNT(*) AS n
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_sample_stratified" ->
+      """SELECT l_returnflag,
+           COUNT(CASE WHEN substring(md5(CAST(l_orderkey AS VARCHAR) || '#'
+               || CAST(l_linenumber AS VARCHAR)), 1, 1) <=
+               CASE l_returnflag WHEN 'A' THEN '3' WHEN 'N' THEN '7'
+                    ELSE '1' END
+             THEN 1 END) AS n_sampled,
+           COUNT(*) AS n_total
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }
