@@ -73,6 +73,26 @@ object StreamingEmbed {
         col(s"r_$tsCol") <= col(tsCol))
   }
 
+  /** Exactly-once foreachBatch sink wrapper: Structured Streaming
+    * guarantees at-least-once delivery to foreachBatch — after a crash
+    * between sink write and checkpoint commit, the SAME batchId is
+    * replayed. Real deployments make the write idempotent by recording
+    * the committed batchId transactionally with the data; this wrapper
+    * is the in-process form of that high-water-mark guard (monotonic
+    * batchIds per query), so a replayed batch is a no-op instead of a
+    * double-count.
+    */
+  def idempotentSink(
+      handle: (DataFrame, Long) => Unit
+  ): (DataFrame, Long) => Unit = {
+    val committed = new java.util.concurrent.atomic.AtomicLong(-1L)
+    (df, id) =>
+      if (id > committed.get) {
+        handle(df, id)
+        committed.set(id)
+      }
+  }
+
   /** Per-user session accumulator carried across micro-batches: O(1)
     * state per key regardless of stream length.
     */

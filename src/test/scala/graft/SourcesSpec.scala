@@ -43,4 +43,34 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.collect().map(r => (r.getLong(0), r.getInt(1))).toSet ==
       docs.collect().map(r => (r.getLong(0), r.getInt(1))).toSet)
   }
+
+  test("corrupt JSON records: PERMISSIVE quarantines bad rows, FAILFAST raises") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_badjson")
+    java.nio.file.Files.writeString(dir.resolve("part-0.json"),
+      """{"doc_id": 1, "text": "good row"}
+        |{"doc_id": 2 "text": "missing comma"}
+        |{"doc_id": 3, "text": "another good row"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("_corrupt_record", StringType)))
+    // PERMISSIVE (default): bad line lands in _corrupt_record, good rows parse
+    val permissive = spark.read.schema(schema)
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir.toString).cache()
+    assert(permissive.filter(col("_corrupt_record").isNotNull).count() == 1)
+    assert(permissive.filter(col("_corrupt_record").isNull)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 3L)))
+    // FAILFAST: the same file is a hard error (ingest gate for pipelines
+    // that must not silently drop data)
+    val failed = intercept[org.apache.spark.SparkException] {
+      spark.read.schema(StructType(schema.dropRight(1)))
+        .option("mode", "FAILFAST").json(dir.toString).collect()
+    }
+    val chain = Iterator.iterate(failed: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(chain.toLowerCase.contains("malformed"), chain)
+  }
 }

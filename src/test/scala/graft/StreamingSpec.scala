@@ -238,4 +238,20 @@ class StreamingSpec extends AnyFunSuite {
       assert(seen.toSet == Set(5L))
     } finally q.stop()
   }
+
+  test("idempotent sink: a replayed batchId is a no-op, not a double-count") {
+    import spark.implicits._
+    var total = 0L
+    val sink = StreamingEmbed.idempotentSink { (df, _) =>
+      total += df.count()
+    }
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    sink(batch, 0L)
+    sink(batch, 0L) // crash-replay of the same micro-batch
+    assert(total == 2L, s"replay double-counted: $total")
+    sink(batch, 1L) // next batch lands normally
+    assert(total == 4L)
+    sink(batch, 0L) // stale replay after progress is also dropped
+    assert(total == 4L)
+  }
 }
