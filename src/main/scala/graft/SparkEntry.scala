@@ -1141,6 +1141,69 @@ object SparkEntry {
       .orderBy("custkey")
   }
 
+  /** Hopping windows computed BY A REAL STREAMING QUERY — together with
+    * the tumbling and session twins, all three event-window types run
+    * under Structured Streaming against the same batch oracles. Same
+    * update-mode foreachBatch upsert shape as the tumbling twin; each
+    * event lands in 2 overlapping 1h windows (30min hop).
+    */
+  private def qEventsStreamHopping(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val schema = tbl(s, dir, "events").schema
+    val stream = s.readStream.schema(schema)
+      .parquet(eventsStreamDir(dir).toString)
+      .withColumn("ts_event", timestamp_micros(eventTsUs))
+      .withWatermark("ts_event", "1 hour")
+      .groupBy(window(col("ts_event"), "1 hour", "30 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"))
+    val state =
+      new java.util.concurrent.ConcurrentHashMap[(Long, String), Long]()
+    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = stream.writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.collect().foreach { r =>
+            state.put((r.getLong(0), r.getString(1)), r.getLong(2))
+          }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+    import scala.jdk.CollectionConverters._
+    state.asScala.toSeq
+      .map { case ((w, e), n) => (w, e, n) }
+      .toDF("window_start_us", "event_type", "n")
+      .orderBy("window_start_us", "event_type")
+  }
+
+  /** NULL-semantics surface: aggregation null-skipping (count(col) vs
+    * count(*)), null-safe equality, NULLIF/COALESCE, and null grouping
+    * keys — exercised through the outer join's generated nulls.
+    */
+  private def qNullSemantics(s: SparkSession, dir: String): DataFrame = {
+    val c = tbl(s, dir, "customer")
+    val o = tbl(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("o_orderkey")).as("n_orders_nonnull"),
+        count(when(col("o_orderkey").isNull, 1)).as("n_null"),
+        count(when(col("o_orderstatus") <=> lit("F"), 1)).as("n_f_nullsafe"),
+        count(nullif(col("o_orderpriority"), lit("1-URGENT")))
+          .as("n_not_urgent"),
+        min(coalesce(col("o_orderstatus"), lit("~none~"))).as("min_status"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Sessionization computed BY A REAL STREAMING QUERY with CUSTOM STATE
     * (streaming/StreamingEmbed.sessionizeStream — flatMapGroupsWithState,
     * O(1) state per user): the streaming twin of `events_sessions`,
@@ -1412,7 +1475,9 @@ object SparkEntry {
     "pipeline_e2e" -> qPipelineE2e,
     "dedup_fuzzy" -> qDedupFuzzy,
     "q_string_agg" -> qStringAgg,
-    "q_sample_stratified" -> qSampleStratified
+    "q_sample_stratified" -> qSampleStratified,
+    "events_stream_hopping" -> qEventsStreamHopping,
+    "q_null_semantics" -> qNullSemantics
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2139,6 +2204,28 @@ object SparkEntry {
                     ELSE '1' END
              THEN 1 END) AS n_sampled,
            COUNT(*) AS n_total
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // same truth as the batch events_hopping — the third streaming window
+    // type checked against its batch oracle
+    "events_stream_hopping" ->
+      """WITH e AS (
+           SELECT epoch_us(ts) AS ts_us, event_type,
+             unnest([0, 1]) AS hop
+           FROM events)
+         SELECT (ts_us - (ts_us % 1800000000) - hop * 1800000000)
+             AS window_start_us,
+           event_type, COUNT(*) AS n
+         FROM e GROUP BY 1, 2 ORDER BY window_start_us, event_type""",
+    "q_null_semantics" ->
+      """SELECT c_mktsegment,
+           COUNT(*) AS n_rows,
+           COUNT(o_orderkey) AS n_orders_nonnull,
+           COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_null,
+           COUNT(CASE WHEN o_orderstatus IS NOT DISTINCT FROM 'F' THEN 1 END)
+             AS n_f_nullsafe,
+           COUNT(NULLIF(o_orderpriority, '1-URGENT')) AS n_not_urgent,
+           MIN(COALESCE(o_orderstatus, '~none~')) AS min_status
+         FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment"""
   )
 }
