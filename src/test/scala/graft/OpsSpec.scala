@@ -560,6 +560,29 @@ class OpsSpec extends AnyFunSuite {
       s"CMS overestimate $est vs $exactCnt beyond eps*n")
   }
 
+  test("ANN over int8-quantized vectors: top-10 recall >= 0.8 vs float brute force") {
+    import graft.ops.Quantize
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    graft.functions.CosineSimilarity.register(spark)
+    val qv = e.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+    val exact = graft.ops.Similarity
+      .bruteForceTopK(e, "vec_id", "embedding", qv, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // quantize corpus AND query, rank by integer-dot cosine
+    val q = Quantize.quantize(e, "embedding")
+    val qq = Quantize.quantize(
+      e.filter(col("vec_id") === 0).select(col("embedding")), "embedding")
+      .select(col("qvec")).head().getAs[scala.collection.Seq[Byte]](0)
+    val qLit = array(qq.toSeq.map(b => lit(b.toInt)): _*)
+    val approx = q
+      .withColumn("cq", Quantize.cosineQ(col("qvec"), qLit))
+      .orderBy(col("cq").desc, col("vec_id"))
+      .limit(10).select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(approx).size / 10.0
+    assert(recall >= 0.8, s"quantized ANN recall $recall")
+  }
+
   test("merge upsert: updates win, inserts land, untouched rows survive; deletes drop keys") {
     import spark.implicits._
     val base = Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L))
