@@ -22,7 +22,7 @@ object Bench {
     try {
       // bit_xor, not sum: summing 64-bit hashes overflows LongType under
       // ANSI mode (Spark 4 default) and would fail the job at runtime.
-      df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+      df.select(xxhash64(struct(df.columns.toSeq.map(col): _*)).as("h"))
         .agg(org.apache.spark.sql.functions.bit_xor(col("h"))).head()
     } catch {
       // xxhash64 rejects a few exotic types (e.g. MapType); fall back to

@@ -64,7 +64,7 @@ object AsOfJoin {
     }
     carried
       .filter(col("__side") === 1)
-      .select(leftCols.map(col) ++
+      .select(leftCols.toSeq.map(col) ++
         rightVals.map(c => col(s"asof_$c")): _*)
   }
 }

@@ -36,11 +36,11 @@ object Merge {
     require(updates.columns.sameElements(cols),
       "base and updates must share a schema")
     val all = base.unionByName(updates)
-    val payload = struct(cols.map(col): _*)
+    val payload = struct(cols.toSeq.map(col): _*)
     all
       .groupBy(keyCols.map(col): _*)
       .agg(max_by(payload, col(versionCol)).as("r"))
-      .select(cols.map(c => col(s"r.$c").as(c)): _*)
+      .select(cols.toSeq.map(c => col(s"r.$c").as(c)): _*)
   }
 
   /** Anti-join delete: rows of `base` whose key appears in `tombstones`

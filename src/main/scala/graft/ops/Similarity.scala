@@ -28,7 +28,7 @@ object Similarity {
     * same value without the per-row intermediate array.
     */
   def cosineCol(vec: Column, query: Array[Float]): Column = {
-    val q = array(query.map(v => lit(v.toDouble)): _*)
+    val q = array(query.toSeq.map(v => lit(v.toDouble)): _*)
     val dot = aggregate(
       zip_with(vec, q, (a, b) => a * b), lit(0.0d), (acc, x) => acc + x)
     val nv = sqrt(aggregate(
@@ -42,7 +42,7 @@ object Similarity {
   private def cosineNative(df: DataFrame, vec: Column, query: Array[Float]): Column = {
     graft.functions.CosineSimilarity.register(df.sparkSession)
     graft.functions.CosineSimilarity.cosine(
-      vec, array(query.map(lit(_)): _*))
+      vec, array(query.toSeq.map(lit(_)): _*))
   }
 
   /** Exact cosine top-k: narrow scan + TakeOrderedAndProject. */
@@ -133,7 +133,7 @@ object Similarity {
         bit_count(col("bucket").bitwiseXOR(lit(qBucket))) <= probeHamming)
       .select(col("vec_id"),
         graft.functions.CosineSimilarity.cosine(
-          col("v"), array(query.map(lit(_)): _*)).as("cosine"))
+          col("v"), array(query.toSeq.map(lit(_)): _*)).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
@@ -176,7 +176,7 @@ object Similarity {
       .filter(col("list_id").isin(qList: _*))
       .select(col("vec_id"),
         graft.functions.CosineSimilarity.cosine(
-          col("v"), array(query.map(lit(_)): _*)).as("cosine"))
+          col("v"), array(query.toSeq.map(lit(_)): _*)).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
@@ -227,7 +227,7 @@ object Similarity {
       .filter(col("list_id").isin(qLists: _*))
       .select(col("vec_id"),
         graft.functions.CosineSimilarity.cosine(
-          col("v"), array(query.map(lit(_)): _*)).as("cosine"))
+          col("v"), array(query.toSeq.map(lit(_)): _*)).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
