@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(CosineSimilarity.name),
       CosineSimilarity.info,
       CosineSimilarity.builder _))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.CosineSimilarityQ.name),
+      graft.functions.CosineSimilarityQ.info,
+      graft.functions.CosineSimilarityQ.builder _))
     // native as-of join planner rule (plans/AsOfJoinNative); the
     // DataFrame API also self-registers via experimental strategies for
     // sessions built without extensions

@@ -560,6 +560,28 @@ class OpsSpec extends AnyFunSuite {
       s"CMS overestimate $est vs $exactCnt beyond eps*n")
   }
 
+  test("native quantized cosine: matches HOF formulation, SQL-callable, codegen==interpreted") {
+    import spark.implicits._
+    import graft.ops.Quantize
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    graft.functions.CosineSimilarityQ.register(spark)
+    val q = Quantize.quantize(e, "embedding")
+    val a = q.select(col("vec_id").as("ida"), col("qvec").as("qa"))
+    val b = q.select(col("vec_id").as("idb"), col("qvec").as("qb"))
+    val pairs = a.join(b, col("ida") < col("idb")).limit(200)
+      .select(
+        graft.functions.CosineSimilarityQ.cosineQ(col("qa"), col("qb")).as("native"),
+        Quantize.cosineQ(col("qa"), col("qb")).as("hof"))
+    val maxDiff = pairs.agg(max(abs(col("native") - col("hof"))))
+      .head().getDouble(0)
+    assert(maxDiff < 1e-12, s"native vs HOF drift $maxDiff")
+    // SQL surface + interpreted path (codegen fallback) agree
+    q.limit(4).createOrReplaceTempView("qv")
+    val viaSql = spark.sql(
+      "SELECT graft_cosine_q(qvec, qvec) AS c FROM qv").collect().map(_.getDouble(0))
+    assert(viaSql.forall(c => math.abs(c - 1.0) < 1e-12), viaSql.mkString(","))
+  }
+
   test("ANN over int8-quantized vectors: top-10 recall >= 0.8 vs float brute force") {
     import graft.ops.Quantize
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
