@@ -35,5 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // bounded edit-distance comparisons run banded (O(k·n), early exit)
     ext.injectOptimizerRule(_ => graft.plans.RewriteBandedLevenshtein)
+    // strip user broadcast hints from relations above the configured
+    // ceiling (spark.sql.graft.broadcastGuard.maxBytes) — the 100 TB
+    // guard against hinted-fact-table OOMs
+    ext.injectOptimizerRule(_ => graft.plans.GuardOversizedBroadcast)
   }
 }

@@ -76,6 +76,30 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("broadcast guard: an oversized hinted side falls back to shuffle join") {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val l = spark.read.parquet(s"$sf/lineitem.parquet")
+    spark.experimental.extraOptimizations =
+      Seq(graft.plans.GuardOversizedBroadcast)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // no ceiling configured → the hint is honored
+      val hinted = l.join(broadcast(o), l("l_orderkey") === o("o_orderkey"))
+      assert(hinted.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      // ceiling below orders' file size → hint stripped, shuffle join
+      spark.conf.set(graft.plans.GuardOversizedBroadcast.ConfKey, "1024")
+      val guarded = l.join(broadcast(o), l("l_orderkey") === o("o_orderkey"))
+      val plan = guarded.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), plan)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+    } finally {
+      spark.conf.unset(graft.plans.GuardOversizedBroadcast.ConfKey)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("q_range_join: inequality join broadcasts the O(1) band dim") {
     val plan = planNoAutoBroadcast("q_range_join")
     // the band table is SF-invariant, so the explicit broadcast survives
