@@ -1184,6 +1184,53 @@ object SparkEntry {
       .orderBy("window_start_us", "event_type")
   }
 
+  /** STREAM-STREAM interval join as a gate query — the fourth real
+    * streaming query (after tumbling/hopping/sessions): purchases and
+    * views arrive as two independent streams, joined on user within the
+    * trailing hour (watermark-bounded state on both sides, see
+    * streaming/StreamingEmbed.intervalJoinStreams). Emits the raw match
+    * pairs — append mode, no post-join aggregation — and hash-matches
+    * the batch inequality-join oracle.
+    */
+  private def qEventsStreamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val schema = tbl(s, dir, "events").schema
+    def src = s.readStream.schema(schema)
+      .parquet(eventsStreamDir(dir).toString)
+      .withColumn("ts_event", timestamp_micros(eventTsUs))
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_event"))
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), col("ts_event"))
+    val joined = graft.streaming.StreamingEmbed
+      .intervalJoinStreams(purchases, views, "user_id", "ts_event",
+        lookback = "1 hour", watermark = "2 hours")
+      .select(col("event_id"),
+        col("r_event_id").as("view_event_id"),
+        unix_micros(col("r_ts_event")).as("view_ts_us"))
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = joined.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.collect().foreach { r =>
+            rows.add((r.getLong(0), r.getLong(1), r.getLong(2)))
+          }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+    import scala.jdk.CollectionConverters._
+    rows.asScala.toSeq
+      .toDF("event_id", "view_event_id", "view_ts_us")
+      .orderBy("event_id", "view_event_id")
+  }
+
   /** NULL-semantics surface: aggregation null-skipping (count(col) vs
     * count(*)), null-safe equality, NULLIF/COALESCE, and null grouping
     * keys — exercised through the outer join's generated nulls.
@@ -1477,6 +1524,7 @@ object SparkEntry {
     "q_string_agg" -> qStringAgg,
     "q_sample_stratified" -> qSampleStratified,
     "events_stream_hopping" -> qEventsStreamHopping,
+    "events_stream_interval_join" -> qEventsStreamIntervalJoin,
     "q_null_semantics" -> qNullSemantics
   )
 
@@ -2216,6 +2264,19 @@ object SparkEntry {
              AS window_start_us,
            event_type, COUNT(*) AS n
          FROM e GROUP BY 1, 2 ORDER BY window_start_us, event_type""",
+    // batch replay of the stream-stream join: same truth, no state store
+    "events_stream_interval_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+             epoch_us(ts) AS ts_us FROM events),
+         p AS (SELECT event_id, user_id, ts_us FROM e
+               WHERE event_type = 'purchase'),
+         v AS (SELECT event_id AS view_event_id, user_id,
+               ts_us AS view_ts_us FROM e WHERE event_type = 'view')
+         SELECT p.event_id, v.view_event_id, v.view_ts_us
+         FROM p JOIN v ON p.user_id = v.user_id
+           AND v.view_ts_us >= p.ts_us - 3600000000
+           AND v.view_ts_us <= p.ts_us
+         ORDER BY event_id, view_event_id""",
     "q_null_semantics" ->
       """SELECT c_mktsegment,
            COUNT(*) AS n_rows,
