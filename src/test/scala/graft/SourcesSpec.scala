@@ -44,6 +44,33 @@ class SourcesSpec extends AnyFunSuite {
       docs.collect().map(r => (r.getLong(0), r.getInt(1))).toSet)
   }
 
+  test("ORC sink/source round-trips documents exactly") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      docs.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    // ORC scans support predicate pushdown too
+    val plan = back.filter(col("doc_id") === 7L).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters") && plan.contains("doc_id"), plan)
+  }
+
+  test("text source: whole-line ingest feeds the clean pipeline (text/plain body analog)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_text")
+    java.nio.file.Files.writeString(dir.resolve("body.txt"),
+      "First line of a plain-text body.\nSecond line, still the same doc.\n")
+    val lines = spark.read.text(dir.toString) // one row per line, col "value"
+    assert(lines.count() == 2)
+    val engine = new graft.engine.InceptionEngine()
+    val cleaned = lines
+      .select(engine.cleanText(col("value")).as("c"))
+      .collect().map(_.getString(0))
+    assert(cleaned.forall(_.nonEmpty))
+  }
+
   test("corrupt JSON records: PERMISSIVE quarantines bad rows, FAILFAST raises") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft_badjson")
