@@ -55,6 +55,8 @@ object Bench {
     // not the one-off layout write
     try materialize(SparkEntry.queries("ann_lsh_indexed")(spark, sfDir))
     catch { case _: Throwable => () }
+    try materialize(SparkEntry.queries("ann_ivf_indexed")(spark, sfDir))
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }

@@ -914,6 +914,32 @@ object SparkEntry {
       .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** One persisted IVF layout (+ its centroid table) per testdata dir. */
+  private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (String, Array[(Int, Array[Float])])]()
+
+  /** Partition-pruned ANN probe over the PERSISTED IVF layout
+    * (Similarity.writeIvfIndex / ivfTopKIndexed): the probe list ids bind
+    * to the list_id partition column, so only nProbe/nLists of the
+    * corpus directories are read — the IVF sibling of ann_lsh_indexed.
+    */
+  private def qAnnIvfIndexed(s: SparkSession, dir: String): DataFrame = {
+    val (idx, centroids) = ivfIndexCache.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_ivf_index").toString
+      val cents = graft.ops.Similarity.writeIvfIndex(
+        tbl(s, d, "embeddings"), "vec_id", "embedding", p,
+        nLists = 8, dim = 64)
+      (p, cents)
+    })
+    val q = tbl(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+    graft.ops.Similarity
+      .ivfTopKIndexed(s, idx, centroids, q, 10, nProbe = 3)
+      .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
   /** Stopword-ratio language ID (SQL-expressible heuristic). */
   private def qLangId(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
@@ -1496,6 +1522,7 @@ object SparkEntry {
     "ann_lsh" -> qAnnLsh,
     "ann_lsh_indexed" -> qAnnLshIndexed,
     "ann_ivf" -> qAnnIvf,
+    "ann_ivf_indexed" -> qAnnIvfIndexed,
     "lang_id" -> qLangId,
     "quality_score" -> qQualityScore,
     "text_profile" -> qTextProfile,
