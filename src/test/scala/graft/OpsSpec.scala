@@ -605,6 +605,50 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"quantized ANN recall $recall")
   }
 
+  test("fuzzy join blocking recall: random single-edit mutations are always found") {
+    import spark.implicits._
+    import graft.ops.FuzzyJoin
+    import org.scalacheck.{Gen, Prop}
+    val base = Gen.chooseNum(6, 24)
+      .flatMap(n => Gen.stringOfN(n, Gen.alphaNumChar))
+    // one random edit: substitute, insert, or delete a char
+    val mutated = for {
+      s <- base
+      pos <- Gen.chooseNum(0, s.length - 1)
+      c <- Gen.alphaNumChar
+      op <- Gen.oneOf(0, 1, 2)
+    } yield (s, op match {
+      case 0 => s.updated(pos, c).toString
+      case 1 => s.substring(0, pos) + c + s.substring(pos)
+      case 2 => s.substring(0, pos) + s.substring(pos + 1)
+    })
+    val prop = Prop.forAll(Gen.listOfN(6, mutated)) { pairs =>
+      val rows = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+        Seq((i * 2L, a), (i * 2L + 1, b))
+      }
+      val found = FuzzyJoin
+        .pairsWithin1(rows.toDF("id", "s"), "id", "s")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // every planted (2i, 2i+1) pair is within distance 1 → must be found
+      pairs.indices.forall(i => found.contains((i * 2L, i * 2L + 1)))
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("merge upsert is idempotent and commutative-safe on re-application") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L))
+      .toDF("id", "v", "version")
+    val u = Seq((2L, "b2", 2L), (4L, "d", 2L)).toDF("id", "v", "version")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val once = Merge.upsert(base, u, Seq("id"), "version")
+    val twice = Merge.upsert(once, u, Seq("id"), "version")
+    assert(snap(once) == snap(twice), "re-applying the same change set must be a no-op")
+  }
+
   test("merge upsert: updates win, inserts land, untouched rows survive; deletes drop keys") {
     import spark.implicits._
     val base = Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L))
