@@ -164,6 +164,40 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE skew join: a hot key is split at runtime (thresholds scaled down)") {
+    import spark.implicits._
+    // 50k rows on ONE key vs 50 rows spread — at production defaults the
+    // skew threshold is 256MB; scale it down so the same machinery fires
+    val hot = (1 to 50000).map(i => (1L, i)).toDF("k", "va")
+    val dim = (1 to 50).map(i => (i.toLong, i)).toDF("k2", "vb")
+    val dir = java.nio.file.Files.createTempDirectory("graft_skew")
+    hot.write.parquet(s"$dir/hot")
+    dim.write.parquet(s"$dir/dim")
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val old = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val j = spark.read.parquet(s"$dir/hot")
+        .join(spark.read.parquet(s"$dir/dim"), col("k") === col("k2"))
+      // execute THIS dataset's query so its AdaptiveSparkPlan finalizes
+      // (count() would plan a separate aggregate execution)
+      assert(j.collect().length == 50000)
+      val finalPlan = j.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true") &&
+        finalPlan.contains("AQEShuffleRead skewed"),
+        s"AQE skew split absent:\n$finalPlan")
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q1_agg: partial aggregation happens before the exchange") {
     val plan = planOf("q1_agg")
     val partialIdx = plan.indexOf("partial_sum")
