@@ -1030,6 +1030,27 @@ object SparkEntry {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** The tie-sensitive window ranks: rank/dense_rank/cume_dist computed
+    * over the DATE ordering (ties collapse identically in any engine —
+    * their values depend only on sort-key values, not tie order) and
+    * nth_value over the unique tie-broken ordering.
+    */
+  private def qWindowRanks(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val byDate = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+    val unique = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tbl(s, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        rank().over(byDate).cast("long").as("rk"),
+        dense_rank().over(byDate).cast("long").as("drk"),
+        round(cume_dist().over(byDate), 6).as("cd"),
+        nth_value(cents, 2).over(unique).as("second_cents"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** RANGE frame over a numeric ordering: per customer, orders placed in
     * the trailing 30 days (value-based frame — peers by day, not rows;
     * the time-decay aggregation shape).
@@ -1530,6 +1551,7 @@ object SparkEntry {
     "multimodal_images" -> qMultimodalImages,
     "multimodal_frames" -> qMultimodalFrames,
     "q_window_frames" -> qWindowFrames,
+    "q_window_ranks" -> qWindowRanks,
     "q_window_range" -> qWindowRange,
     "q_range_join" -> qRangeJoin,
     "q_stats_agg" -> qStatsAgg,
@@ -1984,6 +2006,20 @@ object SparkEntry {
            round(percent_rank() OVER w, 6) AS pct_rank
          FROM o
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+    "q_window_ranks" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+         SELECT o_custkey, o_orderkey,
+           CAST(rank() OVER d AS BIGINT) AS rk,
+           CAST(dense_rank() OVER d AS BIGINT) AS drk,
+           round(cume_dist() OVER d, 6) AS cd,
+           nth_value(cents, 2) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS second_cents
+         FROM o
+         WINDOW d AS (PARTITION BY o_custkey ORDER BY o_orderdate)
          ORDER BY o_custkey, o_orderkey""",
     "q_window_range" ->
       """WITH o AS (SELECT o_custkey, o_orderkey,
