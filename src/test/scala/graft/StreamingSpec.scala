@@ -239,6 +239,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental refresh: stream -> embed -> merge-upsert equals a batch rebuild") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    // maintained snapshot: per-doc chunk counts, newest version wins
+    var snapshot = Seq.empty[(Long, Int, Long)]
+      .toDF("doc_id", "n_chunks", "version")
+    val sink = StreamingEmbed.idempotentSink { (batch, id) =>
+      val delta = engine.embedDocumentsExploded(batch).toDF()
+        .groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_chunks"))
+        .withColumn("version", lit(id + 1))
+        .select("doc_id", "n_chunks", "version")
+      snapshot = graft.ops.Merge
+        .upsert(snapshot, delta, Seq("doc_id"), "version")
+        .localCheckpoint(true)
+    }
+    val q = stream.writeStream.outputMode("append").foreachBatch(sink).start()
+    val revised =
+      "First doc revised to be longer. With more sentences. Indeed more."
+    try {
+      mem.addData((1L, "First doc. Two sentences."), (2L, "Second doc."))
+      q.processAllAvailable()
+      mem.addData((1L, revised), (3L, "Third."))  // update + insert
+      q.processAllAvailable()
+    } finally q.stop()
+    // the incrementally maintained snapshot equals rebuilding from the
+    // final document states
+    val finalDocs = Seq((1L, revised), (2L, "Second doc."), (3L, "Third."))
+      .toDF("doc_id", "text")
+    val rebuilt = engine.embedDocumentsExploded(finalDocs).toDF()
+      .groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_chunks"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val maintained = snapshot.select("doc_id", "n_chunks")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(maintained == rebuilt, s"maintained $maintained != rebuilt $rebuilt")
+  }
+
   test("idempotent sink: a replayed batchId is a no-op, not a double-count") {
     import spark.implicits._
     var total = 0L
