@@ -28,6 +28,16 @@ object ConnectedComponents {
   /** Components of the undirected graph given by (aCol, bCol) pairs.
     * Returns (id, component) for every node incident to an edge, where
     * component is the minimum node id reachable. Deterministic.
+    *
+    * Each round does one neighbor-min hop followed by one pointer-jump
+    * (comp ← comp(comp)) — the shortcutting step makes convergence
+    * O(log diameter) instead of O(diameter), so a 10k-node transitive
+    * chain converges in ~15 rounds, not 10k.
+    *
+    * Throws IllegalStateException if `maxIter` rounds pass without
+    * reaching the fixpoint: truncated labels are WRONG components
+    * (split clusters → multiple "canonical" keepers), and a dedup
+    * pipeline must never silently treat them as exact.
     */
   def components(
       edges: DataFrame,
@@ -50,15 +60,37 @@ object ConnectedComponents {
           "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("dst_comp")).as("nbr_comp"))
-      val stepped = labels
+      val hopped = labels
         .join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("comp"),
+        .select(col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
+            .as("hop_comp"))
+      // pointer jump: comp is itself a node id, and that node's label is
+      // ≤ comp, so composing the mapping halves the remaining distance
+      val stepped = hopped
+        .join(
+          hopped.select(col("id").as("hop_comp"),
+            col("hop_comp").as("jump_comp")),
+          Seq("hop_comp"), "left")
+        .select(col("id"), col("hop_comp"),
+          least(col("hop_comp"), coalesce(col("jump_comp"), col("hop_comp")))
             .as("next_comp"))
+        .join(labels.select(col("id"), col("comp")), Seq("id"))
         .localCheckpoint(true)
       changed = stepped.filter(col("next_comp") < col("comp")).count()
+      // free the prior round's checkpoint blocks: without this, block-
+      // manager storage grows O(iterations) within one call
+      labels.unpersist(false)
       labels = stepped.select(col("id"), col("next_comp").as("comp"))
       i += 1
+    }
+    sym.unpersist(false)
+    if (changed > 0) {
+      labels.unpersist(false)
+      throw new IllegalStateException(
+        s"ConnectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing); raise maxIter — truncated " +
+          "labels would be wrong (split) components")
     }
     labels
   }

@@ -38,12 +38,23 @@ object Quantize {
     * out of the cosine, so this is pure integer arithmetic until the
     * final division; the long accumulator is exact (|sum| ≤ dim · 127²),
     * so error comes only from the quantization itself.
+    *
+    * Edge semantics match the native [[graft.functions.CosineSimilarityQ]]
+    * kernel: a zero vector yields 0.0 (not NaN), null elements count as
+    * 0, and length-mismatched arrays use min-length (zip_with pads the
+    * shorter side with nulls, which the coalesce zeroes out). A null
+    * ARRAY itself still yields null, as the native kernel does.
     */
   def cosineQ(qa: Column, qb: Column): Column = {
     def dot(u: Column, v: Column): Column =
-      aggregate(zip_with(u, v, (x, y) => (x.cast("long") * y.cast("long"))),
+      aggregate(
+        zip_with(u, v, (x, y) =>
+          coalesce(x.cast("long"), lit(0L)) * coalesce(y.cast("long"), lit(0L))),
         lit(0L), (acc, x) => acc + x).cast("double")
-    dot(qa, qb) / sqrt(dot(qa, qa)) / sqrt(dot(qb, qb))
+    val na = dot(qa, qa)
+    val nb = dot(qb, qb)
+    when(na === 0.0 || nb === 0.0, lit(0.0))
+      .otherwise(dot(qa, qb) / sqrt(na) / sqrt(nb))
   }
 
   /** Attach (scale, qvec) columns for `vecCol`. */

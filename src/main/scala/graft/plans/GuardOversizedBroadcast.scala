@@ -24,8 +24,20 @@ object GuardOversizedBroadcast extends Rule[LogicalPlan] {
 
   val ConfKey = "spark.sql.graft.broadcastGuard.maxBytes"
 
-  private def maxBytes: BigInt =
-    BigInt(SQLConf.get.getConfString(ConfKey, Long.MaxValue.toString))
+  /** A malformed conf value must not fail every query on the session
+    * from inside the optimizer — warn (naming the key) and fall back to
+    * the disabled default.
+    */
+  private def maxBytes: BigInt = {
+    val raw = SQLConf.get.getConfString(ConfKey, Long.MaxValue.toString)
+    try BigInt(raw.trim)
+    catch {
+      case _: NumberFormatException =>
+        logWarning(s"ignoring malformed $ConfKey='$raw' (not an integer); " +
+          "broadcast guard disabled")
+        BigInt(Long.MaxValue)
+    }
+  }
 
   private def guard(
       hint: Option[HintInfo], side: LogicalPlan, limit: BigInt

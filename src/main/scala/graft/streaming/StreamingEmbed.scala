@@ -73,25 +73,71 @@ object StreamingEmbed {
         col(s"r_$tsCol") <= col(tsCol))
   }
 
-  /** Exactly-once foreachBatch sink wrapper: Structured Streaming
+  /** Committed-batchId high-water-mark store for [[idempotentSink]].
+    * Real deployments record the committed batchId transactionally WITH
+    * the data (e.g. a `_committed_batch` column or a table property in
+    * the same commit); this abstraction lets the sink guard plug in any
+    * such durable store.
+    */
+  trait HighWaterMark {
+    def get: Long            // last committed batchId, -1 if none
+    def set(id: Long): Unit  // record id as committed
+  }
+
+  /** In-PROCESS high-water mark: survives replays within one JVM run
+    * only. After a driver crash/restart it resets to -1 and the replayed
+    * batch re-runs — use [[fileHighWaterMark]] (or a store transactional
+    * with the sink) when recovery semantics matter. This is the right
+    * default for tests and for sinks that are themselves idempotent.
+    */
+  def memoryHighWaterMark(): HighWaterMark = new HighWaterMark {
+    private val committed = new java.util.concurrent.atomic.AtomicLong(-1L)
+    def get: Long = committed.get
+    def set(id: Long): Unit = committed.set(id)
+  }
+
+  /** File-backed high-water mark: the committed batchId is persisted via
+    * write-to-temp + atomic rename, so a restarted driver resumes with
+    * the real mark and a replayed batch stays a no-op. (Atomic-rename
+    * durability holds on POSIX filesystems; on object stores use a
+    * store transactional with the sink instead.)
+    */
+  def fileHighWaterMark(path: java.nio.file.Path): HighWaterMark =
+    new HighWaterMark {
+      def get: Long =
+        if (java.nio.file.Files.exists(path))
+          new String(java.nio.file.Files.readAllBytes(path),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        else -1L
+      def set(id: Long): Unit = {
+        val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+        java.nio.file.Files.write(tmp,
+          id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp, path,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+
+  /** Idempotent foreachBatch sink wrapper: Structured Streaming
     * guarantees at-least-once delivery to foreachBatch — after a crash
     * between sink write and checkpoint commit, the SAME batchId is
-    * replayed. Real deployments make the write idempotent by recording
-    * the committed batchId transactionally with the data; this wrapper
-    * is the in-process form of that high-water-mark guard (monotonic
-    * batchIds per query), so a replayed batch is a no-op instead of a
-    * double-count.
+    * replayed. This guard skips any batchId ≤ the high-water mark, so a
+    * replayed batch is a no-op instead of a double-count. Recovery
+    * semantics are exactly those of the supplied [[HighWaterMark]]
+    * store: the in-memory default dedups replays within one JVM run
+    * only; pass [[fileHighWaterMark]] (or a sink-transactional store)
+    * for crash-restart exactly-once.
     */
   def idempotentSink(
-      handle: (DataFrame, Long) => Unit
-  ): (DataFrame, Long) => Unit = {
-    val committed = new java.util.concurrent.atomic.AtomicLong(-1L)
+      handle: (DataFrame, Long) => Unit,
+      hwm: HighWaterMark = memoryHighWaterMark()
+  ): (DataFrame, Long) => Unit =
     (df, id) =>
-      if (id > committed.get) {
+      if (id > hwm.get) {
         handle(df, id)
-        committed.set(id)
+        hwm.set(id)
       }
-  }
 
   /** Per-user session accumulator carried across micro-batches: O(1)
     * state per key regardless of stream length.
