@@ -1488,6 +1488,290 @@ object SparkEntry {
       .orderBy("p_partkey")
 
   // ------------------------------------------------------------------
+  // Round-3 breadth: melt/cross/set-ALL/grouping flags/lateral surface,
+  // feature-prep (normalization, z-score, histogram, gap-fill), text
+  // retrieval (bigrams, BM25), PII redaction, streaming dedup gate
+  // ------------------------------------------------------------------
+
+  /** UNPIVOT (melt): wide measure columns → long (measure, val) — the
+    * standard reshape before per-feature statistics. One narrow Expand,
+    * aggregated by (flag, measure) in a single shuffle.
+    */
+  private def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "val")
+      .groupBy("l_returnflag", "measure")
+      .agg(dsum(col("val")).as("total"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "measure")
+
+  /** CROSS JOIN surface: the full dim lattice (region × nation, both
+    * O(1)-size and broadcastable; a cartesian over SF-scaling tables
+    * would be a plan bug, not a feature).
+    */
+  private def qCrossJoin(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "region")
+      .crossJoin(broadcast(tbl(s, dir, "nation")))
+      .select(col("r_name"), col("n_name"))
+      .orderBy("r_name", "n_name")
+
+  /** ROLLUP with GROUPING flags — distinguishes "NULL because subtotal"
+    * from "NULL in the data", which plain rollup output cannot.
+    */
+  private def qGroupingFlags(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"))
+      .orderBy(
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Multiset set ops: INTERSECT ALL ∪ EXCEPT ALL of two lineitem
+    * partkey projections, tagged and re-counted — duplicate-preserving
+    * semantics the distinct-based q_setop/q_except cannot express.
+    */
+  private def qSetopAll(s: SparkSession, dir: String): DataFrame = {
+    val a = tbl(s, dir, "lineitem").filter(col("l_quantity") < 25)
+      .select(col("l_partkey").as("partkey"))
+    val b = tbl(s, dir, "lineitem").filter(col("l_discount") > 0.03)
+      .select(col("l_partkey").as("partkey"))
+    a.intersectAll(b).withColumn("op", lit("intersect_all"))
+      .unionAll(a.exceptAll(b).withColumn("op", lit("except_all")))
+      .groupBy("op", "partkey")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("op", "partkey")
+  }
+
+  /** LATERAL correlated subquery with LIMIT through the SQL front-end:
+    * top-2 orders per priority class — the decorrelated plan is a
+    * ranked window + filter, not a per-row re-scan.
+    */
+  private def qLateralTopk(s: SparkSession, dir: String): DataFrame = {
+    tbl(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT p.o_orderpriority, t.o_orderkey, t.o_totalprice
+         FROM (SELECT DISTINCT o_orderpriority FROM orders_v) p,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders_v o
+                  WHERE o.o_orderpriority = p.o_orderpriority
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+         ORDER BY p.o_orderpriority, t.o_orderkey""")
+  }
+
+  /** Window frame breadth: forward-fill (LAST_VALUE IGNORE NULLS over a
+    * trailing frame) + per-partition first value — the canonical
+    * sparse-to-dense feature repair. Prices are nulled deterministically
+    * (orderkey % 3) so both engines fill the same holes.
+    */
+  private def qFirstLast(s: SparkSession, dir: String): DataFrame = {
+    val priceN = when(col("o_orderkey") % 3 === 0, lit(null))
+      .otherwise(col("o_totalprice"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    tbl(s, dir, "orders")
+      .withColumn("price_n", priceN)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        last(col("price_n"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("price_filled"),
+        first(col("o_totalprice"))
+          .over(w.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing))
+          .as("first_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Fixed-width histogram (the distributed sibling of width_bucket):
+    * integer bucket arithmetic, one hash aggregation, no sort until the
+    * final O(#buckets) output.
+    */
+  private def qHistogram(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .groupBy(least(floor(col("o_totalprice") / 25000.0), lit(19.0))
+        .cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("bucket")
+
+  /** Min-max feature normalization per segment via window min/max — no
+    * second scan, no driver round-trip.
+    */
+  private def qMinmaxNorm(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+    val mn = min(col("c_acctbal")).over(w)
+    val mx = max(col("c_acctbal")).over(w)
+    tbl(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        when(mx === mn, lit(0.5))
+          .otherwise(round((col("c_acctbal") - mn) / (mx - mn), 6))
+          .as("acctbal_mm"))
+      .orderBy("c_custkey")
+  }
+
+  /** Z-score standardization + outlier flag. Moments are accumulated as
+    * exact decimal sums (associativity-proof) in ONE pass, broadcast back
+    * — identical arithmetic in the oracle, so no FP-boundary flakiness,
+    * unlike engine-native stddev (Welford vs sum-of-squares differ in
+    * ulps between engines).
+    */
+  private def qZscore(s: SparkSession, dir: String): DataFrame = {
+    val stats = tbl(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(dsum(col("l_quantity")).as("s1"),
+        dsum(col("l_quantity") * col("l_quantity")).as("s2"),
+        count(lit(1)).cast("double").as("cnt"))
+    val mean = col("s1") / col("cnt")
+    val sd = sqrt(col("s2") / col("cnt") - mean * mean)
+    tbl(s, dir, "lineitem")
+      .join(broadcast(stats), "l_returnflag")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        round((col("l_quantity") - mean) / sd, 6).as("z"))
+      .withColumn("is_outlier", abs(col("z")) > 2.0)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Word-bigram top-k over the corpus (n-gram surface: element_at is
+    * 1-indexed in both engines, so the oracle is index-for-index
+    * identical). Single explode → one aggregation → TakeOrdered.
+    */
+  private def qNgramBigrams(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(expr(
+        "filter(split(lower(text), '[^a-z0-9_]+'), w -> w <> '')").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+             i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"""))
+        .as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+
+  /** BM25 (k1=1.2, b=0.75) top-3 terms per document — the retrieval-
+    * grade sibling of q_tfidf. tf/df/doclen all derive from ONE
+    * explode+aggregate subtree (ReusedExchange); ranks order by the
+    * ROUNDED score so libm ulp differences cannot flip rows.
+    */
+  private def qBm25(s: SparkSession, dir: String): DataFrame = {
+    val k1 = 1.2
+    val b = 0.75
+    val words = tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-zA-Z0-9_]+")).as("word"))
+      .filter(col("word") =!= "")
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val ndocs = tbl(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val avgdl = dl.agg((sum(col("dl")).cast("double") /
+      count(lit(1))).as("avgdl"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    // literal structure mirrors the oracle exactly: (1.2 + 1.0) and
+    // (0.25 + 0.75·dl/avgdl) fold to the same IEEE doubles in both engines
+    val score = idf * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("bm25").desc, col("word"))
+    tf.join(dfreq, "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(ndocs))
+      .crossJoin(broadcast(avgdl))
+      .withColumn("bm25", round(score, 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("word"), col("bm25"))
+      .orderBy("doc_id", "rk")
+  }
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+[0-9][0-9-]{7,}"
+
+  /** PII redaction (training-data hygiene): detect + mask emails/phones
+    * with pure codegen'd regexp expressions. Deterministic synthetic PII
+    * is injected per doc so the oracle sees identical inputs.
+    */
+  private def qPiiRedact(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .withColumn("t",
+        concat(lit("contact user"), col("doc_id"), lit("@example.com or +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" "),
+          col("text")))
+      .select(
+        col("doc_id"),
+        regexp_count(col("t"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("t"), lit(PhoneRe)).cast("long").as("n_phones"),
+        length(regexp_replace(regexp_replace(col("t"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>")).as("redacted_len"))
+      .orderBy("doc_id")
+
+  /** Event-time gap fill: dense hourly (event_type × hour) grid with
+    * zero counts for silent hours — integer µs bucket arithmetic end to
+    * end, so rows are exact. The grid is built distributed
+    * (sequence+explode over the broadcast bounds), never on the driver.
+    */
+  private def qGapfill(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = (eventTsUs - pmod(eventTsUs, lit(3600000000L))).as("hour_us")
+    val ev = tbl(s, dir, "events").select(col("event_type"), hourUs)
+    val counts = ev.groupBy("event_type", "hour_us")
+      .agg(count(lit(1)).as("n_raw"))
+    val bounds = ev.agg(min(col("hour_us")).as("lo"), max(col("hour_us")).as("hi"))
+    val grid = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(expr("sequence(lo, hi, 3600000000)")).as("hour_us"))
+    grid.join(counts, Seq("event_type", "hour_us"), "left_outer")
+      .select(col("event_type"), col("hour_us"),
+        coalesce(col("n_raw"), lit(0L)).as("n"))
+      .orderBy("event_type", "hour_us")
+  }
+
+  /** Streaming exact dedup AS A GATE QUERY: two file-stream sources over
+    * the same parquet are unioned (every event arrives twice — the
+    * at-least-once replay shape), then dropDuplicatesWithinWatermark
+    * evicts its key state past the watermark (bounded state — a plain
+    * dropDuplicates would hold every key forever). The sink folds
+    * per-batch per-type counts; dedup guarantees each event contributes
+    * exactly once across batches, so the folded counts equal the batch
+    * DISTINCT truth the oracle computes.
+    */
+  private def qEventsStreamDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val schema = tbl(s, dir, "events").schema
+    def src = s.readStream.schema(schema)
+      .parquet(eventsStreamDir(dir).toString)
+      .withColumn("ts_event", timestamp_micros(eventTsUs))
+    val deduped = src.unionAll(src)
+      .withWatermark("ts_event", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+    val state = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = deduped.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // aggregate batch-side (a handful of rows cross to the driver),
+          // fold into running totals: each event appears exactly once
+          // across batches, so summing partials equals the global count
+          batch.groupBy("event_type").agg(count(lit(1)).as("n"))
+            .collect()
+            .foreach(r => state.merge(r.getString(0), r.getLong(1), _ + _))
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+    import scala.jdk.CollectionConverters._
+    state.asScala.toSeq.toDF("event_type", "n").orderBy("event_type")
+  }
+
+  // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1574,7 +1858,21 @@ object SparkEntry {
     "q_sample_stratified" -> qSampleStratified,
     "events_stream_hopping" -> qEventsStreamHopping,
     "events_stream_interval_join" -> qEventsStreamIntervalJoin,
-    "q_null_semantics" -> qNullSemantics
+    "q_null_semantics" -> qNullSemantics,
+    "q_unpivot" -> qUnpivot,
+    "q_crossjoin" -> qCrossJoin,
+    "q_grouping_flags" -> qGroupingFlags,
+    "q_setop_all" -> qSetopAll,
+    "q_lateral_topk" -> qLateralTopk,
+    "q_first_last" -> qFirstLast,
+    "q_histogram" -> qHistogram,
+    "q_minmax_norm" -> qMinmaxNorm,
+    "q_zscore" -> qZscore,
+    "q_ngram_bigrams" -> qNgramBigrams,
+    "q_bm25" -> qBm25,
+    "q_pii_redact" -> qPiiRedact,
+    "q_gapfill" -> qGapfill,
+    "events_stream_dedup" -> qEventsStreamDedup
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2350,6 +2648,161 @@ object SparkEntry {
            COUNT(NULLIF(o_orderpriority, '1-URGENT')) AS n_not_urgent,
            MIN(COALESCE(o_orderstatus, '~none~')) AS min_status
          FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
-         GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_unpivot" ->
+      """WITH m AS (
+           SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val
+           FROM lineitem
+           UNION ALL
+           SELECT l_returnflag, 'l_extendedprice', l_extendedprice
+           FROM lineitem
+           UNION ALL
+           SELECT l_returnflag, 'l_discount', l_discount FROM lineitem)
+         SELECT l_returnflag, measure,
+           CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           COUNT(*) AS n
+         FROM m GROUP BY l_returnflag, measure
+         ORDER BY l_returnflag, measure""",
+    "q_crossjoin" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+         ORDER BY r_name, n_name""",
+    "q_grouping_flags" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_setop_all" ->
+      """WITH a AS (SELECT l_partkey AS partkey FROM lineitem
+                    WHERE l_quantity < 25),
+              b AS (SELECT l_partkey AS partkey FROM lineitem
+                    WHERE l_discount > 0.03),
+              u AS (
+           SELECT 'intersect_all' AS op, partkey FROM
+             (SELECT partkey FROM a INTERSECT ALL SELECT partkey FROM b)
+           UNION ALL
+           SELECT 'except_all' AS op, partkey FROM
+             (SELECT partkey FROM a EXCEPT ALL SELECT partkey FROM b))
+         SELECT op, partkey, COUNT(*) AS n FROM u
+         GROUP BY op, partkey ORDER BY op, partkey""",
+    "q_lateral_topk" ->
+      """SELECT p.o_orderpriority, t.o_orderkey, t.o_totalprice
+         FROM (SELECT DISTINCT o_orderpriority FROM orders) p,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                  WHERE o.o_orderpriority = p.o_orderpriority
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+         ORDER BY p.o_orderpriority, t.o_orderkey""",
+    "q_first_last" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END
+             AS price_n
+         FROM orders)
+         SELECT o_custkey, o_orderkey,
+           last_value(price_n IGNORE NULLS) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS price_filled,
+           first_value(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS first_price
+         FROM o ORDER BY o_custkey, o_orderkey""",
+    "q_histogram" ->
+      """SELECT CAST(least(floor(o_totalprice / 25000.0), 19.0) AS BIGINT)
+             AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+         FROM orders GROUP BY bucket ORDER BY bucket""",
+    "q_minmax_norm" ->
+      """SELECT c_custkey, c_mktsegment,
+           CASE WHEN mx = mn THEN 0.5
+                ELSE round((c_acctbal - mn) / (mx - mn), 6) END AS acctbal_mm
+         FROM (SELECT c_custkey, c_mktsegment, c_acctbal,
+             min(c_acctbal) OVER (PARTITION BY c_mktsegment) AS mn,
+             max(c_acctbal) OVER (PARTITION BY c_mktsegment) AS mx
+           FROM customer)
+         ORDER BY c_custkey""",
+    "q_zscore" ->
+      """WITH st AS (SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6)))
+             AS DOUBLE) AS s2,
+           CAST(COUNT(*) AS DOUBLE) AS cnt
+         FROM lineitem GROUP BY l_returnflag)
+         SELECT l_orderkey, l_linenumber, l.l_returnflag AS l_returnflag,
+           round((l_quantity - s1/cnt)
+             / sqrt(s2/cnt - (s1/cnt)*(s1/cnt)), 6) AS z,
+           abs(round((l_quantity - s1/cnt)
+             / sqrt(s2/cnt - (s1/cnt)*(s1/cnt)), 6)) > 2.0 AS is_outlier
+         FROM lineitem l JOIN st ON l.l_returnflag = st.l_returnflag
+         ORDER BY l_orderkey, l_linenumber""",
+    "q_ngram_bigrams" ->
+      """WITH ws AS (SELECT list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+             w -> w <> '') AS ws
+           FROM documents),
+         bi AS (SELECT unnest(list_transform(range(1, len(ws)),
+             i -> ws[i] || ' ' || ws[i+1])) AS bigram
+           FROM ws WHERE len(ws) >= 2)
+         SELECT bigram, COUNT(*) AS n FROM bi
+         GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""",
+    "q_bm25" ->
+      """WITH w AS (SELECT doc_id, unnest(list_filter(
+             regexp_split_to_array(lower(text), '[^a-zA-Z0-9_]+'),
+             x -> x <> '')) AS word
+           FROM documents),
+         tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w
+                GROUP BY doc_id, word),
+         df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+         dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf
+                GROUP BY doc_id),
+         nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+         ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+         sc AS (SELECT tf.doc_id, tf.word,
+             round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * (1.2 + 1.0))
+               / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS bm25
+           FROM tf JOIN df USING (word) JOIN dl USING (doc_id), nd, ad),
+         rk AS (SELECT doc_id, word, bm25,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY bm25 DESC, word) AS rk
+           FROM sc)
+         SELECT doc_id, rk, word, bm25 FROM rk WHERE rk <= 3
+         ORDER BY doc_id, rk""",
+    "q_pii_redact" ->
+      """WITH t AS (SELECT doc_id,
+           'contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-'
+             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' || text
+             AS t
+         FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t, '\+[0-9][0-9-]{7,}')) AS BIGINT)
+             AS n_phones,
+           length(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+[0-9][0-9-]{7,}', '<PHONE>', 'g')) AS redacted_len
+         FROM t ORDER BY doc_id""",
+    "q_gapfill" ->
+      """WITH e AS (SELECT event_type,
+             epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us
+           FROM events),
+         c AS (SELECT event_type, hour_us, COUNT(*) AS n_raw FROM e
+               GROUP BY event_type, hour_us),
+         b AS (SELECT min(hour_us) AS lo, max(hour_us) AS hi FROM e),
+         g AS (SELECT event_type,
+             unnest(range(lo, hi + 1, 3600000000)) AS hour_us
+           FROM (SELECT DISTINCT event_type FROM e), b)
+         SELECT g.event_type AS event_type, g.hour_us AS hour_us,
+           COALESCE(n_raw, 0) AS n
+         FROM g LEFT JOIN c
+           ON g.event_type = c.event_type AND g.hour_us = c.hour_us
+         ORDER BY event_type, hour_us""",
+    // batch DISTINCT truth for the doubled-and-deduped stream
+    "events_stream_dedup" ->
+      """SELECT event_type, COUNT(DISTINCT event_id) AS n FROM events
+         GROUP BY event_type ORDER BY event_type"""
   )
 }
