@@ -1729,6 +1729,105 @@ object SparkEntry {
       .orderBy("event_type", "hour_us")
   }
 
+  /** Ordered funnel (signup → view → click → purchase): each stage's
+    * first timestamp must follow the previous stage's. Four keyed
+    * aggregations on the SAME user_id partitioning (AQE reuses the
+    * exchange) — never a per-user driver loop.
+    */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = tbl(s, dir, "events")
+      .select(col("user_id"), col("event_type"), eventTsUs.as("ts_us"))
+    val t1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts_us")).as("t1"))
+    def nextStage(prev: DataFrame, prevCol: String, etype: String,
+        outCol: String): DataFrame =
+      ev.filter(col("event_type") === etype)
+        .join(prev, "user_id")
+        .filter(col("ts_us") > col(prevCol))
+        .groupBy("user_id").agg(min(col("ts_us")).as(outCol))
+    val t2 = nextStage(t1, "t1", "view", "t2")
+    val t3 = nextStage(t2, "t2", "click", "t3")
+    val t4 = nextStage(t3, "t3", "purchase", "t4")
+    Seq(("1_signup", t1), ("2_view", t2), ("3_click", t3), ("4_purchase", t4))
+      .map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_users")).withColumn("step", lit(name))
+      }
+      .reduce(_.unionAll(_))
+      .select(col("step"), col("n_users"))
+      .orderBy("step")
+  }
+
+  /** Cohort retention: users grouped by first-seen day, counted per
+    * day-offset in which they were active — pure integer day math, two
+    * aggregations, one join on user_id.
+    */
+  private def qRetention(s: SparkSession, dir: String): DataFrame = {
+    // integer DIV end to end — double division then cast could mis-round
+    // at day boundaries
+    val ev = tbl(s, dir, "events")
+      .select(col("user_id"),
+        expr("(ts DIV 1000) DIV 86400000000").as("day"))
+    val cohort = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    val active = ev.distinct()
+    active.join(cohort, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_days"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_day", "offset_days")
+  }
+
+  /** Dedup keep-BEST (argmax), not keep-first: normalize content
+    * (lowercase, letters only), group by the normalized key, keep the
+    * highest-quality doc per group via a ranked window — the shape every
+    * corpus dedup uses when replicas differ in quality.
+    */
+  private def qDedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val normKey = md5(regexp_replace(lower(col("text")), "[^a-z]", ""))
+    val w = Window.partitionBy(col("norm_key"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), normKey.as("norm_key"),
+        graft.ops.TextAnalysis.qualityScore(col("text")).as("quality"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_dups", count(lit(1)).over(Window.partitionBy(col("norm_key"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("norm_key"), col("n_dups"), col("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** NOT IN with NULL semantics — the null-aware anti-join: one NULL in
+    * the subquery list makes every non-match UNKNOWN (filtered), so
+    * n_with_null is 0 while n_no_null counts order-less customers.
+    */
+  private def qNotInNull(s: SparkSession, dir: String): DataFrame = {
+    tbl(s, dir, "customer").createOrReplaceTempView("customer_v")
+    tbl(s, dir, "orders").createOrReplaceTempView("orders_nn_v")
+    s.sql(
+      """SELECT
+           (SELECT COUNT(*) FROM customer_v
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders_nn_v))
+             AS n_no_null,
+           (SELECT COUNT(*) FROM customer_v
+            WHERE c_custkey NOT IN
+              (SELECT CASE WHEN o_orderkey % 2 = 0 THEN NULL
+                           ELSE o_custkey END FROM orders_nn_v))
+             AS n_with_null""")
+  }
+
+  /** Discrete percentiles (PERCENTILE_DISC WITHIN GROUP): returns actual
+    * data values, so the hash compare is exact — no interpolation.
+    */
+  private def qPercentileDisc(s: SparkSession, dir: String): DataFrame = {
+    tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_pd_v")
+    s.sql(
+      """SELECT l_returnflag,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)
+             AS med_qty_disc,
+           percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)
+             AS p90_price_disc
+         FROM lineitem_pd_v GROUP BY l_returnflag ORDER BY l_returnflag""")
+  }
+
   /** Streaming exact dedup AS A GATE QUERY: two file-stream sources over
     * the same parquet are unioned (every event arrives twice — the
     * at-least-once replay shape), then dropDuplicatesWithinWatermark
@@ -1872,7 +1971,12 @@ object SparkEntry {
     "q_bm25" -> qBm25,
     "q_pii_redact" -> qPiiRedact,
     "q_gapfill" -> qGapfill,
-    "events_stream_dedup" -> qEventsStreamDedup
+    "events_stream_dedup" -> qEventsStreamDedup,
+    "q_funnel" -> qFunnel,
+    "q_retention" -> qRetention,
+    "dedup_keep_best" -> qDedupKeepBest,
+    "q_not_in_null" -> qNotInNull,
+    "q_percentile_disc" -> qPercentileDisc
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2803,6 +2907,73 @@ object SparkEntry {
     // batch DISTINCT truth for the doubled-and-deduped stream
     "events_stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT event_id) AS n FROM events
-         GROUP BY event_type ORDER BY event_type"""
+         GROUP BY event_type ORDER BY event_type""",
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+           FROM events),
+         t1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+                WHERE event_type = 'signup' GROUP BY user_id),
+         t2 AS (SELECT user_id, min(ts_us) AS t2 FROM e JOIN t1
+                USING (user_id)
+                WHERE event_type = 'view' AND ts_us > t1 GROUP BY user_id),
+         t3 AS (SELECT user_id, min(ts_us) AS t3 FROM e JOIN t2
+                USING (user_id)
+                WHERE event_type = 'click' AND ts_us > t2 GROUP BY user_id),
+         t4 AS (SELECT user_id, min(ts_us) AS t4 FROM e JOIN t3
+                USING (user_id)
+                WHERE event_type = 'purchase' AND ts_us > t3
+                GROUP BY user_id)
+         SELECT step, n_users FROM (
+           SELECT '1_signup' AS step, COUNT(*) AS n_users FROM t1
+           UNION ALL SELECT '2_view', COUNT(*) FROM t2
+           UNION ALL SELECT '3_click', COUNT(*) FROM t3
+           UNION ALL SELECT '4_purchase', COUNT(*) FROM t4)
+         ORDER BY step""",
+    "q_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+           FROM events),
+         c AS (SELECT user_id, min(day) AS cohort_day FROM e
+               GROUP BY user_id),
+         a AS (SELECT DISTINCT user_id, day FROM e)
+         SELECT cohort_day, day - cohort_day AS offset_days,
+           COUNT(DISTINCT user_id) AS n_active
+         FROM a JOIN c USING (user_id)
+         GROUP BY cohort_day, offset_days
+         ORDER BY cohort_day, offset_days""",
+    "dedup_keep_best" ->
+      """WITH q AS (SELECT doc_id,
+           md5(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS norm_key,
+           round((least(1.0, CAST(length(text) AS DOUBLE) / 500.0)
+             + least(1.0, CAST(len(regexp_split_to_array(trim(text),
+                 '[ \t\n]+')) AS DOUBLE) / 80.0)
+             + CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(regexp_replace(text, '[^a-zA-Z]', '',
+                      'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END)
+             / 3.0, 6) AS quality
+           FROM documents),
+         r AS (SELECT doc_id, norm_key, quality,
+             row_number() OVER (PARTITION BY norm_key
+               ORDER BY quality DESC, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY norm_key) AS n_dups
+           FROM q)
+         SELECT doc_id, norm_key, n_dups, quality FROM r WHERE rk = 1
+         ORDER BY doc_id""",
+    "q_not_in_null" ->
+      """SELECT
+           (SELECT COUNT(*) FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
+             AS n_no_null,
+           (SELECT COUNT(*) FROM customer
+            WHERE c_custkey NOT IN
+              (SELECT CASE WHEN o_orderkey % 2 = 0 THEN NULL
+                           ELSE o_custkey END FROM orders))
+             AS n_with_null""",
+    "q_percentile_disc" ->
+      """SELECT l_returnflag,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)
+             AS med_qty_disc,
+           percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)
+             AS p90_price_disc
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }
