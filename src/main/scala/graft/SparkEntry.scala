@@ -1687,8 +1687,8 @@ object SparkEntry {
       .orderBy("doc_id", "rk")
   }
 
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val PhoneRe = "\\+[0-9][0-9-]{7,}"
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhoneRe = "\\+[0-9][0-9-]{7,}"
 
   /** PII redaction (training-data hygiene): detect + mask emails/phones
     * with pure codegen'd regexp expressions. Deterministic synthetic PII

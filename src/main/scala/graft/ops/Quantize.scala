@@ -41,20 +41,24 @@ object Quantize {
     *
     * Edge semantics match the native [[graft.functions.CosineSimilarityQ]]
     * kernel: a zero vector yields 0.0 (not NaN), null elements count as
-    * 0, and length-mismatched arrays use min-length (zip_with pads the
-    * shorter side with nulls, which the coalesce zeroes out). A null
-    * ARRAY itself still yields null, as the native kernel does.
+    * 0, and length-mismatched arrays are truncated to the COMMON prefix
+    * for the whole computation — dot and both norms — exactly as the
+    * native kernel iterates min(len) elements. A null ARRAY itself still
+    * yields null, as the native kernel does.
     */
   def cosineQ(qa: Column, qb: Column): Column = {
+    val n = least(size(qa), size(qb))
+    val a = slice(qa, lit(1), n)
+    val b = slice(qb, lit(1), n)
     def dot(u: Column, v: Column): Column =
       aggregate(
         zip_with(u, v, (x, y) =>
           coalesce(x.cast("long"), lit(0L)) * coalesce(y.cast("long"), lit(0L))),
         lit(0L), (acc, x) => acc + x).cast("double")
-    val na = dot(qa, qa)
-    val nb = dot(qb, qb)
+    val na = dot(a, a)
+    val nb = dot(b, b)
     when(na === 0.0 || nb === 0.0, lit(0.0))
-      .otherwise(dot(qa, qb) / sqrt(na) / sqrt(nb))
+      .otherwise(dot(a, b) / sqrt(na) / sqrt(nb))
   }
 
   /** Attach (scale, qvec) columns for `vecCol`. */

@@ -686,4 +686,86 @@ class OpsSpec extends AnyFunSuite {
     Compaction.compactSorted(spark, in, outSorted, Seq("id"), targetBytes = 1L << 18)
     assert(spark.read.parquet(outSorted).count() == 4096)
   }
+
+  test("connected components: 80-node chain converges in default maxIter via pointer jumping") {
+    import spark.implicits._
+    // one-hop min propagation alone needs 79 rounds; the shortcutting
+    // step makes it O(log n), so default maxIter=25 must suffice
+    val edges = (1L until 80L).map(i => (i, i + 1)).toDF("a", "b")
+    val comps = ConnectedComponents.components(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(comps.length == 80 && comps.forall(_._2 == 1L))
+  }
+
+  test("connected components: hitting maxIter throws instead of returning split components") {
+    import spark.implicits._
+    val edges = (1L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      ConnectedComponents.components(edges, "a", "b", maxIter = 2)
+    }
+    assert(e.getMessage.contains("converge"))
+  }
+
+  test("quantized cosine edge semantics match the native kernel: zero vector, null element, length mismatch") {
+    import spark.implicits._
+    import graft.ops.Quantize
+    val rows = Seq(
+      (1L, Array[Option[Byte]](Some(0), Some(0), Some(0)),
+        Array[Option[Byte]](Some(1), Some(2), Some(3))), // zero vector
+      (2L, Array[Option[Byte]](Some(1), None, Some(3)),
+        Array[Option[Byte]](Some(1), Some(2), Some(3))), // null element
+      (3L, Array[Option[Byte]](Some(1), Some(2), Some(3), Some(4)),
+        Array[Option[Byte]](Some(1), Some(2), Some(3))) // length mismatch
+    ).toDF("id", "qa", "qb")
+      .select(col("id"),
+        col("qa").cast("array<tinyint>").as("qa"),
+        col("qb").cast("array<tinyint>").as("qb"))
+    val out = rows.select(col("id"),
+        Quantize.cosineQ(col("qa"), col("qb")).as("hof"),
+        graft.functions.CosineSimilarityQ.cosineQ(col("qa"), col("qb"))
+          .as("native"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    out.foreach { case (id, hof, native) =>
+      assert(!hof.isNaN && !native.isNaN, s"row $id produced NaN")
+      assert(math.abs(hof - native) < 1e-9,
+        s"row $id: hof=$hof native=$native diverge")
+    }
+    assert(out.find(_._1 == 1L).get._2 == 0.0)
+  }
+
+  test("gap fill conserves mass: dense grid counts sum to the raw event count") {
+    val sf = "/root/testdata/sf0.001"
+    // events.parquet is TIMESTAMP(NANOS); readable only as long nanos
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val grid = SparkEntry.queries("q_gapfill")(spark, sf)
+    val total = grid.agg(sum(col("n"))).head().getLong(0)
+    val raw = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(total == raw, s"grid total $total != raw $raw")
+    // and the grid really is dense: every type covers the same full span
+    val spans = grid.groupBy("event_type").count()
+      .select("count").distinct().count()
+    assert(spans == 1, "event types cover different grid spans")
+  }
+
+  test("PII redaction removes every email/phone match, including adversarial forms") {
+    import spark.implicits._
+    val adversarial = Seq(
+      "reach alice.smith+work@mail.example.org or +44-20-7946-0958 now",
+      "double a@b.co c.d-e_f%g@h-i.jk.museum and +1-800-555-0100.",
+      "no pii here at all",
+      "edge: trailing dot user@example.com. and bare +12345678")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val redacted = adversarial.select(
+      regexp_replace(regexp_replace(col("t"), SparkEntry.EmailRe, "<EMAIL>"),
+        SparkEntry.PhoneRe, "<PHONE>").as("r"))
+    val leftovers = redacted
+      .filter(regexp_count(col("r"), lit(SparkEntry.EmailRe)) > 0 ||
+        regexp_count(col("r"), lit(SparkEntry.PhoneRe)) > 0)
+      .count()
+    assert(leftovers == 0, "redacted text still matches a PII pattern")
+    val r1 = redacted.collect().map(_.getString(0))
+    assert(r1(0).contains("<EMAIL>") && r1(0).contains("<PHONE>"))
+    assert(r1(2) == "no pii here at all")
+  }
 }

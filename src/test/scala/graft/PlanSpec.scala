@@ -208,4 +208,31 @@ class PlanSpec extends AnyFunSuite {
     // and the final agg consumes merged buffers
     assert(plan.contains("sum(cast"))
   }
+
+  test("q_zscore: the O(#groups) moments side is broadcast, the fact table is scanned once per pass") {
+    val plan = planOf("q_zscore")
+    assert(plan.contains("BroadcastHashJoin"),
+      "per-group moments should broadcast back to the fact scan")
+    assert(!plan.contains("SortMergeJoin"),
+      "a 3-row stats table must never shuffle-join the fact table")
+  }
+
+  test("q_lateral_topk: correlated LATERAL LIMIT decorrelates to a ranked join, not a per-row re-scan") {
+    val plan = planOf("q_lateral_topk")
+    assert(!plan.contains("CartesianProduct"),
+      "lateral subquery planned as a cartesian re-scan")
+    // the decorrelated shape ranks orders within priority once
+    assert(plan.contains("Window") || plan.contains("WindowGroupLimit"),
+      s"expected a window-ranked decorrelation:\n$plan")
+  }
+
+  test("q_unpivot: melt is a narrow Expand feeding one partial-aggregated exchange") {
+    val plan = planOf("q_unpivot")
+    assert(plan.contains("Expand"))
+    // exactly two shuffles: Expand is narrow, the agg shuffles once, the
+    // final orderBy adds its range exchange — nothing else may shuffle
+    // (formatted mode lists each node once as "(N) Exchange" in details)
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"unexpected extra shuffles in:\n$plan")
+  }
 }

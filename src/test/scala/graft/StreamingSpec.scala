@@ -292,4 +292,27 @@ class StreamingSpec extends AnyFunSuite {
     sink(batch, 0L) // stale replay after progress is also dropped
     assert(total == 4L)
   }
+
+  test("file-backed high-water mark survives a driver restart: replayed batch stays a no-op") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_hwm").resolve("hwm")
+    var total = 0L
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val sink1 = StreamingEmbed.idempotentSink({ (df, _) =>
+      total += df.count()
+    }, StreamingEmbed.fileHighWaterMark(path))
+    sink1(batch, 0L)
+    sink1(batch, 1L)
+    assert(total == 4L)
+    // "restart": a fresh sink instance over the same persisted mark —
+    // the in-memory store would reset to -1 here and double-write
+    val sink2 = StreamingEmbed.idempotentSink({ (df, _) =>
+      total += df.count()
+    }, StreamingEmbed.fileHighWaterMark(path))
+    sink2(batch, 1L) // checkpoint replay after crash
+    assert(total == 4L, s"replay after restart double-counted: $total")
+    sink2(batch, 2L) // new batch proceeds
+    assert(total == 6L)
+  }
 }
