@@ -1718,14 +1718,28 @@ object SparkEntry {
     val ev = tbl(s, dir, "events").select(col("event_type"), hourUs)
     val counts = ev.groupBy("event_type", "hour_us")
       .agg(count(lit(1)).as("n_raw"))
-    val bounds = ev.agg(min(col("hour_us")).as("lo"), max(col("hour_us")).as("hi"))
-    val grid = ev.select(col("event_type")).distinct()
-      .crossJoin(broadcast(bounds))
-      .select(col("event_type"),
-        explode(expr("sequence(lo, hi, 3600000000)")).as("hour_us"))
-    grid.join(counts, Seq("event_type", "hour_us"), "left_outer")
-      .select(col("event_type"), col("hour_us"),
-        coalesce(col("n_raw"), lit(0L)).as("n"))
+    // gaps-and-islands dense fill: each observed hour emits its own span
+    // up to the next observed hour (the first row also covers back to
+    // the global lo) — no grid⟕counts join, no dual-consumed subtree,
+    // ONE raw scan in a single linear pipeline. The global min/max
+    // window runs over the already-aggregated O(#types × #hours) rows.
+    val wType = Window.partitionBy("event_type").orderBy("hour_us")
+    val wAll = Window
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .withColumn("lo", min(col("hour_us")).over(wAll))
+      .withColumn("hi", max(col("hour_us")).over(wAll))
+      .withColumn("nxt", lead(col("hour_us"), 1).over(wType))
+      .withColumn("prv", lag(col("hour_us"), 1).over(wType))
+      .select(col("event_type"), col("hour_us"), col("n_raw"),
+        explode(expr(
+          """sequence(
+               CASE WHEN prv IS NULL THEN lo ELSE hour_us END,
+               CASE WHEN nxt IS NULL THEN hi ELSE nxt - 3600000000 END,
+               3600000000)""")).as("h"))
+      .select(col("event_type"), col("h").as("hour_us"),
+        when(col("h") === col("hour_us"), col("n_raw")).otherwise(lit(0L))
+          .as("n"))
       .orderBy("event_type", "hour_us")
   }
 
@@ -1768,9 +1782,13 @@ object SparkEntry {
     val ev = tbl(s, dir, "events")
       .select(col("user_id"),
         expr("(ts DIV 1000) DIV 86400000000").as("day"))
-    val cohort = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
-    val active = ev.distinct()
-    active.join(cohort, "user_id")
+    // cohort_day via a window over the distinct (user, day) set — min
+    // over distinct days == min over raw events, and unlike a self-join
+    // the plan is a single linear pipeline: ONE scan, no dual-consumed
+    // subtree to rely on runtime exchange reuse for
+    val wUser = Window.partitionBy("user_id")
+    ev.distinct()
+      .withColumn("cohort_day", min(col("day")).over(wUser))
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_days"))
       .agg(countDistinct(col("user_id")).as("n_active"))
       .orderBy("cohort_day", "offset_days")

@@ -235,4 +235,16 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = """\(\d+\) Exchange""".r.findAllIn(plan).length
     assert(exchanges <= 2, s"unexpected extra shuffles in:\n$plan")
   }
+
+  test("q_retention and q_gapfill: the raw events table is scanned exactly once") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    for (name <- Seq("q_retention", "q_gapfill")) {
+      val plan = planOf(name)
+      val scans = """\(\d+\) Scan parquet""".r.findAllIn(plan).length
+      assert(scans == 1,
+        s"$name reads the raw table $scans times — derive the small " +
+          s"sides from the aggregated subtree instead:\n$plan")
+    }
+  }
 }
