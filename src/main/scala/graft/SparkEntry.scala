@@ -1846,6 +1846,28 @@ object SparkEntry {
          FROM lineitem_pd_v GROUP BY l_returnflag ORDER BY l_returnflag""")
   }
 
+  /** MAP column surface: build per-customer priority→spend maps
+    * (map_from_entries over a pre-aggregated, hence key-unique, set),
+    * probe with element_at, then explode back to rows — the oracle
+    * states the same truth map-free, proving the map round-trip is
+    * lossless.
+    */
+  private def qMapFuncs(s: SparkSession, dir: String): DataFrame = {
+    val per = tbl(s, dir, "orders")
+      .groupBy("o_custkey", "o_orderpriority")
+      .agg(dsum(col("o_totalprice")).as("v"))
+    per.groupBy("o_custkey")
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("o_orderpriority").as("k"), col("v"))))).as("m"))
+      .select(col("o_custkey"),
+        size(col("m")).as("n_prios"),
+        element_at(col("m"), "1-URGENT").as("urgent_total"),
+        explode(col("m")).as(Seq("prio", "total")))
+      .select(col("o_custkey"), col("n_prios"), col("urgent_total"),
+        col("prio"), col("total"))
+      .orderBy("o_custkey", "prio")
+  }
+
   /** Streaming exact dedup AS A GATE QUERY: two file-stream sources over
     * the same parquet are unioned (every event arrives twice — the
     * at-least-once replay shape), then dropDuplicatesWithinWatermark
@@ -1994,7 +2016,8 @@ object SparkEntry {
     "q_retention" -> qRetention,
     "dedup_keep_best" -> qDedupKeepBest,
     "q_not_in_null" -> qNotInNull,
-    "q_percentile_disc" -> qPercentileDisc
+    "q_percentile_disc" -> qPercentileDisc,
+    "q_map_funcs" -> qMapFuncs
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2992,6 +3015,20 @@ object SparkEntry {
              AS med_qty_disc,
            percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)
              AS p90_price_disc
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // the same truth stated map-free: the Spark side's map build/probe/
+    // explode round-trip must be lossless against it
+    "q_map_funcs" ->
+      """WITH per AS (SELECT o_custkey, o_orderpriority,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS v
+           FROM orders GROUP BY o_custkey, o_orderpriority),
+         n AS (SELECT o_custkey, COUNT(*) AS n_prios FROM per
+               GROUP BY o_custkey),
+         u AS (SELECT o_custkey, v AS urgent_total FROM per
+               WHERE o_orderpriority = '1-URGENT')
+         SELECT per.o_custkey AS o_custkey, n.n_prios, u.urgent_total,
+           per.o_orderpriority AS prio, per.v AS total
+         FROM per JOIN n USING (o_custkey) LEFT JOIN u USING (o_custkey)
+         ORDER BY o_custkey, prio"""
   )
 }

@@ -100,4 +100,32 @@ class SourcesSpec extends AnyFunSuite {
       .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
     assert(chain.toLowerCase.contains("malformed"), chain)
   }
+
+  test("SQL DDL surface: CTAS, INSERT INTO ... VALUES/SELECT, catalog round-trip, DROP") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_ddl_wh")
+    spark.sql("DROP TABLE IF EXISTS graft_ddl_t")
+    spark.sql(
+      s"""CREATE TABLE graft_ddl_t USING parquet
+          LOCATION '${wh.resolve("t")}'
+          AS SELECT doc_id, length(text) AS n
+             FROM parquet.`$sf/documents.parquet` WHERE doc_id < 10""")
+    try {
+      assert(spark.table("graft_ddl_t").count() == 10)
+      spark.sql("INSERT INTO graft_ddl_t VALUES (9999, 42)")
+      spark.sql(
+        s"""INSERT INTO graft_ddl_t
+            SELECT doc_id, length(text) AS n
+            FROM parquet.`$sf/documents.parquet`
+            WHERE doc_id >= 10 AND doc_id < 15""")
+      val t = spark.table("graft_ddl_t")
+      assert(t.count() == 16)
+      assert(t.filter(col("doc_id") === 9999).select("n")
+        .head().getInt(0) == 42)
+      // catalog sees the table and its schema
+      val cols = spark.sql("DESCRIBE graft_ddl_t")
+        .select("col_name").collect().map(_.getString(0)).toSet
+      assert(cols.contains("doc_id") && cols.contains("n"))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_ddl_t")
+    assert(!spark.catalog.tableExists("graft_ddl_t"))
+  }
 }
