@@ -748,6 +748,47 @@ class OpsSpec extends AnyFunSuite {
     assert(spans == 1, "event types cover different grid spans")
   }
 
+  test("MLlib pipeline: TF-IDF features are L2-normalized; identical docs map to identical vectors") {
+    import graft.ops.MlPipeline
+    val df = docs(1L -> base, 2L -> base,
+      3L -> "entirely different content about pasta cooking techniques and olive oil")
+    val (feat, _) = MlPipeline.tfidfPipeline(df, "text")
+    val rows = feat.select("doc_id", "features").collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[org.apache.spark.ml.linalg.Vector]("features")).toMap
+    // L2 norm 1 for non-empty docs
+    rows.values.foreach { v =>
+      val n = math.sqrt(v.toArray.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9, s"norm $n != 1")
+    }
+    assert(rows(1L) == rows(2L), "identical docs must vectorize identically")
+    val cos13 = {
+      val a = rows(1L).toArray; val b = rows(3L).toArray
+      a.zip(b).map { case (x, y) => x * y }.sum
+    }
+    assert(cos13 < 0.5, s"unrelated docs too similar: $cos13")
+  }
+
+  test("MLlib MinHashLSH finds the same planted near-dups as the hand-built banded LSH") {
+    import graft.ops.MlPipeline
+    val df = docs(
+      1L -> base,
+      2L -> base, // exact dup
+      3L -> (base + " with a small appended tail"), // near dup
+      4L -> "completely unrelated text about cooking pasta with garlic and olive oil and fresh basil leaves from the garden")
+    val mlPairs = MlPipeline.minhashLshPairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mlPairs.contains((1L, 2L)), "exact dup missed by ml LSH")
+    assert(mlPairs.contains((1L, 3L)) || mlPairs.contains((2L, 3L)),
+      "near dup missed by ml LSH")
+    assert(!mlPairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated doc flagged by ml LSH")
+    // agreement with the custom implementation on the same corpus
+    val custom = Dedup.minHashPairs(df, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(custom.intersect(mlPairs).contains((1L, 2L)))
+  }
+
   test("PII redaction removes every email/phone match, including adversarial forms") {
     import spark.implicits._
     val adversarial = Seq(
