@@ -789,6 +789,41 @@ class OpsSpec extends AnyFunSuite {
     assert(custom.intersect(mlPairs).contains((1L, 2L)))
   }
 
+  test("z-order layout localizes box predicates in BOTH dimensions; linear sort only in one") {
+    import spark.implicits._
+    import graft.ops.ZOrder
+    val n = 64000
+    // deterministic 2-D grid walk covering [0,1000)²
+    val pts = (0 until n).map { i =>
+      (i.toLong, (i * 257 % 1000).toDouble, (i * 997 % 1000).toDouble)
+    }.toDF("id", "x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder")
+    val zPath = s"$dir/z"
+    val linPath = s"$dir/linear"
+    val files = 16
+    ZOrder.writeZOrdered(pts, Seq("x", "y"), zPath, files)
+    pts.repartitionByRange(files, col("x")).sortWithinPartitions("x")
+      .write.parquet(linPath)
+    def filesWithMatches(path: String,
+        pred: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(path)
+        .withColumn("f", input_file_name())
+        .groupBy("f").agg(count(when(pred, 1)).as("m"))
+        .filter(col("m") > 0).count()
+    // y-only box: the x-sorted layout scatters y everywhere (every file
+    // matches); the z-ordered layout confines it to a strict subset
+    val yBox = col("y") >= 100 && col("y") < 200
+    val zy = filesWithMatches(zPath, yBox)
+    val ly = filesWithMatches(linPath, yBox)
+    assert(ly == files, s"x-sorted layout should scatter y: $ly")
+    assert(zy < files / 2, s"z-order should localize y-box to <8 files, got $zy")
+    // 2-D box: z-order touches few files too
+    val box = col("x") >= 100 && col("x") < 200 && yBox
+    assert(filesWithMatches(zPath, box) <= zy)
+    // layout change loses no rows
+    assert(spark.read.parquet(zPath).count() == n)
+  }
+
   test("PII redaction removes every email/phone match, including adversarial forms") {
     import spark.implicits._
     val adversarial = Seq(
