@@ -171,4 +171,43 @@ class EngineSpec extends AnyFunSuite {
     assert(rows.map(_.getInt(1)).sameElements(1 to rows.length))
     assert(rows.forall(_.getString(2).startsWith(Chunker.LeadText)))
   }
+
+  test("multi-megabyte document (SURVEY §7.4.5): budget holds per chunk, numbering dense, content lossless-ish") {
+    import spark.implicits._
+    // ~2 MB of legal-ish prose — the reference caps at 10 MB; this is the
+    // same stress shape (thousands of chunks from ONE row) at test speed
+    val sentence = "The appellate court, having reviewed the record " +
+      "below, remands the maritime insurance question for further " +
+      "proceedings consistent with this opinion. "
+    val big = sentence * (2_000_000 / sentence.length)
+    assert(big.length > 1_900_000)
+    // overlap 0: the reference's losslessness invariant is only defined
+    // without overlap (carried sentences duplicate content by design)
+    val out = new InceptionEngine(EngineConfig.default.copy(overlapRatio = 0.0))
+      .embedDocuments(docsDf(7L -> big))
+      .collect()
+    assert(out.length == 1 && out.head.doc_id == 7L)
+    val chunks = out.head.embeddings
+    assert(chunks.length > 1000, s"expected thousands of chunks, got ${chunks.length}")
+    // dense 1..n numbering survives the single-pass assembly
+    assert(chunks.map(_.chunk_number).sameElements(1 to chunks.length))
+    // every chunk re-encodes within the token budget (the reference's own
+    // crown-jewel invariant, applied at stress scale)
+    val mt = EngineConfig.default.maxTokens
+    chunks.foreach { c =>
+      val t = graft.text.SimpleTokenizer.countTokens(
+        graft.text.Chunker.LeadText + c.chunk, addSpecialTokens = true)
+      assert(t <= mt, s"chunk ${c.chunk_number} has $t tokens > $mt")
+    }
+    // vectors are 768-d and L2-normalized
+    assert(chunks.forall(_.embedding.length == 768))
+    val n0 = math.sqrt(chunks.head.embedding.map(x => x.toDouble * x).sum)
+    assert(math.abs(n0 - 1.0) < 1e-5)
+    // whitespace-stripped content round-trips (reference losslessness);
+    // boolean compare so a failure doesn't print megabyte operands
+    val lossless =
+      chunks.map(_.chunk).mkString(" ").replaceAll("\\s", "") ==
+        big.replaceAll("\\s", "")
+    assert(lossless, "whitespace-stripped chunk concat != original")
+  }
 }
