@@ -1846,6 +1846,24 @@ object SparkEntry {
          FROM lineitem_pd_v GROUP BY l_returnflag ORDER BY l_returnflag""")
   }
 
+  /** Native SESSION WINDOWS (session_window built-in) — the third
+    * independent implementation of 30-min-gap sessionization next to the
+    * batch lag+flag-sum (`events_sessions`) and the custom-state
+    * streaming fold (`events_stream_sessions`), all checked against the
+    * same DuckDB truth shape. Session end = last event + gap by
+    * definition of session_window.
+    */
+  private def qSessionWindow(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events")
+      .withColumn("ts_event", timestamp_micros(eventTsUs))
+      .groupBy(col("user_id"), session_window(col("ts_event"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+      .orderBy("user_id", "start_us")
+
   /** MAP column surface: build per-customer priority→spend maps
     * (map_from_entries over a pre-aggregated, hence key-unique, set),
     * probe with element_at, then explode back to rows — the oracle
@@ -2017,7 +2035,8 @@ object SparkEntry {
     "dedup_keep_best" -> qDedupKeepBest,
     "q_not_in_null" -> qNotInNull,
     "q_percentile_disc" -> qPercentileDisc,
-    "q_map_funcs" -> qMapFuncs
+    "q_map_funcs" -> qMapFuncs,
+    "q_session_window" -> qSessionWindow
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3029,6 +3048,30 @@ object SparkEntry {
          SELECT per.o_custkey AS o_custkey, n.n_prios, u.urgent_total,
            per.o_orderpriority AS prio, per.v AS total
          FROM per JOIN n USING (o_custkey) LEFT JOIN u USING (o_custkey)
-         ORDER BY o_custkey, prio"""
+         ORDER BY o_custkey, prio""",
+    // same gap-sessionization truth as events_sessions, reshaped to the
+    // session_window contract (end = last event + gap)
+    "q_session_window" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         f AS (
+           SELECT *, CASE WHEN prev_us IS NULL
+                          OR ts_us - prev_us > 1800 * 1000000
+                          THEN 1 ELSE 0 END AS new_sess
+           FROM e),
+         g AS (
+           SELECT *, CAST(SUM(new_sess) OVER
+             (PARTITION BY user_id ORDER BY ts_us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS session_id
+           FROM f)
+         SELECT user_id, MIN(ts_us) AS start_us,
+           MAX(ts_us) + 1800 * 1000000 AS end_us,
+           COUNT(*) AS n_events
+         FROM g GROUP BY user_id, session_id
+         ORDER BY user_id, start_us"""
   )
 }
