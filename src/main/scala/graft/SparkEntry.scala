@@ -1864,6 +1864,36 @@ object SparkEntry {
         col("n_events"))
       .orderBy("user_id", "start_us")
 
+  /** supplier ⋈ nation ⋈ region rollup — exercises the last otherwise
+    * untouched base table; every dim is O(1)-size and broadcast.
+    */
+  private def qSupplierStats(s: SparkSession, dir: String): DataFrame = {
+    val sup = tbl(s, dir, "supplier")
+    val n = tbl(s, dir, "nation")
+    val r = tbl(s, dir, "region")
+    sup.join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        dsum(col("s_acctbal")).as("total_acctbal"),
+        min(col("s_name")).as("first_supplier"))
+      .orderBy("r_name")
+  }
+
+  /** JSON payload column on the events stream table: extract the typed
+    * field from `props` and aggregate — the semi-structured ingestion
+    * shape (get_json_object is codegen'd; no UDF).
+    */
+  private def qPropsJson(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
   /** MAP column surface: build per-customer priority→spend maps
     * (map_from_entries over a pre-aggregated, hence key-unique, set),
     * probe with element_at, then explode back to rows — the oracle
@@ -2036,7 +2066,9 @@ object SparkEntry {
     "q_not_in_null" -> qNotInNull,
     "q_percentile_disc" -> qPercentileDisc,
     "q_map_funcs" -> qMapFuncs,
-    "q_session_window" -> qSessionWindow
+    "q_session_window" -> qSessionWindow,
+    "q_supplier_stats" -> qSupplierStats,
+    "q_props_json" -> qPropsJson
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3072,6 +3104,22 @@ object SparkEntry {
            MAX(ts_us) + 1800 * 1000000 AS end_us,
            COUNT(*) AS n_events
          FROM g GROUP BY user_id, session_id
-         ORDER BY user_id, start_us"""
+         ORDER BY user_id, start_us""",
+    "q_supplier_stats" ->
+      """SELECT r_name, COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_acctbal,
+           MIN(s_name) AS first_supplier
+         FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "q_props_json" ->
+      """SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type"""
   )
 }
