@@ -74,11 +74,12 @@ object Bench {
     // (BENCH_r01/r02 both recorded "parsed": null for exactly this reason).
     val headline = Seq(
       "q1_agg", "q3_topk", "q5_join", "q6_filter", "q_window_running",
-      "q_topk_per_group", "q_tfidf", "events_tumbling",
-      "events_stream_tumbling", "dedup_exact", "dedup_minhash",
-      "dedup_fuzzy", "neardup_embedding", "ann_bruteforce",
-      "ann_lsh_indexed", "doc_embeddings", "pipeline_e2e",
-      "q_asof_join_native")
+      "q_topk_per_group", "q_tfidf", "q_bm25", "events_tumbling",
+      "events_stream_tumbling", "events_stream_dedup", "dedup_exact",
+      "dedup_minhash", "dedup_fuzzy", "neardup_embedding",
+      "ann_bruteforce", "ann_lsh_indexed", "doc_embeddings",
+      "pipeline_e2e", "q_asof_join_native", "q_gapfill",
+      "q_session_window")
     val fullLine = jsonLine(results)
     val headLine = jsonLine(headline.flatMap(h => results.get(h).map(h -> _)))
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
