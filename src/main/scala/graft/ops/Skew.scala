@@ -73,6 +73,55 @@ object Skew {
       .drop("__salt", "__rsalt")
   }
 
+  /** Measured skew diagnosis: top-key share of the dataset, from ONE
+    * aggregation over a deterministic hash sample (no full-key-cardinality
+    * shuffle at 100 TB — the sample bounds reducer input, and a key hot
+    * enough to matter is hot in any few-percent sample).
+    *
+    * Returns (hotKeyShare ∈ [0,1], sampledRows). Share is measured within
+    * the sample; hash sampling is content-deterministic, so re-runs agree.
+    */
+  def skewStats(df: DataFrame, keyCols: Seq[String],
+      sampleOneIn: Int = 16): (Double, Long) = {
+    // sample by ROW hash (all columns), never by key hash — key-hash
+    // sampling keeps or drops each key wholesale, so a hot key could be
+    // missed entirely; a row sample preserves per-key shares
+    val keyed = df
+      .filter(pmod(hash(df.columns.map(col): _*), lit(sampleOneIn)) === 0)
+      .select(keyCols.map(col): _*)
+    val counts = keyed.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val row = counts.agg(max(col("__n")).as("mx"),
+      sum(col("__n")).as("tot")).head()
+    if (row.isNullAt(1) || row.getLong(1) == 0L) (0.0, 0L)
+    else (row.getLong(0).toDouble / row.getLong(1), row.getLong(1))
+  }
+
+  /** Measure-then-mitigate aggregation: picks the salt factor from the
+    * observed hot-key share (share × target reducers, capped), falling
+    * back to a PLAIN aggregation when the keys are balanced — salting has
+    * a real merge-phase cost, so it should be applied only when measured
+    * skew warrants it.
+    */
+  def autoSaltedSumCount(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: Column,
+      spreadCol: String,
+      targetReducers: Int = 32,
+      hotShareThreshold: Double = 0.2
+  ): DataFrame = {
+    val (share, _) = skewStats(df, keyCols)
+    if (share < hotShareThreshold)
+      df.groupBy(keyCols.map(col): _*)
+        .agg(sum(valueCol).as("sum_value"), count(lit(1)).as("n"))
+    else {
+      val salts = math.max(2, math.min(targetReducers,
+        math.ceil(share * targetReducers).toInt))
+      saltedSumCount(df, keyCols, valueCol, salts, spreadCol)
+    }
+  }
+
   /** Salted sum+count convenience (the common case). */
   def saltedSumCount(
       df: DataFrame,

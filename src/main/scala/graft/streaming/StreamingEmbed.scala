@@ -163,6 +163,62 @@ object StreamingEmbed {
     * shuffles once on user_id (the groupByKey), identical to the batch
     * window's partitioning.
     */
+  /** The same sessionization through Spark 4's `transformWithState`
+    * StatefulProcessor API (the arbitrary-state successor to
+    * flatMapGroupsWithState): typed ValueState handle, per-key fold,
+    * update-mode emission of every touched session. Requires the RocksDB
+    * state store provider (`spark.sql.streaming.stateStore.providerClass`).
+    */
+  private final class SessionProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long), SessionUpdate] {
+    @transient private var sess:
+        org.apache.spark.sql.streaming.ValueState[SessionState] = _
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      sess = getHandle.getValueState[SessionState]("sess",
+        org.apache.spark.sql.Encoders.product[SessionState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        userId: Long,
+        rows: Iterator[(Long, Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SessionUpdate] = {
+      val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
+      var st = Option(sess.get())
+        .getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
+      val touched =
+        scala.collection.mutable.LinkedHashMap.empty[Long, SessionUpdate]
+      sorted.foreach { case (_, _, ts) =>
+        st =
+          if (st.sessionId == 0L || ts - st.lastTsUs > gapUs)
+            SessionState(st.sessionId + 1, ts, 1L, ts)
+          else st.copy(lastTsUs = ts, nEvents = st.nEvents + 1)
+        touched(st.sessionId) =
+          SessionUpdate(userId, st.sessionId, st.nEvents, st.startUs, st.lastTsUs)
+      }
+      sess.update(st)
+      touched.values.iterator
+    }
+  }
+
+  /** Sessionization #4: `transformWithState` (Spark 4 arbitrary-state
+    * API). Identical semantics to [[sessionizeStream]] — StreamingSpec
+    * checks both against the same batch fold.
+    */
+  def sessionizeStreamTws(
+      events: org.apache.spark.sql.Dataset[(Long, Long, Long)], // (user_id, event_id, ts_us)
+      gapUs: Long = 1800L * 1000000L
+  ): org.apache.spark.sql.Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .transformWithState(new SessionProcessor(gapUs),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   def sessionizeStream(
       events: org.apache.spark.sql.Dataset[(Long, Long, Long)], // (user_id, event_id, ts_us)
       gapUs: Long = 1800L * 1000000L

@@ -413,6 +413,30 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("auto-salting: measured hot-key share picks salting; balanced keys stay plain") {
+    import spark.implicits._
+    import graft.ops.Skew
+    // 90% of rows on one key → hot
+    val hot = ((1 to 45000).map(i => (7L, i.toLong)) ++
+      (1 to 5000).map(i => ((i % 50).toLong + 100L, i.toLong)))
+      .toDF("k", "v")
+    val (hotShare, sampled) = Skew.skewStats(hot, Seq("k"))
+    assert(sampled > 0 && hotShare > 0.5, s"share=$hotShare n=$sampled")
+    // balanced: uniform keys → low share
+    val flat = (1 to 50000).map(i => ((i % 500).toLong, i.toLong)).toDF("k", "v")
+    val (flatShare, _) = Skew.skewStats(flat, Seq("k"))
+    assert(flatShare < 0.05, s"balanced share=$flatShare")
+    // both paths produce the plain-agg truth
+    def truth(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(sum(col("v")).as("sum_value"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def auto(df: org.apache.spark.sql.DataFrame) =
+      Skew.autoSaltedSumCount(df, Seq("k"), col("v"), spreadCol = "v")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(auto(hot) == truth(hot))
+    assert(auto(flat) == truth(flat))
+  }
+
   test("metrics accumulators count chunks and requests") {
     import spark.implicits._
     val m = new graft.engine.Metrics(spark.sparkContext)

@@ -101,6 +101,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected, s"sessions differ: got=${got.size} want=${expected.size}")
   }
 
+  test("transformWithState sessionization (Spark 4 StatefulProcessor) matches the batch fold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gapUs = 1800L * 1000000L
+    val rnd = new scala.util.Random(13)
+    val events = (0 until 300).map { i =>
+      val user = (i % 4).toLong
+      val ts = (i / 4).toLong * 400000000L +
+        (if (rnd.nextInt(6) == 0) (i / 4).toLong * gapUs else 0L)
+      (user, i.toLong, ts)
+    }
+    val expected = events.groupBy(_._1).flatMap { case (u, evs) =>
+      var sess = 0L; var last = Long.MinValue
+      var n = 0L; var start = 0L
+      val out = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+      evs.sortBy(e => (e._3, e._2)).foreach { case (_, _, ts) =>
+        if (sess == 0L || ts - last > gapUs) { sess += 1; n = 1; start = ts }
+        else n += 1
+        last = ts
+        out(sess) = (n, start, last)
+      }
+      out.map { case (s, (ne, st, en)) => (u, s, ne, st, en) }
+    }.toSet
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Long, Long)]
+      val upserts =
+        new java.util.concurrent.ConcurrentHashMap[(Long, Long), (Long, Long, Long)]()
+      val q = StreamingEmbed.sessionizeStreamTws(mem.toDS(), gapUs)
+        .writeStream.outputMode("update")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[StreamingEmbed.SessionUpdate],
+           _: Long) =>
+            batch.collect().foreach(s =>
+              upserts.put((s.user_id, s.session_id),
+                (s.n_events, s.start_us, s.end_us)))
+            ()
+        }
+        .start()
+      try {
+        // split mid-stream: cross-batch ValueState carry is the point
+        val (a, b) = events.sortBy(e => (e._3, e._2)).splitAt(120)
+        mem.addData(a)
+        q.processAllAvailable()
+        mem.addData(b)
+        q.processAllAvailable()
+      } finally q.stop()
+      import scala.jdk.CollectionConverters._
+      val got = upserts.asScala.map { case ((u, s), (n, st, en)) =>
+        (u, s, n, st, en) }.toSet
+      assert(got == expected,
+        s"tws sessions differ: got=${got.size} want=${expected.size}")
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("sessionization state survives a query RESTART from checkpoint") {
     import spark.implicits._
     val gapUs = 1800L * 1000000L
