@@ -1894,6 +1894,39 @@ object SparkEntry {
         max(col("k")).as("max_k"))
       .orderBy("event_type")
 
+  /** WITH RECURSIVE (Spark 4 recursive CTE): a 5-hop chain walk over
+    * nation keys (k → k+5) — the data-driven transitive-closure shape
+    * that dedup clustering uses, through the SQL front-end on both
+    * engines.
+    */
+  private def qRecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    tbl(s, dir, "nation").createOrReplaceTempView("nation_rc_v")
+    s.sql(
+      """WITH RECURSIVE anc(k, root, depth) AS (
+           SELECT n_nationkey, n_nationkey, 0 FROM nation_rc_v
+           WHERE n_nationkey < 5
+           UNION ALL
+           SELECT n.n_nationkey, a.root, a.depth + 1
+           FROM nation_rc_v n JOIN anc a ON n.n_nationkey = a.k + 5)
+         SELECT root, COUNT(*) AS chain_len, MAX(depth) AS max_depth
+         FROM anc GROUP BY root ORDER BY root""")
+  }
+
+  /** Aggregate FILTER clauses — per-branch conditional aggregation
+    * without CASE scaffolding, one pass.
+    */
+  private def qFilterAgg(s: SparkSession, dir: String): DataFrame = {
+    tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_fa_v")
+    s.sql(
+      """SELECT l_returnflag,
+           COUNT(*) AS n_all,
+           COUNT(*) FILTER (WHERE l_quantity < 10) AS n_small,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+             FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS rev_discounted,
+           MAX(l_quantity) FILTER (WHERE l_linestatus = 'F') AS max_qty_f
+         FROM lineitem_fa_v GROUP BY l_returnflag ORDER BY l_returnflag""")
+  }
+
   /** MAP column surface: build per-customer priority→spend maps
     * (map_from_entries over a pre-aggregated, hence key-unique, set),
     * probe with element_at, then explode back to rows — the oracle
@@ -2068,7 +2101,9 @@ object SparkEntry {
     "q_map_funcs" -> qMapFuncs,
     "q_session_window" -> qSessionWindow,
     "q_supplier_stats" -> qSupplierStats,
-    "q_props_json" -> qPropsJson
+    "q_props_json" -> qPropsJson,
+    "q_recursive_cte" -> qRecursiveCte,
+    "q_filter_agg" -> qFilterAgg
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3120,6 +3155,24 @@ object SparkEntry {
              AS sum_k,
            CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
              AS max_k
-         FROM events GROUP BY event_type ORDER BY event_type"""
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_recursive_cte" ->
+      """WITH RECURSIVE anc(k, root, depth) AS (
+           SELECT n_nationkey, n_nationkey, 0 FROM nation
+           WHERE n_nationkey < 5
+           UNION ALL
+           SELECT n.n_nationkey, a.root, a.depth + 1
+           FROM nation n JOIN anc a ON n.n_nationkey = a.k + 5)
+         SELECT root, COUNT(*) AS chain_len,
+           CAST(MAX(depth) AS INTEGER) AS max_depth
+         FROM anc GROUP BY root ORDER BY root""",
+    "q_filter_agg" ->
+      """SELECT l_returnflag,
+           COUNT(*) AS n_all,
+           COUNT(*) FILTER (WHERE l_quantity < 10) AS n_small,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+             FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS rev_discounted,
+           MAX(l_quantity) FILTER (WHERE l_linestatus = 'F') AS max_qty_f
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }
