@@ -1720,15 +1720,18 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_raw"))
     // gaps-and-islands dense fill: each observed hour emits its own span
     // up to the next observed hour (the first row also covers back to
-    // the global lo) — no grid⟕counts join, no dual-consumed subtree,
-    // ONE raw scan in a single linear pipeline. The global min/max
-    // window runs over the already-aggregated O(#types × #hours) rows.
+    // the global lo) — no grid⟕counts join, ONE raw scan. Global lo/hi
+    // arrive as a broadcast 1-row join, not an unpartitioned window, so
+    // no stage funnels all rows through a single task. The always-true
+    // filter on the aggregated count blocks Catalyst's agg-collapse
+    // rewrite (min/max of a grouping key would otherwise be pushed to a
+    // second raw scan), pinning bounds to the counts subtree so the
+    // physical planner reuses its exchange instead of re-reading events.
     val wType = Window.partitionBy("event_type").orderBy("hour_us")
-    val wAll = Window
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val bounds = counts.filter(col("n_raw") > 0)
+      .agg(min(col("hour_us")).as("lo"), max(col("hour_us")).as("hi"))
     counts
-      .withColumn("lo", min(col("hour_us")).over(wAll))
-      .withColumn("hi", max(col("hour_us")).over(wAll))
+      .crossJoin(broadcast(bounds))
       .withColumn("nxt", lead(col("hour_us"), 1).over(wType))
       .withColumn("prv", lag(col("hour_us"), 1).over(wType))
       .select(col("event_type"), col("hour_us"), col("n_raw"),

@@ -240,8 +240,17 @@ class PlanSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     for (name <- Seq("q_retention", "q_gapfill")) {
-      val plan = planOf(name)
-      val scans = """\(\d+\) Scan parquet""".r.findAllIn(plan).length
+      // AQE applies exchange reuse at runtime (stage cache), not in the
+      // static plan — execute, then read the finalized adaptive plan.
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val full = df.queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+      // count scans in the executed tree only ("Scan parquet  (N)" tree
+      // lines), not the pre-AQE "== Initial Plan ==" echo or the node
+      // details that formatted mode appends after it
+      val plan = full.split("== Initial Plan ==")(0)
+      val scans = """Scan parquet\s+\(\d+\)""".r.findAllIn(plan).length
       assert(scans == 1,
         s"$name reads the raw table $scans times — derive the small " +
           s"sides from the aggregated subtree instead:\n$plan")
