@@ -1994,6 +1994,54 @@ object SparkEntry {
     state.asScala.toSeq.toDF("event_type", "n").orderBy("event_type")
   }
 
+  /** Stream-static join AS A GATE QUERY: the events file-stream joins the
+    * static customer dimension (re-resolved per micro-batch — the Spark
+    * enrichment-join shape; the planner broadcasts it when it fits, and at
+    * 100 TB an SF-scaling dim falls back to a per-batch shuffle join
+    * without any code change). The stateless join feeds a keyed stateful
+    * aggregate over segment×type (bounded state: key cardinality, not
+    * event count), upserted via update-mode foreachBatch. Hash-matches
+    * the batch join+agg oracle.
+    */
+  private def qEventsStreamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val schema = tbl(s, dir, "events").schema
+    val dim = tbl(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    val joined = s.readStream.schema(schema)
+      .parquet(eventsStreamDir(dir).toString)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("total_dec"))
+      .select(col("c_mktsegment"), col("event_type"), col("n"),
+        col("total_dec").cast("double").as("total_value"))
+    val state = new java.util.concurrent.ConcurrentHashMap[
+      (String, String), (Long, Double)]()
+    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = joined.writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // update mode: only changed segment×type groups arrive; upsert
+          batch.collect().foreach { r =>
+            state.put((r.getString(0), r.getString(1)),
+              (r.getLong(2), r.getDouble(3)))
+          }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+    import scala.jdk.CollectionConverters._
+    state.asScala.toSeq
+      .map { case ((seg, et), (n, tv)) => (seg, et, n, tv) }
+      .toDF("c_mktsegment", "event_type", "n", "total_value")
+      .orderBy("c_mktsegment", "event_type")
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -2106,7 +2154,8 @@ object SparkEntry {
     "q_supplier_stats" -> qSupplierStats,
     "q_props_json" -> qPropsJson,
     "q_recursive_cte" -> qRecursiveCte,
-    "q_filter_agg" -> qFilterAgg
+    "q_filter_agg" -> qFilterAgg,
+    "events_stream_static_join" -> qEventsStreamStaticJoin
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3176,6 +3225,12 @@ object SparkEntry {
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
              FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS rev_discounted,
            MAX(l_quantity) FILTER (WHERE l_linestatus = 'F') AS max_qty_f
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "events_stream_static_join" ->
+      """SELECT c_mktsegment, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY c_mktsegment, event_type
+         ORDER BY c_mktsegment, event_type"""
   )
 }

@@ -236,6 +236,39 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"unexpected extra shuffles in:\n$plan")
   }
 
+  test("dynamic partition pruning: a partition-keyed join probes only the dim-selected partitions") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val root = java.nio.file.Files.createTempDirectory("graft_dpp")
+    // fact laid out hive-partitioned by event_type (the layout ops/Bucketing
+    // and the LSH index use for O(selected/total) scans)
+    spark.read.parquet(s"$sf/events.parquet")
+      .write.mode("overwrite").partitionBy("event_type")
+      .parquet(s"$root/events_by_type")
+    // dim carries a selective predicate on a real (non-literal) source so
+    // the PartitionPruning rule sees a filtering side worth subscribing
+    // to. NOTE: it must be a comparison (EqualTo here) — a bare boolean
+    // attribute is not "likely selective" to Catalyst and DPP skips it.
+    Seq(("purchase", "hot"), ("view", "cold"), ("click", "cold"),
+      ("signup", "cold"), ("error", "cold"))
+      .toDF("t", "grp").write.mode("overwrite").parquet(s"$root/type_dim")
+    val fact = spark.read.parquet(s"$root/events_by_type")
+    val dim = spark.read.parquet(s"$root/type_dim")
+      .filter(col("grp") === "hot")
+    val q = fact.join(dim, fact("event_type") === dim("t"))
+      .agg(count(lit(1)).as("n"))
+    val plan = q.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic-pruning subscription on the partitioned scan:\n$plan")
+    // and the pruned result is still correct
+    val n = q.collect()(0).getLong(0)
+    val expected = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_type") === "purchase").count()
+    assert(n == expected)
+  }
+
   test("q_retention and q_gapfill: the raw events table is scanned exactly once") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
