@@ -1994,6 +1994,40 @@ object SparkEntry {
     state.asScala.toSeq.toDF("event_type", "n").orderBy("event_type")
   }
 
+  /** Benchmark decontamination (training-data hygiene): flag training
+    * docs sharing any word 8-gram with the benchmark slice (doc_id<50
+    * stands in for a held-out eval set). One tokenize+explode subtree
+    * feeds both sides; the benchmark gram set is bounded by the eval
+    * suite's size — constant w.r.t. corpus scale — so it broadcasts, and
+    * the training side never shuffles on the gram key. The contamination
+    * ratio is per-doc distinct-gram overlap.
+    */
+  private def qContamination(s: SparkSession, dir: String): DataFrame = {
+    val toks = tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '[^a-z0-9_]+'), w -> w <> '')")
+          .as("ws"))
+      .filter(size(col("ws")) >= 8)
+    val grams = toks.select(col("doc_id"),
+      explode(expr(
+        """transform(sequence(1, size(ws) - 7),
+             i -> concat_ws(' ', slice(ws, i, 8)))""")).as("g"))
+      .distinct()
+    val bench = grams.filter(col("doc_id") < 50).select("g").distinct()
+    val train = grams.filter(col("doc_id") >= 50)
+    val tot = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hit = train.join(broadcast(bench), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    tot.join(hit, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        col("n_grams"),
+        round(coalesce(col("n_shared"), lit(0L)) / col("n_grams"), 6)
+          .as("ratio"))
+      .filter(col("n_shared") > 0)
+      .orderBy("doc_id")
+  }
+
   /** Stream-static join AS A GATE QUERY: the events file-stream joins the
     * static customer dimension (re-resolved per micro-batch — the Spark
     * enrichment-join shape; the planner broadcasts it when it fits, and at
@@ -2155,7 +2189,8 @@ object SparkEntry {
     "q_props_json" -> qPropsJson,
     "q_recursive_cte" -> qRecursiveCte,
     "q_filter_agg" -> qFilterAgg,
-    "events_stream_static_join" -> qEventsStreamStaticJoin
+    "events_stream_static_join" -> qEventsStreamStaticJoin,
+    "q_contamination" -> qContamination
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3231,6 +3266,26 @@ object SparkEntry {
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
          FROM events e JOIN customer c ON e.user_id = c.c_custkey
          GROUP BY c_mktsegment, event_type
-         ORDER BY c_mktsegment, event_type"""
+         ORDER BY c_mktsegment, event_type""",
+    "q_contamination" ->
+      """WITH toks AS (SELECT doc_id, list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+             w -> w <> '') AS ws
+           FROM documents),
+         graw AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 6),
+             i -> array_to_string(ws[i:i+7], ' '))) AS g
+           FROM toks WHERE len(ws) >= 8),
+         grams AS (SELECT DISTINCT doc_id, g FROM graw),
+         bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 50),
+         train AS (SELECT doc_id, g FROM grams WHERE doc_id >= 50),
+         tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM train
+                 GROUP BY doc_id),
+         hit AS (SELECT t.doc_id, COUNT(*) AS n_shared
+                 FROM train t JOIN bench b USING (g) GROUP BY t.doc_id)
+         SELECT t.doc_id, h.n_shared, t.n_grams,
+           ROUND(h.n_shared / t.n_grams, 6) AS ratio
+         FROM tot t JOIN hit h ON t.doc_id = h.doc_id
+         WHERE h.n_shared > 0
+         ORDER BY t.doc_id"""
   )
 }
