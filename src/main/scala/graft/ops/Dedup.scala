@@ -352,6 +352,122 @@ object Dedup {
     }
   }
 
+  // ---- incremental MinHash index (probe new batches, never re-LSH the
+  // corpus) ----
+
+  /** Banded (band, bucket) rows for a signature table — shared by the
+    * one-shot pair search and the persisted index below.
+    */
+  private def bandRows(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
+    sigs.select(col("doc_id"), posexplode(expr(
+      s"transform(sequence(0, ${bands - 1}), b -> " +
+        s"hash(b, slice(sig, b * $rows + 1, $rows)))"))
+      .as(Seq("band", "bucket")))
+
+  /** Persist a MinHash LSH index for INCREMENTAL dedup: `bands/`
+    * (band, bucket, doc_id — bucket membership capped at `maxBucketSize`
+    * by id order at write time, so no probe ever meets an unbounded hot
+    * bucket) and `sigs/` (doc_id, sig — for candidate verification).
+    * At 100 TB this is written once and appended per ingest batch; the
+    * alternative — re-running LSH over the full corpus per batch — is
+    * O(corpus) per ingest instead of O(batch).
+    */
+  def writeMinhashIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      shingleWidth: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucketSize: Int = 64): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = df.select(col(idCol).cast("long").as("doc_id"),
+      minhashUdf(shinglesUdf(col(textCol), lit(shingleWidth)),
+        lit(numHashes)).as("sig"))
+    sigs.select("doc_id", "sig")
+      .write.mode("overwrite").parquet(s"$path/sigs")
+    bandRows(sigs, bands, rows)
+      .groupBy("band", "bucket")
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, maxBucketSize)
+        .as("ids"))
+      .select(col("band"), col("bucket"),
+        explode(col("ids")).as("doc_id"))
+      .write.mode("overwrite").parquet(s"$path/bands")
+  }
+
+  /** Append one ingest batch to an existing index (same layout; the
+    * write-time bucket cap applies within the batch, so a cross-batch
+    * bucket is bounded by cap × number-of-batches).
+    */
+  def appendToMinhashIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      shingleWidth: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucketSize: Int = 64): Unit = {
+    val rows = numHashes / bands
+    val sigs = df.select(col(idCol).cast("long").as("doc_id"),
+      minhashUdf(shinglesUdf(col(textCol), lit(shingleWidth)),
+        lit(numHashes)).as("sig"))
+    sigs.select("doc_id", "sig")
+      .write.mode("append").parquet(s"$path/sigs")
+    bandRows(sigs, bands, rows)
+      .groupBy("band", "bucket")
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, maxBucketSize)
+        .as("ids"))
+      .select(col("band"), col("bucket"), explode(col("ids")).as("doc_id"))
+      .write.mode("append").parquet(s"$path/bands")
+  }
+
+  /** Probe the persisted index with a new batch: returns
+    * (old_id, new_id, est_jaccard) pairs with est >= threshold.
+    *
+    * Scale shape: the batch's banded keys BROADCAST to the index scan
+    * (the corpus-side `bands/` table is map-side hash-probed in place,
+    * never shuffled), candidate old-ids broadcast-semi-filter `sigs/`
+    * the same way, and only O(batch + candidates) rows ever move.
+    */
+  def probeMinhashIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWidth: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val newSigs = newDf.select(col(idCol).cast("long").as("doc_id"),
+      minhashUdf(shinglesUdf(col(textCol), lit(shingleWidth)),
+        lit(numHashes)).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newBands = bandRows(newSigs, bands, rows)
+      .withColumnRenamed("doc_id", "new_id")
+    val idx = spark.read.parquet(s"$path/bands")
+    val cands = idx.join(broadcast(newBands), Seq("band", "bucket"))
+      .select(col("doc_id").as("old_id"), col("new_id"))
+      .distinct()
+    val oldSigsHit = spark.read.parquet(s"$path/sigs")
+      .withColumnRenamed("doc_id", "old_id")
+      .join(broadcast(cands.select("old_id").distinct()), "old_id")
+      .select(col("old_id"), col("sig").as("sig_old"))
+    cands
+      .join(oldSigsHit, Seq("old_id"))
+      .join(newSigs.select(col("doc_id").as("new_id"),
+        col("sig").as("sig_new")), Seq("new_id"))
+      .select(col("old_id"), col("new_id"),
+        sigJaccardUdf(col("sig_old"), col("sig_new")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("old_id"), col("new_id"), col("est_jaccard"))
+  }
+
   private[ops] def hyperplaneBucket(
       v: Array[Float], planes: Array[Array[Float]]): Int = {
     var bucket = 0

@@ -868,4 +868,45 @@ class OpsSpec extends AnyFunSuite {
     assert(r1(0).contains("<EMAIL>") && r1(0).contains("<PHONE>"))
     assert(r1(2) == "no pii here at all")
   }
+
+  test("incremental minhash index: probe matches one-shot pair search; append maintains it") {
+    val all = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val oldCorpus = all.filter(col("doc_id") < 400)
+    val batch = all.filter(col("doc_id") >= 400)
+    val path = java.nio.file.Files.createTempDirectory("graft_mhidx").toString
+    Dedup.writeMinhashIndex(oldCorpus, "doc_id", "text", path,
+      maxBucketSize = 10000)
+    val probe = Dedup.probeMinhashIndex(spark, path, batch, "doc_id", "text",
+      threshold = 0.5)
+    // the batch's banded keys broadcast to the index scan — the
+    // corpus-side tables are probed in place, never shuffled
+    val plan = probe.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"index probe must broadcast the batch side:\n$plan")
+    val got = probe.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // truth: the one-shot pair search over the union, restricted to
+    // cross-boundary (old, new) pairs — identical banding parameters
+    val full = Dedup.minHashPairs(all, "doc_id", "text", threshold = 0.5,
+        maxBucketSize = 10000)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a < 400 && b >= 400 }
+      .toSet
+    assert(got == full,
+      s"probe=${got.toSeq.sorted} vs one-shot=${full.toSeq.sorted}")
+    assert(got.size >= 5, "expected planted cross-boundary near-dups")
+    // append maintenance: after appending the batch, a copy of one of its
+    // docs probes straight to it
+    Dedup.appendToMinhashIndex(batch, "doc_id", "text", path,
+      maxBucketSize = 10000)
+    val copyOf450 = batch.filter(col("doc_id") === 450)
+      .select(lit(99999L).as("doc_id"), col("text"))
+    val hits = Dedup.probeMinhashIndex(spark, path, copyOf450, "doc_id",
+      "text", threshold = 0.9)
+    assert(hits.filter(col("old_id") === 450L).count() == 1,
+      "appended doc not found by a later probe of its copy")
+  }
 }
