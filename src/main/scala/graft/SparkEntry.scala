@@ -1897,6 +1897,45 @@ object SparkEntry {
         max(col("k")).as("max_k"))
       .orderBy("event_type")
 
+  /** Sequence packing (training-batch prep): assign each doc to the
+    * fixed-budget (2048-token) pack where its concatenation offset
+    * starts — the concatenate-then-chunk packing LLM pipelines use.
+    * Packing is per shard (doc_id mod 16), so the cumulative-offset
+    * window parallelizes across shards; integer div/mod math end to end
+    * keeps both engines exact.
+    */
+  private def qSeqPacking(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 16).as("shard"),
+        expr("(length(text) + 3) div 4").cast("long").as("tok"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("pack_id", expr("(cum - tok) div 2048").cast("long"))
+      .groupBy("shard", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("toks"))
+      .orderBy("shard", "pack_id")
+  }
+
+  /** VARIANT column (Spark 4 semi-structured type): parse the JSON
+    * payload ONCE into the binary variant encoding, then do all field
+    * access via variant_get — the open-schema ingestion shape (vs
+    * q_props_json's per-path string re-parsing). Missing paths surface
+    * as NULLs, counted per type.
+    */
+  private def qVariant(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events")
+      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'long')").as("k"),
+        expr("variant_get(v, '$.missing', 'long')").as("m"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        count(col("m")).as("n_missing"))
+      .orderBy("event_type")
+
   /** WITH RECURSIVE (Spark 4 recursive CTE): a 5-hop chain walk over
     * nation keys (k → k+5) — the data-driven transitive-closure shape
     * that dedup clustering uses, through the SQL front-end on both
@@ -2190,7 +2229,9 @@ object SparkEntry {
     "q_recursive_cte" -> qRecursiveCte,
     "q_filter_agg" -> qFilterAgg,
     "events_stream_static_join" -> qEventsStreamStaticJoin,
-    "q_contamination" -> qContamination
+    "q_contamination" -> qContamination,
+    "q_variant" -> qVariant,
+    "q_seq_packing" -> qSeqPacking
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3286,6 +3327,26 @@ object SparkEntry {
            ROUND(h.n_shared / t.n_grams, 6) AS ratio
          FROM tot t JOIN hit h ON t.doc_id = h.doc_id
          WHERE h.n_shared > 0
-         ORDER BY t.doc_id"""
+         ORDER BY t.doc_id""",
+    "q_variant" ->
+      """SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS min_k,
+           COUNT(json_extract(props, '$.missing')) AS n_missing
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_seq_packing" ->
+      """WITH d AS (SELECT doc_id, doc_id % 16 AS shard,
+             (length(text) + 3) // 4 AS tok
+           FROM documents),
+         c AS (SELECT shard, doc_id, tok,
+             CAST(SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+           FROM d)
+         SELECT shard, CAST((cum - tok) // 2048 AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS toks
+         FROM c GROUP BY shard, pack_id ORDER BY shard, pack_id"""
   )
 }
