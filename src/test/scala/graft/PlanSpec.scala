@@ -269,6 +269,36 @@ class PlanSpec extends AnyFunSuite {
     assert(n == expected)
   }
 
+  test("runtime bloom-filter pruning: a selective dim filter injects might_contain on the fact scan") {
+    // the shuffle-join sibling of DPP: rows, not partitions, pruned at
+    // the fact scan before the join shuffle — the mechanism that keeps a
+    // selective dim⋈fact join from shuffling the full 100 TB fact side
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> scala.util.Try(spark.conf.get(k)).toOption)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val ord = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val q = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no bloom probe on the fact side:\n$plan")
+      assert(plan.contains("bloom_filter_agg"),
+        "no bloom build on the filtered dim side")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q_retention and q_gapfill: the raw events table is scanned exactly once") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
