@@ -1917,6 +1917,47 @@ object SparkEntry {
       .orderBy("shard", "pack_id")
   }
 
+  /** Token-budget sampling (corpus mixing): per domain shard, admit docs
+    * in a deterministic priority order (shortest first, id tiebreak)
+    * until the running token total crosses a 20k budget — the "fill each
+    * mixture bucket to its token share" curation op. One keyed window
+    * per domain, fully parallel across domains.
+    */
+  private def qTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("domain").orderBy("tok", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 8).as("domain"),
+        expr("(length(text) + 3) div 4").cast("long").as("tok"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .filter(col("cum") <= 20000)
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), max(col("cum")).as("used_tokens"),
+        max(col("tok")).as("max_doc_tokens"))
+      .orderBy("domain")
+  }
+
+  /** Schema-evolution union (unionByName + allowMissingColumns): two
+    * ingest generations with different column sets — the old batch
+    * lacks `value`, the new batch lacks `props` — align by NAME with
+    * nulls for absent columns, never by position.
+    */
+  private def qUnionByName(s: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(s, dir, "events")
+    val oldGen = ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("event_type"), col("props"))
+    val newGen = ev.filter(col("event_id") % 2 === 1)
+      .select(col("event_id"), col("event_type"), col("value"))
+    oldGen.unionByName(newGen, allowMissingColumns = true)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count(col("props")).as("n_props"),
+        count(col("value")).as("n_value"),
+        sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** VARIANT column (Spark 4 semi-structured type): parse the JSON
     * payload ONCE into the binary variant encoding, then do all field
     * access via variant_get — the open-schema ingestion shape (vs
@@ -2231,7 +2272,9 @@ object SparkEntry {
     "events_stream_static_join" -> qEventsStreamStaticJoin,
     "q_contamination" -> qContamination,
     "q_variant" -> qVariant,
-    "q_seq_packing" -> qSeqPacking
+    "q_seq_packing" -> qSeqPacking,
+    "q_token_budget" -> qTokenBudget,
+    "q_union_by_name" -> qUnionByName
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3347,6 +3390,31 @@ object SparkEntry {
            FROM d)
          SELECT shard, CAST((cum - tok) // 2048 AS BIGINT) AS pack_id,
            COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS toks
-         FROM c GROUP BY shard, pack_id ORDER BY shard, pack_id"""
+         FROM c GROUP BY shard, pack_id ORDER BY shard, pack_id""",
+    "q_token_budget" ->
+      """WITH d AS (SELECT doc_id, doc_id % 8 AS domain,
+             (length(text) + 3) // 4 AS tok
+           FROM documents),
+         c AS (SELECT domain, doc_id, tok,
+             CAST(SUM(tok) OVER (PARTITION BY domain ORDER BY tok, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+           FROM d)
+         SELECT domain, COUNT(*) AS n_docs,
+           CAST(MAX(cum) AS BIGINT) AS used_tokens,
+           CAST(MAX(tok) AS BIGINT) AS max_doc_tokens
+         FROM c WHERE cum <= 20000
+         GROUP BY domain ORDER BY domain""",
+    "q_union_by_name" ->
+      """WITH u AS (
+           SELECT event_id, event_type, props, NULL::DOUBLE AS value
+           FROM events WHERE event_id % 2 = 0
+           UNION ALL
+           SELECT event_id, event_type, NULL AS props, value
+           FROM events WHERE event_id % 2 = 1)
+         SELECT event_type, COUNT(*) AS n,
+           COUNT(props) AS n_props, COUNT(value) AS n_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM u GROUP BY event_type ORDER BY event_type"""
   )
 }

@@ -128,4 +128,54 @@ class SourcesSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS graft_ddl_t")
     assert(!spark.catalog.tableExists("graft_ddl_t"))
   }
+
+  test("mergeSchema ingest: a later batch adds a column; unified read null-backfills the old batch") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val dir = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    ev.filter(col("event_id") % 2 === 0)
+      .select("event_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/batch=1")
+    ev.filter(col("event_id") % 2 === 1)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(s"$dir/batch=2")
+    val unified = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(unified.columns.toSet == Set("event_id", "event_type", "value", "batch"))
+    val n = ev.count()
+    assert(unified.count() == n)
+    // old-generation rows surface the new column as NULL, not an error
+    assert(unified.filter(col("batch") === 1 && col("value").isNotNull)
+      .count() == 0)
+    assert(unified.filter(col("value").isNotNull).count() == n / 2)
+  }
+
+  test("shard export: deterministic content-hash shards, balanced, file-size capped, lossless") {
+    import graft.ops.ShardWriter
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    ShardWriter.writeShards(docs, "doc_id", s"$dir/a", nShards = 8,
+      maxRecordsPerFile = 32)
+    val back = spark.read.parquet(s"$dir/a")
+    assert(back.count() == docs.count(), "shard export lost rows")
+    val sizes = back.groupBy("shard").count()
+      .collect().map(r => r.getLong(1))
+    assert(sizes.length == 8, s"expected 8 shards, got ${sizes.length}")
+    // content-hash assignment keeps shards balanced (no empty/hot shard)
+    assert(sizes.min > 0 && sizes.max <= sizes.min * 4,
+      s"unbalanced shards: ${sizes.toSeq.sorted}")
+    // maxRecordsPerFile rolls files inside shards
+    val aFiles = new java.io.File(s"$dir/a").listFiles
+      .filter(_.getName.startsWith("shard=")).flatMap(_.listFiles)
+      .count(_.getName.endsWith(".parquet"))
+    assert(aFiles >= 16, s"expected rolled files, got $aFiles")
+    // re-export is bit-for-bit deterministic in doc→shard assignment
+    ShardWriter.writeShards(docs, "doc_id", s"$dir/b", nShards = 8)
+    val a = back.select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = spark.read.parquet(s"$dir/b").select("doc_id", "shard")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b, "shard assignment not reproducible across exports")
+  }
 }
