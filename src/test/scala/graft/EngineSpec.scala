@@ -163,6 +163,28 @@ class EngineSpec extends AnyFunSuite {
     assert(out(2).isNullAt(1) && out(2).isNullAt(2))
   }
 
+  test("Observation metrics: one-pass side-channel counters, no second scan") {
+    // the Spark-native form of the reference's REQUEST_COUNT-style
+    // counters for batch plans: metrics ride the action that already
+    // runs, instead of a second count() pass over the data
+    val obs = new org.apache.spark.sql.Observation("prep")
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val out = docs.observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(expr("(length(text) + 3) div 4")).as("n_tokens"),
+      count(when(length(col("text")) < 64, 1)).as("n_short"))
+    val n = out.count()
+    val m = obs.get
+    assert(m("n_rows") == n)
+    val expectTokens = docs.agg(sum(expr("(length(text) + 3) div 4")))
+      .head().getLong(0)
+    assert(m("n_tokens") == expectTokens)
+    assert(m("n_short").asInstanceOf[Long] ==
+      docs.filter(length(col("text")) < 64).count())
+  }
+
   test("chunkDocuments numbering is 1-based and dense per doc") {
     val small = new InceptionEngine(EngineConfig.default.copy(maxTokens = 64))
     val df = docsDf(3L -> ("Sentence here. " * 120).trim)
