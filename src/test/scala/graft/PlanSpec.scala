@@ -198,6 +198,47 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE coalesces over-provisioned shuffle partitions at runtime") {
+    // shuffle.partitions is sized for the biggest stage; AQE shrinks the
+    // small ones — the knob that lets one global setting serve 100 TB
+    // fact scans and KB-sized dim aggregations in the same job
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try {
+      val q = spark.read.parquet(s"$sf/nation.parquet")
+        .groupBy("n_regionkey").agg(count(lit(1)).as("n"))
+      assert(q.collect().length == 5)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("AQEShuffleRead coalesced"),
+        s"AQE did not coalesce the 64-partition shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
+  test("AQE converts a shuffle join to broadcast when runtime stats come in small") {
+    // static stats can't see through a selective filter; the runtime
+    // re-plan can — no hint needed
+    val confs = Seq(
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "1MB",
+      // static planner must NOT broadcast (force the SMJ starting point)
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val old = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val ord = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"runtime re-plan did not broadcast the filtered dim:\n$plan")
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q1_agg: partial aggregation happens before the exchange") {
     val plan = planOf("q1_agg")
     val partialIdx = plan.indexOf("partial_sum")
