@@ -431,6 +431,11 @@ object Dedup {
     * (the corpus-side `bands/` table is map-side hash-probed in place,
     * never shuffled), candidate old-ids broadcast-semi-filter `sigs/`
     * the same way, and only O(batch + candidates) rows ever move.
+    *
+    * The batch's signatures stay cached (MEMORY_AND_DISK, so they are
+    * computed once for banding + verify and evicted under pressure); a
+    * long-lived session probing many batches can `unpersist()` between
+    * batches via `spark.catalog.clearCache()` if it wants eager cleanup.
     */
   def probeMinhashIndex(
       spark: org.apache.spark.sql.SparkSession,
