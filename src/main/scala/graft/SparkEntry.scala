@@ -2098,13 +2098,11 @@ object SparkEntry {
     val tot = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val hit = train.join(broadcast(bench), "g")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-    tot.join(hit, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-        col("n_grams"),
-        round(coalesce(col("n_shared"), lit(0L)) / col("n_grams"), 6)
-          .as("ratio"))
-      .filter(col("n_shared") > 0)
+    // hit rows all have n_shared >= 1, so "contaminated docs only" is a
+    // plain inner join against the per-doc totals
+    tot.join(hit, Seq("doc_id"))
+      .select(col("doc_id"), col("n_shared"), col("n_grams"),
+        round(col("n_shared") / col("n_grams"), 6).as("ratio"))
       .orderBy("doc_id")
   }
 
@@ -2130,17 +2128,20 @@ object SparkEntry {
       .select(col("c_mktsegment"), col("event_type"), col("n"),
         col("total_dec").cast("double").as("total_value"))
     val state = new java.util.concurrent.ConcurrentHashMap[
-      (String, String), (Long, Double)]()
+      (String, String), (Long, java.lang.Double)]()
     val oldParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       val q = joined.writeStream
         .outputMode("update")
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          // update mode: only changed segment×type groups arrive; upsert
+          // update mode: only changed segment×type groups arrive; upsert.
+          // sum(value) is NULL for an all-null group — a primitive
+          // getDouble would NPE, so box it
           batch.collect().foreach { r =>
-            state.put((r.getString(0), r.getString(1)),
-              (r.getLong(2), r.getDouble(3)))
+            val tv: java.lang.Double =
+              if (r.isNullAt(3)) null else r.getDouble(3)
+            state.put((r.getString(0), r.getString(1)), (r.getLong(2), tv))
           }
           ()
         }

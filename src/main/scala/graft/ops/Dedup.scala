@@ -175,12 +175,7 @@ object Dedup {
     // through the ×bands explode and the bucket shuffle; the KB-sized
     // sig/shingle arrays stay out of the wide plan (carrying them
     // multiplied shuffle bytes by ~bands and dominated runtime).
-    val banded = sigs.select(
-      col("doc_id"),
-      posexplode(expr(
-        s"transform(sequence(0, ${bands - 1}), b -> " +
-          s"hash(b, slice(sig, b * $rows + 1, $rows)))"))
-        .as(Seq("band", "bucket")))
+    val banded = bandRows(sigs, bands, rows)
     // One shuffle: hash-agg doc ids per (band, bucket), cap pathological
     // buckets (boilerplate) at maxBucketSize by id order — the overflow is
     // bounded, not silently unbounded work — then emit in-bucket pair
@@ -364,10 +359,62 @@ object Dedup {
         s"hash(b, slice(sig, b * $rows + 1, $rows)))"))
       .as(Seq("band", "bucket")))
 
+  /** Hashing parameters a persisted index was built with, stored as a
+    * `_params.json` sidecar: a later session probing or appending with
+    * different parameters would compute incompatible band hashes and
+    * silently find nothing — mismatches must fail loudly instead.
+    */
+  private def indexParamsJson(
+      shingleWidth: Int, numHashes: Int, bands: Int): String =
+    s"""{"shingleWidth":$shingleWidth,"numHashes":$numHashes,"bands":$bands}"""
+
+  private def requireIndexParams(
+      path: String, shingleWidth: Int, numHashes: Int, bands: Int): Unit = {
+    val p = java.nio.file.Paths.get(path, "_params.json")
+    if (java.nio.file.Files.exists(p)) {
+      val stored = java.nio.file.Files.readString(p).trim
+      val called = indexParamsJson(shingleWidth, numHashes, bands)
+      require(stored == called,
+        s"minhash index at $path was written with $stored but this call " +
+          s"uses $called — probing/appending would silently miss all " +
+          "duplicates")
+    }
+  }
+
+  private def writeIndexTables(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      shingleWidth: Int,
+      numHashes: Int,
+      bands: Int,
+      maxBucketSize: Int,
+      mode: String): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = df.select(col(idCol).cast("long").as("doc_id"),
+      minhashUdf(shinglesUdf(col(textCol), lit(shingleWidth)),
+        lit(numHashes)).as("sig"))
+    sigs.select("doc_id", "sig")
+      .write.mode(mode).parquet(s"$path/sigs")
+    bandRows(sigs, bands, rows)
+      .groupBy("band", "bucket")
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, maxBucketSize)
+        .as("ids"))
+      .select(col("band"), col("bucket"),
+        explode(col("ids")).as("doc_id"))
+      .write.mode(mode).parquet(s"$path/bands")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_params.json"),
+      indexParamsJson(shingleWidth, numHashes, bands))
+  }
+
   /** Persist a MinHash LSH index for INCREMENTAL dedup: `bands/`
     * (band, bucket, doc_id — bucket membership capped at `maxBucketSize`
     * by id order at write time, so no probe ever meets an unbounded hot
-    * bucket) and `sigs/` (doc_id, sig — for candidate verification).
+    * bucket), `sigs/` (doc_id, sig — for candidate verification) and a
+    * `_params.json` sidecar recording the hashing parameters.
     * At 100 TB this is written once and appended per ingest batch; the
     * alternative — re-running LSH over the full corpus per batch — is
     * O(corpus) per ingest instead of O(batch).
@@ -380,26 +427,14 @@ object Dedup {
       shingleWidth: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      maxBucketSize: Int = 64): Unit = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    val sigs = df.select(col(idCol).cast("long").as("doc_id"),
-      minhashUdf(shinglesUdf(col(textCol), lit(shingleWidth)),
-        lit(numHashes)).as("sig"))
-    sigs.select("doc_id", "sig")
-      .write.mode("overwrite").parquet(s"$path/sigs")
-    bandRows(sigs, bands, rows)
-      .groupBy("band", "bucket")
-      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, maxBucketSize)
-        .as("ids"))
-      .select(col("band"), col("bucket"),
-        explode(col("ids")).as("doc_id"))
-      .write.mode("overwrite").parquet(s"$path/bands")
-  }
+      maxBucketSize: Int = 64): Unit =
+    writeIndexTables(df, idCol, textCol, path, shingleWidth, numHashes,
+      bands, maxBucketSize, "overwrite")
 
   /** Append one ingest batch to an existing index (same layout; the
     * write-time bucket cap applies within the batch, so a cross-batch
-    * bucket is bounded by cap × number-of-batches).
+    * bucket is bounded by cap × number-of-batches). Parameters must
+    * match the index's `_params.json` or this throws.
     */
   def appendToMinhashIndex(
       df: DataFrame,
@@ -410,18 +445,9 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       maxBucketSize: Int = 64): Unit = {
-    val rows = numHashes / bands
-    val sigs = df.select(col(idCol).cast("long").as("doc_id"),
-      minhashUdf(shinglesUdf(col(textCol), lit(shingleWidth)),
-        lit(numHashes)).as("sig"))
-    sigs.select("doc_id", "sig")
-      .write.mode("append").parquet(s"$path/sigs")
-    bandRows(sigs, bands, rows)
-      .groupBy("band", "bucket")
-      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, maxBucketSize)
-        .as("ids"))
-      .select(col("band"), col("bucket"), explode(col("ids")).as("doc_id"))
-      .write.mode("append").parquet(s"$path/bands")
+    requireIndexParams(path, shingleWidth, numHashes, bands)
+    writeIndexTables(df, idCol, textCol, path, shingleWidth, numHashes,
+      bands, maxBucketSize, "append")
   }
 
   /** Probe the persisted index with a new batch: returns
@@ -432,10 +458,9 @@ object Dedup {
     * never shuffled), candidate old-ids broadcast-semi-filter `sigs/`
     * the same way, and only O(batch + candidates) rows ever move.
     *
-    * The batch's signatures stay cached (MEMORY_AND_DISK, so they are
-    * computed once for banding + verify and evicted under pressure); a
-    * long-lived session probing many batches can `unpersist()` between
-    * batches via `spark.catalog.clearCache()` if it wants eager cleanup.
+    * The result is materialized eagerly (it is O(candidate pairs) —
+    * small) so the batch's signature cache can be released before
+    * returning; only the small pair set stays cached.
     */
   def probeMinhashIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -448,6 +473,7 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    requireIndexParams(path, shingleWidth, numHashes, bands)
     val rows = numHashes / bands
     val newSigs = newDf.select(col(idCol).cast("long").as("doc_id"),
       minhashUdf(shinglesUdf(col(textCol), lit(shingleWidth)),
@@ -456,6 +482,9 @@ object Dedup {
     val newBands = bandRows(newSigs, bands, rows)
       .withColumnRenamed("doc_id", "new_id")
     val idx = spark.read.parquet(s"$path/bands")
+    // cands feeds both the sigs semi-filter and the final join; its
+    // distinct's exchange is identical in both consumers, so AQE reuses
+    // the materialized stage — the index-bands scan runs once
     val cands = idx.join(broadcast(newBands), Seq("band", "bucket"))
       .select(col("doc_id").as("old_id"), col("new_id"))
       .distinct()
@@ -463,7 +492,7 @@ object Dedup {
       .withColumnRenamed("doc_id", "old_id")
       .join(broadcast(cands.select("old_id").distinct()), "old_id")
       .select(col("old_id"), col("sig").as("sig_old"))
-    cands
+    val out = cands
       .join(oldSigsHit, Seq("old_id"))
       .join(newSigs.select(col("doc_id").as("new_id"),
         col("sig").as("sig_new")), Seq("new_id"))
@@ -471,6 +500,10 @@ object Dedup {
         sigJaccardUdf(col("sig_old"), col("sig_new")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
       .select(col("old_id"), col("new_id"), col("est_jaccard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize while the batch signatures are cached
+    newSigs.unpersist()
+    out
   }
 
   private[ops] def hyperplaneBucket(

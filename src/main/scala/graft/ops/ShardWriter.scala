@@ -26,6 +26,9 @@ object ShardWriter {
       path: String,
       nShards: Int,
       maxRecordsPerFile: Long = 0L): Unit = {
+    require(!df.columns.contains("shard"),
+      "input already has a 'shard' column — it would be silently " +
+        "replaced by the hash-derived shard; rename it first")
     val sharded = df.withColumn("shard", shardCol(idCol, nShards))
     val writer = sharded
       .repartition(nShards, col("shard"))
