@@ -2074,6 +2074,28 @@ object SparkEntry {
     state.asScala.toSeq.toDF("event_type", "n").orderBy("event_type")
   }
 
+  /** Within-document repetition (Gopher-style quality rule): fraction of
+    * word trigrams that are repeats of an earlier trigram in the same
+    * doc. High rep_frac = boilerplate/spam → filter before training.
+    * Per-doc aggregation only — embarrassingly parallel, no cross-doc
+    * state.
+    */
+  private def qRepetition(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '[^a-z0-9_]+'), w -> w <> '')")
+          .as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 2),
+             i -> concat_ws(' ', slice(ws, i, 3)))""")).as("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"),
+        countDistinct(col("g")).as("n_uniq"))
+      .select(col("doc_id"), col("n_tri"), col("n_uniq"),
+        round(lit(1.0) - col("n_uniq") / col("n_tri"), 6).as("rep_frac"))
+      .orderBy("doc_id")
+
   /** Benchmark decontamination (training-data hygiene): flag training
     * docs sharing any word 8-gram with the benchmark slice (doc_id<50
     * stands in for a held-out eval set). One tokenize+explode subtree
@@ -2275,7 +2297,8 @@ object SparkEntry {
     "q_variant" -> qVariant,
     "q_seq_packing" -> qSeqPacking,
     "q_token_budget" -> qTokenBudget,
-    "q_union_by_name" -> qUnionByName
+    "q_union_by_name" -> qUnionByName,
+    "q_repetition" -> qRepetition
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3416,6 +3439,17 @@ object SparkEntry {
          SELECT event_type, COUNT(*) AS n,
            COUNT(props) AS n_props, COUNT(value) AS n_value,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-         FROM u GROUP BY event_type ORDER BY event_type"""
+         FROM u GROUP BY event_type ORDER BY event_type""",
+    "q_repetition" ->
+      """WITH toks AS (SELECT doc_id, list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+             w -> w <> '') AS ws
+           FROM documents),
+         g AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+             i -> array_to_string(ws[i:i+2], ' '))) AS g
+           FROM toks WHERE len(ws) >= 3)
+         SELECT doc_id, COUNT(*) AS n_tri, COUNT(DISTINCT g) AS n_uniq,
+           ROUND(1.0 - COUNT(DISTINCT g) / COUNT(*), 6) AS rep_frac
+         FROM g GROUP BY doc_id ORDER BY doc_id"""
   )
 }
