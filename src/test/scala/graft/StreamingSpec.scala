@@ -226,6 +226,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark drops late data: events older than the watermark never reach the aggregate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(mins: Long) = new java.sql.Timestamp(base.getTime + mins * 60000L)
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val agg = mem.toDF().toDF("id", "ts")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w"), col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    try {
+      // batch 1: two on-time events in the first window, plus one far
+      // ahead — after this batch the watermark is ~t0+2h
+      mem.addData((1L, ts(0)), (2L, ts(5)), (3L, ts(180)))
+      q.processAllAvailable()
+      // batch 2: a LATE event for the first window (t0+1min << watermark)
+      // must be dropped, not merged into the already-final window
+      mem.addData((4L, ts(1)), (5L, ts(185)))
+      q.processAllAvailable()
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      assert(dropped >= 1, "late row was not dropped by the watermark")
+      val firstWindow = spark.table("late_out")
+        .filter(col("w") === ts(0)).select("n").collect()
+      assert(firstWindow.length == 1 && firstWindow(0).getLong(0) == 2L,
+        "finalized first window must contain only the on-time events")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
