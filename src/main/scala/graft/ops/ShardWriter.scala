@@ -25,7 +25,8 @@ object ShardWriter {
       idCol: String,
       path: String,
       nShards: Int,
-      maxRecordsPerFile: Long = 0L): Unit = {
+      maxRecordsPerFile: Long = 0L,
+      compression: String = "zstd"): Unit = {
     require(!df.columns.contains("shard"),
       "input already has a 'shard' column — it would be silently " +
         "replaced by the hash-derived shard; rename it first")
@@ -33,6 +34,9 @@ object ShardWriter {
     val writer = sharded
       .repartition(nShards, col("shard"))
       .write.mode("overwrite")
+      // export shards are write-once-read-many: zstd's better ratio
+      // beats snappy's faster encode at 100 TB published-corpus scale
+      .option("compression", compression)
     val w =
       if (maxRecordsPerFile > 0)
         writer.option("maxRecordsPerFile", maxRecordsPerFile)
