@@ -57,6 +57,8 @@ object Bench {
     catch { case _: Throwable => () }
     try materialize(SparkEntry.queries("ann_ivf_indexed")(spark, sfDir))
     catch { case _: Throwable => () }
+    try materialize(SparkEntry.queries("dedup_incremental")(spark, sfDir))
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
@@ -79,7 +81,8 @@ object Bench {
       "dedup_minhash", "dedup_fuzzy", "neardup_embedding",
       "ann_bruteforce", "ann_lsh_indexed", "doc_embeddings",
       "pipeline_e2e", "q_asof_join_native", "q_gapfill",
-      "q_session_window", "q_contamination", "q_seq_packing")
+      "q_session_window", "q_contamination", "q_seq_packing",
+      "dedup_incremental")
     val fullLine = jsonLine(results)
     val headLine = jsonLine(headline.flatMap(h => results.get(h).map(h -> _)))
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

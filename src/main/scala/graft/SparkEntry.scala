@@ -2096,6 +2096,41 @@ object SparkEntry {
         round(lit(1.0) - col("n_uniq") / col("n_tri"), 6).as("rep_frac"))
       .orderBy("doc_id")
 
+  /** One persisted MinHash band index per testdata dir: written once
+    * over the oldest 90% of docs; every invocation probes the newest 10%
+    * as the "incoming ingest batch".
+    */
+  private val minhashIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  /** Incremental dedup against the persisted index
+    * (ops/Dedup.writeMinhashIndex / probeMinhashIndex): the probe ships
+    * only the batch's banded keys (broadcast); the corpus-side index is
+    * hash-probed in place — O(batch) per ingest, never O(corpus).
+    * Rows-only driver check; probe == one-shot-pair-search parity is
+    * asserted oracle-grade in OpsSpec.
+    */
+  private def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val (path, cut) = minhashIndexCache.computeIfAbsent(dir, { d =>
+      val docs0 = tbl(s, d, "documents").select(col("doc_id"), col("text"))
+      val maxId = docs0.agg(max(col("doc_id"))).head().getLong(0)
+      val c = maxId * 9 / 10
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_mh_index").toString
+      graft.ops.Dedup.writeMinhashIndex(
+        docs0.filter(col("doc_id") <= c), "doc_id", "text", p)
+      (p, c)
+    })
+    val batch = tbl(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id") > cut)
+    graft.ops.Dedup
+      .probeMinhashIndex(s, path, batch, "doc_id", "text", threshold = 0.5)
+      .select(col("old_id"), col("new_id"),
+        round(col("est_jaccard"), 6).as("est_jaccard"))
+      .orderBy("old_id", "new_id")
+  }
+
   /** Benchmark decontamination (training-data hygiene): flag training
     * docs sharing any word 8-gram with the benchmark slice (doc_id<50
     * stands in for a held-out eval set). One tokenize+explode subtree
@@ -2298,7 +2333,8 @@ object SparkEntry {
     "q_seq_packing" -> qSeqPacking,
     "q_token_budget" -> qTokenBudget,
     "q_union_by_name" -> qUnionByName,
-    "q_repetition" -> qRepetition
+    "q_repetition" -> qRepetition,
+    "dedup_incremental" -> qDedupIncremental
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
