@@ -90,8 +90,13 @@ object Bench {
       java.nio.file.Paths.get(out),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
+    // The harness keeps only the last ~2000 chars of combined stdout+stderr,
+    // so the headline must be the LAST thing this process emits: silence
+    // shutdown logging, stop the session (its executor/ui teardown logs
+    // would otherwise land after our line), THEN print.
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.stop()
     System.out.println(headLine)
     System.out.flush()
-    spark.stop()
   }
 }

@@ -1001,6 +1001,21 @@ object SparkEntry {
         round(col("frame_features")(0).cast("double"), 5).as("f0"))
       .orderBy("media_id", "frame_number")
 
+  /** Multimodal audio: windowed RMS energy per pseudo-audio binary
+    * (decode kernel stubbed, windowing plumbing real — rows-only check;
+    * invariants in OpsSpec).
+    */
+  private def qMultimodalAudio(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal
+      .audioEnergy(
+        tbl(s, dir, "documents")
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"), col("text").cast("binary").as("media")),
+        "doc_id", "media", windowSize = 1024)
+      .select(col("media_id"), col("window_no"),
+        round(col("rms"), 5).as("rms"))
+      .orderBy("media_id", "window_no")
+
   // ------------------------------------------------------------------
   // Wider relational surface: window frames, range joins, statistical
   // aggregates, date/string/array/JSON scalar breadth — all oracle-checked
@@ -2214,6 +2229,139 @@ object SparkEntry {
       .orderBy("c_mktsegment", "event_type")
   }
 
+  /** Unigram language-model quality score (perplexity proxy): build the
+    * corpus word-frequency table, score every document by its mean
+    * negative log-probability. High mean_nll = rare-word soup (OCR junk,
+    * gibberish) → filter before training. Two keyed shuffles (vocab agg,
+    * word join) on the same key; the 1-row token total broadcasts back.
+    * Determinism across engines: the per-token -ln p is rounded to 9dp
+    * and accumulated as DECIMAL(28,9), so the sum is exact and
+    * order-independent (double summation order differs between Spark
+    * partitions and the oracle).
+    */
+  private def qPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val toks = tbl(s, dir, "documents")
+      .select(col("doc_id"), explode(
+        expr("filter(split(lower(text), '[^a-z0-9_]+'), w -> w <> '')"))
+        .as("w"))
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val totalDf = vocab.agg(sum(col("cnt")).as("total"))
+    toks.join(vocab, "w")
+      .crossJoin(broadcast(totalDf))
+      .select(col("doc_id"), expr(
+        """CAST(round(ln(CAST(total AS DOUBLE)) - ln(CAST(cnt AS DOUBLE)),
+           9) AS DECIMAL(28,9))""").as("nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum(col("nll")).as("sum_nll"))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("sum_nll").cast("double") / col("n_tok"), 6)
+          .as("mean_nll"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-frequency boilerplate detection: the fraction of a document's
+    * distinct word trigrams that occur in >= 50 other documents. The
+    * cross-doc sibling of q_repetition (within-doc) and q_contamination
+    * (vs a held-out set): high common_frac = templated/boilerplate text.
+    * Gram document-frequency agg and the join back both shuffle on the
+    * gram key, so the exchange is reused; no driver-side state.
+    */
+  private def qBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val grams = tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '[^a-z0-9_]+'), w -> w <> '')")
+          .as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 2),
+             i -> concat_ws(' ', slice(ws, i, 3)))""")).as("g"))
+      .distinct()
+    val gramDf = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    grams.join(gramDf, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 50, 1L).otherwise(0L)).as("n_common"))
+      .select(col("doc_id"), col("n_grams"), col("n_common"),
+        round(col("n_common") / col("n_grams"), 6).as("common_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** SCD2 / change-data-capture compression: collapse each user's event
+    * stream into validity intervals over the event_type dimension — a row
+    * survives only where the type CHANGES (lag), and its interval closes
+    * at the next change (lead); the open interval (valid_to_us NULL) is
+    * the current state. Both windows share one partitioning+sort, so the
+    * plan is a single keyed shuffle. Integer epoch-us math end to end.
+    */
+  private def qScd2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+    tbl(s, dir, "events")
+      .select(col("user_id"), col("event_type"), eventTsUs.as("ts_us"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
+      .select(col("user_id"), col("event_type"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"))
+      .orderBy("user_id", "valid_from_us")
+  }
+
+  /** First/last-touch attribution via min_by/max_by keyed on the event
+    * time — the argmin/argmax AGGREGATE surface (no window, no
+    * self-join): one keyed shuffle per user. ts is unique per user in
+    * this corpus, so the argmax is total-order deterministic.
+    */
+  private def qAttribution(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events")
+      .groupBy("user_id")
+      .agg(expr("min_by(event_type, ts)").as("first_type"),
+        expr("max_by(event_type, ts)").as("last_type"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("total_value"))
+      .orderBy("user_id")
+
+  /** Boolean + bitwise aggregate surface: bool_and/bool_or (SQL
+    * every/any), count_if, and bit_and/bit_or/bit_xor over the customer
+    * key — all codegen'd built-ins, one keyed shuffle.
+    */
+  private def qBoolBitAgg(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer")
+      .groupBy("c_nationkey")
+      .agg(expr("bool_and(c_acctbal > 0)").as("all_positive"),
+        expr("bool_or(c_acctbal < 0)").as("any_negative"),
+        expr("count_if(c_acctbal < 0)").as("n_negative"),
+        expr("bit_and(c_custkey)").as("key_and"),
+        expr("bit_or(c_custkey)").as("key_or"),
+        expr("bit_xor(c_custkey)").as("key_xor"))
+      .orderBy("c_nationkey")
+
+  /** Deterministic pagination: global sort on a unique composite key,
+    * then OFFSET + LIMIT (Spark pushes both into a single
+    * TakeOrderedAndProject — no full global sort is materialized).
+    */
+  private def qOrderOffset(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .offset(100)
+      .limit(20)
+
+  /** Ordinal generator surface: posexplode gives each exploded word its
+    * 1-based position; the per-doc positional checksum is an
+    * order-independent integer sum. Narrow plan: explode + one keyed agg.
+    */
+  private def qPosexplode(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        posexplode(expr(
+          "filter(split(lower(text), '[^a-z0-9_]+'), w -> w <> '')")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum((col("pos") + 1) * length(col("col"))).as("checksum"))
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -2334,7 +2482,15 @@ object SparkEntry {
     "q_token_budget" -> qTokenBudget,
     "q_union_by_name" -> qUnionByName,
     "q_repetition" -> qRepetition,
-    "dedup_incremental" -> qDedupIncremental
+    "dedup_incremental" -> qDedupIncremental,
+    "q_perplexity" -> qPerplexity,
+    "q_boilerplate" -> qBoilerplate,
+    "q_scd2" -> qScd2,
+    "q_attribution" -> qAttribution,
+    "q_bool_bit_agg" -> qBoolBitAgg,
+    "q_order_offset" -> qOrderOffset,
+    "q_posexplode" -> qPosexplode,
+    "multimodal_audio" -> qMultimodalAudio
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3486,6 +3642,84 @@ object SparkEntry {
            FROM toks WHERE len(ws) >= 3)
          SELECT doc_id, COUNT(*) AS n_tri, COUNT(DISTINCT g) AS n_uniq,
            ROUND(1.0 - COUNT(DISTINCT g) / COUNT(*), 6) AS rep_frac
-         FROM g GROUP BY doc_id ORDER BY doc_id"""
+         FROM g GROUP BY doc_id ORDER BY doc_id""",
+    "q_perplexity" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+             w -> w <> '')) AS w
+           FROM documents),
+         v AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),
+         t AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM v),
+         sc AS (SELECT doc_id,
+             CAST(round(ln(total) - ln(CAST(cnt AS DOUBLE)), 9)
+               AS DECIMAL(28,9)) AS nll
+           FROM toks JOIN v USING (w) CROSS JOIN t)
+         SELECT doc_id, COUNT(*) AS n_tok,
+           ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS mean_nll
+         FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    "q_boilerplate" ->
+      """WITH toks AS (SELECT doc_id, list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+             w -> w <> '') AS ws
+           FROM documents),
+         g AS (SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(ws) - 1),
+               i -> array_to_string(ws[i:i+2], ' '))) AS g
+           FROM toks WHERE len(ws) >= 3),
+         df AS (SELECT g, COUNT(*) AS df FROM g GROUP BY g)
+         SELECT doc_id, COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN df >= 50 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_common,
+           ROUND(SUM(CASE WHEN df >= 50 THEN 1 ELSE 0 END) / COUNT(*), 6)
+             AS common_frac
+         FROM g JOIN df USING (g)
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+           FROM events),
+         m AS (SELECT user_id, event_type, ts_us,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us)
+               AS prev_type
+           FROM e),
+         s AS (SELECT user_id, event_type, ts_us FROM m
+           WHERE prev_type IS NULL OR prev_type <> event_type)
+         SELECT user_id, event_type, ts_us AS valid_from_us,
+           lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+             AS valid_to_us
+         FROM s ORDER BY user_id, valid_from_us""",
+    "q_attribution" ->
+      """SELECT user_id,
+           arg_min(event_type, ts) AS first_type,
+           arg_max(event_type, ts) AS last_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_value
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q_bool_bit_agg" ->
+      """SELECT c_nationkey,
+           bool_and(c_acctbal > 0) AS all_positive,
+           bool_or(c_acctbal < 0) AS any_negative,
+           CAST(count_if(c_acctbal < 0) AS BIGINT) AS n_negative,
+           CAST(bit_and(c_custkey) AS BIGINT) AS key_and,
+           CAST(bit_or(c_custkey) AS BIGINT) AS key_or,
+           CAST(bit_xor(c_custkey) AS BIGINT) AS key_xor
+         FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q_order_offset" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey
+         LIMIT 20 OFFSET 100""",
+    "q_posexplode" ->
+      """WITH toks AS (SELECT doc_id, list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+             w -> w <> '') AS ws
+           FROM documents WHERE doc_id < 100),
+         e AS (SELECT doc_id, unnest(list_transform(
+             range(1, len(ws) + 1),
+             i -> struct_pack(i := i, w := ws[i]))) AS u
+           FROM toks)
+         SELECT doc_id, COUNT(*) AS n_words,
+           CAST(SUM(u.i * length(u.w)) AS BIGINT) AS checksum
+         FROM e GROUP BY doc_id ORDER BY doc_id"""
   )
 }

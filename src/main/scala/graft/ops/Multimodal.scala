@@ -25,6 +25,9 @@ object Multimodal {
   final case class MediaMeta(
       format: String, width: Int, height: Int, n_frames: Int, valid: Boolean)
 
+  final case class AudioMeta(
+      codec: String, sample_rate: Int, n_samples: Int, valid: Boolean)
+
   @inline private def mix64(x0: Long): Long = {
     var x = x0 + 0x9e3779b97f4a7c15L
     x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -94,6 +97,36 @@ object Multimodal {
     out
   }
 
+  /** STUB audio decode: codec/rate/length metadata from a stable byte
+    * hash (a real kernel parses the WAV/FLAC/OGG header).
+    */
+  def decodeAudioMeta(bytes: Array[Byte]): AudioMeta = {
+    if (bytes == null || bytes.isEmpty)
+      return AudioMeta("empty", 0, 0, valid = false)
+    val h = bytesHash(bytes)
+    AudioMeta(
+      codec = if ((h & 1) == 0) "wav" else "flac",
+      sample_rate = if ((mix64(h) & 1) == 0) 16000 else 44100,
+      n_samples = 1024 + (mix64(h + 2) & 0xfff).toInt,
+      valid = true)
+  }
+
+  /** STUB PCM decode: `n` deterministic pseudo-samples in [-1, 1]
+    * (stands in for the codec's sample output).
+    */
+  def decodeSamples(bytes: Array[Byte], n: Int): Array[Float] = {
+    val out = new Array[Float](n)
+    if (bytes == null || bytes.isEmpty) return out
+    var h = bytesHash(bytes)
+    var i = 0
+    while (i < n) {
+      h = mix64(h)
+      out(i) = ((h >>> 40).toInt / 8388608.0f) - 1.0f
+      i += 1
+    }
+    out
+  }
+
   // ---- Spark plumbing (real) ----
 
   private val metaUdf = udf((b: Array[Byte]) => decodeImageMeta(b))
@@ -140,6 +173,41 @@ object Multimodal {
       }
     }
   }
+
+  private val audioWindowsUdf = udf { (b: Array[Byte], win: Int) =>
+    // decode once, window in the same stage: only (window_no, rms) pairs
+    // leave the scan — the PCM samples never enter the plan
+    val meta = decodeAudioMeta(b)
+    if (!meta.valid) Seq.empty[(Int, Double)]
+    else {
+      val samples = decodeSamples(b, meta.n_samples)
+      samples.grouped(win).zipWithIndex.map { case (w, i) =>
+        var acc = 0.0
+        var j = 0
+        while (j < w.length) { acc += w(j).toDouble * w(j); j += 1 }
+        (i + 1, math.sqrt(acc / w.length))
+      }.toSeq
+    }
+  }
+
+  /** Fixed-window RMS energy over an audio binary column: decode +
+    * window + pool in one narrow pass, explode only the per-window
+    * scalars. The audio twin of [[sampleVideoFrames]] — raw bytes and
+    * raw samples never shuffle.
+    */
+  def audioEnergy(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      windowSize: Int = 1024
+  ): DataFrame =
+    df.select(
+        col(idCol).cast("long").as("media_id"),
+        explode(audioWindowsUdf(col(binCol), lit(windowSize))).as("w"))
+      .select(
+        col("media_id"),
+        col("w._1").as("window_no"),
+        col("w._2").as("rms"))
 
   /** Explode a video binary into sampled frames with per-frame features:
     * (id, frame_number, frame_features). Frame bytes never leave the

@@ -772,6 +772,30 @@ class OpsSpec extends AnyFunSuite {
     assert(spans == 1, "event types cover different grid spans")
   }
 
+  test("multimodal audio: window count matches metadata; rms bounded and deterministic; bytes never shuffle") {
+    import spark.implicits._
+    val df = Seq((1L, "pcm-ish payload one"), (2L, "payload two"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+    val win = 256
+    val out = Multimodal.audioEnergy(df, "doc_id", "media", win)
+    val rows = out.collect()
+    // per id: exactly ceil(n_samples / win) windows, numbered from 1
+    Seq(1L, 2L).foreach { id =>
+      val meta = Multimodal.decodeAudioMeta(
+        df.filter(col("doc_id") === id).head.getAs[Array[Byte]]("media"))
+      val expect = (meta.n_samples + win - 1) / win
+      val got = rows.filter(_.getLong(0) == id).map(_.getInt(1)).sorted
+      assert(got.sameElements(1 to expect), s"id=$id windows=$got")
+    }
+    // rms of samples in [-1,1] is in [0,1]; stub decode is deterministic
+    assert(rows.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+    assert(out.collect().map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
+    // scale shape: explode happens in the scan stage — no Exchange at all
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"audio plan shuffles bytes:\n$plan")
+  }
+
   test("MLlib pipeline: TF-IDF features are L2-normalized; identical docs map to identical vectors") {
     import graft.ops.MlPipeline
     val df = docs(1L -> base, 2L -> base,

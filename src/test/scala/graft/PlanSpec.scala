@@ -360,4 +360,29 @@ class PlanSpec extends AnyFunSuite {
           s"sides from the aggregated subtree instead:\n$plan")
     }
   }
+
+  test("persist(): downstream actions read the in-memory cache, not the parquet scan") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), length(col("text")).as("n"))
+      .persist()
+    try {
+      docs.count() // materialize
+      val plan = docs.filter(col("n") > 10).queryExecution.executedPlan
+        .toString
+      // the action must be served by the cache: its top-level scan is the
+      // in-memory one, with the filter pushed into it. (InMemoryRelation
+      // prints its BUILD plan — a FileScan below it is the recipe, not a
+      // rescan.)
+      assert(plan.contains("InMemoryTableScan"),
+        s"expected cached scan, got:\n$plan")
+      assert(plan.indexOf("InMemoryTableScan") <
+        plan.indexOf("FileScan parquet"),
+        s"parquet scanned outside the cached relation:\n$plan")
+      // predicate is evaluated against cached batches (pushed into the
+      // InMemoryTableScan node), not recomputed upstream
+      assert(plan.replaceAll("#\\d+L?", "")
+        .contains("InMemoryTableScan [doc_id, n], [isnotnull(n), (n > 10)]"),
+        s"filter not pushed to cached scan:\n$plan")
+    } finally docs.unpersist()
+  }
 }

@@ -178,4 +178,18 @@ class SourcesSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(a == b, "shard assignment not reproducible across exports")
   }
+
+  test("XML sink/source round-trips documents (Spark 4 built-in XML datasource)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_xml").toString
+    docs.write.mode("overwrite").option("rowTag", "doc").xml(dir)
+    val back = spark.read.option("rowTag", "doc").xml(dir)
+      .select(col("doc_id").cast("long"), col("lang"),
+        col("n_chars").cast("long"))
+    assert(back.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2))).toSet ==
+      docs.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2))).toSet)
+  }
 }
