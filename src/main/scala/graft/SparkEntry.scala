@@ -2231,11 +2231,17 @@ object SparkEntry {
 
   /** Unigram language-model quality score (perplexity proxy): build the
     * corpus word-frequency table, score every document by its mean
-    * negative log-probability. High mean_nll = rare-word soup (OCR junk,
-    * gibberish) → filter before training. Two keyed shuffles (vocab agg,
-    * word join) on the same key; the 1-row token total broadcasts back.
-    * Determinism across engines: the per-token -ln p is rounded to 9dp
-    * and accumulated as DECIMAL(28,9), so the sum is exact and
+    * negative log-probability, -ln(cnt/total) = ln total - ln cnt. High
+    * mean_nll = rare-word soup (OCR junk, gibberish) → filter before
+    * training. Exactly TWO corpus scans — the inherent minimum for
+    * corpus-LM scoring (one builds the frequency table, one scores). The
+    * global token total comes from the doc-sized per-doc aggregate, which
+    * is persisted: column pruning would otherwise specialize the total
+    * branch's partial aggregate (dropping sum_lncnt), defeat AQE exchange
+    * reuse, and rescan the corpus a third time. The cache is #docs-sized
+    * stats, not corpus-sized, and the CacheManager dedups it across
+    * invocations. Determinism across engines: per-token ln cnt is rounded
+    * to 9dp and accumulated as DECIMAL(28,9), so the sum is exact and
     * order-independent (double summation order differs between Spark
     * partitions and the oracle).
     */
@@ -2245,16 +2251,18 @@ object SparkEntry {
         expr("filter(split(lower(text), '[^a-z0-9_]+'), w -> w <> '')"))
         .as("w"))
     val vocab = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
-    val totalDf = vocab.agg(sum(col("cnt")).as("total"))
-    toks.join(vocab, "w")
-      .crossJoin(broadcast(totalDf))
-      .select(col("doc_id"), expr(
-        """CAST(round(ln(CAST(total AS DOUBLE)) - ln(CAST(cnt AS DOUBLE)),
-           9) AS DECIMAL(28,9))""").as("nll"))
+    val perDoc = toks.join(vocab, "w")
+      .select(col("doc_id"),
+        expr("CAST(round(ln(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(28,9))")
+          .as("lncnt"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tok"), sum(col("nll")).as("sum_nll"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("lncnt")).as("sum_lncnt"))
+      .persist()
+    val totalDf = perDoc.agg(sum(col("n_tok")).as("total"))
+    perDoc.crossJoin(broadcast(totalDf))
       .select(col("doc_id"), col("n_tok"),
-        round(col("sum_nll").cast("double") / col("n_tok"), 6)
+        round(expr("ln(CAST(total AS DOUBLE))") -
+          col("sum_lncnt").cast("double") / col("n_tok"), 6)
           .as("mean_nll"))
       .orderBy("doc_id")
   }
@@ -3649,14 +3657,15 @@ object SparkEntry {
              w -> w <> '')) AS w
            FROM documents),
          v AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),
-         t AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM v),
-         sc AS (SELECT doc_id,
-             CAST(round(ln(total) - ln(CAST(cnt AS DOUBLE)), 9)
-               AS DECIMAL(28,9)) AS nll
-           FROM toks JOIN v USING (w) CROSS JOIN t)
-         SELECT doc_id, COUNT(*) AS n_tok,
-           ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS mean_nll
-         FROM sc GROUP BY doc_id ORDER BY doc_id""",
+         pd AS (SELECT doc_id, COUNT(*) AS n_tok,
+             SUM(CAST(round(ln(CAST(cnt AS DOUBLE)), 9)
+               AS DECIMAL(28,9))) AS sum_lncnt
+           FROM toks JOIN v USING (w) GROUP BY doc_id),
+         t AS (SELECT CAST(SUM(n_tok) AS DOUBLE) AS total FROM pd)
+         SELECT doc_id, n_tok,
+           ROUND(ln(total) - CAST(sum_lncnt AS DOUBLE) / n_tok, 6)
+             AS mean_nll
+         FROM pd CROSS JOIN t ORDER BY doc_id""",
     "q_boilerplate" ->
       """WITH toks AS (SELECT doc_id, list_filter(
              regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
