@@ -95,7 +95,9 @@ object Bench {
     // shutdown logging, stop the session (its executor/ui teardown logs
     // would otherwise land after our line), THEN print.
     spark.sparkContext.setLogLevel("ERROR")
-    spark.stop()
+    // a teardown failure must not swallow the headline — it is the
+    // harness's only benchmark signal
+    try spark.stop() catch { case _: Throwable => () }
     System.out.println(headLine)
     System.out.flush()
   }

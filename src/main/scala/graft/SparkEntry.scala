@@ -54,6 +54,14 @@ object SparkEntry {
   private def dsum(c: Column): Column =
     sum(c.cast("decimal(18,6)")).cast("double")
 
+  /** Canonical word tokenization shared by the text-corpus queries and
+    * mirrored verbatim in their DuckDB oracles: lowercase, split on
+    * non-[a-z0-9_] runs, drop empties. One definition — a tokenization
+    * change must touch exactly here plus the oracle strings.
+    */
+  private val tokensSql =
+    "filter(split(lower(text), '[^a-z0-9_]+'), w -> w <> '')"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Full embed pipeline: validate → chunk → embed → per-doc reassembly —
     * zero-shuffle narrow plan (see InceptionEngine.embedDocuments).
@@ -1654,8 +1662,7 @@ object SparkEntry {
     */
   private def qNgramBigrams(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
-      .select(expr(
-        "filter(split(lower(text), '[^a-z0-9_]+'), w -> w <> '')").as("ws"))
+      .select(expr(tokensSql).as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(explode(expr(
         """transform(sequence(1, size(ws) - 1),
@@ -2098,7 +2105,7 @@ object SparkEntry {
   private def qRepetition(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
       .select(col("doc_id"),
-        expr("filter(split(lower(text), '[^a-z0-9_]+'), w -> w <> '')")
+        expr(tokensSql)
           .as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -2157,7 +2164,7 @@ object SparkEntry {
   private def qContamination(s: SparkSession, dir: String): DataFrame = {
     val toks = tbl(s, dir, "documents")
       .select(col("doc_id"),
-        expr("filter(split(lower(text), '[^a-z0-9_]+'), w -> w <> '')")
+        expr(tokensSql)
           .as("ws"))
       .filter(size(col("ws")) >= 8)
     val grams = toks.select(col("doc_id"),
@@ -2240,7 +2247,9 @@ object SparkEntry {
     * branch's partial aggregate (dropping sum_lncnt), defeat AQE exchange
     * reuse, and rescan the corpus a third time. The cache is #docs-sized
     * stats, not corpus-sized, and the CacheManager dedups it across
-    * invocations. Determinism across engines: per-token ln cnt is rounded
+    * invocations — storage is bounded at ONE entry per session, held
+    * until session stop (the lazy-DataFrame contract leaves no natural
+    * unpersist point). Determinism across engines: per-token ln cnt is rounded
     * to 9dp and accumulated as DECIMAL(28,9), so the sum is exact and
     * order-independent (double summation order differs between Spark
     * partitions and the oracle).
@@ -2248,7 +2257,7 @@ object SparkEntry {
   private def qPerplexity(s: SparkSession, dir: String): DataFrame = {
     val toks = tbl(s, dir, "documents")
       .select(col("doc_id"), explode(
-        expr("filter(split(lower(text), '[^a-z0-9_]+'), w -> w <> '')"))
+        expr(tokensSql))
         .as("w"))
     val vocab = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
     val perDoc = toks.join(vocab, "w")
@@ -2268,7 +2277,8 @@ object SparkEntry {
   }
 
   /** Corpus-frequency boilerplate detection: the fraction of a document's
-    * distinct word trigrams that occur in >= 50 other documents. The
+    * distinct word trigrams that occur in >= 50 documents (including
+    * this one — document frequency, not "other documents"). The
     * cross-doc sibling of q_repetition (within-doc) and q_contamination
     * (vs a held-out set): high common_frac = templated/boilerplate text.
     * Gram document-frequency agg and the join back both shuffle on the
@@ -2277,7 +2287,7 @@ object SparkEntry {
   private def qBoilerplate(s: SparkSession, dir: String): DataFrame = {
     val grams = tbl(s, dir, "documents")
       .select(col("doc_id"),
-        expr("filter(split(lower(text), '[^a-z0-9_]+'), w -> w <> '')")
+        expr(tokensSql)
           .as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -2303,9 +2313,13 @@ object SparkEntry {
     */
   private def qScd2(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("user_id").orderBy("ts_us")
+    // order by the RAW nanosecond ts (unique per user), not the µs
+    // truncation — two same-microsecond events would otherwise make the
+    // lag/lead ordering nondeterministic; µs only in the OUTPUT columns
+    val w = Window.partitionBy("user_id").orderBy("ts")
     tbl(s, dir, "events")
-      .select(col("user_id"), col("event_type"), eventTsUs.as("ts_us"))
+      .select(col("user_id"), col("event_type"), col("ts"),
+        eventTsUs.as("ts_us"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .filter(col("prev_type").isNull ||
         col("prev_type") =!= col("event_type"))
@@ -2363,12 +2377,67 @@ object SparkEntry {
     tbl(s, dir, "documents")
       .filter(col("doc_id") < 100)
       .select(col("doc_id"),
-        posexplode(expr(
-          "filter(split(lower(text), '[^a-z0-9_]+'), w -> w <> '')")))
+        posexplode(expr(tokensSql)))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
-        sum((col("pos") + 1) * length(col("col"))).as("checksum"))
+        // long math before the multiply: the int product would overflow
+        // (and throw under ANSI mode) on huge documents; the oracle
+        // computes in BIGINT
+        sum((col("pos") + 1).cast("long") * length(col("col")))
+          .as("checksum"))
       .orderBy("doc_id")
+
+  /** Retrieval-quality evaluation: kNN classification over the labeled
+    * embeddings table. The probe set (vec_id < 20 — an eval suite, O(1)
+    * w.r.t. corpus scale) broadcasts; the corpus is scanned once; the
+    * per-probe top-10 runs as a rank window that Spark executes with
+    * WindowGroupLimit pushdown (per-partition heaps, no global sort).
+    * Rank is over the 4dp-ROUNDED cosine with the neighbor id as
+    * tiebreak, so ordering is identical in both engines (the raw-double
+    * rank could differ in the last ulp). n_same = top-10 neighbors
+    * sharing the probe's label; top1_label = nearest neighbor's label.
+    */
+  private def qKnnEval(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.CosineSimilarity.register(s)
+    val e = tbl(s, dir, "embeddings")
+    val probes = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("label").as("own_label"),
+        col("embedding").as("qv"))
+    val corpus = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("nbr_id"), col("label").as("nbr_label"),
+        col("embedding").as("nv"))
+    val scored = corpus.crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("own_label"), col("nbr_id"),
+        col("nbr_label"),
+        round(graft.functions.CosineSimilarity
+          .cosine(col("nv"), col("qv")), 4).as("cos4"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos4").desc, col("nbr_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .groupBy("probe_id", "own_label")
+      .agg(sum(when(col("nbr_label") === col("own_label"), 1L)
+          .otherwise(0L)).as("n_same"),
+        expr("min_by(nbr_label, rnk)").as("top1_label"))
+      .orderBy("probe_id")
+  }
+
+  /** Point-in-time snapshot (feature-store read): the per-user state
+    * valid at a fixed instant, read from the SCD2 intervals — the row
+    * whose [valid_from, valid_to) contains T — then aggregated. Same
+    * single keyed shuffle as q_scd2; the interval filter is a narrow
+    * post-window predicate.
+    */
+  private def qSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val tUs = 1704240000000000L // 2024-01-03 00:00:00 UTC, mid-corpus
+    qScd2(s, dir)
+      .filter(col("valid_from_us") <= tUs &&
+        (col("valid_to_us").isNull || col("valid_to_us") > tUs))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("event_type")
+  }
 
   // ------------------------------------------------------------------
 
@@ -2498,7 +2567,9 @@ object SparkEntry {
     "q_bool_bit_agg" -> qBoolBitAgg,
     "q_order_offset" -> qOrderOffset,
     "q_posexplode" -> qPosexplode,
-    "multimodal_audio" -> qMultimodalAudio
+    "multimodal_audio" -> qMultimodalAudio,
+    "q_knn_eval" -> qKnnEval,
+    "q_snapshot" -> qSnapshot
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3684,16 +3755,16 @@ object SparkEntry {
          FROM g JOIN df USING (g)
          GROUP BY doc_id ORDER BY doc_id""",
     "q_scd2" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+      """WITH e AS (SELECT user_id, event_type, ts, epoch_us(ts) AS ts_us
            FROM events),
-         m AS (SELECT user_id, event_type, ts_us,
-             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us)
+         m AS (SELECT user_id, event_type, ts, ts_us,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts)
                AS prev_type
            FROM e),
-         s AS (SELECT user_id, event_type, ts_us FROM m
+         s AS (SELECT user_id, event_type, ts, ts_us FROM m
            WHERE prev_type IS NULL OR prev_type <> event_type)
          SELECT user_id, event_type, ts_us AS valid_from_us,
-           lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+           lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts)
              AS valid_to_us
          FROM s ORDER BY user_id, valid_from_us""",
     "q_attribution" ->
@@ -3729,6 +3800,45 @@ object SparkEntry {
            FROM toks)
          SELECT doc_id, COUNT(*) AS n_words,
            CAST(SUM(u.i * length(u.w)) AS BIGINT) AS checksum
-         FROM e GROUP BY doc_id ORDER BY doc_id"""
+         FROM e GROUP BY doc_id ORDER BY doc_id""",
+    "q_knn_eval" ->
+      """WITH p AS (SELECT vec_id AS probe_id, label AS own_label,
+             CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS nbr_id, label AS nbr_label,
+             CAST(embedding AS DOUBLE[]) AS nv
+           FROM embeddings WHERE vec_id >= 20),
+         sc AS (SELECT probe_id, own_label, nbr_id, nbr_label,
+             round(list_dot_product(nv, qv) /
+               (sqrt(list_dot_product(nv, nv)) *
+                sqrt(list_dot_product(qv, qv))), 4) AS cos4
+           FROM c CROSS JOIN p),
+         r AS (SELECT *, row_number() OVER (
+             PARTITION BY probe_id ORDER BY cos4 DESC, nbr_id) AS rnk
+           FROM sc)
+         SELECT probe_id, own_label,
+           CAST(SUM(CASE WHEN nbr_label = own_label THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_same,
+           arg_min(nbr_label, rnk) AS top1_label
+         FROM r WHERE rnk <= 10
+         GROUP BY probe_id, own_label ORDER BY probe_id""",
+    "q_snapshot" ->
+      """WITH e AS (SELECT user_id, event_type, ts, epoch_us(ts) AS ts_us
+           FROM events),
+         m AS (SELECT user_id, event_type, ts, ts_us,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+               AS prev_type
+           FROM e),
+         s AS (SELECT user_id, event_type, ts, ts_us FROM m
+           WHERE prev_type IS NULL OR prev_type <> event_type),
+         iv AS (SELECT user_id, event_type, ts_us AS valid_from_us,
+             lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts)
+               AS valid_to_us
+           FROM s)
+         SELECT event_type, COUNT(*) AS n_users
+         FROM iv
+         WHERE valid_from_us <= 1704240000000000
+           AND (valid_to_us IS NULL OR valid_to_us > 1704240000000000)
+         GROUP BY event_type ORDER BY event_type"""
   )
 }
