@@ -59,6 +59,8 @@ object Bench {
     catch { case _: Throwable => () }
     try materialize(SparkEntry.queries("dedup_incremental")(spark, sfDir))
     catch { case _: Throwable => () }
+    try materialize(SparkEntry.queries("ann_incremental")(spark, sfDir))
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }

@@ -909,6 +909,35 @@ object SparkEntry {
       .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
   }
 
+  private val annIncrCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Incremental ANN ingest (ops/Similarity.appendToLshIndex): the index
+    * is built once over vec_id >= 20, then the "new batch" (vec_id < 20)
+    * is APPENDED — O(batch), nothing rewritten; the probe for vector 0
+    * must find the appended self-match through the same partition-pruned
+    * scan. Rows-only driver check; append/prune invariants in OpsSpec.
+    */
+  private def qAnnIncremental(s: SparkSession, dir: String): DataFrame = {
+    val idx = annIncrCache.computeIfAbsent(dir, { d =>
+      val e0 = tbl(s, d, "embeddings")
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_lsh_incr").toString
+      graft.ops.Similarity.writeLshIndex(
+        e0.filter(col("vec_id") >= 20), "vec_id", "embedding", p,
+        numPlanes = 8, dim = 64)
+      graft.ops.Similarity.appendToLshIndex(
+        e0.filter(col("vec_id") < 20), "vec_id", "embedding", p,
+        numPlanes = 8, dim = 64)
+      p
+    })
+    val q = tbl(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+    graft.ops.Similarity
+      .lshTopKIndexed(s, idx, q, 10, numPlanes = 8, probeHamming = 3)
+      .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
   /** IVF-pruned approximate top-10 (coarse quantizer + nProbe lists;
     * recall vs brute force measured in OpsSpec → rows-only check).
     */
@@ -970,9 +999,11 @@ object SparkEntry {
           .as("n_tokens_bpeish"))
       .orderBy("doc_id")
 
-  /** Winnowing fingerprint surface (Schleimer et al. rolling-hash kernel —
-    * not SQL-expressible, so rows-only; invariants are spec-covered in
-    * OpsSpec).
+  /** Winnowing fingerprint surface (Schleimer et al. rolling-hash
+    * kernel). Oracle-checked: the FNV-1a fold is replicated in DuckDB
+    * with HUGEINT mod-2^64 arithmetic (signed xor is bit-identical to
+    * Java's), the per-window minima in list algebra — every distinct-min
+    * count hash-matches.
     */
   private def qFingerprintStats(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
@@ -2569,7 +2600,8 @@ object SparkEntry {
     "q_posexplode" -> qPosexplode,
     "multimodal_audio" -> qMultimodalAudio,
     "q_knn_eval" -> qKnnEval,
-    "q_snapshot" -> qSnapshot
+    "q_snapshot" -> qSnapshot,
+    "ann_incremental" -> qAnnIncremental
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3801,6 +3833,37 @@ object SparkEntry {
          SELECT doc_id, COUNT(*) AS n_words,
            CAST(SUM(u.i * length(u.w)) AS BIGINT) AS checksum
          FROM e GROUP BY doc_id ORDER BY doc_id""",
+    "fingerprint_stats" ->
+      """WITH s AS (SELECT doc_id,
+             regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+           FROM documents),
+         g AS (SELECT doc_id, t, len(t) AS L, len(t) - 7 AS n FROM s),
+         h AS (SELECT doc_id, L, n,
+             CASE WHEN L < 8 THEN CAST([] AS BIGINT[])
+             ELSE list_transform(range(1, n + 1), i ->
+               list_reduce(
+                 list_prepend(CAST(-3750763034362895579 AS BIGINT),
+                   list_transform(range(0, 8), j -> unicode(t[i+j:i+j]))),
+                 (acc, c) -> CAST(CASE WHEN (((CAST(xor(acc, c) AS HUGEINT)
+                     * 1099511628211) % 18446744073709551616
+                     + 18446744073709551616) % 18446744073709551616)
+                     >= 9223372036854775808
+                   THEN (((CAST(xor(acc, c) AS HUGEINT) * 1099511628211)
+                     % 18446744073709551616 + 18446744073709551616)
+                     % 18446744073709551616) - 18446744073709551616
+                   ELSE (((CAST(xor(acc, c) AS HUGEINT) * 1099511628211)
+                     % 18446744073709551616 + 18446744073709551616)
+                     % 18446744073709551616)
+                   END AS BIGINT)))
+             END AS hashes
+           FROM g)
+         SELECT doc_id,
+           CAST(CASE WHEN L = 0 THEN 0 WHEN L < 8 THEN 1
+                WHEN n < 16 THEN 1
+                ELSE len(list_distinct(list_transform(range(0, n // 16),
+                  s -> list_min(hashes[s*16+1 : s*16+16]))))
+           END AS INTEGER) AS n_fingerprint
+         FROM h ORDER BY doc_id""",
     "q_knn_eval" ->
       """WITH p AS (SELECT vec_id AS probe_id, label AS own_label,
              CAST(embedding AS DOUBLE[]) AS qv

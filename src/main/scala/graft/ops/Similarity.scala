@@ -92,14 +92,13 @@ object Similarity {
     * partition directories within `probeHamming` bits of the query bucket
     * instead of filtering a full scan.
     */
-  def writeLshIndex(
+  private def lshIndexRows(
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      path: String,
-      numPlanes: Int = 16,
-      dim: Int = 768
-  ): Unit = {
+      numPlanes: Int,
+      dim: Int
+  ): DataFrame = {
     val planes = Dedup.hyperplanes(numPlanes, dim)
     val bucketU = udf((v: Array[Float]) => Dedup.hyperplaneBucket(v, planes))
     df.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
@@ -108,8 +107,36 @@ object Similarity {
       // without this every task writes a file into every bucket dir
       // (tasks × buckets tiny files — the classic partitionBy fan-out)
       .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
   }
+
+  def writeLshIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      numPlanes: Int = 16,
+      dim: Int = 768
+  ): Unit =
+    lshIndexRows(df, idCol, vecCol, numPlanes, dim)
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Append an ingest batch into an existing [[writeLshIndex]] layout:
+    * the deterministic hyperplanes assign the SAME buckets, so new files
+    * land inside the existing `bucket=` directories. O(batch) per ingest
+    * — nothing in the index is read or rewritten, and a later probe's
+    * partition pruning covers old and new files alike. (Compact a bucket
+    * dir with ops/Compaction when small appended files accumulate.)
+    */
+  def appendToLshIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      numPlanes: Int = 16,
+      dim: Int = 768
+  ): Unit =
+    lshIndexRows(df, idCol, vecCol, numPlanes, dim)
+      .write.mode("append").partitionBy("bucket").parquet(path)
 
   /** Probe a [[writeLshIndex]] layout. The hamming predicate references
     * only the `bucket` partition column, so Catalyst turns it into a

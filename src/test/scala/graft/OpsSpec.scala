@@ -165,6 +165,35 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("ANN: appendToLshIndex maintains the index — appended vector found partition-pruned, base results unchanged") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_app").toString
+    val base = e.filter(col("vec_id") >= 20)
+    Similarity.writeLshIndex(base, "vec_id", "embedding", dir, dim = 64)
+    val q = e.filter(col("vec_id") === 7)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+    // before the append, vector 7 is not in the index
+    val before = Similarity.lshTopKIndexed(spark, dir, q, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(!before.contains(7L))
+    // append the new batch; its self-match must now surface through the
+    // SAME partition-pruned probe
+    Similarity.appendToLshIndex(
+      e.filter(col("vec_id") < 20), "vec_id", "embedding", dir, dim = 64)
+    val probe = Similarity.lshTopKIndexed(spark, dir, q, 10)
+    val plan = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(pf.trim.nonEmpty, s"append broke partition pruning:\n$plan")
+    val after = probe.collect()
+    assert(after.head.getLong(0) == 7L, "appended self-match not found")
+    assert(math.abs(after.head.getDouble(1) - 1.0) < 1e-9)
+    // nothing was rewritten: every base row is still in the layout
+    assert(spark.read.parquet(dir).count() == e.count(),
+      "append lost rows from the index layout")
+  }
+
   test("ANN: IVF top-k recall vs brute force; self-match always found") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") === 0)
