@@ -1430,7 +1430,15 @@ object SparkEntry {
   /** TF-IDF top-3 terms per document — explode → tf/df aggregations →
     * scalar doc count (broadcast) → rank window. Ordering uses the
     * ROUNDED score so FP last-ulp differences can't flip ranks between
-    * engines.
+    * engines. The TF table is PERSISTED: df derives from it, but column
+    * pruning specializes the df branch's partial aggregate (dropping the
+    * tf count), which defeats AQE exchange reuse and would re-explode
+    * the whole corpus — the cache pins the expensive explode+aggregate
+    * to exactly one execution. (At 100 TB you'd write the TF table out —
+    * it is the materialization every IR stack keeps anyway.) n_docs
+    * stays a count-star over the raw table: deriving it from tf would
+    * silently drop zero-token documents, and a count-star scan reads
+    * only parquet footers.
     */
   private def qTfidf(s: SparkSession, dir: String): DataFrame = {
     val words = tbl(s, dir, "documents")
@@ -1438,10 +1446,7 @@ object SparkEntry {
         explode(split(lower(col("text")), "[^a-zA-Z0-9_]+")).as("word"))
       .filter(col("word") =!= "")
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    // df derived FROM tf (its rows are exactly the distinct (doc, word)
-    // pairs): both consumers share the tf aggregation subtree, so Spark
-    // plans the expensive explode+aggregate ONCE (ReusedExchange) instead
-    // of exploding the corpus twice
+      .persist()
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val ndocs = tbl(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id")
@@ -1705,9 +1710,12 @@ object SparkEntry {
       .limit(20)
 
   /** BM25 (k1=1.2, b=0.75) top-3 terms per document — the retrieval-
-    * grade sibling of q_tfidf. tf/df/doclen all derive from ONE
-    * explode+aggregate subtree (ReusedExchange); ranks order by the
-    * ROUNDED score so libm ulp differences cannot flip rows.
+    * grade sibling of q_tfidf. tf/df/doclen/avgdl all derive from the
+    * PERSISTED tf table (column pruning specializes each consumer's
+    * partial aggregate, so exchange reuse alone would re-explode the
+    * corpus once per consumer — the cache pins the explode+aggregate to
+    * one execution; see q_tfidf). Ranks order by the ROUNDED score so
+    * libm ulp differences cannot flip rows.
     */
   private def qBm25(s: SparkSession, dir: String): DataFrame = {
     val k1 = 1.2
@@ -1717,6 +1725,7 @@ object SparkEntry {
         explode(split(lower(col("text")), "[^a-zA-Z0-9_]+")).as("word"))
       .filter(col("word") =!= "")
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .persist()
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val ndocs = tbl(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
