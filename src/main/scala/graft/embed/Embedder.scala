@@ -27,26 +27,8 @@ object Embedder {
   val Dim = 768
   private val FeaturesPerToken = 3
 
-  /** splitmix64 — public-domain mixing function (Steele et al.),
-    * deterministic across platforms.
-    */
-  @inline private def mix64(x0: Long): Long = {
-    var x = x0 + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
-
-  @inline private def hashString(s: String): Long = {
-    var h = 0xcbf29ce484222325L // FNV-1a 64 offset basis
-    var i = 0
-    while (i < s.length) {
-      h ^= s.charAt(i).toLong
-      h *= 0x100000001b3L
-      i += 1
-    }
-    h
-  }
+  // splitmix64 + FNV-1a: ONE definition in graft.util.Hashing
+  import graft.util.Hashing.{mix64, fnv => hashString}
 
   @inline private def addFeature(vec: Array[Float], tokenHash: Long): Unit = {
     var h = tokenHash

@@ -69,8 +69,6 @@ class InceptionEngine(
     m.modelLoadTimeMs.add((System.nanoTime() - t0) / 1000000L)
   }
 
-  @inline private def countChunks(endpoint: String, n: Int): Unit =
-    metrics.foreach(_.chunkCount(endpoint).add(n.toLong))
   private def countRequest(endpoint: String): Unit =
     metrics.foreach(_.requestCount(endpoint).add(1L))
 

@@ -15,6 +15,16 @@ import org.apache.spark.util.LongAccumulator
   * driver. Timings are recorded driver-side in millis (the reference's
   * histograms collapse to sum+count here; bucket boundaries are a
   * serving-layer concern).
+  *
+  * SEMANTICS — at-least-once, like every Spark accumulator updated
+  * inside a transformation: counters incremented in UDFs/mapPartitions
+  * (error_count, chunk_count) re-fire if a Dataset is acted on twice
+  * without caching, or on task retry/speculation; request_count
+  * increments when the plan is BUILT, not when it runs. This mirrors
+  * Prometheus counter practice (monotonic, rate()-read, approximate
+  * under retries) — treat them as operational telemetry, not as an
+  * exactly-once ledger. Exact per-action numbers are available through
+  * the Observation API (see EngineSpec's observation test).
   */
 class Metrics(sc: SparkContext) extends Serializable {
   private val acc = new ConcurrentHashMap[String, LongAccumulator]()

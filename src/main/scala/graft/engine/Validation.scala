@@ -86,7 +86,10 @@ object Validation {
       metrics: Option[Metrics] = None,
       endpoint: String = "query"
   ): Unit = {
-    val len = text.replaceAll("^\\s+|\\s+$", "").length
+    // null behaves like the DataFrame paths (Option(text).getOrElse("")):
+    // empty → text_too_short through the validation error path, not an NPE
+    val len = Option(text).getOrElse("")
+      .replaceAll("^\\s+|\\s+$", "").length
     if (len < conf.minTextLength) {
       metrics.foreach(_.errorCount(endpoint, TextTooShort.label).add(1L))
       throw new IllegalArgumentException(

@@ -18,21 +18,8 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  // ---- hashing primitives (same splitmix64 family as the embedder) ----
-
-  @inline private def mix64(x0: Long): Long = {
-    var x = x0 + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
-
-  @inline private def hashString(s: String): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
-    h
-  }
+  // ---- hashing primitives: ONE definition in graft.util.Hashing ----
+  import graft.util.Hashing.{mix64, fnv => hashString}
 
   /** Word w-shingles of a text as a distinct hash set. */
   def shingles(text: String, w: Int): Array[Long] = {
@@ -133,10 +120,8 @@ object Dedup {
   private val exactJaccardUdf =
     udf((a: Array[Long], b: Array[Long]) => jaccard(a, b))
   /** All unordered pairs of a (capped) bucket's sorted id list. */
-  private val bucketPairsUdf = udf { ids: Seq[Long] =>
-    for { i <- ids.indices; j <- (i + 1) until ids.size }
-      yield (ids(i), ids(j))
-  }
+  private val bucketPairsUdf =
+    udf((ids: Seq[Long]) => graft.util.Hashing.bucketPairs(ids))
 
   /** MinHash + LSH banding near-dup candidate pairs, verified two ways:
     * signature-estimated Jaccard (cheap, no text re-join) and exact
@@ -190,9 +175,11 @@ object Dedup {
       .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
       .distinct() // collapse the up-to-`bands` copies BEFORE verification
     // Phase B — verify: join signatures back per candidate pair. Shuffle
-    // volume is O(pairs + docs), independent of `bands`. Signatures are
-    // recomputed rather than cached: re-running a narrow deterministic UDF
-    // is cheaper than materializing a 100-TB-scale side table.
+    // volume is O(pairs + docs), independent of `bands`. Both join sides
+    // read the PERSISTED sigs table (see above) — the cache is bounded at
+    // one entry per input plan by the CacheManager and lives until
+    // session stop; at cluster scale the same role is played by a
+    // written-out signature table.
     candidates
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
         col("sh").as("sh_a")), Seq("doc_a"))
@@ -368,11 +355,33 @@ object Dedup {
       shingleWidth: Int, numHashes: Int, bands: Int): String =
     s"""{"shingleWidth":$shingleWidth,"numHashes":$numHashes,"bands":$bands}"""
 
+  /** Sidecar IO goes through the Hadoop FileSystem of the index path —
+    * java.nio would silently target the LOCAL filesystem for an
+    * hdfs://-or-s3a:// index, leaving the index without its guard (and
+    * `requireIndexParams` no-ops when the sidecar is absent: exactly the
+    * silent parameter-mismatch failure the sidecar exists to prevent).
+    */
+  private def writeSidecar(
+      conf: org.apache.hadoop.conf.Configuration,
+      path: String,
+      json: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, "_params.json")
+    val out = p.getFileSystem(conf).create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   private def requireIndexParams(
+      conf: org.apache.hadoop.conf.Configuration,
       path: String, shingleWidth: Int, numHashes: Int, bands: Int): Unit = {
-    val p = java.nio.file.Paths.get(path, "_params.json")
-    if (java.nio.file.Files.exists(p)) {
-      val stored = java.nio.file.Files.readString(p).trim
+    val p = new org.apache.hadoop.fs.Path(path, "_params.json")
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val stored =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
       val called = indexParamsJson(shingleWidth, numHashes, bands)
       require(stored == called,
         s"minhash index at $path was written with $stored but this call " +
@@ -405,8 +414,7 @@ object Dedup {
       .select(col("band"), col("bucket"),
         explode(col("ids")).as("doc_id"))
       .write.mode(mode).parquet(s"$path/bands")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, "_params.json"),
+    writeSidecar(df.sparkSession.sparkContext.hadoopConfiguration, path,
       indexParamsJson(shingleWidth, numHashes, bands))
   }
 
@@ -445,7 +453,8 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       maxBucketSize: Int = 64): Unit = {
-    requireIndexParams(path, shingleWidth, numHashes, bands)
+    requireIndexParams(df.sparkSession.sparkContext.hadoopConfiguration,
+      path, shingleWidth, numHashes, bands)
     writeIndexTables(df, idCol, textCol, path, shingleWidth, numHashes,
       bands, maxBucketSize, "append")
   }
@@ -473,7 +482,8 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    requireIndexParams(path, shingleWidth, numHashes, bands)
+    requireIndexParams(spark.sparkContext.hadoopConfiguration,
+      path, shingleWidth, numHashes, bands)
     val rows = numHashes / bands
     val newSigs = newDf.select(col(idCol).cast("long").as("doc_id"),
       minhashUdf(shinglesUdf(col(textCol), lit(shingleWidth)),

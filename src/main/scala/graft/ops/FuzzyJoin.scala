@@ -25,12 +25,7 @@ object FuzzyJoin {
   /** Distinct FNV hashes of s and each of its single-char deletions. */
   private[ops] def deleteVariants(s: String): Array[Long] = {
     val out = new java.util.LinkedHashSet[java.lang.Long]()
-    def fnv(str: CharSequence): Long = {
-      var h = 0xcbf29ce484222325L
-      var i = 0
-      while (i < str.length) { h ^= str.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
-      h
-    }
+    import graft.util.Hashing.fnv
     out.add(fnv(s))
     var i = 0
     while (i < s.length) {
@@ -46,10 +41,8 @@ object FuzzyJoin {
   private val variantsUdf =
     udf((s: String) => deleteVariants(Option(s).getOrElse("")))
 
-  private val bucketPairsUdf = udf { ids: Seq[Long] =>
-    for { i <- ids.indices; j <- (i + 1) until ids.size }
-      yield (ids(i), ids(j))
-  }
+  private val bucketPairsUdf =
+    udf((ids: Seq[Long]) => graft.util.Hashing.bucketPairs(ids))
 
   /** All pairs with levenshtein(str_a, str_b) ≤ 1, as
     * (id_a, id_b, lev). Exact (recall 1.0) up to `maxBucketSize`

@@ -55,8 +55,10 @@ object MlPipeline {
       var dot = 0.0
       val (s, l) = if (a.numNonzeros <= b.numNonzeros) (a, b) else (b, a)
       s.foreachActive((i, v) => if (v != 0.0) dot += v * l(i))
-      val na = math.sqrt(a.toArray.map(x => x * x).sum)
-      val nb = math.sqrt(b.toArray.map(x => x * x).sum)
+      // O(nnz) norms — a.toArray would materialize the full 2^18-wide
+      // dense vector per row just to square a few hundred non-zeros
+      val na = org.apache.spark.ml.linalg.Vectors.norm(a, 2.0)
+      val nb = org.apache.spark.ml.linalg.Vectors.norm(b, 2.0)
       if (na == 0.0 || nb == 0.0) 0.0 else dot / (na * nb)
     }
 
@@ -79,8 +81,12 @@ object MlPipeline {
       .setNumHashTables(numHashTables).setSeed(42L)
     val prepped = new Pipeline().setStages(Array(tok, tf))
       .fit(docs).transform(docs)
-      // MinHashLSH requires ≥1 non-zero element
-      .filter(F.expr("ml_set is not null"))
+      // MinHashLSH requires ≥1 non-zero element: a token-less doc (empty
+      // or all-punctuation text) hashes to a NON-null all-zero vector
+      // that would crash approxSimilarityJoin at runtime — filter on
+      // numNonzeros, not nullness
+      .filter(F.udf((v: Vector) => v != null && v.numNonzeros > 0)
+        .apply(F.col("ml_set")))
     val model = lsh.fit(prepped)
     model.approxSimilarityJoin(prepped, prepped, maxDistance, "jaccard_dist")
       .select(

@@ -28,19 +28,7 @@ object Multimodal {
   final case class AudioMeta(
       codec: String, sample_rate: Int, n_samples: Int, valid: Boolean)
 
-  @inline private def mix64(x0: Long): Long = {
-    var x = x0 + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
-
-  @inline private def bytesHash(b: Array[Byte]): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < b.length) { h ^= b(i).toLong; h *= 0x100000001b3L; i += 1 }
-    h
-  }
+  import graft.util.Hashing.{mix64, fnvBytes => bytesHash}
 
   // ---- STUB KERNELS (deterministic fakes — see object Scaladoc) ----
 

@@ -302,7 +302,13 @@ object Similarity {
 
   /** All-pairs exact top-k join for a (small, broadcastable) query set:
     * each query row gets its k nearest from the corpus. Broadcast the
-    * queries, never the corpus.
+    * queries, never the corpus — and never a whole query's scored corpus
+    * onto one reducer: a single window partitioned by query_id would
+    * funnel N corpus rows per query through one task. Phase 1 takes a
+    * LOCAL top-k per (query, input partition) — WindowGroupLimit keeps
+    * per-task state at k rows, and the composite key spreads the shuffle
+    * over partitions × queries reducers; phase 2 merges the surviving
+    * O(partitions × k) rows per query.
     */
   def topKJoin(
       corpus: DataFrame,
@@ -321,10 +327,16 @@ object Similarity {
         col(queryId).cast("long").as("query_id"), col(queryVec).as("qv"))))
       .withColumn("cosine",
         graft.functions.CosineSimilarity.cosine(col("cv"), col("qv")))
-    val w = org.apache.spark.sql.expressions.Window
+      .withColumn("pid", spark_partition_id())
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id", "pid")
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    val wGlobal = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
     joined
-      .withColumn("rank", row_number().over(w))
+      .withColumn("lr", row_number().over(wLocal))
+      .filter(col("lr") <= k)
+      .withColumn("rank", row_number().over(wGlobal))
       .filter(col("rank") <= k)
       .select("query_id", "corpus_id", "cosine", "rank")
   }

@@ -12,6 +12,8 @@ import graft.text.SimpleTokenizer
   */
 object TextAnalysis {
 
+  import graft.util.Hashing.fnv
+
   /** Tiny function-word lists per language — enough signal for a
     * stopword-ratio heuristic language ID. Deliberately SQL-expressible
     * (array_contains over a literal list) so the oracle can replicate it.
@@ -22,9 +24,6 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "las", "es", "y", "de", "que", "en", "por"),
     "fr" -> Seq("le", "la", "les", "et", "est", "que", "des", "dans", "pour", "une")
   )
-
-  private def words(text: Column): Column =
-    split(lower(trim(text)), "[^a-zA-Z0-9_]+")
 
   /** Count of words belonging to `lang`'s stopword list.
     *
@@ -109,13 +108,6 @@ object TextAnalysis {
 
   val fingerprintUdf =
     udf((t: String) => winnowingFingerprint(Option(t).getOrElse("")))
-
-  @inline private def fnv(s: String): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
-    h
-  }
 
   /** Full per-document profile. */
   def profile(df: DataFrame, textCol: String = "text"): DataFrame =

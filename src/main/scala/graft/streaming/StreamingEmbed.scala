@@ -169,6 +169,33 @@ object StreamingEmbed {
     * update-mode emission of every touched session. Requires the RocksDB
     * state store provider (`spark.sql.streaming.stateStore.providerClass`).
     */
+  /** The one session fold shared by BOTH stateful APIs
+    * (flatMapGroupsWithState and transformWithState): sort the
+    * micro-batch's rows by (ts, event_id), extend-or-open sessions on the
+    * gap rule, emit one update per touched session. A single definition —
+    * the two implementations cannot silently diverge.
+    */
+  private def foldSessions(
+      userId: Long,
+      rows: Iterator[(Long, Long, Long)],
+      prior: Option[SessionState],
+      gapUs: Long
+  ): (SessionState, Iterator[SessionUpdate]) = {
+    val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
+    var st = prior.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
+    val touched =
+      scala.collection.mutable.LinkedHashMap.empty[Long, SessionUpdate]
+    sorted.foreach { case (_, _, ts) =>
+      st =
+        if (st.sessionId == 0L || ts - st.lastTsUs > gapUs)
+          SessionState(st.sessionId + 1, ts, 1L, ts)
+        else st.copy(lastTsUs = ts, nEvents = st.nEvents + 1)
+      touched(st.sessionId) =
+        SessionUpdate(userId, st.sessionId, st.nEvents, st.startUs, st.lastTsUs)
+    }
+    (st, touched.values.iterator)
+  }
+
   private final class SessionProcessor(gapUs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, Long, Long), SessionUpdate] {
@@ -185,21 +212,9 @@ object StreamingEmbed {
         rows: Iterator[(Long, Long, Long)],
         timerValues: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[SessionUpdate] = {
-      val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
-      var st = Option(sess.get())
-        .getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
-      val touched =
-        scala.collection.mutable.LinkedHashMap.empty[Long, SessionUpdate]
-      sorted.foreach { case (_, _, ts) =>
-        st =
-          if (st.sessionId == 0L || ts - st.lastTsUs > gapUs)
-            SessionState(st.sessionId + 1, ts, 1L, ts)
-          else st.copy(lastTsUs = ts, nEvents = st.nEvents + 1)
-        touched(st.sessionId) =
-          SessionUpdate(userId, st.sessionId, st.nEvents, st.startUs, st.lastTsUs)
-      }
+      val (st, out) = foldSessions(userId, rows, Option(sess.get()), gapUs)
       sess.update(st)
-      touched.values.iterator
+      out
     }
   }
 
@@ -230,19 +245,9 @@ object StreamingEmbed {
       .flatMapGroupsWithState[SessionState, SessionUpdate](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (userId, rows, state) =>
-          val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
-          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
-          val touched = scala.collection.mutable.LinkedHashMap.empty[Long, SessionUpdate]
-          sorted.foreach { case (_, _, ts) =>
-            st =
-              if (st.sessionId == 0L || ts - st.lastTsUs > gapUs)
-                SessionState(st.sessionId + 1, ts, 1L, ts)
-              else st.copy(lastTsUs = ts, nEvents = st.nEvents + 1)
-            touched(st.sessionId) =
-              SessionUpdate(userId, st.sessionId, st.nEvents, st.startUs, st.lastTsUs)
-          }
+          val (st, out) = foldSessions(userId, rows, state.getOption, gapUs)
           state.update(st)
-          touched.values.iterator
+          out
       }
   }
 }
