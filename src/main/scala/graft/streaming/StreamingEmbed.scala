@@ -174,6 +174,12 @@ object StreamingEmbed {
     * micro-batch's rows by (ts, event_id), extend-or-open sessions on the
     * gap rule, emit one update per touched session. A single definition —
     * the two implementations cannot silently diverge.
+    *
+    * Ordering: rows are sorted within the micro-batch, so intra-batch
+    * disorder is handled; an event arriving in a LATER batch with an
+    * earlier timestamp follows last-state semantics (it can only extend
+    * the current session, never retract an emitted one) — the standard
+    * update-mode contract; bound late data with a watermark upstream.
     */
   private def foldSessions(
       userId: Long,
