@@ -33,14 +33,25 @@ object EngineConfig {
 
   private def key(name: String) = s"spark.graft.$name"
 
-  /** Read overrides from the session conf; absent keys keep defaults. */
+  /** Read overrides from the session conf; absent keys keep defaults.
+    * A malformed value fails naming the offending conf KEY — a bare
+    * NumberFormatException("512m") with ten candidate keys is
+    * undebuggable.
+    */
   def fromSpark(spark: SparkSession): EngineConfig = {
     val c = spark.conf
-    def i(n: String, d: Int) = c.getOption(key(n)).map(_.toInt).getOrElse(d)
-    def dd(n: String, d: Double) =
-      c.getOption(key(n)).map(_.toDouble).getOrElse(d)
-    def b(n: String, d: Boolean) =
-      c.getOption(key(n)).map(_.toBoolean).getOrElse(d)
+    def parse[A](n: String, d: A, f: String => A): A =
+      c.getOption(key(n)).map { raw =>
+        try f(raw)
+        catch {
+          case e: IllegalArgumentException =>
+            throw new IllegalArgumentException(
+              s"invalid value '$raw' for conf ${key(n)}", e)
+        }
+      }.getOrElse(d)
+    def i(n: String, d: Int) = parse(n, d, _.toInt)
+    def dd(n: String, d: Double) = parse(n, d, _.toDouble)
+    def b(n: String, d: Boolean) = parse(n, d, _.toBoolean)
     val base = default
     EngineConfig(
       maxTokens = i("maxTokens", base.maxTokens),

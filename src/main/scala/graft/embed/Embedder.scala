@@ -28,7 +28,7 @@ object Embedder {
   private val FeaturesPerToken = 3
 
   // splitmix64 + FNV-1a: ONE definition in graft.util.Hashing
-  import graft.util.Hashing.{mix64, fnv => hashString}
+  import graft.util.Hashing.{mix64, fnvRange => hashRange}
 
   @inline private def addFeature(vec: Array[Float], tokenHash: Long): Unit = {
     var h = tokenHash
@@ -40,17 +40,6 @@ object Embedder {
       vec(d) += sign
       k += 1
     }
-  }
-
-  @inline private def hashRange(s: String, from: Int, until: Int): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = from
-    while (i < until) {
-      h ^= s.charAt(i).toLong
-      h *= 0x100000001b3L
-      i += 1
-    }
-    h
   }
 
   /** Embed one text (already prefixed by the caller).

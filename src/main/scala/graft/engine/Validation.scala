@@ -89,7 +89,7 @@ object Validation {
     // null behaves like the DataFrame paths (Option(text).getOrElse("")):
     // empty → text_too_short through the validation error path, not an NPE
     val len = Option(text).getOrElse("")
-      .replaceAll("^\\s+|\\s+$", "").length
+      .replaceAll("(?U)^\\s+|\\s+$", "").length // Unicode strip, like the Column path
     if (len < conf.minTextLength) {
       metrics.foreach(_.errorCount(endpoint, TextTooShort.label).add(1L))
       throw new IllegalArgumentException(

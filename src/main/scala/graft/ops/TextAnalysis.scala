@@ -92,7 +92,9 @@ object TextAnalysis {
     val n = s.length - k + 1
     val hashes = new Array[Long](n)
     var i = 0
-    while (i < n) { hashes(i) = fnv(s.substring(i, i + k)); i += 1 }
+    while (i < n) {
+      hashes(i) = graft.util.Hashing.fnvRange(s, i, i + k); i += 1
+    }
     val out = scala.collection.mutable.LinkedHashSet.empty[Long]
     var start = 0
     while (start + w <= n) {

@@ -93,14 +93,29 @@ final case class AsOfJoinExec(
     val rTimeExpr = rightTime
     val lOutput = left.output
     val rOutput = right.output
+    val allOutput = output
     require(lTimeExpr.dataType == LongType && rTimeExpr.dataType == LongType,
       "as-of time columns must be LongType (epoch micros)")
+    // keys must agree EXACTLY in type: the analyzer's implicit equi-join
+    // casts never run for this node, and a mixed-width pair would (a)
+    // hash-partition equal keys to different partitions (murmur3 of
+    // int 5 != long 5) and (b) feed the left-typed comparator a
+    // wrong-width right field — silent wrong results, so fail loudly
+    lKeyExprs.zip(rKeyExprs).foreach { case (lk, rk) =>
+      require(lk.dataType == rk.dataType,
+        s"as-of key types must match exactly: ${lk.dataType} vs " +
+          s"${rk.dataType} — cast both sides to a common type first")
+    }
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // generated projections are created per partition (not serializable)
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOutput)
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rOutput)
       val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), lOutput)
       val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rOutput)
+      // physical-operator contract: downstream consumers (collect's
+      // getByteArrayRdd, shuffle's UnsafeRowSerializer) cast emitted rows
+      // to UnsafeRow — every built-in join ends with this projection too
+      val resultProj = UnsafeProjection.create(allOutput, allOutput)
       val keyOrd =
         RowOrdering.createNaturalAscendingOrdering(lKeyExprs.map(_.dataType))
       val nullRight = new GenericInternalRow(rOutput.size)
@@ -137,8 +152,8 @@ final case class AsOfJoinExec(
           if (rRow != null) cmp = keyOrd.compare(rKey, lKey)
         }
         if (matched != null && keyOrd.compare(matchedKey, lKey) == 0)
-          joined(lRow, matched)
-        else joined(lRow, nullRight)
+          resultProj(joined(lRow, matched))
+        else resultProj(joined(lRow, nullRight))
       }
     }
   }
@@ -177,8 +192,11 @@ object AsOfJoinNative {
       right.columns.map(c =>
         org.apache.spark.sql.functions.col(c).as(c)): _*)
     val rPlan = rAliased.queryExecution.analyzed
+    // resolve names with the session's resolver (case-insensitive under
+    // the default spark.sql.caseSensitive=false, like every built-in API)
+    val resolver = spark.sessionState.conf.resolver
     def attr(p: LogicalPlan, n: String): Attribute =
-      p.output.find(_.name == n).getOrElse(
+      p.output.find(a => resolver(a.name, n)).getOrElse(
         throw new IllegalArgumentException(s"column $n not found"))
     val node = AsOfJoinPlan(lPlan, rPlan,
       keyCols.map(attr(lPlan, _)), keyCols.map(attr(rPlan, _)),

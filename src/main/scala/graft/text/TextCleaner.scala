@@ -40,11 +40,14 @@ object TextCleaner {
   def isNonEmptyAfterCleaning(cleaned: Column): Column = length(cleaned) > 0
 
   /** Whitespace-insensitive trimmed length used by O1 validation
-    * (utils.py:95 `len(text.strip())`). Python's strip() removes all
-    * whitespace; Spark's trim() removes only spaces, hence the regex.
+    * (utils.py:95 `len(text.strip())`). Python's strip() removes UNICODE
+    * whitespace — Java's bare `\s` is ASCII-only and would accept a doc
+    * padded with NBSP/ideographic space that the reference rejects, so
+    * the (?U) flag widens `\s` to \p{IsWhite_Space}. The DuckDB oracle
+    * mirrors it as the RE2 class `[\s\p{Z}\x{85}]` (same code points).
     */
   def strippedLength(text: Column): Column =
-    length(regexp_replace(text, "^\\s+|\\s+$", ""))
+    length(regexp_replace(text, "(?U)^\\s+|\\s+$", ""))
 
   /** Plain-Scala twin of [[cleanTextForJson]] for pure-function call sites
     * (chunker tests, single-query path). Kept in lockstep with the Column

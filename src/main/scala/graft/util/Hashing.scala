@@ -28,6 +28,16 @@ private[graft] object Hashing {
     h
   }
 
+  /** FNV-1a 64-bit over a [from, until) slice — allocation-free
+    * equivalent of `fnv(s.substring(from, until))`.
+    */
+  @inline def fnvRange(s: CharSequence, from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
   /** FNV-1a 64-bit over raw bytes. */
   @inline def fnvBytes(b: Array[Byte]): Long = {
     var h = 0xcbf29ce484222325L

@@ -337,6 +337,24 @@ class OpsSpec extends AnyFunSuite {
       .asOf(left, right, Seq("user_id"), "ts_us", "r_ts")
     // physical nodes print without the "Exec" suffix
     assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin "))
+    // physical-operator contract: a BARE collect (no Project above the
+    // exec) must work — collect casts emitted rows to UnsafeRow, so the
+    // exec must project its JoinedRows; regression for the raw-row bug
+    assert(df.collect().length == 3)
+    // name resolution follows the session's resolver (case-insensitive
+    // under the default spark.sql.caseSensitive=false)
+    assert(graft.plans.AsOfJoinNative
+      .asOf(left, right, Seq("USER_ID"), "TS_US", "R_TS")
+      .collect().length == 3)
+    // mixed-width key types fail loudly instead of silently mismatching
+    val widened = right.withColumn("user_id", col("user_id").cast("int"))
+    val err = intercept[Exception] {
+      graft.plans.AsOfJoinNative
+        .asOf(left, widened, Seq("user_id"), "ts_us", "r_ts")
+        .collect()
+    }
+    assert(err.getMessage != null &&
+      err.getMessage.contains("key types must match"), err.getMessage)
     // larger randomized agreement check vs the composed operator
     val rnd = new scala.util.Random(7)
     val bigL = Seq.tabulate(500)(i =>
