@@ -66,11 +66,15 @@ object Bench {
       try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // Locale.ROOT formatting: the default-locale f"%.3f" renders decimal
+    // COMMAS under e.g. de_DE and the JSON line stops parsing
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jsonLine(rs: Iterable[(String, Double)]): String = {
-      val qs = rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + f3(v) }
         .mkString("{", ",", "}")
       val total = results.values.sum // total is always over ALL queries run
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
     // Full per-query detail goes to the file; stdout gets a HEADLINE subset.
     // The harness keeps only the last ~2000 chars of stdout — an 84-entry

@@ -33,13 +33,20 @@ object SparkEntry {
     * verify and bench runs exactly as the reference's Prometheus counters
     * accumulate in serving.
     */
+  // WEAK keys: a strong SparkSession-keyed cache would retain every
+  // stopped session (and its accumulator-registered Metrics) for the JVM
+  // lifetime in multi-session processes (test suites, services)
   private val enginesWithMetrics =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, InceptionEngine]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, InceptionEngine]())
   private def engineFor(s: SparkSession): InceptionEngine =
-    enginesWithMetrics.computeIfAbsent(
-      s,
-      k => new InceptionEngine(
-        EngineConfig.default, Some(new graft.engine.Metrics(k.sparkContext))))
+    enginesWithMetrics.synchronized {
+      enginesWithMetrics.computeIfAbsent(
+        s,
+        k => new InceptionEngine(
+          EngineConfig.default,
+          Some(new graft.engine.Metrics(k.sparkContext))))
+    }
 
   /** Metrics snapshot for the session's endpoint engine (monitoring.py
     * surface; asserted in EngineSpec). */
@@ -374,11 +381,29 @@ object SparkEntry {
     */
   private def eventTsUs: Column = expr("ts DIV 1000")
 
+  /** Shared streaming-gate orchestration: size the state-store
+    * parallelism (shuffle partitions) to the stateful aggregate's key
+    * cardinality, run one AvailableNow drain, stop the query, restore
+    * the session's relational default. The distinctive logic (source,
+    * fold, sink) stays at each call site; this save/run/await/stop/
+    * restore choreography exists ONCE for all streaming gates.
+    */
+  private def runStream(s: SparkSession, parts: String = "8")(
+      start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", parts)
+    try {
+      val q = start
+      try q.awaitTermination()
+      finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+  }
+
   /** Event-time tumbling window (1h) — batch twin of the streaming agg. */
   private def qEventsTumbling(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "events")
       .groupBy(
-        (expr("ts DIV 1000") - pmod(expr("ts DIV 1000"), lit(3600000000L)))
+        (eventTsUs - pmod(eventTsUs, lit(3600000000L)))
           .as("window_start_us"),
         col("event_type"))
       .agg(
@@ -620,10 +645,8 @@ object SparkEntry {
     // partition per micro-batch; size it to the aggregate's key
     // cardinality (~3.4k windows×types here) rather than the relational
     // default — at cluster scale this is the state-store parallelism knob
-    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = stream.writeStream
+    runStream(s) {
+      stream.writeStream
         .outputMode("update")
         .foreachBatch { (batch: DataFrame, _: Long) =>
           // upsert the changed groups only (update-mode delta)
@@ -634,9 +657,7 @@ object SparkEntry {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      try q.awaitTermination()
-      finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+    }
     import scala.jdk.CollectionConverters._
     state.asScala.toSeq
       .map { case ((w, e), n) => (w, e, n) }
@@ -1262,10 +1283,8 @@ object SparkEntry {
         col("event_type"), col("n"))
     val state =
       new java.util.concurrent.ConcurrentHashMap[(Long, String), Long]()
-    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = stream.writeStream
+    runStream(s) {
+      stream.writeStream
         .outputMode("update")
         .foreachBatch { (batch: DataFrame, _: Long) =>
           batch.collect().foreach { r =>
@@ -1275,9 +1294,7 @@ object SparkEntry {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      try q.awaitTermination()
-      finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+    }
     import scala.jdk.CollectionConverters._
     state.asScala.toSeq
       .map { case ((w, e), n) => (w, e, n) }
@@ -1310,10 +1327,8 @@ object SparkEntry {
         col("r_event_id").as("view_event_id"),
         unix_micros(col("r_ts_event")).as("view_ts_us"))
     val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
-    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = joined.writeStream
+    runStream(s) {
+      joined.writeStream
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
           batch.collect().foreach { r =>
@@ -1323,9 +1338,7 @@ object SparkEntry {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      try q.awaitTermination()
-      finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+    }
     import scala.jdk.CollectionConverters._
     rows.asScala.toSeq
       .toDF("event_id", "view_event_id", "view_ts_us")
@@ -1372,10 +1385,8 @@ object SparkEntry {
       (Long, Long), (Long, Long, Long)]()
     // state-store parallelism sized to the key cardinality (see the
     // tumbling twin above for the rationale)
-    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = sessions.toDF().writeStream
+    runStream(s) {
+      sessions.toDF().writeStream
         .outputMode("update")
         .foreachBatch { (batch: DataFrame, _: Long) =>
           batch.collect().foreach { r =>
@@ -1386,9 +1397,7 @@ object SparkEntry {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      try q.awaitTermination()
-      finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+    }
     import scala.jdk.CollectionConverters._
     state.asScala.toSeq
       .map { case ((u, sid), (n, st, en)) => (u, sid, n, st, en) }
@@ -2113,10 +2122,8 @@ object SparkEntry {
       .withWatermark("ts_event", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
     val state = new java.util.concurrent.ConcurrentHashMap[String, Long]()
-    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = deduped.writeStream
+    runStream(s) {
+      deduped.writeStream
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
           // aggregate batch-side (a handful of rows cross to the driver),
@@ -2129,9 +2136,7 @@ object SparkEntry {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      try q.awaitTermination()
-      finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+    }
     import scala.jdk.CollectionConverters._
     state.asScala.toSeq.toDF("event_type", "n").orderBy("event_type")
   }
@@ -2248,10 +2253,8 @@ object SparkEntry {
         col("total_dec").cast("double").as("total_value"))
     val state = new java.util.concurrent.ConcurrentHashMap[
       (String, String), (Long, java.lang.Double)]()
-    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = joined.writeStream
+    runStream(s) {
+      joined.writeStream
         .outputMode("update")
         .foreachBatch { (batch: DataFrame, _: Long) =>
           // update mode: only changed segment×type groups arrive; upsert.
@@ -2266,9 +2269,7 @@ object SparkEntry {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      try q.awaitTermination()
-      finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+    }
     import scala.jdk.CollectionConverters._
     state.asScala.toSeq
       .map { case ((seg, et), (n, tv)) => (seg, et, n, tv) }
@@ -2767,7 +2768,7 @@ object SparkEntry {
          GROUP BY 1, 2 ORDER BY window_start_us, event_type""",
     "events_sessions" ->
       """WITH e AS (
-           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us,
              lag(epoch_us(ts)) OVER
                (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
            FROM events),
@@ -2778,7 +2779,7 @@ object SparkEntry {
            FROM e),
          g AS (
            SELECT *, CAST(SUM(new_sess) OVER
-             (PARTITION BY user_id ORDER BY ts_us, event_id
+             (PARTITION BY user_id ORDER BY ts, event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS BIGINT) AS session_id
            FROM f)
@@ -2863,7 +2864,8 @@ object SparkEntry {
            v.event_id AS asof_view_event_id
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
-           ON p.user_id = v.user_id AND p.ts >= v.ts
+           ON p.user_id = v.user_id
+             AND epoch_us(p.ts) >= epoch_us(v.ts)
          ORDER BY p.event_id""",
     "q_asof_join_native" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
@@ -2871,7 +2873,8 @@ object SparkEntry {
            v.event_id AS asof_view_event_id
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
-           ON p.user_id = v.user_id AND p.ts >= v.ts
+           ON p.user_id = v.user_id
+             AND epoch_us(p.ts) >= epoch_us(v.ts)
          ORDER BY p.event_id""",
     "q_centroids" ->
       """SELECT label,
@@ -2975,10 +2978,10 @@ object SparkEntry {
                  CAST(embedding AS DOUBLE[]))) *
                 sqrt(list_dot_product(qv, qv))), 4) AS cosine
          FROM embeddings, q
-         ORDER BY list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+         ORDER BY round(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
              / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                  CAST(embedding AS DOUBLE[]))) *
-                sqrt(list_dot_product(qv, qv))) DESC, vec_id
+                sqrt(list_dot_product(qv, qv))), 4) DESC, vec_id
          LIMIT 10""",
     "lang_id" ->
       """WITH h AS (
@@ -3145,7 +3148,7 @@ object SparkEntry {
     // custom state must reproduce the batch fold exactly
     "events_stream_sessions" ->
       """WITH e AS (
-           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us,
              lag(epoch_us(ts)) OVER
                (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
            FROM events),
@@ -3156,7 +3159,7 @@ object SparkEntry {
            FROM e),
          g AS (
            SELECT *, CAST(SUM(new_sess) OVER
-             (PARTITION BY user_id ORDER BY ts_us, event_id
+             (PARTITION BY user_id ORDER BY ts, event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS BIGINT) AS session_id
            FROM f)
@@ -3627,7 +3630,7 @@ object SparkEntry {
     // session_window contract (end = last event + gap)
     "q_session_window" ->
       """WITH e AS (
-           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us,
              lag(epoch_us(ts)) OVER
                (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
            FROM events),
@@ -3638,7 +3641,7 @@ object SparkEntry {
            FROM e),
          g AS (
            SELECT *, CAST(SUM(new_sess) OVER
-             (PARTITION BY user_id ORDER BY ts_us, event_id
+             (PARTITION BY user_id ORDER BY ts, event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS BIGINT) AS session_id
            FROM f)

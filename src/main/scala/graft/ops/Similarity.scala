@@ -56,7 +56,11 @@ object Similarity {
     df.select(
         col(idCol).cast("long").as("vec_id"),
         cosineNative(df, col(vecCol), query).as("cosine"))
-      .orderBy(col("cosine").desc, col("vec_id"))
+      // rank on the ROUNDED score with the id as tiebreak: raw-double
+      // ordering can differ in the last ulp between accumulation orders
+      // (and between this kernel and an oracle), flipping top-k
+      // membership at the boundary
+      .orderBy(round(col("cosine"), 4).desc, col("vec_id"))
       .limit(k)
 
   /** LSH-pruned approximate top-k. Deterministic hyperplanes shared with
