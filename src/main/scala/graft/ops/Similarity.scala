@@ -240,6 +240,27 @@ object Similarity {
     centroids
   }
 
+  /** Append an ingest batch into an existing [[writeIvfIndex]] layout:
+    * new vectors are assigned to the EXISTING (frozen) centroids — the
+    * standard IVF maintenance contract (re-train centroids offline when
+    * drift accumulates, then rebuild) — and appended into their list
+    * directories in O(batch); nothing is read or rewritten, and a
+    * probe's partition pruning covers old and new files alike.
+    */
+  def appendToIvfIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      centroids: Array[(Int, Array[Float])],
+      dim: Int = 768
+  ): Unit =
+    assignToCentroids(
+      df.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v")),
+      centroids, dim)
+      .repartition(col("list_id"))
+      .write.mode("append").partitionBy("list_id").parquet(path)
+
   /** Probe a [[writeIvfIndex]] layout: ranks the persisted centroids,
     * then scans ONLY the nProbe matching list directories (the list
     * predicate binds to the partition column → PartitionFilters).

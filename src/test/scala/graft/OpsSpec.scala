@@ -194,6 +194,32 @@ class OpsSpec extends AnyFunSuite {
       "append lost rows from the index layout")
   }
 
+  test("ANN: appendToIvfIndex assigns to frozen centroids — appended vector found partition-pruned, nothing rewritten") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    val centroids = Similarity.writeIvfIndex(
+      e.filter(col("vec_id") >= 20), "vec_id", "embedding", dir,
+      nLists = 8, dim = 64)
+    val q = e.filter(col("vec_id") === 7)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+    Similarity.appendToIvfIndex(
+      e.filter(col("vec_id") < 20), "vec_id", "embedding", dir,
+      centroids, dim = 64)
+    // self-match must surface through the same partition-pruned probe
+    // (the self list always ranks first for its own vector)
+    val probe = Similarity.ivfTopKIndexed(spark, dir, centroids, q, 10,
+      nProbe = 2)
+    val plan = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(pf.trim.nonEmpty, s"append broke partition pruning:\n$plan")
+    val top = probe.collect()
+    assert(top.head.getLong(0) == 7L, "appended self-match not found")
+    assert(spark.read.parquet(dir).count() == e.count(),
+      "append lost rows from the index layout")
+  }
+
   test("ANN: IVF top-k recall vs brute force; self-match always found") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") === 0)
