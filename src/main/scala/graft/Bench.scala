@@ -88,7 +88,8 @@ object Bench {
       "ann_bruteforce", "ann_lsh_indexed", "doc_embeddings",
       "pipeline_e2e", "q_asof_join_native", "q_gapfill",
       "q_session_window", "q_contamination", "q_seq_packing",
-      "dedup_incremental", "q_perplexity", "q_boilerplate")
+      "dedup_incremental", "q_perplexity", "q_boilerplate",
+      "q_knn_eval")
     val fullLine = jsonLine(results)
     val headLine = jsonLine(headline.flatMap(h => results.get(h).map(h -> _)))
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

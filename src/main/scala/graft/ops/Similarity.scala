@@ -254,12 +254,19 @@ object Similarity {
       path: String,
       centroids: Array[(Int, Array[Float])],
       dim: Int = 768
-  ): Unit =
+  ): Unit = {
+    // dim guards against appending into a different-width index: the
+    // cosine kernel would silently truncate to the common prefix and
+    // scatter vectors into wrong lists with no diagnostic
+    require(centroids.nonEmpty && centroids.forall(_._2.length == dim),
+      s"centroid width != dim=$dim — appending into a different-width " +
+        "index would silently mis-assign lists")
     assignToCentroids(
       df.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v")),
       centroids, dim)
       .repartition(col("list_id"))
       .write.mode("append").partitionBy("list_id").parquet(path)
+  }
 
   /** Probe a [[writeIvfIndex]] layout: ranks the persisted centroids,
     * then scans ONLY the nProbe matching list directories (the list

@@ -11,6 +11,15 @@ import graft.ops.{Compaction, ConnectedComponents, Dedup, Merge, Multimodal, Sim
   */
 class OpsSpec extends AnyFunSuite {
 
+  /** The scan's PartitionFilters entry from the formatted plan — empty
+    * string = no partition pruning. */
+  private def partitionFilters(df: org.apache.spark.sql.DataFrame): String =
+    "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      .map(_.group(1).trim).getOrElse("")
+
+
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
@@ -155,11 +164,7 @@ class OpsSpec extends AnyFunSuite {
     val probe = Similarity.lshTopKIndexed(spark, dir, q, 5)
     // the hamming predicate must bind to the bucket PARTITION column —
     // a probe that reads all directories is a full scan, not an index
-    val plan = probe.queryExecution.explainString(
-      org.apache.spark.sql.execution.FormattedMode)
-    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
-      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
-    assert(pf.trim.nonEmpty, s"no partition filter in scan:\n$plan")
+    assert(partitionFilters(probe).nonEmpty, "no partition filter in scan")
     val top = probe.collect()
     assert(top.head.getLong(0) == 0L, "self-match must be in the probed bucket")
     assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
@@ -181,11 +186,7 @@ class OpsSpec extends AnyFunSuite {
     Similarity.appendToLshIndex(
       e.filter(col("vec_id") < 20), "vec_id", "embedding", dir, dim = 64)
     val probe = Similarity.lshTopKIndexed(spark, dir, q, 10)
-    val plan = probe.queryExecution.explainString(
-      org.apache.spark.sql.execution.FormattedMode)
-    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
-      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
-    assert(pf.trim.nonEmpty, s"append broke partition pruning:\n$plan")
+    assert(partitionFilters(probe).nonEmpty, "append broke partition pruning")
     val after = probe.collect()
     assert(after.head.getLong(0) == 7L, "appended self-match not found")
     assert(math.abs(after.head.getDouble(1) - 1.0) < 1e-9)
@@ -202,6 +203,10 @@ class OpsSpec extends AnyFunSuite {
       nLists = 8, dim = 64)
     val q = e.filter(col("vec_id") === 7)
       .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+    // before the append, vector 7 must NOT be in the index — the match
+    // below is then attributable to the append specifically
+    assert(!Similarity.ivfTopKIndexed(spark, dir, centroids, q, 10,
+      nProbe = 2).collect().map(_.getLong(0)).contains(7L))
     Similarity.appendToIvfIndex(
       e.filter(col("vec_id") < 20), "vec_id", "embedding", dir,
       centroids, dim = 64)
@@ -209,13 +214,11 @@ class OpsSpec extends AnyFunSuite {
     // (the self list always ranks first for its own vector)
     val probe = Similarity.ivfTopKIndexed(spark, dir, centroids, q, 10,
       nProbe = 2)
-    val plan = probe.queryExecution.explainString(
-      org.apache.spark.sql.execution.FormattedMode)
-    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
-      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
-    assert(pf.trim.nonEmpty, s"append broke partition pruning:\n$plan")
+    assert(partitionFilters(probe).nonEmpty,
+      s"append broke partition pruning")
     val top = probe.collect()
     assert(top.head.getLong(0) == 7L, "appended self-match not found")
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
     assert(spark.read.parquet(dir).count() == e.count(),
       "append lost rows from the index layout")
   }
@@ -429,11 +432,7 @@ class OpsSpec extends AnyFunSuite {
     val q = e.filter(col("vec_id") === 0)
       .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
     val probe = Similarity.ivfTopKIndexed(spark, dir, centroids, q, 5, nProbe = 3)
-    val plan = probe.queryExecution.explainString(
-      org.apache.spark.sql.execution.FormattedMode)
-    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
-      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
-    assert(pf.trim.nonEmpty, s"no partition filter in scan:\n$plan")
+    assert(partitionFilters(probe).nonEmpty, "no partition filter in scan")
     val top = probe.collect()
     assert(top.head.getLong(0) == 0L)
     assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
