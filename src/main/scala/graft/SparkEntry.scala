@@ -2480,6 +2480,37 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** OUTER generator semantics: explode_outer keeps a row (with NULL)
+    * for documents whose filtered token list is empty — the LEFT JOIN
+    * of generators. Inner explode silently drops such parents; for
+    * per-doc accounting (every doc must appear in the output) the outer
+    * variant is the correct tool. n_rows counts the padded row, n_words
+    * only real tokens.
+    */
+  private def qExplodeOuter(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        explode_outer(expr(
+          s"filter($tokensSql, x -> x LIKE 'q%')")).as("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_rows"), count(col("w")).as("n_words"))
+      .orderBy("doc_id")
+
+  /** Error-safe ingestion math under ANSI mode (the Spark 4 default,
+    * where a bad cast or overflow THROWS): try_cast/try_divide/try_add
+    * return NULL instead — the production pattern for dirty data. The
+    * oracle mirrors with TRY_CAST and NULLIF-guarded division.
+    */
+  private def qTryFuncs(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "part")
+      .select(col("p_partkey"),
+        expr("try_cast(split_part(p_type, ' ', 1) AS INT)").as("bad_cast"),
+        expr("try_cast(CAST(p_size AS STRING) AS INT)").as("good_cast"),
+        expr("try_divide(p_retailprice, p_size - p_size)").as("div_zero"),
+        round(expr("try_divide(p_retailprice, p_size)"), 6).as("div_ok"),
+        expr("try_add(9223372036854775807L, p_partkey)").as("overflow"))
+      .orderBy("p_partkey")
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -2611,7 +2642,9 @@ object SparkEntry {
     "multimodal_audio" -> qMultimodalAudio,
     "q_knn_eval" -> qKnnEval,
     "q_snapshot" -> qSnapshot,
-    "ann_incremental" -> qAnnIncremental
+    "ann_incremental" -> qAnnIncremental,
+    "q_explode_outer" -> qExplodeOuter,
+    "q_try_funcs" -> qTryFuncs
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3897,6 +3930,25 @@ object SparkEntry {
            arg_min(nbr_label, rnk) AS top1_label
          FROM r WHERE rnk <= 10
          GROUP BY probe_id, own_label ORDER BY probe_id""",
+    "q_explode_outer" ->
+      """WITH t AS (SELECT doc_id, list_filter(list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+             w -> w <> ''), x -> x LIKE 'q%') AS qs
+           FROM documents),
+         e AS (SELECT doc_id, unnest(CASE WHEN len(qs) = 0
+             THEN [NULL]::VARCHAR[] ELSE qs END) AS w
+           FROM t)
+         SELECT doc_id, COUNT(*) AS n_rows, COUNT(w) AS n_words
+         FROM e GROUP BY doc_id ORDER BY doc_id""",
+    "q_try_funcs" ->
+      """SELECT p_partkey,
+           TRY_CAST(split_part(p_type, ' ', 1) AS INT) AS bad_cast,
+           TRY_CAST(CAST(p_size AS VARCHAR) AS INT) AS good_cast,
+           p_retailprice / NULLIF(p_size - p_size, 0) AS div_zero,
+           ROUND(p_retailprice / NULLIF(p_size, 0), 6) AS div_ok,
+           CAST(CASE WHEN p_partkey = 0 THEN 9223372036854775807
+                ELSE NULL END AS BIGINT) AS overflow
+         FROM part ORDER BY p_partkey""",
     "q_snapshot" ->
       """WITH e AS (SELECT user_id, event_type, ts, epoch_us(ts) AS ts_us
            FROM events),
