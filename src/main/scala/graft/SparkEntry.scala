@@ -972,10 +972,10 @@ object SparkEntry {
       .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
   }
 
-  /** One persisted IVF layout (+ its centroid table) per testdata dir. */
+  /** One persisted IVF layout (centroids live WITH the index) per
+    * testdata dir. */
   private val ivfIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      String, (String, Array[(Int, Array[Float])])]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Partition-pruned ANN probe over the PERSISTED IVF layout
     * (Similarity.writeIvfIndex / ivfTopKIndexed): the probe list ids bind
@@ -983,18 +983,18 @@ object SparkEntry {
     * corpus directories are read — the IVF sibling of ann_lsh_indexed.
     */
   private def qAnnIvfIndexed(s: SparkSession, dir: String): DataFrame = {
-    val (idx, centroids) = ivfIndexCache.computeIfAbsent(dir, { d =>
+    val idx = ivfIndexCache.computeIfAbsent(dir, { d =>
       val p = java.nio.file.Files
         .createTempDirectory("graft_ivf_index").toString
-      val cents = graft.ops.Similarity.writeIvfIndex(
+      graft.ops.Similarity.writeIvfIndex(
         tbl(s, d, "embeddings"), "vec_id", "embedding", p,
         nLists = 8, dim = 64)
-      (p, cents)
+      p
     })
     val q = tbl(s, dir, "embeddings").filter(col("vec_id") === 0)
       .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
     graft.ops.Similarity
-      .ivfTopKIndexed(s, idx, centroids, q, 10, nProbe = 3)
+      .ivfTopKIndexed(s, idx, q, 10, nProbe = 3)
       .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
   }
 
@@ -3935,7 +3935,7 @@ object SparkEntry {
              regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
              w -> w <> ''), x -> x LIKE 'q%') AS qs
            FROM documents),
-         e AS (SELECT doc_id, unnest(CASE WHEN len(qs) = 0
+         e AS (SELECT doc_id, unnest(CASE WHEN qs IS NULL OR len(qs) = 0
              THEN [NULL]::VARCHAR[] ELSE qs END) AS w
            FROM t)
          SELECT doc_id, COUNT(*) AS n_rows, COUNT(w) AS n_words

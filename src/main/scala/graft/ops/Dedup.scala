@@ -355,40 +355,11 @@ object Dedup {
       shingleWidth: Int, numHashes: Int, bands: Int): String =
     s"""{"shingleWidth":$shingleWidth,"numHashes":$numHashes,"bands":$bands}"""
 
-  /** Sidecar IO goes through the Hadoop FileSystem of the index path —
-    * java.nio would silently target the LOCAL filesystem for an
-    * hdfs://-or-s3a:// index, leaving the index without its guard (and
-    * `requireIndexParams` no-ops when the sidecar is absent: exactly the
-    * silent parameter-mismatch failure the sidecar exists to prevent).
-    */
-  private def writeSidecar(
-      conf: org.apache.hadoop.conf.Configuration,
-      path: String,
-      json: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path, "_params.json")
-    val out = p.getFileSystem(conf).create(p, true)
-    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
-
   private def requireIndexParams(
       conf: org.apache.hadoop.conf.Configuration,
-      path: String, shingleWidth: Int, numHashes: Int, bands: Int): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path, "_params.json")
-    val fs = p.getFileSystem(conf)
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      val stored =
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim
-        finally in.close()
-      val called = indexParamsJson(shingleWidth, numHashes, bands)
-      require(stored == called,
-        s"minhash index at $path was written with $stored but this call " +
-          s"uses $called — probing/appending would silently miss all " +
-          "duplicates")
-    }
-  }
+      path: String, shingleWidth: Int, numHashes: Int, bands: Int): Unit =
+    graft.util.Sidecar.requireMatch(conf, path, "_params.json",
+      indexParamsJson(shingleWidth, numHashes, bands), "minhash index")
 
   private def writeIndexTables(
       df: DataFrame,
@@ -414,8 +385,9 @@ object Dedup {
       .select(col("band"), col("bucket"),
         explode(col("ids")).as("doc_id"))
       .write.mode(mode).parquet(s"$path/bands")
-    writeSidecar(df.sparkSession.sparkContext.hadoopConfiguration, path,
-      indexParamsJson(shingleWidth, numHashes, bands))
+    graft.util.Sidecar.write(
+      df.sparkSession.sparkContext.hadoopConfiguration, path,
+      "_params.json", indexParamsJson(shingleWidth, numHashes, bands))
   }
 
   /** Persist a MinHash LSH index for INCREMENTAL dedup: `bands/`

@@ -86,7 +86,9 @@ object Similarity {
       .withColumn("bucket", bucketU(col("v")))
       .filter(bit_count(col("bucket").bitwiseXOR(lit(qBucket))) <= probeHamming)
       .select(col("vec_id"), cosineNative(df, col("v"), query).as("cosine"))
-      .orderBy(col("cosine").desc, col("vec_id"))
+      // same rounded-score + id-tiebreak ranking as bruteForceTopK: raw
+      // doubles can flip top-k membership in the last ulp between runs
+      .orderBy(round(col("cosine"), 4).desc, col("vec_id"))
       .limit(k)
   }
 
@@ -113,6 +115,22 @@ object Similarity {
       .repartition(col("bucket"))
   }
 
+  /** Build parameters a persisted LSH layout was written with, recorded as
+    * a `_params.json` sidecar: appending or probing with a different
+    * numPlanes/dim computes different buckets and silently misses results
+    * — mismatches must fail loudly instead (same contract as the MinHash
+    * index sidecar in [[Dedup]]).
+    */
+  private def lshParamsJson(numPlanes: Int, dim: Int): String =
+    s"""{"numPlanes":$numPlanes,"dim":$dim}"""
+
+  private def requireLshParams(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, numPlanes: Int, dim: Int): Unit =
+    graft.util.Sidecar.requireMatch(
+      spark.sparkContext.hadoopConfiguration, path, "_params.json",
+      lshParamsJson(numPlanes, dim), "lsh index")
+
   def writeLshIndex(
       df: DataFrame,
       idCol: String,
@@ -120,9 +138,13 @@ object Similarity {
       path: String,
       numPlanes: Int = 16,
       dim: Int = 768
-  ): Unit =
+  ): Unit = {
     lshIndexRows(df, idCol, vecCol, numPlanes, dim)
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    graft.util.Sidecar.write(
+      df.sparkSession.sparkContext.hadoopConfiguration, path,
+      "_params.json", lshParamsJson(numPlanes, dim))
+  }
 
   /** Append an ingest batch into an existing [[writeLshIndex]] layout:
     * the deterministic hyperplanes assign the SAME buckets, so new files
@@ -138,9 +160,11 @@ object Similarity {
       path: String,
       numPlanes: Int = 16,
       dim: Int = 768
-  ): Unit =
+  ): Unit = {
+    requireLshParams(df.sparkSession, path, numPlanes, dim)
     lshIndexRows(df, idCol, vecCol, numPlanes, dim)
       .write.mode("append").partitionBy("bucket").parquet(path)
+  }
 
   /** Probe a [[writeLshIndex]] layout. The hamming predicate references
     * only the `bucket` partition column, so Catalyst turns it into a
@@ -156,6 +180,7 @@ object Similarity {
       numPlanes: Int = 16,
       probeHamming: Int = 2
   ): DataFrame = {
+    requireLshParams(spark, indexPath, numPlanes, query.length)
     val planes = Dedup.hyperplanes(numPlanes, query.length)
     val qBucket = Dedup.hyperplaneBucket(query, planes)
     graft.functions.CosineSimilarity.register(spark)
@@ -165,7 +190,7 @@ object Similarity {
       .select(col("vec_id"),
         graft.functions.CosineSimilarity.cosine(
           col("v"), array(query.toSeq.map(lit(_)): _*)).as("cosine"))
-      .orderBy(col("cosine").desc, col("vec_id"))
+      .orderBy(round(col("cosine"), 4).desc, col("vec_id"))
       .limit(k)
   }
 
@@ -208,15 +233,18 @@ object Similarity {
       .select(col("vec_id"),
         graft.functions.CosineSimilarity.cosine(
           col("v"), array(query.toSeq.map(lit(_)): _*)).as("cosine"))
-      .orderBy(col("cosine").desc, col("vec_id"))
+      .orderBy(round(col("cosine"), 4).desc, col("vec_id"))
       .limit(k)
   }
 
   /** Persist the corpus in IVF layout: parquet partitioned by list id
     * (the "WRITTEN PARTITIONED BY list id" path [[ivfTopK]]'s doc
-    * promises). Returns the centroids so probes can rank lists without
-    * touching the data. Same one-file-per-list repartition trick as
-    * [[writeLshIndex]].
+    * promises), plus the centroids themselves at `path/_centroids.parquet`
+    * — they are part of the index, not the caller's to keep: an append or
+    * probe using centroids from a DIFFERENT build would silently
+    * mis-assign/mis-probe lists (the dim check can't catch same-width
+    * different-centroid drift). Returns them as a convenience. Same
+    * one-file-per-list repartition trick as [[writeLshIndex]].
     */
   def writeIvfIndex(
       df: DataFrame,
@@ -237,30 +265,51 @@ object Similarity {
     assignToCentroids(data, centroids, dim)
       .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(path)
+    val spark = df.sparkSession
+    import spark.implicits._
+    centroids.toSeq.toDF("list_id", "c")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_centroids.parquet")
     centroids
   }
 
+  /** Read the centroids persisted by [[writeIvfIndex]] — the only valid
+    * centroid source for probing or appending to that layout.
+    */
+  def readIvfCentroids(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[(Int, Array[Float])] =
+    spark.read.parquet(s"$path/_centroids.parquet")
+      .collect()
+      .map { r =>
+        (r.getAs[Int]("list_id"),
+          r.getAs[scala.collection.Seq[Float]]("c").toArray)
+      }
+      .sortBy(_._1)
+
   /** Append an ingest batch into an existing [[writeIvfIndex]] layout:
-    * new vectors are assigned to the EXISTING (frozen) centroids — the
-    * standard IVF maintenance contract (re-train centroids offline when
-    * drift accumulates, then rebuild) — and appended into their list
-    * directories in O(batch); nothing is read or rewritten, and a
-    * probe's partition pruning covers old and new files alike.
+    * new vectors are assigned to the index's OWN persisted (frozen)
+    * centroids — the standard IVF maintenance contract (re-train centroids
+    * offline when drift accumulates, then rebuild) — and appended into
+    * their list directories in O(batch); nothing is rewritten, and a
+    * probe's partition pruning covers old and new files alike. Reading the
+    * centroids from the index (rather than trusting a caller-supplied
+    * array) makes a cross-build mismatch impossible by construction.
     */
   def appendToIvfIndex(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       path: String,
-      centroids: Array[(Int, Array[Float])],
       dim: Int = 768
   ): Unit = {
-    // dim guards against appending into a different-width index: the
-    // cosine kernel would silently truncate to the common prefix and
-    // scatter vectors into wrong lists with no diagnostic
+    val centroids = readIvfCentroids(df.sparkSession, path)
+    // dim guards against appending a different-width batch: the cosine
+    // kernel would silently truncate to the common prefix and scatter
+    // vectors into wrong lists with no diagnostic
     require(centroids.nonEmpty && centroids.forall(_._2.length == dim),
-      s"centroid width != dim=$dim — appending into a different-width " +
-        "index would silently mis-assign lists")
+      s"index centroid width != dim=$dim — appending a different-width " +
+        "batch would silently mis-assign lists")
     assignToCentroids(
       df.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v")),
       centroids, dim)
@@ -268,26 +317,26 @@ object Similarity {
       .write.mode("append").partitionBy("list_id").parquet(path)
   }
 
-  /** Probe a [[writeIvfIndex]] layout: ranks the persisted centroids,
-    * then scans ONLY the nProbe matching list directories (the list
-    * predicate binds to the partition column → PartitionFilters).
+  /** Probe a [[writeIvfIndex]] layout: ranks the index's persisted
+    * centroids, then scans ONLY the nProbe matching list directories (the
+    * list predicate binds to the partition column → PartitionFilters).
     */
   def ivfTopKIndexed(
       spark: org.apache.spark.sql.SparkSession,
       indexPath: String,
-      centroids: Array[(Int, Array[Float])],
       query: Array[Float],
       k: Int,
       nProbe: Int = 4
   ): DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
+    val centroids = readIvfCentroids(spark, indexPath)
     val qLists = nearestLists(query, centroids, nProbe)
     spark.read.parquet(indexPath)
       .filter(col("list_id").isin(qLists: _*))
       .select(col("vec_id"),
         graft.functions.CosineSimilarity.cosine(
           col("v"), array(query.toSeq.map(lit(_)): _*)).as("cosine"))
-      .orderBy(col("cosine").desc, col("vec_id"))
+      .orderBy(round(col("cosine"), 4).desc, col("vec_id"))
       .limit(k)
   }
 

@@ -85,9 +85,15 @@ object TextAnalysis {
   /** Rolling-hash winnowing fingerprint (Schleimer et al., SIGMOD'03
     * style): k-gram rolling hashes, keep the min in each window of w —
     * a compact, shift-robust document signature for near-dup screening.
+    *
+    * Locale.ROOT lowercasing: the default-locale toLowerCase drifts from
+    * the DuckDB oracle's locale-independent lower() under e.g. tr_TR
+    * (dotless i). Iteration is by UTF-16 unit, matching the oracle's
+    * slicing only for BMP text — the testdata corpus is BMP-only and the
+    * oracle documents that assumption.
     */
   def winnowingFingerprint(text: String, k: Int = 8, w: Int = 16): Array[Long] = {
-    val s = text.toLowerCase.replaceAll("\\s+", " ")
+    val s = text.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
     if (s.length < k) return if (s.isEmpty) Array.empty else Array(fnv(s))
     val n = s.length - k + 1
     val hashes = new Array[Long](n)

@@ -195,25 +195,30 @@ class OpsSpec extends AnyFunSuite {
       "append lost rows from the index layout")
   }
 
-  test("ANN: appendToIvfIndex assigns to frozen centroids — appended vector found partition-pruned, nothing rewritten") {
+  test("ANN: appendToIvfIndex assigns to frozen PERSISTED centroids — appended vector found partition-pruned, nothing rewritten") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
-    val centroids = Similarity.writeIvfIndex(
+    val built = Similarity.writeIvfIndex(
       e.filter(col("vec_id") >= 20), "vec_id", "embedding", dir,
       nLists = 8, dim = 64)
+    // the centroids the probe/append read back from the index must be
+    // exactly the build's — a different set would mis-probe silently
+    val persisted = Similarity.readIvfCentroids(spark, dir)
+    assert(persisted.map(_._1).toSeq == built.sortBy(_._1).map(_._1).toSeq)
+    assert(persisted.zip(built.sortBy(_._1)).forall {
+      case ((_, a), (_, b)) => a.sameElements(b)
+    }, "persisted centroids differ from the build's")
     val q = e.filter(col("vec_id") === 7)
       .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
     // before the append, vector 7 must NOT be in the index — the match
     // below is then attributable to the append specifically
-    assert(!Similarity.ivfTopKIndexed(spark, dir, centroids, q, 10,
+    assert(!Similarity.ivfTopKIndexed(spark, dir, q, 10,
       nProbe = 2).collect().map(_.getLong(0)).contains(7L))
     Similarity.appendToIvfIndex(
-      e.filter(col("vec_id") < 20), "vec_id", "embedding", dir,
-      centroids, dim = 64)
+      e.filter(col("vec_id") < 20), "vec_id", "embedding", dir, dim = 64)
     // self-match must surface through the same partition-pruned probe
     // (the self list always ranks first for its own vector)
-    val probe = Similarity.ivfTopKIndexed(spark, dir, centroids, q, 10,
-      nProbe = 2)
+    val probe = Similarity.ivfTopKIndexed(spark, dir, q, 10, nProbe = 2)
     assert(partitionFilters(probe).nonEmpty,
       s"append broke partition pruning")
     val top = probe.collect()
@@ -221,6 +226,36 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
     assert(spark.read.parquet(dir).count() == e.count(),
       "append lost rows from the index layout")
+    // appending a different-width batch must fail loudly, not mis-assign
+    import spark.implicits._
+    val wrongWidth = Seq((999L, Array.fill(32)(0.1f)))
+      .toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(
+        wrongWidth, "vec_id", "embedding", dir, dim = 32)
+    }
+  }
+
+  test("ANN: LSH index rejects append/probe with mismatched build params") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_par").toString
+    Similarity.writeLshIndex(e, "vec_id", "embedding", dir,
+      numPlanes = 8, dim = 64)
+    val q = e.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+    // numPlanes mismatch: different planes → different buckets → a probe
+    // or append would silently land in/visit directories the other side
+    // never uses. Must throw instead.
+    intercept[IllegalArgumentException] {
+      Similarity.appendToLshIndex(
+        e.limit(1), "vec_id", "embedding", dir, numPlanes = 16, dim = 64)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.lshTopKIndexed(spark, dir, q, 5, numPlanes = 16)
+    }
+    // matched params still work
+    assert(Similarity.lshTopKIndexed(spark, dir, q, 5, numPlanes = 8)
+      .collect().head.getLong(0) == 0L)
   }
 
   test("ANN: IVF top-k recall vs brute force; self-match always found") {
@@ -431,7 +466,7 @@ class OpsSpec extends AnyFunSuite {
     assert(centroids.length <= 8 && centroids.nonEmpty)
     val q = e.filter(col("vec_id") === 0)
       .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
-    val probe = Similarity.ivfTopKIndexed(spark, dir, centroids, q, 5, nProbe = 3)
+    val probe = Similarity.ivfTopKIndexed(spark, dir, q, 5, nProbe = 3)
     assert(partitionFilters(probe).nonEmpty, "no partition filter in scan")
     val top = probe.collect()
     assert(top.head.getLong(0) == 0L)
