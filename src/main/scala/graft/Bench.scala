@@ -61,10 +61,23 @@ object Bench {
     catch { case _: Throwable => () }
     try materialize(SparkEntry.queries("ann_incremental")(spark, sfDir))
     catch { case _: Throwable => () }
+    // Median-of-N per query (default 3), cache cleared before EVERY timed
+    // run: several queries persist() intermediates they keep for the
+    // session (tf tables, per-doc stats), so without clearing, (a) later
+    // queries inherit accumulated executor storage pressure — the r3
+    // driver run showed trivial queries spiking 0.3→2+ s late in the run —
+    // and (b) reps 2..N of the SAME query would replay a cached result
+    // instead of the plan. The median then absorbs one-off host/GC
+    // stalls that a single run records as the query's cost.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = Seq.fill(reps) {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.sorted.apply(reps / 2)
     }
     // Locale.ROOT formatting: the default-locale f"%.3f" renders decimal
     // COMMAS under e.g. de_DE and the JSON line stops parsing

@@ -267,15 +267,23 @@ object SparkEntry {
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
   }
 
-  /** HLL approximate distinct per group, emitted next to the exact count
-    * (sketch values are implementation-specific → rows-only gate; the
-    * <=5% relative-error bound is asserted in OpsSpec).
+  /** HLL approximate distinct per group. The raw sketch estimate is
+    * implementation-specific (never hash-matches another engine), so the
+    * gated output carries the exact count plus a BOOLEAN within-5%-bound
+    * check of the estimate: the oracle replays the exact side and asserts
+    * the bound as literal TRUE — if Spark's HLL ever drifts past 5%, the
+    * row hash-mismatches and the gate catches it. The numeric estimate
+    * itself is still exercised (the boolean derives from it) and its
+    * bound is additionally asserted in OpsSpec.
     */
   private def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")).cast("double") <=
+          col("exact_parts").cast("double") * 0.05).as("within_5pct"))
       .orderBy("l_returnflag")
 
   /** Window functions: per-customer order numbering + exact running total
@@ -2647,12 +2655,108 @@ object SparkEntry {
     "q_try_funcs" -> qTryFuncs
   )
 
+  /** DuckDB replica of [[graft.ops.Dedup.simHash]] + brute-force 64-bit
+    * hamming — generated (not hand-written) SQL because the splitmix64
+    * finalizer must be expanded twice in HUGEINT mod-2^64 arithmetic.
+    * The banding in simHashPairs has PERFECT recall at maxHamming=3 by
+    * pigeonhole (3 differing bits touch at most 3 of the 4 16-bit bands),
+    * so brute-force all-pairs is the exact oracle, not an approximation
+    * (modulo the 256-per-bucket cap, which sf0.01's corpus never hits).
+    * BMP-only like the fingerprint_stats oracle (unicode() per UTF-16
+    * unit).
+    */
+  private lazy val simhashOracleSql: String = {
+    val M = "18446744073709551616" // 2^64
+    val H = "9223372036854775808" // 2^63
+    val K0 = "11400714819323198485" // 0x9e3779b97f4a7c15
+    val C2 = "13787848793156543929" // 0xbf58476d1ce4e5b9
+    val C3 = "10723151780598845931" // 0x94d049bb133111eb
+    // signed BIGINT expr -> HUGEINT in [0, 2^64)
+    def toU(x: String) =
+      s"(CASE WHEN ($x) < 0 THEN CAST(($x) AS HUGEINT) + $M" +
+        s" ELSE CAST(($x) AS HUGEINT) END)"
+    // HUGEINT in [0, 2^64) -> signed BIGINT
+    def toS(u: String) =
+      s"(CAST(CASE WHEN ($u) >= $H THEN ($u) - $M ELSE ($u) END AS BIGINT))"
+    // (a * b) mod 2^64 without HUGEINT overflow: split a at 2^32
+    // (a,b < 2^64 would give a 2^128 product, past HUGEINT's 2^127-1)
+    def mulmod(a: String, b: String) =
+      s"((((($a) % 4294967296) * $b) + " +
+        s"((((($a) // 4294967296) * ($b % 4294967296)) % 4294967296)" +
+        s" * 4294967296)) % $M)"
+    // FNV-1a 64 over a word — same list_reduce pattern as the
+    // fingerprint_stats oracle (signed BIGINT result)
+    def fnv(w: String) =
+      s"list_reduce(list_prepend(CAST(-3750763034362895579 AS BIGINT), " +
+        s"list_transform(range(1, len($w) + 1), j -> unicode($w[j:j]))), " +
+        s"(acc, c) -> CAST(CASE WHEN (((CAST(xor(acc, c) AS HUGEINT)" +
+        s" * 1099511628211) % $M + $M) % $M) >= $H " +
+        s"THEN (((CAST(xor(acc, c) AS HUGEINT) * 1099511628211)" +
+        s" % $M + $M) % $M) - $M " +
+        s"ELSE (((CAST(xor(acc, c) AS HUGEINT) * 1099511628211)" +
+        s" % $M + $M) % $M) END AS BIGINT))"
+    s"""WITH RECURSIVE pw(b, p) AS (
+           SELECT 0, CAST(1 AS HUGEINT)
+           UNION ALL SELECT b + 1, p * 2 FROM pw WHERE b < 63),
+         d AS (SELECT doc_id, list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+               x -> x <> '') AS ws
+             FROM documents),
+         w AS (SELECT doc_id, u.i AS i, ws[u.i] AS w,
+               CASE WHEN u.i > 1 THEN ws[u.i - 1] ELSE NULL END AS prev
+             FROM d, unnest(list_transform(range(1, len(ws) + 1),
+               i -> {'i': i})) AS t(u)),
+         f0 AS (SELECT doc_id, i, ${fnv("w")} AS uh,
+               CASE WHEN prev IS NULL THEN NULL
+                    ELSE ${fnv("prev")} END AS up
+             FROM w),
+         m1 AS (SELECT doc_id, i, uh, up,
+               (${toU("uh")} + $K0) % $M AS a FROM f0),
+         m2 AS (SELECT doc_id, i, uh, up,
+               ${mulmod("xor(a, a // 1073741824)", C2)} AS b2 FROM m1),
+         m3 AS (SELECT doc_id, i, uh, up,
+               ${mulmod("xor(b2, b2 // 134217728)", C3)} AS c2 FROM m2),
+         m4 AS (SELECT doc_id, i, up,
+               xor(c2, c2 // 2147483648) AS mu FROM m3),
+         g1 AS (SELECT doc_id, i,
+               (${toU(s"xor(${toS("mu")}, up)")} + $K0) % $M AS a
+             FROM m4 WHERE up IS NOT NULL),
+         g2 AS (SELECT doc_id, i,
+               ${mulmod("xor(a, a // 1073741824)", C2)} AS b2 FROM g1),
+         g3 AS (SELECT doc_id, i,
+               ${mulmod("xor(b2, b2 // 134217728)", C3)} AS c2 FROM g2),
+         g4 AS (SELECT doc_id, i,
+               xor(c2, c2 // 2147483648) AS mu FROM g3),
+         feats AS (SELECT doc_id, mu FROM m4
+           UNION ALL SELECT doc_id, mu FROM g4),
+         votes AS (SELECT doc_id, pw.b, pw.p,
+               SUM(CASE WHEN (mu // pw.p) % 2 = 1 THEN 1 ELSE -1 END) AS acc
+             FROM feats, pw GROUP BY doc_id, pw.b, pw.p),
+         sims0 AS (SELECT doc_id,
+               SUM(CASE WHEN acc > 0 THEN p
+                        ELSE CAST(0 AS HUGEINT) END) AS simu
+             FROM votes GROUP BY doc_id),
+         sims AS (SELECT d.doc_id, ${toS("COALESCE(s.simu, 0)")} AS sim
+             FROM d LEFT JOIN sims0 s USING (doc_id))
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+       FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.sim, b.sim)) <= 3
+       ORDER BY doc_a, doc_b"""
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for ops whose kernels are not
     * SQL-expressible (sentence split / chunker / embedder) → driver
     * records a weaker rows-only check.
     */
   def oracleSql: Map[String, String] = Map(
+    "dedup_simhash" -> simhashOracleSql,
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS within_5pct
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "clean_text" ->
       """SELECT doc_id,
          regexp_replace(regexp_replace(regexp_replace(regexp_replace(

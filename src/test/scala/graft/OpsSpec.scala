@@ -477,11 +477,11 @@ class OpsSpec extends AnyFunSuite {
     val rows = SparkEntry.queries("q_approx_distinct")(
       spark, "/root/testdata/sf0.01").collect()
     assert(rows.nonEmpty)
+    // within_5pct is the gated output: the oracle asserts it as literal
+    // TRUE, so a false here is exactly what the driver would catch
     rows.foreach { r =>
-      val approx = r.getLong(1).toDouble
-      val exact = r.getLong(2).toDouble
-      assert(math.abs(approx - exact) / exact <= 0.05,
-        s"approx $approx vs exact $exact")
+      assert(r.getBoolean(2),
+        s"HLL estimate drifted past 5% for group ${r.get(0)}")
     }
   }
 
