@@ -407,6 +407,72 @@ object SparkEntry {
     } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
   }
 
+  /** Distributed delta-log sink for the streaming gates: each
+    * micro-batch's delta rows are APPENDED by the executors to a
+    * per-invocation parquet log tagged with the batchId — no result row
+    * ever reaches the driver. (The previous driver-side ConcurrentHashMap
+    * stood in for a keyed store, but its size grows with key cardinality
+    * — window×type cardinality grows with the covered time span at
+    * 100 TB.) foreachBatch is wrapped in StreamingEmbed.idempotentSink
+    * with a FILE-backed high-water mark stored next to the log, so an
+    * at-least-once replay after a crash is a no-op instead of a
+    * double-append. Returns the log directory.
+    */
+  private def streamToDeltaLog(
+      s: SparkSession,
+      stream: DataFrame,
+      mode: String,
+      prepare: DataFrame => DataFrame = identity): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate_log")
+    val sink = graft.streaming.StreamingEmbed.idempotentSink(
+      (batch: DataFrame, id: Long) =>
+        prepare(batch).withColumn("_batch_id", lit(id))
+          .write.mode("append").parquet(dir.toString),
+      graft.streaming.StreamingEmbed.fileHighWaterMark(dir.resolve("_hwm")))
+    runStream(s) {
+      stream.writeStream
+        .outputMode(mode)
+        .foreachBatch(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    dir.toString
+  }
+
+  /** Read a [[streamToDeltaLog]] log back; an empty log (a stream that
+    * emitted nothing) yields an empty frame with the stream's schema
+    * rather than a schema-inference error.
+    */
+  private def readDeltaLog(
+      s: SparkSession,
+      dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val hasFiles = {
+      val files = new java.io.File(dir).listFiles()
+      files != null && files.exists(_.getName.endsWith(".parquet"))
+    }
+    if (hasFiles) s.read.parquet(dir)
+    else s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      schema.add("_batch_id", org.apache.spark.sql.types.LongType))
+  }
+
+  /** Update-mode gate result from a delta log: latest row per key
+    * (max_by batchId — the Merge.upsert shape, one keyed hash
+    * aggregation over the log, exactly what a cluster deployment runs
+    * against its keyed store's changelog).
+    */
+  private def readDeltaLogUpsert(
+      s: SparkSession,
+      dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      keyCols: Seq[String]): DataFrame = {
+    val cols = schema.fieldNames.toSeq
+    readDeltaLog(s, dir, schema)
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(cols.map(col): _*), col("_batch_id")).as("r"))
+      .select(cols.map(c => col(s"r.$c").as(c)): _*)
+  }
+
   /** Event-time tumbling window (1h) — batch twin of the streaming agg. */
   private def qEventsTumbling(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "events")
@@ -626,17 +692,16 @@ object SparkEntry {
   /** Event-time tumbling counts computed BY A REAL STREAMING QUERY:
     * file-stream source over the same parquet, event-time watermark (1h —
     * bounds window state at scale), Trigger.AvailableNow, UPDATE-mode
-    * foreachBatch upsert. Each micro-batch delivers only the groups whose
-    * counts changed — the standard keyed-store sink shape — unlike
-    * complete mode, which re-materializes the entire aggregate on the
-    * driver every trigger. The driver-side map here stands in for the
-    * external keyed store a cluster deployment would upsert into.
-    * Hash-matches the same DuckDB SQL as the batch twin, proving the
-    * streaming plan computes identical results (SURVEY.md §2.3
-    * "streaming" — identical logical plan under Structured Streaming).
+    * foreachBatch. Each micro-batch delivers only the groups whose counts
+    * changed — the standard keyed-store sink shape — unlike complete
+    * mode, which re-materializes the entire aggregate on the driver every
+    * trigger. Deltas land in a distributed parquet log
+    * ([[streamToDeltaLog]]) and the gate result is the keyed upsert of
+    * that log — no result row touches the driver. Hash-matches the same
+    * DuckDB SQL as the batch twin, proving the streaming plan computes
+    * identical results (SURVEY.md §2.3 "streaming").
     */
   private def qEventsStreamTumbling(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val schema = tbl(s, dir, "events").schema
     val stream = s.readStream.schema(schema)
       .parquet(eventsStreamDir(dir).toString)
@@ -647,29 +712,9 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n"))
-    val state =
-      new java.util.concurrent.ConcurrentHashMap[(Long, String), Long]()
-    // the stateful agg's state store allocates one instance per shuffle
-    // partition per micro-batch; size it to the aggregate's key
-    // cardinality (~3.4k windows×types here) rather than the relational
-    // default — at cluster scale this is the state-store parallelism knob
-    runStream(s) {
-      stream.writeStream
-        .outputMode("update")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          // upsert the changed groups only (update-mode delta)
-          batch.collect().foreach { r =>
-            state.put((r.getLong(0), r.getString(1)), r.getLong(2))
-          }
-          ()
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-    }
-    import scala.jdk.CollectionConverters._
-    state.asScala.toSeq
-      .map { case ((w, e), n) => (w, e, n) }
-      .toDF("window_start_us", "event_type", "n")
+    val log = streamToDeltaLog(s, stream, "update")
+    readDeltaLogUpsert(s, log, stream.schema,
+      Seq("window_start_us", "event_type"))
       .orderBy("window_start_us", "event_type")
   }
 
@@ -1278,7 +1323,6 @@ object SparkEntry {
     * event lands in 2 overlapping 1h windows (30min hop).
     */
   private def qEventsStreamHopping(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val schema = tbl(s, dir, "events").schema
     val stream = s.readStream.schema(schema)
       .parquet(eventsStreamDir(dir).toString)
@@ -1289,24 +1333,9 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n"))
-    val state =
-      new java.util.concurrent.ConcurrentHashMap[(Long, String), Long]()
-    runStream(s) {
-      stream.writeStream
-        .outputMode("update")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.collect().foreach { r =>
-            state.put((r.getLong(0), r.getString(1)), r.getLong(2))
-          }
-          ()
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-    }
-    import scala.jdk.CollectionConverters._
-    state.asScala.toSeq
-      .map { case ((w, e), n) => (w, e, n) }
-      .toDF("window_start_us", "event_type", "n")
+    val log = streamToDeltaLog(s, stream, "update")
+    readDeltaLogUpsert(s, log, stream.schema,
+      Seq("window_start_us", "event_type"))
       .orderBy("window_start_us", "event_type")
   }
 
@@ -1334,22 +1363,11 @@ object SparkEntry {
       .select(col("event_id"),
         col("r_event_id").as("view_event_id"),
         unix_micros(col("r_ts_event")).as("view_ts_us"))
-    val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
-    runStream(s) {
-      joined.writeStream
-        .outputMode("append")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.collect().foreach { r =>
-            rows.add((r.getLong(0), r.getLong(1), r.getLong(2)))
-          }
-          ()
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-    }
-    import scala.jdk.CollectionConverters._
-    rows.asScala.toSeq
-      .toDF("event_id", "view_event_id", "view_ts_us")
+    // append mode: every match is emitted exactly once, so the gate
+    // result is simply the delta log's rows (no keyed upsert needed)
+    val log = streamToDeltaLog(s, joined, "append")
+    readDeltaLog(s, log, joined.schema)
+      .select("event_id", "view_event_id", "view_ts_us")
       .orderBy("event_id", "view_event_id")
   }
 
@@ -1376,9 +1394,9 @@ object SparkEntry {
   /** Sessionization computed BY A REAL STREAMING QUERY with CUSTOM STATE
     * (streaming/StreamingEmbed.sessionizeStream — flatMapGroupsWithState,
     * O(1) state per user): the streaming twin of `events_sessions`,
-    * hash-matched against the SAME DuckDB oracle. Update-mode foreachBatch
-    * upserts by (user_id, session_id); the driver-side map stands in for
-    * the external keyed store a cluster deployment would target.
+    * hash-matched against the SAME DuckDB oracle. Update-mode deltas keyed
+    * by (user_id, session_id) land in the distributed delta log; the gate
+    * result is its keyed upsert.
     */
   private def qEventsStreamSessions(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1388,28 +1406,10 @@ object SparkEntry {
       .select(col("user_id").cast("long"), col("event_id").cast("long"),
         eventTsUs.cast("long"))
       .as[(Long, Long, Long)]
-    val sessions = graft.streaming.StreamingEmbed.sessionizeStream(stream)
-    val state = new java.util.concurrent.ConcurrentHashMap[
-      (Long, Long), (Long, Long, Long)]()
-    // state-store parallelism sized to the key cardinality (see the
-    // tumbling twin above for the rationale)
-    runStream(s) {
-      sessions.toDF().writeStream
-        .outputMode("update")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.collect().foreach { r =>
-            state.put((r.getLong(0), r.getLong(1)),
-              (r.getLong(2), r.getLong(3), r.getLong(4)))
-          }
-          ()
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-    }
-    import scala.jdk.CollectionConverters._
-    state.asScala.toSeq
-      .map { case ((u, sid), (n, st, en)) => (u, sid, n, st, en) }
-      .toDF("user_id", "session_id", "n_events", "start_us", "end_us")
+    val sessions = graft.streaming.StreamingEmbed.sessionizeStream(stream).toDF()
+    val log = streamToDeltaLog(s, sessions, "update")
+    readDeltaLogUpsert(s, log, sessions.schema,
+      Seq("user_id", "session_id"))
       .orderBy("user_id", "session_id")
   }
 
@@ -2115,13 +2115,13 @@ object SparkEntry {
     * the same parquet are unioned (every event arrives twice — the
     * at-least-once replay shape), then dropDuplicatesWithinWatermark
     * evicts its key state past the watermark (bounded state — a plain
-    * dropDuplicates would hold every key forever). The sink folds
-    * per-batch per-type counts; dedup guarantees each event contributes
-    * exactly once across batches, so the folded counts equal the batch
-    * DISTINCT truth the oracle computes.
+    * dropDuplicates would hold every key forever). Each batch's per-type
+    * PARTIAL counts land in the delta log (map-side combine: the log
+    * holds types×batches rows, never events); dedup guarantees each
+    * event contributes exactly once across batches, so the log's summed
+    * partials equal the batch DISTINCT truth the oracle computes.
     */
   private def qEventsStreamDedup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val schema = tbl(s, dir, "events").schema
     def src = s.readStream.schema(schema)
       .parquet(eventsStreamDir(dir).toString)
@@ -2129,24 +2129,17 @@ object SparkEntry {
     val deduped = src.unionAll(src)
       .withWatermark("ts_event", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
-    val state = new java.util.concurrent.ConcurrentHashMap[String, Long]()
-    runStream(s) {
-      deduped.writeStream
-        .outputMode("append")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          // aggregate batch-side (a handful of rows cross to the driver),
-          // fold into running totals: each event appears exactly once
-          // across batches, so summing partials equals the global count
-          batch.groupBy("event_type").agg(count(lit(1)).as("n"))
-            .collect()
-            .foreach(r => state.merge(r.getString(0), r.getLong(1), _ + _))
-          ()
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-    }
-    import scala.jdk.CollectionConverters._
-    state.asScala.toSeq.toDF("event_type", "n").orderBy("event_type")
+    val log = streamToDeltaLog(s, deduped, "append",
+      prepare = _.groupBy("event_type").agg(count(lit(1)).as("n")))
+    val logSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType)))
+    readDeltaLog(s, log, logSchema)
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("n"))
+      .orderBy("event_type")
   }
 
   /** Within-document repetition (Gopher-style quality rule): fraction of
@@ -2244,11 +2237,12 @@ object SparkEntry {
     * 100 TB an SF-scaling dim falls back to a per-batch shuffle join
     * without any code change). The stateless join feeds a keyed stateful
     * aggregate over segment×type (bounded state: key cardinality, not
-    * event count), upserted via update-mode foreachBatch. Hash-matches
-    * the batch join+agg oracle.
+    * event count), update-mode deltas into the distributed delta log,
+    * gate result = keyed upsert of the log. Hash-matches the batch
+    * join+agg oracle. (The parquet log also carries a NULL total_value
+    * group natively — the old driver map needed explicit boxing.)
     */
   private def qEventsStreamStaticJoin(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val schema = tbl(s, dir, "events").schema
     val dim = tbl(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
     val joined = s.readStream.schema(schema)
@@ -2259,29 +2253,9 @@ object SparkEntry {
         sum(col("value").cast("decimal(18,6)")).as("total_dec"))
       .select(col("c_mktsegment"), col("event_type"), col("n"),
         col("total_dec").cast("double").as("total_value"))
-    val state = new java.util.concurrent.ConcurrentHashMap[
-      (String, String), (Long, java.lang.Double)]()
-    runStream(s) {
-      joined.writeStream
-        .outputMode("update")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          // update mode: only changed segment×type groups arrive; upsert.
-          // sum(value) is NULL for an all-null group — a primitive
-          // getDouble would NPE, so box it
-          batch.collect().foreach { r =>
-            val tv: java.lang.Double =
-              if (r.isNullAt(3)) null else r.getDouble(3)
-            state.put((r.getString(0), r.getString(1)), (r.getLong(2), tv))
-          }
-          ()
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-    }
-    import scala.jdk.CollectionConverters._
-    state.asScala.toSeq
-      .map { case ((seg, et), (n, tv)) => (seg, et, n, tv) }
-      .toDF("c_mktsegment", "event_type", "n", "total_value")
+    val log = streamToDeltaLog(s, joined, "update")
+    readDeltaLogUpsert(s, log, joined.schema,
+      Seq("c_mktsegment", "event_type"))
       .orderBy("c_mktsegment", "event_type")
   }
 
