@@ -66,7 +66,7 @@ class InceptionEngine(
   metrics.foreach { m =>
     val t0 = System.nanoTime()
     Embedder.embed("warmup")
-    m.modelLoadTimeMs.add((System.nanoTime() - t0) / 1000000L)
+    m.modelLoadHistogram.observe((System.nanoTime() - t0) / 1000000L)
   }
 
   private def countRequest(endpoint: String): Unit =
@@ -227,13 +227,13 @@ class InceptionEngine(
       .as[(Long, Int, String)]
     countRequest("batch")
     val chunkAcc = metrics.map(_.chunkCount("text"))
-    val timeAcc = metrics.map(_.processingTimeMs("batch"))
+    val timeHist = metrics.map(_.processingTimeHistogram("batch"))
     chunks.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         chunkAcc.foreach(_.add(batch.size.toLong))
         val t0 = System.nanoTime()
         val vecs = Embedder.embedBatch(batch.map(_._3))
-        timeAcc.foreach(_.add((System.nanoTime() - t0) / 1000000L))
+        timeHist.foreach(_.observe((System.nanoTime() - t0) / 1000000L))
         batch.lazyZip(vecs).map { case ((id, n, chunk), v) =>
           EmbeddedChunk(id, n, chunk.replace(Chunker.LeadText, ""), v)
         }
@@ -274,7 +274,7 @@ class InceptionEngine(
       .select("doc_id", "text").as[Document]
     countRequest("batch")
     val chunkAcc = metrics.map(_.chunkCount("text"))
-    val timeAcc = metrics.map(_.processingTimeMs("batch"))
+    val timeHist = metrics.map(_.processingTimeHistogram("batch"))
     valid.mapPartitions { docs =>
       docs.map { d =>
         val t0 = System.nanoTime()
@@ -282,7 +282,7 @@ class InceptionEngine(
         chunkAcc.foreach(_.add(chunks.size.toLong))
         val vecs =
           chunks.grouped(batchSize).flatMap(Embedder.embedBatch).toVector
-        timeAcc.foreach(_.add((System.nanoTime() - t0) / 1000000L))
+        timeHist.foreach(_.observe((System.nanoTime() - t0) / 1000000L))
         val embs = chunks.lazyZip(vecs).zipWithIndex.map {
           case ((chunk, v), idx) =>
             ChunkEmbedding(idx + 1, chunk.replace(Chunker.LeadText, ""), v)
@@ -306,8 +306,8 @@ class InceptionEngine(
       val out = Embedder.embedQuery(processed)
       // PROCESSING_TIME observed on the success path only
       // (routes/embedding.py:60-63)
-      metrics.foreach(
-        _.processingTimeMs("query").add((System.nanoTime() - t0) / 1000000L))
+      metrics.foreach(_.processingTimeHistogram("query")
+        .observe((System.nanoTime() - t0) / 1000000L))
       out
     } catch {
       case e: IllegalArgumentException =>

@@ -12,9 +12,12 @@ import org.apache.spark.util.LongAccumulator
   * Spark-native equivalent: named `LongAccumulator`s — they aggregate
   * across executors exactly like the reference's per-process counters
   * aggregate across Gunicorn workers, and tests can read them on the
-  * driver. Timings are recorded driver-side in millis (the reference's
-  * histograms collapse to sum+count here; bucket boundaries are a
-  * serving-layer concern).
+  * driver. Timings are in millis. The two reference histograms keep
+  * their bucket semantics: [[processingTimeHistogram]] /
+  * [[modelLoadHistogram]] expose cumulative `le` buckets at the
+  * reference's exact boundaries plus sum and count — the latency
+  * ENVELOPE (how many requests landed under 0.5 s?) that a sum-only
+  * accumulator cannot answer.
   *
   * SEMANTICS — at-least-once, like every Spark accumulator updated
   * inside a transformation: counters incremented in UDFs/mapPartitions
@@ -42,6 +45,61 @@ class Metrics(sc: SparkContext) extends Serializable {
     get(s"processing_time_ms.$endpoint")
   def modelLoadTimeMs: LongAccumulator =
     get("model_load_time_ms")
+
+  /** Executor-serializable Prometheus-style histogram handle: CUMULATIVE
+    * `le` buckets plus sum and count, all LongAccumulators. `observe`
+    * touches EVERY bucket (adding 0 where the value is over the bound) so
+    * the full bucket vector is registered and present in [[snapshot]]
+    * from the first observation, like a Prometheus exposition.
+    */
+  final class Histogram private[Metrics] (
+      sum: LongAccumulator,
+      count: LongAccumulator,
+      buckets: Seq[(Long, LongAccumulator)],
+      inf: LongAccumulator) extends Serializable {
+    def observe(ms: Long): Unit = {
+      sum.add(ms)
+      count.add(1L)
+      buckets.foreach { case (boundMs, a) =>
+        a.add(if (ms <= boundMs) 1L else 0L)
+      }
+      inf.add(1L)
+    }
+  }
+
+  /** PROCESSING_TIME bucket bounds — the reference's request-latency
+    * envelope, seconds → ms (inception/metrics.py:9-14).
+    */
+  val ProcessingTimeBuckets: Seq[(Long, String)] = Seq(
+    100L -> "0.1", 500L -> "0.5", 1000L -> "1.0", 2000L -> "2.0",
+    5000L -> "5.0", 10000L -> "10.0")
+
+  /** MODEL_LOAD_TIME bucket bounds (inception/metrics.py:28-32). */
+  val ModelLoadBuckets: Seq[(Long, String)] = Seq(
+    1000L -> "1.0", 5000L -> "5.0", 10000L -> "10.0", 30000L -> "30.0",
+    60000L -> "60.0")
+
+  private def histogram(
+      prefix: String, bounds: Seq[(Long, String)],
+      sum: LongAccumulator): Histogram =
+    new Histogram(
+      sum,
+      get(s"$prefix.count"),
+      bounds.map { case (ms, label) =>
+        ms -> get(s"$prefix.bucket.le_$label")
+      },
+      get(s"$prefix.bucket.le_inf"))
+
+  /** The reference's PROCESSING_TIME histogram per endpoint; the plain
+    * [[processingTimeMs]] accumulator doubles as its `_sum` (in ms).
+    */
+  def processingTimeHistogram(endpoint: String): Histogram =
+    histogram(s"processing_time.$endpoint", ProcessingTimeBuckets,
+      processingTimeMs(endpoint))
+
+  /** The reference's MODEL_LOAD_TIME histogram (no endpoint label). */
+  def modelLoadHistogram: Histogram =
+    histogram("model_load_time", ModelLoadBuckets, modelLoadTimeMs)
 
   /** Snapshot for `/metrics`-style inspection (monitoring.py:30-35). */
   def snapshot: Map[String, Long] = {

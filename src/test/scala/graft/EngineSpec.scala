@@ -130,6 +130,29 @@ class EngineSpec extends AnyFunSuite {
       "batch kernel time accumulator missing")
     assert(snap.contains("processing_time_ms.query"))
     assert(snap.contains("model_load_time_ms"))
+    // PROCESSING_TIME histogram semantics (metrics.py:9-14): cumulative
+    // le buckets + count, at the reference's exact boundaries. The fast
+    // JVM kernels land under every bound, so each cumulative bucket must
+    // equal the observation count; the +Inf bucket always does.
+    for (ep <- Seq("batch", "query")) {
+      val n = snap.getOrElse(s"processing_time.$ep.count", 0L)
+      assert(n >= 1L, s"no $ep histogram observations in $snap")
+      assert(snap.getOrElse(s"processing_time.$ep.bucket.le_inf", -1L) == n,
+        "+Inf bucket must count every observation")
+      val bucketCounts = Seq("0.1", "0.5", "1.0", "2.0", "5.0", "10.0")
+        .map(l => snap.getOrElse(s"processing_time.$ep.bucket.le_$l", -1L))
+      // full bucket vector registered, cumulative (monotone nondecreasing)
+      assert(bucketCounts.forall(_ >= 0L), s"missing buckets: $snap")
+      assert(bucketCounts.sliding(2).forall {
+        case Seq(a, b) => a <= b
+        case _         => true
+      }, s"buckets not cumulative: $bucketCounts")
+      assert(bucketCounts.last <= n)
+    }
+    // MODEL_LOAD_TIME histogram (metrics.py:28-32): one warmup observation
+    assert(snap.getOrElse("model_load_time.count", 0L) >= 1L)
+    assert(snap.getOrElse("model_load_time.bucket.le_inf", 0L) ==
+      snap("model_load_time.count"))
   }
 
   test("decodeUtf8: invalid bytes -> decode_error with reference message; valid bytes round-trip") {
