@@ -2629,6 +2629,61 @@ object SparkEntry {
     "q_try_funcs" -> qTryFuncs
   )
 
+  /** DuckDB SQL fragments replicating the repo's hashing primitives
+    * (graft.util.Hashing) in HUGEINT mod-2^64 arithmetic — the machinery
+    * behind the generated signature oracles (fingerprint_stats pioneered
+    * the pattern; dedup_simhash and ann_lsh build on it). Signed BIGINT
+    * is the canonical value domain; HUGEINT is the escape hatch for
+    * unsigned wrap-around.
+    */
+  private object Duck {
+    val M = "18446744073709551616" // 2^64
+    val H = "9223372036854775808" // 2^63
+    val K0 = "11400714819323198485" // 0x9e3779b97f4a7c15
+    val C2 = "13787848793156543929" // 0xbf58476d1ce4e5b9
+    val C3 = "10723151780598845931" // 0x94d049bb133111eb
+
+    /** signed BIGINT expr -> HUGEINT in [0, 2^64) */
+    def toU(x: String): String =
+      s"(CASE WHEN ($x) < 0 THEN CAST(($x) AS HUGEINT) + $M" +
+        s" ELSE CAST(($x) AS HUGEINT) END)"
+
+    /** HUGEINT in [0, 2^64) -> signed BIGINT */
+    def toS(u: String): String =
+      s"(CAST(CASE WHEN ($u) >= $H THEN ($u) - $M ELSE ($u) END AS BIGINT))"
+
+    /** (a * b) mod 2^64 without HUGEINT overflow: split a at 2^32
+      * (a,b < 2^64 would give a 2^128 product, past HUGEINT's 2^127-1).
+      */
+    def mulmod(a: String, b: String): String =
+      s"((((($a) % 4294967296) * $b) + " +
+        s"((((($a) // 4294967296) * ($b % 4294967296)) % 4294967296)" +
+        s" * 4294967296)) % $M)"
+
+    /** splitmix64 finalizer (Hashing.mix64) over a signed BIGINT expr —
+      * textual expansion, so keep the input expression small.
+      */
+    def mix64(x: String): String = {
+      val x1 = s"((${toU(x)} + $K0) % $M)"
+      val x2 = mulmod(s"xor($x1, $x1 // 1073741824)", C2)
+      val x3 = mulmod(s"xor($x2, $x2 // 134217728)", C3)
+      toS(s"xor($x3, $x3 // 2147483648)")
+    }
+
+    /** FNV-1a 64 over a word (Hashing.fnv) — same list_reduce pattern as
+      * the fingerprint_stats oracle (signed BIGINT result).
+      */
+    def fnv(w: String): String =
+      s"list_reduce(list_prepend(CAST(-3750763034362895579 AS BIGINT), " +
+        s"list_transform(range(1, len($w) + 1), j -> unicode($w[j:j]))), " +
+        s"(acc, c) -> CAST(CASE WHEN (((CAST(xor(acc, c) AS HUGEINT)" +
+        s" * 1099511628211) % $M + $M) % $M) >= $H " +
+        s"THEN (((CAST(xor(acc, c) AS HUGEINT) * 1099511628211)" +
+        s" % $M + $M) % $M) - $M " +
+        s"ELSE (((CAST(xor(acc, c) AS HUGEINT) * 1099511628211)" +
+        s" % $M + $M) % $M) END AS BIGINT))"
+  }
+
   /** DuckDB replica of [[graft.ops.Dedup.simHash]] + brute-force 64-bit
     * hamming — generated (not hand-written) SQL because the splitmix64
     * finalizer must be expanded twice in HUGEINT mod-2^64 arithmetic.
@@ -2640,35 +2695,7 @@ object SparkEntry {
     * unit).
     */
   private lazy val simhashOracleSql: String = {
-    val M = "18446744073709551616" // 2^64
-    val H = "9223372036854775808" // 2^63
-    val K0 = "11400714819323198485" // 0x9e3779b97f4a7c15
-    val C2 = "13787848793156543929" // 0xbf58476d1ce4e5b9
-    val C3 = "10723151780598845931" // 0x94d049bb133111eb
-    // signed BIGINT expr -> HUGEINT in [0, 2^64)
-    def toU(x: String) =
-      s"(CASE WHEN ($x) < 0 THEN CAST(($x) AS HUGEINT) + $M" +
-        s" ELSE CAST(($x) AS HUGEINT) END)"
-    // HUGEINT in [0, 2^64) -> signed BIGINT
-    def toS(u: String) =
-      s"(CAST(CASE WHEN ($u) >= $H THEN ($u) - $M ELSE ($u) END AS BIGINT))"
-    // (a * b) mod 2^64 without HUGEINT overflow: split a at 2^32
-    // (a,b < 2^64 would give a 2^128 product, past HUGEINT's 2^127-1)
-    def mulmod(a: String, b: String) =
-      s"((((($a) % 4294967296) * $b) + " +
-        s"((((($a) // 4294967296) * ($b % 4294967296)) % 4294967296)" +
-        s" * 4294967296)) % $M)"
-    // FNV-1a 64 over a word — same list_reduce pattern as the
-    // fingerprint_stats oracle (signed BIGINT result)
-    def fnv(w: String) =
-      s"list_reduce(list_prepend(CAST(-3750763034362895579 AS BIGINT), " +
-        s"list_transform(range(1, len($w) + 1), j -> unicode($w[j:j]))), " +
-        s"(acc, c) -> CAST(CASE WHEN (((CAST(xor(acc, c) AS HUGEINT)" +
-        s" * 1099511628211) % $M + $M) % $M) >= $H " +
-        s"THEN (((CAST(xor(acc, c) AS HUGEINT) * 1099511628211)" +
-        s" % $M + $M) % $M) - $M " +
-        s"ELSE (((CAST(xor(acc, c) AS HUGEINT) * 1099511628211)" +
-        s" % $M + $M) % $M) END AS BIGINT))"
+    import Duck.{M, H, K0, C2, C3, toU, toS, mulmod, fnv}
     s"""WITH RECURSIVE pw(b, p) AS (
            SELECT 0, CAST(1 AS HUGEINT)
            UNION ALL SELECT b + 1, p * 2 FROM pw WHERE b < 63),
@@ -2719,6 +2746,61 @@ object SparkEntry {
        ORDER BY doc_a, doc_b"""
   }
 
+  /** DuckDB replica of the hyperplane-LSH ANN probe
+    * ([[graft.ops.Dedup.hyperplanes]]/hyperplaneBucket +
+    * [[graft.ops.Similarity.lshTopK]]) — the probe is APPROXIMATE but
+    * fully DETERMINISTIC, so it is oracle-checkable end to end:
+    *   - the plane matrix is a splitmix64 chain from a fixed seed,
+    *     regenerated here by a recursive CTE (one mix64 per (plane, dim)
+    *     step; the float conversion `(h >>> 11)/2^53 - 0.5` then
+    *     CAST AS REAL reproduces the kernel's Float32 values exactly);
+    *   - per-vector dots fold IN DIMENSION ORDER via list_reduce,
+    *     matching the kernel's sequential double accumulation
+    *     bit-for-bit, so every bucket bit agrees;
+    *   - candidates (hamming <= probe bits) are ranked by the same
+    *     round(cosine,4)+id key as the ann_bruteforce oracle.
+    * One oracle shape covers ann_lsh, ann_lsh_indexed and
+    * ann_incremental: the indexed layout and the append path change
+    * WHERE rows live, never the probe's result set.
+    */
+  private lazy val annLshOracleSql: String = {
+    import Duck.{toU, mix64}
+    val (numPlanes, dim, probeHamming, k) = (8, 64, 3, 10)
+    s"""WITH RECURSIVE chain(p, i, h) AS (
+           SELECT p, 0, ${mix64("19088743 + p")}
+           FROM range(0, $numPlanes) t(p)
+           UNION ALL
+           SELECT p, i + 1, ${mix64("h")} FROM chain WHERE i < $dim),
+         planes AS (SELECT p, i - 1 AS dim,
+               CAST(CAST((${toU("h")} // 2048) AS DOUBLE)
+                 / 9007199254740992.0 - 0.5 AS REAL) AS pv
+             FROM chain WHERE i >= 1),
+         pl AS (SELECT p, list(pv ORDER BY dim) AS v FROM planes GROUP BY p),
+         buckets AS (SELECT e.vec_id,
+               CAST(SUM(CASE WHEN list_reduce(
+                     list_transform(range(1, $dim + 1),
+                       i -> CAST(e.embedding[i] AS DOUBLE)
+                            * CAST(pl.v[i] AS DOUBLE)),
+                     (a, b) -> a + b) >= 0
+                   THEN 1 << p ELSE 0 END) AS INTEGER) AS bucket
+             FROM embeddings e, pl GROUP BY e.vec_id),
+         qb AS (SELECT bucket AS qbucket FROM buckets WHERE vec_id = 0),
+         q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+             FROM embeddings WHERE vec_id = 0),
+         cand AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v
+             FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id, qb
+             WHERE bit_count(xor(b.bucket, qb.qbucket)) <= $probeHamming)
+       SELECT vec_id,
+           round(list_dot_product(v, qv) /
+             (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+             4) AS cosine
+       FROM cand, q
+       ORDER BY round(list_dot_product(v, qv) /
+             (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+             4) DESC, vec_id
+       LIMIT $k"""
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for ops whose kernels are not
     * SQL-expressible (sentence split / chunker / embedder) → driver
@@ -2726,6 +2808,9 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "dedup_simhash" -> simhashOracleSql,
+    "ann_lsh" -> annLshOracleSql,
+    "ann_lsh_indexed" -> annLshOracleSql,
+    "ann_incremental" -> annLshOracleSql,
     "q_approx_distinct" ->
       """SELECT l_returnflag,
            COUNT(DISTINCT l_partkey) AS exact_parts,
