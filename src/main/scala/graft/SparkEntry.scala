@@ -2801,6 +2801,61 @@ object SparkEntry {
        LIMIT $k"""
   }
 
+  /** DuckDB replica of the full [[graft.embed.Embedder]] kernel for the
+    * fixed gate query — tokenize (word runs sliced to 4-char subwords,
+    * single non-word chars; whitespace skipped), FNV-1a each piece,
+    * 3 chained splitmix64 features per unigram AND per order-sensitive
+    * bigram seed mix64(prev)^h, signed ±1 votes into 768 dims
+    * (d = h mod 768 unsigned, sign = bit 62), Float32 L2-normalize.
+    * Every step is integer or exactly-representable float math, so the
+    * 768 components hash-match bit-for-bit. (doc_embeddings stays
+    * rows-only: its input chunks come from the BreakIterator sentence
+    * splitter, which has no SQL expression.)
+    */
+  private lazy val queryEmbeddingOracleSql: String = {
+    import Duck.{toU, mix64, fnv}
+    val query = "search_query: judicial opinion concerning equal protection"
+    s"""WITH toks AS (
+           SELECT u.i AS i, u.piece AS w FROM (
+             SELECT list_transform(range(1, len(ps) + 1),
+                 i -> {'i': i, 'piece': ps[i]}) AS l
+             FROM (SELECT flatten(list_transform(
+                 regexp_extract_all('$query',
+                   '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'),
+                 r -> CASE WHEN regexp_matches(r[1:1], '[A-Za-z0-9_]')
+                      THEN list_transform(
+                        range(0, CAST(ceil(len(r) / 4.0) AS INT)),
+                        k -> r[k*4+1 : least((k+1)*4, len(r))])
+                      ELSE [r] END)) AS ps)
+           ) t, unnest(t.l) AS s(u)),
+         th AS (SELECT i, ${fnv("w")} AS h FROM toks),
+         seeds AS (
+           SELECT h AS seed FROM th
+           UNION ALL
+           SELECT xor(${mix64("p.h")}, c.h) AS seed
+           FROM th c JOIN th p ON p.i = c.i - 1),
+         f1 AS (SELECT ${mix64("seed")} AS f FROM seeds),
+         f2 AS (SELECT ${mix64("f")} AS f FROM f1),
+         f3 AS (SELECT ${mix64("f")} AS f FROM f2),
+         feats AS (SELECT f FROM f1 UNION ALL SELECT f FROM f2
+           UNION ALL SELECT f FROM f3),
+         contrib AS (SELECT CAST(${toU("f")} % 768 AS INT) AS d,
+             CASE WHEN (${toU("f")} // 4611686018427387904) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+           FROM feats),
+         counts AS (SELECT r.pos, COALESCE(c.cnt, 0) AS cnt
+           FROM range(0, 768) r(pos)
+           LEFT JOIN (SELECT d, SUM(sgn) AS cnt FROM contrib GROUP BY d) c
+             ON c.d = r.pos),
+         norm AS (SELECT CAST(1.0 / sqrt(
+               SUM(CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE))) AS REAL) AS inv
+           FROM counts)
+       SELECT CAST(pos AS INT) AS pos,
+           CAST(CAST(CAST(cnt AS REAL) * inv AS REAL) AS DOUBLE) AS value
+       FROM counts, norm
+       ORDER BY pos"""
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for ops whose kernels are not
     * SQL-expressible (sentence split / chunker / embedder) → driver
@@ -2811,6 +2866,7 @@ object SparkEntry {
     "ann_lsh" -> annLshOracleSql,
     "ann_lsh_indexed" -> annLshOracleSql,
     "ann_incremental" -> annLshOracleSql,
+    "query_embedding" -> queryEmbeddingOracleSql,
     "q_approx_distinct" ->
       """SELECT l_returnflag,
            COUNT(DISTINCT l_partkey) AS exact_parts,
