@@ -7,13 +7,28 @@ import org.apache.spark.sql.expressions.Aggregator
   * engine — SURVEY.md §2.3 "UDF/UDAF/UDTF").
   *
   * Centroid: element-wise mean of ARRAY<FLOAT> vectors. Buffer is
-  * (running double sums, count) — associative and commutative, so Spark
-  * performs partial aggregation map-side and merges buffers on the
+  * (running FIXED-POINT sums, count) — associative and commutative, so
+  * Spark performs partial aggregation map-side and merges buffers on the
   * reduce side: shuffle volume is O(groups × dim), not O(rows × dim).
+  *
+  * DETERMINISM: components are accumulated as 2^-24-grid fixed-point
+  * longs (`rint(v * 2^24)`; the scale is a power of two, so the product
+  * is an exact double and the rounding is reproducible), NOT as floating
+  * doubles — integer addition is order-free, so the centroid is
+  * BIT-IDENTICAL across partitionings, retries, and cluster layouts.
+  * A double-sum centroid changes in the last ulp with partition order,
+  * which makes an IVF index build non-reproducible (same corpus, two
+  * builds, different list assignments) and un-oracle-able. The grid
+  * quantization error is ≤ 2^-25 per element per row — 5 decimal places
+  * below the 4-dp rounding every consumer applies. Overflow bound:
+  * |v| ≤ V ⇒ safe up to 2^39/V rows per group.
   */
 object VectorAggregates {
 
-  final case class CentroidBuf(sums: Array[Double], n: Long)
+  /** Fixed-point scale: 2^24 (exact as a double multiplier). */
+  val CentroidScale = 16777216.0
+
+  final case class CentroidBuf(sums: Array[Long], n: Long)
 
   /** Element-wise mean aggregator; empty input → empty vector. Vectors of
     * differing lengths contribute up to their own length (missing tail
@@ -23,13 +38,16 @@ object VectorAggregates {
   class Centroid(dim: Int)
       extends Aggregator[Array[Float], CentroidBuf, Array[Float]] {
 
-    override def zero: CentroidBuf = CentroidBuf(new Array[Double](dim), 0L)
+    override def zero: CentroidBuf = CentroidBuf(new Array[Long](dim), 0L)
 
     override def reduce(b: CentroidBuf, v: Array[Float]): CentroidBuf = {
       if (v != null) {
         val n = math.min(dim, v.length)
         var i = 0
-        while (i < n) { b.sums(i) += v(i); i += 1 }
+        while (i < n) {
+          b.sums(i) += math.rint(v(i) * CentroidScale).toLong
+          i += 1
+        }
         CentroidBuf(b.sums, b.n + 1)
       } else b
     }
@@ -45,7 +63,12 @@ object VectorAggregates {
       else {
         val out = new Array[Float](dim)
         var i = 0
-        while (i < dim) { out(i) = (b.sums(i) / b.n).toFloat; i += 1 }
+        while (i < dim) {
+          // (sum / n) / 2^24 — keep this exact operation order: the
+          // oracle replicates it fp-step for fp-step
+          out(i) = ((b.sums(i).toDouble / b.n) / CentroidScale).toFloat
+          i += 1
+        }
         out
       }
 

@@ -341,9 +341,13 @@ object Similarity {
   }
 
   /** Mean vector per list, computed DISTRIBUTED via the Centroid
-    * aggregator (partial element-wise sums map-side; shuffle volume is
-    * O(partitions × nLists × dim)). Only the nLists finished centroid
-    * vectors ever reach the driver — never the corpus.
+    * aggregator (partial element-wise FIXED-POINT sums map-side; shuffle
+    * volume is O(partitions × nLists × dim)). Only the nLists finished
+    * centroid vectors ever reach the driver — never the corpus. The
+    * fixed-point accumulator plus the list-id sort make the whole build
+    * DETERMINISTIC: same corpus → bit-identical centroids and list
+    * assignments on any partitioning (reproducible index builds, and the
+    * reason ann_ivf is oracle-checkable).
     */
   private def refineCentroids(
       assigned: DataFrame, dim: Int): Array[(Int, Array[Float])] = {
@@ -357,6 +361,9 @@ object Similarity {
       .map { case Row(list: Int, c: scala.collection.Seq[_]) =>
         (list, c.asInstanceOf[scala.collection.Seq[Float]].toArray)
       }
+      // collect() order is partition order; assignToCentroids breaks
+      // exact-cosine ties by FIRST-seen, so fix the iteration order
+      .sortBy(_._1)
   }
 
   private def assignToCentroids(
