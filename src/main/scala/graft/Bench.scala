@@ -69,7 +69,10 @@ object Bench {
     // and (b) reps 2..N of the SAME query would replay a cached result
     // instead of the plan. The median then absorbs one-off host/GC
     // stalls that a single run records as the query's cost.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // guarded parse: a non-numeric or <1 value falls back to the default
+    // (reps=0 would make times empty and the median index throw)
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = Seq.fill(reps) {
         spark.catalog.clearCache()

@@ -1447,23 +1447,21 @@ object SparkEntry {
   /** TF-IDF top-3 terms per document — explode → tf/df aggregations →
     * scalar doc count (broadcast) → rank window. Ordering uses the
     * ROUNDED score so FP last-ulp differences can't flip ranks between
-    * engines. The TF table is PERSISTED: df derives from it, but column
-    * pruning specializes the df branch's partial aggregate (dropping the
-    * tf count), which defeats AQE exchange reuse and would re-explode
-    * the whole corpus — the cache pins the expensive explode+aggregate
-    * to exactly one execution. (At 100 TB you'd write the TF table out —
-    * it is the materialization every IR stack keeps anyway.) n_docs
-    * stays a count-star over the raw table: deriving it from tf would
-    * silently drop zero-token documents, and a count-star scan reads
-    * only parquet footers.
+    * engines. The TF table is WRITTEN TO PARQUET and read back: df
+    * derives from it, but column pruning specializes the df branch's
+    * partial aggregate (dropping the tf count), which defeats AQE
+    * exchange reuse and would re-explode the whole corpus. A written
+    * table (the materialization every IR stack keeps at 100 TB anyway)
+    * pins the expensive explode+aggregate to exactly one execution
+    * WITHOUT tying the query's latency to executor storage pressure the
+    * way a session-lifetime persist() does — the r3/r4 driver runs saw
+    * this query 5-12× its isolated cost purely from accumulated cache.
+    * n_docs stays a count-star over the raw table: deriving it from tf
+    * would silently drop zero-token documents, and a count-star scan
+    * reads only parquet footers.
     */
   private def qTfidf(s: SparkSession, dir: String): DataFrame = {
-    val words = tbl(s, dir, "documents")
-      .select(col("doc_id"),
-        explode(split(lower(col("text")), "[^a-zA-Z0-9_]+")).as("word"))
-      .filter(col("word") =!= "")
-    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-      .persist()
+    val tf = writtenTfTable(s, dir)
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val ndocs = tbl(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id")
@@ -1476,6 +1474,32 @@ object SparkEntry {
       .filter(col("rk") <= 3)
       .select(col("doc_id"), col("rk"), col("word"), col("tfidf"))
       .orderBy("doc_id", "rk")
+  }
+
+  /** The (doc_id, word, tf) term-frequency table, MATERIALIZED to parquet
+    * and read back — the shared input of qTfidf/qBm25. Each consumer
+    * reads it several times (tf/df/doclen branches), and column pruning
+    * specializes each branch's partial aggregate, so exchange reuse alone
+    * would re-explode the corpus once per branch. A written table (what a
+    * 100 TB deployment keeps anyway — the IR-stack materialization) pins
+    * the explode+aggregate to one execution per call WITHOUT session-
+    * lifetime executor storage: an in-session persist() here made the
+    * query's timing degrade 5-12× under whole-suite cache pressure in the
+    * r3/r4 driver runs. Scratch root: `spark.graft.scratch` when set (a
+    * shared-FS path on a real cluster); java.io.tmpdir covers local mode.
+    */
+  private def writtenTfTable(s: SparkSession, dir: String): DataFrame = {
+    val scratch = s.conf.getOption("spark.graft.scratch")
+      .getOrElse(sys.props("java.io.tmpdir"))
+    val tfPath = new java.io.File(
+      scratch, s"graft_tf_${Integer.toHexString(dir.hashCode)}").getPath
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-zA-Z0-9_]+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .write.mode("overwrite").parquet(tfPath)
+    s.read.parquet(tfPath)
   }
 
   /** Batch interval join — the batch twin of the stream-stream interval
@@ -1728,21 +1752,17 @@ object SparkEntry {
 
   /** BM25 (k1=1.2, b=0.75) top-3 terms per document — the retrieval-
     * grade sibling of q_tfidf. tf/df/doclen/avgdl all derive from the
-    * PERSISTED tf table (column pruning specializes each consumer's
-    * partial aggregate, so exchange reuse alone would re-explode the
-    * corpus once per consumer — the cache pins the explode+aggregate to
-    * one execution; see q_tfidf). Ranks order by the ROUNDED score so
-    * libm ulp differences cannot flip rows.
+    * WRITTEN tf table ([[writtenTfTable]] — column pruning specializes
+    * each consumer's partial aggregate, so exchange reuse alone would
+    * re-explode the corpus once per consumer; the written table pins the
+    * explode+aggregate to one execution without session-lifetime cache
+    * pressure). Ranks order by the ROUNDED score so libm ulp differences
+    * cannot flip rows.
     */
   private def qBm25(s: SparkSession, dir: String): DataFrame = {
     val k1 = 1.2
     val b = 0.75
-    val words = tbl(s, dir, "documents")
-      .select(col("doc_id"),
-        explode(split(lower(col("text")), "[^a-zA-Z0-9_]+")).as("word"))
-      .filter(col("word") =!= "")
-    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-      .persist()
+    val tf = writtenTfTable(s, dir)
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val ndocs = tbl(s, dir, "documents").agg(count(lit(1)).as("n_docs"))

@@ -46,27 +46,6 @@ class Metrics(sc: SparkContext) extends Serializable {
   def modelLoadTimeMs: LongAccumulator =
     get("model_load_time_ms")
 
-  /** Executor-serializable Prometheus-style histogram handle: CUMULATIVE
-    * `le` buckets plus sum and count, all LongAccumulators. `observe`
-    * touches EVERY bucket (adding 0 where the value is over the bound) so
-    * the full bucket vector is registered and present in [[snapshot]]
-    * from the first observation, like a Prometheus exposition.
-    */
-  final class Histogram private[Metrics] (
-      sum: LongAccumulator,
-      count: LongAccumulator,
-      buckets: Seq[(Long, LongAccumulator)],
-      inf: LongAccumulator) extends Serializable {
-    def observe(ms: Long): Unit = {
-      sum.add(ms)
-      count.add(1L)
-      buckets.foreach { case (boundMs, a) =>
-        a.add(if (ms <= boundMs) 1L else 0L)
-      }
-      inf.add(1L)
-    }
-  }
-
   /** PROCESSING_TIME bucket bounds — the reference's request-latency
     * envelope, seconds → ms (inception/metrics.py:9-14).
     */
@@ -81,8 +60,8 @@ class Metrics(sc: SparkContext) extends Serializable {
 
   private def histogram(
       prefix: String, bounds: Seq[(Long, String)],
-      sum: LongAccumulator): Histogram =
-    new Histogram(
+      sum: LongAccumulator): Metrics.Histogram =
+    new Metrics.Histogram(
       sum,
       get(s"$prefix.count"),
       bounds.map { case (ms, label) =>
@@ -93,17 +72,46 @@ class Metrics(sc: SparkContext) extends Serializable {
   /** The reference's PROCESSING_TIME histogram per endpoint; the plain
     * [[processingTimeMs]] accumulator doubles as its `_sum` (in ms).
     */
-  def processingTimeHistogram(endpoint: String): Histogram =
+  def processingTimeHistogram(endpoint: String): Metrics.Histogram =
     histogram(s"processing_time.$endpoint", ProcessingTimeBuckets,
       processingTimeMs(endpoint))
 
   /** The reference's MODEL_LOAD_TIME histogram (no endpoint label). */
-  def modelLoadHistogram: Histogram =
+  def modelLoadHistogram: Metrics.Histogram =
     histogram("model_load_time", ModelLoadBuckets, modelLoadTimeMs)
 
   /** Snapshot for `/metrics`-style inspection (monitoring.py:30-35). */
   def snapshot: Map[String, Long] = {
     import scala.jdk.CollectionConverters._
     acc.asScala.map { case (k, v) => k -> v.value.toLong }.toMap
+  }
+}
+
+object Metrics {
+  /** Executor-serializable Prometheus-style histogram handle: CUMULATIVE
+    * `le` buckets plus sum and count, all LongAccumulators. `observe`
+    * touches EVERY bucket (adding 0 where the value is over the bound) so
+    * the full bucket vector is registered and present in [[Metrics.snapshot]]
+    * from the first observation, like a Prometheus exposition.
+    *
+    * Deliberately a TOP-LEVEL class holding only accumulators: as an inner
+    * class of [[Metrics]] a retained `$outer` pointer could drag the
+    * non-serializable SparkContext into task closures the moment any inner
+    * code touched an outer member — this shape makes that regression
+    * impossible by construction.
+    */
+  final class Histogram private[engine] (
+      sum: LongAccumulator,
+      count: LongAccumulator,
+      buckets: Seq[(Long, LongAccumulator)],
+      inf: LongAccumulator) extends Serializable {
+    def observe(ms: Long): Unit = {
+      sum.add(ms)
+      count.add(1L)
+      buckets.foreach { case (boundMs, a) =>
+        a.add(if (ms <= boundMs) 1L else 0L)
+      }
+      inf.add(1L)
+    }
   }
 }

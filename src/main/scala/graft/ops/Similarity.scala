@@ -270,6 +270,7 @@ object Similarity {
     centroids.toSeq.toDF("list_id", "c")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_centroids.parquet")
+    centroidCache.put(path, centroids)
     centroids
   }
 
@@ -286,6 +287,20 @@ object Similarity {
           r.getAs[scala.collection.Seq[Float]]("c").toArray)
       }
       .sortBy(_._1)
+
+  /** Per-JVM centroid cache so a hot probe path ([[ivfTopKIndexed]]) is
+    * not a driver-side Spark job per query. Coherent by construction:
+    * [[writeIvfIndex]] replaces the entry for its path, and an index is
+    * immutable between builds ([[appendToIvfIndex]] never moves
+    * centroids). First probe of a path in a fresh JVM reads through.
+    */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Array[Float])]]()
+
+  private def cachedIvfCentroids(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[(Int, Array[Float])] =
+    centroidCache.computeIfAbsent(path, p => readIvfCentroids(spark, p))
 
   /** Append an ingest batch into an existing [[writeIvfIndex]] layout:
     * new vectors are assigned to the index's OWN persisted (frozen)
@@ -329,7 +344,7 @@ object Similarity {
       nProbe: Int = 4
   ): DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
-    val centroids = readIvfCentroids(spark, indexPath)
+    val centroids = cachedIvfCentroids(spark, indexPath)
     val qLists = nearestLists(query, centroids, nProbe)
     spark.read.parquet(indexPath)
       .filter(col("list_id").isin(qLists: _*))
@@ -416,11 +431,15 @@ object Similarity {
       .withColumn("cosine",
         graft.functions.CosineSimilarity.cosine(col("cv"), col("qv")))
       .withColumn("pid", spark_partition_id())
+    // rank on the ROUNDED cosine + id like every other ranking surface
+    // (lshTopK, ivfTopK, q_knn_eval): last-ulp FP differences across
+    // engines/partitionings must never flip which rows make the top-k
     val wLocal = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id", "pid")
-      .orderBy(col("cosine").desc, col("corpus_id"))
+      .orderBy(round(col("cosine"), 4).desc, col("corpus_id"))
     val wGlobal = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
+      .partitionBy("query_id")
+      .orderBy(round(col("cosine"), 4).desc, col("corpus_id"))
     joined
       .withColumn("lr", row_number().over(wLocal))
       .filter(col("lr") <= k)

@@ -20,10 +20,15 @@ import java.util.Locale
   * sentences vs punkt's 8 — two spurious boundaries, both at "v."
   * citations (boundary precision 7/9, recall 7/7). With the suppression
   * pass both spurious boundaries merge: 8/8 sentences, boundary
-  * precision = recall = 1.0 (asserted in GoldenFixtureSpec). Residual
+  * precision = recall = 1.0 (asserted in GoldenFixtureSpec). Single-letter
+  * suppression is position-aware like punkt's initial heuristic: lowercase
+  * particles ("v.", "p.") always merge; an uppercase single letter merges
+  * only in name position (preceded by a capitalized token — "John F.
+  * Kennedy"), so "…vitamin C. The court…" keeps its break. Residual
   * divergence (SURVEY.md §7.4.3): punkt may RE-INTRODUCE a break after a
-  * known abbreviation when the following token is a frequent sentence
-  * starter; this pass never does. No such case exists in the fixture.
+  * known multi-letter abbreviation when the following token is a frequent
+  * sentence starter; this pass never does. No such case exists in the
+  * fixture.
   *
   * Pure function; the Spark UDF wrapper lives in InceptionEngine. No
   * network/retry logic is needed (the reference's retry handles NLTK
@@ -57,11 +62,33 @@ object SentenceSplitter {
         // "schools." must not match via its tail
         val at = m.start(1)
         val standalone = at == 0 || !Character.isLetter(s.charAt(at - 1))
-        standalone &&
-          (tok.length == 1 || Abbreviations.contains(
-            tok.toLowerCase(Locale.ROOT)))
+        if (!standalone) false
+        else if (tok.length > 1)
+          Abbreviations.contains(tok.toLowerCase(Locale.ROOT))
+        else if (Character.isLowerCase(tok.charAt(0)))
+          true // citation/page particles: "v.", "p.", "n." never end a sentence
+        else
+          // an UPPERCASE single letter is an initial only in name position —
+          // following a capitalized token ("John F. Kennedy", "Brown B. Smith").
+          // After a lowercase word ("...vitamin C.") punkt's sentence-starter
+          // heuristic re-breaks; so do we.
+          prevWordIsCapitalized(s, at)
       case None => false
     }
+
+  /** Whether the word token immediately before position `at` (skipping
+    * intervening non-alphanumerics) starts with an uppercase letter.
+    */
+  private def prevWordIsCapitalized(s: CharSequence, at: Int): Boolean = {
+    var i = at - 1
+    while (i >= 0 && !Character.isLetterOrDigit(s.charAt(i))) i -= 1
+    if (i < 0) false
+    else {
+      var j = i
+      while (j >= 0 && Character.isLetterOrDigit(s.charAt(j))) j -= 1
+      Character.isUpperCase(s.charAt(j + 1))
+    }
+  }
 
   /** Split into trimmed, non-empty sentences. BreakIterator spans cover the
     * whole input and merging only coalesces ADJACENT spans, so only
