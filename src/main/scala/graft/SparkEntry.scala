@@ -146,7 +146,48 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_chunks"))
       .orderBy("doc_id")
 
-  /** O8+O10 embeddings, long format; first 4 components for stability. */
+  /** O4+O6 with the GREEDY PACKING + OVERLAP branches actually firing.
+    *
+    * The synthetic corpus is lowercase words + single spaces with no
+    * sentence terminators, so on the raw `documents` table every doc is
+    * one sentence and the chunker's packing loop degenerates to a single
+    * chunk (see [[qSentenceChunks]]). This query CONSTRUCTS multi-sentence
+    * prose from the same corpus with expressions that exist verbatim in
+    * both engines — 8-word groups, first word capitalized, a fixed
+    * non-abbreviation terminator word before the period, so
+    * BreakIterator's UAX#29 rules (break only at terminator + space +
+    * uppercase) and the punkt-style merge pass (the last token "end" is
+    * multi-letter and not in the abbreviation inventory) recover EXACTLY
+    * the constructed sentence list — then runs the REAL engine chunker at
+    * maxTokens=48 / 2 overlap sentences (out-of-range ratio on purpose;
+    * the reference's own tests chunk at max_tokens=15,
+    * tests/test_embedding_service.py:330-345). ~3-4 sentences per chunk,
+    * 3-6 chunks per doc: the overlap-carry, overlap-overflow-reset and
+    * flush branches (reference embedding_service.py:116-149) all execute,
+    * and the DuckDB oracle replays the whole fold as a recursive CTE over
+    * the per-sentence token costs.
+    */
+  private def qChunkPacking(s: SparkSession, dir: String): DataFrame = {
+    val eng = new InceptionEngine(
+      EngineConfig.default.copy(maxTokens = 48, overlapRatio = 0.05))
+    val docs = tbl(s, dir, "documents")
+      .withColumn("ws", expr("filter(split(text, ' '), w -> w <> '')"))
+      .filter(size(col("ws")) >= 1)
+      .withColumn("text2", expr(
+        """concat_ws(' ', transform(sequence(0, (size(ws) - 1) div 8),
+             g -> concat(
+               upper(substring(array_join(slice(ws, g * 8 + 1, 8), ' '), 1, 1)),
+               substring(array_join(slice(ws, g * 8 + 1, 8), ' '), 2),
+               ' end.')))"""))
+    eng.chunkDocuments(docs, "doc_id", "text2")
+      .orderBy("doc_id", "chunk_number")
+  }
+
+  /** O8+O10 embeddings, long format; first 4 components EXACT (the kernel
+    * is bit-deterministic — splitmix64 feature hashing + Float32
+    * normalize — so the DuckDB oracle replays it bit-for-bit per document;
+    * rounding would only mask a kernel drift, never fix a real one).
+    */
   private def qDocEmbeddings(s: SparkSession, dir: String): DataFrame =
     engineFor(s)
       .embedDocumentsExploded(tbl(s, dir, "documents"))
@@ -154,10 +195,10 @@ object SparkEntry {
       .select(
         col("doc_id"),
         col("chunk_number"),
-        round(col("embedding")(0).cast("double"), 5).as("e0"),
-        round(col("embedding")(1).cast("double"), 5).as("e1"),
-        round(col("embedding")(2).cast("double"), 5).as("e2"),
-        round(col("embedding")(3).cast("double"), 5).as("e3"))
+        col("embedding")(0).cast("double").as("e0"),
+        col("embedding")(1).cast("double").as("e1"),
+        col("embedding")(2).cast("double").as("e2"),
+        col("embedding")(3).cast("double").as("e3"))
       .orderBy("doc_id", "chunk_number")
 
   /** O7 query embedding (embedding_service.py:152-165), one row per dim. */
@@ -2524,6 +2565,7 @@ object SparkEntry {
     "sentence_stats" -> qSentenceStats,
     "sentence_chunks" -> qSentenceChunks,
     "chunk_counts" -> qChunkCounts,
+    "chunk_packing" -> qChunkPacking,
     "doc_embeddings" -> qDocEmbeddings,
     "query_embedding" -> qQueryEmbedding,
     "q1_agg" -> qQ1Agg,
@@ -2821,6 +2863,159 @@ object SparkEntry {
        LIMIT $k"""
   }
 
+  /** DuckDB replica of the incremental MinHash probe
+    * ([[graft.ops.Dedup.writeMinhashIndex]] + probeMinhashIndex): corpus =
+    * docs up to the 90th-percentile id cut (the gate's split), batch = the
+    * rest; signatures are replayed bit-for-bit — word trigram hashes as a
+    * 3-step chained `mix64(h ^ fnv(word))` fold off the FNV-1a offset
+    * basis, then 64 seeded min-hashes `min over shingles of
+    * mix64(sh ^ (K*(s+1)))` in HUGEINT mod-2^64 arithmetic — and every
+    * batch×corpus pair is scored brute-force: est = equal components / 64
+    * (exact k/64 binary fractions, so the 0.5 threshold and round(…,6)
+    * are engine-independent). A pair additionally requires ≥1 fully-equal
+    * 4-component band — the LSH banding's exact recall condition (the
+    * probe can only see a pair through a shared band bucket); the 64-doc
+    * bucket cap cannot evict on this corpus (no 65 near-identical docs
+    * share a band slice). Murmur bucket collisions between UNEQUAL band
+    * slices could only add candidates, which the est filter then re-tests.
+    */
+  private lazy val dedupIncrementalOracleSql: String = {
+    import Duck.{M, toS, mix64, fnv}
+    s"""WITH cut AS (SELECT (MAX(doc_id) * 9) // 10 AS c FROM documents),
+         w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+               '[^a-zA-Z0-9_]+'), x -> x <> '') AS ws
+             FROM documents),
+         tri AS (SELECT doc_id, u.i AS i,
+               ws[u.i] AS w1, ws[u.i + 1] AS w2, ws[u.i + 2] AS w3
+             FROM w, unnest(list_transform(range(1, len(ws) - 1),
+               i -> {'i': i})) t(u)
+             WHERE len(ws) >= 3),
+         f AS (SELECT doc_id, i, ${fnv("w1")} AS f1, ${fnv("w2")} AS f2,
+               ${fnv("w3")} AS f3 FROM tri),
+         t1 AS (SELECT doc_id, i, f2, f3,
+               ${mix64("xor(CAST(-3750763034362895579 AS BIGINT), f1)")} AS h
+             FROM f),
+         t2 AS (SELECT doc_id, i, f3, ${mix64("xor(h, f2)")} AS h FROM t1),
+         t3 AS (SELECT doc_id, i, ${mix64("xor(h, f3)")} AS h FROM t2),
+         small AS (SELECT doc_id,
+               ${fnv("array_to_string(ws, ' ')")} AS h
+             FROM w WHERE len(ws) >= 1 AND len(ws) < 3),
+         shg AS (SELECT DISTINCT doc_id, h FROM t3
+           UNION SELECT DISTINCT doc_id, h FROM small),
+         seeds AS (SELECT CAST(s AS INT) AS s,
+               ${toS(s"(CAST(6364136223846793005 AS HUGEINT) * (s + 1)) % $M")}
+                 AS sd
+             FROM range(0, 64) r(s)),
+         sv AS (SELECT doc_id, s, ${mix64("xor(h, sd)")} AS v
+             FROM shg, seeds),
+         sig AS (SELECT doc_id, s, MIN(v) AS m FROM sv GROUP BY doc_id, s),
+         perband AS (SELECT o.doc_id AS old_id, n.doc_id AS new_id,
+               o.s // 4 AS band,
+               SUM(CASE WHEN o.m = n.m THEN 1 ELSE 0 END) AS beq
+             FROM sig o JOIN sig n ON o.s = n.s CROSS JOIN cut
+             WHERE o.doc_id <= cut.c AND n.doc_id > cut.c
+             GROUP BY old_id, new_id, band),
+         agg AS (SELECT old_id, new_id, SUM(beq) AS eq,
+               MAX(CASE WHEN beq = 4 THEN 1 ELSE 0 END) AS hasband
+             FROM perband GROUP BY old_id, new_id)
+       SELECT old_id, new_id,
+           round(CAST(eq AS DOUBLE) / 64, 6) AS est_jaccard
+       FROM agg
+       WHERE CAST(eq AS DOUBLE) / 64 >= 0.5 AND hasband = 1
+       ORDER BY old_id, new_id"""
+  }
+
+  /** DuckDB replica of the IVF ANN probe ([[graft.ops.Similarity.ivfTopK]]
+    * / ivfTopKIndexed) — approximate but fully DETERMINISTIC by
+    * construction (the builder's own contract: fixed-point Centroid
+    * accumulation + list-id-sorted iteration, Similarity.scala), so the
+    * whole build+probe replays in SQL:
+    *   - init assignment: the 3-plane splitmix64 hyperplane chain (the
+    *     ann_lsh oracle's recursive CTE) with dim-order double folds;
+    *   - centroids: per-(list, dim) sums of `rint(v * 2^24)` — rint is
+    *     HALF-EVEN, hand-expanded below since DuckDB round() is
+    *     half-away-from-zero — then `(sum / n) / 2^24` cast to Float32,
+    *     the Centroid aggregator's exact finish order;
+    *   - refinement assignment + probe-list ranking: Embedder.cosine's
+    *     `dot / sqrt(na * nb)` (NOT sqrt(na)*sqrt(nb) — that is the
+    *     scoring expression's formulation, used only in the final rank),
+    *     argmax keeping the LOWEST list id on ties like the first-seen
+    *     `>` scan;
+    *   - final: scan the 3 probe lists, rank by round(cosine,4)+id.
+    * One oracle covers ann_ivf and ann_ivf_indexed: the persisted layout
+    * changes where rows live, never the result set.
+    */
+  private lazy val annIvfOracleSql: String = {
+    import Duck.{toU, mix64}
+    val (numPlanes, dim, nProbe, k) = (3, 64, 3, 10)
+    // java.lang.Math.rint over a DOUBLE expr (half-to-even)
+    def rint(x: String): String =
+      s"(CASE WHEN ($x) - floor($x) > 0.5 THEN floor($x) + 1" +
+        s" WHEN ($x) - floor($x) < 0.5 THEN floor($x)" +
+        s" WHEN CAST(floor($x) AS BIGINT) % 2 = 0 THEN floor($x)" +
+        s" ELSE floor($x) + 1 END)"
+    // dim-order sequential double fold of an elementwise product
+    def fold(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1, $dim + 1), " +
+        s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), " +
+        "(x, y) -> x + y)"
+    s"""WITH RECURSIVE chain(p, i, h) AS (
+           SELECT p, 0, ${mix64("19088743 + p")}
+           FROM range(0, $numPlanes) t(p)
+           UNION ALL
+           SELECT p, i + 1, ${mix64("h")} FROM chain WHERE i < $dim),
+         planes AS (SELECT p, i - 1 AS dim,
+               CAST(CAST((${toU("h")} // 2048) AS DOUBLE)
+                 / 9007199254740992.0 - 0.5 AS REAL) AS pv
+             FROM chain WHERE i >= 1),
+         pl AS (SELECT p, list(pv ORDER BY dim) AS v FROM planes GROUP BY p),
+         init AS (SELECT e.vec_id,
+               CAST(SUM(CASE WHEN ${fold("e.embedding", "pl.v")} >= 0
+                   THEN 1 << p ELSE 0 END) AS INTEGER) AS list0
+             FROM embeddings e, pl GROUP BY e.vec_id),
+         rsum AS (SELECT b.list0 AS list_id, d.i AS dim,
+               SUM(CAST(${rint(s"CAST(e.embedding[d.i] AS DOUBLE) * 16777216.0")}
+                 AS BIGINT)) AS s,
+               COUNT(*) AS n
+             FROM embeddings e
+             JOIN init b USING (vec_id),
+             range(1, $dim + 1) d(i)
+             GROUP BY b.list0, d.i),
+         cl AS (SELECT list_id,
+               list(CAST((CAST(s AS DOUBLE) / n) / 16777216.0 AS REAL)
+                 ORDER BY dim) AS c
+             FROM rsum GROUP BY list_id),
+         scores AS (SELECT e.vec_id, cl.list_id,
+               CASE WHEN ${fold("e.embedding", "e.embedding")} = 0
+                      OR ${fold("cl.c", "cl.c")} = 0 THEN 0.0
+                    ELSE ${fold("e.embedding", "cl.c")}
+                      / sqrt(${fold("e.embedding", "e.embedding")}
+                        * ${fold("cl.c", "cl.c")}) END AS cos
+             FROM embeddings e, cl),
+         assign AS (SELECT vec_id, list_id FROM (
+             SELECT vec_id, list_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cos DESC, list_id) AS rn
+             FROM scores) WHERE rn = 1),
+         qlists AS (SELECT list_id FROM scores WHERE vec_id = 0
+           ORDER BY cos DESC, list_id LIMIT $nProbe),
+         q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+             FROM embeddings WHERE vec_id = 0),
+         cand AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v
+             FROM embeddings e
+             JOIN assign a USING (vec_id)
+             JOIN qlists ql ON a.list_id = ql.list_id)
+       SELECT vec_id,
+           round(list_dot_product(v, qv) /
+             (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+             4) AS cosine
+       FROM cand, q
+       ORDER BY round(list_dot_product(v, qv) /
+             (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+             4) DESC, vec_id
+       LIMIT $k"""
+  }
+
   /** DuckDB replica of the full [[graft.embed.Embedder]] kernel for the
     * fixed gate query — tokenize (word runs sliced to 4-char subwords,
     * single non-word chars; whitespace skipped), FNV-1a each piece,
@@ -2876,16 +3071,193 @@ object SparkEntry {
        ORDER BY pos"""
   }
 
+  /** DuckDB fragment: SimpleTokenizer.encode piece list (whitespace-free
+    * pieces — word runs sliced into 4-char subwords, single non-word
+    * chars) of a text expression. Shared by every chunker/embedding
+    * oracle; identical to the inline extraction the query_embedding
+    * oracle pioneered.
+    */
+  private def duckPieces(t: String): String =
+    s"""flatten(list_transform(
+         regexp_extract_all($t, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'),
+         r -> CASE WHEN regexp_matches(r[1:1], '[A-Za-z0-9_]')
+              THEN list_transform(range(0, CAST(ceil(len(r) / 4.0) AS INT)),
+                k -> r[k*4+1 : least((k+1)*4, len(r))])
+              ELSE [r] END))"""
+
+  /** The sentence-split/chunker oracles below rely on a PROPERTY OF THE
+    * CORPUS, verified mechanically against all three SF dirs: document
+    * text is strictly lowercase words and single spaces ([a-z ]+, no
+    * leading/trailing/double spaces, no empties, max 158 BPE-ish tokens).
+    * Under UAX#29 (java.text.BreakIterator, which suppresses a sentence
+    * break when the character run after a terminator starts lowercase —
+    * and with no [.!?] present at all) every document is EXACTLY ONE
+    * sentence, and with leadLen(7) + 158 well under maxTokens=512 the
+    * chunker's single-sentence fold emits EXACTLY ONE untruncated chunk
+    * `'search_document: ' || text`. The packing/overlap/flush branches are
+    * oracle-exercised separately on constructed multi-sentence text by
+    * chunk_packing.
+    */
+  private lazy val sentenceStatsOracleSql: String =
+    """SELECT doc_id,
+         CAST(len(list_filter(regexp_extract_all(text, '[^.!?]+[.!?]*'),
+           s -> trim(s) <> '')) AS INTEGER) AS n_sentences
+       FROM documents ORDER BY doc_id"""
+
+  private lazy val sentenceChunksOracleSql: String =
+    """SELECT doc_id, CAST(1 AS INTEGER) AS chunk_number,
+         'search_document: ' || trim(text) AS chunk
+       FROM documents WHERE trim(text) <> ''
+       ORDER BY doc_id, chunk_number"""
+
+  private lazy val chunkCountsOracleSql: String =
+    """SELECT doc_id, CAST(1 AS BIGINT) AS n_chunks
+       FROM documents WHERE trim(text) <> ''
+       ORDER BY doc_id"""
+
+  /** DuckDB replica of the FLAGSHIP end-to-end path (validate → sentence
+    * split → chunk → [[graft.embed.Embedder]] per chunk): the kernel
+    * replay is the query_embedding oracle's, applied per document to the
+    * single chunk `'search_document: ' || text` (see the corpus-property
+    * note above), with the per-doc Float32 L2 norm over all 768 dims and
+    * the first four components emitted bit-for-bit.
+    */
+  private lazy val docEmbeddingsOracleSql: String = {
+    import Duck.{toU, mix64, fnv}
+    s"""WITH d AS (
+           SELECT doc_id, 'search_document: ' || trim(text) AS c
+           FROM documents WHERE trim(text) <> ''),
+         toks AS (SELECT doc_id, u.i AS i, u.piece AS w FROM (
+             SELECT doc_id, list_transform(range(1, len(ps) + 1),
+                 i -> {'i': i, 'piece': ps[i]}) AS l
+             FROM (SELECT doc_id, ${duckPieces("c")} AS ps FROM d)
+           ) t, unnest(t.l) AS s(u)),
+         th AS (SELECT doc_id, i, ${fnv("w")} AS h FROM toks),
+         seeds AS (
+           SELECT doc_id, h AS seed FROM th
+           UNION ALL
+           SELECT c.doc_id, xor(${mix64("p.h")}, c.h) AS seed
+           FROM th c JOIN th p ON p.doc_id = c.doc_id AND p.i = c.i - 1),
+         f1 AS (SELECT doc_id, ${mix64("seed")} AS f FROM seeds),
+         f2 AS (SELECT doc_id, ${mix64("f")} AS f FROM f1),
+         f3 AS (SELECT doc_id, ${mix64("f")} AS f FROM f2),
+         feats AS (SELECT doc_id, f FROM f1
+           UNION ALL SELECT doc_id, f FROM f2
+           UNION ALL SELECT doc_id, f FROM f3),
+         contrib AS (SELECT doc_id, CAST(${toU("f")} % 768 AS INT) AS dd,
+             CASE WHEN (${toU("f")} // 4611686018427387904) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+           FROM feats),
+         sums AS (SELECT doc_id, dd, SUM(sgn) AS cnt
+           FROM contrib GROUP BY doc_id, dd),
+         norm AS (SELECT doc_id, CAST(1.0 / sqrt(
+               SUM(CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE))) AS REAL) AS inv
+           FROM sums GROUP BY doc_id),
+         vals AS (SELECT d.doc_id, r.pos,
+             CAST(CAST(CAST(COALESCE(s.cnt, 0) AS REAL) * n.inv AS REAL)
+               AS DOUBLE) AS v
+           FROM d
+           JOIN norm n USING (doc_id)
+           CROSS JOIN range(0, 4) r(pos)
+           LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.dd = r.pos)
+       SELECT doc_id, CAST(1 AS INTEGER) AS chunk_number,
+         MAX(CASE WHEN pos = 0 THEN v END) AS e0,
+         MAX(CASE WHEN pos = 1 THEN v END) AS e1,
+         MAX(CASE WHEN pos = 2 THEN v END) AS e2,
+         MAX(CASE WHEN pos = 3 THEN v END) AS e3
+       FROM vals GROUP BY doc_id
+       ORDER BY doc_id, chunk_number"""
+  }
+
+  /** DuckDB replica of [[graft.text.Chunker.splitSentences]] — the greedy
+    * packing fold (reference embedding_service.py:116-149) as a recursive
+    * CTE over per-sentence token costs, against the same constructed
+    * multi-sentence text as [[qChunkPacking]]. State per (doc, step):
+    * current chunk's sentences + their costs (parallel lists), the
+    * running budget, and the emitted chunks. The overlap re-encode
+    * (reference lines 124-126) is the cost sum — SimpleTokenizer counts
+    * are additive over single-space joins by construction. Token costs
+    * come from the SAME piece extraction as the embedding oracles, so a
+    * cost-model drift would break both, loudly.
+    */
+  private lazy val chunkPackingOracleSql: String = {
+    val (maxTokens, overlap, leadLen) = (48, 2, 7)
+    // takeRight(overlap) over the parallel sentence/cost lists
+    def tail(l: String) =
+      s"$l[greatest(len($l) - ${overlap - 1}, 1):len($l)]"
+    val ocost = s"COALESCE(list_sum(${tail("r.curc")}), 0)"
+    s"""WITH RECURSIVE d AS (
+           SELECT doc_id, list_filter(string_split(text, ' '),
+             w -> w <> '') AS ws
+           FROM documents),
+         d2 AS (SELECT doc_id, ws FROM d WHERE len(ws) >= 1),
+         sent AS (
+           SELECT doc_id, g + 1 AS i,
+             upper(j[1:1]) || j[2:] || ' end.' AS s
+           FROM (SELECT doc_id, g,
+               array_to_string(ws[g*8+1:g*8+8], ' ') AS j
+             FROM d2, unnest(range(0, (len(ws) - 1) // 8 + 1)) t(g))),
+         sc AS (SELECT doc_id, i, s,
+             CAST(len(${duckPieces("s")}) AS INT) AS c
+           FROM sent),
+         nsent AS (SELECT doc_id, MAX(i) AS n FROM sc GROUP BY doc_id),
+         rec(doc_id, i, curs, curc, cnt, chunks) AS (
+           SELECT doc_id, 0, CAST([] AS TEXT[]), CAST([] AS INT[]),
+             $leadLen, CAST([] AS TEXT[])
+           FROM nsent
+           UNION ALL
+           SELECT r.doc_id, r.i + 1,
+             CASE WHEN r.cnt + s.c <= $maxTokens
+                    THEN list_append(r.curs, s.s)
+                  WHEN $leadLen + $ocost + s.c <= $maxTokens
+                    THEN list_append(${tail("r.curs")}, s.s)
+                  ELSE [s.s] END,
+             CASE WHEN r.cnt + s.c <= $maxTokens
+                    THEN list_append(r.curc, s.c)
+                  WHEN $leadLen + $ocost + s.c <= $maxTokens
+                    THEN list_append(${tail("r.curc")}, s.c)
+                  ELSE [s.c] END,
+             CASE WHEN r.cnt + s.c <= $maxTokens THEN r.cnt + s.c
+                  WHEN $leadLen + $ocost + s.c <= $maxTokens
+                    THEN $leadLen + $ocost + s.c
+                  ELSE $leadLen + s.c END,
+             CASE WHEN r.cnt + s.c <= $maxTokens THEN r.chunks
+                  ELSE list_append(r.chunks,
+                    array_to_string(r.curs, ' ')) END
+           FROM rec r JOIN sc s
+             ON s.doc_id = r.doc_id AND s.i = r.i + 1),
+         fin AS (
+           SELECT r.doc_id,
+             CASE WHEN len(r.curs) > 0
+                  THEN list_append(r.chunks, array_to_string(r.curs, ' '))
+                  ELSE r.chunks END AS chunks
+           FROM rec r JOIN nsent n
+             ON n.doc_id = r.doc_id AND r.i = n.n)
+       SELECT doc_id, CAST(u.i AS INTEGER) AS chunk_number,
+         'search_document: ' || chunks[u.i] AS chunk
+       FROM fin, unnest(list_transform(range(1, len(chunks) + 1),
+         i -> {'i': i})) t(u)
+       ORDER BY doc_id, chunk_number"""
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for ops whose kernels are not
     * SQL-expressible (sentence split / chunker / embedder) → driver
     * records a weaker rows-only check.
     */
   def oracleSql: Map[String, String] = Map(
+    "sentence_stats" -> sentenceStatsOracleSql,
+    "sentence_chunks" -> sentenceChunksOracleSql,
+    "chunk_counts" -> chunkCountsOracleSql,
+    "chunk_packing" -> chunkPackingOracleSql,
+    "doc_embeddings" -> docEmbeddingsOracleSql,
     "dedup_simhash" -> simhashOracleSql,
     "ann_lsh" -> annLshOracleSql,
     "ann_lsh_indexed" -> annLshOracleSql,
     "ann_incremental" -> annLshOracleSql,
+    "ann_ivf" -> annIvfOracleSql,
+    "ann_ivf_indexed" -> annIvfOracleSql,
+    "dedup_incremental" -> dedupIncrementalOracleSql,
     "query_embedding" -> queryEmbeddingOracleSql,
     "q_approx_distinct" ->
       """SELECT l_returnflag,

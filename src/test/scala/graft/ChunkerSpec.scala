@@ -140,6 +140,36 @@ class ChunkerSpec extends AnyFunSuite {
     assert(Chunker.split("", 512, 2).isEmpty)
   }
 
+  test("chunk_packing construction round-trips through the splitter") {
+    // the chunk_packing gate (SparkEntry) builds multi-sentence prose from
+    // the lowercase corpus: 8-word groups, first word capitalized, 'end.'
+    // terminator. The DuckDB oracle replays the CONSTRUCTED sentence list
+    // directly, so the splitter must recover it exactly — break at every
+    // '. '+uppercase (UAX#29) and merge nothing ('end' is multi-letter and
+    // not in the abbreviation inventory).
+    val words = ("key agg row scan slow fast table value part hash merge " +
+      "batch a the line sort window spark order data column customer")
+      .split(" ").toVector
+    val sents = words.grouped(8).map(g =>
+      g.mkString(" ").capitalize + " end.").toVector
+    val text2 = sents.mkString(" ")
+    assert(SentenceSplitter.split(text2) == sents)
+    // and the packing at the gate's parameters exercises the overlap carry:
+    // chunk i+1 opens with the last 2 sentences of chunk i
+    val chunks = Chunker.splitSentences(
+      Vector.fill(4)(sents).flatten, 48, 2)
+    assert(chunks.length > 1)
+    chunks.sliding(2).foreach {
+      case Vector(a, b) =>
+        val aS = a.stripPrefix(Chunker.LeadText)
+          .split("(?<=\\.)\\s+").filter(_.nonEmpty)
+        val bS = b.stripPrefix(Chunker.LeadText)
+          .split("(?<=\\.)\\s+").filter(_.nonEmpty)
+        assert(aS.takeRight(2).sameElements(bS.take(2)))
+      case _ => ()
+    }
+  }
+
   test("sentence splitter handles legal-style prose (SURVEY.md §7.4.3)") {
     val text = "We conclude that in the field of public education the " +
       "doctrine of \"separate but equal\" has no place. Separate " +
