@@ -448,28 +448,21 @@ object SparkEntry {
     } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
   }
 
-  /** Distributed delta-log sink for the streaming gates: each
-    * micro-batch's delta rows are APPENDED by the executors to a
-    * per-invocation parquet log tagged with the batchId — no result row
-    * ever reaches the driver. (The previous driver-side ConcurrentHashMap
-    * stood in for a keyed store, but its size grows with key cardinality
-    * — window×type cardinality grows with the covered time span at
-    * 100 TB.) foreachBatch is wrapped in StreamingEmbed.idempotentSink
-    * with a FILE-backed high-water mark stored next to the log, so an
-    * at-least-once replay after a crash is a no-op instead of a
-    * double-append. Returns the log directory.
+  /** Streaming-gate choreography over the PUBLIC delta-log surface
+    * ([[graft.streaming.DeltaLog]] — promoted from this harness so the
+    * pattern the gates prove is reusable): run one AvailableNow drain
+    * appending each micro-batch's delta to a fresh log directory, return
+    * the directory. All log IO inside DeltaLog goes through the Hadoop
+    * FileSystem, so the same code targets a shared cluster URI; the gate
+    * just picks a local temp dir.
     */
   private def streamToDeltaLog(
       s: SparkSession,
       stream: DataFrame,
       mode: String,
       prepare: DataFrame => DataFrame = identity): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_gate_log")
-    val sink = graft.streaming.StreamingEmbed.idempotentSink(
-      (batch: DataFrame, id: Long) =>
-        prepare(batch).withColumn("_batch_id", lit(id))
-          .write.mode("append").parquet(dir.toString),
-      graft.streaming.StreamingEmbed.fileHighWaterMark(dir.resolve("_hwm")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate_log").toString
+    val sink = graft.streaming.DeltaLog.appendSink(s, dir, prepare)
     runStream(s) {
       stream.writeStream
         .outputMode(mode)
@@ -477,42 +470,21 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
     }
-    dir.toString
+    dir
   }
 
-  /** Read a [[streamToDeltaLog]] log back; an empty log (a stream that
-    * emitted nothing) yields an empty frame with the stream's schema
-    * rather than a schema-inference error.
-    */
   private def readDeltaLog(
       s: SparkSession,
       dir: String,
-      schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    val hasFiles = {
-      val files = new java.io.File(dir).listFiles()
-      files != null && files.exists(_.getName.endsWith(".parquet"))
-    }
-    if (hasFiles) s.read.parquet(dir)
-    else s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-      schema.add("_batch_id", org.apache.spark.sql.types.LongType))
-  }
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    graft.streaming.DeltaLog.readLog(s, dir, schema)
 
-  /** Update-mode gate result from a delta log: latest row per key
-    * (max_by batchId — the Merge.upsert shape, one keyed hash
-    * aggregation over the log, exactly what a cluster deployment runs
-    * against its keyed store's changelog).
-    */
   private def readDeltaLogUpsert(
       s: SparkSession,
       dir: String,
       schema: org.apache.spark.sql.types.StructType,
-      keyCols: Seq[String]): DataFrame = {
-    val cols = schema.fieldNames.toSeq
-    readDeltaLog(s, dir, schema)
-      .groupBy(keyCols.map(col): _*)
-      .agg(max_by(struct(cols.map(col): _*), col("_batch_id")).as("r"))
-      .select(cols.map(c => col(s"r.$c").as(c)): _*)
-  }
+      keyCols: Seq[String]): DataFrame =
+    graft.streaming.DeltaLog.readLogUpsert(s, dir, schema, keyCols)
 
   /** Event-time tumbling window (1h) — batch twin of the streaming agg. */
   private def qEventsTumbling(s: SparkSession, dir: String): DataFrame =
@@ -1127,47 +1099,92 @@ object SparkEntry {
           .as("n_fingerprint"))
       .orderBy("doc_id")
 
-  /** Multimodal plumbing: text bytes as a stand-in binary media column →
-    * stub decode metadata + pooled features (ops/Multimodal.scala; decode
-    * kernels are deterministic fakes, plumbing is real).
+  /** REAL PNG per document — the fixture formulas live here AND in the
+    * DuckDB oracles, so the decode kernels are checked against ground
+    * truth known by construction: gradient red channel (pixel traversal
+    * matters), constant green/blue, dimensions a function of doc_id.
     */
-  private def qMultimodalImages(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Multimodal
-      .describeMedia(
-        tbl(s, dir, "documents")
-          .select(col("doc_id"), col("text").cast("binary").as("media")),
-        "media")
-      .select(col("doc_id"),
-        col("meta.format").as("format"),
-        col("meta.width").as("width"),
-        col("meta.height").as("height"),
-        round(col("features")(0).cast("double"), 5).as("f0"))
-      .orderBy("doc_id")
+  private val synthPngUdf = udf { id: Long =>
+    val w = 8 + (id % 24).toInt
+    val h = 8 + ((id * 7) % 24).toInt
+    graft.ops.Multimodal.encodePng(w, h, (x, y) =>
+      (((x.toLong * y + id) % 256).toInt,
+        ((id * 3) % 256).toInt, ((id * 7) % 256).toInt))
+  }
 
-  /** Multimodal frame sampling: video binary → per-frame feature rows. */
+  /** `GFRM` container of real solid-color PNG frames (2..6 per doc). */
+  private val synthFramesUdf = udf { id: Long =>
+    val nf = 2 + (id % 5).toInt
+    graft.ops.Multimodal.encodeFrameContainer((0 until nf).map { k =>
+      graft.ops.Multimodal.encodePng(8, 8, (_, _) =>
+        (((id + 37L * k) % 256).toInt, ((id * 5 + k) % 256).toInt,
+          ((k * 11) % 256).toInt))
+    })
+  }
+
+  /** Real mono PCM16LE WAV: samples from an integer lattice formula. */
+  private val synthWavUdf = udf { id: Long =>
+    val n = 200 + (id % 8).toInt * 100
+    val rate = if (id % 2 == 0) 16000 else 44100
+    graft.ops.Multimodal.encodeWav(rate, Array.tabulate(n)(i =>
+      (((id * 131 + i * 29) % 65536) - 32768).toShort))
+  }
+
+  /** Multimodal images, ORACLE-CHECKED end to end: synthesize a real PNG
+    * per doc (known gradient), decode it back — header metadata (format/
+    * width/height), integer channel sum over the decoded pixels, and the
+    * channel sum AFTER a real nearest-neighbor resize to 16×16 (decode →
+    * sample on the integer lattice → PNG re-encode → decode). All values
+    * are integers: the oracle recomputes them from the construction
+    * formulas with zero FP.
+    */
+  private def qMultimodalImages(s: SparkSession, dir: String): DataFrame = {
+    val mm = graft.ops.Multimodal
+    val media = tbl(s, dir, "documents")
+      .select(col("doc_id"), synthPngUdf(col("doc_id")).as("media"))
+    val base = mm.imageStats(media, "media")
+      .select(col("doc_id"),
+        col("istats.format").as("format"),
+        col("istats.width").as("width"),
+        col("istats.height").as("height"),
+        col("istats.sum_r").as("sum_r"))
+    val resized = mm.imageStats(mm.resizeMedia(media, "media", 16, 16), "media")
+      .select(col("doc_id"), col("istats.sum_r").as("rsum_r"))
+    base.join(resized, Seq("doc_id")).orderBy("doc_id")
+  }
+
+  /** Multimodal frame sampling, ORACLE-CHECKED: real PNG frames in the
+    * GFRM container, evenly-spaced sampling (j*count/n lattice), per-frame
+    * grid-pooled features from the DECODED pixels. f0 = cell(0,0) red
+    * mean / 255 — for a solid frame that is exactly `r/255` as Float32,
+    * which the oracle reproduces with the same cast chain.
+    */
   private def qMultimodalFrames(s: SparkSession, dir: String): DataFrame =
     graft.ops.Multimodal
       .sampleVideoFrames(
         tbl(s, dir, "documents")
-          .select(col("doc_id"), col("text").cast("binary").as("media")),
+          .select(col("doc_id"), synthFramesUdf(col("doc_id")).as("media")),
         "doc_id", "media", framesPerVideo = 4)
       .select(col("media_id"), col("frame_number"),
-        round(col("frame_features")(0).cast("double"), 5).as("f0"))
+        col("frame_features")(0).cast("double").as("f0"))
       .orderBy("media_id", "frame_number")
 
-  /** Multimodal audio: windowed RMS energy per pseudo-audio binary
-    * (decode kernel stubbed, windowing plumbing real — rows-only check;
-    * invariants in OpsSpec).
+  /** Multimodal audio, ORACLE-CHECKED: real WAV (RIFF header + PCM16LE),
+    * decoded by the chunk-walker, windowed RMS over the decoded samples.
+    * Window membership proves the data-chunk length decode; RMS values
+    * prove the sample decode — `s/32768` and its square are EXACT binary
+    * fractions, the window sum stays exact (≤ 37 bits), so the final
+    * division + sqrt are single correctly-rounded IEEE ops both engines
+    * agree on bit-for-bit; no rounding needed.
     */
   private def qMultimodalAudio(s: SparkSession, dir: String): DataFrame =
     graft.ops.Multimodal
       .audioEnergy(
         tbl(s, dir, "documents")
           .filter(col("doc_id") < 100)
-          .select(col("doc_id"), col("text").cast("binary").as("media")),
-        "doc_id", "media", windowSize = 1024)
-      .select(col("media_id"), col("window_no"),
-        round(col("rms"), 5).as("rms"))
+          .select(col("doc_id"), synthWavUdf(col("doc_id")).as("media")),
+        "doc_id", "media", windowSize = 128)
+      .select(col("media_id"), col("window_no"), col("rms"))
       .orderBy("media_id", "window_no")
 
   // ------------------------------------------------------------------
@@ -3240,6 +3257,57 @@ object SparkEntry {
        ORDER BY doc_id, chunk_number"""
   }
 
+  /** DuckDB replicas of the multimodal gates — possible because the gate
+    * MEDIA IS SYNTHESIZED from closed-form integer formulas (see
+    * synthPngUdf / synthFramesUdf / synthWavUdf), then round-tripped
+    * through the REAL codecs (PNG/BMP header parse + javax.imageio pixel
+    * decode, GFRM frame index, WAV RIFF + PCM16LE). The oracles recompute
+    * the expected DECODED values from the same formulas: any header-parse,
+    * pixel-traversal, resize-lattice or sample-decode defect breaks the
+    * hash. Image stats are integer-exact (no FP); frame f0 and audio RMS
+    * use only exact binary fractions + one correctly-rounded IEEE op.
+    */
+  private lazy val multimodalImagesOracleSql: String =
+    """WITH p AS (SELECT doc_id, 8 + doc_id % 24 AS w,
+           8 + (doc_id * 7) % 24 AS h FROM documents),
+       s AS (SELECT p.doc_id,
+           CAST(SUM((x.x * y.y + p.doc_id) % 256) AS BIGINT) AS sum_r
+         FROM p, range(0, 32) x(x), range(0, 32) y(y)
+         WHERE x.x < p.w AND y.y < p.h
+         GROUP BY p.doc_id),
+       r AS (SELECT p.doc_id,
+           CAST(SUM((((x.x * p.w) // 16) * ((y.y * p.h) // 16) + p.doc_id)
+             % 256) AS BIGINT) AS rsum_r
+         FROM p, range(0, 16) x(x), range(0, 16) y(y)
+         GROUP BY p.doc_id)
+       SELECT p.doc_id, 'png' AS format, CAST(w AS INTEGER) AS width,
+         CAST(h AS INTEGER) AS height, s.sum_r, r.rsum_r
+       FROM p JOIN s USING (doc_id) JOIN r USING (doc_id)
+       ORDER BY doc_id"""
+
+  private lazy val multimodalFramesOracleSql: String =
+    """WITH p AS (SELECT doc_id, 2 + doc_id % 5 AS nf FROM documents),
+       f AS (SELECT doc_id, t.j + 1 AS frame_number,
+           (doc_id + 37 * ((t.j * nf) // 4)) % 256 AS r
+         FROM p, range(0, 4) t(j))
+       SELECT doc_id AS media_id, CAST(frame_number AS INTEGER) AS frame_number,
+         CAST(CAST(CAST(r AS DOUBLE) / 255.0 AS REAL) AS DOUBLE) AS f0
+       FROM f ORDER BY media_id, frame_number"""
+
+  private lazy val multimodalAudioOracleSql: String =
+    """WITH p AS (SELECT doc_id, 200 + (doc_id % 8) * 100 AS n
+         FROM documents WHERE doc_id < 100),
+       s AS (SELECT doc_id, i.i AS i,
+           ((doc_id * 131 + i.i * 29) % 65536) - 32768 AS v
+         FROM p, range(0, 900) i(i)
+         WHERE i.i < p.n),
+       w AS (SELECT doc_id, CAST(i // 128 + 1 AS INTEGER) AS window_no,
+           sqrt(SUM((CAST(v AS DOUBLE) / 32768.0)
+             * (CAST(v AS DOUBLE) / 32768.0)) / COUNT(*)) AS rms
+         FROM s GROUP BY doc_id, i // 128)
+       SELECT doc_id AS media_id, window_no, rms
+       FROM w ORDER BY media_id, window_no"""
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for ops whose kernels are not
     * SQL-expressible (sentence split / chunker / embedder) → driver
@@ -3258,6 +3326,9 @@ object SparkEntry {
     "ann_ivf" -> annIvfOracleSql,
     "ann_ivf_indexed" -> annIvfOracleSql,
     "dedup_incremental" -> dedupIncrementalOracleSql,
+    "multimodal_images" -> multimodalImagesOracleSql,
+    "multimodal_frames" -> multimodalFramesOracleSql,
+    "multimodal_audio" -> multimodalAudioOracleSql,
     "query_embedding" -> queryEmbeddingOracleSql,
     "q_approx_distinct" ->
       """SELECT l_returnflag,

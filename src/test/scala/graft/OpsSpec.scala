@@ -556,11 +556,28 @@ class OpsSpec extends AnyFunSuite {
     assert(m.snapshot("chunk_count.text") >= 2L)
   }
 
-  test("multimodal: batched describe matches per-row; resize is deterministic and size-scaled") {
+  test("multimodal: real PNG/BMP decode — header metadata exact, batched matches per-row, resize preserves dims and colors") {
     import spark.implicits._
-    val rows = Seq((1L, "abc".getBytes), (2L, "defgh".getBytes),
-      (3L, Array.empty[Byte]))
-    val df = rows.toDF("media_id", "media")
+    val grad = Multimodal.encodePng(20, 10,
+      (x, y) => ((x * 7) % 256, (y * 11) % 256, 42))
+    val solid = Multimodal.encodePng(9, 9, (_, _) => (200, 100, 50))
+    val df = Seq((1L, grad), (2L, solid), (3L, Array.empty[Byte]))
+      .toDF("media_id", "media")
+    // header parse is exact (no pixel inflation on the metadata path)
+    assert(Multimodal.decodeImageMeta(grad) ==
+      Multimodal.MediaMeta("png", 20, 10, 1, valid = true))
+    assert(!Multimodal.decodeImageMeta("not an image".getBytes).valid)
+    // BMP via the JDK's own writer round-trips through the same stats
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(solid))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    val bmp = bos.toByteArray
+    assert(Multimodal.decodeImageMeta(bmp).format == "bmp")
+    assert(Multimodal.decodeImageMeta(bmp).width == 9)
+    assert(Multimodal.imageStatsOf(bmp).sum_r ==
+      Multimodal.imageStatsOf(solid).sum_r)
+    // batched kernel call shape is row-identical to the per-row variant
     val perRow = Multimodal.describeMedia(df)
       .select(col("media_id"), col("meta.format"), col("features"))
       .collect().map(r => (r.getLong(0), r.getString(1),
@@ -569,32 +586,48 @@ class OpsSpec extends AnyFunSuite {
         df.as[(Long, Array[Byte])], batchSize = 2)
       .collect().map { case (id, m, f) => (id, m.format, f.toVector) }.toSet
     assert(batched == perRow)
-    val small = Multimodal.resizeImage("abc".getBytes, 64, 64)
-    val big = Multimodal.resizeImage("abc".getBytes, 512, 512)
-    assert(small.length < big.length)
-    assert(Multimodal.resizeImage("abc".getBytes, 64, 64).toSeq == small.toSeq)
-    val resized = Multimodal.resizeMedia(df, "media", 128, 128)
-      .select("media").collect()
-    assert(resized.forall(r => r.getAs[Array[Byte]](0) != null))
+    // real nearest-neighbor resize: exact target dims, solid color intact
+    val rs = Multimodal.resizeImage(solid, 32, 16)
+    assert(Multimodal.decodeImageMeta(rs) ==
+      Multimodal.MediaMeta("png", 32, 16, 1, valid = true))
+    val st = Multimodal.imageStatsOf(rs)
+    assert((st.sum_r, st.sum_g, st.sum_b) ==
+      (200L * 32 * 16, 100L * 32 * 16, 50L * 32 * 16))
+    assert(Multimodal.resizeImage(solid, 32, 16).toSeq == rs.toSeq)
+    assert(Multimodal.resizeImage("junk".getBytes, 8, 8).isEmpty)
+    // features are decoded-pixel grid means: solid color → r/255 per cell
+    val feats = Multimodal.extractFeatures(solid)
+    assert(feats.length == 48)
+    assert(feats(0) == (200.0 / 255.0).toFloat)
+    assert(feats(1) == (100.0 / 255.0).toFloat)
+    assert(feats(2) == (50.0 / 255.0).toFloat)
+    assert(Multimodal.extractFeatures("junk".getBytes).forall(_ == 0f))
   }
 
-  test("multimodal: describeMedia + frame sampling shapes") {
+  test("multimodal: GFRM frame container decodes and samples real frames") {
     import spark.implicits._
-    val df = Seq((1L, "some media bytes"), (2L, "other bytes"))
-      .toDF("doc_id", "text")
-      .select(col("doc_id"), col("text").cast("binary").as("media"))
-    val desc = Multimodal.describeMedia(df, "media").collect()
-    assert(desc.length == 2)
-    desc.foreach { r =>
-      val meta = r.getAs[org.apache.spark.sql.Row]("meta")
-      assert(meta.getAs[Boolean]("valid"))
-      assert(meta.getAs[Int]("width") >= 64)
-      assert(r.getAs[scala.collection.Seq[Float]]("features").length == 64)
-    }
+    def frame(k: Int) =
+      Multimodal.encodePng(8, 8, (_, _) => (k * 10, 0, 0))
+    val container = Multimodal.encodeFrameContainer((0 until 5).map(frame))
+    val meta = Multimodal.decodeImageMeta(container)
+    assert(meta.format == "gfrm" && meta.n_frames == 5 &&
+      meta.width == 8 && meta.height == 8 && meta.valid)
+    // evenly spaced sampling on the j*count/n lattice: 0, 1, 3
+    val sampled = Multimodal.sampleFrames(container, 3)
+    assert(sampled.map(f => Multimodal.imageStatsOf(f).sum_r / 64) ==
+      Seq(0L, 10L, 30L))
+    assert(Multimodal.sampleFrames("garbage".getBytes, 3).isEmpty)
+    // Spark surface: per-frame features come from the decoded pixels
+    val df = Seq((1L, container), (2L, container)).toDF("doc_id", "media")
     val frames = Multimodal.sampleVideoFrames(df, "doc_id", "media", 3)
       .collect()
     assert(frames.length == 6)
     assert(frames.map(_.getLong(0)).distinct.sorted.sameElements(Array(1L, 2L)))
+    frames.foreach { r =>
+      val k = Seq(0, 1, 3)(r.getInt(1) - 1)
+      assert(r.getAs[scala.collection.Seq[Float]]("frame_features")(0) ==
+        (k * 10 / 255.0).toFloat)
+    }
   }
 
   test("connected components: chain + triangle collapse to min label; singletons keep themselves") {
@@ -879,23 +912,32 @@ class OpsSpec extends AnyFunSuite {
     assert(spans == 1, "event types cover different grid spans")
   }
 
-  test("multimodal audio: window count matches metadata; rms bounded and deterministic; bytes never shuffle") {
+  test("multimodal audio: real WAV decode — header fields exact, known RMS, bytes never shuffle") {
     import spark.implicits._
-    val df = Seq((1L, "pcm-ish payload one"), (2L, "payload two"))
-      .toDF("doc_id", "text")
-      .select(col("doc_id"), col("text").cast("binary").as("media"))
+    // RIFF/fmt/data round-trip: every header field decodes exactly
+    val constWav = Multimodal.encodeWav(16000, Array.fill(300)(8192.toShort))
+    val meta = Multimodal.decodeAudioMeta(constWav)
+    assert(meta == Multimodal.AudioMeta("pcm_s16le", 16000, 300, valid = true))
+    assert(!Multimodal.decodeAudioMeta("not audio".getBytes).valid)
+    // sample decode: 8192/32768 = 0.25 exactly
+    assert(Multimodal.decodeSamples(constWav, 4).toSeq ==
+      Seq.fill(4)(0.25f))
+    val rampWav = Multimodal.encodeWav(44100,
+      Array.tabulate(500)(i => ((i * 64) % 65536 - 32768).toShort))
+    val df = Seq((1L, constWav), (2L, rampWav)).toDF("doc_id", "media")
     val win = 256
     val out = Multimodal.audioEnergy(df, "doc_id", "media", win)
     val rows = out.collect()
     // per id: exactly ceil(n_samples / win) windows, numbered from 1
     Seq(1L, 2L).foreach { id =>
-      val meta = Multimodal.decodeAudioMeta(
-        df.filter(col("doc_id") === id).head.getAs[Array[Byte]]("media"))
-      val expect = (meta.n_samples + win - 1) / win
+      val n = Multimodal.decodeAudioMeta(
+        if (id == 1L) constWav else rampWav).n_samples
+      val expect = (n + win - 1) / win
       val got = rows.filter(_.getLong(0) == id).map(_.getInt(1)).sorted
       assert(got.sameElements(1 to expect), s"id=$id windows=$got")
     }
-    // rms of samples in [-1,1] is in [0,1]; stub decode is deterministic
+    // constant-amplitude signal: RMS == the amplitude, exactly
+    assert(rows.filter(_.getLong(0) == 1L).forall(_.getDouble(2) == 0.25))
     assert(rows.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
     assert(out.collect().map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
     // scale shape: explode happens in the scan stage — no Exchange at all

@@ -409,4 +409,48 @@ class StreamingSpec extends AnyFunSuite {
     sink2(batch, 2L) // new batch proceeds
     assert(total == 6L)
   }
+
+  test("DeltaLog: stream drains to an executor-appended log; upsert read is latest-per-key; replays are no-ops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DeltaLog
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_deltalog").toString
+    val mem = MemoryStream[(Long, Long)]
+    val stream = mem.toDF().toDF("k", "v")
+      .groupBy("k").agg(max(col("v")).as("v"))
+    val q = stream.writeStream
+      .outputMode("update")
+      .foreachBatch(DeltaLog.appendSink(spark, dir))
+      .start()
+    try {
+      mem.addData((1L, 10L), (2L, 20L))
+      q.processAllAvailable()
+      mem.addData((1L, 30L)) // key 1 updates in a later batch
+      q.processAllAvailable()
+    } finally q.stop()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    // the raw log kept every delta (append-only, executor-written)...
+    val log = DeltaLog.readLog(spark, dir, schema)
+    assert(log.count() == 3L)
+    assert(log.columns.contains("_batch_id"))
+    // ...and the upsert view is latest-per-key by batchId
+    val got = DeltaLog.readLogUpsert(spark, dir, schema, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 30L, 2L -> 20L))
+    // a crash-replay of an already-committed batch id is a no-op even
+    // through a FRESH sink instance (the mark is in the log directory)
+    DeltaLog.appendSink(spark, dir)(
+      Seq((1L, 99L)).toDF("k", "v"), 1L)
+    assert(DeltaLog.readLog(spark, dir, schema).count() == 3L)
+    // an empty log dir still reads as an empty typed frame
+    val empty = java.nio.file.Files
+      .createTempDirectory("graft_deltalog_empty").toString
+    assert(DeltaLog.readLog(spark, empty, schema).isEmpty)
+    assert(DeltaLog.readLogUpsert(spark, empty, schema, Seq("k")).isEmpty)
+  }
 }
