@@ -1064,6 +1064,41 @@ object SparkEntry {
       .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Distributed k-means (full Lloyd loop — ops/Clustering): k=8, two
+    * iterations, 64-dim embeddings. Deterministic end to end (hyperplane
+    * init, fixed-point centroid means, first-seen argmax), so the DuckDB
+    * oracle replays BOTH Lloyd rounds and hash-matches cluster sizes and
+    * exact Float32 centroid components.
+    */
+  private def qKmeans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (assigned, centroids) = graft.ops.Clustering.kMeans(
+      tbl(s, dir, "embeddings"), "vec_id", "embedding",
+      k = 8, maxIters = 2, tol = 0.0, dim = 64)
+    val counts = assigned.groupBy("list_id").agg(count(lit(1)).as("n"))
+    val cents = centroids.toSeq
+      .map { case (id, c) => (id, c(0).toDouble, c(1).toDouble) }
+      .toDF("list_id", "c0", "c1")
+    counts.join(cents, Seq("list_id"))
+      .select(col("list_id").cast("int").as("cluster"),
+        col("n"), col("c0"), col("c1"))
+      .orderBy("cluster")
+  }
+
+  /** Weighted per-source sampling (ops/Sampling — Efraimidis–Spirakis
+    * A-ES): 5 docs per source, inclusion proportional to n_chars — the
+    * corpus-mixing "sample proportional to token budget within each
+    * domain" step, deterministic via hash-uniforms so the oracle replays
+    * the exact sample.
+    */
+  private def qWeightedSample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling
+      .weightedSamplePerGroup(
+        tbl(s, dir, "documents"), "source", "doc_id", "n_chars", 5)
+      .select(col("source"), col("doc_id"),
+        col("sample_key"), col("sample_rank"))
+      .orderBy("source", "sample_rank")
+
   /** Stopword-ratio language ID (SQL-expressible heuristic). */
   private def qLangId(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
@@ -1140,7 +1175,10 @@ object SparkEntry {
     */
   private def qMultimodalImages(s: SparkSession, dir: String): DataFrame = {
     val mm = graft.ops.Multimodal
+    // fixture-synthesis cost is bounded like the audio gate's: decode
+    // correctness needs a fixed id range, not SF-scaling media volume
     val media = tbl(s, dir, "documents")
+      .filter(col("doc_id") < 500)
       .select(col("doc_id"), synthPngUdf(col("doc_id")).as("media"))
     val base = mm.imageStats(media, "media")
       .select(col("doc_id"),
@@ -1163,6 +1201,7 @@ object SparkEntry {
     graft.ops.Multimodal
       .sampleVideoFrames(
         tbl(s, dir, "documents")
+          .filter(col("doc_id") < 500) // bounded fixtures, like the audio gate
           .select(col("doc_id"), synthFramesUdf(col("doc_id")).as("media")),
         "doc_id", "media", framesPerVideo = 4)
       .select(col("media_id"), col("frame_number"),
@@ -2702,6 +2741,8 @@ object SparkEntry {
     "q_posexplode" -> qPosexplode,
     "multimodal_audio" -> qMultimodalAudio,
     "q_knn_eval" -> qKnnEval,
+    "q_kmeans" -> qKmeans,
+    "q_weighted_sample" -> qWeightedSample,
     "q_snapshot" -> qSnapshot,
     "ann_incremental" -> qAnnIncremental,
     "q_explode_outer" -> qExplodeOuter,
@@ -2738,6 +2779,23 @@ object SparkEntry {
       s"((((($a) % 4294967296) * $b) + " +
         s"((((($a) // 4294967296) * ($b % 4294967296)) % 4294967296)" +
         s" * 4294967296)) % $M)"
+
+    /** java.lang.Math.rint over a DOUBLE expr (half-to-even — DuckDB's
+      * round() is half-away-from-zero, so ties must be hand-expanded).
+      */
+    def rint(x: String): String =
+      s"(CASE WHEN ($x) - floor($x) > 0.5 THEN floor($x) + 1" +
+        s" WHEN ($x) - floor($x) < 0.5 THEN floor($x)" +
+        s" WHEN CAST(floor($x) AS BIGINT) % 2 = 0 THEN floor($x)" +
+        s" ELSE floor($x) + 1 END)"
+
+    /** Dim-order sequential double fold of an elementwise product — the
+      * bit-exact twin of the kernels' `while` accumulation loops.
+      */
+    def foldDot(a: String, b: String, dim: Int): String =
+      s"list_reduce(list_transform(range(1, $dim + 1), " +
+        s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), " +
+        "(x, y) -> x + y)"
 
     /** splitmix64 finalizer (Hashing.mix64) over a signed BIGINT expr —
       * textual expansion, so keep the input expression small.
@@ -2963,19 +3021,9 @@ object SparkEntry {
     * changes where rows live, never the result set.
     */
   private lazy val annIvfOracleSql: String = {
-    import Duck.{toU, mix64}
+    import Duck.{toU, mix64, rint}
     val (numPlanes, dim, nProbe, k) = (3, 64, 3, 10)
-    // java.lang.Math.rint over a DOUBLE expr (half-to-even)
-    def rint(x: String): String =
-      s"(CASE WHEN ($x) - floor($x) > 0.5 THEN floor($x) + 1" +
-        s" WHEN ($x) - floor($x) < 0.5 THEN floor($x)" +
-        s" WHEN CAST(floor($x) AS BIGINT) % 2 = 0 THEN floor($x)" +
-        s" ELSE floor($x) + 1 END)"
-    // dim-order sequential double fold of an elementwise product
-    def fold(a: String, b: String): String =
-      s"list_reduce(list_transform(range(1, $dim + 1), " +
-        s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), " +
-        "(x, y) -> x + y)"
+    def fold(a: String, b: String): String = Duck.foldDot(a, b, dim)
     s"""WITH RECURSIVE chain(p, i, h) AS (
            SELECT p, 0, ${mix64("19088743 + p")}
            FROM range(0, $numPlanes) t(p)
@@ -3031,6 +3079,69 @@ object SparkEntry {
              (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
              4) DESC, vec_id
        LIMIT $k"""
+  }
+
+  /** DuckDB replay of the FULL k-means Lloyd loop
+    * ([[graft.ops.Clustering.kMeans]], k=8, 2 iterations): the IVF
+    * oracle's building blocks — hyperplane init chain, half-even
+    * fixed-point centroid means, first-seen cosine argmax — generated
+    * once PER ITERATION by a Scala loop, so the oracle unrolls exactly
+    * the rounds the gate runs. Output: per-cluster size + exact Float32
+    * centroid components.
+    */
+  private lazy val kmeansOracleSql: String = {
+    import Duck.{toU, mix64, rint}
+    val (numPlanes, dim, k, iters) = (3, 64, 8, 2)
+    def fold(a: String, b: String): String = Duck.foldDot(a, b, dim)
+    def lloydRound(i: Int, prevAssign: String): String =
+      s"""r$i AS (SELECT b.list_id AS list_id, d.i AS dim,
+               SUM(CAST(${rint("CAST(e.embedding[d.i] AS DOUBLE) * 16777216.0")}
+                 AS BIGINT)) AS s,
+               COUNT(*) AS n
+             FROM embeddings e
+             JOIN $prevAssign b USING (vec_id),
+             range(1, $dim + 1) d(i)
+             GROUP BY b.list_id, d.i),
+         c$i AS (SELECT list_id,
+               list(CAST((CAST(s AS DOUBLE) / n) / 16777216.0 AS REAL)
+                 ORDER BY dim) AS c
+             FROM r$i GROUP BY list_id),
+         s$i AS (SELECT e.vec_id, c$i.list_id,
+               CASE WHEN ${fold("e.embedding", "e.embedding")} = 0
+                      OR ${fold(s"c$i.c", s"c$i.c")} = 0 THEN 0.0
+                    ELSE ${fold("e.embedding", s"c$i.c")}
+                      / sqrt(${fold("e.embedding", "e.embedding")}
+                        * ${fold(s"c$i.c", s"c$i.c")}) END AS cos
+             FROM embeddings e, c$i),
+         a$i AS (SELECT vec_id, list_id FROM (
+             SELECT vec_id, list_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cos DESC, list_id) AS rn
+             FROM s$i) WHERE rn = 1)"""
+    val rounds = (1 to iters)
+      .map(i => lloydRound(i, if (i == 1) "a0" else s"a${i - 1}"))
+      .mkString(",\n         ")
+    s"""WITH RECURSIVE chain(p, i, h) AS (
+           SELECT p, 0, ${mix64("19088743 + p")}
+           FROM range(0, $numPlanes) t(p)
+           UNION ALL
+           SELECT p, i + 1, ${mix64("h")} FROM chain WHERE i < $dim),
+         planes AS (SELECT p, i - 1 AS dim,
+               CAST(CAST((${toU("h")} // 2048) AS DOUBLE)
+                 / 9007199254740992.0 - 0.5 AS REAL) AS pv
+             FROM chain WHERE i >= 1),
+         pl AS (SELECT p, list(pv ORDER BY dim) AS v FROM planes GROUP BY p),
+         a0 AS (SELECT e.vec_id,
+               CAST(SUM(CASE WHEN ${fold("e.embedding", "pl.v")} >= 0
+                   THEN 1 << p ELSE 0 END) AS INTEGER) % $k AS list_id
+             FROM embeddings e, pl GROUP BY e.vec_id),
+         $rounds
+       SELECT c.list_id AS cluster, n.n,
+         CAST(c.c[1] AS DOUBLE) AS c0, CAST(c.c[2] AS DOUBLE) AS c1
+       FROM c$iters c
+       JOIN (SELECT list_id, COUNT(*) AS n FROM a$iters GROUP BY list_id) n
+         USING (list_id)
+       ORDER BY cluster"""
   }
 
   /** DuckDB replica of the full [[graft.embed.Embedder]] kernel for the
@@ -3269,7 +3380,7 @@ object SparkEntry {
     */
   private lazy val multimodalImagesOracleSql: String =
     """WITH p AS (SELECT doc_id, 8 + doc_id % 24 AS w,
-           8 + (doc_id * 7) % 24 AS h FROM documents),
+           8 + (doc_id * 7) % 24 AS h FROM documents WHERE doc_id < 500),
        s AS (SELECT p.doc_id,
            CAST(SUM((x.x * y.y + p.doc_id) % 256) AS BIGINT) AS sum_r
          FROM p, range(0, 32) x(x), range(0, 32) y(y)
@@ -3286,7 +3397,8 @@ object SparkEntry {
        ORDER BY doc_id"""
 
   private lazy val multimodalFramesOracleSql: String =
-    """WITH p AS (SELECT doc_id, 2 + doc_id % 5 AS nf FROM documents),
+    """WITH p AS (SELECT doc_id, 2 + doc_id % 5 AS nf
+         FROM documents WHERE doc_id < 500),
        f AS (SELECT doc_id, t.j + 1 AS frame_number,
            (doc_id + 37 * ((t.j * nf) // 4)) % 256 AS r
          FROM p, range(0, 4) t(j))
@@ -3326,6 +3438,29 @@ object SparkEntry {
     "ann_ivf" -> annIvfOracleSql,
     "ann_ivf_indexed" -> annIvfOracleSql,
     "dedup_incremental" -> dedupIncrementalOracleSql,
+    "q_kmeans" -> kmeansOracleSql,
+    // A-ES weighted sampling: hash-uniform u from md5 hex (fold of the
+    // first 8 digits), key = ln(u)*1000/weight rounded to 6dp + id
+    // tiebreak (the repo-wide cross-engine rank-stability contract)
+    "q_weighted_sample" ->
+      """WITH u AS (SELECT source, doc_id, n_chars,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents WHERE n_chars > 0),
+         v AS (SELECT source, doc_id, n_chars,
+             list_reduce(list_transform(range(1, 9),
+               i -> CAST(strpos('0123456789abcdef', h[i:i]) - 1 AS BIGINT)),
+               (a, d) -> a * 16 + d) AS hv
+           FROM u),
+         ks AS (SELECT source, doc_id,
+             round(ln((CAST(hv AS DOUBLE) + 0.5) / 4294967296.0)
+               * 1000.0 / n_chars, 6) AS sample_key
+           FROM v),
+         r AS (SELECT source, doc_id, sample_key,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY sample_key DESC, doc_id) AS INTEGER) AS sample_rank
+           FROM ks)
+       SELECT source, doc_id, sample_key, sample_rank FROM r
+       WHERE sample_rank <= 5 ORDER BY source, sample_rank""",
     "multimodal_images" -> multimodalImagesOracleSql,
     "multimodal_frames" -> multimodalFramesOracleSql,
     "multimodal_audio" -> multimodalAudioOracleSql,

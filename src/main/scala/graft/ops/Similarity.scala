@@ -364,7 +364,7 @@ object Similarity {
     * assignments on any partitioning (reproducible index builds, and the
     * reason ann_ivf is oracle-checkable).
     */
-  private def refineCentroids(
+  private[ops] def refineCentroids(
       assigned: DataFrame, dim: Int): Array[(Int, Array[Float])] = {
     import org.apache.spark.sql.Row
     val centroidU = udaf(
@@ -381,7 +381,7 @@ object Similarity {
       .sortBy(_._1)
   }
 
-  private def assignToCentroids(
+  private[ops] def assignToCentroids(
       data: DataFrame, centroids: Array[(Int, Array[Float])], dim: Int): DataFrame = {
     val cs = centroids // serialized into the UDF closure (tiny)
     val assignU = udf { v: Array[Float] =>

@@ -630,6 +630,75 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted sampling: k per group, deterministic across partitionings, weight dominance") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    // 3 groups x 40 docs with distinct weights
+    val rows = for (g <- 0 until 3; i <- 0 until 40)
+      yield (g.toLong * 100 + i, s"g$g", (i + 1).toDouble)
+    val df = rows.toDF("id", "grp", "w")
+    val s1 = Sampling.weightedSamplePerGroup(df, "grp", "id", "w", 7)
+      .select("grp", "id", "sample_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val s2 = Sampling.weightedSamplePerGroup(
+        df.repartition(11), "grp", "id", "w", 7)
+      .select("grp", "id", "sample_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(s1 == s2) // hash-driven: partitioning-independent
+    assert(s1.groupBy(_._1).forall(_._2.size == 7))
+    // an overwhelming weight is mathematically guaranteed rank 1:
+    // key_heavy >= ln(2^-33)*1000/1e9 > ln(1-2^-33)*1e6 >= any light key
+    val skewed = (Seq((999L, "s", 1e9)) ++
+      (0 until 20).map(i => (i.toLong, "s", 0.001))).toDF("id", "grp", "w")
+    val top = Sampling.weightedSamplePerGroup(skewed, "grp", "id", "w", 1)
+      .select("id").head().getLong(0)
+    assert(top == 999L)
+    // non-positive weights are excluded, never ranked first
+    val withZero = (Seq((1L, "z", 0.0), (2L, "z", -1.0), (3L, "z", 2.0)))
+      .toDF("id", "grp", "w")
+    val kept = Sampling.weightedSamplePerGroup(withZero, "grp", "id", "w", 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L))
+  }
+
+  test("k-means: deterministic across partitionings, self-consistent assignment, tol early-stop") {
+    import graft.ops.Clustering
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (a1, c1) = Clustering.kMeans(
+      e, "vec_id", "embedding", k = 8, maxIters = 2, dim = 64)
+    val (a2, c2) = Clustering.kMeans(
+      e.repartition(13), "vec_id", "embedding", k = 8, maxIters = 2, dim = 64)
+    // bit-identical centroids and assignments on any partitioning
+    assert(c1.map { case (id, c) => id -> c.toSeq }.toSeq ==
+      c2.map { case (id, c) => id -> c.toSeq }.toSeq)
+    val m1 = a1.select("vec_id", "list_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val m2 = a2.select("vec_id", "list_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(m1 == m2)
+    assert(m1.size == e.count())
+    // every row's cluster is the argmax of the RETURNED centroids
+    // (first-seen tie-break on the lowest cluster id)
+    val vecs = e.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+    vecs.take(50).foreach { case (id, v) =>
+      val best = c1.foldLeft((-1, -2.0)) { case (acc @ (_, bs), (cid, c)) =>
+        val s = graft.embed.Embedder.cosine(v, c)
+        if (s > bs) (cid, s) else acc
+      }._1
+      assert(m1(id) == best, s"vec $id assigned ${m1(id)} != argmax $best")
+    }
+    // tol large enough → converges after the second refine (iteration 2
+    // sees movement 0 relative to... ) run with generous budget: result
+    // must equal the fixed-point the loop reaches without the cap
+    val (_, cTol) = Clustering.kMeans(
+      e, "vec_id", "embedding", k = 8, maxIters = 50, tol = 1e30, dim = 64)
+    val (_, c2it) = Clustering.kMeans(
+      e, "vec_id", "embedding", k = 8, maxIters = 2, dim = 64)
+    assert(cTol.map(_._1).sameElements(c2it.map(_._1)))
+  }
+
   test("connected components: chain + triangle collapse to min label; singletons keep themselves") {
     import spark.implicits._
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), // 4-chain, reversed edge
