@@ -58,6 +58,42 @@ class SourcesSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") && plan.contains("doc_id"), plan)
   }
 
+  test("binaryFile source: media-lake ingest feeds the real multimodal decoders") {
+    import graft.ops.Multimodal
+    // a directory of real PNG files — the media-lake layout binaryFile
+    // was built for: (path, modificationTime, length, content)
+    val dir = java.nio.file.Files.createTempDirectory("graft_media")
+    (0 until 6).foreach { i =>
+      val png = Multimodal.encodePng(8 + i, 8, (_, _) => (i * 40, 10, 20))
+      java.nio.file.Files.write(dir.resolve(f"img_$i%03d.png"), png)
+    }
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png")
+      .load(dir.toString)
+    assert(files.count() == 6)
+    // decode the ingested bytes with the real codec path: header width
+    // and solid-color channel sums match the on-disk construction
+    val decoded = Multimodal.imageStats(
+        files.select(
+          regexp_extract(col("path"), "img_(\\d+)\\.png", 1)
+            .cast("int").as("i"),
+          col("content").as("media")),
+        "media")
+      .select(col("i"), col("istats.format").as("format"),
+        col("istats.width").as("width"), col("istats.sum_r").as("sum_r"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getString(1), r.getInt(2), r.getLong(3))).toMap
+    (0 until 6).foreach { i =>
+      assert(decoded(i) == (("png", 8 + i, (i * 40).toLong * (8 + i) * 8)),
+        s"img $i decoded ${decoded(i)}")
+    }
+    // binary content never shuffles: decode happens in the scan stage
+    val plan = Multimodal.imageStats(
+      files.select(col("content").as("media")), "media")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"binary ingest shuffles bytes:\n$plan")
+  }
+
   test("text source: whole-line ingest feeds the clean pipeline (text/plain body analog)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_text")
     java.nio.file.Files.writeString(dir.resolve("body.txt"),
