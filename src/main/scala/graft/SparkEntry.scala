@@ -1085,6 +1085,24 @@ object SparkEntry {
       .orderBy("cluster")
   }
 
+  /** Inverted index build — the retrieval artifact downstream of the TF
+    * pipeline: per term, document frequency + a CAPPED sorted posting
+    * list (hot terms stay bounded, the posting-list twin of the LSH
+    * bucket caps; a real deployment shards the long tail, the cap makes
+    * per-term state O(1) here). One explode + distinct + keyed agg;
+    * postings emitted as a joined string (engine-neutral hashing).
+    */
+  private def qInvertedIndex(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), explode(expr(tokensSql)).as("w"))
+      .distinct()
+      .groupBy("w")
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",",
+          slice(sort_array(collect_list(col("doc_id"))), 1, 10))
+          .as("postings"))
+      .orderBy("w")
+
   /** Weighted per-source sampling (ops/Sampling — Efraimidis–Spirakis
     * A-ES): 5 docs per source, inclusion proportional to n_chars — the
     * corpus-mixing "sample proportional to token budget within each
@@ -2743,6 +2761,7 @@ object SparkEntry {
     "q_knn_eval" -> qKnnEval,
     "q_kmeans" -> qKmeans,
     "q_weighted_sample" -> qWeightedSample,
+    "q_inverted_index" -> qInvertedIndex,
     "q_snapshot" -> qSnapshot,
     "ann_incremental" -> qAnnIncremental,
     "q_explode_outer" -> qExplodeOuter,
@@ -3461,6 +3480,14 @@ object SparkEntry {
            FROM ks)
        SELECT source, doc_id, sample_key, sample_rank FROM r
        WHERE sample_rank <= 5 ORDER BY source, sample_rank""",
+    "q_inverted_index" ->
+      """WITH t AS (SELECT DISTINCT doc_id, u.w AS w
+           FROM documents, unnest(list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+             x -> x <> '')) u(w))
+         SELECT w, COUNT(*) AS df,
+           array_to_string(list_sort(list(doc_id))[1:10], ',') AS postings
+         FROM t GROUP BY w ORDER BY w""",
     "multimodal_images" -> multimodalImagesOracleSql,
     "multimodal_frames" -> multimodalFramesOracleSql,
     "multimodal_audio" -> multimodalAudioOracleSql,
