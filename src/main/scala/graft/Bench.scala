@@ -73,7 +73,23 @@ object Bench {
     // (reps=0 would make times empty and the median index throw)
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c — time only the named queries
+    // (isolation experiments: a query's solo cost vs its in-suite cost
+    // separates plan regressions from run-order interference)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
+      // Level the inter-query playing field: a System.gc() between
+      // queries lets the ContextCleaner release the previous queries'
+      // shuffle files and broadcast blocks (they are freed on reference
+      // GC, not eagerly) — without it, late-run queries inherit hundreds
+      // of earlier queries' tmp-disk + heap residue, which the r5 run
+      // showed as a 6× swing on a trivial scan+groupBy (events_tumbling).
+      System.gc()
       val times = Seq.fill(reps) {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()

@@ -13,6 +13,7 @@ import org.apache.spark.sql.SparkSession
   * inception/config.py + .env.example).
   */
 final case class EngineConfig(
+    modelName: String = "hashing-768", // config.py:6-9 transformer_model_name
     maxTokens: Int = 512,            // config.py:14-16 (ge=256 le=10000)
     overlapRatio: Double = 0.004,    // config.py:17-22 (ge=0 le=0.01)
     minTextLength: Int = 1,          // config.py:23
@@ -54,6 +55,7 @@ object EngineConfig {
     def b(n: String, d: Boolean) = parse(n, d, _.toBoolean)
     val base = default
     EngineConfig(
+      modelName = parse("modelName", base.modelName, identity),
       maxTokens = i("maxTokens", base.maxTokens),
       overlapRatio = dd("overlapRatio", base.overlapRatio),
       minTextLength = i("minTextLength", base.minTextLength),

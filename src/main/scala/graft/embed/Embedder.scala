@@ -2,7 +2,8 @@ package graft.embed
 
 import graft.text.SimpleTokenizer
 
-/** O7/O8 — deterministic embedding kernel standing in for
+/** O7/O8 — the default [[EmbeddingModel]] instance (registry name
+  * `hashing-768`): a deterministic embedding kernel standing in for
   * SentenceTransformer("freelawproject/modernbert-embed-base_finetune_512")
   * (reference: inception/embedding_service.py:152-165,207-213; model name
   * inception/config.py:6-9). The real weights are unavailable offline
@@ -22,9 +23,10 @@ import graft.text.SimpleTokenizer
   * Pure JVM arithmetic — safe inside whole-stage codegen / mapPartitions,
   * no per-call allocation beyond the output array.
   */
-object Embedder {
+object Embedder extends EmbeddingModel {
 
   val Dim = 768
+  override def dim: Int = Dim
   private val FeaturesPerToken = 3
 
   // splitmix64 + FNV-1a: ONE definition in graft.util.Hashing
@@ -90,12 +92,13 @@ object Embedder {
     * (embedding_service.py:207-213). On a GPU-backed kernel this is where
     * device micro-batching would live; here it is a simple map.
     */
-  def embedBatch(texts: Seq[String]): Seq[Array[Float]] = texts.map(embed)
+  override def embedBatch(texts: Seq[String]): Seq[Array[Float]] =
+    texts.map(embed)
 
   /** Query embedding: prepend the query task prefix then embed
     * (embedding_service.py:159-164).
     */
-  def embedQuery(text: String): Array[Float] =
+  override def embedQuery(text: String): Array[Float] =
     embed(graft.text.Chunker.QueryLead + text)
 
   private def l2Normalize(vec: Array[Float]): Unit = {

@@ -5,7 +5,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
 import graft.config.EngineConfig
-import graft.embed.Embedder
 import graft.text.{Chunker, SentenceSplitter, TextCleaner}
 
 /** One chunk's result — reference `ChunkEmbedding` (inception/schemas.py:46-59). */
@@ -52,8 +51,19 @@ final case class EmbeddedChunk(
   */
 class InceptionEngine(
     val conf: EngineConfig = EngineConfig.default,
-    val metrics: Option[Metrics] = None
+    val metrics: Option[Metrics] = None,
+    modelOverride: Option[graft.embed.EmbeddingModel] = None
 ) extends Serializable {
+
+  /** The pluggable embedding kernel (the reference's
+    * `transformer_model_name` seam, inception/config.py:6-9): resolved
+    * from `conf.modelName` via the [[graft.embed.EmbeddingModel]]
+    * registry, or injected directly for unregistered models. Every embed
+    * path below goes through this value — swapping in a real model
+    * touches zero engine code.
+    */
+  val model: graft.embed.EmbeddingModel =
+    modelOverride.getOrElse(graft.embed.EmbeddingModel.forName(conf.modelName))
 
   /** O13 REQUEST_COUNT/CHUNK_COUNT hooks (metrics.py:3-32): accumulators
     * increment inside executor tasks and aggregate on the driver, like
@@ -61,11 +71,11 @@ class InceptionEngine(
     * overhead.
     */
   // O13 MODEL_LOAD_TIME (metrics.py:28-32, embedding_service.py:52):
-  // observed once at engine construction — the JVM kernel's "load" is a
+  // observed once at engine construction — the kernel's "load" is a
   // warmup call (a real model swap-in times its weight load here)
   metrics.foreach { m =>
     val t0 = System.nanoTime()
-    Embedder.embed("warmup")
+    model.embed("warmup")
     m.modelLoadHistogram.observe((System.nanoTime() - t0) / 1000000L)
   }
 
@@ -120,8 +130,14 @@ class InceptionEngine(
     udf((text: String) => Chunker.split(Option(text).getOrElse(""), mt, ov))
   }
 
-  /** O7/O8 kernel as scalar UDF (text must already carry its task prefix). */
-  val embedUdf = udf((text: String) => Embedder.embed(text))
+  /** O7/O8 kernel as scalar UDF (text must already carry its task prefix).
+    * The model is bound to a local before closure capture so the UDF
+    * ships only the (serializable) model, never the engine + metrics.
+    */
+  val embedUdf = {
+    val mdl = model
+    udf((text: String) => mdl.embed(text))
+  }
 
   def registerFunctions(spark: SparkSession): Unit = {
     spark.udf.register("graft_sentences", sentencesUdf)
@@ -228,11 +244,12 @@ class InceptionEngine(
     countRequest("batch")
     val chunkAcc = metrics.map(_.chunkCount("text"))
     val timeHist = metrics.map(_.processingTimeHistogram("batch"))
+    val mdl = model
     chunks.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         chunkAcc.foreach(_.add(batch.size.toLong))
         val t0 = System.nanoTime()
-        val vecs = Embedder.embedBatch(batch.map(_._3))
+        val vecs = mdl.embedBatch(batch.map(_._3))
         timeHist.foreach(_.observe((System.nanoTime() - t0) / 1000000L))
         batch.lazyZip(vecs).map { case ((id, n, chunk), v) =>
           EmbeddedChunk(id, n, chunk.replace(Chunker.LeadText, ""), v)
@@ -275,13 +292,14 @@ class InceptionEngine(
     countRequest("batch")
     val chunkAcc = metrics.map(_.chunkCount("text"))
     val timeHist = metrics.map(_.processingTimeHistogram("batch"))
+    val mdl = model
     valid.mapPartitions { docs =>
       docs.map { d =>
         val t0 = System.nanoTime()
         val chunks = Chunker.split(d.text, mt, ov)
         chunkAcc.foreach(_.add(chunks.size.toLong))
         val vecs =
-          chunks.grouped(batchSize).flatMap(Embedder.embedBatch).toVector
+          chunks.grouped(batchSize).flatMap(mdl.embedBatch).toVector
         timeHist.foreach(_.observe((System.nanoTime() - t0) / 1000000L))
         val embs = chunks.lazyZip(vecs).zipWithIndex.map {
           case ((chunk, v), idx) =>
@@ -303,7 +321,7 @@ class InceptionEngine(
       val processed = TextCleaner.cleanString(text)
       if (processed.isEmpty)
         throw new IllegalArgumentException("Text is empty after cleaning.")
-      val out = Embedder.embedQuery(processed)
+      val out = model.embedQuery(processed)
       // PROCESSING_TIME observed on the success path only
       // (routes/embedding.py:60-63)
       metrics.foreach(_.processingTimeHistogram("query")
@@ -326,4 +344,13 @@ class InceptionEngine(
     "model_loaded" -> true,
     "gpu_available" -> false // JVM kernel; CPU-only by construction
   )
+
+  /** `GET /metrics` (routes/monitoring.py:30-35): the Prometheus
+    * text-exposition body, or None — the reference 404s when
+    * `settings.enable_metrics` is false (config.py:33), and None is that
+    * 404's value twin (an engine built without a Metrics sink likewise
+    * has no exposition to serve).
+    */
+  def metricsExposition: Option[String] =
+    if (conf.enableMetrics) metrics.map(_.exposition) else None
 }

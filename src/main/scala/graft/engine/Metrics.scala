@@ -85,6 +85,80 @@ class Metrics(sc: SparkContext) extends Serializable {
     import scala.jdk.CollectionConverters._
     acc.asScala.map { case (k, v) => k -> v.value.toLong }.toMap
   }
+
+  /** Prometheus TEXT-EXPOSITION render of [[snapshot]] — the body the
+    * reference serves from `GET /metrics`
+    * (inception/routes/monitoring.py:30-35 → generate_latest()). Counter
+    * families carry `endpoint`/`error_type` labels; the two histograms
+    * emit cumulative `le` buckets at the reference's exact bounds
+    * (seconds, metrics.py:9-14,28-32) plus `_sum` (ms → seconds) and
+    * `_count`. Families with no observations are omitted, label sets are
+    * sorted — the output is a deterministic function of the snapshot, so
+    * EngineSpec golden-asserts it. The enabled/disabled (404) semantics
+    * live on the ENGINE: `InceptionEngine.metricsExposition` returns
+    * None when `enable_metrics` is off (config.py:33).
+    */
+  def exposition: String = {
+    val snap = snapshot
+    val sb = new StringBuilder
+    def secs(ms: Long): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(ms / 1000.0))
+    def family(tpe: String, name: String)(rows: => Seq[String]): Unit = {
+      val rs = rows
+      if (rs.nonEmpty) {
+        sb.append(s"# TYPE $name $tpe\n")
+        rs.foreach(r => sb.append(r).append('\n'))
+      }
+    }
+    def stripped(prefix: String): Seq[(String, Long)] =
+      snap.toSeq.collect {
+        case (k, v) if k.startsWith(prefix) => k.stripPrefix(prefix) -> v
+      }.sortBy(_._1)
+    family("counter", "graft_request_count")(
+      stripped("request_count.").map { case (ep, v) =>
+        s"""graft_request_count{endpoint="$ep"} $v"""
+      })
+    val errRe = "^(.+)\\.([^.]+)$".r
+    family("counter", "graft_error_count")(
+      stripped("error_count.").collect { case (errRe(ep, et), v) =>
+        s"""graft_error_count{endpoint="$ep",error_type="$et"} $v"""
+      })
+    family("counter", "graft_chunk_count")(
+      stripped("chunk_count.").map { case (ep, v) =>
+        s"""graft_chunk_count{endpoint="$ep"} $v"""
+      })
+    def histo(
+        name: String, keyPrefix: String, sumKey: String,
+        bounds: Seq[(Long, String)], label: Option[String]): Seq[String] =
+      if (!snap.contains(s"$keyPrefix.count")) Seq.empty
+      else {
+        val lbl = label.map(l => s"""$l,le=""").getOrElse("le=")
+        def at(le: String) =
+          snap.getOrElse(s"$keyPrefix.bucket.le_$le", 0L)
+        bounds.map { case (_, le) =>
+          s"""${name}_bucket{$lbl"$le"} ${at(le)}"""
+        } ++ Seq(
+          s"""${name}_bucket{$lbl"+Inf"} ${at("inf")}""",
+          s"""${name}_sum${label.map(l => s"{$l}").getOrElse("")} ${secs(
+              snap.getOrElse(sumKey, 0L))}""",
+          s"""${name}_count${label.map(l => s"{$l}").getOrElse("")} ${snap(
+              s"$keyPrefix.count")}""")
+      }
+    val ptEndpoints = snap.keys.collect {
+      case k if k.startsWith("processing_time.") && k.endsWith(".count") =>
+        k.stripPrefix("processing_time.").stripSuffix(".count")
+    }.toSeq.sorted
+    family("histogram", "graft_processing_time_seconds")(
+      ptEndpoints.flatMap { ep =>
+        histo("graft_processing_time_seconds", s"processing_time.$ep",
+          s"processing_time_ms.$ep", ProcessingTimeBuckets,
+          Some(s"""endpoint="$ep""""))
+      })
+    family("histogram", "graft_model_load_time_seconds")(
+      histo("graft_model_load_time_seconds", "model_load_time",
+        "model_load_time_ms", ModelLoadBuckets, None))
+    sb.result()
+  }
 }
 
 object Metrics {

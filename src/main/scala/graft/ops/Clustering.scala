@@ -24,7 +24,10 @@ import org.apache.spark.sql.functions._
   * hash-checked against a DuckDB replay of the whole loop.
   *
   * Scale: per iteration one narrow scan + one keyed agg whose shuffle
-  * volume is O(partitions × k × dim) — corpus vectors never shuffle.
+  * volume is O(partitions × k × dim) — corpus vectors never shuffle,
+  * and the scanned (vec_id, v) projection is persisted for the loop's
+  * lifetime (MEMORY_AND_DISK, unpersisted on return) so the SOURCE
+  * table is read once, not once per iteration.
   * An empty cluster simply drops out of the centroid set (standard
   * Lloyd degeneracy; k is an upper bound).
   */
@@ -43,24 +46,34 @@ object Clustering {
       dim: Int = 768
   ): (DataFrame, Array[(Int, Array[Float])]) = {
     require(k >= 1 && maxIters >= 1, "k and maxIters must be >= 1")
+    // The Lloyd loop scans the input once per iteration (centroid agg)
+    // plus once for the caller's final materialization — persist the
+    // 2-column projection for the loop's lifetime so the source table is
+    // READ ONCE, not iters+1 times (at 100 TB each rescan is the whole
+    // corpus; the projection is only id + vector, disk-spillable).
+    // Unpersisted before return: the loop's working set must not occupy
+    // executor storage for the caller's session lifetime.
     val data = df.select(col(idCol).cast("long").as("vec_id"),
       col(vecCol).as("v"))
-    val planes = Dedup.hyperplanes(
-      math.max(1, (math.log(k.toDouble) / math.log(2)).ceil.toInt), dim)
-    val bucketU = udf((v: Array[Float]) =>
-      Dedup.hyperplaneBucket(v, planes) % k)
-    var assigned = data.withColumn("list_id", bucketU(col("v")))
-    var centroids = Array.empty[(Int, Array[Float])]
-    var it = 0
-    var converged = false
-    while (it < maxIters && !converged) {
-      val next = Similarity.refineCentroids(assigned, dim)
-      converged = it > 0 && maxMove2(centroids, next) <= tol * tol
-      centroids = next
-      assigned = Similarity.assignToCentroids(data, centroids, dim)
-      it += 1
-    }
-    (assigned, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val planes = Dedup.hyperplanes(
+        math.max(1, (math.log(k.toDouble) / math.log(2)).ceil.toInt), dim)
+      val bucketU = udf((v: Array[Float]) =>
+        Dedup.hyperplaneBucket(v, planes) % k)
+      var assigned = data.withColumn("list_id", bucketU(col("v")))
+      var centroids = Array.empty[(Int, Array[Float])]
+      var it = 0
+      var converged = false
+      while (it < maxIters && !converged) {
+        val next = Similarity.refineCentroids(assigned, dim)
+        converged = it > 0 && maxMove2(centroids, next) <= tol * tol
+        centroids = next
+        assigned = Similarity.assignToCentroids(data, centroids, dim)
+        it += 1
+      }
+      (assigned, centroids)
+    } finally data.unpersist(blocking = false)
   }
 
   /** Max squared-L2 movement between two centroid generations; a cluster

@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, processed in batched partition passes.
   *
   * The decode kernels are REAL for every format the JVM ships codecs for:
-  *   - images: PNG/BMP header parsing (pure byte reads — the metadata
-  *     path never inflates pixels) and full pixel decode via
-  *     `javax.imageio` (PNG, BMP, GIF) for features/stats/resize;
+  *   - images: PNG/BMP/JPEG header parsing (pure byte reads — the
+  *     metadata path never inflates pixels; JPEG dims come from a
+  *     marker-walk to the first SOF segment) and full pixel decode via
+  *     `javax.imageio` (PNG, BMP, GIF, JPEG) for features/stats/resize;
   *   - audio: WAV RIFF chunk-walk (fmt/data) + PCM16LE sample decode;
   *   - video: a length-prefixed frame container (`GFRM`) of real PNG
   *     frames — containers with licensed codecs (H.264 etc.) have no
@@ -68,6 +69,45 @@ object Multimodal {
   private def isBmp(b: Array[Byte]): Boolean =
     b.length >= 26 && b(0) == 'B'.toByte && b(1) == 'M'.toByte
 
+  private def isJpeg(b: Array[Byte]): Boolean =
+    b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+      (b(2) & 0xff) == 0xff
+
+  /** JPEG marker-segment walk to the first frame header (SOF0..SOF15
+    * excluding DHT/JPG/DAC): height and width are big-endian at offsets
+    * +5/+7 of the SOF segment. Header bytes only — no entropy decode.
+    * None for truncated/markerless streams: invalid, never a guess.
+    */
+  private def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+    var off = 2
+    while (off + 2 <= b.length) {
+      if ((b(off) & 0xff) != 0xff) return None
+      var mOff = off + 1
+      while (mOff < b.length && (b(mOff) & 0xff) == 0xff) mOff += 1 // fill bytes
+      if (mOff >= b.length) return None
+      val m = b(mOff) & 0xff
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+        off = mOff + 1 // standalone marker, no length field
+      } else if (m == 0xd9) {
+        return None // EOI before any SOF
+      } else {
+        if (mOff + 3 > b.length) return None
+        val len = ((b(mOff + 1) & 0xff) << 8) | (b(mOff + 2) & 0xff)
+        if (len < 2) return None
+        val isSof =
+          m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+        if (isSof) {
+          if (mOff + 7 >= b.length) return None
+          val h = ((b(mOff + 4) & 0xff) << 8) | (b(mOff + 5) & 0xff)
+          val w = ((b(mOff + 6) & 0xff) << 8) | (b(mOff + 7) & 0xff)
+          return Some((w, h))
+        }
+        off = mOff + 1 + len
+      }
+    }
+    None
+  }
+
   private def isFrameContainer(b: Array[Byte]): Boolean =
     b.length >= 8 && b(0) == 'G'.toByte && b(1) == 'F'.toByte &&
       b(2) == 'R'.toByte && b(3) == 'M'.toByte
@@ -77,9 +117,11 @@ object Multimodal {
   /** Container metadata from the HEADER BYTES ONLY — no pixel inflation:
     * PNG IHDR (width/height big-endian at offsets 16/20), BMP
     * BITMAPINFOHEADER (little-endian at 18/22; negative height = top-down
-    * row order, magnitude is the pixel height), and the `GFRM` frame
-    * container (frame count + first frame's own header). Anything else —
-    * including truncated headers — is invalid, never a guess.
+    * row order, magnitude is the pixel height), JPEG (SOF marker walk),
+    * and the `GFRM` frame container (frame count + first frame's own
+    * header, whose verdict propagates — a truncated or negative-length
+    * first frame makes the container invalid). Anything else — including
+    * truncated headers — is invalid, never a guess.
     */
   def decodeImageMeta(bytes: Array[Byte]): MediaMeta = {
     if (bytes == null || bytes.isEmpty)
@@ -89,16 +131,25 @@ object Multimodal {
     else if (isBmp(bytes))
       MediaMeta("bmp", leInt(bytes, 18), math.abs(leInt(bytes, 22)), 1,
         valid = true)
+    else if (isJpeg(bytes))
+      jpegDims(bytes) match {
+        case Some((w, h)) => MediaMeta("jpeg", w, h, 1, valid = true)
+        case None => MediaMeta("jpeg", 0, 0, 0, valid = false)
+      }
     else if (isFrameContainer(bytes)) {
       val n = beInt(bytes, 4)
+      // a corrupt first-frame length (negative or past the buffer) makes
+      // the CONTAINER invalid — never Arrays.copyOfRange on hostile
+      // lengths, and a truncated first frame's verdict propagates out
       val first =
         if (n > 0 && bytes.length >= 12) {
           val len = beInt(bytes, 8)
-          if (bytes.length >= 12 + len)
+          if (len >= 0 && bytes.length - 12 >= len) // no 12+len int overflow
             decodeImageMeta(java.util.Arrays.copyOfRange(bytes, 12, 12 + len))
           else MediaMeta("gfrm", 0, 0, n, valid = false)
-        } else MediaMeta("gfrm", 0, 0, n, valid = n >= 0)
-      MediaMeta("gfrm", first.width, first.height, n, valid = n >= 0)
+        } else MediaMeta("gfrm", 0, 0, n, valid = n == 0)
+      MediaMeta("gfrm", first.width, first.height, n,
+        valid = n >= 0 && first.valid)
     } else MediaMeta("unknown", 0, 0, 0, valid = false)
   }
 
@@ -226,7 +277,7 @@ object Multimodal {
     while (k < count) {
       if (off + 4 > bytes.length) return Seq.empty
       val len = beInt(bytes, off)
-      if (len < 0 || off + 4 + len > bytes.length) return Seq.empty
+      if (len < 0 || len > bytes.length - off - 4) return Seq.empty // no overflow
       frames += java.util.Arrays.copyOfRange(bytes, off + 4, off + 4 + len)
       off += 4 + len
       k += 1
@@ -298,10 +349,8 @@ object Multimodal {
 
   // ---- fixture/output encoders (lossless, deterministic) ----
 
-  /** Encode a `w`×`h` PNG with `px(x, y) = (r, g, b)`. Lossless: decoding
-    * returns exactly these values.
-    */
-  def encodePng(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+  private def rgbImage(
+      w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)): BufferedImage = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
@@ -313,8 +362,26 @@ object Multimodal {
       }
       y += 1
     }
+    img
+  }
+
+  /** Encode a `w`×`h` PNG with `px(x, y) = (r, g, b)`. Lossless: decoding
+    * returns exactly these values.
+    */
+  def encodePng(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
+    ImageIO.write(rgbImage(w, h, px), "png", bos)
+    bos.toByteArray
+  }
+
+  /** Encode a `w`×`h` JPEG via the JVM's shipped writer. LOSSY: decoding
+    * returns the same dimensions but approximate pixel values — fixtures
+    * hash-check JPEG header metadata and decode success, never decoded
+    * sums (those are only exact for the lossless formats).
+    */
+  def encodeJpeg(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(rgbImage(w, h, px), "jpg", bos)
     bos.toByteArray
   }
 

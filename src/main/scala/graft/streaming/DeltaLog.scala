@@ -59,8 +59,17 @@ object DeltaLog {
 
   /** foreachBatch sink appending `prepare(batch)` tagged with `_batch_id`
     * to the log, wrapped in [[StreamingEmbed.idempotentSink]] over the
-    * file-backed mark: an at-least-once replay after a crash is a no-op
-    * instead of a double-append.
+    * file-backed mark: replaying a FULLY COMMITTED batch (append + mark
+    * both done) is a no-op instead of a double-append.
+    *
+    * The parquet append and the mark write are two non-atomic steps, so
+    * a crash BETWEEN them leaves the batch's part files behind and the
+    * replay appends the batch's rows again. That window is harmless iff
+    * `prepare` is deterministic (the standard foreachBatch replay
+    * contract): the replayed rows are byte-identical, and
+    * [[readLogUpsert]]'s per-key pick returns the same values whichever
+    * duplicate it lands on. A non-deterministic `prepare` voids that —
+    * same as it voids Spark's own exactly-once sink guarantees.
     */
   def appendSink(
       spark: SparkSession,
@@ -91,6 +100,9 @@ object DeltaLog {
 
   /** Update-mode result from the log: latest row per key by batchId (the
     * Merge.upsert shape — one keyed hash aggregation over the log).
+    * Within a batchId the pick among duplicates is arbitrary — exact
+    * only because [[appendSink]]'s crash-window duplicates are identical
+    * rows under a deterministic `prepare` (see its scaladoc).
     */
   def readLogUpsert(
       spark: SparkSession,
