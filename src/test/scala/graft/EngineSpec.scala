@@ -155,6 +155,86 @@ class EngineSpec extends AnyFunSuite {
       snap("model_load_time.count"))
   }
 
+  test("Prometheus exposition golden (monitoring.py:30-35 generate_latest twin)") {
+    // a fresh Metrics so only deliberately-touched accumulators exist:
+    // the exposition is then a pure function of these observations
+    val m = new graft.engine.Metrics(spark.sparkContext)
+    m.requestCount("query").add(2L)
+    m.errorCount("query", "validation_error").add(1L)
+    m.chunkCount("text").add(5L)
+    val h = m.processingTimeHistogram("query")
+    h.observe(50L) // lands in every bucket
+    h.observe(750L) // first bucket over 750 ms is le=1.0
+    m.modelLoadHistogram.observe(12L)
+    val expected =
+      """# TYPE graft_request_count counter
+        |graft_request_count{endpoint="query"} 2
+        |# TYPE graft_error_count counter
+        |graft_error_count{endpoint="query",error_type="validation_error"} 1
+        |# TYPE graft_chunk_count counter
+        |graft_chunk_count{endpoint="text"} 5
+        |# TYPE graft_processing_time_seconds histogram
+        |graft_processing_time_seconds_bucket{endpoint="query",le="0.1"} 1
+        |graft_processing_time_seconds_bucket{endpoint="query",le="0.5"} 1
+        |graft_processing_time_seconds_bucket{endpoint="query",le="1.0"} 2
+        |graft_processing_time_seconds_bucket{endpoint="query",le="2.0"} 2
+        |graft_processing_time_seconds_bucket{endpoint="query",le="5.0"} 2
+        |graft_processing_time_seconds_bucket{endpoint="query",le="10.0"} 2
+        |graft_processing_time_seconds_bucket{endpoint="query",le="+Inf"} 2
+        |graft_processing_time_seconds_sum{endpoint="query"} 0.800
+        |graft_processing_time_seconds_count{endpoint="query"} 2
+        |# TYPE graft_model_load_time_seconds histogram
+        |graft_model_load_time_seconds_bucket{le="1.0"} 1
+        |graft_model_load_time_seconds_bucket{le="5.0"} 1
+        |graft_model_load_time_seconds_bucket{le="10.0"} 1
+        |graft_model_load_time_seconds_bucket{le="30.0"} 1
+        |graft_model_load_time_seconds_bucket{le="60.0"} 1
+        |graft_model_load_time_seconds_bucket{le="+Inf"} 1
+        |graft_model_load_time_seconds_sum 0.012
+        |graft_model_load_time_seconds_count 1
+        |""".stripMargin
+    assert(m.exposition == expected)
+  }
+
+  test("metricsExposition gate: enabled serves the body, disabled is the 404 twin (config.py:33)") {
+    val on = new InceptionEngine(EngineConfig.default,
+      Some(new graft.engine.Metrics(spark.sparkContext)))
+    // construction observes the model-load warmup, so the body is non-empty
+    assert(on.metricsExposition.exists(
+      _.contains("graft_model_load_time_seconds_count 1")))
+    val off = new InceptionEngine(
+      EngineConfig.default.copy(enableMetrics = false),
+      Some(new graft.engine.Metrics(spark.sparkContext)))
+    assert(off.metricsExposition.isEmpty)
+    // no metrics sink at all: likewise nothing to serve
+    assert(new InceptionEngine(EngineConfig.default).metricsExposition.isEmpty)
+  }
+
+  test("EmbeddingModel seam: an alternate instance drops in with zero engine edits (config.py:6-9)") {
+    // a toy 4-d model — the shape a real ONNX/JNI model would take
+    object ToyModel extends graft.embed.EmbeddingModel {
+      def dim = 4
+      def embed(text: String): Array[Float] =
+        Array(text.length.toFloat, 1f, 0f, 0f)
+    }
+    val eng = new InceptionEngine(EngineConfig.default,
+      modelOverride = Some(ToyModel))
+    val out = eng.embedDocuments(docsDf(1L -> "Short document text."))
+      .collect().head
+    assert(out.embeddings.head.embedding.length == 4)
+    assert(out.embeddings.head.embedding(1) == 1f)
+    // scalar query path goes through the same seam (with the query prefix)
+    val q = eng.embedQuery("abc")
+    assert(q.length == 4 && q(0) > 3f)
+    // registry: the default name resolves to the hashing kernel; unknown
+    // names fail loudly at engine build time, not mid-job
+    assert(graft.embed.EmbeddingModel.forName("hashing-768") eq
+      graft.embed.Embedder)
+    intercept[IllegalArgumentException] {
+      graft.embed.EmbeddingModel.forName("modernbert-embed-base")
+    }
+  }
+
   test("decodeUtf8: invalid bytes -> decode_error with reference message; valid bytes round-trip") {
     import spark.implicits._
     val m = new graft.engine.Metrics(spark.sparkContext)

@@ -630,6 +630,73 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: JPEG recognized — SOF marker-walk dims exact, lossy pixel round-trip within tolerance") {
+    // the lake's dominant format: header metadata must be exact (pure
+    // byte walk, no entropy decode), pixel values only approximate
+    val jpg = Multimodal.encodeJpeg(24, 16, (_, _) => (100, 120, 140))
+    assert(Multimodal.decodeImageMeta(jpg) ==
+      Multimodal.MediaMeta("jpeg", 24, 16, 1, valid = true))
+    // solid color survives the codec within a small tolerance per channel
+    val st = Multimodal.imageStatsOf(jpg)
+    val n = 24L * 16
+    assert(math.abs(st.sum_r - 100 * n) <= 4 * n, s"sum_r=${st.sum_r}")
+    assert(math.abs(st.sum_g - 120 * n) <= 4 * n)
+    assert(math.abs(st.sum_b - 140 * n) <= 4 * n)
+    // resize keeps working through the same ImageIO path
+    assert(Multimodal.decodeImageMeta(
+      Multimodal.resizeImage(jpg, 8, 8)).valid)
+    // truncated-after-magic stream: invalid, never a guess or a crash
+    assert(Multimodal.decodeImageMeta(
+      Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte)) ==
+      Multimodal.MediaMeta("jpeg", 0, 0, 0, valid = false))
+  }
+
+  test("multimodal: corrupt GFRM containers are invalid, never a task crash") {
+    def be(i: Int) = Array((i >> 24).toByte, (i >> 16).toByte,
+      (i >> 8).toByte, i.toByte)
+    val magic = "GFRM".getBytes
+    // negative first-frame length: the old `12 + len` check overflowed
+    // into copyOfRange; must classify invalid instead
+    val neg = magic ++ be(1) ++ be(-5) ++ Array.fill(16)(0.toByte)
+    val mNeg = Multimodal.decodeImageMeta(neg)
+    assert(mNeg.format == "gfrm" && !mNeg.valid)
+    // frame length past the buffer: invalid
+    val over = magic ++ be(1) ++ be(1000) ++ Array.fill(4)(0.toByte)
+    assert(!Multimodal.decodeImageMeta(over).valid)
+    // a first frame that parses as no known format propagates ITS verdict
+    // out (truncated first frame != valid container)
+    val junkFrame = magic ++ be(1) ++ be(4) ++ Array.fill(4)(7.toByte)
+    assert(!Multimodal.decodeImageMeta(junkFrame).valid)
+    // sampleFrames stays total on the same inputs
+    assert(Multimodal.sampleFrames(neg, 3).isEmpty)
+    assert(Multimodal.sampleFrames(over, 3).isEmpty)
+    // and an intact container still decodes after all that guarding
+    val f = Multimodal.encodePng(4, 4, (_, _) => (9, 9, 9))
+    val ok = Multimodal.encodeFrameContainer(Seq(f, f))
+    assert(Multimodal.decodeImageMeta(ok).valid)
+  }
+
+  test("k-means: Lloyd loop evaluates the source projection once, not once per iteration") {
+    import graft.ops.Clustering
+    // count actual row materializations of the input projection with an
+    // accumulator-instrumented column: without the in-loop persist a
+    // 5-iteration run would evaluate it ~6x per row (centroid agg per
+    // iteration + assignment); with it, once (+ scheduling slack)
+    val acc = spark.sparkContext.longAccumulator("kmeans_scan_rows")
+    val mk = udf { (id: Long) =>
+      acc.add(1L)
+      Array.tabulate(8)(j => ((id * 31 + j * 7) % 13).toFloat)
+    }.asNondeterministic()
+    val df = spark.range(200).select(col("id"), mk(col("id")).as("v"))
+    val (_, cents) = Clustering.kMeans(df, "id", "v", k = 4, maxIters = 5,
+      dim = 8)
+    assert(cents.nonEmpty)
+    assert(acc.value <= 2L * 200,
+      s"source projection evaluated ${acc.value / 200.0}x per row — " +
+        "the Lloyd loop is rescanning instead of reading the persisted " +
+        "projection")
+  }
+
   test("weighted sampling: k per group, deterministic across partitionings, weight dominance") {
     import spark.implicits._
     import graft.ops.Sampling

@@ -267,6 +267,19 @@ class PlanSpec extends AnyFunSuite {
       s"expected a window-ranked decorrelation:\n$plan")
   }
 
+  test("q_inverted_index: posting cap runs as WindowGroupLimit below the exchange, never a full collect_list buffer") {
+    val plan = planOf("q_inverted_index")
+    // rank-filter pattern (row_number <= 10) must plan as WindowGroupLimit
+    // in BOTH phases: Partial (per-task bounded heap BELOW the shuffle —
+    // a stopword contributes at most 10 rows per task to the exchange)
+    // and Final after it. A plain Window + Filter would sort/buffer the
+    // full posting list per word first; collect_list would buffer it in
+    // one aggregation buffer — both are the 100 TB OOM this guards.
+    val wgl = """\(\d+\) WindowGroupLimit""".r.findAllIn(plan).length
+    assert(wgl >= 2, s"expected Partial+Final WindowGroupLimit:\n$plan")
+    assert(plan.contains("Partial"), s"no partial (below-exchange) phase:\n$plan")
+  }
+
   test("q_unpivot: melt is a narrow Expand feeding one partial-aggregated exchange") {
     val plan = planOf("q_unpivot")
     assert(plan.contains("Expand"))
