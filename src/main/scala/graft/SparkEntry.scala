@@ -1144,6 +1144,61 @@ object SparkEntry {
         col("sample_key"), col("sample_rank"))
       .orderBy("source", "sample_rank")
 
+  /** Deterministic train/val/test split (ops/Sampling.splitAssign):
+    * membership is a pure function of (seed, doc_id) — held-out sets
+    * never migrate between runs or engines. 90/5/5 at seed 42; the
+    * oracle recomputes the same md5-uniform thresholding.
+    */
+  private def qSplitAssign(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling
+      .splitAssign(tbl(s, dir, "documents"), "doc_id", seed = 42L,
+        trainFrac = 0.9, valFrac = 0.05)
+      .select(col("doc_id"), col("split_u"), col("split"))
+      .orderBy("doc_id")
+
+  /** Temperature-scaled source mixing (ops/Sampling.temperatureMix,
+    * alpha = 0.3 — the standard "upsample the tail domain" setting):
+    * one corpus scan → #sources rows with raw share, temperature share,
+    * and sampler boost. The oracle replays the power-law algebra.
+    */
+  private def qDomainMix(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling
+      .temperatureMix(tbl(s, dir, "documents"), "source", alpha = 0.3)
+      .orderBy("source")
+
+  /** Deterministic epoch shuffle + shard assignment
+    * (ops/Sampling.epochShard): `mix64(doc_id XOR seed)` hashes each doc
+    * to one of 8 shards, position = hash rank within the shard — a
+    * global permutation without a global sort (one uniform shard-keyed
+    * shuffle + per-shard sort). The oracle replays the splitmix64
+    * finalizer in HUGEINT arithmetic.
+    */
+  private def qEpochShuffle(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling
+      .epochShard(tbl(s, dir, "documents"), "doc_id", seed = 7L,
+        nShards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+
+  /** Semantic dedup with retention (ops/Dedup.semanticDedup — the
+    * SemDeDup recipe): embedding-LSH near-dup pairs → connected
+    * components → keep the minimum id per component. Every third vector
+    * is planted as an exact duplicate (id + 100000), the same corpus
+    * construction the neardup_embedding gate proves finds exactly the
+    * planted pairs and nothing else at threshold 0.95 — so components
+    * and keepers are fully determined and the oracle states them.
+    */
+  private def qSemDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val planted = e.unionAll(
+      e.filter(col("vec_id") % 3 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    graft.ops.Dedup
+      .semanticDedup(planted, "vec_id", "embedding",
+        threshold = 0.95, dim = 64)
+      .orderBy("vec_id")
+  }
+
   /** Stopword-ratio language ID (SQL-expressible heuristic). */
   private def qLangId(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
@@ -2844,7 +2899,11 @@ object SparkEntry {
     "q_snapshot" -> qSnapshot,
     "ann_incremental" -> qAnnIncremental,
     "q_explode_outer" -> qExplodeOuter,
-    "q_try_funcs" -> qTryFuncs
+    "q_try_funcs" -> qTryFuncs,
+    "q_split_assign" -> qSplitAssign,
+    "q_domain_mix" -> qDomainMix,
+    "q_epoch_shuffle" -> qEpochShuffle,
+    "q_semdedup" -> qSemDedup
   )
 
   /** DuckDB SQL fragments replicating the repo's hashing primitives
@@ -4907,6 +4966,62 @@ object SparkEntry {
          FROM iv
          WHERE valid_from_us <= 1704240000000000
            AND (valid_to_us IS NULL OR valid_to_us > 1704240000000000)
-         GROUP BY event_type ORDER BY event_type"""
+         GROUP BY event_type ORDER BY event_type""",
+    // md5("42:" || id)-uniform thresholding, the splitAssign replay:
+    // same first-8-hex-digits -> 32-bit uniform as q_weighted_sample
+    "q_split_assign" ->
+      """WITH u AS (SELECT doc_id,
+             md5('42:' || CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+         v AS (SELECT doc_id, list_reduce(list_transform(range(1, 9),
+             i -> CAST(strpos('0123456789abcdef', h[i:i]) - 1 AS BIGINT)),
+             (a, d) -> a * 16 + d) AS hv
+           FROM u),
+         s AS (SELECT doc_id,
+             round((CAST(hv AS DOUBLE) + 0.5) / 4294967296.0, 6) AS split_u
+           FROM v)
+         SELECT doc_id, split_u,
+           CASE WHEN split_u < 0.9 THEN 'train'
+                WHEN split_u < 0.95 THEN 'val'
+                ELSE 'test' END AS split
+         FROM s ORDER BY doc_id""",
+    "q_domain_mix" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_docs
+           FROM documents GROUP BY source),
+         t AS (SELECT SUM(n_docs) AS total_docs,
+             SUM(POWER(n_docs, 0.3)) AS total_pow FROM c)
+         SELECT source, n_docs,
+           round(n_docs / total_docs, 6) AS p_raw,
+           round(POWER(n_docs, 0.3) / total_pow, 6) AS p_mix,
+           round(POWER(n_docs, 0.3) / total_pow
+             / (n_docs / total_docs), 6) AS boost
+         FROM c CROSS JOIN t ORDER BY source""",
+    "q_epoch_shuffle" -> epochShuffleOracleSql,
+    // planted-duplicate construction: components and keepers are fully
+    // determined (see qSemDedup scaladoc and the neardup_embedding gate)
+    "q_semdedup" ->
+      """WITH a AS (SELECT vec_id FROM embeddings
+           UNION ALL SELECT vec_id + 100000 FROM embeddings
+           WHERE vec_id % 3 = 0)
+         SELECT vec_id,
+           CASE WHEN vec_id >= 100000 THEN vec_id - 100000
+                ELSE vec_id END AS component,
+           vec_id < 100000 AS is_canonical
+         FROM a ORDER BY vec_id"""
   )
+
+  /** DuckDB replay of [[graft.ops.Sampling.epochShard]] (seed 7, 8
+    * shards): the splitmix64 finalizer expanded in HUGEINT mod-2^64
+    * arithmetic, then floor-mod shard + per-shard hash rank.
+    */
+  private lazy val epochShuffleOracleSql: String = {
+    val hk = Duck.mix64("xor(doc_id, 7)")
+    s"""WITH h AS (SELECT doc_id, $hk AS hk FROM documents),
+        s AS (SELECT doc_id, hk,
+            CAST(((hk % 8) + 8) % 8 AS INTEGER) AS shard FROM h)
+        SELECT doc_id, shard,
+          CAST(row_number() OVER (PARTITION BY shard
+            ORDER BY hk, doc_id) AS INTEGER) AS pos
+        FROM s ORDER BY shard, pos"""
+  }
 }

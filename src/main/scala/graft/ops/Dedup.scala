@@ -318,6 +318,33 @@ object Dedup {
       .select("doc_a", "doc_b", "cosine")
   }
 
+  /** Semantic dedup with RETENTION (the SemDeDup recipe, Abbas et al.
+    * 2023, arXiv:2303.09540: find embedding-space near-duplicate groups,
+    * keep one representative per group): [[embeddingNearDup]]'s banded
+    * hyperplane-LSH pair generation feeds connected components, and the
+    * component's minimum id is the keeper. Returns every input row with
+    * its `component` and an `is_canonical` flag — the caller filters to
+    * canonical rows for the training set, or keeps the mapping for
+    * provenance.
+    *
+    * Scale shape: inherits the banded/capped pair generation (never
+    * all-pairs) and pointer-jumping components (O(log diameter) rounds);
+    * the final join back to the corpus is keyed on the id. The same
+    * composition as text-space dedup_clusters, in embedding space.
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      dim: Int = 768
+  ): DataFrame = {
+    val pairs = embeddingNearDup(df, idCol, vecCol, threshold, dim = dim)
+      .select("doc_a", "doc_b")
+    ConnectedComponents.canonicalize(
+      df.select(col(idCol)), idCol, pairs, "doc_a", "doc_b")
+  }
+
   /** Deterministic pseudo-random unit hyperplanes. */
   private[ops] def hyperplanes(n: Int, dim: Int): Array[Array[Float]] = {
     Array.tabulate(n) { p =>

@@ -728,6 +728,102 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set(3L))
   }
 
+  test("splitAssign: fractions honored, deterministic, assignments never migrate as the corpus grows") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    val big = Sampling.splitAssign(
+      spark.range(2000).toDF("id"), "id", seed = 42L, 0.9, 0.05)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val n = big.size.toDouble
+    assert(math.abs(big.values.count(_ == "train") / n - 0.9) < 0.03)
+    assert(math.abs(big.values.count(_ == "val") / n - 0.05) < 0.02)
+    assert(math.abs(big.values.count(_ == "test") / n - 0.05) < 0.02)
+    // the held-out contract: the first 500 ids keep their split when the
+    // corpus grows to 2000 (membership is a function of (seed, id) only)
+    val small = Sampling.splitAssign(
+      spark.range(500).toDF("id"), "id", seed = 42L, 0.9, 0.05)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    small.foreach { case (id, s) => assert(big(id) == s) }
+    // a different seed is a different (but still complete) assignment
+    val reseeded = Sampling.splitAssign(
+      spark.range(500).toDF("id"), "id", seed = 43L, 0.9, 0.05)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(small.keys.exists(id => small(id) != reseeded(id)))
+  }
+
+  test("temperatureMix: shares sum to 1, tail sources boosted, alpha=1 is proportional") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    // 3 sources with 1000/100/10 docs — a strong head/tail skew
+    val df = ((1 to 1000).map(_ => "big") ++ (1 to 100).map(_ => "mid") ++
+      (1 to 10).map(_ => "tiny")).toDF("source")
+    val m = Sampling.temperatureMix(df, "source", alpha = 0.3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(math.abs(m.values.map(_._2).sum - 1.0) < 1e-4) // p_raw
+    assert(math.abs(m.values.map(_._3).sum - 1.0) < 1e-4) // p_mix
+    assert(m("tiny")._4 > 1.0, "tail source must be upsampled")
+    assert(m("big")._4 < 1.0, "head source must be downsampled")
+    // temperature ordering: smaller source -> larger boost
+    assert(m("tiny")._4 > m("mid")._4 && m("mid")._4 > m("big")._4)
+    // alpha = 1 degenerates to the raw distribution (boost = 1)
+    Sampling.temperatureMix(df, "source", alpha = 1.0).collect()
+      .foreach(r => assert(math.abs(r.getDouble(4) - 1.0) < 1e-6))
+  }
+
+  test("epochShard: a true permutation per seed, stable across partitionings, no global sort") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    def run(parts: Int, seed: Long) = Sampling.epochShard(
+        spark.range(500).toDF("id").repartition(parts), "id", seed, 8)
+      .select("id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val a = run(4, 7L)
+    // every doc exactly once, (shard, pos) is a dense rank per shard
+    assert(a.map(_._1).distinct.length == 500)
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1 to rows.length))
+    }
+    // deterministic across physical layouts
+    assert(run(13, 7L).sortBy(_._1).sameElements(a.sortBy(_._1)))
+    // a new seed is a genuinely different permutation
+    val b = run(4, 8L)
+    assert(a.sortBy(_._1).map(t => (t._2, t._3)) !=
+      b.sortBy(_._1).map(t => (t._2, t._3)))
+    // shards are balanced-ish (uniform hash): no shard more than 2x mean
+    val sizes = a.groupBy(_._2).values.map(_.length)
+    assert(sizes.max <= 2 * 500 / 8)
+    // scale shape: the plan must not contain a single-partition window
+    // (a global order-by rank would); partitioning is by shard
+    val plan = Sampling.epochShard(
+        spark.range(500).toDF("id"), "id", 7L, 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"global-sort shuffle in epochShard plan:\n$plan")
+  }
+
+  test("semanticDedup: planted exact duplicates collapse to the original id; originals stay canonical") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val vecs = (0L until 60L).map { i =>
+      val v = Array.tabulate(16)(j =>
+        (graft.util.Hashing.mix64(i * 31 + j) % 1000) / 1000.0f)
+      (i, v)
+    }
+    val planted = (vecs ++ vecs.collect {
+      case (i, v) if i % 3 == 0 => (i + 1000L, v)
+    }).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(planted, "vec_id", "embedding",
+        threshold = 0.95, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length == 60 + 20)
+    out.foreach { case (id, comp, canon) =>
+      if (id >= 1000L) { assert(comp == id - 1000L); assert(!canon) }
+      else assert(canon, s"original $id lost canonical status")
+    }
+  }
+
   test("k-means: deterministic across partitionings, self-consistent assignment, tol early-stop") {
     import graft.ops.Clustering
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
