@@ -1199,6 +1199,48 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  /** Gopher-rule quality filter (ops/TextAnalysis.gopherRules): per-rule
+    * audit flags + statistics + the conjunction, one narrow codegen'd
+    * projection. The oracle replays the flat integer algebra.
+    */
+  private def qGopherRules(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.ops.TextAnalysis.gopherRules(col("text")).as("g"))
+      .select(col("doc_id"), col("g.*"))
+      .orderBy("doc_id")
+
+  /** Hard-negative mining for retrieval training (the contrastive-pair
+    * step downstream of embedding: per query, the top-k most similar
+    * corpus vectors with a DIFFERENT label — near-misses the loss
+    * learns the most from). Broadcast probe set × one corpus scan,
+    * WindowGroupLimit top-k on the rounded cosine + id (the repo-wide
+    * deterministic-ranking contract); at 100 TB the probe side stays
+    * the broadcast-sized set by construction.
+    */
+  private def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.CosineSimilarity.register(s)
+    val e = tbl(s, dir, "embeddings")
+    val probes = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("label").as("own_label"),
+        col("embedding").as("qv"))
+    val corpus = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("nbr_id"), col("label").as("nbr_label"),
+        col("embedding").as("nv"))
+    val scored = corpus.crossJoin(broadcast(probes))
+      .filter(col("nbr_label") =!= col("own_label"))
+      .select(col("probe_id"), col("nbr_id"),
+        round(graft.functions.CosineSimilarity
+          .cosine(col("nv"), col("qv")), 4).as("cos4"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos4").desc, col("nbr_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("probe_id", "rnk", "nbr_id", "cos4")
+      .orderBy("probe_id", "rnk")
+  }
+
   /** Stopword-ratio language ID (SQL-expressible heuristic). */
   private def qLangId(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
@@ -2903,7 +2945,9 @@ object SparkEntry {
     "q_split_assign" -> qSplitAssign,
     "q_domain_mix" -> qDomainMix,
     "q_epoch_shuffle" -> qEpochShuffle,
-    "q_semdedup" -> qSemDedup
+    "q_semdedup" -> qSemDedup,
+    "q_gopher_rules" -> qGopherRules,
+    "q_hard_negatives" -> qHardNegatives
   )
 
   /** DuckDB SQL fragments replicating the repo's hashing primitives
@@ -5007,7 +5051,55 @@ object SparkEntry {
            CASE WHEN vec_id >= 100000 THEN vec_id - 100000
                 ELSE vec_id END AS component,
            vec_id < 100000 AS is_canonical
-         FROM a ORDER BY vec_id"""
+         FROM a ORDER BY vec_id""",
+    // flat integer algebra: word chars = chars minus whitespace, symbol
+    // count = '#' chars + non-overlapping '...' runs, stopword hits via
+    // the split+list_contains twin of the \b-count (see lang_id oracle)
+    "q_gopher_rules" ->
+      """WITH t0 AS (SELECT doc_id, trim(text) AS t FROM documents),
+         m AS (SELECT doc_id,
+             len(regexp_split_to_array(t, '[ \t\n]+')) AS nw,
+             length(regexp_replace(t, '[ \t\n]', '', 'g')) AS wc,
+             length(t) - length(replace(t, '#', '')) AS nhash,
+             len(regexp_extract_all(t, '\.\.\.')) AS nell,
+             len(list_filter(regexp_split_to_array(lower(t),
+               '[^a-zA-Z0-9_]+'), w -> list_contains(
+               ['the','and','of','to','in','is','that','for','with','a'],
+               w))) AS stops
+           FROM t0),
+         r AS (SELECT doc_id, nw,
+             round(CAST(wc AS DOUBLE) / nw, 4) AS mean_word_len,
+             round(CAST(nhash + nell AS DOUBLE) / nw, 4) AS symbol_ratio,
+             stops
+           FROM m)
+         SELECT doc_id, CAST(nw AS INTEGER) AS n_words, mean_word_len,
+           symbol_ratio, CAST(stops AS INTEGER) AS stop_hits,
+           nw BETWEEN 50 AND 100000 AS word_count_ok,
+           mean_word_len BETWEEN 3.0 AND 10.0 AS mean_word_len_ok,
+           symbol_ratio <= 0.1 AS symbol_ratio_ok,
+           stops >= 2 AS stopword_ok,
+           (nw BETWEEN 50 AND 100000)
+             AND (mean_word_len BETWEEN 3.0 AND 10.0)
+             AND symbol_ratio <= 0.1 AND stops >= 2 AS keep
+         FROM r ORDER BY doc_id""",
+    "q_hard_negatives" ->
+      """WITH p AS (SELECT vec_id AS probe_id, label AS own_label,
+             CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS nbr_id, label AS nbr_label,
+             CAST(embedding AS DOUBLE[]) AS nv
+           FROM embeddings WHERE vec_id >= 20),
+         sc AS (SELECT probe_id, nbr_id,
+             round(list_dot_product(nv, qv) /
+               (sqrt(list_dot_product(nv, nv)) *
+                sqrt(list_dot_product(qv, qv))), 4) AS cos4
+           FROM c CROSS JOIN p WHERE nbr_label <> own_label),
+         r AS (SELECT *, CAST(row_number() OVER (
+             PARTITION BY probe_id ORDER BY cos4 DESC, nbr_id)
+             AS INTEGER) AS rnk
+           FROM sc)
+         SELECT probe_id, rnk, nbr_id, cos4 FROM r
+         WHERE rnk <= 5 ORDER BY probe_id, rnk"""
   )
 
   /** DuckDB replay of [[graft.ops.Sampling.epochShard]] (seed 7, 8

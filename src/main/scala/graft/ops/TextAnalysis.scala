@@ -76,6 +76,40 @@ object TextAnalysis {
   def tokenCountWs(text: Column): Column =
     size(split(trim(text), "[ \\t\\n]+"))
 
+  /** Gopher-style rule filter (Rae et al. 2021, arXiv:2112.11446 §A1.1 —
+    * the rule family behind the C4/Gopher web-scrape cleaners), the
+    * SQL-expressible subset: word-count bounds [50, 100000], mean word
+    * length in [3, 10], symbol-to-word ratio ('#' chars + '...' runs)
+    * ≤ 0.1, and ≥ 2 English function-word hits. Emits per-rule flags +
+    * the measured statistics + the conjunction `keep`, so a pipeline can
+    * both filter and AUDIT which rule fired — dropping documents with no
+    * recorded reason is how curation bugs hide.
+    *
+    * Everything is flat Column arithmetic (no higher-order functions):
+    * total word chars = chars minus whitespace, so mean word length
+    * needs no per-word iteration — it stays inside whole-stage codegen
+    * and the oracle replays it with the same integer algebra.
+    */
+  def gopherRules(text: Column): Column = {
+    val t = trim(text)
+    val nw = size(split(t, "[ \\t\\n]+"))
+    val wordChars = length(regexp_replace(t, "[ \\t\\n]", ""))
+    val meanLen = round(wordChars.cast("double") / nw.cast("double"), 4)
+    val nHash = length(t) - length(regexp_replace(t, "#", ""))
+    val nEll = size(regexp_extract_all(t, lit("\\.\\.\\."), lit(0)))
+    val symRatio = round((nHash + nEll).cast("double") / nw.cast("double"), 4)
+    val stops = stopwordHits(text, "en")
+    val wcOk = nw.between(50, 100000)
+    val mlOk = meanLen.between(3.0, 10.0)
+    val srOk = symRatio <= 0.1
+    val swOk = stops >= 2
+    struct(nw.as("n_words"), meanLen.as("mean_word_len"),
+      symRatio.as("symbol_ratio"), stops.as("stop_hits"),
+      wcOk.as("word_count_ok"), mlOk.as("mean_word_len_ok"),
+      srOk.as("symbol_ratio_ok"), swOk.as("stopword_ok"),
+      (wcOk && mlOk && srOk && swOk).as("keep"))
+  }
+
   /** BPE-ish token count via the engine tokenizer (UDF; the number the
     * chunker budgets against).
     */

@@ -728,6 +728,36 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set(3L))
   }
 
+  test("gopherRules: each rule fires on its own violation; clean prose keeps") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val clean = ("the quick brown fox jumps over the lazy dog and runs " +
+      "far into the deep green forest with great speed today ") * 5
+    val tooShort = "the cat sat on the mat and slept"
+    val symbols = clean + (" ####" * 30)
+    val longWords = (("pneumonoultramicroscopic " * 60) + "the and is")
+    val noStops = "zebra yak xylophone wombat vulture unicorn tiger " * 10
+    val rows = Seq((1L, clean), (2L, tooShort), (3L, symbols),
+      (4L, longWords), (5L, noStops)).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextAnalysis.gopherRules(col("text")).as("g"))
+      .select(col("doc_id"), col("g.*"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getAs[Boolean]("keep"), "clean prose must keep")
+    assert(!rows(2L).getAs[Boolean]("word_count_ok") &&
+      !rows(2L).getAs[Boolean]("keep"))
+    assert(!rows(3L).getAs[Boolean]("symbol_ratio_ok"))
+    assert(!rows(4L).getAs[Boolean]("mean_word_len_ok"))
+    assert(!rows(5L).getAs[Boolean]("stopword_ok"))
+    // audit invariant: keep == conjunction of the four flags, always
+    rows.values.foreach { r =>
+      assert(r.getAs[Boolean]("keep") == (r.getAs[Boolean]("word_count_ok")
+        && r.getAs[Boolean]("mean_word_len_ok")
+        && r.getAs[Boolean]("symbol_ratio_ok")
+        && r.getAs[Boolean]("stopword_ok")))
+    }
+  }
+
   test("splitAssign: fractions honored, deterministic, assignments never migrate as the corpus grows") {
     import spark.implicits._
     import graft.ops.Sampling
