@@ -47,6 +47,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curation: splitAssign + gopherRules on a stream match the batch run exactly") {
+    // the curation ops are stateless narrow projections, so their
+    // docstring claim — "runs identically over a stream" — must hold
+    // byte-for-byte: same split assignment, same rule flags, regardless
+    // of which micro-batch a document arrives in
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (1L to 40L).map { i =>
+      val filler = if (i % 4 == 0) "the quick brown fox jumps and " else "x "
+      (i, (s"Document number $i with some words. " + filler * 30).trim)
+    }
+    val mem = MemoryStream[(Long, String)]
+    val stream = graft.ops.Sampling.splitAssign(
+        mem.toDF().toDF("doc_id", "text"), "doc_id",
+        seed = 42L, trainFrac = 0.8, valFrac = 0.1)
+      .select(col("doc_id"), col("split"),
+        graft.ops.TextAnalysis.gopherRules(col("text")).as("g"))
+      .select(col("doc_id"), col("split"), col("g.keep").as("keep"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("curation_out").start()
+    try {
+      // arrival split across three micro-batches, out of id order
+      mem.addData(docs.drop(25): _*); q.processAllAvailable()
+      mem.addData(docs.slice(10, 25): _*); q.processAllAvailable()
+      mem.addData(docs.take(10): _*); q.processAllAvailable()
+      val got = spark.table("curation_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).sorted
+      val want = graft.ops.Sampling.splitAssign(
+          docs.toDF("doc_id", "text"), "doc_id",
+          seed = 42L, trainFrac = 0.8, valFrac = 0.1)
+        .select(col("doc_id"), col("split"),
+          graft.ops.TextAnalysis.gopherRules(col("text")).as("g"))
+        .select(col("doc_id"), col("split"), col("g.keep").as("keep"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).sorted
+      assert(got.length == 40)
+      assert(got.sameElements(want))
+      // and the filter actually separates: both outcomes occur
+      assert(got.exists(_._3) && got.exists(!_._3))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization matches batch fold across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
