@@ -280,6 +280,33 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Partial"), s"no partial (below-exchange) phase:\n$plan")
   }
 
+  test("q_domain_mix: totals broadcast back onto the counts — the corpus never re-shuffles") {
+    val plan = planOf("q_domain_mix")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"totals side must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"O(1)-row totals must never shuffle-join or cartesian:\n$plan")
+  }
+
+  test("q_hard_negatives: probes broadcast, ranking is WindowGroupLimit — one corpus scan, no shuffle join") {
+    val plan = planOf("q_hard_negatives")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"probe set must broadcast onto the corpus scan:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k must plan as WindowGroupLimit, not full sort+filter:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
+  }
+
+  test("q_split_assign: a stateless narrow projection — only the output sort exchanges") {
+    val plan = planOf("q_split_assign")
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(plan).length
+    assert(exchanges <= 1,
+      s"split assignment must not shuffle (output sort only):\n$plan")
+    assert(!plan.contains("Window "), s"no window state expected:\n$plan")
+  }
+
   test("q_unpivot: melt is a narrow Expand feeding one partial-aggregated exchange") {
     val plan = planOf("q_unpivot")
     assert(plan.contains("Expand"))
