@@ -718,6 +718,43 @@ object SparkEntry {
       p
     })
 
+  private val docsStreamDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  private def docsStreamDir(dir: String): java.nio.file.Path =
+    docsStreamDirCache.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files.createTempDirectory("graft_stream_docs")
+      java.nio.file.Files.createSymbolicLink(
+        p.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$d/documents.parquet"))
+      p
+    })
+
+  /** The curation stages run BY A REAL STREAMING QUERY — documents
+    * arrive through a file-stream source and flow through splitAssign +
+    * gopherRules unchanged (both are stateless narrow projections, so
+    * streaming is the batch plan under a different source; StreamingSpec
+    * additionally proves batch/stream equality across out-of-order
+    * micro-batches). Append-mode foreachBatch into the distributed
+    * delta log; the oracle computes the same split + keep per document
+    * in pure SQL — the streaming path must land byte-identical rows.
+    */
+  private def qDocsStreamCuration(s: SparkSession, dir: String): DataFrame = {
+    val schema = tbl(s, dir, "documents").schema
+    val stream = s.readStream.schema(schema)
+      .parquet(docsStreamDir(dir).toString)
+    val curated = graft.ops.Sampling
+      .splitAssign(stream, "doc_id", seed = 42L,
+        trainFrac = 0.9, valFrac = 0.05)
+      .select(col("doc_id"), col("split"),
+        graft.ops.TextAnalysis.gopherRules(col("text"))
+          .getField("keep").as("keep"))
+    val log = streamToDeltaLog(s, curated, "append")
+    readDeltaLog(s, log, curated.schema)
+      .select("doc_id", "split", "keep")
+      .orderBy("doc_id")
+  }
+
   /** Event-time tumbling counts computed BY A REAL STREAMING QUERY:
     * file-stream source over the same parquet, event-time watermark (1h —
     * bounds window state at scale), Trigger.AvailableNow, UPDATE-mode
@@ -2947,7 +2984,8 @@ object SparkEntry {
     "q_epoch_shuffle" -> qEpochShuffle,
     "q_semdedup" -> qSemDedup,
     "q_gopher_rules" -> qGopherRules,
-    "q_hard_negatives" -> qHardNegatives
+    "q_hard_negatives" -> qHardNegatives,
+    "docs_stream_curation" -> qDocsStreamCuration
   )
 
   /** DuckDB SQL fragments replicating the repo's hashing primitives
@@ -5099,7 +5137,44 @@ object SparkEntry {
              AS INTEGER) AS rnk
            FROM sc)
          SELECT probe_id, rnk, nbr_id, cos4 FROM r
-         WHERE rnk <= 5 ORDER BY probe_id, rnk"""
+         WHERE rnk <= 5 ORDER BY probe_id, rnk""",
+    // batch twin of the streaming curation gate: split + keep per doc
+    // (the split CTE mirrors q_split_assign, keep mirrors q_gopher_rules)
+    "docs_stream_curation" ->
+      """WITH u AS (SELECT doc_id,
+             md5('42:' || CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+         v AS (SELECT doc_id, list_reduce(list_transform(range(1, 9),
+             i -> CAST(strpos('0123456789abcdef', h[i:i]) - 1 AS BIGINT)),
+             (a, d) -> a * 16 + d) AS hv
+           FROM u),
+         sp AS (SELECT doc_id,
+             round((CAST(hv AS DOUBLE) + 0.5) / 4294967296.0, 6) AS su
+           FROM v),
+         t0 AS (SELECT doc_id, trim(text) AS t FROM documents),
+         m AS (SELECT doc_id,
+             len(regexp_split_to_array(t, '[ \t\n]+')) AS nw,
+             length(regexp_replace(t, '[ \t\n]', '', 'g')) AS wc,
+             length(t) - length(replace(t, '#', '')) AS nhash,
+             len(regexp_extract_all(t, '\.\.\.')) AS nell,
+             len(list_filter(regexp_split_to_array(lower(t),
+               '[^a-zA-Z0-9_]+'), w -> list_contains(
+               ['the','and','of','to','in','is','that','for','with','a'],
+               w))) AS stops
+           FROM t0),
+         k AS (SELECT doc_id,
+             (nw BETWEEN 50 AND 100000)
+               AND (round(CAST(wc AS DOUBLE) / nw, 4) BETWEEN 3.0 AND 10.0)
+               AND round(CAST(nhash + nell AS DOUBLE) / nw, 4) <= 0.1
+               AND stops >= 2 AS keep
+           FROM m)
+         SELECT sp.doc_id,
+           CASE WHEN su < 0.9 THEN 'train'
+                WHEN su < 0.95 THEN 'val'
+                ELSE 'test' END AS split,
+           keep
+         FROM sp JOIN k ON sp.doc_id = k.doc_id
+         ORDER BY sp.doc_id"""
   )
 
   /** DuckDB replay of [[graft.ops.Sampling.epochShard]] (seed 7, 8
