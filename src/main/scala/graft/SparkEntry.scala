@@ -1278,6 +1278,18 @@ object SparkEntry {
       .orderBy("probe_id", "rnk")
   }
 
+  /** C4-style duplicate-span removal (ops/Dedup.spanDedup): every
+    * 3-word span keeps only its globally first occurrence, documents are
+    * reassembled from the survivors. Two keyed shuffles (span text, then
+    * doc id); the first-occurrence flag is a streaming row_number. The
+    * oracle replays tokenize → span cut → window rank → ordered
+    * string_agg in pure SQL.
+    */
+  private def qSpanDedup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.spanDedup(
+      tbl(s, dir, "documents"), "doc_id", "text", spanWords = 3)
+      .orderBy("doc_id")
+
   /** Stopword-ratio language ID (SQL-expressible heuristic). */
   private def qLangId(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
@@ -2985,7 +2997,8 @@ object SparkEntry {
     "q_semdedup" -> qSemDedup,
     "q_gopher_rules" -> qGopherRules,
     "q_hard_negatives" -> qHardNegatives,
-    "docs_stream_curation" -> qDocsStreamCuration
+    "docs_stream_curation" -> qDocsStreamCuration,
+    "q_span_dedup" -> qSpanDedup
   )
 
   /** DuckDB SQL fragments replicating the repo's hashing primitives
@@ -5174,7 +5187,31 @@ object SparkEntry {
                 ELSE 'test' END AS split,
            keep
          FROM sp JOIN k ON sp.doc_id = k.doc_id
-         ORDER BY sp.doc_id"""
+         ORDER BY sp.doc_id""",
+    // C4-style duplicate-span removal: cut into non-overlapping 3-word
+    // spans, rank each span text globally by (doc_id, pos), keep rank 1,
+    // reassemble with an ordered string_agg (COALESCE for the
+    // all-spans-removed document, where Spark's concat_ws yields '')
+    "q_span_dedup" ->
+      """WITH d AS (SELECT doc_id, list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+             x -> x <> '') AS ws
+           FROM documents),
+         sp AS (SELECT doc_id, g AS pos,
+             array_to_string(ws[g*3+1:g*3+3], ' ') AS span
+           FROM d, unnest(range(0, (len(ws) - 1) // 3 + 1)) t(g)
+           WHERE len(ws) > 0),
+         r AS (SELECT doc_id, pos, span,
+             row_number() OVER (PARTITION BY span
+               ORDER BY doc_id, pos) AS rn
+           FROM sp)
+         SELECT doc_id,
+           count(*) AS n_spans,
+           CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_removed,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN span END, ' '
+             ORDER BY pos), '') AS text_deduped
+         FROM r GROUP BY doc_id ORDER BY doc_id"""
   )
 
   /** DuckDB replay of [[graft.ops.Sampling.epochShard]] (seed 7, 8

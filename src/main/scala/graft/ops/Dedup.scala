@@ -345,6 +345,55 @@ object Dedup {
       df.select(col(idCol)), idCol, pairs, "doc_a", "doc_b")
   }
 
+  /** Duplicate-SPAN removal (the C4 recipe, Raffel et al. 2020,
+    * arXiv:1910.10683 §2.2 — "discard all but one of any three-sentence
+    * span occurring more than once"): cut each document into consecutive
+    * non-overlapping n-word spans, keep only the globally FIRST
+    * occurrence of every span text (ordered by (id, position)), and
+    * reassemble what survives. Emits per document: `n_spans`,
+    * `n_removed`, and `text_deduped` (kept spans rejoined in order; empty
+    * string when nothing survives).
+    *
+    * Scale shape: two keyed shuffles, never all-pairs — (1) exchange on
+    * the span text, where the first-occurrence flag is a streaming
+    * `row_number` over the span-sorted partition (constant per-key
+    * state: the rank never buffers a span's copies, so a boilerplate
+    * span repeated a billion times streams through its reducer); (2)
+    * exchange back on the document id to reassemble. Per-doc state is
+    * bounded by the document length cap.
+    *
+    * Pure Column expressions end to end (tokenize/slice/window/agg), so
+    * a SQL oracle can replay it exactly.
+    */
+  def spanDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanWords: Int = 3
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = expr(
+      s"filter(split(lower($textCol), '[^a-z0-9_]+'), x -> x <> '')")
+    val spans = df
+      .select(col(idCol), ws.as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col(idCol), posexplode(expr(
+        s"""transform(sequence(0, (size(ws) - 1) div $spanWords),
+              g -> concat_ws(' ', slice(ws, g * $spanWords + 1, $spanWords)))"""))
+        .as(Seq("pos", "span")))
+    val firstOcc = row_number().over(
+      Window.partitionBy(col("span")).orderBy(col(idCol), col("pos")))
+    spans
+      .withColumn("is_first", firstOcc === 1)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("is_first"), 0L).otherwise(1L)).as("n_removed"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(" +
+            "CASE WHEN is_first THEN struct(pos, span) END)), x -> x.span)"))
+          .as("text_deduped"))
+  }
+
   /** Deterministic pseudo-random unit hyperplanes. */
   private[ops] def hyperplanes(n: Int, dim: Int): Array[Array[Float]] = {
     Array.tabulate(n) { p =>

@@ -1344,4 +1344,28 @@ class OpsSpec extends AnyFunSuite {
     assert(hits.filter(col("old_id") === 450L).count() == 1,
       "appended doc not found by a later probe of its copy")
   }
+
+  test("spanDedup: planted duplicate spans keep only their first (id, pos) occurrence; reassembly preserves order") {
+    val d = docs(
+      0L -> "a b c d e f",       // both spans first: survives intact
+      1L -> "a b c x y z",       // "a b c" is doc 0's: half removed
+      2L -> "a b c d e f",       // every span already seen: empty text
+      3L -> "p q",               // single short tail span, unique
+      4L -> "x y z a b c p q")   // all three spans seen earlier: empty
+    val out = graft.ops.Dedup.spanDedup(d, "doc_id", "text", spanWords = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 0L, "a b c d e f"),
+      (1L, 2L, 1L, "x y z"),
+      (2L, 2L, 2L, ""),
+      (3L, 1L, 0L, "p q"),
+      (4L, 3L, 3L, "")))
+    // determinism: the winner never depends on the input partitioning
+    val re = graft.ops.Dedup.spanDedup(
+        d.repartition(7), "doc_id", "text", spanWords = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(re.toSeq == out.toSeq)
+  }
 }

@@ -299,6 +299,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
   }
 
+  test("q_span_dedup: span-keyed window + partial-agg reassembly — three exchanges, no global sort rank") {
+    val plan = planOf("q_span_dedup")
+    // (1) exchange on span for the first-occurrence rank, (2) exchange on
+    // doc id for reassembly, (3) the output orderBy's range exchange
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(plan).length
+    assert(exchanges <= 3, s"unexpected extra shuffles in:\n$plan")
+    // the rank must stream per span partition, never through one task
+    assert(!plan.contains("SinglePartition"),
+      s"global-sort rank in span-dedup plan:\n$plan")
+    // reassembly must partial-aggregate below its exchange
+    assert(plan.contains("ObjectHashAggregate"),
+      s"no map-side partial aggregation:\n$plan")
+  }
+
   test("q_split_assign: a stateless narrow projection — only the output sort exchanges") {
     val plan = planOf("q_split_assign")
     val exchanges = """\(\d+\) Exchange""".r.findAllIn(plan).length
