@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(graft.functions.CosineSimilarityQ.name),
       graft.functions.CosineSimilarityQ.info,
       graft.functions.CosineSimilarityQ.builder _))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.UnicodeNormalize.name),
+      graft.functions.UnicodeNormalize.info,
+      graft.functions.UnicodeNormalize.builder _))
     // native as-of join planner rule (plans/AsOfJoinNative); the
     // DataFrame API also self-registers via experimental strategies for
     // sessions built without extensions

@@ -2147,6 +2147,38 @@ object SparkEntry {
           PhoneRe, "<PHONE>")).as("redacted_len"))
       .orderBy("doc_id")
 
+  /** Unicode normalization gate (functions/UnicodeNorm — the native
+    * codegen'd normalizer): accent the ASCII corpus deterministically
+    * (vowels → precomposed accented forms, plus an appended DECOMPOSED
+    * e + U+0301 pair), then NFC-compose and accent-strip. NFC must
+    * shrink the decomposed pair to one codepoint and stripping must
+    * invert the accenting exactly — both emitted as checked columns so
+    * a divergence from DuckDB's utf8proc semantics fails the hash gate
+    * loudly. Narrow whole-stage-codegen projection; the scan is the
+    * plan.
+    */
+  private def qUnicodeNorm(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.UnicodeNormalize.register(s)
+    import graft.functions.UnicodeNormalize.{normalize, stripAccents}
+    tbl(s, dir, "documents")
+      .withColumn("base", substring(col("text"), 1, 40))
+      .withColumn("raw", concat(
+        // vowels -> precomposed a-grave e-acute i-circ o-uml u-uml;
+        // the suffix is a DECOMPOSED e + U+0301 that NFC must fuse
+        translate(col("base"), "aeiou",
+          "\u00e0\u00e9\u00ee\u00f6\u00fc"),
+        lit(" e\u0301clat")))
+      .select(
+        col("doc_id"),
+        length(col("raw")).cast("long").as("n_raw"),
+        length(normalize(col("raw"), "NFC")).cast("long").as("n_nfc"),
+        normalize(col("raw"), "NFC").as("text_nfc"),
+        stripAccents(col("raw")).as("text_stripped"),
+        (stripAccents(col("raw")) === concat(col("base"), lit(" eclat")))
+          .as("strip_inverts"))
+      .orderBy("doc_id")
+  }
+
   /** Event-time gap fill: dense hourly (event_type × hour) grid with
     * zero counts for silent hours — integer µs bucket arithmetic end to
     * end, so rows are exact. The grid is built distributed
@@ -2998,7 +3030,8 @@ object SparkEntry {
     "q_gopher_rules" -> qGopherRules,
     "q_hard_negatives" -> qHardNegatives,
     "docs_stream_curation" -> qDocsStreamCuration,
-    "q_span_dedup" -> qSpanDedup
+    "q_span_dedup" -> qSpanDedup,
+    "q_unicode_norm" -> qUnicodeNorm
   )
 
   /** DuckDB SQL fragments replicating the repo's hashing primitives
@@ -5211,7 +5244,25 @@ object SparkEntry {
              AS n_removed,
            COALESCE(string_agg(CASE WHEN rn = 1 THEN span END, ' '
              ORDER BY pos), '') AS text_deduped
-         FROM r GROUP BY doc_id ORDER BY doc_id"""
+         FROM r GROUP BY doc_id ORDER BY doc_id""",
+    // Unicode normalization replay: the accented corpus is rebuilt with
+    // chr() codepoints (224/233/238/246/252 = precomposed a..u accents,
+    // 769 = the combining acute the NFC pass must fuse); nfc_normalize
+    // and strip_accents are DuckDB's utf8proc twins of the engine's
+    // java.text.Normalizer expression
+    "q_unicode_norm" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 40) AS base,
+             translate(substr(text, 1, 40), 'aeiou',
+               chr(224)||chr(233)||chr(238)||chr(246)||chr(252))
+             || ' e' || chr(769) || 'clat' AS raw
+           FROM documents)
+         SELECT doc_id,
+           CAST(length(raw) AS BIGINT) AS n_raw,
+           CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_nfc,
+           nfc_normalize(raw) AS text_nfc,
+           strip_accents(raw) AS text_stripped,
+           strip_accents(raw) = (base || ' eclat') AS strip_inverts
+         FROM d ORDER BY doc_id"""
   )
 
   /** DuckDB replay of [[graft.ops.Sampling.epochShard]] (seed 7, 8

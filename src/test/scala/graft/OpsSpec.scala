@@ -366,6 +366,43 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(expr.eval(null).asInstanceOf[Double] - 1.0) < 1e-9)
   }
 
+  test("native unicode normalize: NFC fuses, NFKC folds compatibility chars, strip inverts accents, codegen and interpreted agree") {
+    import graft.functions.UnicodeNormalize
+    UnicodeNormalize.register(spark)
+    val composedE = "\u00e9"          // precomposed e-acute
+    val decomposedE = "e\u0301"       // e + combining acute
+    val df = spark.range(1).select(
+      UnicodeNormalize.normalize(lit(decomposedE), "NFC").as("nfc"),
+      UnicodeNormalize.normalize(
+        lit("\ufb01ne \u00bd"), "NFKC").as("nfkc"),
+      UnicodeNormalize.stripAccents(
+        lit("d\u00e9j\u00e0 vu na\u00efve")).as("stripped"),
+      UnicodeNormalize.normalize(lit(null).cast("string"), "NFC").as("nul"))
+    val r = df.head()
+    assert(r.getString(0) == composedE)
+    assert(r.getString(1) == "fine 1\u20442")  // fi ligature, vulgar half
+    assert(r.getString(2) == "deja vu naive")
+    assert(r.isNullAt(3))
+    // SQL surface via the registered builder (form is a plan-time literal)
+    // 65 CC 81 = UTF-8 bytes of e + combining acute (Spark SQL's char()
+    // is mod-256 ASCII and cannot spell a combining mark)
+    val viaSql = spark.sql(
+      "SELECT graft_normalize(decode(unhex('65CC81'), 'UTF-8'), 'NFC') AS c")
+      .head().getString(0)
+    assert(viaSql == composedE)
+    // a non-literal form must be rejected at plan time, not guessed
+    intercept[Exception] {
+      spark.sql("SELECT graft_normalize('x', lower('NFC'))").head()
+    }
+    // interpreted path (nullSafeEval) must agree with codegen
+    val expr = UnicodeNormalize(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        org.apache.spark.unsafe.types.UTF8String.fromString(decomposedE),
+        org.apache.spark.sql.types.StringType),
+      java.text.Normalizer.Form.NFC)
+    assert(expr.eval(null).toString == composedE)
+  }
+
   test("as-of join: ties inclusive, no prior row → null, no cross-key leakage") {
     import spark.implicits._
     val left = Seq((1L, 100L, 10L), (2L, 100L, 20L), (3L, 200L, 5L))

@@ -299,6 +299,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
   }
 
+  test("q_unicode_norm: native normalizer stays a narrow codegen projection — only the output sort exchanges") {
+    val plan = planOf("q_unicode_norm")
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(plan).length
+    assert(exchanges <= 1,
+      s"normalization must not shuffle (output sort only):\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"normalizer must be a native expression, not a UDF:\n$plan")
+    // codegen ids only appear on the EXECUTED plan under AQE; "*(n) "
+    // is the WholeStageCodegen marker — the Project carrying
+    // graft_normalize must sit inside a codegen span
+    val df = SparkEntry.queries("q_unicode_norm")(spark, sf)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[doc_id""".r.findFirstIn(executed).isDefined,
+      s"normalize projection fell out of codegen:\n$executed")
+  }
+
   test("q_span_dedup: span-keyed window + partial-agg reassembly — three exchanges, no global sort rank") {
     val plan = planOf("q_span_dedup")
     // (1) exchange on span for the first-occurrence rank, (2) exchange on
