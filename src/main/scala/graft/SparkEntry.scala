@@ -2179,6 +2179,39 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Incremental aggregate maintenance gate (ops/IncrementalAgg): the
+    * corpus arrives as three disjoint batches, each merged into a
+    * bucket-partitioned per-source stats state in O(batch) work; the
+    * final state must equal the oracle's one-shot full aggregation.
+    * The state dir is manifest-keyed under `spark.graft.scratch` (the
+    * writtenTfTable pattern) and rebuilt per invocation — the gate
+    * times the maintenance path itself, not a cache hit.
+    */
+  private def qIncrStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val hconf = s.sparkContext.hadoopConfiguration
+    val docs = new Path(s"$dir/documents.parquet")
+    val manifest = docs.getFileSystem(hconf).listStatus(docs)
+      .sortBy(_.getPath.getName)
+      .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+      .mkString("|")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"incrstats-v1|$dir|$manifest"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
+    val scratch = new Path(s.conf.getOption("spark.graft.scratch")
+      .getOrElse(sys.props("java.io.tmpdir")))
+    val path = new Path(scratch, s"graft_incrstats_$key")
+    path.getFileSystem(hconf).delete(path, true)
+    val d = tbl(s, dir, "documents")
+    (0 until 3).foreach { b =>
+      graft.ops.IncrementalAgg.update(
+        d.filter(pmod(col("doc_id"), lit(3)) === b),
+        "source", "n_chars", path.toString, nBuckets = 8)
+    }
+    graft.ops.IncrementalAgg.read(s, path.toString).orderBy("key")
+  }
+
   /** Event-time gap fill: dense hourly (event_type × hour) grid with
     * zero counts for silent hours — integer µs bucket arithmetic end to
     * end, so rows are exact. The grid is built distributed
@@ -3031,7 +3064,8 @@ object SparkEntry {
     "q_hard_negatives" -> qHardNegatives,
     "docs_stream_curation" -> qDocsStreamCuration,
     "q_span_dedup" -> qSpanDedup,
-    "q_unicode_norm" -> qUnicodeNorm
+    "q_unicode_norm" -> qUnicodeNorm,
+    "q_incr_stats" -> qIncrStats
   )
 
   /** DuckDB SQL fragments replicating the repo's hashing primitives
@@ -5262,7 +5296,18 @@ object SparkEntry {
            nfc_normalize(raw) AS text_nfc,
            strip_accents(raw) AS text_stripped,
            strip_accents(raw) = (base || ' eclat') AS strip_inverts
-         FROM d ORDER BY doc_id"""
+         FROM d ORDER BY doc_id""",
+    // Incremental state vs one-shot recompute: three O(batch) merges
+    // must land exactly where a single full aggregation does (count and
+    // sum are associative, min/max idempotent-mergeable); sum cast from
+    // DuckDB's HUGEINT back to the engine's LONG accumulator type
+    "q_incr_stats" ->
+      """SELECT source AS key,
+           count(*) AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS sum_val,
+           min(n_chars) AS min_val,
+           max(n_chars) AS max_val
+         FROM documents GROUP BY source ORDER BY key"""
   )
 
   /** DuckDB replay of [[graft.ops.Sampling.epochShard]] (seed 7, 8

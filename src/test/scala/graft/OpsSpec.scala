@@ -1382,6 +1382,48 @@ class OpsSpec extends AnyFunSuite {
       "appended doc not found by a later probe of its copy")
   }
 
+  test("incremental agg: batch merges equal one-shot recompute; untouched buckets are never rewritten") {
+    import spark.implicits._
+    import graft.ops.IncrementalAgg
+    val root = java.nio.file.Files.createTempDirectory("incragg")
+    val path = root.resolve("state").toString
+    val batch1 = (0 until 160).map(i => (s"k${i % 16}", i.toLong))
+      .toDF("k", "v")
+    IncrementalAgg.update(batch1, "k", "v", path, nBuckets = 8)
+    // per-bucket file-name fingerprint: a rewritten bucket gets fresh
+    // part-file names, an untouched one keeps its exact files
+    def files(): Map[String, Set[String]] = {
+      val d = new java.io.File(path)
+      d.listFiles().filter(_.getName.startsWith("bucket="))
+        .map(b => b.getName -> b.listFiles().map(_.getName).toSet).toMap
+    }
+    val before = files()
+    assert(before.size > 1, s"want several buckets, got ${before.keySet}")
+    val batch2 = Seq(("k3", 1000L), ("k3", -5L)).toDF("k", "v")
+    IncrementalAgg.update(batch2, "k", "v", path, nBuckets = 8)
+    val after = files()
+    val k3Bucket = spark.range(1)
+      .select(pmod(xxhash64(lit("k3")), lit(8L)).cast("int")).head().getInt(0)
+    val changed = (before.keySet ++ after.keySet)
+      .filter(b => before.get(b) != after.get(b))
+    assert(changed == Set(s"bucket=$k3Bucket"),
+      s"expected only k3's bucket to change, got $changed")
+    // the params sidecar pins nBuckets: a later update with a WRONG
+    // nBuckets argument must still route k3 to the same bucket
+    IncrementalAgg.update(Seq(("k3", 7L)).toDF("k", "v"), "k", "v",
+      path, nBuckets = 999)
+    // merged state equals the one-shot aggregation of all three batches
+    val got = IncrementalAgg.read(spark, path)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val want = batch1.unionByName(batch2)
+      .unionByName(Seq(("k3", 7L)).toDF("k", "v"))
+      .groupBy("k").agg(count(lit(1)), sum("v"), min("v"), max("v"))
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == want)
+  }
+
   test("spanDedup: planted duplicate spans keep only their first (id, pos) occurrence; reassembly preserves order") {
     val d = docs(
       0L -> "a b c d e f",       // both spans first: survives intact
