@@ -2871,6 +2871,74 @@ object SparkEntry {
       .orderBy("probe_id")
   }
 
+  /** Hybrid retrieval with reciprocal-rank fusion (k=60) — the
+    * semantic-search composition the reference's embedding service
+    * exists to power: a VECTOR ranked list (brute-force cosine of the
+    * probe embeddings, the q_knn_eval shape: broadcast probes ×
+    * one corpus scan, rounded-cosine WindowGroupLimit top-20) fused
+    * with a LEXICAL ranked list (distinct-word Jaccard computed from
+    * the shared write-once TF table: probe words broadcast onto one
+    * word-keyed join, never a corpus×corpus comparison), then
+    * `rrf = Σ 1/(60+rank)` over both lists, top-10 per probe.
+    * Doc-count sides are broadcast like qBm25's dl (same caveat: at
+    * corpus scales beyond broadcast, key the nd join by doc id).
+    * Every ranking is rounded + id-tiebroken, so the DuckDB replay is
+    * exact.
+    */
+  private def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.CosineSimilarity.register(s)
+    val e = tbl(s, dir, "embeddings")
+    val pv = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("qv"))
+    val cv = e.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("nbr_id"), col("embedding").as("nv"))
+    val wV = Window.partitionBy("probe_id")
+      .orderBy(col("cos4").desc, col("nbr_id"))
+    val vr = cv.crossJoin(broadcast(pv))
+      .select(col("probe_id"), col("nbr_id"),
+        round(graft.functions.CosineSimilarity
+          .cosine(col("nv"), col("qv")), 4).as("cos4"))
+      .withColumn("vrank", row_number().over(wV))
+      .filter(col("vrank") <= 20)
+      .select(col("probe_id"), col("nbr_id"),
+        col("vrank").cast("long").as("vrank"))
+
+    val tf = writtenTfTable(s, dir) // (doc_id, word, tf): one row per pair
+    val nw = tf.groupBy("doc_id").agg(count(lit(1)).as("nw"))
+    val pw = tf.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("probe_id"), col("word"))
+    val inter = tf.filter(col("doc_id") >= 5)
+      .select(col("doc_id").as("nbr_id"), col("word"))
+      .join(broadcast(pw), "word")
+      .groupBy("probe_id", "nbr_id").agg(count(lit(1)).as("inter"))
+    val wL = Window.partitionBy("probe_id")
+      .orderBy(col("jac").desc, col("nbr_id"))
+    val lr = inter
+      .join(broadcast(nw.select(col("doc_id").as("probe_id"),
+        col("nw").as("np"))), "probe_id")
+      .join(broadcast(nw.select(col("doc_id").as("nbr_id"),
+        col("nw").as("nd"))), "nbr_id")
+      .withColumn("jac", round(col("inter").cast("double") /
+        (col("np") + col("nd") - col("inter")).cast("double"), 6))
+      .withColumn("lrank", row_number().over(wL))
+      .filter(col("lrank") <= 20)
+      .select(col("probe_id"), col("nbr_id"),
+        col("lrank").cast("long").as("lrank"))
+
+    val wF = Window.partitionBy("probe_id")
+      .orderBy(col("rrf6").desc, col("nbr_id"))
+    vr.join(lr, Seq("probe_id", "nbr_id"), "full_outer")
+      .withColumn("rrf6", round(
+        coalesce(lit(1.0) / (lit(60L) + col("vrank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60L) + col("lrank")), lit(0.0)), 6))
+      .withColumn("rnk", row_number().over(wF).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select(col("probe_id"), col("rnk"), col("nbr_id"),
+        col("vrank"), col("lrank"), col("rrf6"))
+      .orderBy("probe_id", "rnk")
+  }
+
   /** Point-in-time snapshot (feature-store read): the per-user state
     * valid at a fixed instant, read from the SCD2 intervals — the row
     * whose [valid_from, valid_to) contains T — then aggregated. Same
@@ -3065,7 +3133,8 @@ object SparkEntry {
     "docs_stream_curation" -> qDocsStreamCuration,
     "q_span_dedup" -> qSpanDedup,
     "q_unicode_norm" -> qUnicodeNorm,
-    "q_incr_stats" -> qIncrStats
+    "q_incr_stats" -> qIncrStats,
+    "q_hybrid_rrf" -> qHybridRrf
   )
 
   /** DuckDB SQL fragments replicating the repo's hashing primitives
@@ -5307,7 +5376,63 @@ object SparkEntry {
            CAST(sum(n_chars) AS BIGINT) AS sum_val,
            min(n_chars) AS min_val,
            max(n_chars) AS max_val
-         FROM documents GROUP BY source ORDER BY key"""
+         FROM documents GROUP BY source ORDER BY key""",
+    // Hybrid retrieval replay: the vector list is the q_knn_eval cosine
+    // replay, the lexical list is distinct-word Jaccard over the TF
+    // table's tokenizer, RRF = sum of 1/(60+rank) over both lists; every
+    // ranking rounded + id-tiebroken so row_number replays exactly
+    "q_hybrid_rrf" ->
+      """WITH w AS (
+           SELECT doc_id, unnest(list_filter(
+             regexp_split_to_array(lower(text), '[^a-zA-Z0-9_]+'),
+             x -> x <> '')) AS word
+           FROM documents),
+         tf AS (SELECT DISTINCT doc_id, word FROM w),
+         nw AS (SELECT doc_id, COUNT(*) AS nw FROM tf GROUP BY 1),
+         pv AS (SELECT vec_id AS probe_id,
+             CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+         cv AS (SELECT vec_id AS nbr_id,
+             CAST(embedding AS DOUBLE[]) AS nv
+           FROM embeddings WHERE vec_id >= 5),
+         vs AS (SELECT probe_id, nbr_id,
+             round(list_dot_product(nv, qv) /
+               (sqrt(list_dot_product(nv, nv)) *
+                sqrt(list_dot_product(qv, qv))), 4) AS cos4
+           FROM cv CROSS JOIN pv),
+         vr AS (SELECT probe_id, nbr_id, vrank FROM (
+             SELECT probe_id, nbr_id, row_number() OVER (
+               PARTITION BY probe_id ORDER BY cos4 DESC, nbr_id) AS vrank
+             FROM vs) WHERE vrank <= 20),
+         iw AS (SELECT p.doc_id AS probe_id, c.doc_id AS nbr_id,
+             COUNT(*) AS inter
+           FROM tf c JOIN tf p USING (word)
+           WHERE p.doc_id < 5 AND c.doc_id >= 5
+           GROUP BY 1, 2),
+         ls AS (SELECT probe_id, nbr_id,
+             round(CAST(inter AS DOUBLE) /
+               (np.nw + nd.nw - inter), 6) AS jac
+           FROM iw
+           JOIN nw np ON np.doc_id = iw.probe_id
+           JOIN nw nd ON nd.doc_id = iw.nbr_id),
+         lr AS (SELECT probe_id, nbr_id, lrank FROM (
+             SELECT probe_id, nbr_id, row_number() OVER (
+               PARTITION BY probe_id ORDER BY jac DESC, nbr_id) AS lrank
+             FROM ls) WHERE lrank <= 20),
+         f AS (SELECT COALESCE(vr.probe_id, lr.probe_id) AS probe_id,
+             COALESCE(vr.nbr_id, lr.nbr_id) AS nbr_id,
+             vr.vrank, lr.lrank
+           FROM vr FULL JOIN lr
+             ON vr.probe_id = lr.probe_id AND vr.nbr_id = lr.nbr_id),
+         r AS (SELECT probe_id, nbr_id, vrank, lrank,
+             round(COALESCE(1.0 / (60 + vrank), 0) +
+                   COALESCE(1.0 / (60 + lrank), 0), 6) AS rrf6
+           FROM f)
+         SELECT probe_id, rnk, nbr_id, vrank, lrank, rrf6 FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY probe_id ORDER BY rrf6 DESC, nbr_id) AS rnk
+           FROM r)
+         WHERE rnk <= 10 ORDER BY probe_id, rnk"""
   )
 
   /** DuckDB replay of [[graft.ops.Sampling.epochShard]] (seed 7, 8

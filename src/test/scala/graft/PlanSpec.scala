@@ -299,6 +299,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
   }
 
+  test("q_hybrid_rrf: probes and probe words broadcast, rankings are WindowGroupLimit, no cartesian corpus pairs") {
+    val plan = planOf("q_hybrid_rrf")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"probe embeddings must broadcast onto the corpus scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe words must broadcast onto the word-keyed TF join:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k rankings must plan as WindowGroupLimit:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no corpus-by-corpus pairing may appear:\n$plan")
+  }
+
   test("q_unicode_norm: native normalizer stays a narrow codegen projection — only the output sort exchanges") {
     val plan = planOf("q_unicode_norm")
     val exchanges = """\(\d+\) Exchange""".r.findAllIn(plan).length
