@@ -755,6 +755,36 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Streamed incremental-stats maintenance with EXACTLY-ONCE batch
+    * admission: micro-batches of the documents file-stream merge into
+    * the bucket-partitioned [[graft.ops.IncrementalAgg]] state behind
+    * the file-backed committed-batch high-water mark
+    * (StreamingEmbed.fileHighWaterMark) — a replayed micro-batch is a
+    * no-op, closing the crash-mid-swap double-count window
+    * IncrementalAgg documents for replayable sources (StreamingSpec
+    * proves the replay no-op across out-of-order batches). The final
+    * state must hash-match the one-shot full aggregation oracle.
+    */
+  private def qDocsStreamIncrStats(s: SparkSession, dir: String): DataFrame = {
+    val schema = tbl(s, dir, "documents").schema
+    val work = java.nio.file.Files.createTempDirectory("graft_incr_stream")
+    val stateDir = work.resolve("state").toString
+    val sink = graft.streaming.StreamingEmbed.idempotentSink(
+      (batch: DataFrame, _: Long) => graft.ops.IncrementalAgg.update(
+        batch, "source", "n_chars", stateDir, nBuckets = 8),
+      graft.streaming.StreamingEmbed.fileHighWaterMark(work.resolve("hwm")))
+    val stream = s.readStream.schema(schema)
+      .parquet(docsStreamDir(dir).toString)
+    runStream(s) {
+      stream.writeStream
+        .outputMode("append")
+        .foreachBatch(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    graft.ops.IncrementalAgg.read(s, stateDir).orderBy("key")
+  }
+
   /** Event-time tumbling counts computed BY A REAL STREAMING QUERY:
     * file-stream source over the same parquet, event-time watermark (1h —
     * bounds window state at scale), Trigger.AvailableNow, UPDATE-mode
@@ -2179,6 +2209,21 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Incremental state vs one-shot recompute: three O(batch) merges must
+    * land exactly where a single full aggregation does (count and sum
+    * are associative, min/max idempotent-mergeable); sum cast from
+    * DuckDB's HUGEINT back to the engine's LONG accumulator type.
+    * Shared by the batch (`q_incr_stats`) and streamed
+    * (`docs_stream_incr_stats`) maintenance gates.
+    */
+  private val incrStatsOracleSql =
+    """SELECT source AS key,
+         count(*) AS n_rows,
+         CAST(sum(n_chars) AS BIGINT) AS sum_val,
+         min(n_chars) AS min_val,
+         max(n_chars) AS max_val
+       FROM documents GROUP BY source ORDER BY key"""
+
   /** Incremental aggregate maintenance gate (ops/IncrementalAgg): the
     * corpus arrives as three disjoint batches, each merged into a
     * bucket-partitioned per-source stats state in O(batch) work; the
@@ -3134,7 +3179,8 @@ object SparkEntry {
     "q_span_dedup" -> qSpanDedup,
     "q_unicode_norm" -> qUnicodeNorm,
     "q_incr_stats" -> qIncrStats,
-    "q_hybrid_rrf" -> qHybridRrf
+    "q_hybrid_rrf" -> qHybridRrf,
+    "docs_stream_incr_stats" -> qDocsStreamIncrStats
   )
 
   /** DuckDB SQL fragments replicating the repo's hashing primitives
@@ -5366,17 +5412,10 @@ object SparkEntry {
            strip_accents(raw) AS text_stripped,
            strip_accents(raw) = (base || ' eclat') AS strip_inverts
          FROM d ORDER BY doc_id""",
-    // Incremental state vs one-shot recompute: three O(batch) merges
-    // must land exactly where a single full aggregation does (count and
-    // sum are associative, min/max idempotent-mergeable); sum cast from
-    // DuckDB's HUGEINT back to the engine's LONG accumulator type
-    "q_incr_stats" ->
-      """SELECT source AS key,
-           count(*) AS n_rows,
-           CAST(sum(n_chars) AS BIGINT) AS sum_val,
-           min(n_chars) AS min_val,
-           max(n_chars) AS max_val
-         FROM documents GROUP BY source ORDER BY key""",
+    "q_incr_stats" -> incrStatsOracleSql,
+    // same one-shot recompute: the STREAMED maintenance path must land
+    // the identical state
+    "docs_stream_incr_stats" -> incrStatsOracleSql,
     // Hybrid retrieval replay: the vector list is the q_knn_eval cosine
     // replay, the lexical list is distinct-word Jaccard over the TF
     // table's tokenizer, RRF = sum of 1/(60+rank) over both lists; every

@@ -89,6 +89,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed incremental stats: micro-batch merges equal one-shot; replayed batch ids are no-ops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val work = java.nio.file.Files.createTempDirectory("incrstream")
+    val state = work.resolve("state").toString
+    val sink = graft.streaming.StreamingEmbed.idempotentSink(
+      (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ops.IncrementalAgg.update(b, "k", "v", state, nBuckets = 8),
+      graft.streaming.StreamingEmbed.fileHighWaterMark(work.resolve("hwm")))
+    val b1 = (0 until 40).map(i => (s"k${i % 8}", i.toLong))
+    val b2 = (40 until 60).map(i => (s"k${i % 8}", i.toLong))
+    val mem = MemoryStream[(String, Long)]
+    val q = mem.toDF().toDF("k", "v").writeStream.outputMode("append")
+      .foreachBatch(sink).start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // a crash-and-replay of BOTH committed batches: the file-backed
+    // high-water mark must make each a no-op, not a double count
+    sink(b1.toDF("k", "v"), 0L)
+    sink(b2.toDF("k", "v"), 1L)
+    val got = graft.ops.IncrementalAgg.read(spark, state)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val want = (b1 ++ b2).toDF("k", "v")
+      .groupBy("k").agg(count(lit(1)), sum("v"), min("v"), max("v"))
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == want)
+  }
+
   test("flatMapGroupsWithState sessionization matches batch fold across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
