@@ -2916,6 +2916,32 @@ object SparkEntry {
       .orderBy("probe_id")
   }
 
+  /** BPE merge-candidate counting — the inner step of byte-pair-encoding
+    * vocab induction (Sennrich et al. 2016, arXiv:1508.07909) run at
+    * corpus scale: count adjacent symbol pairs WEIGHTED BY WORD
+    * FREQUENCY, emit the top candidates. The corpus collapses to the
+    * word-frequency table first (one keyed shuffle, map-side combined),
+    * so pair explosion runs over DISTINCT words — O(vocab × word-length)
+    * rows, not O(corpus tokens). Global top-k is TakeOrderedAndProject
+    * (per-partition heads, never a single-partition sort); ties at the
+    * cut are broken by the pair text, so the row set is deterministic.
+    * Iterating the full BPE loop reapplies this with a merged symbol
+    * table — the counting shape is identical each round.
+    */
+  private def qBpePairs(s: SparkSession, dir: String): DataFrame = {
+    val wf = tbl(s, dir, "documents")
+      .select(explode(split(lower(col("text")), "[^a-z0-9_]+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    wf.filter(length(col("word")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(word) - 1), g -> substring(word, g, 2))"))
+        .as("pair"), col("freq"))
+      .groupBy("pair").agg(sum("freq").as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(30)
+  }
+
   /** Hybrid retrieval with reciprocal-rank fusion (k=60) — the
     * semantic-search composition the reference's embedding service
     * exists to power: a VECTOR ranked list (brute-force cosine of the
@@ -3180,7 +3206,8 @@ object SparkEntry {
     "q_unicode_norm" -> qUnicodeNorm,
     "q_incr_stats" -> qIncrStats,
     "q_hybrid_rrf" -> qHybridRrf,
-    "docs_stream_incr_stats" -> qDocsStreamIncrStats
+    "docs_stream_incr_stats" -> qDocsStreamIncrStats,
+    "q_bpe_pairs" -> qBpePairs
   )
 
   /** DuckDB SQL fragments replicating the repo's hashing primitives
@@ -5471,7 +5498,22 @@ object SparkEntry {
            SELECT *, row_number() OVER (
              PARTITION BY probe_id ORDER BY rrf6 DESC, nbr_id) AS rnk
            FROM r)
-         WHERE rnk <= 10 ORDER BY probe_id, rnk"""
+         WHERE rnk <= 10 ORDER BY probe_id, rnk""",
+    // BPE pair counting replay: word frequencies, then in-word adjacent
+    // 2-grams weighted by frequency; LIMIT ties broken by pair text so
+    // the 30-row set is unique
+    "q_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+             x -> x <> '')) AS word
+           FROM documents),
+         wf AS (SELECT word, count(*) AS freq FROM w GROUP BY 1),
+         p AS (SELECT substr(word, g, 2) AS pair, freq
+           FROM wf, unnest(range(1, length(word))) t(g)
+           WHERE length(word) >= 2)
+         SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+         FROM p GROUP BY pair
+         ORDER BY cnt DESC, pair LIMIT 30"""
   )
 
   /** DuckDB replay of [[graft.ops.Sampling.epochShard]] (seed 7, 8
