@@ -82,7 +82,12 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
-    val results = selected.map { case (name, fn) =>
+    // A broken query must NEVER improve the benchmark: the r6 fixtures
+    // broke 17 queries and the old blanket catch recorded their
+    // time-to-exception (0.05-0.09 s) as a "win". Any rep that throws
+    // marks the query FAILED — it is excluded from `queries` and the
+    // total and reported under a separate "failed" key instead.
+    val raw = selected.map { case (name, fn) =>
       // Level the inter-query playing field: a System.gc() between
       // queries lets the ContextCleaner release the previous queries'
       // shuffle files and broadcast blocks (they are freed on reference
@@ -90,14 +95,24 @@ object Bench {
       // of earlier queries' tmp-disk + heap residue, which the r5 run
       // showed as a 6× swing on a trivial scan+groupBy (events_tumbling).
       System.gc()
+      var ok = true
       val times = Seq.fill(reps) {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
+        try materialize(fn(spark, sfDir))
+        catch { case e: Throwable =>
+          ok = false
+          System.err.println(
+            s"[bench] $name FAILED: ${e.getClass.getSimpleName}: " +
+              s"${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.sorted.apply(reps / 2)
+      (name, times.sorted.apply(reps / 2), ok)
     }
+    val results = raw.collect { case (n, t, true) => n -> t }.toSeq
+    val resultMap = results.toMap
+    val failedNames = raw.collect { case (n, _, false) => n }.toSeq
     // Locale.ROOT formatting: the default-locale f"%.3f" renders decimal
     // COMMAS under e.g. de_DE and the JSON line stops parsing
     def f3(v: Double): String =
@@ -105,8 +120,12 @@ object Bench {
     def jsonLine(rs: Iterable[(String, Double)]): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + f3(v) }
         .mkString("{", ",", "}")
-      val total = results.values.sum // total is always over ALL queries run
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      // total is over all SUCCESSFUL queries; failures are named, never
+      // priced
+      val total = results.map(_._2).sum
+      val failedJson = failedNames.map("\"" + _ + "\"")
+        .mkString("[", ",", "]")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     }
     // Full per-query detail goes to the file; stdout gets a HEADLINE subset.
     // The harness keeps only the last ~2000 chars of stdout — an 84-entry
@@ -123,7 +142,7 @@ object Bench {
       "dedup_incremental", "q_perplexity", "q_boilerplate",
       "q_knn_eval")
     val fullLine = jsonLine(results)
-    val headLine = jsonLine(headline.flatMap(h => results.get(h).map(h -> _)))
+    val headLine = jsonLine(headline.flatMap(h => resultMap.get(h).map(h -> _)))
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(out),

@@ -440,11 +440,41 @@ object SparkEntry {
       .orderBy("c_custkey")
   }
 
-  /** events.ts arrives as LongType nanoseconds (TIMESTAMP(NANOS) parquet
-    * read under spark.sql.legacy.parquet.nanosAsLong — see Verify.scala);
-    * integer µs arithmetic keeps it exact and oracle-comparable.
+  /** Event time as integer epoch MICROSECONDS, resolved by the input's
+    * actual schema. The fixtures have shipped `events.ts` both as
+    * TIMESTAMP(NANOS) — which Spark surfaces as LongType nanos under
+    * spark.sql.legacy.parquet.nanosAsLong — and as a plain `timestamp`
+    * column (what every production parquet lake has), so the engine
+    * accepts both: LongType → integer DIV, TimestampType → unix_micros
+    * (NTZ first reinterpreted in the session zone, UTC everywhere here).
+    * Downstream math stays integer-µs, so the DuckDB `epoch_us(ts)`
+    * oracles compare bit-exactly under either encoding.
     */
-  private def eventTsUs: Column = expr("ts DIV 1000")
+  private def eventTsUs(df: DataFrame): Column =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col("ts"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case t => throw new IllegalArgumentException(
+        s"events.ts: unsupported event-time type $t " +
+          "(expected TIMESTAMP, TIMESTAMP_NTZ, or LongType nanos)")
+    }
+
+  /** `ts_us` (integer epoch-µs event time) appended, schema-adaptively. */
+  private def withTsUs(df: DataFrame): DataFrame =
+    df.withColumn("ts_us", eventTsUs(df))
+
+  /** `ts_event` (TimestampType event time, µs precision) appended —
+    * the watermark/window input column. A native TimestampType `ts`
+    * passes through untouched (no round-trip through integers).
+    */
+  private def withTsEvent(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.TimestampType =>
+        df.withColumn("ts_event", col("ts"))
+      case _ => df.withColumn("ts_event", timestamp_micros(eventTsUs(df)))
+    }
 
   /** Shared streaming-gate orchestration: size the state-store
     * parallelism (shuffle partitions) to the stateful aggregate's key
@@ -477,7 +507,7 @@ object SparkEntry {
       stream: DataFrame,
       mode: String,
       prepare: DataFrame => DataFrame = identity): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_gate_log").toString
+    val dir = scratchTempDir(s, "graft_gate_log")
     val sink = graft.streaming.DeltaLog.appendSink(s, dir, prepare)
     runStream(s) {
       stream.writeStream
@@ -503,16 +533,36 @@ object SparkEntry {
     graft.streaming.DeltaLog.readLogUpsert(s, dir, schema, keyCols)
 
   /** Event-time tumbling window (1h) — batch twin of the streaming agg. */
-  private def qEventsTumbling(s: SparkSession, dir: String): DataFrame =
-    tbl(s, dir, "events")
+  private def qEventsTumbling(s: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(s, dir, "events")
+    val tsUs = eventTsUs(ev)
+    ev
       .groupBy(
-        (eventTsUs - pmod(eventTsUs, lit(3600000000L)))
+        (tsUs - pmod(tsUs, lit(3600000000L)))
           .as("window_start_us"),
         col("event_type"))
       .agg(
         count(lit(1)).as("n"),
         dsum(col("value")).as("sum_value"))
       .orderBy("window_start_us", "event_type")
+  }
+
+  /** Native TIMESTAMP event surface END TO END: group directly on
+    * date_trunc('hour', ts) with no integer conversion anywhere — the
+    * engine is first-class on real timestamp columns (what every
+    * production parquet lake ships), not merely tolerant of them via
+    * [[eventTsUs]]. Output hour is TIMESTAMP_NTZ so the parquet value
+    * domain (naive µs) matches DuckDB's timestamp exactly. Plan: a
+    * straight two-exchange agg+sort (asserted in PlanSpec).
+    */
+  private def qTsNative(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("hour_ts").cast("timestamp_ntz").as("hour_ts"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour_ts", "event_type")
 
   /** Sessionization: 30-min-gap sessions via lag + running flag-sum —
     * the classic event-stream window chain.
@@ -520,8 +570,7 @@ object SparkEntry {
   private def qEventsSessions(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    tbl(s, dir, "events")
-      .withColumn("ts_us", eventTsUs)
+    withTsUs(tbl(s, dir, "events"))
       .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
       .withColumn(
         "new_sess",
@@ -689,8 +738,7 @@ object SparkEntry {
     * `window(ts, "1 hour", "30 minutes")`.
     */
   private def qEventsHopping(s: SparkSession, dir: String): DataFrame =
-    tbl(s, dir, "events")
-      .withColumn("ts_us", eventTsUs)
+    withTsUs(tbl(s, dir, "events"))
       .select(col("ts_us"), col("event_type"),
         explode(expr("sequence(0, 1)")).as("hop"))
       // window_start = 30min-floor(ts) - hop*30min covers both 1h windows
@@ -767,12 +815,13 @@ object SparkEntry {
     */
   private def qDocsStreamIncrStats(s: SparkSession, dir: String): DataFrame = {
     val schema = tbl(s, dir, "documents").schema
-    val work = java.nio.file.Files.createTempDirectory("graft_incr_stream")
-    val stateDir = work.resolve("state").toString
+    val work = scratchTempDir(s, "graft_incr_stream")
+    val stateDir = s"$work/state"
     val sink = graft.streaming.StreamingEmbed.idempotentSink(
       (batch: DataFrame, _: Long) => graft.ops.IncrementalAgg.update(
         batch, "source", "n_chars", stateDir, nBuckets = 8),
-      graft.streaming.StreamingEmbed.fileHighWaterMark(work.resolve("hwm")))
+      graft.streaming.StreamingEmbed.hadoopHighWaterMark(
+        s.sparkContext.hadoopConfiguration, s"$work/hwm"))
     val stream = s.readStream.schema(schema)
       .parquet(docsStreamDir(dir).toString)
     runStream(s) {
@@ -799,10 +848,8 @@ object SparkEntry {
     */
   private def qEventsStreamTumbling(s: SparkSession, dir: String): DataFrame = {
     val schema = tbl(s, dir, "events").schema
-    val stream = s.readStream.schema(schema)
-      .parquet(eventsStreamDir(dir).toString)
-      .withColumn("ts_us", eventTsUs)
-      .withColumn("ts_event", timestamp_micros(col("ts_us")))
+    val stream = withTsEvent(
+      s.readStream.schema(schema).parquet(eventsStreamDir(dir).toString))
       .withWatermark("ts_event", "1 hour")
       .groupBy(window(col("ts_event"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -820,7 +867,7 @@ object SparkEntry {
     * ASOF JOIN.
     */
   private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
-    val ev = tbl(s, dir, "events").withColumn("ts_us", eventTsUs)
+    val ev = withTsUs(tbl(s, dir, "events"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts_us"))
     val views = ev.filter(col("event_type") === "view")
@@ -841,7 +888,7 @@ object SparkEntry {
     * `q_asof_join` — two independent implementations, one truth.
     */
   private def qAsofJoinNative(s: SparkSession, dir: String): DataFrame = {
-    val ev = tbl(s, dir, "events").withColumn("ts_us", eventTsUs)
+    val ev = withTsUs(tbl(s, dir, "events"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts_us"))
     val views = ev.filter(col("event_type") === "view")
@@ -1050,6 +1097,59 @@ object SparkEntry {
       .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Root for gate-built persisted fixtures (indexes, streamed state,
+    * delta logs): `spark.graft.scratch` — a shared-FS/object-store URI on
+    * a real cluster; java.io.tmpdir covers local mode. All IO against it
+    * goes through the Hadoop FileSystem of the URI, never java.io.File,
+    * so the same gate code runs unchanged against hdfs://... or s3a://...
+    */
+  private def scratchRoot(s: SparkSession): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      s.conf.getOption("spark.graft.scratch")
+        .getOrElse(sys.props("java.io.tmpdir")))
+
+  /** Fresh unique directory under the scratch root (Hadoop FS mkdirs) —
+    * the scratch-URI replacement for Files.createTempDirectory in gate
+    * data paths.
+    */
+  private def scratchTempDir(s: SparkSession, prefix: String): String = {
+    val p = new org.apache.hadoop.fs.Path(scratchRoot(s),
+      s"${prefix}_${java.util.UUID.randomUUID.toString.take(12)}")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).mkdirs(p)
+    p.toString
+  }
+
+  /** WRITE-ONCE build of a persisted gate fixture under the scratch URI —
+    * the same pattern as [[writtenTfTable]]: the path is keyed by the
+    * build signature + the source table's file manifest (regenerated
+    * input ⇒ fresh key ⇒ fresh build), the build runs only when the
+    * completion marker is absent, and an interrupted build (no marker)
+    * is retried, never trusted.
+    */
+  private def scratchBuildOnce(
+      s: SparkSession, sig: String, srcTable: String, dir: String)(
+      build: String => Unit): String = {
+    import org.apache.hadoop.fs.Path
+    val hconf = s.sparkContext.hadoopConfiguration
+    val src = new Path(s"$dir/$srcTable.parquet")
+    val manifest = src.getFileSystem(hconf).listStatus(src)
+      .sortBy(_.getPath.getName)
+      .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+      .mkString("|")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$sig|$dir|$manifest"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
+    val p = new Path(scratchRoot(s), s"graft_${sig}_$key")
+    val fs = p.getFileSystem(hconf)
+    val marker = new Path(p, "_GRAFT_COMPLETE")
+    if (!fs.exists(marker)) {
+      build(p.toString)
+      fs.create(marker, true).close()
+    }
+    p.toString
+  }
+
   /** One LSH-bucketed parquet layout per testdata dir (written once,
     * probed by every invocation — mirrors a persisted 100 TB index).
     */
@@ -1065,12 +1165,11 @@ object SparkEntry {
   private def qAnnLshIndexed(s: SparkSession, dir: String): DataFrame = {
     val e = tbl(s, dir, "embeddings")
     val idx = lshIndexCache.computeIfAbsent(dir, { d =>
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_lsh_index").toString
-      graft.ops.Similarity.writeLshIndex(
-        tbl(s, d, "embeddings"), "vec_id", "embedding", p,
-        numPlanes = 8, dim = 64)
-      p
+      scratchBuildOnce(s, "lsh_index_p8", "embeddings", d) { p =>
+        graft.ops.Similarity.writeLshIndex(
+          tbl(s, d, "embeddings"), "vec_id", "embedding", p,
+          numPlanes = 8, dim = 64)
+      }
     })
     val q = e.filter(col("vec_id") === 0)
       .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
@@ -1090,16 +1189,15 @@ object SparkEntry {
     */
   private def qAnnIncremental(s: SparkSession, dir: String): DataFrame = {
     val idx = annIncrCache.computeIfAbsent(dir, { d =>
-      val e0 = tbl(s, d, "embeddings")
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_lsh_incr").toString
-      graft.ops.Similarity.writeLshIndex(
-        e0.filter(col("vec_id") >= 20), "vec_id", "embedding", p,
-        numPlanes = 8, dim = 64)
-      graft.ops.Similarity.appendToLshIndex(
-        e0.filter(col("vec_id") < 20), "vec_id", "embedding", p,
-        numPlanes = 8, dim = 64)
-      p
+      scratchBuildOnce(s, "lsh_incr_p8", "embeddings", d) { p =>
+        val e0 = tbl(s, d, "embeddings")
+        graft.ops.Similarity.writeLshIndex(
+          e0.filter(col("vec_id") >= 20), "vec_id", "embedding", p,
+          numPlanes = 8, dim = 64)
+        graft.ops.Similarity.appendToLshIndex(
+          e0.filter(col("vec_id") < 20), "vec_id", "embedding", p,
+          numPlanes = 8, dim = 64)
+      }
     })
     val q = tbl(s, dir, "embeddings").filter(col("vec_id") === 0)
       .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
@@ -1133,12 +1231,11 @@ object SparkEntry {
     */
   private def qAnnIvfIndexed(s: SparkSession, dir: String): DataFrame = {
     val idx = ivfIndexCache.computeIfAbsent(dir, { d =>
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_ivf_index").toString
-      graft.ops.Similarity.writeIvfIndex(
-        tbl(s, d, "embeddings"), "vec_id", "embedding", p,
-        nLists = 8, dim = 64)
-      p
+      scratchBuildOnce(s, "ivf_index_l8", "embeddings", d) { p =>
+        graft.ops.Similarity.writeIvfIndex(
+          tbl(s, d, "embeddings"), "vec_id", "embedding", p,
+          nLists = 8, dim = 64)
+      }
     })
     val q = tbl(s, dir, "embeddings").filter(col("vec_id") === 0)
       .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
@@ -1667,9 +1764,8 @@ object SparkEntry {
     */
   private def qEventsStreamHopping(s: SparkSession, dir: String): DataFrame = {
     val schema = tbl(s, dir, "events").schema
-    val stream = s.readStream.schema(schema)
-      .parquet(eventsStreamDir(dir).toString)
-      .withColumn("ts_event", timestamp_micros(eventTsUs))
+    val stream = withTsEvent(
+      s.readStream.schema(schema).parquet(eventsStreamDir(dir).toString))
       .withWatermark("ts_event", "1 hour")
       .groupBy(window(col("ts_event"), "1 hour", "30 minutes"),
         col("event_type"))
@@ -1693,9 +1789,8 @@ object SparkEntry {
   private def qEventsStreamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val schema = tbl(s, dir, "events").schema
-    def src = s.readStream.schema(schema)
-      .parquet(eventsStreamDir(dir).toString)
-      .withColumn("ts_event", timestamp_micros(eventTsUs))
+    def src = withTsEvent(
+      s.readStream.schema(schema).parquet(eventsStreamDir(dir).toString))
     val purchases = src.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts_event"))
     val views = src.filter(col("event_type") === "view")
@@ -1744,10 +1839,11 @@ object SparkEntry {
   private def qEventsStreamSessions(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val schema = tbl(s, dir, "events").schema
-    val stream = s.readStream.schema(schema)
+    val src0 = s.readStream.schema(schema)
       .parquet(eventsStreamDir(dir).toString)
+    val stream = src0
       .select(col("user_id").cast("long"), col("event_id").cast("long"),
-        eventTsUs.cast("long"))
+        eventTsUs(src0).cast("long"))
       .as[(Long, Long, Long)]
     val sessions = graft.streaming.StreamingEmbed.sessionizeStream(stream).toDF()
     val log = streamToDeltaLog(s, sessions, "update")
@@ -1875,7 +1971,7 @@ object SparkEntry {
     * predicate — the scale-correct plan for bounded-range enrichment.
     */
   private def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
-    val ev = tbl(s, dir, "events").withColumn("ts_us", eventTsUs)
+    val ev = withTsUs(tbl(s, dir, "events"))
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts_us"))
     val v = ev.filter(col("event_type") === "view")
@@ -2263,8 +2359,10 @@ object SparkEntry {
     * (sequence+explode over the broadcast bounds), never on the driver.
     */
   private def qGapfill(s: SparkSession, dir: String): DataFrame = {
-    val hourUs = (eventTsUs - pmod(eventTsUs, lit(3600000000L))).as("hour_us")
-    val ev = tbl(s, dir, "events").select(col("event_type"), hourUs)
+    val ev0 = tbl(s, dir, "events")
+    val tsUs = eventTsUs(ev0)
+    val hourUs = (tsUs - pmod(tsUs, lit(3600000000L))).as("hour_us")
+    val ev = ev0.select(col("event_type"), hourUs)
     val counts = ev.groupBy("event_type", "hour_us")
       .agg(count(lit(1)).as("n_raw"))
     // gaps-and-islands dense fill: each observed hour emits its own span
@@ -2302,8 +2400,9 @@ object SparkEntry {
     */
   private def qFunnel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ev = tbl(s, dir, "events")
-      .select(col("user_id"), col("event_type"), eventTsUs.as("ts_us"))
+    val ev0 = tbl(s, dir, "events")
+    val ev = ev0
+      .select(col("user_id"), col("event_type"), eventTsUs(ev0).as("ts_us"))
     val t1 = ev.filter(col("event_type") === "signup")
       .groupBy("user_id").agg(min(col("ts_us")).as("t1"))
     def nextStage(prev: DataFrame, prevCol: String, etype: String,
@@ -2331,9 +2430,9 @@ object SparkEntry {
   private def qRetention(s: SparkSession, dir: String): DataFrame = {
     // integer DIV end to end — double division then cast could mis-round
     // at day boundaries
-    val ev = tbl(s, dir, "events")
+    val ev = withTsUs(tbl(s, dir, "events"))
       .select(col("user_id"),
-        expr("(ts DIV 1000) DIV 86400000000").as("day"))
+        expr("ts_us DIV 86400000000").as("day"))
     // cohort_day via a window over the distinct (user, day) set — min
     // over distinct days == min over raw events, and unlike a self-join
     // the plan is a single linear pipeline: ONE scan, no dual-consumed
@@ -2406,8 +2505,7 @@ object SparkEntry {
     * definition of session_window.
     */
   private def qSessionWindow(s: SparkSession, dir: String): DataFrame =
-    tbl(s, dir, "events")
-      .withColumn("ts_event", timestamp_micros(eventTsUs))
+    withTsEvent(tbl(s, dir, "events"))
       .groupBy(col("user_id"), session_window(col("ts_event"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"),
@@ -2593,9 +2691,8 @@ object SparkEntry {
     */
   private def qEventsStreamDedup(s: SparkSession, dir: String): DataFrame = {
     val schema = tbl(s, dir, "events").schema
-    def src = s.readStream.schema(schema)
-      .parquet(eventsStreamDir(dir).toString)
-      .withColumn("ts_event", timestamp_micros(eventTsUs))
+    def src = withTsEvent(
+      s.readStream.schema(schema).parquet(eventsStreamDir(dir).toString))
     val deduped = src.unionAll(src)
       .withWatermark("ts_event", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
@@ -2653,11 +2750,11 @@ object SparkEntry {
       val docs0 = tbl(s, d, "documents").select(col("doc_id"), col("text"))
       val maxId = docs0.agg(max(col("doc_id"))).head().getLong(0)
       val c = maxId * 9 / 10
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_mh_index").toString
-      graft.ops.Dedup.writeMinhashIndex(
-        docs0.filter(col("doc_id") <= c), "doc_id", "text", p)
-      (p, c)
+      val built = scratchBuildOnce(s, "mh_index", "documents", d) { p =>
+        graft.ops.Dedup.writeMinhashIndex(
+          docs0.filter(col("doc_id") <= c), "doc_id", "text", p)
+      }
+      (built, c)
     })
     val batch = tbl(s, dir, "documents")
       .select(col("doc_id"), col("text"))
@@ -2806,13 +2903,15 @@ object SparkEntry {
     */
   private def qScd2(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // order by the RAW nanosecond ts (unique per user), not the µs
-    // truncation — two same-microsecond events would otherwise make the
-    // lag/lead ordering nondeterministic; µs only in the OUTPUT columns
+    // order by the RAW ts column (unique per user in this corpus, at
+    // any precision the fixture ships), not a coarser truncation — and
+    // the oracle's lag/lead order by the same raw ts; µs only in the
+    // OUTPUT columns
     val w = Window.partitionBy("user_id").orderBy("ts")
-    tbl(s, dir, "events")
+    val ev0 = tbl(s, dir, "events")
+    ev0
       .select(col("user_id"), col("event_type"), col("ts"),
-        eventTsUs.as("ts_us"))
+        eventTsUs(ev0).as("ts_us"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .filter(col("prev_type").isNull ||
         col("prev_type") =!= col("event_type"))
@@ -3087,6 +3186,7 @@ object SparkEntry {
     "q_left_outer" -> qLeftOuter,
     "q_word_topk" -> qWordTopK,
     "events_tumbling" -> qEventsTumbling,
+    "q_ts_native" -> qTsNative,
     "events_sessions" -> qEventsSessions,
     "events_hopping" -> qEventsHopping,
     "q_asof_join" -> qAsofJoin,
@@ -4103,6 +4203,12 @@ object SparkEntry {
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events
          GROUP BY 1, 2 ORDER BY window_start_us, event_type""",
+    "q_ts_native" ->
+      """SELECT date_trunc('hour', ts) AS hour_ts,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events
+         GROUP BY 1, 2 ORDER BY hour_ts, event_type""",
     "events_sessions" ->
       """WITH e AS (
            SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us,

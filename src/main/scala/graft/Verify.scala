@@ -13,8 +13,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      // testdata events.parquet uses TIMESTAMP(NANOS) which Spark cannot
-      // read natively — surface it as LongType nanos instead.
+      // tolerate legacy TIMESTAMP(NANOS) fixtures (Spark can't read them
+      // natively — surface as LongType nanos); the engine resolves event
+      // time per-schema (SparkEntry.eventTsUs), so plain `timestamp`
+      // fixtures are unaffected by this config.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // read ms-precision NTZ parquet timestamps as session-TZ timestamps
       // (session is UTC) so unix_micros matches DuckDB's epoch_us.
@@ -25,14 +27,21 @@ object Verify {
     // local-iteration subset (unset in the driver's run → all queries)
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    SparkEntry.queries
+    // A thrown query must be IMPOSSIBLE to miss: the r6 fixtures broke 17
+    // queries and this loop's old catch-and-log let the round read as
+    // 130-green-of-130. Every failure is now (a) collected, (b) dumped to
+    // _FAILED_QUERIES.json in outDir, (c) re-printed as the LAST stderr
+    // lines, and (d) reflected in a non-zero exit code.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       System.err.println(s"[verify] running $name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+        System.err.println(s"[verify] $name FAILED: ${failed(name)}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -50,6 +59,25 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Failure manifest: always written (empty object when all green), so
+    // its ABSENCE is also a signal — an aborted run leaves no manifest.
+    Files.writeString(Paths.get(s"$outDir/_FAILED_QUERIES.json"),
+      failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
+    // Written-output audit: every selected query must have produced its
+    // dir — catches silent losses beyond thrown exceptions too.
+    val missing = selected.keys.filterNot(n =>
+      Files.exists(Paths.get(s"$outDir/$n/_SUCCESS"))).toSeq
     spark.stop()
+    System.err.println(
+      s"[verify] ${selected.size - missing.size}/${selected.size} queries " +
+        s"wrote output; ${failed.size} threw")
+    if (missing.nonEmpty)
+      System.err.println(
+        s"[verify] MISSING OUTPUT (${missing.size}): ${missing.mkString(", ")}")
+    failed.foreach { case (n, m) =>
+      System.err.println(s"[verify] FAILED $n: $m")
+    }
+    if (failed.nonEmpty || missing.nonEmpty) sys.exit(1)
   }
 }

@@ -119,6 +119,37 @@ object StreamingEmbed {
       }
     }
 
+  /** Hadoop-FileSystem high-water mark: the committed batchId persists
+    * via write-to-temp + rename against ANY Hadoop FS URI (hdfs://,
+    * s3a://, file:/), so the mark lives next to the state it guards on a
+    * shared filesystem — a restarted driver on another host resumes with
+    * the real mark. Rename is atomic on HDFS/POSIX; on object stores
+    * without atomic rename use a store transactional with the sink.
+    */
+  def hadoopHighWaterMark(
+      hconf: org.apache.hadoop.conf.Configuration,
+      path: String): HighWaterMark = new HighWaterMark {
+    private val p = new org.apache.hadoop.fs.Path(path)
+    private def fs = p.getFileSystem(hconf)
+    def get: Long =
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      } else -1L
+    def set(id: Long): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(
+        p.getParent, p.getName + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(
+        id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      fs.delete(p, false)
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"hwm rename failed: $tmp -> $p")
+    }
+  }
+
   /** Idempotent foreachBatch sink wrapper: Structured Streaming
     * guarantees at-least-once delivery to foreachBatch — after a crash
     * between sink write and checkpoint commit, the SAME batchId is

@@ -342,6 +342,21 @@ class PlanSpec extends AnyFunSuite {
       s"no map-side partial aggregation:\n$plan")
   }
 
+  test("q_ts_native: native TIMESTAMP hourly agg stays a two-exchange agg+sort with a pruned scan") {
+    val plan = planOf("q_ts_native")
+    // (1) hash exchange for the (hour, type) aggregate, (2) the output
+    // orderBy's range exchange — nothing else may shuffle, and the agg
+    // must partial-aggregate below its exchange
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected exactly 2 exchanges:\n$plan")
+    assert(plan.contains("HashAggregate"), s"no hash aggregation:\n$plan")
+    assert("""partial_count|partial""".r.findFirstIn(plan).isDefined ||
+      plan.contains("Partial"), s"no map-side partial aggregation:\n$plan")
+    // the scan must read only the three referenced columns
+    assert(!plan.contains("user_id") && !plan.contains("event_id"),
+      s"scan reads unneeded columns:\n$plan")
+  }
+
   test("q_split_assign: a stateless narrow projection — only the output sort exchanges") {
     val plan = planOf("q_split_assign")
     val exchanges = """\(\d+\) Exchange""".r.findAllIn(plan).length
