@@ -1809,6 +1809,70 @@ object SparkEntry {
       .orderBy("event_id", "view_event_id")
   }
 
+  /** NON-FILE streaming source gate: Spark's deterministic
+    * `rate-micro-batch` source replaces the file stream — the canonical
+    * stand-in for a Kafka-shaped unbounded feed (same micro-batch
+    * planner path; only the source offsets differ), proving the
+    * streaming gates' logical-plan-identity claim holds beyond file
+    * listings. Exactly 5 batches × 1000 rows; every event column is
+    * derived deterministically from `value`, so the DuckDB oracle
+    * replays the entire feed with generate_series. The windowed-count
+    * transform is the events_stream_tumbling shape: watermark + 1h
+    * tumbling window, update-mode deltas into the distributed delta
+    * log, gate result = keyed upsert of the log.
+    */
+  private def qRateStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val nBatches = 5L
+    val stream = s.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", "1000")
+      .option("numPartitions", "4")
+      .load()
+      .select(col("value"),
+        concat(lit("t"), (col("value") % 5).cast("string"))
+          .as("event_type"),
+        timestamp_micros(lit(1704067200000000L) + col("value") * 61000000L)
+          .as("ts_event"))
+      .withWatermark("ts_event", "1 hour")
+      .groupBy(window(col("ts_event"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"))
+    val log = scratchTempDir(s, "graft_rate_log")
+    val sink = graft.streaming.DeltaLog.appendSink(s, log, identity)
+    // The source is unbounded (that is the point), so the drain is
+    // count-bounded, not AvailableNow: commit exactly nBatches batches,
+    // then a latch hands control back to the driver thread, which stops
+    // the query OUTSIDE foreachBatch (an in-sink stop() can deadlock
+    // the micro-batch thread against itself).
+    val done = new java.util.concurrent.CountDownLatch(1)
+    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val finished = try {
+      val q = stream.writeStream
+        .outputMode("update")
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          if (id < nBatches) sink(df, id) else done.countDown()
+        }
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      try done.await(180, java.util.concurrent.TimeUnit.SECONDS)
+      finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+    if (!finished)
+      throw new IllegalStateException(
+        s"rate stream did not commit $nBatches batches within 180 s")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("window_start_us",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType)))
+    readDeltaLogUpsert(s, log, schema, Seq("window_start_us", "event_type"))
+      .orderBy("window_start_us", "event_type")
+  }
+
   /** NULL-semantics surface: aggregation null-skipping (count(col) vs
     * count(*)), null-safe equality, NULLIF/COALESCE, and null grouping
     * keys — exercised through the outer join's generated nulls.
@@ -3272,6 +3336,7 @@ object SparkEntry {
     "q_recursive_cte" -> qRecursiveCte,
     "q_filter_agg" -> qFilterAgg,
     "events_stream_static_join" -> qEventsStreamStaticJoin,
+    "q_rate_stream" -> qRateStream,
     "q_contamination" -> qContamination,
     "q_variant" -> qVariant,
     "q_seq_packing" -> qSeqPacking,
@@ -4209,6 +4274,14 @@ object SparkEntry {
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events
          GROUP BY 1, 2 ORDER BY hour_ts, event_type""",
+    "q_rate_stream" ->
+      """WITH v AS (SELECT range AS value FROM range(0, 5000)),
+         e AS (SELECT 't' || CAST(value % 5 AS VARCHAR) AS event_type,
+                 1704067200000000 + value * 61000000 AS ts_us
+               FROM v)
+         SELECT ts_us - ts_us % 3600000000 AS window_start_us, event_type,
+           COUNT(*) AS n
+         FROM e GROUP BY 1, 2 ORDER BY window_start_us, event_type""",
     "events_sessions" ->
       """WITH e AS (
            SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us,

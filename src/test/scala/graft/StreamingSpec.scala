@@ -47,6 +47,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rate-micro-batch source: the non-file streaming gate matches its closed-form truth") {
+    // q_rate_stream's feed is fully determined by `value` (5 batches ×
+    // 1000 rows), so the expected windowed counts are computable in
+    // plain Scala — the same truth the DuckDB generate_series oracle
+    // replays. Proves the streaming plan runs identically on a
+    // non-file (Kafka-shaped) source: same transform, only offsets
+    // differ.
+    val got = SparkEntry.queries("q_rate_stream")(spark, "unused")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = (0L until 5000L)
+      .map { v =>
+        val us = 1704067200000000L + v * 61000000L
+        (us - us % 3600000000L, "t" + (v % 5))
+      }
+      .groupBy(identity).map { case ((w, t), xs) => (w, t, xs.size.toLong) }
+      .toSeq.sortBy(x => (x._1, x._2))
+    assert(got.toSeq == want, s"rate-stream mismatch: got ${got.length} rows, want ${want.length}")
+  }
+
   test("streaming curation: splitAssign + gopherRules on a stream match the batch run exactly") {
     // the curation ops are stateless narrow projections, so their
     // docstring claim — "runs identically over a stream" — must hold
