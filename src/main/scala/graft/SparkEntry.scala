@@ -3105,6 +3105,29 @@ object SparkEntry {
       .limit(30)
   }
 
+  /** Distributed BPE tokenizer TRAINING (ops/BpeTrainer): 8 full merge
+    * iterations over the corpus word-frequency table — pair-count
+    * shuffle + 1-row arg-max collect + narrow merge per iteration, the
+    * vocabulary-learning loop a training-data pipeline runs where the
+    * reference only SERVES a pretrained tokenizer (q_bpe_pairs counts
+    * one round's candidates; this learns the actual merge sequence).
+    * Output: the learned merge table (step, lhs, rhs, n). The DuckDB
+    * oracle replays all 8 stages as chained CTEs with the identical
+    * brace-wrapped greedy replace — see [[bpeTrainOracleSql]].
+    */
+  private def qBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wf = tbl(s, dir, "documents")
+      .select(explode(split(lower(col("text")), "[^a-z0-9_]+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val (merges, _) =
+      graft.ops.BpeTrainer.train(wf, "word", "freq", numMerges = 8)
+    merges.map(m => (m.step, m.lhs, m.rhs, m.n))
+      .toDF("step", "lhs", "rhs", "n")
+      .orderBy("step")
+  }
+
   /** Hybrid retrieval with reciprocal-rank fusion (k=60) — the
     * semantic-search composition the reference's embedding service
     * exists to power: a VECTOR ranked list (brute-force cosine of the
@@ -3372,7 +3395,8 @@ object SparkEntry {
     "q_incr_stats" -> qIncrStats,
     "q_hybrid_rrf" -> qHybridRrf,
     "docs_stream_incr_stats" -> qDocsStreamIncrStats,
-    "q_bpe_pairs" -> qBpePairs
+    "q_bpe_pairs" -> qBpePairs,
+    "q_bpe_train" -> qBpeTrain
   )
 
   /** DuckDB SQL fragments replicating the repo's hashing primitives
@@ -5480,6 +5504,7 @@ object SparkEntry {
              / (n_docs / total_docs), 6) AS boost
          FROM c CROSS JOIN t ORDER BY source""",
     "q_epoch_shuffle" -> epochShuffleOracleSql,
+    "q_bpe_train" -> bpeTrainOracleSql,
     // planted-duplicate construction: components and keepers are fully
     // determined (see qSemDedup scaladoc and the neardup_embedding gate)
     "q_semdedup" ->
@@ -5708,5 +5733,43 @@ object SparkEntry {
           CAST(row_number() OVER (PARTITION BY shard
             ORDER BY hk, doc_id) AS INTEGER) AS pos
         FROM s ORDER BY shard, pos"""
+  }
+
+  /** DuckDB replay of [[graft.ops.BpeTrainer]]'s 8-iteration merge
+    * loop, generated as chained CTE stages: p_i = weighted adjacent
+    * pair counts of stage i-1's sequences, b_i = the (n DESC, lhs,
+    * rhs) arg-max, s_i = the brace-wrapped greedy replace. DuckDB's
+    * `replace` is non-overlapping left-to-right exactly like Spark's,
+    * and brace-wrapped patterns share no boundary characters between
+    * adjacent matches, so both engines realize the same greedy merge.
+    */
+  private lazy val bpeTrainOracleSql: String = {
+    val k = 8
+    val stages = (1 to k).map { i =>
+      s"""p$i AS (SELECT l[i] AS lhs, l[i + 1] AS rhs,
+             CAST(SUM(freq) AS BIGINT) AS n
+           FROM (SELECT string_split(trim(seq, '{}'), '}{') AS l, freq
+                 FROM s${i - 1}),
+                unnest(range(1, len(l))) t(i)
+           GROUP BY 1, 2),
+         b$i AS (SELECT lhs, rhs, n FROM p$i
+           ORDER BY n DESC, lhs, rhs LIMIT 1),
+         s$i AS (SELECT replace(seq, '{' || b.lhs || '}{' || b.rhs || '}',
+             '{' || b.lhs || b.rhs || '}') AS seq, freq
+           FROM s${i - 1} CROSS JOIN b$i b)"""
+    }.mkString(",\n         ")
+    val union = (1 to k)
+      .map(i => s"SELECT $i AS step, lhs, rhs, n FROM b$i")
+      .mkString(" UNION ALL ")
+    s"""WITH w AS (SELECT unnest(list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+             x -> x <> '')) AS word
+           FROM documents),
+         wf AS (SELECT word, count(*) AS freq FROM w GROUP BY 1),
+         s0 AS (SELECT '{' || array_to_string(
+             regexp_split_to_array(word, ''), '}{') || '}{</w>}' AS seq,
+             freq FROM wf),
+         $stages
+         SELECT step, lhs, rhs, n FROM ($union) ORDER BY step"""
   }
 }

@@ -1447,4 +1447,66 @@ class OpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     assert(re.toSeq == out.toSeq)
   }
+
+  /** Independent single-machine BPE fold (explicit greedy left-to-right
+    * merge over symbol LISTS — no string-replace shortcut, so it cannot
+    * share a representation bug with the implementation under test).
+    */
+  private def refBpe(
+      ws: Seq[(String, Long)], k: Int): Seq[(String, String, Long)] = {
+    var seqs = ws.map { case (w, f) => (w.map(_.toString).toList :+ "</w>", f) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var continue = true
+    for (_ <- 1 to k if continue) {
+      val counts = seqs.flatMap { case (s, f) =>
+        s.zip(s.drop(1)).map(p => (p, f))
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+      if (counts.isEmpty) continue = false
+      else {
+        val ((l, r), n) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((l, r, n))
+        seqs = seqs.map { case (s, f) =>
+          val merged = scala.collection.mutable.ListBuffer.empty[String]
+          var i = 0
+          while (i < s.length) {
+            if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+              merged += (l + r); i += 2
+            } else { merged += s(i); i += 1 }
+          }
+          (merged.toList, f)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("BPE trainer learns the reference merge sequence on the classic corpus") {
+    import spark.implicits._
+    val corpus = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L))
+    val (merges, _) = graft.ops.BpeTrainer.train(
+      corpus.toDF("word", "freq"), "word", "freq", numMerges = 6)
+    assert(merges.map(m => (m.lhs, m.rhs, m.n)) == refBpe(corpus, 6))
+    assert(merges.map(_.step) == (1 to 6))
+  }
+
+  test("BPE merge is greedy left-to-right on repeated symbols (boundary-share regression)") {
+    import spark.implicits._
+    // 'aaaa' → pairs (a,a)x3; a boundary-sharing replace would merge
+    // only the first occurrence and learn a different step-2 pair
+    val corpus = Seq(("aaaa", 1L))
+    val (merges, _) = graft.ops.BpeTrainer.train(
+      corpus.toDF("word", "freq"), "word", "freq", numMerges = 2)
+    assert(merges.map(m => (m.lhs, m.rhs, m.n)) == refBpe(corpus, 2))
+    assert(merges.head == graft.ops.BpeTrainer.Merge(1, "a", "a", 3L))
+  }
+
+  test("BPE trainer stops when every word is a single symbol") {
+    import spark.implicits._
+    val (merges, seqs) = graft.ops.BpeTrainer.train(
+      Seq(("ab", 2L)).toDF("word", "freq"), "word", "freq", numMerges = 10)
+    // 'ab</w>' needs exactly 2 merges; further iterations must not loop
+    assert(merges.length == 2)
+    assert(seqs.collect().map(_.getString(0)).toSeq == Seq("{ab</w>}"))
+  }
 }
