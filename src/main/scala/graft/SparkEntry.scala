@@ -3128,6 +3128,25 @@ object SparkEntry {
       .orderBy("step")
   }
 
+  /** Tokenizer ENCODE path (ops/BpeTrainer.encode): the 8 learned
+    * merges applied in training order to the word table — a chained
+    * narrow replace projection, zero shuffles beyond the output sort.
+    * Output is each word's final segmentation + token count; the
+    * oracle replays training AND encoding (its last CTE stage IS the
+    * encoding, since the word column rides through every stage).
+    */
+  private def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val wf = tbl(s, dir, "documents")
+      .select(explode(split(lower(col("text")), "[^a-z0-9_]+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val (merges, _) =
+      graft.ops.BpeTrainer.train(wf, "word", "freq", numMerges = 8)
+    graft.ops.BpeTrainer.encode(wf, "word", "freq", merges)
+      .select(col("word"), col("n_tokens"), col("seq"))
+      .orderBy("word")
+  }
+
   /** Hybrid retrieval with reciprocal-rank fusion (k=60) — the
     * semantic-search composition the reference's embedding service
     * exists to power: a VECTOR ranked list (brute-force cosine of the
@@ -3396,7 +3415,8 @@ object SparkEntry {
     "q_hybrid_rrf" -> qHybridRrf,
     "docs_stream_incr_stats" -> qDocsStreamIncrStats,
     "q_bpe_pairs" -> qBpePairs,
-    "q_bpe_train" -> qBpeTrain
+    "q_bpe_train" -> qBpeTrain,
+    "q_bpe_encode" -> qBpeEncode
   )
 
   /** DuckDB SQL fragments replicating the repo's hashing primitives
@@ -5505,6 +5525,7 @@ object SparkEntry {
          FROM c CROSS JOIN t ORDER BY source""",
     "q_epoch_shuffle" -> epochShuffleOracleSql,
     "q_bpe_train" -> bpeTrainOracleSql,
+    "q_bpe_encode" -> bpeEncodeOracleSql,
     // planted-duplicate construction: components and keepers are fully
     // determined (see qSemDedup scaladoc and the neardup_embedding gate)
     "q_semdedup" ->
@@ -5735,16 +5756,16 @@ object SparkEntry {
         FROM s ORDER BY shard, pos"""
   }
 
-  /** DuckDB replay of [[graft.ops.BpeTrainer]]'s 8-iteration merge
-    * loop, generated as chained CTE stages: p_i = weighted adjacent
-    * pair counts of stage i-1's sequences, b_i = the (n DESC, lhs,
-    * rhs) arg-max, s_i = the brace-wrapped greedy replace. DuckDB's
+  /** Shared WITH-prefix of the [[graft.ops.BpeTrainer]] oracle replays,
+    * generated as chained CTE stages: p_i = weighted adjacent pair
+    * counts of stage i-1's sequences, b_i = the (n DESC, lhs, rhs)
+    * arg-max, s_i = the brace-wrapped greedy replace (word rides
+    * through, so the last stage IS the corpus encoding). DuckDB's
     * `replace` is non-overlapping left-to-right exactly like Spark's,
     * and brace-wrapped patterns share no boundary characters between
     * adjacent matches, so both engines realize the same greedy merge.
     */
-  private lazy val bpeTrainOracleSql: String = {
-    val k = 8
+  private def bpeStagesSql(k: Int): String = {
     val stages = (1 to k).map { i =>
       s"""p$i AS (SELECT l[i] AS lhs, l[i + 1] AS rhs,
              CAST(SUM(freq) AS BIGINT) AS n
@@ -5754,22 +5775,38 @@ object SparkEntry {
            GROUP BY 1, 2),
          b$i AS (SELECT lhs, rhs, n FROM p$i
            ORDER BY n DESC, lhs, rhs LIMIT 1),
-         s$i AS (SELECT replace(seq, '{' || b.lhs || '}{' || b.rhs || '}',
-             '{' || b.lhs || b.rhs || '}') AS seq, freq
+         s$i AS (SELECT word,
+             replace(seq, '{' || b.lhs || '}{' || b.rhs || '}',
+               '{' || b.lhs || b.rhs || '}') AS seq, freq
            FROM s${i - 1} CROSS JOIN b$i b)"""
     }.mkString(",\n         ")
-    val union = (1 to k)
-      .map(i => s"SELECT $i AS step, lhs, rhs, n FROM b$i")
-      .mkString(" UNION ALL ")
     s"""WITH w AS (SELECT unnest(list_filter(
              regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
              x -> x <> '')) AS word
            FROM documents),
          wf AS (SELECT word, count(*) AS freq FROM w GROUP BY 1),
-         s0 AS (SELECT '{' || array_to_string(
+         s0 AS (SELECT word, '{' || array_to_string(
              regexp_split_to_array(word, ''), '}{') || '}{</w>}' AS seq,
              freq FROM wf),
-         $stages
+         $stages"""
+  }
+
+  private lazy val bpeTrainOracleSql: String = {
+    val k = 8
+    val union = (1 to k)
+      .map(i => s"SELECT $i AS step, lhs, rhs, n FROM b$i")
+      .mkString(" UNION ALL ")
+    s"""${bpeStagesSql(k)}
          SELECT step, lhs, rhs, n FROM ($union) ORDER BY step"""
+  }
+
+  private lazy val bpeEncodeOracleSql: String = {
+    val k = 8
+    s"""${bpeStagesSql(k)}
+         SELECT word,
+           CAST(len(string_split(trim(seq, '{}'), '}{')) AS INTEGER)
+             AS n_tokens,
+           seq
+         FROM s$k ORDER BY word"""
   }
 }

@@ -50,14 +50,37 @@ object BpeTrainer {
     expr(s"split(trim(BOTH '{}' FROM $seqCol), '\\\\}\\\\{')")
 
   /** (word, freq) → the initial brace-wrapped character sequence with
-    * the word-end marker.
+    * the word-end marker. The word column rides along untouched, so the
+    * trained table doubles as the ENCODING of the training corpus
+    * (final segmentation per word).
     */
   def seed(words: DataFrame, wordCol: String, freqCol: String): DataFrame =
     words.select(
+      col(wordCol).as("word"),
       concat(lit("{"),
         array_join(expr(s"filter(split($wordCol, ''), c -> c <> '')"), "}{"),
         lit("}{</w>}")).as("seq"),
       col(freqCol).cast("long").as("freq"))
+
+  /** Apply an already-learned merge list to fresh words (the tokenizer
+    * ENCODE path): merges apply in training order, each a narrow
+    * per-row replace — a zero-shuffle codegen projection chain, however
+    * long the merge list. Output: (word, seq, freq, n_tokens).
+    */
+  def encode(
+      words: DataFrame,
+      wordCol: String,
+      freqCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val encoded = merges.foldLeft(seed(words, wordCol, freqCol)) { (df, m) =>
+      require(!(m.lhs + m.rhs).exists(c => c == '\'' || c == '\\' ||
+        c == '{' || c == '}'),
+        s"unmergeable symbol characters in: '${m.lhs}' + '${m.rhs}'")
+      df.withColumn("seq",
+        expr(s"replace(seq, '{${m.lhs}}{${m.rhs}}', '{${m.lhs}${m.rhs}}')"))
+    }
+    encoded.withColumn("n_tokens", size(symsOf("seq")))
+  }
 
   /** Weighted adjacent-pair counts of a sequence table — the inner
     * aggregate of the training loop, exposed for reuse/specs.

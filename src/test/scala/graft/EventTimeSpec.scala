@@ -24,11 +24,11 @@ class EventTimeSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
-  /** Two sibling fixture dirs built from the same sf0.001 events: one
-    * with ts passed through unchanged (whatever encoding the fixture
-    * ships), one with ts rewritten as LongType epoch-ns.
+  /** Three sibling fixture dirs built from the same sf0.001 events:
+    * ts as native TIMESTAMP, as TIMESTAMP_NTZ, and as LongType
+    * epoch-ns — one per eventTsUs branch.
     */
-  private lazy val (nativeDir, legacyNsDir) = {
+  private lazy val (nativeDir, ntzDir, legacyNsDir) = {
     val root = java.nio.file.Files.createTempDirectory("graft_ts_enc")
     val ev = spark.read.parquet(s"$sf/events.parquet")
     val tsUs = ev.schema("ts").dataType match {
@@ -37,10 +37,14 @@ class EventTimeSpec extends AnyFunSuite {
     }
     val asNative = ev.withColumn("ts",
       timestamp_micros(tsUs.cast("long")))
+    // session TZ is UTC, so the NTZ local time equals the instant's UTC
+    // wall clock and the cast back in eventTsUs is exact
+    val asNtz = asNative.withColumn("ts", col("ts").cast("timestamp_ntz"))
     val asLegacy = ev.withColumn("ts", (tsUs * 1000L).cast("long"))
     asNative.write.parquet(s"$root/native/events.parquet")
+    asNtz.write.parquet(s"$root/ntz/events.parquet")
     asLegacy.write.parquet(s"$root/legacy/events.parquet")
-    (s"$root/native", s"$root/legacy")
+    (s"$root/native", s"$root/ntz", s"$root/legacy")
   }
 
   private def run(name: String, dir: String): Seq[String] =
@@ -50,12 +54,15 @@ class EventTimeSpec extends AnyFunSuite {
   for (q <- Seq("events_tumbling", "events_sessions", "events_hopping",
     "q_session_window", "q_asof_join", "q_funnel", "q_retention",
     "q_scd2", "q_gapfill"))
-    test(s"$q: TIMESTAMP and long-ns event encodings produce identical results") {
+    test(s"$q: TIMESTAMP, TIMESTAMP_NTZ and long-ns event encodings produce identical results") {
       val native = run(q, nativeDir)
+      val ntz = run(q, ntzDir)
       val legacy = run(q, legacyNsDir)
       assert(native.nonEmpty, s"$q returned no rows")
       assert(native == legacy,
-        s"$q diverges across ts encodings (${native.length} vs ${legacy.length} rows)")
+        s"$q diverges between TIMESTAMP and long-ns (${native.length} vs ${legacy.length} rows)")
+      assert(native == ntz,
+        s"$q diverges between TIMESTAMP and TIMESTAMP_NTZ (${native.length} vs ${ntz.length} rows)")
     }
 
   test("eventTsUs rejects an unsupported ts type loudly") {

@@ -1501,12 +1501,32 @@ class OpsSpec extends AnyFunSuite {
     assert(merges.head == graft.ops.BpeTrainer.Merge(1, "a", "a", 3L))
   }
 
+  test("BPE encode applies learned merges to fresh words as a narrow plan") {
+    import spark.implicits._
+    val corpus = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L))
+    val (merges, trained) = graft.ops.BpeTrainer.train(
+      corpus.toDF("word", "freq"), "word", "freq", numMerges = 6)
+    val enc = graft.ops.BpeTrainer.encode(
+      corpus.toDF("word", "freq"), "word", "freq", merges)
+    // encoding the training corpus == the trainer's final sequence table
+    val got = enc.select("word", "seq").collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    val want = trained.select("word", "seq").collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(got == want)
+    // the encode chain is narrow: no Exchange anywhere in its plan
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"encode shuffles:\n$plan")
+  }
+
   test("BPE trainer stops when every word is a single symbol") {
     import spark.implicits._
     val (merges, seqs) = graft.ops.BpeTrainer.train(
       Seq(("ab", 2L)).toDF("word", "freq"), "word", "freq", numMerges = 10)
     // 'ab</w>' needs exactly 2 merges; further iterations must not loop
     assert(merges.length == 2)
-    assert(seqs.collect().map(_.getString(0)).toSeq == Seq("{ab</w>}"))
+    assert(seqs.select("seq").collect().map(_.getString(0)).toSeq ==
+      Seq("{ab</w>}"))
   }
 }
