@@ -3105,6 +3105,75 @@ object SparkEntry {
       .limit(30)
   }
 
+  /** Salted equi-join gate (ops/Skew.saltedJoin): the hot-key spread
+    * join — big side salted on the join key, small side replicated
+    * once per salt — must be RESULT-identical to the plain equi-join,
+    * which is exactly what the DuckDB oracle computes. Aggregated to a
+    * bounded per-nation rollup so the gate output is stable.
+    */
+  private def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val big = tbl(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_quantity"))
+    val small = tbl(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    graft.ops.Skew
+      .saltedJoin(big, small, "l_suppkey", "s_suppkey",
+        salts = 8, spreadCol = "l_suppkey")
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("s_nationkey")
+  }
+
+  /** Small-file compaction gate (ops/Compaction.compactSorted): orders
+    * rewritten once into ~4 sort-ordered files under the scratch URI,
+    * then read back and aggregated — the rewrite must be perfectly
+    * content-preserving (the oracle aggregates the ORIGINAL table), and
+    * the sorted layout's footer-pruning value is spec-checked
+    * separately. Write-once keyed by the source manifest, like every
+    * persisted gate fixture.
+    */
+  private def qCompaction(s: SparkSession, dir: String): DataFrame = {
+    val compacted = scratchBuildOnce(s, "compact_orders", "orders", dir) {
+      p =>
+        graft.ops.Compaction.compactSorted(
+          s, s"$dir/orders.parquet", p, Seq("o_orderkey"),
+          targetBytes = 256L << 10)
+        ()
+    }
+    s.read.parquet(compacted)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("total_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Z-order layout gate (ops/ZOrder.writeZOrdered): lineitem rewritten
+    * once into a Morton-clustered layout on (l_orderkey, l_partkey),
+    * then probed with a 2-D box predicate — content must equal the same
+    * box filter on the raw table (the oracle); the multi-dimension
+    * file-skipping the layout buys is spec-checked mechanically in
+    * OpsSpec. The box spans both dimensions so a single-column sort
+    * could not satisfy it from one file range.
+    */
+  private def qZorder(s: SparkSession, dir: String): DataFrame = {
+    val zpath = scratchBuildOnce(s, "zorder_lineitem", "lineitem", dir) {
+      p =>
+        graft.ops.ZOrder.writeZOrdered(
+          tbl(s, dir, "lineitem"), Seq("l_orderkey", "l_partkey"), p,
+          numFiles = 8)
+    }
+    s.read.parquet(zpath)
+      .filter(col("l_orderkey") <= 2000 && col("l_partkey") <= 150)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        min(col("l_orderkey")).as("min_okey"),
+        max(col("l_partkey")).as("max_pkey"))
+      .orderBy("l_returnflag")
+  }
+
   /** Distributed BPE tokenizer TRAINING (ops/BpeTrainer): 8 full merge
     * iterations over the corpus word-frequency table — pair-count
     * shuffle + 1-row arg-max collect + narrow merge per iteration, the
@@ -3416,7 +3485,10 @@ object SparkEntry {
     "docs_stream_incr_stats" -> qDocsStreamIncrStats,
     "q_bpe_pairs" -> qBpePairs,
     "q_bpe_train" -> qBpeTrain,
-    "q_bpe_encode" -> qBpeEncode
+    "q_bpe_encode" -> qBpeEncode,
+    "q_salted_join" -> qSaltedJoin,
+    "q_compaction" -> qCompaction,
+    "q_zorder" -> qZorder
   )
 
   /** DuckDB SQL fragments replicating the repo's hashing primitives
@@ -5526,6 +5598,26 @@ object SparkEntry {
     "q_epoch_shuffle" -> epochShuffleOracleSql,
     "q_bpe_train" -> bpeTrainOracleSql,
     "q_bpe_encode" -> bpeEncodeOracleSql,
+    "q_salted_join" ->
+      """SELECT s_nationkey, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_qty
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_nationkey ORDER BY s_nationkey""",
+    "q_compaction" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_price,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_zorder" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_qty,
+           MIN(l_orderkey) AS min_okey, MAX(l_partkey) AS max_pkey
+         FROM lineitem
+         WHERE l_orderkey <= 2000 AND l_partkey <= 150
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     // planted-duplicate construction: components and keepers are fully
     // determined (see qSemDedup scaladoc and the neardup_embedding gate)
     "q_semdedup" ->
