@@ -3105,6 +3105,35 @@ object SparkEntry {
       .limit(30)
   }
 
+  /** PERMISSIVE corrupt-record ingest AS A GATE QUERY: JSON payloads
+    * built from orders with every 13th row truncated mid-object; the
+    * engine must parse the good rows exactly and surface the corrupt
+    * ones as NULLs (never fail the query — the quarantine posture
+    * SourcesSpec checks file-level). Truth is known by construction,
+    * so the oracle aggregates the source table directly, including the
+    * parsed-value sum that proves good-row values round-trip through
+    * JSON bit-exactly.
+    */
+  private def qCorruptJson(s: SparkSession, dir: String): DataFrame = {
+    val raw = tbl(s, dir, "orders").select(
+      col("o_orderkey"),
+      when(col("o_orderkey") % 13 === 0,
+        concat(lit("{\"k\":"), col("o_orderkey"), lit(",\"p\":")))
+        .otherwise(to_json(struct(col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100).cast("long").as("p"))))
+        .as("js"))
+    raw
+      .select(col("o_orderkey"),
+        from_json(col("js"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, p BIGINT"))
+          .as("r"))
+      .groupBy((col("o_orderkey") % 13 === 0).as("planted_corrupt"))
+      .agg(count(lit(1)).as("n"),
+        count(col("r.k")).as("n_parsed"),
+        coalesce(sum(col("r.p")), lit(0L)).as("sum_cents"))
+      .orderBy("planted_corrupt")
+  }
+
   /** Salted equi-join gate (ops/Skew.saltedJoin): the hot-key spread
     * join — big side salted on the join key, small side replicated
     * once per salt — must be RESULT-identical to the plain equi-join,
@@ -3488,7 +3517,8 @@ object SparkEntry {
     "q_bpe_encode" -> qBpeEncode,
     "q_salted_join" -> qSaltedJoin,
     "q_compaction" -> qCompaction,
-    "q_zorder" -> qZorder
+    "q_zorder" -> qZorder,
+    "q_corrupt_json" -> qCorruptJson
   )
 
   /** DuckDB SQL fragments replicating the repo's hashing primitives
@@ -5618,6 +5648,14 @@ object SparkEntry {
          FROM lineitem
          WHERE l_orderkey <= 2000 AND l_partkey <= 150
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_corrupt_json" ->
+      """SELECT (o_orderkey % 13 = 0) AS planted_corrupt,
+           COUNT(*) AS n,
+           COUNT(CASE WHEN o_orderkey % 13 <> 0 THEN 1 END) AS n_parsed,
+           CAST(COALESCE(SUM(CASE WHEN o_orderkey % 13 <> 0
+             THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0)
+             AS BIGINT) AS sum_cents
+         FROM orders GROUP BY 1 ORDER BY planted_corrupt""",
     // planted-duplicate construction: components and keepers are fully
     // determined (see qSemDedup scaladoc and the neardup_embedding gate)
     "q_semdedup" ->
