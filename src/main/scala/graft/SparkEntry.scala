@@ -3258,6 +3258,36 @@ object SparkEntry {
       .orderBy("word")
   }
 
+  /** Corpus token accounting under the LEARNED tokenizer: per-document
+    * token count = Σ over words of occurrences × n_tokens(word) — the
+    * statistic every token-budgeted mixing/packing step consumes
+    * (q_token_budget / q_seq_packing price in fixed whitespace tokens;
+    * this prices in the trained vocabulary). The distinct-word encode
+    * table is O(vocab) — the planner broadcasts it here; at
+    * beyond-broadcast vocabularies the word-keyed join shuffles, with
+    * no code change. Oracle: the training replay's final stage feeds
+    * the same join+sum.
+    */
+  private def qBpeDocTokens(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMergesCache.computeIfAbsent(dir, { d =>
+      graft.ops.BpeTrainer
+        .train(corpusWordFreq(s, d), "word", "freq", numMerges = 8)._1
+    })
+    val enc = graft.ops.BpeTrainer
+      .encode(corpusWordFreq(s, dir), "word", "freq", merges)
+      .select(col("word"), col("n_tokens"))
+    val docWords = tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z0-9_]+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("n_occ"))
+    docWords.join(enc, "word")
+      .groupBy("doc_id")
+      .agg(sum(col("n_occ") * col("n_tokens")).as("n_bpe_tokens"),
+        sum(col("n_occ")).as("n_words"))
+      .orderBy("doc_id")
+  }
+
   /** Hybrid retrieval with reciprocal-rank fusion (k=60) — the
     * semantic-search composition the reference's embedding service
     * exists to power: a VECTOR ranked list (brute-force cosine of the
@@ -3531,7 +3561,8 @@ object SparkEntry {
     "q_salted_join" -> qSaltedJoin,
     "q_compaction" -> qCompaction,
     "q_zorder" -> qZorder,
-    "q_corrupt_json" -> qCorruptJson
+    "q_corrupt_json" -> qCorruptJson,
+    "q_bpe_doc_tokens" -> qBpeDocTokens
   )
 
   /** DuckDB SQL fragments replicating the repo's hashing primitives
@@ -5641,6 +5672,7 @@ object SparkEntry {
     "q_epoch_shuffle" -> epochShuffleOracleSql,
     "q_bpe_train" -> bpeTrainOracleSql,
     "q_bpe_encode" -> bpeEncodeOracleSql,
+    "q_bpe_doc_tokens" -> bpeDocTokensOracleSql,
     "q_salted_join" ->
       """SELECT s_nationkey, COUNT(*) AS n,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
@@ -5951,5 +5983,25 @@ object SparkEntry {
              AS n_tokens,
            seq
          FROM s$k ORDER BY word"""
+  }
+
+  private lazy val bpeDocTokensOracleSql: String = {
+    val k = 8
+    s"""${bpeStagesSql(k)},
+         enc AS (SELECT word,
+             CAST(len(string_split(trim(seq, '{}'), '}{')) AS BIGINT)
+               AS n_tokens
+           FROM s$k),
+         dw AS (SELECT doc_id, word, COUNT(*) AS n_occ
+           FROM (SELECT doc_id, unnest(list_filter(
+                   regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                   x -> x <> '')) AS word
+                 FROM documents)
+           GROUP BY 1, 2)
+         SELECT doc_id,
+           CAST(SUM(n_occ * n_tokens) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(n_occ) AS BIGINT) AS n_words
+         FROM dw JOIN enc USING (word)
+         GROUP BY doc_id ORDER BY doc_id"""
   }
 }
