@@ -2935,6 +2935,51 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** DSIR-style importance scoring (Data Selection via Importance
+    * Resampling, arXiv:2302.03169, reduced to its unigram
+    * log-likelihood-ratio core): score each raw document by how
+    * target-like its word distribution is — Σ_w n_occ · [ln(cnt_t(w)+1)
+    * − ln(cnt_r(w)+1)] + n_tok · [ln(R+V) − ln(T+V)], i.e. the add-1
+    * smoothed ln p_target/p_raw of the document. doc_id < 50 is the
+    * target slice (the q_contamination convention). Determinism is the
+    * q_perplexity recipe: per-word ln ratios rounded to 9 dp and summed
+    * as exact DECIMAL (associativity-proof under any partitioning);
+    * the per-token constant applies once per doc at the end, rounded
+    * to 6 dp. Shape: two word-keyed aggregates + one word-keyed join
+    * back + a broadcast 1-row totals side — no all-pairs, no driver
+    * state. The curation use: rank raw docs by dsir_score and keep the
+    * top slice to shift a corpus toward a target domain.
+    */
+  private def qDsirScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = tbl(s, dir, "documents")
+      .select(col("doc_id"), explode(expr(tokensSql)).as("w"))
+    val tgtCnt = toks.filter(col("doc_id") < 50)
+      .groupBy("w").agg(count(lit(1)).as("cnt_t"))
+    val raw = toks.filter(col("doc_id") >= 50)
+    val rawCnt = raw.groupBy("w").agg(count(lit(1)).as("cnt_r"))
+    val vocab = tgtCnt.join(rawCnt, Seq("w"), "full_outer")
+      .select(col("w"),
+        coalesce(col("cnt_t"), lit(0L)).as("cnt_t"),
+        coalesce(col("cnt_r"), lit(0L)).as("cnt_r"))
+    val stats = vocab.agg(
+      sum(col("cnt_t")).as("tt"), sum(col("cnt_r")).as("tr"),
+      count(lit(1)).as("v"))
+    val wTerm = vocab.select(col("w"),
+      expr("""CAST(round(ln(CAST(cnt_t + 1 AS DOUBLE)) -
+                         ln(CAST(cnt_r + 1 AS DOUBLE)), 9)
+              AS DECIMAL(28,9))""").as("llr"))
+    raw.join(wTerm, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum(col("llr")).as("sum_llr"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("sum_llr").cast("double") +
+          col("n_tok") * (expr("ln(CAST(tr + v AS DOUBLE))") -
+            expr("ln(CAST(tt + v AS DOUBLE))")), 6)
+          .as("dsir_score"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-frequency boilerplate detection: the fraction of a document's
     * distinct word trigrams that occur in >= 50 documents (including
     * this one — document frequency, not "other documents"). The
@@ -3562,7 +3607,8 @@ object SparkEntry {
     "q_compaction" -> qCompaction,
     "q_zorder" -> qZorder,
     "q_corrupt_json" -> qCorruptJson,
-    "q_bpe_doc_tokens" -> qBpeDocTokens
+    "q_bpe_doc_tokens" -> qBpeDocTokens,
+    "q_dsir_score" -> qDsirScore
   )
 
   /** DuckDB SQL fragments replicating the repo's hashing primitives
@@ -5673,6 +5719,34 @@ object SparkEntry {
     "q_bpe_train" -> bpeTrainOracleSql,
     "q_bpe_encode" -> bpeEncodeOracleSql,
     "q_bpe_doc_tokens" -> bpeDocTokensOracleSql,
+    "q_dsir_score" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+             x -> x <> '')) AS w
+           FROM documents),
+         tgt AS (SELECT w, COUNT(*) AS cnt_t FROM toks
+                 WHERE doc_id < 50 GROUP BY w),
+         rawc AS (SELECT w, COUNT(*) AS cnt_r FROM toks
+                  WHERE doc_id >= 50 GROUP BY w),
+         vocab AS (SELECT COALESCE(t.w, r.w) AS w,
+             COALESCE(cnt_t, 0) AS cnt_t, COALESCE(cnt_r, 0) AS cnt_r
+           FROM tgt t FULL OUTER JOIN rawc r ON t.w = r.w),
+         stats AS (SELECT CAST(SUM(cnt_t) AS BIGINT) AS tt,
+             CAST(SUM(cnt_r) AS BIGINT) AS tr, COUNT(*) AS v
+           FROM vocab),
+         wterm AS (SELECT w,
+             CAST(round(ln(CAST(cnt_t + 1 AS DOUBLE)) -
+                        ln(CAST(cnt_r + 1 AS DOUBLE)), 9)
+               AS DECIMAL(28,9)) AS llr
+           FROM vocab),
+         per AS (SELECT doc_id, COUNT(*) AS n_tok, SUM(llr) AS sum_llr
+           FROM toks JOIN wterm USING (w)
+           WHERE doc_id >= 50 GROUP BY doc_id)
+         SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           ROUND(CAST(sum_llr AS DOUBLE) +
+             n_tok * (ln(CAST(tr + v AS DOUBLE)) -
+                      ln(CAST(tt + v AS DOUBLE))), 6) AS dsir_score
+         FROM per CROSS JOIN stats ORDER BY doc_id""",
     "q_salted_join" ->
       """SELECT s_nationkey, COUNT(*) AS n,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
