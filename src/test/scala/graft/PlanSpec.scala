@@ -357,6 +357,18 @@ class PlanSpec extends AnyFunSuite {
       s"scan reads unneeded columns:\n$plan")
   }
 
+  test("q_dsir_score: totals broadcast, no cartesian, word-keyed joins only") {
+    val plan = planOf("q_dsir_score")
+    // the 1-row totals side must broadcast onto the per-doc aggregate
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"totals side must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no unbroadcast cross join may appear:\n$plan")
+    // the scan feeds word-keyed hash aggregation with a map-side partial
+    assert(plan.contains("HashAggregate"), s"no hash aggregation:\n$plan")
+  }
+
   test("q_split_assign: a stateless narrow projection — only the output sort exchanges") {
     val plan = planOf("q_split_assign")
     val exchanges = """\(\d+\) Exchange""".r.findAllIn(plan).length
