@@ -1,0 +1,492 @@
+package graft.table
+
+import org.apache.hadoop.fs.{FileContext, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import org.json4s.{Formats, NoTypeHints}
+import org.json4s.jackson.Serialization
+
+/** Minimal TRANSACTIONAL TABLE FORMAT — the catalog layer that unifies
+  * the engine's snapshot-rewrite ops ([[graft.ops.Merge]],
+  * [[graft.ops.Compaction]]) and the streaming changelog
+  * ([[graft.streaming.DeltaLog]]) behind one durable, versioned table
+  * abstraction. The reference (freelawproject/inception) has no storage
+  * layer at all — requests are stateless (`routes/embedding.py`) — so
+  * this is engine-extension surface, designed the way the public
+  * log-structured table formats (Delta Lake, Iceberg) are, re-derived
+  * from first principles for this codebase.
+  *
+  * Layout under a table root (any Hadoop-FS URI — hdfs://, s3a://,
+  * file:/ — never java.io.File):
+  *
+  * {{{
+  *   <root>/_log/v00000000000000000000.json   one immutable manifest per version
+  *   <root>/data/c<version>-<uuid>/part-*.parquet   immutable data files
+  * }}}
+  *
+  * A manifest lists the COMPLETE set of active data files for its
+  * version plus per-file row counts and min/max stats, so:
+  *   - reads never list the data directory (O(1) metadata ops at 100 TB,
+  *     where a recursive listing of millions of objects is itself a job);
+  *   - time travel = read an older manifest;
+  *   - file-skipping = filter the manifest's file list by stats BEFORE
+  *     the scan (the manifest-level analog of parquet footer pruning —
+  *     at cluster scale this is what turns "scan the table" into "scan
+  *     the touched hour").
+  *
+  * COMMIT PROTOCOL (optimistic concurrency): a writer computes the next
+  * manifest, writes it to a temp name, and claims the version with an
+  * atomic no-overwrite rename (`FileContext.rename` without OVERWRITE —
+  * atomic on HDFS/POSIX; on object stores without atomic rename, front
+  * the log with a conditional-put or a coordination service, the same
+  * caveat [[graft.streaming.DeltaLog]] documents for its high-water
+  * mark). Losing the race throws the rename's already-exists error, the
+  * writer re-reads the now-newer snapshot, recomputes, and retries —
+  * readers are never blocked and never see a partial commit, because a
+  * manifest appears in `_log` only fully written.
+  *
+  * Orphaned data files from lost races (written, never referenced) are
+  * reclaimed by [[vacuum]], never by readers.
+  */
+object TxnTable {
+
+  /** Per-column min/max over one data file, in double-comparable space
+    * (numerics as-is; timestamps as epoch-µs; dates as epoch-days).
+    */
+  case class ColStats(min: Double, max: Double)
+
+  /** One immutable data file of a snapshot; `path` is root-relative. */
+  case class FileEntry(
+      path: String,
+      rows: Long,
+      bytes: Long,
+      stats: Map[String, ColStats])
+
+  /** One committed table version. `schemaDdl` is the snapshot's full
+    * read schema — reads pass it explicitly, so files written before a
+    * column was added serve nulls for it (schema evolution without a
+    * footer-merging pass over every file).
+    */
+  case class Manifest(
+      version: Long,
+      op: String,
+      timestampMs: Long,
+      schemaDdl: String,
+      files: Seq[FileEntry])
+
+  private implicit val fmts: Formats = Serialization.formats(NoTypeHints)
+
+  private val LogDir = "_log"
+  private val DataDir = "data"
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(root: String, v: Long): Path =
+    new Path(s"$root/$LogDir", f"v$v%020d.json")
+
+  /** All committed versions, ascending (one small listing of `_log`). */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val dir = new Path(root, LogDir)
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) Seq.empty
+    else
+      f.listStatus(dir).toSeq
+        .map(_.getPath.getName)
+        .collect { case n if n.matches("v\\d{20}\\.json") =>
+          n.stripPrefix("v").stripSuffix(".json").toLong
+        }
+        .sorted
+  }
+
+  def latestVersion(spark: SparkSession, root: String): Option[Long] =
+    versions(spark, root).lastOption
+
+  def readManifest(spark: SparkSession, root: String, v: Long): Manifest = {
+    val p = manifestPath(root, v)
+    val in = fs(spark, p).open(p)
+    try Serialization.read[Manifest](new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally in.close()
+  }
+
+  private def latestManifest(
+      spark: SparkSession, root: String): Option[Manifest] =
+    latestVersion(spark, root).map(readManifest(spark, root, _))
+
+  /** Atomically claim version `m.version`: false = lost the race. */
+  private def tryCommit(
+      spark: SparkSession, root: String, m: Manifest): Boolean = {
+    val dest = manifestPath(root, m.version)
+    val logDir = new Path(root, LogDir)
+    val f = fs(spark, logDir)
+    f.mkdirs(logDir)
+    val tmp = new Path(logDir,
+      s".tmp-${java.util.UUID.randomUUID.toString.take(12)}.json")
+    val out = f.create(tmp, true)
+    try out.write(Serialization.write(m)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    try {
+      // Default Rename.NONE: throws if dest exists — the atomic claim.
+      FileContext.getFileContext(dest.toUri,
+        spark.sparkContext.hadoopConfiguration).rename(tmp, dest)
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+          _: java.nio.file.FileAlreadyExistsException |
+          _: org.apache.hadoop.fs.ParentNotDirectoryException =>
+        f.delete(tmp, false); false
+      case e: java.io.IOException if fs(spark, dest).exists(dest) =>
+        f.delete(tmp, false); false
+    }
+  }
+
+  /** Stats expression for `field` in double-comparable space; None for
+    * types without a meaningful total order here (arrays, maps, ...).
+    */
+  private def statsExpr(field: StructField): Option[org.apache.spark.sql.Column] =
+    field.dataType match {
+      case _: NumericType => Some(col(field.name).cast("double"))
+      case TimestampType | TimestampNTZType =>
+        Some(unix_micros(col(field.name).cast(TimestampType)).cast("double"))
+      case DateType => Some(unix_date(col(field.name)).cast("double"))
+      case _ => None
+    }
+
+  /** Write `df` as a fresh immutable file set under `data/` and return
+    * its manifest entries. ONE extra pass over exactly the new files
+    * (grouped by `input_file_name`, ~one row per written file) collects
+    * row counts and min/max stats — never a driver-side loop over
+    * files, never a second scan of pre-existing table data.
+    */
+  private def writeFiles(
+      spark: SparkSession,
+      root: String,
+      df: DataFrame,
+      statsCols: Seq[String],
+      tag: String): Seq[FileEntry] = {
+    val rel = s"$DataDir/c$tag-${java.util.UUID.randomUUID.toString.take(8)}"
+    val dir = new Path(root, rel)
+    df.write.parquet(dir.toString)
+
+    val f = fs(spark, dir)
+    val parts = f.listStatus(dir).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+
+    val fields = statsCols.flatMap(c =>
+      df.schema.fields.find(_.name == c).flatMap(fd =>
+        statsExpr(fd).map(e => (fd.name, e))))
+    val aggs = count(lit(1)).as("_rows") +: fields.flatMap { case (n, e) =>
+      Seq(min(e).as(s"_min_$n"), max(e).as(s"_max_$n"))
+    }
+    val byFile: Map[String, Row] =
+      if (parts.isEmpty) Map.empty
+      else spark.read.parquet(dir.toString)
+        .groupBy(input_file_name().as("_file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map(r => new Path(r.getString(0)).getName -> r)
+        .toMap
+
+    parts.map { st =>
+      val name = st.getPath.getName
+      byFile.get(name) match {
+        case Some(r) =>
+          val stats = fields.flatMap { case (n, _) =>
+            val mi = r.getAs[Any](s"_min_$n")
+            val ma = r.getAs[Any](s"_max_$n")
+            if (mi == null || ma == null) None
+            else Some(n -> ColStats(
+              mi.asInstanceOf[Double], ma.asInstanceOf[Double]))
+          }.toMap
+          FileEntry(s"$rel/$name", r.getAs[Long]("_rows"), st.getLen, stats)
+        case None => // zero-row part file: no group, no stats
+          FileEntry(s"$rel/$name", 0L, st.getLen, Map.empty)
+      }
+    }
+  }
+
+  /** Field-by-name schema union: existing fields keep their position and
+    * type; genuinely new fields append. Changing an existing column's
+    * type is refused — that is a rewrite, not an evolution.
+    */
+  private def mergeSchemas(old: StructType, nw: StructType): StructType = {
+    nw.fields.foreach { f =>
+      old.fields.find(_.name == f.name).foreach { o =>
+        require(o.dataType == f.dataType,
+          s"schema evolution cannot change ${f.name}: " +
+            s"${o.dataType} -> ${f.dataType}")
+      }
+    }
+    StructType(old.fields ++ nw.fields.filterNot(f =>
+      old.fieldNames.contains(f.name)))
+  }
+
+  /** Align `df` to `schema`: missing columns become typed nulls, order
+    * follows `schema`. (How an evolved-schema append fills old columns.)
+    */
+  private def conform(df: DataFrame, schema: StructType): DataFrame =
+    df.select(schema.fields.toSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+
+  /** Create the table at version 0. Fails if the table exists. */
+  def create(
+      spark: SparkSession,
+      root: String,
+      df: DataFrame,
+      statsCols: Seq[String] = Seq.empty): Long = {
+    require(latestVersion(spark, root).isEmpty,
+      s"table already exists at $root")
+    val files = writeFiles(spark, root, df, statsCols, "0")
+    val m = Manifest(0L, "create", System.currentTimeMillis(),
+      df.schema.toDDL, files)
+    require(tryCommit(spark, root, m),
+      s"concurrent create at $root") // create races don't retry
+    0L
+  }
+
+  /** Append rows. New files are written ONCE; only the cheap manifest
+    * merge retries on a lost commit race (appends commute, so no
+    * recompute is needed — this is why high-frequency ingest into one
+    * table scales: N writers serialize on a manifest rename, not on
+    * data rewrites).
+    *
+    * Schema evolution: `df` may carry extra columns (appended to the
+    * table schema) or omit existing ones (filled with nulls).
+    */
+  def append(
+      spark: SparkSession,
+      root: String,
+      df: DataFrame,
+      statsCols: Seq[String] = Seq.empty): Long = {
+    val base = latestManifest(spark, root).getOrElse(
+      sys.error(s"no table at $root — create() first"))
+    val merged = mergeSchemas(
+      StructType.fromDDL(base.schemaDdl), df.schema)
+    val v0 = base.version + 1
+    val files = writeFiles(spark, root, conform(df, merged), statsCols,
+      v0.toString)
+    var v = v0
+    while (!tryCommit(spark, root, {
+        val cur = readManifest(spark, root, v - 1)
+        val curSchema = StructType.fromDDL(cur.schemaDdl)
+        Manifest(v, "append", System.currentTimeMillis(),
+          mergeSchemas(curSchema, merged).toDDL, cur.files ++ files)
+      })) {
+      v = latestVersion(spark, root).get + 1
+    }
+    v
+  }
+
+  /** Full-snapshot rewrite op (overwrite / merge / delete / compact):
+    * `compute` maps the CURRENT snapshot to the new table contents. On a
+    * lost commit race the whole op recomputes against the winner's
+    * snapshot — rewrites do NOT commute, so this is the only sound
+    * retry. At scale, bound the rewrite by partitioning `compute` to
+    * touch only affected partitions' files (the manifest makes the
+    * untouched file set reusable verbatim — see [[merge]]).
+    */
+  private def rewrite(
+      spark: SparkSession,
+      root: String,
+      op: String,
+      statsCols: Seq[String])(
+      compute: DataFrame => DataFrame): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val cur = latestManifest(spark, root).getOrElse(
+        sys.error(s"no table at $root — create() first"))
+      val out = compute(snapshotOf(spark, root, cur))
+      val v = cur.version + 1
+      val files = writeFiles(spark, root, out, statsCols, v.toString)
+      if (tryCommit(spark, root, Manifest(v, op,
+          System.currentTimeMillis(), out.schema.toDDL, files)))
+        committed = v
+      // lost race: loop — recompute against the new latest snapshot;
+      // the just-written files stay orphaned until vacuum().
+    }
+    committed
+  }
+
+  /** Replace the table contents. */
+  def overwrite(
+      spark: SparkSession,
+      root: String,
+      df: DataFrame,
+      statsCols: Seq[String] = Seq.empty): Long =
+    rewrite(spark, root, "overwrite", statsCols)(_ => df)
+
+  /** MERGE/upsert: rows of `updates` replace same-key rows and insert
+    * new keys ([[graft.ops.Merge.upsert]] semantics with updates always
+    * winning). One anti-join + union — shuffle volume O(|snapshot| +
+    * |updates|) on the key, no window sort.
+    */
+  def merge(
+      spark: SparkSession,
+      root: String,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      statsCols: Seq[String] = Seq.empty): Long =
+    rewrite(spark, root, "merge", statsCols) { snap =>
+      snap.join(
+          updates.select(keyCols.map(col): _*).distinct(),
+          keyCols, "left_anti")
+        .unionByName(updates.select(snap.columns.toSeq.map(col): _*))
+    }
+
+  /** Delete by key (anti-join; the GDPR shape of [[graft.ops.Merge.applyDeletes]]). */
+  def delete(
+      spark: SparkSession,
+      root: String,
+      tombstones: DataFrame,
+      keyCols: Seq[String],
+      statsCols: Seq[String] = Seq.empty): Long =
+    rewrite(spark, root, "delete", statsCols) { snap =>
+      graft.ops.Merge.applyDeletes(snap, tombstones, keyCols)
+    }
+
+  /** Small-file compaction as a COMMITTED no-op rewrite: data identical,
+    * file count sized to `targetBytes` ([[graft.ops.Compaction]]'s
+    * round-robin sizing). Old versions still time-travel to the
+    * pre-compaction files until vacuumed.
+    */
+  def compact(
+      spark: SparkSession,
+      root: String,
+      targetBytes: Long = 128L << 20,
+      statsCols: Seq[String] = Seq.empty): Long =
+    rewrite(spark, root, "compact", statsCols) { snap =>
+      val cur = latestManifest(spark, root).get
+      val bytes = math.max(1L, cur.files.map(_.bytes).sum)
+      snap.repartition(graft.ops.Compaction.targetFileCount(
+        bytes, targetBytes))
+    }
+
+  private def snapshotOf(
+      spark: SparkSession, root: String, m: Manifest): DataFrame = {
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val paths = m.files.map(f => s"$root/${f.path}")
+    if (paths.isEmpty)
+      spark.createDataFrame(
+        new java.util.ArrayList[Row](), schema)
+    else spark.read.schema(schema).parquet(paths: _*)
+  }
+
+  /** Latest snapshot. */
+  def snapshot(spark: SparkSession, root: String): DataFrame =
+    snapshotOf(spark, root, latestManifest(spark, root).getOrElse(
+      sys.error(s"no table at $root")))
+
+  /** Time travel: the table exactly as of version `v`. */
+  def snapshotAt(spark: SparkSession, root: String, v: Long): DataFrame =
+    snapshotOf(spark, root, readManifest(spark, root, v))
+
+  /** Stats-pruned snapshot: only files whose [lo, hi] range on
+    * `statsCol` overlaps the requested one (files without stats for the
+    * column are conservatively kept). This prunes at the MANIFEST, so
+    * skipped files cost nothing — not a listing, not a footer read.
+    * Callers still apply their row-level filter; pruning only shrinks
+    * the file set.
+    */
+  def snapshotPruned(
+      spark: SparkSession,
+      root: String,
+      statsCol: String,
+      lo: Double,
+      hi: Double): DataFrame = {
+    val m = latestManifest(spark, root).getOrElse(
+      sys.error(s"no table at $root"))
+    val keep = m.files.filter(f =>
+      f.stats.get(statsCol).forall(s => s.max >= lo && s.min <= hi))
+    snapshotOf(spark, root, m.copy(files = keep))
+  }
+
+  /** Row-level CHANGE DATA CAPTURE between two versions, computed as a
+    * keyed full-outer join of the two snapshots (one shuffle per side;
+    * at cluster scale, run it on the partitions whose file sets differ
+    * between the manifests — the manifest diff IS the pruning).
+    *
+    * Output: key columns + `_change_type` ('insert' | 'update' |
+    * 'delete') + the non-key columns — post-image for insert/update,
+    * pre-image for delete. Unchanged rows are absent. Column-wise
+    * null-safe comparison (`<=>`), so a null→value change is an update.
+    */
+  def cdc(
+      spark: SparkSession,
+      root: String,
+      fromV: Long,
+      toV: Long,
+      keyCols: Seq[String]): DataFrame = {
+    val pre = snapshotAt(spark, root, fromV).alias("pre")
+    val post = snapshotAt(spark, root, toV).alias("post")
+    val dataCols = post.columns.toSeq.filterNot(keyCols.contains)
+    val joinCond = keyCols.map(k => col(s"pre.$k") <=> col(s"post.$k"))
+      .reduce(_ && _)
+    val differs = dataCols.map(c => !(col(s"pre.$c") <=> col(s"post.$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val preExists = col(s"pre.${keyCols.head}").isNotNull
+    val postExists = col(s"post.${keyCols.head}").isNotNull
+    pre.join(post, joinCond, "full_outer")
+      .withColumn("_change_type",
+        when(!preExists, lit("insert"))
+          .when(!postExists, lit("delete"))
+          .when(differs, lit("update")))
+      .filter(col("_change_type").isNotNull)
+      .select(
+        keyCols.map(k =>
+          coalesce(col(s"post.$k"), col(s"pre.$k")).as(k)) ++
+          Seq(col("_change_type")) ++
+          dataCols.map(c =>
+            when(col("_change_type") === "delete", col(s"pre.$c"))
+              .otherwise(col(s"post.$c")).as(c)): _*)
+  }
+
+  /** Commit history as a DataFrame (from the manifests alone — no data
+    * files touched): version, op, timestamp_ms, n_files, n_rows.
+    */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    versions(spark, root)
+      .map(readManifest(spark, root, _))
+      .map(m => (m.version, m.op, m.timestampMs, m.files.size.toLong,
+        m.files.map(_.rows).sum))
+      .toDF("version", "op", "timestamp_ms", "n_files", "n_rows")
+  }
+
+  /** Reclaim data files not referenced by the `retainLast` most recent
+    * manifests (lost-race orphans and pre-rewrite file sets). Older
+    * versions stop being time-travelable — their manifests remain as
+    * history but their files may be gone. Returns the deleted
+    * root-relative paths.
+    */
+  def vacuum(
+      spark: SparkSession, root: String, retainLast: Int = 2): Seq[String] = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no table at $root")
+    val retained = vs.takeRight(math.max(1, retainLast))
+      .flatMap(readManifest(spark, root, _).files.map(_.path)).toSet
+    val dataRoot = new Path(root, DataDir)
+    val f = fs(spark, dataRoot)
+    if (!f.exists(dataRoot)) return Seq.empty
+    val it = f.listFiles(dataRoot, true)
+    val deleted = Seq.newBuilder[String]
+    val rootUri = new Path(root).toUri.getPath.stripSuffix("/")
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toUri.getPath.stripPrefix(rootUri)
+        .stripPrefix("/")
+      if (st.isFile && !retained.contains(rel) &&
+          !st.getPath.getName.startsWith("_")) {
+        f.delete(st.getPath, false)
+        deleted += rel
+      }
+    }
+    deleted.result()
+  }
+}

@@ -1,0 +1,170 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.TxnTable
+
+/** Transactional-table-format specs: commit atomicity under concurrent
+  * writers, time travel, CDC, stats pruning, schema evolution, vacuum.
+  */
+class TableSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_tbl").toString
+
+  private def kv(rows: (Long, String, Double)*): DataFrame =
+    rows.toDF("k", "name", "score")
+
+  private def sortedRows(df: DataFrame): Seq[(Long, String, Double)] =
+    df.select("k", "name", "score").as[(Long, String, Double)]
+      .collect().sortBy(_._1).toSeq
+
+  test("create/append/snapshot roundtrip; reads never list data dir") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, kv((1L, "a", 1.0), (2L, "b", 2.0)))
+    val v1 = TxnTable.append(spark, root, kv((3L, "c", 3.0)))
+    assert(v1 == 1L)
+    assert(sortedRows(TxnTable.snapshot(spark, root)) ==
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    // A stray uncommitted file in data/ must be invisible to readers.
+    kv((99L, "ghost", 9.9)).write.parquet(s"$root/data/uncommitted")
+    assert(sortedRows(TxnTable.snapshot(spark, root)).map(_._1) ==
+      Seq(1L, 2L, 3L))
+  }
+
+  test("time travel: every version stays readable after later rewrites") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, kv((1L, "a", 1.0)))
+    TxnTable.append(spark, root, kv((2L, "b", 2.0)))
+    TxnTable.overwrite(spark, root, kv((7L, "z", 7.0)))
+    assert(sortedRows(TxnTable.snapshotAt(spark, root, 0)).map(_._1) == Seq(1L))
+    assert(sortedRows(TxnTable.snapshotAt(spark, root, 1)).map(_._1) ==
+      Seq(1L, 2L))
+    assert(sortedRows(TxnTable.snapshotAt(spark, root, 2)).map(_._1) == Seq(7L))
+    assert(TxnTable.versions(spark, root) == Seq(0L, 1L, 2L))
+  }
+
+  test("merge upserts by key, delete tombstones, compact preserves data") {
+    val root = freshRoot()
+    TxnTable.create(spark, root,
+      kv((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    TxnTable.merge(spark, root,
+      kv((2L, "B", 20.0), (4L, "d", 4.0)), Seq("k"))
+    assert(sortedRows(TxnTable.snapshot(spark, root)) ==
+      Seq((1L, "a", 1.0), (2L, "B", 20.0), (3L, "c", 3.0), (4L, "d", 4.0)))
+    TxnTable.delete(spark, root, Seq(3L).toDF("k"), Seq("k"))
+    assert(sortedRows(TxnTable.snapshot(spark, root)).map(_._1) ==
+      Seq(1L, 2L, 4L))
+    val before = sortedRows(TxnTable.snapshot(spark, root))
+    val vCompact = TxnTable.compact(spark, root)
+    assert(sortedRows(TxnTable.snapshot(spark, root)) == before)
+    val hist = TxnTable.history(spark, root)
+      .orderBy("version").select("op").as[String].collect().toSeq
+    assert(hist == Seq("create", "merge", "delete", "compact"))
+    assert(vCompact == 3L)
+  }
+
+  test("concurrent appends both commit (optimistic retry, no lost update)") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, kv((0L, "seed", 0.0)))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futures = (1 to 4).map { i =>
+      scala.concurrent.Future {
+        TxnTable.append(spark, root, kv((i.toLong, s"w$i", i.toDouble)))
+      }
+    }
+    val vs = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures),
+      scala.concurrent.duration.Duration(120, "s"))
+    pool.shutdown()
+    // Four writers -> four DISTINCT versions 1..4, all rows present.
+    assert(vs.sorted == Seq(1L, 2L, 3L, 4L))
+    assert(sortedRows(TxnTable.snapshot(spark, root)).map(_._1) ==
+      Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("cdc reports insert/update/delete with pre/post images") {
+    val root = freshRoot()
+    TxnTable.create(spark, root,
+      kv((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    TxnTable.merge(spark, root, kv((2L, "B", 20.0), (4L, "d", 4.0)), Seq("k"))
+    TxnTable.delete(spark, root, Seq(1L).toDF("k"), Seq("k"))
+    val changes = TxnTable.cdc(spark, root, 0L, 2L, Seq("k"))
+      .select("k", "_change_type", "name", "score")
+      .as[(Long, String, String, Double)].collect().sortBy(_._1).toSeq
+    assert(changes == Seq(
+      (1L, "delete", "a", 1.0), // pre-image
+      (2L, "update", "B", 20.0), // post-image
+      (4L, "insert", "d", 4.0)))
+  }
+
+  test("stats pruning skips non-overlapping files at the manifest") {
+    val root = freshRoot()
+    // 4 disjoint key ranges -> 4 files with disjoint k stats.
+    val df = spark.range(0, 400).select(
+      col("id").as("k"), lit("x").as("name"),
+      col("id").cast("double").as("score"))
+      .repartitionByRange(4, col("k"))
+    TxnTable.create(spark, root, df, statsCols = Seq("k"))
+    val all = TxnTable.snapshot(spark, root)
+    val pruned = TxnTable.snapshotPruned(spark, root, "k", 10.0, 20.0)
+    assert(all.inputFiles.length == 4)
+    assert(pruned.inputFiles.length < all.inputFiles.length)
+    // Pruning must not change the answer for an in-range predicate.
+    assert(pruned.filter(col("k").between(10, 20)).count() ==
+      all.filter(col("k").between(10, 20)).count())
+  }
+
+  test("schema evolution: new column appends, old rows read as null") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, kv((1L, "a", 1.0)))
+    val evolved = Seq((2L, "b", 2.0, "en")).toDF("k", "name", "score", "lang")
+    TxnTable.append(spark, root, evolved)
+    val snap = TxnTable.snapshot(spark, root)
+    assert(snap.columns.toSeq == Seq("k", "name", "score", "lang"))
+    val rows = snap.select("k", "lang").as[(Long, Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, None), (2L, Some("en"))))
+    // Narrow append (missing column) conforms with nulls too.
+    TxnTable.append(spark, root, Seq((3L, "c", 3.0)).toDF("k", "name", "score"))
+    assert(TxnTable.snapshot(spark, root).filter(col("k") === 3)
+      .select("lang").as[Option[String]].head().isEmpty)
+    // Type change is refused.
+    intercept[IllegalArgumentException] {
+      TxnTable.append(spark, root, Seq(("4", "d", 4.0))
+        .toDF("k", "name", "score"))
+    }
+  }
+
+  test("vacuum reclaims pre-rewrite files; retained versions unaffected") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, kv((1L, "a", 1.0), (2L, "b", 2.0)))
+    TxnTable.overwrite(spark, root, kv((9L, "z", 9.0)))
+    TxnTable.compact(spark, root)
+    val before = sortedRows(TxnTable.snapshot(spark, root))
+    val deleted = TxnTable.vacuum(spark, root, retainLast = 2)
+    assert(deleted.nonEmpty) // v0's files are unreferenced by v1/v2
+    assert(sortedRows(TxnTable.snapshot(spark, root)) == before)
+    assert(sortedRows(TxnTable.snapshotAt(spark, root, 1)).map(_._1) ==
+      Seq(9L))
+    // v0's data files are gone: reading it now fails (documented).
+    intercept[Exception] {
+      TxnTable.snapshotAt(spark, root, 0).collect()
+    }
+  }
+}
