@@ -3448,6 +3448,118 @@ object SparkEntry {
         expr("try_add(9223372036854775807L, p_partkey)").as("overflow"))
       .orderBy("p_partkey")
 
+  /** WRITE-ONCE transactional-table fixture ([[graft.table.TxnTable]])
+    * over orders — a five-commit history the table gates read back:
+    *
+    *   v0 create   orders with o_orderkey % 3 = 0
+    *   v1 append   orders with o_orderkey % 3 = 1
+    *   v2 merge    % 6 = 0 re-priced ×2 (updates) ∪ % 3 = 2 (inserts)
+    *   v3 delete   tombstones o_orderkey % 5 = 0
+    *   v4 cluster  range-clustered on o_orderkey into 8 files
+    *
+    * Every commit is replayable as pure SQL over the base orders table,
+    * so each gate's oracle rebuilds its version as CTEs. Built under the
+    * scratch URI keyed by the source manifest (the writtenTfTable
+    * pattern); an interrupted build is wiped and redone, never trusted.
+    */
+  private def writtenTxnOrdersTable(s: SparkSession, dir: String): String =
+    scratchBuildOnce(s, "txntbl", "orders", dir) { root =>
+      val p = new org.apache.hadoop.fs.Path(root)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true) // partial build: start over
+      val o = tbl(s, dir, "orders")
+      val stats = Seq("o_orderkey")
+      graft.table.TxnTable.create(s, root,
+        o.filter(col("o_orderkey") % 3 === 0), stats)
+      graft.table.TxnTable.append(s, root,
+        o.filter(col("o_orderkey") % 3 === 1), stats)
+      graft.table.TxnTable.merge(s, root,
+        o.filter(col("o_orderkey") % 6 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .unionByName(o.filter(col("o_orderkey") % 3 === 2)),
+        Seq("o_orderkey"), stats)
+      graft.table.TxnTable.delete(s, root,
+        o.filter(col("o_orderkey") % 5 === 0).select("o_orderkey"),
+        Seq("o_orderkey"), stats)
+      graft.table.TxnTable.cluster(s, root, Seq("o_orderkey"), 8, stats)
+    }
+
+  /** Schema-evolution twin on documents: v1 appends a `quality` column
+    * (n_chars DIV 5) absent from v0, so half the table's files predate
+    * the column and must read as nulls.
+    */
+  private def writtenTxnDocsTable(s: SparkSession, dir: String): String =
+    scratchBuildOnce(s, "evotbl", "documents", dir) { root =>
+      val p = new org.apache.hadoop.fs.Path(root)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      val d = tbl(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      graft.table.TxnTable.create(s, root, d.filter(col("doc_id") % 2 === 0))
+      graft.table.TxnTable.append(s, root,
+        d.filter(col("doc_id") % 2 === 1)
+          .withColumn("quality", expr("n_chars DIV 5")))
+    }
+
+  /** Latest table snapshot (v4, the clustered rewrite of v3): priority
+    * rollup proving create→append→merge→delete→cluster composed right.
+    */
+  private def qTableSnapshot(s: SparkSession, dir: String): DataFrame =
+    graft.table.TxnTable.snapshot(s, writtenTxnOrdersTable(s, dir))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+
+  /** TIME TRAVEL to v1: the same rollup over the pre-merge snapshot —
+    * later rewrites must not bleed into an older manifest's file set.
+    */
+  private def qTableTimetravel(s: SparkSession, dir: String): DataFrame =
+    graft.table.TxnTable.snapshotAt(s, writtenTxnOrdersTable(s, dir), 1L)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+
+  /** Row-level CDC v1→v3: the merge's re-pricings surface as updates,
+    * its new keys as inserts, the tombstoned keys as deletes (post-image
+    * values except deletes, which carry the pre-image).
+    */
+  private def qTableCdc(s: SparkSession, dir: String): DataFrame =
+    graft.table.TxnTable.cdc(s, writtenTxnOrdersTable(s, dir), 1L, 3L,
+        Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("_change_type").as("change_type"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy("o_orderkey")
+
+  /** Commit history from the manifests alone (no data files touched):
+    * op sequence + exact row count per version.
+    */
+  private def qTableHistory(s: SparkSession, dir: String): DataFrame =
+    graft.table.TxnTable.history(s, writtenTxnOrdersTable(s, dir))
+      .select("version", "op", "n_rows")
+      .orderBy("version")
+
+  /** Stats-pruned read over the clustered table: the manifest's disjoint
+    * per-file o_orderkey ranges let the probe skip most files BEFORE the
+    * scan (file skipping at the metadata layer — the mechanism that
+    * turns a 100 TB table probe into a few-file read). Same answer as
+    * the unpruned scan, asserted by the oracle.
+    */
+  private def qTablePrune(s: SparkSession, dir: String): DataFrame =
+    graft.table.TxnTable.snapshotPruned(s, writtenTxnOrdersTable(s, dir),
+        "o_orderkey", 1000.0, 5000.0)
+      .filter(col("o_orderkey").between(1000L, 5000L))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+
+  /** Schema evolution end to end: files written before the `quality`
+    * column existed serve typed nulls for it under the evolved read
+    * schema — no rewrite, no footer-merge pass.
+    */
+  private def qTableSchemaEvo(s: SparkSession, dir: String): DataFrame =
+    graft.table.TxnTable.snapshot(s, writtenTxnDocsTable(s, dir))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), count(col("quality")).as("n_q"),
+        sum(col("quality")).as("sum_q"))
+      .orderBy("lang")
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3608,7 +3720,13 @@ object SparkEntry {
     "q_zorder" -> qZorder,
     "q_corrupt_json" -> qCorruptJson,
     "q_bpe_doc_tokens" -> qBpeDocTokens,
-    "q_dsir_score" -> qDsirScore
+    "q_dsir_score" -> qDsirScore,
+    "q_table_snapshot" -> qTableSnapshot,
+    "q_table_timetravel" -> qTableTimetravel,
+    "q_table_cdc" -> qTableCdc,
+    "q_table_history" -> qTableHistory,
+    "q_table_prune" -> qTablePrune,
+    "q_table_schema_evo" -> qTableSchemaEvo
   )
 
   /** DuckDB SQL fragments replicating the repo's hashing primitives
@@ -4305,6 +4423,24 @@ object SparkEntry {
     * SQL-expressible (sentence split / chunker / embedder) → driver
     * records a weaker rows-only check.
     */
+  /** Shared CTE replay of [[writtenTxnOrdersTable]]'s commit history —
+    * one version per CTE, spliced into every table-gate oracle.
+    */
+  private val txnTableCtes: String =
+    """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+         v1 AS (SELECT * FROM base
+                UNION ALL SELECT * FROM orders WHERE o_orderkey % 3 = 1),
+         upd AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                   o_totalprice * 2 AS o_totalprice, o_orderdate,
+                   o_orderpriority
+                 FROM orders WHERE o_orderkey % 6 = 0
+                 UNION ALL
+                 SELECT * FROM orders WHERE o_orderkey % 3 = 2),
+         v2 AS (SELECT * FROM v1 WHERE o_orderkey NOT IN
+                  (SELECT o_orderkey FROM upd)
+                UNION ALL SELECT * FROM upd),
+         v3 AS (SELECT * FROM v2 WHERE o_orderkey % 5 <> 0)"""
+
   def oracleSql: Map[String, String] = Map(
     "sentence_stats" -> sentenceStatsOracleSql,
     "sentence_chunks" -> sentenceChunksOracleSql,
@@ -5987,7 +6123,64 @@ object SparkEntry {
            WHERE length(word) >= 2)
          SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
          FROM p GROUP BY pair
-         ORDER BY cnt DESC, pair LIMIT 30"""
+         ORDER BY cnt DESC, pair LIMIT 30""",
+    // Transactional-table oracles: each version of the writtenTxnOrdersTable
+    // commit history (create/append/merge/delete/cluster) replayed as CTEs
+    // over the base orders table. v4 (cluster) is data-identical to v3.
+    "q_table_snapshot" ->
+      s"""$txnTableCtes
+         SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price
+         FROM v3 GROUP BY 1 ORDER BY 1""",
+    "q_table_timetravel" ->
+      s"""$txnTableCtes
+         SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price
+         FROM v1 GROUP BY 1 ORDER BY 1""",
+    "q_table_cdc" ->
+      s"""$txnTableCtes,
+         j AS (SELECT coalesce(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+             CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+                  WHEN b.o_orderkey IS NULL THEN 'delete'
+                  WHEN (a.o_custkey IS DISTINCT FROM b.o_custkey)
+                    OR (a.o_orderstatus IS DISTINCT FROM b.o_orderstatus)
+                    OR (a.o_totalprice IS DISTINCT FROM b.o_totalprice)
+                    OR (a.o_orderdate IS DISTINCT FROM b.o_orderdate)
+                    OR (a.o_orderpriority IS DISTINCT FROM b.o_orderpriority)
+                  THEN 'update' END AS change_type,
+             round(CASE WHEN b.o_orderkey IS NULL THEN a.o_totalprice
+                        ELSE b.o_totalprice END, 2) AS o_totalprice
+           FROM v1 a FULL OUTER JOIN v3 b ON a.o_orderkey = b.o_orderkey)
+         SELECT o_orderkey, change_type, o_totalprice FROM j
+         WHERE change_type IS NOT NULL ORDER BY o_orderkey""",
+    "q_table_history" ->
+      s"""$txnTableCtes
+         SELECT * FROM (
+           SELECT CAST(0 AS BIGINT) AS version, 'create' AS op,
+             (SELECT COUNT(*) FROM base) AS n_rows
+           UNION ALL SELECT 1, 'append', (SELECT COUNT(*) FROM v1)
+           UNION ALL SELECT 2, 'merge', (SELECT COUNT(*) FROM v2)
+           UNION ALL SELECT 3, 'delete', (SELECT COUNT(*) FROM v3)
+           UNION ALL SELECT 4, 'cluster', (SELECT COUNT(*) FROM v3)
+         ) ORDER BY version""",
+    "q_table_prune" ->
+      s"""$txnTableCtes
+         SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price
+         FROM v3 WHERE o_orderkey BETWEEN 1000 AND 5000""",
+    "q_table_schema_evo" ->
+      """WITH v0 AS (SELECT doc_id, lang, n_chars,
+             CAST(NULL AS BIGINT) AS quality
+           FROM documents WHERE doc_id % 2 = 0),
+         v1 AS (SELECT doc_id, lang, n_chars, n_chars // 5 AS quality
+           FROM documents WHERE doc_id % 2 = 1),
+         t AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1)
+         SELECT lang, COUNT(*) AS n, COUNT(quality) AS n_q,
+           CAST(SUM(quality) AS BIGINT) AS sum_q
+         FROM t GROUP BY 1 ORDER BY 1"""
   )
 
   /** DuckDB replay of [[graft.ops.Sampling.epochShard]] (seed 7, 8

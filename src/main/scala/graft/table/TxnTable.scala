@@ -368,6 +368,24 @@ object TxnTable {
         bytes, targetBytes))
     }
 
+  /** Clustered rewrite: range-partition into `nFiles` files sorted on
+    * `cols` ([[graft.ops.Compaction.compactSorted]] as a committed op),
+    * so manifest min/max stats on those columns become DISJOINT ranges
+    * and [[snapshotPruned]] skips whole files. The optimize-with-sort-
+    * order chore every log-structured table needs after enough
+    * arrival-ordered appends.
+    */
+  def cluster(
+      spark: SparkSession,
+      root: String,
+      cols: Seq[String],
+      nFiles: Int,
+      statsCols: Seq[String] = Seq.empty): Long =
+    rewrite(spark, root, "cluster", statsCols) { snap =>
+      snap.repartitionByRange(nFiles, cols.map(col): _*)
+        .sortWithinPartitions(cols.map(col): _*)
+    }
+
   private def snapshotOf(
       spark: SparkSession, root: String, m: Manifest): DataFrame = {
     val schema = StructType.fromDDL(m.schemaDdl)
