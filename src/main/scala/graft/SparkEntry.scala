@@ -3560,6 +3560,35 @@ object SparkEntry {
         sum(col("quality")).as("sum_q"))
       .orderBy("lang")
 
+  /** STREAMING INGEST INTO THE TRANSACTIONAL TABLE: a real file-stream
+    * query lands each micro-batch as a [[graft.table.TxnTable.appendBatch]]
+    * commit — the batch-id fence and the data files become visible in
+    * ONE atomic manifest rename, so a crash-replayed batch can never
+    * double-append (the exactly-once shape DeltaLog's separate
+    * high-water-mark file approximates; TableSpec proves the replay
+    * no-op directly). The gate result reads the table back and must
+    * equal the plain batch aggregate over the same documents.
+    */
+  private def qDocsStreamTable(s: SparkSession, dir: String): DataFrame = {
+    val schema = tbl(s, dir, "documents").schema
+    val root = scratchTempDir(s, "graft_stream_tbl")
+    val stream = s.readStream.schema(schema)
+      .parquet(docsStreamDir(dir).toString)
+    runStream(s) {
+      stream.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.table.TxnTable.appendBatch(s, root, batch, id); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    graft.table.TxnTable.snapshot(s, root)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3726,7 +3755,8 @@ object SparkEntry {
     "q_table_cdc" -> qTableCdc,
     "q_table_history" -> qTableHistory,
     "q_table_prune" -> qTablePrune,
-    "q_table_schema_evo" -> qTableSchemaEvo
+    "q_table_schema_evo" -> qTableSchemaEvo,
+    "docs_stream_table" -> qDocsStreamTable
   )
 
   /** DuckDB SQL fragments replicating the repo's hashing primitives
@@ -6180,7 +6210,10 @@ object SparkEntry {
          t AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1)
          SELECT lang, COUNT(*) AS n, COUNT(quality) AS n_q,
            CAST(SUM(quality) AS BIGINT) AS sum_q
-         FROM t GROUP BY 1 ORDER BY 1"""
+         FROM t GROUP BY 1 ORDER BY 1""",
+    "docs_stream_table" ->
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY 1 ORDER BY 1"""
   )
 
   /** DuckDB replay of [[graft.ops.Sampling.epochShard]] (seed 7, 8

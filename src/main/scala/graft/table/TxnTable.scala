@@ -69,12 +69,20 @@ object TxnTable {
     * column was added serve nulls for it (schema evolution without a
     * footer-merging pass over every file).
     */
+  /** `streamHwm`: highest streaming micro-batch id committed INTO this
+    * table (carried forward by every commit) — the exactly-once fence
+    * for [[appendBatch]]. Recording it in the manifest makes batch-id
+    * bookkeeping and data visibility ONE atomic rename, the guarantee
+    * [[graft.streaming.DeltaLog]]'s separate `_hwm` file can only
+    * approximate on stores without atomic rename.
+    */
   case class Manifest(
       version: Long,
       op: String,
       timestampMs: Long,
       schemaDdl: String,
-      files: Seq[FileEntry])
+      files: Seq[FileEntry],
+      streamHwm: Option[Long] = None)
 
   private implicit val fmts: Formats = Serialization.formats(NoTypeHints)
 
@@ -277,11 +285,56 @@ object TxnTable {
         val cur = readManifest(spark, root, v - 1)
         val curSchema = StructType.fromDDL(cur.schemaDdl)
         Manifest(v, "append", System.currentTimeMillis(),
-          mergeSchemas(curSchema, merged).toDDL, cur.files ++ files)
+          mergeSchemas(curSchema, merged).toDDL, cur.files ++ files,
+          cur.streamHwm)
       })) {
       v = latestVersion(spark, root).get + 1
     }
     v
+  }
+
+  /** EXACTLY-ONCE streaming append (the foreachBatch sink op): commit
+    * `df` as micro-batch `batchId` unless a manifest already records
+    * that id (or a later one) in `streamHwm` — a crash-replayed batch
+    * is a no-op, and because the fence and the files land in the same
+    * atomic manifest rename, there is NO window where data committed
+    * but the fence didn't (DeltaLog's two-step append+mark has one,
+    * documented there). Creates the table on the first batch. Returns
+    * the committed version, or None for a skipped replay.
+    */
+  def appendBatch(
+      spark: SparkSession,
+      root: String,
+      df: DataFrame,
+      batchId: Long,
+      statsCols: Seq[String] = Seq.empty): Option[Long] = {
+    val base = latestManifest(spark, root)
+    if (base.exists(_.streamHwm.exists(_ >= batchId))) return None
+    val merged = base.map(b =>
+      mergeSchemas(StructType.fromDDL(b.schemaDdl), df.schema))
+      .getOrElse(df.schema)
+    val files = writeFiles(spark, root, conform(df, merged), statsCols,
+      s"b$batchId")
+    var result: Option[Long] = None
+    var done = false
+    while (!done) {
+      val cur = latestManifest(spark, root)
+      if (cur.exists(_.streamHwm.exists(_ >= batchId))) {
+        done = true // concurrent replay won; our files await vacuum()
+      } else {
+        val v = cur.map(_.version + 1).getOrElse(0L)
+        val schema = cur.map(c =>
+          mergeSchemas(StructType.fromDDL(c.schemaDdl), merged))
+          .getOrElse(merged)
+        if (tryCommit(spark, root, Manifest(v, "stream-append",
+            System.currentTimeMillis(), schema.toDDL,
+            cur.map(_.files).getOrElse(Seq.empty) ++ files,
+            Some(batchId)))) {
+          result = Some(v); done = true
+        }
+      }
+    }
+    result
   }
 
   /** Full-snapshot rewrite op (overwrite / merge / delete / compact):
@@ -306,7 +359,8 @@ object TxnTable {
       val v = cur.version + 1
       val files = writeFiles(spark, root, out, statsCols, v.toString)
       if (tryCommit(spark, root, Manifest(v, op,
-          System.currentTimeMillis(), out.schema.toDDL, files)))
+          System.currentTimeMillis(), out.schema.toDDL, files,
+          cur.streamHwm)))
         committed = v
       // lost race: loop — recompute against the new latest snapshot;
       // the just-written files stay orphaned until vacuum().

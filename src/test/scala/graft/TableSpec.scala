@@ -151,6 +151,27 @@ class TableSpec extends AnyFunSuite {
     }
   }
 
+  test("appendBatch is exactly-once: a replayed batch id is a no-op") {
+    val root = freshRoot()
+    assert(TxnTable.appendBatch(spark, root, kv((1L, "a", 1.0)), 0L)
+      .contains(0L)) // first batch creates the table
+    assert(TxnTable.appendBatch(spark, root, kv((2L, "b", 2.0)), 1L)
+      .contains(1L))
+    // Crash-replay of batch 1 with different (wrong) content: fenced out.
+    assert(TxnTable.appendBatch(spark, root, kv((99L, "dup", 9.9)), 1L)
+      .isEmpty)
+    assert(TxnTable.appendBatch(spark, root, kv((3L, "c", 3.0)), 2L)
+      .contains(2L))
+    assert(sortedRows(TxnTable.snapshot(spark, root)).map(_._1) ==
+      Seq(1L, 2L, 3L))
+    // A non-stream append must not regress the fence.
+    TxnTable.append(spark, root, kv((4L, "d", 4.0)))
+    assert(TxnTable.appendBatch(spark, root, kv((98L, "dup", 9.8)), 2L)
+      .isEmpty)
+    assert(sortedRows(TxnTable.snapshot(spark, root)).map(_._1) ==
+      Seq(1L, 2L, 3L, 4L))
+  }
+
   test("vacuum reclaims pre-rewrite files; retained versions unaffected") {
     val root = freshRoot()
     TxnTable.create(spark, root, kv((1L, "a", 1.0), (2L, "b", 2.0)))
