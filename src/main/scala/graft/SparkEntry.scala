@@ -3560,6 +3560,38 @@ object SparkEntry {
         sum(col("quality")).as("sum_q"))
       .orderBy("lang")
 
+  /** Scope-bounded-merge fixture: orders range-clustered on o_custkey
+    * (8 files with tight custkey stats), then a
+    * [[graft.table.TxnTable.mergeScoped]] re-pricing the o_custkey<100
+    * slice — only the lowest custkey-range file(s) are rewritten; the
+    * rest of the table is carried into the new manifest with zero IO.
+    */
+  private def writtenScopedTable(s: SparkSession, dir: String): String =
+    scratchBuildOnce(s, "scopedtbl", "orders", dir) { root =>
+      val p = new org.apache.hadoop.fs.Path(root)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      val o = tbl(s, dir, "orders")
+      val stats = Seq("o_custkey", "o_orderkey")
+      graft.table.TxnTable.create(s, root,
+        o.repartitionByRange(8, col("o_custkey")), stats)
+      graft.table.TxnTable.mergeScoped(s, root,
+        o.filter(col("o_custkey") < 100)
+          .withColumn("o_totalprice", -col("o_totalprice")),
+        Seq("o_orderkey"), "o_custkey", stats)
+    }
+
+  /** Snapshot after the scoped merge: the carried-verbatim files and the
+    * rewritten slice must compose to exactly "negate prices where
+    * o_custkey < 100" — a missed update OR a key duplicated across the
+    * scope boundary both break the sums.
+    */
+  private def qTableMergeScoped(s: SparkSession, dir: String): DataFrame =
+    graft.table.TxnTable.snapshot(s, writtenScopedTable(s, dir))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+
   /** STREAMING INGEST INTO THE TRANSACTIONAL TABLE: a real file-stream
     * query lands each micro-batch as a [[graft.table.TxnTable.appendBatch]]
     * commit — the batch-id fence and the data files become visible in
@@ -3756,6 +3788,7 @@ object SparkEntry {
     "q_table_history" -> qTableHistory,
     "q_table_prune" -> qTablePrune,
     "q_table_schema_evo" -> qTableSchemaEvo,
+    "q_table_merge_scoped" -> qTableMergeScoped,
     "docs_stream_table" -> qDocsStreamTable
   )
 
@@ -6213,7 +6246,15 @@ object SparkEntry {
          FROM t GROUP BY 1 ORDER BY 1""",
     "docs_stream_table" ->
       """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-         FROM documents GROUP BY 1 ORDER BY 1"""
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "q_table_merge_scoped" ->
+      """WITH t AS (SELECT o_orderstatus,
+             CASE WHEN o_custkey < 100 THEN -o_totalprice
+                  ELSE o_totalprice END AS price
+           FROM orders)
+         SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+         FROM t GROUP BY 1 ORDER BY 1"""
   )
 
   /** DuckDB replay of [[graft.ops.Sampling.epochShard]] (seed 7, 8

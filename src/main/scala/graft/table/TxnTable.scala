@@ -394,6 +394,64 @@ object TxnTable {
         .unionByName(updates.select(snap.columns.toSeq.map(col): _*))
     }
 
+  /** SCOPE-BOUNDED MERGE — the 100 TB form of [[merge]]: only files
+    * whose `scopeCol` stats range intersects the update set's scope
+    * values are read and rewritten; every other file is carried into
+    * the new manifest VERBATIM (zero IO for the untouched 99.9% of a
+    * large table). `scopeCol` plays the partition-column role and must
+    * be STABLE PER KEY (an update row's scope value equals the stored
+    * row's — the same contract a partitioned MERGE has in the public
+    * table formats; violating it can duplicate a key across scopes).
+    *
+    * The touched scope set is collected to the driver — it is bounded
+    * by the table's partition cardinality (days, tenants, shards),
+    * never by row count. Works best after [[cluster]]`(scopeCol)` has
+    * made per-file scope ranges tight; without stats a file is
+    * conservatively rewritten.
+    */
+  def mergeScoped(
+      spark: SparkSession,
+      root: String,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      scopeCol: String,
+      statsCols: Seq[String] = Seq.empty): Long = {
+    val scopeField = updates.schema.fields.find(_.name == scopeCol)
+      .getOrElse(sys.error(s"no $scopeCol in updates"))
+    val scopeExpr = statsExpr(scopeField).getOrElse(
+      sys.error(s"$scopeCol: type ${scopeField.dataType} has no stats order"))
+    val touched = updates.select(scopeExpr.as("v")).distinct()
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          s"$scopeCol must be non-null in updates: a null scope cannot " +
+            "be matched against file stats and would strand its stored row")
+        r.getDouble(0)
+      }
+    var committed = -1L
+    while (committed < 0) {
+      val cur = latestManifest(spark, root).getOrElse(
+        sys.error(s"no table at $root — create() first"))
+      val (hit, kept) = cur.files.partition(f =>
+        f.stats.get(scopeCol) match {
+          case Some(s) => touched.exists(v => v >= s.min && v <= s.max)
+          case None => true // no stats: must assume the file is touched
+        })
+      val hitSnap = snapshotOf(spark, root,
+        cur.copy(files = hit))
+      val out = hitSnap.join(
+          updates.select(keyCols.map(col): _*).distinct(),
+          keyCols, "left_anti")
+        .unionByName(updates.select(hitSnap.columns.toSeq.map(col): _*))
+      val v = cur.version + 1
+      val files = writeFiles(spark, root, out, statsCols, v.toString)
+      if (tryCommit(spark, root, Manifest(v, "merge",
+          System.currentTimeMillis(), cur.schemaDdl, kept ++ files,
+          cur.streamHwm)))
+        committed = v
+    }
+    committed
+  }
+
   /** Delete by key (anti-join; the GDPR shape of [[graft.ops.Merge.applyDeletes]]). */
   def delete(
       spark: SparkSession,

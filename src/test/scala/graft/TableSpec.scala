@@ -151,6 +151,33 @@ class TableSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeScoped rewrites only stats-overlapping files, carries the rest") {
+    val root = freshRoot()
+    val df = spark.range(0, 400).select(
+      col("id").as("k"), (col("id") % 4).as("scope"),
+      col("id").cast("double").as("score"))
+      .repartitionByRange(4, col("scope"))
+    TxnTable.create(spark, root, df, statsCols = Seq("scope", "k"))
+    val v0Files = TxnTable.readManifest(spark, root, 0).files
+      .map(_.path).toSet
+    // Updates touch scope 0 only (keys divisible by 4 -> k % 4 == 0).
+    val updates = spark.range(0, 10).select(
+      (col("id") * 4).as("k"), lit(0L).as("scope"),
+      lit(-1.0).as("score"))
+    TxnTable.mergeScoped(spark, root, updates, Seq("k"), "scope",
+      statsCols = Seq("scope", "k"))
+    val m1 = TxnTable.readManifest(spark, root, 1)
+    val carried = m1.files.map(_.path).toSet.intersect(v0Files)
+    assert(carried.nonEmpty, "out-of-scope files must be carried verbatim")
+    assert(carried.size < v0Files.size, "in-scope files must be rewritten")
+    // Data equals a full-table merge of the same updates.
+    val snap = TxnTable.snapshot(spark, root)
+    assert(snap.count() == 400)
+    assert(snap.filter(col("score") === -1.0).count() == 10)
+    assert(snap.filter(col("k") % 4 === 0 && col("k") < 40)
+      .agg(sum("score")).head().getDouble(0) == -10.0)
+  }
+
   test("appendBatch is exactly-once: a replayed batch id is a no-op") {
     val root = freshRoot()
     assert(TxnTable.appendBatch(spark, root, kv((1L, "a", 1.0)), 0L)
