@@ -3544,9 +3544,8 @@ object SparkEntry {
     * the unpruned scan, asserted by the oracle.
     */
   private def qTablePrune(s: SparkSession, dir: String): DataFrame =
-    graft.table.TxnTable.snapshotPruned(s, writtenTxnOrdersTable(s, dir),
-        "o_orderkey", 1000.0, 5000.0)
-      .filter(col("o_orderkey").between(1000L, 5000L))
+    graft.table.TxnTable.snapshotWhere(s, writtenTxnOrdersTable(s, dir),
+        col("o_orderkey").between(1000L, 5000L))
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
 
   /** Schema evolution end to end: files written before the `quality`

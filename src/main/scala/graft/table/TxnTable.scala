@@ -537,6 +537,53 @@ object TxnTable {
     snapshotOf(spark, root, m.copy(files = keep))
   }
 
+  /** Predicate-pruned snapshot: bounds extracted from `pred`'s simple
+    * conjuncts prune the manifest's file list (see [[predBounds]]);
+    * the FULL predicate then applies row-level, so the result equals
+    * `snapshot(..).filter(pred)` with only the overlapping files read.
+    */
+  def snapshotWhere(
+      spark: SparkSession,
+      root: String,
+      pred: org.apache.spark.sql.Column): DataFrame = {
+    val m = latestManifest(spark, root).getOrElse(
+      sys.error(s"no table at $root"))
+    val bounds =
+      org.apache.spark.sql.graft.GraftSqlBridge.predicateBounds(pred)
+    val keep = m.files.filter(f =>
+      bounds.forall { case (c, (lo, hi)) =>
+        f.stats.get(c).forall(s => s.max >= lo && s.min <= hi)
+      })
+    snapshotOf(spark, root, m.copy(files = keep)).filter(pred)
+  }
+
+  /** Rows appended after version `fromV` (exclusive) — the incremental
+    * tail read a downstream pipeline runs per poll, priced O(new files)
+    * regardless of table size. Sound only while every commit after
+    * `fromV` is an append; a rewrite (merge/delete/compact/...) in the
+    * range throws, telling the consumer to fall back to [[cdc]] or a
+    * fresh [[snapshot]].
+    */
+  def appendsSince(
+      spark: SparkSession, root: String, fromV: Long): DataFrame = {
+    val latest = latestVersion(spark, root).getOrElse(
+      sys.error(s"no table at $root"))
+    val nonAppend = versions(spark, root)
+      .filter(v => v > fromV && v <= latest)
+      .map(readManifest(spark, root, _))
+      .filterNot(m => m.op == "append" || m.op == "stream-append")
+    if (nonAppend.nonEmpty)
+      throw new IllegalStateException(
+        s"appendsSince($fromV): non-append commit(s) " +
+          s"${nonAppend.map(m => s"v${m.version}:${m.op}").mkString(", ")} " +
+          "in range — consume via cdc() or re-read snapshot()")
+    val mFrom = readManifest(spark, root, fromV)
+    val mTo = readManifest(spark, root, latest)
+    val old = mFrom.files.map(_.path).toSet
+    snapshotOf(spark, root,
+      mTo.copy(files = mTo.files.filterNot(f => old.contains(f.path))))
+  }
+
   /** Row-level CHANGE DATA CAPTURE between two versions, computed as a
     * keyed full-outer join of the two snapshots (one shuffle per side;
     * at cluster scale, run it on the partitions whose file sets differ

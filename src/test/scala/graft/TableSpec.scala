@@ -130,6 +130,47 @@ class TableSpec extends AnyFunSuite {
       all.filter(col("k").between(10, 20)).count())
   }
 
+  test("snapshotWhere pushes conjunct bounds to the manifest, stays conservative") {
+    val root = freshRoot()
+    val df = spark.range(0, 400).select(
+      col("id").as("k"), lit("x").as("name"),
+      col("id").cast("double").as("score"))
+      .repartitionByRange(4, col("k"))
+    TxnTable.create(spark, root, df, statsCols = Seq("k"))
+    val q = TxnTable.snapshotWhere(spark, root,
+      col("k") >= 10 && col("k") <= 20 && col("name") === "x")
+    assert(q.inputFiles.length == 1, "one key-range file overlaps [10,20]")
+    assert(q.count() == 11)
+    // Literal-on-the-left and reversed operators prune the same way.
+    assert(TxnTable.snapshotWhere(spark, root,
+      lit(10L) <= col("k") && col("k") < 21).inputFiles.length == 1)
+    // OR contributes no bounds: all files read, result still correct.
+    val orQ = TxnTable.snapshotWhere(spark, root,
+      col("k") === 5 || col("k") === 395)
+    assert(orQ.inputFiles.length == 4)
+    assert(orQ.count() == 2)
+    // A predicate on a column without stats reads everything, correctly.
+    assert(TxnTable.snapshotWhere(spark, root,
+      col("score") < 3.0).count() == 3)
+  }
+
+  test("appendsSince tails only new files; rewrites in range throw") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, kv((1L, "a", 1.0)))
+    TxnTable.append(spark, root, kv((2L, "b", 2.0)))
+    TxnTable.append(spark, root, kv((3L, "c", 3.0)))
+    val tail = TxnTable.appendsSince(spark, root, 0L)
+    assert(sortedRows(tail).map(_._1) == Seq(2L, 3L))
+    // Only the appended files are read — not the whole table.
+    assert(tail.inputFiles.length <
+      TxnTable.snapshot(spark, root).inputFiles.length)
+    assert(sortedRows(TxnTable.appendsSince(spark, root, 2L)).isEmpty)
+    TxnTable.merge(spark, root, kv((1L, "A", 10.0)), Seq("k"))
+    intercept[IllegalStateException] {
+      TxnTable.appendsSince(spark, root, 0L)
+    }
+  }
+
   test("schema evolution: new column appends, old rows read as null") {
     val root = freshRoot()
     TxnTable.create(spark, root, kv((1L, "a", 1.0)))
