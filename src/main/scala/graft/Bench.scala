@@ -140,7 +140,8 @@ object Bench {
       "pipeline_e2e", "q_asof_join_native", "q_gapfill",
       "q_session_window", "q_contamination", "q_seq_packing",
       "dedup_incremental", "q_perplexity", "q_boilerplate",
-      "q_knn_eval")
+      "q_knn_eval", "q_table_snapshot", "q_table_cdc",
+      "docs_stream_table")
     val fullLine = jsonLine(results)
     val headLine = jsonLine(headline.flatMap(h => resultMap.get(h).map(h -> _)))
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
