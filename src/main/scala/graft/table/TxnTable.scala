@@ -76,13 +76,18 @@ object TxnTable {
     * [[graft.streaming.DeltaLog]]'s separate `_hwm` file can only
     * approximate on stores without atomic rename.
     */
+  /** `constraints`: named CHECK predicates (SQL expression strings)
+    * enforced on every commit's INCOMING rows, carried forward like
+    * `streamHwm`.
+    */
   case class Manifest(
       version: Long,
       op: String,
       timestampMs: Long,
       schemaDdl: String,
       files: Seq[FileEntry],
-      streamHwm: Option[Long] = None)
+      streamHwm: Option[Long] = None,
+      constraints: Option[Map[String, String]] = None)
 
   private implicit val fmts: Formats = Serialization.formats(NoTypeHints)
 
@@ -95,7 +100,10 @@ object TxnTable {
   private def manifestPath(root: String, v: Long): Path =
     new Path(s"$root/$LogDir", f"v$v%020d.json")
 
-  /** All committed versions, ascending (one small listing of `_log`). */
+  /** All committed versions, ascending (one listing of `_log` — used by
+    * the admin surfaces, [[history]] and [[vacuum]], where O(commits) is
+    * fine; the read path goes through [[latestVersion]]'s O(1) hint).
+    */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val dir = new Path(root, LogDir)
     val f = fs(spark, dir)
@@ -109,8 +117,59 @@ object TxnTable {
         .sorted
   }
 
+  /** Best-effort latest-version hint (`_log/_LAST`), updated by every
+    * commit winner via atomic-overwrite rename. A hint can lag (crash
+    * between commit and hint write, or a lost hint race) but can never
+    * lead — it is only written AFTER its manifest exists — so readers
+    * trust it as a floor and probe forward. Absent/corrupt hint falls
+    * back to the full listing.
+    */
+  private def hintPath(root: String) = new Path(s"$root/$LogDir", "_LAST")
+
+  private def writeHint(spark: SparkSession, root: String, v: Long): Unit =
+    try {
+      val hint = hintPath(root)
+      val tmp = new Path(s"$root/$LogDir",
+        s"._last-${java.util.UUID.randomUUID.toString.take(8)}")
+      val f = fs(spark, tmp)
+      val out = f.create(tmp, true)
+      try out.write(v.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      FileContext.getFileContext(hint.toUri,
+        spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, hint, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch { case _: java.io.IOException => () } // hint is advisory
+
+  private def readHint(spark: SparkSession, root: String): Option[Long] = {
+    val hint = hintPath(root)
+    val f = fs(spark, hint)
+    if (!f.exists(hint)) None
+    else
+      try {
+        val in = f.open(hint)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+        finally in.close()
+      } catch { case _: Exception => None }
+  }
+
+  /** Latest committed version in O(1) metadata ops: start at the `_LAST`
+    * hint and probe forward until the next manifest is absent. At 100 TB
+    * with thousands of commits this replaces an O(commits) directory
+    * listing on EVERY read with one small file read + the few probes a
+    * stale hint costs.
+    */
   def latestVersion(spark: SparkSession, root: String): Option[Long] =
-    versions(spark, root).lastOption
+    readHint(spark, root) match {
+      case Some(h) if fs(spark, manifestPath(root, h))
+          .exists(manifestPath(root, h)) =>
+        var v = h
+        while (fs(spark, manifestPath(root, v + 1))
+            .exists(manifestPath(root, v + 1))) v += 1
+        Some(v)
+      case _ => versions(spark, root).lastOption
+    }
 
   def readManifest(spark: SparkSession, root: String, v: Long): Manifest = {
     val p = manifestPath(root, v)
@@ -123,6 +182,17 @@ object TxnTable {
   private def latestManifest(
       spark: SparkSession, root: String): Option[Manifest] =
     latestVersion(spark, root).map(readManifest(spark, root, _))
+
+  /** Per-root in-process commit mutex. The no-overwrite rename is the
+    * cross-PROCESS claim (server-side atomic on HDFS), but the local
+    * filesystem's FileContext.rename is a non-atomic exists-check +
+    * rename, so two committers in ONE JVM could both "win" a version.
+    * A JVM lock closes that window exactly where it exists; it costs
+    * nothing on a cluster, where contention is cross-process and the
+    * store's rename semantics are the arbiter.
+    */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Atomically claim version `m.version`: false = lost the race. */
   private def tryCommit(
@@ -137,18 +207,22 @@ object TxnTable {
     try out.write(Serialization.write(m)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    try {
-      // Default Rename.NONE: throws if dest exists — the atomic claim.
-      FileContext.getFileContext(dest.toUri,
-        spark.sparkContext.hadoopConfiguration).rename(tmp, dest)
-      true
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-          _: java.nio.file.FileAlreadyExistsException |
-          _: org.apache.hadoop.fs.ParentNotDirectoryException =>
-        f.delete(tmp, false); false
-      case e: java.io.IOException if fs(spark, dest).exists(dest) =>
-        f.delete(tmp, false); false
+    commitLocks.computeIfAbsent(root, _ => new Object).synchronized {
+      try {
+        if (f.exists(dest)) { f.delete(tmp, false); return false }
+        // Default Rename.NONE: throws if dest exists — the atomic claim.
+        FileContext.getFileContext(dest.toUri,
+          spark.sparkContext.hadoopConfiguration).rename(tmp, dest)
+        writeHint(spark, root, m.version) // advisory; AFTER the commit
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+            _: java.nio.file.FileAlreadyExistsException |
+            _: org.apache.hadoop.fs.ParentNotDirectoryException =>
+          f.delete(tmp, false); false
+        case _: java.io.IOException if fs(spark, dest).exists(dest) =>
+          f.delete(tmp, false); false
+      }
     }
   }
 
@@ -244,16 +318,45 @@ object TxnTable {
     }: _*)
 
   /** Create the table at version 0. Fails if the table exists. */
+  /** CHECK-constraint enforcement over incoming rows: ONE aggregation
+    * pass counts violations of every named predicate; any violation
+    * aborts BEFORE a manifest could publish the rows. SQL-standard CHECK
+    * semantics — a NULL predicate result passes, only FALSE violates.
+    * Existing table data is never re-checked (it passed at its own
+    * commit), so enforcement is priced O(incoming), not O(table).
+    */
+  private def enforceConstraints(
+      df: DataFrame, cs: Map[String, String]): Unit = {
+    if (cs.isEmpty) return
+    val aggs = cs.toSeq.map { case (n, sql) =>
+      sum(when(coalesce(expr(sql), lit(true)), 0L).otherwise(1L)).as(n)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val bad = cs.keys.toSeq.sorted
+      .map(n => n -> row.getAs[Long](n)).filter(_._2 > 0)
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        "constraint violation(s), commit aborted: " + bad.map {
+          case (n, c) => s"$n [${cs(n)}]: $c row(s)"
+        }.mkString("; "))
+  }
+
+  private def constraintsOf(m: Manifest): Map[String, String] =
+    m.constraints.getOrElse(Map.empty)
+
   def create(
       spark: SparkSession,
       root: String,
       df: DataFrame,
-      statsCols: Seq[String] = Seq.empty): Long = {
+      statsCols: Seq[String] = Seq.empty,
+      constraints: Map[String, String] = Map.empty): Long = {
     require(latestVersion(spark, root).isEmpty,
       s"table already exists at $root")
+    enforceConstraints(df, constraints)
     val files = writeFiles(spark, root, df, statsCols, "0")
     val m = Manifest(0L, "create", System.currentTimeMillis(),
-      df.schema.toDDL, files)
+      df.schema.toDDL, files,
+      constraints = if (constraints.isEmpty) None else Some(constraints))
     require(tryCommit(spark, root, m),
       s"concurrent create at $root") // create races don't retry
     0L
@@ -275,6 +378,7 @@ object TxnTable {
       statsCols: Seq[String] = Seq.empty): Long = {
     val base = latestManifest(spark, root).getOrElse(
       sys.error(s"no table at $root — create() first"))
+    enforceConstraints(df, constraintsOf(base))
     val merged = mergeSchemas(
       StructType.fromDDL(base.schemaDdl), df.schema)
     val v0 = base.version + 1
@@ -286,7 +390,7 @@ object TxnTable {
         val curSchema = StructType.fromDDL(cur.schemaDdl)
         Manifest(v, "append", System.currentTimeMillis(),
           mergeSchemas(curSchema, merged).toDDL, cur.files ++ files,
-          cur.streamHwm)
+          cur.streamHwm, cur.constraints)
       })) {
       v = latestVersion(spark, root).get + 1
     }
@@ -310,6 +414,7 @@ object TxnTable {
       statsCols: Seq[String] = Seq.empty): Option[Long] = {
     val base = latestManifest(spark, root)
     if (base.exists(_.streamHwm.exists(_ >= batchId))) return None
+    base.foreach(b => enforceConstraints(df, constraintsOf(b)))
     val merged = base.map(b =>
       mergeSchemas(StructType.fromDDL(b.schemaDdl), df.schema))
       .getOrElse(df.schema)
@@ -329,7 +434,7 @@ object TxnTable {
         if (tryCommit(spark, root, Manifest(v, "stream-append",
             System.currentTimeMillis(), schema.toDDL,
             cur.map(_.files).getOrElse(Seq.empty) ++ files,
-            Some(batchId)))) {
+            Some(batchId), cur.flatMap(_.constraints)))) {
           result = Some(v); done = true
         }
       }
@@ -349,18 +454,20 @@ object TxnTable {
       spark: SparkSession,
       root: String,
       op: String,
-      statsCols: Seq[String])(
+      statsCols: Seq[String],
+      enforceOn: Option[DataFrame] = None)(
       compute: DataFrame => DataFrame): Long = {
     var committed = -1L
     while (committed < 0) {
       val cur = latestManifest(spark, root).getOrElse(
         sys.error(s"no table at $root — create() first"))
+      enforceOn.foreach(d => enforceConstraints(d, constraintsOf(cur)))
       val out = compute(snapshotOf(spark, root, cur))
       val v = cur.version + 1
       val files = writeFiles(spark, root, out, statsCols, v.toString)
       if (tryCommit(spark, root, Manifest(v, op,
           System.currentTimeMillis(), out.schema.toDDL, files,
-          cur.streamHwm)))
+          cur.streamHwm, cur.constraints)))
         committed = v
       // lost race: loop — recompute against the new latest snapshot;
       // the just-written files stay orphaned until vacuum().
@@ -374,7 +481,7 @@ object TxnTable {
       root: String,
       df: DataFrame,
       statsCols: Seq[String] = Seq.empty): Long =
-    rewrite(spark, root, "overwrite", statsCols)(_ => df)
+    rewrite(spark, root, "overwrite", statsCols, Some(df))(_ => df)
 
   /** MERGE/upsert: rows of `updates` replace same-key rows and insert
     * new keys ([[graft.ops.Merge.upsert]] semantics with updates always
@@ -387,7 +494,7 @@ object TxnTable {
       updates: DataFrame,
       keyCols: Seq[String],
       statsCols: Seq[String] = Seq.empty): Long =
-    rewrite(spark, root, "merge", statsCols) { snap =>
+    rewrite(spark, root, "merge", statsCols, Some(updates)) { snap =>
       snap.join(
           updates.select(keyCols.map(col): _*).distinct(),
           keyCols, "left_anti")
@@ -431,6 +538,7 @@ object TxnTable {
     while (committed < 0) {
       val cur = latestManifest(spark, root).getOrElse(
         sys.error(s"no table at $root — create() first"))
+      enforceConstraints(updates, constraintsOf(cur))
       val (hit, kept) = cur.files.partition(f =>
         f.stats.get(scopeCol) match {
           case Some(s) => touched.exists(v => v >= s.min && v <= s.max)
@@ -446,7 +554,7 @@ object TxnTable {
       val files = writeFiles(spark, root, out, statsCols, v.toString)
       if (tryCommit(spark, root, Manifest(v, "merge",
           System.currentTimeMillis(), cur.schemaDdl, kept ++ files,
-          cur.streamHwm)))
+          cur.streamHwm, cur.constraints)))
         committed = v
     }
     committed

@@ -240,6 +240,63 @@ class TableSpec extends AnyFunSuite {
       Seq(1L, 2L, 3L, 4L))
   }
 
+  test("CHECK constraints gate every commit path; NULL passes (SQL semantics)") {
+    val root = freshRoot()
+    val cs = Map("score_nonneg" -> "score >= 0", "key_present" -> "k IS NOT NULL")
+    TxnTable.create(spark, root, kv((1L, "a", 1.0)), constraints = cs)
+    // Violating append aborts BEFORE publishing; table state unchanged.
+    intercept[IllegalArgumentException] {
+      TxnTable.append(spark, root, kv((2L, "bad", -5.0)))
+    }
+    assert(TxnTable.latestVersion(spark, root).contains(0L))
+    // Violating merge updates abort too.
+    intercept[IllegalArgumentException] {
+      TxnTable.merge(spark, root, kv((1L, "bad", -1.0)), Seq("k"))
+    }
+    // Violating streaming batch aborts (no silent skip).
+    intercept[IllegalArgumentException] {
+      TxnTable.appendBatch(spark, root, kv((3L, "bad", -2.0)), 0L)
+    }
+    // Clean rows commit, and the constraint survives the commit chain.
+    TxnTable.append(spark, root, kv((2L, "b", 2.0)))
+    intercept[IllegalArgumentException] {
+      TxnTable.append(spark, root, kv((3L, "bad", -1.0)))
+    }
+    // NULL predicate result passes: score IS NULL -> NULL >= 0 -> pass.
+    val withNull = spark.sql(
+      "SELECT 4L AS k, 'n' AS name, CAST(NULL AS DOUBLE) AS score")
+    TxnTable.append(spark, root, withNull)
+    assert(TxnTable.snapshot(spark, root).count() == 3)
+    // Violating create never writes a table at all.
+    val root2 = freshRoot()
+    intercept[IllegalArgumentException] {
+      TxnTable.create(spark, root2, kv((1L, "x", -1.0)), constraints = cs)
+    }
+    assert(TxnTable.latestVersion(spark, root2).isEmpty)
+  }
+
+  test("latest-version hint: stale, missing, and future hints all resolve right") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, kv((1L, "a", 1.0)))
+    TxnTable.append(spark, root, kv((2L, "b", 2.0)))
+    TxnTable.append(spark, root, kv((3L, "c", 3.0)))
+    val hint = java.nio.file.Paths.get(root, "_log", "_LAST")
+    assert(java.nio.file.Files.exists(hint), "commits maintain the hint")
+    assert(TxnTable.latestVersion(spark, root).contains(2L))
+    // Stale hint (crash between commit and hint write): probe forward.
+    java.nio.file.Files.writeString(hint, "0")
+    assert(TxnTable.latestVersion(spark, root).contains(2L))
+    // Missing hint: full-listing fallback.
+    java.nio.file.Files.delete(hint)
+    assert(TxnTable.latestVersion(spark, root).contains(2L))
+    // Hint pointing past any manifest (impossible by protocol, but a
+    // corrupt file must not break reads): fallback.
+    java.nio.file.Files.writeString(hint, "99")
+    assert(TxnTable.latestVersion(spark, root).contains(2L))
+    java.nio.file.Files.writeString(hint, "not-a-number")
+    assert(TxnTable.latestVersion(spark, root).contains(2L))
+  }
+
   test("vacuum reclaims pre-rewrite files; retained versions unaffected") {
     val root = freshRoot()
     TxnTable.create(spark, root, kv((1L, "a", 1.0), (2L, "b", 2.0)))
