@@ -297,6 +297,64 @@ class TableSpec extends AnyFunSuite {
     assert(TxnTable.latestVersion(spark, root).contains(2L))
   }
 
+  test("model check: random op sequences match an in-memory reference at every version") {
+    val rnd = new scala.util.Random(42) // seeded: failures reproduce
+    type Bag = Vector[(Long, String, Double)]
+    def randomRows(): Bag =
+      Vector.fill(1 + rnd.nextInt(4))(
+        (rnd.nextInt(20).toLong, "n" + rnd.nextInt(5),
+          rnd.nextInt(100).toDouble))
+    def toDf(b: Bag) = kv(b: _*)
+    for (_ <- 1 to 3) {
+      val root = freshRoot()
+      val init = randomRows()
+      TxnTable.create(spark, root, toDf(init))
+      var model: Bag = init
+      var history = Vector(model)
+      var nextBatch = 0L
+      for (_ <- 1 to 5) {
+        rnd.nextInt(6) match {
+          case 0 =>
+            val rows = randomRows()
+            TxnTable.append(spark, root, toDf(rows))
+            model = model ++ rows
+          case 1 => // merge: updates replace all rows of their keys
+            val upd = randomRows().distinctBy(_._1)
+            TxnTable.merge(spark, root, toDf(upd), Seq("k"))
+            val keys = upd.map(_._1).toSet
+            model = model.filterNot(r => keys(r._1)) ++ upd
+          case 2 =>
+            val keys = Vector.fill(2)(rnd.nextInt(20).toLong).distinct
+            import spark.implicits._
+            TxnTable.delete(spark, root, keys.toDF("k"), Seq("k"))
+            model = model.filterNot(r => keys.contains(r._1))
+          case 3 =>
+            val rows = randomRows()
+            TxnTable.overwrite(spark, root, toDf(rows))
+            model = rows
+          case 4 =>
+            TxnTable.compact(spark, root)
+          case 5 => // streaming append + an immediate replay (must no-op)
+            val rows = randomRows()
+            assert(TxnTable.appendBatch(spark, root, toDf(rows),
+              nextBatch).isDefined)
+            assert(TxnTable.appendBatch(spark, root, toDf(randomRows()),
+              nextBatch).isEmpty)
+            nextBatch += 1
+            model = model ++ rows
+        }
+        history = history :+ model
+        assert(sortedRows(TxnTable.snapshot(spark, root)).sorted ==
+          model.sorted.toSeq, "snapshot diverged from model")
+      }
+      // Every historical version must still read back exactly.
+      history.zipWithIndex.foreach { case (m, v) =>
+        assert(sortedRows(TxnTable.snapshotAt(spark, root, v.toLong))
+          .sorted == m.sorted.toSeq, s"time travel to v$v diverged")
+      }
+    }
+  }
+
   test("vacuum reclaims pre-rewrite files; retained versions unaffected") {
     val root = freshRoot()
     TxnTable.create(spark, root, kv((1L, "a", 1.0), (2L, "b", 2.0)))
