@@ -927,6 +927,65 @@ object SparkEntry {
       .orderBy("label")
   }
 
+  /** PER-DIMENSION embedding statistics (mean/variance/min/max for each
+    * of the 64 dims) — the profiling pass every whitening/normalization
+    * stage needs before touching a vector corpus. Scale shape:
+    * `posexplode` is a narrow 64× fan-out, then map-side partial
+    * aggregation collapses each partition to ≤64 rows BEFORE the one
+    * hash exchange — at 100 TB the shuffle carries O(dims × partitions)
+    * rows, never O(rows × dims). Sums are accumulated as exact DECIMAL
+    * (float→double is exact, the decimal quantization is fixed), so the
+    * result is partitioning- and order-independent and the DuckDB twin
+    * hash-matches bit-for-bit; only the final mean/variance arithmetic
+    * runs in double, identically on both engines.
+    */
+  private def qEmbedDimStats(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("dim", "ef")))
+      .select(col("dim").cast("long").as("dim"),
+        col("ef").cast("double").as("e"))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("e").cast("decimal(28,12)")).as("s"),
+        sum((col("e") * col("e")).cast("decimal(28,12)")).as("s2"),
+        min(col("e")).as("mn"),
+        max(col("e")).as("mx"))
+      .select(col("dim"), col("n"),
+        round(col("s").cast("double") / col("n"), 6).as("mean"),
+        round((col("s2").cast("double") -
+          col("s").cast("double") * col("s").cast("double") / col("n")) /
+          col("n"), 6).as("variance"),
+        round(col("mn"), 6).as("min_v"),
+        round(col("mx"), 6).as("max_v"))
+      .orderBy("dim")
+
+  /** One fitted PCA basis per testdata dir (the moment pass runs once;
+    * every probe reuses the 64×64 model — a fitted model is an
+    * artifact, not a per-query cost).
+    */
+  private val pcaModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.ops.Pca.Model]()
+
+  /** PCA end to end as an ORACLE-CHECKABLE query: fit the full-rank
+    * (k=d=64) eigenbasis over the embeddings, project every vector,
+    * report the projected squared norm. A complete orthonormal basis is
+    * a rotation, so |proj|² must equal the CENTERED squared norm of the
+    * raw vector — which DuckDB computes with no eigensolver. A skewed
+    * mean, a non-orthogonal basis, or a dropped axis all break the
+    * equality; eigenvalue ordering and the projected-variance ==
+    * eigenvalue identity are asserted in OpsSpec (not SQL-expressible).
+    */
+  private def qPcaProject(s: SparkSession, dir: String): DataFrame = {
+    val model = pcaModelCache.computeIfAbsent(dir, { d =>
+      graft.ops.Pca.fit(tbl(s, d, "embeddings"), "embedding", 64, 64)
+    })
+    graft.ops.Pca.project(
+        tbl(s, dir, "embeddings"), "vec_id", "embedding", model)
+      .select(col("vec_id"), round(col("pnorm2"), 4).as("pnorm2"))
+      .orderBy("vec_id")
+  }
+
   // ------------------------------------------------------------------
   // Text analysis extensions (training-data pipeline ops)
   // ------------------------------------------------------------------
@@ -3620,6 +3679,51 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** MAINTENANCE fixture on customer: ten arrival-ordered appends of
+    * interleaved c_custkey slices (many small files with overlapping
+    * stats — the state any streamed-into table degrades to), then the
+    * three chores a log-structured table needs to stay fast at 100 TB:
+    * compact (bin-pack the small files), cluster on c_custkey (make
+    * per-file stats disjoint so manifest pruning works again), vacuum
+    * retaining only the clustered version (reclaim every superseded
+    * file — on an object store, the dominant storage cost of a
+    * frequently-rewritten table).
+    */
+  private def writtenMaintTable(s: SparkSession, dir: String): String =
+    scratchBuildOnce(s, "mainttbl", "customer", dir) { root =>
+      val p = new org.apache.hadoop.fs.Path(root)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true) // partial build: start over
+      val c = tbl(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      val stats = Seq("c_custkey")
+      graft.table.TxnTable.create(s, root,
+        c.filter(col("c_custkey") % 10 === 0), stats)
+      (1 to 9).foreach { r =>
+        graft.table.TxnTable.append(s, root,
+          c.filter(col("c_custkey") % 10 === r), stats)
+      }
+      graft.table.TxnTable.compact(s, root,
+        targetBytes = 1L << 20, statsCols = stats)
+      graft.table.TxnTable.cluster(s, root, Seq("c_custkey"), 4, stats)
+      graft.table.TxnTable.vacuum(s, root, retainLast = 1)
+      ()
+    }
+
+  /** The maintained table must still answer EXACTLY: a predicate-pruned
+    * probe over the post-vacuum clustered snapshot (the manifest's
+    * disjoint c_custkey ranges let the probe read ~1 of the 4 files),
+    * grouped by segment. A row lost in compact's rewrite, duplicated
+    * across cluster's range boundaries, or orphan-deleted by vacuum all
+    * break the counts/sums vs the raw-parquet oracle.
+    */
+  private def qTableMaintenance(s: SparkSession, dir: String): DataFrame =
+    graft.table.TxnTable.snapshotWhere(s, writtenMaintTable(s, dir),
+        col("c_custkey").between(100L, 600L))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy("c_mktsegment")
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3788,7 +3892,10 @@ object SparkEntry {
     "q_table_prune" -> qTablePrune,
     "q_table_schema_evo" -> qTableSchemaEvo,
     "q_table_merge_scoped" -> qTableMergeScoped,
-    "docs_stream_table" -> qDocsStreamTable
+    "docs_stream_table" -> qDocsStreamTable,
+    "q_table_maintenance" -> qTableMaintenance,
+    "q_embed_dim_stats" -> qEmbedDimStats,
+    "q_pca_project" -> qPcaProject
   )
 
   /** DuckDB SQL fragments replicating the repo's hashing primitives
@@ -6253,7 +6360,40 @@ object SparkEntry {
            FROM orders)
          SELECT o_orderstatus, COUNT(*) AS n,
            CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
-         FROM t GROUP BY 1 ORDER BY 1"""
+         FROM t GROUP BY 1 ORDER BY 1""",
+    "q_table_maintenance" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+         FROM customer WHERE c_custkey BETWEEN 100 AND 600
+         GROUP BY 1 ORDER BY 1""",
+    "q_embed_dim_stats" ->
+      """WITH dims AS (SELECT CAST(i AS BIGINT) AS i
+             FROM generate_series(1, 64) t(i)),
+         x AS (SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS e
+             FROM embeddings CROSS JOIN dims),
+         a AS (SELECT dim, COUNT(*) AS n,
+             SUM(CAST(e AS DECIMAL(28,12))) AS s,
+             SUM(CAST(e*e AS DECIMAL(28,12))) AS s2,
+             MIN(e) AS mn, MAX(e) AS mx
+           FROM x GROUP BY dim)
+         SELECT dim, n,
+           round(CAST(s AS DOUBLE)/n, 6) AS mean,
+           round((CAST(s2 AS DOUBLE)
+                  - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n)/n, 6)
+             AS variance,
+           round(mn, 6) AS min_v, round(mx, 6) AS max_v
+         FROM a ORDER BY dim""",
+    "q_pca_project" ->
+      """WITH dims AS (SELECT CAST(i AS BIGINT) AS i
+             FROM generate_series(1, 64) t(i)),
+         x AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS e
+             FROM embeddings CROSS JOIN dims),
+         m AS (SELECT i,
+             CAST(SUM(CAST(e AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*) AS mu
+           FROM x GROUP BY i),
+         c AS (SELECT vec_id, x.e - m.mu AS ce FROM x JOIN m USING (i))
+         SELECT vec_id, round(SUM(ce*ce), 4) AS pnorm2
+         FROM c GROUP BY vec_id ORDER BY vec_id"""
   )
 
   /** DuckDB replay of [[graft.ops.Sampling.epochShard]] (seed 7, 8

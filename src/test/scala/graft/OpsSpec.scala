@@ -1520,6 +1520,50 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"encode shuffles:\n$plan")
   }
 
+  test("PCA: orthonormal basis, descending eigenvalues, variance identity") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val d = 64
+    val model = graft.ops.Pca.fit(e, "embedding", d, d)
+    // Basis is orthonormal: max |VᵀV - I| tiny.
+    var maxDev = 0.0
+    for (a <- 0 until d; b <- a until d) {
+      var s = 0.0
+      var i = 0
+      while (i < d) { s += model.components(a)(i) * model.components(b)(i); i += 1 }
+      maxDev = math.max(maxDev, math.abs(s - (if (a == b) 1.0 else 0.0)))
+    }
+    assert(maxDev < 1e-9, s"basis not orthonormal, dev=$maxDev")
+    // Eigenvalues descending and non-negative.
+    assert(model.eigenvalues.forall(_ >= 0.0))
+    assert(model.eigenvalues.zip(model.eigenvalues.tail)
+      .forall { case (x, y) => x >= y - 1e-12 })
+    // Variance identity (the eigensolver's actual contract): the
+    // variance of the data projected on axis c equals eigenvalue c.
+    val proj = graft.ops.Pca.project(e, "vec_id", "embedding", model)
+      .select(col("proj")).collect().map(_.getSeq[Double](0).toArray)
+    val n = proj.length.toDouble
+    for (c <- 0 until 4) {
+      val xs = proj.map(_(c))
+      val mu = xs.sum / n
+      val v = xs.map(x => (x - mu) * (x - mu)).sum / n
+      assert(math.abs(v - model.eigenvalues(c)) <=
+        1e-9 * math.max(1.0, model.eigenvalues(c)),
+        s"axis $c: projected variance $v != eigenvalue ${model.eigenvalues(c)}")
+    }
+    // Total variance is preserved by the full-rank rotation.
+    val trace = model.eigenvalues.sum
+    val pn2 = proj.map(p => p.map(x => x * x).sum).sum / n
+    val meanN2 = {
+      val mus = (0 until d).map(c => proj.map(_(c)).sum / n)
+      mus.map(m => m * m).sum
+    }
+    assert(math.abs((pn2 - meanN2) - trace) < 1e-9 * trace)
+    // k < d truncates to the TOP axes (prefix of the full basis).
+    val m4 = graft.ops.Pca.fit(e, "embedding", d, 4)
+    assert(m4.k == 4)
+    assert(m4.eigenvalues.toSeq == model.eigenvalues.take(4).toSeq)
+  }
+
   test("BPE trainer stops when every word is a single symbol") {
     import spark.implicits._
     val (merges, seqs) = graft.ops.BpeTrainer.train(

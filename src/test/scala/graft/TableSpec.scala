@@ -355,6 +355,54 @@ class TableSpec extends AnyFunSuite {
     }
   }
 
+  test("maintenance chain: small appends -> compact -> cluster -> vacuum") {
+    val root = freshRoot()
+    // 10 interleaved-key appends: many small files, every file's k stats
+    // span nearly the whole domain (pruning degenerates to full scan).
+    TxnTable.create(spark, root,
+      kv((0 until 100 by 10).map(i => (i.toLong, s"n$i", i.toDouble)): _*),
+      statsCols = Seq("k"))
+    (1 to 9).foreach { r =>
+      TxnTable.append(spark, root,
+        kv((r until 100 by 10).map(i => (i.toLong, s"n$i", i.toDouble)): _*),
+        statsCols = Seq("k"))
+    }
+    val expected = sortedRows(TxnTable.snapshot(spark, root))
+    val preFiles = TxnTable.snapshot(spark, root).inputFiles.length
+    assert(preFiles >= 10)
+    // Pre-maintenance the probe touches at least one file PER APPEND —
+    // probe cost grows with commit count, the degradation maintenance
+    // exists to undo.
+    assert(TxnTable.snapshotWhere(spark, root,
+      col("k").between(40L, 49L)).inputFiles.length >= 10)
+    TxnTable.compact(spark, root, statsCols = Seq("k"))
+    TxnTable.cluster(spark, root, Seq("k"), 4, statsCols = Seq("k"))
+    val deleted = TxnTable.vacuum(spark, root, retainLast = 1)
+    assert(deleted.nonEmpty, "superseded files must be reclaimed")
+    // Content survives the whole chain bit-exactly.
+    assert(sortedRows(TxnTable.snapshot(spark, root)) == expected)
+    // Clustering restored disjoint stats: the probe now reads ~1 of 4.
+    val probe = TxnTable.snapshotWhere(spark, root, col("k").between(40L, 49L))
+    assert(probe.inputFiles.length < 4)
+    assert(probe.count() == 10)
+    // Post-vacuum the data dir holds EXACTLY the live manifest's files
+    // (no orphans left paying storage).
+    val live = TxnTable.readManifest(spark, root,
+      TxnTable.latestVersion(spark, root).get).files.map(_.path).toSet
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$root/data"), true)
+    var onDisk = Set.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && !st.getPath.getName.startsWith("_"))
+        onDisk += st.getPath.toUri.getPath
+          .stripPrefix(new org.apache.hadoop.fs.Path(root).toUri.getPath)
+          .stripPrefix("/")
+    }
+    assert(onDisk == live)
+  }
+
   test("vacuum reclaims pre-rewrite files; retained versions unaffected") {
     val root = freshRoot()
     TxnTable.create(spark, root, kv((1L, "a", 1.0), (2L, "b", 2.0)))
