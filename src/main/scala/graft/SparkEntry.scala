@@ -2340,6 +2340,44 @@ object SparkEntry {
       .orderBy(col("n").desc, col("bigram"))
       .limit(20)
 
+  /** PMI-scored COLLOCATIONS (statistically-bound word pairs — the
+    * classic phrase-mining signal for tokenizer vocab curation and
+    * boilerplate detection). Probabilities all come from the bigram
+    * stream: PMI(x,y) = ln(c_xy·N / (c_x·· c_·y)). Scale shape: ONE
+    * corpus explode into the (x,y) count exchange; the left/right
+    * marginals and the total re-aggregate that same subplan, so
+    * exchange reuse prices the corpus scan once and everything
+    * downstream is vocab-sized, never corpus-sized. All counts are
+    * integers, the PMI arithmetic is a fixed double expression over
+    * them, and rows order by the ROUNDED score — partitioning cannot
+    * flip the result.
+    */
+  private def qCollocations(s: SparkSession, dir: String): DataFrame = {
+    val bc = tbl(s, dir, "documents")
+      .select(expr(tokensSql).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+             i -> named_struct('x', element_at(ws, i),
+                               'y', element_at(ws, i + 1)))"""))
+        .as("b"))
+      .select(col("b.x").as("x"), col("b.y").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("c"))
+      .persist() // one corpus explode; 3 vocab-sized re-aggregations
+    val lc = bc.groupBy("x").agg(sum("c").as("cx"))
+    val rc = bc.groupBy("y").agg(sum("c").as("cy"))
+    val tot = bc.agg(sum("c").as("nn"))
+    bc.join(lc, "x").join(rc, "y").crossJoin(broadcast(tot))
+      .filter(col("c") >= 5)
+      .select(concat_ws(" ", col("x"), col("y")).as("bigram"),
+        col("c").as("n"),
+        round(log(col("c").cast("double") * col("nn").cast("double") /
+          (col("cx").cast("double") * col("cy").cast("double"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(30)
+  }
+
   /** BM25 (k1=1.2, b=0.75) top-3 terms per document — the retrieval-
     * grade sibling of q_tfidf. tf/df/doclen/avgdl all derive from the
     * WRITTEN tf table ([[writtenTfTable]] — column pruning specializes
@@ -3895,7 +3933,8 @@ object SparkEntry {
     "docs_stream_table" -> qDocsStreamTable,
     "q_table_maintenance" -> qTableMaintenance,
     "q_embed_dim_stats" -> qEmbedDimStats,
-    "q_pca_project" -> qPcaProject
+    "q_pca_project" -> qPcaProject,
+    "q_collocations" -> qCollocations
   )
 
   /** DuckDB SQL fragments replicating the repo's hashing primitives
@@ -6393,7 +6432,27 @@ object SparkEntry {
            FROM x GROUP BY i),
          c AS (SELECT vec_id, x.e - m.mu AS ce FROM x JOIN m USING (i))
          SELECT vec_id, round(SUM(ce*ce), 4) AS pnorm2
-         FROM c GROUP BY vec_id ORDER BY vec_id"""
+         FROM c GROUP BY vec_id ORDER BY vec_id""",
+    "q_collocations" ->
+      """WITH ws AS (SELECT list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+             w -> w <> '') AS ws
+           FROM documents),
+         bi AS (SELECT unnest(list_transform(range(1, len(ws)),
+             i -> ws[i] || ' ' || ws[i+1])) AS bigram
+           FROM ws WHERE len(ws) >= 2),
+         bc AS (SELECT split_part(bigram, ' ', 1) AS x,
+             split_part(bigram, ' ', 2) AS y, COUNT(*) AS c
+           FROM bi GROUP BY 1, 2),
+         lc AS (SELECT x, SUM(c) AS cx FROM bc GROUP BY x),
+         rc AS (SELECT y, SUM(c) AS cy FROM bc GROUP BY y),
+         tot AS (SELECT SUM(c) AS nn FROM bc)
+         SELECT x || ' ' || y AS bigram, c AS n,
+           round(ln(CAST(c AS DOUBLE) * CAST(nn AS DOUBLE)
+             / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))), 6) AS pmi
+         FROM bc JOIN lc USING (x) JOIN rc USING (y) CROSS JOIN tot
+         WHERE c >= 5
+         ORDER BY pmi DESC, bigram LIMIT 30"""
   )
 
   /** DuckDB replay of [[graft.ops.Sampling.epochShard]] (seed 7, 8

@@ -450,10 +450,10 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("q_retention and q_gapfill: the raw events table is scanned exactly once") {
+  test("q_retention, q_gapfill, q_collocations: the raw table is scanned exactly once") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    for (name <- Seq("q_retention", "q_gapfill")) {
+    for (name <- Seq("q_retention", "q_gapfill", "q_collocations")) {
       // AQE applies exchange reuse at runtime (stage cache), not in the
       // static plan — execute, then read the finalized adaptive plan.
       val df = SparkEntry.queries(name)(spark, sf)
