@@ -2378,6 +2378,36 @@ object SparkEntry {
       .limit(30)
   }
 
+  /** PAGERANK over the co-supplier graph (suppliers connected when they
+    * supply the same part — distinct pairs, so the per-part fan-out is
+    * bounded by suppliers-per-part, a small constant in this schema; a
+    * co-occurrence graph with unbounded key cardinality would cap per
+    * key first). Three synchronous iterations of
+    * [[graft.ops.PageRank.ranks]], whose DECIMAL(28,12) state encoding
+    * makes every iteration's ranks byte-identical under any
+    * partitioning — the DuckDB twin replays the same three iterations
+    * as unrolled CTEs and must hash-match exactly. Top-20 by rounded
+    * rank.
+    */
+  private def qPageRank(s: SparkSession, dir: String): DataFrame = {
+    // The unrestricted co-supplier graph is COMPLETE at these SFs
+    // (uniform ranks — a vacuous fixture); the low-quantity slice is
+    // sparse and irregular (degrees vary ~4×), so ranks genuinely
+    // separate and the oracle check has teeth.
+    val ps = tbl(s, dir, "lineitem")
+      .filter(col("l_quantity") <= 2)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val edges = ps.as("a").join(ps.as("b"), "l_partkey")
+      .filter(col("a.l_suppkey") =!= col("b.l_suppkey"))
+      .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+      .distinct()
+    graft.ops.PageRank.ranks(edges, "src", "dst", iters = 3)
+      .select(col("node").as("suppkey"),
+        round(col("r").cast("double"), 8).as("pr"))
+      .orderBy(col("pr").desc, col("suppkey"))
+      .limit(20)
+  }
+
   /** BM25 (k1=1.2, b=0.75) top-3 terms per document — the retrieval-
     * grade sibling of q_tfidf. tf/df/doclen/avgdl all derive from the
     * WRITTEN tf table ([[writtenTfTable]] — column pruning specializes
@@ -3934,7 +3964,8 @@ object SparkEntry {
     "q_table_maintenance" -> qTableMaintenance,
     "q_embed_dim_stats" -> qEmbedDimStats,
     "q_pca_project" -> qPcaProject,
-    "q_collocations" -> qCollocations
+    "q_collocations" -> qCollocations,
+    "q_pagerank" -> qPageRank
   )
 
   /** DuckDB SQL fragments replicating the repo's hashing primitives
@@ -6452,7 +6483,34 @@ object SparkEntry {
              / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))), 6) AS pmi
          FROM bc JOIN lc USING (x) JOIN rc USING (y) CROSS JOIN tot
          WHERE c >= 5
-         ORDER BY pmi DESC, bigram LIMIT 30"""
+         ORDER BY pmi DESC, bigram LIMIT 30""",
+    "q_pagerank" -> {
+      def iter(k: Int): String =
+        s"""c$k AS (SELECT e.dst,
+               SUM(CAST(round(CAST(rp.r AS DOUBLE) / deg.outdeg, 12)
+                 AS DECIMAL(28,12))) AS s
+             FROM e JOIN deg USING (src) JOIN r${k - 1} rp ON rp.node = e.src
+             GROUP BY e.dst),
+           r$k AS (SELECT node,
+               CAST(round((1.0 - 0.85) / nn + 0.85 *
+                 CAST(coalesce(s, 0) AS DOUBLE), 12) AS DECIMAL(28,12)) AS r
+             FROM nodes LEFT JOIN c$k ON node = dst CROSS JOIN nctr)"""
+      s"""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+             WHERE l_quantity <= 2),
+         e AS (SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+             FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+               AND a.l_suppkey <> b.l_suppkey),
+         nodes AS (SELECT DISTINCT src AS node FROM e),
+         deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+         nctr AS (SELECT COUNT(*) AS nn FROM nodes),
+         r0 AS (SELECT node, CAST(round(1.0 / nn, 12) AS DECIMAL(28,12)) AS r
+             FROM nodes CROSS JOIN nctr),
+         ${iter(1)},
+         ${iter(2)},
+         ${iter(3)}
+         SELECT node AS suppkey, round(CAST(r AS DOUBLE), 8) AS pr
+         FROM r3 ORDER BY pr DESC, suppkey LIMIT 20"""
+    }
   )
 
   /** DuckDB replay of [[graft.ops.Sampling.epochShard]] (seed 7, 8

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed PageRank with an EXACT, engine-portable state encoding.
+  *
+  * The usual PageRank-on-doubles is not reproducible across engines or
+  * even across partitionings (contribution sums are order-dependent).
+  * Here every per-edge contribution is rounded to a fixed 12 decimal
+  * places and accumulated as DECIMAL, and each iteration's rank is
+  * re-quantized to DECIMAL(28,12) — so the rank state after every
+  * iteration is a pure function of the graph, byte-identical under any
+  * partitioning and replayable by any engine that can divide doubles
+  * (the q_perplexity/BPE determinism recipe applied to an iterative
+  * fixpoint).
+  *
+  * Scale shape: per iteration one join of the rank table onto the edge
+  * list (both keyed on src — co-partitioned after the first shuffle)
+  * and one dst-keyed aggregation; edges and degrees are computed once
+  * and persisted. Nothing is ever collected to the driver except the
+  * node count (one scalar). At 100 TB the cost is
+  * O(iters × (|E| shuffle + |V| agg)) — the textbook layout.
+  */
+object PageRank {
+
+  /** Ranks after `iters` synchronous iterations with damping `d` over
+    * the directed `edges` (`srcCol`, `dstCol`; parallel edges should be
+    * pre-deduped by the caller if unwanted). Nodes with no out-edges
+    * contribute no mass (standard dangling simplification — callers
+    * with symmetric edge sets, like co-occurrence graphs, have none).
+    * Returns (node, r DECIMAL(28,12)).
+    */
+  def ranks(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val base = (1.0 - damping) / n
+    var rank = nodes.select(col("node"),
+      expr(s"CAST(round(1.0 / $n, 12) AS DECIMAL(28,12))").as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(deg, "src")
+        .join(rank.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"),
+          expr("CAST(round(CAST(r AS DOUBLE) / outdeg, 12) " +
+            "AS DECIMAL(28,12))").as("cg"))
+        .groupBy("dst").agg(sum("cg").as("s"))
+      rank = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(col("node"),
+          expr(s"CAST(round($base + $damping * " +
+            "CAST(coalesce(s, 0) AS DOUBLE), 12) AS DECIMAL(28,12))")
+            .as("r"))
+    }
+    rank
+  }
+}

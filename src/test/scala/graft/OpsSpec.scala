@@ -1564,6 +1564,33 @@ class OpsSpec extends AnyFunSuite {
     assert(m4.eigenvalues.toSeq == model.eigenvalues.take(4).toSeq)
   }
 
+  test("PageRank: mass conservation and star-graph ordering") {
+    import spark.implicits._
+    // Symmetric star 1<->2, 1<->3, 1<->4: no dangling nodes, so total
+    // mass stays 1; the hub must outrank the (identically-ranked) leaves.
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (1L, 4L),
+      (4L, 1L)).toDF("src", "dst")
+    val r = graft.ops.PageRank.ranks(edges, "src", "dst", iters = 5)
+      .collect().map(row => row.getLong(0) ->
+        row.getDecimal(1).doubleValue()).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-9,
+      s"mass not conserved: ${r.values.sum}")
+    assert(r(1) > r(2), s"hub must outrank leaves: $r")
+    assert(r(2) == r(3) && r(3) == r(4), s"leaves must tie exactly: $r")
+    // The distributed result matches a driver-side replay of the same
+    // synchronous recurrence (h' = base + 0.85·3l; l' = base + 0.85·h/3)
+    // to within the 1e-12 state quantization.
+    var h = 0.25
+    var l = 0.25
+    for (_ <- 1 to 5) {
+      val hn = 0.15 / 4 + 0.85 * 3 * l
+      val ln = 0.15 / 4 + 0.85 * h / 3
+      h = hn; l = ln
+    }
+    assert(math.abs(r(1) - h) < 1e-9, s"hub ${r(1)} != replay $h")
+    assert(math.abs(r(2) - l) < 1e-9, s"leaf ${r(2)} != replay $l")
+  }
+
   test("BPE trainer stops when every word is a single symbol") {
     import spark.implicits._
     val (merges, seqs) = graft.ops.BpeTrainer.train(
