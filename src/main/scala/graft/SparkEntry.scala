@@ -2378,6 +2378,99 @@ object SparkEntry {
       .limit(30)
   }
 
+  /** Feature SQL for the trainable quality classifier — one string,
+    * valid and IDENTICAL in both dialects (every literal is CAST to
+    * DOUBLE so neither engine routes through its own decimal-promotion
+    * rules; all features are integer-derived ratios, so both engines
+    * compute identical doubles).
+    */
+  private val qcFeatures: Seq[(String, String)] =
+    Seq(
+      "f0" -> "CAST(1.0 AS DOUBLE)",
+      "f1" -> "CAST(n_chars AS DOUBLE) / CAST(100.0 AS DOUBLE)",
+      "f2" -> ("CAST(10.0 AS DOUBLE) * CAST(length(text) - " +
+        "length(replace(text, 'data', '')) AS DOUBLE) / CAST(4.0 AS DOUBLE)" +
+        " / CAST(n_chars AS DOUBLE)"),
+      "f3" -> ("CAST(10.0 AS DOUBLE) * CAST(length(text) - " +
+        "length(replace(text, 'spark', '')) AS DOUBLE) / CAST(5.0 AS DOUBLE)" +
+        " / CAST(n_chars AS DOUBLE)"),
+      "f4" -> ("CAST(10.0 AS DOUBLE) * CAST(length(text) - " +
+        "length(replace(text, ' ', '')) AS DOUBLE) / CAST(n_chars AS DOUBLE)"),
+      "f5" -> ("CAST(100.0 AS DOUBLE) * CAST(length(text) - " +
+        "length(replace(text, ' the ', '')) AS DOUBLE) / CAST(5.0 AS DOUBLE)" +
+        " / CAST(n_chars AS DOUBLE)"))
+
+  private val qcLabelSql =
+    "CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE) " +
+      "ELSE CAST(0.0 AS DOUBLE) END"
+
+  /** TRAINABLE QUALITY CLASSIFIER (the model-based curation filter —
+    * fastText-shaped: cheap surface features, linear model): 3 batch-GD
+    * iterations of [[graft.ops.LogReg]] predicting `lang = 'en'` from
+    * six integer-derived text ratios on the doc_id %% 5 ≠ 0 slice. The
+    * training TRAJECTORY is deterministic (9-dp decimal-quantized
+    * gradients and weights), so the fitted weights themselves are the
+    * gate output and the DuckDB twin re-trains the same model as three
+    * unrolled gradient/weight CTE pairs and must hash-match. Loss
+    * decrease and holdout sanity are OpsSpec's job.
+    */
+  private def qQualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feats = qcFeatures
+    val df = tbl(s, dir, "documents").filter("doc_id % 5 <> 0")
+      .select(expr(qcLabelSql).as("y") +:
+        feats.map { case (n, e) => expr(e).as(n) }: _*)
+    val w = graft.ops.LogReg.train(
+      df, "y", feats.map(_._1), iters = 3, lr = 0.5)
+    s.createDataset(feats.map(_._1).zip(w)).toDF("feature", "weight")
+      .select(col("feature"), round(col("weight"), 6).as("weight"))
+      .orderBy("feature")
+  }
+
+  /** The DuckDB re-training of [[qQualityClassifier]]: the same three
+    * GD iterations unrolled as (gradient, weight) CTE pairs over the
+    * same features — byte-identical arithmetic, zero shared state.
+    */
+  private lazy val qualityClassifierOracleSql: String = {
+    val feats = qcFeatures
+    val names = feats.map(_._1)
+    def margin(w: Int => String) =
+      names.zipWithIndex.map { case (n, j) => s"(${w(j)} * $n)" }
+        .mkString(" + ")
+    def gCte(k: Int): String = {
+      val wref: Int => String =
+        if (k == 1) _ => "0.0" else j => s"CAST(w$j AS DOUBLE)"
+      val sums = names.zipWithIndex.map { case (n, j) =>
+        s"SUM(CAST(round(((1.0 / (1.0 + exp(-(${margin(wref)})))) - y) " +
+          s"* $n, 9) AS DECIMAL(28,9))) AS g$j"
+      }.mkString(", ")
+      s"g$k AS (SELECT $sums FROM f" +
+        (if (k == 1) "" else s" CROSS JOIN w${k - 1}") + ")"
+    }
+    def wCte(k: Int): String = {
+      val prev: Int => String =
+        if (k == 1) _ => "0.0" else j => s"CAST(w$j AS DOUBLE)"
+      val cols = names.indices.map { j =>
+        s"CAST(round(${prev(j)} - 0.5 * CAST(g$j AS DOUBLE) / c, 9) " +
+          s"AS DECIMAL(28,9)) AS w$j"
+      }.mkString(", ")
+      s"w$k AS (SELECT $cols FROM g$k CROSS JOIN nctr" +
+        (if (k == 1) "" else s" CROSS JOIN w${k - 1}") + ")"
+    }
+    val featSel = feats.map { case (n, e) => s"$e AS $n" }.mkString(", ")
+    val finalRows = names.zipWithIndex.map { case (n, j) =>
+      s"SELECT '$n' AS feature, round(CAST(w$j AS DOUBLE), 6) AS weight " +
+        s"FROM w3"
+    }.mkString(" UNION ALL ")
+    s"""WITH f AS (SELECT $qcLabelSql AS y, $featSel
+           FROM documents WHERE doc_id % 5 <> 0),
+       nctr AS (SELECT COUNT(*) AS c FROM f),
+       ${gCte(1)}, ${wCte(1)},
+       ${gCte(2)}, ${wCte(2)},
+       ${gCte(3)}, ${wCte(3)}
+       SELECT * FROM ($finalRows) ORDER BY feature"""
+  }
+
   /** PAGERANK over the co-supplier graph (suppliers connected when they
     * supply the same part — distinct pairs, so the per-part fan-out is
     * bounded by suppliers-per-part, a small constant in this schema; a
@@ -3965,7 +4058,8 @@ object SparkEntry {
     "q_embed_dim_stats" -> qEmbedDimStats,
     "q_pca_project" -> qPcaProject,
     "q_collocations" -> qCollocations,
-    "q_pagerank" -> qPageRank
+    "q_pagerank" -> qPageRank,
+    "q_quality_classifier" -> qQualityClassifier
   )
 
   /** DuckDB SQL fragments replicating the repo's hashing primitives
@@ -6510,7 +6604,8 @@ object SparkEntry {
          ${iter(3)}
          SELECT node AS suppkey, round(CAST(r AS DOUBLE), 8) AS pr
          FROM r3 ORDER BY pr DESC, suppkey LIMIT 20"""
-    }
+    },
+    "q_quality_classifier" -> qualityClassifierOracleSql
   )
 
   /** DuckDB replay of [[graft.ops.Sampling.epochShard]] (seed 7, 8

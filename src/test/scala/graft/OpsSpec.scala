@@ -1591,6 +1591,31 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(r(2) - l) < 1e-9, s"leaf ${r(2)} != replay $l")
   }
 
+  test("LogReg GD: loss decreases and weights are partitioning-independent") {
+    import spark.implicits._
+    // Separable toy set: y = 1 iff f1 > 0 (bias + one live feature).
+    val rows = (0 until 200).map { i =>
+      val f1 = (i % 21).toDouble / 10.0 - 1.0
+      (if (f1 > 0) 1.0 else 0.0, 1.0, f1)
+    }
+    val df = rows.toDF("y", "f0", "f1")
+    val w = graft.ops.LogReg.train(df, "y", Seq("f0", "f1"), iters = 8,
+      lr = 1.0)
+    val l0 = graft.ops.LogReg.logLoss(df, "y", Seq("f0", "f1"),
+      Array(0.0, 0.0))
+    val l8 = graft.ops.LogReg.logLoss(df, "y", Seq("f0", "f1"), w)
+    assert(l8 < l0, s"loss did not decrease: $l0 -> $l8")
+    assert(w(1) > 0.0, s"live feature got non-positive weight: ${w.toSeq}")
+    // THE determinism contract: the trajectory is a pure function of
+    // the data — any partitioning yields byte-identical weights.
+    val w3 = graft.ops.LogReg.train(df.repartition(3), "y",
+      Seq("f0", "f1"), iters = 8, lr = 1.0)
+    val w13 = graft.ops.LogReg.train(df.repartition(13), "y",
+      Seq("f0", "f1"), iters = 8, lr = 1.0)
+    assert(w.toSeq == w3.toSeq && w.toSeq == w13.toSeq,
+      s"weights depend on partitioning: ${w.toSeq} vs ${w3.toSeq} vs ${w13.toSeq}")
+  }
+
   test("BPE trainer stops when every word is a single symbol") {
     import spark.implicits._
     val (merges, seqs) = graft.ops.BpeTrainer.train(
