@@ -141,7 +141,8 @@ object Bench {
       "q_session_window", "q_contamination", "q_seq_packing",
       "dedup_incremental", "q_perplexity", "q_boilerplate",
       "q_knn_eval", "q_table_snapshot", "q_table_cdc",
-      "docs_stream_table")
+      "docs_stream_table", "q_table_maintenance", "q_pca_project",
+      "q_pagerank", "q_quality_classifier")
     val fullLine = jsonLine(results)
     val headLine = jsonLine(headline.flatMap(h => resultMap.get(h).map(h -> _)))
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

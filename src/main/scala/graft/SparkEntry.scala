@@ -2471,6 +2471,37 @@ object SparkEntry {
        SELECT * FROM ($finalRows) ORDER BY feature"""
   }
 
+  /** CORPUS DRIFT MONITOR: add-1-smoothed unigram KL(P‖Q) between the
+    * even- and odd-doc_id halves of the corpus (stand-ins for two crawl
+    * snapshots), reported as the top tokens by divergence contribution
+    * p(w)·ln(p(w)/q(w)) — the distribution-shift alarm a pipeline runs
+    * between ingestion batches before retraining decisions. Shape: one
+    * corpus explode → one (token, side) count aggregate → vocab-sized
+    * math; totals ride a broadcast 1-row side. Contributions are
+    * integer-count-derived doubles rounded at 9 dp (the repo-wide
+    * cross-engine determinism contract), ordered by the rounded score.
+    */
+  private def qCorpusDrift(s: SparkSession, dir: String): DataFrame = {
+    val cnt = tbl(s, dir, "documents")
+      .select((col("doc_id") % 2 === 0).as("in_p"),
+        explode(expr(tokensSql)).as("w"))
+      .groupBy("w")
+      .agg(sum(when(col("in_p"), 1L).otherwise(0L)).as("cp"),
+        sum(when(col("in_p"), 0L).otherwise(1L)).as("cq"))
+      .persist() // one corpus explode; totals + scores reuse it
+    val tot = cnt.agg(sum("cp").as("tp"), sum("cq").as("tq"),
+      count(lit(1)).as("v"))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("w"), col("cp"), col("cq"),
+        round(expr(
+          """((CAST(cp AS DOUBLE) + 1.0) / (CAST(tp AS DOUBLE) + CAST(v AS DOUBLE)))
+             * ln(((CAST(cp AS DOUBLE) + 1.0) / (CAST(tp AS DOUBLE) + CAST(v AS DOUBLE)))
+               / ((CAST(cq AS DOUBLE) + 1.0) / (CAST(tq AS DOUBLE) + CAST(v AS DOUBLE))))"""),
+          9).as("kl_term"))
+      .orderBy(col("kl_term").desc, col("w"))
+      .limit(15)
+  }
+
   /** PAGERANK over the co-supplier graph (suppliers connected when they
     * supply the same part — distinct pairs, so the per-part fan-out is
     * bounded by suppliers-per-part, a small constant in this schema; a
@@ -4059,7 +4090,8 @@ object SparkEntry {
     "q_pca_project" -> qPcaProject,
     "q_collocations" -> qCollocations,
     "q_pagerank" -> qPageRank,
-    "q_quality_classifier" -> qQualityClassifier
+    "q_quality_classifier" -> qQualityClassifier,
+    "q_corpus_drift" -> qCorpusDrift
   )
 
   /** DuckDB SQL fragments replicating the repo's hashing primitives
@@ -6605,7 +6637,28 @@ object SparkEntry {
          SELECT node AS suppkey, round(CAST(r AS DOUBLE), 8) AS pr
          FROM r3 ORDER BY pr DESC, suppkey LIMIT 20"""
     },
-    "q_quality_classifier" -> qualityClassifierOracleSql
+    "q_quality_classifier" -> qualityClassifierOracleSql,
+    "q_corpus_drift" ->
+      """WITH t AS (SELECT doc_id % 2 = 0 AS in_p, u.w AS w
+           FROM documents, unnest(list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+             x -> x <> '')) u(w)),
+         cnt AS (SELECT w,
+             SUM(CASE WHEN in_p THEN 1 ELSE 0 END) AS cp,
+             SUM(CASE WHEN in_p THEN 0 ELSE 1 END) AS cq
+           FROM t GROUP BY w),
+         tot AS (SELECT SUM(cp) AS tp, SUM(cq) AS tq, COUNT(*) AS v
+           FROM cnt)
+         SELECT w, CAST(cp AS BIGINT) AS cp, CAST(cq AS BIGINT) AS cq,
+           round(((CAST(cp AS DOUBLE) + 1.0)
+               / (CAST(tp AS DOUBLE) + CAST(v AS DOUBLE)))
+             * ln(((CAST(cp AS DOUBLE) + 1.0)
+                 / (CAST(tp AS DOUBLE) + CAST(v AS DOUBLE)))
+               / ((CAST(cq AS DOUBLE) + 1.0)
+                 / (CAST(tq AS DOUBLE) + CAST(v AS DOUBLE)))), 9)
+             AS kl_term
+         FROM cnt CROSS JOIN tot
+         ORDER BY kl_term DESC, w LIMIT 15"""
   )
 
   /** DuckDB replay of [[graft.ops.Sampling.epochShard]] (seed 7, 8
