@@ -98,6 +98,40 @@ class TableSpec extends AnyFunSuite {
       Seq(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("append racing compact: both commit, no rows lost or duplicated") {
+    // The nastier race than append-vs-append: a REWRITE (compact reads
+    // snapshot v_k and proposes v_{k+1} replacing ALL files) racing an
+    // APPEND. Whichever loses the version claim must recompute against
+    // the winner's manifest — a compact that silently dropped a
+    // concurrently-appended file would lose data with no error.
+    val root = freshRoot()
+    TxnTable.create(spark, root,
+      kv((0 until 50).map(i => (i.toLong, s"r$i", i.toDouble)): _*))
+    (1 to 3).foreach { r =>
+      TxnTable.append(spark, root,
+        kv((50 * r until 50 * (r + 1)).map(i =>
+          (i.toLong, s"r$i", i.toDouble)): _*))
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val fCompact = scala.concurrent.Future {
+      TxnTable.compact(spark, root)
+    }
+    val fAppend = scala.concurrent.Future {
+      TxnTable.append(spark, root,
+        kv((200 until 220).map(i => (i.toLong, s"r$i", i.toDouble)): _*))
+    }
+    val vs = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(Seq(fCompact, fAppend)),
+      scala.concurrent.duration.Duration(120, "s"))
+    pool.shutdown()
+    assert(vs.toSet == Set(4L, 5L), s"expected versions 4 and 5, got $vs")
+    // Every row survives exactly once, whatever the commit order was.
+    assert(sortedRows(TxnTable.snapshot(spark, root)).map(_._1) ==
+      ((0L until 200L) ++ (200L until 220L)).toSeq)
+  }
+
   test("cdc reports insert/update/delete with pre/post images") {
     val root = freshRoot()
     TxnTable.create(spark, root,
