@@ -986,6 +986,110 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  /** One trained PQ codebook set per testdata dir (8 subspaces × 16
+    * codes × 8 dims — a persisted-index-grade artifact, fitted once).
+    */
+  private val pqModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.ops.Pq.Model]()
+
+  /** PRODUCT QUANTIZATION end to end: fit 8 per-subspace 16-centroid
+    * codebooks (2 deterministic Lloyd iterations each), encode every
+    * vector to its 8 codes, and report the 9-dp-quantized
+    * reconstruction error. The DuckDB twin re-runs the ENTIRE fit —
+    * hyperplane init, fixed-point centroid refinement, L2 argmin — as
+    * generated CTEs per subspace and must hash-match codes and errors
+    * exactly (the q_kmeans replay contract, times eight subspaces).
+    */
+  private def qVecPq(s: SparkSession, dir: String): DataFrame = {
+    val model = pqModelCache.computeIfAbsent(dir, { d =>
+      graft.ops.Pq.fit(tbl(s, d, "embeddings"), "vec_id", "embedding",
+        dim = 64, m = 8, k = 16, iters = 2)
+    })
+    graft.ops.Pq.encode(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        model)
+      .select(col("vec_id"), col("codes"),
+        round(col("err2"), 6).as("err2"))
+      .orderBy("vec_id")
+  }
+
+  /** The generated DuckDB replay of [[qVecPq]]: shared hyperplane
+    * chain, then per subspace s (element offset 8·s) the init-bucket,
+    * two (sums → centroids → distances → argmin) rounds, and a final
+    * 8-way join emitting codes + the decimal-summed distortion.
+    */
+  private lazy val vecPqOracleSql: String = {
+    import Duck.{mix64, rint, toU}
+    val (numPlanes, subDim, m, k) = (4, 8, 8, 16)
+    def foldOff(a: String, off: Int, b: String): String =
+      s"list_reduce(list_transform(range(1, $subDim + 1), " +
+        s"i -> CAST($a[i + $off] AS DOUBLE) * CAST($b[i] AS DOUBLE)), " +
+        "(x, y) -> x + y)"
+    def foldSelfOff(a: String, off: Int): String =
+      s"list_reduce(list_transform(range(1, $subDim + 1), " +
+        s"i -> CAST($a[i + $off] AS DOUBLE) * CAST($a[i + $off] AS DOUBLE)), " +
+        "(x, y) -> x + y)"
+    def foldSelf(a: String): String =
+      s"list_reduce(list_transform(range(1, $subDim + 1), " +
+        s"i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)), " +
+        "(x, y) -> x + y)"
+    def sub(s: Int): String = {
+      val o = s * subDim
+      def round_(i: Int, prev: String): String =
+        s"""r${i}_$s AS (SELECT b.list_id AS list_id, d.i AS dim,
+               SUM(CAST(${rint(s"CAST(e.embedding[d.i + $o] AS DOUBLE) * 16777216.0")}
+                 AS BIGINT)) AS sm,
+               COUNT(*) AS n
+             FROM embeddings e
+             JOIN $prev b USING (vec_id),
+             range(1, $subDim + 1) d(i)
+             GROUP BY b.list_id, d.i),
+         c${i}_$s AS (SELECT list_id,
+               list(CAST((CAST(sm AS DOUBLE) / n) / 16777216.0 AS REAL)
+                 ORDER BY dim) AS c
+             FROM r${i}_$s GROUP BY list_id),
+         s${i}_$s AS (SELECT e.vec_id, c.list_id,
+               ${foldSelfOff("e.embedding", o)}
+                 - 2.0 * ${foldOff("e.embedding", o, "c.c")}
+                 + ${foldSelf("c.c")} AS d2
+             FROM embeddings e, c${i}_$s c),
+         a${i}_$s AS (SELECT vec_id, list_id, d2 FROM (
+             SELECT vec_id, list_id, d2,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY d2, list_id) AS rn
+             FROM s${i}_$s) WHERE rn = 1)"""
+      s"""a0_$s AS (SELECT e.vec_id,
+               CAST(SUM(CASE WHEN ${foldOff("e.embedding", o, "pl.v")} >= 0
+                   THEN 1 << p ELSE 0 END) AS INTEGER) % $k AS list_id
+             FROM embeddings e, pl GROUP BY e.vec_id),
+         ${round_(1, s"a0_$s")},
+         ${round_(2, s"a1_$s")}"""
+    }
+    val subs = (0 until m).map(sub).mkString(",\n         ")
+    val codes = (0 until m)
+      .map(s => s"CAST(a2_$s.list_id AS VARCHAR)")
+      .mkString(" || '-' || ")
+    val err = (0 until m)
+      .map(s => s"CAST(round(a2_$s.d2, 9) AS DECIMAL(28,9))")
+      .mkString(" + ")
+    val joins = (1 until m)
+      .map(s => s"JOIN a2_$s ON a2_0.vec_id = a2_$s.vec_id")
+      .mkString(" ")
+    s"""WITH RECURSIVE chain(p, i, h) AS (
+           SELECT p, 0, ${mix64("19088743 + p")}
+           FROM range(0, $numPlanes) t(p)
+           UNION ALL
+           SELECT p, i + 1, ${mix64("h")} FROM chain WHERE i < $subDim),
+         planes AS (SELECT p, i - 1 AS dim,
+               CAST(CAST((${toU("h")} // 2048) AS DOUBLE)
+                 / 9007199254740992.0 - 0.5 AS REAL) AS pv
+             FROM chain WHERE i >= 1),
+         pl AS (SELECT p, list(pv ORDER BY dim) AS v FROM planes GROUP BY p),
+         $subs
+       SELECT a2_0.vec_id, $codes AS codes,
+         round(CAST(($err) AS DOUBLE), 6) AS err2
+       FROM a2_0 $joins ORDER BY a2_0.vec_id"""
+  }
+
   // ------------------------------------------------------------------
   // Text analysis extensions (training-data pipeline ops)
   // ------------------------------------------------------------------
@@ -4091,7 +4195,8 @@ object SparkEntry {
     "q_collocations" -> qCollocations,
     "q_pagerank" -> qPageRank,
     "q_quality_classifier" -> qQualityClassifier,
-    "q_corpus_drift" -> qCorpusDrift
+    "q_corpus_drift" -> qCorpusDrift,
+    "q_vec_pq" -> qVecPq
   )
 
   /** DuckDB SQL fragments replicating the repo's hashing primitives
@@ -6658,7 +6763,8 @@ object SparkEntry {
                  / (CAST(tq AS DOUBLE) + CAST(v AS DOUBLE)))), 9)
              AS kl_term
          FROM cnt CROSS JOIN tot
-         ORDER BY kl_term DESC, w LIMIT 15"""
+         ORDER BY kl_term DESC, w LIMIT 15""",
+    "q_vec_pq" -> vecPqOracleSql
   )
 
   /** DuckDB replay of [[graft.ops.Sampling.epochShard]] (seed 7, 8

@@ -1616,6 +1616,38 @@ class OpsSpec extends AnyFunSuite {
       s"weights depend on partitioning: ${w.toSeq} vs ${w3.toSeq} vs ${w13.toSeq}")
   }
 
+  test("PQ: distortion beats 1-centroid codebooks, codes spread, partition-independent") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val m16 = graft.ops.Pq.fit(e, "vec_id", "embedding",
+      dim = 64, m = 8, k = 16, iters = 2)
+    val enc = graft.ops.Pq.encode(e, "vec_id", "embedding", m16)
+      .select("vec_id", "codes", "err2").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // k=1 degenerates every subspace to (roughly) its mean — the PQ
+    // distortion upper bound. Real codebooks must beat it decisively.
+    val m1 = graft.ops.Pq.fit(e, "vec_id", "embedding",
+      dim = 64, m = 8, k = 1, iters = 1)
+    val err1 = graft.ops.Pq.encode(e, "vec_id", "embedding", m1)
+      .agg(sum("err2")).head().getDouble(0)
+    val err16 = enc.map(_._3).sum
+    // These embeddings are near-isotropic noise — the hardest case for
+    // PQ; 16 codes per 8-dim subspace still must cut distortion ~40%
+    // (measured 0.60×; a gaussian-rate bound predicts ~16^(-2/8)≈0.5).
+    assert(err16 < 0.7 * err1,
+      s"16-code distortion $err16 not clearly below 1-code $err1")
+    // The 8 code positions should use a healthy slice of the codebook.
+    val used = enc.flatMap(_._2.split("-").zipWithIndex.map(_.swap)).toSet
+    assert(used.size > 8 * 8, s"only ${used.size} (sub, code) pairs used")
+    // Same corpus, different partitioning -> byte-identical codes.
+    val m16b = graft.ops.Pq.fit(e.repartition(7), "vec_id", "embedding",
+      dim = 64, m = 8, k = 16, iters = 2)
+    val encB = graft.ops.Pq.encode(e.repartition(5), "vec_id", "embedding",
+      m16b).select("vec_id", "codes", "err2").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(enc.sortBy(_._1).toSeq == encB.sortBy(_._1).toSeq,
+      "PQ codes depend on partitioning")
+  }
+
   test("BPE trainer stops when every word is a single symbol") {
     import spark.implicits._
     val (merges, seqs) = graft.ops.BpeTrainer.train(
