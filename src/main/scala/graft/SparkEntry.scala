@@ -1012,12 +1012,34 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  /** PQ-ADC approximate nearest neighbors for the vec_id=0 query (the
+    * ann_bruteforce convention): rank by sums of per-subspace LUT
+    * entries addressed by stored codes — the scan reads the code table,
+    * never the vectors. Exact-ANN agreement is OpsSpec's recall check;
+    * the oracle twin recomputes the same ADC ranking from its own
+    * codebook replay.
+    */
+  private def qAnnPq(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+    val model = pqModelCache.computeIfAbsent(dir, { d =>
+      graft.ops.Pq.fit(tbl(s, d, "embeddings"), "vec_id", "embedding",
+        dim = 64, m = 8, k = 16, iters = 2)
+    })
+    val q = e.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+    val enc = graft.ops.Pq.encode(e, "vec_id", "embedding", model)
+    graft.ops.Pq.adcTopK(enc, "vec_id", model, q, 10)
+      .select(col("vec_id"),
+        round(col("adc").cast("double"), 6).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+  }
+
   /** The generated DuckDB replay of [[qVecPq]]: shared hyperplane
     * chain, then per subspace s (element offset 8·s) the init-bucket,
     * two (sums → centroids → distances → argmin) rounds, and a final
     * 8-way join emitting codes + the decimal-summed distortion.
     */
-  private lazy val vecPqOracleSql: String = {
+  private lazy val pqOracles: (String, String) = {
     import Duck.{mix64, rint, toU}
     val (numPlanes, subDim, m, k) = (4, 8, 8, 16)
     def foldOff(a: String, off: Int, b: String): String =
@@ -1074,7 +1096,8 @@ object SparkEntry {
     val joins = (1 until m)
       .map(s => s"JOIN a2_$s ON a2_0.vec_id = a2_$s.vec_id")
       .mkString(" ")
-    s"""WITH RECURSIVE chain(p, i, h) AS (
+    val prefix =
+      s"""WITH RECURSIVE chain(p, i, h) AS (
            SELECT p, 0, ${mix64("19088743 + p")}
            FROM range(0, $numPlanes) t(p)
            UNION ALL
@@ -1084,11 +1107,47 @@ object SparkEntry {
                  / 9007199254740992.0 - 0.5 AS REAL) AS pv
              FROM chain WHERE i >= 1),
          pl AS (SELECT p, list(pv ORDER BY dim) AS v FROM planes GROUP BY p),
-         $subs
+         $subs"""
+    val main =
+      s"""$prefix
        SELECT a2_0.vec_id, $codes AS codes,
          round(CAST(($err) AS DOUBLE), 6) AS err2
        FROM a2_0 $joins ORDER BY a2_0.vec_id"""
+    // ADC twin: per-subspace LUT of query-to-centroid distances over
+    // the SAME replayed codebooks, summed via the stored assignments.
+    def qFoldOff(off: Int, b: String): String =
+      s"list_reduce(list_transform(range(1, $subDim + 1), " +
+        s"i -> CAST(q.qv[i + $off] AS DOUBLE) * CAST($b[i] AS DOUBLE)), " +
+        "(x, y) -> x + y)"
+    def qFoldSelfOff(off: Int): String =
+      s"list_reduce(list_transform(range(1, $subDim + 1), " +
+        s"i -> CAST(q.qv[i + $off] AS DOUBLE) * CAST(q.qv[i + $off] AS DOUBLE)), " +
+        "(x, y) -> x + y)"
+    val luts = (0 until m).map { s =>
+      val o = s * subDim
+      s"""l_$s AS (SELECT c.list_id,
+             ${qFoldSelfOff(o)} - 2.0 * ${qFoldOff(o, "c.c")}
+               + ${foldSelf("c.c")} AS d
+           FROM c2_$s c CROSS JOIN q)"""
+    }.mkString(",\n         ")
+    val lutJoins = (0 until m)
+      .map(s => s"JOIN l_$s ON a2_$s.list_id = l_$s.list_id")
+      .mkString(" ")
+    val adcSum = (0 until m)
+      .map(s => s"CAST(round(l_$s.d, 9) AS DECIMAL(28,9))")
+      .mkString(" + ")
+    val adc =
+      s"""$prefix,
+         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         $luts
+       SELECT a2_0.vec_id,
+         round(CAST(($adcSum) AS DOUBLE), 6) AS adc_dist
+       FROM a2_0 $joins $lutJoins
+       ORDER BY adc_dist, a2_0.vec_id LIMIT 10"""
+    (main, adc)
   }
+  private def vecPqOracleSql: String = pqOracles._1
+  private def annPqOracleSql: String = pqOracles._2
 
   // ------------------------------------------------------------------
   // Text analysis extensions (training-data pipeline ops)
@@ -4196,7 +4255,8 @@ object SparkEntry {
     "q_pagerank" -> qPageRank,
     "q_quality_classifier" -> qQualityClassifier,
     "q_corpus_drift" -> qCorpusDrift,
-    "q_vec_pq" -> qVecPq
+    "q_vec_pq" -> qVecPq,
+    "q_ann_pq" -> qAnnPq
   )
 
   /** DuckDB SQL fragments replicating the repo's hashing primitives
@@ -6764,7 +6824,8 @@ object SparkEntry {
              AS kl_term
          FROM cnt CROSS JOIN tot
          ORDER BY kl_term DESC, w LIMIT 15""",
-    "q_vec_pq" -> vecPqOracleSql
+    "q_vec_pq" -> vecPqOracleSql,
+    "q_ann_pq" -> annPqOracleSql
   )
 
   /** DuckDB replay of [[graft.ops.Sampling.epochShard]] (seed 7, 8

@@ -143,4 +143,37 @@ object Pq {
       }
       .toDF(idCol, "codes", "err2")
   }
+
+  /** ASYMMETRIC DISTANCE COMPUTATION search over an encoded table: the
+    * query is expanded once (driver-side) into m per-subspace lookup
+    * tables of query→centroid distances; each candidate's approximate
+    * distance is then a sum of m table entries addressed by its stored
+    * codes — the scan touches ONLY the code column (m small ints per
+    * vector, ~64× narrower than the float vectors), which is the entire
+    * point of PQ at billion scale. Pure Column expression (array
+    * literals + element_at), whole-stage-codegen'd, no UDF. LUT entries
+    * are 9-dp quantized and decimal-summed, so the ranking is
+    * engine-portable (the SQL twin replays it from the same replayed
+    * codebooks).
+    */
+  def adcTopK(
+      encoded: DataFrame, idCol: String, model: Model,
+      query: Array[Float], k: Int): DataFrame = {
+    val sd = model.subDim
+    val lutCols = (0 until model.m).map { s =>
+      val qsub = java.util.Arrays.copyOfRange(query, s * sd, (s + 1) * sd)
+      val lut = Array.fill(model.k)(0.0)
+      model.codebooks(s).foreach { case (code, c) =>
+        lut(code) = BigDecimal(dist2(qsub, c))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      element_at(array(lut.toIndexedSeq.map(lit(_)): _*),
+        element_at(split(col("codes"), "-"), s + 1).cast("int") + 1)
+        .cast("decimal(28,9)")
+    }
+    encoded
+      .withColumn("adc", lutCols.reduce(_ + _))
+      .orderBy(col("adc"), col(idCol))
+      .limit(k)
+  }
 }

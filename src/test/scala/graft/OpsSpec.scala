@@ -1646,6 +1646,34 @@ class OpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
     assert(enc.sortBy(_._1).toSeq == encB.sortBy(_._1).toSeq,
       "PQ codes depend on partitioning")
+    // ADC search: the query itself must rank first (its ADC distance is
+    // its own reconstruction error), and the approximate top-10 must
+    // recall a meaningful share of the exact L2 top-10.
+    val vecs = e.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray).toMap
+    val q = vecs(0L)
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0
+      var i = 0
+      while (i < a.length) {
+        val t = a(i).toDouble - b(i); d += t * t; i += 1
+      }
+      d
+    }
+    val exactTop = vecs.toSeq.map { case (id, v) => (id, l2(q, v)) }
+      .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+    val encDf = graft.ops.Pq.encode(e, "vec_id", "embedding", m16)
+    val adcTop = graft.ops.Pq.adcTopK(encDf, "vec_id", m16, q, 10)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(adcTop.head == 0L, s"query not first in ADC: ${adcTop.toSeq}")
+    // Isotropic noise is PQ's worst case (pairwise distances
+    // concentrate): measured recall@10 is 0.2 — 10× the 10/500 = 0.02
+    // chance level. Gate at 0.15 so the check catches a broken ADC
+    // (which scores ~chance) without flaking on the honest floor.
+    val recall = adcTop.count(exactTop).toDouble / 10.0
+    assert(recall >= 0.15,
+      s"ADC recall@10 $recall at/below chance — ADC ranking broken")
   }
 
   test("BPE trainer stops when every word is a single symbol") {
