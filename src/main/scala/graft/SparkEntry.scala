@@ -1034,12 +1034,31 @@ object SparkEntry {
       .orderBy(col("adc_dist"), col("vec_id"))
   }
 
+  /** IVF-PQ composed ANN (coarse hyperplane/centroid pruning to 3 of 8
+    * lists, then ADC over survivors' codes) — the full billion-scale
+    * layout as one oracle-checked gate.
+    */
+  private def qAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+    val model = pqModelCache.computeIfAbsent(dir, { d =>
+      graft.ops.Pq.fit(tbl(s, d, "embeddings"), "vec_id", "embedding",
+        dim = 64, m = 8, k = 16, iters = 2)
+    })
+    val q = e.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+    graft.ops.Pq.ivfAdcTopK(e, "vec_id", "embedding", model,
+        numPlanes = 3, nProbe = 3, q, 10)
+      .select(col("vec_id"),
+        round(col("adc").cast("double"), 6).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+  }
+
   /** The generated DuckDB replay of [[qVecPq]]: shared hyperplane
     * chain, then per subspace s (element offset 8·s) the init-bucket,
     * two (sums → centroids → distances → argmin) rounds, and a final
     * 8-way join emitting codes + the decimal-summed distortion.
     */
-  private lazy val pqOracles: (String, String) = {
+  private lazy val pqOracles: (String, String, String) = {
     import Duck.{mix64, rint, toU}
     val (numPlanes, subDim, m, k) = (4, 8, 8, 16)
     def foldOff(a: String, off: Int, b: String): String =
@@ -1144,10 +1163,69 @@ object SparkEntry {
          round(CAST(($adcSum) AS DOUBLE), 6) AS adc_dist
        FROM a2_0 $joins $lutJoins
        ORDER BY adc_dist, a2_0.vec_id LIMIT 10"""
-    (main, adc)
+    // IVF-PQ twin: the composed billion-scale layout — an IVF coarse
+    // layer (the ann_ivf replay, CTEs renamed i_*) prunes candidates to
+    // the query's nProbe lists, then the SAME ADC ranking runs over the
+    // survivors only.
+    val ivfPq = {
+      val (ivfPlanes, ivfProbe) = (3, 3)
+      def fullFold(a: String, b: String): String = Duck.foldDot(a, b, 64)
+      s"""$prefix,
+         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         $luts,
+         i_chain(p, i, h) AS (
+           SELECT p, 0, ${mix64("19088743 + p")}
+           FROM range(0, $ivfPlanes) t(p)
+           UNION ALL
+           SELECT p, i + 1, ${mix64("h")} FROM i_chain WHERE i < 64),
+         i_planes AS (SELECT p, i - 1 AS dim,
+               CAST(CAST((${toU("h")} // 2048) AS DOUBLE)
+                 / 9007199254740992.0 - 0.5 AS REAL) AS pv
+             FROM i_chain WHERE i >= 1),
+         i_pl AS (SELECT p, list(pv ORDER BY dim) AS v
+             FROM i_planes GROUP BY p),
+         i_init AS (SELECT e.vec_id,
+               CAST(SUM(CASE WHEN ${fullFold("e.embedding", "i_pl.v")} >= 0
+                   THEN 1 << p ELSE 0 END) AS INTEGER) AS list0
+             FROM embeddings e, i_pl GROUP BY e.vec_id),
+         i_rsum AS (SELECT b.list0 AS list_id, d.i AS dim,
+               SUM(CAST(${rint("CAST(e.embedding[d.i] AS DOUBLE) * 16777216.0")}
+                 AS BIGINT)) AS s,
+               COUNT(*) AS n
+             FROM embeddings e
+             JOIN i_init b USING (vec_id),
+             range(1, 65) d(i)
+             GROUP BY b.list0, d.i),
+         i_cl AS (SELECT list_id,
+               list(CAST((CAST(s AS DOUBLE) / n) / 16777216.0 AS REAL)
+                 ORDER BY dim) AS c
+             FROM i_rsum GROUP BY list_id),
+         i_scores AS (SELECT e.vec_id, i_cl.list_id,
+               CASE WHEN ${fullFold("e.embedding", "e.embedding")} = 0
+                      OR ${fullFold("i_cl.c", "i_cl.c")} = 0 THEN 0.0
+                    ELSE ${fullFold("e.embedding", "i_cl.c")}
+                      / sqrt(${fullFold("e.embedding", "e.embedding")}
+                        * ${fullFold("i_cl.c", "i_cl.c")}) END AS cos
+             FROM embeddings e, i_cl),
+         i_assign AS (SELECT vec_id, list_id FROM (
+             SELECT vec_id, list_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cos DESC, list_id) AS rn
+             FROM i_scores) WHERE rn = 1),
+         i_qlists AS (SELECT list_id FROM i_scores WHERE vec_id = 0
+           ORDER BY cos DESC, list_id LIMIT $ivfProbe)
+       SELECT a2_0.vec_id,
+         round(CAST(($adcSum) AS DOUBLE), 6) AS adc_dist
+       FROM a2_0 $joins $lutJoins
+       JOIN i_assign ON a2_0.vec_id = i_assign.vec_id
+       JOIN i_qlists ON i_assign.list_id = i_qlists.list_id
+       ORDER BY adc_dist, a2_0.vec_id LIMIT 10"""
+    }
+    (main, adc, ivfPq)
   }
   private def vecPqOracleSql: String = pqOracles._1
   private def annPqOracleSql: String = pqOracles._2
+  private def annIvfPqOracleSql: String = pqOracles._3
 
   // ------------------------------------------------------------------
   // Text analysis extensions (training-data pipeline ops)
@@ -4256,7 +4334,8 @@ object SparkEntry {
     "q_quality_classifier" -> qQualityClassifier,
     "q_corpus_drift" -> qCorpusDrift,
     "q_vec_pq" -> qVecPq,
-    "q_ann_pq" -> qAnnPq
+    "q_ann_pq" -> qAnnPq,
+    "ann_ivf_pq" -> qAnnIvfPq
   )
 
   /** DuckDB SQL fragments replicating the repo's hashing primitives
@@ -6825,7 +6904,8 @@ object SparkEntry {
          FROM cnt CROSS JOIN tot
          ORDER BY kl_term DESC, w LIMIT 15""",
     "q_vec_pq" -> vecPqOracleSql,
-    "q_ann_pq" -> annPqOracleSql
+    "q_ann_pq" -> annPqOracleSql,
+    "ann_ivf_pq" -> annIvfPqOracleSql
   )
 
   /** DuckDB replay of [[graft.ops.Sampling.epochShard]] (seed 7, 8

@@ -176,4 +176,35 @@ object Pq {
       .orderBy(col("adc"), col(idCol))
       .limit(k)
   }
+
+  /** IVF-PQ: the composed billion-scale ANN layout. An IVF coarse
+    * layer (hyperplane init → one fixed-point centroid refinement →
+    * cosine assignment — the exact [[Similarity]] contract the ann_ivf
+    * oracle replays) prunes candidates to the query's `nProbe` lists;
+    * the ADC fine ranking then scores ONLY the survivors' codes. At
+    * scale both layers are precomputed index artifacts (list-partitioned
+    * code tables); the probe reads nProbe partitions of 8-byte codes —
+    * neither the vectors nor the other lists.
+    */
+  def ivfAdcTopK(
+      df: DataFrame, idCol: String, vecCol: String, model: Model,
+      numPlanes: Int, nProbe: Int, query: Array[Float], k: Int): DataFrame = {
+    val dim = model.dim
+    val data = df.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).as("v"))
+    val planes = Dedup.hyperplanes(numPlanes, dim)
+    val bucketU = udf((v: Array[Float]) =>
+      Dedup.hyperplaneBucket(v, planes))
+    val centroids = Similarity.refineCentroids(
+      data.withColumn("list_id", bucketU(col("v"))), dim)
+    val assigned = Similarity.assignToCentroids(data, centroids, dim)
+    val qLists = centroids
+      .map { case (id, c) => (id, graft.embed.Embedder.cosine(query, c)) }
+      .sortBy { case (id, s) => (-s, id) }
+      .take(nProbe).map(_._1)
+    val cand = assigned
+      .filter(col("list_id").isin(qLists.map(Int.box): _*))
+      .select(col("vec_id"), col("v"))
+    adcTopK(encode(cand, "vec_id", "v", model), "vec_id", model, query, k)
+  }
 }
