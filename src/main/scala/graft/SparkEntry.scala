@@ -2743,6 +2743,33 @@ object SparkEntry {
       .limit(15)
   }
 
+  /** ROBUST OUTLIER FLAGGING (median absolute deviation): per-source
+    * document-length outliers by robust z = (x − median)/MAD — the
+    * curation filter that survives the heavy-tailed length
+    * distributions that break mean/stddev z-scores. Two grouped exact
+    * percentile passes (median, then MAD over |x − median|) + a join
+    * back; group count is source-sized, so everything after the first
+    * aggregate is tiny. Exact interpolated percentiles over integers
+    * are engine-identical (the q_percentiles contract), so the DuckDB
+    * twin hash-matches.
+    */
+  private def qMadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents")
+    val med = d.groupBy("source")
+      .agg(expr("percentile(n_chars, 0.5)").as("med"))
+    val dev = d.join(med, "source")
+      .select(col("source"), col("doc_id"), col("n_chars"), col("med"),
+        abs(col("n_chars") - col("med")).as("adev"))
+    val mad = dev.groupBy("source")
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(mad, "source")
+      .filter(col("mad") > 0)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        round((col("n_chars") - col("med")) / col("mad"), 6).as("robust_z"))
+      .filter(abs(col("robust_z")) > lit(2.5))
+      .orderBy("source", "doc_id")
+  }
+
   /** PAGERANK over the co-supplier graph (suppliers connected when they
     * supply the same part — distinct pairs, so the per-part fan-out is
     * bounded by suppliers-per-part, a small constant in this schema; a
@@ -4335,7 +4362,8 @@ object SparkEntry {
     "q_corpus_drift" -> qCorpusDrift,
     "q_vec_pq" -> qVecPq,
     "q_ann_pq" -> qAnnPq,
-    "ann_ivf_pq" -> qAnnIvfPq
+    "ann_ivf_pq" -> qAnnIvfPq,
+    "q_mad_outliers" -> qMadOutliers
   )
 
   /** DuckDB SQL fragments replicating the repo's hashing primitives
@@ -6905,7 +6933,21 @@ object SparkEntry {
          ORDER BY kl_term DESC, w LIMIT 15""",
     "q_vec_pq" -> vecPqOracleSql,
     "q_ann_pq" -> annPqOracleSql,
-    "ann_ivf_pq" -> annIvfPqOracleSql
+    "ann_ivf_pq" -> annIvfPqOracleSql,
+    "q_mad_outliers" ->
+      """WITH med AS (SELECT source, quantile_cont(n_chars, 0.5) AS med
+           FROM documents GROUP BY source),
+         dev AS (SELECT d.source, d.doc_id, d.n_chars, m.med,
+             abs(d.n_chars - m.med) AS adev
+           FROM documents d JOIN med m USING (source)),
+         mad AS (SELECT source, quantile_cont(adev, 0.5) AS mad
+           FROM dev GROUP BY source)
+         SELECT dev.source, dev.doc_id, dev.n_chars,
+           round((dev.n_chars - dev.med) / mad.mad, 6) AS robust_z
+         FROM dev JOIN mad USING (source)
+         WHERE mad.mad > 0
+           AND abs(round((dev.n_chars - dev.med) / mad.mad, 6)) > 2.5
+         ORDER BY dev.source, dev.doc_id"""
   )
 
   /** DuckDB replay of [[graft.ops.Sampling.epochShard]] (seed 7, 8
