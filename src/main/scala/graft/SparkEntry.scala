@@ -2047,6 +2047,55 @@ object SparkEntry {
          ORDER BY c_custkey""")
   }
 
+  /** TPC-H Q2-shaped MIN-COST SUPPLIER: per part (p_size = 10 slice),
+    * the supplier(s) whose best observed unit price equals the part's
+    * minimum — a CORRELATED scalar subquery over a derived aggregate,
+    * the canonical "argmin within group via subquery" relational shape.
+    * Catalyst decorrelates the subquery into a min-per-part aggregate +
+    * join; cost is a double MIN (identical value both engines, so the
+    * equality predicate is engine-safe), rounded only for display.
+    */
+  private def qMinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_mc_v")
+    tbl(s, dir, "part").createOrReplaceTempView("part_mc_v")
+    tbl(s, dir, "supplier").createOrReplaceTempView("supplier_mc_v")
+    s.sql(
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS cost
+           FROM lineitem_mc_v GROUP BY l_partkey, l_suppkey)
+         SELECT p.p_partkey, s.s_name, round(ps.cost, 4) AS cost
+         FROM ps JOIN part_mc_v p ON ps.l_partkey = p.p_partkey
+           JOIN supplier_mc_v s ON ps.l_suppkey = s.s_suppkey
+         WHERE p.p_size = 10
+           AND ps.cost = (SELECT MIN(ps2.cost) FROM ps ps2
+                          WHERE ps2.l_partkey = ps.l_partkey)
+         ORDER BY p.p_partkey, s.s_name""")
+  }
+
+  /** TPC-H Q15-shaped TOP-REVENUE SUPPLIER: a revenue "view" (decimal-
+    * exact sum over a shipdate window) probed by an uncorrelated MAX
+    * subquery — the view + scalar-subquery-on-aggregate shape. Exact
+    * DECIMAL revenue makes the MAX equality engine-safe.
+    */
+  private def qRevenueView(s: SparkSession, dir: String): DataFrame = {
+    tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_rv_v")
+    tbl(s, dir, "supplier").createOrReplaceTempView("supplier_rv_v")
+    s.sql(
+      """WITH revenue AS (SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+               AS DECIMAL(18,6))) AS total_revenue
+           FROM lineitem_rv_v
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           GROUP BY l_suppkey)
+         SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_revenue AS DOUBLE) AS total_revenue
+         FROM supplier_rv_v s
+         JOIN revenue r ON s.s_suppkey = r.supplier_no
+         WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+         ORDER BY s.s_suppkey""")
+  }
+
   /** FULL OUTER join: negative-balance customers vs per-customer order
     * counts — nulls surface on both sides.
     */
@@ -4363,7 +4412,9 @@ object SparkEntry {
     "q_vec_pq" -> qVecPq,
     "q_ann_pq" -> qAnnPq,
     "ann_ivf_pq" -> qAnnIvfPq,
-    "q_mad_outliers" -> qMadOutliers
+    "q_mad_outliers" -> qMadOutliers,
+    "q_min_cost_supplier" -> qMinCostSupplier,
+    "q_revenue_view" -> qRevenueView
   )
 
   /** DuckDB SQL fragments replicating the repo's hashing primitives
@@ -6947,7 +6998,32 @@ object SparkEntry {
          FROM dev JOIN mad USING (source)
          WHERE mad.mad > 0
            AND abs(round((dev.n_chars - dev.med) / mad.mad, 6)) > 2.5
-         ORDER BY dev.source, dev.doc_id"""
+         ORDER BY dev.source, dev.doc_id""",
+    "q_min_cost_supplier" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS cost
+           FROM lineitem GROUP BY l_partkey, l_suppkey)
+         SELECT p.p_partkey, s.s_name, round(ps.cost, 4) AS cost
+         FROM ps JOIN part p ON ps.l_partkey = p.p_partkey
+           JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+         WHERE p.p_size = 10
+           AND ps.cost = (SELECT MIN(ps2.cost) FROM ps ps2
+                          WHERE ps2.l_partkey = ps.l_partkey)
+         ORDER BY p.p_partkey, s.s_name""",
+    "q_revenue_view" ->
+      """WITH revenue AS (SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+               AS DECIMAL(18,6))) AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           GROUP BY l_suppkey)
+         SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_revenue AS DOUBLE) AS total_revenue
+         FROM supplier s
+         JOIN revenue r ON s.s_suppkey = r.supplier_no
+         WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+         ORDER BY s.s_suppkey"""
   )
 
   /** DuckDB replay of [[graft.ops.Sampling.epochShard]] (seed 7, 8
