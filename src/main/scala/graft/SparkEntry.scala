@@ -2096,6 +2096,29 @@ object SparkEntry {
          ORDER BY s.s_suppkey""")
   }
 
+  /** TPC-H Q17-shaped SMALL-ORDER REVENUE: average yearly revenue lost
+    * if small orders (quantity below 20%% of the part's average) were
+    * dropped — the correlated-AVG filter shape. Per-brand output keeps
+    * more than one row under the oracle's hash. The inner AVG is a
+    * double over identical inputs (engine-identical), 0.2× is exact,
+    * and the revenue sum is decimal-exact.
+    */
+  private def qSmallOrderRevenue(s: SparkSession, dir: String): DataFrame = {
+    tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_so_v")
+    tbl(s, dir, "part").createOrReplaceTempView("part_so_v")
+    s.sql(
+      """SELECT p.p_brand,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS lost_revenue,
+           COUNT(*) AS n_lines
+         FROM lineitem_so_v l JOIN part_so_v p ON l.l_partkey = p.p_partkey
+         WHERE l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                               FROM lineitem_so_v l2
+                               WHERE l2.l_partkey = l.l_partkey)
+         GROUP BY p.p_brand
+         ORDER BY p.p_brand""")
+  }
+
   /** FULL OUTER join: negative-balance customers vs per-customer order
     * counts — nulls surface on both sides.
     */
@@ -4233,6 +4256,71 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("sum_bal"))
       .orderBy("c_mktsegment")
 
+  /** Land `df` as ONE parquet file named `<name>.parquet` directly in
+    * `destDir` (FileStreamSource wants flat files; a per-batch write
+    * dir is flattened by moving its single part file out).
+    */
+  private def stageSingleFile(
+      s: SparkSession, df: DataFrame, destDir: String, name: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tmp = s"$destDir/_tmp_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val fs = new Path(tmp)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+      .find(_.getName.startsWith("part-"))
+      .getOrElse(sys.error(s"no part file under $tmp"))
+    fs.rename(part, new Path(s"$destDir/$name.parquet"))
+    fs.delete(new Path(tmp), true)
+  }
+
+  /** STREAMING CDC APPLY: a change stream (insert + re-price batches,
+    * one file per micro-batch via maxFilesPerTrigger=1) is upserted
+    * into the transactional table by a real streaming query —
+    * foreachBatch → [[graft.table.TxnTable.merge]] keyed on
+    * o_orderkey. The staged batches touch disjoint key sets, so the
+    * final state is micro-batch-order-independent, and the snapshot
+    * must equal the oracle's one-shot CASE over raw orders. (Merge
+    * commits carry no batch-id fence — the appendBatch-style
+    * exactly-once extension for rewrites is documented table-format
+    * roadmap; a clean run, as here, applies each change exactly once.)
+    */
+  private def qOrdersStreamMerge(s: SparkSession, dir: String): DataFrame = {
+    val o = tbl(s, dir, "orders")
+    val work = scratchTempDir(s, "graft_stream_merge")
+    val root = s"$work/table"
+    val src = s"$work/changes"
+    val stats = Seq("o_orderkey")
+    graft.table.TxnTable.create(s, root,
+      o.filter(col("o_orderkey") % 3 === 0), stats)
+    stageSingleFile(s,
+      o.filter(col("o_orderkey") % 3 === 1)
+        .unionByName(o.filter(col("o_orderkey") % 9 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)),
+      src, "b1")
+    stageSingleFile(s,
+      o.filter(col("o_orderkey") % 3 === 2)
+        .unionByName(o.filter(col("o_orderkey") % 9 === 3)
+          .withColumn("o_totalprice", -col("o_totalprice"))),
+      src, "b2")
+    val stream = s.readStream.schema(o.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    runStream(s) {
+      stream.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.table.TxnTable.merge(s, root, batch,
+            Seq("o_orderkey"), stats); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    graft.table.TxnTable.snapshot(s, root)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -4414,7 +4502,9 @@ object SparkEntry {
     "ann_ivf_pq" -> qAnnIvfPq,
     "q_mad_outliers" -> qMadOutliers,
     "q_min_cost_supplier" -> qMinCostSupplier,
-    "q_revenue_view" -> qRevenueView
+    "q_revenue_view" -> qRevenueView,
+    "q_small_order_revenue" -> qSmallOrderRevenue,
+    "orders_stream_merge" -> qOrdersStreamMerge
   )
 
   /** DuckDB SQL fragments replicating the repo's hashing primitives
@@ -7023,7 +7113,27 @@ object SparkEntry {
          FROM supplier s
          JOIN revenue r ON s.s_suppkey = r.supplier_no
          WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
-         ORDER BY s.s_suppkey"""
+         ORDER BY s.s_suppkey""",
+    "q_small_order_revenue" ->
+      """SELECT p.p_brand,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS lost_revenue,
+           COUNT(*) AS n_lines
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                               FROM lineitem l2
+                               WHERE l2.l_partkey = l.l_partkey)
+         GROUP BY p.p_brand
+         ORDER BY p.p_brand""",
+    "orders_stream_merge" ->
+      """WITH t AS (SELECT o_orderpriority,
+             CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice * 2
+                  WHEN o_orderkey % 9 = 3 THEN -o_totalprice
+                  ELSE o_totalprice END AS price
+           FROM orders)
+         SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+         FROM t GROUP BY 1 ORDER BY 1"""
   )
 
   /** DuckDB replay of [[graft.ops.Sampling.epochShard]] (seed 7, 8
