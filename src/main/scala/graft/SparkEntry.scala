@@ -2047,6 +2047,30 @@ object SparkEntry {
          ORDER BY c_custkey""")
   }
 
+  /** GAPS-AND-ISLANDS: maximal runs of CONSECUTIVE ACTIVE DAYS per user
+    * (activity streaks) — the classic "islands" shape, via the
+    * epoch-day-minus-row_number grouping key over the distinct
+    * (user, day) set. One user-keyed window + one (user, island)
+    * aggregate; both partitionings are user-scale, never global.
+    */
+  private def qIslands(s: SparkSession, dir: String): DataFrame = {
+    tbl(s, dir, "events").createOrReplaceTempView("events_gi_v")
+    s.sql(
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+           FROM events_gi_v),
+         g AS (SELECT user_id, day,
+             datediff(day, DATE '1970-01-01')
+               - ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY day) AS grp
+           FROM d),
+         runs AS (SELECT user_id, MIN(day) AS run_start,
+             MAX(day) AS run_end, COUNT(*) AS run_len
+           FROM g GROUP BY user_id, grp)
+         SELECT user_id, run_start, run_end, run_len
+         FROM runs WHERE run_len >= 5
+         ORDER BY user_id, run_start""")
+  }
+
   /** TPC-H Q2-shaped MIN-COST SUPPLIER: per part (p_size = 10 slice),
     * the supplier(s) whose best observed unit price equals the part's
     * minimum — a CORRELATED scalar subquery over a derived aggregate,
@@ -4504,7 +4528,8 @@ object SparkEntry {
     "q_min_cost_supplier" -> qMinCostSupplier,
     "q_revenue_view" -> qRevenueView,
     "q_small_order_revenue" -> qSmallOrderRevenue,
-    "orders_stream_merge" -> qOrdersStreamMerge
+    "orders_stream_merge" -> qOrdersStreamMerge,
+    "q_islands" -> qIslands
   )
 
   /** DuckDB SQL fragments replicating the repo's hashing primitives
@@ -7133,7 +7158,21 @@ object SparkEntry {
            FROM orders)
          SELECT o_orderpriority, COUNT(*) AS n,
            CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
-         FROM t GROUP BY 1 ORDER BY 1"""
+         FROM t GROUP BY 1 ORDER BY 1""",
+    "q_islands" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+           FROM events),
+         g AS (SELECT user_id, day,
+             datediff('day', DATE '1970-01-01', day)
+               - ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY day) AS grp
+           FROM d),
+         runs AS (SELECT user_id, MIN(day) AS run_start,
+             MAX(day) AS run_end, COUNT(*) AS run_len
+           FROM g GROUP BY user_id, grp)
+         SELECT user_id, run_start, run_end, run_len
+         FROM runs WHERE run_len >= 5
+         ORDER BY user_id, run_start"""
   )
 
   /** DuckDB replay of [[graft.ops.Sampling.epochShard]] (seed 7, 8
