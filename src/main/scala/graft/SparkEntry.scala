@@ -2047,6 +2047,18 @@ object SparkEntry {
          ORDER BY c_custkey""")
   }
 
+  /** HEAVY HITTERS (two-phase): per-partition SpaceSaving sketches
+    * propose a candidate superset, one exact recount over only the
+    * candidate rows finalizes — top-k over skewed key spaces WITHOUT
+    * shuffling the whole vocabulary. Counts are exact, so the oracle is
+    * the plain exact top-k; the sketch-superset guarantee is OpsSpec's
+    * job (adversarial skew + partitioning).
+    */
+  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    graft.ops.HeavyHitters.topK(
+      tbl(s, dir, "documents").select(explode(expr(tokensSql)).as("w")),
+      "w", 15, capacity = 1024)
+
   /** GAPS-AND-ISLANDS: maximal runs of CONSECUTIVE ACTIVE DAYS per user
     * (activity streaks) — the classic "islands" shape, via the
     * epoch-day-minus-row_number grouping key over the distinct
@@ -4529,7 +4541,8 @@ object SparkEntry {
     "q_revenue_view" -> qRevenueView,
     "q_small_order_revenue" -> qSmallOrderRevenue,
     "orders_stream_merge" -> qOrdersStreamMerge,
-    "q_islands" -> qIslands
+    "q_islands" -> qIslands,
+    "q_heavy_hitters" -> qHeavyHitters
   )
 
   /** DuckDB SQL fragments replicating the repo's hashing primitives
@@ -7172,7 +7185,14 @@ object SparkEntry {
            FROM g GROUP BY user_id, grp)
          SELECT user_id, run_start, run_end, run_len
          FROM runs WHERE run_len >= 5
-         ORDER BY user_id, run_start"""
+         ORDER BY user_id, run_start""",
+    "q_heavy_hitters" ->
+      """WITH t AS (SELECT u.w AS w
+           FROM documents, unnest(list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+             x -> x <> '')) u(w))
+         SELECT w, COUNT(*) AS n FROM t
+         GROUP BY w ORDER BY n DESC, w LIMIT 15"""
   )
 
   /** DuckDB replay of [[graft.ops.Sampling.epochShard]] (seed 7, 8

@@ -1676,6 +1676,28 @@ class OpsSpec extends AnyFunSuite {
       s"ADC recall@10 $recall at/below chance — ADC ranking broken")
   }
 
+  test("HeavyHitters: sketch candidates cover true top-k under adversarial skew") {
+    import spark.implicits._
+    // 2 hot keys buried in 10k singleton cold keys; capacity far below
+    // the distinct-key count, 8 partitions.
+    val rows = Seq.fill(1000)("hot_a") ++ Seq.fill(800)("hot_b") ++
+      (0 until 10000).map(i => s"cold_$i") ++ Seq.fill(500)("warm_c")
+    val df = rows.toDF("w").repartition(8)
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val trueTop = exact.toSeq.sortBy { case (w, n) => (-n, w) }
+      .take(3).map(_._1)
+    val cands = graft.ops.HeavyHitters.sketchCandidates(df, "w", 64)
+    trueTop.foreach { w =>
+      assert(cands.contains(w), s"sketch lost heavy key $w")
+    }
+    // End-to-end: two-phase top-3 equals the exact groupBy top-3,
+    // counts exact.
+    val got = graft.ops.HeavyHitters.topK(df, "w", 3, capacity = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == trueTop.map(w => (w, exact(w))),
+      s"two-phase top-3 wrong: $got")
+  }
+
   test("BPE trainer stops when every word is a single symbol") {
     import spark.implicits._
     val (merges, seqs) = graft.ops.BpeTrainer.train(
