@@ -4357,6 +4357,22 @@ object SparkEntry {
       .orderBy("o_orderpriority")
   }
 
+  /** The transactional table read through its DataSource V2 connector
+    * ([[graft.table.GraftTableProvider]]): `spark.read.format(...)`
+    * with a key-range predicate that prunes manifest files at PLANNING
+    * time (TableSpec asserts the partition count) — proof the table
+    * format is a first-class Spark source, not just a library API.
+    * Same maintained fixture as q_table_maintenance, different probe
+    * range.
+    */
+  private def qTableDsv2(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.table.GraftTableProvider")
+      .load(writtenMaintTable(s, dir))
+      .filter(col("c_custkey").between(150L, 700L))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy("c_mktsegment")
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -4542,7 +4558,8 @@ object SparkEntry {
     "q_small_order_revenue" -> qSmallOrderRevenue,
     "orders_stream_merge" -> qOrdersStreamMerge,
     "q_islands" -> qIslands,
-    "q_heavy_hitters" -> qHeavyHitters
+    "q_heavy_hitters" -> qHeavyHitters,
+    "q_table_dsv2" -> qTableDsv2
   )
 
   /** DuckDB SQL fragments replicating the repo's hashing primitives
@@ -7192,7 +7209,12 @@ object SparkEntry {
              regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
              x -> x <> '')) u(w))
          SELECT w, COUNT(*) AS n FROM t
-         GROUP BY w ORDER BY n DESC, w LIMIT 15"""
+         GROUP BY w ORDER BY n DESC, w LIMIT 15""",
+    "q_table_dsv2" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+         FROM customer WHERE c_custkey BETWEEN 150 AND 700
+         GROUP BY 1 ORDER BY 1"""
   )
 
   /** DuckDB replay of [[graft.ops.Sampling.epochShard]] (seed 7, 8

@@ -1,0 +1,236 @@
+package graft.table
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** [[TxnTable]] as a FIRST-CLASS Spark DataSource V2 —
+  * `spark.read.format("graft.table.GraftTableProvider").load(root)`
+  * gives planner-integrated reads of the transactional table:
+  *
+  *   - schema comes from the latest manifest (no file listing, no
+  *     footer reads — O(1) metadata like every TxnTable read path);
+  *   - comparison predicates push down into MANIFEST-LEVEL file
+  *     skipping at `planInputPartitions` time: a probe of one key
+  *     range plans only the stats-overlapping files as input
+  *     partitions, so at 100 TB the executor count and IO scale with
+  *     the touched range, not the table (the DSv2 twin of
+  *     [[TxnTable.snapshotWhere]]);
+  *   - pushed filters are also re-applied by Spark above the scan
+  *     (`pushFilters` returns every filter as residual), so pruning is
+  *     a pure optimization that can never change results.
+  *
+  * The per-file reader uses the parquet example API (Group) and
+  * supports the scalar column types the table format's fixtures use
+  * (BOOLEAN/INT32/INT64/FLOAT/DOUBLE/BINARY-string); a column present
+  * in the read schema but absent from an (older) data file reads as
+  * NULL — schema evolution flows through DSv2 unchanged. Production
+  * tables would swap in the vectorized parquet reader; the CONNECTOR
+  * surface (schema inference, pushdown, pruned planning) is the real
+  * contract and is what the specs pin.
+  */
+class GraftTableProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val root = GraftTableProvider.rootOf(options)
+    val conf = new Configuration()
+    val m = GraftTableProvider.latestManifest(conf, root)
+    // All-nullable: schema evolution means ANY column can be absent
+    // (and thus NULL) in pre-evolution files — a non-nullable field
+    // would let Spark constant-fold IsNull and mis-read the nulls.
+    StructType(StructType.fromDDL(m.schemaDdl)
+      .fields.map(_.copy(nullable = true)))
+  }
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new GraftTable(properties.get("path"), schema)
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object GraftTableProvider {
+  def rootOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "graft table source requires a path")
+    p
+  }
+  /** Manifest read WITHOUT a SparkSession (DSv2 runs during planning
+    * and on executors): same layout as [[TxnTable]], Hadoop FS only.
+    */
+  def latestManifest(conf: Configuration, root: String): TxnTable.Manifest = {
+    val dir = new Path(root, "_log")
+    val fs = dir.getFileSystem(conf)
+    val vs = fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.matches("v\\d{20}\\.json") =>
+        n.stripPrefix("v").stripSuffix(".json").toLong
+      }
+    require(vs.nonEmpty, s"no graft table at $root")
+    val p = new Path(dir, f"v${vs.max}%020d.json")
+    val in = fs.open(p)
+    val bytes =
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+        out.toByteArray
+      } finally in.close()
+    implicit val fmts: org.json4s.Formats =
+      org.json4s.jackson.Serialization.formats(org.json4s.NoTypeHints)
+    org.json4s.jackson.Serialization.read[TxnTable.Manifest](
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+  }
+}
+
+class GraftTable(root: String, tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_table($root)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(root, tableSchema)
+}
+
+class GraftScanBuilder(root: String, schema: StructType)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+  private var filters: Array[sources.Filter] = Array.empty
+  private var required: StructType = schema
+
+  override def pushFilters(fs: Array[sources.Filter]): Array[sources.Filter] = {
+    filters = fs
+    fs // ALL residual: pruning is advisory, Spark re-applies row-level
+  }
+  override def pushedFilters(): Array[sources.Filter] = filters
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new GraftScan(root, required, filters)
+}
+
+/** One input partition per surviving data file. */
+case class GraftInputPartition(filePath: String) extends InputPartition
+
+class GraftScan(
+    root: String, required: StructType, filters: Array[sources.Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftTableScan pushed=[${filters.mkString(", ")}]"
+
+  /** Conjunct bounds (col → [lo, hi]) from the pushed v2 filters, in
+    * the same double-comparable space as the manifest stats.
+    */
+  private def bounds: Map[String, (Double, Double)] = {
+    def num(v: Any): Option[Double] = v match {
+      case n: Number => Some(n.doubleValue())
+      case ts: java.sql.Timestamp => Some(ts.getTime * 1000.0)
+      case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toDouble)
+      case _ => None
+    }
+    val acc = scala.collection.mutable.Map
+      .empty[String, (Double, Double)]
+      .withDefaultValue((Double.NegativeInfinity, Double.PositiveInfinity))
+    def tighten(c: String, lo: Double, hi: Double): Unit = {
+      val (l0, h0) = acc(c)
+      acc(c) = (math.max(l0, lo), math.min(h0, hi))
+    }
+    filters.foreach {
+      case sources.EqualTo(c, v) => num(v).foreach(d => tighten(c, d, d))
+      case sources.GreaterThan(c, v) =>
+        num(v).foreach(d => tighten(c, d, Double.PositiveInfinity))
+      case sources.GreaterThanOrEqual(c, v) =>
+        num(v).foreach(d => tighten(c, d, Double.PositiveInfinity))
+      case sources.LessThan(c, v) =>
+        num(v).foreach(d => tighten(c, Double.NegativeInfinity, d))
+      case sources.LessThanOrEqual(c, v) =>
+        num(v).foreach(d => tighten(c, Double.NegativeInfinity, d))
+      case sources.And(l, r) =>
+        // conjuncts usually arrive split; nested ANDs fold the same way
+        new GraftScan(root, required, Array(l, r)).bounds.foreach {
+          case (c, (lo, hi)) => tighten(c, lo, hi)
+        }
+      case _ => () // OR/IN/IsNull/...: no bounds, stays conservative
+    }
+    acc.toMap
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = new Configuration()
+    val m = GraftTableProvider.latestManifest(conf, root)
+    val bs = bounds
+    val keep = m.files.filter { f =>
+      bs.forall { case (c, (lo, hi)) =>
+        f.stats.get(c).forall(s => s.max >= lo && s.min <= hi)
+      }
+    }
+    keep.map(f => GraftInputPartition(s"$root/${f.path}"): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(required)
+}
+
+class GraftReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftPartitionReader(
+      partition.asInstanceOf[GraftInputPartition].filePath, required)
+}
+
+/** Parquet example-API row reader: required columns only, missing
+  * columns (pre-evolution files) read as NULL.
+  */
+class GraftPartitionReader(filePath: String, required: StructType)
+    extends PartitionReader[InternalRow] {
+  import org.apache.parquet.example.data.Group
+  import org.apache.parquet.hadoop.ParquetReader
+  import org.apache.parquet.hadoop.example.GroupReadSupport
+
+  private val reader: ParquetReader[Group] =
+    ParquetReader.builder(new GroupReadSupport(), new Path(filePath))
+      .withConf(new Configuration()).build()
+  private var current: Group = _
+
+  override def next(): Boolean = {
+    current = reader.read()
+    current != null
+  }
+
+  override def get(): InternalRow = {
+    val g = current
+    val fileType = g.getType
+    val vals = required.fields.map { f =>
+      if (fileType.containsField(f.name) &&
+          g.getFieldRepetitionCount(f.name) > 0) {
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+        fileType.getType(f.name).asPrimitiveType().getPrimitiveTypeName match {
+          case INT64 => g.getLong(f.name, 0)
+          case INT32 => g.getInteger(f.name, 0)
+          case DOUBLE => g.getDouble(f.name, 0)
+          case FLOAT => g.getFloat(f.name, 0)
+          case BOOLEAN => g.getBoolean(f.name, 0)
+          case BINARY | FIXED_LEN_BYTE_ARRAY =>
+            UTF8String.fromBytes(g.getBinary(f.name, 0).getBytes)
+          case other => throw new UnsupportedOperationException(
+            s"graft table DSv2 reader: unsupported parquet type $other " +
+              s"for column ${f.name}")
+        }
+      } else null
+    }
+    InternalRow.fromSeq(vals.toIndexedSeq)
+  }
+
+  override def close(): Unit = reader.close()
+}
