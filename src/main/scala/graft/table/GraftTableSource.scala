@@ -89,14 +89,61 @@ object GraftTableProvider {
 }
 
 class GraftTable(root: String, tableSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table
+    with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft_table($root)"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(root, tableSchema)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftWriteBuilder(root, info)
+}
+
+/** DSv2 WRITE path via the V1Write fallback:
+  * `df.write.format(...).mode("append"|"overwrite").save(root)` lands
+  * as a [[TxnTable.append]]/[[TxnTable.overwrite]] commit — the data
+  * files are written DISTRIBUTED (TxnTable's own parquet write), the
+  * fallback only routes orchestration through the session, and the
+  * atomic manifest rename stays the single commit point (a failed job
+  * leaves only unreferenced files for vacuum, never a partial
+  * version). Write option `statsCols` (comma-separated) requests
+  * per-file min/max stats so DSv2-written files prune like any others.
+  */
+class GraftWriteBuilder(
+    root: String,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var overwrite = false
+  override def truncate()
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    overwrite = true
+    this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.V1Write {
+      override def toInsertableRelation
+          : org.apache.spark.sql.sources.InsertableRelation =
+        (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+          val spark = data.sparkSession
+          val statsCols = Option(info.options.get("statsCols"))
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(Seq.empty)
+          if (overwrite) TxnTable.overwrite(spark, root, data, statsCols)
+          else TxnTable.append(spark, root, data, statsCols)
+          ()
+        }
+    }
 }
 
 class GraftScanBuilder(root: String, schema: StructType)

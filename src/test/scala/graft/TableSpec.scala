@@ -479,6 +479,37 @@ class TableSpec extends AnyFunSuite {
     assert(evolved.filter(col("extra").isNotNull).count() == 10)
   }
 
+  test("DSv2 write path: append and overwrite commit table versions with stats") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, kv((1L, "a", 1.0), (2L, "b", 2.0)),
+      statsCols = Seq("k"))
+    // DSv2 append -> a committed version, readable from BOTH surfaces.
+    kv((3L, "c", 3.0), (4L, "d", 4.0))
+      .write.format("graft.table.GraftTableProvider")
+      .option("statsCols", "k")
+      .mode("append").save(root)
+    assert(TxnTable.latestVersion(spark, root).contains(1L))
+    assert(sortedRows(TxnTable.snapshot(spark, root)).map(_._1) ==
+      Seq(1L, 2L, 3L, 4L))
+    val v2 = spark.read.format("graft.table.GraftTableProvider").load(root)
+    assert(v2.count() == 4)
+    // DSv2-written files carry stats: a probe above the first commit's
+    // range prunes it at planning.
+    val probe = v2.filter(col("k") >= 3)
+    assert(probe.rdd.getNumPartitions <
+      spark.read.format("graft.table.GraftTableProvider").load(root)
+        .rdd.getNumPartitions)
+    assert(probe.count() == 2)
+    // DSv2 overwrite -> a rewrite commit; time travel still serves v1.
+    kv((9L, "z", 9.0))
+      .write.format("graft.table.GraftTableProvider")
+      .option("statsCols", "k")
+      .mode("overwrite").save(root)
+    assert(sortedRows(TxnTable.snapshot(spark, root)).map(_._1) == Seq(9L))
+    assert(sortedRows(TxnTable.snapshotAt(spark, root, 1L)).map(_._1) ==
+      Seq(1L, 2L, 3L, 4L))
+  }
+
   test("vacuum reclaims pre-rewrite files; retained versions unaffected") {
     val root = freshRoot()
     TxnTable.create(spark, root, kv((1L, "a", 1.0), (2L, "b", 2.0)))
