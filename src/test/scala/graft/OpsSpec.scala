@@ -1698,6 +1698,34 @@ class OpsSpec extends AnyFunSuite {
       s"two-phase top-3 wrong: $got")
   }
 
+  test("HLL sketches are mergeable: per-source union == global, estimate sane") {
+    // The at-scale distinct-count pattern: sketch once per shard/source,
+    // MERGE the tiny sketches instead of re-scanning — Spark 4's
+    // DataSketches HLL surface (hll_sketch_agg / hll_union_agg /
+    // hll_sketch_estimate). Mergeability must be EXACT (union of
+    // per-source sketches == one global sketch), estimate within the
+    // sketch's error bound of the true distinct count.
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val toks = docs.select(col("source"),
+      explode(expr(
+        "filter(split(lower(text), '[^a-z0-9_]+'), w -> w <> '')"))
+        .as("w"))
+    val perSource = toks.groupBy("source")
+      .agg(expr("hll_sketch_agg(w, 14)").as("sk"))
+    val merged = perSource
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))"))
+      .head().getLong(0)
+    val global = toks
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(w, 14))"))
+      .head().getLong(0)
+    assert(merged == global,
+      s"sketch union not exact: merged=$merged global=$global")
+    val exact = toks.select("w").distinct().count()
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"HLL estimate $merged vs exact $exact outside 5%")
+  }
+
   test("BPE trainer stops when every word is a single symbol") {
     import spark.implicits._
     val (merges, seqs) = graft.ops.BpeTrainer.train(

@@ -510,6 +510,29 @@ class TableSpec extends AnyFunSuite {
       Seq(1L, 2L, 3L, 4L))
   }
 
+  test("DSv2 SQL surface: CREATE TABLE ... USING the provider, query by name") {
+    val root = freshRoot()
+    TxnTable.create(spark, root,
+      kv((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)),
+      statsCols = Seq("k"))
+    spark.sql("DROP TABLE IF EXISTS graft_sql_t")
+    spark.sql(
+      s"""CREATE TABLE graft_sql_t
+          USING graft.table.GraftTableProvider
+          OPTIONS (path '$root')""")
+    try {
+      val got = spark.sql(
+        "SELECT k, name FROM graft_sql_t WHERE k >= 2 ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got == Seq((2L, "b"), (3L, "c")))
+      // INSERT INTO through the SQL surface commits a table version.
+      spark.sql("INSERT INTO graft_sql_t VALUES (4, 'd', 4.0)")
+      assert(TxnTable.latestVersion(spark, root).contains(1L))
+      assert(spark.sql("SELECT COUNT(*) FROM graft_sql_t")
+        .head().getLong(0) == 4L)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_sql_t")
+  }
+
   test("vacuum reclaims pre-rewrite files; retained versions unaffected") {
     val root = freshRoot()
     TxnTable.create(spark, root, kv((1L, "a", 1.0), (2L, "b", 2.0)))
