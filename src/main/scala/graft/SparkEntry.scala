@@ -1402,6 +1402,21 @@ object SparkEntry {
       .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Matryoshka two-stage ANN (ops/Similarity.matryoshkaTopK): coarse
+    * rank on the first 16 of 64 dims (implicitly renormalized by the
+    * cosine), candidate cut at 50, full-dim rerank to top-10 — the
+    * adaptive-retrieval recipe. Both cuts rank on the 4dp-rounded score
+    * with the id tiebreak, so the ORACLE replays both stages, slicing
+    * the DOUBLE-cast list to 16 elements for the coarse cosine.
+    */
+  private def qAnnMatryoshka(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+    graft.ops.Similarity.matryoshkaTopK(
+      e, "vec_id", "embedding", q, k = 10, coarseDim = 16, candidates = 50)
+  }
+
   /** Root for gate-built persisted fixtures (indexes, streamed state,
     * delta logs): `spark.graft.scratch` — a shared-FS/object-store URI on
     * a real cluster; java.io.tmpdir covers local mode. All IO against it
@@ -1624,6 +1639,47 @@ object SparkEntry {
         trainFrac = 0.9, valFrac = 0.05)
       .select(col("doc_id"), col("split_u"), col("split"))
       .orderBy("doc_id")
+
+  /** LEAKAGE-SAFE train/val/test split: near-duplicates must not
+    * straddle the train/eval boundary (a near-copy of a training doc in
+    * the test set is contamination the doc-id split can't see). Pairs →
+    * connected components (the dedup_clusters construction, whose LSH
+    * pair set provably equals the brute-force trigram-Jaccard truth on
+    * this corpus) → split assigned by hashing the COMPONENT id, so every
+    * member of a component lands in the same split. The oracle composes
+    * the recursive-CTE closure with the md5-fold split hash on the
+    * component.
+    */
+  private def qLeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+    val pairs = graft.ops.Dedup
+      .minHashPairs(docs, "doc_id", "text", threshold = 0.35)
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b")
+    val comp = graft.ops.ConnectedComponents
+      .canonicalize(docs, "doc_id", pairs, "doc_a", "doc_b")
+    graft.ops.Sampling
+      .splitAssign(comp.select(col("doc_id"), col("component")),
+        "component", seed = 42L, trainFrac = 0.9, valFrac = 0.05)
+      .select(col("doc_id"), col("component"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  /** KMV vocabulary-overlap sketches between language slices
+    * (ops/Sketch): one corpus scan builds a k=128 k-minimum-values
+    * sketch of each lang's distinct token set; every pairwise
+    * Jaccard/union/intersection estimate then runs on #langs × 128 rows.
+    * Fully deterministic (FNV-1a + unsigned-order top-k), so the oracle
+    * replays the sketches AND the estimates exactly — the estimator is
+    * graded on reproducibility here; its accuracy bound is spec'd in
+    * OpsSpec against exact distinct counts.
+    */
+  private def qKmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    val toks = tbl(s, dir, "documents")
+      .select(col("lang"), explode(expr(tokensSql)).as("w"))
+    graft.ops.Sketch.kmvOverlap(toks, "lang", "w", k = 128)
+      .orderBy("grp_a", "grp_b")
+  }
 
   /** Temperature-scaled source mixing (ops/Sampling.temperatureMix,
     * alpha = 0.3 — the standard "upsample the tail domain" setting):
@@ -4514,6 +4570,9 @@ object SparkEntry {
     "q_explode_outer" -> qExplodeOuter,
     "q_try_funcs" -> qTryFuncs,
     "q_split_assign" -> qSplitAssign,
+    "q_leakage_safe_split" -> qLeakageSafeSplit,
+    "q_kmv_overlap" -> qKmvOverlap,
+    "ann_matryoshka" -> qAnnMatryoshka,
     "q_domain_mix" -> qDomainMix,
     "q_epoch_shuffle" -> qEpochShuffle,
     "q_semdedup" -> qSemDedup,
@@ -4694,6 +4753,61 @@ object SparkEntry {
        FROM sims a JOIN sims b ON a.doc_id < b.doc_id
        WHERE bit_count(xor(a.sim, b.sim)) <= 3
        ORDER BY doc_a, doc_b"""
+  }
+
+  /** DuckDB replica of [[graft.ops.Sketch.kmvOverlap]] over the lang
+    * slices: FNV-1a per distinct (lang, token) (Duck.fnv — the same
+    * HUGEINT mod-2^64 fold as fingerprint_stats), unsigned order via the
+    * same sign-bit-flip xor, per-group k=128 row_number sketch, then the
+    * pairwise union-sketch membership counts and the (k-1)/U_k
+    * estimates in the identical DOUBLE algebra (2^64 spelled as the same
+    * float literal so both engines divide by the same double).
+    */
+  private lazy val kmvOverlapOracleSql: String = {
+    import Duck.fnv
+    s"""WITH w AS (SELECT DISTINCT grp, v FROM (
+             SELECT lang AS grp, unnest(list_filter(
+                 regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                 x -> x <> '')) AS v
+             FROM documents) t),
+         h0 AS (SELECT grp, ${fnv("v")} AS h FROM w),
+         hd AS (SELECT DISTINCT grp, h FROM h0),
+         fx AS (SELECT grp, h,
+             xor(h, CAST(-9223372036854775807 - 1 AS BIGINT)) AS f
+           FROM hd),
+         sk AS (SELECT grp, h, f,
+             row_number() OVER (PARTITION BY grp ORDER BY f) AS rnk
+           FROM fx QUALIFY rnk <= 128),
+         g AS (SELECT DISTINCT grp FROM sk),
+         p AS (SELECT a.grp AS grp_a, b.grp AS grp_b
+           FROM g a JOIN g b ON a.grp < b.grp),
+         u AS (SELECT p.grp_a, p.grp_b, s.h AS h, s.f AS f,
+             max(CASE WHEN s.grp = p.grp_a THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN s.grp = p.grp_b THEN 1 ELSE 0 END) AS in_b
+           FROM p JOIN sk s ON s.grp = p.grp_a OR s.grp = p.grp_b
+           GROUP BY p.grp_a, p.grp_b, s.h, s.f),
+         r AS (SELECT grp_a, grp_b, f, in_a, in_b,
+             row_number() OVER (PARTITION BY grp_a, grp_b ORDER BY f)
+               AS rnk
+           FROM u),
+         agg AS (SELECT grp_a, grp_b,
+             COUNT(*) AS k_union,
+             SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+               AS n_both,
+             CAST(max(f) AS DOUBLE) / 1.8446744073709552e19 + 0.5 AS u_k
+           FROM r WHERE rnk <= 128 GROUP BY grp_a, grp_b)
+       SELECT grp_a, grp_b,
+         CAST(k_union AS INTEGER) AS k_union,
+         CAST(n_both AS INTEGER) AS n_both,
+         round(CAST(n_both AS DOUBLE) / k_union, 6) AS jaccard_est,
+         CASE WHEN k_union < 128 THEN CAST(k_union AS DOUBLE)
+              ELSE round(CAST(k_union - 1 AS DOUBLE) / u_k, 4)
+              END AS union_est,
+         round((CAST(n_both AS DOUBLE) / k_union) *
+           (CASE WHEN k_union < 128 THEN CAST(k_union AS DOUBLE)
+                 ELSE round(CAST(k_union - 1 AS DOUBLE) / u_k, 4) END), 4)
+           AS intersection_est
+       FROM agg ORDER BY grp_a, grp_b"""
   }
 
   /** DuckDB replica of the hyperplane-LSH ANN probe
@@ -6673,6 +6787,73 @@ object SparkEntry {
                 WHEN split_u < 0.95 THEN 'val'
                 ELSE 'test' END AS split
          FROM s ORDER BY doc_id""",
+    // dedup_clusters' closure composed with q_split_assign's md5 fold,
+    // keyed on the COMPONENT — members of a component share a split
+    "q_leakage_safe_split" ->
+      """WITH RECURSIVE w AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)),
+               '[^a-zA-Z0-9_]+'), x -> x <> '') AS ws
+           FROM documents),
+         t AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(ws)-1, 2)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS tg
+           FROM w),
+         p AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM t a JOIN t b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE) /
+             (len(a.tg) + len(b.tg) - len(list_intersect(a.tg, b.tg))) >= 0.5),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+               UNION ALL SELECT doc_b, doc_a FROM p),
+         reach(id, r) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst),
+         comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         cc AS (SELECT d.doc_id,
+             coalesce(c.component, d.doc_id) AS component
+           FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+         hh AS (SELECT doc_id, component,
+             md5('42:' || CAST(component AS VARCHAR)) AS h
+           FROM cc),
+         hv AS (SELECT doc_id, component, list_reduce(list_transform(
+             range(1, 9),
+             i -> CAST(strpos('0123456789abcdef', h[i:i]) - 1 AS BIGINT)),
+             (a, d) -> a * 16 + d) AS v
+           FROM hh),
+         s AS (SELECT doc_id, component,
+             round((CAST(v AS DOUBLE) + 0.5) / 4294967296.0, 6) AS split_u
+           FROM hv)
+         SELECT doc_id, component,
+           CASE WHEN split_u < 0.9 THEN 'train'
+                WHEN split_u < 0.95 THEN 'val'
+                ELSE 'test' END AS split
+         FROM s ORDER BY doc_id""",
+    "q_kmv_overlap" -> kmvOverlapOracleSql,
+    // both matryoshka stages replayed: 16-dim slice cosine, rounded-rank
+    // candidate cut at 50, full-dim rerank to 10
+    "ann_matryoshka" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id = 0),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             round(list_dot_product(CAST(embedding AS DOUBLE[])[1:16],
+                 qv[1:16])
+               / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[])[1:16],
+                   CAST(embedding AS DOUBLE[])[1:16])) *
+                  sqrt(list_dot_product(qv[1:16], qv[1:16]))), 4)
+               AS cosine_coarse
+           FROM embeddings, q
+           ORDER BY cosine_coarse DESC, vec_id
+           LIMIT 50)
+         SELECT vec_id, cosine_coarse,
+           round(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) *
+                sqrt(list_dot_product(qv, qv))), 4) AS cosine
+         FROM c, q
+         ORDER BY cosine DESC, vec_id
+         LIMIT 10""",
     "q_domain_mix" ->
       """WITH c AS (SELECT source, COUNT(*) AS n_docs
            FROM documents GROUP BY source),

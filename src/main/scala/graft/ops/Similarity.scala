@@ -63,6 +63,53 @@ object Similarity {
       .orderBy(round(col("cosine"), 4).desc, col("vec_id"))
       .limit(k)
 
+  /** Matryoshka (coarse-to-fine) two-stage top-k: rank every vector by
+    * cosine on its FIRST `coarseDim` components only (cosine normalizes
+    * by the slice norms, so the truncated prefix is implicitly
+    * renormalized — the matryoshka-representation-learning property),
+    * keep the best `candidates`, then rerank just those at full
+    * dimension. The adaptive-retrieval pattern: at 100 TB the coarse
+    * prefix is stored as its own short column (or its own table), so
+    * stage 1 scans coarseDim/dim of the vector bytes and stage 2 fetches
+    * full vectors for `candidates` rows only — here both stages read the
+    * one fixture column, but the plan shape (narrow scan +
+    * TakeOrderedAndProject, then an O(candidates) rerank) is the same.
+    *
+    * Both stages rank on the 4dp-ROUNDED score with the id tiebreak
+    * (same determinism contract as [[bruteForceTopK]]), so the candidate
+    * CUT is engine-reproducible too — the oracle replays both stages.
+    */
+  def matryoshkaTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      k: Int,
+      coarseDim: Int,
+      candidates: Int
+  ): DataFrame = {
+    require(coarseDim >= 1 && coarseDim < query.length,
+      "coarseDim must be in [1, dim)")
+    require(candidates >= k, "candidates must be >= k")
+    val coarse = df
+      .select(
+        col(idCol).cast("long").as("vec_id"),
+        col(vecCol).as("v"),
+        cosineNative(df, slice(col(vecCol), 1, coarseDim),
+          query.take(coarseDim)).as("cosine_coarse"))
+      .orderBy(round(col("cosine_coarse"), 4).desc, col("vec_id"))
+      .limit(candidates)
+    coarse
+      .select(
+        col("vec_id"),
+        round(col("cosine_coarse"), 4).as("cosine_coarse"),
+        cosineNative(df, col("v"), query).as("cosine"))
+      .orderBy(round(col("cosine"), 4).desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("cosine_coarse"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
   /** LSH-pruned approximate top-k. Deterministic hyperplanes shared with
     * Dedup.embeddingNearDup. At scale, persist the bucketed table
     * (partitioned by bucket) and this becomes a partition-pruned scan.

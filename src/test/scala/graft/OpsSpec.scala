@@ -1735,4 +1735,99 @@ class OpsSpec extends AnyFunSuite {
     assert(seqs.select("seq").collect().map(_.getString(0)).toSeq ==
       Seq("{ab</w>}"))
   }
+
+  test("matryoshka ANN: degenerate candidates == brute force; pruned recall high") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+    val n = e.count().toInt
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    // candidates == corpus size: the coarse stage prunes nothing, so the
+    // rerank IS brute force — ids must agree exactly, in order
+    val degen = Similarity.matryoshkaTopK(
+      e, "vec_id", "embedding", q, k = 10, coarseDim = 16, candidates = n)
+      .collect().map(_.getLong(0)).toSeq
+    assert(degen == exact, s"degenerate matryoshka diverged: $degen vs $exact")
+    // real pruning (50 of ~600 candidates survive the 16-dim cut):
+    // recall against full-dim truth stays high, self-match guaranteed
+    val pruned = Similarity.matryoshkaTopK(
+      e, "vec_id", "embedding", q, k = 10, coarseDim = 16, candidates = 50)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact.toSet intersect pruned).size.toDouble / exact.size
+    assert(recall >= 0.5, s"matryoshka recall=$recall")
+    assert(pruned.contains(0L))
+  }
+
+  test("KMV sketch: mergeability — union of sketches == sketch of union") {
+    import spark.implicits._
+    val a = (1 to 400).map(i => ("a", s"tok$i"))
+    val b = (200 to 600).map(i => ("b", s"tok$i"))
+    val df = (a ++ b).toDF("grp", "v")
+    val k = 64
+    val sk = graft.ops.Sketch.kmvSketch(df, "grp", "v", k)
+    // merge by hand: k smallest distinct (unsigned-ordered) hashes of the
+    // two sketches' union
+    val mergedHand = sk.select("h", "f").distinct()
+      .orderBy("f").limit(k)
+      .collect().map(_.getLong(0)).toSet
+    // sketch of the concatenated data under ONE group
+    val skAll = graft.ops.Sketch.kmvSketch(
+      df.withColumn("grp", lit("all")), "grp", "v", k)
+      .collect().map(_.getAs[Long]("h")).toSet
+    assert(mergedHand == skAll,
+      "union-of-sketches != sketch-of-union (KMV must be mergeable)")
+  }
+
+  test("KMV distinct estimate within the k-bound error of exact") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => ("g", s"value_$i")).toDF("grp", "v")
+    val est = graft.ops.Sketch.kmvDistinctEst(df, "grp", "v", 128)
+      .head().getAs[Double]("distinct_est")
+    // KMV standard error ~ 1/sqrt(k-2) ≈ 8.9% at k=128; allow 3 sigma
+    assert(math.abs(est - 5000) / 5000.0 < 0.27, s"est=$est vs 5000")
+    // small set: sketch is the exact value set
+    val small = (1 to 50).map(i => ("g", s"v$i")).toDF("grp", "v")
+    val exactEst = graft.ops.Sketch.kmvDistinctEst(small, "grp", "v", 128)
+      .head().getAs[Double]("distinct_est")
+    assert(exactEst == 50.0)
+  }
+
+  test("KMV overlap: jaccard estimate tracks truth on constructed slices") {
+    import spark.implicits._
+    // A = 1..1000, B = 501..1500 → true jaccard = 500/1500 = 1/3
+    val a = (1 to 1000).map(i => ("a", s"w$i"))
+    val b = (501 to 1500).map(i => ("b", s"w$i"))
+    val out = graft.ops.Sketch.kmvOverlap(
+      (a ++ b).toDF("grp", "v"), "grp", "v", 256).head()
+    val jac = out.getAs[Double]("jaccard_est")
+    assert(math.abs(jac - 1.0 / 3.0) < 0.12, s"jaccard_est=$jac vs 0.333")
+    val inter = out.getAs[Double]("intersection_est")
+    assert(inter > 250 && inter < 800, s"intersection_est=$inter vs 500")
+  }
+
+  test("leakage-safe split: every component's members share one split") {
+    import spark.implicits._
+    val df = docs(
+      1L -> base,
+      2L -> base, // near-dup cluster {1,2,3}
+      3L -> (base + " with a small appended tail"),
+      4L -> "completely unrelated text about cooking pasta with garlic and olive oil and fresh basil leaves from the garden")
+    val pairs = Dedup.minHashPairs(df, "doc_id", "text", threshold = 0.3)
+      .select("doc_a", "doc_b")
+    val comp = ConnectedComponents
+      .canonicalize(df, "doc_id", pairs, "doc_a", "doc_b")
+    val split = graft.ops.Sampling.splitAssign(
+      comp.select(col("doc_id"), col("component")), "component",
+      seed = 42L, trainFrac = 0.6, valFrac = 0.2)
+    // per component exactly one distinct split value
+    val perComp = split.groupBy("component")
+      .agg(countDistinct("split").as("n"))
+      .collect().map(_.getLong(1)).toSet
+    assert(perComp == Set(1L), "a component straddles splits")
+    // the planted near-dup trio must share a split
+    val trio = split.filter(col("doc_id").isin(1L, 2L, 3L))
+      .select("split").distinct().count()
+    assert(trio == 1L)
+  }
 }
