@@ -1681,6 +1681,79 @@ object SparkEntry {
       .orderBy("grp_a", "grp_b")
   }
 
+  /** STREAMED KMV sketch maintenance: the per-lang vocabulary sketches
+    * of [[qKmvOverlap]] kept current by a real streaming query — each
+    * micro-batch's sketch merges into a TxnTable-stored state
+    * (Sketch.mergeSketches; KMV merge is associative/commutative/
+    * idempotent, so arrival order cannot change the result) behind the
+    * file-backed committed-batch high-water mark (exactly-once under
+    * replay). Per batch the work is O(batch tokens) + O(groups × k);
+    * the corpus is never rescanned. The final state's distinct
+    * estimates must equal the one-shot batch sketch — the oracle
+    * replays that directly.
+    */
+  private def qDocsStreamKmv(s: SparkSession, dir: String): DataFrame = {
+    val schema = tbl(s, dir, "documents").schema
+    val work = scratchTempDir(s, "graft_kmv_stream")
+    val tblRoot = s"$work/sketch_tbl"
+    val sink = graft.streaming.StreamingEmbed.idempotentSink(
+      (batch: DataFrame, _: Long) => {
+        val toks = batch.select(col("lang"), explode(expr(tokensSql)).as("w"))
+        val newSk = graft.ops.Sketch.kmvSketch(toks, "lang", "w", 128)
+        if (graft.table.TxnTable.latestVersion(s, tblRoot).isEmpty) {
+          graft.table.TxnTable.create(s, tblRoot, newSk)
+        } else {
+          val cur = graft.table.TxnTable.snapshot(s, tblRoot)
+          graft.table.TxnTable.overwrite(s, tblRoot,
+            graft.ops.Sketch.mergeSketches(cur, newSk, 128))
+        }
+        ()
+      },
+      graft.streaming.StreamingEmbed.hadoopHighWaterMark(
+        s.sparkContext.hadoopConfiguration, s"$work/hwm"))
+    val stream = s.readStream.schema(schema)
+      .parquet(docsStreamDir(dir).toString)
+    runStream(s) {
+      stream.writeStream
+        .outputMode("append")
+        .foreachBatch(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    graft.ops.Sketch
+      .distinctEstOf(graft.table.TxnTable.snapshot(s, tblRoot), 128)
+      .orderBy("grp")
+  }
+
+  /** CURRICULUM data mixing: bucket the corpus into length deciles and
+    * keep each doc with probability decile/10 (longer docs sampled more
+    * — the ramped-difficulty curriculum recipe; any per-bucket rate
+    * schedule slots in). Scale shape: decile BOUNDARIES come from one
+    * exact-percentile aggregate broadcast back — assignment is a
+    * comparison against 9 broadcast values, NOT a global ntile window
+    * (a SinglePartition rank over 100 TB). Keeps are the deterministic
+    * splitAssign hash-uniform, so the oracle replays the whole
+    * schedule: quantile_cont boundaries, bucket-by-comparison, md5-fold
+    * keep decision.
+    */
+  private def qCurriculumMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val bounds = docs.agg(expr(
+      "percentile(n_chars, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+      .as("bs"))
+    val bucketed = docs.crossJoin(broadcast(bounds))
+      .withColumn("decile",
+        (lit(1) + expr("size(filter(bs, b -> n_chars > b))")).cast("int"))
+    graft.ops.Sampling
+      .splitAssign(bucketed, "doc_id", seed = 7L,
+        trainFrac = 0.5, valFrac = 0.25)
+      .withColumn("keep", col("split_u") < col("decile") / lit(10.0))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1).otherwise(0)).as("n_kept"))
+      .orderBy("decile")
+  }
+
   /** Temperature-scaled source mixing (ops/Sampling.temperatureMix,
     * alpha = 0.3 — the standard "upsample the tail domain" setting):
     * one corpus scan → #sources rows with raw share, temperature share,
@@ -4183,6 +4256,83 @@ object SparkEntry {
           .withColumn("quality", expr("n_chars DIV 5")))
     }
 
+  /** WRITE-ONCE bloom-indexed table fixture: orders round-robined into
+    * 8 interleaved files — every file's o_orderkey [min,max] spans the
+    * whole key domain, so min/max stats can never prune a point probe —
+    * with the bloom-index table property on o_orderkey.
+    */
+  private def writtenTxnBloomTable(s: SparkSession, dir: String): String =
+    scratchBuildOnce(s, "bloomtbl", "orders", dir) { root =>
+      val p = new org.apache.hadoop.fs.Path(root)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      graft.table.TxnTable.create(s, root,
+        tbl(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice")
+          .repartition(8),
+        statsCols = Seq("o_orderkey"), bloomCols = Seq("o_orderkey"))
+    }
+
+  /** Bloom point lookup through the manifest index: `o_orderkey = 7`
+    * against the interleaved layout reads only bloom-positive files
+    * (file-count drop asserted in TableSpec; the correctness gate
+    * checks the returned row against the raw-orders oracle).
+    */
+  private def qTableBloom(s: SparkSession, dir: String): DataFrame =
+    graft.table.TxnTable
+      .snapshotPointEq(s, writtenTxnBloomTable(s, dir), "o_orderkey", 7L)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  /** WRITE-ONCE full-merge fixture: create with o_orderkey % 3 = 0,
+    * then ONE atomic three-clause merge — % 6 = 0 re-priced ×3
+    * (matched update), % 3 = 1 (unmatched insert), and unmatched
+    * targets with status 'F' deleted (not-matched-by-source clause).
+    */
+  private def writtenTxnMergeFullTable(s: SparkSession, dir: String): String =
+    scratchBuildOnce(s, "mftbl", "orders", dir) { root =>
+      val p = new org.apache.hadoop.fs.Path(root)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      val o = tbl(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority",
+          "o_totalprice")
+      graft.table.TxnTable.create(s, root,
+        o.filter(col("o_orderkey") % 3 === 0), Seq("o_orderkey"))
+      val source = o.filter(col("o_orderkey") % 6 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 3)
+        .unionByName(o.filter(col("o_orderkey") % 3 === 1))
+      graft.table.TxnTable.mergeFull(s, root, source, Seq("o_orderkey"),
+        deleteWhen = col("o_orderstatus") === "F")
+    }
+
+  /** Post-merge-full rollup: the oracle replays all three clauses over
+    * raw orders (NOT IN + conditional delete + union).
+    */
+  private def qTableMergeFull(s: SparkSession, dir: String): DataFrame =
+    graft.table.TxnTable
+      .snapshot(s, writtenTxnMergeFullTable(s, dir))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+
+  /** Manifest-only aggregates over the 5-commit fixture: COUNT(*) and
+    * the o_orderkey [min,max] answered WITHOUT opening a data file
+    * (TxnTable.rowCount/statsRange — the O(#files) metadata fold that
+    * replaces a 100 TB scan). The oracle recomputes both from the v3
+    * replay, so the metadata must agree with the data to the row.
+    */
+  private def qTableFastStats(s: SparkSession, dir: String): DataFrame = {
+    val root = writtenTxnOrdersTable(s, dir)
+    val n = graft.table.TxnTable.rowCount(s, root)
+    val r = graft.table.TxnTable.statsRange(s, root, "o_orderkey")
+      .getOrElse(sys.error("o_orderkey stats missing from the manifest"))
+    import s.implicits._
+    Seq((n, r.min.toLong, r.max.toLong))
+      .toDF("n_rows", "min_key", "max_key")
+  }
+
   /** Latest table snapshot (v4, the clustered rewrite of v3): priority
     * rollup proving create→append→merge→delete→cluster composed right.
     */
@@ -4573,6 +4723,8 @@ object SparkEntry {
     "q_leakage_safe_split" -> qLeakageSafeSplit,
     "q_kmv_overlap" -> qKmvOverlap,
     "ann_matryoshka" -> qAnnMatryoshka,
+    "q_curriculum_mix" -> qCurriculumMix,
+    "docs_stream_kmv" -> qDocsStreamKmv,
     "q_domain_mix" -> qDomainMix,
     "q_epoch_shuffle" -> qEpochShuffle,
     "q_semdedup" -> qSemDedup,
@@ -4594,6 +4746,9 @@ object SparkEntry {
     "q_bpe_doc_tokens" -> qBpeDocTokens,
     "q_dsir_score" -> qDsirScore,
     "q_table_snapshot" -> qTableSnapshot,
+    "q_table_bloom" -> qTableBloom,
+    "q_table_merge_full" -> qTableMergeFull,
+    "q_table_fast_stats" -> qTableFastStats,
     "q_table_timetravel" -> qTableTimetravel,
     "q_table_cdc" -> qTableCdc,
     "q_table_history" -> qTableHistory,
@@ -4808,6 +4963,34 @@ object SparkEntry {
                  ELSE round(CAST(k_union - 1 AS DOUBLE) / u_k, 4) END), 4)
            AS intersection_est
        FROM agg ORDER BY grp_a, grp_b"""
+  }
+
+  /** Per-lang KMV distinct estimates — the one-shot batch truth the
+    * STREAMED sketch state (docs_stream_kmv) must land on exactly.
+    */
+  private lazy val kmvDistinctOracleSql: String = {
+    import Duck.fnv
+    s"""WITH w AS (SELECT DISTINCT grp, v FROM (
+             SELECT lang AS grp, unnest(list_filter(
+                 regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                 x -> x <> '')) AS v
+             FROM documents) t),
+         h0 AS (SELECT grp, ${fnv("v")} AS h FROM w),
+         hd AS (SELECT DISTINCT grp, h FROM h0),
+         fx AS (SELECT grp, h,
+             xor(h, CAST(-9223372036854775807 - 1 AS BIGINT)) AS f
+           FROM hd),
+         sk AS (SELECT grp, f,
+             row_number() OVER (PARTITION BY grp ORDER BY f) AS rnk
+           FROM fx QUALIFY rnk <= 128),
+         agg AS (SELECT grp, COUNT(*) AS n_kept,
+             CAST(max(f) AS DOUBLE) / 1.8446744073709552e19 + 0.5 AS u_k
+           FROM sk GROUP BY grp)
+       SELECT grp, CAST(n_kept AS INTEGER) AS n_kept,
+         CASE WHEN n_kept < 128 THEN CAST(n_kept AS DOUBLE)
+              ELSE round(CAST(n_kept - 1 AS DOUBLE) / u_k, 4)
+              END AS distinct_est
+       FROM agg ORDER BY grp"""
   }
 
   /** DuckDB replica of the hyperplane-LSH ANN probe
@@ -6832,6 +7015,31 @@ object SparkEntry {
                 ELSE 'test' END AS split
          FROM s ORDER BY doc_id""",
     "q_kmv_overlap" -> kmvOverlapOracleSql,
+    "docs_stream_kmv" -> kmvDistinctOracleSql,
+    // the full curriculum schedule replayed: quantile_cont boundaries,
+    // bucket-by-comparison (no rank), md5-fold keep at decile/10
+    "q_curriculum_mix" ->
+      """WITH b AS (SELECT quantile_cont(n_chars,
+             [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+           FROM documents),
+         d AS (SELECT doc_id,
+             CAST(1 + len(list_filter(b.bs, x -> n_chars > x)) AS INTEGER)
+               AS decile
+           FROM documents, b),
+         u AS (SELECT doc_id, decile,
+             md5('7:' || CAST(doc_id AS VARCHAR)) AS h FROM d),
+         v AS (SELECT doc_id, decile, list_reduce(list_transform(
+             range(1, 9),
+             i -> CAST(strpos('0123456789abcdef', h[i:i]) - 1 AS BIGINT)),
+             (a, dd) -> a * 16 + dd) AS hv
+           FROM u),
+         s AS (SELECT doc_id, decile,
+             round((CAST(hv AS DOUBLE) + 0.5) / 4294967296.0, 6) AS split_u
+           FROM v)
+         SELECT decile, COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN split_u < decile / 10.0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_kept
+         FROM s GROUP BY decile ORDER BY decile""",
     // both matryoshka stages replayed: 16-dim slice cosine, rounded-rank
     // candidate cut at 50, full-dim rerank to 10
     "ann_matryoshka" ->
@@ -7139,6 +7347,38 @@ object SparkEntry {
          FROM p GROUP BY pair
          ORDER BY cnt DESC, pair LIMIT 30""",
     // Transactional-table oracles: each version of the writtenTxnOrdersTable
+    // the bloom index changes WHICH FILES are read, never the answer —
+    // the oracle is the plain point filter on raw orders
+    "q_table_bloom" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM orders WHERE o_orderkey = 7 ORDER BY o_orderkey""",
+    // all three merge clauses replayed: matched ×3 re-price, unmatched
+    // insert, not-matched-by-source delete only where status = 'F'
+    "q_table_merge_full" ->
+      """WITH t0 AS (SELECT o_orderkey, o_orderstatus, o_orderpriority,
+             o_totalprice
+           FROM orders WHERE o_orderkey % 3 = 0),
+         src AS (SELECT o_orderkey, o_orderstatus, o_orderpriority,
+             o_totalprice * 3 AS o_totalprice
+           FROM orders WHERE o_orderkey % 6 = 0
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+           FROM orders WHERE o_orderkey % 3 = 1),
+         kept AS (SELECT * FROM t0
+           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+             AND NOT (o_orderstatus = 'F')),
+         res AS (SELECT * FROM kept UNION ALL SELECT * FROM src)
+         SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price
+         FROM res GROUP BY 1 ORDER BY 1""",
+    // metadata-served COUNT/min/max must equal the v3 data replay
+    "q_table_fast_stats" ->
+      s"""$txnTableCtes
+         SELECT COUNT(*) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+         FROM v3""",
     // commit history (create/append/merge/delete/cluster) replayed as CTEs
     // over the base orders table. v4 (cluster) is data-identical to v3.
     "q_table_snapshot" ->

@@ -143,18 +143,28 @@ object Sketch {
           col("union_est"), 4))
   }
 
-  /** KMV distinct-count estimate per group: (k-1)/U_k, with the exact
-    * sketch size and the small-set exact answer when the group has fewer
-    * than k distinct hashes (then the sketch IS the value set).
+  /** Merge two sketch row-sets into the k-truncated union per group —
+    * the KMV merge operator. Associative, commutative, idempotent
+    * (set-union then re-truncate), so incremental maintenance over any
+    * micro-batch arrival order converges to the one-shot sketch — the
+    * property OpsSpec's mergeability test pins and the streaming gate
+    * exercises over real batches.
     */
-  def kmvDistinctEst(
-      df: DataFrame,
-      groupCol: String,
-      valueCol: String,
-      k: Int
-  ): DataFrame = {
-    val sk = kmvSketch(df, groupCol, valueCol, k)
-    sk.groupBy("grp")
+  def mergeSketches(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("grp").orderBy(col("f"))
+    a.select("grp", "h", "f")
+      .unionByName(b.select("grp", "h", "f"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("grp", "rank", "h", "f")
+  }
+
+  /** Per-group distinct estimate from existing sketch ROWS (the final
+    * read of an incrementally-maintained sketch state).
+    */
+  def distinctEstOf(sketch: DataFrame, k: Int): DataFrame =
+    sketch.groupBy("grp")
       .agg(count(lit(1)).cast("int").as("n_kept"),
         max(col("f")).as("f_max"))
       .select(col("grp"), col("n_kept"),
@@ -164,5 +174,16 @@ object Sketch {
               (col("f_max").cast("double") / lit(1.8446744073709552e19) +
                 lit(0.5)), 4))
           .as("distinct_est"))
-  }
+
+  /** KMV distinct-count estimate per group: (k-1)/U_k, with the exact
+    * sketch size and the small-set exact answer when the group has fewer
+    * than k distinct hashes (then the sketch IS the value set).
+    */
+  def kmvDistinctEst(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Int
+  ): DataFrame =
+    distinctEstOf(kmvSketch(df, groupCol, valueCol, k), k)
 }

@@ -57,12 +57,18 @@ object TxnTable {
     */
   case class ColStats(min: Double, max: Double)
 
-  /** One immutable data file of a snapshot; `path` is root-relative. */
+  /** One immutable data file of a snapshot; `path` is root-relative.
+    * `blooms`: per-column base64 bloom filter over the file's values
+    * (present only for the table's `bloomCols`, absent on files written
+    * before the property existed — readers treat absence as "might
+    * contain", so old manifests stay valid).
+    */
   case class FileEntry(
       path: String,
       rows: Long,
       bytes: Long,
-      stats: Map[String, ColStats])
+      stats: Map[String, ColStats],
+      blooms: Option[Map[String, String]] = None)
 
   /** One committed table version. `schemaDdl` is the snapshot's full
     * read schema — reads pass it explicitly, so files written before a
@@ -80,6 +86,12 @@ object TxnTable {
     * enforced on every commit's INCOMING rows, carried forward like
     * `streamHwm`.
     */
+  /** `bloomCols`: table-property list of columns every commit maintains
+    * per-file bloom filters for (the point-lookup file-skipping index —
+    * min/max stats cannot prune an equality probe on a column whose
+    * values interleave across files; a bloom can). Set at [[create]],
+    * carried forward by every commit like `constraints`.
+    */
   case class Manifest(
       version: Long,
       op: String,
@@ -87,7 +99,8 @@ object TxnTable {
       schemaDdl: String,
       files: Seq[FileEntry],
       streamHwm: Option[Long] = None,
-      constraints: Option[Map[String, String]] = None)
+      constraints: Option[Map[String, String]] = None,
+      bloomCols: Option[Seq[String]] = None)
 
   private implicit val fmts: Formats = Serialization.formats(NoTypeHints)
 
@@ -238,6 +251,87 @@ object TxnTable {
       case _ => None
     }
 
+  /** Per-file bloom filter internals. Fixed geometry: 2^15 bits (4 KB,
+    * ~5.5 KB base64 per file per column) with 4 probes taken from
+    * DISJOINT 15-bit fields of one xxhash64 — no multiply-add position
+    * derivation, so nothing can overflow and the probe side recomputes
+    * positions with two shifts and a mask. Values are hashed through
+    * `CAST(col AS STRING)` so one canonical byte form serves every
+    * column type; the probe hashes its literal through the same cast.
+    * At ~1.4k distinct values per file the false-positive rate is
+    * ~1e-3; past ~5k values per file it degrades gracefully toward
+    * "keep the file", which is merely the no-bloom behavior.
+    */
+  private[table] object Bloom {
+    val Bits = 1 << 15
+    val Words: Int = Bits / 64
+    val K = 4
+    @inline private def pos(h: Long, i: Int): Int =
+      ((h >>> (15 * i)) & (Bits - 1)).toInt
+    def set(words: Array[Long], h: Long): Unit = {
+      var i = 0
+      while (i < K) {
+        val p = pos(h, i); words(p >> 6) |= (1L << (p & 63)); i += 1
+      }
+    }
+    def mightContain(words: Array[Long], h: Long): Boolean = {
+      var i = 0
+      while (i < K) {
+        val p = pos(h, i)
+        if ((words(p >> 6) & (1L << (p & 63))) == 0L) return false
+        i += 1
+      }
+      true
+    }
+    def toB64(words: Array[Long]): String = {
+      val bb = java.nio.ByteBuffer.allocate(words.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      words.foreach(bb.putLong)
+      java.util.Base64.getEncoder.encodeToString(bb.array)
+    }
+    def fromB64(s: String): Array[Long] = {
+      val bytes = java.util.Base64.getDecoder.decode(s)
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val w = new Array[Long](bytes.length / 8)
+      var i = 0
+      while (i < w.length) { w(i) = bb.getLong; i += 1 }
+      w
+    }
+  }
+
+  /** Typed aggregator folding xxhash64 values into a bloom bitset —
+    * runs inside the same per-file stats pass as min/max, so bloom
+    * maintenance adds zero extra scans.
+    */
+  private class BloomAgg
+      extends org.apache.spark.sql.expressions.Aggregator[
+        java.lang.Long, Array[Long], Array[Byte]] {
+    def zero: Array[Long] = new Array[Long](Bloom.Words)
+    def reduce(b: Array[Long], h: java.lang.Long): Array[Long] = {
+      if (h != null) Bloom.set(b, h.longValue)
+      b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(b.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.foreach(bb.putLong)
+      bb.array
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.Encoders.kryo[Array[Long]]
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    }
+
+  private def bloomColsOf(m: Manifest): Seq[String] =
+    m.bloomCols.getOrElse(Nil)
+
   /** Write `df` as a fresh immutable file set under `data/` and return
     * its manifest entries. ONE extra pass over exactly the new files
     * (grouped by `input_file_name`, ~one row per written file) collects
@@ -249,7 +343,8 @@ object TxnTable {
       root: String,
       df: DataFrame,
       statsCols: Seq[String],
-      tag: String): Seq[FileEntry] = {
+      tag: String,
+      bloomCols: Seq[String] = Nil): Seq[FileEntry] = {
     val rel = s"$DataDir/c$tag-${java.util.UUID.randomUUID.toString.take(8)}"
     val dir = new Path(root, rel)
     df.write.parquet(dir.toString)
@@ -262,9 +357,16 @@ object TxnTable {
     val fields = statsCols.flatMap(c =>
       df.schema.fields.find(_.name == c).flatMap(fd =>
         statsExpr(fd).map(e => (fd.name, e))))
-    val aggs = count(lit(1)).as("_rows") +: fields.flatMap { case (n, e) =>
-      Seq(min(e).as(s"_min_$n"), max(e).as(s"_max_$n"))
-    }
+    // bloom columns present in this write's schema (evolution: an older
+    // writer's df may predate the column — its files simply get no bloom)
+    val bloomFields = bloomCols.filter(c => df.schema.fields.exists(_.name == c))
+    val bloomUdaf = udaf(new BloomAgg,
+      org.apache.spark.sql.Encoders.LONG)
+    val aggs = (count(lit(1)).as("_rows") +:
+      fields.flatMap { case (n, e) =>
+        Seq(min(e).as(s"_min_$n"), max(e).as(s"_max_$n"))
+      }) ++ bloomFields.map(c =>
+        bloomUdaf(xxhash64(col(c).cast("string"))).as(s"_bloom_$c"))
     val byFile: Map[String, Row] =
       if (parts.isEmpty) Map.empty
       else spark.read.parquet(dir.toString)
@@ -285,7 +387,12 @@ object TxnTable {
             else Some(n -> ColStats(
               mi.asInstanceOf[Double], ma.asInstanceOf[Double]))
           }.toMap
-          FileEntry(s"$rel/$name", r.getAs[Long]("_rows"), st.getLen, stats)
+          val blooms = bloomFields.flatMap { c =>
+            Option(r.getAs[Array[Byte]](s"_bloom_$c")).map(bytes =>
+              c -> java.util.Base64.getEncoder.encodeToString(bytes))
+          }.toMap
+          FileEntry(s"$rel/$name", r.getAs[Long]("_rows"), st.getLen, stats,
+            if (blooms.isEmpty) None else Some(blooms))
         case None => // zero-row part file: no group, no stats
           FileEntry(s"$rel/$name", 0L, st.getLen, Map.empty)
       }
@@ -349,14 +456,16 @@ object TxnTable {
       root: String,
       df: DataFrame,
       statsCols: Seq[String] = Seq.empty,
-      constraints: Map[String, String] = Map.empty): Long = {
+      constraints: Map[String, String] = Map.empty,
+      bloomCols: Seq[String] = Seq.empty): Long = {
     require(latestVersion(spark, root).isEmpty,
       s"table already exists at $root")
     enforceConstraints(df, constraints)
-    val files = writeFiles(spark, root, df, statsCols, "0")
+    val files = writeFiles(spark, root, df, statsCols, "0", bloomCols)
     val m = Manifest(0L, "create", System.currentTimeMillis(),
       df.schema.toDDL, files,
-      constraints = if (constraints.isEmpty) None else Some(constraints))
+      constraints = if (constraints.isEmpty) None else Some(constraints),
+      bloomCols = if (bloomCols.isEmpty) None else Some(bloomCols))
     require(tryCommit(spark, root, m),
       s"concurrent create at $root") // create races don't retry
     0L
@@ -383,14 +492,14 @@ object TxnTable {
       StructType.fromDDL(base.schemaDdl), df.schema)
     val v0 = base.version + 1
     val files = writeFiles(spark, root, conform(df, merged), statsCols,
-      v0.toString)
+      v0.toString, bloomColsOf(base))
     var v = v0
     while (!tryCommit(spark, root, {
         val cur = readManifest(spark, root, v - 1)
         val curSchema = StructType.fromDDL(cur.schemaDdl)
         Manifest(v, "append", System.currentTimeMillis(),
           mergeSchemas(curSchema, merged).toDDL, cur.files ++ files,
-          cur.streamHwm, cur.constraints)
+          cur.streamHwm, cur.constraints, cur.bloomCols)
       })) {
       v = latestVersion(spark, root).get + 1
     }
@@ -419,7 +528,7 @@ object TxnTable {
       mergeSchemas(StructType.fromDDL(b.schemaDdl), df.schema))
       .getOrElse(df.schema)
     val files = writeFiles(spark, root, conform(df, merged), statsCols,
-      s"b$batchId")
+      s"b$batchId", base.map(bloomColsOf).getOrElse(Nil))
     var result: Option[Long] = None
     var done = false
     while (!done) {
@@ -434,7 +543,8 @@ object TxnTable {
         if (tryCommit(spark, root, Manifest(v, "stream-append",
             System.currentTimeMillis(), schema.toDDL,
             cur.map(_.files).getOrElse(Seq.empty) ++ files,
-            Some(batchId), cur.flatMap(_.constraints)))) {
+            Some(batchId), cur.flatMap(_.constraints),
+            cur.flatMap(_.bloomCols)))) {
           result = Some(v); done = true
         }
       }
@@ -464,10 +574,11 @@ object TxnTable {
       enforceOn.foreach(d => enforceConstraints(d, constraintsOf(cur)))
       val out = compute(snapshotOf(spark, root, cur))
       val v = cur.version + 1
-      val files = writeFiles(spark, root, out, statsCols, v.toString)
+      val files = writeFiles(spark, root, out, statsCols, v.toString,
+        bloomColsOf(cur))
       if (tryCommit(spark, root, Manifest(v, op,
           System.currentTimeMillis(), out.schema.toDDL, files,
-          cur.streamHwm, cur.constraints)))
+          cur.streamHwm, cur.constraints, cur.bloomCols)))
         committed = v
       // lost race: loop — recompute against the new latest snapshot;
       // the just-written files stay orphaned until vacuum().
@@ -499,6 +610,31 @@ object TxnTable {
           updates.select(keyCols.map(col): _*).distinct(),
           keyCols, "left_anti")
         .unionByName(updates.select(snap.columns.toSeq.map(col): _*))
+    }
+
+  /** FULL three-clause MERGE — the complete SQL `MERGE INTO` surface:
+    * WHEN MATCHED → replace with the source row; WHEN NOT MATCHED →
+    * insert the source row; WHEN NOT MATCHED BY SOURCE AND `deleteWhen`
+    * → delete (rows failing `deleteWhen`, or where it is NULL, are
+    * carried). The third clause is what [[merge]] lacks: syncing a
+    * table to a dimension snapshot ("delete stale members of the synced
+    * region") needs delete-by-absence, and doing it as a separate
+    * anti-join pass would not be atomic with the upsert. Same plan
+    * shape as [[merge]] plus one narrow filter — no extra shuffle.
+    */
+  def mergeFull(
+      spark: SparkSession,
+      root: String,
+      source: DataFrame,
+      keyCols: Seq[String],
+      deleteWhen: org.apache.spark.sql.Column,
+      statsCols: Seq[String] = Seq.empty): Long =
+    rewrite(spark, root, "merge-full", statsCols, Some(source)) { snap =>
+      snap.join(
+          source.select(keyCols.map(col): _*).distinct(),
+          keyCols, "left_anti")
+        .filter(!coalesce(deleteWhen, lit(false)))
+        .unionByName(source.select(snap.columns.toSeq.map(col): _*))
     }
 
   /** SCOPE-BOUNDED MERGE — the 100 TB form of [[merge]]: only files
@@ -551,10 +687,11 @@ object TxnTable {
           keyCols, "left_anti")
         .unionByName(updates.select(hitSnap.columns.toSeq.map(col): _*))
       val v = cur.version + 1
-      val files = writeFiles(spark, root, out, statsCols, v.toString)
+      val files = writeFiles(spark, root, out, statsCols, v.toString,
+        bloomColsOf(cur))
       if (tryCommit(spark, root, Manifest(v, "merge",
           System.currentTimeMillis(), cur.schemaDdl, kept ++ files,
-          cur.streamHwm, cur.constraints)))
+          cur.streamHwm, cur.constraints, cur.bloomCols)))
         committed = v
     }
     committed
@@ -616,6 +753,29 @@ object TxnTable {
     else spark.read.schema(schema).parquet(paths: _*)
   }
 
+  /** EXACT row count from the manifest alone — zero data files opened,
+    * zero jobs run. The per-file counts were paid once at write time;
+    * `SELECT COUNT(*)` on a 100 TB table becomes an O(#files) driver
+    * fold over metadata already in memory.
+    */
+  def rowCount(spark: SparkSession, root: String): Long =
+    latestManifest(spark, root).getOrElse(
+      sys.error(s"no table at $root")).files.map(_.rows).sum
+
+  /** EXACT global [min, max] of a stats column from the manifest alone:
+    * every row lives in some file, so min-of-file-mins IS the table min.
+    * None when any non-empty file lacks stats for the column (a claim
+    * the metadata cannot back) — callers fall back to a scan.
+    */
+  def statsRange(
+      spark: SparkSession, root: String, column: String): Option[ColStats] = {
+    val files = latestManifest(spark, root).getOrElse(
+      sys.error(s"no table at $root")).files.filter(_.rows > 0)
+    val stats = files.flatMap(_.stats.get(column))
+    if (files.isEmpty || stats.length < files.length) None
+    else Some(ColStats(stats.map(_.min).min, stats.map(_.max).max))
+  }
+
   /** Latest snapshot. */
   def snapshot(spark: SparkSession, root: String): DataFrame =
     snapshotOf(spark, root, latestManifest(spark, root).getOrElse(
@@ -643,6 +803,34 @@ object TxnTable {
     val keep = m.files.filter(f =>
       f.stats.get(statsCol).forall(s => s.max >= lo && s.min <= hi))
     snapshotOf(spark, root, m.copy(files = keep))
+  }
+
+  /** BLOOM-pruned point lookup: `WHERE column = value` reading only
+    * files whose bloom filter might contain the value — the skipping
+    * min/max stats cannot do when a high-cardinality key's values
+    * interleave across files (every file's [min,max] straddles every
+    * probe). Files without a bloom for the column (pre-property files,
+    * zero-row parts) are conservatively kept; false positives cost one
+    * extra file scan, never a wrong row. The probe value is hashed
+    * through the same `CAST(.. AS STRING) → xxhash64` pipeline the
+    * write side used — computed by a 1-row Spark job so literal-vs-
+    * column cast semantics can never drift.
+    */
+  def snapshotPointEq(
+      spark: SparkSession,
+      root: String,
+      column: String,
+      value: Any): DataFrame = {
+    val m = latestManifest(spark, root).getOrElse(
+      sys.error(s"no table at $root"))
+    val h = spark.range(1)
+      .select(xxhash64(lit(value).cast("string")))
+      .head().getLong(0)
+    val keep = m.files.filter(f =>
+      f.blooms.flatMap(_.get(column)).forall(b =>
+        Bloom.mightContain(Bloom.fromB64(b), h)))
+    snapshotOf(spark, root, m.copy(files = keep))
+      .filter(col(column) === lit(value))
   }
 
   /** Predicate-pruned snapshot: bounds extracted from `pred`'s simple

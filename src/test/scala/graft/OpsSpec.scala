@@ -1806,6 +1806,35 @@ class OpsSpec extends AnyFunSuite {
     assert(inter > 250 && inter < 800, s"intersection_est=$inter vs 500")
   }
 
+  test("incremental KMV state over out-of-order batches == one-shot; replay merges are no-ops") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_kmv_tbl")
+      .toString + "/t"
+    val all = (1 to 900).map(i => (s"g${i % 3}", s"w$i")).toDF("grp", "v")
+    val k = 64
+    def applyBatch(b: org.apache.spark.sql.DataFrame): Unit = {
+      val sk = graft.ops.Sketch.kmvSketch(b, "grp", "v", k)
+      if (graft.table.TxnTable.latestVersion(spark, root).isEmpty)
+        graft.table.TxnTable.create(spark, root, sk)
+      else graft.table.TxnTable.overwrite(spark, root,
+        graft.ops.Sketch.mergeSketches(
+          graft.table.TxnTable.snapshot(spark, root), sk, k))
+    }
+    // out-of-order thirds
+    val b1 = all.filter(expr("cast(substring(v, 2) as int) % 3 = 2"))
+    val b2 = all.filter(expr("cast(substring(v, 2) as int) % 3 = 0"))
+    val b3 = all.filter(expr("cast(substring(v, 2) as int) % 3 = 1"))
+    Seq(b1, b2, b3).foreach(applyBatch)
+    val oneShot = graft.ops.Sketch.kmvSketch(all, "grp", "v", k)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    def state() = graft.table.TxnTable.snapshot(spark, root)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(state() == oneShot, "incremental state diverged from one-shot")
+    // KMV merge is idempotent: replaying a batch cannot change the state
+    applyBatch(b2)
+    assert(state() == oneShot, "replayed batch changed the sketch state")
+  }
+
   test("leakage-safe split: every component's members share one split") {
     import spark.implicits._
     val df = docs(

@@ -495,4 +495,31 @@ class PlanSpec extends AnyFunSuite {
         s"filter not pushed to cached scan:\n$plan")
     } finally docs.unpersist()
   }
+
+  test("q_kmv_overlap: per-group sketch cut is WindowGroupLimit; no SinglePartition before the pair stage") {
+    val plan = planOf("q_kmv_overlap")
+    // the rank<=k cut must push partial limits below the window exchange
+    val wgl = """\(\d+\) WindowGroupLimit""".r.findAllIn(plan).length
+    assert(wgl >= 2,
+      s"expected Partial+Final WindowGroupLimit for the sketch cut:\n$plan")
+  }
+
+  test("q_curriculum_mix: boundaries broadcast back; no global rank window") {
+    val plan = planOf("q_curriculum_mix")
+    // bucket assignment joins the 1-row boundary agg broadcast — never a
+    // global ntile/row_number (which would plan a SinglePartition Window)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"decile boundaries must broadcast:\n$plan")
+    assert(!plan.contains("Window "),
+      s"curriculum bucketing must not use a rank window:\n$plan")
+  }
+
+  test("ann_matryoshka: both stages end in TakeOrderedAndProject — no full sort, no wide exchange") {
+    val plan = planOf("ann_matryoshka")
+    val topk = "TakeOrderedAndProject".r.findAllIn(plan).length
+    assert(topk >= 2, s"expected two top-k stages:\n$plan")
+    assert(!plan.contains("Sort "),
+      s"matryoshka must never global-sort:\n$plan")
+  }
 }

@@ -549,4 +549,80 @@ class TableSpec extends AnyFunSuite {
       TxnTable.snapshotAt(spark, root, 0).collect()
     }
   }
+
+  test("bloom point lookup skips files min/max stats cannot prune") {
+    val root = freshRoot()
+    // interleaved high-cardinality keys: round-robin partitioning puts
+    // every value range in every file, so [min,max] never prunes — the
+    // exact case the bloom index exists for
+    val df = spark.range(0, 4000).select(
+      col("id").as("k"), lit("x").as("name"),
+      col("id").cast("double").as("score"))
+      .repartition(8)
+    TxnTable.create(spark, root, df, statsCols = Seq("k"),
+      bloomCols = Seq("k"))
+    val all = TxnTable.snapshot(spark, root)
+    assert(all.inputFiles.length == 8)
+    // min/max is useless here (every file straddles the probe)
+    val statsPruned = TxnTable.snapshotPruned(spark, root, "k", 77.0, 77.0)
+    assert(statsPruned.inputFiles.length == 8)
+    // bloom prunes to ~1 file (fpp allows the odd extra)
+    val probe = TxnTable.snapshotPointEq(spark, root, "k", 77L)
+    assert(probe.inputFiles.length <= 3,
+      s"bloom kept ${probe.inputFiles.length} of 8 files")
+    assert(probe.collect().map(_.getLong(0)).toSeq == Seq(77L))
+    // absent key: usually zero files survive, and never a wrong row
+    val miss = TxnTable.snapshotPointEq(spark, root, "k", 999999L)
+    assert(miss.count() == 0)
+  }
+
+  test("blooms are maintained by every commit path and absent blooms stay conservative") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, kv((1L, "a", 1.0), (2L, "b", 2.0)),
+      bloomCols = Seq("k"))
+    // append inherits the table property (no bloomCols arg)
+    TxnTable.append(spark, root, kv((3L, "c", 3.0)))
+    // a rewrite keeps maintaining blooms
+    TxnTable.compact(spark, root)
+    val m = TxnTable.readManifest(spark, root,
+      TxnTable.latestVersion(spark, root).get)
+    assert(m.bloomCols.contains(Seq("k")))
+    assert(m.files.filter(_.rows > 0).forall(_.blooms.exists(_.contains("k"))))
+    // every key still found through the bloom probe after the chain
+    Seq(1L, 2L, 3L).foreach { k =>
+      assert(TxnTable.snapshotPointEq(spark, root, "k", k).count() == 1,
+        s"bloom probe lost k=$k")
+    }
+    // a table WITHOUT the property: probes read everything, still right
+    val plain = freshRoot()
+    TxnTable.create(spark, plain, kv((1L, "a", 1.0)))
+    val p = TxnTable.snapshotPointEq(spark, plain, "k", 1L)
+    assert(p.inputFiles.length ==
+      TxnTable.snapshot(spark, plain).inputFiles.length)
+    assert(p.count() == 1)
+  }
+
+  test("mergeFull: matched update, unmatched insert, not-matched-by-source conditional delete") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, kv(
+      (1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0), (4L, "d", 4.0)))
+    // source: updates k=1, inserts k=9; k=2/3/4 unmatched by source —
+    // delete only those with score >= 3 (k=3, k=4), carry k=2
+    TxnTable.mergeFull(spark, root,
+      kv((1L, "A", 10.0), (9L, "i", 9.0)),
+      Seq("k"), deleteWhen = col("score") >= 3.0)
+    assert(sortedRows(TxnTable.snapshot(spark, root)) ==
+      Seq((1L, "A", 10.0), (2L, "b", 2.0), (9L, "i", 9.0)))
+    // NULL delete condition must carry the row (SQL three-valued logic)
+    val root2 = freshRoot()
+    TxnTable.create(spark, root2,
+      Seq((1L, "a", Option.empty[Double]), (2L, "b", Some(2.0)))
+        .toDF("k", "name", "score"))
+    TxnTable.mergeFull(spark, root2,
+      Seq((2L, "B", Some(20.0))).toDF("k", "name", "score"),
+      Seq("k"), deleteWhen = col("score") > 100.0)
+    val left = TxnTable.snapshot(spark, root2)
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(left == Seq(1L, 2L), "null-scored unmatched row was dropped")
+  }
 }
