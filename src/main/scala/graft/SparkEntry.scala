@@ -1725,6 +1725,29 @@ object SparkEntry {
       .orderBy("grp")
   }
 
+  /** FUZZY benchmark decontamination: q_contamination's 8-gram overlap
+    * misses paraphrased/lightly-edited leaks — this pass finds
+    * NEAR-duplicate (trigram Jaccard ≥ 0.5) pairs straddling the
+    * held-out slice (doc_id % 50 = 0) and the train slice, via the same
+    * banded MinHash LSH + exact-verify plan as dedup_clusters (never
+    * all-pairs). Output: each contaminated (bench, train) pair with its
+    * exact Jaccard; the oracle brute-forces the cross-slice pairs.
+    */
+  private def qContaminationFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+    graft.ops.Dedup
+      .minHashPairs(docs, "doc_id", "text", threshold = 0.35)
+      .filter(col("jaccard") >= 0.5)
+      .select(
+        when(col("doc_a") % 50 === 0, col("doc_a"))
+          .otherwise(col("doc_b")).as("bench_id"),
+        when(col("doc_a") % 50 === 0, col("doc_b"))
+          .otherwise(col("doc_a")).as("train_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .filter(col("bench_id") % 50 === 0 && !(col("train_id") % 50 === 0))
+      .orderBy("bench_id", "train_id")
+  }
+
   /** CURRICULUM data mixing: bucket the corpus into length deciles and
     * keep each doc with probability decile/10 (longer docs sampled more
     * — the ramped-difficulty curriculum recipe; any per-bucket rate
@@ -4317,6 +4340,63 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
       .orderBy("o_orderpriority")
 
+  /** WRITE-ONCE merge-on-read fixture: create with o_orderkey % 3 = 0,
+    * then TWO deletion-vector generations around a re-insert —
+    *   v1 deleteMor  % 15 = 0            (dv on the create files)
+    *   v2 append     % 15 = 0 re-inserted (new file, NO dv — visible)
+    *   v3 deleteMor  % 21 = 0            (dv on ALL current files)
+    * Final contents = (% 3 = 0) minus (% 21 = 0): the re-insert proves
+    * dvs are file-scoped (not a key blacklist), the second generation
+    * proves dvs stack across commits.
+    */
+  private def writtenTxnMorTable(s: SparkSession, dir: String): String =
+    scratchBuildOnce(s, "mortbl", "orders", dir) { root =>
+      val p = new org.apache.hadoop.fs.Path(root)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      val o = tbl(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      graft.table.TxnTable.create(s, root,
+        o.filter(col("o_orderkey") % 3 === 0), Seq("o_orderkey"))
+      graft.table.TxnTable.deleteMor(s, root,
+        o.filter(col("o_orderkey") % 15 === 0).select("o_orderkey"),
+        Seq("o_orderkey"))
+      graft.table.TxnTable.append(s, root,
+        o.filter(col("o_orderkey") % 15 === 0), Seq("o_orderkey"))
+      graft.table.TxnTable.deleteMor(s, root,
+        o.filter(col("o_orderkey") % 21 === 0).select("o_orderkey"),
+        Seq("o_orderkey"))
+    }
+
+  /** Merge-on-read snapshot rollup: deletes applied at READ time from
+    * the stacked deletion vectors, zero data rewritten (TableSpec pins
+    * identical file paths across the delete commits).
+    */
+  private def qTableMorDelete(s: SparkSession, dir: String): DataFrame =
+    graft.table.TxnTable.snapshot(s, writtenTxnMorTable(s, dir))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+
+  /** Zero-copy shallow clone of the 5-commit fixture (write-once): the
+    * clone's rollup must equal the source's v3/v4 replay — same oracle
+    * as q_table_snapshot, through a manifest that references the
+    * source's files absolutely and owns no data of its own.
+    */
+  private def qTableClone(s: SparkSession, dir: String): DataFrame = {
+    val src = writtenTxnOrdersTable(s, dir)
+    val root = scratchBuildOnce(s, "clonetbl", "orders", dir) { dst =>
+      val p = new org.apache.hadoop.fs.Path(dst)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      graft.table.TxnTable.cloneTable(s, src, dst)
+    }
+    graft.table.TxnTable.snapshot(s, root)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Manifest-only aggregates over the 5-commit fixture: COUNT(*) and
     * the o_orderkey [min,max] answered WITHOUT opening a data file
     * (TxnTable.rowCount/statsRange — the O(#files) metadata fold that
@@ -4725,6 +4805,7 @@ object SparkEntry {
     "ann_matryoshka" -> qAnnMatryoshka,
     "q_curriculum_mix" -> qCurriculumMix,
     "docs_stream_kmv" -> qDocsStreamKmv,
+    "q_contamination_fuzzy" -> qContaminationFuzzy,
     "q_domain_mix" -> qDomainMix,
     "q_epoch_shuffle" -> qEpochShuffle,
     "q_semdedup" -> qSemDedup,
@@ -4749,6 +4830,8 @@ object SparkEntry {
     "q_table_bloom" -> qTableBloom,
     "q_table_merge_full" -> qTableMergeFull,
     "q_table_fast_stats" -> qTableFastStats,
+    "q_table_mor_delete" -> qTableMorDelete,
+    "q_table_clone" -> qTableClone,
     "q_table_timetravel" -> qTableTimetravel,
     "q_table_cdc" -> qTableCdc,
     "q_table_history" -> qTableHistory,
@@ -7016,6 +7099,37 @@ object SparkEntry {
          FROM s ORDER BY doc_id""",
     "q_kmv_overlap" -> kmvOverlapOracleSql,
     "docs_stream_kmv" -> kmvDistinctOracleSql,
+    // cross-slice brute-force near-dup truth (the Spark side is banded
+    // LSH + exact verify — same pair set, never all-pairs)
+    "q_contamination_fuzzy" ->
+      """WITH w AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)),
+               '[^a-zA-Z0-9_]+'), x -> x <> '') AS ws
+           FROM documents),
+         t AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(ws)-1, 2)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS tg
+           FROM w),
+         p AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE) /
+               (len(a.tg) + len(b.tg) - len(list_intersect(a.tg, b.tg))), 6)
+               AS jaccard
+           FROM t a JOIN t b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE) /
+             (len(a.tg) + len(b.tg) - len(list_intersect(a.tg, b.tg))) >= 0.5),
+         sel AS (
+           SELECT CASE WHEN doc_a % 50 = 0 THEN doc_a ELSE doc_b END
+               AS bench_id,
+             CASE WHEN doc_a % 50 = 0 THEN doc_b ELSE doc_a END
+               AS train_id,
+             jaccard
+           FROM p)
+         SELECT bench_id, train_id, jaccard FROM sel
+         WHERE bench_id % 50 = 0 AND NOT (train_id % 50 = 0)
+         ORDER BY bench_id, train_id""",
     // the full curriculum schedule replayed: quantile_cont boundaries,
     // bucket-by-comparison (no rank), md5-fold keep at decile/10
     "q_curriculum_mix" ->
@@ -7372,6 +7486,22 @@ object SparkEntry {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
              AS sum_price
          FROM res GROUP BY 1 ORDER BY 1""",
+    // dv algebra: (%3=0 minus %15) ∪ (%15 re-insert) minus %21 == %3=0 minus %21
+    "q_table_mor_delete" ->
+      """WITH res AS (SELECT o_orderkey, o_orderpriority, o_totalprice
+           FROM orders
+           WHERE o_orderkey % 3 = 0 AND NOT (o_orderkey % 21 = 0))
+         SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price
+         FROM res GROUP BY 1 ORDER BY 1""",
+    // the clone must answer exactly like the source's latest version
+    "q_table_clone" ->
+      s"""$txnTableCtes
+         SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price
+         FROM v3 GROUP BY 1 ORDER BY 1""",
     // metadata-served COUNT/min/max must equal the v3 data replay
     "q_table_fast_stats" ->
       s"""$txnTableCtes

@@ -214,14 +214,22 @@ class GraftScan(
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = new Configuration()
     val m = GraftTableProvider.latestManifest(conf, root)
+    // this file-at-a-time reader cannot apply MOR deletion-vector
+    // anti-joins; refuse loudly rather than resurrect deleted rows
+    require(m.files.forall(_.dvs.isEmpty),
+      s"table at $root has unmaterialized MOR deletion vectors — " +
+        "read via TxnTable.snapshot or compact() first")
     val bs = bounds
     val keep = m.files.filter { f =>
       bs.forall { case (c, (lo, hi)) =>
         f.stats.get(c).forall(s => s.max >= lo && s.min <= hi)
       }
     }
-    keep.map(f => GraftInputPartition(s"$root/${f.path}"): InputPartition)
-      .toArray
+    keep.map { f =>
+      val p = if (f.path.startsWith("/") || f.path.contains("://")) f.path
+        else s"$root/${f.path}"
+      GraftInputPartition(p): InputPartition
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -57,18 +57,27 @@ object TxnTable {
     */
   case class ColStats(min: Double, max: Double)
 
-  /** One immutable data file of a snapshot; `path` is root-relative.
+  /** One immutable data file of a snapshot; `path` is root-relative
+    * (or absolute for files referenced across table roots by
+    * [[cloneTable]] — paths starting with '/' or a URI scheme are used
+    * as-is).
     * `blooms`: per-column base64 bloom filter over the file's values
     * (present only for the table's `bloomCols`, absent on files written
     * before the property existed — readers treat absence as "might
     * contain", so old manifests stay valid).
+    * `dvs`: deletion-vector sidecars — tombstone-key parquet paths that
+    * apply to THIS file's rows at read time ([[deleteMor]]). File-scoped
+    * by design: rows appended after a delete are written to new entries
+    * with no `dvs`, so a re-inserted key is visible again (the semantics
+    * a table-wide key blacklist would get wrong).
     */
   case class FileEntry(
       path: String,
       rows: Long,
       bytes: Long,
       stats: Map[String, ColStats],
-      blooms: Option[Map[String, String]] = None)
+      blooms: Option[Map[String, String]] = None,
+      dvs: Option[Seq[String]] = None)
 
   /** One committed table version. `schemaDdl` is the snapshot's full
     * read schema — reads pass it explicitly, so files written before a
@@ -708,6 +717,69 @@ object TxnTable {
       graft.ops.Merge.applyDeletes(snap, tombstones, keyCols)
     }
 
+  /** MERGE-ON-READ delete: commit a deletion-vector sidecar instead of
+    * rewriting data — the O(|tombstones|) delete a 100 TB table needs
+    * ([[delete]] rewrites the whole snapshot; a GDPR purge of a few
+    * thousand keys must not cost a petabyte of IO). The tombstone keys
+    * are written ONCE as a small parquet sidecar and attached to every
+    * CURRENT file's `dvs` list; readers anti-join them per file group
+    * at scan time. Later appends carry no `dvs`, so re-inserting a
+    * deleted key behaves exactly like SQL DELETE-then-INSERT. Any
+    * rewrite op ([[compact]], [[merge]], [[cluster]], [[overwrite]])
+    * materializes the deletes — its input snapshot already has them
+    * applied and its output files carry no `dvs`.
+    */
+  def deleteMor(
+      spark: SparkSession,
+      root: String,
+      tombstones: DataFrame,
+      keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "deleteMor needs at least one key column")
+    val rel =
+      s"$DataDir/dv-${java.util.UUID.randomUUID.toString.take(8)}"
+    tombstones.select(keyCols.map(col): _*).distinct()
+      .coalesce(1)
+      .write.parquet(s"$root/$rel")
+    var committed = -1L
+    while (committed < 0) {
+      val cur = latestManifest(spark, root).getOrElse(
+        sys.error(s"no table at $root — create() first"))
+      val files = cur.files.map(f =>
+        f.copy(dvs = Some(f.dvs.getOrElse(Seq.empty) :+ rel)))
+      if (tryCommit(spark, root, Manifest(cur.version + 1, "delete-mor",
+          System.currentTimeMillis(), cur.schemaDdl, files,
+          cur.streamHwm, cur.constraints, cur.bloomCols)))
+        committed = cur.version + 1
+    }
+    committed
+  }
+
+  /** SHALLOW CLONE: a new independent table whose v0 manifest references
+    * the SOURCE's current data files by absolute path — zero data
+    * copied, O(#files) metadata. The clone evolves independently (its
+    * appends/rewrites land under its own root); the source is never
+    * touched. The standard experimentation primitive: branch a 100 TB
+    * table in milliseconds, try a migration, drop the root. CAVEAT
+    * (same as the public formats'): vacuuming the SOURCE can reclaim
+    * files a clone still references — pin or copy before source vacuum.
+    */
+  def cloneTable(
+      spark: SparkSession, srcRoot: String, dstRoot: String): Long = {
+    require(latestVersion(spark, dstRoot).isEmpty,
+      s"table already exists at $dstRoot")
+    val src = latestManifest(spark, srcRoot).getOrElse(
+      sys.error(s"no table at $srcRoot"))
+    val absolute = src.files.map(f => f.copy(
+      path = resolvePath(srcRoot, f.path),
+      dvs = f.dvs.map(_.map(resolvePath(srcRoot, _)))))
+    val m = Manifest(0L, "clone", System.currentTimeMillis(),
+      src.schemaDdl, absolute, src.streamHwm, src.constraints,
+      src.bloomCols)
+    require(tryCommit(spark, dstRoot, m),
+      s"concurrent create at $dstRoot")
+    0L
+  }
+
   /** Small-file compaction as a COMMITTED no-op rewrite: data identical,
     * file count sized to `targetBytes` ([[graft.ops.Compaction]]'s
     * round-robin sizing). Old versions still time-travel to the
@@ -743,14 +815,33 @@ object TxnTable {
         .sortWithinPartitions(cols.map(col): _*)
     }
 
+  /** Root-relative manifests paths resolve under the table root;
+    * absolute paths (shallow clones) pass through untouched.
+    */
+  private def resolvePath(root: String, p: String): String =
+    if (p.startsWith("/") || p.contains("://")) p else s"$root/$p"
+
   private def snapshotOf(
       spark: SparkSession, root: String, m: Manifest): DataFrame = {
     val schema = StructType.fromDDL(m.schemaDdl)
-    val paths = m.files.map(f => s"$root/${f.path}")
-    if (paths.isEmpty)
-      spark.createDataFrame(
-        new java.util.ArrayList[Row](), schema)
-    else spark.read.schema(schema).parquet(paths: _*)
+    def read(paths: Seq[String]): DataFrame =
+      spark.read.schema(schema).parquet(paths: _*)
+    if (m.files.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    // group files by their deletion-vector set: each group scans once,
+    // then anti-joins its tombstone keys (usually ONE group with no dvs
+    // — the plain fast path; MOR generations add a group per dv-set
+    // until a rewrite materializes them)
+    m.files.groupBy(_.dvs.getOrElse(Seq.empty)).toSeq
+      .sortBy(_._1.mkString(","))
+      .map { case (dvs, fsGroup) =>
+        val base = read(fsGroup.map(f => resolvePath(root, f.path)))
+        dvs.foldLeft(base) { (df, dv) =>
+          val keys = spark.read.parquet(resolvePath(root, dv))
+          df.join(keys, keys.columns.toSeq, "left_anti")
+        }
+      }
+      .reduce(_ unionByName _)
   }
 
   /** EXACT row count from the manifest alone — zero data files opened,
@@ -758,9 +849,14 @@ object TxnTable {
     * `SELECT COUNT(*)` on a 100 TB table becomes an O(#files) driver
     * fold over metadata already in memory.
     */
-  def rowCount(spark: SparkSession, root: String): Long =
-    latestManifest(spark, root).getOrElse(
-      sys.error(s"no table at $root")).files.map(_.rows).sum
+  def rowCount(spark: SparkSession, root: String): Long = {
+    val files = latestManifest(spark, root).getOrElse(
+      sys.error(s"no table at $root")).files
+    require(files.forall(_.dvs.isEmpty),
+      "MOR deletion vectors present — per-file counts overcount deleted " +
+        "rows; compact() to materialize, or count the snapshot")
+    files.map(_.rows).sum
+  }
 
   /** EXACT global [min, max] of a stats column from the manifest alone:
     * every row lives in some file, so min-of-file-mins IS the table min.
@@ -772,7 +868,9 @@ object TxnTable {
     val files = latestManifest(spark, root).getOrElse(
       sys.error(s"no table at $root")).files.filter(_.rows > 0)
     val stats = files.flatMap(_.stats.get(column))
-    if (files.isEmpty || stats.length < files.length) None
+    // dvs: a deleted row may BE the min/max — metadata can't claim a range
+    if (files.isEmpty || stats.length < files.length ||
+        files.exists(_.dvs.nonEmpty)) None
     else Some(ColStats(stats.map(_.min).min, stats.map(_.max).max))
   }
 
@@ -943,7 +1041,17 @@ object TxnTable {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no table at $root")
     val retained = vs.takeRight(math.max(1, retainLast))
-      .flatMap(readManifest(spark, root, _).files.map(_.path)).toSet
+      .flatMap { v =>
+        val m = readManifest(spark, root, v)
+        // deletion-vector sidecars live under data/ too — a referenced
+        // dv is as load-bearing as a referenced data file. Sidecar
+        // paths are directories (one parquet write each): retain every
+        // file under them by prefix.
+        m.files.map(_.path) ++ m.files.flatMap(_.dvs.getOrElse(Seq.empty))
+      }.toSet
+    def isRetained(rel: String): Boolean =
+      retained.contains(rel) ||
+        retained.exists(p => rel.startsWith(p + "/"))
     val dataRoot = new Path(root, DataDir)
     val f = fs(spark, dataRoot)
     if (!f.exists(dataRoot)) return Seq.empty
@@ -954,7 +1062,7 @@ object TxnTable {
       val st = it.next()
       val rel = st.getPath.toUri.getPath.stripPrefix(rootUri)
         .stripPrefix("/")
-      if (st.isFile && !retained.contains(rel) &&
+      if (st.isFile && !isRetained(rel) &&
           !st.getPath.getName.startsWith("_")) {
         f.delete(st.getPath, false)
         deleted += rel

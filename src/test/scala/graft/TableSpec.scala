@@ -602,6 +602,68 @@ class TableSpec extends AnyFunSuite {
     assert(p.count() == 1)
   }
 
+  test("deleteMor: no data rewrite; re-insert visible; rewrite materializes") {
+    val root = freshRoot()
+    TxnTable.create(spark, root,
+      kv((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    val filesBefore = TxnTable.readManifest(spark, root, 0).files.map(_.path)
+    TxnTable.deleteMor(spark, root, Seq(2L).toDF("k"), Seq("k"))
+    val m1 = TxnTable.readManifest(spark, root, 1)
+    // the delete commit references the SAME data files — zero rewrite IO
+    assert(m1.files.map(_.path) == filesBefore)
+    assert(m1.files.forall(_.dvs.exists(_.nonEmpty)))
+    assert(sortedRows(TxnTable.snapshot(spark, root)).map(_._1) ==
+      Seq(1L, 3L))
+    // re-insert after delete: the new file carries no dv, so the key
+    // returns — SQL DELETE-then-INSERT semantics, not a key blacklist
+    TxnTable.append(spark, root, kv((2L, "b2", 22.0)))
+    assert(sortedRows(TxnTable.snapshot(spark, root)) ==
+      Seq((1L, "a", 1.0), (2L, "b2", 22.0), (3L, "c", 3.0)))
+    // metadata-only aggregates refuse to overcount under dvs
+    intercept[IllegalArgumentException] { TxnTable.rowCount(spark, root) }
+    assert(TxnTable.statsRange(spark, root, "k").isEmpty)
+    // any rewrite materializes the deletes and clears the dvs
+    TxnTable.compact(spark, root)
+    val mc = TxnTable.readManifest(spark, root,
+      TxnTable.latestVersion(spark, root).get)
+    assert(mc.files.forall(_.dvs.isEmpty))
+    assert(sortedRows(TxnTable.snapshot(spark, root)) ==
+      Seq((1L, "a", 1.0), (2L, "b2", 22.0), (3L, "c", 3.0)))
+    assert(TxnTable.rowCount(spark, root) == 3L)
+  }
+
+  test("vacuum retains referenced deletion-vector sidecars") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, kv((1L, "a", 1.0), (2L, "b", 2.0)))
+    TxnTable.deleteMor(spark, root, Seq(1L).toDF("k"), Seq("k"))
+    TxnTable.vacuum(spark, root, retainLast = 1)
+    // the dv sidecar must have survived the vacuum — the delete still applies
+    assert(sortedRows(TxnTable.snapshot(spark, root)).map(_._1) == Seq(2L))
+  }
+
+  test("shallow clone: zero-copy branch; divergence and vacuum stay isolated") {
+    val src = freshRoot()
+    TxnTable.create(spark, src, kv((1L, "a", 1.0), (2L, "b", 2.0)))
+    TxnTable.append(spark, src, kv((3L, "c", 3.0)))
+    val dst = freshRoot() + "/clone"
+    TxnTable.cloneTable(spark, src, dst)
+    // the clone wrote NO data files of its own
+    val dstData = new java.io.File(s"$dst/data")
+    assert(!dstData.exists || dstData.listFiles().isEmpty)
+    assert(sortedRows(TxnTable.snapshot(spark, dst)) ==
+      sortedRows(TxnTable.snapshot(spark, src)))
+    // divergence: append to the clone, source unchanged
+    TxnTable.append(spark, dst, kv((9L, "z", 9.0)))
+    assert(sortedRows(TxnTable.snapshot(spark, dst)).map(_._1) ==
+      Seq(1L, 2L, 3L, 9L))
+    assert(sortedRows(TxnTable.snapshot(spark, src)).map(_._1) ==
+      Seq(1L, 2L, 3L))
+    // clone's vacuum deletes nothing it doesn't own
+    TxnTable.vacuum(spark, dst, retainLast = 1)
+    assert(sortedRows(TxnTable.snapshot(spark, src)).map(_._1) ==
+      Seq(1L, 2L, 3L))
+  }
+
   test("mergeFull: matched update, unmatched insert, not-matched-by-source conditional delete") {
     val root = freshRoot()
     TxnTable.create(spark, root, kv(
