@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(graft.functions.UnicodeNormalize.name),
       graft.functions.UnicodeNormalize.info,
       graft.functions.UnicodeNormalize.builder _))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.FnvHash64.name),
+      graft.functions.FnvHash64.info,
+      graft.functions.FnvHash64.builder _))
     // native as-of join planner rule (plans/AsOfJoinNative); the
     // DataFrame API also self-registers via experimental strategies for
     // sessions built without extensions

@@ -32,7 +32,14 @@ import org.apache.spark.sql.functions._
   */
 object Sketch {
 
-  private val fnvUdf = udf((w: String) => graft.util.Hashing.fnv(w))
+  /** Library FNV-1a as a native codegen'd expression
+    * (graft.functions.FnvHash64) — the sketch's only corpus-sized stage
+    * stays inside whole-stage codegen; a Scala UDF here would fence it.
+    */
+  private def fnvCol(df: DataFrame, c: org.apache.spark.sql.Column) = {
+    graft.functions.FnvHash64.register(df.sparkSession)
+    graft.functions.FnvHash64.fnv64(c)
+  }
 
   /** Sign-bit flip: signed order of (h ^ Long.MinValue) == unsigned
     * order of h. xor never overflows, so this is ANSI-safe (a `+
@@ -65,7 +72,7 @@ object Sketch {
     val hashed = df
       .select(col(groupCol).as("grp"), col(valueCol).as("v"))
       .distinct()
-      .select(col("grp"), fnvUdf(col("v")).as("h"))
+      .select(col("grp"), fnvCol(df, col("v")).as("h"))
       // distinct again: two values may collide to one hash — the sketch
       // is a set of HASHES, and both engines must dedup identically
       .distinct()

@@ -1806,6 +1806,35 @@ class OpsSpec extends AnyFunSuite {
     assert(inter > 250 && inter < 800, s"intersection_est=$inter vs 500")
   }
 
+  test("native fnv64 expression: codegen == interpreted == Hashing.fnv; SQL surface; null-safe") {
+    import graft.functions.FnvHash64
+    FnvHash64.register(spark)
+    val samples = Seq("", "a", "hello world", "café über",
+      "漢字", "tok12345")
+    import spark.implicits._
+    // codegen path (column over rows) must equal the single JVM source
+    // of truth, graft.util.Hashing.fnv — pins the inlined constants
+    val viaCol = samples.toDF("s")
+      .select(col("s"), FnvHash64.fnv64(col("s")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    samples.foreach { s =>
+      assert(viaCol(s) == graft.util.Hashing.fnv(s),
+        s"fnv64 diverged on '$s'")
+    }
+    // interpreted path (nullSafeEval)
+    val expr = FnvHash64(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        org.apache.spark.unsafe.types.UTF8String.fromString("hello world"),
+        org.apache.spark.sql.types.StringType))
+    assert(expr.eval(null) == viaCol("hello world"))
+    // SQL surface + null in, null out
+    val viaSql = spark.sql(
+      "SELECT graft_fnv64('hello world') AS h, " +
+        "graft_fnv64(CAST(NULL AS STRING)) AS n").head()
+    assert(viaSql.getLong(0) == viaCol("hello world"))
+    assert(viaSql.isNullAt(1))
+  }
+
   test("incremental KMV state over out-of-order batches == one-shot; replay merges are no-ops") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_kmv_tbl")
