@@ -2199,6 +2199,40 @@ object SparkEntry {
          ORDER BY c_custkey""")
   }
 
+  /** RELATIONAL DIVISION ("for all"): customers with orders in EVERY
+    * order priority — the classic universal-quantifier SQL shape,
+    * planned as two distinct-count aggregates and a scalar-subquery
+    * comparison (no nested anti-join double-negation needed).
+    */
+  private def qRelDivision(s: SparkSession, dir: String): DataFrame = {
+    tbl(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o_custkey AS c_custkey,
+           COUNT(DISTINCT o_orderpriority) AS n_prio
+         FROM orders_v
+         GROUP BY o_custkey
+         HAVING COUNT(DISTINCT o_orderpriority) =
+           (SELECT COUNT(DISTINCT o_orderpriority) FROM orders_v)
+         ORDER BY c_custkey""")
+  }
+
+  /** FILTERED vector search: exact top-k among vectors passing a
+    * metadata predicate (label = 3) — the "filtered ANN" shape every
+    * production vector store needs. The label predicate is pushed to
+    * the parquet scan (PlanSpec asserts PushedFilters), so the distance
+    * kernel prices only survivors; at 100 TB with a label-partitioned
+    * or bloom-indexed layout the filter prunes files before any vector
+    * byte is read.
+    */
+  private def qAnnFiltered(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+    graft.ops.Similarity.bruteForceTopK(
+      e.filter(col("label") === 3), "vec_id", "embedding", q, 10)
+      .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
   /** HEAVY HITTERS (two-phase): per-partition SpaceSaving sketches
     * propose a candidate superset, one exact recount over only the
     * candidate rows finalizes — top-k over skewed key spaces WITHOUT
@@ -4856,6 +4890,8 @@ object SparkEntry {
     "orders_stream_merge" -> qOrdersStreamMerge,
     "q_islands" -> qIslands,
     "q_heavy_hitters" -> qHeavyHitters,
+    "q_rel_division" -> qRelDivision,
+    "ann_filtered" -> qAnnFiltered,
     "q_table_dsv2" -> qTableDsv2
   )
 
@@ -7156,6 +7192,29 @@ object SparkEntry {
          FROM s GROUP BY decile ORDER BY decile""",
     // both matryoshka stages replayed: 16-dim slice cosine, rounded-rank
     // candidate cut at 50, full-dim rerank to 10
+    "q_rel_division" ->
+      """SELECT o_custkey AS c_custkey,
+           COUNT(DISTINCT o_orderpriority) AS n_prio
+         FROM orders
+         GROUP BY o_custkey
+         HAVING COUNT(DISTINCT o_orderpriority) =
+           (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)
+         ORDER BY c_custkey""",
+    "ann_filtered" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id,
+           round(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                 CAST(embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(qv, qv))), 4) AS cosine
+         FROM embeddings, q
+         WHERE label = 3
+         ORDER BY round(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                 CAST(embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(qv, qv))), 4) DESC, vec_id
+         LIMIT 10""",
     "ann_matryoshka" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
                     FROM embeddings WHERE vec_id = 0),

@@ -515,6 +515,15 @@ class PlanSpec extends AnyFunSuite {
       s"curriculum bucketing must not use a rank window:\n$plan")
   }
 
+  test("ann_filtered: the metadata predicate reaches the parquet scan before any distance math") {
+    val plan = planOf("ann_filtered")
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("EqualTo(label,3)"),
+      s"label predicate must push to the scan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"filtered top-k must stay a TakeOrderedAndProject:\n$plan")
+  }
+
   test("ann_matryoshka: both stages end in TakeOrderedAndProject — no full sort, no wide exchange") {
     val plan = planOf("ann_matryoshka")
     val topk = "TakeOrderedAndProject".r.findAllIn(plan).length
