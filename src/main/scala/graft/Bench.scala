@@ -43,6 +43,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // in-suite interference mitigation (r6 verdict #4): shuffle files
+      // and broadcast blocks are freed on REFERENCE GC, and the default
+      // periodic-GC interval (30 min) never fires inside a bench run —
+      // so late queries inherit ~190 predecessors' tmp-disk residue.
+      // A 1-minute ContextCleaner GC cadence (plus the existing explicit
+      // System.gc() between queries) bounds the accumulation window.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: absorb session/codegen startup so the first timed

@@ -2199,6 +2199,66 @@ object SparkEntry {
          ORDER BY c_custkey""")
   }
 
+  /** ONE-PASS data profiling: per-column null count, exact distinct
+    * count, and numeric min/max for a column set, computed in a SINGLE
+    * aggregation over one scan (the multiple COUNT(DISTINCT)s plan as
+    * one Expand — never a scan per column, which is how naive profilers
+    * price a 100 TB health check), then stacked to long format. The
+    * profile every ingest pipeline runs before trusting a new drop.
+    */
+  private def qDataProfile(s: SparkSession, dir: String): DataFrame = {
+    val o = tbl(s, dir, "orders")
+    val numeric = Set("o_orderkey", "o_custkey", "o_totalprice")
+    val cols = Seq("o_orderkey", "o_custkey", "o_totalprice",
+      "o_orderstatus")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1).otherwise(0)).cast("long")
+          .as(s"null_$c"),
+        countDistinct(col(c)).as(s"dist_$c"),
+        (if (numeric(c)) min(col(c)).cast("double")
+         else lit(null).cast("double")).as(s"min_$c"),
+        (if (numeric(c)) max(col(c)).cast("double")
+         else lit(null).cast("double")).as(s"max_$c"))
+    }
+    val stackArgs = cols.map(c =>
+      s"'$c', null_$c, dist_$c, min_$c, max_$c").mkString(", ")
+    o.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(column_name, n_null, n_distinct, min_v, max_v)"))
+      .select(col("column_name"), col("n_null").cast("long").as("n_null"),
+        col("n_distinct").cast("long").as("n_distinct"),
+        col("min_v"), col("max_v"))
+      .orderBy("column_name")
+  }
+
+  /** ONE-PASS expectation checking (the dbt-test / Great-Expectations
+    * shape): named rule predicates evaluated as conditional sums in a
+    * single aggregation — N rules cost one scan, not N. NULL rule
+    * results count as violations (an unknown is not a pass).
+    */
+  private def qExpectations(s: SparkSession, dir: String): DataFrame = {
+    val o = tbl(s, dir, "orders")
+    val rules: Seq[(String, Column)] = Seq(
+      ("orderkey_positive", col("o_orderkey") > 0),
+      ("status_in_domain", col("o_orderstatus").isin("O", "F", "P")),
+      ("price_nonnegative", col("o_totalprice") >= 0),
+      ("custkey_not_null", col("o_custkey").isNotNull))
+    val aggs = count(lit(1)).as("n_rows") +: rules.map { case (n, c) =>
+      sum(when(!coalesce(c, lit(false)), 1).otherwise(0)).cast("long")
+        .as(s"viol_$n")
+    }
+    val stackArgs = rules.map { case (n, _) =>
+      s"'$n', viol_$n, viol_$n = 0L" }.mkString(", ")
+    o.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"),
+        expr(s"stack(${rules.size}, $stackArgs) AS " +
+          "(rule, n_violations, pass)"))
+      .select(col("rule"), col("n_rows"),
+        col("n_violations").cast("long").as("n_violations"), col("pass"))
+      .orderBy("rule")
+  }
+
   /** RELATIONAL DIVISION ("for all"): customers with orders in EVERY
     * order priority — the classic universal-quantifier SQL shape,
     * planned as two distinct-count aggregates and a scalar-subquery
@@ -4892,6 +4952,8 @@ object SparkEntry {
     "q_heavy_hitters" -> qHeavyHitters,
     "q_rel_division" -> qRelDivision,
     "ann_filtered" -> qAnnFiltered,
+    "q_data_profile" -> qDataProfile,
+    "q_expectations" -> qExpectations,
     "q_table_dsv2" -> qTableDsv2
   )
 
@@ -7192,6 +7254,63 @@ object SparkEntry {
          FROM s GROUP BY decile ORDER BY decile""",
     // both matryoshka stages replayed: 16-dim slice cosine, rounded-rank
     // candidate cut at 50, full-dim rerank to 10
+    "q_data_profile" ->
+      """SELECT 'o_custkey' AS column_name,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_null,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           CAST(MIN(o_custkey) AS DOUBLE) AS min_v,
+           CAST(MAX(o_custkey) AS DOUBLE) AS max_v
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderkey',
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT o_orderkey),
+           CAST(MIN(o_orderkey) AS DOUBLE), CAST(MAX(o_orderkey) AS DOUBLE)
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderstatus',
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT o_orderstatus),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+         FROM orders
+         UNION ALL
+         SELECT 'o_totalprice',
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT o_totalprice),
+           CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE)
+         FROM orders
+         ORDER BY column_name""",
+    "q_expectations" ->
+      """WITH a AS (SELECT COUNT(*) AS n_rows,
+           SUM(CASE WHEN NOT COALESCE(o_orderkey > 0, FALSE)
+               THEN 1 ELSE 0 END) AS v_orderkey_positive0,
+           SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE)
+               THEN 1 ELSE 0 END) AS v_status_in_domain0,
+           SUM(CASE WHEN NOT COALESCE(o_totalprice >= 0, FALSE)
+               THEN 1 ELSE 0 END) AS v_price_nonnegative0,
+           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+               AS v_custkey_not_null0
+         FROM orders),
+         b AS (SELECT n_rows,
+           CAST(v_orderkey_positive0 AS BIGINT) AS v_orderkey_positive,
+           CAST(v_status_in_domain0 AS BIGINT) AS v_status_in_domain,
+           CAST(v_price_nonnegative0 AS BIGINT) AS v_price_nonnegative,
+           CAST(v_custkey_not_null0 AS BIGINT) AS v_custkey_not_null
+         FROM a)
+         SELECT 'custkey_not_null' AS rule, n_rows,
+           v_custkey_not_null AS n_violations,
+           v_custkey_not_null = 0 AS pass FROM b
+         UNION ALL
+         SELECT 'orderkey_positive', n_rows, v_orderkey_positive,
+           v_orderkey_positive = 0 FROM b
+         UNION ALL
+         SELECT 'price_nonnegative', n_rows, v_price_nonnegative,
+           v_price_nonnegative = 0 FROM b
+         UNION ALL
+         SELECT 'status_in_domain', n_rows, v_status_in_domain,
+           v_status_in_domain = 0 FROM b
+         ORDER BY rule""",
     "q_rel_division" ->
       """SELECT o_custkey AS c_custkey,
            COUNT(DISTINCT o_orderpriority) AS n_prio

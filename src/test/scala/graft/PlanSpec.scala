@@ -515,6 +515,16 @@ class PlanSpec extends AnyFunSuite {
       s"curriculum bucketing must not use a rank window:\n$plan")
   }
 
+  test("q_data_profile: four columns' null/distinct/min/max profile runs as ONE scan") {
+    val plan = planOf("q_data_profile")
+    // count the numbered node headers, not the tree echo of each node
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(plan).length
+    assert(scans == 1,
+      s"profile must not scan per column ($scans scans):\n$plan")
+    // multiple COUNT(DISTINCT)s plan through Expand, not extra scans
+    assert(plan.contains("Expand"), s"expected Expand for the distincts:\n$plan")
+  }
+
   test("ann_filtered: the metadata predicate reaches the parquet scan before any distance math") {
     val plan = planOf("ann_filtered")
     assert(plan.contains("PushedFilters:") &&
