@@ -2199,6 +2199,68 @@ object SparkEntry {
          ORDER BY c_custkey""")
   }
 
+  /** PER-DOMAIN document cap — the crawl-curation rule "keep at most N
+    * documents per source" (boilerplate-heavy domains must not dominate
+    * the corpus). Deterministic keep order (doc_id within source), rank
+    * ≤ N planned as Partial+Final WindowGroupLimit — each map task
+    * forwards at most N rows per source to the exchange, so a
+    * 100-million-doc domain costs its cap, not its size.
+    */
+  private def qDomainCap(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 50)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), max(col("doc_id")).as("max_kept_id"))
+      .orderBy("source")
+  }
+
+  /** TRIANGLE COUNTING over the co-supplier graph (suppliers sharing a
+    * part; the q_pagerank edge construction) — the standard graph
+    * cohesion metric. Edges oriented low→high id, so each triangle is
+    * counted ONCE by joining oriented wedges against the oriented edge
+    * set; never enumerates unordered pairs twice. Per-node counts
+    * aggregate the triangle corners.
+    */
+  private def qTriangleCount(s: SparkSession, dir: String): DataFrame = {
+    val ps = tbl(s, dir, "lineitem")
+      .filter(col("l_quantity") <= 2)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    // oriented edge set u < v — each undirected edge appears once
+    val und = ps.as("a").join(ps.as("b"), "l_partkey")
+      .filter(col("a.l_suppkey") < col("b.l_suppkey"))
+      .select(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+      .distinct()
+    // wedges u<v<w closed against the oriented edges: each triangle
+    // found exactly once. (Id orientation suffices at this degree
+    // profile; at adversarial-skew scale, orient by degree so the
+    // wedge fan-out is bounded by the SMALLER endpoint's degree.)
+    val wedges = und.as("x").join(und.as("y"), col("x.v") === col("y.u"))
+      .select(col("x.u").as("u"), col("x.v").as("v"), col("y.v").as("w"))
+    val tri = wedges.join(
+      und.select(col("u").as("tu"), col("v").as("tw")),
+      col("u") === col("tu") && col("w") === col("tw"))
+      .select("u", "v", "w")
+    tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("node"))
+      .limit(10)
+  }
+
+  /** K-ANONYMITY audit: quasi-identifier groups with fewer than k
+    * members are re-identification risks the release gate must flag.
+    * One grouped count + HAVING — the privacy checklist's first query.
+    */
+  private def qKAnonymity(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < 10)
+      .orderBy("lang", "source")
+
   /** ONE-PASS data profiling: per-column null count, exact distinct
     * count, and numeric min/max for a column set, computed in a SINGLE
     * aggregation over one scan (the multiple COUNT(DISTINCT)s plan as
@@ -4954,6 +5016,9 @@ object SparkEntry {
     "ann_filtered" -> qAnnFiltered,
     "q_data_profile" -> qDataProfile,
     "q_expectations" -> qExpectations,
+    "q_domain_cap" -> qDomainCap,
+    "q_triangle_count" -> qTriangleCount,
+    "q_k_anonymity" -> qKAnonymity,
     "q_table_dsv2" -> qTableDsv2
   )
 
@@ -7254,6 +7319,34 @@ object SparkEntry {
          FROM s GROUP BY decile ORDER BY decile""",
     // both matryoshka stages replayed: 16-dim slice cosine, rounded-rank
     // candidate cut at 50, full-dim rerank to 10
+    "q_domain_cap" ->
+      """WITH r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id)
+               AS rnk
+           FROM documents)
+         SELECT source, COUNT(*) AS n_kept, MAX(doc_id) AS max_kept_id
+         FROM r WHERE rnk <= 50
+         GROUP BY source ORDER BY source""",
+    "q_triangle_count" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey
+           FROM lineitem WHERE l_quantity <= 2),
+         e AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+           FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+             AND a.l_suppkey < b.l_suppkey),
+         wed AS (SELECT x.u AS wu, x.v AS wv, y.v AS ww
+           FROM e x JOIN e y ON x.v = y.u),
+         tri AS (SELECT wu, wv, ww
+           FROM wed JOIN e cl ON wed.wu = cl.u AND wed.ww = cl.v),
+         corners AS (SELECT wu AS node FROM tri
+           UNION ALL SELECT wv FROM tri
+           UNION ALL SELECT ww FROM tri)
+         SELECT node, COUNT(*) AS n_triangles
+         FROM corners GROUP BY node
+         ORDER BY n_triangles DESC, node LIMIT 10""",
+    "q_k_anonymity" ->
+      """SELECT lang, source, COUNT(*) AS n
+         FROM documents GROUP BY lang, source
+         HAVING COUNT(*) < 10 ORDER BY lang, source""",
     "q_data_profile" ->
       """SELECT 'o_custkey' AS column_name,
            CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
