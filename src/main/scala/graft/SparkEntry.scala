@@ -2530,6 +2530,45 @@ object SparkEntry {
       .orderBy("event_id", "view_event_id")
   }
 
+  /** STREAM-STREAM LEFT OUTER interval join — the join type the inner
+    * gate can't prove: an unmatched purchase must STILL emit (views
+    * NULL) once the watermark passes its one-hour lookback window, and
+    * must NOT emit before (a future view could still match). The
+    * watermark-complete region is deterministic — min of the two sides'
+    * max event times minus the 2h delay — so the gate filters both its
+    * own output and the oracle's LEFT JOIN to purchases strictly below
+    * that cut: every such purchase has either matched or been
+    * null-emitted by the final no-data flush batch AvailableNow runs.
+    */
+  private def qEventsStreamLeftJoin(s: SparkSession, dir: String): DataFrame = {
+    val schema = tbl(s, dir, "events").schema
+    def src = withTsEvent(
+      s.readStream.schema(schema).parquet(eventsStreamDir(dir).toString))
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_event"))
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), col("ts_event"))
+    val joined = graft.streaming.StreamingEmbed
+      .intervalJoinStreams(purchases, views, "user_id", "ts_event",
+        lookback = "1 hour", watermark = "2 hours",
+        joinType = "left_outer")
+      .select(col("event_id"), unix_micros(col("ts_event")).as("ts_us"),
+        col("r_event_id").as("view_event_id"),
+        unix_micros(col("r_ts_event")).as("view_ts_us"))
+    val log = streamToDeltaLog(s, joined, "append")
+    // watermark-complete cut: min over the two sides' per-stream maxima
+    val ev = withTsUs(tbl(s, dir, "events"))
+    val maxP = ev.filter(col("event_type") === "purchase")
+      .agg(max(col("ts_us"))).head().getLong(0)
+    val maxV = ev.filter(col("event_type") === "view")
+      .agg(max(col("ts_us"))).head().getLong(0)
+    val wmCut = math.min(maxP, maxV) - 7200000000L
+    readDeltaLog(s, log, joined.schema)
+      .filter(col("ts_us") < wmCut)
+      .select("event_id", "ts_us", "view_event_id", "view_ts_us")
+      .orderBy("event_id", "view_event_id")
+  }
+
   /** NON-FILE streaming source gate: Spark's deterministic
     * `rate-micro-batch` source replaces the file stream — the canonical
     * stand-in for a Kafka-shaped unbounded feed (same micro-batch
@@ -4904,6 +4943,7 @@ object SparkEntry {
     "q_sample_stratified" -> qSampleStratified,
     "events_stream_hopping" -> qEventsStreamHopping,
     "events_stream_interval_join" -> qEventsStreamIntervalJoin,
+    "events_stream_left_join" -> qEventsStreamLeftJoin,
     "q_null_semantics" -> qNullSemantics,
     "q_unpivot" -> qUnpivot,
     "q_crossjoin" -> qCrossJoin,
@@ -6631,6 +6671,27 @@ object SparkEntry {
            event_type, COUNT(*) AS n
          FROM e GROUP BY 1, 2 ORDER BY window_start_us, event_type""",
     // batch replay of the stream-stream join: same truth, no state store
+    // the emittable (watermark-complete) region of the streaming LEFT
+    // OUTER join: purchases strictly below min(side maxima) - 2h have
+    // either matched or null-emitted; younger rows are filtered on BOTH
+    // sides, so the equality is exact
+    "events_stream_left_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+             epoch_us(ts) AS ts_us FROM events),
+         p AS (SELECT event_id, user_id, ts_us FROM e
+               WHERE event_type = 'purchase'),
+         v AS (SELECT user_id AS v_user_id, event_id AS view_event_id,
+               ts_us AS view_ts_us FROM e WHERE event_type = 'view')
+         SELECT p.event_id, p.ts_us, v.view_event_id, v.view_ts_us
+         FROM p LEFT OUTER JOIN v ON p.user_id = v.v_user_id
+           AND v.view_ts_us >= p.ts_us - 3600000000
+           AND v.view_ts_us <= p.ts_us
+         WHERE p.ts_us <
+           (SELECT LEAST(
+              MAX(CASE WHEN event_type = 'purchase' THEN ts_us END),
+              MAX(CASE WHEN event_type = 'view' THEN ts_us END))
+              - 7200000000 FROM e)
+         ORDER BY p.event_id, v.view_event_id""",
     "events_stream_interval_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
              epoch_us(ts) AS ts_us FROM events),

@@ -56,13 +56,22 @@ object StreamingEmbed {
     * canonical streaming-join shape. Column names: left (key, ts, ...);
     * right is aliased `r_` to keep outputs unambiguous.
     */
+  /** `joinType` extends the shape to the OUTER stream-stream joins:
+    * with "left_outer", an unmatched left row is emitted (right columns
+    * NULL) once the watermark passes its join window — i.e. once no
+    * future right row can possibly match. Until the watermark passes,
+    * the row waits in state; callers comparing against a batch oracle
+    * must restrict both sides to the watermark-complete region (see the
+    * events_stream_left_join gate).
+    */
   def intervalJoinStreams(
       left: DataFrame,
       right: DataFrame,
       keyCol: String,
       tsCol: String,
       lookback: String = "1 hour",
-      watermark: String = "2 hours"
+      watermark: String = "2 hours",
+      joinType: String = "inner"
   ): DataFrame = {
     val l = left.withWatermark(tsCol, watermark)
     val r = right.toDF(right.columns.map("r_" + _): _*)
@@ -70,7 +79,8 @@ object StreamingEmbed {
     l.join(r,
       col(keyCol) === col(s"r_$keyCol") &&
         col(s"r_$tsCol") >= col(tsCol) - expr(s"INTERVAL $lookback") &&
-        col(s"r_$tsCol") <= col(tsCol))
+        col(s"r_$tsCol") <= col(tsCol),
+      joinType)
   }
 
   /** Committed-batchId high-water-mark store for [[idempotentSink]].
