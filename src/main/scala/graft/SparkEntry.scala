@@ -2569,6 +2569,45 @@ object SparkEntry {
       .orderBy("event_id", "view_event_id")
   }
 
+  /** CHAINED STATEFUL OPERATORS: a stream-stream interval join feeding
+    * a downstream event-time window aggregation in ONE streaming query
+    * — two stateful exec nodes sharing one watermark timeline (the
+    * multi-stateful-operator support added to Structured Streaming in
+    * Spark 3.5+). Append mode, so the window agg emits a window only
+    * once the propagated watermark finalizes it; the gate keeps the
+    * deterministic finalized region (window end ≤ the final
+    * watermark) and the oracle replays join + hourly count over it.
+    */
+  private def qEventsStreamJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val schema = tbl(s, dir, "events").schema
+    def src = withTsEvent(
+      s.readStream.schema(schema).parquet(eventsStreamDir(dir).toString))
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_event"))
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), col("ts_event"))
+    val joined = graft.streaming.StreamingEmbed
+      .intervalJoinStreams(purchases, views, "user_id", "ts_event",
+        lookback = "1 hour", watermark = "2 hours")
+    val agg = joined
+      .groupBy(window(col("ts_event"), "1 hour"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        unix_micros(col("window.end")).as("window_end_us"),
+        col("n_pairs"))
+    val log = streamToDeltaLog(s, agg, "append")
+    val ev = withTsUs(tbl(s, dir, "events"))
+    val maxP = ev.filter(col("event_type") === "purchase")
+      .agg(max(col("ts_us"))).head().getLong(0)
+    val maxV = ev.filter(col("event_type") === "view")
+      .agg(max(col("ts_us"))).head().getLong(0)
+    val wmCut = math.min(maxP, maxV) - 7200000000L
+    readDeltaLog(s, log, agg.schema)
+      .filter(col("window_end_us") <= wmCut)
+      .select("window_start_us", "n_pairs")
+      .orderBy("window_start_us")
+  }
+
   /** NON-FILE streaming source gate: Spark's deterministic
     * `rate-micro-batch` source replaces the file stream — the canonical
     * stand-in for a Kafka-shaped unbounded feed (same micro-batch
@@ -3196,6 +3235,68 @@ object SparkEntry {
           9).as("kl_term"))
       .orderBy(col("kl_term").desc, col("w"))
       .limit(15)
+  }
+
+  /** POPULATION STABILITY INDEX between two corpus slices over length
+    * bins — the standard "did the distribution move?" monitor (PSI >
+    * 0.2 conventionally blocks a release). Fixed-width bins (100 chars,
+    * capped at 10), add-0.5 smoothing so empty bins stay finite,
+    * per-bin contribution (pa−pb)·ln(pa/pb) rounded 9dp like the KL
+    * monitor. One scan, #bins-row everything after.
+    */
+  private def qPsiDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents")
+      .select((col("doc_id") % 2 === 0).as("in_a"),
+        least(floor(col("n_chars") / 100.0), lit(9.0)).cast("int")
+          .as("bin"))
+    val cnt = d.groupBy("bin")
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("in_a"), 0L).otherwise(1L)).as("cb"))
+    val tot = cnt.agg(sum("ca").as("ta"), sum("cb").as("tb"),
+      count(lit(1)).as("nb"))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("bin"), col("ca"), col("cb"),
+        round(expr(
+          """((CAST(ca AS DOUBLE)+0.5)/(CAST(ta AS DOUBLE)+0.5*CAST(nb AS DOUBLE))
+              - (CAST(cb AS DOUBLE)+0.5)/(CAST(tb AS DOUBLE)+0.5*CAST(nb AS DOUBLE)))
+             * ln(((CAST(ca AS DOUBLE)+0.5)/(CAST(ta AS DOUBLE)+0.5*CAST(nb AS DOUBLE)))
+               / ((CAST(cb AS DOUBLE)+0.5)/(CAST(tb AS DOUBLE)+0.5*CAST(nb AS DOUBLE))))"""),
+          9).as("psi_term"))
+      .orderBy("bin")
+  }
+
+  /** EMBEDDING-CENTROID DRIFT per label between two corpus slices: the
+    * cosine between each label's slice-A and slice-B centroids — the
+    * representation-space sibling of [[qPsiDrift]] (a cosine well below
+    * 1 means the label's embedding distribution moved). Per-dim means
+    * accumulate as exact DECIMAL (the q_embed_dim_stats contract), so
+    * the 64-value centroid pairs are engine-identical before the final
+    * rounded cosine.
+    */
+  private def qEmbedDrift(s: SparkSession, dir: String): DataFrame = {
+    val x = tbl(s, dir, "embeddings")
+      .select(col("label"), (col("vec_id") % 2 === 0).as("in_a"),
+        posexplode(col("embedding")).as(Seq("dim", "ef")))
+      .select(col("label"), col("in_a"), col("dim"),
+        col("ef").cast("double").as("e"))
+    val m = x.groupBy("label", "dim")
+      .agg(
+        (sum(when(col("in_a"), col("e").cast("decimal(28,12)")))
+          .cast("double") /
+          sum(when(col("in_a"), 1L).otherwise(0L))).as("ma"),
+        (sum(when(!col("in_a"), col("e").cast("decimal(28,12)")))
+          .cast("double") /
+          sum(when(!col("in_a"), 1L).otherwise(0L))).as("mb"))
+    m.groupBy("label")
+      .agg(
+        sum((col("ma") * col("mb")).cast("decimal(28,12)")).as("dot"),
+        sum((col("ma") * col("ma")).cast("decimal(28,12)")).as("na"),
+        sum((col("mb") * col("mb")).cast("decimal(28,12)")).as("nb"))
+      .select(col("label"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) *
+            sqrt(col("nb").cast("double"))), 6).as("centroid_cosine"))
+      .orderBy("label")
   }
 
   /** ROBUST OUTLIER FLAGGING (median absolute deviation): per-source
@@ -4944,6 +5045,9 @@ object SparkEntry {
     "events_stream_hopping" -> qEventsStreamHopping,
     "events_stream_interval_join" -> qEventsStreamIntervalJoin,
     "events_stream_left_join" -> qEventsStreamLeftJoin,
+    "events_stream_join_agg" -> qEventsStreamJoinAgg,
+    "q_psi_drift" -> qPsiDrift,
+    "q_embed_drift" -> qEmbedDrift,
     "q_null_semantics" -> qNullSemantics,
     "q_unpivot" -> qUnpivot,
     "q_crossjoin" -> qCrossJoin,
@@ -6671,6 +6775,71 @@ object SparkEntry {
            event_type, COUNT(*) AS n
          FROM e GROUP BY 1, 2 ORDER BY window_start_us, event_type""",
     // batch replay of the stream-stream join: same truth, no state store
+    "q_psi_drift" ->
+      """WITH d AS (SELECT doc_id % 2 = 0 AS in_a,
+             CAST(least(floor(n_chars / 100.0), 9.0) AS INTEGER) AS bin
+           FROM documents),
+         cnt AS (SELECT bin,
+             SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS cb
+           FROM d GROUP BY bin),
+         tot AS (SELECT SUM(ca) AS ta, SUM(cb) AS tb, COUNT(*) AS nb
+           FROM cnt)
+         SELECT bin, CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
+           round(((CAST(ca AS DOUBLE)+0.5)/(CAST(ta AS DOUBLE)+0.5*CAST(nb AS DOUBLE))
+               - (CAST(cb AS DOUBLE)+0.5)/(CAST(tb AS DOUBLE)+0.5*CAST(nb AS DOUBLE)))
+             * ln(((CAST(ca AS DOUBLE)+0.5)/(CAST(ta AS DOUBLE)+0.5*CAST(nb AS DOUBLE)))
+               / ((CAST(cb AS DOUBLE)+0.5)/(CAST(tb AS DOUBLE)+0.5*CAST(nb AS DOUBLE)))),
+             9) AS psi_term
+         FROM cnt CROSS JOIN tot ORDER BY bin""",
+    "q_embed_drift" ->
+      """WITH dims AS (SELECT CAST(i AS BIGINT) AS i
+             FROM generate_series(1, 64) t(i)),
+         x AS (SELECT label, vec_id % 2 = 0 AS in_a, i - 1 AS dim,
+             CAST(embedding[i] AS DOUBLE) AS e
+           FROM embeddings CROSS JOIN dims),
+         m AS (SELECT label, dim,
+             CAST(SUM(CASE WHEN in_a
+                 THEN CAST(e AS DECIMAL(28,12)) END) AS DOUBLE)
+               / SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS ma,
+             CAST(SUM(CASE WHEN NOT in_a
+                 THEN CAST(e AS DECIMAL(28,12)) END) AS DOUBLE)
+               / SUM(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS mb
+           FROM x GROUP BY label, dim),
+         agg AS (SELECT label,
+             SUM(CAST(ma*mb AS DECIMAL(28,12))) AS dot,
+             SUM(CAST(ma*ma AS DECIMAL(28,12))) AS na,
+             SUM(CAST(mb*mb AS DECIMAL(28,12))) AS nb
+           FROM m GROUP BY label)
+         SELECT label,
+           round(CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6)
+             AS centroid_cosine
+         FROM agg ORDER BY label""",
+    // join + hourly pair count over the finalized-window region (window
+    // end <= final watermark) — the chained-stateful-operator truth
+    "events_stream_join_agg" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+             epoch_us(ts) AS ts_us FROM events),
+         p AS (SELECT event_id, user_id, ts_us FROM e
+               WHERE event_type = 'purchase'),
+         v AS (SELECT user_id AS v_user_id, ts_us AS view_ts_us FROM e
+               WHERE event_type = 'view'),
+         j AS (SELECT p.event_id, p.ts_us
+           FROM p JOIN v ON p.user_id = v.v_user_id
+             AND v.view_ts_us >= p.ts_us - 3600000000
+             AND v.view_ts_us <= p.ts_us),
+         w AS (SELECT ts_us - (ts_us % 3600000000) AS window_start_us
+           FROM j)
+         SELECT window_start_us, COUNT(*) AS n_pairs
+         FROM w
+         WHERE window_start_us + 3600000000 <=
+           (SELECT LEAST(
+              MAX(CASE WHEN event_type = 'purchase' THEN ts_us END),
+              MAX(CASE WHEN event_type = 'view' THEN ts_us END))
+              - 7200000000 FROM e)
+         GROUP BY window_start_us
+         ORDER BY window_start_us""",
     // the emittable (watermark-complete) region of the streaming LEFT
     // OUTER join: purchases strictly below min(side maxima) - 2h have
     // either matched or null-emitted; younger rows are filtered on BOTH
