@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(graft.functions.FnvHash64.name),
       graft.functions.FnvHash64.info,
       graft.functions.FnvHash64.builder _))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.WordShingles.name),
+      graft.functions.WordShingles.info,
+      graft.functions.WordShingles.builder _))
     // native as-of join planner rule (plans/AsOfJoinNative); the
     // DataFrame API also self-registers via experimental strategies for
     // sessions built without extensions

@@ -3237,6 +3237,23 @@ object SparkEntry {
       .limit(15)
   }
 
+  /** Native GENERATOR surface: `LATERAL VIEW graft_shingles(text, 3)`
+    * streams word-trigram FNV hashes as rows (functions/WordShingles) —
+    * no per-document hash array is ever materialized. Per-doc shingle
+    * totals and distinct counts; docs with fewer than 3 words emit no
+    * rows (inner generator semantics), which the oracle mirrors.
+    */
+  private def qShingleGen(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.WordShingles.register(s)
+    tbl(s, dir, "documents").createOrReplaceTempView("docs_shingle_v")
+    s.sql(
+      """SELECT doc_id, COUNT(*) AS n_shingles,
+           COUNT(DISTINCT shingle_hash) AS n_distinct
+         FROM docs_shingle_v
+         LATERAL VIEW graft_shingles(text, 3) t AS pos, shingle_hash
+         GROUP BY doc_id ORDER BY doc_id""")
+  }
+
   /** POPULATION STABILITY INDEX between two corpus slices over length
     * bins — the standard "did the distribution move?" monitor (PSI >
     * 0.2 conventionally blocks a release). Fixed-width bins (100 chars,
@@ -4709,6 +4726,17 @@ object SparkEntry {
       .toDF("n_rows", "min_key", "max_key")
   }
 
+  /** DSv2 AGGREGATE PUSHDOWN gate: COUNT(*)/MIN/MAX through the
+    * connector are answered from the manifest at planning time
+    * (GraftAggScan — zero data files opened; TableSpec pins the plan
+    * shape and the decline paths). Must equal the v3 data replay.
+    */
+  private def qTableAggPushdown(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.table.GraftTableProvider")
+      .load(writtenTxnOrdersTable(s, dir))
+      .selectExpr("count(*) AS n_rows", "min(o_orderkey) AS min_key",
+        "max(o_orderkey) AS max_key")
+
   /** Latest table snapshot (v4, the clustered rewrite of v3): priority
     * rollup proving create→append→merge→delete→cluster composed right.
     */
@@ -5048,6 +5076,7 @@ object SparkEntry {
     "events_stream_join_agg" -> qEventsStreamJoinAgg,
     "q_psi_drift" -> qPsiDrift,
     "q_embed_drift" -> qEmbedDrift,
+    "q_shingle_gen" -> qShingleGen,
     "q_null_semantics" -> qNullSemantics,
     "q_unpivot" -> qUnpivot,
     "q_crossjoin" -> qCrossJoin,
@@ -5130,6 +5159,7 @@ object SparkEntry {
     "q_table_bloom" -> qTableBloom,
     "q_table_merge_full" -> qTableMergeFull,
     "q_table_fast_stats" -> qTableFastStats,
+    "q_table_agg_pushdown" -> qTableAggPushdown,
     "q_table_mor_delete" -> qTableMorDelete,
     "q_table_clone" -> qTableClone,
     "q_table_timetravel" -> qTableTimetravel,
@@ -5353,6 +5383,26 @@ object SparkEntry {
                  ELSE round(CAST(k_union - 1 AS DOUBLE) / u_k, 4) END), 4)
            AS intersection_est
        FROM agg ORDER BY grp_a, grp_b"""
+  }
+
+  /** Word-trigram generator replay: the same space-joined shingle
+    * strings hashed with Duck.fnv; docs with < 3 words contribute no
+    * rows (inner-generator semantics).
+    */
+  private lazy val shingleGenOracleSql: String = {
+    import Duck.fnv
+    s"""WITH w AS (SELECT doc_id, list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+             x -> x <> '') AS ws
+           FROM documents),
+         sh AS (SELECT doc_id, unnest(list_transform(
+             range(1, greatest(len(ws) - 1, 1)),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+           FROM w),
+         g AS (SELECT doc_id, ${fnv("s")} AS h FROM sh)
+       SELECT doc_id, COUNT(*) AS n_shingles,
+         COUNT(DISTINCT h) AS n_distinct
+       FROM g GROUP BY doc_id ORDER BY doc_id"""
   }
 
   /** Per-lang KMV distinct estimates — the one-shot batch truth the
@@ -7492,6 +7542,7 @@ object SparkEntry {
          FROM s ORDER BY doc_id""",
     "q_kmv_overlap" -> kmvOverlapOracleSql,
     "docs_stream_kmv" -> kmvDistinctOracleSql,
+    "q_shingle_gen" -> shingleGenOracleSql,
     // cross-slice brute-force near-dup truth (the Spark side is banded
     // LSH + exact verify — same pair set, never all-pairs)
     "q_contamination_fuzzy" ->
@@ -8003,6 +8054,13 @@ object SparkEntry {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
              AS sum_price
          FROM v3 GROUP BY 1 ORDER BY 1""",
+    // the DSv2-pushed aggregation must equal the v3 data replay too
+    "q_table_agg_pushdown" ->
+      s"""$txnTableCtes
+         SELECT COUNT(*) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+         FROM v3""",
     // metadata-served COUNT/min/max must equal the v3 data replay
     "q_table_fast_stats" ->
       s"""$txnTableCtes

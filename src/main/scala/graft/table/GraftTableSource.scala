@@ -149,9 +149,11 @@ class GraftWriteBuilder(
 class GraftScanBuilder(root: String, schema: StructType)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var filters: Array[sources.Filter] = Array.empty
   private var required: StructType = schema
+  private var aggResult: Option[(StructType, Array[Any])] = None
 
   override def pushFilters(fs: Array[sources.Filter]): Array[sources.Filter] = {
     filters = fs
@@ -160,8 +162,117 @@ class GraftScanBuilder(root: String, schema: StructType)
   override def pushedFilters(): Array[sources.Filter] = filters
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new GraftScan(root, required, filters)
+
+  /** AGGREGATE PUSHDOWN answered from the MANIFEST: an unfiltered,
+    * ungrouped COUNT(*) / MIN(col) / MAX(col) over the table never
+    * opens a data file — the per-file row counts and min/max stats the
+    * writers already paid for ARE the answer (the DSv2 twin of
+    * [[TxnTable.rowCount]]/[[TxnTable.statsRange]]). Declined — falling
+    * back to the ordinary scan — whenever the metadata cannot speak for
+    * the data: pushed filters present, GROUP BY present, unmaterialized
+    * MOR deletion vectors, a non-empty file without stats for the
+    * column, or a non-integral/double column type.
+    */
+  private def tryPlanAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[Any])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (filters.nonEmpty || agg.groupByExpressions().nonEmpty) return None
+    val m = GraftTableProvider.latestManifest(new Configuration(), root)
+    if (m.files.exists(_.dvs.exists(_.nonEmpty))) return None
+    val nonEmpty = m.files.filter(_.rows > 0)
+    def colName(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    def statsOf(c: String): Option[Seq[TxnTable.ColStats]] = {
+      val ss = nonEmpty.flatMap(_.stats.get(c))
+      if (ss.length == nonEmpty.length) Some(ss) else None
+    }
+    def convert(c: String, v: Double): Option[Any] =
+      schema.fields.find(_.name == c).map(_.dataType).flatMap {
+        case LongType => Some(v.toLong)
+        case IntegerType => Some(v.toInt)
+        case DoubleType => Some(v)
+        case FloatType => Some(v.toFloat)
+        case _ => None
+      }
+    val planned = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar =>
+        Some((StructField("count_star", LongType, nullable = false),
+          m.files.map(_.rows).sum: Any))
+      case mn: Min =>
+        for {
+          c <- colName(mn.column)
+          ss <- statsOf(c)
+          v <- if (ss.isEmpty) Some(null: Any)
+               else convert(c, ss.map(_.min).min)
+        } yield (StructField(s"min_$c",
+          schema.fields.find(_.name == c).get.dataType), v)
+      case mx: Max =>
+        for {
+          c <- colName(mx.column)
+          ss <- statsOf(c)
+          v <- if (ss.isEmpty) Some(null: Any)
+               else convert(c, ss.map(_.max).max)
+        } yield (StructField(s"max_$c",
+          schema.fields.find(_.name == c).get.dataType), v)
+      case _ => None
+    }
+    if (planned.exists(_.isEmpty)) None
+    else Some((StructType(planned.map(_.get._1)),
+      planned.map(_.get._2).toArray))
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = tryPlanAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    aggResult = tryPlanAgg(agg)
+    aggResult.isDefined
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some((aggSchema, values)) => new GraftAggScan(aggSchema, values)
+    case None => new GraftScan(root, required, filters)
+  }
 }
+
+/** Scan for a completely-pushed-down aggregation: one partition, one
+  * row, zero file IO — the values were folded from the manifest at
+  * planning time.
+  */
+class GraftAggScan(aggSchema: StructType, values: Array[Any])
+    extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftTableScan aggregated=[${aggSchema.fieldNames.mkString(", ")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(
+          partition: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          private val vals =
+            partition.asInstanceOf[GraftAggPartition].values
+          override def next(): Boolean =
+            if (emitted) false else { emitted = true; true }
+          override def get(): InternalRow = InternalRow.fromSeq(vals.toSeq)
+          override def close(): Unit = ()
+        }
+    }
+}
+
+case class GraftAggPartition(values: Array[Any]) extends InputPartition
 
 /** One input partition per surviving data file. */
 case class GraftInputPartition(filePath: String) extends InputPartition

@@ -1835,6 +1835,29 @@ class OpsSpec extends AnyFunSuite {
     assert(viaSql.isNullAt(1))
   }
 
+  test("native shingle generator: streams (pos, fnv) rows; short/null docs emit none") {
+    import graft.functions.WordShingles
+    WordShingles.register(spark)
+    import spark.implicits._
+    Seq((1L, "Alpha beta GAMMA delta"), (2L, "one two"),
+      (3L, null.asInstanceOf[String]))
+      .toDF("id", "text").createOrReplaceTempView("sh_v")
+    val rows = spark.sql(
+      """SELECT id, pos, shingle_hash FROM sh_v
+         LATERAL VIEW graft_shingles(text, 3) t AS pos, shingle_hash
+         ORDER BY id, pos""").collect()
+    // 4 words -> 2 trigram shingles for doc 1; docs 2 (short) and 3
+    // (null) emit nothing
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 1L))
+    assert(rows.map(_.getInt(1)).toSeq == Seq(0, 1))
+    assert(rows(0).getLong(2) == graft.util.Hashing.fnv("alpha beta gamma"))
+    assert(rows(1).getLong(2) == graft.util.Hashing.fnv("beta gamma delta"))
+    // width must be a plan-time literal
+    intercept[Exception] {
+      spark.sql("SELECT graft_shingles('a b c', 1 + 2)").collect()
+    }
+  }
+
   test("incremental KMV state over out-of-order batches == one-shot; replay merges are no-ops") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_kmv_tbl")

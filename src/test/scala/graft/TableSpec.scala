@@ -664,6 +664,37 @@ class TableSpec extends AnyFunSuite {
       Seq(1L, 2L, 3L))
   }
 
+  test("DSv2 aggregate pushdown: COUNT/MIN/MAX answered from the manifest, zero file reads") {
+    val root = freshRoot()
+    TxnTable.create(spark, root,
+      kv((5L, "a", 1.5), (2L, "b", 2.0), (9L, "c", 0.25)),
+      statsCols = Seq("k", "score"))
+    TxnTable.append(spark, root, kv((7L, "d", 9.75)),
+      statsCols = Seq("k", "score"))
+    val df = spark.read.format("graft.table.GraftTableProvider").load(root)
+    val agg = df.selectExpr("count(*) AS n", "min(k) AS mn",
+      "max(score) AS mx")
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("aggregated=["),
+      s"aggregation not answered by the manifest scan:\n$plan")
+    val r = agg.head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L &&
+      r.getDouble(2) == 9.75)
+    // a filter disqualifies complete pushdown: falls back to the file
+    // scan and still answers correctly
+    val filtered = df.filter(col("k") > 4).selectExpr("count(*) AS n")
+    assert(!filtered.queryExecution.executedPlan.toString
+      .contains("aggregated=["))
+    assert(filtered.head().getLong(0) == 3L)
+    // a column without complete stats declines too
+    val noStats = freshRoot()
+    TxnTable.create(spark, noStats, kv((1L, "a", 1.0)))
+    val ns = spark.read.format("graft.table.GraftTableProvider")
+      .load(noStats).selectExpr("min(k) AS mn")
+    assert(!ns.queryExecution.executedPlan.toString.contains("aggregated=["))
+    assert(ns.head().getLong(0) == 1L)
+  }
+
   test("mergeFull: matched update, unmatched insert, not-matched-by-source conditional delete") {
     val root = freshRoot()
     TxnTable.create(spark, root, kv(
