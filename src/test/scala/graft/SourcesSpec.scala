@@ -215,6 +215,55 @@ class SourcesSpec extends AnyFunSuite {
     assert(a == b, "shard assignment not reproducible across exports")
   }
 
+  test("parameterized SQL: named parameter markers bind without string splicing") {
+    // the injection-safe front-end surface: values bind as literals
+    val r = spark.sql(
+      "SELECT :base + 1 AS v, length(:s) AS n",
+      Map("base" -> 41, "s" -> "hello")).head()
+    assert(r.getInt(0) == 42 && r.getInt(1) == 5)
+    // positional markers too
+    val p = spark.sql("SELECT ? * ? AS v", Array(6, 7)).head()
+    assert(p.getInt(0) == 42)
+  }
+
+  test("approx_top_k sketch returns the exact heavy hitters on a skewed column") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.createOrReplaceTempView("docs_topk_v")
+    val approx = spark.sql(
+      "SELECT approx_top_k(source, 3) AS t FROM docs_topk_v")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1)))
+    val exact = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // small cardinality → the sketch holds every item exactly; returned
+    // counts must be TRUE counts, and (ties make membership ambiguous)
+    // every returned count must be at least the 3rd-largest true count
+    val cutoff = exact.values.toSeq.sorted(Ordering[Long].reverse)
+      .take(3).last
+    assert(approx.size == 3)
+    approx.foreach { case (item, cnt) =>
+      assert(exact(item) == cnt, s"sketch count wrong for $item")
+      assert(cnt >= cutoff, s"$item count $cnt below top-3 cutoff $cutoff")
+    }
+  }
+
+  test("SQL scripting: BEGIN/DECLARE/WHILE compound executes and returns the final SELECT") {
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try {
+      val out = spark.sql(
+        """BEGIN
+             DECLARE total INT DEFAULT 0;
+             DECLARE i INT DEFAULT 1;
+             WHILE i <= 5 DO
+               SET total = total + i;
+               SET i = i + 1;
+             END WHILE;
+             SELECT total AS s;
+           END""").head()
+      assert(out.getInt(0) == 15)
+    } finally spark.conf.unset("spark.sql.scripting.enabled")
+  }
+
   test("XML sink/source round-trips documents (Spark 4 built-in XML datasource)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "lang", "n_chars")
