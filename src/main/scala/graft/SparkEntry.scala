@@ -2321,6 +2321,23 @@ object SparkEntry {
       .orderBy("rule")
   }
 
+  /** NULL-SAFE join (`<=>` / IS NOT DISTINCT FROM): two per-status
+    * summaries joined on a NULLable key (NULLIF folds 'P' to NULL) —
+    * ordinary equality would silently drop the NULL group; the
+    * null-safe operator matches it. The dimension-conformance join
+    * every warehouse with optional keys needs.
+    */
+  private def qNullSafeJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = tbl(s, dir, "orders")
+    val a = o.groupBy(expr("nullif(o_orderstatus, 'P')").as("k"))
+      .agg(count(lit(1)).as("n_orders"))
+    val b = o.groupBy(expr("nullif(o_orderstatus, 'P')").as("kb"))
+      .agg(dsum(col("o_totalprice")).as("sum_price"))
+    a.join(b, col("k") <=> col("kb"))
+      .select(col("k"), col("n_orders"), col("sum_price"))
+      .orderBy(col("k").asc_nulls_first)
+  }
+
   /** RELATIONAL DIVISION ("for all"): customers with orders in EVERY
     * order priority — the classic universal-quantifier SQL shape,
     * planned as two distinct-count aggregates and a scalar-subquery
@@ -5187,6 +5204,7 @@ object SparkEntry {
     "q_islands" -> qIslands,
     "q_heavy_hitters" -> qHeavyHitters,
     "q_rel_division" -> qRelDivision,
+    "q_null_safe_join" -> qNullSafeJoin,
     "ann_filtered" -> qAnnFiltered,
     "q_data_profile" -> qDataProfile,
     "q_expectations" -> qExpectations,
@@ -7685,6 +7703,17 @@ object SparkEntry {
          SELECT 'status_in_domain', n_rows, v_status_in_domain,
            v_status_in_domain = 0 FROM b
          ORDER BY rule""",
+    "q_null_safe_join" ->
+      """WITH a AS (SELECT nullif(o_orderstatus, 'P') AS k,
+             COUNT(*) AS n_orders
+           FROM orders GROUP BY 1),
+         b AS (SELECT nullif(o_orderstatus, 'P') AS kb,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_price
+           FROM orders GROUP BY 1)
+         SELECT a.k, a.n_orders, b.sum_price
+         FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.kb
+         ORDER BY a.k NULLS FIRST""",
     "q_rel_division" ->
       """SELECT o_custkey AS c_custkey,
            COUNT(DISTINCT o_orderpriority) AS n_prio

@@ -735,6 +735,10 @@ object TxnTable {
       tombstones: DataFrame,
       keyCols: Seq[String]): Long = {
     require(keyCols.nonEmpty, "deleteMor needs at least one key column")
+    // existence check BEFORE the sidecar write — a missing table must
+    // not leave an orphan dv parquet behind the error
+    latestVersion(spark, root).getOrElse(
+      sys.error(s"no table at $root — create() first"))
     val rel =
       s"$DataDir/dv-${java.util.UUID.randomUUID.toString.take(8)}"
     tombstones.select(keyCols.map(col): _*).distinct()

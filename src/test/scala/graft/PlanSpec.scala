@@ -515,6 +515,25 @@ class PlanSpec extends AnyFunSuite {
       s"curriculum bucketing must not use a rank window:\n$plan")
   }
 
+  test("SQL join hints are honored: BROADCAST, MERGE, SHUFFLE_HASH pick their exec") {
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    c.createOrReplaceTempView("hint_c")
+    o.createOrReplaceTempView("hint_o")
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def planFor(hint: String): String = spark.sql(
+        s"""SELECT /*+ $hint(hint_c) */ count(*)
+            FROM hint_o JOIN hint_c ON o_custkey = c_custkey""")
+        .queryExecution.executedPlan.toString
+      assert(planFor("BROADCAST").contains("BroadcastHashJoin"))
+      assert(planFor("MERGE").contains("SortMergeJoin"))
+      assert(planFor("SHUFFLE_HASH").contains("ShuffledHashJoin"))
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("q_data_profile: four columns' null/distinct/min/max profile runs as ONE scan") {
     val plan = planOf("q_data_profile")
     // count the numbered node headers, not the tree echo of each node

@@ -602,6 +602,32 @@ class TableSpec extends AnyFunSuite {
     assert(p.count() == 1)
   }
 
+  test("layout evolution: clustered era prunes tightly, arrival-ordered era reads conservatively, answers exact") {
+    val root = freshRoot()
+    // era 1: clustered on k -> disjoint per-file ranges
+    val era1 = spark.range(0, 400).select(
+      col("id").as("k"), lit("x").as("name"),
+      col("id").cast("double").as("score"))
+    TxnTable.create(spark, root, era1, statsCols = Seq("k"))
+    TxnTable.cluster(spark, root, Seq("k"), nFiles = 4,
+      statsCols = Seq("k"))
+    // era 2: arrival-ordered append (interleaved keys, wide stats)
+    val era2 = spark.range(400, 800).select(
+      col("id").as("k"), lit("y").as("name"),
+      col("id").cast("double").as("score"))
+      .orderBy(expr("id % 7")) // scrambled arrival order
+    TxnTable.append(spark, root, era2, statsCols = Seq("k"))
+    val total = TxnTable.snapshot(spark, root).inputFiles.length
+    // probe inside era 1's key space: era-1 files prune to ~1, era-2
+    // files are kept only where stats overlap — strictly fewer than all
+    val probe = TxnTable.snapshotPruned(spark, root, "k", 10.0, 20.0)
+    assert(probe.inputFiles.length < total,
+      s"no pruning across mixed-layout eras (${probe.inputFiles.length}/$total)")
+    assert(probe.filter(col("k").between(10, 20)).count() == 11)
+    // both eras answer: full count intact across the mixed layout
+    assert(TxnTable.snapshot(spark, root).count() == 800)
+  }
+
   test("deleteMor: no data rewrite; re-insert visible; rewrite materializes") {
     val root = freshRoot()
     TxnTable.create(spark, root,
