@@ -2547,6 +2547,21 @@ object SparkEntry {
       .orderBy("event_id", "view_event_id")
   }
 
+  /** The deterministic watermark-complete cut shared by the outer-join
+    * and chained-stateful gates: min of the purchase/view streams' max
+    * event times minus the 2h watermark delay, computed in ONE scan.
+    * The 7200000000 (2h in µs) here and the `watermark = "2 hours"`
+    * passed to intervalJoinStreams must stay in lockstep.
+    */
+  private def purchaseViewWmCutUs(s: SparkSession, dir: String): Long = {
+    val r = withTsUs(tbl(s, dir, "events"))
+      .agg(
+        max(when(col("event_type") === "purchase", col("ts_us"))).as("p"),
+        max(when(col("event_type") === "view", col("ts_us"))).as("v"))
+      .head()
+    math.min(r.getLong(0), r.getLong(1)) - 7200000000L
+  }
+
   /** STREAM-STREAM LEFT OUTER interval join — the join type the inner
     * gate can't prove: an unmatched purchase must STILL emit (views
     * NULL) once the watermark passes its one-hour lookback window, and
@@ -2573,13 +2588,7 @@ object SparkEntry {
         col("r_event_id").as("view_event_id"),
         unix_micros(col("r_ts_event")).as("view_ts_us"))
     val log = streamToDeltaLog(s, joined, "append")
-    // watermark-complete cut: min over the two sides' per-stream maxima
-    val ev = withTsUs(tbl(s, dir, "events"))
-    val maxP = ev.filter(col("event_type") === "purchase")
-      .agg(max(col("ts_us"))).head().getLong(0)
-    val maxV = ev.filter(col("event_type") === "view")
-      .agg(max(col("ts_us"))).head().getLong(0)
-    val wmCut = math.min(maxP, maxV) - 7200000000L
+    val wmCut = purchaseViewWmCutUs(s, dir)
     readDeltaLog(s, log, joined.schema)
       .filter(col("ts_us") < wmCut)
       .select("event_id", "ts_us", "view_event_id", "view_ts_us")
@@ -2613,12 +2622,7 @@ object SparkEntry {
         unix_micros(col("window.end")).as("window_end_us"),
         col("n_pairs"))
     val log = streamToDeltaLog(s, agg, "append")
-    val ev = withTsUs(tbl(s, dir, "events"))
-    val maxP = ev.filter(col("event_type") === "purchase")
-      .agg(max(col("ts_us"))).head().getLong(0)
-    val maxV = ev.filter(col("event_type") === "view")
-      .agg(max(col("ts_us"))).head().getLong(0)
-    val wmCut = math.min(maxP, maxV) - 7200000000L
+    val wmCut = purchaseViewWmCutUs(s, dir)
     readDeltaLog(s, log, agg.schema)
       .filter(col("window_end_us") <= wmCut)
       .select("window_start_us", "n_pairs")
@@ -4738,6 +4742,11 @@ object SparkEntry {
     val n = graft.table.TxnTable.rowCount(s, root)
     val r = graft.table.TxnTable.statsRange(s, root, "o_orderkey")
       .getOrElse(sys.error("o_orderkey stats missing from the manifest"))
+    // stats are double-space: exactness of the long conversion requires
+    // |v| <= 2^53 (holds for every TPC-H key; guarded, not assumed)
+    require(math.abs(r.min) <= 9007199254740992.0 &&
+      math.abs(r.max) <= 9007199254740992.0,
+      "o_orderkey stats outside the double-exact integer range")
     import s.implicits._
     Seq((n, r.min.toLong, r.max.toLong))
       .toDF("n_rows", "min_key", "max_key")

@@ -44,7 +44,9 @@ case class WordShingles(child: Expression, width: Int)
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val raw = child.eval(input)
     if (raw == null) return Nil
-    val words = raw.toString.toLowerCase
+    // Locale.ROOT: default-locale toLowerCase folds 'I' to dotless-i
+    // under tr_TR, changing word boundaries vs Spark/DuckDB lower()
+    val words = raw.toString.toLowerCase(java.util.Locale.ROOT)
       .split("[^a-z0-9_]+").filter(_.nonEmpty)
     if (words.length < width) Nil
     else new Iterator[InternalRow] {

@@ -173,13 +173,22 @@ class GraftScanBuilder(root: String, schema: StructType)
     * MOR deletion vectors, a non-empty file without stats for the
     * column, or a non-integral/double column type.
     */
+  // ONE manifest read serves both planner callbacks
+  // (supportCompletePushDown and pushAggregation both plan the same
+  // aggregation) — re-reading would double the planning-time metadata
+  // IO and open a window where a concurrent commit makes the two
+  // answers disagree.
+  private lazy val manifestForAgg: Option[TxnTable.Manifest] =
+    try Some(GraftTableProvider.latestManifest(new Configuration(), root))
+    catch { case _: Exception => None }
+
   private def tryPlanAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[(StructType, Array[Any])] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     import org.apache.spark.sql.connector.expressions.NamedReference
     if (filters.nonEmpty || agg.groupByExpressions().nonEmpty) return None
-    val m = GraftTableProvider.latestManifest(new Configuration(), root)
+    val m = manifestForAgg.getOrElse(return None)
     if (m.files.exists(_.dvs.exists(_.nonEmpty))) return None
     val nonEmpty = m.files.filter(_.rows > 0)
     def colName(e: org.apache.spark.sql.connector.expressions.Expression)
@@ -192,10 +201,14 @@ class GraftScanBuilder(root: String, schema: StructType)
       val ss = nonEmpty.flatMap(_.stats.get(c))
       if (ss.length == nonEmpty.length) Some(ss) else None
     }
+    // stats live in DOUBLE space: an integral value above 2^53 was
+    // stored lossily, so converting back to long could be off-by-one —
+    // decline the pushdown (the ordinary scan answers exactly)
+    val MaxExact = 9007199254740992.0 // 2^53
     def convert(c: String, v: Double): Option[Any] =
       schema.fields.find(_.name == c).map(_.dataType).flatMap {
-        case LongType => Some(v.toLong)
-        case IntegerType => Some(v.toInt)
+        case LongType if math.abs(v) <= MaxExact => Some(v.toLong)
+        case IntegerType if math.abs(v) <= MaxExact => Some(v.toInt)
         case DoubleType => Some(v)
         case FloatType => Some(v.toFloat)
         case _ => None

@@ -862,10 +862,16 @@ object TxnTable {
     files.map(_.rows).sum
   }
 
-  /** EXACT global [min, max] of a stats column from the manifest alone:
-    * every row lives in some file, so min-of-file-mins IS the table min.
-    * None when any non-empty file lacks stats for the column (a claim
-    * the metadata cannot back) — callers fall back to a scan.
+  /** Global [min, max] of a stats column from the manifest alone, in
+    * the DOUBLE-comparable stats space: every row lives in some file,
+    * so min-of-file-mins IS the table min. None when any non-empty file
+    * lacks stats for the column, or when merge-on-read deletion vectors
+    * are pending (a deleted row may be the extremum) — callers fall
+    * back to a scan. CAVEAT for integral columns: stats were collected
+    * through a double cast, so values above 2^53 are lossy — a caller
+    * converting back to long must check |v| ≤ 2^53 before claiming
+    * exactness (the DSv2 aggregate pushdown declines outside that
+    * range).
     */
   def statsRange(
       spark: SparkSession, root: String, column: String): Option[ColStats] = {
