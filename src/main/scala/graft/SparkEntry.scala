@@ -4752,6 +4752,30 @@ object SparkEntry {
       .toDF("n_rows", "min_key", "max_key")
   }
 
+  /** DSv2 TIME TRAVEL gate: `.option("versionAsOf", 1)` pins the
+    * connector read to the pre-merge v1 manifest — same truth as
+    * q_table_timetravel, proven through the planner-integrated path
+    * (schema AND file set both resolve from the pinned version).
+    */
+  private def qTableDsv2Timetravel(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.table.GraftTableProvider")
+      .option("versionAsOf", "1")
+      .load(writtenTxnOrdersTable(s, dir))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+
+  /** GROUP BY ALL (Spark 4 SQL sugar — every non-aggregate select item
+    * becomes a grouping key; both engines support it verbatim).
+    */
+  private def qGroupByAll(s: SparkSession, dir: String): DataFrame = {
+    tbl(s, dir, "documents").createOrReplaceTempView("docs_gba_v")
+    s.sql(
+      """SELECT lang, source, COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         FROM docs_gba_v GROUP BY ALL ORDER BY lang, source""")
+  }
+
   /** DSv2 AGGREGATE PUSHDOWN gate: COUNT(*)/MIN/MAX through the
     * connector are answered from the manifest at planning time
     * (GraftAggScan — zero data files opened; TableSpec pins the plan
@@ -5186,6 +5210,8 @@ object SparkEntry {
     "q_table_merge_full" -> qTableMergeFull,
     "q_table_fast_stats" -> qTableFastStats,
     "q_table_agg_pushdown" -> qTableAggPushdown,
+    "q_table_dsv2_timetravel" -> qTableDsv2Timetravel,
+    "q_group_by_all" -> qGroupByAll,
     "q_table_mor_delete" -> qTableMorDelete,
     "q_table_clone" -> qTableClone,
     "q_table_timetravel" -> qTableTimetravel,
@@ -8092,6 +8118,17 @@ object SparkEntry {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
              AS sum_price
          FROM v3 GROUP BY 1 ORDER BY 1""",
+    // the connector's pinned-version read must equal the v1 replay
+    "q_table_dsv2_timetravel" ->
+      s"""$txnTableCtes
+         SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price
+         FROM v1 GROUP BY 1 ORDER BY 1""",
+    "q_group_by_all" ->
+      """SELECT lang, source, COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         FROM documents GROUP BY ALL ORDER BY lang, source""",
     // the DSv2-pushed aggregation must equal the v3 data replay too
     "q_table_agg_pushdown" ->
       s"""$txnTableCtes

@@ -40,7 +40,8 @@ class GraftTableProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val root = GraftTableProvider.rootOf(options)
     val conf = new Configuration()
-    val m = GraftTableProvider.latestManifest(conf, root)
+    val m = GraftTableProvider.manifestFor(conf, root,
+      GraftTableProvider.versionOf(options))
     // All-nullable: schema evolution means ANY column can be absent
     // (and thus NULL) in pre-evolution files — a non-nullable field
     // would let Spark constant-fold IsNull and mis-read the nulls.
@@ -61,10 +62,22 @@ object GraftTableProvider {
     require(p != null && p.nonEmpty, "graft table source requires a path")
     p
   }
+  /** Time travel through the connector: `.option("versionAsOf", v)`
+    * pins both the schema inference and the scan to version v's
+    * manifest — the DSv2 twin of [[TxnTable.snapshotAt]].
+    */
+  def versionOf(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("versionAsOf")).map { v =>
+      v.toLongOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"versionAsOf must be an integer version, got '$v'"))
+    }
   /** Manifest read WITHOUT a SparkSession (DSv2 runs during planning
     * and on executors): same layout as [[TxnTable]], Hadoop FS only.
+    * `version = None` resolves the latest committed manifest.
     */
-  def latestManifest(conf: Configuration, root: String): TxnTable.Manifest = {
+  def manifestFor(conf: Configuration, root: String,
+      version: Option[Long]): TxnTable.Manifest = {
     val dir = new Path(root, "_log")
     val fs = dir.getFileSystem(conf)
     val vs = fs.listStatus(dir).toSeq
@@ -73,7 +86,11 @@ object GraftTableProvider {
         n.stripPrefix("v").stripSuffix(".json").toLong
       }
     require(vs.nonEmpty, s"no graft table at $root")
-    val p = new Path(dir, f"v${vs.max}%020d.json")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v),
+      s"versionAsOf $v: no such committed version at $root " +
+        s"(have ${vs.min}..${vs.max})")
+    val p = new Path(dir, f"v$v%020d.json")
     val in = fs.open(p)
     val bytes =
       try {
@@ -86,6 +103,9 @@ object GraftTableProvider {
     org.json4s.jackson.Serialization.read[TxnTable.Manifest](
       new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
   }
+
+  def latestManifest(conf: Configuration, root: String): TxnTable.Manifest =
+    manifestFor(conf, root, None)
 }
 
 class GraftTable(root: String, tableSchema: StructType)
@@ -102,7 +122,8 @@ class GraftTable(root: String, tableSchema: StructType)
       TableCapability.TRUNCATE)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(root, tableSchema)
+    new GraftScanBuilder(root, tableSchema,
+      GraftTableProvider.versionOf(options))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -146,7 +167,8 @@ class GraftWriteBuilder(
     }
 }
 
-class GraftScanBuilder(root: String, schema: StructType)
+class GraftScanBuilder(root: String, schema: StructType,
+    version: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -179,7 +201,8 @@ class GraftScanBuilder(root: String, schema: StructType)
   // IO and open a window where a concurrent commit makes the two
   // answers disagree.
   private lazy val manifestForAgg: Option[TxnTable.Manifest] =
-    try Some(GraftTableProvider.latestManifest(new Configuration(), root))
+    try Some(GraftTableProvider.manifestFor(
+      new Configuration(), root, version))
     catch { case _: Exception => None }
 
   private def tryPlanAgg(
@@ -253,7 +276,7 @@ class GraftScanBuilder(root: String, schema: StructType)
 
   override def build(): Scan = aggResult match {
     case Some((aggSchema, values)) => new GraftAggScan(aggSchema, values)
-    case None => new GraftScan(root, required, filters)
+    case None => new GraftScan(root, required, filters, version)
   }
 }
 
@@ -291,7 +314,8 @@ case class GraftAggPartition(values: Array[Any]) extends InputPartition
 case class GraftInputPartition(filePath: String) extends InputPartition
 
 class GraftScan(
-    root: String, required: StructType, filters: Array[sources.Filter])
+    root: String, required: StructType, filters: Array[sources.Filter],
+    version: Option[Long] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -337,7 +361,7 @@ class GraftScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = new Configuration()
-    val m = GraftTableProvider.latestManifest(conf, root)
+    val m = GraftTableProvider.manifestFor(conf, root, version)
     // this file-at-a-time reader cannot apply MOR deletion-vector
     // anti-joins; refuse loudly rather than resurrect deleted rows
     require(m.files.forall(_.dvs.isEmpty),

@@ -690,6 +690,37 @@ class TableSpec extends AnyFunSuite {
       Seq(1L, 2L, 3L))
   }
 
+  test("DSv2 versionAsOf: pinned read resolves old files AND old schema; bad versions refused") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, kv((1L, "a", 1.0), (2L, "b", 2.0)))
+    // v1 evolves the schema; v2 rewrites the data
+    TxnTable.append(spark, root,
+      kv((3L, "c", 3.0)).withColumn("extra", lit(7L)))
+    TxnTable.overwrite(spark, root, kv((9L, "z", 9.0)))
+    def read(v: Long) = spark.read
+      .format("graft.table.GraftTableProvider")
+      .option("versionAsOf", v.toString).load(root)
+    // v0: pre-evolution schema (no `extra`), pre-overwrite rows
+    assert(!read(0).columns.contains("extra"))
+    assert(read(0).select("k").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L))
+    // v1: evolved schema, evolution nulls on old files
+    val v1 = read(1)
+    assert(v1.columns.contains("extra"))
+    assert(v1.select("k").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    assert(v1.filter(col("extra").isNull).count() == 2)
+    // latest (no option) sees only the overwrite
+    assert(spark.read.format("graft.table.GraftTableProvider").load(root)
+      .select("k").as[Long].collect().toSeq == Seq(9L))
+    // unknown and malformed versions are loud errors
+    intercept[Exception] { read(99).collect() }
+    intercept[Exception] {
+      spark.read.format("graft.table.GraftTableProvider")
+        .option("versionAsOf", "abc").load(root).collect()
+    }
+  }
+
   test("DSv2 aggregate pushdown: COUNT/MIN/MAX answered from the manifest, zero file reads") {
     val root = freshRoot()
     TxnTable.create(spark, root,
