@@ -886,6 +886,60 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** AS-OF JOIN WITH TOLERANCE (pandas merge_asof's `tolerance` / the
+    * feature-store max-staleness contract): a backward match older than
+    * 30 minutes is WITHDRAWN (nulled), because serving a stale feature
+    * is worse than serving none. Composes the existing as-of kernel
+    * with one narrow staleness projection — no new shuffle; the oracle
+    * applies the same CASE over DuckDB's ASOF JOIN.
+    */
+  private def qAsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val ev = withTsUs(tbl(s, dir, "events"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us").as("view_ts_us"),
+        col("event_id").as("view_event_id"))
+    val tolUs = 1800000000L // 30 min
+    val joined = graft.ops.AsOfJoin
+      .asOf(purchases, views, Seq("user_id"), "ts_us", "view_ts_us",
+        Seq("view_ts_us", "view_event_id"))
+    val fresh = col("asof_view_ts_us").isNotNull &&
+      col("ts_us") - col("asof_view_ts_us") <= tolUs
+    joined
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        when(fresh, col("asof_view_ts_us")).as("asof_view_ts_us"),
+        when(fresh, col("asof_view_event_id")).as("asof_view_event_id"),
+        fresh.as("within_tolerance"))
+      .orderBy("event_id")
+  }
+
+  /** ROLLING MEDIAN over a trailing 7-row frame per user — the robust
+    * rolling statistic Spark has no native window function for:
+    * composed as sort_array(collect_list) over the ROWS frame with the
+    * interpolated-median formula (odd → middle; even → mean of the two
+    * middles, exactly quantile_cont(0.5)). The frame is bounded (7
+    * values), so the per-row array is O(frame), never O(partition).
+    */
+  private def qRollingMedian(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(-6, 0)
+    withTsUs(tbl(s, dir, "events"))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+      .withColumn("arr", sort_array(collect_list(col("value")).over(w)))
+      .withColumn("n", size(col("arr")))
+      .withColumn("rolling_median", round(
+        when(col("n") % 2 === 1,
+          expr("element_at(arr, cast((n + 1) div 2 AS INT))"))
+          .otherwise((expr("element_at(arr, cast(n div 2 AS INT))") +
+            expr("element_at(arr, cast(n div 2 + 1 AS INT))")) / 2.0), 6))
+      .select("event_id", "user_id", "ts_us", "rolling_median")
+      .orderBy("event_id")
+  }
+
   /** Same as-of semantics through the NATIVE custom operator
     * (plans/AsOfJoinNative: resolved LogicalPlan -> planner Strategy ->
     * sort-merge AsOfJoinExec; one exchange per side, single merge pass).
@@ -5067,6 +5121,8 @@ object SparkEntry {
     "events_sessions" -> qEventsSessions,
     "events_hopping" -> qEventsHopping,
     "q_asof_join" -> qAsofJoin,
+    "q_asof_tolerance" -> qAsofTolerance,
+    "q_rolling_median" -> qRollingMedian,
     "q_asof_join_native" -> qAsofJoinNative,
     "q_centroids" -> qCentroids,
     "events_stream_tumbling" -> qEventsStreamTumbling,
@@ -6369,6 +6425,30 @@ object SparkEntry {
            CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_extendedprice
              END AS DECIMAL(18,6))) AS DOUBLE) AS rev_o
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_rolling_median" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           round(median(value) OVER (PARTITION BY user_id
+             ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+             AS rolling_median
+         FROM events WHERE event_type = 'purchase'
+         ORDER BY event_id""",
+    "q_asof_tolerance" ->
+      """WITH j AS (
+           SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+             epoch_us(v.ts) AS m_ts, v.event_id AS m_id
+           FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+             ON p.user_id = v.user_id
+               AND epoch_us(p.ts) >= epoch_us(v.ts))
+         SELECT event_id, user_id, ts_us,
+           CASE WHEN m_ts IS NOT NULL AND ts_us - m_ts <= 1800000000
+                THEN m_ts END AS asof_view_ts_us,
+           CASE WHEN m_ts IS NOT NULL AND ts_us - m_ts <= 1800000000
+                THEN m_id END AS asof_view_event_id,
+           coalesce(m_ts IS NOT NULL AND ts_us - m_ts <= 1800000000,
+             FALSE) AS within_tolerance
+         FROM j ORDER BY event_id""",
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
            epoch_us(v.ts) AS asof_view_ts_us,
