@@ -914,6 +914,64 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** PARETO / cumulative-share analysis: sources ranked by revenue with
+    * each one's share and RUNNING share — "which head of the
+    * distribution covers 80%?". A window over an already-aggregated
+    * #sources-row input: the expensive scan reduces first, the ordered
+    * cumulative sum runs over the tiny aggregate (the only sound place
+    * for an unpartitioned window).
+    */
+  private def qPareto(s: SparkSession, dir: String): DataFrame = {
+    val per = withTsUs(tbl(s, dir, "events"))
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(col("value").cast("decimal(18,6)")).as("rev"))
+    val tot = per.agg(sum(col("rev")).as("t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rev").desc, col("user_id"))
+      .rowsBetween(Long.MinValue, 0)
+    per.crossJoin(broadcast(tot))
+      .withColumn("cum", sum(col("rev")).over(w))
+      .select(col("user_id"),
+        col("rev").cast("double").as("revenue"),
+        round(col("rev").cast("double") / col("t").cast("double"), 6)
+          .as("share"),
+        round(col("cum").cast("double") / col("t").cast("double"), 6)
+          .as("cum_share"))
+      .orderBy(col("revenue").desc, col("user_id"))
+      .limit(25)
+  }
+
+  /** TIME-WEIGHTED AVERAGE (TWAP): each observation weighted by how
+    * long it was current (lead(ts) − ts within the user's timeline;
+    * the final open-ended observation is excluded) — the correct mean
+    * for irregularly sampled series, where the row-mean over-weights
+    * bursts. One user-keyed window + one aggregate; DECIMAL weighted
+    * sums so partitioning cannot move the result.
+    */
+  private def qTwap(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    withTsUs(tbl(s, dir, "events"))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+      .withColumn("dt_us", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+      .filter(col("dt_us").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_obs"),
+        // divide as DOUBLE of the exact decimal sums: decimal-division
+        // scale rules differ between engines; double division of
+        // identical operands does not
+        (sum((col("value") * col("dt_us")).cast("decimal(28,6)"))
+          .cast("double") /
+          sum(col("dt_us").cast("decimal(28,6)")).cast("double"))
+          .as("twap0"))
+      .select(col("user_id"), col("n_obs"),
+        round(col("twap0"), 6).as("twap"))
+      .orderBy("user_id")
+  }
+
   /** ROLLING MEDIAN over a trailing 7-row frame per user — the robust
     * rolling statistic Spark has no native window function for:
     * composed as sort_array(collect_list) over the ROWS frame with the
@@ -5123,6 +5181,8 @@ object SparkEntry {
     "q_asof_join" -> qAsofJoin,
     "q_asof_tolerance" -> qAsofTolerance,
     "q_rolling_median" -> qRollingMedian,
+    "q_pareto" -> qPareto,
+    "q_twap" -> qTwap,
     "q_asof_join_native" -> qAsofJoinNative,
     "q_centroids" -> qCentroids,
     "events_stream_tumbling" -> qEventsStreamTumbling,
@@ -6425,6 +6485,35 @@ object SparkEntry {
            CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_extendedprice
              END AS DECIMAL(18,6))) AS DOUBLE) AS rev_o
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_pareto" ->
+      """WITH per AS (SELECT user_id,
+             SUM(CAST(value AS DECIMAL(18,6))) AS rev
+           FROM events WHERE event_type = 'purchase'
+           GROUP BY user_id),
+         tot AS (SELECT SUM(rev) AS t FROM per),
+         c AS (SELECT user_id, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, user_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM per)
+         SELECT c.user_id, CAST(c.rev AS DOUBLE) AS revenue,
+           round(CAST(c.rev AS DOUBLE) / CAST(t.t AS DOUBLE), 6) AS share,
+           round(CAST(c.cum AS DOUBLE) / CAST(t.t AS DOUBLE), 6)
+             AS cum_share
+         FROM c CROSS JOIN tot t
+         ORDER BY revenue DESC, c.user_id LIMIT 25""",
+    "q_twap" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+           FROM events WHERE event_type = 'purchase'),
+         d AS (SELECT user_id, value,
+             lead(ts_us) OVER (PARTITION BY user_id
+               ORDER BY ts_us, event_id) - ts_us AS dt_us
+           FROM e)
+         SELECT user_id, COUNT(*) AS n_obs,
+           round(CAST(SUM(CAST(value * dt_us AS DECIMAL(28,6))) AS DOUBLE)
+             / CAST(SUM(CAST(dt_us AS DECIMAL(28,6))) AS DOUBLE), 6)
+             AS twap
+         FROM d WHERE dt_us IS NOT NULL
+         GROUP BY user_id ORDER BY user_id""",
     "q_rolling_median" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
            round(median(value) OVER (PARTITION BY user_id
