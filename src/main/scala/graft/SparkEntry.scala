@@ -914,6 +914,38 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** SKYLINE (Pareto-optimal frontier): (price, size) pairs no other
+    * part strictly dominates (≤ price AND ≥ size, better in one) — the
+    * multi-objective shortlist query. TWO-PHASE sort-based algorithm:
+    * a hash-bucketed LOCAL skyline pass first (a point dominated within
+    * any subset is dominated globally, so local losers are safe to
+    * drop), then the global pass runs its one unpartitioned window over
+    * the few survivors — never over the full distinct-pair set. Both
+    * phases are the same running-max-of-size-over-cheaper-rows prune;
+    * the ORACLE is the brute-force NOT EXISTS dominance scan, so the
+    * window algebra is cross-checked against the definition itself.
+    */
+  private def qSkyline(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "part")
+      .select(col("p_retailprice").as("price"), col("p_size").as("size"))
+      .groupBy("price", "size").agg(count(lit(1)).as("n_parts"))
+      .withColumn("b", pmod(xxhash64(col("price"), col("size")), lit(16)))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy("b").orderBy(col("price").asc, col("size").desc)
+      .rowsBetween(Long.MinValue, -1)
+    val local = d
+      .withColumn("mp", max(col("size")).over(wLocal))
+      .filter(col("mp").isNull || col("mp") < col("size"))
+    val wGlobal = org.apache.spark.sql.expressions.Window
+      .orderBy(col("price").asc, col("size").desc)
+      .rowsBetween(Long.MinValue, -1)
+    local
+      .withColumn("mg", max(col("size")).over(wGlobal))
+      .filter(col("mg").isNull || col("mg") < col("size"))
+      .select("price", "size", "n_parts")
+      .orderBy("price", "size")
+  }
+
   /** PARETO / cumulative-share analysis: sources ranked by revenue with
     * each one's share and RUNNING share — "which head of the
     * distribution covers 80%?". A window over an already-aggregated
@@ -5182,6 +5214,7 @@ object SparkEntry {
     "q_asof_tolerance" -> qAsofTolerance,
     "q_rolling_median" -> qRollingMedian,
     "q_pareto" -> qPareto,
+    "q_skyline" -> qSkyline,
     "q_twap" -> qTwap,
     "q_asof_join_native" -> qAsofJoinNative,
     "q_centroids" -> qCentroids,
@@ -6485,6 +6518,15 @@ object SparkEntry {
            CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_extendedprice
              END AS DECIMAL(18,6))) AS DOUBLE) AS rev_o
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_skyline" ->
+      """WITH d AS (SELECT p_retailprice AS price, p_size AS size,
+             COUNT(*) AS n_parts
+           FROM part GROUP BY 1, 2)
+         SELECT price, size, n_parts FROM d p
+         WHERE NOT EXISTS (SELECT 1 FROM d q
+           WHERE q.price <= p.price AND q.size >= p.size
+             AND (q.price < p.price OR q.size > p.size))
+         ORDER BY price, size""",
     "q_pareto" ->
       """WITH per AS (SELECT user_id,
              SUM(CAST(value AS DECIMAL(18,6))) AS rev
