@@ -149,7 +149,11 @@ object Bench {
       "dedup_incremental", "q_perplexity", "q_boilerplate",
       "q_knn_eval", "q_table_snapshot", "q_table_cdc",
       "docs_stream_table", "q_table_maintenance", "q_pca_project",
-      "q_pagerank", "q_quality_classifier")
+      "q_pagerank", "q_quality_classifier",
+      // round-7 flagships: sketch overlap, bloom point lookup, MOR
+      // delete, matryoshka ANN, chained stateful streaming
+      "q_kmv_overlap", "q_table_bloom", "q_table_mor_delete",
+      "ann_matryoshka", "events_stream_join_agg")
     val fullLine = jsonLine(results)
     val headLine = jsonLine(headline.flatMap(h => resultMap.get(h).map(h -> _)))
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
