@@ -914,6 +914,30 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** CONVERSION LAG: per user, the time from FIRST view to FIRST
+    * purchase (users who purchased before any view, or never did both,
+    * are excluded) — the time-to-convert metric product analytics pairs
+    * with the funnel. One keyed aggregate (two conditional MINs), no
+    * window, no join.
+    */
+  private def qConversionLag(s: SparkSession, dir: String): DataFrame =
+    withTsUs(tbl(s, dir, "events"))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts_us")))
+          .as("first_view_us"),
+        min(when(col("event_type") === "purchase", col("ts_us")))
+          .as("first_purchase_us"))
+      .filter(col("first_view_us").isNotNull &&
+        col("first_purchase_us").isNotNull &&
+        col("first_purchase_us") >= col("first_view_us"))
+      .select(col("user_id"),
+        // integer DIV, not `/`+cast: Spark's double-divide-then-cast
+        // truncates but DuckDB's BIGINT cast rounds — div matches `//`
+        expr("(first_purchase_us - first_view_us) div 60000000")
+          .as("lag_minutes"))
+      .orderBy("user_id")
+
   /** SKYLINE (Pareto-optimal frontier): (price, size) pairs no other
     * part strictly dominates (≤ price AND ≥ size, better in one) — the
     * multi-objective shortlist query. TWO-PHASE sort-based algorithm:
@@ -5215,6 +5239,7 @@ object SparkEntry {
     "q_rolling_median" -> qRollingMedian,
     "q_pareto" -> qPareto,
     "q_skyline" -> qSkyline,
+    "q_conversion_lag" -> qConversionLag,
     "q_twap" -> qTwap,
     "q_asof_join_native" -> qAsofJoinNative,
     "q_centroids" -> qCentroids,
@@ -6518,6 +6543,17 @@ object SparkEntry {
            CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_extendedprice
              END AS DECIMAL(18,6))) AS DOUBLE) AS rev_o
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_conversion_lag" ->
+      """WITH a AS (SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+               AS fv,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS fp
+           FROM events GROUP BY user_id)
+         SELECT user_id, (fp - fv) // 60000000 AS lag_minutes
+         FROM a
+         WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv
+         ORDER BY user_id""",
     "q_skyline" ->
       """WITH d AS (SELECT p_retailprice AS price, p_size AS size,
              COUNT(*) AS n_parts
