@@ -914,6 +914,48 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** A/B LIFT analysis: users hash-assigned 50/50 (the splitAssign
+    * md5-uniform, so assignment is reproducible across engines and
+    * reruns — the property an experiment readout must have), per-arm
+    * conversion rates and the two-proportion z statistic in one row.
+    * The deterministic end of the experimentation pipeline; the oracle
+    * replays the hash fold, the rates, and the pooled-variance z.
+    */
+  private def qAbLift(s: SparkSession, dir: String): DataFrame = {
+    val perUser = withTsUs(tbl(s, dir, "events"))
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+        .as("purchased"))
+    val assigned = graft.ops.Sampling
+      .splitAssign(perUser, "user_id", seed = 11L,
+        trainFrac = 0.5, valFrac = 0.25)
+      .withColumn("in_a", col("split_u") < 0.5)
+    val agg = assigned.agg(
+      sum(when(col("in_a"), 1).otherwise(0)).cast("long").as("n_a"),
+      sum(when(!col("in_a"), 1).otherwise(0)).cast("long").as("n_b"),
+      sum(when(col("in_a"), col("purchased")).otherwise(0)).cast("long")
+        .as("conv_a"),
+      sum(when(!col("in_a"), col("purchased")).otherwise(0)).cast("long")
+        .as("conv_b"))
+    // try_divide, not `/`: under ANSI + whole-stage codegen the fused
+    // stage evaluates this projection speculatively against PARTIAL
+    // aggregate rows too (observed: a 4-task stage throwing
+    // DIVIDE_BY_ZERO on a partition whose partial n_a is 0); the final
+    // row's divisors are non-zero, so null-on-zero changes nothing in
+    // the result and the oracle hash-checks that
+    agg.selectExpr("n_a", "n_b", "conv_a", "conv_b",
+      "round(try_divide(cast(conv_a AS DOUBLE), n_a), 6) AS rate_a",
+      "round(try_divide(cast(conv_b AS DOUBLE), n_b), 6) AS rate_b",
+      """round(try_divide(
+           try_divide(cast(conv_a AS DOUBLE), n_a)
+             - try_divide(cast(conv_b AS DOUBLE), n_b),
+           sqrt(try_divide(cast(conv_a + conv_b AS DOUBLE), n_a + n_b)
+             * (1.0 - try_divide(cast(conv_a + conv_b AS DOUBLE),
+                 n_a + n_b))
+             * (try_divide(1.0, n_a) + try_divide(1.0, n_b)))), 6)
+         AS z_stat""")
+  }
+
   /** CONVERSION LAG: per user, the time from FIRST view to FIRST
     * purchase (users who purchased before any view, or never did both,
     * are excluded) — the time-to-convert metric product analytics pairs
@@ -5240,6 +5282,7 @@ object SparkEntry {
     "q_pareto" -> qPareto,
     "q_skyline" -> qSkyline,
     "q_conversion_lag" -> qConversionLag,
+    "q_ab_lift" -> qAbLift,
     "q_twap" -> qTwap,
     "q_asof_join_native" -> qAsofJoinNative,
     "q_centroids" -> qCentroids,
@@ -6543,6 +6586,38 @@ object SparkEntry {
            CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_extendedprice
              END AS DECIMAL(18,6))) AS DOUBLE) AS rev_o
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_ab_lift" ->
+      """WITH pu AS (SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS purchased
+           FROM events GROUP BY user_id),
+         h AS (SELECT user_id, purchased,
+             md5('11:' || CAST(user_id AS VARCHAR)) AS hh FROM pu),
+         v AS (SELECT purchased, list_reduce(list_transform(range(1, 9),
+             i -> CAST(strpos('0123456789abcdef', hh[i:i]) - 1 AS BIGINT)),
+             (a, d) -> a * 16 + d) AS hv
+           FROM h),
+         u AS (SELECT purchased,
+             round((CAST(hv AS DOUBLE) + 0.5) / 4294967296.0, 6) < 0.5
+               AS in_a
+           FROM v),
+         agg AS (SELECT
+             CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN in_a THEN purchased ELSE 0 END) AS BIGINT)
+               AS conv_a,
+             CAST(SUM(CASE WHEN in_a THEN 0 ELSE purchased END) AS BIGINT)
+               AS conv_b
+           FROM u)
+         SELECT n_a, n_b, conv_a, conv_b,
+           round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+           round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+           round((CAST(conv_a AS DOUBLE) / n_a
+                  - CAST(conv_b AS DOUBLE) / n_b)
+             / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+               * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+               * (1.0 / n_a + 1.0 / n_b)), 6) AS z_stat
+         FROM agg""",
     "q_conversion_lag" ->
       """WITH a AS (SELECT user_id,
              MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
