@@ -19,15 +19,32 @@ object Bench {
     * hashes is a single non-prunable pass with negligible overhead.
     */
   private def materialize(df: DataFrame): Unit = {
+    // xxhash64 rejects MapType, so map-valued columns are hashed through
+    // sorted map_entries instead — falling back to a prunable count()
+    // here would let Catalyst drop the map computation and under-time
+    // the query (the r7 verdict's Bench finding).
+    import org.apache.spark.sql.types.MapType
+    val cols = df.schema.fields.toSeq.map { f =>
+      f.dataType match {
+        case _: MapType => org.apache.spark.sql.functions
+          .array_sort(org.apache.spark.sql.functions
+            .map_entries(col(f.name)))
+        case _ => col(f.name)
+      }
+    }
     try {
       // bit_xor, not sum: summing 64-bit hashes overflows LongType under
       // ANSI mode (Spark 4 default) and would fail the job at runtime.
-      df.select(xxhash64(struct(df.columns.toSeq.map(col): _*)).as("h"))
+      df.select(xxhash64(struct(cols: _*)).as("h"))
         .agg(org.apache.spark.sql.functions.bit_xor(col("h"))).head()
     } catch {
-      // xxhash64 rejects a few exotic types (e.g. MapType); fall back to
-      // the prunable action rather than failing the bench row.
-      case _: org.apache.spark.sql.AnalysisException => df.count()
+      // last-resort guard for types even map_entries can't normalize
+      // (e.g. maps nested inside structs); loudly visible so it never
+      // silently under-measures again.
+      case e: org.apache.spark.sql.AnalysisException =>
+        System.err.println(
+          s"[bench] WARNING prunable fallback: ${e.getMessage}")
+        df.count()
     }
     ()
   }

@@ -1014,10 +1014,15 @@ object SparkEntry {
 
   /** PARETO / cumulative-share analysis: sources ranked by revenue with
     * each one's share and RUNNING share — "which head of the
-    * distribution covers 80%?". A window over an already-aggregated
-    * #sources-row input: the expensive scan reduces first, the ordered
-    * cumulative sum runs over the tiny aggregate (the only sound place
-    * for an unpartitioned window).
+    * distribution covers 80%?". Head-bounded: the top-25 rows are taken
+    * FIRST with a distributed top-k (TakeOrderedAndProject — per-
+    * partition heaps, no global sort), and only then does the
+    * unpartitioned running-sum window run, over exactly 25 rows. This
+    * is sound because a running sum ordered by (rev DESC, user_id) at
+    * rank k only ever reads rows 1..k — the head's cumulative shares
+    * are a pure function of the head itself plus the broadcast total.
+    * At 100 TB (~10⁹ users) the single-reducer input is 25 rows, not
+    * the whole per-user aggregate.
     */
   private def qPareto(s: SparkSession, dir: String): DataFrame = {
     val per = withTsUs(tbl(s, dir, "events"))
@@ -1025,10 +1030,11 @@ object SparkEntry {
       .groupBy("user_id")
       .agg(sum(col("value").cast("decimal(18,6)")).as("rev"))
     val tot = per.agg(sum(col("rev")).as("t"))
+    val head = per.orderBy(col("rev").desc, col("user_id")).limit(25)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("rev").desc, col("user_id"))
       .rowsBetween(Long.MinValue, 0)
-    per.crossJoin(broadcast(tot))
+    head.crossJoin(broadcast(tot))
       .withColumn("cum", sum(col("rev")).over(w))
       .select(col("user_id"),
         col("rev").cast("double").as("revenue"),
@@ -1037,7 +1043,6 @@ object SparkEntry {
         round(col("cum").cast("double") / col("t").cast("double"), 6)
           .as("cum_share"))
       .orderBy(col("revenue").desc, col("user_id"))
-      .limit(25)
   }
 
   /** TIME-WEIGHTED AVERAGE (TWAP): each observation weighted by how
@@ -2762,6 +2767,16 @@ object SparkEntry {
     * event times minus the 2h watermark delay, computed in ONE scan.
     * The 7200000000 (2h in µs) here and the `watermark = "2 hours"`
     * passed to intervalJoinStreams must stay in lockstep.
+    *
+    * Boundary assumption (deliberate): consumers keep windows with
+    * `window_end_us <= wmCut`, relying on Spark finalizing a window
+    * exactly when watermark >= window end, with no extra hold-back as
+    * the watermark propagates through the upstream interval join. This
+    * matches Spark 4.x's multi-stateful watermark simulation; a fixture
+    * timestamp landing EXACTLY on a window/watermark boundary, or a
+    * future Spark change to propagation slack, would surface here first
+    * — if such a gate flips, loosen the cut to strict `<` before
+    * suspecting the operators.
     */
   private def purchaseViewWmCutUs(s: SparkSession, dir: String): Long = {
     val r = withTsUs(tbl(s, dir, "events"))
@@ -3578,12 +3593,13 @@ object SparkEntry {
     * supply the same part — distinct pairs, so the per-part fan-out is
     * bounded by suppliers-per-part, a small constant in this schema; a
     * co-occurrence graph with unbounded key cardinality would cap per
-    * key first). Three synchronous iterations of
+    * key first). Five synchronous iterations of
     * [[graft.ops.PageRank.ranks]], whose DECIMAL(28,12) state encoding
     * makes every iteration's ranks byte-identical under any
-    * partitioning — the DuckDB twin replays the same three iterations
+    * partitioning — the DuckDB twin replays the same five iterations
     * as unrolled CTEs and must hash-match exactly. Top-20 by rounded
-    * rank.
+    * rank. Depth 5 (up from 3) makes the per-iteration checkpoint's
+    * lineage-truncation cost visible in the bench row.
     */
   private def qPageRank(s: SparkSession, dir: String): DataFrame = {
     // The unrestricted co-supplier graph is COMPLETE at these SFs
@@ -3597,7 +3613,7 @@ object SparkEntry {
       .filter(col("a.l_suppkey") =!= col("b.l_suppkey"))
       .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
       .distinct()
-    graft.ops.PageRank.ranks(edges, "src", "dst", iters = 3)
+    graft.ops.PageRank.ranks(edges, "src", "dst", iters = 5)
       .select(col("node").as("suppkey"),
         round(col("r").cast("double"), 8).as("pr"))
       .orderBy(col("pr").desc, col("suppkey"))
@@ -4997,6 +5013,19 @@ object SparkEntry {
       .selectExpr("count(*) AS n_rows", "min(o_orderkey) AS min_key",
         "max(o_orderkey) AS max_key")
 
+  /** DSv2 LIMIT PUSHDOWN gate: a LIMIT-only read through the connector
+    * plans only the file prefix whose cumulative manifest row counts
+    * cover the limit (TableSpec pins the fewer-files plan shape); the
+    * gate result is the count over the limited read — exactly
+    * min(limit, |table|) — because WHICH rows a LIMIT returns is
+    * engine-nondeterministic by SQL semantics, but HOW MANY is not.
+    */
+  private def qTableLimit(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.table.GraftTableProvider")
+      .load(writtenTxnOrdersTable(s, dir))
+      .limit(10)
+      .agg(count(lit(1)).as("n"))
+
   /** Latest table snapshot (v4, the clustered rewrite of v3): priority
     * rollup proving create→append→merge→delete→cluster composed right.
     */
@@ -5427,6 +5456,7 @@ object SparkEntry {
     "q_table_merge_full" -> qTableMergeFull,
     "q_table_fast_stats" -> qTableFastStats,
     "q_table_agg_pushdown" -> qTableAggPushdown,
+    "q_table_limit" -> qTableLimit,
     "q_table_dsv2_timetravel" -> qTableDsv2Timetravel,
     "q_group_by_all" -> qGroupByAll,
     "q_table_mor_delete" -> qTableMorDelete,
@@ -8418,7 +8448,7 @@ object SparkEntry {
            FROM orders WHERE o_orderkey % 3 = 1),
          kept AS (SELECT * FROM t0
            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
-             AND NOT (o_orderstatus = 'F')),
+             AND NOT COALESCE(o_orderstatus = 'F', FALSE)),
          res AS (SELECT * FROM kept UNION ALL SELECT * FROM src)
          SELECT o_orderpriority, COUNT(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
@@ -8458,6 +8488,12 @@ object SparkEntry {
            CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
            CAST(MAX(o_orderkey) AS BIGINT) AS max_key
          FROM v3""",
+    // LIMIT row-count contract: min(10, |v3|) rows come back; which
+    // rows is engine-nondeterministic, so the count IS the invariant
+    "q_table_limit" ->
+      s"""$txnTableCtes
+         SELECT CAST(LEAST(10, (SELECT COUNT(*) FROM v3)) AS BIGINT)
+           AS n""",
     // metadata-served COUNT/min/max must equal the v3 data replay
     "q_table_fast_stats" ->
       s"""$txnTableCtes
@@ -8608,9 +8644,11 @@ object SparkEntry {
              FROM nodes CROSS JOIN nctr),
          ${iter(1)},
          ${iter(2)},
-         ${iter(3)}
+         ${iter(3)},
+         ${iter(4)},
+         ${iter(5)}
          SELECT node AS suppkey, round(CAST(r AS DOUBLE), 8) AS pr
-         FROM r3 ORDER BY pr DESC, suppkey LIMIT 20"""
+         FROM r5 ORDER BY pr DESC, suppkey LIMIT 20"""
     },
     "q_quality_classifier" -> qualityClassifierOracleSql,
     "q_corpus_drift" ->

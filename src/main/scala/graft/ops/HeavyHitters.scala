@@ -20,10 +20,13 @@ import org.apache.spark.sql.functions._
   * internals are merge-order-dependent.
   *
   * Scale shape: phase 1 is one narrow scan emitting ≤ c candidates per
-  * partition (collected: c × partitions small strings); phase 2 is one
-  * scan filtered to candidates (broadcast hash set) + a candidate-only
-  * aggregate — shuffle volume O(candidates × partitions), never
-  * O(distinct keys).
+  * partition (collected: c × partitions small strings, guarded by a
+  * hard cap so a cluster-scale partition count cannot flood the
+  * driver); phase 2 is one scan filtered by a broadcast LEFT SEMI join
+  * on the candidate set — a BroadcastHashJoin that stays inside
+  * whole-stage codegen, unlike a Scala UDF membership test — plus a
+  * candidate-only aggregate: shuffle volume O(candidates ×
+  * partitions), never O(distinct keys).
   */
 object HeavyHitters {
 
@@ -65,16 +68,25 @@ object HeavyHitters {
     val spark = df.sparkSession
     import spark.implicits._
     val keys = df.select(col(keyCol).cast("string")).as[String]
+    // Driver-side bound: the collect is ≤ capacity × partitions rows.
+    // 64M strings is already generous; beyond it the caller should
+    // lower `capacity` or pre-aggregate.
+    val nPart = keys.rdd.getNumPartitions
+    require(capacity.toLong * nPart <= (1L << 26),
+      s"candidate bound capacity*partitions = ${capacity.toLong * nPart} " +
+        "exceeds 2^26; lower capacity or coalesce first")
     val candidates = keys.mapPartitions { it =>
       val ss = new SpaceSaving(capacity)
       it.foreach(ss.add)
       ss.keys
     }.distinct().collect()
     require(candidates.nonEmpty || df.isEmpty, "no candidates proposed")
-    val candSet = spark.sparkContext.broadcast(candidates.toSet)
-    val isCand = udf((w: String) => candSet.value.contains(w))
+    // Broadcast left-semi join (not a UDF set-membership filter): the
+    // exact-recount scan stays inside whole-stage codegen and the
+    // candidate set ships once per executor, not per task closure.
+    val candDf = spark.createDataset(candidates.toSeq).toDF(keyCol)
     keys.toDF(keyCol)
-      .filter(isCand(col(keyCol)))
+      .join(broadcast(candDf), Seq(keyCol), "left_semi")
       .groupBy(keyCol)
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col(keyCol))

@@ -40,6 +40,7 @@ object LogReg {
     require(iters >= 1 && featCols.nonEmpty)
     val d = featCols.length
     val data = df.persist()
+    try {
     val n = data.count()
     require(n > 0, "empty training set")
     var w = Array.fill(d)(0.0)
@@ -61,6 +62,9 @@ object LogReg {
       }
     }
     w
+    // The returned value is a driver-side Array — the training cache
+    // has no consumer after the loop, so release it here.
+    } finally data.unpersist(blocking = false)
   }
 
   /** Mean log-loss of fixed weights over `df` — the convergence probe

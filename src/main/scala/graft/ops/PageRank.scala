@@ -18,9 +18,19 @@ import org.apache.spark.sql.functions._
   * Scale shape: per iteration one join of the rank table onto the edge
   * list (both keyed on src — co-partitioned after the first shuffle)
   * and one dst-keyed aggregation; edges and degrees are computed once
-  * and persisted. Nothing is ever collected to the driver except the
-  * node count (one scalar). At 100 TB the cost is
-  * O(iters × (|E| shuffle + |V| agg)) — the textbook layout.
+  * and persisted, and released before returning. Nothing is ever
+  * collected to the driver except the node count (one scalar). At
+  * 100 TB the cost is O(iters × (|E| shuffle + |V| agg)) — the
+  * textbook layout.
+  *
+  * Lineage: each iteration eagerly `localCheckpoint`s its rank table
+  * (the [[BpeTrainer]] precedent), so the logical plan carried into
+  * iteration k+1 is a single LogicalRDD regardless of k — planning
+  * cost stays O(1) per iteration instead of O(k), and a
+  * production-depth run (20–50 iterations) cannot blow up the DAG.
+  * Superseded iterations' checkpoint blocks are dropped by the
+  * ContextCleaner as the loop variable's old reference is released;
+  * the returned frame owns only the final iteration's blocks.
   */
 object PageRank {
 
@@ -46,24 +56,37 @@ object PageRank {
       .union(e.select(col("dst").as("node")))
       .distinct()
       .persist()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
     val n = nodes.count()
     require(n > 0, "empty graph")
     val base = (1.0 - damping) / n
     var rank = nodes.select(col("node"),
       expr(s"CAST(round(1.0 / $n, 12) AS DECIMAL(28,12))").as("r"))
-    for (_ <- 1 to iters) {
-      val contrib = e.join(deg, "src")
-        .join(rank.withColumnRenamed("node", "src"), "src")
-        .select(col("dst"),
-          expr("CAST(round(CAST(r AS DOUBLE) / outdeg, 12) " +
-            "AS DECIMAL(28,12))").as("cg"))
-        .groupBy("dst").agg(sum("cg").as("s"))
-      rank = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
-        .select(col("node"),
-          expr(s"CAST(round($base + $damping * " +
-            "CAST(coalesce(s, 0) AS DOUBLE), 12) AS DECIMAL(28,12))")
-            .as("r"))
+    try {
+      for (_ <- 1 to iters) {
+        val contrib = e.join(deg, "src")
+          .join(rank.withColumnRenamed("node", "src"), "src")
+          .select(col("dst"),
+            expr("CAST(round(CAST(r AS DOUBLE) / outdeg, 12) " +
+              "AS DECIMAL(28,12))").as("cg"))
+          .groupBy("dst").agg(sum("cg").as("s"))
+        // Eager checkpoint: truncates the plan to a LogicalRDD so the
+        // next iteration plans against O(1) lineage; the previous
+        // iteration's blocks become unreachable here and are reclaimed
+        // by the ContextCleaner.
+        rank = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+          .select(col("node"),
+            expr(s"CAST(round($base + $damping * " +
+              "CAST(coalesce(s, 0) AS DOUBLE), 12) AS DECIMAL(28,12))")
+              .as("r"))
+          .localCheckpoint(true)
+      }
+    } finally {
+      // The final rank is materialized in its own checkpoint blocks,
+      // so the build-side caches can be released before returning.
+      deg.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+      e.unpersist(blocking = false)
     }
     rank
   }

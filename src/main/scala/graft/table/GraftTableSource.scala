@@ -172,10 +172,12 @@ class GraftScanBuilder(root: String, schema: StructType,
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
   private var filters: Array[sources.Filter] = Array.empty
   private var required: StructType = schema
   private var aggResult: Option[(StructType, Array[Any])] = None
+  private var limit: Option[Int] = None
 
   override def pushFilters(fs: Array[sources.Filter]): Array[sources.Filter] = {
     filters = fs
@@ -184,6 +186,21 @@ class GraftScanBuilder(root: String, schema: StructType,
   override def pushedFilters(): Array[sources.Filter] = filters
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** LIMIT PUSHDOWN bounded at the MANIFEST: a `LIMIT n`-only scan
+    * plans just the file prefix whose cumulative manifest row counts
+    * reach n — a `SELECT * ... LIMIT 10` over a million-file table
+    * opens one file, not the snapshot. Declared PARTIAL, so Spark keeps
+    * its own Limit on top and correctness never depends on the file
+    * bound; with pushed filters present the bound is skipped entirely
+    * (a file's raw row count says nothing about how many rows survive
+    * a residual filter).
+    */
+  override def pushLimit(l: Int): Boolean = {
+    limit = Some(l)
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   /** AGGREGATE PUSHDOWN answered from the MANIFEST: an unfiltered,
     * ungrouped COUNT(*) / MIN(col) / MAX(col) over the table never
@@ -276,7 +293,7 @@ class GraftScanBuilder(root: String, schema: StructType,
 
   override def build(): Scan = aggResult match {
     case Some((aggSchema, values)) => new GraftAggScan(aggSchema, values)
-    case None => new GraftScan(root, required, filters, version)
+    case None => new GraftScan(root, required, filters, version, limit)
   }
 }
 
@@ -315,12 +332,13 @@ case class GraftInputPartition(filePath: String) extends InputPartition
 
 class GraftScan(
     root: String, required: StructType, filters: Array[sources.Filter],
-    version: Option[Long] = None)
+    version: Option[Long] = None, limit: Option[Int] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftTableScan pushed=[${filters.mkString(", ")}]"
+    s"GraftTableScan pushed=[${filters.mkString(", ")}]" +
+      limit.map(l => s" limit=$l").getOrElse("")
 
   /** Conjunct bounds (col → [lo, hi]) from the pushed v2 filters, in
     * the same double-comparable space as the manifest stats.
@@ -368,10 +386,24 @@ class GraftScan(
       s"table at $root has unmaterialized MOR deletion vectors — " +
         "read via TxnTable.snapshot or compact() first")
     val bs = bounds
-    val keep = m.files.filter { f =>
+    val pruned = m.files.filter { f =>
       bs.forall { case (c, (lo, hi)) =>
         f.stats.get(c).forall(s => s.max >= lo && s.min <= hi)
       }
+    }
+    // LIMIT-only bound: the prefix of files whose cumulative manifest
+    // row counts reach the limit is sufficient — sound ONLY because no
+    // row-level filter applies (enforced: with filters the bound is
+    // skipped and partial pushdown keeps Spark's Limit on top anyway).
+    val keep = limit match {
+      case Some(l) if filters.isEmpty =>
+        var acc = 0L
+        pruned.takeWhile { f =>
+          val need = acc < l
+          acc += f.rows
+          need
+        }
+      case _ => pruned
     }
     keep.map { f =>
       val p = if (f.path.startsWith("/") || f.path.contains("://")) f.path

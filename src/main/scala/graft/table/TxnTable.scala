@@ -921,8 +921,13 @@ object TxnTable {
     * zero-row parts) are conservatively kept; false positives cost one
     * extra file scan, never a wrong row. The probe value is hashed
     * through the same `CAST(.. AS STRING) → xxhash64` pipeline the
-    * write side used — computed by a 1-row Spark job so literal-vs-
-    * column cast semantics can never drift.
+    * write side used — and is first cast to the COLUMN's manifest type,
+    * because the write side stringified the column in its own type: a
+    * probe literal of a different type (7L against DECIMAL(15,2) →
+    * "7" vs "7.00") would otherwise hash differently and prune the
+    * file holding the real match, silently breaking the index's
+    * conservativeness. Computed by a 1-row Spark job so literal-vs-
+    * column cast semantics cannot drift either.
     */
   def snapshotPointEq(
       spark: SparkSession,
@@ -931,8 +936,12 @@ object TxnTable {
       value: Any): DataFrame = {
     val m = latestManifest(spark, root).getOrElse(
       sys.error(s"no table at $root"))
+    val colType = StructType.fromDDL(m.schemaDdl).fields
+      .find(_.name == column)
+      .getOrElse(sys.error(s"no column $column in table at $root"))
+      .dataType
     val h = spark.range(1)
-      .select(xxhash64(lit(value).cast("string")))
+      .select(xxhash64(lit(value).cast(colType).cast("string")))
       .head().getLong(0)
     val keep = m.files.filter(f =>
       f.blooms.flatMap(_.get(column)).forall(b =>

@@ -1591,6 +1591,22 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(r(2) - l) < 1e-9, s"leaf ${r(2)} != replay $l")
   }
 
+  test("PageRank: per-iteration checkpoint keeps the plan O(1) in depth") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (1L, 4L),
+      (4L, 1L)).toDF("src", "dst")
+    def planSize(iters: Int): Int =
+      graft.ops.PageRank.ranks(edges, "src", "dst", iters)
+        .queryExecution.analyzed.toString.linesIterator.size
+    // Each iteration eagerly localCheckpoints, so the returned frame's
+    // plan is a single LogicalRDD regardless of depth — the lineage the
+    // r7 verdict flagged as quadratically growing must not reappear.
+    val p2 = planSize(2)
+    val p8 = planSize(8)
+    assert(p2 == p8,
+      s"plan grew with iterations: $p2 lines at depth 2, $p8 at depth 8")
+  }
+
   test("LogReg GD: loss decreases and weights are partitioning-independent") {
     import spark.implicits._
     // Separable toy set: y = 1 iff f1 > 0 (bias + one live feature).

@@ -560,4 +560,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Sort "),
       s"matryoshka must never global-sort:\n$plan")
   }
+
+  test("q_pareto: running-share window runs over the top-25 head, not the per-user aggregate") {
+    // Tree order: parents print before children, so the distributed
+    // top-k (TakeOrderedAndProject) must appear BELOW the unpartitioned
+    // Window — i.e. the single-reducer window input is the 25-row head.
+    // The pre-fix plan had the opposite shape (TakeOrdered on top of a
+    // window over ALL users — a single-reducer sort at 100 TB).
+    val plan = SparkEntry.queries("q_pareto")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val wIdx = plan.indexOf("Window")
+    val tIdx = plan.indexOf("TakeOrderedAndProject")
+    assert(wIdx >= 0, s"expected a Window node:\n$plan")
+    assert(tIdx > wIdx,
+      s"top-25 must be taken below the window, not above it:\n$plan")
+  }
+
+  test("q_heavy_hitters: exact recount filters via broadcast semi join inside codegen, not a UDF") {
+    val plan = planOf("q_heavy_hitters")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"candidate filter must be a broadcast left-semi join:\n$plan")
+    assert(!plan.contains("UDF("),
+      s"no Scala UDF may block codegen in the recount stage:\n$plan")
+  }
 }

@@ -721,6 +721,41 @@ class TableSpec extends AnyFunSuite {
     }
   }
 
+  test("DSv2 limit pushdown: a LIMIT-only scan opens a file prefix, not the snapshot") {
+    val root = freshRoot()
+    // four commits, coalesced -> four data files of exactly 3 rows each
+    TxnTable.create(spark, root, kv((1L, "a", 1.0), (2L, "b", 2.0),
+      (3L, "c", 3.0)).coalesce(1))
+    for (i <- 1 to 3)
+      TxnTable.append(spark, root, kv((i * 10L, "x", 0.5),
+        (i * 10L + 1, "y", 0.5), (i * 10L + 2, "z", 0.5)).coalesce(1))
+    val df = spark.read.format("graft.table.GraftTableProvider").load(root)
+    assert(df.count() == 12)
+    // Spark must actually push the limit into the scan (the scan's
+    // description carries it)...
+    val limited = df.limit(2)
+    assert(limited.queryExecution.executedPlan.toString.contains("limit=2"),
+      "limit did not reach the scan:\n" +
+        limited.queryExecution.executedPlan.toString)
+    assert(limited.collect().length == 2)
+    // ...and the scan bounds its planned FILE SET from manifest row
+    // counts: LIMIT 2 fits in the first 3-row file; LIMIT 5 needs two
+    // files; LIMIT 13 > |table| keeps all four.
+    def plannedFiles(l: Int): Int =
+      new graft.table.GraftScan(root, df.schema, Array.empty,
+        None, Some(l)).planInputPartitions().length
+    assert(plannedFiles(2) == 1, s"LIMIT 2 planned ${plannedFiles(2)} files")
+    assert(plannedFiles(5) == 2, s"LIMIT 5 planned ${plannedFiles(5)} files")
+    assert(plannedFiles(13) == 4)
+    assert(df.limit(5).collect().length == 5)
+    // with a residual filter the bound must NOT apply: the filter could
+    // drop every row the prefix holds — all files stay planned and the
+    // answer is exact
+    val filtered = df.filter(col("score") < 1.0).limit(2)
+    assert(filtered.collect().length == 2)
+    assert(filtered.select(sum("score")).head().getDouble(0) == 1.0)
+  }
+
   test("DSv2 aggregate pushdown: COUNT/MIN/MAX answered from the manifest, zero file reads") {
     val root = freshRoot()
     TxnTable.create(spark, root,
