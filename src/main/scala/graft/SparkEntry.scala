@@ -3344,7 +3344,10 @@ object SparkEntry {
         .as("b"))
       .select(col("b.x").as("x"), col("b.y").as("y"))
       .groupBy("x", "y").agg(count(lit(1)).as("c"))
-      .persist() // one corpus explode; 3 vocab-sized re-aggregations
+      // one corpus explode; 3 vocab-sized re-aggregations. Cache is
+      // bigram-vocab-sized (never corpus-sized) and session-lifetime:
+      // the lazy return leaves no unpersist point (qPerplexity contract)
+      .persist()
     val lc = bc.groupBy("x").agg(sum("c").as("cx"))
     val rc = bc.groupBy("y").agg(sum("c").as("cy"))
     val tot = bc.agg(sum("c").as("nn"))
@@ -3469,7 +3472,9 @@ object SparkEntry {
       .groupBy("w")
       .agg(sum(when(col("in_p"), 1L).otherwise(0L)).as("cp"),
         sum(when(col("in_p"), 0L).otherwise(1L)).as("cq"))
-      .persist() // one corpus explode; totals + scores reuse it
+      // one corpus explode; totals + scores reuse it. Vocab-sized,
+      // session-lifetime cache (qPerplexity contract: no unpersist point)
+      .persist()
     val tot = cnt.agg(sum("cp").as("tp"), sum("cq").as("tq"),
       count(lit(1)).as("v"))
     cnt.crossJoin(broadcast(tot))

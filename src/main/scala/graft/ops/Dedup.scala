@@ -558,6 +558,10 @@ object Dedup {
         sigJaccardUdf(col("sig_old"), col("sig_new")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
       .select(col("old_id"), col("new_id"), col("est_jaccard"))
+      // session-lifetime by design: the persisted result is match-pairs
+      // sized (O(batch candidates), never corpus-sized), must outlive
+      // newSigs' unpersist below, and the lazy-DataFrame contract gives
+      // no later unpersist point; the CacheManager dedups repeat probes.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count() // materialize while the batch signatures are cached
     newSigs.unpersist()
