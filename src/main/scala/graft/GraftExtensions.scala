@@ -41,6 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(graft.functions.WordShingles.name),
       graft.functions.WordShingles.info,
       graft.functions.WordShingles.builder _))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.JaroWinkler.name),
+      graft.functions.JaroWinkler.info,
+      graft.functions.JaroWinkler.builder _))
     // native as-of join planner rule (plans/AsOfJoinNative); the
     // DataFrame API also self-registers via experimental strategies for
     // sessions built without extensions

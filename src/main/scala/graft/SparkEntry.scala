@@ -5277,6 +5277,381 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("sum_bal"))
       .orderBy("c_mktsegment")
 
+  /** Per-flag simple linear regression (price ~ quantity) solved in
+    * closed form from exact decimal moment sums — never an iterative
+    * fit. The 100 TB shape: ONE map-side-combinable aggregate computes
+    * (n, Σx, Σy, Σxy, Σx², Σy²) per group; slope/intercept/R² are then
+    * O(groups) double math. The moments are exact DECIMAL so partition
+    * order cannot perturb them, and the final double formulas are
+    * written identically in the DuckDB oracle (same casts, same
+    * operation order → bit-identical IEEE results), rounded at 6 dp.
+    */
+  private def qLinreg(s: SparkSession, dir: String): DataFrame = {
+    val m = tbl(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("decimal(12,2)").as("x"),
+        col("l_extendedprice").cast("decimal(14,2)").as("y"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    m.select(col("l_returnflag"), col("n"),
+        round(expr(
+          """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"""), 6)
+          .as("slope"),
+        round(expr(
+          """(CAST(sy AS DOUBLE)
+               - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE)"""), 6).as("intercept"),
+        round(expr(
+          """((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+             / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"""), 6)
+          .as("r2"))
+      .orderBy("l_returnflag")
+  }
+
+  /** ROC AUC of a ranking signal (n_chars) against a binary label
+    * (lang = 'en') via the tie-aware Mann-Whitney midrank identity:
+    * AUC = (Σ_pos midrank − nPos(nPos+1)/2) / (nPos·nNeg). The
+    * unpartitioned running window runs over DISTINCT score values only
+    * (a bounded vocabulary, never the corpus — the qPareto head-bound
+    * lesson); midranks are integer-and-half values, so the Σ pos·midrank
+    * double sum is exact under any partitioning below 2⁵². One corpus
+    * scan, one vocab-sized window, a 1-row result.
+    */
+  private def qRocAuc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perScore = tbl(s, dir, "documents")
+      .select(col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy("score")
+      .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("p"))
+    val w = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perScore
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("midrank",
+        (col("cum") - col("cnt")).cast("double")
+          + (col("cnt").cast("double") + 1.0) / 2.0)
+      .agg(sum(col("p")).as("np"),
+        sum(col("cnt") - col("p")).as("nn"),
+        sum(col("p").cast("double") * col("midrank")).as("rsum"))
+      .select(col("np").as("n_pos"), col("nn").as("n_neg"),
+        round((col("rsum")
+            - col("np").cast("double") * (col("np").cast("double") + 1.0)
+              / 2.0)
+          / (col("np").cast("double") * col("nn").cast("double")), 6)
+          .as("auc"))
+  }
+
+  /** Threshold-classifier confusion matrix + precision/recall/F1 in a
+    * single conditional-sum scan (predict "English" when n_chars ≥ 500).
+    * The eval every quality-filter deployment needs before flipping a
+    * corpus gate; all ratios derive from the four exact counts, so the
+    * rounded doubles are engine-independent.
+    */
+  private def qConfusion(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select((col("n_chars") >= 500L).as("pred"),
+        (col("lang") === "en").as("actual"))
+      .agg(
+        sum(when(col("pred") && col("actual"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") && !col("actual"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("pred") && col("actual"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("pred") && !col("actual"), 1L).otherwise(0L)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        round(col("tp").cast("double")
+          / (col("tp") + col("fp")).cast("double"), 6).as("precision"),
+        round(col("tp").cast("double")
+          / (col("tp") + col("fn")).cast("double"), 6).as("recall"),
+        round(lit(2.0) * col("tp").cast("double")
+          / (lit(2.0) * col("tp").cast("double")
+            + col("fp").cast("double") + col("fn").cast("double")), 6)
+          .as("f1"))
+
+  /** Calibration curve: bucket a [0,1] confidence score into 10 fixed
+    * bins and compare mean predicted score vs observed positive rate per
+    * bin. Score and bin are pure integer arithmetic (least(n_chars,1000)
+    * and integer DIV 100), so the per-bin sums are exact BIGINTs and the
+    * two rates are single engine-independent divisions — no ntile (whose
+    * global sort would be a single-reducer shape) and no float binning
+    * (whose boundary ulps differ across engines).
+    */
+  private def qCalibration(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(expr("least(CAST(n_chars AS BIGINT) DIV 100, 9)").as("bin"),
+        expr("least(CAST(n_chars AS BIGINT), 1000)").as("sc"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("hit"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("sc")).as("ssum"),
+        sum(col("hit")).as("hits"))
+      .select(col("bin"), col("n"),
+        round(col("ssum").cast("double")
+          / (col("n").cast("double") * 1000.0), 6).as("mean_score"),
+        round(col("hits").cast("double") / col("n").cast("double"), 6)
+          .as("obs_rate"))
+      .orderBy("bin")
+
+  /** Record-linkage scoring with the native Jaro-Winkler expression
+    * ([[graft.functions.JaroWinkler]]): block part names on
+    * (brand, size) — an equi-join, never all-pairs — then score every
+    * in-block pair inside whole-stage codegen and keep near-matches.
+    * The 100 TB shape: pair volume is Σ_block |b|², controlled by the
+    * blocking key's selectivity exactly like the LSH bucket caps in
+    * [[graft.ops.Dedup]]; the scorer adds zero shuffles. Inclusion is
+    * decided on the 6 dp-ROUNDED score so the Spark and DuckDB
+    * (jaro_winkler_similarity — semantics pinned, see the expression
+    * Scaladoc) threshold tests agree.
+    */
+  private def qJaroDedup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.JaroWinkler.register(s)
+    val p = tbl(s, dir, "part")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("p_size"))
+    val a = p.select(col("p_brand"), col("p_size"),
+      col("p_partkey").as("id_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_brand"), col("p_size"),
+      col("p_partkey").as("id_b"), col("p_name").as("name_b"))
+    a.join(b, Seq("p_brand", "p_size"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jw", round(graft.functions.JaroWinkler
+        .jaroWinkler(col("name_a"), col("name_b")), 6))
+      .filter(col("jw") >= 0.85)
+      .select(col("id_a"), col("id_b"), col("jw"))
+      .orderBy(col("jw").desc, col("id_a"), col("id_b"))
+  }
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences: P(next event type | current) from a partitioned LEAD
+    * window (per-user state never leaves its partition) and one keyed
+    * count — the session-model everybody fits before building funnels.
+    * The normalizing window partitions by prev_type (a handful of
+    * groups), and all probabilities are single divisions of exact
+    * counts, rounded at 6 dp.
+    */
+  private def qMarkov(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = tbl(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("prev_type"))
+      .withColumn("next_type", lead(col("prev_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+    trans
+      .withColumn("p", round(col("n").cast("double")
+        / sum(col("n")).over(Window.partitionBy("prev_type"))
+          .cast("double"), 6))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** Market-basket co-occurrence with lift: distinct (order, brand)
+    * pairs self-joined per order (pair volume bounded by
+    * brands-per-order², never all-pairs over the catalog), brand
+    * priors joined back by BROADCAST (the brand dimension is tiny by
+    * definition), order total rides a broadcast 1-row aggregate. The
+    * recommender-bootstrap query; top-30 by rounded lift with full
+    * tie-break so the limit is deterministic.
+    */
+  private def qItemCooccur(s: SparkSession, dir: String): DataFrame = {
+    val ob = tbl(s, dir, "lineitem")
+      .join(tbl(s, dir, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_brand")),
+        "l_partkey")
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+    val pairs = ob.as("a").join(ob.as("b"), "l_orderkey")
+      .filter(col("a.p_brand") < col("b.p_brand"))
+      .select(col("a.p_brand").as("brand_a"), col("b.p_brand").as("brand_b"))
+      .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("n_ab"))
+    val brandCnt = ob.groupBy("p_brand").agg(count(lit(1)).as("c"))
+    val tot = ob.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    pairs
+      .join(broadcast(brandCnt.select(col("p_brand").as("brand_a"),
+        col("c").as("c_a"))), "brand_a")
+      .join(broadcast(brandCnt.select(col("p_brand").as("brand_b"),
+        col("c").as("c_b"))), "brand_b")
+      .crossJoin(broadcast(tot))
+      .select(col("brand_a"), col("brand_b"), col("n_ab"),
+        round(col("n_ab").cast("double") * col("n_orders").cast("double")
+          / (col("c_a").cast("double") * col("c_b").cast("double")), 6)
+          .as("lift"))
+      .orderBy(col("lift").desc, col("brand_a"), col("brand_b"))
+      .limit(30)
+  }
+
+  /** Bounded-hop BFS shortest paths over the co-supplier graph (the
+    * q_pagerank edge construction) from the minimum-id source node.
+    * Each of the 4 synchronous frontier expansions is one keyed join +
+    * one min-aggregate, localCheckpointed so the loop's plan stays O(1)
+    * in depth (the PageRank/BpeTrainer lineage contract) and the
+    * predecessor's blocks are released; edges are persisted for the
+    * loop's lifetime and unpersisted on return. The DuckDB twin is a
+    * recursive CTE with UNION dedup — (node, depth) state stays
+    * bounded at nodes × hops in both engines.
+    */
+  private def qShortestPath(s: SparkSession, dir: String): DataFrame = {
+    val ps = tbl(s, dir, "lineitem")
+      .filter(col("l_quantity") <= 2)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val edges = ps.as("a").join(ps.as("b"), "l_partkey")
+      .filter(col("a.l_suppkey") =!= col("b.l_suppkey"))
+      .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val source = edges.agg(min(col("src"))).head().getLong(0)
+      var dist = s.range(1)
+        .select(lit(source).as("node"), lit(0).as("d"))
+        .localCheckpoint(true)
+      var h = 1
+      while (h <= 4) {
+        val frontier = dist.filter(col("d") === h - 1)
+          .join(edges, col("node") === col("src"))
+          .select(col("dst").as("node"), lit(h).as("d"))
+        val prev = dist
+        dist = dist.union(frontier).groupBy("node")
+          .agg(min(col("d")).as("d"))
+          .localCheckpoint(true)
+        prev.unpersist(blocking = false)
+        h += 1
+      }
+      dist.select(col("node"), col("d").as("dist")).orderBy("node")
+    } finally edges.unpersist(blocking = false)
+  }
+
+  /** Benford first-digit audit of a monetary column — the data-quality
+    * screen for fabricated or truncated numeric feeds. The first digit
+    * comes from exact integer cents (round-to-cents then string head),
+    * never from float log-bucketing; observed frequencies are divisions
+    * of exact counts over a 9-row window, and the Benford expectation
+    * log10(1 + 1/d) is rounded at 6 dp on both engines.
+    */
+  private def qBenford(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    tbl(s, dir, "lineitem")
+      .select(expr(
+        """CAST(substring(CAST(CAST(round(l_extendedprice * 100, 0)
+             AS BIGINT) AS STRING), 1, 1) AS INT)""").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .withColumn("obs_freq", round(col("n").cast("double")
+        / sum(col("n")).over(Window.partitionBy()).cast("double"), 6))
+      .withColumn("exp_freq", round(
+        log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6))
+      .orderBy("digit")
+  }
+
+  /** Shannon entropy of the token distribution per language slice —
+    * the corpus-diversity monitor (a collapsing corpus shows falling
+    * entropy before any eyeball catches it). Uses the identity
+    * H = ln N − (Σ c·ln c)/N so the corpus is scanned ONCE into a
+    * vocab-sized aggregate; determinism is the q_perplexity contract
+    * (per-type ln rounded to 9 dp, accumulated exactly as DECIMAL, so
+    * partition order cannot perturb the sum).
+    */
+  private def qEntropy(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("lang"), explode(expr(tokensSql)).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+      .groupBy("lang")
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(expr(
+          """CAST(round(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(18,9))
+             * CAST(c AS DECIMAL(12,0))""")).as("sum_clnc"))
+      .select(col("lang"), col("n_tokens"), col("vocab"),
+        round(expr("ln(CAST(n_tokens AS DOUBLE))")
+          - col("sum_clnc").cast("double")
+            / col("n_tokens").cast("double"), 6).as("entropy"))
+      .orderBy("lang")
+
+  /** RFM segmentation (recency/frequency/monetary) with rule-based
+    * integer scoring — deliberately NOT ntile, whose global sort is a
+    * single-reducer shape and whose quartile boundaries differ between
+    * engines on ties. Recency is exact integer-µs day math against a
+    * broadcast global max; monetary sums are exact DECIMAL; every score
+    * is pure integer arithmetic, so the segment rollup hash-matches by
+    * construction. One keyed aggregate + one 16-ish-row rollup.
+    */
+  private def qRfm(s: SparkSession, dir: String): DataFrame = {
+    val o = tbl(s, dir, "orders")
+      .select(col("o_custkey"),
+        expr("unix_micros(o_orderdate)").as("us"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val gmax = o.agg(max(col("us")).as("gmax"))
+    val per = o.groupBy("o_custkey")
+      .agg(max(col("us")).as("cmax"), count(lit(1)).as("freq"),
+        sum(col("price")).as("mon"))
+      .crossJoin(broadcast(gmax))
+      .select(
+        expr("4 - least(3, ((gmax - cmax) DIV 86400000000) DIV 60)")
+          .as("r_score"),
+        expr("least(4, freq)").as("f_score"),
+        expr("least(4, 1 + CAST(floor(mon) AS BIGINT) DIV 200000)")
+          .as("m_score"),
+        col("mon"))
+    per.groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("mon")).cast("double").as("total_monetary"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  /** DAU/MAU stickiness: per-day and per-month exact distinct users
+    * joined on the month — the engagement ratio every events pipeline
+    * reports. Two keyed distinct aggregates (each a standard two-level
+    * partial/final shape that scales with the key space, not the event
+    * volume) and a month-keyed join where the MAU side is months-sized
+    * — broadcast by AQE at any realistic scale.
+    */
+  private def qDauMau(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "events")
+      .select(to_date(col("ts")).as("day"),
+        date_trunc("month", col("ts")).cast("date").as("month"),
+        col("user_id"))
+    val dau = e.groupBy("day", "month")
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val mau = e.groupBy("month")
+      .agg(countDistinct(col("user_id")).as("mau"))
+    dau.join(mau, "month")
+      .select(col("day"), col("dau"), col("mau"),
+        round(col("dau").cast("double") / col("mau").cast("double"), 6)
+          .as("stickiness"))
+      .orderBy("day")
+  }
+
+  /** Type-token ratio per document (lexical diversity): distinct-token
+    * over token count from one corpus explode into a doc-keyed
+    * aggregate — the cheap gibberish/boilerplate screen (low TTR =
+    * repeated phrases, high TTR on long docs = word-soup OCR noise).
+    * Top-50 by the ROUNDED ratio with doc_id tie-break so the limit is
+    * deterministic.
+    */
+  private def qTtr(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), explode(expr(tokensSql)).as("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), countDistinct(col("w")).as("n_types"))
+      .filter(col("n_tok") >= 20)
+      .select(col("doc_id"), col("n_tok"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tok").cast("double"),
+          6).as("ttr"))
+      .orderBy(col("ttr").desc, col("doc_id"))
+      .limit(50)
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -5317,6 +5692,19 @@ object SparkEntry {
     "q_skyline" -> qSkyline,
     "q_conversion_lag" -> qConversionLag,
     "q_ab_lift" -> qAbLift,
+    "q_linreg" -> qLinreg,
+    "q_roc_auc" -> qRocAuc,
+    "q_confusion" -> qConfusion,
+    "q_calibration" -> qCalibration,
+    "q_jaro_dedup" -> qJaroDedup,
+    "q_entropy" -> qEntropy,
+    "q_rfm" -> qRfm,
+    "q_dau_mau" -> qDauMau,
+    "q_ttr" -> qTtr,
+    "q_markov" -> qMarkov,
+    "q_item_cooccur" -> qItemCooccur,
+    "q_shortest_path" -> qShortestPath,
+    "q_benford" -> qBenford,
     "q_twap" -> qTwap,
     "q_asof_join_native" -> qAsofJoinNative,
     "q_centroids" -> qCentroids,
@@ -6653,6 +7041,214 @@ object SparkEntry {
                * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
                * (1.0 / n_a + 1.0 / n_b)), 6) AS z_stat
          FROM agg""",
+    "q_linreg" ->
+      """WITH m AS (SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))
+               * CAST(l_extendedprice AS DECIMAL(14,2))) AS sxy,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))
+               * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+             SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+               * CAST(l_extendedprice AS DECIMAL(14,2))) AS syy
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+           round((CAST(sy AS DOUBLE)
+               - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS intercept,
+           round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+             / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+         FROM m ORDER BY l_returnflag""",
+    "q_roc_auc" ->
+      """WITH s AS (SELECT n_chars AS score, COUNT(*) AS cnt,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS p
+           FROM documents GROUP BY 1),
+         r AS (SELECT p, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - cnt AS DOUBLE)
+               + (CAST(cnt AS DOUBLE) + 1.0) / 2.0 AS midrank
+           FROM s),
+         a AS (SELECT CAST(SUM(p) AS BIGINT) AS np,
+             CAST(SUM(cnt - p) AS BIGINT) AS nn,
+             SUM(CAST(p AS DOUBLE) * midrank) AS rsum
+           FROM r)
+         SELECT np AS n_pos, nn AS n_neg,
+           round((rsum - CAST(np AS DOUBLE) * (CAST(np AS DOUBLE) + 1.0)
+               / 2.0)
+             / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS auc
+         FROM a""",
+    "q_confusion" ->
+      """WITH c AS (SELECT
+             CAST(SUM(CASE WHEN n_chars >= 500 AND lang = 'en'
+               THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN n_chars >= 500 AND lang <> 'en'
+               THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN n_chars < 500 AND lang = 'en'
+               THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN n_chars < 500 AND lang <> 'en'
+               THEN 1 ELSE 0 END) AS BIGINT) AS tn
+           FROM documents)
+         SELECT tp, fp, fn, tn,
+           round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
+             AS precision,
+           round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6)
+             AS recall,
+           round(2.0 * CAST(tp AS DOUBLE)
+             / (2.0 * CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)
+               + CAST(fn AS DOUBLE)), 6) AS f1
+         FROM c""",
+    "q_calibration" ->
+      """SELECT LEAST(CAST(n_chars AS BIGINT) // 100, 9) AS bin,
+           COUNT(*) AS n,
+           round(CAST(CAST(SUM(LEAST(CAST(n_chars AS BIGINT), 1000))
+               AS BIGINT) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 1000.0), 6) AS mean_score,
+           round(CAST(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+               AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS obs_rate
+         FROM documents GROUP BY 1 ORDER BY bin""",
+    "q_jaro_dedup" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+         FROM part a JOIN part b
+           ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+           AND a.p_partkey < b.p_partkey
+         WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+           >= 0.85
+         ORDER BY jw DESC, id_a, id_b""",
+    "q_entropy" ->
+      """WITH w AS (SELECT lang,
+             unnest(regexp_split_to_array(lower(text), '[^a-zA-Z0-9_]+'))
+               AS w
+           FROM documents),
+         c AS (SELECT lang, w, COUNT(*) AS c FROM w WHERE w <> ''
+           GROUP BY 1, 2),
+         a AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             COUNT(*) AS vocab,
+             SUM(CAST(round(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(18,9))
+               * CAST(c AS DECIMAL(12,0))) AS sum_clnc
+           FROM c GROUP BY 1)
+         SELECT lang, n_tokens, vocab,
+           round(ln(CAST(n_tokens AS DOUBLE))
+             - CAST(sum_clnc AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+             AS entropy
+         FROM a ORDER BY lang""",
+    "q_rfm" ->
+      """WITH o AS (SELECT o_custkey, epoch_us(o_orderdate) AS us,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           FROM orders),
+         g AS (SELECT MAX(us) AS gmax FROM o),
+         per AS (SELECT o_custkey, MAX(us) AS cmax, COUNT(*) AS freq,
+             SUM(price) AS mon
+           FROM o GROUP BY 1),
+         sc AS (SELECT
+             4 - least(3, ((gmax - cmax) // 86400000000) // 60)
+               AS r_score,
+             least(4, freq) AS f_score,
+             least(4, 1 + CAST(floor(mon) AS BIGINT) // 200000)
+               AS m_score,
+             mon
+           FROM per CROSS JOIN g)
+         SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+           CAST(SUM(mon) AS DOUBLE) AS total_monetary
+         FROM sc GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score""",
+    "q_dau_mau" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day,
+             CAST(date_trunc('month', ts) AS DATE) AS month, user_id
+           FROM events),
+         dau AS (SELECT day, month, COUNT(DISTINCT user_id) AS dau
+           FROM e GROUP BY 1, 2),
+         mau AS (SELECT month, COUNT(DISTINCT user_id) AS mau
+           FROM e GROUP BY 1)
+         SELECT day, dau.dau, mau.mau,
+           round(CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE), 6)
+             AS stickiness
+         FROM dau JOIN mau USING (month) ORDER BY day""",
+    "q_ttr" ->
+      """WITH w AS (SELECT doc_id,
+             unnest(regexp_split_to_array(lower(text), '[^a-zA-Z0-9_]+'))
+               AS w
+           FROM documents),
+         a AS (SELECT doc_id, COUNT(*) AS n_tok,
+             COUNT(DISTINCT w) AS n_types
+           FROM w WHERE w <> '' GROUP BY 1)
+         SELECT doc_id, n_tok, n_types,
+           round(CAST(n_types AS DOUBLE) / CAST(n_tok AS DOUBLE), 6)
+             AS ttr
+         FROM a WHERE n_tok >= 20
+         ORDER BY ttr DESC, doc_id LIMIT 50""",
+    "q_markov" ->
+      """WITH t AS (SELECT event_type AS prev_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS next_type
+           FROM events),
+         c AS (SELECT prev_type, next_type, COUNT(*) AS n
+           FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2)
+         SELECT prev_type, next_type, n,
+           round(CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6)
+             AS p
+         FROM c ORDER BY prev_type, next_type""",
+    "q_item_cooccur" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey, p_brand
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         pairs AS (SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             COUNT(*) AS n_ab
+           FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+             AND a.p_brand < b.p_brand
+           GROUP BY 1, 2),
+         bc AS (SELECT p_brand, COUNT(*) AS c FROM ob GROUP BY 1),
+         tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ob)
+         SELECT brand_a, brand_b, n_ab,
+           round(CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE)
+             / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)), 6) AS lift
+         FROM pairs
+           JOIN bc ca ON ca.p_brand = brand_a
+           JOIN bc cb ON cb.p_brand = brand_b
+           CROSS JOIN tot
+         ORDER BY lift DESC, brand_a, brand_b LIMIT 30""",
+    "q_shortest_path" ->
+      """WITH RECURSIVE ps AS (SELECT DISTINCT l_partkey, l_suppkey
+           FROM lineitem WHERE l_quantity <= 2),
+         e AS (SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+           FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+             AND a.l_suppkey <> b.l_suppkey),
+         so AS (SELECT MIN(src) AS sn FROM e),
+         bfs(node, d) AS (
+           SELECT sn, 0 FROM so
+           UNION
+           SELECT e.dst, bfs.d + 1 FROM bfs JOIN e ON e.src = bfs.node
+           WHERE bfs.d < 4)
+         SELECT node, MIN(d) AS dist FROM bfs GROUP BY node
+         ORDER BY node""",
+    "q_benford" ->
+      """WITH d AS (SELECT CAST(substring(CAST(CAST(
+             round(l_extendedprice * 100, 0) AS BIGINT) AS VARCHAR),
+             1, 1) AS INT) AS digit
+           FROM lineitem),
+         c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1)
+         SELECT digit, n,
+           round(CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE), 6)
+             AS obs_freq,
+           round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS exp_freq
+         FROM c ORDER BY digit""",
     "q_conversion_lag" ->
       """WITH a AS (SELECT user_id,
              MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)

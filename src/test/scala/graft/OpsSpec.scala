@@ -1851,6 +1851,76 @@ class OpsSpec extends AnyFunSuite {
     assert(viaSql.isNullAt(1))
   }
 
+  test("native jaro-winkler: DuckDB-pinned vectors; codegen == interpreted == kernel; null-safe") {
+    import graft.functions.{JaroWinkler, JaroWinklerAlgo}
+    JaroWinkler.register(spark)
+    // vectors pinned against DuckDB 1.0 jaro_winkler_similarity this
+    // session (boost threshold 0.7, prefix scale 0.1, empty -> 0.0)
+    val vectors = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("TRATE", "TRACE", 0.9066666666666667),
+      ("ab", "axxxxxxx", 0.5416666666666666), // jaro<0.7: no boost
+      ("ab", "ba", 0.0), // window clamp: max(0, 2/2-1)=0
+      ("a", "a", 1.0),
+      ("abc", "abc", 1.0),
+      ("", "abc", 0.0),
+      ("", "", 0.0))
+    vectors.foreach { case (a, b, exp) =>
+      assert(math.abs(JaroWinklerAlgo.similarity(a, b) - exp) < 1e-12,
+        s"kernel diverged on ($a, $b)")
+    }
+    import spark.implicits._
+    // codegen path over rows == kernel
+    val got = vectors.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(col("a"), col("b"),
+        JaroWinkler.jaroWinkler(col("a"), col("b")).as("jw"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    vectors.foreach { case (a, b, exp) =>
+      assert(math.abs(got((a, b)) - exp) < 1e-12,
+        s"codegen diverged on ($a, $b)")
+    }
+    // interpreted path (nullSafeEval)
+    def slit(s: String) =
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType)
+    assert(math.abs(
+      JaroWinkler(slit("MARTHA"), slit("MARHTA")).eval(null)
+        .asInstanceOf[Double] - 0.9611111111111111) < 1e-12)
+    // SQL surface + null in, null out
+    val viaSql2 = spark.sql(
+      "SELECT graft_jaro_winkler('TRATE', 'TRACE') AS jw, " +
+        "graft_jaro_winkler(CAST(NULL AS STRING), 'x') AS n").head()
+    assert(math.abs(viaSql2.getDouble(0) - 0.9066666666666667) < 1e-12)
+    assert(viaSql2.isNullAt(1))
+  }
+
+  test("ml-eval gates: auc bounds, confusion totals, calibration bins, linreg r2") {
+    val dir = "/root/testdata/sf0.001"
+    val auc = SparkEntry.queries("q_roc_auc")(spark, dir).head()
+    val a = auc.getAs[Double]("auc")
+    assert(a >= 0.0 && a <= 1.0, s"auc=$a")
+    assert(auc.getAs[Long]("n_pos") > 0 && auc.getAs[Long]("n_neg") > 0)
+    val cm = SparkEntry.queries("q_confusion")(spark, dir).head()
+    val total = cm.getAs[Long]("tp") + cm.getAs[Long]("fp") +
+      cm.getAs[Long]("fn") + cm.getAs[Long]("tn")
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(total == nDocs, s"confusion cells sum $total != $nDocs docs")
+    val cal = SparkEntry.queries("q_calibration")(spark, dir).collect()
+    assert(cal.nonEmpty && cal.forall { r =>
+      val m = r.getAs[Double]("mean_score")
+      m >= 0.0 && m <= 1.0
+    })
+    val lr = SparkEntry.queries("q_linreg")(spark, dir).collect()
+    assert(lr.nonEmpty && lr.forall { r =>
+      val r2 = r.getAs[Double]("r2")
+      r2 >= 0.0 && r2 <= 1.0
+    })
+  }
+
   test("native shingle generator: streams (pos, fnv) rows; short/null docs emit none") {
     import graft.functions.WordShingles
     WordShingles.register(spark)
