@@ -5652,6 +5652,136 @@ object SparkEntry {
       .orderBy(col("ttr").desc, col("doc_id"))
       .limit(50)
 
+  /** Add-1-smoothed BIGRAM language-model scoring — the second-order
+    * sibling of q_perplexity's unigram LM (bigram surprisal separates
+    * scrambled-word soup that unigram stats cannot see). Two corpus
+    * explodes (one builds the bigram/context count tables, one scores),
+    * all joins keyed on bigram vocab, vocabulary size rides a broadcast
+    * 1-row side. Determinism is the repo LM contract: per-bigram ln
+    * terms rounded to 9 dp and accumulated as exact DECIMAL.
+    */
+  private def qBigramLm(s: SparkSession, dir: String): DataFrame = {
+    val bigrams = tbl(s, dir, "documents")
+      .select(col("doc_id"), expr(tokensSql).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+             i -> named_struct('x', element_at(ws, i),
+                               'y', element_at(ws, i + 1)))""")).as("b"))
+      .select(col("doc_id"), col("b.x").as("x"), col("b.y").as("y"))
+    val bc = bigrams.groupBy("x", "y").agg(count(lit(1)).as("c"))
+    val cx = bc.groupBy("x").agg(sum(col("c")).as("cx"))
+    val v = bc.agg(countDistinct(col("y")).as("v"))
+    bigrams
+      .join(bc, Seq("x", "y"))
+      .join(cx, Seq("x"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), expr(
+        """CAST(round(ln((CAST(c AS DOUBLE) + 1.0)
+             / (CAST(cx AS DOUBLE) + CAST(v AS DOUBLE))), 9)
+           AS DECIMAL(18,9))""").as("term"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("st"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(lit(0.0) - col("st").cast("double")
+          / col("n_bigrams").cast("double"), 6).as("mean_nll"))
+      .orderBy("doc_id")
+  }
+
+  /** Shingle CONTAINMENT (asymmetric Jaccard, |A∩B|/min-side focus) —
+    * the sub-document-duplication detector: a doc wholly embedded in a
+    * larger one scores ~1.0 where symmetric Jaccard stays low. Pure
+    * Column trigram-set algebra (no UDF), pairs generated only within
+    * (source, length-band) blocks — the FuzzyJoin blocking contract,
+    * never all-pairs — and the top-20 is ordered on the ROUNDED score
+    * with full id tie-break.
+    */
+  private def qContainment(s: SparkSession, dir: String): DataFrame = {
+    val t = tbl(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        expr("CAST(n_chars AS BIGINT) DIV 100").as("blk"),
+        expr(tokensSql).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), col("source"), col("blk"),
+        array_distinct(expr(
+          """transform(sequence(1, size(ws) - 2),
+               i -> concat_ws(' ', element_at(ws, i),
+                 element_at(ws, i + 1), element_at(ws, i + 2)))"""))
+          .as("sh"))
+    val a = t.select(col("source"), col("blk"),
+      col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = t.select(col("source"), col("blk"),
+      col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("source", "blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+          .as("inter"),
+        size(col("sh_a")).cast("long").as("la"),
+        size(col("sh_b")).cast("long").as("lb"))
+      .withColumn("containment", round(greatest(
+        col("inter").cast("double") / col("la").cast("double"),
+        col("inter").cast("double") / col("lb").cast("double")), 6))
+      .orderBy(col("containment").desc, col("id_a"), col("id_b"))
+      .limit(20)
+  }
+
+  /** Winsorized robust statistics per event type: clip at the exact
+    * per-group p05/p95 (percentile_disc — an actual element, the
+    * engine-agnostic discrete percentile the q_percentile_disc gate
+    * already pins) and aggregate the clipped values as exact DECIMAL.
+    * The outlier-robust mean every metrics pipeline wants before a
+    * spiky `value` column poisons a dashboard; the cutoff side is
+    * groups-sized and broadcast by AQE.
+    */
+  private def qWinsorize(s: SparkSession, dir: String): DataFrame = {
+    tbl(s, dir, "events").createOrReplaceTempView("events_wz_v")
+    s.sql(
+      """WITH cut AS (SELECT event_type,
+             percentile_disc(0.05) WITHIN GROUP (ORDER BY value) AS p05,
+             percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS p95
+           FROM events_wz_v GROUP BY event_type)
+         SELECT e.event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN e.value < c.p05 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_clip_low,
+           CAST(SUM(CASE WHEN e.value > c.p95 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_clip_high,
+           round(CAST(SUM(CAST(greatest(c.p05, least(c.p95, e.value))
+             AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+             AS winsorized_mean
+         FROM events_wz_v e JOIN cut c ON e.event_type = c.event_type
+         GROUP BY e.event_type ORDER BY e.event_type""")
+  }
+
+  /** Survivorship / golden-record construction — the step AFTER dedup
+    * clustering: per entity group (source × length band here), elect a
+    * canonical survivor by an explicit deterministic rule (longest
+    * text, id tie-break via a PARTITIONED row_number — never max_by,
+    * whose tie choice is engine-arbitrary) and merge the group's
+    * attributes (member count, char mass, sorted distinct languages).
+    * One partitioned window + one keyed aggregate, both on the entity
+    * key — no global sort anywhere.
+    */
+  private def qGoldenRecord(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = tbl(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        expr("CAST(n_chars AS BIGINT) DIV 200").as("bucket"))
+    val w = Window.partitionBy("source", "bucket")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val agg = d.groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("n_chars")).as("total_chars"),
+        concat_ws(",", array_sort(collect_set(col("lang")))).as("langs"))
+    d.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("bucket"),
+        col("doc_id").as("keep_id"), col("n_chars").as("keep_chars"))
+      .join(agg, Seq("source", "bucket"))
+      .orderBy("source", "bucket")
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -5697,6 +5827,10 @@ object SparkEntry {
     "q_confusion" -> qConfusion,
     "q_calibration" -> qCalibration,
     "q_jaro_dedup" -> qJaroDedup,
+    "q_bigram_lm" -> qBigramLm,
+    "q_containment" -> qContainment,
+    "q_winsorize" -> qWinsorize,
+    "q_golden_record" -> qGoldenRecord,
     "q_entropy" -> qEntropy,
     "q_rfm" -> qRfm,
     "q_dau_mau" -> qDauMau,
@@ -7133,6 +7267,89 @@ object SparkEntry {
          WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
            >= 0.85
          ORDER BY jw DESC, id_a, id_b""",
+    "q_bigram_lm" ->
+      """WITH ws AS (SELECT doc_id, list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+             w -> w <> '') AS ws
+           FROM documents),
+         bi AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)),
+               i -> ws[i] || ' ' || ws[i+1])) AS bigram
+           FROM ws WHERE len(ws) >= 2),
+         bg AS (SELECT doc_id, split_part(bigram, ' ', 1) AS x,
+             split_part(bigram, ' ', 2) AS y
+           FROM bi),
+         bc AS (SELECT x, y, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+         cx AS (SELECT x, CAST(SUM(c) AS BIGINT) AS cx FROM bc
+           GROUP BY 1),
+         v AS (SELECT COUNT(DISTINCT y) AS v FROM bc),
+         terms AS (SELECT doc_id,
+             CAST(round(ln((CAST(c AS DOUBLE) + 1.0)
+               / (CAST(cx AS DOUBLE) + CAST(v AS DOUBLE))), 9)
+               AS DECIMAL(18,9)) AS term
+           FROM bg JOIN bc USING (x, y) JOIN cx USING (x) CROSS JOIN v)
+         SELECT doc_id, COUNT(*) AS n_bigrams,
+           round(0.0 - CAST(SUM(term) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_nll
+         FROM terms GROUP BY doc_id ORDER BY doc_id""",
+    "q_containment" ->
+      """WITH w AS (SELECT doc_id, source,
+             CAST(n_chars AS BIGINT) // 100 AS blk,
+             list_filter(regexp_split_to_array(lower(text),
+               '[^a-z0-9_]+'), x -> x <> '') AS ws
+           FROM documents),
+         t AS (SELECT doc_id, source, blk,
+             list_distinct(list_transform(range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+           FROM w WHERE len(ws) >= 3),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+             CAST(len(a.sh) AS BIGINT) AS la,
+             CAST(len(b.sh) AS BIGINT) AS lb
+           FROM t a JOIN t b ON a.source = b.source AND a.blk = b.blk
+             AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, inter, la, lb,
+           round(greatest(CAST(inter AS DOUBLE) / CAST(la AS DOUBLE),
+             CAST(inter AS DOUBLE) / CAST(lb AS DOUBLE)), 6)
+             AS containment
+         FROM p ORDER BY containment DESC, id_a, id_b LIMIT 20""",
+    "q_winsorize" ->
+      """WITH cut AS (SELECT event_type,
+             percentile_disc(0.05) WITHIN GROUP (ORDER BY value) AS p05,
+             percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS p95
+           FROM events GROUP BY event_type)
+         SELECT e.event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN e.value < c.p05 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_clip_low,
+           CAST(SUM(CASE WHEN e.value > c.p95 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_clip_high,
+           round(CAST(SUM(CAST(greatest(c.p05, least(c.p95, e.value))
+             AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+             AS winsorized_mean
+         FROM events e JOIN cut c ON e.event_type = c.event_type
+         GROUP BY e.event_type ORDER BY e.event_type""",
+    "q_golden_record" ->
+      """WITH d AS (SELECT doc_id, source, lang, n_chars,
+             CAST(n_chars AS BIGINT) // 200 AS bucket
+           FROM documents),
+         r AS (SELECT source, bucket, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source, bucket
+               ORDER BY n_chars DESC, doc_id) AS rn
+           FROM d),
+         a AS (SELECT source, bucket, COUNT(*) AS n_members,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+           FROM d GROUP BY 1, 2),
+         l AS (SELECT source, bucket,
+             string_agg(lang, ',' ORDER BY lang) AS langs
+           FROM (SELECT DISTINCT source, bucket, lang FROM d)
+           GROUP BY 1, 2)
+         SELECT r.source, r.bucket, r.doc_id AS keep_id,
+           r.n_chars AS keep_chars, a.n_members, a.total_chars, l.langs
+         FROM r
+           JOIN a ON a.source = r.source AND a.bucket = r.bucket
+           JOIN l ON l.source = r.source AND l.bucket = r.bucket
+         WHERE r.rn = 1 ORDER BY r.source, r.bucket""",
     "q_entropy" ->
       """WITH w AS (SELECT lang,
              unnest(regexp_split_to_array(lower(text), '[^a-zA-Z0-9_]+'))
