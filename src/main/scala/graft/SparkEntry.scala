@@ -5782,6 +5782,148 @@ object SparkEntry {
       .orderBy("source", "bucket")
   }
 
+  /** HITS hubs/authorities over the DIRECTED supplier→part bipartite
+    * graph (part ids offset into their own key space) — the original
+    * Kleinberg use-case shape, where the co-supplier graph would
+    * degenerate to degrees. Three [[graft.ops.Hits]] iterations with
+    * DECIMAL(28,12) max-normalized state (the PageRank determinism
+    * recipe applied to the two-sided fixpoint); the DuckDB twin replays
+    * the same three iterations as unrolled CTEs. Top-20 authorities by
+    * rounded score.
+    */
+  private def qHits(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "lineitem")
+      .filter(col("l_quantity") <= 2)
+      .select(col("l_suppkey").as("src"),
+        (col("l_partkey") + 1000000L).as("dst"))
+      .distinct()
+    graft.ops.Hits.scores(e, "src", "dst", iters = 3)
+      .select(col("node"),
+        round(col("auth").cast("double"), 8).as("auth"),
+        round(col("hub").cast("double"), 8).as("hub"))
+      .orderBy(col("auth").desc, col("node"))
+      .limit(20)
+  }
+
+  /** Degree distribution of the co-supplier graph — the first graph
+    * profile anyone draws (power-law check, max-degree hotspot scan
+    * before launching iterative algorithms). One keyed count + one
+    * degree-keyed count.
+    */
+  private def qDegreeStats(s: SparkSession, dir: String): DataFrame = {
+    val ps = tbl(s, dir, "lineitem")
+      .filter(col("l_quantity") <= 2)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    ps.as("a").join(ps.as("b"), "l_partkey")
+      .filter(col("a.l_suppkey") =!= col("b.l_suppkey"))
+      .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+      .distinct()
+      .groupBy("src").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("degree")
+  }
+
+  /** Link prediction by neighbor Jaccard: candidate pairs come from a
+    * WEDGE join (two-hop paths through a shared neighbor — the triangle
+    * machinery, volume Σ_w deg(w)², never all-pairs), existing edges
+    * are anti-joined away, and the score is |N∩|/|N∪| from exact
+    * degree/common counts. Top-20 by the ROUNDED score with full id
+    * tie-break.
+    */
+  private def qLinkPredict(s: SparkSession, dir: String): DataFrame = {
+    val ps = tbl(s, dir, "lineitem")
+      .filter(col("l_quantity") <= 2)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val und = ps.as("a").join(ps.as("b"), "l_partkey")
+      .filter(col("a.l_suppkey") =!= col("b.l_suppkey"))
+      .select(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+      .distinct()
+    val deg = und.groupBy("u").agg(count(lit(1)).as("du"))
+    val cn = und.toDF("u", "w").join(und.toDF("v", "w"), "w")
+      .filter(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("cn"))
+      .join(und.toDF("u", "v"), Seq("u", "v"), "left_anti")
+    cn.join(deg, "u")
+      .join(deg.toDF("v", "dv"), "v")
+      .select(col("u"), col("v"), col("cn"),
+        round(col("cn").cast("double")
+          / (col("du") + col("dv") - col("cn")).cast("double"), 6)
+          .as("jacc"))
+      .orderBy(col("jacc").desc, col("u"), col("v"))
+      .limit(20)
+  }
+
+  /** Chi-square test of independence (lang × source) + Cramér's V —
+    * the categorical-association screen (is my language mix uniform
+    * across crawl sources, or does one source skew the corpus?). Cell
+    * terms are rounded to 9 dp and summed as exact DECIMAL (the
+    * repo-wide order-independence contract; a raw double Σ over 100
+    * cells would be partition-order-dependent). Cells with zero
+    * observed count are absent on both engines by the same
+    * construction.
+    */
+  private def qChiSquare(s: SparkSession, dir: String): DataFrame = {
+    val cells = tbl(s, dir, "documents").groupBy("lang", "source")
+      .agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy("lang").agg(sum(col("o")).as("rt"))
+    val colT = cells.groupBy("source").agg(sum(col("o")).as("ct"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("lang")).as("r"),
+      countDistinct(col("source")).as("c"))
+    cells.join(rowT, "lang").join(colT, "source")
+      .crossJoin(broadcast(tot))
+      .select(expr(
+        """CAST(round(
+             (CAST(o AS DOUBLE)
+               - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                 / CAST(n AS DOUBLE))
+             * (CAST(o AS DOUBLE)
+               - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                 / CAST(n AS DOUBLE))
+             / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+               / CAST(n AS DOUBLE)), 9) AS DECIMAL(18,9))""").as("cell"),
+        col("n"), col("r"), col("c"))
+      .groupBy("n", "r", "c")
+      .agg(sum(col("cell")).as("chi2d"))
+      .select(col("n"),
+        ((col("r") - 1) * (col("c") - 1)).as("dof"),
+        round(col("chi2d").cast("double"), 6).as("chi2"),
+        round(sqrt(col("chi2d").cast("double")
+          / (col("n").cast("double")
+            * least(col("r") - 1, col("c") - 1).cast("double"))), 6)
+          .as("cramers_v"))
+  }
+
+  /** Smoothed target encoding (the feature-engineering mean-encode):
+    * per-brand revenue statistics shrunk toward the global prior with
+    * pseudo-count m=50 — enc = (Σy + m·prior)/(n + m). All sums are
+    * exact DECIMAL (revenue = price × (1−discount) in decimal), the
+    * prior rides a broadcast 1-row aggregate, and the final divisions
+    * are textually identical in the oracle.
+    */
+  private def qTargetEncoding(s: SparkSession, dir: String): DataFrame = {
+    val li = tbl(s, dir, "lineitem")
+      .join(tbl(s, dir, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_brand")),
+        "l_partkey")
+      .select(col("p_brand"), expr(
+        """CAST(l_extendedprice AS DECIMAL(14,2))
+           * (CAST(1.00 AS DECIMAL(4,2))
+             - CAST(l_discount AS DECIMAL(4,2)))""").as("rev"))
+    val per = li.groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), sum(col("rev")).as("s"))
+    val g = li.agg(count(lit(1)).as("gn"), sum(col("rev")).as("gs"))
+    per.crossJoin(broadcast(g))
+      .select(col("p_brand"), col("n"),
+        round(col("s").cast("double") / col("n").cast("double"), 6)
+          .as("raw_mean"),
+        round((col("s").cast("double")
+            + lit(50.0) * (col("gs").cast("double")
+              / col("gn").cast("double")))
+          / (col("n").cast("double") + 50.0), 6).as("encoded"))
+      .orderBy("p_brand")
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -5827,6 +5969,11 @@ object SparkEntry {
     "q_confusion" -> qConfusion,
     "q_calibration" -> qCalibration,
     "q_jaro_dedup" -> qJaroDedup,
+    "q_hits" -> qHits,
+    "q_degree_stats" -> qDegreeStats,
+    "q_link_predict" -> qLinkPredict,
+    "q_chi_square" -> qChiSquare,
+    "q_target_encoding" -> qTargetEncoding,
     "q_bigram_lm" -> qBigramLm,
     "q_containment" -> qContainment,
     "q_winsorize" -> qWinsorize,
@@ -7267,6 +7414,108 @@ object SparkEntry {
          WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
            >= 0.85
          ORDER BY jw DESC, id_a, id_b""",
+    "q_hits" -> {
+      def iter(k: Int): String =
+        s"""ar$k AS (SELECT dst, SUM(h) AS s
+             FROM e JOIN h${k - 1} ON node = src GROUP BY dst),
+           am$k AS (SELECT MAX(s) AS m FROM ar$k),
+           a$k AS (SELECT node,
+               CAST(round(CAST(coalesce(s, 0) AS DOUBLE)
+                 / CAST(m AS DOUBLE), 12) AS DECIMAL(28,12)) AS a
+             FROM nodes LEFT JOIN ar$k ON node = dst CROSS JOIN am$k),
+           hr$k AS (SELECT src, SUM(a) AS s
+             FROM e JOIN a$k ON node = dst GROUP BY src),
+           hm$k AS (SELECT MAX(s) AS m FROM hr$k),
+           h$k AS (SELECT node,
+               CAST(round(CAST(coalesce(s, 0) AS DOUBLE)
+                 / CAST(m AS DOUBLE), 12) AS DECIMAL(28,12)) AS h
+             FROM nodes LEFT JOIN hr$k ON node = src CROSS JOIN hm$k)"""
+      s"""WITH e AS (SELECT DISTINCT l_suppkey AS src,
+             l_partkey + 1000000 AS dst
+           FROM lineitem WHERE l_quantity <= 2),
+         nodes AS (SELECT src AS node FROM e
+           UNION SELECT dst FROM e),
+         h0 AS (SELECT node, CAST(1.000000000000 AS DECIMAL(28,12)) AS h
+           FROM nodes),
+         ${iter(1)},
+         ${iter(2)},
+         ${iter(3)}
+         SELECT node, round(CAST(a AS DOUBLE), 8) AS auth,
+           round(CAST(h AS DOUBLE), 8) AS hub
+         FROM a3 JOIN h3 USING (node)
+         ORDER BY auth DESC, node LIMIT 20"""
+    },
+    "q_degree_stats" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+           WHERE l_quantity <= 2),
+         e AS (SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+           FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+             AND a.l_suppkey <> b.l_suppkey),
+         d AS (SELECT src, COUNT(*) AS degree FROM e GROUP BY 1)
+         SELECT degree, COUNT(*) AS n_nodes FROM d GROUP BY 1
+         ORDER BY degree""",
+    "q_link_predict" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+           WHERE l_quantity <= 2),
+         und AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+           FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+             AND a.l_suppkey <> b.l_suppkey),
+         deg AS (SELECT u, COUNT(*) AS du FROM und GROUP BY 1),
+         cn AS (SELECT x.u AS u, y.u AS v, COUNT(*) AS cn
+           FROM und x JOIN und y ON x.v = y.v AND x.u < y.u
+           GROUP BY 1, 2),
+         nc AS (SELECT cn.u, cn.v, cn.cn FROM cn
+           WHERE NOT EXISTS (SELECT 1 FROM und
+             WHERE und.u = cn.u AND und.v = cn.v))
+         SELECT nc.u AS u, nc.v AS v, nc.cn AS cn,
+           round(CAST(nc.cn AS DOUBLE)
+             / CAST(d1.du + d2.dv - nc.cn AS DOUBLE), 6) AS jacc
+         FROM nc JOIN deg d1 ON d1.u = nc.u
+           JOIN (SELECT u AS vv, du AS dv FROM deg) d2 ON d2.vv = nc.v
+         ORDER BY jacc DESC, u, v LIMIT 20""",
+    "q_chi_square" ->
+      """WITH cells AS (SELECT lang, source, COUNT(*) AS o
+           FROM documents GROUP BY 1, 2),
+         rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rt FROM cells
+           GROUP BY 1),
+         ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ct FROM cells
+           GROUP BY 1),
+         tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+             COUNT(DISTINCT lang) AS r, COUNT(DISTINCT source) AS c
+           FROM cells),
+         terms AS (SELECT CAST(round(
+             (CAST(o AS DOUBLE)
+               - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                 / CAST(n AS DOUBLE))
+             * (CAST(o AS DOUBLE)
+               - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                 / CAST(n AS DOUBLE))
+             / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+               / CAST(n AS DOUBLE)), 9) AS DECIMAL(18,9)) AS cell,
+             n, r, c
+           FROM cells JOIN rt USING (lang) JOIN ct USING (source)
+             CROSS JOIN tot)
+         SELECT n, (r - 1) * (c - 1) AS dof,
+           round(CAST(SUM(cell) AS DOUBLE), 6) AS chi2,
+           round(sqrt(CAST(SUM(cell) AS DOUBLE)
+             / (CAST(n AS DOUBLE)
+               * CAST(least(r - 1, c - 1) AS DOUBLE))), 6) AS cramers_v
+         FROM terms GROUP BY n, r, c""",
+    "q_target_encoding" ->
+      """WITH li AS (SELECT p_brand,
+             CAST(l_extendedprice AS DECIMAL(14,2))
+               * (CAST(1.00 AS DECIMAL(4,2))
+                 - CAST(l_discount AS DECIMAL(4,2))) AS rev
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         per AS (SELECT p_brand, COUNT(*) AS n, SUM(rev) AS s
+           FROM li GROUP BY 1),
+         g AS (SELECT COUNT(*) AS gn, SUM(rev) AS gs FROM li)
+         SELECT p_brand, n,
+           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS raw_mean,
+           round((CAST(s AS DOUBLE)
+               + 50.0 * (CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE)))
+             / (CAST(n AS DOUBLE) + 50.0), 6) AS encoded
+         FROM per CROSS JOIN g ORDER BY p_brand""",
     "q_bigram_lm" ->
       """WITH ws AS (SELECT doc_id, list_filter(
              regexp_split_to_array(lower(text), '[^a-z0-9_]+'),

@@ -1898,6 +1898,29 @@ class OpsSpec extends AnyFunSuite {
     assert(viaSql2.isNullAt(1))
   }
 
+  test("hits: bipartite scores bounded, max-normalized, sides separated") {
+    import spark.implicits._
+    // star-ish bipartite graph: hub 1 points to parts 10,11,12; hub 2
+    // to 10 only — part 10 must out-rank 11/12, hub 1 must out-rank 2
+    val e = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L))
+      .toDF("src", "dst")
+    val out = graft.ops.Hits.scores(e, "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDecimal(1).doubleValue(), r.getDecimal(2).doubleValue()))
+      .toMap
+    // pure sources have authority 0; pure sinks have hub 0
+    assert(out(1L)._1 == 0.0 && out(2L)._1 == 0.0)
+    assert(out(10L)._2 == 0.0 && out(11L)._2 == 0.0)
+    // max-normalization: best authority and best hub are exactly 1
+    assert(out(10L)._1 == 1.0, s"auth(10)=${out(10L)._1}")
+    assert(out(1L)._2 == 1.0, s"hub(1)=${out(1L)._2}")
+    // ordering: 10 (two in-edges) > 11 == 12; hub 1 > hub 2
+    assert(out(10L)._1 > out(11L)._1 && out(11L)._1 == out(12L)._1)
+    assert(out(1L)._2 > out(2L)._2)
+    assert(out.values.forall { case (a, h) =>
+      a >= 0.0 && a <= 1.0 && h >= 0.0 && h <= 1.0 })
+  }
+
   test("ml-eval gates: auc bounds, confusion totals, calibration bins, linreg r2") {
     val dir = "/root/testdata/sf0.001"
     val auc = SparkEntry.queries("q_roc_auc")(spark, dir).head()
