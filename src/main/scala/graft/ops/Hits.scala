@@ -44,37 +44,52 @@ object Hits {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
+      .persist()
     val one = "CAST(1.000000000000 AS DECIMAL(28,12))"
     var hub = nodes.select(col("node"), expr(one).as("h"))
       .localCheckpoint(true)
     var auth = nodes.select(col("node"), expr(one).as("a"))
       .localCheckpoint(true)
     try {
+      // Each raw contribution table feeds BOTH its 1-row max and the
+      // normalization join, so it is persisted for the iteration and the
+      // max is collected as a scalar (the BpeTrainer per-iteration
+      // argmax-collect pattern) — one pass instead of two, and the
+      // normalizing divisor inlines as a literal identical in value to
+      // the oracle's CAST(m AS DOUBLE). Double's toString round-trips
+      // exactly, so the inlined literal loses nothing.
       for (_ <- 1 to iters) {
         // authority update: sum of in-neighbor hub scores, max-normalized
         val aRaw = e.join(hub.withColumnRenamed("node", "src"), "src")
           .groupBy("dst").agg(sum(col("h")).as("s"))
-        val aMax = aRaw.agg(max(col("s")).as("m"))
+          .persist()
+        val aM = aRaw.agg(max(col("s"))).head().getDecimal(0).doubleValue()
         auth = nodes
           .join(aRaw.withColumnRenamed("dst", "node"), Seq("node"), "left")
-          .crossJoin(broadcast(aMax))
           .select(col("node"), expr(
-            """CAST(round(CAST(coalesce(s, 0) AS DOUBLE)
-                 / CAST(m AS DOUBLE), 12) AS DECIMAL(28,12))""").as("a"))
+            s"""CAST(round(CAST(coalesce(s, 0) AS DOUBLE)
+                 / CAST('$aM' AS DOUBLE), 12) AS DECIMAL(28,12))""")
+            .as("a"))
           .localCheckpoint(true)
+        aRaw.unpersist(blocking = false)
         // hub update: sum of out-neighbor authority scores, max-normalized
         val hRaw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
           .groupBy("src").agg(sum(col("a")).as("s"))
-        val hMax = hRaw.agg(max(col("s")).as("m"))
+          .persist()
+        val hM = hRaw.agg(max(col("s"))).head().getDecimal(0).doubleValue()
         hub = nodes
           .join(hRaw.withColumnRenamed("src", "node"), Seq("node"), "left")
-          .crossJoin(broadcast(hMax))
           .select(col("node"), expr(
-            """CAST(round(CAST(coalesce(s, 0) AS DOUBLE)
-                 / CAST(m AS DOUBLE), 12) AS DECIMAL(28,12))""").as("h"))
+            s"""CAST(round(CAST(coalesce(s, 0) AS DOUBLE)
+                 / CAST('$hM' AS DOUBLE), 12) AS DECIMAL(28,12))""")
+            .as("h"))
           .localCheckpoint(true)
+        hRaw.unpersist(blocking = false)
       }
-    } finally e.unpersist(blocking = false)
+    } finally {
+      nodes.unpersist(blocking = false)
+      e.unpersist(blocking = false)
+    }
     auth.join(hub, "node")
       .select(col("node"), col("a").as("auth"), col("h").as("hub"))
   }
