@@ -583,4 +583,48 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("UDF("),
       s"no Scala UDF may block codegen in the recount stage:\n$plan")
   }
+
+  test("q_jaro_dedup: blocked equi-join scored by the native expression — no UDF, no cartesian") {
+    val plan = planOf("q_jaro_dedup")
+    assert(plan.contains("graft_jaro_winkler"),
+      s"scorer must be the native expression:\n$plan")
+    assert(!plan.contains("UDF("),
+      s"no Scala UDF may fence codegen in the pair stage:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"pairing must go through the blocking equi-join:\n$plan")
+  }
+
+  test("q_containment / q_item_cooccur / q_bigram_lm: blocked/keyed joins only, no cartesian") {
+    Seq("q_containment", "q_item_cooccur", "q_bigram_lm").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"),
+        s"$q must never plan an all-pairs product:\n$plan")
+    }
+    // brand priors ride real broadcasts in the co-occurrence query
+    assert(planOf("q_item_cooccur").contains("BroadcastHashJoin"))
+  }
+
+  test("q_roc_auc: the unpartitioned midrank window runs over the score aggregate, not the corpus") {
+    val plan = SparkEntry.queries("q_roc_auc")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val wIdx = plan.indexOf("Window")
+    assert(wIdx >= 0, s"expected a Window node:\n$plan")
+    // parents print above children: a HashAggregate BELOW the window
+    // means the single-partition window input is the distinct-score
+    // table, not raw rows
+    assert(plan.indexOf("HashAggregate", wIdx) > wIdx,
+      s"window input must be the per-score aggregate:\n$plan")
+  }
+
+  test("q_shortest_path / q_hits: iterative loops return O(1)-lineage checkpointed plans") {
+    Seq("q_shortest_path", "q_hits").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("ExistingRDD"),
+        s"$q must return checkpointed state, not live lineage:\n$plan")
+      assert(!plan.contains("Scan parquet"),
+        s"$q's returned plan must not re-derive the graph from parquet " +
+          s"(lineage would grow with iterations):\n$plan")
+    }
+  }
 }
