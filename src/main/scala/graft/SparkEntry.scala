@@ -5924,6 +5924,93 @@ object SparkEntry {
       .orderBy("p_brand")
   }
 
+  /** The daily order-revenue series every time-series query in this
+    * family shares: one keyed aggregate to days-sized data (the corpus
+    * never reaches a window), revenue as exact DECIMAL.
+    */
+  private def dailyRevenue(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy("day").agg(sum(col("p")).as("rev"))
+
+  /** Weekday seasonality decomposition: detrend the daily series with a
+    * CENTERED 7-day moving sum (complete windows only) and average the
+    * detrended residual per ISO weekday — the additive
+    * seasonal-index readout (which weekdays structurally over/under
+    * index). Every window runs over the DAYS-SIZED aggregate, never
+    * order rows; trend and residual stay DECIMAL-exact until one
+    * rounded division each (engine-identical).
+    */
+  private def qSeasonality(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("day").rowsBetween(-3, 3)
+    dailyRevenue(s, dir)
+      .withColumn("n7", count(lit(1)).over(w))
+      .withColumn("sum7", sum(col("rev")).over(w))
+      .filter(col("n7") === 7)
+      .select((weekday(col("day")) + 1).cast("long").as("dow"),
+        (col("rev") - expr(
+          """CAST(round(CAST(sum7 AS DOUBLE) / 7.0, 6)
+             AS DECIMAL(18,6))""")).as("detr"))
+      .groupBy("dow")
+      .agg(count(lit(1)).as("n_days"),
+        round(sum(col("detr")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("seasonal"))
+      .orderBy("dow")
+  }
+
+  /** Lag-7 autocorrelation of daily revenue — the "is there a weekly
+    * cycle" scalar before fitting anything. Pairs come from a LAG
+    * window over the days-sized series; Pearson r is the q_linreg
+    * closed form over exact DECIMAL moment sums, one rounded double
+    * formula at the end.
+    */
+  private def qAutocorr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("day")
+    dailyRevenue(s, dir)
+      .withColumn("lag7", lag(col("rev"), 7).over(w))
+      .filter(col("lag7").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(col("rev")).as("sx"), sum(col("lag7")).as("sy"),
+        sum(col("rev") * col("lag7")).as("sxy"),
+        sum(col("rev") * col("rev")).as("sxx"),
+        sum(col("lag7") * col("lag7")).as("syy"))
+      .select(col("n"),
+        round(expr(
+          """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"""), 6)
+          .as("acf7"))
+  }
+
+  /** CUSUM change-point scan: running sum of (x − global mean) over the
+    * daily series, top-5 days by |cusum| — where the cumulative
+    * deviation peaks is the level-shift candidate. The mean is rounded
+    * once to a DECIMAL(18,6) constant (broadcast), so the running sum
+    * is an exact DECIMAL fold — order-independent and engine-identical;
+    * the window input is days-sized by construction.
+    */
+  private def qChangepoint(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = dailyRevenue(s, dir)
+    val m = d.agg(expr(
+      """CAST(round(CAST(sum(rev) AS DOUBLE) / count(1), 6)
+         AS DECIMAL(18,6))""").as("mu"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.crossJoin(broadcast(m))
+      .withColumn("cusum", sum(col("rev") - col("mu")).over(w))
+      .select(col("day"), round(col("cusum").cast("double"), 6).as("cusum"),
+        round(abs(col("cusum")).cast("double"), 6).as("abs_cusum"))
+      .orderBy(col("abs_cusum").desc, col("day"))
+      .limit(5)
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -5969,6 +6056,9 @@ object SparkEntry {
     "q_confusion" -> qConfusion,
     "q_calibration" -> qCalibration,
     "q_jaro_dedup" -> qJaroDedup,
+    "q_seasonality" -> qSeasonality,
+    "q_autocorr" -> qAutocorr,
+    "q_changepoint" -> qChangepoint,
     "q_hits" -> qHits,
     "q_degree_stats" -> qDegreeStats,
     "q_link_predict" -> qLinkPredict,
@@ -7414,6 +7504,59 @@ object SparkEntry {
          WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
            >= 0.85
          ORDER BY jw DESC, id_a, id_b""",
+    "q_seasonality" ->
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders GROUP BY 1),
+         t AS (SELECT day, rev,
+             COUNT(*) OVER (ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7,
+             SUM(rev) OVER (ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sum7
+           FROM d),
+         r AS (SELECT isodow(day) AS dow,
+             rev - CAST(round(CAST(sum7 AS DOUBLE) / 7.0, 6)
+               AS DECIMAL(18,6)) AS detr
+           FROM t WHERE n7 = 7)
+         SELECT dow, COUNT(*) AS n_days,
+           round(CAST(SUM(detr) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS seasonal
+         FROM r GROUP BY 1 ORDER BY dow""",
+    "q_autocorr" ->
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders GROUP BY 1),
+         p AS (SELECT rev,
+             LAG(rev, 7) OVER (ORDER BY day) AS lag7
+           FROM d),
+         m AS (SELECT COUNT(*) AS n,
+             SUM(rev) AS sx, SUM(lag7) AS sy,
+             SUM(rev * lag7) AS sxy, SUM(rev * rev) AS sxx,
+             SUM(lag7 * lag7) AS syy
+           FROM p WHERE lag7 IS NOT NULL)
+         SELECT n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS acf7
+         FROM m""",
+    "q_changepoint" ->
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders GROUP BY 1),
+         m AS (SELECT CAST(round(CAST(SUM(rev) AS DOUBLE) / COUNT(*), 6)
+             AS DECIMAL(18,6)) AS mu
+           FROM d),
+         c AS (SELECT day,
+             SUM(rev - mu) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+           FROM d CROSS JOIN m)
+         SELECT day, round(CAST(cusum AS DOUBLE), 6) AS cusum,
+           round(CAST(abs(cusum) AS DOUBLE), 6) AS abs_cusum
+         FROM c ORDER BY abs_cusum DESC, day LIMIT 5""",
     "q_hits" -> {
       def iter(k: Int): String =
         s"""ar$k AS (SELECT dst, SUM(h) AS s
