@@ -6011,6 +6011,59 @@ object SparkEntry {
       .limit(5)
   }
 
+  /** Cohort LTV triangle: customers grouped by first-order month, value
+    * accumulated by months-since-cohort — the lifetime-value readout
+    * behind every retention deck. Month arithmetic is pure integer
+    * (year·12+month), cohorts come from one keyed MIN aggregate joined
+    * back on the customer key, and revenue sums are exact DECIMAL —
+    * two keyed shuffles total, triangle-sized output.
+    */
+  private def qCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val o = tbl(s, dir, "orders")
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("ym"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val first = o.groupBy("o_custkey").agg(min(col("ym")).as("cohort_ym"))
+    o.join(first, "o_custkey")
+      .groupBy(col("cohort_ym"),
+        (col("ym") - col("cohort_ym")).as("age_months"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        sum(col("price")).cast("double").as("revenue"))
+      .orderBy("cohort_ym", "age_months")
+  }
+
+  /** Inter-order gap distribution: per-customer LAG over order dates
+    * (deterministic tie-break on the order key), exact integer day
+    * gaps, then global discrete percentiles + mean — the
+    * purchase-cadence profile that sizes retention windows. The gap
+    * table is orders-sized; the percentile aggregate is the
+    * q_percentile_disc contract.
+    */
+  private def qOrderGaps(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    tbl(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate"),
+        expr("unix_micros(o_orderdate)").as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .select(expr("(us - prev_us) DIV 86400000000").as("gap_days"))
+      .createOrReplaceTempView("order_gaps_v")
+    s.sql(
+      """SELECT COUNT(*) AS n_gaps,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_days)
+             AS BIGINT) AS med_gap_days,
+           CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_days)
+             AS BIGINT) AS p90_gap_days,
+           round(CAST(SUM(gap_days) AS DOUBLE) / COUNT(*), 6)
+             AS mean_gap_days
+         FROM order_gaps_v""")
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -6056,6 +6109,8 @@ object SparkEntry {
     "q_confusion" -> qConfusion,
     "q_calibration" -> qCalibration,
     "q_jaro_dedup" -> qJaroDedup,
+    "q_cohort_ltv" -> qCohortLtv,
+    "q_order_gaps" -> qOrderGaps,
     "q_seasonality" -> qSeasonality,
     "q_autocorr" -> qAutocorr,
     "q_changepoint" -> qChangepoint,
@@ -7504,6 +7559,35 @@ object SparkEntry {
          WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
            >= 0.85
          ORDER BY jw DESC, id_a, id_b""",
+    "q_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+               AS ym,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           FROM orders),
+         f AS (SELECT o_custkey, MIN(ym) AS cohort_ym FROM o GROUP BY 1)
+         SELECT cohort_ym, ym - cohort_ym AS age_months,
+           COUNT(DISTINCT o.o_custkey) AS n_customers,
+           COUNT(*) AS n_orders,
+           CAST(SUM(price) AS DOUBLE) AS revenue
+         FROM o JOIN f ON o.o_custkey = f.o_custkey
+         GROUP BY 1, 2 ORDER BY cohort_ym, age_months""",
+    "q_order_gaps" ->
+      """WITH g AS (SELECT
+             (epoch_us(o_orderdate)
+               - LAG(epoch_us(o_orderdate), 1) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey)) // 86400000000
+               AS gap_days
+           FROM orders)
+         SELECT COUNT(*) AS n_gaps,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_days)
+             AS BIGINT) AS med_gap_days,
+           CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_days)
+             AS BIGINT) AS p90_gap_days,
+           round(CAST(SUM(gap_days) AS DOUBLE) / COUNT(*), 6)
+             AS mean_gap_days
+         FROM g WHERE gap_days IS NOT NULL""",
     "q_seasonality" ->
       """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
              SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
