@@ -6064,6 +6064,56 @@ object SparkEntry {
          FROM order_gaps_v""")
   }
 
+  /** CHANGE DATA FEED read ([[graft.table.TxnTable.cdf]]): updates emit
+    * both images as separate rows — the Delta-CDF row shape that makes
+    * downstream aggregates incrementally maintainable. Same v1→v3 probe
+    * as q_table_cdc; the oracle reconstructs the four image classes
+    * from the version CTEs.
+    */
+  private def qTableCdf(s: SparkSession, dir: String): DataFrame =
+    graft.table.TxnTable.cdf(s, writtenTxnOrdersTable(s, dir), 1L, 3L,
+        Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("_change_type"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy("o_orderkey", "_change_type")
+
+  /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE: a per-priority
+    * (count, revenue) aggregate materialized at v1 is brought to v3 by
+    * applying the CDF delta — inserts/update_postimages add,
+    * deletes/update_preimages subtract — WITHOUT re-aggregating the
+    * base table. The oracle aggregates v3 from scratch, so the hash
+    * match IS the incremental == full-recompute equivalence proof
+    * (exact DECIMAL sums make the algebra associativity-safe). At
+    * 100 TB this is the difference between touching the CDC delta and
+    * rescanning the table.
+    */
+  private def qMvIncremental(s: SparkSession, dir: String): DataFrame = {
+    val root = writtenTxnOrdersTable(s, dir)
+    val mv = graft.table.TxnTable.snapshotAt(s, root, 1L)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n0"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("s0"))
+    val delta = graft.table.TxnTable
+      .cdf(s, root, 1L, 3L, Seq("o_orderkey"))
+      .select(col("o_orderpriority"),
+        when(col("_change_type").isin("insert", "update_postimage"), 1L)
+          .otherwise(-1L).as("sign"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy("o_orderpriority")
+      .agg(sum(col("sign")).as("dn"),
+        sum(when(col("sign") === 1L, col("p")).otherwise(-col("p")))
+          .as("ds"))
+    mv.join(delta, Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_orders"),
+        (coalesce(col("s0"), lit(0).cast("decimal(18,2)"))
+          + coalesce(col("ds"), lit(0).cast("decimal(18,2)")))
+          .cast("double").as("sum_price"))
+      .filter(col("n_orders") > 0)
+      .orderBy("o_orderpriority")
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -6109,6 +6159,8 @@ object SparkEntry {
     "q_confusion" -> qConfusion,
     "q_calibration" -> qCalibration,
     "q_jaro_dedup" -> qJaroDedup,
+    "q_table_cdf" -> qTableCdf,
+    "q_mv_incremental" -> qMvIncremental,
     "q_cohort_ltv" -> qCohortLtv,
     "q_order_gaps" -> qOrderGaps,
     "q_seasonality" -> qSeasonality,
@@ -9809,6 +9861,37 @@ object SparkEntry {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
              AS sum_price
          FROM v1 GROUP BY 1 ORDER BY 1""",
+    "q_table_cdf" ->
+      s"""$txnTableCtes,
+         j AS (SELECT a.o_orderkey AS pk, b.o_orderkey AS qk,
+             a.o_totalprice AS pre_price, b.o_totalprice AS post_price,
+             ((a.o_custkey IS DISTINCT FROM b.o_custkey)
+               OR (a.o_orderstatus IS DISTINCT FROM b.o_orderstatus)
+               OR (a.o_totalprice IS DISTINCT FROM b.o_totalprice)
+               OR (a.o_orderdate IS DISTINCT FROM b.o_orderdate)
+               OR (a.o_orderpriority IS DISTINCT FROM b.o_orderpriority))
+               AS differs
+           FROM v1 a FULL OUTER JOIN v3 b ON a.o_orderkey = b.o_orderkey),
+         ev AS (
+           SELECT qk AS o_orderkey, 'insert' AS _change_type,
+             post_price AS p
+           FROM j WHERE pk IS NULL
+           UNION ALL
+           SELECT pk, 'delete', pre_price FROM j WHERE qk IS NULL
+           UNION ALL
+           SELECT pk, 'update_preimage', pre_price FROM j
+           WHERE pk IS NOT NULL AND qk IS NOT NULL AND differs
+           UNION ALL
+           SELECT qk, 'update_postimage', post_price FROM j
+           WHERE pk IS NOT NULL AND qk IS NOT NULL AND differs)
+         SELECT o_orderkey, _change_type, round(p, 2) AS o_totalprice
+         FROM ev ORDER BY o_orderkey, _change_type""",
+    "q_mv_incremental" ->
+      s"""$txnTableCtes
+         SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+         FROM v3 GROUP BY 1 ORDER BY o_orderpriority""",
     "q_table_cdc" ->
       s"""$txnTableCtes,
          j AS (SELECT coalesce(b.o_orderkey, a.o_orderkey) AS o_orderkey,

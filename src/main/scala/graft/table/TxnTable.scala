@@ -1037,6 +1037,45 @@ object TxnTable {
               .otherwise(col(s"post.$c")).as(c)): _*)
   }
 
+  /** CHANGE DATA FEED between two versions: like [[cdc]] but updates
+    * emit BOTH images as separate rows (`update_preimage` then
+    * `update_postimage`) — the row shape downstream incremental
+    * consumers need (an aggregate maintained by delta application
+    * subtracts the pre-image and adds the post-image; a single
+    * post-only 'update' row cannot express that). Same single keyed
+    * full-outer join as [[cdc]]; the two update rows come from ONE
+    * generate over the joined row, not a second pass.
+    */
+  def cdf(
+      spark: SparkSession,
+      root: String,
+      fromV: Long,
+      toV: Long,
+      keyCols: Seq[String]): DataFrame = {
+    val pre = snapshotAt(spark, root, fromV).alias("pre")
+    val post = snapshotAt(spark, root, toV).alias("post")
+    val allCols = post.columns.toSeq
+    val dataCols = allCols.filterNot(keyCols.contains)
+    val joinCond = keyCols.map(k => col(s"pre.$k") <=> col(s"post.$k"))
+      .reduce(_ && _)
+    val differs = dataCols.map(c => !(col(s"pre.$c") <=> col(s"post.$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val preExists = col(s"pre.${keyCols.head}").isNotNull
+    val postExists = col(s"post.${keyCols.head}").isNotNull
+    def tagged(side: String, t: String) = struct(
+      struct(allCols.map(c => col(s"$side.$c").as(c)): _*).as("r"),
+      lit(t).as("t"))
+    pre.join(post, joinCond, "full_outer")
+      .filter(!preExists || !postExists || differs)
+      .select(explode(
+        when(!preExists, array(tagged("post", "insert")))
+          .when(!postExists, array(tagged("pre", "delete")))
+          .otherwise(array(tagged("pre", "update_preimage"),
+            tagged("post", "update_postimage")))).as("e"))
+      .select(allCols.map(c => col(s"e.r.$c").as(c))
+        :+ col("e.t").as("_change_type"): _*)
+  }
+
   /** Commit history as a DataFrame (from the manifests alone — no data
     * files touched): version, op, timestamp_ms, n_files, n_rows.
     */

@@ -810,4 +810,34 @@ class TableSpec extends AnyFunSuite {
       .select("k").as[Long].collect().sorted.toSeq
     assert(left == Seq(1L, 2L), "null-scored unmatched row was dropped")
   }
+
+  test("cdf: updates emit paired pre/post images; delta application equals the target snapshot") {
+    val root = freshRoot()
+    TxnTable.create(spark, root,
+      kv((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    // v1: update k=2 + insert k=4; v2: delete k=3
+    TxnTable.merge(spark, root,
+      kv((2L, "b2", 20.0), (4L, "d", 4.0)), Seq("k"))
+    TxnTable.delete(spark, root,
+      Seq(3L).toDF("k"), Seq("k"))
+    val rows = TxnTable.cdf(spark, root, 0L, 2L, Seq("k"))
+      .select("k", "_change_type", "name", "score")
+      .as[(Long, String, String, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(rows.toSeq == Seq(
+      (2L, "update_postimage", "b2", 20.0),
+      (2L, "update_preimage", "b", 2.0),
+      (3L, "delete", "c", 3.0),
+      (4L, "insert", "d", 4.0)), rows.mkString(", "))
+    // incremental maintenance algebra: count delta from signed rows
+    // equals the snapshot-count difference
+    val signed = rows.map {
+      case (_, "insert", _, _) | (_, "update_postimage", _, _) => 1L
+      case _ => -1L
+    }.sum
+    val n0 = TxnTable.snapshotAt(spark, root, 0L).count()
+    val n2 = TxnTable.snapshot(spark, root).count()
+    // the update pre/post pair cancels, so the signed sum IS the
+    // row-count delta — the invariant incremental maintenance rides on
+    assert(n0 + signed == n2, s"n0=$n0 signed=$signed n2=$n2")
+  }
 }
