@@ -6114,6 +6114,41 @@ object SparkEntry {
       .orderBy("o_orderpriority")
   }
 
+  /** Johnson-Lindenstrauss random projection 64→4 dims with a SEEDLESS
+    * deterministic ±1 matrix — sign(j,i) is the low bit of
+    * splitmix64(j·64+i), so the "random" matrix is a pure function both
+    * engines regenerate independently (no stored artifact, no RNG
+    * state; the q_epoch_shuffle hash-randomness contract). Per-row
+    * narrow map, zero shuffles; the fold is dim-order sequential on
+    * both engines (Duck.foldDot discipline) so the double sums are
+    * bit-identical. The 100 TB use: cheap sketch vectors for pre-filter
+    * distance bounds before exact rescoring.
+    */
+  private def qRandomProjection(s: SparkSession, dir: String): DataFrame = {
+    val projUdf = udf((v: Seq[Float]) => {
+      Array.tabulate(4) { j =>
+        var acc = 0.0
+        var i = 1
+        while (i <= 64) {
+          val sign =
+            if ((graft.util.Hashing.mix64(j * 64L + i) & 1L) == 0L) 1.0
+            else -1.0
+          acc += v(i - 1).toDouble * sign
+          i += 1
+        }
+        acc
+      }
+    })
+    tbl(s, dir, "embeddings")
+      .select(col("vec_id"), projUdf(col("embedding")).as("p"))
+      .select(col("vec_id"),
+        round(col("p").getItem(0), 6).as("p0"),
+        round(col("p").getItem(1), 6).as("p1"),
+        round(col("p").getItem(2), 6).as("p2"),
+        round(col("p").getItem(3), 6).as("p3"))
+      .orderBy("vec_id")
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -6159,6 +6194,7 @@ object SparkEntry {
     "q_confusion" -> qConfusion,
     "q_calibration" -> qCalibration,
     "q_jaro_dedup" -> qJaroDedup,
+    "q_random_projection" -> qRandomProjection,
     "q_table_cdf" -> qTableCdf,
     "q_mv_incremental" -> qMvIncremental,
     "q_cohort_ltv" -> qCohortLtv,
@@ -9861,6 +9897,18 @@ object SparkEntry {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
              AS sum_price
          FROM v1 GROUP BY 1 ORDER BY 1""",
+    "q_random_projection" -> {
+      // the ±1 matrix regenerates from splitmix64(j*64+i) parity in
+      // HUGEINT mod-2^64 arithmetic; fold order matches the kernel's
+      // while loop exactly (dim-order sequential)
+      def proj(j: Int): String =
+        s"round(list_reduce(list_transform(range(1, 65), " +
+          s"i -> CAST(embedding[i] AS DOUBLE) * " +
+          s"(CASE WHEN (${Duck.mix64(s"(${j * 64} + i)")}) % 2 = 0 " +
+          s"THEN 1.0 ELSE -1.0 END)), (x, y) -> x + y), 6) AS p$j"
+      s"""SELECT vec_id, ${proj(0)}, ${proj(1)}, ${proj(2)}, ${proj(3)}
+         FROM embeddings ORDER BY vec_id"""
+    },
     "q_table_cdf" ->
       s"""$txnTableCtes,
          j AS (SELECT a.o_orderkey AS pk, b.o_orderkey AS qk,
