@@ -170,7 +170,11 @@ object Bench {
       // round-7 flagships: sketch overlap, bloom point lookup, MOR
       // delete, matryoshka ANN, chained stateful streaming
       "q_kmv_overlap", "q_table_bloom", "q_table_mor_delete",
-      "ann_matryoshka", "events_stream_join_agg")
+      "ann_matryoshka", "events_stream_join_agg",
+      // round-8 flagships: bipartite HITS, bigram LM, native
+      // Jaro-Winkler linkage, incremental MV maintenance, cohort LTV
+      "q_hits", "q_bigram_lm", "q_jaro_dedup", "q_mv_incremental",
+      "q_cohort_ltv")
     val fullLine = jsonLine(results)
     val headLine = jsonLine(headline.flatMap(h => resultMap.get(h).map(h -> _)))
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
