@@ -6149,6 +6149,77 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  /** l-diversity audit — the release gate k-anonymity alone misses: a
+    * quasi-identifier group can be large (k-anonymous) yet expose its
+    * members if the SENSITIVE attribute is uniform inside it. Per
+    * (segment, nation) group: size, count of distinct sensitive bands,
+    * and the violation flag at l < 3. One keyed distinct aggregate;
+    * bands are floor-integer so both engines bucket identically.
+    */
+  private def qLDiversity(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer")
+      .select(col("c_mktsegment"), col("c_nationkey").cast("long")
+        .as("nation"),
+        expr("CAST(floor(c_acctbal / 2000.0) AS BIGINT)").as("band"))
+      .groupBy("c_mktsegment", "nation")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("band")).as("l_div"))
+      .withColumn("violates", col("l_div") < 3)
+      .orderBy("c_mktsegment", "nation")
+
+  /** Referential-integrity audit: orphan counts for each lineitem
+    * foreign key via LEFT ANTI joins (the broadcast-able key-only dim
+    * side at any scale) — the load-time contract check every warehouse
+    * runs. One row per FK with rows-checked and orphan counts; zeros
+    * are the assertion, not a trivial result.
+    */
+  private def qFkViolations(s: SparkSession, dir: String): DataFrame = {
+    val li = tbl(s, dir, "lineitem")
+    def audit(fk: String, dim: DataFrame, pk: String): DataFrame = {
+      val orphans = li.select(col(fk))
+        .join(dim.select(col(pk).as(fk)), Seq(fk), "left_anti")
+      orphans.agg(count(lit(1)).as("n_orphans"),
+        countDistinct(col(fk)).as("n_orphan_keys"))
+        .select(lit(fk).as("fk"), col("n_orphans"), col("n_orphan_keys"))
+    }
+    audit("l_orderkey", tbl(s, dir, "orders"), "o_orderkey")
+      .unionAll(audit("l_partkey", tbl(s, dir, "part"), "p_partkey"))
+      .unionAll(audit("l_suppkey", tbl(s, dir, "supplier"), "s_suppkey"))
+      .orderBy("fk")
+  }
+
+  /** Peak concurrency per day by DISTRIBUTED sweep-line: each event
+    * opens a 30-min interval (+1 at start, −1 at end), the within-day
+    * running sum is a DAY-PARTITIONED window (RANGE frame, so
+    * same-instant deltas aggregate together — deterministic under any
+    * tie order), and cross-midnight carry-in comes from a days-sized
+    * prefix over per-day nets — the two-level prefix that keeps the
+    * sweep scalable where a single global ordering would be a
+    * one-reducer sort over the event volume.
+    */
+  private def qConcurrency(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = withTsUs(tbl(s, dir, "events"))
+      .select(col("ts_us").as("us0"))
+      .select(explode(array(
+        struct(col("us0").as("us"), lit(1L).as("d")),
+        struct((col("us0") + 1800000000L).as("us"), lit(-1L).as("d"))))
+        .as("e"))
+      .select(col("e.us").as("us"), col("e.d").as("d"))
+      .withColumn("day", expr("us DIV 86400000000"))
+    val wIn = Window.partitionBy("day").orderBy("us")
+    val run = p.withColumn("rin", sum(col("d")).over(wIn))
+    val dayNet = p.groupBy("day").agg(sum(col("d")).as("net"))
+    val wDay = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = dayNet.withColumn("carry",
+      coalesce(sum(col("net")).over(wDay), lit(0L)))
+    run.join(carry.select("day", "carry"), "day")
+      .groupBy("day")
+      .agg(max(col("rin") + col("carry")).as("max_concurrency"))
+      .orderBy("day")
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -6194,6 +6265,9 @@ object SparkEntry {
     "q_confusion" -> qConfusion,
     "q_calibration" -> qCalibration,
     "q_jaro_dedup" -> qJaroDedup,
+    "q_l_diversity" -> qLDiversity,
+    "q_fk_violations" -> qFkViolations,
+    "q_concurrency" -> qConcurrency,
     "q_random_projection" -> qRandomProjection,
     "q_table_cdf" -> qTableCdf,
     "q_mv_incremental" -> qMvIncremental,
@@ -9897,6 +9971,54 @@ object SparkEntry {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
              AS sum_price
          FROM v1 GROUP BY 1 ORDER BY 1""",
+    "q_l_diversity" ->
+      """SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS nation,
+           COUNT(*) AS n,
+           COUNT(DISTINCT CAST(floor(c_acctbal / 2000.0) AS BIGINT))
+             AS l_div,
+           COUNT(DISTINCT CAST(floor(c_acctbal / 2000.0) AS BIGINT)) < 3
+             AS violates
+         FROM customer GROUP BY 1, 2 ORDER BY c_mktsegment, nation""",
+    "q_fk_violations" ->
+      """WITH a AS (SELECT 'l_orderkey' AS fk,
+             CAST(COUNT(*) AS BIGINT) AS n_orphans,
+             CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orphan_keys
+           FROM lineitem WHERE l_orderkey NOT IN
+             (SELECT o_orderkey FROM orders)),
+         b AS (SELECT 'l_partkey',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT l_partkey) AS BIGINT)
+           FROM lineitem WHERE l_partkey NOT IN
+             (SELECT p_partkey FROM part)),
+         c AS (SELECT 'l_suppkey',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)
+           FROM lineitem WHERE l_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier))
+         SELECT * FROM a UNION ALL SELECT * FROM b
+         UNION ALL SELECT * FROM c ORDER BY fk""",
+    "q_concurrency" ->
+      """WITH p AS (
+           SELECT epoch_us(ts) AS us, CAST(1 AS BIGINT) AS d FROM events
+           UNION ALL
+           SELECT epoch_us(ts) + 1800000000, CAST(-1 AS BIGINT)
+           FROM events),
+         p2 AS (SELECT us, d, us // 86400000000 AS day FROM p),
+         run AS (SELECT day,
+             CAST(SUM(d) OVER (PARTITION BY day ORDER BY us) AS BIGINT)
+               AS rin
+           FROM p2),
+         net AS (SELECT day, CAST(SUM(d) AS BIGINT) AS net FROM p2
+           GROUP BY 1),
+         carry AS (SELECT day,
+             CAST(COALESCE(SUM(net) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS carry
+           FROM net)
+         SELECT r.day, CAST(MAX(r.rin + c.carry) AS BIGINT)
+           AS max_concurrency
+         FROM run r JOIN carry c ON c.day = r.day
+         GROUP BY r.day ORDER BY r.day""",
     "q_random_projection" -> {
       // the ±1 matrix regenerates from splitmix64(j*64+i) parity in
       // HUGEINT mod-2^64 arithmetic; fold order matches the kernel's
