@@ -6220,6 +6220,57 @@ object SparkEntry {
       .orderBy("day")
   }
 
+  /** Component-size distribution of the co-supplier graph — the graph
+    * health profile downstream of [[graft.ops.ConnectedComponents]]
+    * (pointer-jumping min-label, O(log diameter) rounds): one giant
+    * component means banding/blocking parameters have collapsed, many
+    * small ones mean healthy clusters. The DuckDB twin derives
+    * components from the recursive reachability fixpoint (UNION dedup)
+    * — exact, if quadratic per component, which is why it stays a
+    * gate-scale oracle while the Spark side is the cluster algorithm.
+    */
+  private def qComponentSizes(s: SparkSession, dir: String): DataFrame = {
+    val ps = tbl(s, dir, "lineitem")
+      .filter(col("l_quantity") <= 2)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val edges = ps.as("a").join(ps.as("b"), "l_partkey")
+      .filter(col("a.l_suppkey") < col("b.l_suppkey"))
+      .select(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+      .distinct()
+    graft.ops.ConnectedComponents.components(edges, "u", "v")
+      .groupBy("comp").agg(count(lit(1)).as("csize"))
+      .groupBy("csize").agg(count(lit(1)).as("n_components"))
+      .orderBy("csize")
+  }
+
+  /** Hourly OHLC bars over purchase values — the canonical
+    * first/last-in-window aggregation. Open/close come from
+    * partitioned row_numbers with full (ts, id) tie-breaks — never
+    * first()/min_by, whose tie choice is engine- and partition-
+    * arbitrary; high/low/count are plain aggregates. Values pass
+    * through untouched (no float arithmetic to drift).
+    */
+  private def qOhlc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withTsUs(tbl(s, dir, "events"))
+      .filter(col("event_type") === "purchase")
+      .select(expr("ts_us DIV 3600000000").as("hour"),
+        col("ts_us"), col("event_id"), col("value"))
+    val wAsc = Window.partitionBy("hour")
+      .orderBy(col("ts_us"), col("event_id"))
+    val wDesc = Window.partitionBy("hour")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    e.withColumn("rna", row_number().over(wAsc))
+      .withColumn("rnd", row_number().over(wDesc))
+      .groupBy("hour")
+      .agg(count(lit(1)).as("n"),
+        max(when(col("rna") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rnd") === 1, col("value"))).as("close"))
+      .orderBy("hour")
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -6265,6 +6316,8 @@ object SparkEntry {
     "q_confusion" -> qConfusion,
     "q_calibration" -> qCalibration,
     "q_jaro_dedup" -> qJaroDedup,
+    "q_component_sizes" -> qComponentSizes,
+    "q_ohlc" -> qOhlc,
     "q_l_diversity" -> qLDiversity,
     "q_fk_violations" -> qFkViolations,
     "q_concurrency" -> qConcurrency,
@@ -9971,6 +10024,37 @@ object SparkEntry {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
              AS sum_price
          FROM v1 GROUP BY 1 ORDER BY 1""",
+    "q_component_sizes" ->
+      """WITH RECURSIVE ps AS (SELECT DISTINCT l_partkey, l_suppkey
+           FROM lineitem WHERE l_quantity <= 2),
+         p AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+           FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+             AND a.l_suppkey < b.l_suppkey),
+         e AS (SELECT u AS src, v AS dst FROM p
+               UNION ALL SELECT v, u FROM p),
+         reach(id, r) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst),
+         comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+         cs AS (SELECT comp, COUNT(*) AS csize FROM comp GROUP BY 1)
+         SELECT csize, COUNT(*) AS n_components FROM cs GROUP BY 1
+         ORDER BY csize""",
+    "q_ohlc" ->
+      """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS hour,
+             epoch_us(ts) AS us, event_id, value
+           FROM events WHERE event_type = 'purchase'),
+         r AS (SELECT hour, value,
+             ROW_NUMBER() OVER (PARTITION BY hour
+               ORDER BY us, event_id) AS rna,
+             ROW_NUMBER() OVER (PARTITION BY hour
+               ORDER BY us DESC, event_id DESC) AS rnd
+           FROM e)
+         SELECT hour, COUNT(*) AS n,
+           MAX(CASE WHEN rna = 1 THEN value END) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           MAX(CASE WHEN rnd = 1 THEN value END) AS close
+         FROM r GROUP BY 1 ORDER BY hour""",
     "q_l_diversity" ->
       """SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS nation,
            COUNT(*) AS n,
