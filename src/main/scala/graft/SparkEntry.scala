@@ -6271,6 +6271,37 @@ object SparkEntry {
       .orderBy("hour")
   }
 
+  /** STREAMING OHLC — q_ohlc's event-time twin as a real Structured
+    * Streaming query: watermarked hourly windows where open/close are
+    * min/max over (ts, id, value) STRUCTS — a total lexicographic
+    * order (ids unique), so the result is deterministic under any
+    * micro-batch arrival order, unlike first()/last(), which are
+    * arrival-order-dependent and therefore unusable in a replayed
+    * stream. Update-mode upsert log keyed on the window start (the
+    * events_stream_tumbling fence).
+    */
+  private def qEventsStreamOhlc(s: SparkSession, dir: String): DataFrame = {
+    val schema = tbl(s, dir, "events").schema
+    val stream = withTsEvent(
+      s.readStream.schema(schema).parquet(eventsStreamDir(dir).toString))
+      .filter(col("event_type") === "purchase")
+      .withWatermark("ts_event", "1 hour")
+      .groupBy(window(col("ts_event"), "1 hour"))
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("ts_event"), col("event_id"), col("value")))
+          .as("o"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(struct(col("ts_event"), col("event_id"), col("value")))
+          .as("c"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("n"), col("o.value").as("open"), col("high"), col("low"),
+        col("c.value").as("close"))
+    val log = streamToDeltaLog(s, stream, "update")
+    readDeltaLogUpsert(s, log, stream.schema, Seq("window_start_us"))
+      .orderBy("window_start_us")
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -6316,6 +6347,7 @@ object SparkEntry {
     "q_confusion" -> qConfusion,
     "q_calibration" -> qCalibration,
     "q_jaro_dedup" -> qJaroDedup,
+    "events_stream_ohlc" -> qEventsStreamOhlc,
     "q_component_sizes" -> qComponentSizes,
     "q_ohlc" -> qOhlc,
     "q_l_diversity" -> qLDiversity,
@@ -10024,6 +10056,22 @@ object SparkEntry {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
              AS sum_price
          FROM v1 GROUP BY 1 ORDER BY 1""",
+    "events_stream_ohlc" ->
+      """WITH e AS (SELECT epoch_us(date_trunc('hour', ts))
+             AS window_start_us,
+             epoch_us(ts) AS us, event_id, value
+           FROM events WHERE event_type = 'purchase'),
+         r AS (SELECT window_start_us, value,
+             ROW_NUMBER() OVER (PARTITION BY window_start_us
+               ORDER BY us, event_id) AS rna,
+             ROW_NUMBER() OVER (PARTITION BY window_start_us
+               ORDER BY us DESC, event_id DESC) AS rnd
+           FROM e)
+         SELECT window_start_us, COUNT(*) AS n,
+           MAX(CASE WHEN rna = 1 THEN value END) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           MAX(CASE WHEN rnd = 1 THEN value END) AS close
+         FROM r GROUP BY 1 ORDER BY window_start_us""",
     "q_component_sizes" ->
       """WITH RECURSIVE ps AS (SELECT DISTINCT l_partkey, l_suppkey
            FROM lineitem WHERE l_quantity <= 2),
