@@ -6302,6 +6302,125 @@ object SparkEntry {
       .orderBy("window_start_us")
   }
 
+  /** Two-sample Kolmogorov-Smirnov test (purchase vs view values):
+    * D = max |ECDF_A − ECDF_B| computed over DISTINCT cent-quantized
+    * values (a bounded domain, so the running window never touches the
+    * event volume — the q_roc_auc discipline), with the max taken over
+    * the EXACT integer cross-products |ca·nb − cb·na| and divided once
+    * at the end — no float comparison inside the scan. Emits the 5%
+    * critical value and the reject flag.
+    */
+  private def qKsTest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perV = tbl(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(expr("CAST(round(value * 100, 0) AS BIGINT)").as("v"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("isA"))
+      .groupBy("v")
+      .agg(sum(col("isA")).as("ca"), sum(lit(1L) - col("isA")).as("cb"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perV.withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+    val tot = cum.agg(max(col("cuma")).as("na"), max(col("cumb")).as("nb"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("na"), col("nb"),
+        abs(col("cuma") * col("nb") - col("cumb") * col("na")).as("num"))
+      .groupBy("na", "nb")
+      .agg(max(col("num")).as("dnum"))
+      .select(col("na"), col("nb"),
+        round(col("dnum").cast("double")
+          / (col("na").cast("double") * col("nb").cast("double")), 6)
+          .as("ks_d"),
+        round(lit(1.358) * sqrt((col("na") + col("nb")).cast("double")
+          / (col("na").cast("double") * col("nb").cast("double"))), 6)
+          .as("crit_05"))
+      .withColumn("reject_05", col("ks_d") > col("crit_05"))
+  }
+
+  /** Mann-Whitney U (purchase vs view values): the nonparametric
+    * location test, from the same distinct-value midrank machinery as
+    * q_roc_auc — Σ 2·midrank stays an exact integer (2·cum_less +
+    * cnt + 1), so the rank sum is partition-order-proof; U and the
+    * normal-approximation z (no tie correction, stated) are two double
+    * formulas at the end.
+    */
+  private def qMannWhitney(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perV = tbl(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(expr("CAST(round(value * 100, 0) AS BIGINT)").as("v"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("isA"))
+      .groupBy("v")
+      .agg(sum(col("isA")).as("ca"),
+        sum(lit(1L) - col("isA")).as("cb"))
+      .withColumn("cnt", col("ca") + col("cb"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perV.withColumn("cum", sum(col("cnt")).over(w))
+      .select(col("ca"), col("cb"),
+        (col("ca") * (lit(2L) * (col("cum") - col("cnt"))
+          + col("cnt") + 1L)).as("mr2a"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+        sum(col("mr2a")).as("sum2"))
+      .select(col("na"), col("nb"),
+        round(expr(
+          """CAST(sum2 AS DOUBLE) / 2.0
+             - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0) / 2.0"""),
+          6).as("u_stat"),
+        round(expr(
+          """(CAST(sum2 AS DOUBLE) / 2.0
+              - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0) / 2.0
+              - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)
+             / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+               * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0)
+               / 12.0)"""), 6).as("z_stat"))
+  }
+
+  /** Difference-in-differences: the experiment readout when arms exist
+    * BEFORE the treatment moment — (post−pre) lift in A minus the same
+    * in B cancels shared time trends. Arms are the reproducible
+    * md5-hash assignment (the q_ab_lift contract via
+    * [[graft.ops.Sampling.splitAssign]]), the treatment moment is the
+    * integer-µs midpoint riding a broadcast, and all four cell sums
+    * are exact DECIMAL.
+    */
+  private def qDid(s: SparkSession, dir: String): DataFrame = {
+    val ev = withTsUs(tbl(s, dir, "events"))
+    val mid = ev.agg(expr("(min(ts_us) + max(ts_us)) DIV 2").as("mid"))
+    val assigned = graft.ops.Sampling
+      .splitAssign(ev.select("user_id").distinct(), "user_id",
+        seed = 11L, trainFrac = 0.5, valFrac = 0.25)
+      .withColumn("in_a", col("split_u") < 0.5)
+      .select("user_id", "in_a")
+    val cells = ev.select(col("user_id"), col("ts_us"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .join(assigned, "user_id")
+      .crossJoin(broadcast(mid))
+      .select(col("in_a"), (col("ts_us") >= col("mid")).as("post"),
+        col("v"))
+    cells.agg(
+        sum(when(col("in_a") && col("post"), 1L).otherwise(0L))
+          .as("n_ap"),
+        sum(when(col("in_a") && !col("post"), 1L).otherwise(0L))
+          .as("n_a0"),
+        sum(when(!col("in_a") && col("post"), 1L).otherwise(0L))
+          .as("n_bp"),
+        sum(when(!col("in_a") && !col("post"), 1L).otherwise(0L))
+          .as("n_b0"),
+        sum(when(col("in_a") && col("post"), col("v"))).as("s_ap"),
+        sum(when(col("in_a") && !col("post"), col("v"))).as("s_a0"),
+        sum(when(!col("in_a") && col("post"), col("v"))).as("s_bp"),
+        sum(when(!col("in_a") && !col("post"), col("v"))).as("s_b0"))
+      .select(col("n_ap"), col("n_a0"), col("n_bp"), col("n_b0"),
+        round(expr(
+          """(CAST(s_ap AS DOUBLE) / n_ap - CAST(s_a0 AS DOUBLE) / n_a0)
+             - (CAST(s_bp AS DOUBLE) / n_bp
+               - CAST(s_b0 AS DOUBLE) / n_b0)"""), 6).as("did"))
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -6347,6 +6466,9 @@ object SparkEntry {
     "q_confusion" -> qConfusion,
     "q_calibration" -> qCalibration,
     "q_jaro_dedup" -> qJaroDedup,
+    "q_ks_test" -> qKsTest,
+    "q_mann_whitney" -> qMannWhitney,
+    "q_did" -> qDid,
     "events_stream_ohlc" -> qEventsStreamOhlc,
     "q_component_sizes" -> qComponentSizes,
     "q_ohlc" -> qOhlc,
@@ -10056,6 +10178,104 @@ object SparkEntry {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
              AS sum_price
          FROM v1 GROUP BY 1 ORDER BY 1""",
+    "q_ks_test" ->
+      """WITH pv AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+               END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1
+               END) AS BIGINT) AS cb
+           FROM events WHERE event_type IN ('purchase', 'view')
+           GROUP BY 1),
+         c AS (SELECT
+             CAST(SUM(ca) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cuma,
+             CAST(SUM(cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cumb
+           FROM pv),
+         t AS (SELECT MAX(cuma) AS na, MAX(cumb) AS nb FROM c),
+         d AS (SELECT na, nb,
+             MAX(abs(cuma * nb - cumb * na)) AS dnum
+           FROM c CROSS JOIN t GROUP BY na, nb)
+         SELECT na, nb,
+           round(CAST(dnum AS DOUBLE)
+             / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS ks_d,
+           round(1.358 * sqrt(CAST(na + nb AS DOUBLE)
+             / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))), 6) AS crit_05,
+           round(CAST(dnum AS DOUBLE)
+             / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
+             > round(1.358 * sqrt(CAST(na + nb AS DOUBLE)
+               / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))), 6)
+             AS reject_05
+         FROM d""",
+    "q_mann_whitney" ->
+      """WITH pv AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+               END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1
+               END) AS BIGINT) AS cb
+           FROM events WHERE event_type IN ('purchase', 'view')
+           GROUP BY 1),
+         c AS (SELECT ca, cb, ca + cb AS cnt,
+             CAST(SUM(ca + cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+           FROM pv),
+         a AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+             CAST(SUM(cb) AS BIGINT) AS nb,
+             CAST(SUM(ca * (2 * (cum - cnt) + cnt + 1)) AS BIGINT)
+               AS sum2
+           FROM c)
+         SELECT na, nb,
+           round(CAST(sum2 AS DOUBLE) / 2.0
+             - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0) / 2.0, 6)
+             AS u_stat,
+           round((CAST(sum2 AS DOUBLE) / 2.0
+               - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0) / 2.0
+               - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)
+             / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+               * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0)
+               / 12.0), 6) AS z_stat
+         FROM a""",
+    "q_did" ->
+      """WITH users AS (SELECT DISTINCT user_id FROM events),
+         h AS (SELECT user_id,
+             md5('11:' || CAST(user_id AS VARCHAR)) AS hh FROM users),
+         hv AS (SELECT user_id, list_reduce(list_transform(range(1, 9),
+             i -> CAST(strpos('0123456789abcdef', hh[i:i]) - 1
+               AS BIGINT)),
+             (a, d) -> a * 16 + d) AS hv
+           FROM h),
+         u AS (SELECT user_id,
+             round((CAST(hv AS DOUBLE) + 0.5) / 4294967296.0, 6) < 0.5
+               AS in_a
+           FROM hv),
+         m AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2
+             AS mid FROM events),
+         cl AS (SELECT in_a, epoch_us(ts) >= mid AS post,
+             CAST(value AS DECIMAL(18,6)) AS v
+           FROM events JOIN u USING (user_id) CROSS JOIN m),
+         agg AS (SELECT
+             CAST(SUM(CASE WHEN in_a AND post THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_ap,
+             CAST(SUM(CASE WHEN in_a AND NOT post THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_a0,
+             CAST(SUM(CASE WHEN NOT in_a AND post THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_bp,
+             CAST(SUM(CASE WHEN NOT in_a AND NOT post THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_b0,
+             SUM(CASE WHEN in_a AND post THEN v END) AS s_ap,
+             SUM(CASE WHEN in_a AND NOT post THEN v END) AS s_a0,
+             SUM(CASE WHEN NOT in_a AND post THEN v END) AS s_bp,
+             SUM(CASE WHEN NOT in_a AND NOT post THEN v END) AS s_b0
+           FROM cl)
+         SELECT n_ap, n_a0, n_bp, n_b0,
+           round((CAST(s_ap AS DOUBLE) / n_ap
+               - CAST(s_a0 AS DOUBLE) / n_a0)
+             - (CAST(s_bp AS DOUBLE) / n_bp
+               - CAST(s_b0 AS DOUBLE) / n_b0), 6) AS did
+         FROM agg""",
     "events_stream_ohlc" ->
       """WITH e AS (SELECT epoch_us(date_trunc('hour', ts))
              AS window_start_us,
