@@ -6421,6 +6421,90 @@ object SparkEntry {
                - CAST(s_b0 AS DOUBLE) / n_b0)"""), 6).as("did"))
   }
 
+  /** Kaplan-Meier survival over time-to-first-purchase with RIGHT
+    * CENSORING (users who signed up but never purchased are censored
+    * at the observation horizon — dropping them would bias survival
+    * down, the classic mistake). The KM product is carried in LOG
+    * space: per-event-time factors ln((n−d)/n) rounded to 9 dp and
+    * summed as exact DECIMAL (the repo LM contract), so no exp() libm
+    * call ever enters the comparison — the emitted statistic is
+    * log-survival. Distinct duration days bound every window; the
+    * population total rides a broadcast.
+    */
+  private def qSurvival(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = withTsUs(tbl(s, dir, "events"))
+    val horizon = ev.agg(max(col("ts_us")).as("maxus"))
+    val perUser = ev
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", col("ts_us")))
+        .as("su"),
+        min(when(col("event_type") === "purchase", col("ts_us")))
+        .as("fp"))
+      .filter(col("su").isNotNull)
+      .crossJoin(broadcast(horizon))
+      .select(
+        when(col("fp").isNotNull && col("fp") >= col("su"), lit(1L))
+          .otherwise(lit(0L)).as("is_event"),
+        when(col("fp").isNotNull && col("fp") >= col("su"),
+          expr("(fp - su) DIV 86400000000"))
+          .otherwise(expr("(maxus - su) DIV 86400000000")).as("dur"))
+    val perT = perUser.groupBy("dur")
+      .agg(sum(col("is_event")).as("d"),
+        sum(lit(1L) - col("is_event")).as("c"))
+    val total = perT.agg(sum(col("d") + col("c")).as("tot"))
+    val wPrev = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perT.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("tot") - coalesce(sum(col("d") + col("c")).over(wPrev),
+          lit(0L)))
+      .withColumn("term", expr(
+        """CASE WHEN d > 0 AND d < n_risk THEN
+             CAST(round(ln((CAST(n_risk AS DOUBLE) - CAST(d AS DOUBLE))
+               / CAST(n_risk AS DOUBLE)), 9) AS DECIMAL(18,9))
+           ELSE CAST(0.000000000 AS DECIMAL(18,9)) END"""))
+      .withColumn("log_s",
+        round(sum(col("term")).over(wCum).cast("double"), 6))
+      .filter(col("d") > 0)
+      .select(col("dur"), col("n_risk"), col("d").as("d_events"),
+        col("c").as("c_censored"), col("log_s"))
+      .orderBy("dur")
+  }
+
+  /** Banded Lorenz curve of revenue concentration: per-customer
+    * revenue bucketed into FIXED bands (never ntile — no global sort),
+    * cumulative population/revenue shares over the bands-sized window.
+    * All cumulative sums are exact (BIGINT counts, DECIMAL revenue);
+    * the two share divisions round once per band.
+    */
+  private def qLorenz(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = tbl(s, dir, "orders")
+      .select(col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy("o_custkey").agg(sum(col("p")).as("rev"))
+      .select(expr("CAST(floor(rev / 100000) AS BIGINT)").as("band"),
+        col("rev"))
+    val perBand = per.groupBy("band")
+      .agg(count(lit(1)).as("n_cust"), sum(col("rev")).as("brev"))
+    val tot = perBand.agg(sum(col("n_cust")).as("tn"),
+      sum(col("brev")).as("tr"))
+    val w = Window.orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBand.crossJoin(broadcast(tot))
+      .withColumn("cum_n", sum(col("n_cust")).over(w))
+      .withColumn("cum_r", sum(col("brev")).over(w))
+      .select(col("band"), col("n_cust"),
+        round(col("cum_n").cast("double") / col("tn").cast("double"), 6)
+          .as("cum_pop_share"),
+        round(col("cum_r").cast("double") / col("tr").cast("double"), 6)
+          .as("cum_rev_share"))
+      .orderBy("band")
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -6466,6 +6550,8 @@ object SparkEntry {
     "q_confusion" -> qConfusion,
     "q_calibration" -> qCalibration,
     "q_jaro_dedup" -> qJaroDedup,
+    "q_survival" -> qSurvival,
+    "q_lorenz" -> qLorenz,
     "q_ks_test" -> qKsTest,
     "q_mann_whitney" -> qMannWhitney,
     "q_did" -> qDid,
@@ -10178,6 +10264,66 @@ object SparkEntry {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
              AS sum_price
          FROM v1 GROUP BY 1 ORDER BY 1""",
+    "q_survival" ->
+      """WITH h AS (SELECT MAX(epoch_us(ts)) AS maxus FROM events),
+         pu AS (SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+               AS su,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts)
+               END) AS fp
+           FROM events GROUP BY user_id),
+         d AS (SELECT
+             CASE WHEN fp IS NOT NULL AND fp >= su THEN 1 ELSE 0 END
+               AS is_event,
+             CASE WHEN fp IS NOT NULL AND fp >= su
+               THEN (fp - su) // 86400000000
+               ELSE (maxus - su) // 86400000000 END AS dur
+           FROM pu CROSS JOIN h WHERE su IS NOT NULL),
+         pt AS (SELECT dur, CAST(SUM(is_event) AS BIGINT) AS d,
+             CAST(SUM(1 - is_event) AS BIGINT) AS c
+           FROM d GROUP BY 1),
+         t AS (SELECT CAST(SUM(d + c) AS BIGINT) AS tot FROM pt),
+         r AS (SELECT dur, d, c,
+             tot - CAST(COALESCE(SUM(d + c) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_risk
+           FROM pt CROSS JOIN t),
+         s AS (SELECT dur, d, c, n_risk,
+             round(CAST(SUM(CASE WHEN d > 0 AND d < n_risk THEN
+                 CAST(round(ln((CAST(n_risk AS DOUBLE)
+                   - CAST(d AS DOUBLE))
+                   / CAST(n_risk AS DOUBLE)), 9) AS DECIMAL(18,9))
+               ELSE CAST(0.000000000 AS DECIMAL(18,9)) END)
+               OVER (ORDER BY dur
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE), 6) AS log_s
+           FROM r)
+         SELECT dur, n_risk, d AS d_events, c AS c_censored, log_s
+         FROM s WHERE d > 0 ORDER BY dur""",
+    "q_lorenz" ->
+      """WITH per AS (SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders GROUP BY 1),
+         b AS (SELECT CAST(floor(rev / 100000) AS BIGINT) AS band, rev
+           FROM per),
+         pb AS (SELECT band, COUNT(*) AS n_cust, SUM(rev) AS brev
+           FROM b GROUP BY 1),
+         t AS (SELECT CAST(SUM(n_cust) AS BIGINT) AS tn, SUM(brev) AS tr
+           FROM pb),
+         c AS (SELECT band, n_cust,
+             CAST(SUM(n_cust) OVER (ORDER BY band
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_n,
+             SUM(brev) OVER (ORDER BY band
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_r
+           FROM pb)
+         SELECT band, n_cust,
+           round(CAST(cum_n AS DOUBLE) / CAST(tn AS DOUBLE), 6)
+             AS cum_pop_share,
+           round(CAST(cum_r AS DOUBLE) / CAST(tr AS DOUBLE), 6)
+             AS cum_rev_share
+         FROM c CROSS JOIN t ORDER BY band""",
     "q_ks_test" ->
       """WITH pv AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
              CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
