@@ -6505,6 +6505,37 @@ object SparkEntry {
       .orderBy("band")
   }
 
+  /** Top user journeys (clickstream path mining): 30-min-gap
+    * sessionization (the events_sessions kernel), each session's
+    * event-type sequence assembled DETERMINISTICALLY — collect_list of
+    * (ts, id, type) structs sorted by their total lexicographic order,
+    * never a bare ordered-window collect whose arrival order leaks in —
+    * then the top-20 paths by frequency. The path table is
+    * sessions-sized; nothing global until the final bounded top-k.
+    */
+  private def qSessionPath(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = withTsUs(tbl(s, dir, "events"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess"))
+        .over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    sess.groupBy("user_id", "session_id")
+      .agg(concat_ws(">", expr(
+        """transform(
+             array_sort(collect_list(struct(ts_us, event_id,
+               event_type))),
+             x -> x.event_type)""")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -6550,6 +6581,7 @@ object SparkEntry {
     "q_confusion" -> qConfusion,
     "q_calibration" -> qCalibration,
     "q_jaro_dedup" -> qJaroDedup,
+    "q_session_path" -> qSessionPath,
     "q_survival" -> qSurvival,
     "q_lorenz" -> qLorenz,
     "q_ks_test" -> qKsTest,
@@ -10264,6 +10296,25 @@ object SparkEntry {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
              AS sum_price
          FROM v1 GROUP BY 1 ORDER BY 1""",
+    "q_session_path" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+             epoch_us(ts) AS us
+           FROM events),
+         l AS (SELECT *, LAG(us) OVER (PARTITION BY user_id
+             ORDER BY us, event_id) AS prev_us FROM e),
+         f AS (SELECT *, CASE WHEN prev_us IS NULL
+             OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+           FROM l),
+         sid AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+             ORDER BY us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_id
+           FROM f),
+         p AS (SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY us, event_id) AS path
+           FROM sid GROUP BY 1, 2)
+         SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1
+         ORDER BY n_sessions DESC, path LIMIT 20""",
     "q_survival" ->
       """WITH h AS (SELECT MAX(epoch_us(ts)) AS maxus FROM events),
          pu AS (SELECT user_id,
