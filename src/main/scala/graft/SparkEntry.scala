@@ -6536,6 +6536,66 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** Weighted median price per return flag (weight = quantity), found
+    * WITHOUT any division: the median is the smallest value whose
+    * doubled cumulative weight reaches the total — exact DECIMAL
+    * comparisons end to end, over distinct cent values per group
+    * (bounded domain, partitioned window). The robust price statistic
+    * when line sizes vary by orders of magnitude.
+    */
+  private def qWeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val perV = tbl(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("v"),
+        col("l_quantity").cast("decimal(12,2)").as("q"))
+      .groupBy("l_returnflag", "v").agg(sum(col("q")).as("w"))
+    val wc = Window.partitionBy("l_returnflag").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = perV.groupBy("l_returnflag").agg(sum(col("w")).as("tw"))
+    perV.withColumn("cw", sum(col("w")).over(wc))
+      .join(tot, "l_returnflag")
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy("l_returnflag")
+      .agg(min(col("v")).as("med_cents"))
+      .select(col("l_returnflag"),
+        round(col("med_cents").cast("double") / 100.0, 2)
+          .as("weighted_median_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Laspeyres price index by ship year (base 1995): the base year's
+    * quantities price each year's basket, so the index isolates price
+    * movement from volume shifts. Per-part average prices are rounded
+    * ONCE to DECIMAL(18,6) (the only division before the end), basket
+    * products and sums stay exact DECIMAL, and the part-keyed join is
+    * the only shuffle beyond the two keyed aggregates.
+    */
+  private def qPriceIndex(s: SparkSession, dir: String): DataFrame = {
+    val li = tbl(s, dir, "lineitem")
+      .select(year(col("l_shipdate")).cast("long").as("yr"),
+        col("l_partkey"),
+        col("l_extendedprice").cast("decimal(18,2)").as("ep"),
+        col("l_quantity").cast("decimal(12,2)").as("q"))
+    def perPart(df: DataFrame) = df.groupBy("yr", "l_partkey")
+      .agg(expr(
+        """CAST(round(CAST(sum(ep) AS DOUBLE) / CAST(sum(q) AS DOUBLE),
+             6) AS DECIMAL(18,6))""").as("avgp"),
+        sum(col("q")).as("qty"))
+    val all = perPart(li)
+    val base = all.filter(col("yr") === 1995L)
+      .select(col("l_partkey"), col("avgp").as("pb"),
+        col("qty").as("qb"))
+    all.join(base, "l_partkey")
+      .groupBy("yr")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("avgp") * col("qb")).as("num"),
+        sum(col("pb") * col("qb")).as("den"))
+      .select(col("yr"), col("n_parts"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("laspeyres_index"))
+      .orderBy("yr")
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -6581,6 +6641,8 @@ object SparkEntry {
     "q_confusion" -> qConfusion,
     "q_calibration" -> qCalibration,
     "q_jaro_dedup" -> qJaroDedup,
+    "q_weighted_median" -> qWeightedMedian,
+    "q_price_index" -> qPriceIndex,
     "q_session_path" -> qSessionPath,
     "q_survival" -> qSurvival,
     "q_lorenz" -> qLorenz,
@@ -10296,6 +10358,41 @@ object SparkEntry {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
              AS sum_price
          FROM v1 GROUP BY 1 ORDER BY 1""",
+    "q_weighted_median" ->
+      """WITH pv AS (SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS w
+           FROM lineitem GROUP BY 1, 2),
+         c AS (SELECT l_returnflag, v, w,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+           FROM pv),
+         t AS (SELECT l_returnflag, SUM(w) AS tw FROM pv GROUP BY 1),
+         m AS (SELECT c.l_returnflag, MIN(v) AS med_cents
+           FROM c JOIN t ON t.l_returnflag = c.l_returnflag
+           WHERE cw * 2 >= tw GROUP BY 1)
+         SELECT l_returnflag,
+           round(CAST(med_cents AS DOUBLE) / 100.0, 2)
+             AS weighted_median_price
+         FROM m ORDER BY l_returnflag""",
+    "q_price_index" ->
+      """WITH li AS (SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+             l_partkey,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS ep,
+             CAST(l_quantity AS DECIMAL(12,2)) AS q
+           FROM lineitem),
+         pp AS (SELECT yr, l_partkey,
+             CAST(round(CAST(SUM(ep) AS DOUBLE)
+               / CAST(SUM(q) AS DOUBLE), 6) AS DECIMAL(18,6)) AS avgp,
+             SUM(q) AS qty
+           FROM li GROUP BY 1, 2),
+         base AS (SELECT l_partkey, avgp AS pb, qty AS qb FROM pp
+           WHERE yr = 1995)
+         SELECT yr, COUNT(*) AS n_parts,
+           round(CAST(SUM(avgp * qb) AS DOUBLE)
+             / CAST(SUM(pb * qb) AS DOUBLE), 6) AS laspeyres_index
+         FROM pp JOIN base USING (l_partkey)
+         GROUP BY 1 ORDER BY yr""",
     "q_session_path" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
              epoch_us(ts) AS us
