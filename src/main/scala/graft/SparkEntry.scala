@@ -6596,6 +6596,115 @@ object SparkEntry {
       .orderBy("yr")
   }
 
+  /** Per-group (sliced) ROC AUC — the fairness/segment readout a single
+    * global AUC hides: the q_roc_auc midrank machinery with every
+    * window PARTITIONED by the slice key, so unlike the global variant
+    * nothing runs unpartitioned at all. Slices where either class is
+    * empty are excluded on both engines (their AUC is undefined).
+    */
+  private def qGroupAuc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perScore = tbl(s, dir, "documents")
+      .select(col("source"), col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy("source", "score")
+      .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("p"))
+    val w = Window.partitionBy("source").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perScore.withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("midrank", (col("cum") - col("cnt")).cast("double")
+        + (col("cnt").cast("double") + 1.0) / 2.0)
+      .groupBy("source")
+      .agg(sum(col("p")).as("np"),
+        sum(col("cnt") - col("p")).as("nn"),
+        sum(col("p").cast("double") * col("midrank")).as("rsum"))
+      .filter(col("np") > 0 && col("nn") > 0)
+      .select(col("source"), col("np").as("n_pos"),
+        col("nn").as("n_neg"),
+        round((col("rsum") - col("np").cast("double")
+            * (col("np").cast("double") + 1.0) / 2.0)
+          / (col("np").cast("double") * col("nn").cast("double")), 6)
+          .as("auc"))
+      .orderBy("source")
+  }
+
+  /** Gains table / decile lift: score bands ranked high→low with
+    * cumulative capture rate and lift vs the global positive rate —
+    * how every ranking-model deployment is judged before a threshold
+    * is picked. Fixed integer score bands (never ntile), exact integer
+    * cumulative counts over the bands-sized window, two divisions per
+    * row at the end.
+    */
+  private def qGainsTable(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perBand = tbl(s, dir, "documents")
+      .select(expr("least(CAST(n_chars AS BIGINT) DIV 200, 9)")
+        .as("band"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
+    val tot = perBand.agg(sum(col("n")).as("tn"), sum(col("p")).as("tp"))
+    val w = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBand
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_p", sum(col("p")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("band"), col("n"), col("p"), col("cum_n"),
+        col("cum_p"),
+        round(col("cum_p").cast("double") / col("tp").cast("double"), 6)
+          .as("capture"),
+        round((col("cum_p").cast("double") / col("cum_n").cast("double"))
+          / (col("tp").cast("double") / col("tn").cast("double")), 6)
+          .as("lift"))
+      .orderBy(col("band").desc)
+  }
+
+  /** Pairwise Pearson correlation matrix over the four numeric
+    * lineitem measures from ONE exact-DECIMAL moment aggregate (the
+    * q_linreg recipe at matrix width): a single map-combinable pass
+    * computes every Σx, Σx², Σxy; the six correlations are rounded
+    * double formulas over those exact sums — the EDA screen before
+    * any feature goes into a model.
+    */
+  private def qCorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val m = tbl(s, dir, "lineitem")
+      .select(col("l_quantity").cast("decimal(12,2)").as("a"),
+        col("l_extendedprice").cast("decimal(18,2)").as("b"),
+        col("l_discount").cast("decimal(4,2)").as("c"),
+        col("l_tax").cast("decimal(4,2)").as("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("a")).as("sa"), sum(col("b")).as("sb"),
+        sum(col("c")).as("sc"), sum(col("d")).as("sd"),
+        sum(col("a") * col("a")).as("saa"),
+        sum(col("b") * col("b")).as("sbb"),
+        sum(col("c") * col("c")).as("scc"),
+        sum(col("d") * col("d")).as("sdd"),
+        sum(col("a") * col("b")).as("sab"),
+        sum(col("a") * col("c")).as("sac"),
+        sum(col("a") * col("d")).as("sad"),
+        sum(col("b") * col("c")).as("sbc"),
+        sum(col("b") * col("d")).as("sbd"),
+        sum(col("c") * col("d")).as("scd"))
+    def corr(x: String, y: String, sx: String, sy: String,
+        sxx: String, syy: String, sxy: String) =
+      round(expr(
+        s"""(CAST(n AS DOUBLE) * CAST($sxy AS DOUBLE)
+              - CAST($sx AS DOUBLE) * CAST($sy AS DOUBLE))
+            / sqrt((CAST(n AS DOUBLE) * CAST($sxx AS DOUBLE)
+                - CAST($sx AS DOUBLE) * CAST($sx AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST($syy AS DOUBLE)
+                - CAST($sy AS DOUBLE) * CAST($sy AS DOUBLE)))"""), 6)
+        .as(s"corr_${x}_$y")
+    m.select(col("n"),
+      corr("qty", "price", "sa", "sb", "saa", "sbb", "sab"),
+      corr("qty", "discount", "sa", "sc", "saa", "scc", "sac"),
+      corr("qty", "tax", "sa", "sd", "saa", "sdd", "sad"),
+      corr("price", "discount", "sb", "sc", "sbb", "scc", "sbc"),
+      corr("price", "tax", "sb", "sd", "sbb", "sdd", "sbd"),
+      corr("discount", "tax", "sc", "sd", "scc", "sdd", "scd"))
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -6641,6 +6750,9 @@ object SparkEntry {
     "q_confusion" -> qConfusion,
     "q_calibration" -> qCalibration,
     "q_jaro_dedup" -> qJaroDedup,
+    "q_group_auc" -> qGroupAuc,
+    "q_gains_table" -> qGainsTable,
+    "q_corr_matrix" -> qCorrMatrix,
     "q_weighted_median" -> qWeightedMedian,
     "q_price_index" -> qPriceIndex,
     "q_session_path" -> qSessionPath,
@@ -10358,6 +10470,94 @@ object SparkEntry {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
              AS sum_price
          FROM v1 GROUP BY 1 ORDER BY 1""",
+    "q_group_auc" ->
+      """WITH s AS (SELECT source, n_chars AS score, COUNT(*) AS cnt,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+               AS BIGINT) AS p
+           FROM documents GROUP BY 1, 2),
+         r AS (SELECT source, p, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - cnt AS DOUBLE)
+               + (CAST(cnt AS DOUBLE) + 1.0) / 2.0 AS midrank
+           FROM s),
+         a AS (SELECT source, CAST(SUM(p) AS BIGINT) AS np,
+             CAST(SUM(cnt - p) AS BIGINT) AS nn,
+             SUM(CAST(p AS DOUBLE) * midrank) AS rsum
+           FROM r GROUP BY 1)
+         SELECT source, np AS n_pos, nn AS n_neg,
+           round((rsum - CAST(np AS DOUBLE)
+               * (CAST(np AS DOUBLE) + 1.0) / 2.0)
+             / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS auc
+         FROM a WHERE np > 0 AND nn > 0 ORDER BY source""",
+    "q_gains_table" ->
+      """WITH pb AS (SELECT LEAST(CAST(n_chars AS BIGINT) // 200, 9)
+             AS band,
+             COUNT(*) AS n,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+               AS BIGINT) AS p
+           FROM documents GROUP BY 1),
+         t AS (SELECT CAST(SUM(n) AS BIGINT) AS tn,
+             CAST(SUM(p) AS BIGINT) AS tp FROM pb),
+         c AS (SELECT band, n, p,
+             CAST(SUM(n) OVER (ORDER BY band DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_n,
+             CAST(SUM(p) OVER (ORDER BY band DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_p
+           FROM pb)
+         SELECT band, n, p, cum_n, cum_p,
+           round(CAST(cum_p AS DOUBLE) / CAST(tp AS DOUBLE), 6)
+             AS capture,
+           round((CAST(cum_p AS DOUBLE) / CAST(cum_n AS DOUBLE))
+             / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)), 6) AS lift
+         FROM c CROSS JOIN t ORDER BY band DESC""",
+    "q_corr_matrix" -> {
+      def corr(x: String, y: String, sx: String, sy: String,
+          sxx: String, syy: String, sxy: String): String =
+        s"""round((CAST(n AS DOUBLE) * CAST($sxy AS DOUBLE)
+              - CAST($sx AS DOUBLE) * CAST($sy AS DOUBLE))
+            / sqrt((CAST(n AS DOUBLE) * CAST($sxx AS DOUBLE)
+                - CAST($sx AS DOUBLE) * CAST($sx AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST($syy AS DOUBLE)
+                - CAST($sy AS DOUBLE) * CAST($sy AS DOUBLE))), 6)
+           AS corr_${x}_$y"""
+      s"""WITH m AS (SELECT COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sa,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sb,
+             SUM(CAST(l_discount AS DECIMAL(4,2))) AS sc,
+             SUM(CAST(l_tax AS DECIMAL(4,2))) AS sd,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))
+               * CAST(l_quantity AS DECIMAL(12,2))) AS saa,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_extendedprice AS DECIMAL(18,2))) AS sbb,
+             SUM(CAST(l_discount AS DECIMAL(4,2))
+               * CAST(l_discount AS DECIMAL(4,2))) AS scc,
+             SUM(CAST(l_tax AS DECIMAL(4,2))
+               * CAST(l_tax AS DECIMAL(4,2))) AS sdd,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))
+               * CAST(l_extendedprice AS DECIMAL(18,2))) AS sab,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))
+               * CAST(l_discount AS DECIMAL(4,2))) AS sac,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))
+               * CAST(l_tax AS DECIMAL(4,2))) AS sad,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(4,2))) AS sbc,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_tax AS DECIMAL(4,2))) AS sbd,
+             SUM(CAST(l_discount AS DECIMAL(4,2))
+               * CAST(l_tax AS DECIMAL(4,2))) AS scd
+           FROM lineitem)
+         SELECT n,
+           ${corr("qty", "price", "sa", "sb", "saa", "sbb", "sab")},
+           ${corr("qty", "discount", "sa", "sc", "saa", "scc", "sac")},
+           ${corr("qty", "tax", "sa", "sd", "saa", "sdd", "sad")},
+           ${corr("price", "discount", "sb", "sc", "sbb", "scc", "sbc")},
+           ${corr("price", "tax", "sb", "sd", "sbb", "sdd", "sbd")},
+           ${corr("discount", "tax", "sc", "sd", "scc", "sdd", "scd")}
+         FROM m"""
+    },
     "q_weighted_median" ->
       """WITH pv AS (SELECT l_returnflag,
              CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v,
