@@ -6705,6 +6705,113 @@ object SparkEntry {
       corr("discount", "tax", "sc", "sd", "scc", "sdd", "scd"))
   }
 
+  /** Association rules (directed a→b) with support, confidence, and
+    * lift — the q_item_cooccur pair table read as RULES: both
+    * directions of every pair, a support floor, confidence = n_ab/c_a
+    * against the broadcast antecedent prior. Top-25 by rounded
+    * confidence with full tie-break.
+    */
+  private def qBasketRules(s: SparkSession, dir: String): DataFrame = {
+    val ob = tbl(s, dir, "lineitem")
+      .join(tbl(s, dir, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_brand")),
+        "l_partkey")
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+    val pairs = ob.as("a").join(ob.as("b"), "l_orderkey")
+      .filter(col("a.p_brand") =!= col("b.p_brand"))
+      .select(col("a.p_brand").as("antecedent"),
+        col("b.p_brand").as("consequent"))
+      .groupBy("antecedent", "consequent").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 20)
+    val brandCnt = ob.groupBy("p_brand").agg(count(lit(1)).as("c"))
+    val tot = ob.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    pairs
+      .join(broadcast(brandCnt.select(col("p_brand").as("antecedent"),
+        col("c").as("c_a"))), "antecedent")
+      .join(broadcast(brandCnt.select(col("p_brand").as("consequent"),
+        col("c").as("c_b"))), "consequent")
+      .crossJoin(broadcast(tot))
+      .select(col("antecedent"), col("consequent"), col("n_ab"),
+        round(col("n_ab").cast("double") / col("c_a").cast("double"), 6)
+          .as("confidence"),
+        round(col("n_ab").cast("double") * col("n_orders").cast("double")
+          / (col("c_a").cast("double") * col("c_b").cast("double")), 6)
+          .as("lift"))
+      .orderBy(col("confidence").desc, col("antecedent"),
+        col("consequent"))
+      .limit(25)
+  }
+
+  /** Per-group linear TREND of daily event-type share: is each event
+    * type's traffic share rising or falling? Daily shares are rounded
+    * once to 9 dp DECIMAL (so the moment sums stay exact), then the
+    * q_linreg closed form runs per group over (day-index, share) —
+    * grouped trend detection without a single unpartitioned operation.
+    */
+  private def qTrendByGroup(s: SparkSession, dir: String): DataFrame = {
+    val daily = withTsUs(tbl(s, dir, "events"))
+      .select(expr("ts_us DIV 86400000000").as("day"), col("event_type"))
+      .groupBy("day", "event_type").agg(count(lit(1)).as("n"))
+    val dayTot = daily.groupBy("day").agg(sum(col("n")).as("dn"))
+    val shares = daily.join(dayTot, "day")
+      .select(col("event_type"),
+        col("day").cast("decimal(12,0)").as("x"),
+        expr("""CAST(round(CAST(n AS DOUBLE) / CAST(dn AS DOUBLE), 9)
+           AS DECIMAL(12,9))""").as("y"))
+    shares.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n_days"),
+        round(expr(
+          """CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE)"""), 6)
+          .as("mean_share"),
+        round(expr(
+          """(CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"""), 9)
+          .as("share_slope_per_day"))
+      .orderBy("event_type")
+  }
+
+  /** Bootstrap confidence interval for the mean by DETERMINISTIC
+    * hash-subsampling: replicate b includes a row iff
+    * fnv(id:b) % 2 = 0 (the native codegen'd hash, replayed in HUGEINT
+    * by the oracle) — 200 half-samples whose means bracket the point
+    * estimate; the CI is the 2.5/97.5 discrete percentile of replicate
+    * means. No RNG state anywhere: the resampling is a pure function
+    * of the data, so a re-run — or another engine — lands on the SAME
+    * interval bit for bit. The 200× explode feeds a 200-group
+    * map-side-combinable aggregate: shuffle volume is groups×
+    * partitions, not rows×200.
+    */
+  private def qBootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.FnvHash64.register(s)
+    val base = tbl(s, dir, "events")
+      .select(col("event_id"), col("value").cast("decimal(18,6)").as("v"))
+    base.select(col("event_id"), col("v"),
+        explode(expr("sequence(0, 199)")).as("b"))
+      .filter(expr(
+        """graft_fnv64(concat(CAST(event_id AS STRING), ':',
+           CAST(b AS STRING))) % 2 = 0"""))
+      .groupBy("b")
+      .agg((sum(col("v")).cast("double") / count(lit(1))).as("mean_b"))
+      .createOrReplaceTempView("boot_means_v")
+    base.agg((sum(col("v")).cast("double") / count(lit(1)))
+        .as("point_mean"))
+      .createOrReplaceTempView("boot_point_v")
+    s.sql(
+      """SELECT COUNT(*) AS n_reps, round(point_mean, 6) AS point_mean,
+           round(CAST(percentile_disc(0.025)
+             WITHIN GROUP (ORDER BY mean_b) AS DOUBLE), 6) AS ci_lo,
+           round(CAST(percentile_disc(0.975)
+             WITHIN GROUP (ORDER BY mean_b) AS DOUBLE), 6) AS ci_hi
+         FROM boot_means_v CROSS JOIN boot_point_v
+         GROUP BY point_mean""")
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -6750,6 +6857,9 @@ object SparkEntry {
     "q_confusion" -> qConfusion,
     "q_calibration" -> qCalibration,
     "q_jaro_dedup" -> qJaroDedup,
+    "q_basket_rules" -> qBasketRules,
+    "q_trend_by_group" -> qTrendByGroup,
+    "q_bootstrap_ci" -> qBootstrapCi,
     "q_group_auc" -> qGroupAuc,
     "q_gains_table" -> qGainsTable,
     "q_corr_matrix" -> qCorrMatrix,
@@ -10470,6 +10580,71 @@ object SparkEntry {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
              AS sum_price
          FROM v1 GROUP BY 1 ORDER BY 1""",
+    "q_basket_rules" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey, p_brand
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         pairs AS (SELECT a.p_brand AS antecedent,
+             b.p_brand AS consequent, COUNT(*) AS n_ab
+           FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+             AND a.p_brand <> b.p_brand
+           GROUP BY 1, 2 HAVING COUNT(*) >= 20),
+         bc AS (SELECT p_brand, COUNT(*) AS c FROM ob GROUP BY 1),
+         tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ob)
+         SELECT antecedent, consequent, n_ab,
+           round(CAST(n_ab AS DOUBLE) / CAST(ca.c AS DOUBLE), 6)
+             AS confidence,
+           round(CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE)
+             / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)), 6) AS lift
+         FROM pairs
+           JOIN bc ca ON ca.p_brand = antecedent
+           JOIN bc cb ON cb.p_brand = consequent
+           CROSS JOIN tot
+         ORDER BY confidence DESC, antecedent, consequent LIMIT 25""",
+    "q_trend_by_group" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+             event_type, COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+         dt AS (SELECT day, CAST(SUM(n) AS BIGINT) AS dn FROM daily
+           GROUP BY 1),
+         sh AS (SELECT event_type,
+             CAST(day AS DECIMAL(12,0)) AS x,
+             CAST(round(CAST(n AS DOUBLE) / CAST(dn AS DOUBLE), 9)
+               AS DECIMAL(12,9)) AS y
+           FROM daily JOIN dt USING (day)),
+         m AS (SELECT event_type, COUNT(*) AS n_days,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx
+           FROM sh GROUP BY 1)
+         SELECT event_type, n_days,
+           round(CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+             AS mean_share,
+           round((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9)
+             AS share_slope_per_day
+         FROM m ORDER BY event_type""",
+    "q_bootstrap_ci" -> {
+      val incl = Duck.fnv(
+        "(CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR))")
+      s"""WITH base AS (SELECT event_id,
+             CAST(value AS DECIMAL(18,6)) AS v
+           FROM events),
+         ex AS (SELECT event_id, v, b FROM base, range(0, 200) t(b)),
+         inc AS (SELECT b, v FROM ex WHERE ($incl) % 2 = 0),
+         means AS (SELECT b, CAST(SUM(v) AS DOUBLE) / COUNT(*)
+             AS mean_b
+           FROM inc GROUP BY b),
+         pm AS (SELECT CAST(SUM(v) AS DOUBLE) / COUNT(*) AS point_mean
+           FROM base)
+         SELECT COUNT(*) AS n_reps, round(point_mean, 6) AS point_mean,
+           round(CAST(percentile_disc(0.025)
+             WITHIN GROUP (ORDER BY mean_b) AS DOUBLE), 6) AS ci_lo,
+           round(CAST(percentile_disc(0.975)
+             WITHIN GROUP (ORDER BY mean_b) AS DOUBLE), 6) AS ci_hi
+         FROM means CROSS JOIN pm
+         GROUP BY point_mean"""
+    },
     "q_group_auc" ->
       """WITH s AS (SELECT source, n_chars AS score, COUNT(*) AS cnt,
              CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
