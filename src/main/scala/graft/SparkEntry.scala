@@ -6812,6 +6812,44 @@ object SparkEntry {
          GROUP BY point_mean""")
   }
 
+  /** Language-ID confusion matrix: the existing n-gram-heuristic
+    * classifier ([[graft.ops.TextAnalysis.langId]]) scored against the
+    * fixture's ground-truth labels — (actual, predicted, n) cells.
+    * Closes the loop on the lang-id operator: not just "runs", but
+    * "how wrong, where" (zh has no stopword list, so its row shows the
+    * classifier's und/misfire behavior honestly).
+    */
+  private def qLangConfusion(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("lang").as("actual_lang"),
+        graft.ops.TextAnalysis.langId(col("text")).as("pred_lang"))
+      .groupBy("actual_lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("actual_lang", "pred_lang")
+
+  /** Corpus-driven stopword discovery + mass profile: the global
+    * top-20 tokens (a deterministic tie-broken top-k) are the corpus's
+    * own stopwords; per source the fraction of token mass they carry is
+    * the boilerplate/formulaic-text signal. Exact integer token sums
+    * per source (never avg-of-ratios), top-20 rides a broadcast
+    * left-semi flag.
+    */
+  private def qStopwordDiscovery(s: SparkSession, dir: String): DataFrame = {
+    val toks = tbl(s, dir, "documents")
+      .select(col("source"), explode(expr(tokensSql)).as("w"))
+    val top20 = toks.groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(20)
+      .select(col("w"), lit(1L).as("is_stop"))
+    toks.join(broadcast(top20), Seq("w"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("is_stop"), lit(0L))).as("n_stop"))
+      .select(col("source"), col("n_tokens"), col("n_stop"),
+        round(col("n_stop").cast("double")
+          / col("n_tokens").cast("double"), 6).as("stop_mass"))
+      .orderBy("source")
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -6857,6 +6895,8 @@ object SparkEntry {
     "q_confusion" -> qConfusion,
     "q_calibration" -> qCalibration,
     "q_jaro_dedup" -> qJaroDedup,
+    "q_lang_confusion" -> qLangConfusion,
+    "q_stopword_discovery" -> qStopwordDiscovery,
     "q_basket_rules" -> qBasketRules,
     "q_trend_by_group" -> qTrendByGroup,
     "q_bootstrap_ci" -> qBootstrapCi,
@@ -7093,6 +7133,32 @@ object SparkEntry {
     * is the canonical value domain; HUGEINT is the escape hatch for
     * unsigned wrap-around.
     */
+  /** lang_id heuristic replay, shared by the lang_id gate and the
+    * q_lang_confusion matrix oracle. */
+  private lazy val langIdOracleSql: String =
+    """WITH h AS (
+           SELECT doc_id,
+             len(list_filter(regexp_split_to_array(lower(trim(text)),
+               '[^a-zA-Z0-9_]+'), w -> list_contains(
+               ['der','die','das','und','ist','nicht','von','mit','ein','zu'], w))) AS de_h,
+             len(list_filter(regexp_split_to_array(lower(trim(text)),
+               '[^a-zA-Z0-9_]+'), w -> list_contains(
+               ['the','and','of','to','in','is','that','for','with','a'], w))) AS en_h,
+             len(list_filter(regexp_split_to_array(lower(trim(text)),
+               '[^a-zA-Z0-9_]+'), w -> list_contains(
+               ['el','la','los','las','es','y','de','que','en','por'], w))) AS es_h,
+             len(list_filter(regexp_split_to_array(lower(trim(text)),
+               '[^a-zA-Z0-9_]+'), w -> list_contains(
+               ['le','la','les','et','est','que','des','dans','pour','une'], w))) AS fr_h
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN greatest(de_h, en_h, es_h, fr_h) = 0 THEN 'und'
+                WHEN fr_h >= es_h AND fr_h >= en_h AND fr_h >= de_h THEN 'fr'
+                WHEN es_h >= en_h AND es_h >= de_h THEN 'es'
+                WHEN en_h >= de_h THEN 'en'
+                ELSE 'de' END AS lang_pred
+         FROM h ORDER BY doc_id"""
+
   private object Duck {
     val M = "18446744073709551616" // 2^64
     val H = "9223372036854775808" // 2^63
@@ -8911,29 +8977,7 @@ object SparkEntry {
                  CAST(embedding AS DOUBLE[]))) *
                 sqrt(list_dot_product(qv, qv))), 4) DESC, vec_id
          LIMIT 10""",
-    "lang_id" ->
-      """WITH h AS (
-           SELECT doc_id,
-             len(list_filter(regexp_split_to_array(lower(trim(text)),
-               '[^a-zA-Z0-9_]+'), w -> list_contains(
-               ['der','die','das','und','ist','nicht','von','mit','ein','zu'], w))) AS de_h,
-             len(list_filter(regexp_split_to_array(lower(trim(text)),
-               '[^a-zA-Z0-9_]+'), w -> list_contains(
-               ['the','and','of','to','in','is','that','for','with','a'], w))) AS en_h,
-             len(list_filter(regexp_split_to_array(lower(trim(text)),
-               '[^a-zA-Z0-9_]+'), w -> list_contains(
-               ['el','la','los','las','es','y','de','que','en','por'], w))) AS es_h,
-             len(list_filter(regexp_split_to_array(lower(trim(text)),
-               '[^a-zA-Z0-9_]+'), w -> list_contains(
-               ['le','la','les','et','est','que','des','dans','pour','une'], w))) AS fr_h
-           FROM documents)
-         SELECT doc_id,
-           CASE WHEN greatest(de_h, en_h, es_h, fr_h) = 0 THEN 'und'
-                WHEN fr_h >= es_h AND fr_h >= en_h AND fr_h >= de_h THEN 'fr'
-                WHEN es_h >= en_h AND es_h >= de_h THEN 'es'
-                WHEN en_h >= de_h THEN 'en'
-                ELSE 'de' END AS lang_pred
-         FROM h ORDER BY doc_id""",
+    "lang_id" -> langIdOracleSql,
     "quality_score" ->
       """SELECT doc_id,
            round((least(1.0, CAST(length(text) AS DOUBLE) / 500.0)
@@ -10580,6 +10624,29 @@ object SparkEntry {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
              AS sum_price
          FROM v1 GROUP BY 1 ORDER BY 1""",
+    "q_lang_confusion" ->
+      s"""WITH pred AS ($langIdOracleSql)
+         SELECT d.lang AS actual_lang, p.lang_pred AS pred_lang,
+           COUNT(*) AS n
+         FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+         GROUP BY 1, 2 ORDER BY actual_lang, pred_lang""",
+    "q_stopword_discovery" ->
+      """WITH toks AS (SELECT source,
+             unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+'))
+               AS w
+           FROM documents),
+         tk AS (SELECT source, w FROM toks WHERE w <> ''),
+         top20 AS (SELECT w FROM (SELECT w, COUNT(*) AS n FROM tk
+             GROUP BY 1 ORDER BY n DESC, w LIMIT 20)),
+         f AS (SELECT source,
+             CASE WHEN w IN (SELECT w FROM top20) THEN 1 ELSE 0 END
+               AS is_stop
+           FROM tk)
+         SELECT source, COUNT(*) AS n_tokens,
+           CAST(SUM(is_stop) AS BIGINT) AS n_stop,
+           round(CAST(CAST(SUM(is_stop) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS stop_mass
+         FROM f GROUP BY 1 ORDER BY source""",
     "q_basket_rules" ->
       """WITH ob AS (SELECT DISTINCT l_orderkey, p_brand
            FROM lineitem JOIN part ON l_partkey = p_partkey),
