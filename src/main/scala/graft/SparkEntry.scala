@@ -6850,6 +6850,90 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** Zipf's-law fit over the token frequency distribution: slope of
+    * ln(freq) on ln(rank) — a natural corpus sits near −1; a pile of
+    * boilerplate or template spam bends the curve. Rank is a
+    * deterministic row_number over the VOCAB-sized frequency table
+    * (tie-broken by token); both logs are rounded to 9 dp DECIMAL
+    * before the exact moment sums (the repo libm contract), and the
+    * closed-form slope/R² are the q_linreg formulas.
+    */
+  private def qZipfFit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = tbl(s, dir, "documents")
+      .select(explode(expr(tokensSql)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val pts = freq
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("w"))))
+      .select(
+        expr("""CAST(round(ln(CAST(rank AS DOUBLE)), 9)
+           AS DECIMAL(18,9))""").as("x"),
+        expr("""CAST(round(ln(CAST(n AS DOUBLE)), 9)
+           AS DECIMAL(18,9))""").as("y"))
+    pts.agg(count(lit(1)).as("vocab"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("vocab"),
+        round(expr(
+          """(CAST(vocab AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(vocab AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"""), 6)
+          .as("zipf_slope"),
+        round(expr(
+          """((CAST(vocab AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              * (CAST(vocab AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+             / ((CAST(vocab AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(vocab AS DOUBLE) * CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"""), 6)
+          .as("r2"))
+  }
+
+  /** Heaps'-law fit: vocabulary growth V(N) ≈ K·N^β along the doc-id
+    * order — the dedup/diversity health curve (β collapsing toward 0
+    * means new data stopped bringing new types). New-type counts come
+    * from each token's FIRST document (a keyed MIN, no quadratic
+    * rescan); the cumulative (N, V) pairs run over the DOCS-sized
+    * table; β is the same 9dp-ln DECIMAL moment recipe.
+    */
+  private def qHeapsLaw(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tbl(s, dir, "documents")
+      .select(col("doc_id"), explode(expr(tokensSql)).as("w"))
+    val perDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    val newTypes = toks.groupBy("w").agg(min(col("doc_id")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = perDoc
+      .join(newTypes, Seq("doc_id"), "left")
+      .withColumn("nt", coalesce(col("new_types"), lit(0L)))
+      .withColumn("bigN", sum(col("n_tok")).over(w))
+      .withColumn("v", sum(col("nt")).over(w))
+      .select(
+        expr("""CAST(round(ln(CAST(bigN AS DOUBLE)), 9)
+           AS DECIMAL(18,9))""").as("x"),
+        expr("""CAST(round(ln(CAST(v AS DOUBLE)), 9)
+           AS DECIMAL(18,9))""").as("y"))
+    pts.agg(count(lit(1)).as("n_docs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n_docs"),
+        round(expr(
+          """(CAST(n_docs AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"""), 6)
+          .as("heaps_beta"))
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -6895,6 +6979,8 @@ object SparkEntry {
     "q_confusion" -> qConfusion,
     "q_calibration" -> qCalibration,
     "q_jaro_dedup" -> qJaroDedup,
+    "q_zipf_fit" -> qZipfFit,
+    "q_heaps_law" -> qHeapsLaw,
     "q_lang_confusion" -> qLangConfusion,
     "q_stopword_discovery" -> qStopwordDiscovery,
     "q_basket_rules" -> qBasketRules,
@@ -10624,6 +10710,73 @@ object SparkEntry {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
              AS sum_price
          FROM v1 GROUP BY 1 ORDER BY 1""",
+    "q_zipf_fit" ->
+      """WITH f AS (SELECT w, COUNT(*) AS n FROM (
+             SELECT unnest(regexp_split_to_array(lower(text),
+               '[^a-z0-9_]+')) AS w
+             FROM documents) t
+           WHERE w <> '' GROUP BY 1),
+         r AS (SELECT n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rank
+           FROM f),
+         p AS (SELECT
+             CAST(round(ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(18,9))
+               AS x,
+             CAST(round(ln(CAST(n AS DOUBLE)), 9) AS DECIMAL(18,9))
+               AS y
+           FROM r),
+         m AS (SELECT COUNT(*) AS vocab, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+           FROM p)
+         SELECT vocab,
+           round((CAST(vocab AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(vocab AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS zipf_slope,
+           round(((CAST(vocab AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              * (CAST(vocab AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+             / ((CAST(vocab AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(vocab AS DOUBLE) * CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+         FROM m""",
+    "q_heaps_law" ->
+      """WITH toks AS (SELECT doc_id,
+             unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+'))
+               AS w
+           FROM documents),
+         tk AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+         pd AS (SELECT doc_id, COUNT(*) AS n_tok FROM tk GROUP BY 1),
+         nt AS (SELECT doc_id, COUNT(*) AS new_types FROM (
+             SELECT w, MIN(doc_id) AS doc_id FROM tk GROUP BY 1) f
+           GROUP BY 1),
+         c AS (SELECT pd.doc_id,
+             CAST(SUM(n_tok) OVER (ORDER BY pd.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS bigN,
+             CAST(SUM(COALESCE(new_types, 0)) OVER (ORDER BY pd.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS v
+           FROM pd LEFT JOIN nt ON nt.doc_id = pd.doc_id),
+         p AS (SELECT
+             CAST(round(ln(CAST(bigN AS DOUBLE)), 9) AS DECIMAL(18,9))
+               AS x,
+             CAST(round(ln(CAST(v AS DOUBLE)), 9) AS DECIMAL(18,9))
+               AS y
+           FROM c),
+         m AS (SELECT COUNT(*) AS n_docs, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+           FROM p)
+         SELECT n_docs,
+           round((CAST(n_docs AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS heaps_beta
+         FROM m""",
     "q_lang_confusion" ->
       s"""WITH pred AS ($langIdOracleSql)
          SELECT d.lang AS actual_lang, p.lang_pred AS pred_lang,
