@@ -6934,6 +6934,29 @@ object SparkEntry {
           .as("heaps_beta"))
   }
 
+  /** Dedup ATTRIBUTION: which source pairs share near-duplicate
+    * content — the curation readout that turns a pair list into a
+    * "stop crawling X, it mirrors Y" decision. Same banded-LSH
+    * candidates + exact-Jaccard verify contract as dedup_minhash
+    * (est ≥ 0.35 candidates, exact ≥ 0.5 kept), with sources joined
+    * back on the id keys and pair counts per unordered source pair.
+    */
+  private def qDedupAttribution(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val pairs = graft.ops.Dedup
+      .minHashPairs(docs.select(col("doc_id"), col("text")),
+        "doc_id", "text", threshold = 0.35)
+      .filter(col("jaccard") >= 0.5)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.toDF("doc_a", "source_a"), "doc_a")
+      .join(src.toDF("doc_b", "source_b"), "doc_b")
+      .select(least(col("source_a"), col("source_b")).as("src_x"),
+        greatest(col("source_a"), col("source_b")).as("src_y"))
+      .groupBy("src_x", "src_y").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("src_x", "src_y")
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -6979,6 +7002,7 @@ object SparkEntry {
     "q_confusion" -> qConfusion,
     "q_calibration" -> qCalibration,
     "q_jaro_dedup" -> qJaroDedup,
+    "q_dedup_attribution" -> qDedupAttribution,
     "q_zipf_fit" -> qZipfFit,
     "q_heaps_law" -> qHeapsLaw,
     "q_lang_confusion" -> qLangConfusion,
@@ -10710,6 +10734,25 @@ object SparkEntry {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
              AS sum_price
          FROM v1 GROUP BY 1 ORDER BY 1""",
+    "q_dedup_attribution" ->
+      """WITH w AS (
+           SELECT doc_id, source,
+             list_filter(regexp_split_to_array(lower(trim(text)),
+               '[^a-zA-Z0-9_]+'), x -> x <> '') AS ws
+           FROM documents),
+         t AS (
+           SELECT doc_id, source,
+             list_distinct(list_transform(range(1, greatest(len(ws)-1, 2)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS tg
+           FROM w),
+         p AS (SELECT least(a.source, b.source) AS src_x,
+             greatest(a.source, b.source) AS src_y
+           FROM t a JOIN t b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE) /
+             (len(a.tg) + len(b.tg) - len(list_intersect(a.tg, b.tg)))
+             >= 0.5)
+         SELECT src_x, src_y, COUNT(*) AS n_pairs FROM p
+         GROUP BY 1, 2 ORDER BY src_x, src_y""",
     "q_zipf_fit" ->
       """WITH f AS (SELECT w, COUNT(*) AS n FROM (
              SELECT unnest(regexp_split_to_array(lower(text),
