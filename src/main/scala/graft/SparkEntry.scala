@@ -6957,6 +6957,69 @@ object SparkEntry {
       .orderBy("src_x", "src_y")
   }
 
+  /** Near-time duplicate events (same user + type within 5 s of the
+    * predecessor) — the client-retry/double-fire telemetry audit that
+    * exact-key dedup misses because the event ids differ. One
+    * partitioned LAG per (user, type); per-type duplicate rates from
+    * exact counts.
+    */
+  private def qEventNearDup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts_us"), col("event_id"))
+    withTsUs(tbl(s, dir, "events"))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .select(col("event_type"),
+        when(col("prev_us").isNotNull &&
+          col("ts_us") - col("prev_us") <= 5000000L, 1L).otherwise(0L)
+          .as("is_dup"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("is_dup")).as("n_dups"))
+      .select(col("event_type"), col("n"), col("n_dups"),
+        round(col("n_dups").cast("double") / col("n").cast("double"), 6)
+          .as("dup_rate"))
+      .orderBy("event_type")
+  }
+
+  /** Session-level conversion by day: 30-min-gap sessions (the
+    * events_sessions kernel) rolled up to per-day session counts,
+    * view→purchase conversion rate, and mean session length — the
+    * product-health daily all in one sessions-sized pass.
+    */
+  private def qSessionConversion(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = withTsUs(tbl(s, dir, "events"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess"))
+        .over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts_us")).as("start_us"),
+        count(lit(1)).as("n_events"),
+        max(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("has_view"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("has_purchase"))
+    sess
+      .select(expr("start_us DIV 86400000000").as("day"),
+        col("n_events"), col("has_view"), col("has_purchase"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("has_view") * col("has_purchase")).as("n_converted"),
+        round(sum(col("n_events")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("mean_events"),
+        round(sum(col("has_view") * col("has_purchase")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("conversion_rate"))
+      .orderBy("day")
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -7002,6 +7065,8 @@ object SparkEntry {
     "q_confusion" -> qConfusion,
     "q_calibration" -> qCalibration,
     "q_jaro_dedup" -> qJaroDedup,
+    "q_event_near_dup" -> qEventNearDup,
+    "q_session_conversion" -> qSessionConversion,
     "q_dedup_attribution" -> qDedupAttribution,
     "q_zipf_fit" -> qZipfFit,
     "q_heaps_law" -> qHeapsLaw,
@@ -10734,6 +10799,50 @@ object SparkEntry {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
              AS sum_price
          FROM v1 GROUP BY 1 ORDER BY 1""",
+    "q_event_near_dup" ->
+      """WITH l AS (SELECT event_type,
+             epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY epoch_us(ts), event_id) AS gap_us
+           FROM events)
+         SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN gap_us IS NOT NULL AND gap_us <= 5000000
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+           round(CAST(CAST(SUM(CASE WHEN gap_us IS NOT NULL
+               AND gap_us <= 5000000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+         FROM l GROUP BY 1 ORDER BY event_type""",
+    "q_session_conversion" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+             epoch_us(ts) AS us
+           FROM events),
+         l AS (SELECT *, LAG(us) OVER (PARTITION BY user_id
+             ORDER BY us, event_id) AS prev_us FROM e),
+         f AS (SELECT *, CASE WHEN prev_us IS NULL
+             OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+           FROM l),
+         sid AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+             ORDER BY us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_id
+           FROM f),
+         se AS (SELECT user_id, session_id, MIN(us) AS start_us,
+             COUNT(*) AS n_events,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS has_view,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS has_purchase
+           FROM sid GROUP BY 1, 2)
+         SELECT start_us // 86400000000 AS day,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(has_view * has_purchase) AS BIGINT) AS n_converted,
+           round(CAST(CAST(SUM(n_events) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_events,
+           round(CAST(CAST(SUM(has_view * has_purchase) AS BIGINT)
+               AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS conversion_rate
+         FROM se GROUP BY 1 ORDER BY day""",
     "q_dedup_attribution" ->
       """WITH w AS (
            SELECT doc_id, source,
