@@ -7020,6 +7020,51 @@ object SparkEntry {
       .orderBy("day")
   }
 
+  /** MAU growth accounting: every month's active users decomposed into
+    * new / retained / resurrected, plus the users churned out of the
+    * previous month — the four numbers that explain WHY a MAU curve
+    * moved. One distinct (user, month) table, one partitioned
+    * LAG/LEAD pass per user (integer month arithmetic), a broadcast
+    * horizon so nobody "churns" past the end of data, and a month-keyed
+    * rollup. Identity checked by construction:
+    * active = new + retained + resurrected.
+    */
+  private def qGrowthAccounting(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val am = tbl(s, dir, "events")
+      .select(col("user_id"),
+        (year(col("ts")) * 12 + month(col("ts"))).cast("long").as("m"))
+      .distinct()
+    val horizon = am.agg(max(col("m")).as("max_m"))
+    val w = Window.partitionBy("user_id").orderBy("m")
+    val labeled = am
+      .withColumn("prev_m", lag(col("m"), 1).over(w))
+      .withColumn("next_m", lead(col("m"), 1).over(w))
+      .crossJoin(broadcast(horizon))
+      .select(col("m"),
+        when(col("prev_m").isNull, 1L).otherwise(0L).as("is_new"),
+        when(col("prev_m") === col("m") - 1, 1L).otherwise(0L)
+          .as("is_retained"),
+        when(col("prev_m").isNotNull && col("prev_m") < col("m") - 1,
+          1L).otherwise(0L).as("is_resurrected"),
+        // churns OUT OF month m (counted against month m+1)
+        when((col("next_m").isNull && col("m") < col("max_m")) ||
+          col("next_m") > col("m") + 1, 1L).otherwise(0L)
+          .as("churns_after"))
+    val active = labeled.groupBy("m")
+      .agg(count(lit(1)).as("n_active"),
+        sum(col("is_new")).as("n_new"),
+        sum(col("is_retained")).as("n_retained"),
+        sum(col("is_resurrected")).as("n_resurrected"))
+    val churn = labeled.groupBy((col("m") + 1).as("m"))
+      .agg(sum(col("churns_after")).as("n_churned"))
+    active.join(churn, Seq("m"), "left")
+      .select(col("m"), col("n_active"), col("n_new"),
+        col("n_retained"), col("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy("m")
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -7065,6 +7110,7 @@ object SparkEntry {
     "q_confusion" -> qConfusion,
     "q_calibration" -> qCalibration,
     "q_jaro_dedup" -> qJaroDedup,
+    "q_growth_accounting" -> qGrowthAccounting,
     "q_event_near_dup" -> qEventNearDup,
     "q_session_conversion" -> qSessionConversion,
     "q_dedup_attribution" -> qDedupAttribution,
@@ -10799,6 +10845,35 @@ object SparkEntry {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
              AS sum_price
          FROM v1 GROUP BY 1 ORDER BY 1""",
+    "q_growth_accounting" ->
+      """WITH am AS (SELECT DISTINCT user_id,
+             CAST(year(ts) * 12 + month(ts) AS BIGINT) AS m
+           FROM events),
+         h AS (SELECT MAX(m) AS max_m FROM am),
+         l AS (SELECT m,
+             LAG(m) OVER (PARTITION BY user_id ORDER BY m) AS prev_m,
+             LEAD(m) OVER (PARTITION BY user_id ORDER BY m) AS next_m
+           FROM am),
+         lab AS (SELECT m,
+             CASE WHEN prev_m IS NULL THEN 1 ELSE 0 END AS is_new,
+             CASE WHEN prev_m = m - 1 THEN 1 ELSE 0 END AS is_retained,
+             CASE WHEN prev_m IS NOT NULL AND prev_m < m - 1 THEN 1
+               ELSE 0 END AS is_resurrected,
+             CASE WHEN (next_m IS NULL AND m < max_m)
+               OR next_m > m + 1 THEN 1 ELSE 0 END AS churns_after
+           FROM l CROSS JOIN h),
+         act AS (SELECT m, COUNT(*) AS n_active,
+             CAST(SUM(is_new) AS BIGINT) AS n_new,
+             CAST(SUM(is_retained) AS BIGINT) AS n_retained,
+             CAST(SUM(is_resurrected) AS BIGINT) AS n_resurrected
+           FROM lab GROUP BY 1),
+         ch AS (SELECT m + 1 AS m,
+             CAST(SUM(churns_after) AS BIGINT) AS n_churned
+           FROM lab GROUP BY 1)
+         SELECT act.m, n_active, n_new, n_retained, n_resurrected,
+           COALESCE(n_churned, 0) AS n_churned
+         FROM act LEFT JOIN ch ON ch.m = act.m
+         ORDER BY act.m""",
     "q_event_near_dup" ->
       """WITH l AS (SELECT event_type,
              epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (
