@@ -7065,6 +7065,35 @@ object SparkEntry {
       .orderBy("m")
   }
 
+  /** Dataset card: the one-row datasheet a corpus release ships with —
+    * document/source/language counts, char and token mass, vocabulary,
+    * and the exact-duplicate rate — composed from three independent
+    * corpus aggregates joined as broadcast 1-row sides. Every number
+    * is an exact integer except the two rounded means.
+    */
+  private def qDatasetCard(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents")
+    val basic = d.agg(count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(col("n_chars")).as("total_chars"))
+    val toks = d.select(explode(expr(tokensSql)).as("w"))
+      .agg(count(lit(1)).as("total_tokens"),
+        countDistinct(col("w")).as("vocab"))
+    val dups = d.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") - 1).as("n_dup_docs"))
+    basic.crossJoin(broadcast(toks)).crossJoin(broadcast(dups))
+      .select(col("n_docs"), col("n_sources"), col("n_langs"),
+        col("total_chars"),
+        round(col("total_chars").cast("double")
+          / col("n_docs").cast("double"), 6).as("mean_chars"),
+        col("total_tokens"), col("vocab"),
+        round(col("total_tokens").cast("double")
+          / col("n_docs").cast("double"), 6).as("mean_tokens"),
+        col("n_dup_docs"))
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -7110,6 +7139,7 @@ object SparkEntry {
     "q_confusion" -> qConfusion,
     "q_calibration" -> qCalibration,
     "q_jaro_dedup" -> qJaroDedup,
+    "q_dataset_card" -> qDatasetCard,
     "q_growth_accounting" -> qGrowthAccounting,
     "q_event_near_dup" -> qEventNearDup,
     "q_session_conversion" -> qSessionConversion,
@@ -10845,6 +10875,29 @@ object SparkEntry {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
              AS sum_price
          FROM v1 GROUP BY 1 ORDER BY 1""",
+    "q_dataset_card" ->
+      """WITH basic AS (SELECT COUNT(*) AS n_docs,
+             COUNT(DISTINCT source) AS n_sources,
+             COUNT(DISTINCT lang) AS n_langs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+           FROM documents),
+         tk AS (SELECT COUNT(*) AS total_tokens,
+             COUNT(DISTINCT w) AS vocab
+           FROM (SELECT unnest(regexp_split_to_array(lower(text),
+               '[^a-z0-9_]+')) AS w
+             FROM documents) t
+           WHERE w <> ''),
+         dups AS (SELECT CAST(SUM(c - 1) AS BIGINT) AS n_dup_docs
+           FROM (SELECT md5(text) AS h, COUNT(*) AS c FROM documents
+             GROUP BY 1) g)
+         SELECT n_docs, n_sources, n_langs, total_chars,
+           round(CAST(total_chars AS DOUBLE) / CAST(n_docs AS DOUBLE),
+             6) AS mean_chars,
+           total_tokens, vocab,
+           round(CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE),
+             6) AS mean_tokens,
+           n_dup_docs
+         FROM basic CROSS JOIN tk CROSS JOIN dups""",
     "q_growth_accounting" ->
       """WITH am AS (SELECT DISTINCT user_id,
              CAST(year(ts) * 12 + month(ts) AS BIGINT) AS m
