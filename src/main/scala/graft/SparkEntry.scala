@@ -7094,6 +7094,54 @@ object SparkEntry {
         col("n_dup_docs"))
   }
 
+  /** Tukey IQR fences per event type — the third member of the robust
+    * outlier trio next to q_zscore and q_mad_outliers: exact discrete
+    * quartiles (the engine-agnostic percentile_disc contract), 1.5×IQR
+    * fences, and the count outside each fence. One scan + a groups-
+    * sized cutoff side the planner broadcasts.
+    */
+  private def qIqrFence(s: SparkSession, dir: String): DataFrame = {
+    tbl(s, dir, "events").createOrReplaceTempView("events_iqr_v")
+    s.sql(
+      """WITH cut AS (SELECT event_type,
+             percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS q1,
+             percentile_disc(0.75) WITHIN GROUP (ORDER BY value) AS q3
+           FROM events_iqr_v GROUP BY event_type)
+         SELECT e.event_type, COUNT(*) AS n, c.q1, c.q3,
+           round(c.q1 - 1.5 * (c.q3 - c.q1), 6) AS fence_lo,
+           round(c.q3 + 1.5 * (c.q3 - c.q1), 6) AS fence_hi,
+           CAST(SUM(CASE WHEN e.value < c.q1 - 1.5 * (c.q3 - c.q1)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(SUM(CASE WHEN e.value > c.q3 + 1.5 * (c.q3 - c.q1)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+         FROM events_iqr_v e JOIN cut c ON e.event_type = c.event_type
+         GROUP BY e.event_type, c.q1, c.q3
+         ORDER BY e.event_type""")
+  }
+
+  /** Effective sample size of a weighted corpus slice:
+    * ESS = (Σw)²/Σw² — how many "real" examples a weighted mixture is
+    * worth (ESS/n collapsing toward 0 means a few heavy documents
+    * dominate the mixture). Exact DECIMAL weight moments per source,
+    * two rounded divisions.
+    */
+  private def qEss(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("source"),
+        col("n_chars").cast("decimal(12,0)").as("w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"),
+        sum(col("w") * col("w")).as("sww"))
+      .select(col("source"), col("n"),
+        round(expr(
+          """(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE))
+             / CAST(sww AS DOUBLE)"""), 6).as("ess"),
+        round(expr(
+          """(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE))
+             / CAST(sww AS DOUBLE) / CAST(n AS DOUBLE)"""), 6)
+          .as("ess_ratio"))
+      .orderBy("source")
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -7139,6 +7187,8 @@ object SparkEntry {
     "q_confusion" -> qConfusion,
     "q_calibration" -> qCalibration,
     "q_jaro_dedup" -> qJaroDedup,
+    "q_iqr_fence" -> qIqrFence,
+    "q_ess" -> qEss,
     "q_dataset_card" -> qDatasetCard,
     "q_growth_accounting" -> qGrowthAccounting,
     "q_event_near_dup" -> qEventNearDup,
@@ -10875,6 +10925,33 @@ object SparkEntry {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
              AS sum_price
          FROM v1 GROUP BY 1 ORDER BY 1""",
+    "q_iqr_fence" ->
+      """WITH cut AS (SELECT event_type,
+             percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS q1,
+             percentile_disc(0.75) WITHIN GROUP (ORDER BY value) AS q3
+           FROM events GROUP BY event_type)
+         SELECT e.event_type, COUNT(*) AS n, c.q1, c.q3,
+           round(c.q1 - 1.5 * (c.q3 - c.q1), 6) AS fence_lo,
+           round(c.q3 + 1.5 * (c.q3 - c.q1), 6) AS fence_hi,
+           CAST(SUM(CASE WHEN e.value < c.q1 - 1.5 * (c.q3 - c.q1)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(SUM(CASE WHEN e.value > c.q3 + 1.5 * (c.q3 - c.q1)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+         FROM events e JOIN cut c ON e.event_type = c.event_type
+         GROUP BY e.event_type, c.q1, c.q3
+         ORDER BY e.event_type""",
+    "q_ess" ->
+      """WITH m AS (SELECT source, COUNT(*) AS n,
+             SUM(CAST(n_chars AS DECIMAL(12,0))) AS sw,
+             SUM(CAST(n_chars AS DECIMAL(12,0))
+               * CAST(n_chars AS DECIMAL(12,0))) AS sww
+           FROM documents GROUP BY 1)
+         SELECT source, n,
+           round((CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE))
+             / CAST(sww AS DOUBLE), 6) AS ess,
+           round((CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE))
+             / CAST(sww AS DOUBLE) / CAST(n AS DOUBLE), 6) AS ess_ratio
+         FROM m ORDER BY source""",
     "q_dataset_card" ->
       """WITH basic AS (SELECT COUNT(*) AS n_docs,
              COUNT(DISTINCT source) AS n_sources,
