@@ -7142,6 +7142,59 @@ object SparkEntry {
           .as("ess_ratio"))
       .orderBy("source")
 
+  /** The MinHash-LSH S-curve as an executable table:
+    * P(candidate | jaccard) = 1 − (1 − j^r)^b for the engine's
+    * b=16 × r=4 banding — the design artifact behind every dedup
+    * threshold in [[graft.ops.Dedup]], materialized so a curation run
+    * can READ its own recall guarantees instead of trusting a comment.
+    * Pure math (generated rows, no input scan).
+    */
+  private def qLshCurve(s: SparkSession, dir: String): DataFrame =
+    s.range(1, 10)
+      .select((col("id").cast("double") / 10.0).as("j"))
+      .select(round(col("j"), 1).as("j"),
+        round(lit(1.0)
+          - pow(lit(1.0) - pow(col("j"), lit(4.0)), lit(16.0)), 6)
+          .as("p_candidate"))
+      .orderBy("j")
+
+  /** 30-day ROLLING correlation between daily view and purchase
+    * volumes — does engagement still track conversion, per day? Every
+    * moment in the window is an INTEGER sum (counts and count
+    * products), so the rolling moments are exact under any
+    * partitioning and the correlation is one rounded formula per day;
+    * windows run over the days-sized series.
+    */
+  private def qRollingCorr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = withTsUs(tbl(s, dir, "events"))
+      .select(expr("ts_us DIV 86400000000").as("day"),
+        col("event_type"))
+      .groupBy("day")
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+        .as("vc"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("pc"))
+    val w = Window.orderBy("day").rowsBetween(-29, 0)
+    daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("vc")).over(w))
+      .withColumn("sy", sum(col("pc")).over(w))
+      .withColumn("sxy", sum(col("vc") * col("pc")).over(w))
+      .withColumn("sxx", sum(col("vc") * col("vc")).over(w))
+      .withColumn("syy", sum(col("pc") * col("pc")).over(w))
+      .filter(col("n") === 30)
+      .select(col("day"), round(expr(
+        """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"""), 6)
+        .as("corr30"))
+      .orderBy("day")
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -7187,6 +7240,8 @@ object SparkEntry {
     "q_confusion" -> qConfusion,
     "q_calibration" -> qCalibration,
     "q_jaro_dedup" -> qJaroDedup,
+    "q_lsh_curve" -> qLshCurve,
+    "q_rolling_corr" -> qRollingCorr,
     "q_iqr_fence" -> qIqrFence,
     "q_ess" -> qEss,
     "q_dataset_card" -> qDatasetCard,
@@ -10925,6 +10980,37 @@ object SparkEntry {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
              AS sum_price
          FROM v1 GROUP BY 1 ORDER BY 1""",
+    "q_lsh_curve" ->
+      """SELECT round(i / 10.0, 1) AS j,
+           round(1.0 - power(1.0 - power(i / 10.0, 4.0), 16.0), 6)
+             AS p_candidate
+         FROM range(1, 10) t(i) ORDER BY j""",
+    "q_rolling_corr" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS BIGINT) AS vc,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+               END) AS BIGINT) AS pc
+           FROM events GROUP BY 1),
+         r AS (SELECT day,
+             COUNT(*) OVER w AS n,
+             CAST(SUM(vc) OVER w AS BIGINT) AS sx,
+             CAST(SUM(pc) OVER w AS BIGINT) AS sy,
+             CAST(SUM(vc * pc) OVER w AS BIGINT) AS sxy,
+             CAST(SUM(vc * vc) OVER w AS BIGINT) AS sxx,
+             CAST(SUM(pc * pc) OVER w AS BIGINT) AS syy
+           FROM daily
+           WINDOW w AS (ORDER BY day
+             ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+         SELECT day,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS corr30
+         FROM r WHERE n = 30 ORDER BY day""",
     "q_iqr_fence" ->
       """WITH cut AS (SELECT event_type,
              percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS q1,
