@@ -7195,6 +7195,71 @@ object SparkEntry {
       .orderBy("day")
   }
 
+  /** Leakage-safe POINT-IN-TIME feature snapshot: for every purchase,
+    * the user's feature vector computed STRICTLY BEFORE the event —
+    * prior view count, prior spend, last-view recency — via
+    * partitioned windows whose frame ends at 1 PRECEDING (the frame
+    * bound IS the leakage guard; an at-current-row frame would leak
+    * the label event into its own features). The feature-store
+    * training-snapshot shape, all per-user partitioned.
+    */
+  private def qPitFeatures(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withTsUs(tbl(s, dir, "events"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts_us"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .withColumn("prior_views",
+        coalesce(sum(when(col("event_type") === "view", 1L)
+          .otherwise(0L)).over(w), lit(0L)))
+      .withColumn("prior_spend",
+        coalesce(sum(when(col("event_type") === "purchase", col("v")))
+          .over(w), lit(0).cast("decimal(18,6)")))
+      .withColumn("last_view_us",
+        max(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("prior_views"),
+        col("prior_spend").cast("double").as("prior_spend"),
+        expr("(ts_us - last_view_us) DIV 1000000")
+          .as("view_recency_s"))
+      .orderBy("event_id")
+  }
+
+  /** Horizon LABEL generation: for every non-purchase event, does the
+    * user purchase within the next 7 days? The supervised-training
+    * label every churn/propensity model needs, built leakage-free from
+    * a REVERSED cumulative min (next purchase time at each event) —
+    * one partitioned window, no self-join, no per-row subquery.
+    * Rolled up per event type so the gate output is the label-rate
+    * profile.
+    */
+  private def qHorizonLabel(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDesc = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withTsUs(tbl(s, dir, "events"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts_us"))
+      .withColumn("next_purchase_us",
+        min(when(col("event_type") === "purchase", col("ts_us")))
+          .over(wDesc))
+      .filter(col("event_type") =!= "purchase")
+      .select(col("event_type"),
+        when(col("next_purchase_us").isNotNull &&
+          col("next_purchase_us") - col("ts_us") <= 604800000000L, 1L)
+          .otherwise(0L).as("label"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("label")).as("n_pos"))
+      .select(col("event_type"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("pos_rate"))
+      .orderBy("event_type")
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -7240,6 +7305,8 @@ object SparkEntry {
     "q_confusion" -> qConfusion,
     "q_calibration" -> qCalibration,
     "q_jaro_dedup" -> qJaroDedup,
+    "q_pit_features" -> qPitFeatures,
+    "q_horizon_label" -> qHorizonLabel,
     "q_lsh_curve" -> qLshCurve,
     "q_rolling_corr" -> qRollingCorr,
     "q_iqr_fence" -> qIqrFence,
@@ -10980,6 +11047,47 @@ object SparkEntry {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
              AS sum_price
          FROM v1 GROUP BY 1 ORDER BY 1""",
+    "q_pit_features" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+             epoch_us(ts) AS ts_us, CAST(value AS DECIMAL(18,6)) AS v
+           FROM events),
+         f AS (SELECT *,
+             COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1
+               ELSE 0 END) OVER w, 0) AS prior_views,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN v
+               END) OVER w, CAST(0 AS DECIMAL(18,6))) AS prior_spend,
+             MAX(CASE WHEN event_type = 'view' THEN ts_us END) OVER w
+               AS last_view_us
+           FROM e
+           WINDOW w AS (PARTITION BY user_id
+             ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         SELECT event_id, user_id,
+           CAST(prior_views AS BIGINT) AS prior_views,
+           CAST(prior_spend AS DOUBLE) AS prior_spend,
+           (ts_us - last_view_us) // 1000000 AS view_recency_s
+         FROM f WHERE event_type = 'purchase' ORDER BY event_id""",
+    "q_horizon_label" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+             epoch_us(ts) AS ts_us
+           FROM events),
+         f AS (SELECT *,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts_us END)
+               OVER (PARTITION BY user_id
+                 ORDER BY ts_us DESC, event_id DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS next_purchase_us
+           FROM e),
+         l AS (SELECT event_type,
+             CASE WHEN next_purchase_us IS NOT NULL
+               AND next_purchase_us - ts_us <= 604800000000
+               THEN 1 ELSE 0 END AS label
+           FROM f WHERE event_type <> 'purchase')
+         SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(label) AS BIGINT) AS n_pos,
+           round(CAST(CAST(SUM(label) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS pos_rate
+         FROM l GROUP BY 1 ORDER BY event_type""",
     "q_lsh_curve" ->
       """SELECT round(i / 10.0, 1) AS j,
            round(1.0 - power(1.0 - power(i / 10.0, 4.0), 16.0), 6)
