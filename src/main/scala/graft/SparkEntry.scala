@@ -7260,6 +7260,55 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Differential-privacy-style noisy counts via the inverse-CDF
+    * Laplace mechanism over the REPRODUCIBLE hash-uniform (the
+    * splitAssign contract — no RNG state, so the "noise" is a pure
+    * function of the key and replayable by the oracle; a production
+    * deployment would swap the hash for a sealed RNG, keeping this
+    * exact plumbing). Clamped ln argument so a u rounded to exactly 0
+    * cannot produce −∞; per-group counts stay exact, the noise is one
+    * rounded formula.
+    */
+  private def qDpCounts(s: SparkSession, dir: String): DataFrame = {
+    val counts = tbl(s, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    graft.ops.Sampling.splitAssign(counts, "source", seed = 7L,
+        trainFrac = 0.5, valFrac = 0.25)
+      .select(col("source"), col("n"),
+        round(expr(
+          """-1.0 * sign(split_u - 0.5)
+             * ln(greatest(0.000001,
+                 1.0 - 2.0 * abs(split_u - 0.5)))"""), 6).as("noise"))
+      .select(col("source"), col("n"), col("noise"),
+        round(col("n").cast("double") + col("noise"), 6).as("noisy_n"))
+      .orderBy("source")
+  }
+
+  /** Sample-ratio-mismatch check — the first A/B sanity gate: a 1-dof
+    * chi-square of the two arm counts against the designed 50/50
+    * split, with the 5% alarm threshold. Arms are the q_ab_lift hash
+    * assignment; everything is exact integers until the single rounded
+    * statistic.
+    */
+  private def qAbSrm(s: SparkSession, dir: String): DataFrame = {
+    val perUser = tbl(s, dir, "events").select("user_id").distinct()
+    graft.ops.Sampling.splitAssign(perUser, "user_id", seed = 11L,
+        trainFrac = 0.5, valFrac = 0.25)
+      .withColumn("in_a", col("split_u") < 0.5)
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        round(expr(
+          """(CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)
+             * (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)
+             / (CAST(n_a + n_b AS DOUBLE) / 2.0)
+           + (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)
+             * (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)
+             / (CAST(n_a + n_b AS DOUBLE) / 2.0)"""), 6)
+          .as("srm_chi2"))
+      .withColumn("srm_alarm", col("srm_chi2") > 3.841)
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -7305,6 +7354,8 @@ object SparkEntry {
     "q_confusion" -> qConfusion,
     "q_calibration" -> qCalibration,
     "q_jaro_dedup" -> qJaroDedup,
+    "q_dp_counts" -> qDpCounts,
+    "q_ab_srm" -> qAbSrm,
     "q_pit_features" -> qPitFeatures,
     "q_horizon_label" -> qHorizonLabel,
     "q_lsh_curve" -> qLshCurve,
@@ -11047,6 +11098,64 @@ object SparkEntry {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
              AS sum_price
          FROM v1 GROUP BY 1 ORDER BY 1""",
+    "q_dp_counts" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n FROM documents
+           GROUP BY 1),
+         h AS (SELECT source, n, md5('7:' || source) AS hh FROM c),
+         v AS (SELECT source, n, list_reduce(list_transform(range(1, 9),
+             i -> CAST(strpos('0123456789abcdef', hh[i:i]) - 1
+               AS BIGINT)),
+             (a, d) -> a * 16 + d) AS hv
+           FROM h),
+         u AS (SELECT source, n,
+             round((CAST(hv AS DOUBLE) + 0.5) / 4294967296.0, 6) AS su
+           FROM v),
+         nz AS (SELECT source, n,
+             round(-1.0 * sign(su - 0.5)
+               * ln(greatest(0.000001, 1.0 - 2.0 * abs(su - 0.5))), 6)
+               AS noise
+           FROM u)
+         SELECT source, n, noise,
+           round(CAST(n AS DOUBLE) + noise, 6) AS noisy_n
+         FROM nz ORDER BY source""",
+    "q_ab_srm" ->
+      """WITH users AS (SELECT DISTINCT user_id FROM events),
+         h AS (SELECT user_id,
+             md5('11:' || CAST(user_id AS VARCHAR)) AS hh FROM users),
+         v AS (SELECT list_reduce(list_transform(range(1, 9),
+             i -> CAST(strpos('0123456789abcdef', hh[i:i]) - 1
+               AS BIGINT)),
+             (a, d) -> a * 16 + d) AS hv
+           FROM h),
+         u AS (SELECT
+             round((CAST(hv AS DOUBLE) + 0.5) / 4294967296.0, 6) < 0.5
+               AS in_a
+           FROM v),
+         agg AS (SELECT
+             CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_b
+           FROM u)
+         SELECT n_a, n_b,
+           round((CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)
+               * (CAST(n_a AS DOUBLE)
+                 - CAST(n_a + n_b AS DOUBLE) / 2.0)
+               / (CAST(n_a + n_b AS DOUBLE) / 2.0)
+             + (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)
+               * (CAST(n_b AS DOUBLE)
+                 - CAST(n_a + n_b AS DOUBLE) / 2.0)
+               / (CAST(n_a + n_b AS DOUBLE) / 2.0), 6) AS srm_chi2,
+           round((CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)
+               * (CAST(n_a AS DOUBLE)
+                 - CAST(n_a + n_b AS DOUBLE) / 2.0)
+               / (CAST(n_a + n_b AS DOUBLE) / 2.0)
+             + (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)
+               * (CAST(n_b AS DOUBLE)
+                 - CAST(n_a + n_b AS DOUBLE) / 2.0)
+               / (CAST(n_a + n_b AS DOUBLE) / 2.0), 6) > 3.841
+             AS srm_alarm
+         FROM agg""",
     "q_pit_features" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
              epoch_us(ts) AS ts_us, CAST(value AS DECIMAL(18,6)) AS v
