@@ -1921,6 +1921,36 @@ class OpsSpec extends AnyFunSuite {
       a >= 0.0 && a <= 1.0 && h >= 0.0 && h <= 1.0 })
   }
 
+  test("late-round invariants: growth identity, survival monotonicity, SRM bounds, lorenz shape") {
+    val dir = "/root/testdata/sf0.001"
+    // growth accounting: active = new + retained + resurrected, every month
+    SparkEntry.queries("q_growth_accounting")(spark, dir).collect()
+      .foreach { r =>
+        assert(r.getAs[Long]("n_active") == r.getAs[Long]("n_new")
+          + r.getAs[Long]("n_retained") + r.getAs[Long]("n_resurrected"),
+          s"growth identity broken at m=${r.getAs[Long]("m")}")
+      }
+    // KM log-survival is nonincreasing in duration
+    val surv = SparkEntry.queries("q_survival")(spark, dir).collect()
+      .map(_.getAs[Double]("log_s"))
+    assert(surv.zip(surv.drop(1)).forall { case (a, b) => b <= a + 1e-9 },
+      s"log-survival must be nonincreasing: ${surv.mkString(",")}")
+    // SRM: arms sum to the user universe; chi2 nonnegative
+    val srm = SparkEntry.queries("q_ab_srm")(spark, dir).head()
+    val users = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id").distinct().count()
+    assert(srm.getAs[Long]("n_a") + srm.getAs[Long]("n_b") == users)
+    assert(srm.getAs[Double]("srm_chi2") >= 0.0)
+    // lorenz: cumulative shares end at exactly 1.0 and are monotone
+    val lz = SparkEntry.queries("q_lorenz")(spark, dir).collect()
+    val pop = lz.map(_.getAs[Double]("cum_pop_share"))
+    val rev = lz.map(_.getAs[Double]("cum_rev_share"))
+    assert(math.abs(pop.last - 1.0) < 1e-9 &&
+      math.abs(rev.last - 1.0) < 1e-9)
+    assert(pop.zip(pop.drop(1)).forall { case (a, b) => b >= a } &&
+      rev.zip(rev.drop(1)).forall { case (a, b) => b >= a })
+  }
+
   test("ml-eval gates: auc bounds, confusion totals, calibration bins, linreg r2") {
     val dir = "/root/testdata/sf0.001"
     val auc = SparkEntry.queries("q_roc_auc")(spark, dir).head()

@@ -616,6 +616,25 @@ class PlanSpec extends AnyFunSuite {
       s"window input must be the per-score aggregate:\n$plan")
   }
 
+  test("late-round window ops: every Window is PARTITIONED (no global sort over row volume)") {
+    // These queries' scale story is "per-user/per-key windows only";
+    // an unpartitioned Window over event rows would be a one-reducer
+    // sort at 100 TB. Check the optimized logical plan directly: no
+    // Window node may have an empty partitionSpec.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    Seq("q_pit_features", "q_horizon_label", "q_session_conversion",
+      "q_growth_accounting", "q_event_near_dup", "q_session_path")
+      .foreach { q =>
+        val lp = SparkEntry.queries(q)(spark, sf)
+          .queryExecution.optimizedPlan
+        val windows = lp.collect { case w: LWindow => w }
+        assert(windows.nonEmpty, s"$q: expected Window nodes")
+        val bad = windows.filter(_.partitionSpec.isEmpty)
+        assert(bad.isEmpty,
+          s"$q has ${bad.size} unpartitioned window(s):\n$lp")
+      }
+  }
+
   test("q_shortest_path / q_hits: iterative loops return O(1)-lineage checkpointed plans") {
     Seq("q_shortest_path", "q_hits").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, sf)
