@@ -7309,6 +7309,85 @@ object SparkEntry {
       .withColumn("srm_alarm", col("srm_chi2") > 3.841)
   }
 
+  /** Month-over-month revenue DECOMPOSITION: ΔR split into the volume
+    * term ΔN·AOV₀, the value term N₀·ΔAOV, and the interaction
+    * ΔN·ΔAOV — the metric-tree arithmetic that turns "revenue moved"
+    * into "because orders moved / basket moved". Months-sized LAG
+    * series; AOV is the single rounded division, every term a rounded
+    * double formula over exact sums, and the three terms sum back to
+    * ΔR by construction.
+    */
+  private def qRevenueDecomposition(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = tbl(s, dir, "orders")
+      .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("m"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy("m")
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("rev"))
+    val w = Window.orderBy("m")
+    monthly
+      .withColumn("n0", lag(col("n"), 1).over(w))
+      .withColumn("rev0", lag(col("rev"), 1).over(w))
+      .filter(col("n0").isNotNull)
+      .select(col("m"), col("n"), col("n0"),
+        expr("round(CAST(rev AS DOUBLE) / CAST(n AS DOUBLE), 6)")
+          .as("aov"),
+        expr("round(CAST(rev0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6)")
+          .as("aov0"),
+        round(expr("CAST(rev AS DOUBLE) - CAST(rev0 AS DOUBLE)"), 2)
+          .as("delta_rev"))
+      .select(col("m"), col("delta_rev"),
+        // + 0.0 normalizes IEEE negative zero (round can emit -0.0 and
+        // the engines disagree on which; adding +0.0 maps both to 0.0)
+        (round((col("n") - col("n0")).cast("double") * col("aov0"), 6)
+          + lit(0.0)).as("volume_term"),
+        (round(col("n0").cast("double") * (col("aov") - col("aov0")), 6)
+          + lit(0.0)).as("value_term"),
+        (round((col("n") - col("n0")).cast("double")
+          * (col("aov") - col("aov0")), 6) + lit(0.0))
+          .as("interaction_term"))
+      .orderBy("m")
+  }
+
+  /** Wald-Wolfowitz RUNS TEST on the daily revenue direction sequence
+    * — is the up/down pattern random, trending, or oscillating? Signs
+    * come from exact DECIMAL day-over-day differences (zero-change
+    * days dropped, stated), runs from a LAG sign-change sum over the
+    * days-sized series, and the normal-approximation z is one rounded
+    * formula over exact counts.
+    */
+  private def qRunsTest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("day")
+    val signs = dailyRevenue(s, dir)
+      .withColumn("prev", lag(col("rev"), 1).over(w))
+      .filter(col("prev").isNotNull && col("rev") =!= col("prev"))
+      .select(col("day"),
+        when(col("rev") > col("prev"), 1L).otherwise(-1L).as("sgn"))
+    val runs = signs
+      .withColumn("prev_sgn", lag(col("sgn"), 1).over(w))
+      .select(col("sgn"),
+        when(col("prev_sgn").isNull ||
+          col("sgn") =!= col("prev_sgn"), 1L).otherwise(0L)
+          .as("new_run"))
+      .agg(sum(when(col("sgn") === 1L, 1L).otherwise(0L)).as("n_up"),
+        sum(when(col("sgn") === -1L, 1L).otherwise(0L)).as("n_down"),
+        sum(col("new_run")).as("n_runs"))
+    runs.select(col("n_up"), col("n_down"), col("n_runs"),
+      round(expr(
+        """(CAST(n_runs AS DOUBLE)
+             - (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+               / (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE)) + 1.0))
+           / sqrt(2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+             * (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+               - CAST(n_up AS DOUBLE) - CAST(n_down AS DOUBLE))
+             / ((CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+               * (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+               * (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE)
+                 - 1.0)))"""), 6).as("z_stat"))
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -7354,6 +7433,8 @@ object SparkEntry {
     "q_confusion" -> qConfusion,
     "q_calibration" -> qCalibration,
     "q_jaro_dedup" -> qJaroDedup,
+    "q_revenue_decomposition" -> qRevenueDecomposition,
+    "q_runs_test" -> qRunsTest,
     "q_dp_counts" -> qDpCounts,
     "q_ab_srm" -> qAbSrm,
     "q_pit_features" -> qPitFeatures,
@@ -11098,6 +11179,66 @@ object SparkEntry {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
              AS sum_price
          FROM v1 GROUP BY 1 ORDER BY 1""",
+    "q_revenue_decomposition" ->
+      """WITH monthly AS (SELECT
+             CAST(year(o_orderdate) * 12 + month(o_orderdate)
+               AS BIGINT) AS m,
+             COUNT(*) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders GROUP BY 1),
+         l AS (SELECT m, n, rev,
+             LAG(n) OVER (ORDER BY m) AS n0,
+             LAG(rev) OVER (ORDER BY m) AS rev0
+           FROM monthly),
+         d AS (SELECT m, n, n0,
+             round(CAST(rev AS DOUBLE) / CAST(n AS DOUBLE), 6) AS aov,
+             round(CAST(rev0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6)
+               AS aov0,
+             round(CAST(rev AS DOUBLE) - CAST(rev0 AS DOUBLE), 2)
+               AS delta_rev
+           FROM l WHERE n0 IS NOT NULL)
+         SELECT m, delta_rev,
+           round(CAST(n - n0 AS DOUBLE) * aov0, 6) + 0.0
+             AS volume_term,
+           round(CAST(n0 AS DOUBLE) * (aov - aov0), 6) + 0.0
+             AS value_term,
+           round(CAST(n - n0 AS DOUBLE) * (aov - aov0), 6) + 0.0
+             AS interaction_term
+         FROM d ORDER BY m""",
+    "q_runs_test" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders GROUP BY 1),
+         sg AS (SELECT day,
+             CASE WHEN rev > prev THEN 1 ELSE -1 END AS sgn
+           FROM (SELECT day, rev,
+               LAG(rev) OVER (ORDER BY day) AS prev FROM daily) t
+           WHERE prev IS NOT NULL AND rev <> prev),
+         r AS (SELECT sgn,
+             CASE WHEN LAG(sgn) OVER (ORDER BY day) IS NULL
+               OR sgn <> LAG(sgn) OVER (ORDER BY day) THEN 1 ELSE 0 END
+               AS new_run
+           FROM sg),
+         agg AS (SELECT
+             CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_up,
+             CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_down,
+             CAST(SUM(new_run) AS BIGINT) AS n_runs
+           FROM r)
+         SELECT n_up, n_down, n_runs,
+           round((CAST(n_runs AS DOUBLE)
+               - (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                 / (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+                 + 1.0))
+             / sqrt(2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+               * (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                 - CAST(n_up AS DOUBLE) - CAST(n_down AS DOUBLE))
+               / ((CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+                 * (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+                 * (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE)
+                   - 1.0))), 6) AS z_stat
+         FROM agg""",
     "q_dp_counts" ->
       """WITH c AS (SELECT source, COUNT(*) AS n FROM documents
            GROUP BY 1),
