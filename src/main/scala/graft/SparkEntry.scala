@@ -7388,6 +7388,40 @@ object SparkEntry {
                  - 1.0)))"""), 6).as("z_stat"))
   }
 
+  /** Novelty rate: per month, the fraction of (customer, brand)
+    * purchases that are the customer's FIRST of that brand — the
+    * explore-vs-repeat behavioral split. First-month per (customer,
+    * brand) is one keyed MIN joined back on its own key; monthly rates
+    * are exact-count divisions. A falling novelty curve is assortment
+    * fatigue; an all-1.0 curve means no repeat behavior to model.
+    */
+  private def qNoveltyRate(s: SparkSession, dir: String): DataFrame = {
+    val li = tbl(s, dir, "lineitem")
+      .join(tbl(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("m")), "l_orderkey")
+      .join(tbl(s, dir, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_brand")),
+        "l_partkey")
+      .select(col("o_custkey"), col("p_brand"), col("m"))
+    val cb = li.groupBy("o_custkey", "p_brand", "m")
+      .agg(count(lit(1)).as("n_lines"))
+    val first = cb.groupBy("o_custkey", "p_brand")
+      .agg(min(col("m")).as("first_m"))
+    cb.join(first, Seq("o_custkey", "p_brand"))
+      .select(col("m"),
+        when(col("m") === col("first_m"), 1L).otherwise(0L)
+          .as("is_novel"))
+      .groupBy("m")
+      .agg(count(lit(1)).as("n_cust_brand"),
+        sum(col("is_novel")).as("n_novel"))
+      .select(col("m"), col("n_cust_brand"), col("n_novel"),
+        round(col("n_novel").cast("double")
+          / col("n_cust_brand").cast("double"), 6).as("novelty_rate"))
+      .orderBy("m")
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -7433,6 +7467,7 @@ object SparkEntry {
     "q_confusion" -> qConfusion,
     "q_calibration" -> qCalibration,
     "q_jaro_dedup" -> qJaroDedup,
+    "q_novelty_rate" -> qNoveltyRate,
     "q_revenue_decomposition" -> qRevenueDecomposition,
     "q_runs_test" -> qRunsTest,
     "q_dp_counts" -> qDpCounts,
@@ -11179,6 +11214,26 @@ object SparkEntry {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
              AS sum_price
          FROM v1 GROUP BY 1 ORDER BY 1""",
+    "q_novelty_rate" ->
+      """WITH li AS (SELECT o_custkey, p_brand,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate)
+               AS BIGINT) AS m
+           FROM lineitem
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN part ON l_partkey = p_partkey),
+         cb AS (SELECT o_custkey, p_brand, m, COUNT(*) AS n_lines
+           FROM li GROUP BY 1, 2, 3),
+         f AS (SELECT o_custkey, p_brand, MIN(m) AS first_m FROM cb
+           GROUP BY 1, 2),
+         lab AS (SELECT cb.m,
+             CASE WHEN cb.m = f.first_m THEN 1 ELSE 0 END AS is_novel
+           FROM cb JOIN f ON f.o_custkey = cb.o_custkey
+             AND f.p_brand = cb.p_brand)
+         SELECT m, COUNT(*) AS n_cust_brand,
+           CAST(SUM(is_novel) AS BIGINT) AS n_novel,
+           round(CAST(CAST(SUM(is_novel) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS novelty_rate
+         FROM lab GROUP BY 1 ORDER BY m""",
     "q_revenue_decomposition" ->
       """WITH monthly AS (SELECT
              CAST(year(o_orderdate) * 12 + month(o_orderdate)
