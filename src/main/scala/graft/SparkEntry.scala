@@ -7422,6 +7422,32 @@ object SparkEntry {
       .orderBy("m")
   }
 
+  /** Rolling anomaly detection: days whose revenue sits more than 2σ
+    * from the TRAILING-30-day baseline — the frame excludes the
+    * current row (1 PRECEDING), so a spike cannot inflate its own
+    * baseline, the classic self-masking mistake. Window moments are
+    * exact DECIMAL sums over the days-sized series; mean/std/z are
+    * rounded double formulas. Emits only the anomalous days.
+    */
+  private def qRollingAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("day").rowsBetween(-30, -1)
+    dailyRevenue(s, dir)
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("rev")).over(w))
+      .withColumn("sxx", sum(col("rev") * col("rev")).over(w))
+      .filter(col("n") === 30)
+      .select(col("day"),
+        round(col("rev").cast("double"), 2).as("rev"),
+        round(expr(
+          """(CAST(rev AS DOUBLE) - CAST(sx AS DOUBLE) / 30.0)
+             / sqrt((30.0 * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               / (30.0 * 29.0))"""), 6).as("z"))
+      .filter(abs(col("z")) > 2.0)
+      .orderBy("day")
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -7467,6 +7493,7 @@ object SparkEntry {
     "q_confusion" -> qConfusion,
     "q_calibration" -> qCalibration,
     "q_jaro_dedup" -> qJaroDedup,
+    "q_rolling_anomaly" -> qRollingAnomaly,
     "q_novelty_rate" -> qNoveltyRate,
     "q_revenue_decomposition" -> qRevenueDecomposition,
     "q_runs_test" -> qRunsTest,
@@ -11214,6 +11241,24 @@ object SparkEntry {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
              AS sum_price
          FROM v1 GROUP BY 1 ORDER BY 1""",
+    "q_rolling_anomaly" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders GROUP BY 1),
+         r AS (SELECT day, rev,
+             COUNT(*) OVER w AS n,
+             SUM(rev) OVER w AS sx,
+             SUM(rev * rev) OVER w AS sxx
+           FROM daily
+           WINDOW w AS (ORDER BY day
+             ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)),
+         z AS (SELECT day, round(CAST(rev AS DOUBLE), 2) AS rev,
+             round((CAST(rev AS DOUBLE) - CAST(sx AS DOUBLE) / 30.0)
+               / sqrt((30.0 * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / (30.0 * 29.0)), 6) AS z
+           FROM r WHERE n = 30)
+         SELECT day, rev, z FROM z WHERE abs(z) > 2.0 ORDER BY day""",
     "q_novelty_rate" ->
       """WITH li AS (SELECT o_custkey, p_brand,
              CAST(year(o_orderdate) * 12 + month(o_orderdate)
