@@ -7448,6 +7448,37 @@ object SparkEntry {
       .orderBy("day")
   }
 
+  /** Forecast-baseline evaluation: MASE and MAPE of the seasonal-naive
+    * forecast rev(d−7) over the daily series — the floor every real
+    * forecasting model must beat, and the first number a forecast
+    * review asks for. Absolute errors stay exact DECIMAL; the MAPE
+    * terms are per-day ratios rounded to 9 dp and summed as DECIMAL
+    * (the repo order-independence contract); MASE is the ratio of two
+    * exact error sums, scaled by the naive lag-1 denominator.
+    */
+  private def qForecastBaseline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("day")
+    dailyRevenue(s, dir)
+      .withColumn("lag7", lag(col("rev"), 7).over(w))
+      .withColumn("lag1", lag(col("rev"), 1).over(w))
+      .filter(col("lag7").isNotNull && col("lag1").isNotNull)
+      .select(abs(col("rev") - col("lag7")).as("ae7"),
+        abs(col("rev") - col("lag1")).as("ae1"),
+        expr(
+          """CAST(round(CAST(abs(rev - lag7) AS DOUBLE)
+               / CAST(rev AS DOUBLE), 9) AS DECIMAL(18,9))""")
+          .as("ape"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("ae7")).as("sae7"), sum(col("ae1")).as("sae1"),
+        sum(col("ape")).as("sape"))
+      .select(col("n_days"),
+        round(expr("CAST(sae7 AS DOUBLE) / CAST(sae1 AS DOUBLE)"), 6)
+          .as("mase"),
+        round(expr("CAST(sape AS DOUBLE) / CAST(n_days AS DOUBLE)"), 6)
+          .as("mape"))
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -7493,6 +7524,7 @@ object SparkEntry {
     "q_confusion" -> qConfusion,
     "q_calibration" -> qCalibration,
     "q_jaro_dedup" -> qJaroDedup,
+    "q_forecast_baseline" -> qForecastBaseline,
     "q_rolling_anomaly" -> qRollingAnomaly,
     "q_novelty_rate" -> qNoveltyRate,
     "q_revenue_decomposition" -> qRevenueDecomposition,
@@ -11241,6 +11273,27 @@ object SparkEntry {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
              AS sum_price
          FROM v1 GROUP BY 1 ORDER BY 1""",
+    "q_forecast_baseline" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders GROUP BY 1),
+         l AS (SELECT rev,
+             LAG(rev, 7) OVER (ORDER BY day) AS lag7,
+             LAG(rev, 1) OVER (ORDER BY day) AS lag1
+           FROM daily),
+         e AS (SELECT abs(rev - lag7) AS ae7, abs(rev - lag1) AS ae1,
+             CAST(round(CAST(abs(rev - lag7) AS DOUBLE)
+               / CAST(rev AS DOUBLE), 9) AS DECIMAL(18,9)) AS ape
+           FROM l WHERE lag7 IS NOT NULL AND lag1 IS NOT NULL),
+         m AS (SELECT COUNT(*) AS n_days, SUM(ae7) AS sae7,
+             SUM(ae1) AS sae1, SUM(ape) AS sape
+           FROM e)
+         SELECT n_days,
+           round(CAST(sae7 AS DOUBLE) / CAST(sae1 AS DOUBLE), 6)
+             AS mase,
+           round(CAST(sape AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+             AS mape
+         FROM m""",
     "q_rolling_anomaly" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
              SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
