@@ -7479,6 +7479,52 @@ object SparkEntry {
           .as("mape"))
   }
 
+  /** Repeat-purchase ladder: for k = 1..10, how many customers placed
+    * at least k orders, and the k-th-order conversion r_k =
+    * N≥k / N≥(k−1) — the retention-economics curve (flat r_k beyond
+    * k≈3 is the classic "habit formed" signature). One per-customer
+    * count, one 10-row generate joined by an inequality that is
+    * k-bounded, never customer×customer.
+    */
+  private def qRepeatLadder(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = tbl(s, dir, "orders")
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+    val ladder = per
+      .select(explode(expr(
+        "sequence(1, CAST(least(n_orders, 10) AS INT))")).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_ge_k"))
+    val w = Window.orderBy("k")
+    ladder
+      .withColumn("n_prev", lag(col("n_ge_k"), 1).over(w))
+      .select(col("k").cast("long").as("k"), col("n_ge_k"),
+        round(when(col("n_prev").isNotNull,
+          col("n_ge_k").cast("double") / col("n_prev").cast("double"))
+          .otherwise(lit(1.0)), 6).as("r_k"))
+      .orderBy("k")
+  }
+
+  /** Catalog coverage: the fraction of each brand's parts that have
+    * EVER been ordered — the dead-stock audit. One distinct ordered-
+    * part set left-joined to the catalog as a flag; exact counts per
+    * brand.
+    */
+  private def qCatalogCoverage(s: SparkSession, dir: String): DataFrame = {
+    val ordered = tbl(s, dir, "lineitem")
+      .select(col("l_partkey").as("p_partkey")).distinct()
+      .withColumn("is_ordered", lit(1L))
+    tbl(s, dir, "part")
+      .select(col("p_partkey"), col("p_brand"))
+      .join(ordered, Seq("p_partkey"), "left")
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(coalesce(col("is_ordered"), lit(0L))).as("n_ordered"))
+      .select(col("p_brand"), col("n_parts"), col("n_ordered"),
+        round(col("n_ordered").cast("double")
+          / col("n_parts").cast("double"), 6).as("coverage"))
+      .orderBy("p_brand")
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -7524,6 +7570,8 @@ object SparkEntry {
     "q_confusion" -> qConfusion,
     "q_calibration" -> qCalibration,
     "q_jaro_dedup" -> qJaroDedup,
+    "q_repeat_ladder" -> qRepeatLadder,
+    "q_catalog_coverage" -> qCatalogCoverage,
     "q_forecast_baseline" -> qForecastBaseline,
     "q_rolling_anomaly" -> qRollingAnomaly,
     "q_novelty_rate" -> qNoveltyRate,
@@ -11273,6 +11321,31 @@ object SparkEntry {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
              AS sum_price
          FROM v1 GROUP BY 1 ORDER BY 1""",
+    "q_repeat_ladder" ->
+      """WITH per AS (SELECT o_custkey, COUNT(*) AS n_orders
+           FROM orders GROUP BY 1),
+         l AS (SELECT k, COUNT(*) AS n_ge_k
+           FROM per, range(1, 11) t(k)
+           WHERE k <= least(n_orders, 10) GROUP BY 1),
+         r AS (SELECT CAST(k AS BIGINT) AS k, n_ge_k,
+             LAG(n_ge_k) OVER (ORDER BY k) AS n_prev
+           FROM l)
+         SELECT k, n_ge_k,
+           round(CASE WHEN n_prev IS NOT NULL
+             THEN CAST(n_ge_k AS DOUBLE) / CAST(n_prev AS DOUBLE)
+             ELSE 1.0 END, 6) AS r_k
+         FROM r ORDER BY k""",
+    "q_catalog_coverage" ->
+      """WITH o AS (SELECT DISTINCT l_partkey AS p_partkey
+           FROM lineitem)
+         SELECT p_brand, COUNT(*) AS n_parts,
+           CAST(SUM(CASE WHEN o.p_partkey IS NOT NULL THEN 1 ELSE 0
+             END) AS BIGINT) AS n_ordered,
+           round(CAST(CAST(SUM(CASE WHEN o.p_partkey IS NOT NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS coverage
+         FROM part p LEFT JOIN o ON o.p_partkey = p.p_partkey
+         GROUP BY 1 ORDER BY p_brand""",
     "q_forecast_baseline" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
              SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
