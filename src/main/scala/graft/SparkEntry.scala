@@ -5694,14 +5694,23 @@ object SparkEntry {
     * Column trigram-set algebra (no UDF), pairs generated only within
     * (source, length-band) blocks — the FuzzyJoin blocking contract,
     * never all-pairs — and the top-20 is ordered on the ROUNDED score
-    * with full id tie-break.
+    * with full id tie-break. Blocks are CAPPED at 32 docs by id order
+    * (the LSH maxBucketSize discipline, mirrored in the oracle): under
+    * a FIXED blocking key, block population grows linearly with the
+    * corpus and in-block pairs quadratically — the r8 stress study
+    * measured exactly that (52× at 10× data) before this cap; at true
+    * scale the candidate source swaps to the minhash index anyway.
     */
   private def qContainment(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wBlk = Window.partitionBy("source", "blk").orderBy("doc_id")
     val t = tbl(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         expr("CAST(n_chars AS BIGINT) DIV 100").as("blk"),
         expr(tokensSql).as("ws"))
       .filter(size(col("ws")) >= 3)
+      .withColumn("rn", row_number().over(wBlk))
+      .filter(col("rn") <= 32)
       .select(col("doc_id"), col("source"), col("blk"),
         array_distinct(expr(
           """transform(sequence(1, size(ws) - 2),
@@ -9308,10 +9317,14 @@ object SparkEntry {
              list_filter(regexp_split_to_array(lower(text),
                '[^a-z0-9_]+'), x -> x <> '') AS ws
            FROM documents),
+         capped AS (SELECT doc_id, source, blk, ws,
+             ROW_NUMBER() OVER (PARTITION BY source, blk
+               ORDER BY doc_id) AS rn
+           FROM w WHERE len(ws) >= 3),
          t AS (SELECT doc_id, source, blk,
              list_distinct(list_transform(range(1, len(ws) - 1),
                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
-           FROM w WHERE len(ws) >= 3),
+           FROM capped WHERE rn <= 32),
          p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
              CAST(len(a.sh) AS BIGINT) AS la,
