@@ -69,13 +69,18 @@ object HeavyHitters {
     import spark.implicits._
     val keys = df.select(col(keyCol).cast("string")).as[String]
     // Driver-side bound: the collect is ≤ capacity × partitions rows.
-    // 64M strings is already generous; beyond it the caller should
-    // lower `capacity` or pre-aggregate.
-    val nPart = keys.rdd.getNumPartitions
-    require(capacity.toLong * nPart <= (1L << 26),
-      s"candidate bound capacity*partitions = ${capacity.toLong * nPart} " +
-        "exceeds 2^26; lower capacity or coalesce first")
-    val candidates = keys.mapPartitions { it =>
+    // The partition count is read off the physical plan (no RDD
+    // conversion / plan materialization), and instead of failing on
+    // high-partition-count inputs the sketch pass is coalesced
+    // (narrow, shuffle-free) to the largest count that keeps the
+    // candidate set ≤ 2^26. Coalescing only widens each partition's
+    // guarantee threshold N_partition/capacity — phase 2 recounts
+    // exactly, so correctness is unaffected.
+    val nPart = math.max(1,
+      keys.queryExecution.executedPlan.outputPartitioning.numPartitions)
+    val maxPart = math.max(1, ((1L << 26) / capacity).toInt)
+    val sketchIn = if (nPart > maxPart) keys.coalesce(maxPart) else keys
+    val candidates = sketchIn.mapPartitions { it =>
       val ss = new SpaceSaving(capacity)
       it.foreach(ss.add)
       ss.keys

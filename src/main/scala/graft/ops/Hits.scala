@@ -41,6 +41,10 @@ object Hits {
         col(dstCol).cast("long").as("dst"))
       .distinct()
       .persist()
+    // Empty-graph guard (PageRank's `require(n > 0)` twin): without it
+    // the first iteration's max-collect returns a null DECIMAL and the
+    // .doubleValue() NPEs with no indication of the actual problem.
+    require(!e.isEmpty, "HITS: empty graph (no edges after projection)")
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()

@@ -1013,15 +1013,22 @@ object TxnTable {
       fromV: Long,
       toV: Long,
       keyCols: Seq[String]): DataFrame = {
-    val pre = snapshotAt(spark, root, fromV).alias("pre")
-    val post = snapshotAt(spark, root, toV).alias("post")
-    val dataCols = post.columns.toSeq.filterNot(keyCols.contains)
+    // Existence after the full-outer join is probed via a non-null
+    // sentinel selected on each side BEFORE the join — probing a key
+    // column would misclassify a NULL-keyed row present in both
+    // versions as an insert (both probes false) even though the
+    // null-safe join condition paired it correctly.
+    val pre = snapshotAt(spark, root, fromV)
+      .withColumn("_graft_ex", lit(true)).alias("pre")
+    val post0 = snapshotAt(spark, root, toV)
+    val dataCols = post0.columns.toSeq.filterNot(keyCols.contains)
+    val post = post0.withColumn("_graft_ex", lit(true)).alias("post")
     val joinCond = keyCols.map(k => col(s"pre.$k") <=> col(s"post.$k"))
       .reduce(_ && _)
     val differs = dataCols.map(c => !(col(s"pre.$c") <=> col(s"post.$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
-    val preExists = col(s"pre.${keyCols.head}").isNotNull
-    val postExists = col(s"post.${keyCols.head}").isNotNull
+    val preExists = col("pre._graft_ex").isNotNull
+    val postExists = col("post._graft_ex").isNotNull
     pre.join(post, joinCond, "full_outer")
       .withColumn("_change_type",
         when(!preExists, lit("insert"))
@@ -1052,16 +1059,21 @@ object TxnTable {
       fromV: Long,
       toV: Long,
       keyCols: Seq[String]): DataFrame = {
-    val pre = snapshotAt(spark, root, fromV).alias("pre")
-    val post = snapshotAt(spark, root, toV).alias("post")
-    val allCols = post.columns.toSeq
+    // Same non-null existence sentinel as [[cdc]]: a NULL-keyed row
+    // present in both versions must classify by the `differs` probe,
+    // not fall through to 'insert'.
+    val pre = snapshotAt(spark, root, fromV)
+      .withColumn("_graft_ex", lit(true)).alias("pre")
+    val post0 = snapshotAt(spark, root, toV)
+    val allCols = post0.columns.toSeq
     val dataCols = allCols.filterNot(keyCols.contains)
+    val post = post0.withColumn("_graft_ex", lit(true)).alias("post")
     val joinCond = keyCols.map(k => col(s"pre.$k") <=> col(s"post.$k"))
       .reduce(_ && _)
     val differs = dataCols.map(c => !(col(s"pre.$c") <=> col(s"post.$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
-    val preExists = col(s"pre.${keyCols.head}").isNotNull
-    val postExists = col(s"post.${keyCols.head}").isNotNull
+    val preExists = col("pre._graft_ex").isNotNull
+    val postExists = col("post._graft_ex").isNotNull
     def tagged(side: String, t: String) = struct(
       struct(allCols.map(c => col(s"$side.$c").as(c)): _*).as("r"),
       lit(t).as("t"))
