@@ -5654,11 +5654,15 @@ object SparkEntry {
 
   /** Add-1-smoothed BIGRAM language-model scoring — the second-order
     * sibling of q_perplexity's unigram LM (bigram surprisal separates
-    * scrambled-word soup that unigram stats cannot see). Two corpus
-    * explodes (one builds the bigram/context count tables, one scores),
-    * all joins keyed on bigram vocab, vocabulary size rides a broadcast
-    * 1-row side. Determinism is the repo LM contract: per-bigram ln
-    * terms rounded to 9 dp and accumulated as exact DECIMAL.
+    * scrambled-word soup that unigram stats cannot see). The exploded
+    * bigram table feeds the count model (bc → cx → v) AND the scoring
+    * join, so it is persisted for the query's lifetime (the
+    * qPerplexity contract: the lazy return leaves no unpersist point) —
+    * without it the corpus explode re-runs once per derived table. All
+    * joins are keyed on bigram vocab; the vocabulary size rides a
+    * broadcast 1-row side. Determinism is the repo LM contract:
+    * per-bigram ln terms rounded to 9 dp and accumulated as exact
+    * DECIMAL.
     */
   private def qBigramLm(s: SparkSession, dir: String): DataFrame = {
     val bigrams = tbl(s, dir, "documents")
@@ -5669,7 +5673,8 @@ object SparkEntry {
              i -> named_struct('x', element_at(ws, i),
                                'y', element_at(ws, i + 1)))""")).as("b"))
       .select(col("doc_id"), col("b.x").as("x"), col("b.y").as("y"))
-    val bc = bigrams.groupBy("x", "y").agg(count(lit(1)).as("c"))
+      .persist()
+    val bc = bigrams.groupBy("x", "y").agg(count(lit(1)).as("c")).persist()
     val cx = bc.groupBy("x").agg(sum(col("c")).as("cx"))
     val v = bc.agg(countDistinct(col("y")).as("v"))
     bigrams
@@ -5801,10 +5806,18 @@ object SparkEntry {
     * rounded score.
     */
   private def qHits(s: SparkSession, dir: String): DataFrame = {
-    val e = tbl(s, dir, "lineitem")
+    val li = tbl(s, dir, "lineitem")
+    // Node-space offset derived from the data (max supplier key + 1),
+    // not a fixed constant: at scale factors where l_suppkey crosses a
+    // hardcoded bound the two id spaces would silently collide and
+    // merge graph nodes on BOTH engines at once — still-green
+    // wrongness. The 1-row max rides a broadcast.
+    val off = broadcast(li.agg(max(col("l_suppkey")).cast("long").as("off")))
+    val e = li
       .filter(col("l_quantity") <= 2)
+      .crossJoin(off)
       .select(col("l_suppkey").as("src"),
-        (col("l_partkey") + 1000000L).as("dst"))
+        (col("l_partkey") + col("off") + 1L).as("dst"))
       .distinct()
     graft.ops.Hits.scores(e, "src", "dst", iters = 3)
       .select(col("node"),
@@ -7534,6 +7547,330 @@ object SparkEntry {
       .orderBy("p_brand")
   }
 
+  // ---- round-9 batch 1: classical statistical tests -----------------
+
+  /** Shared Spark/DuckDB formula text for Welch's t: both engines embed
+    * the SAME string, so IEEE operation order is identical by
+    * construction (the qLinreg closed-form contract). Inputs are the
+    * per-side exact DECIMAL moments (n, Σx, Σx²) suffixed a/b.
+    */
+  private val (welchTSql, welchDfSql) = {
+    def mean(p: String) = s"(CAST(sx$p AS DOUBLE) / CAST(n$p AS DOUBLE))"
+    def v(p: String) =
+      s"""((CAST(sxx$p AS DOUBLE)
+            - CAST(sx$p AS DOUBLE) * CAST(sx$p AS DOUBLE)
+              / CAST(n$p AS DOUBLE))
+           / (CAST(n$p AS DOUBLE) - 1.0))"""
+    def se2(p: String) = s"(${v(p)} / CAST(n$p AS DOUBLE))"
+    val t =
+      s"((${mean("a")} - ${mean("b")}) / sqrt(${se2("a")} + ${se2("b")}))"
+    val df =
+      s"""((${se2("a")} + ${se2("b")}) * (${se2("a")} + ${se2("b")})
+          / (${se2("a")} * ${se2("a")} / (CAST(na AS DOUBLE) - 1.0)
+            + ${se2("b")} * ${se2("b")} / (CAST(nb AS DOUBLE) - 1.0)))"""
+    (t, df)
+  }
+
+  /** WELCH's t-test (unequal variances) between every pair of event
+    * types on `value`: one map-side-combinable aggregate computes the
+    * exact DECIMAL moments per group, then the t statistic and
+    * Welch–Satterthwaite df are O(groups²) double math over the tiny
+    * moment table (self-joined on type order). The moments are
+    * partition-order-proof and the double formulas are the SAME string
+    * on both engines.
+    */
+  private def qWelchTtest(s: SparkSession, dir: String): DataFrame = {
+    val m = tbl(s, dir, "events")
+      .select(col("event_type"), col("value").cast("decimal(18,6)").as("x"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    val a = m.select(col("event_type").as("type_a"), col("n").as("na"),
+      col("sx").as("sxa"), col("sxx").as("sxxa"))
+    val b = m.select(col("event_type").as("type_b"), col("n").as("nb"),
+      col("sx").as("sxb"), col("sxx").as("sxxb"))
+    a.join(b, col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"), col("na"), col("nb"),
+        round(expr(welchTSql), 6).as("t_stat"),
+        round(expr(welchDfSql), 6).as("df"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** One-way ANOVA F across event types on `value`, fully closed-form:
+    * SSB/SSW from per-group exact DECIMAL moments; the one
+    * order-sensitive reduction (Σ_g sx_g²/n_g over groups) is made
+    * engine-portable by rounding each group's term to 9 dp and summing
+    * as exact DECIMAL — the repo's round-then-decimal-sum recipe.
+    * Single-row output; the group moment table is groups-sized.
+    */
+  private def qAnova(s: SparkSession, dir: String): DataFrame = {
+    val ssb = """(CAST(sgg AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"""
+    val ssw = "(CAST(sxx AS DOUBLE) - CAST(sgg AS DOUBLE))"
+    val f = s"""(($ssb / (CAST(k AS DOUBLE) - 1.0))
+        / ($ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))))"""
+    tbl(s, dir, "events")
+      .select(col("event_type"), col("value").cast("decimal(18,6)").as("x"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("gn"), sum(col("x")).as("gsx"),
+        sum(col("x") * col("x")).as("gsxx"))
+      .agg(count(lit(1)).as("k"), sum(col("gn")).as("n"),
+        sum(col("gsx")).as("sx"), sum(col("gsxx")).as("sxx"),
+        sum(expr(
+          """CAST(round(CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE)
+               / CAST(gn AS DOUBLE), 9) AS DECIMAL(28,9))""")).as("sgg"))
+      .select(col("k"), col("n"),
+        round(expr(ssb), 6).as("ss_between"),
+        round(expr(ssw), 6).as("ss_within"),
+        round(expr(f), 6).as("f_stat"))
+  }
+
+  /** Entropy term shared by the information-gain framings: p·ln p at
+    * 12 dp, accumulated as exact DECIMAL (negated at the end). */
+  private def entTerm(num: String, den: String): String =
+    s"""CAST(round(CAST($num AS DOUBLE) / CAST(nn AS DOUBLE)
+         * ln(CAST($num AS DOUBLE) / CAST($den AS DOUBLE)), 12)
+       AS DECIMAL(28,12))"""
+
+  /** INFORMATION GAIN of two candidate features (source; a 200-char
+    * length band) against the `lang` label — the feature-ranking
+    * primitive behind every decision-tree split and
+    * mutual-information-based data-selection heuristic. H(lang) and
+    * H(lang|feature) from count tables only; ln terms ride the
+    * round-12-then-DECIMAL-sum recipe so group order cannot perturb
+    * them. Each framing is counts-sized; the corpus is scanned twice
+    * (once per feature), never joined row-to-row.
+    */
+  private def qInfoGain(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents")
+    def ig(fv: Column, name: String): DataFrame = {
+      val dd = d.select(fv.cast("string").as("fv"), col("lang"))
+      val tot = dd.agg(count(lit(1)).as("nn"))
+      val hl = dd.groupBy("lang").agg(count(lit(1)).as("cl"))
+        .crossJoin(broadcast(tot))
+        .agg(sum(expr(entTerm("cl", "nn"))).as("hl"))
+      val cells = dd.groupBy("fv", "lang").agg(count(lit(1)).as("c"))
+      val perF = cells.groupBy("fv").agg(sum(col("c")).as("cf"))
+      val hc = cells.join(perF, "fv").crossJoin(broadcast(tot))
+        .agg(sum(expr(entTerm("c", "cf"))).as("hc"))
+      broadcast(hl).crossJoin(hc)
+        .select(lit(name).as("feature"),
+          round(expr("0.0 - CAST(hl AS DOUBLE)"), 6).as("h_label"),
+          round(expr("0.0 - CAST(hc AS DOUBLE)"), 6).as("h_cond"),
+          round(expr("CAST(hc AS DOUBLE) - CAST(hl AS DOUBLE)"), 6)
+            .as("info_gain"))
+    }
+    ig(col("source"), "source")
+      .unionByName(ig(expr("CAST(n_chars AS BIGINT) DIV 200"), "len_band"))
+      .orderBy("feature")
+  }
+
+  /** Per-event-type MODAL ISO weekday with deterministic tie-break
+    * (count desc, weekday asc) and its share — the categorical
+    * "typical value" profile. Counts-sized after one keyed aggregate;
+    * the mode pick is a per-group window over ≤7 rows.
+    */
+  private def qMode(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = tbl(s, dir, "events")
+      .select(col("event_type"),
+        expr("CAST(weekday(ts) + 1 AS BIGINT)").as("dow"))
+      .groupBy("event_type", "dow").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("n").desc, col("dow"))
+    val tot = d.groupBy("event_type").agg(sum(col("n")).as("tot"))
+    d.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(tot, "event_type")
+      .select(col("event_type"), col("dow").as("modal_dow"), col("n"),
+        round(col("n").cast("double") / col("tot").cast("double"), 6)
+          .as("share"))
+      .orderBy("event_type")
+  }
+
+  /** DECISION STUMP: the best single threshold on n_chars for
+    * predicting lang='en', by weighted Gini impurity — argmin over the
+    * cumulative (pos, n) prefix sums of the 100-char bucket histogram.
+    * The running window scans DISTINCT buckets only (bounded
+    * vocabulary, the qRocAuc shape — never the corpus); the winning
+    * row is picked on the ROUNDED impurity with bucket tie-break.
+    */
+  private def qDecisionStump(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gini = """((CAST(cn AS DOUBLE) / CAST(nn AS DOUBLE))
+        * (1.0 - (CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE))
+               * (CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE))
+             - ((CAST(cn AS DOUBLE) - CAST(cp AS DOUBLE))
+                 / CAST(cn AS DOUBLE))
+               * ((CAST(cn AS DOUBLE) - CAST(cp AS DOUBLE))
+                 / CAST(cn AS DOUBLE)))
+      + ((CAST(nn AS DOUBLE) - CAST(cn AS DOUBLE)) / CAST(nn AS DOUBLE))
+        * (1.0 - ((CAST(pp AS DOUBLE) - CAST(cp AS DOUBLE))
+               / (CAST(nn AS DOUBLE) - CAST(cn AS DOUBLE)))
+               * ((CAST(pp AS DOUBLE) - CAST(cp AS DOUBLE))
+               / (CAST(nn AS DOUBLE) - CAST(cn AS DOUBLE)))
+             - ((CAST(nn AS DOUBLE) - CAST(cn AS DOUBLE)
+                 - CAST(pp AS DOUBLE) + CAST(cp AS DOUBLE))
+               / (CAST(nn AS DOUBLE) - CAST(cn AS DOUBLE)))
+               * ((CAST(nn AS DOUBLE) - CAST(cn AS DOUBLE)
+                 - CAST(pp AS DOUBLE) + CAST(cp AS DOUBLE))
+               / (CAST(nn AS DOUBLE) - CAST(cn AS DOUBLE)))))"""
+    val h = tbl(s, dir, "documents")
+      .select(expr("CAST(n_chars AS BIGINT) DIV 100").as("bkt"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy("bkt").agg(count(lit(1)).as("c"), sum(col("pos")).as("p"))
+    val wRun = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = h.agg(sum(col("c")).as("nn"), sum(col("p")).as("pp"))
+    val scored = h
+      .withColumn("cn", sum(col("c")).over(wRun))
+      .withColumn("cp", sum(col("p")).over(wRun))
+      .crossJoin(broadcast(tot))
+      .filter(col("cn") < col("nn"))
+      .select(col("bkt"), col("cn").as("n_left"),
+        (col("nn") - col("cn")).as("n_right"),
+        round(expr(gini), 6).as("gini"))
+    val wPick = Window.orderBy(col("gini"), col("bkt"))
+    scored.withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select((col("bkt") * 100L + 100L).as("threshold_chars"),
+        col("n_left"), col("n_right"), col("gini"))
+  }
+
+  // ---- round-9 batch 2: time-series decomposition & growth -----------
+
+  /** Exact DECIMAL literals of 0.7^k for k = 0..9 (7^k/10^k terminates
+    * at 9 dp), keyed on a column named `k` — the SAME string runs on
+    * both engines, so the EWMA weights carry zero float noise. */
+  private val pow7Sql =
+    """CAST(CASE k WHEN 0 THEN '1.000000000' WHEN 1 THEN '0.700000000'
+         WHEN 2 THEN '0.490000000' WHEN 3 THEN '0.343000000'
+         WHEN 4 THEN '0.240100000' WHEN 5 THEN '0.168070000'
+         WHEN 6 THEN '0.117649000' WHEN 7 THEN '0.082354300'
+         WHEN 8 THEN '0.057648010' WHEN 9 THEN '0.040353607'
+       END AS DECIMAL(18,9))"""
+
+  /** Trailing EXPONENTIALLY WEIGHTED moving average (α = 0.3, i.e.
+    * decay 0.7) of the per-day mean event value, over the last 10
+    * observed days — the smoothed-metric primitive under every ops
+    * dashboard. The weights are exact DECIMAL literals (0.7^k
+    * terminates), the weighted sum is an exact DECIMAL product-sum,
+    * and the only float op is the final division — gap-aware by
+    * construction (weights renormalize over the days present). The
+    * self-join is day-banded (≤10 partners per row) on the tiny daily
+    * aggregate, never on raw events.
+    */
+  private def qEwma(s: SparkSession, dir: String): DataFrame = {
+    val daily = tbl(s, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("value").cast("decimal(18,6)").as("x"))
+      .groupBy("event_type", "day")
+      .agg(expr("CAST(round(CAST(sum(x) AS DOUBLE) / CAST(count(1) AS DOUBLE), 6) AS DECIMAL(18,6))").as("xbar"))
+    val a = daily.select(col("event_type"), col("day"))
+    val b = daily.select(col("event_type").as("event_type_b"),
+      col("day").as("day_b"), col("xbar"))
+    a.join(b, col("event_type") === col("event_type_b")
+        && datediff(col("day"), col("day_b")).between(0, 9))
+      .withColumn("k", datediff(col("day"), col("day_b")))
+      .select(col("event_type"), col("day"),
+        (col("xbar") * expr(pow7Sql)).as("term"),
+        expr(pow7Sql).as("w"))
+      .groupBy("event_type", "day")
+      .agg(round(expr("CAST(sum(term) AS DOUBLE) / CAST(sum(w) AS DOUBLE)"),
+        6).as("ewma"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Cumulative DISTINCT users per day (growth curve): the
+    * first-occurrence flag (row_number per user over day, event_id)
+    * makes running COUNT(DISTINCT) a plain running SUM over the
+    * days-sized daily-new table. The unpartitioned window is bounded
+    * by the calendar, not the corpus — the qRocAuc contract.
+    */
+  private def qCumDistinct(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wU = Window.partitionBy("user_id").orderBy("day", "event_id")
+    val wRun = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tbl(s, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id"), col("event_id"))
+      .withColumn("rn", row_number().over(wU))
+      .filter(col("rn") === 1)
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(wRun))
+      .orderBy("day")
+  }
+
+  /** Classical SEASONAL DECOMPOSITION of daily order revenue:
+    * 7-observation centered moving average as trend (exact DECIMAL
+    * window sum — only full windows emit), multiplicative ratio, and
+    * a per-ISO-weekday seasonal index averaged over the rounded
+    * ratios (round-then-DECIMAL-sum, so day order is immaterial).
+    * Output: day, revenue, trend, seasonal index, deseasonalized
+    * revenue. Calendar-bounded windows throughout.
+    */
+  private def qSeasonalDecompose(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = tbl(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rv"))
+    val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    val ratios = daily
+      .withColumn("cnt7", count(lit(1)).over(w7))
+      .withColumn("sum7", sum(col("rv")).over(w7))
+      .filter(col("cnt7") === 7)
+      .select(col("day"),
+        expr("CAST(weekday(day) + 1 AS BIGINT)").as("dow"), col("rv"),
+        round(expr("CAST(sum7 AS DOUBLE) / 7.0"), 6).as("trend"),
+        expr("""CAST(round(CAST(rv AS DOUBLE)
+            / (CAST(sum7 AS DOUBLE) / 7.0), 6) AS DECIMAL(18,6))""")
+          .as("ratio"))
+    val si = ratios.groupBy("dow")
+      .agg(round(expr(
+        "CAST(sum(ratio) AS DOUBLE) / CAST(count(1) AS DOUBLE)"), 6)
+        .as("seasonal_idx"))
+    ratios.join(si, "dow")
+      .select(col("day"), col("dow"),
+        round(col("rv").cast("double"), 2).as("revenue"),
+        col("trend"), col("ratio").cast("double").as("ratio"),
+        col("seasonal_idx"),
+        round(expr("CAST(rv AS DOUBLE) / seasonal_idx"), 6)
+          .as("deseasonalized"))
+      .orderBy("day")
+  }
+
+  /** THEIL–SEN robust trend per event type: the lower-median
+    * (percentile_disc contract) of all pairwise slopes of the daily
+    * mean-value series. Slopes are exact-DECIMAL differences divided
+    * by integer day gaps, rounded to 9 dp; the pair join is per-group
+    * over the calendar-bounded daily table (d² pairs of ~30-row
+    * series), never over raw events.
+    */
+  private def qTheilSen(s: SparkSession, dir: String): DataFrame = {
+    val daily = tbl(s, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("value").cast("decimal(18,6)").as("x"))
+      .groupBy("event_type", "day")
+      .agg(expr("""CAST(round(CAST(sum(x) AS DOUBLE)
+          / CAST(count(1) AS DOUBLE), 6) AS DECIMAL(18,6))""").as("y"))
+    val a = daily.select(col("event_type"), col("day").as("day_a"),
+      col("y").as("ya"))
+    val b = daily.select(col("event_type").as("et_b"),
+      col("day").as("day_b"), col("y").as("yb"))
+    val slopes = a.join(b, col("event_type") === col("et_b")
+        && col("day_a") < col("day_b"))
+      .select(col("event_type"), expr(
+        """CAST(round(CAST(yb - ya AS DOUBLE)
+             / CAST(datediff(day_b, day_a) AS DOUBLE), 9)
+           AS DECIMAL(18,9))""").as("slope"))
+    slopes.createOrReplaceTempView("theil_sen_slopes_v")
+    s.sql(
+      """SELECT event_type, COUNT(*) AS n_pairs,
+           round(CAST(percentile_disc(0.5)
+             WITHIN GROUP (ORDER BY slope) AS DOUBLE), 9) AS sen_slope
+         FROM theil_sen_slopes_v GROUP BY event_type ORDER BY event_type""")
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -7829,7 +8166,16 @@ object SparkEntry {
     "q_domain_cap" -> qDomainCap,
     "q_triangle_count" -> qTriangleCount,
     "q_k_anonymity" -> qKAnonymity,
-    "q_table_dsv2" -> qTableDsv2
+    "q_table_dsv2" -> qTableDsv2,
+    "q_welch_ttest" -> qWelchTtest,
+    "q_anova" -> qAnova,
+    "q_info_gain" -> qInfoGain,
+    "q_mode" -> qMode,
+    "q_decision_stump" -> qDecisionStump,
+    "q_ewma" -> qEwma,
+    "q_cum_distinct" -> qCumDistinct,
+    "q_seasonal_decompose" -> qSeasonalDecompose,
+    "q_theil_sen" -> qTheilSen
   )
 
   /** DuckDB SQL fragments replicating the repo's hashing primitives
@@ -9201,7 +9547,7 @@ object SparkEntry {
                  / CAST(m AS DOUBLE), 12) AS DECIMAL(28,12)) AS h
              FROM nodes LEFT JOIN hr$k ON node = src CROSS JOIN hm$k)"""
       s"""WITH e AS (SELECT DISTINCT l_suppkey AS src,
-             l_partkey + 1000000 AS dst
+             l_partkey + (SELECT max(l_suppkey) + 1 FROM lineitem) AS dst
            FROM lineitem WHERE l_quantity <= 2),
          nodes AS (SELECT src AS node FROM e
            UNION SELECT dst FROM e),
@@ -12587,7 +12933,191 @@ object SparkEntry {
       """SELECT c_mktsegment, COUNT(*) AS n,
            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
          FROM customer WHERE c_custkey BETWEEN 150 AND 700
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+    "q_welch_ttest" ->
+      s"""WITH m AS (SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS sx,
+             SUM(CAST(value AS DECIMAL(18,6))
+               * CAST(value AS DECIMAL(18,6))) AS sxx
+           FROM events GROUP BY 1)
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.na AS na, b.nb AS nb,
+           round($welchTSql, 6) AS t_stat,
+           round($welchDfSql, 6) AS df
+         FROM (SELECT event_type, n AS na, sx AS sxa, sxx AS sxxa
+                 FROM m) a
+           JOIN (SELECT event_type, n AS nb, sx AS sxb, sxx AS sxxb
+                 FROM m) b
+             ON a.event_type < b.event_type
+         ORDER BY type_a, type_b""",
+    "q_anova" ->
+      """WITH g AS (SELECT event_type, COUNT(*) AS gn,
+             SUM(CAST(value AS DECIMAL(18,6))) AS gsx,
+             SUM(CAST(value AS DECIMAL(18,6))
+               * CAST(value AS DECIMAL(18,6))) AS gsxx
+           FROM events GROUP BY 1),
+         t AS (SELECT COUNT(*) AS k, CAST(SUM(gn) AS BIGINT) AS n,
+             SUM(gsx) AS sx, SUM(gsxx) AS sxx,
+             SUM(CAST(round(CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE)
+               / CAST(gn AS DOUBLE), 9) AS DECIMAL(28,9))) AS sgg
+           FROM g)
+         SELECT k, n,
+           round((CAST(sgg AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+               / CAST(n AS DOUBLE)), 6) AS ss_between,
+           round((CAST(sxx AS DOUBLE) - CAST(sgg AS DOUBLE)), 6)
+             AS ss_within,
+           round(((CAST(sgg AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                 / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+             / ((CAST(sxx AS DOUBLE) - CAST(sgg AS DOUBLE))
+               / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS f_stat
+         FROM t""",
+    "q_info_gain" -> {
+      def one(fv: String, name: String) =
+        s"""SELECT '$name' AS feature,
+             round(0.0 - CAST(hl AS DOUBLE), 6) AS h_label,
+             round(0.0 - CAST(hc AS DOUBLE), 6) AS h_cond,
+             round(CAST(hc AS DOUBLE) - CAST(hl AS DOUBLE), 6)
+               AS info_gain
+           FROM
+             (SELECT SUM(${entTerm("cl", "nn")}) AS hl
+               FROM (SELECT lang, COUNT(*) AS cl FROM documents
+                     GROUP BY 1) l
+                 CROSS JOIN (SELECT COUNT(*) AS nn FROM documents) t0) x
+             CROSS JOIN
+             (SELECT SUM(${entTerm("c", "cf")}) AS hc
+               FROM (SELECT $fv AS fv, lang, COUNT(*) AS c
+                     FROM documents GROUP BY 1, 2) cells
+                 JOIN (SELECT $fv AS fv, COUNT(*) AS cf
+                       FROM documents GROUP BY 1) f USING (fv)
+                 CROSS JOIN (SELECT COUNT(*) AS nn FROM documents) t1) y"""
+      s"""${one("CAST(source AS VARCHAR)", "source")}
+         UNION ALL
+         ${one("CAST(n_chars // 200 AS VARCHAR)", "len_band")}
+         ORDER BY feature"""
+    },
+    "q_mode" ->
+      """WITH d AS (SELECT event_type, isodow(ts) AS dow, COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+         t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tot FROM d
+           GROUP BY 1),
+         r AS (SELECT event_type, dow, n, ROW_NUMBER() OVER (
+             PARTITION BY event_type ORDER BY n DESC, dow) AS rn
+           FROM d)
+         SELECT r.event_type, r.dow AS modal_dow, r.n,
+           round(CAST(r.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS share
+         FROM r JOIN t ON r.event_type = t.event_type
+         WHERE r.rn = 1 ORDER BY r.event_type""",
+    "q_decision_stump" ->
+      """WITH h AS (SELECT n_chars // 100 AS bkt, COUNT(*) AS c,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+               AS BIGINT) AS p
+           FROM documents GROUP BY 1),
+         cum AS (SELECT bkt,
+             CAST(SUM(c) OVER (ORDER BY bkt ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+             CAST(SUM(p) OVER (ORDER BY bkt ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS cp
+           FROM h),
+         t AS (SELECT CAST(SUM(c) AS BIGINT) AS nn,
+             CAST(SUM(p) AS BIGINT) AS pp FROM h),
+         scored AS (SELECT bkt, cn AS n_left, nn - cn AS n_right,
+             round(((CAST(cn AS DOUBLE) / CAST(nn AS DOUBLE))
+               * (1.0 - (CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE))
+                      * (CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE))
+                    - ((CAST(cn AS DOUBLE) - CAST(cp AS DOUBLE))
+                        / CAST(cn AS DOUBLE))
+                      * ((CAST(cn AS DOUBLE) - CAST(cp AS DOUBLE))
+                        / CAST(cn AS DOUBLE)))
+             + ((CAST(nn AS DOUBLE) - CAST(cn AS DOUBLE))
+                 / CAST(nn AS DOUBLE))
+               * (1.0 - ((CAST(pp AS DOUBLE) - CAST(cp AS DOUBLE))
+                      / (CAST(nn AS DOUBLE) - CAST(cn AS DOUBLE)))
+                      * ((CAST(pp AS DOUBLE) - CAST(cp AS DOUBLE))
+                      / (CAST(nn AS DOUBLE) - CAST(cn AS DOUBLE)))
+                    - ((CAST(nn AS DOUBLE) - CAST(cn AS DOUBLE)
+                        - CAST(pp AS DOUBLE) + CAST(cp AS DOUBLE))
+                      / (CAST(nn AS DOUBLE) - CAST(cn AS DOUBLE)))
+                      * ((CAST(nn AS DOUBLE) - CAST(cn AS DOUBLE)
+                        - CAST(pp AS DOUBLE) + CAST(cp AS DOUBLE))
+                      / (CAST(nn AS DOUBLE) - CAST(cn AS DOUBLE))))),
+               6) AS gini
+           FROM cum CROSS JOIN t WHERE cn < nn)
+         SELECT bkt * 100 + 100 AS threshold_chars, n_left, n_right, gini
+         FROM scored ORDER BY gini, bkt LIMIT 1""",
+    "q_ewma" -> {
+      val w7 = """CAST(CASE k WHEN 0 THEN '1.000000000'
+           WHEN 1 THEN '0.700000000' WHEN 2 THEN '0.490000000'
+           WHEN 3 THEN '0.343000000' WHEN 4 THEN '0.240100000'
+           WHEN 5 THEN '0.168070000' WHEN 6 THEN '0.117649000'
+           WHEN 7 THEN '0.082354300' WHEN 8 THEN '0.057648010'
+           WHEN 9 THEN '0.040353607' END AS DECIMAL(18,9))"""
+      s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(round(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS DECIMAL(18,6)) AS xbar
+           FROM events GROUP BY 1, 2),
+         pairs AS (SELECT a.event_type, a.day,
+             datediff('day', b.day, a.day) AS k, b.xbar
+           FROM daily a JOIN daily b
+             ON a.event_type = b.event_type
+             AND datediff('day', b.day, a.day) BETWEEN 0 AND 9)
+         SELECT event_type, day,
+           round(CAST(SUM(xbar * $w7) AS DOUBLE)
+             / CAST(SUM($w7) AS DOUBLE), 6) AS ewma
+         FROM pairs GROUP BY event_type, day
+         ORDER BY event_type, day"""
+    },
+    "q_cum_distinct" ->
+      """WITH f AS (SELECT CAST(ts AS DATE) AS day, user_id, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY CAST(ts AS DATE), event_id) AS rn
+           FROM events),
+         d AS (SELECT day, COUNT(*) AS new_users FROM f WHERE rn = 1
+           GROUP BY 1)
+         SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day ROWS BETWEEN
+             UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+         FROM d ORDER BY day""",
+    "q_seasonal_decompose" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rv
+           FROM orders GROUP BY 1),
+         w AS (SELECT day, rv,
+             COUNT(*) OVER w7 AS cnt7, SUM(rv) OVER w7 AS sum7
+           FROM daily WINDOW w7 AS (ORDER BY day ROWS BETWEEN
+             3 PRECEDING AND 3 FOLLOWING)),
+         ratios AS (SELECT day, isodow(day) AS dow, rv,
+             round(CAST(sum7 AS DOUBLE) / 7.0, 6) AS trend,
+             CAST(round(CAST(rv AS DOUBLE)
+               / (CAST(sum7 AS DOUBLE) / 7.0), 6) AS DECIMAL(18,6))
+               AS ratio
+           FROM w WHERE cnt7 = 7),
+         si AS (SELECT dow, round(CAST(SUM(ratio) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS seasonal_idx
+           FROM ratios GROUP BY 1)
+         SELECT r.day, r.dow, round(CAST(r.rv AS DOUBLE), 2) AS revenue,
+           r.trend, CAST(r.ratio AS DOUBLE) AS ratio, si.seasonal_idx,
+           round(CAST(r.rv AS DOUBLE) / si.seasonal_idx, 6)
+             AS deseasonalized
+         FROM ratios r JOIN si ON r.dow = si.dow ORDER BY r.day""",
+    "q_theil_sen" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(round(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS DECIMAL(18,6)) AS y
+           FROM events GROUP BY 1, 2),
+         slopes AS (SELECT a.event_type,
+             CAST(round(CAST(b.y - a.y AS DOUBLE)
+               / CAST(datediff('day', a.day, b.day) AS DOUBLE), 9)
+               AS DECIMAL(18,9)) AS slope
+           FROM daily a JOIN daily b
+             ON a.event_type = b.event_type AND a.day < b.day)
+         SELECT event_type, COUNT(*) AS n_pairs,
+           round(CAST(percentile_disc(0.5)
+             WITHIN GROUP (ORDER BY slope) AS DOUBLE), 9) AS sen_slope
+         FROM slopes GROUP BY event_type ORDER BY event_type"""
   )
 
   /** DuckDB replay of [[graft.ops.Sampling.epochShard]] (seed 7, 8
