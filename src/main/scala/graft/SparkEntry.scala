@@ -7871,6 +7871,167 @@ object SparkEntry {
          FROM theil_sen_slopes_v GROUP BY event_type ORDER BY event_type""")
   }
 
+  // ---- round-9 batch 3: corpus-statistics & privacy operators --------
+
+  /** Add-1-smoothed KL term shared by q_unigram_kl's two engines:
+    * p·ln(p/q) at 12 dp → exact DECIMAL accumulation. Columns in scope
+    * on both sides: csw (source-word count), ns (source tokens), c
+    * (corpus word count), nn (corpus tokens), v (vocab size).
+    */
+  private val klTermSql =
+    """CAST(round((CAST(csw + 1 AS DOUBLE) / CAST(ns + v AS DOUBLE))
+         * ln((CAST(csw + 1 AS DOUBLE) / CAST(ns + v AS DOUBLE))
+             / (CAST(c + 1 AS DOUBLE) / CAST(nn + v AS DOUBLE))), 12)
+       AS DECIMAL(28,12))"""
+
+  /** Per-source KL DIVERGENCE of the unigram distribution against the
+    * corpus distribution (add-1 smoothing over the corpus vocab on
+    * both sides) — the domain-shift detector behind mixture rebalance
+    * decisions: a source whose KL spikes is off-distribution. The
+    * expansion is vocab × sources (both bounded; never corpus-sized
+    * row pairs), counts come from ONE corpus explode, and the ln terms
+    * ride the round-12-DECIMAL-sum recipe.
+    */
+  private def qUnigramKl(s: SparkSession, dir: String): DataFrame = {
+    val words = tbl(s, dir, "documents")
+      .select(col("source"), explode(expr(tokensSql)).as("w"))
+      .persist() // feeds corpus counts, source counts, and totals once
+    val cw = words.groupBy("w").agg(count(lit(1)).as("c"))
+    val cs = words.groupBy("source", "w").agg(count(lit(1)).as("csw"))
+    val ns = words.groupBy("source").agg(count(lit(1)).as("ns"))
+    val tot = cw.agg(count(lit(1)).as("v"), sum(col("c")).as("nn"))
+    cw.crossJoin(broadcast(ns))
+      .join(cs, Seq("source", "w"), "left")
+      .withColumn("csw", coalesce(col("csw"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("ns"), expr(klTermSql).as("term"))
+      .groupBy("source")
+      .agg(min(col("ns")).as("n_tokens"),
+        round(expr("CAST(sum(term) AS DOUBLE)"), 6).as("kl"))
+      .orderBy("source")
+  }
+
+  /** TOKENIZER FERTILITY per language: chars-per-token and
+    * bytes-per-token of the canonical word tokenizer — the metric that
+    * decides whether a tokenizer is fair to a language (high
+    * bytes/token = the language pays more sequence length per
+    * character). Pure per-row lengths into one keyed aggregate; the
+    * zero-token guard is an explicit CASE so scripts the tokenizer
+    * cannot segment report NULL, not Infinity.
+    */
+  private def qTokenizerFertility(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("lang"),
+        length(col("text")).cast("long").as("nc"),
+        expr("CAST(octet_length(text) AS BIGINT)").as("nb"),
+        expr(s"CAST(size($tokensSql) AS BIGINT)").as("nt"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("chars"),
+        sum(col("nb")).as("bytes"), sum(col("nt")).as("tokens"))
+      .select(col("lang"), col("n_docs"), col("chars"), col("bytes"),
+        col("tokens"),
+        expr("""CASE WHEN tokens = 0 THEN NULL ELSE
+            round(CAST(chars AS DOUBLE) / CAST(tokens AS DOUBLE), 6)
+          END""").as("chars_per_token"),
+        expr("""CASE WHEN tokens = 0 THEN NULL ELSE
+            round(CAST(bytes AS DOUBLE) / CAST(tokens AS DOUBLE), 6)
+          END""").as("bytes_per_token"))
+      .orderBy("lang")
+
+  /** Shared NB log-prob term: ln of the Laplace-smoothed class-
+    * conditional, rounded to 9 dp (DECIMAL-summed downstream). */
+  private val nbTermSql =
+    """CAST(round(ln((CAST(clw + 1 AS DOUBLE))
+         / (CAST(tokl + v AS DOUBLE))), 9) AS DECIMAL(18,9))"""
+
+  /** MULTINOMIAL NAIVE BAYES language classifier, trained and scored
+    * inside the engine: docs with doc_id % 5 = 0 are the test fold,
+    * the rest train per-language Laplace-smoothed token log-probs.
+    * Scoring joins each test doc's in-vocab token counts to the
+    * (langs × vocab)-bounded model — count tables only, never
+    * doc × doc — and the argmax is over exact DECIMAL scores (ln terms
+    * rounded at 9 dp, integer-weighted). Output: the confusion matrix.
+    * The full (test doc × lang) grid guarantees a prediction even for
+    * docs with zero in-vocab tokens (prior-only fallback).
+    */
+  private def qNaiveBayes(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = tbl(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), expr(tokensSql).as("ws"))
+    val train = d.filter(col("doc_id") % 5 =!= 0)
+    val test = d.filter(col("doc_id") % 5 === 0)
+    val trainW = train
+      .select(col("lang"), explode(col("ws")).as("w"))
+      .persist() // model build scans: per-class counts, totals, vocab
+    val clw = trainW.groupBy("lang", "w").agg(count(lit(1)).as("clw"))
+    val langTok = trainW.groupBy("lang").agg(count(lit(1)).as("tokl"))
+    val vocab = trainW.select("w").distinct()
+    val v1 = vocab.agg(count(lit(1)).as("v"))
+    val priors = train.groupBy("lang").agg(count(lit(1)).as("dl"))
+    val nTrain = train.agg(count(lit(1)).as("dn"))
+    // model: (lang, w) -> rounded-ln smoothed term, langs × vocab grid
+    val model = vocab.crossJoin(broadcast(langTok))
+      .join(clw, Seq("lang", "w"), "left")
+      .withColumn("clw", coalesce(col("clw"), lit(0L)))
+      .crossJoin(broadcast(v1))
+      .select(col("lang"), col("w"), expr(nbTermSql).as("lp"))
+    val testTok = test
+      .select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+    val tokScore = testTok.join(model, Seq("w"))
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("cnt") * col("lp")).as("ts"))
+    val priorTerm = priors.crossJoin(broadcast(nTrain))
+      .select(col("lang"), expr(
+        """CAST(round(ln(CAST(dl AS DOUBLE) / CAST(dn AS DOUBLE)), 9)
+           AS DECIMAL(18,9))""").as("pt"))
+    val grid = test.select(col("doc_id"), col("lang").as("actual"))
+      .crossJoin(broadcast(priorTerm))
+      .join(tokScore, Seq("doc_id", "lang"), "left")
+      .withColumn("score",
+        col("pt") + coalesce(col("ts"), lit(0).cast("decimal(18,9)")))
+    val wPick = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("lang"))
+    grid.withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .groupBy(col("actual"), col("lang").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("actual", "predicted")
+  }
+
+  /** T-CLOSENESS audit (the distributional sibling of q_k_anonymity /
+    * q_l_diversity): per quasi-identifier group (order year ×
+    * priority), the total-variation distance between the group's
+    * sensitive-attribute (order status) distribution and the global
+    * one — groups above ~0.3 leak attribute information. The grid is
+    * groups × statuses (both bounded); |p − q| terms are rounded to
+    * 9 dp and DECIMAL-summed so status order is immaterial. Top-20 by
+    * TVD with full key tie-break.
+    */
+  private def qTCloseness(s: SparkSession, dir: String): DataFrame = {
+    val o = tbl(s, dir, "orders")
+      .select(expr("CAST(year(o_orderdate) AS BIGINT)").as("yr"),
+        col("o_orderpriority").as("prio"),
+        col("o_orderstatus").as("st"))
+    val cells = o.groupBy("yr", "prio", "st").agg(count(lit(1)).as("c"))
+    val grp = cells.groupBy("yr", "prio").agg(sum(col("c")).as("ng"))
+    val glob = o.groupBy("st").agg(count(lit(1)).as("cg"))
+    val tot = o.agg(count(lit(1)).as("nn"))
+    grp.crossJoin(broadcast(glob))
+      .join(cells, Seq("yr", "prio", "st"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("yr"), col("prio"), col("ng"), expr(
+        """CAST(round(abs(CAST(c AS DOUBLE) / CAST(ng AS DOUBLE)
+             - CAST(cg AS DOUBLE) / CAST(nn AS DOUBLE)), 9)
+           AS DECIMAL(18,9))""").as("term"))
+      .groupBy("yr", "prio")
+      .agg(min(col("ng")).as("n"),
+        round(expr("0.5 * CAST(sum(term) AS DOUBLE)"), 6).as("tvd"))
+      .orderBy(col("tvd").desc, col("yr"), col("prio"))
+      .limit(20)
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -8175,7 +8336,11 @@ object SparkEntry {
     "q_ewma" -> qEwma,
     "q_cum_distinct" -> qCumDistinct,
     "q_seasonal_decompose" -> qSeasonalDecompose,
-    "q_theil_sen" -> qTheilSen
+    "q_theil_sen" -> qTheilSen,
+    "q_unigram_kl" -> qUnigramKl,
+    "q_tokenizer_fertility" -> qTokenizerFertility,
+    "q_naive_bayes" -> qNaiveBayes,
+    "q_t_closeness" -> qTCloseness
   )
 
   /** DuckDB SQL fragments replicating the repo's hashing primitives
@@ -13117,7 +13282,109 @@ object SparkEntry {
          SELECT event_type, COUNT(*) AS n_pairs,
            round(CAST(percentile_disc(0.5)
              WITHIN GROUP (ORDER BY slope) AS DOUBLE), 9) AS sen_slope
-         FROM slopes GROUP BY event_type ORDER BY event_type"""
+         FROM slopes GROUP BY event_type ORDER BY event_type""",
+    "q_unigram_kl" ->
+      s"""WITH words AS (SELECT source, u.w AS w FROM documents,
+             unnest(list_filter(regexp_split_to_array(lower(text),
+               '[^a-z0-9_]+'), x -> x <> '')) u(w)),
+         cw AS (SELECT w, COUNT(*) AS c FROM words GROUP BY 1),
+         cs AS (SELECT source, w, COUNT(*) AS csw FROM words
+           GROUP BY 1, 2),
+         nsrc AS (SELECT source, COUNT(*) AS ns FROM words GROUP BY 1),
+         tot AS (SELECT COUNT(*) AS v, CAST(SUM(c) AS BIGINT) AS nn
+           FROM cw),
+         g AS (SELECT nsrc.source, nsrc.ns, cw.c,
+             coalesce(cs.csw, 0) AS csw
+           FROM cw CROSS JOIN nsrc
+             LEFT JOIN cs ON cs.source = nsrc.source AND cs.w = cw.w),
+         terms AS (SELECT source, ns, $klTermSql AS term
+           FROM g CROSS JOIN tot)
+         SELECT source, CAST(MIN(ns) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(term) AS DOUBLE), 6) AS kl
+         FROM terms GROUP BY source ORDER BY source""",
+    "q_tokenizer_fertility" ->
+      """WITH t AS (SELECT lang, CAST(length(text) AS BIGINT) AS nc,
+             CAST(strlen(text) AS BIGINT) AS nb,
+             CAST(len(list_filter(regexp_split_to_array(lower(text),
+               '[^a-z0-9_]+'), x -> x <> '')) AS BIGINT) AS nt
+           FROM documents),
+         a AS (SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(nc) AS BIGINT) AS chars,
+             CAST(SUM(nb) AS BIGINT) AS bytes,
+             CAST(SUM(nt) AS BIGINT) AS tokens
+           FROM t GROUP BY 1)
+         SELECT lang, n_docs, chars, bytes, tokens,
+           CASE WHEN tokens = 0 THEN NULL ELSE
+             round(CAST(chars AS DOUBLE) / CAST(tokens AS DOUBLE), 6)
+           END AS chars_per_token,
+           CASE WHEN tokens = 0 THEN NULL ELSE
+             round(CAST(bytes AS DOUBLE) / CAST(tokens AS DOUBLE), 6)
+           END AS bytes_per_token
+         FROM a ORDER BY lang""",
+    "q_naive_bayes" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text),
+               '[^a-z0-9_]+'), x -> x <> '') AS ws
+           FROM documents),
+         train AS (SELECT * FROM d WHERE doc_id % 5 <> 0),
+         test AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+         trainw AS (SELECT lang, u.w AS w FROM train, unnest(ws) u(w)),
+         cnts AS (SELECT lang, w, COUNT(*) AS clw FROM trainw
+           GROUP BY 1, 2),
+         langtok AS (SELECT lang, COUNT(*) AS tokl FROM trainw
+           GROUP BY 1),
+         vocab AS (SELECT DISTINCT w FROM trainw),
+         v1 AS (SELECT COUNT(*) AS v FROM vocab),
+         priors AS (SELECT lang, COUNT(*) AS dl FROM train GROUP BY 1),
+         ntrain AS (SELECT COUNT(*) AS dn FROM train),
+         mbase AS (SELECT langtok.lang AS lang, vocab.w AS w,
+             coalesce(cnts.clw, 0) AS clw, langtok.tokl AS tokl, v1.v AS v
+           FROM vocab CROSS JOIN langtok
+             LEFT JOIN cnts ON cnts.lang = langtok.lang
+               AND cnts.w = vocab.w
+             CROSS JOIN v1),
+         model AS (SELECT lang, w, $nbTermSql AS lp FROM mbase),
+         testtok AS (SELECT doc_id, u.w AS w, COUNT(*) AS cnt
+           FROM test, unnest(ws) u(w) GROUP BY 1, 2),
+         tokscore AS (SELECT t.doc_id, m.lang, SUM(t.cnt * m.lp) AS ts
+           FROM testtok t JOIN model m ON t.w = m.w GROUP BY 1, 2),
+         priorterm AS (SELECT lang,
+             CAST(round(ln(CAST(dl AS DOUBLE) / CAST(dn AS DOUBLE)), 9)
+               AS DECIMAL(18,9)) AS pt
+           FROM priors CROSS JOIN ntrain),
+         grid AS (SELECT test.doc_id, test.lang AS actual,
+             p.lang AS lang,
+             p.pt + coalesce(ts.ts, CAST(0 AS DECIMAL(18,9))) AS score
+           FROM test CROSS JOIN priorterm p
+             LEFT JOIN tokscore ts ON ts.doc_id = test.doc_id
+               AND ts.lang = p.lang),
+         pick AS (SELECT doc_id, actual, lang, ROW_NUMBER() OVER (
+             PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+           FROM grid)
+         SELECT actual, lang AS predicted, COUNT(*) AS n
+         FROM pick WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_t_closeness" ->
+      """WITH o AS (SELECT year(o_orderdate) AS yr,
+             o_orderpriority AS prio, o_orderstatus AS st FROM orders),
+         cells AS (SELECT yr, prio, st, COUNT(*) AS c FROM o
+           GROUP BY 1, 2, 3),
+         grp AS (SELECT yr, prio, CAST(SUM(c) AS BIGINT) AS ng
+           FROM cells GROUP BY 1, 2),
+         gdist AS (SELECT st, COUNT(*) AS cg FROM o GROUP BY 1),
+         tot AS (SELECT COUNT(*) AS nn FROM o),
+         g AS (SELECT grp.yr, grp.prio, grp.ng, gdist.cg,
+             coalesce(cells.c, 0) AS c
+           FROM grp CROSS JOIN gdist
+             LEFT JOIN cells ON cells.yr = grp.yr
+               AND cells.prio = grp.prio AND cells.st = gdist.st),
+         terms AS (SELECT yr, prio, ng,
+             CAST(round(abs(CAST(c AS DOUBLE) / CAST(ng AS DOUBLE)
+               - CAST(cg AS DOUBLE) / CAST(nn AS DOUBLE)), 9)
+               AS DECIMAL(18,9)) AS term
+           FROM g CROSS JOIN tot)
+         SELECT yr, prio, CAST(MIN(ng) AS BIGINT) AS n,
+           round(0.5 * CAST(SUM(term) AS DOUBLE), 6) AS tvd
+         FROM terms GROUP BY 1, 2 ORDER BY tvd DESC, yr, prio LIMIT 20"""
   )
 
   /** DuckDB replay of [[graft.ops.Sampling.epochShard]] (seed 7, 8
