@@ -7554,7 +7554,7 @@ object SparkEntry {
     * construction (the qLinreg closed-form contract). Inputs are the
     * per-side exact DECIMAL moments (n, Σx, Σx²) suffixed a/b.
     */
-  private val (welchTSql, welchDfSql) = {
+  private[graft] val (welchTSql, welchDfSql) = {
     def mean(p: String) = s"(CAST(sx$p AS DOUBLE) / CAST(n$p AS DOUBLE))"
     def v(p: String) =
       s"""((CAST(sxx$p AS DOUBLE)
@@ -8032,6 +8032,99 @@ object SparkEntry {
       .limit(20)
   }
 
+  // ---- round-9 batch 4: graph communities, geo-NN, vector profile ----
+
+  /** LABEL PROPAGATION communities over the co-supplier graph
+    * ([[graft.ops.LabelPropagation]] — synchronous, min-label
+    * tie-break, 3 iterations; the DuckDB twin unrolls the same
+    * iterations). Output: top-20 community sizes. Same blocked edge
+    * construction as q_degree_stats — never all-pairs over suppliers,
+    * only within shared parts.
+    */
+  private def qLabelPropagation(s: SparkSession, dir: String): DataFrame = {
+    val ps = tbl(s, dir, "lineitem")
+      .filter(col("l_quantity") <= 2)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val e = ps.as("a").join(ps.as("b"), "l_partkey")
+      .filter(col("a.l_suppkey") =!= col("b.l_suppkey"))
+      .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+      .distinct()
+    graft.ops.LabelPropagation.labels(e, "src", "dst", iters = 3)
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("size"))
+      .orderBy(col("size").desc, col("community"))
+      .limit(20)
+  }
+
+  /** Deterministic synthetic geo-coordinates from an id — integer
+    * modular arithmetic only, identical text on both engines. */
+  private def geoSql(key: String): (String, String) = (
+    s"(CAST(($key * 7919) % 17000 AS DOUBLE) / 100.0 - 85.0)",
+    s"(CAST(($key * 104729) % 36000 AS DOUBLE) / 100.0 - 180.0)")
+
+  /** HAVERSINE NEAREST-NEIGHBOR join: each customer's closest
+    * same-nation supplier by great-circle distance over synthetic
+    * (deterministically derived) coordinates — the geo primitive
+    * under store-assignment / logistics queries. The join is
+    * nation-blocked with the supplier side a broadcast dim, never
+    * all-pairs; the argmin ranks on the ROUNDED distance with
+    * supplier tie-break so sub-ulp libm noise cannot flip picks.
+    */
+  private def qHaversineNn(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (clat, clon) = geoSql("c_custkey")
+    val (slat, slon) = geoSql("s_suppkey")
+    val c = tbl(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").as("nation"),
+        expr(clat).as("lat_c"), expr(clon).as("lon_c"))
+    val sup = tbl(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey").as("nation"),
+        expr(slat).as("lat_s"), expr(slon).as("lon_s"))
+    val hav =
+      """round(2.0 * 6371.0 * asin(sqrt(
+           sin(radians(lat_s - lat_c) / 2.0)
+             * sin(radians(lat_s - lat_c) / 2.0)
+           + cos(radians(lat_c)) * cos(radians(lat_s))
+             * sin(radians(lon_s - lon_c) / 2.0)
+             * sin(radians(lon_s - lon_c) / 2.0))), 3)"""
+    val w = Window.partitionBy("c_custkey")
+      .orderBy(col("dist_km"), col("s_suppkey"))
+    c.join(broadcast(sup), "nation")
+      .withColumn("dist_km", expr(hav))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("c_custkey"), col("nation"), col("s_suppkey"),
+        col("dist_km"))
+      .orderBy("c_custkey")
+      .limit(100)
+  }
+
+  /** Pairwise-COSINE HISTOGRAM of a bounded embedding sample (vec_id
+    * ≡ 0 mod 4, capped below 4000 — fixed-size at ANY scale factor,
+    * the documented scale lever): the distribution every
+    * embedding-space health check draws (collapsed space → mass near
+    * 1.0; healthy space → spread). Arrays are cast to double BEFORE
+    * the fold on both engines, and both fold left-to-right, so the
+    * 4dp-rounded cosines are bit-identical; buckets are floor(10·cos).
+    */
+  private def qCosineHistogram(s: SparkSession, dir: String): DataFrame = {
+    val sample = tbl(s, dir, "embeddings")
+      .filter(col("vec_id") % 4 === 0 && col("vec_id") < 4000)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (a, b) => a * b),
+        lit(0.0d), (acc, t) => acc + t)
+    val a = sample.select(col("vec_id").as("id_a"), col("v").as("va"))
+    val b = sample.select(col("vec_id").as("id_b"), col("v").as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(round(dot(col("va"), col("vb"))
+        / (sqrt(dot(col("va"), col("va")))
+          * sqrt(dot(col("vb"), col("vb")))), 4).as("cosine"))
+      .select(floor(col("cosine") * 10.0).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("bucket")
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -8340,7 +8433,10 @@ object SparkEntry {
     "q_unigram_kl" -> qUnigramKl,
     "q_tokenizer_fertility" -> qTokenizerFertility,
     "q_naive_bayes" -> qNaiveBayes,
-    "q_t_closeness" -> qTCloseness
+    "q_t_closeness" -> qTCloseness,
+    "q_label_propagation" -> qLabelPropagation,
+    "q_haversine_nn" -> qHaversineNn,
+    "q_cosine_histogram" -> qCosineHistogram
   )
 
   /** DuckDB SQL fragments replicating the repo's hashing primitives
@@ -13384,7 +13480,58 @@ object SparkEntry {
            FROM g CROSS JOIN tot)
          SELECT yr, prio, CAST(MIN(ng) AS BIGINT) AS n,
            round(0.5 * CAST(SUM(term) AS DOUBLE), 6) AS tvd
-         FROM terms GROUP BY 1, 2 ORDER BY tvd DESC, yr, prio LIMIT 20"""
+         FROM terms GROUP BY 1, 2 ORDER BY tvd DESC, yr, prio LIMIT 20""",
+    "q_label_propagation" -> {
+      def iter(k: Int): String =
+        s"""c$k AS (SELECT e.src AS node, l${k - 1}.label AS label,
+             COUNT(*) AS c
+           FROM e JOIN l${k - 1} ON l${k - 1}.node = e.dst GROUP BY 1, 2),
+         l$k AS (SELECT node, label FROM (SELECT node, label,
+             ROW_NUMBER() OVER (PARTITION BY node
+               ORDER BY c DESC, label) AS rn FROM c$k) WHERE rn = 1)"""
+      s"""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+           WHERE l_quantity <= 2),
+         e AS (SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+           FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+             AND a.l_suppkey <> b.l_suppkey),
+         l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+         ${iter(1)},
+         ${iter(2)},
+         ${iter(3)}
+         SELECT label AS community, COUNT(*) AS size FROM l3
+         GROUP BY 1 ORDER BY size DESC, community LIMIT 20"""
+    },
+    "q_haversine_nn" -> {
+      val (clat, clon) = geoSql("c_custkey")
+      val (slat, slon) = geoSql("s_suppkey")
+      s"""WITH c AS (SELECT c_custkey, c_nationkey AS nation,
+             $clat AS lat_c, $clon AS lon_c FROM customer),
+         s AS (SELECT s_suppkey, s_nationkey AS nation,
+             $slat AS lat_s, $slon AS lon_s FROM supplier),
+         j AS (SELECT c.c_custkey, c.nation, s.s_suppkey,
+             round(2.0 * 6371.0 * asin(sqrt(
+               sin(radians(lat_s - lat_c) / 2.0)
+                 * sin(radians(lat_s - lat_c) / 2.0)
+               + cos(radians(lat_c)) * cos(radians(lat_s))
+                 * sin(radians(lon_s - lon_c) / 2.0)
+                 * sin(radians(lon_s - lon_c) / 2.0))), 3) AS dist_km
+           FROM c JOIN s ON c.nation = s.nation),
+         r AS (SELECT c_custkey, nation, s_suppkey, dist_km,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey
+               ORDER BY dist_km, s_suppkey) AS rn FROM j)
+         SELECT c_custkey, nation, s_suppkey, dist_km FROM r
+         WHERE rn = 1 ORDER BY c_custkey LIMIT 100"""
+    },
+    "q_cosine_histogram" ->
+      """WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id % 4 = 0 AND vec_id < 4000),
+         p AS (SELECT round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+           FROM s a JOIN s b ON a.vec_id < b.vec_id)
+         SELECT CAST(floor(cosine * 10.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n_pairs
+         FROM p GROUP BY 1 ORDER BY 1"""
   )
 
   /** DuckDB replay of [[graft.ops.Sampling.epochShard]] (seed 7, 8
