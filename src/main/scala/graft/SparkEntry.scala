@@ -8125,6 +8125,177 @@ object SparkEntry {
       .orderBy("bucket")
   }
 
+  // ---- round-9 batch 5: retrieval diversity, graph metrics, audits ---
+
+  /** Shared DuckDB CTE prefix replaying 3 deterministic LPA iterations
+    * over the co-supplier graph — used by the q_label_propagation and
+    * q_modularity oracles (the l3 table is the final labeling).
+    */
+  private val lpaCteSql: String = {
+    def iter(k: Int): String =
+      s"""c$k AS (SELECT e.src AS node, l${k - 1}.label AS label,
+           COUNT(*) AS c
+         FROM e JOIN l${k - 1} ON l${k - 1}.node = e.dst GROUP BY 1, 2),
+       l$k AS (SELECT node, label FROM (SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node
+             ORDER BY c DESC, label) AS rn FROM c$k) WHERE rn = 1)"""
+    s"""ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+         WHERE l_quantity <= 2),
+       e AS (SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+         FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+           AND a.l_suppkey <> b.l_suppkey),
+       l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+       ${iter(1)},
+       ${iter(2)},
+       ${iter(3)}"""
+  }
+
+  /** MMR-diversified retrieval ([[graft.ops.Mmr]]): 5 picks from the
+    * exact-top-20 pool at λ=0.7 against the vec_id=0 query — the
+    * diversity-aware head over ann_bruteforce. The greedy loop is
+    * driver-side over the bounded pool matrix; the oracle replays all
+    * five selections as unrolled argmax CTEs.
+    */
+  private def qMmrDiversify(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+    graft.ops.Mmr.rerank(e.filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", q, poolSize = 20, select = 5, lambda = 0.7)
+  }
+
+  /** Newman MODULARITY of the 3-iteration label-propagation
+    * communities — the standard "did the clustering find real
+    * structure" score (Q ≈ 0 random, Q > 0.3 strong). Pure count
+    * algebra over the labeled edge list: per-community intra-edge and
+    * degree totals, terms rounded at 9 dp and DECIMAL-summed. One
+    * labels join per edge side; everything after is communities-sized.
+    */
+  private def qModularity(s: SparkSession, dir: String): DataFrame = {
+    val ps = tbl(s, dir, "lineitem")
+      .filter(col("l_quantity") <= 2)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val e = ps.as("a").join(ps.as("b"), "l_partkey")
+      .filter(col("a.l_suppkey") =!= col("b.l_suppkey"))
+      .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+      .distinct()
+      .persist() // feeds LPA iterations AND the modularity count algebra
+    val lbl = graft.ops.LabelPropagation.labels(e, "src", "dst", iters = 3)
+    val labeled = e
+      .join(lbl.withColumnRenamed("node", "src")
+        .withColumnRenamed("label", "lsrc"), "src")
+      .join(lbl.withColumnRenamed("node", "dst")
+        .withColumnRenamed("label", "ldst"), "dst")
+    val perC = labeled.groupBy(col("lsrc").as("community"))
+      .agg(count(lit(1)).as("deg"),
+        sum(when(col("lsrc") === col("ldst"), 1L).otherwise(0L))
+          .as("intra"))
+    val m = e.agg(count(lit(1)).as("ne"))
+    perC.crossJoin(broadcast(m))
+      .select(expr(
+        """CAST(round(CAST(intra AS DOUBLE) / CAST(ne AS DOUBLE)
+             - (CAST(deg AS DOUBLE) / CAST(ne AS DOUBLE))
+               * (CAST(deg AS DOUBLE) / CAST(ne AS DOUBLE)), 9)
+           AS DECIMAL(18,9))""").as("term"))
+      .agg(count(lit(1)).as("n_communities"),
+        round(expr("CAST(sum(term) AS DOUBLE)"), 6).as("modularity"))
+  }
+
+  /** DEGREE ASSORTATIVITY of the co-supplier graph: Pearson
+    * correlation of endpoint degrees over the symmetric edge list
+    * (positive = hubs link hubs). Exact BIGINT moment sums (degree
+    * products stay far below 2⁶³) through the qLinreg closed form —
+    * one degree aggregate, one edge join, one 1-row reduce.
+    */
+  private def qAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val ps = tbl(s, dir, "lineitem")
+      .filter(col("l_quantity") <= 2)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val e = ps.as("a").join(ps.as("b"), "l_partkey")
+      .filter(col("a.l_suppkey") =!= col("b.l_suppkey"))
+      .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+      .distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    e.join(deg, "src")
+      .withColumnRenamed("d", "dx")
+      .join(deg.withColumnRenamed("src", "dst")
+        .withColumnRenamed("d", "dy"), "dst")
+      .agg(count(lit(1)).as("n"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .select(col("n").as("n_edges"),
+        round(expr(
+          """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"""), 6)
+          .as("assortativity"))
+  }
+
+  /** V-SHAPE pattern detection over daily revenue — the
+    * MATCH_RECOGNIZE-style event-pattern primitive expressed as lag
+    * algebra: days ending a ≥2-day slide with a recovery
+    * (r₋₃ > r₋₂ > r₋₁ < r₀). Exact DECIMAL comparisons; the window is
+    * calendar-bounded.
+    */
+  private def qPatternVshape(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("day")
+    tbl(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rv"))
+      .withColumn("r1", lag(col("rv"), 1).over(w))
+      .withColumn("r2", lag(col("rv"), 2).over(w))
+      .withColumn("r3", lag(col("rv"), 3).over(w))
+      .filter(col("r3") > col("r2") && col("r2") > col("r1")
+        && col("rv") > col("r1"))
+      .select(col("day"),
+        round(col("r3").cast("double"), 2).as("rev_m3"),
+        round(col("r2").cast("double"), 2).as("rev_m2"),
+        round(col("r1").cast("double"), 2).as("rev_m1"),
+        round(col("rv").cast("double"), 2).as("rev"))
+      .orderBy("day")
+  }
+
+  /** KEY-SKEW AUDIT of a join key (l_partkey) — the pre-flight check
+    * before any 100 TB keyed shuffle: per-key count distribution
+    * summarized as max/percentile counts, max-key share, and the
+    * coefficient of variation. Percentiles come from a cumulative
+    * window over the COUNT-OF-COUNTS table (distinct count values —
+    * bounded vocabulary, the qRocAuc contract), never a global sort
+    * of per-key rows; moments are exact BIGINT sums.
+    */
+  private def qSkewAudit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnts = tbl(s, dir, "lineitem")
+      .groupBy("l_partkey").agg(count(lit(1)).as("c"))
+    val cc = cnts.groupBy("c").agg(count(lit(1)).as("k"))
+    val wRun = Window.orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cc.withColumn("cum", sum(col("k")).over(wRun))
+    val mom = cnts.agg(count(lit(1)).as("nk"), sum(col("c")).as("sc"),
+      sum(col("c") * col("c")).as("scc"), max(col("c")).as("mx"))
+    val pct = cum.crossJoin(broadcast(mom))
+      .agg(
+        min(when(col("cum") >= ceil(col("nk") * 0.5), col("c")))
+          .as("p50_cnt"),
+        min(when(col("cum") >= ceil(col("nk") * 0.99), col("c")))
+          .as("p99_cnt"))
+    mom.crossJoin(broadcast(pct))
+      .select(col("nk").as("n_keys"), col("sc").as("n_rows"),
+        col("mx").as("max_cnt"), col("p50_cnt"), col("p99_cnt"),
+        round(expr("CAST(mx AS DOUBLE) / CAST(sc AS DOUBLE)"), 6)
+          .as("max_share"),
+        round(expr(
+          """sqrt(CAST(nk AS DOUBLE) * CAST(scc AS DOUBLE)
+               - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+             / CAST(sc AS DOUBLE)"""), 6).as("cv"))
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -8436,7 +8607,12 @@ object SparkEntry {
     "q_t_closeness" -> qTCloseness,
     "q_label_propagation" -> qLabelPropagation,
     "q_haversine_nn" -> qHaversineNn,
-    "q_cosine_histogram" -> qCosineHistogram
+    "q_cosine_histogram" -> qCosineHistogram,
+    "q_mmr_diversify" -> qMmrDiversify,
+    "q_modularity" -> qModularity,
+    "q_assortativity" -> qAssortativity,
+    "q_pattern_vshape" -> qPatternVshape,
+    "q_skew_audit" -> qSkewAudit
   )
 
   /** DuckDB SQL fragments replicating the repo's hashing primitives
@@ -13481,25 +13657,127 @@ object SparkEntry {
          SELECT yr, prio, CAST(MIN(ng) AS BIGINT) AS n,
            round(0.5 * CAST(SUM(term) AS DOUBLE), 6) AS tvd
          FROM terms GROUP BY 1, 2 ORDER BY tvd DESC, yr, prio LIMIT 20""",
-    "q_label_propagation" -> {
-      def iter(k: Int): String =
-        s"""c$k AS (SELECT e.src AS node, l${k - 1}.label AS label,
-             COUNT(*) AS c
-           FROM e JOIN l${k - 1} ON l${k - 1}.node = e.dst GROUP BY 1, 2),
-         l$k AS (SELECT node, label FROM (SELECT node, label,
-             ROW_NUMBER() OVER (PARTITION BY node
-               ORDER BY c DESC, label) AS rn FROM c$k) WHERE rn = 1)"""
-      s"""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    "q_label_propagation" ->
+      s"""WITH $lpaCteSql
+         SELECT label AS community, COUNT(*) AS size FROM l3
+         GROUP BY 1 ORDER BY size DESC, community LIMIT 20""",
+    "q_modularity" ->
+      s"""WITH $lpaCteSql,
+         labeled AS (SELECT e.src, e.dst, ls.label AS lsrc,
+             ld.label AS ldst
+           FROM e JOIN l3 ls ON ls.node = e.src
+             JOIN l3 ld ON ld.node = e.dst),
+         perc AS (SELECT lsrc AS community, COUNT(*) AS deg,
+             CAST(SUM(CASE WHEN lsrc = ldst THEN 1 ELSE 0 END)
+               AS BIGINT) AS intra
+           FROM labeled GROUP BY 1),
+         m AS (SELECT COUNT(*) AS ne FROM e),
+         terms AS (SELECT
+             CAST(round(CAST(intra AS DOUBLE) / CAST(ne AS DOUBLE)
+               - (CAST(deg AS DOUBLE) / CAST(ne AS DOUBLE))
+                 * (CAST(deg AS DOUBLE) / CAST(ne AS DOUBLE)), 9)
+               AS DECIMAL(18,9)) AS term
+           FROM perc CROSS JOIN m)
+         SELECT COUNT(*) AS n_communities,
+           round(CAST(SUM(term) AS DOUBLE), 6) AS modularity
+         FROM terms""",
+    "q_assortativity" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
            WHERE l_quantity <= 2),
          e AS (SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
            FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
              AND a.l_suppkey <> b.l_suppkey),
-         l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
-         ${iter(1)},
-         ${iter(2)},
-         ${iter(3)}
-         SELECT label AS community, COUNT(*) AS size FROM l3
-         GROUP BY 1 ORDER BY size DESC, community LIMIT 20"""
+         deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+         j AS (SELECT dx.d AS dx, dy.d AS dy FROM e
+           JOIN deg dx ON dx.src = e.src
+           JOIN deg dy ON dy.src = e.dst),
+         mom AS (SELECT COUNT(*) AS n,
+             CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+             CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+             CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+             CAST(SUM(dy * dy) AS BIGINT) AS syy
+           FROM j)
+         SELECT n AS n_edges,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS assortativity
+         FROM mom""",
+    "q_pattern_vshape" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rv
+           FROM orders GROUP BY 1),
+         lagged AS (SELECT day, rv,
+             lag(rv, 1) OVER (ORDER BY day) AS r1,
+             lag(rv, 2) OVER (ORDER BY day) AS r2,
+             lag(rv, 3) OVER (ORDER BY day) AS r3
+           FROM daily)
+         SELECT day, round(CAST(r3 AS DOUBLE), 2) AS rev_m3,
+           round(CAST(r2 AS DOUBLE), 2) AS rev_m2,
+           round(CAST(r1 AS DOUBLE), 2) AS rev_m1,
+           round(CAST(rv AS DOUBLE), 2) AS rev
+         FROM lagged
+         WHERE r3 > r2 AND r2 > r1 AND rv > r1 ORDER BY day""",
+    "q_skew_audit" ->
+      """WITH cnts AS (SELECT l_partkey, COUNT(*) AS c FROM lineitem
+           GROUP BY 1),
+         cc AS (SELECT c, COUNT(*) AS k FROM cnts GROUP BY 1),
+         cum AS (SELECT c, CAST(SUM(k) OVER (ORDER BY c ROWS BETWEEN
+             UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           FROM cc),
+         mom AS (SELECT COUNT(*) AS nk, CAST(SUM(c) AS BIGINT) AS sc,
+             CAST(SUM(c * c) AS BIGINT) AS scc, MAX(c) AS mx FROM cnts),
+         pct AS (SELECT
+             MIN(CASE WHEN cum >= ceil(nk * 0.5) THEN c END) AS p50_cnt,
+             MIN(CASE WHEN cum >= ceil(nk * 0.99) THEN c END) AS p99_cnt
+           FROM cum CROSS JOIN mom)
+         SELECT nk AS n_keys, sc AS n_rows, mx AS max_cnt,
+           p50_cnt, p99_cnt,
+           round(CAST(mx AS DOUBLE) / CAST(sc AS DOUBLE), 6)
+             AS max_share,
+           round(sqrt(CAST(nk AS DOUBLE) * CAST(scc AS DOUBLE)
+               - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+             / CAST(sc AS DOUBLE), 6) AS cv
+         FROM mom CROSS JOIN pct""",
+    "q_mmr_diversify" -> {
+      def step(k: Int): String = {
+        val sel = (1 until k).map(i => s"SELECT vec_id FROM s$i")
+          .mkString(" UNION ALL ")
+        s"""s$k AS (SELECT vec_id, rel FROM (
+             SELECT c.vec_id, c.rel,
+               round(0.7 * c.rel - (1.0 - 0.7) * MAX(sims.s), 6) AS sc
+             FROM cand c JOIN sims ON sims.ia = c.vec_id
+             WHERE sims.ib IN ($sel) AND c.vec_id NOT IN ($sel)
+             GROUP BY c.vec_id, c.rel)
+           ORDER BY sc DESC, vec_id LIMIT 1)"""
+      }
+      val picks = (1 to 5).map(k =>
+        s"SELECT CAST($k AS BIGINT) AS rank, vec_id, rel AS relevance " +
+          s"FROM s$k").mkString(" UNION ALL ")
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+             FROM embeddings WHERE vec_id = 0),
+         cand AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             round(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+               / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                   CAST(embedding AS DOUBLE[])))
+                 * sqrt(list_dot_product(qv, qv))), 4) AS rel
+           FROM embeddings, q WHERE vec_id <> 0
+           ORDER BY rel DESC, vec_id LIMIT 20),
+         sims AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+             round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))), 4) AS s
+           FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+         s1 AS (SELECT vec_id, rel FROM cand
+           ORDER BY rel DESC, vec_id LIMIT 1),
+         ${step(2)},
+         ${step(3)},
+         ${step(4)},
+         ${step(5)}
+         SELECT * FROM ($picks) ORDER BY rank"""
     },
     "q_haversine_nn" -> {
       val (clat, clon) = geoSql("c_custkey")
