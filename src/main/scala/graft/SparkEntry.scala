@@ -8296,6 +8296,98 @@ object SparkEntry {
              / CAST(sc AS DOUBLE)"""), 6).as("cv"))
   }
 
+  // ---- round-9 batch 6: sparse similarity, diversity, drawdown -------
+
+  /** SPARSE TF-IDF COSINE top pairs — the lexical document-similarity
+    * twin of the embedding cosine family, in the term-partitioned
+    * shape that scales: the pair dot-product joins postings only on
+    * RARE terms (2 ≤ df ≤ 20 — the candidate-generation blocking
+    * every sparse-retrieval engine uses; stopword-grade terms would
+    * make the per-term join quadratic for ~zero cosine mass), while
+    * the norms use the FULL weight vector. Weights are 6dp-rounded
+    * DECIMAL (tf·ln(N/df)); dots are exact DECIMAL sums.
+    */
+  private def qTfidfCosinePairs(s: SparkSession, dir: String): DataFrame = {
+    val tf = tbl(s, dir, "documents")
+      .select(col("doc_id"), explode(expr(tokensSql)).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .persist() // feeds df-counts, norms, and the pair join once
+    val dfc = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val n1 = tf.select("doc_id").distinct().agg(count(lit(1)).as("nn"))
+    val wgt = tf.join(dfc, "w").crossJoin(broadcast(n1))
+      .select(col("doc_id"), col("w"), col("df"), expr(
+        """CAST(round(CAST(tf AS DOUBLE)
+             * ln(CAST(nn AS DOUBLE) / CAST(df AS DOUBLE)), 6)
+           AS DECIMAL(18,6))""").as("wt"))
+    val norms = wgt.groupBy("doc_id")
+      .agg(sum(col("wt") * col("wt")).as("n2"))
+    val rare = wgt.filter(col("df").between(2, 20))
+    val dots = rare.select(col("doc_id").as("doc_a"), col("w"),
+        col("wt").as("wa"))
+      .join(rare.select(col("doc_id").as("doc_b"), col("w"),
+        col("wt").as("wb")), "w")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("na")),
+        "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("nb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(expr("""CAST(dot AS DOUBLE)
+          / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))"""), 6)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  /** DIVERSITY INDICES per source over the language mix: Simpson
+    * (1 − Σp²) and Shannon (−Σ p·ln p) — the two numbers every corpus
+    * datasheet quotes for balance. Terms are rounded then
+    * DECIMAL-summed (group order immaterial); everything is
+    * cells-sized after one count.
+    */
+  private def qDiversityIndex(s: SparkSession, dir: String): DataFrame = {
+    val cells = tbl(s, dir, "documents")
+      .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+    val totals = cells.groupBy("source")
+      .agg(sum(col("c")).as("nn"), count(lit(1)).as("n_langs"))
+    cells.join(totals, "source")
+      .select(col("source"), col("nn"), col("n_langs"),
+        expr("""CAST(round((CAST(c AS DOUBLE) / CAST(nn AS DOUBLE))
+            * (CAST(c AS DOUBLE) / CAST(nn AS DOUBLE)), 12)
+          AS DECIMAL(28,12))""").as("p2"),
+        expr(entTerm("c", "nn")).as("plp"))
+      .groupBy("source")
+      .agg(min(col("nn")).as("n_docs"), min(col("n_langs")).as("n_langs"),
+        round(expr("1.0 - CAST(sum(p2) AS DOUBLE)"), 6).as("simpson"),
+        round(expr("0.0 - CAST(sum(plp) AS DOUBLE)"), 6).as("shannon"))
+      .orderBy("source")
+  }
+
+  /** MAX DRAWDOWN of daily revenue: running peak (exact DECIMAL max —
+    * calendar-bounded window) and relative drop from it; top-10
+    * drawdown days. The finance-style risk profile of any daily
+    * metric.
+    */
+  private def qDrawdown(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wRun = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tbl(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rv"))
+      .withColumn("peak", max(col("rv")).over(wRun))
+      .select(col("day"),
+        round(col("rv").cast("double"), 2).as("revenue"),
+        round(col("peak").cast("double"), 2).as("peak"),
+        round(expr("""(CAST(peak AS DOUBLE) - CAST(rv AS DOUBLE))
+          / CAST(peak AS DOUBLE)"""), 6).as("drawdown"))
+      .orderBy(col("drawdown").desc, col("day"))
+      .limit(10)
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -8612,7 +8704,10 @@ object SparkEntry {
     "q_modularity" -> qModularity,
     "q_assortativity" -> qAssortativity,
     "q_pattern_vshape" -> qPatternVshape,
-    "q_skew_audit" -> qSkewAudit
+    "q_skew_audit" -> qSkewAudit,
+    "q_tfidf_cosine_pairs" -> qTfidfCosinePairs,
+    "q_diversity_index" -> qDiversityIndex,
+    "q_drawdown" -> qDrawdown
   )
 
   /** DuckDB SQL fragments replicating the repo's hashing primitives
@@ -13779,6 +13874,64 @@ object SparkEntry {
          ${step(5)}
          SELECT * FROM ($picks) ORDER BY rank"""
     },
+    "q_tfidf_cosine_pairs" ->
+      """WITH tf AS (SELECT doc_id, u.w AS w, COUNT(*) AS tf
+           FROM documents, unnest(list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+             x -> x <> '')) u(w)
+           GROUP BY 1, 2),
+         dfc AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+         n1 AS (SELECT COUNT(DISTINCT doc_id) AS nn FROM tf),
+         wgt AS (SELECT doc_id, w, df,
+             CAST(round(CAST(tf AS DOUBLE)
+               * ln(CAST(nn AS DOUBLE) / CAST(df AS DOUBLE)), 6)
+               AS DECIMAL(18,6)) AS wt
+           FROM tf JOIN dfc USING (w) CROSS JOIN n1),
+         norms AS (SELECT doc_id, SUM(wt * wt) AS n2 FROM wgt
+           GROUP BY 1),
+         rare AS (SELECT * FROM wgt WHERE df BETWEEN 2 AND 20),
+         dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             SUM(a.wt * b.wt) AS dot
+           FROM rare a JOIN rare b ON a.w = b.w
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+           round(CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na.n2 AS DOUBLE))
+               * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
+         FROM dots JOIN norms na ON na.doc_id = dots.doc_a
+           JOIN norms nb ON nb.doc_id = dots.doc_b
+         ORDER BY cosine DESC, doc_a, doc_b LIMIT 20""",
+    "q_diversity_index" -> {
+      s"""WITH cells AS (SELECT source, lang, COUNT(*) AS c
+           FROM documents GROUP BY 1, 2),
+         totals AS (SELECT source, CAST(SUM(c) AS BIGINT) AS nn,
+             COUNT(*) AS n_langs
+           FROM cells GROUP BY 1),
+         terms AS (SELECT cells.source, totals.nn, totals.n_langs,
+             CAST(round((CAST(c AS DOUBLE) / CAST(nn AS DOUBLE))
+               * (CAST(c AS DOUBLE) / CAST(nn AS DOUBLE)), 12)
+               AS DECIMAL(28,12)) AS p2,
+             ${entTerm("c", "nn")} AS plp
+           FROM cells JOIN totals USING (source))
+         SELECT source, CAST(MIN(nn) AS BIGINT) AS n_docs,
+           CAST(MIN(n_langs) AS BIGINT) AS n_langs,
+           round(1.0 - CAST(SUM(p2) AS DOUBLE), 6) AS simpson,
+           round(0.0 - CAST(SUM(plp) AS DOUBLE), 6) AS shannon
+         FROM terms GROUP BY source ORDER BY source"""
+    },
+    "q_drawdown" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rv
+           FROM orders GROUP BY 1),
+         p AS (SELECT day, rv, MAX(rv) OVER (ORDER BY day ROWS BETWEEN
+             UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+           FROM daily)
+         SELECT day, round(CAST(rv AS DOUBLE), 2) AS revenue,
+           round(CAST(peak AS DOUBLE), 2) AS peak,
+           round((CAST(peak AS DOUBLE) - CAST(rv AS DOUBLE))
+             / CAST(peak AS DOUBLE), 6) AS drawdown
+         FROM p ORDER BY drawdown DESC, day LIMIT 10""",
     "q_haversine_nn" -> {
       val (clat, clon) = geoSql("c_custkey")
       val (slat, slon) = geoSql("s_suppkey")
