@@ -2441,14 +2441,11 @@ object SparkEntry {
     * aggregate the triangle corners.
     */
   private def qTriangleCount(s: SparkSession, dir: String): DataFrame = {
-    val ps = tbl(s, dir, "lineitem")
-      .filter(col("l_quantity") <= 2)
-      .select(col("l_partkey"), col("l_suppkey")).distinct()
     // oriented edge set u < v — each undirected edge appears once
-    val und = ps.as("a").join(ps.as("b"), "l_partkey")
-      .filter(col("a.l_suppkey") < col("b.l_suppkey"))
-      .select(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
-      .distinct()
+    // (narrow filter over the directed artifact; already distinct)
+    val und = writtenEdgesTable(s, dir)
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
     // wedges u<v<w closed against the oriented edges: each triangle
     // found exactly once. (Id orientation suffices at this degree
     // profile; at adversarial-skew scale, orient by degree so the
@@ -3073,6 +3070,78 @@ object SparkEntry {
     s.read.parquet(tfPath.toString)
   }
 
+  /** Shared WRITE-ONCE artifact plumbing — the [[writtenTfTable]]
+    * contract factored for reuse: the path is keyed by the build
+    * signature + the source table's file manifest (name/length/mtime),
+    * the build runs only when the `_SUCCESS` marker is absent, and all
+    * paths go through the Hadoop FileSystem of `spark.graft.scratch`
+    * (shared FS / object store on a real cluster; java.io.tmpdir in
+    * local mode). Regenerated input → fresh manifest → fresh key →
+    * fresh build; an interrupted write never leaves `_SUCCESS`, so it
+    * is retried, never trusted.
+    */
+  private def writtenArtifact(
+      s: SparkSession, dir: String, srcTable: String, sig0: String)(
+      build: => DataFrame): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val hconf = s.sparkContext.hadoopConfiguration
+    val src = new Path(s"$dir/$srcTable.parquet")
+    val manifest = src.getFileSystem(hconf).listStatus(src)
+      .sortBy(_.getPath.getName)
+      .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+      .mkString("|")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$sig0|$dir|$manifest"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
+    val scratch = new Path(s.conf.getOption("spark.graft.scratch")
+      .getOrElse(sys.props("java.io.tmpdir")))
+    val p = new Path(scratch, s"graft_art_$key")
+    val fs = p.getFileSystem(hconf)
+    if (!fs.exists(new Path(p, "_SUCCESS")))
+      build.write.mode("overwrite").parquet(p.toString)
+    s.read.parquet(p.toString)
+  }
+
+  /** WRITE-ONCE co-supplier edge artifact: the DIRECTED symmetric
+    * edge set (src, dst), src != dst, deduplicated — suppliers joined
+    * through shared low-quantity parts (never supplier × supplier).
+    * Ten graph queries (PageRank, shortest path, degree stats, link
+    * prediction, triangles, components, label propagation, modularity,
+    * assortativity) consume this ONE build as a parquet read instead
+    * of each paying the distinct + self-join + distinct — at 100×
+    * data the repeated build would dominate every graph query's cost.
+    * Oriented (u < v) consumers derive their view with a narrow
+    * filter; no distinct needed downstream (the directed set is
+    * already exact).
+    */
+  private def writtenEdgesTable(s: SparkSession, dir: String): DataFrame =
+    writtenArtifact(s, dir, "lineitem", "edges-v1|qty<=2|sym-distinct") {
+      val ps = tbl(s, dir, "lineitem")
+        .filter(col("l_quantity") <= 2)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      ps.as("a").join(ps.as("b"), "l_partkey")
+        .filter(col("a.l_suppkey") =!= col("b.l_suppkey"))
+        .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+        .distinct()
+    }
+
+  /** WRITE-ONCE supplier→part bipartite edge artifact for HITS: part
+    * ids offset into their own key space by max(l_suppkey) + 1. The
+    * offset's full-table max-scan rides THIS build (once per dataset),
+    * not each q_hits run — the r9 VERDICT's second-scan finding.
+    */
+  private def writtenHitsEdges(s: SparkSession, dir: String): DataFrame =
+    writtenArtifact(s, dir, "lineitem", "hitsedges-v1|qty<=2|off=maxsupp+1") {
+      val li = tbl(s, dir, "lineitem")
+      val off = broadcast(li.agg(max(col("l_suppkey")).cast("long").as("off")))
+      li.filter(col("l_quantity") <= 2)
+        .crossJoin(off)
+        .select(col("l_suppkey").as("src"),
+          (col("l_partkey") + col("off") + 1L).as("dst"))
+        .distinct()
+    }
+
   /** Batch interval join — the batch twin of the stream-stream interval
     * join (streaming/StreamingEmbed.intervalJoinStreams): each purchase
     * counts the same user's views in the trailing hour. Equi-join on
@@ -3611,13 +3680,7 @@ object SparkEntry {
     // (uniform ranks — a vacuous fixture); the low-quantity slice is
     // sparse and irregular (degrees vary ~4×), so ranks genuinely
     // separate and the oracle check has teeth.
-    val ps = tbl(s, dir, "lineitem")
-      .filter(col("l_quantity") <= 2)
-      .select(col("l_partkey"), col("l_suppkey")).distinct()
-    val edges = ps.as("a").join(ps.as("b"), "l_partkey")
-      .filter(col("a.l_suppkey") =!= col("b.l_suppkey"))
-      .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
-      .distinct()
+    val edges = writtenEdgesTable(s, dir)
     graft.ops.PageRank.ranks(edges, "src", "dst", iters = 5)
       .select(col("node").as("suppkey"),
         round(col("r").cast("double"), 8).as("pr"))
@@ -5506,13 +5569,7 @@ object SparkEntry {
     * bounded at nodes × hops in both engines.
     */
   private def qShortestPath(s: SparkSession, dir: String): DataFrame = {
-    val ps = tbl(s, dir, "lineitem")
-      .filter(col("l_quantity") <= 2)
-      .select(col("l_partkey"), col("l_suppkey")).distinct()
-    val edges = ps.as("a").join(ps.as("b"), "l_partkey")
-      .filter(col("a.l_suppkey") =!= col("b.l_suppkey"))
-      .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
-      .distinct()
+    val edges = writtenEdgesTable(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val source = edges.agg(min(col("src"))).head().getLong(0)
@@ -5806,19 +5863,10 @@ object SparkEntry {
     * rounded score.
     */
   private def qHits(s: SparkSession, dir: String): DataFrame = {
-    val li = tbl(s, dir, "lineitem")
-    // Node-space offset derived from the data (max supplier key + 1),
-    // not a fixed constant: at scale factors where l_suppkey crosses a
-    // hardcoded bound the two id spaces would silently collide and
-    // merge graph nodes on BOTH engines at once — still-green
-    // wrongness. The 1-row max rides a broadcast.
-    val off = broadcast(li.agg(max(col("l_suppkey")).cast("long").as("off")))
-    val e = li
-      .filter(col("l_quantity") <= 2)
-      .crossJoin(off)
-      .select(col("l_suppkey").as("src"),
-        (col("l_partkey") + col("off") + 1L).as("dst"))
-      .distinct()
+    // Edge set (incl. the data-derived node-space offset max-scan)
+    // comes off the write-once artifact — the offset scan rides the
+    // one-time build, not every q_hits run.
+    val e = writtenHitsEdges(s, dir)
     graft.ops.Hits.scores(e, "src", "dst", iters = 3)
       .select(col("node"),
         round(col("auth").cast("double"), 8).as("auth"),
@@ -5833,13 +5881,7 @@ object SparkEntry {
     * degree-keyed count.
     */
   private def qDegreeStats(s: SparkSession, dir: String): DataFrame = {
-    val ps = tbl(s, dir, "lineitem")
-      .filter(col("l_quantity") <= 2)
-      .select(col("l_partkey"), col("l_suppkey")).distinct()
-    ps.as("a").join(ps.as("b"), "l_partkey")
-      .filter(col("a.l_suppkey") =!= col("b.l_suppkey"))
-      .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
-      .distinct()
+    writtenEdgesTable(s, dir)
       .groupBy("src").agg(count(lit(1)).as("degree"))
       .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
       .orderBy("degree")
@@ -5853,13 +5895,7 @@ object SparkEntry {
     * tie-break.
     */
   private def qLinkPredict(s: SparkSession, dir: String): DataFrame = {
-    val ps = tbl(s, dir, "lineitem")
-      .filter(col("l_quantity") <= 2)
-      .select(col("l_partkey"), col("l_suppkey")).distinct()
-    val und = ps.as("a").join(ps.as("b"), "l_partkey")
-      .filter(col("a.l_suppkey") =!= col("b.l_suppkey"))
-      .select(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
-      .distinct()
+    val und = writtenEdgesTable(s, dir).toDF("u", "v")
     val deg = und.groupBy("u").agg(count(lit(1)).as("du"))
     val cn = und.toDF("u", "w").join(und.toDF("v", "w"), "w")
       .filter(col("u") < col("v"))
@@ -6252,13 +6288,9 @@ object SparkEntry {
     * gate-scale oracle while the Spark side is the cluster algorithm.
     */
   private def qComponentSizes(s: SparkSession, dir: String): DataFrame = {
-    val ps = tbl(s, dir, "lineitem")
-      .filter(col("l_quantity") <= 2)
-      .select(col("l_partkey"), col("l_suppkey")).distinct()
-    val edges = ps.as("a").join(ps.as("b"), "l_partkey")
-      .filter(col("a.l_suppkey") < col("b.l_suppkey"))
-      .select(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
-      .distinct()
+    val edges = writtenEdgesTable(s, dir)
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
     graft.ops.ConnectedComponents.components(edges, "u", "v")
       .groupBy("comp").agg(count(lit(1)).as("csize"))
       .groupBy("csize").agg(count(lit(1)).as("n_components"))
@@ -7947,12 +7979,19 @@ object SparkEntry {
   /** MULTINOMIAL NAIVE BAYES language classifier, trained and scored
     * inside the engine: docs with doc_id % 5 = 0 are the test fold,
     * the rest train per-language Laplace-smoothed token log-probs.
-    * Scoring joins each test doc's in-vocab token counts to the
-    * (langs × vocab)-bounded model — count tables only, never
-    * doc × doc — and the argmax is over exact DECIMAL scores (ln terms
-    * rounded at 9 dp, integer-weighted). Output: the confusion matrix.
-    * The full (test doc × lang) grid guarantees a prediction even for
-    * docs with zero in-vocab tokens (prior-only fallback).
+    * The model is kept at O(observed (lang, w) pairs) — NEVER the
+    * dense langs × vocab grid (at web-corpus vocabularies that grid
+    * is 10⁹ rows the data doesn't support). Unseen-in-class vocab
+    * tokens all share one per-language constant ln(1/(tokl+v)), so
+    * their contribution folds in analytically:
+    *   score = prior + Σ_observed cnt·lp
+    *                 + (inVocabTokens − matchedTokens) · default(lang).
+    * DECIMAL arithmetic is exact, so grouping the identical unseen
+    * terms into one multiply is bit-identical to summing them — the
+    * oracle (which materializes the dense grid in DuckDB) still
+    * hash-matches. Output: the confusion matrix; the (test doc ×
+    * langs) grid (langs bounded, broadcast) guarantees a prediction
+    * even for docs with zero in-vocab tokens (prior-only fallback).
     */
   private def qNaiveBayes(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -7969,27 +8008,40 @@ object SparkEntry {
     val v1 = vocab.agg(count(lit(1)).as("v"))
     val priors = train.groupBy("lang").agg(count(lit(1)).as("dl"))
     val nTrain = train.agg(count(lit(1)).as("dn"))
-    // model: (lang, w) -> rounded-ln smoothed term, langs × vocab grid
-    val model = vocab.crossJoin(broadcast(langTok))
-      .join(clw, Seq("lang", "w"), "left")
-      .withColumn("clw", coalesce(col("clw"), lit(0L)))
+    // observed-pairs model only: (lang, w, lp) for clw > 0
+    val model = clw.join(broadcast(langTok), Seq("lang"))
       .crossJoin(broadcast(v1))
       .select(col("lang"), col("w"), expr(nbTermSql).as("lp"))
+    // per-language unseen-token default: clw = 0 in the same formula
+    val langDefault = langTok.crossJoin(broadcast(v1))
+      .select(col("lang"), expr(
+        """CAST(round(ln(1.0d / (CAST(tokl + v AS DOUBLE))), 9)
+           AS DECIMAL(18,9))""").as("dt"))
     val testTok = test
       .select(col("doc_id"), explode(col("ws")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      // out-of-vocab tokens contribute to no language — drop them once
+      .join(vocab, Seq("w"), "left_semi")
+      .persist()
+    val inVocab = testTok.groupBy("doc_id")
+      .agg(sum(col("cnt")).as("iv"))
     val tokScore = testTok.join(model, Seq("w"))
       .groupBy("doc_id", "lang")
-      .agg(sum(col("cnt") * col("lp")).as("ts"))
+      .agg(sum(col("cnt") * col("lp")).as("ts"),
+        sum(col("cnt")).as("matched"))
     val priorTerm = priors.crossJoin(broadcast(nTrain))
       .select(col("lang"), expr(
         """CAST(round(ln(CAST(dl AS DOUBLE) / CAST(dn AS DOUBLE)), 9)
            AS DECIMAL(18,9))""").as("pt"))
     val grid = test.select(col("doc_id"), col("lang").as("actual"))
-      .crossJoin(broadcast(priorTerm))
+      .crossJoin(broadcast(priorTerm.join(langDefault, Seq("lang"))))
       .join(tokScore, Seq("doc_id", "lang"), "left")
+      .join(inVocab, Seq("doc_id"), "left")
       .withColumn("score",
-        col("pt") + coalesce(col("ts"), lit(0).cast("decimal(18,9)")))
+        col("pt")
+          + coalesce(col("ts"), lit(0).cast("decimal(18,9)"))
+          + (coalesce(col("iv"), lit(0L))
+            - coalesce(col("matched"), lit(0L))) * col("dt"))
     val wPick = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("lang"))
     grid.withColumn("rn", row_number().over(wPick))
@@ -8042,13 +8094,7 @@ object SparkEntry {
     * only within shared parts.
     */
   private def qLabelPropagation(s: SparkSession, dir: String): DataFrame = {
-    val ps = tbl(s, dir, "lineitem")
-      .filter(col("l_quantity") <= 2)
-      .select(col("l_partkey"), col("l_suppkey")).distinct()
-    val e = ps.as("a").join(ps.as("b"), "l_partkey")
-      .filter(col("a.l_suppkey") =!= col("b.l_suppkey"))
-      .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
-      .distinct()
+    val e = writtenEdgesTable(s, dir)
     graft.ops.LabelPropagation.labels(e, "src", "dst", iters = 3)
       .groupBy(col("label").as("community"))
       .agg(count(lit(1)).as("size"))
@@ -8172,13 +8218,7 @@ object SparkEntry {
     * labels join per edge side; everything after is communities-sized.
     */
   private def qModularity(s: SparkSession, dir: String): DataFrame = {
-    val ps = tbl(s, dir, "lineitem")
-      .filter(col("l_quantity") <= 2)
-      .select(col("l_partkey"), col("l_suppkey")).distinct()
-    val e = ps.as("a").join(ps.as("b"), "l_partkey")
-      .filter(col("a.l_suppkey") =!= col("b.l_suppkey"))
-      .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
-      .distinct()
+    val e = writtenEdgesTable(s, dir)
       .persist() // feeds LPA iterations AND the modularity count algebra
     val lbl = graft.ops.LabelPropagation.labels(e, "src", "dst", iters = 3)
     val labeled = e
@@ -8208,13 +8248,7 @@ object SparkEntry {
     * one degree aggregate, one edge join, one 1-row reduce.
     */
   private def qAssortativity(s: SparkSession, dir: String): DataFrame = {
-    val ps = tbl(s, dir, "lineitem")
-      .filter(col("l_quantity") <= 2)
-      .select(col("l_partkey"), col("l_suppkey")).distinct()
-    val e = ps.as("a").join(ps.as("b"), "l_partkey")
-      .filter(col("a.l_suppkey") =!= col("b.l_suppkey"))
-      .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
-      .distinct()
+    val e = writtenEdgesTable(s, dir)
     val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
     e.join(deg, "src")
       .withColumnRenamed("d", "dx")

@@ -76,8 +76,13 @@ object HeavyHitters {
     // candidate set ≤ 2^26. Coalescing only widens each partition's
     // guarantee threshold N_partition/capacity — phase 2 recounts
     // exactly, so correctness is unaffected.
+    // outputPartitioning reports UnknownPartitioning(0) for plain file
+    // scans (most inputs) — fall back to the RDD's actual partition
+    // count there so the clamp engages for exactly the common case.
+    val planPart =
+      keys.queryExecution.executedPlan.outputPartitioning.numPartitions
     val nPart = math.max(1,
-      keys.queryExecution.executedPlan.outputPartitioning.numPartitions)
+      if (planPart > 0) planPart else keys.rdd.getNumPartitions)
     val maxPart = math.max(1, ((1L << 26) / capacity).toInt)
     val sketchIn = if (nPart > maxPart) keys.coalesce(maxPart) else keys
     val candidates = sketchIn.mapPartitions { it =>

@@ -43,6 +43,8 @@ object Mmr {
       .select(col("vec_id"), round(col("cosine"), 4).as("rel"))
       .collect()
       .map(row => row.getLong(0) -> row.getDouble(1))
+    require(pool.length >= select,
+      s"MMR: pool has ${pool.length} candidates, need >= $select")
     val ids = pool.map(_._1)
     val vecs: Map[Long, Array[Double]] = df
       .filter(col(idCol).cast("long").isin(ids: _*))

@@ -997,6 +997,16 @@ object TxnTable {
       mTo.copy(files = mTo.files.filterNot(f => old.contains(f.path))))
   }
 
+  /** A column name guaranteed absent from `cols` (underscore-extended
+    * until free) — used for join-existence sentinels so `withColumn`
+    * can never replace a user column.
+    */
+  private def sentinelName(cols: Array[String]): String = {
+    var n = "_graft_ex"
+    while (cols.contains(n)) n += "_"
+    n
+  }
+
   /** Row-level CHANGE DATA CAPTURE between two versions, computed as a
     * keyed full-outer join of the two snapshots (one shuffle per side;
     * at cluster scale, run it on the partitions whose file sets differ
@@ -1017,18 +1027,22 @@ object TxnTable {
     // sentinel selected on each side BEFORE the join — probing a key
     // column would misclassify a NULL-keyed row present in both
     // versions as an insert (both probes false) even though the
-    // null-safe join condition paired it correctly.
-    val pre = snapshotAt(spark, root, fromV)
-      .withColumn("_graft_ex", lit(true)).alias("pre")
+    // null-safe join condition paired it correctly. The sentinel name
+    // is derived to be absent from the schema: withColumn silently
+    // REPLACES a same-named user column, which would both mask that
+    // column in the `differs` probe and corrupt its emitted values.
     val post0 = snapshotAt(spark, root, toV)
+    val ex = sentinelName(post0.columns)
+    val pre = snapshotAt(spark, root, fromV)
+      .withColumn(ex, lit(true)).alias("pre")
     val dataCols = post0.columns.toSeq.filterNot(keyCols.contains)
-    val post = post0.withColumn("_graft_ex", lit(true)).alias("post")
+    val post = post0.withColumn(ex, lit(true)).alias("post")
     val joinCond = keyCols.map(k => col(s"pre.$k") <=> col(s"post.$k"))
       .reduce(_ && _)
     val differs = dataCols.map(c => !(col(s"pre.$c") <=> col(s"post.$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
-    val preExists = col("pre._graft_ex").isNotNull
-    val postExists = col("post._graft_ex").isNotNull
+    val preExists = col(s"pre.$ex").isNotNull
+    val postExists = col(s"post.$ex").isNotNull
     pre.join(post, joinCond, "full_outer")
       .withColumn("_change_type",
         when(!preExists, lit("insert"))
@@ -1061,19 +1075,21 @@ object TxnTable {
       keyCols: Seq[String]): DataFrame = {
     // Same non-null existence sentinel as [[cdc]]: a NULL-keyed row
     // present in both versions must classify by the `differs` probe,
-    // not fall through to 'insert'.
-    val pre = snapshotAt(spark, root, fromV)
-      .withColumn("_graft_ex", lit(true)).alias("pre")
+    // not fall through to 'insert'. Sentinel name derived to avoid
+    // clobbering a same-named user column (see [[cdc]]).
     val post0 = snapshotAt(spark, root, toV)
+    val ex = sentinelName(post0.columns)
+    val pre = snapshotAt(spark, root, fromV)
+      .withColumn(ex, lit(true)).alias("pre")
     val allCols = post0.columns.toSeq
     val dataCols = allCols.filterNot(keyCols.contains)
-    val post = post0.withColumn("_graft_ex", lit(true)).alias("post")
+    val post = post0.withColumn(ex, lit(true)).alias("post")
     val joinCond = keyCols.map(k => col(s"pre.$k") <=> col(s"post.$k"))
       .reduce(_ && _)
     val differs = dataCols.map(c => !(col(s"pre.$c") <=> col(s"post.$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
-    val preExists = col("pre._graft_ex").isNotNull
-    val postExists = col("post._graft_ex").isNotNull
+    val preExists = col(s"pre.$ex").isNotNull
+    val postExists = col(s"post.$ex").isNotNull
     def tagged(side: String, t: String) = struct(
       struct(allCols.map(c => col(s"$side.$c").as(c)): _*).as("r"),
       lit(t).as("t"))
