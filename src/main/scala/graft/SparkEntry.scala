@@ -5214,6 +5214,77 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Stream-source / wall-clock-travel fixture: documents (doc_id,
+    * lang, n_chars) landed as create + 3 appends (the doc_id % 4
+    * slices), with a short sleep between commits so manifest
+    * timestamps strictly increase — wall-clock travel then resolves
+    * versions deterministically.
+    */
+  private def writtenStreamSrcTable(s: SparkSession, dir: String): String =
+    scratchBuildOnce(s, "streamsrc", "documents", dir) { root =>
+      val p = new org.apache.hadoop.fs.Path(root)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true) // partial build: start over
+      val d = tbl(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      graft.table.TxnTable.create(s, root,
+        d.filter(col("doc_id") % 4 === 0), Seq("doc_id"))
+      (1 to 3).foreach { r =>
+        Thread.sleep(5) // strictly increasing manifest timestamps
+        graft.table.TxnTable.append(s, root,
+          d.filter(col("doc_id") % 4 === r), Seq("doc_id"))
+      }
+    }
+
+  /** STREAMING READ OF THE TRANSACTIONAL TABLE (the Delta-source twin
+    * of docs_stream_table's sink side): a real readStream over the
+    * DSv2 connector drains the table's commit history as micro-batches
+    * — offsets are manifest versions, each batch is the file-set diff
+    * between two manifests (O(new files), never a re-scan;
+    * [[graft.table.GraftMicroBatchStream]]). The drained rows must
+    * aggregate to exactly the batch snapshot — a dropped commit, a
+    * double-delivered file, or a mis-diffed manifest all break the
+    * sums. TableStreamSpec additionally proves a mid-stream append is
+    * picked up incrementally and a rewrite in range fails loudly.
+    */
+  private def qTableStreamRead(s: SparkSession, dir: String): DataFrame = {
+    val root = writtenStreamSrcTable(s, dir)
+    val out = scratchTempDir(s, "graft_stream_read_out")
+    val stream = s.readStream
+      .format("graft.table.GraftTableProvider")
+      .load(root)
+    runStream(s) {
+      stream.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    s.read.parquet(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+  }
+
+  /** Wall-clock TIME TRAVEL (`timestampAsOf`) — the missing half of
+    * the travel pair (q_table_dsv2_timetravel pins by version): the
+    * commit timestamp of v1 must resolve to exactly v1's snapshot
+    * (create slice + first append), via the DSv2 option so the
+    * resolution path under test is the connector's.
+    */
+  private def qTableTimetravelTs(s: SparkSession, dir: String): DataFrame = {
+    val root = writtenStreamSrcTable(s, dir)
+    val ts = graft.table.TxnTable.readManifest(s, root, 1L).timestampMs
+    s.read
+      .format("graft.table.GraftTableProvider")
+      .option("timestampAsOf", ts)
+      .load(root)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+  }
+
   /** MAINTENANCE fixture on customer: ten arrival-ordered appends of
     * interleaved c_custkey slices (many small files with overlapping
     * stats — the state any streamed-into table degrades to), then the
@@ -8692,6 +8763,8 @@ object SparkEntry {
     "q_table_schema_evo" -> qTableSchemaEvo,
     "q_table_merge_scoped" -> qTableMergeScoped,
     "docs_stream_table" -> qDocsStreamTable,
+    "q_table_stream_read" -> qTableStreamRead,
+    "q_table_timetravel_ts" -> qTableTimetravelTs,
     "q_table_maintenance" -> qTableMaintenance,
     "q_embed_dim_stats" -> qEmbedDimStats,
     "q_pca_project" -> qPcaProject,
@@ -13300,6 +13373,13 @@ object SparkEntry {
     "docs_stream_table" ->
       """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          FROM documents GROUP BY 1 ORDER BY 1""",
+    "q_table_stream_read" ->
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "q_table_timetravel_ts" ->
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM documents WHERE doc_id % 4 IN (0, 1)
+         GROUP BY 1 ORDER BY 1""",
     "q_table_merge_scoped" ->
       """WITH t AS (SELECT o_orderstatus,
              CASE WHEN o_custkey < 100 THEN -o_totalprice

@@ -41,7 +41,7 @@ class GraftTableProvider extends TableProvider {
     val root = GraftTableProvider.rootOf(options)
     val conf = new Configuration()
     val m = GraftTableProvider.manifestFor(conf, root,
-      GraftTableProvider.versionOf(options))
+      GraftTableProvider.resolveVersion(conf, root, options))
     // All-nullable: schema evolution means ANY column can be absent
     // (and thus NULL) in pre-evolution files — a non-nullable field
     // would let Spark constant-fold IsNull and mis-read the nulls.
@@ -72,12 +72,60 @@ object GraftTableProvider {
         throw new IllegalArgumentException(
           s"versionAsOf must be an integer version, got '$v'"))
     }
-  /** Manifest read WITHOUT a SparkSession (DSv2 runs during planning
-    * and on executors): same layout as [[TxnTable]], Hadoop FS only.
-    * `version = None` resolves the latest committed manifest.
+
+  /** `.option("timestampAsOf", ts)` — the wall-clock half of the
+    * travel pair, accepted as epoch millis, an ISO-8601 instant, or
+    * `yyyy-MM-dd HH:mm:ss` (UTC). Mutually exclusive with
+    * `versionAsOf`; resolved against manifest commit timestamps by
+    * the [[TxnTable.versionAtTimestamp]] contract (newest commit at
+    * or before ts).
     */
-  def manifestFor(conf: Configuration, root: String,
-      version: Option[Long]): TxnTable.Manifest = {
+  def timestampOf(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("timestampAsOf")).map { raw =>
+      raw.toLongOption.getOrElse {
+        try java.time.Instant.parse(raw).toEpochMilli
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            try java.time.LocalDateTime
+              .parse(raw, java.time.format.DateTimeFormatter
+                .ofPattern("yyyy-MM-dd HH:mm:ss"))
+              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+            catch {
+              case _: java.time.format.DateTimeParseException =>
+                throw new IllegalArgumentException(
+                  s"timestampAsOf: cannot parse '$raw' (epoch millis, " +
+                    "ISO-8601 instant, or yyyy-MM-dd HH:mm:ss expected)")
+            }
+        }
+      }
+    }
+
+  /** The version a read should pin to, from the travel options (at
+    * most one of versionAsOf / timestampAsOf; None = latest).
+    */
+  def resolveVersion(conf: Configuration, root: String,
+      options: CaseInsensitiveStringMap): Option[Long] = {
+    val v = versionOf(options)
+    val ts = timestampOf(options)
+    require(v.isEmpty || ts.isEmpty,
+      "specify at most one of versionAsOf / timestampAsOf")
+    ts match {
+      case None => v
+      case Some(tsMs) =>
+        val stamped = listVersions(conf, root)
+          .map(vv => vv -> manifestFor(conf, root, Some(vv)).timestampMs)
+        val at = stamped.filter(_._2 <= tsMs)
+        if (at.isEmpty)
+          throw new IllegalArgumentException(
+            s"timestampAsOf $tsMs: precedes the first commit " +
+              s"(${stamped.map(_._2).min}) at $root")
+        Some(at.map(_._1).max)
+    }
+  }
+
+  /** All committed versions at `root`, ascending — SparkSession-free
+    * ([[TxnTable.versions]]' planning-time twin). */
+  def listVersions(conf: Configuration, root: String): Seq[Long] = {
     val dir = new Path(root, "_log")
     val fs = dir.getFileSystem(conf)
     val vs = fs.listStatus(dir).toSeq
@@ -86,6 +134,17 @@ object GraftTableProvider {
         n.stripPrefix("v").stripSuffix(".json").toLong
       }
     require(vs.nonEmpty, s"no graft table at $root")
+    vs.sorted
+  }
+  /** Manifest read WITHOUT a SparkSession (DSv2 runs during planning
+    * and on executors): same layout as [[TxnTable]], Hadoop FS only.
+    * `version = None` resolves the latest committed manifest.
+    */
+  def manifestFor(conf: Configuration, root: String,
+      version: Option[Long]): TxnTable.Manifest = {
+    val dir = new Path(root, "_log")
+    val fs = dir.getFileSystem(conf)
+    val vs = listVersions(conf, root)
     val v = version.getOrElse(vs.max)
     require(vs.contains(v),
       s"versionAsOf $v: no such committed version at $root " +
@@ -117,13 +176,18 @@ class GraftTable(root: String, tableSchema: StructType)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(root, tableSchema,
-      GraftTableProvider.versionOf(options))
+      GraftTableProvider.resolveVersion(new Configuration(), root, options),
+      Option(options.get("startingVersion")).map { v =>
+        v.toLongOption.getOrElse(throw new IllegalArgumentException(
+          s"startingVersion must be an integer version, got '$v'"))
+      })
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -168,7 +232,7 @@ class GraftWriteBuilder(
 }
 
 class GraftScanBuilder(root: String, schema: StructType,
-    version: Option[Long] = None)
+    version: Option[Long] = None, startingVersion: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -293,7 +357,8 @@ class GraftScanBuilder(root: String, schema: StructType,
 
   override def build(): Scan = aggResult match {
     case Some((aggSchema, values)) => new GraftAggScan(aggSchema, values)
-    case None => new GraftScan(root, required, filters, version, limit)
+    case None =>
+      new GraftScan(root, required, filters, version, limit, startingVersion)
   }
 }
 
@@ -332,10 +397,15 @@ case class GraftInputPartition(filePath: String) extends InputPartition
 
 class GraftScan(
     root: String, required: StructType, filters: Array[sources.Filter],
-    version: Option[Long] = None, limit: Option[Int] = None)
+    version: Option[Long] = None, limit: Option[Int] = None,
+    startingVersion: Option[Long] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(root, required,
+      startingVersion.getOrElse(-1L))
   override def description(): String =
     s"GraftTableScan pushed=[${filters.mkString(", ")}]" +
       limit.map(l => s" limit=$l").getOrElse("")
@@ -414,6 +484,90 @@ class GraftScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required)
+}
+
+/** Version offset for the streaming read: "everything up to and
+  * including manifest `version` has been delivered". `-1` = nothing
+  * consumed yet (the initial offset when no `startingVersion` is
+  * given), so the first micro-batch delivers the full current
+  * snapshot — the Delta-source default.
+  */
+case class GraftStreamOffset(version: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+/** [[TxnTable]] as a STRUCTURED STREAMING SOURCE — the Delta-source
+  * twin that completes the table's streaming loop (it was already an
+  * exactly-once sink via [[TxnTable.appendBatch]]). Offsets are
+  * manifest VERSIONS, so a micro-batch is the file-set difference
+  * between two manifests: O(new files) planning and IO per poll
+  * regardless of table size — the [[TxnTable.appendsSince]] contract
+  * lifted into DSv2, with the stream's checkpoint carrying the
+  * version high-water mark.
+  *
+  * Soundness: every commit inside a planned range must be an append
+  * (`create`/`append`/`stream-append`). A rewrite (merge / delete /
+  * compact / cluster / ...) changes file sets in ways a file-diff
+  * cannot interpret — rows would double-deliver (rewritten files) or
+  * silently drop (removed files) — so the stream FAILS LOUDLY there
+  * and tells the consumer to restart from a fresh snapshot or consume
+  * via [[TxnTable.cdc]].
+  */
+class GraftMicroBatchStream(
+    root: String, schema: StructType, startVersion: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset}
+  private def conf = new Configuration()
+
+  override def initialOffset(): SOffset = GraftStreamOffset(startVersion)
+  override def latestOffset(): SOffset =
+    GraftStreamOffset(GraftTableProvider.listVersions(conf, root).max)
+  override def deserializeOffset(json: String): SOffset =
+    org.json4s.jackson.JsonMethods.parse(json) \ "version" match {
+      case org.json4s.JInt(n) => GraftStreamOffset(n.toLong)
+      case org.json4s.JLong(n) => GraftStreamOffset(n)
+      case _ => throw new IllegalArgumentException(
+        s"graft table stream: malformed offset json '$json'")
+    }
+  override def commit(end: SOffset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(
+      start: SOffset, end: SOffset): Array[InputPartition] = {
+    val s0 = start.asInstanceOf[GraftStreamOffset].version
+    val e0 = end.asInstanceOf[GraftStreamOffset].version
+    if (e0 <= s0) return Array.empty
+    val inRange = GraftTableProvider.listVersions(conf, root)
+      .filter(v => v > s0 && v <= e0)
+    val nonAppend = inRange
+      .map(v => GraftTableProvider.manifestFor(conf, root, Some(v)))
+      .filterNot(m =>
+        m.op == "create" || m.op == "append" || m.op == "stream-append")
+    if (nonAppend.nonEmpty)
+      throw new IllegalStateException(
+        s"graft table stream ($s0, $e0]: non-append commit(s) " +
+          s"${nonAppend.map(m => s"v${m.version}:${m.op}").mkString(", ")}" +
+          " — restart from a fresh snapshot or consume via TxnTable.cdc")
+    val old: Set[String] =
+      if (s0 < 0) Set.empty
+      else GraftTableProvider.manifestFor(conf, root, Some(s0))
+        .files.map(_.path).toSet
+    val mEnd = GraftTableProvider.manifestFor(conf, root,
+      Some(inRange.max))
+    val fresh = mEnd.files.filterNot(f => old.contains(f.path))
+    require(fresh.forall(_.dvs.isEmpty),
+      s"graft table stream at $root: planned file carries MOR deletion " +
+        "vectors — compact() before streaming")
+    fresh.map { f =>
+      val p = if (f.path.startsWith("/") || f.path.contains("://")) f.path
+        else s"$root/${f.path}"
+      GraftInputPartition(p): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(schema)
 }
 
 class GraftReaderFactory(required: StructType)

@@ -893,6 +893,32 @@ object TxnTable {
   def snapshotAt(spark: SparkSession, root: String, v: Long): DataFrame =
     snapshotOf(spark, root, readManifest(spark, root, v))
 
+  /** Resolve a wall-clock timestamp to the NEWEST version whose commit
+    * timestamp is <= `tsMs` (the Delta `timestampAsOf` contract): a
+    * timestamp between two commits resolves to the earlier one; a
+    * timestamp before the first commit throws. O(commits) manifest
+    * reads — the admin/travel price [[history]] already pays; the hot
+    * read path stays on [[latestVersion]]'s O(1) hint.
+    */
+  def versionAtTimestamp(
+      spark: SparkSession, root: String, tsMs: Long): Long = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no table at $root")
+    val stamped = vs.map(v => v -> readManifest(spark, root, v).timestampMs)
+    val at = stamped.filter(_._2 <= tsMs)
+    if (at.isEmpty)
+      throw new IllegalArgumentException(
+        s"timestampAsOf $tsMs: precedes the first commit " +
+          s"(${stamped.head._2}) at $root")
+    at.map(_._1).max
+  }
+
+  /** Time travel by wall clock — the timestamp half of the standard
+    * travel pair ([[snapshotAt]] is the version half). */
+  def snapshotAsOfTimestamp(
+      spark: SparkSession, root: String, tsMs: Long): DataFrame =
+    snapshotAt(spark, root, versionAtTimestamp(spark, root, tsMs))
+
   /** Stats-pruned snapshot: only files whose [lo, hi] range on
     * `statsCol` overlaps the requested one (files without stats for the
     * column are conservatively kept). This prunes at the MANIFEST, so
