@@ -8341,28 +8341,42 @@ object SparkEntry {
           .as("assortativity"))
   }
 
-  /** V-SHAPE pattern detection over daily revenue — the
-    * MATCH_RECOGNIZE-style event-pattern primitive expressed as lag
-    * algebra: days ending a ≥2-day slide with a recovery
-    * (r₋₃ > r₋₂ > r₋₁ < r₀). Exact DECIMAL comparisons; the window is
-    * calendar-bounded.
+  /** V-SHAPE pattern detection over daily revenue — now expressed on
+    * the GENERIC sequence-pattern matcher ([[graft.ops.PatternMatch]]:
+    * Down, Down, Up = a ≥2-day slide ending in a recovery), which
+    * compiles the pattern to the same single-window lag algebra the
+    * hand-written version used. Exact DECIMAL comparisons; the global
+    * window is calendar-bounded.
     */
   private def qPatternVshape(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy("day")
-    tbl(s, dir, "orders")
-      .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rv"))
-      .withColumn("r1", lag(col("rv"), 1).over(w))
-      .withColumn("r2", lag(col("rv"), 2).over(w))
-      .withColumn("r3", lag(col("rv"), 3).over(w))
-      .filter(col("r3") > col("r2") && col("r2") > col("r1")
-        && col("rv") > col("r1"))
+    import graft.ops.PatternMatch
+    PatternMatch.matches(dailyRevenue(s, dir), Seq.empty, "day", "rev",
+        Seq(PatternMatch.Down, PatternMatch.Down, PatternMatch.Up))
       .select(col("day"),
-        round(col("r3").cast("double"), 2).as("rev_m3"),
-        round(col("r2").cast("double"), 2).as("rev_m2"),
-        round(col("r1").cast("double"), 2).as("rev_m1"),
-        round(col("rv").cast("double"), 2).as("rev"))
+        round(col("v_0").cast("double"), 2).as("rev_m3"),
+        round(col("v_1").cast("double"), 2).as("rev_m2"),
+        round(col("v_2").cast("double"), 2).as("rev_m1"),
+        round(col("v_3").cast("double"), 2).as("rev"))
+      .orderBy("day")
+  }
+
+  /** DOUBLE-TOP pattern (Up, Down, Up, Down — two peaks around a dip)
+    * over the same daily-revenue series: the second gate proving the
+    * pattern matcher is parameterized, not a renamed V-shape. Output:
+    * the matched 5-day windows, exact-DECIMAL-compared, rounded for
+    * display only.
+    */
+  private def qPatternDoubletop(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.PatternMatch
+    PatternMatch.matches(dailyRevenue(s, dir), Seq.empty, "day", "rev",
+        Seq(PatternMatch.Up, PatternMatch.Down,
+          PatternMatch.Up, PatternMatch.Down))
+      .select(col("day"),
+        round(col("v_0").cast("double"), 2).as("rev_m4"),
+        round(col("v_1").cast("double"), 2).as("rev_m3"),
+        round(col("v_2").cast("double"), 2).as("rev_m2"),
+        round(col("v_3").cast("double"), 2).as("rev_m1"),
+        round(col("v_4").cast("double"), 2).as("rev"))
       .orderBy("day")
   }
 
@@ -8811,6 +8825,7 @@ object SparkEntry {
     "q_modularity" -> qModularity,
     "q_assortativity" -> qAssortativity,
     "q_pattern_vshape" -> qPatternVshape,
+    "q_pattern_doubletop" -> qPatternDoubletop,
     "q_skew_audit" -> qSkewAudit,
     "q_tfidf_cosine_pairs" -> qTfidfCosinePairs,
     "q_diversity_index" -> qDiversityIndex,
@@ -13930,6 +13945,24 @@ object SparkEntry {
            round(CAST(rv AS DOUBLE), 2) AS rev
          FROM lagged
          WHERE r3 > r2 AND r2 > r1 AND rv > r1 ORDER BY day""",
+    "q_pattern_doubletop" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rv
+           FROM orders GROUP BY 1),
+         lagged AS (SELECT day, rv,
+             lag(rv, 1) OVER (ORDER BY day) AS r1,
+             lag(rv, 2) OVER (ORDER BY day) AS r2,
+             lag(rv, 3) OVER (ORDER BY day) AS r3,
+             lag(rv, 4) OVER (ORDER BY day) AS r4
+           FROM daily)
+         SELECT day, round(CAST(r4 AS DOUBLE), 2) AS rev_m4,
+           round(CAST(r3 AS DOUBLE), 2) AS rev_m3,
+           round(CAST(r2 AS DOUBLE), 2) AS rev_m2,
+           round(CAST(r1 AS DOUBLE), 2) AS rev_m1,
+           round(CAST(rv AS DOUBLE), 2) AS rev
+         FROM lagged
+         WHERE r4 < r3 AND r3 > r2 AND r2 < r1 AND r1 > rv
+         ORDER BY day""",
     "q_skew_audit" ->
       """WITH cnts AS (SELECT l_partkey, COUNT(*) AS c FROM lineitem
            GROUP BY 1),
