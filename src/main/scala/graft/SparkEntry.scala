@@ -8341,6 +8341,71 @@ object SparkEntry {
           .as("assortativity"))
   }
 
+  /** CLUSTERING COEFFICIENT of the co-supplier graph — global
+    * (3·triangles / wedges) and mean local (2·T_u / d_u(d_u−1) over
+    * deg ≥ 2 nodes). Triangle corners come from the q_triangle_count
+    * machinery over the oriented view of the edge artifact; wedges are
+    * Σ d(d−1)/2 from one degree aggregate — every count stays exact
+    * BIGINT until the two final divisions, and the local terms are
+    * 9-dp-rounded DECIMALs so summation order is immaterial.
+    */
+  private def qClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val ed = writtenEdgesTable(s, dir)
+    val und = ed.filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+    val wedges = und.as("x").join(und.as("y"), col("x.v") === col("y.u"))
+      .select(col("x.u").as("u"), col("x.v").as("v"), col("y.v").as("w"))
+    val tri = wedges.join(
+      und.select(col("u").as("tu"), col("v").as("tw")),
+      col("u") === col("tu") && col("w") === col("tw"))
+      .select("u", "v", "w")
+    val tpn = tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("t"))
+    val deg = ed.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("d"))
+    deg.filter(col("d") >= 2)
+      .join(tpn, Seq("node"), "left")
+      .withColumn("t", coalesce(col("t"), lit(0L)))
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        expr("CAST(sum(t) DIV 3 AS BIGINT)").as("n_triangles"),
+        expr("""round(2.0d * CAST(sum(t) AS DOUBLE)
+                / CAST(sum(d * (d - 1)) AS DOUBLE), 6)""").as("global_cc"),
+        expr("""round(CAST(sum(CAST(round(2.0d * t
+                  / (CAST(d AS DOUBLE) * CAST(d - 1 AS DOUBLE)), 9)
+                AS DECIMAL(18,9))) AS DOUBLE)
+                / CAST(count(1) AS DOUBLE), 6)""").as("avg_local_cc"))
+  }
+
+  /** K-CORE PEELING (k=3, three bounded rounds): iteratively drop
+    * nodes of degree < 3 and the edges touching them, reporting the
+    * shrinking graph per round — the standard coreness preprocessing
+    * before community/centrality work. Each round is one degree
+    * aggregate + two semi-join-shaped filters over the current edge
+    * set, localCheckpointed so the plan (and its lineage) stays
+    * O(1) per round — the PageRank iteration recipe. The DuckDB twin
+    * unrolls the same three rounds as CTEs.
+    */
+  private def qKcore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    var ed = writtenEdgesTable(s, dir).localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    for (it <- 1 to 3) {
+      val keep = ed.groupBy("src").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= 3).select(col("src").as("node"))
+      val prev = ed
+      ed = ed
+        .join(keep.withColumnRenamed("node", "src"), Seq("src"))
+        .join(keep.withColumnRenamed("node", "dst"), Seq("dst"))
+        .select("src", "dst")
+        .localCheckpoint(true)
+      prev.unpersist()
+      out += ((it, ed.select("src").distinct().count(), ed.count() / 2))
+    }
+    out.toSeq.toDF("iter", "n_nodes", "n_edges")
+  }
+
   /** V-SHAPE pattern detection over daily revenue — now expressed on
     * the GENERIC sequence-pattern matcher ([[graft.ops.PatternMatch]]:
     * Down, Down, Up = a ≥2-day slide ending in a recovery), which
@@ -8826,6 +8891,8 @@ object SparkEntry {
     "q_assortativity" -> qAssortativity,
     "q_pattern_vshape" -> qPatternVshape,
     "q_pattern_doubletop" -> qPatternDoubletop,
+    "q_clustering_coeff" -> qClusteringCoeff,
+    "q_kcore" -> qKcore,
     "q_skew_audit" -> qSkewAudit,
     "q_tfidf_cosine_pairs" -> qTfidfCosinePairs,
     "q_diversity_index" -> qDiversityIndex,
@@ -11848,6 +11915,58 @@ object SparkEntry {
          SELECT node, COUNT(*) AS n_triangles
          FROM corners GROUP BY node
          ORDER BY n_triangles DESC, node LIMIT 10""",
+    "q_clustering_coeff" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey
+           FROM lineitem WHERE l_quantity <= 2),
+         ed AS (SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+           FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+             AND a.l_suppkey <> b.l_suppkey),
+         e AS (SELECT src AS u, dst AS v FROM ed WHERE src < dst),
+         wed AS (SELECT x.u AS wu, x.v AS wv, y.v AS ww
+           FROM e x JOIN e y ON x.v = y.u),
+         tri AS (SELECT wu, wv, ww
+           FROM wed JOIN e cl ON wed.wu = cl.u AND wed.ww = cl.v),
+         corners AS (SELECT wu AS node FROM tri
+           UNION ALL SELECT wv FROM tri
+           UNION ALL SELECT ww FROM tri),
+         tpn AS (SELECT node, COUNT(*) AS t FROM corners GROUP BY node),
+         deg AS (SELECT src AS node, COUNT(*) AS d FROM ed GROUP BY src),
+         n2 AS (SELECT deg.node, d, COALESCE(t, 0) AS t
+           FROM deg LEFT JOIN tpn ON deg.node = tpn.node WHERE d >= 2)
+         SELECT COUNT(*) AS n_nodes,
+           CAST(SUM(t) // 3 AS BIGINT) AS n_triangles,
+           round(2.0 * CAST(SUM(t) AS DOUBLE)
+             / CAST(SUM(d * (d - 1)) AS DOUBLE), 6) AS global_cc,
+           round(CAST(SUM(CAST(round(2.0 * t
+               / (CAST(d AS DOUBLE) * CAST(d - 1 AS DOUBLE)), 9)
+             AS DECIMAL(18,9))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_local_cc
+         FROM n2""",
+    "q_kcore" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey
+           FROM lineitem WHERE l_quantity <= 2),
+         ed0 AS (SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+           FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+             AND a.l_suppkey <> b.l_suppkey),
+         k1 AS (SELECT src FROM ed0 GROUP BY src HAVING COUNT(*) >= 3),
+         ed1 AS (SELECT e.src, e.dst FROM ed0 e
+           JOIN k1 a ON e.src = a.src JOIN k1 b ON e.dst = b.src),
+         k2 AS (SELECT src FROM ed1 GROUP BY src HAVING COUNT(*) >= 3),
+         ed2 AS (SELECT e.src, e.dst FROM ed1 e
+           JOIN k2 a ON e.src = a.src JOIN k2 b ON e.dst = b.src),
+         k3 AS (SELECT src FROM ed2 GROUP BY src HAVING COUNT(*) >= 3),
+         ed3 AS (SELECT e.src, e.dst FROM ed2 e
+           JOIN k3 a ON e.src = a.src JOIN k3 b ON e.dst = b.src)
+         SELECT CAST(1 AS INTEGER) AS iter,
+           (SELECT COUNT(DISTINCT src) FROM ed1) AS n_nodes,
+           (SELECT CAST(COUNT(*) // 2 AS BIGINT) FROM ed1) AS n_edges
+         UNION ALL SELECT CAST(2 AS INTEGER),
+           (SELECT COUNT(DISTINCT src) FROM ed2),
+           (SELECT CAST(COUNT(*) // 2 AS BIGINT) FROM ed2)
+         UNION ALL SELECT CAST(3 AS INTEGER),
+           (SELECT COUNT(DISTINCT src) FROM ed3),
+           (SELECT CAST(COUNT(*) // 2 AS BIGINT) FROM ed3)
+         ORDER BY iter""",
     "q_k_anonymity" ->
       """SELECT lang, source, COUNT(*) AS n
          FROM documents GROUP BY lang, source
