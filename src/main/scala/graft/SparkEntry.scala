@@ -8445,6 +8445,136 @@ object SparkEntry {
       .orderBy("day")
   }
 
+  /** MANN–KENDALL TREND TEST over daily revenue: S = Σ_{i<j}
+    * sign(x_j − x_i) and Kendall's tau — the nonparametric "is there a
+    * monotone trend" answer. The pairwise join is days × days —
+    * CALENDAR-BOUNDED (the qRocAuc contract: ~73k days even at a
+    * 200-year horizon), never corpus-sized; signs are exact DECIMAL
+    * comparisons summed as BIGINT.
+    */
+  private def qMannKendall(s: SparkSession, dir: String): DataFrame = {
+    val d = dailyRevenue(s, dir)
+    val n1 = d.agg(count(lit(1)).as("n"))
+    d.as("a").join(d.as("b"), col("a.day") < col("b.day"))
+      .select(when(col("b.rev") > col("a.rev"), 1L)
+        .when(col("b.rev") < col("a.rev"), -1L)
+        .otherwise(0L).as("sgn"))
+      .agg(sum(col("sgn")).as("s_stat"))
+      .crossJoin(broadcast(n1))
+      .select(col("n").as("n_days"), col("s_stat"),
+        round(expr("""CAST(s_stat AS DOUBLE)
+          / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2.0d)"""), 6)
+          .as("tau"),
+        expr("""CASE WHEN s_stat > 0 THEN 'increasing'
+                WHEN s_stat < 0 THEN 'decreasing'
+                ELSE 'no_trend' END""").as("trend"))
+  }
+
+  /** Daily revenue re-quantized to DECIMAL(18,2) so squared terms stay
+    * inside both engines' exact-DECIMAL multiply precision (Spark
+    * (18,2)² → (37,4); DuckDB (18,2)² → (36,4) — a (38,2)² would
+    * overflow DuckDB's 38-digit cap). */
+  private def dailyRev18(s: SparkSession, dir: String): DataFrame =
+    dailyRevenue(s, dir)
+      .select(col("day"), col("rev").cast("decimal(18,2)").as("rev"))
+
+  /** BOLLINGER BANDS over daily revenue: 7-day rolling mean ± 2σ from
+    * EXACT DECIMAL window sums (count/sum/sum-of-squares — population
+    * σ), bands materialized in double with one fixed evaluation order
+    * so both engines agree bit-for-bit; output is the breakout days.
+    * Global window over a calendar-bounded series (qRocAuc contract).
+    */
+  private def qBollinger(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("day").rowsBetween(-6, 0)
+    dailyRev18(s, dir)
+      .select(col("day"), col("rev"),
+        count(lit(1)).over(w).as("cnt"),
+        sum(col("rev")).over(w).as("sm"),
+        sum(col("rev") * col("rev")).over(w).as("s2"))
+      .filter(col("cnt") === 7)
+      .withColumn("mean", expr("CAST(sm AS DOUBLE) / 7.0d"))
+      .withColumn("sd", expr(
+        """sqrt(greatest((CAST(s2 AS DOUBLE)
+             - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / 7.0d) / 7.0d,
+           0.0d))"""))
+      .filter(col("rev").cast("double") > col("mean") + lit(2.0) * col("sd")
+        || col("rev").cast("double") < col("mean") - lit(2.0) * col("sd"))
+      .select(col("day"),
+        round(col("rev").cast("double"), 2).as("rev"),
+        round(col("mean"), 2).as("mid"),
+        round(col("mean") + lit(2.0) * col("sd"), 2).as("upper"),
+        round(col("mean") - lit(2.0) * col("sd"), 2).as("lower"))
+      .orderBy("day")
+  }
+
+  /** RSI(14) overbought/oversold signals over daily revenue: day-over-
+    * day gains/losses as exact DECIMAL lags, 14-day rolling sums, and
+    * RSI = 100·ΣG/(ΣG+ΣL) (algebraically 100 − 100/(1+RS), without the
+    * divide-by-zero at all-loss windows; an all-flat window is guarded
+    * to NULL identically in both engines). Signal days only.
+    */
+  private def qRsi(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w1 = Window.orderBy("day")
+    val w14 = Window.orderBy("day").rowsBetween(-13, 0)
+    dailyRev18(s, dir)
+      .withColumn("prev", lag(col("rev"), 1).over(w1))
+      .filter(col("prev").isNotNull)
+      .withColumn("gain",
+        when(col("rev") > col("prev"), col("rev") - col("prev"))
+          .otherwise(lit(0).cast("decimal(19,2)")))
+      .withColumn("loss",
+        when(col("rev") < col("prev"), col("prev") - col("rev"))
+          .otherwise(lit(0).cast("decimal(19,2)")))
+      .select(col("day"),
+        count(lit(1)).over(w14).as("cnt"),
+        sum(col("gain")).over(w14).as("sg"),
+        sum(col("loss")).over(w14).as("sl"))
+      .filter(col("cnt") === 14)
+      .withColumn("rsi", expr(
+        """CASE WHEN sg + sl = 0 THEN NULL
+           ELSE round(100.0d * CAST(sg AS DOUBLE)
+             / (CAST(sg AS DOUBLE) + CAST(sl AS DOUBLE)), 4) END"""))
+      .filter(col("rsi") > 70.0 || col("rsi") < 30.0)
+      .select(col("day"), col("rsi"),
+        expr("CASE WHEN rsi > 70.0d THEN 'overbought' ELSE 'oversold' END")
+          .as("signal"))
+      .orderBy("day")
+  }
+
+  /** SAX SYMBOLIZATION of daily revenue: z-normalize against global
+    * exact-DECIMAL moments, bin into 4 symbols at the standard
+    * gaussian quartile breakpoints (±0.6744897501960817, 0), and
+    * report the symbol-transition (bigram) counts — the discretized
+    * shape profile sequence miners start from. One moment pass + one
+    * lag; everything downstream is 16-cell-sized.
+    */
+  private def qSax(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = dailyRev18(s, dir)
+    val mom = d.agg(count(lit(1)).as("n"), sum(col("rev")).as("sm"),
+      sum(col("rev") * col("rev")).as("s2"))
+    val q = 0.6744897501960817d
+    val sym = d.crossJoin(broadcast(mom))
+      .withColumn("mean", expr("CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)"))
+      .withColumn("sd", expr(
+        """sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)), 0.0d))"""))
+      .withColumn("z",
+        (col("rev").cast("double") - col("mean")) / col("sd"))
+      .withColumn("sym",
+        when(col("z") < -q, "a").when(col("z") < 0.0, "b")
+          .when(col("z") < q, "c").otherwise("d"))
+    sym.withColumn("sym_from",
+        lag(col("sym"), 1).over(Window.orderBy("day")))
+      .filter(col("sym_from").isNotNull)
+      .groupBy(col("sym_from"), col("sym").as("sym_to"))
+      .agg(count(lit(1)).as("n_trans"))
+      .orderBy("sym_from", "sym_to")
+  }
+
   /** KEY-SKEW AUDIT of a join key (l_partkey) — the pre-flight check
     * before any 100 TB keyed shuffle: per-key count distribution
     * summarized as max/percentile counts, max-key share, and the
@@ -8893,6 +9023,10 @@ object SparkEntry {
     "q_pattern_doubletop" -> qPatternDoubletop,
     "q_clustering_coeff" -> qClusteringCoeff,
     "q_kcore" -> qKcore,
+    "q_mann_kendall" -> qMannKendall,
+    "q_bollinger" -> qBollinger,
+    "q_rsi" -> qRsi,
+    "q_sax" -> qSax,
     "q_skew_audit" -> qSkewAudit,
     "q_tfidf_cosine_pairs" -> qTfidfCosinePairs,
     "q_diversity_index" -> qDiversityIndex,
@@ -11967,6 +12101,107 @@ object SparkEntry {
            (SELECT COUNT(DISTINCT src) FROM ed3),
            (SELECT CAST(COUNT(*) // 2 AS BIGINT) FROM ed3)
          ORDER BY iter""",
+    "q_mann_kendall" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders GROUP BY 1),
+         p AS (SELECT CASE WHEN b.rev > a.rev THEN 1
+               WHEN b.rev < a.rev THEN -1 ELSE 0 END AS sgn
+           FROM daily a JOIN daily b ON a.day < b.day),
+         n1 AS (SELECT COUNT(*) AS n FROM daily)
+         SELECT n AS n_days, CAST(SUM(sgn) AS BIGINT) AS s_stat,
+           round(CAST(SUM(sgn) AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2.0), 6)
+             AS tau,
+           CASE WHEN SUM(sgn) > 0 THEN 'increasing'
+             WHEN SUM(sgn) < 0 THEN 'decreasing'
+             ELSE 'no_trend' END AS trend
+         FROM p CROSS JOIN n1 GROUP BY n""",
+    "q_bollinger" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(18,2)) AS rev
+           FROM orders GROUP BY 1),
+         win AS (SELECT day, rev,
+             COUNT(*) OVER w AS cnt,
+             SUM(rev) OVER w AS sm,
+             SUM(rev * rev) OVER w AS s2
+           FROM daily
+           WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING
+             AND CURRENT ROW)),
+         b AS (SELECT day, rev,
+             CAST(sm AS DOUBLE) / 7.0 AS mean,
+             sqrt(greatest((CAST(s2 AS DOUBLE)
+               - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / 7.0) / 7.0,
+               0.0)) AS sd
+           FROM win WHERE cnt = 7)
+         SELECT day, round(CAST(rev AS DOUBLE), 2) AS rev,
+           round(mean, 2) AS mid,
+           round(mean + 2.0 * sd, 2) AS upper,
+           round(mean - 2.0 * sd, 2) AS lower
+         FROM b
+         WHERE CAST(rev AS DOUBLE) > mean + 2.0 * sd
+           OR CAST(rev AS DOUBLE) < mean - 2.0 * sd
+         ORDER BY day""",
+    "q_rsi" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(18,2)) AS rev
+           FROM orders GROUP BY 1),
+         lagged AS (SELECT day, rev,
+             lag(rev, 1) OVER (ORDER BY day) AS prev
+           FROM daily),
+         gl AS (SELECT day,
+             CASE WHEN rev > prev THEN rev - prev
+               ELSE CAST(0 AS DECIMAL(19,2)) END AS gain,
+             CASE WHEN rev < prev THEN prev - rev
+               ELSE CAST(0 AS DECIMAL(19,2)) END AS loss
+           FROM lagged WHERE prev IS NOT NULL),
+         win AS (SELECT day,
+             COUNT(*) OVER w AS cnt,
+             SUM(gain) OVER w AS sg,
+             SUM(loss) OVER w AS sl
+           FROM gl
+           WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING
+             AND CURRENT ROW)),
+         r AS (SELECT day,
+             CASE WHEN sg + sl = 0 THEN NULL
+               ELSE round(100.0 * CAST(sg AS DOUBLE)
+                 / (CAST(sg AS DOUBLE) + CAST(sl AS DOUBLE)), 4)
+               END AS rsi
+           FROM win WHERE cnt = 14)
+         SELECT day, rsi,
+           CASE WHEN rsi > 70.0 THEN 'overbought'
+             ELSE 'oversold' END AS signal
+         FROM r WHERE rsi > 70.0 OR rsi < 30.0
+         ORDER BY day""",
+    "q_sax" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(18,2)) AS rev
+           FROM orders GROUP BY 1),
+         mom AS (SELECT COUNT(*) AS n, SUM(rev) AS sm,
+             SUM(rev * rev) AS s2
+           FROM daily),
+         z AS (SELECT day,
+             (CAST(rev AS DOUBLE) - CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))
+               / sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)), 0.0))
+               AS z
+           FROM daily CROSS JOIN mom),
+         syms AS (SELECT day,
+             CASE WHEN z < -0.6744897501960817 THEN 'a'
+               WHEN z < 0.0 THEN 'b'
+               WHEN z < 0.6744897501960817 THEN 'c'
+               ELSE 'd' END AS sym
+           FROM z),
+         tr AS (SELECT lag(sym, 1) OVER (ORDER BY day) AS sym_from,
+             sym AS sym_to
+           FROM syms)
+         SELECT sym_from, sym_to, COUNT(*) AS n_trans
+         FROM tr WHERE sym_from IS NOT NULL
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_k_anonymity" ->
       """SELECT lang, source, COUNT(*) AS n
          FROM documents GROUP BY lang, source
