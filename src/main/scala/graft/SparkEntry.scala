@@ -8462,9 +8462,11 @@ object SparkEntry {
       .agg(sum(col("sgn")).as("s_stat"))
       .crossJoin(broadcast(n1))
       .select(col("n").as("n_days"), col("s_stat"),
-        round(expr("""CAST(s_stat AS DOUBLE)
-          / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2.0d)"""), 6)
-          .as("tau"),
+        // + 0.0: a tiny negative tau can round to -0.0 and the engines
+        // disagree on the zero's sign (the r8 lesson) — normalize
+        expr("""round(CAST(s_stat AS DOUBLE)
+          / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2.0d), 6)
+          + 0.0d""").as("tau"),
         expr("""CASE WHEN s_stat > 0 THEN 'increasing'
                 WHEN s_stat < 0 THEN 'decreasing'
                 ELSE 'no_trend' END""").as("trend"))
@@ -8573,6 +8575,114 @@ object SparkEntry {
       .groupBy(col("sym_from"), col("sym").as("sym_to"))
       .agg(count(lit(1)).as("n_trans"))
       .orderBy("sym_from", "sym_to")
+  }
+
+  /** SIMPSON'S-PARADOX AUDIT: return-rate difference between high-
+    * discount (>= 0.05) and low-discount lineitems, per ship-year
+    * stratum AND pooled — a stratum whose rate-difference sign
+    * disagrees with the pooled sign is the aggregation trap every
+    * metrics review must flag. Counts are exact BIGINT;
+    * rates/differences are one fixed double evaluation order,
+    * `+ 0.0`-normalized so a −0.0 diff can't split the engines; the
+    * flip flag compares ROUNDED signs. Everything is strata-sized
+    * after one scan.
+    */
+  private def qSimpson(s: SparkSession, dir: String): DataFrame = {
+    val li = tbl(s, dir, "lineitem")
+      .select(expr("CAST(year(l_shipdate) AS BIGINT)").as("yr"),
+        when(col("l_discount") >= 0.05, "hi").otherwise("lo").as("grp"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ret"))
+    val grpAggs = Seq(
+      sum(when(col("grp") === "hi", 1L).otherwise(0L)).as("n_hi"),
+      sum(when(col("grp") === "hi", col("ret")).otherwise(0L))
+        .as("r_hi"),
+      sum(when(col("grp") === "lo", 1L).otherwise(0L)).as("n_lo"),
+      sum(when(col("grp") === "lo", col("ret")).otherwise(0L))
+        .as("r_lo"))
+    val rateCols = Seq(
+      expr("""CASE WHEN n_hi = 0 THEN NULL ELSE
+          round(CAST(r_hi AS DOUBLE) / CAST(n_hi AS DOUBLE), 6)
+        END""").as("rate_hi"),
+      expr("""CASE WHEN n_lo = 0 THEN NULL ELSE
+          round(CAST(r_lo AS DOUBLE) / CAST(n_lo AS DOUBLE), 6)
+        END""").as("rate_lo"),
+      expr("""CASE WHEN n_hi = 0 OR n_lo = 0 THEN NULL ELSE
+          round(CAST(r_hi AS DOUBLE) / CAST(n_hi AS DOUBLE)
+            - CAST(r_lo AS DOUBLE) / CAST(n_lo AS DOUBLE), 6)
+            + 0.0d
+        END""").as("diff"))
+    val strata = li.groupBy("yr").agg(grpAggs.head, grpAggs.tail: _*)
+      .select(Seq(col("yr").cast("string").as("stratum"), col("n_hi"),
+        col("r_hi"), col("n_lo"), col("r_lo")) ++ rateCols: _*)
+    val pooled = li.groupBy().agg(grpAggs.head, grpAggs.tail: _*)
+      .select(Seq(lit("pooled").as("stratum"), col("n_hi"),
+        col("r_hi"), col("n_lo"), col("r_lo")) ++ rateCols: _*)
+    val pd = pooled.select(col("diff").as("pdiff"))
+    strata.crossJoin(broadcast(pd))
+      .unionByName(pooled.withColumn("pdiff", col("diff")))
+      .withColumn("flips", expr(
+        """CASE WHEN diff IS NULL OR pdiff IS NULL THEN NULL
+           WHEN (diff > 0.0d) <> (pdiff > 0.0d) THEN 1 ELSE 0 END"""))
+      .select("stratum", "n_hi", "rate_hi", "n_lo", "rate_lo",
+        "diff", "flips")
+      .orderBy("stratum")
+  }
+
+  /** BURSTINESS PROFILE of the event stream: per event type, the Fano
+    * factor (var/mean of daily counts) and the Goh–Barabási
+    * burstiness coefficient (σ−μ)/(σ+μ) — Poisson-like arrivals sit
+    * near Fano 1 / B < 0, bursty types above. One daily aggregate,
+    * then exact BIGINT moments over the calendar-bounded day axis.
+    */
+  private def qBurstiness(s: SparkSession, dir: String): DataFrame = {
+    val sdSql =
+      """sqrt(greatest((CAST(scc AS DOUBLE)
+           - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+             / CAST(n_days AS DOUBLE)) / CAST(n_days AS DOUBLE), 0.0d))"""
+    val muSql = "(CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE))"
+    tbl(s, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("scc"))
+      .select(col("event_type"), col("n_days"),
+        round(expr(muSql), 6).as("mean_daily"),
+        round(expr(s"$sdSql * $sdSql / $muSql"), 6).as("fano"),
+        expr(s"round(($sdSql - $muSql) / ($sdSql + $muSql), 6) + 0.0d")
+          .as("burstiness"))
+      .orderBy("event_type")
+  }
+
+  /** PRICE ELASTICITY per part brand: the ln–ln regression slope of
+    * quantity on unit price, via the qLinreg closed form over
+    * 9-dp-rounded ln terms DECIMAL-summed (the libm determinism
+    * recipe; `+ 0.0` so a −0.0 log term can't split the engines).
+    * One keyed lineitem→part join, then brand-sized moments.
+    */
+  private def qPriceElasticity(s: SparkSession, dir: String): DataFrame = {
+    val li = tbl(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val p = tbl(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        expr("""CAST(round(ln(CAST(l_extendedprice AS DOUBLE)
+            / CAST(l_quantity AS DOUBLE)), 9) + 0.0d
+          AS DECIMAL(18,9))""").as("x"),
+        expr("""CAST(round(ln(CAST(l_quantity AS DOUBLE)), 9) + 0.0d
+          AS DECIMAL(18,9))""").as("y"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("p_brand"), col("n"),
+        expr("""round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0.0d""")
+          .as("elasticity"))
+      .orderBy("p_brand")
   }
 
   /** KEY-SKEW AUDIT of a join key (l_partkey) — the pre-flight check
@@ -9027,6 +9137,9 @@ object SparkEntry {
     "q_bollinger" -> qBollinger,
     "q_rsi" -> qRsi,
     "q_sax" -> qSax,
+    "q_simpson" -> qSimpson,
+    "q_burstiness" -> qBurstiness,
+    "q_price_elasticity" -> qPriceElasticity,
     "q_skew_audit" -> qSkewAudit,
     "q_tfidf_cosine_pairs" -> qTfidfCosinePairs,
     "q_diversity_index" -> qDiversityIndex,
@@ -12112,7 +12225,7 @@ object SparkEntry {
          SELECT n AS n_days, CAST(SUM(sgn) AS BIGINT) AS s_stat,
            round(CAST(SUM(sgn) AS DOUBLE)
              / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2.0), 6)
-             AS tau,
+             + 0.0 AS tau,
            CASE WHEN SUM(sgn) > 0 THEN 'increasing'
              WHEN SUM(sgn) < 0 THEN 'decreasing'
              ELSE 'no_trend' END AS trend
@@ -12202,6 +12315,87 @@ object SparkEntry {
          SELECT sym_from, sym_to, COUNT(*) AS n_trans
          FROM tr WHERE sym_from IS NOT NULL
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_simpson" ->
+      """WITH li AS (SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+             CASE WHEN l_discount >= 0.05 THEN 'hi' ELSE 'lo' END AS grp,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+           FROM lineitem),
+         st AS (SELECT CAST(yr AS VARCHAR) AS stratum,
+             CAST(SUM(CASE WHEN grp = 'hi' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hi,
+             CAST(SUM(CASE WHEN grp = 'hi' THEN ret ELSE 0 END)
+               AS BIGINT) AS r_hi,
+             CAST(SUM(CASE WHEN grp = 'lo' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_lo,
+             CAST(SUM(CASE WHEN grp = 'lo' THEN ret ELSE 0 END)
+               AS BIGINT) AS r_lo
+           FROM li GROUP BY 1),
+         pl AS (SELECT 'pooled' AS stratum,
+             CAST(SUM(CASE WHEN grp = 'hi' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hi,
+             CAST(SUM(CASE WHEN grp = 'hi' THEN ret ELSE 0 END)
+               AS BIGINT) AS r_hi,
+             CAST(SUM(CASE WHEN grp = 'lo' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_lo,
+             CAST(SUM(CASE WHEN grp = 'lo' THEN ret ELSE 0 END)
+               AS BIGINT) AS r_lo
+           FROM li),
+         allr AS (SELECT * FROM st UNION ALL SELECT * FROM pl),
+         rt AS (SELECT stratum, n_hi, r_hi, n_lo, r_lo,
+             CASE WHEN n_hi = 0 THEN NULL ELSE
+               round(CAST(r_hi AS DOUBLE) / CAST(n_hi AS DOUBLE), 6)
+             END AS rate_hi,
+             CASE WHEN n_lo = 0 THEN NULL ELSE
+               round(CAST(r_lo AS DOUBLE) / CAST(n_lo AS DOUBLE), 6)
+             END AS rate_lo,
+             CASE WHEN n_hi = 0 OR n_lo = 0 THEN NULL ELSE
+               round(CAST(r_hi AS DOUBLE) / CAST(n_hi AS DOUBLE)
+                 - CAST(r_lo AS DOUBLE) / CAST(n_lo AS DOUBLE), 6)
+                 + 0.0
+             END AS diff
+           FROM allr),
+         pd AS (SELECT diff AS pdiff FROM rt WHERE stratum = 'pooled')
+         SELECT stratum, n_hi, rate_hi, n_lo, rate_lo, diff,
+           CASE WHEN diff IS NULL OR pdiff IS NULL THEN NULL
+             WHEN (diff > 0.0) <> (pdiff > 0.0) THEN 1 ELSE 0
+           END AS flips
+         FROM rt CROSS JOIN pd ORDER BY stratum""",
+    "q_burstiness" -> {
+      val sd = """sqrt(greatest((CAST(scc AS DOUBLE)
+           - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+             / CAST(n_days AS DOUBLE)) / CAST(n_days AS DOUBLE), 0.0))"""
+      val mu = "(CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE))"
+      s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             COUNT(*) AS c
+           FROM events GROUP BY 1, 2),
+         m AS (SELECT event_type, COUNT(*) AS n_days,
+             CAST(SUM(c) AS BIGINT) AS sc,
+             CAST(SUM(c * c) AS BIGINT) AS scc
+           FROM daily GROUP BY 1)
+         SELECT event_type, n_days,
+           round($mu, 6) AS mean_daily,
+           round($sd * $sd / $mu, 6) AS fano,
+           round(($sd - $mu) / ($sd + $mu), 6) + 0.0 AS burstiness
+         FROM m ORDER BY event_type"""
+    },
+    "q_price_elasticity" ->
+      """WITH t AS (SELECT p_brand,
+             CAST(round(ln(CAST(l_extendedprice AS DOUBLE)
+                 / CAST(l_quantity AS DOUBLE)), 9) + 0.0
+               AS DECIMAL(18,9)) AS x,
+             CAST(round(ln(CAST(l_quantity AS DOUBLE)), 9) + 0.0
+               AS DECIMAL(18,9)) AS y
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         m AS (SELECT p_brand, COUNT(*) AS n, SUM(x) AS sx,
+             SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+           FROM t GROUP BY 1)
+         SELECT p_brand, n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0.0
+             AS elasticity
+         FROM m ORDER BY p_brand""",
     "q_k_anonymity" ->
       """SELECT lang, source, COUNT(*) AS n
          FROM documents GROUP BY lang, source
