@@ -8685,6 +8685,111 @@ object SparkEntry {
       .orderBy("p_brand")
   }
 
+  /** CUPED VARIANCE REDUCTION for the A/B surface (q_ab_lift's
+    * hash-assigned arms): pre-period views are the covariate, post-
+    * period purchases the metric, θ = cov(X,Y)/var(X) fitted POOLED
+    * from exact BIGINT moment sums, and the adjusted lift subtracts
+    * θ·(mean_Xa − mean_Xb) (the global-mean term cancels in the
+    * difference). var_reduction is the pooled ρ² CUPED removes. The
+    * pre/post boundary is the exact µs midpoint of the event-time
+    * range — integer arithmetic, replayed with epoch_us in DuckDB.
+    * One user-level aggregate, then a 1-row closed form.
+    */
+  private def qCuped(s: SparkSession, dir: String): DataFrame = {
+    val ev = withTsUs(tbl(s, dir, "events"))
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+    val bounds = ev.agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi"))
+    val perUser = ev.crossJoin(broadcast(bounds))
+      .withColumn("mid", expr("lo + CAST((hi - lo) DIV 2 AS BIGINT)"))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "view" && col("ts_us") < col("mid"),
+          1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase"
+          && col("ts_us") >= col("mid"), 1L).otherwise(0L)).as("y"))
+    val assigned = graft.ops.Sampling
+      .splitAssign(perUser, "user_id", seed = 11L,
+        trainFrac = 0.5, valFrac = 0.25)
+      .withColumn("in_a", col("split_u") < 0.5)
+    val m = assigned.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(when(col("in_a"), 1L).otherwise(0L)).as("na"),
+      sum(when(col("in_a"), col("x")).otherwise(0L)).as("sxa"),
+      sum(when(col("in_a"), col("y")).otherwise(0L)).as("sya"),
+      sum(when(!col("in_a"), 1L).otherwise(0L)).as("nb"),
+      sum(when(!col("in_a"), col("x")).otherwise(0L)).as("sxb"),
+      sum(when(!col("in_a"), col("y")).otherwise(0L)).as("syb"))
+    val thetaSql =
+      """((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"""
+    val rawSql =
+      """(CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)
+         - CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE))"""
+    val dxSql =
+      """(CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE)
+         - CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE))"""
+    m.select(col("na"), col("nb"),
+      expr(s"round($thetaSql, 6) + 0.0d").as("theta"),
+      expr(s"round($rawSql, 6) + 0.0d").as("raw_lift"),
+      expr(s"round($rawSql - $thetaSql * $dxSql, 6) + 0.0d")
+        .as("cuped_lift"),
+      expr("""round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)""")
+        .as("var_reduction"))
+  }
+
+  /** SPRT SEQUENTIAL TEST over the daily purchase rate (H0 p=0.04 vs
+    * H1 p=0.06, α=β=0.05): per-day log-likelihood-ratio increments
+    * k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0)) as 9-dp DECIMAL terms,
+    * EXACT cumulative sums over the calendar-bounded day axis, and the
+    * first boundary crossing (±ln 19) reported with the decision — the
+    * always-valid early-stopping monitor a metrics pipeline runs daily.
+    */
+  private def qSprt(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = tbl(s, dir, "events")
+      .select(to_date(col("ts")).as("day"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("k"))
+    val cum = daily
+      .withColumn("term", expr(
+        """CAST(round(ln(0.06d / 0.04d), 9) AS DECIMAL(18,9)) * k
+           + CAST(round(ln(0.94d / 0.96d), 9) AS DECIMAL(18,9)) * (n - k)"""))
+      .withColumn("cum",
+        sum(col("term")).over(Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("crossed", expr(
+        """CAST(cum AS DOUBLE) > ln(19.0d)
+           OR CAST(cum AS DOUBLE) < -ln(19.0d)"""))
+    // all three summaries are ungrouped aggregates, so each is exactly
+    // one row even when no day ever crosses (NULL day/decision then)
+    val firstCross = cum.filter(col("crossed"))
+      .agg(min(col("day")).as("first_cross_day"),
+        expr("min_by(CAST(cum AS DOUBLE), day)").as("cum_at_cross"))
+      .select(col("first_cross_day"), expr(
+        """CASE WHEN cum_at_cross IS NULL THEN NULL
+           WHEN cum_at_cross > 0.0d THEN 'accept_h1'
+           ELSE 'accept_h0' END""").as("decision"))
+    val finalRow = cum.agg(
+      round(expr("max_by(CAST(cum AS DOUBLE), day)"), 6).as("final_llr"))
+    daily.agg(count(lit(1)).as("n_days"))
+      .crossJoin(broadcast(firstCross))
+      .crossJoin(broadcast(finalRow))
+  }
+
   /** KEY-SKEW AUDIT of a join key (l_partkey) — the pre-flight check
     * before any 100 TB keyed shuffle: per-key count distribution
     * summarized as max/percentile counts, max-key share, and the
@@ -9140,6 +9245,8 @@ object SparkEntry {
     "q_simpson" -> qSimpson,
     "q_burstiness" -> qBurstiness,
     "q_price_elasticity" -> qPriceElasticity,
+    "q_cuped" -> qCuped,
+    "q_sprt" -> qSprt,
     "q_skew_audit" -> qSkewAudit,
     "q_tfidf_cosine_pairs" -> qTfidfCosinePairs,
     "q_diversity_index" -> qDiversityIndex,
@@ -12396,6 +12503,93 @@ object SparkEntry {
                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0.0
              AS elasticity
          FROM m ORDER BY p_brand""",
+    "q_cuped" -> {
+      val theta =
+        """((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"""
+      val raw =
+        """(CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)
+           - CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE))"""
+      val dx =
+        """(CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE)
+           - CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE))"""
+      s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+           FROM events),
+         b AS (SELECT MIN(ts_us) AS lo, MAX(ts_us) AS hi FROM ev),
+         pu AS (SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'view'
+                 AND ts_us < lo + (hi - lo) // 2 THEN 1 ELSE 0 END)
+               AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                 AND ts_us >= lo + (hi - lo) // 2 THEN 1 ELSE 0 END)
+               AS BIGINT) AS y
+           FROM ev CROSS JOIN b GROUP BY user_id),
+         h AS (SELECT x, y,
+             md5('11:' || CAST(user_id AS VARCHAR)) AS hh FROM pu),
+         v AS (SELECT x, y, list_reduce(list_transform(range(1, 9),
+             i -> CAST(strpos('0123456789abcdef', hh[i:i]) - 1 AS BIGINT)),
+             (a, d) -> a * 16 + d) AS hv FROM h),
+         u AS (SELECT x, y,
+             round((CAST(hv AS DOUBLE) + 0.5) / 4294967296.0, 6) < 0.5
+               AS in_a
+           FROM v),
+         m AS (SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(SUM(CASE WHEN in_a THEN x ELSE 0 END) AS BIGINT) AS sxa,
+             CAST(SUM(CASE WHEN in_a THEN y ELSE 0 END) AS BIGINT) AS sya,
+             CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+             CAST(SUM(CASE WHEN in_a THEN 0 ELSE x END) AS BIGINT) AS sxb,
+             CAST(SUM(CASE WHEN in_a THEN 0 ELSE y END) AS BIGINT) AS syb
+           FROM u)
+         SELECT na, nb,
+           round($theta, 6) + 0.0 AS theta,
+           round($raw, 6) + 0.0 AS raw_lift,
+           round($raw - $theta * $dx, 6) + 0.0 AS cuped_lift,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS var_reduction
+         FROM m"""
+    },
+    "q_sprt" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+               END) AS BIGINT) AS k
+           FROM events GROUP BY 1),
+         t AS (SELECT day,
+             CAST(round(ln(0.06 / 0.04), 9) AS DECIMAL(18,9)) * k
+               + CAST(round(ln(0.94 / 0.96), 9) AS DECIMAL(18,9))
+                 * (n - k) AS term
+           FROM daily),
+         c AS (SELECT day, SUM(term) OVER (ORDER BY day ROWS BETWEEN
+             UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t),
+         cr AS (SELECT day, cum,
+             CAST(cum AS DOUBLE) > ln(19.0)
+               OR CAST(cum AS DOUBLE) < -ln(19.0) AS crossed
+           FROM c),
+         fc AS (SELECT MIN(day) AS first_cross_day,
+             min_by(CAST(cum AS DOUBLE), day) AS cum_at_cross
+           FROM cr WHERE crossed),
+         fr AS (SELECT round(max_by(CAST(cum AS DOUBLE), day), 6)
+             AS final_llr FROM cr),
+         nd AS (SELECT COUNT(*) AS n_days FROM daily)
+         SELECT n_days, first_cross_day,
+           CASE WHEN cum_at_cross IS NULL THEN NULL
+             WHEN cum_at_cross > 0.0 THEN 'accept_h1'
+             ELSE 'accept_h0' END AS decision,
+           final_llr
+         FROM nd CROSS JOIN fc CROSS JOIN fr""",
     "q_k_anonymity" ->
       """SELECT lang, source, COUNT(*) AS n
          FROM documents GROUP BY lang, source
