@@ -8790,6 +8790,106 @@ object SparkEntry {
       .crossJoin(broadcast(finalRow))
   }
 
+  /** CENTROID-DISTANCE OUTLIERS over the embedding corpus: the global
+    * per-dim centroid from exact DECIMAL(28,12) sums (the
+    * q_embed_dim_stats recipe), quantized at 9 dp, then each vector's
+    * squared distance as 9-dp-rounded DECIMAL terms — top-20 farthest.
+    * Two corpus passes (moment, then distance), centroid broadcast as
+    * 64 rows; no vector ever shuffles whole and nothing is doc × doc.
+    */
+  private def qVecOutlier(s: SparkSession, dir: String): DataFrame = {
+    def ex = tbl(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "ef")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        col("ef").cast("double").as("e"))
+    val cen = ex.groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("e").cast("decimal(28,12)")).as("s"))
+      .select(col("dim"), expr(
+        """CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 9)
+           AS DECIMAL(18,9))""").as("cd"))
+    ex.join(broadcast(cen), Seq("dim"))
+      .select(col("vec_id"), expr(
+        """CAST(round((e - CAST(cd AS DOUBLE))
+             * (e - CAST(cd AS DOUBLE)), 9) AS DECIMAL(18,9))""")
+        .as("term"))
+      .groupBy("vec_id").agg(sum(col("term")).as("d2"))
+      .select(col("vec_id"),
+        round(col("d2").cast("double"), 6).as("dist2"))
+      .orderBy(col("dist2").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  /** LEVENE'S TEST (mean-centered) for variance homogeneity across
+    * event types — the q_anova companion answering "are the VARIANCES
+    * equal": z = |x − group mean| with the group means quantized at
+    * 9 dp, then the one-way-ANOVA F statistic ON the z values, all
+    * from exact DECIMAL moment sums (two scans: group means, then z
+    * moments; everything downstream is groups-sized).
+    */
+  private def qLevene(s: SparkSession, dir: String): DataFrame = {
+    val x = tbl(s, dir, "events")
+      .select(col("event_type"),
+        col("value").cast("decimal(18,6)").as("x"))
+    val gm = x.groupBy("event_type")
+      .agg(count(lit(1)).as("gn"), sum(col("x")).as("gsx"))
+      .select(col("event_type"), expr(
+        """CAST(round(CAST(gsx AS DOUBLE) / CAST(gn AS DOUBLE), 9)
+           AS DECIMAL(18,9))""").as("gmean"))
+    val z = x.join(broadcast(gm), Seq("event_type"))
+      .select(col("event_type"), expr(
+        """CAST(round(abs(CAST(x AS DOUBLE) - CAST(gmean AS DOUBLE)), 9)
+           AS DECIMAL(18,9))""").as("z"))
+    val g = z.groupBy("event_type")
+      .agg(count(lit(1)).as("gn"), sum(col("z")).as("gsz"),
+        sum(col("z") * col("z")).as("gszz"))
+    g.agg(count(lit(1)).as("k"),
+        sum(col("gn")).as("n"),
+        sum(col("gsz")).as("sz"),
+        sum(col("gszz")).as("szz"),
+        sum(expr("""CAST(round(CAST(gsz AS DOUBLE) * CAST(gsz AS DOUBLE)
+            / CAST(gn AS DOUBLE), 9) AS DECIMAL(28,9))""")).as("sgg"))
+      .select(col("k"), col("n"),
+        round(expr(
+          """((CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+               / (CAST(k AS DOUBLE) - 1.0d))
+             * (CAST(sgg AS DOUBLE)
+               - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+                 / CAST(n AS DOUBLE))
+             / (CAST(szz AS DOUBLE) - CAST(sgg AS DOUBLE))"""), 6)
+          .as("levene_w"))
+  }
+
+  /** READABILITY PROFILE per language: Flesch reading ease from exact
+    * integer counts — words / sentence-enders / vowel-group syllable
+    * approximations, each a regexp_extract_all length (the same
+    * regex-twin contract as the tokenizer oracles) — aggregated to
+    * per-language totals before the one closed-form score. One scan;
+    * groups-sized after it.
+    */
+  private def qReadability(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("lang"),
+        expr("""CAST(size(regexp_extract_all(text,
+          '[a-zA-Z0-9_]+', 0)) AS BIGINT)""").as("w"),
+        expr("""CAST(size(regexp_extract_all(text,
+          '[.!?]+', 0)) AS BIGINT)""").as("snt"),
+        expr("""CAST(size(regexp_extract_all(lower(text),
+          '[aeiouy]+', 0)) AS BIGINT)""").as("syl"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("words"),
+        sum(col("snt")).as("sentences"), sum(col("syl")).as("syllables"))
+      .select(col("lang"), col("n_docs"), col("words"),
+        col("sentences"), col("syllables"),
+        expr("""CASE WHEN sentences = 0 OR words = 0 THEN NULL ELSE
+            round(206.835d
+              - 1.015d * (CAST(words AS DOUBLE)
+                / CAST(sentences AS DOUBLE))
+              - 84.6d * (CAST(syllables AS DOUBLE)
+                / CAST(words AS DOUBLE)), 4)
+          END""").as("flesch"))
+      .orderBy("lang")
+
   /** KEY-SKEW AUDIT of a join key (l_partkey) — the pre-flight check
     * before any 100 TB keyed shuffle: per-key count distribution
     * summarized as max/percentile counts, max-key share, and the
@@ -9247,6 +9347,9 @@ object SparkEntry {
     "q_price_elasticity" -> qPriceElasticity,
     "q_cuped" -> qCuped,
     "q_sprt" -> qSprt,
+    "q_vec_outlier" -> qVecOutlier,
+    "q_levene" -> qLevene,
+    "q_readability" -> qReadability,
     "q_skew_audit" -> qSkewAudit,
     "q_tfidf_cosine_pairs" -> qTfidfCosinePairs,
     "q_diversity_index" -> qDiversityIndex,
@@ -12590,6 +12693,74 @@ object SparkEntry {
              ELSE 'accept_h0' END AS decision,
            final_llr
          FROM nd CROSS JOIN fc CROSS JOIN fr""",
+    "q_vec_outlier" ->
+      """WITH dims AS (SELECT CAST(i AS BIGINT) AS i
+             FROM generate_series(1, 64) t(i)),
+         x AS (SELECT vec_id, i - 1 AS dim,
+             CAST(embedding[i] AS DOUBLE) AS e
+           FROM embeddings CROSS JOIN dims),
+         cen AS (SELECT dim,
+             CAST(round(CAST(SUM(CAST(e AS DECIMAL(28,12))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 9) AS DECIMAL(18,9)) AS cd
+           FROM x GROUP BY dim),
+         d AS (SELECT vec_id,
+             SUM(CAST(round((e - CAST(cd AS DOUBLE))
+               * (e - CAST(cd AS DOUBLE)), 9) AS DECIMAL(18,9))) AS d2
+           FROM x JOIN cen USING (dim) GROUP BY vec_id)
+         SELECT vec_id, round(CAST(d2 AS DOUBLE), 6) AS dist2
+         FROM d ORDER BY dist2 DESC, vec_id LIMIT 20""",
+    "q_levene" ->
+      """WITH x AS (SELECT event_type,
+             CAST(value AS DECIMAL(18,6)) AS x
+           FROM events),
+         gm AS (SELECT event_type,
+             CAST(round(CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+               9) AS DECIMAL(18,9)) AS gmean
+           FROM x GROUP BY 1),
+         z AS (SELECT x.event_type,
+             CAST(round(abs(CAST(x AS DOUBLE) - CAST(gmean AS DOUBLE)),
+               9) AS DECIMAL(18,9)) AS z
+           FROM x JOIN gm ON x.event_type = gm.event_type),
+         g AS (SELECT event_type, COUNT(*) AS gn, SUM(z) AS gsz,
+             SUM(z * z) AS gszz
+           FROM z GROUP BY 1),
+         t AS (SELECT COUNT(*) AS k, CAST(SUM(gn) AS BIGINT) AS n,
+             SUM(gsz) AS sz, SUM(gszz) AS szz,
+             SUM(CAST(round(CAST(gsz AS DOUBLE) * CAST(gsz AS DOUBLE)
+               / CAST(gn AS DOUBLE), 9) AS DECIMAL(28,9))) AS sgg
+           FROM g)
+         SELECT k, n,
+           round(((CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+               / (CAST(k AS DOUBLE) - 1.0))
+             * (CAST(sgg AS DOUBLE)
+               - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+                 / CAST(n AS DOUBLE))
+             / (CAST(szz AS DOUBLE) - CAST(sgg AS DOUBLE)), 6)
+             AS levene_w
+         FROM t""",
+    "q_readability" ->
+      """WITH c AS (SELECT lang,
+             CAST(len(regexp_extract_all(text, '[a-zA-Z0-9_]+'))
+               AS BIGINT) AS w,
+             CAST(len(regexp_extract_all(text, '[.!?]+'))
+               AS BIGINT) AS snt,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS BIGINT) AS syl
+           FROM documents),
+         g AS (SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(w) AS BIGINT) AS words,
+             CAST(SUM(snt) AS BIGINT) AS sentences,
+             CAST(SUM(syl) AS BIGINT) AS syllables
+           FROM c GROUP BY 1)
+         SELECT lang, n_docs, words, sentences, syllables,
+           CASE WHEN sentences = 0 OR words = 0 THEN NULL ELSE
+             round(206.835
+               - 1.015 * (CAST(words AS DOUBLE)
+                 / CAST(sentences AS DOUBLE))
+               - 84.6 * (CAST(syllables AS DOUBLE)
+                 / CAST(words AS DOUBLE)), 4)
+           END AS flesch
+         FROM g ORDER BY lang""",
     "q_k_anonymity" ->
       """SELECT lang, source, COUNT(*) AS n
          FROM documents GROUP BY lang, source
