@@ -8890,6 +8890,110 @@ object SparkEntry {
           END""").as("flesch"))
       .orderBy("lang")
 
+  /** BM25 QUERY-TIME SCORING (the retrieval twin of q_bm25's per-doc
+    * term profile): score every document against a fixed 4-term query
+    * by touching ONLY the query terms' posting lists — the tf filter
+    * comes first, so the word-keyed work is O(postings of 4 terms),
+    * not O(corpus). Per-term scores are 6-dp-rounded DECIMALs summed
+    * per doc (order-free), top-20 docs with id tie-break. Corpus stats
+    * (df for the query words, doc lengths, avgdl, N) ride the same
+    * written TF table / broadcasts as q_bm25.
+    */
+  private def qBm25Query(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = Seq("hash", "join", "scan", "filter")
+    val tf = writtenTfTable(s, dir)
+    val qtf = tf.filter(col("word").isin(terms: _*))
+    val dfreq = qtf.groupBy("word").agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val ndocs = tbl(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val avgdl = dl.agg((sum(col("dl")).cast("double") /
+      count(lit(1))).as("avgdl"))
+    qtf.join(broadcast(dfreq), "word")
+      .join(broadcast(dl), "doc_id")
+      .crossJoin(broadcast(ndocs))
+      .crossJoin(broadcast(avgdl))
+      .withColumn("term_score", expr(
+        """CAST(round(
+             ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5d)
+               / (CAST(df AS DOUBLE) + 0.5d) + 1.0d)
+             * (CAST(tf AS DOUBLE) * (1.2d + 1.0d))
+             / (CAST(tf AS DOUBLE) + 1.2d * (0.25d
+               + 0.75d * CAST(dl AS DOUBLE) / avgdl)), 6)
+           AS DECIMAL(18,6))"""))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms_matched"),
+        sum(col("term_score")).as("sc"))
+      .select(col("doc_id"), col("n_terms_matched"),
+        round(col("sc").cast("double"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** PARTIAL CORRELATION of quantity and extended price CONTROLLING
+    * for discount — "is the qty↔price relation real or
+    * discount-mediated", the three-variable step past q_corr_matrix.
+    * All three pairwise r's come from ONE exact-DECIMAL moment
+    * aggregate; the partial is the textbook closed form, every rounded
+    * output `+ 0.0`-normalized (rxz/ryz hover near 0).
+    */
+  private def qPartialCorr(s: SparkSession, dir: String): DataFrame = {
+    def r(a: String, b: String) =
+      s"""((CAST(n AS DOUBLE) * CAST(s$a$b AS DOUBLE)
+           - CAST(s$a AS DOUBLE) * CAST(s$b AS DOUBLE))
+         / sqrt((CAST(n AS DOUBLE) * CAST(s$a$a AS DOUBLE)
+             - CAST(s$a AS DOUBLE) * CAST(s$a AS DOUBLE))
+           * (CAST(n AS DOUBLE) * CAST(s$b$b AS DOUBLE)
+             - CAST(s$b AS DOUBLE) * CAST(s$b AS DOUBLE))))"""
+    val rxy = r("x", "y"); val rxz = r("x", "z"); val ryz = r("y", "z")
+    tbl(s, dir, "lineitem")
+      .select(col("l_quantity").cast("decimal(12,2)").as("x"),
+        col("l_extendedprice").cast("decimal(14,2)").as("y"),
+        col("l_discount").cast("decimal(8,3)").as("z"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("z")).as("sz"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("z")).as("sxz"),
+        sum(col("y") * col("z")).as("syz"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("z") * col("z")).as("szz"))
+      .select(col("n"),
+        expr(s"round($rxy, 6) + 0.0d").as("r_xy"),
+        expr(s"round($rxz, 6) + 0.0d").as("r_xz"),
+        expr(s"round($ryz, 6) + 0.0d").as("r_yz"),
+        expr(s"""round(($rxy - $rxz * $ryz)
+            / sqrt((1.0d - $rxz * $rxz) * (1.0d - $ryz * $ryz)), 6)
+          + 0.0d""").as("partial_corr"))
+  }
+
+  /** VALUE AT RISK / CVaR (95%) of daily log revenue returns: returns
+    * as 9-dp-rounded DECIMAL ln ratios, the k = ⌈0.05·n⌉ worst picked
+    * by RANK (value + day tie-break — deterministic under ties), VaR =
+    * the k-th worst, CVaR = the exact DECIMAL mean of those k. The
+    * sort is over the calendar-bounded day axis (qRocAuc contract).
+    */
+  private def qVarCvar(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rets = dailyRev18(s, dir)
+      .withColumn("prev", lag(col("rev"), 1).over(Window.orderBy("day")))
+      .filter(col("prev").isNotNull)
+      .select(col("day"), expr(
+        """CAST(round(ln(CAST(rev AS DOUBLE) / CAST(prev AS DOUBLE)), 9)
+           + 0.0d AS DECIMAL(18,9))""").as("r"))
+    val n1 = rets.agg(count(lit(1)).as("n"))
+    rets
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("r"), col("day"))))
+      .crossJoin(broadcast(n1))
+      .filter(col("rk") <= ceil(col("n") * lit(0.05d)))
+      .agg(max(col("n")).as("n_rets"),
+        expr("round(CAST(max(r) AS DOUBLE), 6) + 0.0d").as("var_95"),
+        expr("""round(CAST(sum(r) AS DOUBLE)
+          / CAST(count(1) AS DOUBLE), 6) + 0.0d""").as("cvar_95"))
+  }
+
   /** KEY-SKEW AUDIT of a join key (l_partkey) — the pre-flight check
     * before any 100 TB keyed shuffle: per-key count distribution
     * summarized as max/percentile counts, max-key share, and the
@@ -9350,6 +9454,9 @@ object SparkEntry {
     "q_vec_outlier" -> qVecOutlier,
     "q_levene" -> qLevene,
     "q_readability" -> qReadability,
+    "q_bm25_query" -> qBm25Query,
+    "q_partial_corr" -> qPartialCorr,
+    "q_var_cvar" -> qVarCvar,
     "q_skew_audit" -> qSkewAudit,
     "q_tfidf_cosine_pairs" -> qTfidfCosinePairs,
     "q_diversity_index" -> qDiversityIndex,
@@ -12761,6 +12868,85 @@ object SparkEntry {
                  / CAST(words AS DOUBLE)), 4)
            END AS flesch
          FROM g ORDER BY lang""",
+    "q_bm25_query" ->
+      """WITH w AS (SELECT doc_id, unnest(list_filter(
+             regexp_split_to_array(lower(text), '[^a-zA-Z0-9_]+'),
+             x -> x <> '')) AS word
+           FROM documents),
+         tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w
+                GROUP BY doc_id, word),
+         qtf AS (SELECT * FROM tf
+           WHERE word IN ('hash', 'join', 'scan', 'filter')),
+         df AS (SELECT word, COUNT(*) AS df FROM qtf GROUP BY word),
+         dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf
+                GROUP BY doc_id),
+         nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+         ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+                FROM dl),
+         sc AS (SELECT qtf.doc_id,
+             CAST(round(
+               ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                 / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+               * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+               / (CAST(tf AS DOUBLE) + 1.2 * (0.25
+                 + 0.75 * CAST(dl AS DOUBLE) / avgdl)), 6)
+             AS DECIMAL(18,6)) AS term_score
+           FROM qtf JOIN df USING (word) JOIN dl USING (doc_id), nd, ad),
+         agg AS (SELECT doc_id, COUNT(*) AS n_terms_matched,
+             SUM(term_score) AS sc
+           FROM sc GROUP BY doc_id)
+         SELECT doc_id, n_terms_matched,
+           round(CAST(sc AS DOUBLE), 6) AS bm25
+         FROM agg ORDER BY bm25 DESC, doc_id LIMIT 20""",
+    "q_partial_corr" -> {
+      def r(a: String, b: String) =
+        s"""((CAST(n AS DOUBLE) * CAST(s$a$b AS DOUBLE)
+             - CAST(s$a AS DOUBLE) * CAST(s$b AS DOUBLE))
+           / sqrt((CAST(n AS DOUBLE) * CAST(s$a$a AS DOUBLE)
+               - CAST(s$a AS DOUBLE) * CAST(s$a AS DOUBLE))
+             * (CAST(n AS DOUBLE) * CAST(s$b$b AS DOUBLE)
+               - CAST(s$b AS DOUBLE) * CAST(s$b AS DOUBLE))))"""
+      val rxy = r("x", "y"); val rxz = r("x", "z"); val ryz = r("y", "z")
+      s"""WITH t AS (SELECT CAST(l_quantity AS DECIMAL(12,2)) AS x,
+             CAST(l_extendedprice AS DECIMAL(14,2)) AS y,
+             CAST(l_discount AS DECIMAL(8,3)) AS z
+           FROM lineitem),
+         m AS (SELECT COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(z) AS sz,
+             SUM(x * y) AS sxy, SUM(x * z) AS sxz, SUM(y * z) AS syz,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(z * z) AS szz
+           FROM t)
+         SELECT n,
+           round($rxy, 6) + 0.0 AS r_xy,
+           round($rxz, 6) + 0.0 AS r_xz,
+           round($ryz, 6) + 0.0 AS r_yz,
+           round(($rxy - $rxz * $ryz)
+               / sqrt((1.0 - $rxz * $rxz) * (1.0 - $ryz * $ryz)), 6)
+             + 0.0 AS partial_corr
+         FROM m"""
+    },
+    "q_var_cvar" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(18,2)) AS rev
+           FROM orders GROUP BY 1),
+         lagged AS (SELECT day, rev,
+             lag(rev, 1) OVER (ORDER BY day) AS prev
+           FROM daily),
+         rets AS (SELECT day,
+             CAST(round(ln(CAST(rev AS DOUBLE) / CAST(prev AS DOUBLE)),
+               9) + 0.0 AS DECIMAL(18,9)) AS r
+           FROM lagged WHERE prev IS NOT NULL),
+         n1 AS (SELECT COUNT(*) AS n FROM rets),
+         rk AS (SELECT r, row_number() OVER (ORDER BY r, day) AS rk
+           FROM rets),
+         tail AS (SELECT r, n FROM rk CROSS JOIN n1
+           WHERE rk <= ceil(n * 0.05))
+         SELECT MAX(n) AS n_rets,
+           round(CAST(MAX(r) AS DOUBLE), 6) + 0.0 AS var_95,
+           round(CAST(SUM(r) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             + 0.0 AS cvar_95
+         FROM tail""",
     "q_k_anonymity" ->
       """SELECT lang, source, COUNT(*) AS n
          FROM documents GROUP BY lang, source
