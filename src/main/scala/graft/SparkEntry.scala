@@ -8994,6 +8994,108 @@ object SparkEntry {
           / CAST(count(1) AS DOUBLE), 6) + 0.0d""").as("cvar_95"))
   }
 
+  /** Shared 1-row exact moments of the daily revenue series (n, Σy,
+    * Σy²) — the q_sax pass, reused by the normality/outlier tests. */
+  private def dailyRevMoments(s: SparkSession, dir: String): DataFrame =
+    dailyRev18(s, dir).agg(count(lit(1)).as("n"),
+      sum(col("rev")).as("sm"), sum(col("rev") * col("rev")).as("s2"))
+
+  private val revMeanSql = "(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))"
+  private val revSdSql =
+    """sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+         - (CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)), 0.0d))"""
+
+  /** GRUBBS OUTLIER TEST over daily revenue: G = max|y − ȳ|/σ with the
+    * offending day — mean/σ from the exact-moment pass, the argmax by
+    * (deviation desc, day) rank so ties are deterministic. One moment
+    * pass + one deviation pass over the calendar-bounded series.
+    */
+  private def qGrubbs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mom = dailyRevMoments(s, dir)
+    dailyRev18(s, dir).crossJoin(broadcast(mom))
+      .withColumn("d",
+        expr(s"abs(CAST(rev AS DOUBLE) - $revMeanSql)"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("d").desc, col("day"))))
+      .filter(col("rk") === 1)
+      .select(col("n").as("n_days"), col("day"),
+        round(col("rev").cast("double"), 2).as("rev"),
+        round(expr(s"d / $revSdSql"), 6).as("g_stat"))
+  }
+
+  /** DURBIN–WATSON AUTOCORRELATION TEST on the residuals of the daily
+    * revenue linear trend: slope/intercept from the exact-moment
+    * closed form (t = day index), residuals 6-dp-quantized DECIMALs,
+    * DW = Σ(eₜ−eₜ₋₁)²/Σeₜ² from exact DECIMAL sums — ≈2 means "no
+    * serial correlation", the regression-hygiene check q_linreg's
+    * consumers need. Two passes over the days axis.
+    */
+  private def qDurbinWatson(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d0 = dailyRev18(s, dir)
+    val lo = d0.agg(min(col("day")).as("d0"))
+    val td = d0.crossJoin(broadcast(lo))
+      .select(col("day"),
+        datediff(col("day"), col("d0")).cast("long").as("t"), col("rev"))
+    val m = td.agg(count(lit(1)).as("n"), sum(col("t")).as("st"),
+      sum(col("rev")).as("sy"),
+      sum(col("t") * col("rev")).as("sty"),
+      sum(col("t") * col("t")).as("stt"))
+    val bSql =
+      """((CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+           - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+           - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)))"""
+    val aSql =
+      s"""((CAST(sy AS DOUBLE) - $bSql * CAST(st AS DOUBLE))
+         / CAST(n AS DOUBLE))"""
+    val resid = td.crossJoin(broadcast(m))
+      .select(col("day"), expr(
+        s"""CAST(round(CAST(rev AS DOUBLE)
+             - ($aSql + $bSql * CAST(t AS DOUBLE)), 6) + 0.0d
+           AS DECIMAL(18,6))""").as("e"))
+      .withColumn("ep", lag(col("e"), 1).over(Window.orderBy("day")))
+    resid.agg(count(lit(1)).as("n_days"),
+        sum(when(col("ep").isNotNull,
+          (col("e") - col("ep")) * (col("e") - col("ep")))
+          .otherwise(lit(0).cast("decimal(19,6)"))).as("num"),
+        sum(col("e") * col("e")).as("den"))
+      .select(col("n_days"),
+        round(expr("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)"), 6)
+          .as("dw"))
+  }
+
+  /** JARQUE–BERA NORMALITY TEST of daily revenue: skewness/kurtosis
+    * from exact DECIMAL power sums of the 6-dp-quantized z-scores
+    * (z ≤ ~10, so z⁴ stays far inside both engines' 38-digit DECIMAL
+    * cap), JB = n/6·(S² + (K−3)²/4). One moment pass + one z pass.
+    */
+  private def qJarqueBera(s: SparkSession, dir: String): DataFrame = {
+    val mom = dailyRevMoments(s, dir)
+    val z = dailyRev18(s, dir).crossJoin(broadcast(mom))
+      .select(col("n"), expr(
+        s"""CAST(round((CAST(rev AS DOUBLE) - $revMeanSql) / $revSdSql,
+             6) + 0.0d AS DECIMAL(9,6))""").as("z"))
+      .withColumn("z2", col("z") * col("z"))
+    z.agg(max(col("n")).as("n_days"),
+        sum(col("z2") * col("z")).as("sz3"),
+        sum(col("z2") * col("z2")).as("sz4"))
+      .select(col("n_days"),
+        expr("""round(CAST(sz3 AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+          + 0.0d""").as("skewness"),
+        round(expr("CAST(sz4 AS DOUBLE) / CAST(n_days AS DOUBLE)"), 6)
+          .as("kurtosis"),
+        round(expr(
+          """(CAST(n_days AS DOUBLE) / 6.0d)
+             * ((CAST(sz3 AS DOUBLE) / CAST(n_days AS DOUBLE))
+               * (CAST(sz3 AS DOUBLE) / CAST(n_days AS DOUBLE))
+             + (CAST(sz4 AS DOUBLE) / CAST(n_days AS DOUBLE) - 3.0d)
+               * (CAST(sz4 AS DOUBLE) / CAST(n_days AS DOUBLE) - 3.0d)
+               / 4.0d)"""), 6).as("jarque_bera"))
+  }
+
   /** KEY-SKEW AUDIT of a join key (l_partkey) — the pre-flight check
     * before any 100 TB keyed shuffle: per-key count distribution
     * summarized as max/percentile counts, max-key share, and the
@@ -9457,6 +9559,9 @@ object SparkEntry {
     "q_bm25_query" -> qBm25Query,
     "q_partial_corr" -> qPartialCorr,
     "q_var_cvar" -> qVarCvar,
+    "q_grubbs" -> qGrubbs,
+    "q_durbin_watson" -> qDurbinWatson,
+    "q_jarque_bera" -> qJarqueBera,
     "q_skew_audit" -> qSkewAudit,
     "q_tfidf_cosine_pairs" -> qTfidfCosinePairs,
     "q_diversity_index" -> qDiversityIndex,
@@ -12947,6 +13052,97 @@ object SparkEntry {
            round(CAST(SUM(r) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
              + 0.0 AS cvar_95
          FROM tail""",
+    "q_grubbs" -> {
+      val mean = "(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))"
+      val sd =
+        """sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)), 0.0))"""
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(18,2)) AS rev
+           FROM orders GROUP BY 1),
+         mom AS (SELECT COUNT(*) AS n, SUM(rev) AS sm,
+             SUM(rev * rev) AS s2 FROM daily),
+         dv AS (SELECT day, rev, n, sm, s2,
+             abs(CAST(rev AS DOUBLE) - $mean) AS d,
+             row_number() OVER (ORDER BY
+               abs(CAST(rev AS DOUBLE) - $mean) DESC, day) AS rk
+           FROM daily CROSS JOIN mom)
+         SELECT n AS n_days, day, round(CAST(rev AS DOUBLE), 2) AS rev,
+           round(d / $sd, 6) AS g_stat
+         FROM dv WHERE rk = 1"""
+    },
+    "q_durbin_watson" -> {
+      val b =
+        """((CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+             - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+             - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)))"""
+      val a =
+        s"""((CAST(sy AS DOUBLE) - $b * CAST(st AS DOUBLE))
+           / CAST(n AS DOUBLE))"""
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(18,2)) AS rev
+           FROM orders GROUP BY 1),
+         lo AS (SELECT MIN(day) AS d0 FROM daily),
+         td AS (SELECT day,
+             CAST(datediff('day', d0, day) AS BIGINT) AS t, rev
+           FROM daily CROSS JOIN lo),
+         m AS (SELECT COUNT(*) AS n, CAST(SUM(t) AS BIGINT) AS st,
+             SUM(rev) AS sy, SUM(t * rev) AS sty,
+             CAST(SUM(t * t) AS BIGINT) AS stt
+           FROM td),
+         resid AS (SELECT day,
+             CAST(round(CAST(rev AS DOUBLE)
+               - ($a + $b * CAST(t AS DOUBLE)), 6) + 0.0
+               AS DECIMAL(18,6)) AS e
+           FROM td CROSS JOIN m),
+         lg AS (SELECT e, lag(e, 1) OVER (ORDER BY day) AS ep
+           FROM resid)
+         SELECT COUNT(*) AS n_days,
+           round(CAST(SUM(CASE WHEN ep IS NOT NULL
+               THEN CAST(e - ep AS DECIMAL(19,6))
+                 * CAST(e - ep AS DECIMAL(19,6))
+               ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE)
+             / CAST(SUM(CAST(e AS DECIMAL(19,6))
+               * CAST(e AS DECIMAL(19,6))) AS DOUBLE), 6) AS dw
+         FROM lg"""
+    },
+    "q_jarque_bera" -> {
+      val mean = "(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))"
+      val sd =
+        """sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)), 0.0))"""
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(18,2)) AS rev
+           FROM orders GROUP BY 1),
+         mom AS (SELECT COUNT(*) AS n, SUM(rev) AS sm,
+             SUM(rev * rev) AS s2 FROM daily),
+         z AS (SELECT n,
+             CAST(round((CAST(rev AS DOUBLE) - $mean) / $sd, 6) + 0.0
+               AS DECIMAL(9,6)) AS z
+           FROM daily CROSS JOIN mom),
+         z2 AS (SELECT n, z, z * z AS z2 FROM z),
+         agg AS (SELECT MAX(n) AS n_days, SUM(z2 * z) AS sz3,
+             SUM(z2 * z2) AS sz4
+           FROM z2)
+         SELECT n_days,
+           round(CAST(sz3 AS DOUBLE) / CAST(n_days AS DOUBLE), 6) + 0.0
+             AS skewness,
+           round(CAST(sz4 AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+             AS kurtosis,
+           round((CAST(n_days AS DOUBLE) / 6.0)
+             * ((CAST(sz3 AS DOUBLE) / CAST(n_days AS DOUBLE))
+               * (CAST(sz3 AS DOUBLE) / CAST(n_days AS DOUBLE))
+             + (CAST(sz4 AS DOUBLE) / CAST(n_days AS DOUBLE) - 3.0)
+               * (CAST(sz4 AS DOUBLE) / CAST(n_days AS DOUBLE) - 3.0)
+               / 4.0), 6) AS jarque_bera
+         FROM agg"""
+    },
     "q_k_anonymity" ->
       """SELECT lang, source, COUNT(*) AS n
          FROM documents GROUP BY lang, source
