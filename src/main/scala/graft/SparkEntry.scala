@@ -9096,6 +9096,27 @@ object SparkEntry {
                / 4.0d)"""), 6).as("jarque_bera"))
   }
 
+  /** PERCEPTUAL-HASH IMAGE DEDUP over the synthetic media fixture:
+    * encode → decode → 8×8 resize → 56-bit dHash
+    * ([[graft.ops.Multimodal.dHash56]]) → hash-groupBy — the image
+    * twin of exact text dedup, where the shuffle key is 8 bytes per
+    * image and pixels never leave the scan stage. The fixture
+    * synthesizes each image from doc_id % 100, so every base yields an
+    * identical-image group (the known answer the oracle replays
+    * pixel-for-pixel through the resize + hash formula). Top-20 groups.
+    */
+  private def qMultimodalPhash(s: SparkSession, dir: String): DataFrame = {
+    val mm = graft.ops.Multimodal
+    val media = tbl(s, dir, "documents")
+      .filter(col("doc_id") < 500 && col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), synthPngUdf(col("doc_id") % 100).as("media"))
+    mm.perceptualHash(mm.resizeMedia(media, "media", 8, 8), "media")
+      .groupBy("dhash")
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
+      .orderBy(col("n_dups").desc, col("dhash"))
+      .limit(20)
+  }
+
   /** KEY-SKEW AUDIT of a join key (l_partkey) — the pre-flight check
     * before any 100 TB keyed shuffle: per-key count distribution
     * summarized as max/percentile counts, max-key share, and the
@@ -9562,6 +9583,7 @@ object SparkEntry {
     "q_grubbs" -> qGrubbs,
     "q_durbin_watson" -> qDurbinWatson,
     "q_jarque_bera" -> qJarqueBera,
+    "multimodal_phash" -> qMultimodalPhash,
     "q_skew_audit" -> qSkewAudit,
     "q_tfidf_cosine_pairs" -> qTfidfCosinePairs,
     "q_diversity_index" -> qDiversityIndex,
@@ -13143,6 +13165,27 @@ object SparkEntry {
                / 4.0), 6) AS jarque_bera
          FROM agg"""
     },
+    "multimodal_phash" ->
+      """WITH p AS (SELECT doc_id, doc_id % 100 AS base,
+             8 + (doc_id % 100) % 24 AS w,
+             8 + ((doc_id % 100) * 7) % 24 AS h
+           FROM documents
+           WHERE doc_id < 500 AND doc_id % 5 <> 0),
+         bits AS (SELECT p.doc_id,
+             CAST(SUM(CASE WHEN
+                 ((((x.x + 1) * p.w) // 8) * ((y.y * p.h) // 8) + p.base)
+                   % 256
+                 > (((x.x * p.w) // 8) * ((y.y * p.h) // 8) + p.base)
+                   % 256
+               THEN CAST(1 AS BIGINT) << (y.y * 7 + x.x)
+               ELSE 0 END) AS BIGINT) AS dhash
+           FROM p, range(0, 7) x(x), range(0, 8) y(y)
+           GROUP BY p.doc_id),
+         g AS (SELECT dhash, COUNT(*) AS n_dups,
+             MIN(doc_id) AS keep_id
+           FROM bits GROUP BY dhash)
+         SELECT dhash, n_dups, keep_id FROM g
+         ORDER BY n_dups DESC, dhash LIMIT 20""",
     "q_k_anonymity" ->
       """SELECT lang, source, COUNT(*) AS n
          FROM documents GROUP BY lang, source

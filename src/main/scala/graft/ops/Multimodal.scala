@@ -431,6 +431,40 @@ object Multimodal {
   private val resizeUdf =
     udf((b: Array[Byte], w: Int, h: Int) => resizeImage(b, w, h))
 
+  /** 56-bit DIFFERENCE HASH of an 8×8 thumbnail: bit (y·7+x) set when
+    * the red channel strictly increases from column x to x+1 — the
+    * standard perceptual near-dup key (dHash; resize to 8×8 first).
+    * Undecodable or too-small media hashes to -1 so failures group
+    * VISIBLY instead of silently joining bucket 0.
+    */
+  def dHash56(bytes: Array[Byte]): Long =
+    decodePixels(bytes) match {
+      case Some(img) if img.getWidth >= 8 && img.getHeight >= 8 =>
+        var h = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 7) {
+            val a = (img.getRGB(x, y) >> 16) & 0xff
+            val b = (img.getRGB(x + 1, y) >> 16) & 0xff
+            if (b > a) h |= 1L << (y * 7 + x)
+            x += 1
+          }
+          y += 1
+        }
+        h
+      case _ => -1L
+    }
+
+  private val dHashUdf = udf((b: Array[Byte]) => dHash56(b))
+
+  /** Attach the perceptual hash to a binary column (narrow pass —
+    * grouping on the hash afterwards is the image-dedup shuffle, keyed
+    * on 8 bytes per image, never on pixels).
+    */
+  def perceptualHash(df: DataFrame, binCol: String = "media"): DataFrame =
+    df.withColumn("dhash", dHashUdf(col(binCol)))
+
   /** Attach decoded metadata + pooled features to a binary column —
     * one narrow pass over the media bytes.
     */

@@ -70,6 +70,22 @@ class Round10Spec extends AnyFunSuite {
     assert(e.getMessage.contains("v_"))
   }
 
+  test("dHash56: identical images collide, a brightness flip separates, " +
+      "undecodable bytes hash to -1") {
+    import graft.ops.Multimodal
+    def png(seed: Int) = Multimodal.encodePng(16, 16,
+      (x, y) => { val v = (x * y + seed) % 256; (v, v, v) })
+    // inverted gradient: every column comparison flips sign
+    val inv = Multimodal.encodePng(16, 16,
+      (x, y) => { val v = (255 - x * y) % 256; (v, v, v) })
+    val a = Multimodal.dHash56(Multimodal.resizeImage(png(7), 8, 8))
+    val b = Multimodal.dHash56(Multimodal.resizeImage(png(7), 8, 8))
+    val c = Multimodal.dHash56(Multimodal.resizeImage(inv, 8, 8))
+    assert(a == b)
+    assert(a >= 0L && a != c)
+    assert(Multimodal.dHash56(Array[Byte](1, 2, 3)) == -1L)
+  }
+
   test("Mmr.rerank reports a clear error when the pool cannot cover " +
       "the requested selection") {
     val few = Seq(
