@@ -5267,6 +5267,42 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** STREAM → AGGREGATE → MERGE-BACK LOOP: the transactional table as
+    * BOTH ends of a streaming pipeline — a readStream over the DSv2
+    * source feeds a stateful per-language aggregation whose update-
+    * mode batches MERGE into a second TxnTable (create on first batch,
+    * keyed mergeFull after), so the downstream table always holds the
+    * latest running totals. The final snapshot must equal the plain
+    * batch aggregate — dropped update rows, double-applied merges, or
+    * a missed source commit all break the counts.
+    */
+  private def qTableStreamAgg(s: SparkSession, dir: String): DataFrame = {
+    val src = writtenStreamSrcTable(s, dir)
+    val outTbl = scratchTempDir(s, "graft_stream_agg_tbl")
+    val stream = s.readStream
+      .format("graft.table.GraftTableProvider")
+      .load(src)
+    runStream(s) {
+      stream.groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .writeStream
+        .outputMode("update")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty) {
+            if (graft.table.TxnTable.latestVersion(s, outTbl).isEmpty)
+              graft.table.TxnTable.create(s, outTbl, b)
+            else
+              graft.table.TxnTable.mergeFull(s, outTbl, b, Seq("lang"),
+                deleteWhen = lit(false))
+          }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    graft.table.TxnTable.snapshot(s, outTbl).orderBy("lang")
+  }
+
   /** Wall-clock TIME TRAVEL (`timestampAsOf`) — the missing half of
     * the travel pair (q_table_dsv2_timetravel pins by version): the
     * commit timestamp of v1 must resolve to exactly v1's snapshot
@@ -9515,6 +9551,7 @@ object SparkEntry {
     "q_table_merge_scoped" -> qTableMergeScoped,
     "docs_stream_table" -> qDocsStreamTable,
     "q_table_stream_read" -> qTableStreamRead,
+    "q_table_stream_agg" -> qTableStreamAgg,
     "q_table_timetravel_ts" -> qTableTimetravelTs,
     "q_table_maintenance" -> qTableMaintenance,
     "q_embed_dim_stats" -> qEmbedDimStats,
@@ -14727,6 +14764,9 @@ object SparkEntry {
       """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          FROM documents GROUP BY 1 ORDER BY 1""",
     "q_table_stream_read" ->
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "q_table_stream_agg" ->
       """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          FROM documents GROUP BY 1 ORDER BY 1""",
     "q_table_timetravel_ts" ->
