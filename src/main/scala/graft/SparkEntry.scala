@@ -9153,6 +9153,113 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** SPEARMAN RANK CORRELATION of quantity vs extended price: Pearson
+    * over MIDRANKS, the ranks built from cumulative counts over the
+    * DISTINCT value domains (the q_mann_whitney/qRocAuc bounded-
+    * vocabulary contract — never a corpus-sized row sort), quantized
+    * at one decimal (midranks are .5-steps) and joined back for exact
+    * DECIMAL moment sums.
+    */
+  private def qSpearman(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def midranks(d: DataFrame, c: String): DataFrame = {
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+        .withColumn("before", coalesce(sum(col("cnt")).over(w), lit(0L)))
+        .select(col("v"), expr(
+          """CAST(round(CAST(before AS DOUBLE)
+               + (CAST(cnt AS DOUBLE) + 1.0d) / 2.0d, 1)
+             AS DECIMAL(18,1))""").as("rk"))
+    }
+    val li = tbl(s, dir, "lineitem")
+      .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+    val m = li
+      .join(broadcast(midranks(li, "x"))
+        .withColumnRenamed("v", "x").withColumnRenamed("rk", "rx"), Seq("x"))
+      .join(midranks(li, "y")
+        .withColumnRenamed("v", "y").withColumnRenamed("rk", "ry"), Seq("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+        sum(col("rx") * col("ry")).as("sxy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"))
+    m.select(col("n"),
+      expr("""round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0.0d""")
+        .as("spearman_rho"))
+  }
+
+  /** CRONBACH'S ALPHA over the 64 embedding dimensions as "items":
+    * α = k/(k−1)·(1 − Σvarᵢ / var_total) — per-dim variances from the
+    * exact DECIMAL(28,12) moment pass (9-dp-rounded terms summed), the
+    * per-vector total scores as exact DECIMAL sums re-quantized at
+    * 9 dp before squaring (keeps DuckDB's multiply on the hugeint
+    * path). Two corpus passes, everything downstream 1-row.
+    */
+  private def qCronbach(s: SparkSession, dir: String): DataFrame = {
+    def ex = tbl(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "ef")))
+      .select(col("vec_id"), col("dim"), col("ef").cast("double").as("e"))
+    val itemVar = ex.groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("e").cast("decimal(28,12)")).as("s"),
+        sum((col("e") * col("e")).cast("decimal(28,12)")).as("s2"))
+      .select(expr(
+        """CAST(round(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+           AS DECIMAL(18,9))""").as("vi"))
+      .agg(count(lit(1)).as("k"), sum(col("vi")).as("svi"))
+    val totals = ex.groupBy("vec_id")
+      .agg(expr(
+        """CAST(round(CAST(sum(CAST(e AS DECIMAL(28,12))) AS DOUBLE), 9)
+           AS DECIMAL(18,9))""").as("t"))
+    val totVar = totals.agg(count(lit(1)).as("nv"),
+        sum(col("t")).as("st"), sum(col("t") * col("t")).as("stt"))
+      .select(col("nv"), expr(
+        """(CAST(stt AS DOUBLE) / CAST(nv AS DOUBLE)
+           - (CAST(st AS DOUBLE) / CAST(nv AS DOUBLE))
+             * (CAST(st AS DOUBLE) / CAST(nv AS DOUBLE)))""").as("vt"))
+    itemVar.crossJoin(broadcast(totVar))
+      .select(col("k"), col("nv").as("n_vectors"),
+        round(expr(
+          """(CAST(k AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0d))
+             * (1.0d - CAST(svi AS DOUBLE) / vt)"""), 6)
+          .as("cronbach_alpha"))
+  }
+
+  /** RÉNYI ENTROPY SPECTRUM of each language's word distribution:
+    * α=2 (collision entropy, −ln Σp²) exactly from Σc²/ (Σc)², and
+    * α=½ (2·ln Σ√p) from 9-dp-rounded root terms DECIMAL-summed —
+    * with Shannon (from the q_entropy machinery) they bracket the
+    * distribution's diversity profile. One corpus explode; everything
+    * downstream is vocabulary-sized counts.
+    */
+  private def qRenyi(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("lang"), explode(expr(tokensSql)).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+      .groupBy("lang")
+      .agg(sum(col("c")).as("nt"), count(lit(1)).as("vocab"),
+        sum(col("c").cast("decimal(19,0)")
+          * col("c").cast("decimal(19,0)")).as("sc2"),
+        sum(expr("""CAST(round(sqrt(CAST(c AS DOUBLE)), 9)
+          AS DECIMAL(18,9))""")).as("src"))
+      .select(col("lang"), col("nt").as("n_tokens"), col("vocab"),
+        round(expr(
+          """-ln(CAST(sc2 AS DOUBLE)
+             / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)))"""), 6)
+          .as("renyi_2"),
+        round(expr(
+          """2.0d * ln(CAST(src AS DOUBLE) / sqrt(CAST(nt AS DOUBLE)))"""),
+          6).as("renyi_05"))
+      .orderBy("lang")
+
   /** KEY-SKEW AUDIT of a join key (l_partkey) — the pre-flight check
     * before any 100 TB keyed shuffle: per-key count distribution
     * summarized as max/percentile counts, max-key share, and the
@@ -9621,6 +9728,9 @@ object SparkEntry {
     "q_durbin_watson" -> qDurbinWatson,
     "q_jarque_bera" -> qJarqueBera,
     "multimodal_phash" -> qMultimodalPhash,
+    "q_spearman" -> qSpearman,
+    "q_cronbach" -> qCronbach,
+    "q_renyi" -> qRenyi,
     "q_skew_audit" -> qSkewAudit,
     "q_tfidf_cosine_pairs" -> qTfidfCosinePairs,
     "q_diversity_index" -> qDiversityIndex,
@@ -13223,6 +13333,91 @@ object SparkEntry {
            FROM bits GROUP BY dhash)
          SELECT dhash, n_dups, keep_id FROM g
          ORDER BY n_dups DESC, dhash LIMIT 20""",
+    "q_spearman" -> {
+      def mr(src: String) =
+        s"""(SELECT v, CAST(round(CAST(COALESCE(SUM(cnt) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS DOUBLE) + (CAST(cnt AS DOUBLE) + 1.0) / 2.0, 1)
+           AS DECIMAL(18,1)) AS rk FROM $src)"""
+      s"""WITH li AS (SELECT l_quantity AS x, l_extendedprice AS y
+           FROM lineitem),
+         cx AS (SELECT x AS v, COUNT(*) AS cnt FROM li GROUP BY 1),
+         cy AS (SELECT y AS v, COUNT(*) AS cnt FROM li GROUP BY 1),
+         rx AS ${mr("cx")},
+         ry AS ${mr("cy")},
+         j AS (SELECT rx.rk AS rx, ry.rk AS ry
+           FROM li JOIN rx ON li.x = rx.v JOIN ry ON li.y = ry.v),
+         m AS (SELECT COUNT(*) AS n,
+             SUM(rx) AS sx, SUM(ry) AS sy,
+             SUM(CAST(rx AS DECIMAL(19,1)) * CAST(ry AS DECIMAL(19,1)))
+               AS sxy,
+             SUM(CAST(rx AS DECIMAL(19,1)) * CAST(rx AS DECIMAL(19,1)))
+               AS sxx,
+             SUM(CAST(ry AS DECIMAL(19,1)) * CAST(ry AS DECIMAL(19,1)))
+               AS syy
+           FROM j)
+         SELECT n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0.0
+             AS spearman_rho
+         FROM m"""
+    },
+    "q_cronbach" ->
+      """WITH dims AS (SELECT CAST(i AS BIGINT) AS i
+             FROM generate_series(1, 64) t(i)),
+         x AS (SELECT vec_id, i - 1 AS dim,
+             CAST(embedding[i] AS DOUBLE) AS e
+           FROM embeddings CROSS JOIN dims),
+         iv AS (SELECT dim, COUNT(*) AS n,
+             SUM(CAST(e AS DECIMAL(28,12))) AS s,
+             SUM(CAST(e * e AS DECIMAL(28,12))) AS s2
+           FROM x GROUP BY dim),
+         ivq AS (SELECT CAST(round(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+             AS DECIMAL(18,9)) AS vi FROM iv),
+         k1 AS (SELECT COUNT(*) AS k, SUM(vi) AS svi FROM ivq),
+         tot AS (SELECT vec_id,
+             CAST(round(CAST(SUM(CAST(e AS DECIMAL(28,12))) AS DOUBLE), 9)
+               AS DECIMAL(18,9)) AS t
+           FROM x GROUP BY vec_id),
+         tv AS (SELECT COUNT(*) AS nv, SUM(t) AS st,
+             SUM(CAST(t AS DECIMAL(19,9)) * CAST(t AS DECIMAL(19,9)))
+               AS stt
+           FROM tot),
+         tv2 AS (SELECT nv,
+             (CAST(stt AS DOUBLE) / CAST(nv AS DOUBLE)
+               - (CAST(st AS DOUBLE) / CAST(nv AS DOUBLE))
+                 * (CAST(st AS DOUBLE) / CAST(nv AS DOUBLE))) AS vt
+           FROM tv)
+         SELECT k, nv AS n_vectors,
+           round((CAST(k AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0))
+             * (1.0 - CAST(svi AS DOUBLE) / vt), 6) AS cronbach_alpha
+         FROM k1 CROSS JOIN tv2""",
+    "q_renyi" ->
+      """WITH w AS (SELECT lang,
+             unnest(regexp_split_to_array(lower(text), '[^a-zA-Z0-9_]+'))
+               AS w
+           FROM documents),
+         c AS (SELECT lang, w, COUNT(*) AS c FROM w WHERE w <> ''
+           GROUP BY 1, 2),
+         a AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS nt,
+             COUNT(*) AS vocab,
+             SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+               AS sc2,
+             SUM(CAST(round(sqrt(CAST(c AS DOUBLE)), 9)
+               AS DECIMAL(18,9))) AS src
+           FROM c GROUP BY 1)
+         SELECT lang, nt AS n_tokens, vocab,
+           round(-ln(CAST(sc2 AS DOUBLE)
+             / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE))), 6) AS renyi_2,
+           round(2.0 * ln(CAST(src AS DOUBLE)
+             / sqrt(CAST(nt AS DOUBLE))), 6) AS renyi_05
+         FROM a ORDER BY lang""",
     "q_k_anonymity" ->
       """SELECT lang, source, COUNT(*) AS n
          FROM documents GROUP BY lang, source
