@@ -9260,6 +9260,84 @@ object SparkEntry {
           6).as("renyi_05"))
       .orderBy("lang")
 
+  /** VOCABULARY COVERAGE CURVE: the token share covered by the top-k
+    * most frequent words (k = 5/10/20) — the tokenizer-design metric
+    * behind "how big must the vocab be". Rank + cumulative sum over
+    * the COUNTS table (bounded vocabulary, the qRocAuc contract),
+    * never the corpus.
+    */
+  private def qNgramCoverage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = tbl(s, dir, "documents")
+      .select(explode(expr(tokensSql)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = c.agg(sum(col("c")).as("nt"))
+    val wOrd = Window.orderBy(col("c").desc, col("w"))
+    c.withColumn("rk", row_number().over(wOrd))
+      .withColumn("cum", sum(col("c")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("rk").isin(5, 10, 20))
+      .crossJoin(broadcast(tot))
+      .select(col("rk").as("top_k"), col("cum").as("cum_tokens"),
+        round(expr("CAST(cum AS DOUBLE) / CAST(nt AS DOUBLE)"), 6)
+          .as("coverage"))
+      .orderBy("top_k")
+  }
+
+  /** FIGHTIN'-WORDS LOG-ODDS (Monroe et al. shape, Haldane +0.5
+    * prior): which words distinguish English documents from the rest
+    * of the corpus — per-word log-odds ratio with its z-score from
+    * exact counts, ln terms computed in one fixed double order. The
+    * whole computation is vocabulary-sized after one corpus explode.
+    */
+  private def qOddsRatio(s: SparkSession, dir: String): DataFrame = {
+    val w = tbl(s, dir, "documents")
+      .select((col("lang") === "en").as("grp"),
+        explode(expr(tokensSql)).as("w"))
+    val cnt = w.groupBy("w").agg(
+      sum(when(col("grp"), 1L).otherwise(0L)).as("c1"),
+      sum(when(!col("grp"), 1L).otherwise(0L)).as("c2"))
+    val tot = w.agg(
+      sum(when(col("grp"), 1L).otherwise(0L)).as("n1"),
+      sum(when(!col("grp"), 1L).otherwise(0L)).as("n2"))
+    val lorSql =
+      """(ln((CAST(c1 AS DOUBLE) + 0.5d)
+           / (CAST(n1 AS DOUBLE) - CAST(c1 AS DOUBLE) + 0.5d))
+         - ln((CAST(c2 AS DOUBLE) + 0.5d)
+           / (CAST(n2 AS DOUBLE) - CAST(c2 AS DOUBLE) + 0.5d)))"""
+    val seSql =
+      """sqrt(1.0d / (CAST(c1 AS DOUBLE) + 0.5d)
+         + 1.0d / (CAST(n1 AS DOUBLE) - CAST(c1 AS DOUBLE) + 0.5d)
+         + 1.0d / (CAST(c2 AS DOUBLE) + 0.5d)
+         + 1.0d / (CAST(n2 AS DOUBLE) - CAST(c2 AS DOUBLE) + 0.5d))"""
+    cnt.crossJoin(broadcast(tot))
+      .select(col("w"), col("c1"), col("c2"),
+        expr(s"round($lorSql, 6) + 0.0d").as("log_odds"),
+        expr(s"round($lorSql / $seSql, 6) + 0.0d").as("z"))
+      .orderBy(col("z").desc, col("w"))
+      .limit(20)
+  }
+
+  /** SOURCE-LEVEL REPETITION PROFILE: per source, total vs distinct
+    * 3-word shingles (through the native
+    * [[graft.functions.WordShingles]] generator) and the implied
+    * duplication rate — the template/boilerplate detector run before
+    * trusting a crawl source. Streaming generator + one aggregate;
+    * the shuffle keys on (source, 8-byte hash).
+    */
+  private def qSourceRepetition(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.WordShingles.register(s)
+    tbl(s, dir, "documents").createOrReplaceTempView("docs_srcrep_v")
+    s.sql(
+      """SELECT source, COUNT(*) AS n_shingles,
+           COUNT(DISTINCT shingle_hash) AS n_distinct,
+           round(1.0d - CAST(COUNT(DISTINCT shingle_hash) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+         FROM docs_srcrep_v
+         LATERAL VIEW graft_shingles(text, 3) t AS pos, shingle_hash
+         GROUP BY source ORDER BY source""")
+  }
+
   /** KEY-SKEW AUDIT of a join key (l_partkey) — the pre-flight check
     * before any 100 TB keyed shuffle: per-key count distribution
     * summarized as max/percentile counts, max-key share, and the
@@ -9731,6 +9809,9 @@ object SparkEntry {
     "q_spearman" -> qSpearman,
     "q_cronbach" -> qCronbach,
     "q_renyi" -> qRenyi,
+    "q_ngram_coverage" -> qNgramCoverage,
+    "q_odds_ratio" -> qOddsRatio,
+    "q_source_repetition" -> qSourceRepetition,
     "q_skew_audit" -> qSkewAudit,
     "q_tfidf_cosine_pairs" -> qTfidfCosinePairs,
     "q_diversity_index" -> qDiversityIndex,
@@ -9956,6 +10037,26 @@ object SparkEntry {
     * strings hashed with Duck.fnv; docs with < 3 words contribute no
     * rows (inner-generator semantics).
     */
+  /** Source-level twin of [[shingleGenOracleSql]]: same fnv shingle
+    * replay, aggregated per source with the duplication rate. */
+  private lazy val sourceRepetitionOracleSql: String = {
+    import Duck.fnv
+    s"""WITH w AS (SELECT source, list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+             x -> x <> '') AS ws
+           FROM documents),
+         sh AS (SELECT source, unnest(list_transform(
+             range(1, greatest(len(ws) - 1, 1)),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+           FROM w),
+         g AS (SELECT source, ${fnv("s")} AS h FROM sh)
+       SELECT source, COUNT(*) AS n_shingles,
+         COUNT(DISTINCT h) AS n_distinct,
+         round(1.0 - CAST(COUNT(DISTINCT h) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+       FROM g GROUP BY source ORDER BY source"""
+  }
+
   private lazy val shingleGenOracleSql: String = {
     import Duck.fnv
     s"""WITH w AS (SELECT doc_id, list_filter(
@@ -12672,6 +12773,7 @@ object SparkEntry {
     "q_kmv_overlap" -> kmvOverlapOracleSql,
     "docs_stream_kmv" -> kmvDistinctOracleSql,
     "q_shingle_gen" -> shingleGenOracleSql,
+    "q_source_repetition" -> sourceRepetitionOracleSql,
     // cross-slice brute-force near-dup truth (the Spark side is banded
     // LSH + exact verify — same pair set, never all-pairs)
     "q_contamination_fuzzy" ->
@@ -13418,6 +13520,51 @@ object SparkEntry {
            round(2.0 * ln(CAST(src AS DOUBLE)
              / sqrt(CAST(nt AS DOUBLE))), 6) AS renyi_05
          FROM a ORDER BY lang""",
+    "q_ngram_coverage" ->
+      """WITH w AS (SELECT unnest(regexp_split_to_array(lower(text),
+             '[^a-zA-Z0-9_]+')) AS w
+           FROM documents),
+         c AS (SELECT w, COUNT(*) AS c FROM w WHERE w <> ''
+           GROUP BY 1),
+         tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nt FROM c),
+         r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rk,
+             CAST(SUM(c) OVER (ORDER BY c DESC, w ROWS BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           FROM c)
+         SELECT CAST(rk AS INTEGER) AS top_k, cum AS cum_tokens,
+           round(CAST(cum AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS coverage
+         FROM r CROSS JOIN tot WHERE rk IN (5, 10, 20)
+         ORDER BY top_k""",
+    "q_odds_ratio" -> {
+      val lor =
+        """(ln((CAST(c1 AS DOUBLE) + 0.5)
+             / (CAST(n1 AS DOUBLE) - CAST(c1 AS DOUBLE) + 0.5))
+           - ln((CAST(c2 AS DOUBLE) + 0.5)
+             / (CAST(n2 AS DOUBLE) - CAST(c2 AS DOUBLE) + 0.5)))"""
+      val se =
+        """sqrt(1.0 / (CAST(c1 AS DOUBLE) + 0.5)
+           + 1.0 / (CAST(n1 AS DOUBLE) - CAST(c1 AS DOUBLE) + 0.5)
+           + 1.0 / (CAST(c2 AS DOUBLE) + 0.5)
+           + 1.0 / (CAST(n2 AS DOUBLE) - CAST(c2 AS DOUBLE) + 0.5))"""
+      s"""WITH w AS (SELECT lang = 'en' AS grp,
+             unnest(regexp_split_to_array(lower(text), '[^a-zA-Z0-9_]+'))
+               AS w
+           FROM documents),
+         wf AS (SELECT grp, w FROM w WHERE w <> ''),
+         cnt AS (SELECT w,
+             CAST(SUM(CASE WHEN grp THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN grp THEN 0 ELSE 1 END) AS BIGINT) AS c2
+           FROM wf GROUP BY 1),
+         tot AS (SELECT
+             CAST(SUM(CASE WHEN grp THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN grp THEN 0 ELSE 1 END) AS BIGINT) AS n2
+           FROM wf)
+         SELECT w, c1, c2,
+           round($lor, 6) + 0.0 AS log_odds,
+           round($lor / $se, 6) + 0.0 AS z
+         FROM cnt CROSS JOIN tot
+         ORDER BY z DESC, w LIMIT 20"""
+    },
     "q_k_anonymity" ->
       """SELECT lang, source, COUNT(*) AS n
          FROM documents GROUP BY lang, source
