@@ -9465,6 +9465,184 @@ object SparkEntry {
       .limit(10)
   }
 
+  // ---- round-10 batch 7: concentration, agreement, sketch, causal ----
+
+  /** Herfindahl–Hirschman concentration index of supplier revenue per
+    * nation — the market-concentration audit (and, for a corpus, the
+    * "is one source dominating this slice" screen). Revenue sums are
+    * exact DECIMAL; each squared-share term is rounded at 9 dp and
+    * DECIMAL-summed so group order can't perturb the total; everything
+    * after the one keyed aggregate is suppliers-per-nation-sized.
+    */
+  private def qHhi(s: SparkSession, dir: String): DataFrame = {
+    val rev = tbl(s, dir, "lineitem")
+      .join(tbl(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey")),
+        "l_suppkey")
+      .groupBy("s_nationkey", "l_suppkey")
+      .agg(sum(expr(
+        """CAST(l_extendedprice AS DECIMAL(14,2))
+           * (CAST(1.00 AS DECIMAL(4,2))
+             - CAST(l_discount AS DECIMAL(4,2)))""")).as("rv"))
+    val tot = rev.groupBy("s_nationkey")
+      .agg(sum(col("rv")).as("tv"), count(lit(1)).as("n_suppliers"))
+    rev.join(tot, "s_nationkey")
+      .select(col("s_nationkey"), col("n_suppliers"), expr(
+        """CAST(round(
+             (CAST(rv AS DOUBLE) / CAST(tv AS DOUBLE))
+             * (CAST(rv AS DOUBLE) / CAST(tv AS DOUBLE))
+             * 10000.0, 9) AS DECIMAL(18,9))""").as("term"))
+      .groupBy("s_nationkey")
+      .agg(min(col("n_suppliers")).as("n_suppliers"),
+        round(sum(col("term")).cast("double"), 6).as("hhi"))
+      .join(tbl(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nationkey"), col("n_name")),
+        "s_nationkey")
+      .select(col("n_name"), col("n_suppliers"), col("hhi"))
+      .orderBy("n_name")
+  }
+
+  /** Cohen's kappa between two deterministic document-quality raters —
+    * the inter-annotator-agreement statistic every labeling pipeline
+    * reports, here over two cheap heuristics (chars ≥ corpus mean vs
+    * spaces ≥ corpus mean) so the contingency table is exactly
+    * replayable. Both thresholds are integer-sum means riding one
+    * broadcast row; every cell is an exact count; kappa's divisions
+    * happen once, on the final four-cell row.
+    */
+  private def qCohenKappa(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents")
+      .select(col("n_chars"),
+        (length(col("text"))
+          - length(regexp_replace(col("text"), " ", ""))).cast("long")
+          .as("n_spaces"))
+    val thr = d.agg(
+      (sum(col("n_chars")).cast("double")
+        / count(lit(1)).cast("double")).as("avg_chars"),
+      (sum(col("n_spaces")).cast("double")
+        / count(lit(1)).cast("double")).as("avg_spaces"))
+    d.crossJoin(broadcast(thr))
+      .select(
+        (col("n_chars").cast("double") >= col("avg_chars")).as("a_hi"),
+        (col("n_spaces").cast("double") >= col("avg_spaces")).as("b_hi"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("a_hi") && col("b_hi"), 1).otherwise(0))
+          .cast("long").as("n11"),
+        sum(when(!col("a_hi") && !col("b_hi"), 1).otherwise(0))
+          .cast("long").as("n00"),
+        sum(when(col("a_hi") && !col("b_hi"), 1).otherwise(0))
+          .cast("long").as("n10"),
+        sum(when(!col("a_hi") && col("b_hi"), 1).otherwise(0))
+          .cast("long").as("n01"))
+      .select(col("n"), col("n11"), col("n00"), col("n10"), col("n01"),
+        round(expr("CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)"), 6)
+          .as("po"),
+        round(expr(
+          """(CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+             + CAST(n00 + n01 AS DOUBLE) * CAST(n00 + n10 AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"""), 6).as("pe"),
+        round(expr(
+          """(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+               + CAST(n00 + n01 AS DOUBLE) * CAST(n00 + n10 AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+             / (1.0
+             - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+               + CAST(n00 + n01 AS DOUBLE) * CAST(n00 + n10 AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"""), 6)
+          .as("kappa"))
+  }
+
+  /** Count-Min sketch (d=4 rows × w=256 buckets) over the l_partkey
+    * frequency stream, probed at the 8 exact-heaviest keys — the
+    * mergeable fixed-memory frequency sketch every streaming
+    * heavy-hitter stack runs, with its one-sided error made VISIBLE
+    * (estimate − exact ≥ 0 by construction). Hashes are md5 folds of
+    * "j:key" (the repo's deterministic-randomness contract), so the
+    * oracle rebuilds the identical 1024-cell sketch; the corpus is
+    * scanned once into a 4×-exploded map-side-combined aggregate that
+    * collapses to 1024 rows regardless of scale — the sketch property
+    * itself.
+    */
+  private def qCountMin(s: SparkSession, dir: String): DataFrame = {
+    val bucket =
+      """CAST(conv(substring(md5(concat(CAST(j AS STRING), ':',
+           CAST(l_partkey AS STRING))), 1, 8), 16, 10) AS BIGINT) % 256"""
+    val li = tbl(s, dir, "lineitem").select(col("l_partkey"))
+    val exact = li.groupBy("l_partkey").agg(count(lit(1)).as("exact_cnt"))
+    val top = exact
+      .orderBy(col("exact_cnt").desc, col("l_partkey")).limit(8)
+    val cms = li
+      .select(col("l_partkey"), explode(expr("array(0,1,2,3)")).as("j"))
+      .withColumn("b", expr(bucket))
+      .groupBy("j", "b").agg(count(lit(1)).as("cnt"))
+    top
+      .select(col("l_partkey"), col("exact_cnt"),
+        explode(expr("array(0,1,2,3)")).as("j"))
+      .withColumn("b", expr(bucket))
+      .join(cms, Seq("j", "b"))
+      .groupBy("l_partkey", "exact_cnt")
+      .agg(min(col("cnt")).as("cms_est"))
+      .select(col("l_partkey"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overcount"))
+      .orderBy(col("exact_cnt").desc, col("l_partkey"))
+  }
+
+  /** Propensity-matched treatment effect (ATT) — the observational
+    * answer when randomization isn't available: each md5-arm "treated"
+    * customer is matched to the nearest control at-or-below it on the
+    * account-balance covariate WITHIN its market segment, via one
+    * window that carries the last-seen control (backward nearest —
+    * deterministic, no caliper float edges), and ATT averages the
+    * exact-DECIMAL outcome differences over matched pairs. One keyed
+    * aggregate + one partitioned window — no pairwise matching join
+    * anywhere, which is what makes this shape hold at 100 TB.
+    */
+  private def qPsmAtt(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val outc = tbl(s, dir, "orders")
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("outcome"))
+    val c = tbl(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .join(outc, "c_custkey")
+      .withColumn("treated", expr(
+        """(CAST(conv(substring(md5(concat('17:',
+             CAST(c_custkey AS STRING))), 1, 8), 16, 10) AS BIGINT)
+           + 0.5) / 4294967296.0 < 0.5"""))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal"), col("treated").cast("int"),
+        col("c_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val m = c
+      .withColumn("ctrl_out", when(!col("treated"), col("outcome")))
+      .withColumn("ctrl_bal", when(!col("treated"), col("c_acctbal")))
+      .withColumn("matched", last(col("ctrl_out"), true).over(w))
+      .withColumn("matched_bal", last(col("ctrl_bal"), true).over(w))
+    m.agg(
+        sum(when(col("treated"), 1).otherwise(0)).cast("long")
+          .as("n_treated"),
+        sum(when(!col("treated"), 1).otherwise(0)).cast("long")
+          .as("n_control"),
+        sum(when(col("treated") && col("matched").isNotNull, 1)
+          .otherwise(0)).cast("long").as("n_matched"),
+        sum(when(col("treated") && col("matched").isNotNull,
+          col("outcome") - col("matched"))).as("sdiff"),
+        sum(when(col("treated") && col("matched").isNotNull,
+          col("c_acctbal") - col("matched_bal"))).as("sgap"),
+        sum(when(col("treated"), col("outcome"))).as("st"),
+        sum(when(!col("treated"), col("outcome"))).as("sc"))
+      .select(col("n_treated"), col("n_control"), col("n_matched"),
+        round(expr("CAST(sdiff AS DOUBLE) / CAST(n_matched AS DOUBLE)"),
+          6).as("att"),
+        round(expr("CAST(sgap AS DOUBLE) / CAST(n_matched AS DOUBLE)"),
+          6).as("avg_bal_gap"),
+        round(expr(
+          """CAST(st AS DOUBLE) / CAST(n_treated AS DOUBLE)
+             - CAST(sc AS DOUBLE) / CAST(n_control AS DOUBLE)"""), 6)
+          .as("naive_diff"))
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -9812,6 +9990,10 @@ object SparkEntry {
     "q_ngram_coverage" -> qNgramCoverage,
     "q_odds_ratio" -> qOddsRatio,
     "q_source_repetition" -> qSourceRepetition,
+    "q_hhi" -> qHhi,
+    "q_cohen_kappa" -> qCohenKappa,
+    "q_countmin" -> qCountMin,
+    "q_psm_att" -> qPsmAtt,
     "q_skew_audit" -> qSkewAudit,
     "q_tfidf_cosine_pairs" -> qTfidfCosinePairs,
     "q_diversity_index" -> qDiversityIndex,
@@ -12774,6 +12956,150 @@ object SparkEntry {
     "docs_stream_kmv" -> kmvDistinctOracleSql,
     "q_shingle_gen" -> shingleGenOracleSql,
     "q_source_repetition" -> sourceRepetitionOracleSql,
+    // HHI: exact DECIMAL supplier revenue, 9dp squared-share terms
+    // DECIMAL-summed (group order immaterial), final round at 6dp
+    "q_hhi" ->
+      """WITH rev AS (SELECT s_nationkey, l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+               * (CAST(1.00 AS DECIMAL(4,2))
+                 - CAST(l_discount AS DECIMAL(4,2)))) AS rv
+           FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+           GROUP BY 1, 2),
+         tot AS (SELECT s_nationkey, SUM(rv) AS tv,
+             COUNT(*) AS n_suppliers
+           FROM rev GROUP BY 1),
+         terms AS (SELECT rev.s_nationkey, tot.n_suppliers,
+             CAST(round(
+               (CAST(rv AS DOUBLE) / CAST(tv AS DOUBLE))
+               * (CAST(rv AS DOUBLE) / CAST(tv AS DOUBLE))
+               * 10000.0, 9) AS DECIMAL(18,9)) AS term
+           FROM rev JOIN tot USING (s_nationkey)),
+         h AS (SELECT s_nationkey, MIN(n_suppliers) AS n_suppliers,
+             round(CAST(SUM(term) AS DOUBLE), 6) AS hhi
+           FROM terms GROUP BY 1)
+         SELECT n_name, n_suppliers, hhi
+         FROM h JOIN nation ON n_nationkey = s_nationkey
+         ORDER BY n_name""",
+    // Cohen's kappa: integer-sum mean thresholds, exact contingency
+    // cells, single final-row divisions rounded at 6dp
+    "q_cohen_kappa" ->
+      """WITH d AS (SELECT n_chars,
+             CAST(length(text) - length(replace(text, ' ', ''))
+               AS BIGINT) AS n_spaces
+           FROM documents),
+         thr AS (SELECT
+             CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS avg_chars,
+             CAST(SUM(n_spaces) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS avg_spaces
+           FROM d),
+         r AS (SELECT
+             CAST(n_chars AS DOUBLE) >= avg_chars AS a_hi,
+             CAST(n_spaces AS DOUBLE) >= avg_spaces AS b_hi
+           FROM d CROSS JOIN thr),
+         cells AS (SELECT COUNT(*) AS n,
+             CAST(SUM(CASE WHEN a_hi AND b_hi THEN 1 ELSE 0 END)
+               AS BIGINT) AS n11,
+             CAST(SUM(CASE WHEN NOT a_hi AND NOT b_hi THEN 1 ELSE 0 END)
+               AS BIGINT) AS n00,
+             CAST(SUM(CASE WHEN a_hi AND NOT b_hi THEN 1 ELSE 0 END)
+               AS BIGINT) AS n10,
+             CAST(SUM(CASE WHEN NOT a_hi AND b_hi THEN 1 ELSE 0 END)
+               AS BIGINT) AS n01
+           FROM r)
+         SELECT n, n11, n00, n10, n01,
+           round(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+           round((CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+               + CAST(n00 + n01 AS DOUBLE) * CAST(n00 + n10 AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+           round((CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                 + CAST(n00 + n01 AS DOUBLE) * CAST(n00 + n10 AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+             / (1.0
+               - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                 + CAST(n00 + n01 AS DOUBLE) * CAST(n00 + n10 AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+             AS kappa
+         FROM cells""",
+    // Count-Min: identical md5("j:key") bucket folds rebuild the same
+    // 4x256 sketch; probes are the exact-heaviest 8 keys
+    "q_countmin" ->
+      """WITH li AS (SELECT l_partkey FROM lineitem),
+         ex AS (SELECT l_partkey, COUNT(*) AS exact_cnt
+           FROM li GROUP BY 1),
+         tp AS (SELECT * FROM ex
+           ORDER BY exact_cnt DESC, l_partkey LIMIT 8),
+         js AS (SELECT UNNEST(range(0, 4)) AS j),
+         hb AS (SELECT l_partkey, j,
+             md5(CAST(j AS VARCHAR) || ':'
+               || CAST(l_partkey AS VARCHAR)) AS h
+           FROM li CROSS JOIN js),
+         bk AS (SELECT l_partkey, j,
+             list_reduce(list_transform(range(1, 9),
+               i -> CAST(strpos('0123456789abcdef', h[i:i]) - 1
+                 AS BIGINT)), (a, d) -> a * 16 + d) % 256 AS b
+           FROM hb),
+         cms AS (SELECT j, b, COUNT(*) AS cnt FROM bk GROUP BY 1, 2),
+         ph AS (SELECT tp.l_partkey, tp.exact_cnt, j,
+             md5(CAST(j AS VARCHAR) || ':'
+               || CAST(tp.l_partkey AS VARCHAR)) AS h
+           FROM tp CROSS JOIN js),
+         pb AS (SELECT l_partkey, exact_cnt, j,
+             list_reduce(list_transform(range(1, 9),
+               i -> CAST(strpos('0123456789abcdef', h[i:i]) - 1
+                 AS BIGINT)), (a, d) -> a * 16 + d) % 256 AS b
+           FROM ph),
+         est AS (SELECT l_partkey, exact_cnt, MIN(cnt) AS cms_est
+           FROM pb JOIN cms USING (j, b) GROUP BY 1, 2)
+         SELECT l_partkey, exact_cnt, cms_est,
+           cms_est - exact_cnt AS overcount
+         FROM est ORDER BY exact_cnt DESC, l_partkey""",
+    // PSM ATT: md5-fold arm, backward-nearest control carried by one
+    // IGNORE NULLS window per segment, exact DECIMAL outcome sums
+    "q_psm_att" ->
+      """WITH o AS (SELECT o_custkey AS c_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS outcome
+           FROM orders GROUP BY 1),
+         c AS (SELECT c_custkey, c_mktsegment, c_acctbal, outcome,
+             (CAST(list_reduce(list_transform(range(1, 9),
+               i -> CAST(strpos('0123456789abcdef',
+                 (md5('17:' || CAST(c_custkey AS VARCHAR)))[i:i]) - 1
+                 AS BIGINT)), (a, d) -> a * 16 + d) AS DOUBLE)
+               + 0.5) / 4294967296.0 < 0.5 AS treated
+           FROM customer JOIN o USING (c_custkey)),
+         m AS (SELECT *,
+             last_value(CASE WHEN NOT treated THEN outcome END
+               IGNORE NULLS) OVER w AS matched,
+             last_value(CASE WHEN NOT treated THEN c_acctbal END
+               IGNORE NULLS) OVER w AS matched_bal
+           FROM c
+           WINDOW w AS (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal, CAST(treated AS INT), c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         agg AS (SELECT
+             CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_treated,
+             CAST(SUM(CASE WHEN NOT treated THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_control,
+             CAST(SUM(CASE WHEN treated AND matched IS NOT NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+             SUM(CASE WHEN treated AND matched IS NOT NULL
+               THEN outcome - matched END) AS sdiff,
+             SUM(CASE WHEN treated AND matched IS NOT NULL
+               THEN c_acctbal - matched_bal END) AS sgap,
+             SUM(CASE WHEN treated THEN outcome END) AS st,
+             SUM(CASE WHEN NOT treated THEN outcome END) AS sc
+           FROM m)
+         SELECT n_treated, n_control, n_matched,
+           round(CAST(sdiff AS DOUBLE) / CAST(n_matched AS DOUBLE), 6)
+             AS att,
+           round(CAST(sgap AS DOUBLE) / CAST(n_matched AS DOUBLE), 6)
+             AS avg_bal_gap,
+           round(CAST(st AS DOUBLE) / CAST(n_treated AS DOUBLE)
+             - CAST(sc AS DOUBLE) / CAST(n_control AS DOUBLE), 6)
+             AS naive_diff
+         FROM agg""",
     // cross-slice brute-force near-dup truth (the Spark side is banded
     // LSH + exact verify — same pair set, never all-pairs)
     "q_contamination_fuzzy" ->

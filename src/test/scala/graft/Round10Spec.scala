@@ -97,4 +97,51 @@ class Round10Spec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("pool has 2"))
   }
+
+  test("Count-Min estimates are one-sided: every probe's sketch count " +
+      "is >= its exact count") {
+    val out = SparkEntry.queries("q_countmin")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.length == 8)
+    out.foreach { r =>
+      val exact = r.getLong(r.fieldIndex("exact_cnt"))
+      val est = r.getLong(r.fieldIndex("cms_est"))
+      assert(est >= exact,
+        s"CMS undercounted key ${r.getLong(0)}: $est < $exact")
+      assert(r.getLong(r.fieldIndex("overcount")) == est - exact)
+    }
+  }
+
+  test("PSM matching is backward-nearest: the mean covariate gap is " +
+      "non-negative and matches never exceed treated rows") {
+    val r = SparkEntry.queries("q_psm_att")(
+      spark, "/root/testdata/sf0.001").head()
+    val nT = r.getLong(r.fieldIndex("n_treated"))
+    val nM = r.getLong(r.fieldIndex("n_matched"))
+    assert(nM > 0 && nM <= nT)
+    assert(r.getDouble(r.fieldIndex("avg_bal_gap")) >= 0.0)
+  }
+
+  test("HHI stays inside its algebraic band [10000/n, 10000]") {
+    SparkEntry.queries("q_hhi")(spark, "/root/testdata/sf0.001")
+      .collect().foreach { r =>
+        val n = r.getLong(r.fieldIndex("n_suppliers"))
+        val hhi = r.getDouble(r.fieldIndex("hhi"))
+        assert(hhi >= 10000.0 / n - 1e-3 && hhi <= 10000.0 + 1e-3,
+          s"HHI $hhi outside band for n=$n")
+      }
+  }
+
+  test("Cohen's kappa row is internally consistent: cells partition n " +
+      "and kappa == (po - pe) / (1 - pe)") {
+    val r = SparkEntry.queries("q_cohen_kappa")(
+      spark, "/root/testdata/sf0.001").head()
+    def l(c: String) = r.getLong(r.fieldIndex(c))
+    assert(l("n11") + l("n00") + l("n10") + l("n01") == l("n"))
+    val po = r.getDouble(r.fieldIndex("po"))
+    val pe = r.getDouble(r.fieldIndex("pe"))
+    val k = r.getDouble(r.fieldIndex("kappa"))
+    assert(math.abs(k - (po - pe) / (1.0 - pe)) < 1e-4)
+    assert(k >= -1.0 - 1e-9 && k <= 1.0 + 1e-9)
+  }
 }
