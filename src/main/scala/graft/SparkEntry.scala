@@ -9643,6 +9643,209 @@ object SparkEntry {
           .as("naive_diff"))
   }
 
+  // ---- round-10 batch 8: econometrics over the daily series ----
+
+  /** (Augmented-less) DICKEY–FULLER unit-root test of daily revenue:
+    * Δrevₜ = α + β·revₜ₋₁ + ε, ADF t = β̂/se(β̂). Slope and intercept
+    * come closed-form from one exact-DECIMAL moment pass over the
+    * days-sized aggregate (the q_linreg contract); RSS rides the same
+    * moments (Syy − β̂·Sxy — no residual pass), and only the bounded
+    * statistics (β, se, t) are rounded for output. β near 0 ⇒ random
+    * walk; strongly negative t ⇒ mean-reverting.
+    */
+  private def qAdfTest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lagd = dailyRev18(s, dir)
+      .withColumn("xp", lag(col("rev"), 1).over(Window.orderBy("day")))
+      .filter(col("xp").isNotNull)
+      .select((col("rev") - col("xp")).as("y"), col("xp").as("x"))
+    lagd.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n").as("n_obs"), expr(
+        s"""round($adfBetaSql, 9) + 0.0d""").as("beta"), expr(
+        s"""round($adfSeSql, 9) + 0.0d""").as("se_beta"), expr(
+        s"""round($adfBetaSql / $adfSeSql, 6) + 0.0d""").as("adf_t"))
+  }
+
+  private val adfSxxC =
+    """(CAST(sxx AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"""
+  private val adfSxyC =
+    """(CAST(sxy AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"""
+  private val adfSyyC =
+    """(CAST(syy AS DOUBLE)
+       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"""
+  private val adfBetaSql = s"($adfSxyC / $adfSxxC)"
+  private val adfSeSql =
+    s"""sqrt(greatest(($adfSyyC - $adfBetaSql * $adfSxyC)
+         / (CAST(n AS DOUBLE) - 2.0d) / $adfSxxC, 0.0d))"""
+
+  /** GRANGER CAUSALITY (one lag) — does yesterday's ORDER COUNT
+    * improve today's revenue forecast beyond yesterday's revenue? The
+    * restricted (revₜ₋₁) and unrestricted (revₜ₋₁ + cntₜ₋₁) OLS fits
+    * both come closed-form from ONE exact-DECIMAL moment pass (2×2
+    * normal equations — no residual pass, no iteration), and the
+    * readout is the bounded trio R²_r, R²_u, F. The moment-pass shape
+    * is what scales: adding a lag regressor at 100 TB adds a column,
+    * not a pass.
+    */
+  private def qGranger(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = tbl(s, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy("day").agg(sum(col("p")).as("rev"),
+        count(lit(1)).cast("decimal(18,2)").as("cnt"))
+    val w = Window.orderBy("day")
+    val lagd = d
+      .withColumn("u", lag(col("rev"), 1).over(w))
+      .withColumn("v", lag(col("cnt"), 1).over(w))
+      .filter(col("u").isNotNull)
+      .select(col("rev").as("y"), col("u"), col("v"))
+    lagd.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum(col("u")).as("su"), sum(col("v")).as("sv"),
+        sum(col("u") * col("y")).as("suy"),
+        sum(col("v") * col("y")).as("svy"),
+        sum(col("u") * col("u")).as("suu"),
+        sum(col("v") * col("v")).as("svv"),
+        sum(col("u") * col("v")).as("suv"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n").as("n_obs"),
+        expr(s"round($grB1Sql, 9) + 0.0d").as("b_lag_rev"),
+        expr(s"round($grB2Sql, 9) + 0.0d").as("b_lag_cnt"),
+        expr(s"""round(1.0d - $grRssRSql / $grCyy, 6) + 0.0d""")
+          .as("r2_r"),
+        expr(s"""round(1.0d - $grRssUSql / $grCyy, 6) + 0.0d""")
+          .as("r2_u"),
+        expr(s"""round(($grRssRSql - $grRssUSql)
+            / ($grRssUSql / (CAST(n AS DOUBLE) - 3.0d)), 6) + 0.0d""")
+          .as("f_stat"))
+  }
+
+  private def grC(ab: String, a: String, b: String) =
+    s"""(CAST(s$ab AS DOUBLE)
+       - CAST(s$a AS DOUBLE) * CAST(s$b AS DOUBLE) / CAST(n AS DOUBLE))"""
+  private val grCuu = grC("uu", "u", "u")
+  private val grCvv = grC("vv", "v", "v")
+  private val grCuv = grC("uv", "u", "v")
+  private val grCuy = grC("uy", "u", "y")
+  private val grCvy = grC("vy", "v", "y")
+  private val grCyy = grC("yy", "y", "y")
+  private val grDet = s"($grCuu * $grCvv - $grCuv * $grCuv)"
+  private val grB1Sql = s"(($grCvv * $grCuy - $grCuv * $grCvy) / $grDet)"
+  private val grB2Sql = s"(($grCuu * $grCvy - $grCuv * $grCuy) / $grDet)"
+  private val grRssUSql =
+    s"($grCyy - $grB1Sql * $grCuy - $grB2Sql * $grCvy)"
+  private val grRssRSql = s"($grCyy - $grCuy * $grCuy / $grCuu)"
+
+  /** LJUNG–BOX PORTMANTEAU at lags 1..7 over daily revenue: the
+    * demeaned series is 6-dp-quantized once (broadcast moment row, the
+    * qJarqueBera contract), each lag-k autocovariance is an exact
+    * DECIMAL sum over a rank-offset self-join of the days-sized
+    * series, ρ is rounded BEFORE squaring so both engines accumulate
+    * identical Q, and q_cum is the running n(n+2)·Σρ²/(n−k) — the
+    * is-this-series-white-noise gate, per lag.
+    */
+  private def qLjungBox(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mom = dailyRevMoments(s, dir)
+    val d = dailyRev18(s, dir).crossJoin(broadcast(mom))
+      .select(col("n"),
+        row_number().over(Window.orderBy("day")).as("rn"), expr(
+        s"""CAST(round(CAST(rev AS DOUBLE) - $revMeanSql, 6) + 0.0d
+           AS DECIMAL(18,6))""").as("dd"))
+    val den = d.agg(max(col("n")).as("n_days"),
+      sum(col("dd") * col("dd")).as("den"))
+    val pairs = d.select(col("rn"), col("dd"))
+      .crossJoin(spark_range_lags(s))
+      .join(d.select(col("rn").as("rn2"), col("dd").as("dd2")),
+        col("rn2") === col("rn") - col("lag_k"))
+      .groupBy("lag_k")
+      .agg(sum(col("dd") * col("dd2")).as("num"))
+    pairs.crossJoin(broadcast(den))
+      .select(col("lag_k"), col("n_days"), expr(
+        """round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) + 0.0d""")
+        .as("rho"))
+      .withColumn("q_cum", round(sum(expr(
+        """CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) + 2.0d)
+           * rho * rho / (CAST(n_days AS DOUBLE)
+             - CAST(lag_k AS DOUBLE))"""))
+        .over(Window.orderBy("lag_k")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        6))
+      .select(col("lag_k"), col("rho"), col("q_cum"))
+      .orderBy("lag_k")
+  }
+
+  private def spark_range_lags(s: SparkSession): DataFrame =
+    s.range(1, 8).select(col("id").as("lag_k"))
+
+  /** HURST EXPONENT by rescaled-range (R/S) analysis of daily revenue:
+    * full blocks of m ∈ {8,16,32,64} days, per block the range of the
+    * cumulative 6-dp deviation track over the population σ (both from
+    * exact DECIMAL block sums), per-m mean of the rounded R/S values,
+    * and H = the slope of round(log2(R/S),9) against k = log2(m) —
+    * integer x-axis, so the only libm call is one log2 per block size
+    * (9-dp-rounded, the repo's ln contract). H≈0.5 random walk,
+    * H>0.5 trending, H<0.5 mean-reverting. Every window is
+    * partition-local to a ≤64-row block.
+    */
+  private def qHurst(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rn = dailyRev18(s, dir)
+      .select(row_number().over(Window.orderBy("day")).as("rn"),
+        col("rev"))
+    val sizes = s.range(3, 7)
+      .select(col("id").cast("int").as("k"),
+        expr("CAST(shiftleft(1, CAST(id AS INT)) AS BIGINT)").as("m"))
+    val blk = rn.crossJoin(broadcast(sizes))
+      .withColumn("b", expr("CAST(floor((rn - 1) / m) AS BIGINT)"))
+    val bm = blk.groupBy("k", "m", "b")
+      .agg(count(lit(1)).as("cnt"), sum(col("rev")).as("bs"),
+        sum(col("rev") * col("rev")).as("bs2"))
+      .filter(col("cnt") === col("m"))
+    val dev = blk.join(bm.select(col("k"), col("b"), col("bs")),
+        Seq("k", "b"))
+      .withColumn("e", expr(
+        """CAST(round(CAST(rev AS DOUBLE)
+             - CAST(bs AS DOUBLE) / CAST(m AS DOUBLE), 6) + 0.0d
+           AS DECIMAL(18,6))"""))
+      .withColumn("cum", sum(col("e")).over(Window
+        .partitionBy("k", "b").orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("k", "b")
+      .agg((max(col("cum")) - min(col("cum"))).as("r"))
+    val rs = dev.join(bm, Seq("k", "b"))
+      .select(col("k"), col("m"), expr(
+        """CAST(round(CAST(r AS DOUBLE) / sqrt(greatest(
+             CAST(bs2 AS DOUBLE) / CAST(m AS DOUBLE)
+             - (CAST(bs AS DOUBLE) / CAST(m AS DOUBLE))
+               * (CAST(bs AS DOUBLE) / CAST(m AS DOUBLE)), 1e-12d)),
+             6) + 0.0d AS DECIMAL(18,6))""").as("rs"))
+      .groupBy("k", "m")
+      .agg(count(lit(1)).as("n_blocks"), expr(
+        """round(CAST(SUM(rs) AS DOUBLE) / COUNT(1), 6) + 0.0d""")
+        .as("rs_mean"))
+      .withColumn("lg", expr(
+        "CAST(round(log2(rs_mean), 9) + 0.0d AS DECIMAL(18,9))"))
+    val slope = rs.agg(count(lit(1)).as("np"),
+        sum(col("k")).as("sk"), sum(col("lg")).as("sl"),
+        sum(col("k") * col("lg")).as("skl"),
+        sum(col("k") * col("k")).as("skk"))
+      .select(expr(
+        """round((CAST(np AS DOUBLE) * CAST(skl AS DOUBLE)
+             - CAST(sk AS DOUBLE) * CAST(sl AS DOUBLE))
+           / (CAST(np AS DOUBLE) * CAST(skk AS DOUBLE)
+             - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE)), 6) + 0.0d""")
+        .as("hurst"))
+    rs.crossJoin(broadcast(slope))
+      .select(col("m"), col("n_blocks"), col("rs_mean"), col("hurst"))
+      .orderBy("m")
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -9994,6 +10197,10 @@ object SparkEntry {
     "q_cohen_kappa" -> qCohenKappa,
     "q_countmin" -> qCountMin,
     "q_psm_att" -> qPsmAtt,
+    "q_adf_test" -> qAdfTest,
+    "q_granger" -> qGranger,
+    "q_ljung_box" -> qLjungBox,
+    "q_hurst" -> qHurst,
     "q_skew_audit" -> qSkewAudit,
     "q_tfidf_cosine_pairs" -> qTfidfCosinePairs,
     "q_diversity_index" -> qDiversityIndex,
@@ -13100,6 +13307,184 @@ object SparkEntry {
              - CAST(sc AS DOUBLE) / CAST(n_control AS DOUBLE), 6)
              AS naive_diff
          FROM agg""",
+    // Dickey–Fuller: closed-form OLS of Δrev on lag(rev) from exact
+    // DECIMAL moment sums; RSS via moments (Syy − β·Sxy), no residual
+    // pass; (19,2) factor casts force DuckDB's hugeint product path
+    "q_adf_test" -> {
+      val sxxc =
+        """(CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+             / CAST(n AS DOUBLE))"""
+      val sxyc =
+        """(CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+             / CAST(n AS DOUBLE))"""
+      val syyc =
+        """(CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+             / CAST(n AS DOUBLE))"""
+      val beta = s"($sxyc / $sxxc)"
+      val se =
+        s"""sqrt(greatest(($syyc - $beta * $sxyc)
+             / (CAST(n AS DOUBLE) - 2.0) / $sxxc, 0.0))"""
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(18,2)) AS rev
+           FROM orders GROUP BY 1),
+         lagd AS (SELECT
+             CAST(rev AS DECIMAL(19,2))
+               - lag(CAST(rev AS DECIMAL(19,2)), 1)
+                 OVER (ORDER BY day) AS y,
+             lag(CAST(rev AS DECIMAL(19,2)), 1)
+               OVER (ORDER BY day) AS x
+           FROM daily),
+         f AS (SELECT y, x FROM lagd WHERE x IS NOT NULL),
+         m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+           FROM f)
+         SELECT n AS n_obs,
+           round($beta, 9) + 0.0 AS beta,
+           round($se, 9) + 0.0 AS se_beta,
+           round($beta / $se, 6) + 0.0 AS adf_t
+         FROM m"""
+    },
+    // Granger: restricted vs unrestricted OLS both closed-form from
+    // one exact moment pass (2x2 normal equations)
+    "q_granger" -> {
+      def c(ab: String, a: String, b: String) =
+        s"""(CAST(s$ab AS DOUBLE)
+           - CAST(s$a AS DOUBLE) * CAST(s$b AS DOUBLE)
+             / CAST(n AS DOUBLE))"""
+      val cuu = c("uu", "u", "u"); val cvv = c("vv", "v", "v")
+      val cuv = c("uv", "u", "v"); val cuy = c("uy", "u", "y")
+      val cvy = c("vy", "v", "y"); val cyy = c("yy", "y", "y")
+      val det = s"($cuu * $cvv - $cuv * $cuv)"
+      val b1 = s"(($cvv * $cuy - $cuv * $cvy) / $det)"
+      val b2 = s"(($cuu * $cvy - $cuv * $cuy) / $det)"
+      val rssU = s"($cyy - $b1 * $cuy - $b2 * $cvy)"
+      val rssR = s"($cyy - $cuy * $cuy / $cuu)"
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(18,2)) AS rev,
+             CAST(COUNT(*) AS DECIMAL(18,2)) AS cnt
+           FROM orders GROUP BY 1),
+         lagd AS (SELECT CAST(rev AS DECIMAL(19,2)) AS y,
+             lag(CAST(rev AS DECIMAL(19,2)), 1)
+               OVER (ORDER BY day) AS u,
+             lag(CAST(cnt AS DECIMAL(19,2)), 1)
+               OVER (ORDER BY day) AS v
+           FROM daily),
+         f AS (SELECT y, u, v FROM lagd WHERE u IS NOT NULL),
+         m AS (SELECT COUNT(*) AS n, SUM(y) AS sy, SUM(u) AS su,
+             SUM(v) AS sv, SUM(u * y) AS suy, SUM(v * y) AS svy,
+             SUM(u * u) AS suu, SUM(v * v) AS svv, SUM(u * v) AS suv,
+             SUM(y * y) AS syy
+           FROM f)
+         SELECT n AS n_obs,
+           round($b1, 9) + 0.0 AS b_lag_rev,
+           round($b2, 9) + 0.0 AS b_lag_cnt,
+           round(1.0 - $rssR / $cyy, 6) + 0.0 AS r2_r,
+           round(1.0 - $rssU / $cyy, 6) + 0.0 AS r2_u,
+           round(($rssR - $rssU)
+             / ($rssU / (CAST(n AS DOUBLE) - 3.0)), 6) + 0.0 AS f_stat
+         FROM m"""
+    },
+    // Ljung–Box: 6-dp demeaned series, lag-k autocovariances as exact
+    // DECIMAL sums over a rank-offset self-join, rho rounded before
+    // squaring, cumulative Q over the 7 lag rows
+    "q_ljung_box" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(18,2)) AS rev
+           FROM orders GROUP BY 1),
+         mom AS (SELECT COUNT(*) AS n, SUM(rev) AS sm FROM daily),
+         d AS (SELECT n, row_number() OVER (ORDER BY day) AS rn,
+             CAST(round(CAST(rev AS DOUBLE)
+               - CAST(sm AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0
+               AS DECIMAL(18,6)) AS dd
+           FROM daily CROSS JOIN mom),
+         den AS (SELECT MAX(n) AS n_days,
+             SUM(CAST(dd AS DECIMAL(19,6))
+               * CAST(dd AS DECIMAL(19,6))) AS den
+           FROM d),
+         lags AS (SELECT CAST(range AS BIGINT) AS lag_k
+           FROM range(1, 8)),
+         pairs AS (SELECT lag_k,
+             SUM(CAST(d1.dd AS DECIMAL(19,6))
+               * CAST(d2.dd AS DECIMAL(19,6))) AS num
+           FROM d d1 CROSS JOIN lags
+           JOIN d d2 ON d2.rn = d1.rn - lag_k
+           GROUP BY 1),
+         rho AS (SELECT lag_k, n_days,
+             round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) + 0.0
+               AS rho
+           FROM pairs CROSS JOIN den)
+         SELECT lag_k, rho,
+           round(SUM(CAST(n_days AS DOUBLE)
+               * (CAST(n_days AS DOUBLE) + 2.0) * rho * rho
+               / (CAST(n_days AS DOUBLE) - CAST(lag_k AS DOUBLE)))
+             OVER (ORDER BY lag_k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS q_cum
+         FROM rho ORDER BY lag_k""",
+    // Hurst R/S: full blocks of 8/16/32/64 days, block-local cumsum
+    // range over population sigma (exact DECIMAL block sums), log2
+    // rounded at 9 dp then DECIMAL slope over integer k
+    "q_hurst" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(18,2)) AS rev
+           FROM orders GROUP BY 1),
+         rn AS (SELECT row_number() OVER (ORDER BY day) AS rn, rev
+           FROM daily),
+         sizes AS (SELECT CAST(range AS INT) AS k,
+             CAST(power(2, range) AS BIGINT) AS m
+           FROM range(3, 7)),
+         blk AS (SELECT k, m, rn.rn AS rn, rev,
+             CAST(floor((rn.rn - 1) / m) AS BIGINT) AS b
+           FROM rn CROSS JOIN sizes),
+         bm AS (SELECT k, m, b, COUNT(*) AS cnt,
+             SUM(CAST(rev AS DECIMAL(19,2))) AS bs,
+             SUM(CAST(rev AS DECIMAL(19,2))
+               * CAST(rev AS DECIMAL(19,2))) AS bs2
+           FROM blk GROUP BY 1, 2, 3),
+         bmf AS (SELECT * FROM bm WHERE cnt = m),
+         dev AS (SELECT blk.k AS k, blk.b AS b, blk.rn AS rn,
+             CAST(round(CAST(rev AS DOUBLE)
+               - CAST(bs AS DOUBLE) / CAST(blk.m AS DOUBLE), 6) + 0.0
+               AS DECIMAL(18,6)) AS e
+           FROM blk JOIN bmf ON blk.k = bmf.k AND blk.b = bmf.b),
+         cum AS (SELECT k, b,
+             SUM(e) OVER (PARTITION BY k, b ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+           FROM dev),
+         rng AS (SELECT k, b, MAX(cum) - MIN(cum) AS r
+           FROM cum GROUP BY 1, 2),
+         rs AS (SELECT rng.k AS k, bmf.m AS m,
+             CAST(round(CAST(r AS DOUBLE) / sqrt(greatest(
+               CAST(bs2 AS DOUBLE) / CAST(bmf.m AS DOUBLE)
+               - (CAST(bs AS DOUBLE) / CAST(bmf.m AS DOUBLE))
+                 * (CAST(bs AS DOUBLE) / CAST(bmf.m AS DOUBLE)),
+               1e-12)), 6) + 0.0 AS DECIMAL(18,6)) AS rs
+           FROM rng JOIN bmf ON rng.k = bmf.k AND rng.b = bmf.b),
+         rsm AS (SELECT k, m, COUNT(*) AS n_blocks,
+             round(CAST(SUM(rs) AS DOUBLE) / COUNT(*), 6) + 0.0
+               AS rs_mean
+           FROM rs GROUP BY 1, 2),
+         rsl AS (SELECT *,
+             CAST(round(log2(rs_mean), 9) + 0.0 AS DECIMAL(18,9)) AS lg
+           FROM rsm),
+         slope AS (SELECT COUNT(*) AS np, SUM(k) AS sk, SUM(lg) AS sl,
+             SUM(k * lg) AS skl, SUM(k * k) AS skk
+           FROM rsl)
+         SELECT m, n_blocks, rs_mean,
+           round((CAST(np AS DOUBLE) * CAST(skl AS DOUBLE)
+               - CAST(sk AS DOUBLE) * CAST(sl AS DOUBLE))
+             / (CAST(np AS DOUBLE) * CAST(skk AS DOUBLE)
+               - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE)), 6) + 0.0
+             AS hurst
+         FROM rsl CROSS JOIN slope ORDER BY m""",
     // cross-slice brute-force near-dup truth (the Spark side is banded
     // LSH + exact verify — same pair set, never all-pairs)
     "q_contamination_fuzzy" ->

@@ -144,4 +144,56 @@ class Round10Spec extends AnyFunSuite {
     assert(math.abs(k - (po - pe) / (1.0 - pe)) < 1e-4)
     assert(k >= -1.0 - 1e-9 && k <= 1.0 + 1e-9)
   }
+
+  test("ADF regression sits on n-1 observations of the daily series " +
+      "with a finite negative-or-small t statistic") {
+    val r = SparkEntry.queries("q_adf_test")(
+      spark, "/root/testdata/sf0.001").head()
+    val n = r.getLong(r.fieldIndex("n_obs"))
+    assert(n > 100)
+    val t = r.getDouble(r.fieldIndex("adf_t"))
+    assert(!t.isNaN && !t.isInfinite)
+    assert(r.getDouble(r.fieldIndex("se_beta")) > 0.0)
+  }
+
+  test("Granger unrestricted fit never explains less variance than " +
+      "the restricted one, and F is non-negative") {
+    val r = SparkEntry.queries("q_granger")(
+      spark, "/root/testdata/sf0.001").head()
+    val r2r = r.getDouble(r.fieldIndex("r2_r"))
+    val r2u = r.getDouble(r.fieldIndex("r2_u"))
+    assert(r2u >= r2r - 1e-9, s"r2_u $r2u < r2_r $r2r")
+    assert(r.getDouble(r.fieldIndex("f_stat")) >= -1e-9)
+  }
+
+  test("Ljung-Box Q is monotone non-decreasing in the lag and every " +
+      "rho stays inside [-1, 1]") {
+    val rows = SparkEntry.queries("q_ljung_box")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 7)
+    var prev = 0.0
+    rows.sortBy(_.getLong(0)).foreach { r =>
+      val rho = r.getDouble(r.fieldIndex("rho"))
+      assert(rho >= -1.0 - 1e-6 && rho <= 1.0 + 1e-6)
+      val q = r.getDouble(r.fieldIndex("q_cum"))
+      assert(q >= prev - 1e-9, s"Q decreased: $q < $prev")
+      prev = q
+    }
+  }
+
+  test("Hurst R/S block counts halve as the block size doubles and " +
+      "the exponent lands in (0, 1)") {
+    val rows = SparkEntry.queries("q_hurst")(
+      spark, "/root/testdata/sf0.001").collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(8L, 16L, 32L, 64L))
+    rows.sliding(2).foreach { p =>
+      val hi = p(0).getLong(p(0).fieldIndex("n_blocks"))
+      val lo = p(1).getLong(p(1).fieldIndex("n_blocks"))
+      assert(lo <= hi / 2 + 1, s"block counts not halving: $hi -> $lo")
+    }
+    val h = rows.head.getDouble(rows.head.fieldIndex("hurst"))
+    assert(h > 0.0 && h < 1.0, s"hurst $h outside (0,1)")
+    assert(rows.map(_.getDouble(rows.head.fieldIndex("hurst")))
+      .distinct.length == 1)
+  }
 }
