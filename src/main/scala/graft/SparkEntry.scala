@@ -9846,6 +9846,189 @@ object SparkEntry {
       .orderBy("m")
   }
 
+  // ---- round-10 batch 9: probabilistic structures + multiple testing ----
+
+  /** BLOOM-FILTER SEMI-JOIN with its false-positive rate made VISIBLE:
+    * a 4096-bit / 4-hash filter built over the BUILDING-segment
+    * customer keys (md5-fold bit positions — the repo's deterministic-
+    * randomness contract, so the oracle rebuilds the identical bit
+    * set), probed by every customer. The filter is ≤4096 rows no
+    * matter the corpus (the Bloom property), rides a broadcast join,
+    * and the readout proves no-false-negatives and measures the FPR —
+    * exactly what a 100 TB pre-shuffle row filter needs to certify.
+    */
+  private def qBloomJoin(s: SparkSession, dir: String): DataFrame = {
+    def bitSql(keyCol: String) =
+      s"""CAST(conv(substring(md5(concat(CAST(j AS STRING), ':',
+           CAST($keyCol AS STRING))), 1, 8), 16, 10) AS BIGINT) % 4096"""
+    val cust = tbl(s, dir, "customer")
+      .select(col("c_custkey"),
+        (col("c_mktsegment") === "BUILDING").as("mem"))
+    val bits = cust.filter(col("mem"))
+      .select(col("c_custkey"), explode(expr("array(0,1,2,3)")).as("j"))
+      .select(expr(bitSql("c_custkey")).as("bit"))
+      .distinct()
+      .withColumn("present", lit(1))
+    val probe = cust
+      .select(col("c_custkey"), col("mem"),
+        explode(expr("array(0,1,2,3)")).as("j"))
+      .withColumn("bit", expr(bitSql("c_custkey")))
+      .join(broadcast(bits), Seq("bit"), "left")
+      .groupBy("c_custkey", "mem")
+      .agg((sum(coalesce(col("present"), lit(0))) === 4).as("passed"))
+    probe.agg(
+        sum(when(col("mem"), 1).otherwise(0)).cast("long").as("n_build"),
+        count(lit(1)).as("n_probe"),
+        sum(when(col("passed"), 1).otherwise(0)).cast("long")
+          .as("n_pass"),
+        sum(when(col("passed") && !col("mem"), 1).otherwise(0))
+          .cast("long").as("n_fp"),
+        sum(when(!col("passed") && col("mem"), 1).otherwise(0))
+          .cast("long").as("n_fn"))
+      .withColumn("fpr", round(expr(
+        """CAST(n_fp AS DOUBLE)
+           / CAST(n_probe - n_build AS DOUBLE)"""), 6))
+  }
+
+  /** AMS SKETCH of the second frequency moment (F2 = Σ cnt²) of the
+    * l_partkey stream: 16 ±1-signed estimators (md5-parity signs),
+    * Z_e = Σ sign·cnt, estimate = median of 4 means of 4 Z² each —
+    * fixed 16-row state from one map-side-combined pass, pure integer
+    * arithmetic until the final division, with the exact F2 alongside
+    * so the sketch's relative error is part of the answer (the
+    * q_countmin visible-error contract for the join-size/self-join
+    * cardinality estimator).
+    */
+  private def qAmsF2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = tbl(s, dir, "lineitem")
+      .groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+    val exact = freq.agg(sum(col("cnt") * col("cnt")).as("exact_f2"))
+    val z = freq
+      .select(col("l_partkey"), col("cnt"), explode(expr(
+        "sequence(0, 15)")).as("e"))
+      .withColumn("sign", expr(
+        """CASE WHEN CAST(conv(substring(md5(concat(CAST(e AS STRING),
+             ':', CAST(l_partkey AS STRING))), 1, 8), 16, 10) AS BIGINT)
+             % 2 = 0 THEN 1 ELSE -1 END"""))
+      .groupBy("e").agg(sum(col("sign") * col("cnt")).as("zz"))
+    val grp = z.groupBy(expr("CAST(e DIV 4 AS INT)").as("g"))
+      .agg(sum(col("zz") * col("zz")).as("s4"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("s4"), col("g"))))
+    grp.filter(col("rk") === 2 || col("rk") === 3)
+      .agg((sum(col("s4")).cast("double") / lit(8.0d)).as("ams_est"))
+      .crossJoin(broadcast(exact))
+      .select(col("exact_f2").cast("long").as("exact_f2"),
+        round(col("ams_est"), 2).as("ams_est"),
+        round((col("ams_est") - col("exact_f2").cast("double"))
+          / col("exact_f2").cast("double"), 6).as("rel_err"))
+  }
+
+  /** BENJAMINI–HOCHBERG FDR (α=0.05) over 25 simultaneous per-nation
+    * proportion tests (is this nation's F-status order share different
+    * from global?): z from exact counts, two-sided p via the
+    * Abramowitz–Stegun 26.2.17 normal-tail polynomial evaluated on the
+    * 6-dp-quantized |z| (identical input doubles in both engines) and
+    * 9-dp-rounded, then the step-up rule as one rank window + one max
+    * window over the 25-row test table — the multiple-testing gate
+    * every metrics platform needs when it scans hundreds of segments.
+    */
+  private def qBhFdr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = tbl(s, dir, "orders")
+      .join(tbl(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+        "o_custkey")
+    val glob = o.agg(count(lit(1)).as("n"),
+      sum(when(col("o_orderstatus") === "F", 1).otherwise(0))
+        .cast("long").as("f"))
+    val per = o.groupBy("c_nationkey")
+      .agg(count(lit(1)).as("ni"),
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0))
+          .cast("long").as("fi"))
+      .crossJoin(broadcast(glob))
+      .withColumn("z", expr(
+        """round((CAST(fi AS DOUBLE) / CAST(ni AS DOUBLE)
+             - CAST(f AS DOUBLE) / CAST(n AS DOUBLE))
+           / sqrt((CAST(f AS DOUBLE) / CAST(n AS DOUBLE))
+             * (1.0d - CAST(f AS DOUBLE) / CAST(n AS DOUBLE))
+             / CAST(ni AS DOUBLE)), 6) + 0.0d"""))
+      .withColumn("p", expr(s"round(least($asTailSql * 2.0d, 1.0d), 9) + 0.0d"))
+    val ranked = per
+      .join(tbl(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name")),
+        "c_nationkey")
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("p"), col("n_name"))))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("sat", col("p") <= expr(
+        "CAST(rk AS DOUBLE) * 0.05d / CAST(m AS DOUBLE)"))
+    ranked
+      .withColumn("kmax", max(when(col("sat"), col("rk"))
+        .otherwise(lit(0))).over(Window.partitionBy()))
+      .select(col("n_name"), col("ni").as("n_orders"), col("z"),
+        col("p"), col("rk").cast("long").as("p_rank"),
+        (col("rk") <= col("kmax")).as("rejected"))
+      .orderBy("p_rank")
+  }
+
+  /** A&S 26.2.17 upper-tail Φ̄(|z|) on a pre-rounded z column. */
+  private val asTailSql: String =
+    """(exp(-abs(z) * abs(z) / 2.0d) / 2.5066282746310002d
+       * ((1.0d / (1.0d + 0.2316419d * abs(z)))
+         * (0.319381530d + (1.0d / (1.0d + 0.2316419d * abs(z)))
+           * (-0.356563782d + (1.0d / (1.0d + 0.2316419d * abs(z)))
+             * (1.781477937d + (1.0d / (1.0d + 0.2316419d * abs(z)))
+               * (-1.821255978d + (1.0d / (1.0d + 0.2316419d * abs(z)))
+                 * 1.330274429d))))))"""
+
+  /** POWER ANALYSIS / MINIMAL DETECTABLE EFFECT for the md5-arm A/B
+    * harness: pooled σ from exact DECIMAL moments of per-customer
+    * spend, MDE = (z_{α/2}+z_β)·σ·√(1/n_a+1/n_b) at 80% power /
+    * 5% α (literal z constants — no inverse-CDF dependency), absolute
+    * and as % of the control mean. One keyed aggregate + one
+    * conditional-moment row — the "how long must this experiment run"
+    * planner, closed-form at any scale.
+    */
+  private def qPowerMde(s: SparkSession, dir: String): DataFrame = {
+    val spend = tbl(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("y"))
+      .withColumn("arm", expr(
+        """CAST(conv(substring(md5(concat('23:',
+             CAST(o_custkey AS STRING))), 1, 8), 16, 10) AS BIGINT)
+           % 2"""))
+    spend.agg(
+        sum(when(col("arm") === 0, 1).otherwise(0)).cast("long")
+          .as("n_a"),
+        sum(when(col("arm") === 1, 1).otherwise(0)).cast("long")
+          .as("n_b"),
+        sum(when(col("arm") === 0, col("y"))).as("sa"),
+        sum(when(col("arm") === 1, col("y"))).as("sb"),
+        sum(when(col("arm") === 0, col("y") * col("y"))).as("qa"),
+        sum(when(col("arm") === 1, col("y") * col("y"))).as("qb"))
+      .withColumn("sd_pooled", expr(
+        """sqrt(greatest(((CAST(qa AS DOUBLE)
+             - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+               / CAST(n_a AS DOUBLE))
+           + (CAST(qb AS DOUBLE)
+             - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+               / CAST(n_b AS DOUBLE)))
+           / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0d),
+           0.0d))"""))
+      .withColumn("mde_abs", expr(
+        """(1.959964d + 0.841621d) * sd_pooled
+           * sqrt(1.0d / CAST(n_a AS DOUBLE)
+             + 1.0d / CAST(n_b AS DOUBLE))"""))
+      .select(col("n_a"), col("n_b"),
+        round(col("sd_pooled"), 6).as("sd_pooled"),
+        round(col("mde_abs"), 6).as("mde_abs"),
+        round(expr(
+          """mde_abs / (CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE))
+             * 100.0d"""), 6).as("mde_pct"))
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -10201,6 +10384,10 @@ object SparkEntry {
     "q_granger" -> qGranger,
     "q_ljung_box" -> qLjungBox,
     "q_hurst" -> qHurst,
+    "q_bloom_join" -> qBloomJoin,
+    "q_ams_f2" -> qAmsF2,
+    "q_bh_fdr" -> qBhFdr,
+    "q_power_mde" -> qPowerMde,
     "q_skew_audit" -> qSkewAudit,
     "q_tfidf_cosine_pairs" -> qTfidfCosinePairs,
     "q_diversity_index" -> qDiversityIndex,
@@ -13485,6 +13672,161 @@ object SparkEntry {
                - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE)), 6) + 0.0
              AS hurst
          FROM rsl CROSS JOIN slope ORDER BY m""",
+    // Bloom filter rebuilt bit-for-bit from the md5 folds; no-false-
+    // negative + measured-FPR readout
+    "q_bloom_join" -> {
+      val fold = (e: String) =>
+        s"""list_reduce(list_transform(range(1, 9),
+             i -> CAST(strpos('0123456789abcdef', ($e)[i:i]) - 1
+               AS BIGINT)), (a, d) -> a * 16 + d)"""
+      val bit = fold("md5(CAST(j AS VARCHAR) || ':' " +
+        "|| CAST(c_custkey AS VARCHAR))") + " % 4096"
+      s"""WITH cust AS (SELECT c_custkey,
+             c_mktsegment = 'BUILDING' AS mem
+           FROM customer),
+         js AS (SELECT CAST(range AS INT) AS j FROM range(0, 4)),
+         bits AS (SELECT DISTINCT $bit AS bit
+           FROM cust CROSS JOIN js WHERE mem),
+         pb AS (SELECT c_custkey, mem, $bit AS bit
+           FROM cust CROSS JOIN js),
+         pj AS (SELECT c_custkey, mem,
+             SUM(CASE WHEN bits.bit IS NOT NULL THEN 1 ELSE 0 END)
+               AS hits
+           FROM pb LEFT JOIN bits ON pb.bit = bits.bit
+           GROUP BY 1, 2),
+         ag AS (SELECT
+             CAST(SUM(CASE WHEN mem THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_build,
+             COUNT(*) AS n_probe,
+             CAST(SUM(CASE WHEN hits = 4 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass,
+             CAST(SUM(CASE WHEN hits = 4 AND NOT mem THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_fp,
+             CAST(SUM(CASE WHEN hits < 4 AND mem THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_fn
+           FROM pj)
+         SELECT n_build, n_probe, n_pass, n_fp, n_fn,
+           round(CAST(n_fp AS DOUBLE)
+             / CAST(n_probe - n_build AS DOUBLE), 6) AS fpr
+         FROM ag"""
+    },
+    // AMS: identical 16 md5-parity sign streams, median of 4 means as
+    // (s4_(2) + s4_(3)) / 8 in pure integers
+    "q_ams_f2" -> {
+      val fold = (e: String) =>
+        s"""list_reduce(list_transform(range(1, 9),
+             i -> CAST(strpos('0123456789abcdef', ($e)[i:i]) - 1
+               AS BIGINT)), (a, d) -> a * 16 + d)"""
+      val sign = "CASE WHEN " + fold("md5(CAST(e AS VARCHAR) || ':' " +
+        "|| CAST(l_partkey AS VARCHAR))") +
+        " % 2 = 0 THEN 1 ELSE -1 END"
+      s"""WITH freq AS (SELECT l_partkey, COUNT(*) AS cnt
+           FROM lineitem GROUP BY 1),
+         exact AS (SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS exact_f2
+           FROM freq),
+         es AS (SELECT CAST(range AS INT) AS e FROM range(0, 16)),
+         sg AS (SELECT e, ($sign) * cnt AS term
+           FROM freq CROSS JOIN es),
+         z AS (SELECT e, CAST(SUM(term) AS BIGINT) AS zz
+           FROM sg GROUP BY 1),
+         grp AS (SELECT e // 4 AS g, CAST(SUM(zz * zz) AS BIGINT) AS s4
+           FROM z GROUP BY 1),
+         rk AS (SELECT s4, row_number() OVER (ORDER BY s4, g) AS rk
+           FROM grp),
+         med AS (SELECT CAST(SUM(s4) AS DOUBLE) / 8.0 AS ams_est
+           FROM rk WHERE rk IN (2, 3))
+         SELECT exact_f2, round(ams_est, 2) AS ams_est,
+           round((ams_est - CAST(exact_f2 AS DOUBLE))
+             / CAST(exact_f2 AS DOUBLE), 6) AS rel_err
+         FROM med CROSS JOIN exact"""
+    },
+    // BH step-up on the same 6-dp z / A&S 26.2.17 tail / 9-dp p
+    "q_bh_fdr" -> {
+      val tail =
+        """(exp(-abs(z) * abs(z) / 2.0) / 2.5066282746310002
+           * ((1.0 / (1.0 + 0.2316419 * abs(z)))
+             * (0.319381530 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+               * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                 * (1.781477937 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                   * (-1.821255978
+                     + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                       * 1.330274429))))))"""
+      s"""WITH o AS (SELECT o_orderstatus, c_nationkey
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         gl AS (SELECT COUNT(*) AS n,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+               AS BIGINT) AS f
+           FROM o),
+         per AS (SELECT c_nationkey, COUNT(*) AS ni,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+               AS BIGINT) AS fi
+           FROM o GROUP BY 1),
+         pz AS (SELECT c_nationkey, ni,
+             round((CAST(fi AS DOUBLE) / CAST(ni AS DOUBLE)
+                 - CAST(f AS DOUBLE) / CAST(n AS DOUBLE))
+               / sqrt((CAST(f AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (1.0 - CAST(f AS DOUBLE) / CAST(n AS DOUBLE))
+                 / CAST(ni AS DOUBLE)), 6) + 0.0 AS z
+           FROM per CROSS JOIN gl),
+         pp AS (SELECT c_nationkey, ni, z,
+             round(least($tail * 2.0, 1.0), 9) + 0.0 AS p
+           FROM pz),
+         ranked AS (SELECT n_name, ni, z, p,
+             row_number() OVER (ORDER BY p, n_name) AS rk,
+             COUNT(*) OVER () AS m
+           FROM pp JOIN nation ON c_nationkey = n_nationkey),
+         sat AS (SELECT *,
+             p <= CAST(rk AS DOUBLE) * 0.05 / CAST(m AS DOUBLE) AS sat
+           FROM ranked),
+         km AS (SELECT *,
+             MAX(CASE WHEN sat THEN rk ELSE 0 END) OVER () AS kmax
+           FROM sat)
+         SELECT n_name, ni AS n_orders, z, p,
+           CAST(rk AS BIGINT) AS p_rank, rk <= kmax AS rejected
+         FROM km ORDER BY p_rank"""
+    },
+    // power/MDE: exact conditional moments, literal z constants
+    "q_power_mde" -> {
+      val fold =
+        """list_reduce(list_transform(range(1, 9),
+             i -> CAST(strpos('0123456789abcdef',
+               (md5('23:' || CAST(o_custkey AS VARCHAR)))[i:i]) - 1
+               AS BIGINT)), (a, d) -> a * 16 + d)"""
+      s"""WITH spend AS (SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+           FROM orders GROUP BY 1),
+         arm AS (SELECT CAST(y AS DECIMAL(19,2)) AS y,
+             $fold % 2 AS arm
+           FROM spend),
+         m AS (SELECT
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b,
+             SUM(CASE WHEN arm = 0 THEN y END) AS sa,
+             SUM(CASE WHEN arm = 1 THEN y END) AS sb,
+             SUM(CASE WHEN arm = 0 THEN y * y END) AS qa,
+             SUM(CASE WHEN arm = 1 THEN y * y END) AS qb
+           FROM arm),
+         c AS (SELECT *, sqrt(greatest(((CAST(qa AS DOUBLE)
+               - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+                 / CAST(n_a AS DOUBLE))
+             + (CAST(qb AS DOUBLE)
+               - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+                 / CAST(n_b AS DOUBLE)))
+             / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0),
+             0.0)) AS sd_pooled
+           FROM m),
+         c2 AS (SELECT *, (1.959964 + 0.841621) * sd_pooled
+             * sqrt(1.0 / CAST(n_a AS DOUBLE)
+               + 1.0 / CAST(n_b AS DOUBLE)) AS mde_abs
+           FROM c)
+         SELECT n_a, n_b, round(sd_pooled, 6) AS sd_pooled,
+           round(mde_abs, 6) AS mde_abs,
+           round(mde_abs / (CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE))
+             * 100.0, 6) AS mde_pct
+         FROM c2"""
+    },
     // cross-slice brute-force near-dup truth (the Spark side is banded
     // LSH + exact verify — same pair set, never all-pairs)
     "q_contamination_fuzzy" ->

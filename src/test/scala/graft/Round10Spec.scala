@@ -196,4 +196,52 @@ class Round10Spec extends AnyFunSuite {
     assert(rows.map(_.getDouble(rows.head.fieldIndex("hurst")))
       .distinct.length == 1)
   }
+
+  test("Bloom filter admits every build key (zero false negatives) " +
+      "and its FPR stays under the theoretical bound's 3x") {
+    val r = SparkEntry.queries("q_bloom_join")(
+      spark, "/root/testdata/sf0.001").head()
+    assert(r.getLong(r.fieldIndex("n_fn")) == 0L)
+    val nBuild = r.getLong(r.fieldIndex("n_build"))
+    val fpr = r.getDouble(r.fieldIndex("fpr"))
+    // (1 - e^{-kn/m})^k with k=4, m=4096
+    val theory = math.pow(1.0 - math.exp(-4.0 * nBuild / 4096.0), 4)
+    assert(fpr <= theory * 3 + 0.01, s"fpr $fpr vs theory $theory")
+  }
+
+  test("AMS F2 estimate lands within 60% of the exact second moment " +
+      "(4x4 median-of-means guarantee band)") {
+    val r = SparkEntry.queries("q_ams_f2")(
+      spark, "/root/testdata/sf0.001").head()
+    assert(r.getLong(r.fieldIndex("exact_f2")) > 0L)
+    assert(math.abs(r.getDouble(r.fieldIndex("rel_err"))) < 0.6)
+  }
+
+  test("BH rejections form a prefix of the p-ranked tests and every " +
+      "p is a valid probability") {
+    val rows = SparkEntry.queries("q_bh_fdr")(
+      spark, "/root/testdata/sf0.001").collect()
+      .sortBy(_.getLong(4))
+    assert(rows.length == 25)
+    val rejected = rows.map(_.getBoolean(5))
+    val firstAccept = rejected.indexOf(false)
+    if (firstAccept >= 0)
+      assert(rejected.drop(firstAccept).forall(!_),
+        "rejections are not a prefix")
+    rows.foreach { r =>
+      val p = r.getDouble(r.fieldIndex("p"))
+      assert(p >= 0.0 && p <= 1.0)
+    }
+  }
+
+  test("MDE shrinks when computed on 4x the data (root-n law, " +
+      "checked across scale factors)") {
+    val small = SparkEntry.queries("q_power_mde")(
+      spark, "/root/testdata/sf0.001").head()
+    val big = SparkEntry.queries("q_power_mde")(
+      spark, "/root/testdata/sf0.01").head()
+    assert(big.getLong(0) > small.getLong(0) * 2)
+    assert(big.getDouble(big.fieldIndex("mde_pct"))
+      < small.getDouble(small.fieldIndex("mde_pct")))
+  }
 }
