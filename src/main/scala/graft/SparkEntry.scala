@@ -10029,6 +10029,184 @@ object SparkEntry {
              * 100.0d"""), 6).as("mde_pct"))
   }
 
+  // ---- round-10 batch 10: nonparametric tests + inequality ----
+
+  /** KRUSKAL–WALLIS H across the three return-flag groups on quantity:
+    * midranks from cumulative counts over the ≤50-value quantity
+    * DOMAIN (the qMannWhitney bounded-vocabulary contract — never a
+    * corpus sort), rank sums as exact DECIMAL, and the tie correction
+    * Σ(t³−t)/(N³−N) in pure BIGINT. Outputs both the raw and
+    * tie-corrected H.
+    */
+  private def qKruskalWallis(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = tbl(s, dir, "lineitem")
+      .select(expr("CAST(l_quantity AS INT)").as("qty"),
+        col("l_returnflag"))
+    val dom = li.groupBy("qty").agg(count(lit(1)).as("t"))
+      .withColumn("cb", coalesce(sum(col("t")).over(Window
+        .orderBy("qty").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("mr", expr(
+        """CAST(CAST(cb AS DOUBLE) + (CAST(t AS DOUBLE) + 1.0d) / 2.0d
+           AS DECIMAL(12,1))"""))
+    val ties = dom.agg(sum(col("t")).as("n"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("tsum"))
+    // Pivot to the three fixed flag groups so the Σ R²/n accumulation
+    // is ONE fixed-order scalar expression, not an unordered double
+    // sum — the cross-engine determinism contract for tiny group sets.
+    val ranks = li.join(broadcast(dom.select(col("qty"), col("mr"))),
+        "qty")
+      .agg(
+        sum(when(col("l_returnflag") === "A", 1).otherwise(0))
+          .cast("long").as("na"),
+        sum(when(col("l_returnflag") === "A", col("mr"))).as("ra"),
+        sum(when(col("l_returnflag") === "N", 1).otherwise(0))
+          .cast("long").as("nn"),
+        sum(when(col("l_returnflag") === "N", col("mr"))).as("rn"),
+        sum(when(col("l_returnflag") === "R", 1).otherwise(0))
+          .cast("long").as("nr"),
+        sum(when(col("l_returnflag") === "R", col("mr"))).as("rr"))
+    ranks.crossJoin(broadcast(ties))
+      .select(lit(3L).as("n_groups"), col("n").as("n_total"), expr(
+        """(CAST(ra AS DOUBLE) * CAST(ra AS DOUBLE)
+             / CAST(na AS DOUBLE)
+           + CAST(rn AS DOUBLE) * CAST(rn AS DOUBLE)
+             / CAST(nn AS DOUBLE)
+           + CAST(rr AS DOUBLE) * CAST(rr AS DOUBLE)
+             / CAST(nr AS DOUBLE))""").as("rr"),
+        col("tsum").as("ts"))
+      .select(col("n_groups"), col("n_total"),
+        round(expr(hKwSql), 6).as("h"),
+        round(expr(
+          s"""$hKwSql / (1.0d - CAST(ts AS DOUBLE)
+             / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+               * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE)))"""),
+          6).as("h_tied"))
+  }
+
+  private val hKwSql =
+    """(12.0d / (CAST(n_total AS DOUBLE)
+         * (CAST(n_total AS DOUBLE) + 1.0d)) * rr
+       - 3.0d * (CAST(n_total AS DOUBLE) + 1.0d))"""
+
+  /** McNEMAR'S TEST on the two paired document raters from
+    * [[qCohenKappa]] (chars-above-mean vs spaces-above-mean): the
+    * marginal-homogeneity question answered by the DISCORDANT cells
+    * alone, with the continuity-corrected (|b−c|−1)²/(b+c). Exact
+    * integer cells from one conditional-count pass.
+    */
+  private def qMcnemar(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents")
+      .select(col("n_chars"),
+        (length(col("text"))
+          - length(regexp_replace(col("text"), " ", ""))).cast("long")
+          .as("n_spaces"))
+    val thr = d.agg(
+      (sum(col("n_chars")).cast("double")
+        / count(lit(1)).cast("double")).as("avg_chars"),
+      (sum(col("n_spaces")).cast("double")
+        / count(lit(1)).cast("double")).as("avg_spaces"))
+    d.crossJoin(broadcast(thr))
+      .select(
+        (col("n_chars").cast("double") >= col("avg_chars")).as("a_hi"),
+        (col("n_spaces").cast("double") >= col("avg_spaces")).as("b_hi"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("a_hi") && !col("b_hi"), 1).otherwise(0))
+          .cast("long").as("n10"),
+        sum(when(!col("a_hi") && col("b_hi"), 1).otherwise(0))
+          .cast("long").as("n01"))
+      .select(col("n"), col("n10"), col("n01"),
+        round(expr(
+          """(abs(CAST(n10 AS DOUBLE) - CAST(n01 AS DOUBLE)) - 1.0d)
+             * (abs(CAST(n10 AS DOUBLE) - CAST(n01 AS DOUBLE)) - 1.0d)
+             / (CAST(n10 AS DOUBLE) + CAST(n01 AS DOUBLE))"""), 6)
+          .as("mcnemar"))
+  }
+
+  /** KENDALL'S τ-b between monthly revenue and monthly order count:
+    * concordant/discordant/tie counts in PURE INTEGER arithmetic over
+    * the ~84-month calendar-bounded pair grid (qRocAuc contract — the
+    * all-pairs stays months², never rows²), one sqrt at the end.
+    * The rank-robust answer to "do these two series move together".
+    */
+  private def qKendallTau(s: SparkSession, dir: String): DataFrame = {
+    val m = tbl(s, dir, "orders")
+      .select(date_trunc("month", col("o_orderdate")).as("mon"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy("mon")
+      .agg(sum(col("p")).as("x"), count(lit(1)).as("y"))
+    val pairs = m.alias("a")
+      .join(m.alias("b"), col("a.mon") < col("b.mon"))
+      .select(
+        signum(col("a.x") - col("b.x")).cast("int").as("sx"),
+        signum(col("a.y") - col("b.y")).cast("int").as("sy"))
+    pairs.agg(count(lit(1)).as("n0"),
+        sum(when(col("sx") * col("sy") > 0, 1).otherwise(0))
+          .cast("long").as("nc"),
+        sum(when(col("sx") * col("sy") < 0, 1).otherwise(0))
+          .cast("long").as("nd"),
+        sum(when(col("sx") === 0, 1).otherwise(0)).cast("long")
+          .as("tx"),
+        sum(when(col("sy") === 0, 1).otherwise(0)).cast("long")
+          .as("ty"))
+      .select(col("n0").as("n_pairs"), col("nc"), col("nd"),
+        round(expr(
+          """(CAST(nc AS DOUBLE) - CAST(nd AS DOUBLE))
+             / sqrt((CAST(n0 AS DOUBLE) - CAST(tx AS DOUBLE))
+               * (CAST(n0 AS DOUBLE) - CAST(ty AS DOUBLE)))"""), 6)
+          .as("tau_b"))
+  }
+
+  /** THEIL T INEQUALITY of per-customer spend, decomposed into
+    * BETWEEN-nation and WITHIN-nation components: every ln rides the
+    * round-at-9-then-DECIMAL-sum contract (term sums are order-proof),
+    * the between term is 25 rows, and the within term weights each
+    * nation's own Theil by its revenue share — the "is inequality
+    * driven by geography or within-market" decomposition, exactly the
+    * corpus-concentration question at 100 TB (swap nation for source).
+    */
+  private def qTheilIndex(s: SparkSession, dir: String): DataFrame = {
+    val spend = tbl(s, dir, "orders")
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("x"))
+      .join(tbl(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")), "c_custkey")
+    val nat = spend.groupBy("c_nationkey")
+      .agg(count(lit(1)).as("nj"), sum(col("x")).as("sj"))
+    val tot = nat.agg(sum(col("nj")).as("n"), sum(col("sj")).as("st"))
+    val mu = "(CAST(st AS DOUBLE) / CAST(n AS DOUBLE))"
+    val muj = "(CAST(sj AS DOUBLE) / CAST(nj AS DOUBLE))"
+    val terms = spend.join(broadcast(nat), "c_nationkey")
+      .crossJoin(broadcast(tot))
+      .select(col("c_nationkey"), col("nj"), col("sj"), col("n"),
+        col("st"),
+        expr(s"""CAST(round(CAST(x AS DOUBLE) / $mu
+            * ln(CAST(x AS DOUBLE) / $mu), 9) + 0.0d
+          AS DECIMAL(18,9))""").as("tg"),
+        expr(s"""CAST(round(CAST(x AS DOUBLE) / $muj
+            * ln(CAST(x AS DOUBLE) / $muj), 9) + 0.0d
+          AS DECIMAL(18,9))""").as("tw"))
+    val within = terms.groupBy("c_nationkey")
+      .agg(max(col("nj")).as("nj"), max(col("sj")).as("sj"),
+        max(col("n")).as("n"), max(col("st")).as("st"),
+        sum(col("tg")).as("stg"), sum(col("tw")).as("stw"))
+    within.agg(max(col("n")).as("n_customers"),
+        sum(col("stg")).as("g"),
+        sum(expr("""CAST(round(CAST(sj AS DOUBLE) / CAST(st AS DOUBLE)
+            * CAST(stw AS DOUBLE) / CAST(nj AS DOUBLE), 9) + 0.0d
+          AS DECIMAL(18,9))""")).as("w"),
+        sum(expr(s"""CAST(round(CAST(nj AS DOUBLE) / CAST(n AS DOUBLE)
+            * $muj / $mu * ln($muj / $mu), 9) + 0.0d
+          AS DECIMAL(18,9))""")).as("b"),
+        max(col("n")).as("nn"))
+      .select(col("n_customers"),
+        round(expr("CAST(g AS DOUBLE) / CAST(nn AS DOUBLE)"), 6)
+          .as("theil_total"),
+        round(col("b").cast("double"), 6).as("theil_between"),
+        round(col("w").cast("double"), 6).as("theil_within"))
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -10388,6 +10566,10 @@ object SparkEntry {
     "q_ams_f2" -> qAmsF2,
     "q_bh_fdr" -> qBhFdr,
     "q_power_mde" -> qPowerMde,
+    "q_kruskal_wallis" -> qKruskalWallis,
+    "q_mcnemar" -> qMcnemar,
+    "q_kendall_tau" -> qKendallTau,
+    "q_theil_index" -> qTheilIndex,
     "q_skew_audit" -> qSkewAudit,
     "q_tfidf_cosine_pairs" -> qTfidfCosinePairs,
     "q_diversity_index" -> qDiversityIndex,
@@ -13826,6 +14008,151 @@ object SparkEntry {
            round(mde_abs / (CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE))
              * 100.0, 6) AS mde_pct
          FROM c2"""
+    },
+    // Kruskal–Wallis: midranks from the 50-value quantity domain,
+    // fixed-order 3-group Σ R²/n, BIGINT tie correction
+    "q_kruskal_wallis" -> {
+      val h =
+        """(12.0 / (CAST(n_total AS DOUBLE)
+             * (CAST(n_total AS DOUBLE) + 1.0)) * rr
+           - 3.0 * (CAST(n_total AS DOUBLE) + 1.0))"""
+      s"""WITH li AS (SELECT CAST(l_quantity AS INT) AS qty,
+             l_returnflag
+           FROM lineitem),
+         dom AS (SELECT qty, COUNT(*) AS t FROM li GROUP BY 1),
+         cum AS (SELECT qty, t,
+             COALESCE(SUM(t) OVER (ORDER BY qty
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cb
+           FROM dom),
+         mr AS (SELECT qty,
+             CAST(CAST(cb AS DOUBLE) + (CAST(t AS DOUBLE) + 1.0) / 2.0
+               AS DECIMAL(12,1)) AS mr
+           FROM cum),
+         ties AS (SELECT CAST(SUM(t) AS BIGINT) AS n,
+             CAST(SUM(t * t * t - t) AS BIGINT) AS tsum
+           FROM dom),
+         ranks AS (SELECT
+             CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+               AS BIGINT) AS na,
+             SUM(CASE WHEN l_returnflag = 'A' THEN mr END) AS ra,
+             CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+               AS BIGINT) AS nn,
+             SUM(CASE WHEN l_returnflag = 'N' THEN mr END) AS rn,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS nr,
+             SUM(CASE WHEN l_returnflag = 'R' THEN mr END) AS rr
+           FROM li JOIN mr USING (qty)),
+         f AS (SELECT 3 AS n_groups, n AS n_total,
+             (CAST(ra AS DOUBLE) * CAST(ra AS DOUBLE)
+                 / CAST(na AS DOUBLE)
+               + CAST(rn AS DOUBLE) * CAST(rn AS DOUBLE)
+                 / CAST(nn AS DOUBLE)
+               + CAST(rr AS DOUBLE) * CAST(rr AS DOUBLE)
+                 / CAST(nr AS DOUBLE)) AS rr,
+             tsum AS ts
+           FROM ranks CROSS JOIN ties)
+         SELECT CAST(n_groups AS BIGINT) AS n_groups, n_total,
+           round($h, 6) AS h,
+           round($h / (1.0 - CAST(ts AS DOUBLE)
+             / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+               * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE))),
+             6) AS h_tied
+         FROM f"""
+    },
+    // McNemar: discordant cells of the kappa rater pair, continuity
+    // corrected
+    "q_mcnemar" ->
+      """WITH d AS (SELECT n_chars,
+             CAST(length(text)
+               - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces
+           FROM documents),
+         thr AS (SELECT CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)
+               AS avg_chars,
+             CAST(SUM(n_spaces) AS DOUBLE) / COUNT(*) AS avg_spaces
+           FROM d),
+         c AS (SELECT
+             CAST(n_chars AS DOUBLE) >= avg_chars AS a_hi,
+             CAST(n_spaces AS DOUBLE) >= avg_spaces AS b_hi
+           FROM d CROSS JOIN thr),
+         ag AS (SELECT COUNT(*) AS n,
+             CAST(SUM(CASE WHEN a_hi AND NOT b_hi THEN 1 ELSE 0 END)
+               AS BIGINT) AS n10,
+             CAST(SUM(CASE WHEN NOT a_hi AND b_hi THEN 1 ELSE 0 END)
+               AS BIGINT) AS n01
+           FROM c)
+         SELECT n, n10, n01,
+           round((abs(CAST(n10 AS DOUBLE) - CAST(n01 AS DOUBLE)) - 1.0)
+             * (abs(CAST(n10 AS DOUBLE) - CAST(n01 AS DOUBLE)) - 1.0)
+             / (CAST(n10 AS DOUBLE) + CAST(n01 AS DOUBLE)), 6)
+             AS mcnemar
+         FROM ag""",
+    // Kendall tau-b: integer concordance counts over the month grid
+    "q_kendall_tau" ->
+      """WITH m AS (SELECT date_trunc('month', o_orderdate) AS mon,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x,
+             COUNT(*) AS y
+           FROM orders GROUP BY 1),
+         pairs AS (SELECT
+             CAST(sign(a.x - b.x) AS INT) AS sx,
+             CAST(sign(a.y - b.y) AS INT) AS sy
+           FROM m a JOIN m b ON a.mon < b.mon),
+         ag AS (SELECT COUNT(*) AS n0,
+             CAST(SUM(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS nc,
+             CAST(SUM(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS nd,
+             CAST(SUM(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS tx,
+             CAST(SUM(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS ty
+           FROM pairs)
+         SELECT n0 AS n_pairs, nc, nd,
+           round((CAST(nc AS DOUBLE) - CAST(nd AS DOUBLE))
+             / sqrt((CAST(n0 AS DOUBLE) - CAST(tx AS DOUBLE))
+               * (CAST(n0 AS DOUBLE) - CAST(ty AS DOUBLE))), 6)
+             AS tau_b
+         FROM ag""",
+    // Theil T + between/within decomposition, round-ln-at-9 contract
+    "q_theil_index" -> {
+      val mu = "(CAST(st AS DOUBLE) / CAST(n AS DOUBLE))"
+      val muj = "(CAST(sj AS DOUBLE) / CAST(nj AS DOUBLE))"
+      s"""WITH spend AS (SELECT o_custkey AS c_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+           FROM orders GROUP BY 1),
+         sp AS (SELECT x, c_nationkey
+           FROM spend JOIN customer USING (c_custkey)),
+         nat AS (SELECT c_nationkey, COUNT(*) AS nj, SUM(x) AS sj
+           FROM sp GROUP BY 1),
+         tot AS (SELECT CAST(SUM(nj) AS BIGINT) AS n, SUM(sj) AS st
+           FROM nat),
+         terms AS (SELECT c_nationkey, nj, sj, n, st,
+             CAST(round(CAST(x AS DOUBLE) / $mu
+               * ln(CAST(x AS DOUBLE) / $mu), 9) + 0.0
+               AS DECIMAL(18,9)) AS tg,
+             CAST(round(CAST(x AS DOUBLE) / $muj
+               * ln(CAST(x AS DOUBLE) / $muj), 9) + 0.0
+               AS DECIMAL(18,9)) AS tw
+           FROM sp JOIN nat USING (c_nationkey) CROSS JOIN tot),
+         within AS (SELECT c_nationkey, MAX(nj) AS nj, MAX(sj) AS sj,
+             MAX(n) AS n, MAX(st) AS st,
+             SUM(tg) AS stg, SUM(tw) AS stw
+           FROM terms GROUP BY 1),
+         ag AS (SELECT MAX(n) AS n_customers, SUM(stg) AS g,
+             SUM(CAST(round(CAST(sj AS DOUBLE) / CAST(st AS DOUBLE)
+               * CAST(stw AS DOUBLE) / CAST(nj AS DOUBLE), 9) + 0.0
+               AS DECIMAL(18,9))) AS w,
+             SUM(CAST(round(CAST(nj AS DOUBLE) / CAST(n AS DOUBLE)
+               * $muj / $mu * ln($muj / $mu), 9) + 0.0
+               AS DECIMAL(18,9))) AS b,
+             MAX(n) AS nn
+           FROM within)
+         SELECT n_customers,
+           round(CAST(g AS DOUBLE) / CAST(nn AS DOUBLE), 6)
+             AS theil_total,
+           round(CAST(b AS DOUBLE), 6) AS theil_between,
+           round(CAST(w AS DOUBLE), 6) AS theil_within
+         FROM ag"""
     },
     // cross-slice brute-force near-dup truth (the Spark side is banded
     // LSH + exact verify — same pair set, never all-pairs)

@@ -244,4 +244,51 @@ class Round10Spec extends AnyFunSuite {
     assert(big.getDouble(big.fieldIndex("mde_pct"))
       < small.getDouble(small.fieldIndex("mde_pct")))
   }
+
+  test("Kruskal-Wallis tie correction only inflates H, and H is " +
+      "non-negative") {
+    val r = SparkEntry.queries("q_kruskal_wallis")(
+      spark, "/root/testdata/sf0.001").head()
+    val h = r.getDouble(r.fieldIndex("h"))
+    val ht = r.getDouble(r.fieldIndex("h_tied"))
+    assert(h >= -1e-9)
+    assert(ht >= h - 1e-9, s"tie-corrected H $ht < raw $h")
+    assert(r.getLong(r.fieldIndex("n_groups")) == 3L)
+  }
+
+  test("McNemar statistic recomputes from its own discordant cells") {
+    val r = SparkEntry.queries("q_mcnemar")(
+      spark, "/root/testdata/sf0.001").head()
+    val b = r.getLong(r.fieldIndex("n10")).toDouble
+    val c = r.getLong(r.fieldIndex("n01")).toDouble
+    val expect = (math.abs(b - c) - 1) * (math.abs(b - c) - 1) / (b + c)
+    assert(math.abs(r.getDouble(r.fieldIndex("mcnemar")) - expect)
+      < 1e-4)
+  }
+
+  test("Kendall pair grid is exactly n-choose-2 months and tau_b " +
+      "stays in [-1, 1]") {
+    val r = SparkEntry.queries("q_kendall_tau")(
+      spark, "/root/testdata/sf0.001").head()
+    val n0 = r.getLong(r.fieldIndex("n_pairs"))
+    val nMonths = ((1 + math.sqrt(1 + 8.0 * n0)) / 2).round
+    assert(nMonths * (nMonths - 1) / 2 == n0,
+      s"$n0 is not a triangular number")
+    val t = r.getDouble(r.fieldIndex("tau_b"))
+    assert(t >= -1.0 - 1e-9 && t <= 1.0 + 1e-9)
+    assert(r.getLong(r.fieldIndex("nc"))
+      + r.getLong(r.fieldIndex("nd")) <= n0)
+  }
+
+  test("Theil decomposition: total ~= between + within, all " +
+      "non-negative") {
+    val r = SparkEntry.queries("q_theil_index")(
+      spark, "/root/testdata/sf0.001").head()
+    val t = r.getDouble(r.fieldIndex("theil_total"))
+    val b = r.getDouble(r.fieldIndex("theil_between"))
+    val w = r.getDouble(r.fieldIndex("theil_within"))
+    assert(t >= 0 && b >= -1e-6 && w >= 0)
+    assert(math.abs(t - (b + w)) < 1e-3,
+      s"decomposition broken: $t vs $b + $w")
+  }
 }
