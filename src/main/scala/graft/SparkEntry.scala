@@ -10207,6 +10207,193 @@ object SparkEntry {
         round(col("w").cast("double"), 6).as("theil_within"))
   }
 
+  // ---- round-10 batch 11: corpus distance + shape-constrained fits ----
+
+  /** PAIRWISE JENSEN–SHANNON DIVERGENCE between the language unigram
+    * distributions (add-1 smoothing over the shared corpus vocab):
+    * the symmetric, bounded [0, ln 2] companion to [[qUnigramKl]] that
+    * mixture planners use as an actual METRIC (√JSD obeys the
+    * triangle inequality). Expansion is vocab × lang-pairs — both
+    * bounded — and every ln rides the round-at-12-then-DECIMAL-sum
+    * contract.
+    */
+  private def qJsd(s: SparkSession, dir: String): DataFrame = {
+    val words = tbl(s, dir, "documents")
+      .select(col("lang"), explode(expr(tokensSql)).as("w"))
+      .persist()
+    val cw = words.groupBy("w").agg(count(lit(1)).as("c"))
+    val cl = words.groupBy("lang", "w").agg(count(lit(1)).as("clw"))
+    val nl = words.groupBy("lang").agg(count(lit(1)).as("ntok"))
+    val tot = cw.agg(count(lit(1)).as("v"))
+    val pairs = nl.select(col("lang").as("lang_a"),
+        col("ntok").as("na"))
+      .crossJoin(nl.select(col("lang").as("lang_b"),
+        col("ntok").as("nb")))
+      .filter(col("lang_a") < col("lang_b"))
+    val grid = cw.select(col("w")).crossJoin(broadcast(pairs))
+      .join(cl.select(col("lang").as("lang_a"), col("w"),
+        col("clw").as("ca")), Seq("lang_a", "w"), "left")
+      .join(cl.select(col("lang").as("lang_b"), col("w"),
+        col("clw").as("cb")), Seq("lang_b", "w"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("lang_a"), col("lang_b"),
+        expr("""CAST(coalesce(ca, 0) + 1 AS DOUBLE)
+          / CAST(na + v AS DOUBLE)""").as("p"),
+        expr("""CAST(coalesce(cb, 0) + 1 AS DOUBLE)
+          / CAST(nb + v AS DOUBLE)""").as("q"))
+      .select(col("lang_a"), col("lang_b"), expr(
+        """CAST(round(0.5d * p * ln(2.0d * p / (p + q))
+             + 0.5d * q * ln(2.0d * q / (p + q)), 12)
+           AS DECIMAL(28,12))""").as("term"))
+    grid.groupBy("lang_a", "lang_b")
+      .agg(round(expr("CAST(sum(term) AS DOUBLE)"), 6).as("jsd"))
+      .withColumn("jsd_norm",
+        round(expr("jsd / 0.6931471805599453d"), 6))
+      .orderBy("lang_a", "lang_b")
+  }
+
+  /** BURROWS' DELTA stylometric distance between sources: the 30 most
+    * frequent corpus words (ties by word), per-source relative
+    * frequencies z-scored ACROSS sources (population σ over the fixed
+    * 20-source panel), Δ(a,b) = mean |z_a − z_b| — the classic
+    * authorship-attribution measure, here the "which sources write
+    * alike" screen. The whole computation lives on a 30 × 20 grid;
+    * the 15 closest pairs come out.
+    */
+  private def qBurrowsDelta(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = tbl(s, dir, "documents")
+      .select(col("source"), explode(expr(tokensSql)).as("w"))
+      .persist()
+    val top = words.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(30)
+    val ns = words.groupBy("source").agg(count(lit(1)).as("ntok"))
+    val f = words.join(broadcast(top.select("w")), "w")
+      .groupBy("source", "w").agg(count(lit(1)).as("csw"))
+      .join(broadcast(ns), "source")
+      .select(col("source"), col("w"),
+        expr("CAST(csw AS DOUBLE) / CAST(ntok AS DOUBLE)").as("f"))
+    // complete the grid: absent (source, word) cells are f = 0
+    val grid = top.select("w")
+      .crossJoin(broadcast(ns.select("source")))
+      .join(f, Seq("source", "w"), "left")
+      .withColumn("f", coalesce(col("f"), lit(0.0d)))
+    val wstat = grid.groupBy("w")
+      .agg(count(lit(1)).as("k"), expr(
+        """CAST(SUM(CAST(round(f * 1e9d, 0) AS DECIMAL(18,0)))
+          AS DECIMAL(38,0))""").as("sf"),
+        expr("""CAST(SUM(CAST(round(f * 1e9d, 0) AS DECIMAL(18,0))
+            * CAST(round(f * 1e9d, 0) AS DECIMAL(18,0)))
+          AS DECIMAL(38,0))""").as("sf2"))
+    val z = grid.join(broadcast(wstat), "w")
+      .select(col("source"), col("w"), expr(
+        """round((round(f * 1e9d, 0)
+             - CAST(sf AS DOUBLE) / CAST(k AS DOUBLE))
+           / sqrt(greatest(CAST(sf2 AS DOUBLE) / CAST(k AS DOUBLE)
+             - (CAST(sf AS DOUBLE) / CAST(k AS DOUBLE))
+               * (CAST(sf AS DOUBLE) / CAST(k AS DOUBLE)), 1e-6d)),
+           6) + 0.0d""").as("z"))
+    val za = z.select(col("source").as("src_a"), col("w"),
+      col("z").as("za"))
+    val zb = z.select(col("source").as("src_b"), col("w"),
+      col("z").as("zb"))
+    za.join(zb, Seq("w")).filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), expr(
+        """CAST(round(abs(za - zb), 6) AS DECIMAL(18,6))""").as("d"))
+      .groupBy("src_a", "src_b")
+      .agg(round(expr("CAST(SUM(d) AS DOUBLE) / COUNT(1)"), 6)
+        .as("delta"))
+      .orderBy(col("delta"), col("src_a"), col("src_b"))
+      .limit(15)
+  }
+
+  /** LEAD–LAG CROSS-CORRELATION between daily revenue and daily order
+    * count at lags −7..+7: both series demeaned and 6-dp-quantized off
+    * one broadcast moment row, lag-k cross-products as exact DECIMAL
+    * sums over a rank-offset self-join, CCF-normalized by the full-
+    * series √(Σdx²·Σdy²) — the "which series LEADS" diagnostic that
+    * pairs with [[qGranger]]. All work happens on the days-sized
+    * aggregate.
+    */
+  private def qXcorr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = tbl(s, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy("day").agg(sum(col("p")).as("rev"),
+        count(lit(1)).as("cnt"))
+    val mom = daily.agg(count(lit(1)).as("n"), sum(col("rev")).as("sx"),
+      sum(col("cnt")).as("sy"))
+    val d = daily.crossJoin(broadcast(mom))
+      .select(row_number().over(Window.orderBy("day")).as("rn"), expr(
+        """CAST(round(CAST(rev AS DOUBLE)
+             - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0d
+           AS DECIMAL(18,6))""").as("dx"), expr(
+        """CAST(round(CAST(cnt AS DOUBLE)
+             - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0d
+           AS DECIMAL(18,6))""").as("dy"))
+    val den = d.agg(sum(col("dx") * col("dx")).as("dxx"),
+      sum(col("dy") * col("dy")).as("dyy"))
+    val lags = s.range(-7, 8).select(col("id").as("lag_k"))
+    d.crossJoin(lags)
+      .join(d.select(col("rn").as("rn2"), col("dy").as("dy2")),
+        col("rn2") === col("rn") + col("lag_k"))
+      .groupBy("lag_k")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("dx") * col("dy2")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag_k"), col("n_pairs"),
+        round(expr("""CAST(num AS DOUBLE)
+          / sqrt(CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE))"""), 6)
+          .as("r"))
+      .orderBy("lag_k")
+  }
+
+  /** ISOTONIC (PAV) REGRESSION of monthly mean order value against
+    * time, via the Barlow minimax characterization fit(k) =
+    * max_{s≤k} min_{t≥k} mean(y[s..t]): interval means come exact
+    * from prefix DECIMAL sums (6-dp-quantized so min/max are engine-
+    * identical), the inner min is ONE suffix-min window per start
+    * month, the outer max ONE keyed aggregate — no iterative
+    * pool-adjacent loop, so the fit is a closed two-window plan over
+    * the months² grid (~84² rows at any SF: calendar-bounded). The
+    * monotone fit every calibration stack needs.
+    */
+  private def qIsotonic(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = tbl(s, dir, "orders")
+      .select(to_date(date_trunc("month", col("o_orderdate"))).as("mon"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy("mon")
+      .agg(sum(col("p")).as("sp"), count(lit(1)).as("cnt"))
+      .select(col("mon"),
+        expr("CAST(round(CAST(sp AS DOUBLE) / CAST(cnt AS DOUBLE), 6)"
+          + " + 0.0d AS DECIMAL(18,6))").as("y"))
+      .withColumn("i", row_number().over(Window.orderBy("mon")))
+    val pre = m.withColumn("pp", sum(col("y")).over(Window.orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val a = pre.select(col("i").as("si"), col("pp").as("ps"),
+        (col("pp") - col("y")).as("ps0"))
+      .join(pre.select(col("i").as("ti"), col("pp").as("pt")),
+        col("ti") >= col("si"))
+      .select(col("si"), col("ti"), expr(
+        """CAST(round(CAST(pt - ps0 AS DOUBLE)
+             / CAST(ti - si + 1 AS DOUBLE), 6) + 0.0d
+           AS DECIMAL(18,6))""").as("avg_st"))
+    val inner = a.withColumn("msuf", min(col("avg_st")).over(Window
+      .partitionBy("si").orderBy("ti")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+    val fit = inner.filter(col("ti") >= col("si"))
+      .groupBy(col("ti").as("i"))
+      .agg(max(when(col("si") <= col("ti"), col("msuf"))).as("fit0"))
+    // fit at k needs rows (s, k) for every s ≤ k: those are exactly
+    // the (si, ti=k) grid rows, so the groupBy above reads them all.
+    m.join(fit, "i")
+      .select(col("mon"), col("y").cast("double").as("y"),
+        col("fit0").cast("double").as("fit"))
+      .orderBy("mon")
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -10570,6 +10757,10 @@ object SparkEntry {
     "q_mcnemar" -> qMcnemar,
     "q_kendall_tau" -> qKendallTau,
     "q_theil_index" -> qTheilIndex,
+    "q_jsd" -> qJsd,
+    "q_burrows_delta" -> qBurrowsDelta,
+    "q_xcorr" -> qXcorr,
+    "q_isotonic" -> qIsotonic,
     "q_skew_audit" -> qSkewAudit,
     "q_tfidf_cosine_pairs" -> qTfidfCosinePairs,
     "q_diversity_index" -> qDiversityIndex,
@@ -14154,6 +14345,148 @@ object SparkEntry {
            round(CAST(w AS DOUBLE), 6) AS theil_within
          FROM ag"""
     },
+    // pairwise JSD over shared vocab, round-ln-at-12 contract
+    "q_jsd" ->
+      """WITH words AS (SELECT lang, u.w AS w FROM documents,
+             unnest(list_filter(regexp_split_to_array(lower(text),
+               '[^a-z0-9_]+'), x -> x <> '')) u(w)),
+         cw AS (SELECT w, COUNT(*) AS c FROM words GROUP BY 1),
+         cl AS (SELECT lang, w, COUNT(*) AS clw FROM words
+           GROUP BY 1, 2),
+         nl AS (SELECT lang, COUNT(*) AS ntok FROM words GROUP BY 1),
+         tot AS (SELECT COUNT(*) AS v FROM cw),
+         pairs AS (SELECT a.lang AS lang_a, a.ntok AS na,
+             b.lang AS lang_b, b.ntok AS nb
+           FROM nl a JOIN nl b ON a.lang < b.lang),
+         grid AS (SELECT lang_a, lang_b,
+             CAST(coalesce(ca.clw, 0) + 1 AS DOUBLE)
+               / CAST(na + v AS DOUBLE) AS p,
+             CAST(coalesce(cb.clw, 0) + 1 AS DOUBLE)
+               / CAST(nb + v AS DOUBLE) AS q
+           FROM cw CROSS JOIN pairs CROSS JOIN tot
+             LEFT JOIN cl ca ON ca.lang = pairs.lang_a
+               AND ca.w = cw.w
+             LEFT JOIN cl cb ON cb.lang = pairs.lang_b
+               AND cb.w = cw.w),
+         terms AS (SELECT lang_a, lang_b,
+             CAST(round(0.5 * p * ln(2.0 * p / (p + q))
+               + 0.5 * q * ln(2.0 * q / (p + q)), 12)
+               AS DECIMAL(28,12)) AS term
+           FROM grid),
+         ag AS (SELECT lang_a, lang_b,
+             round(CAST(SUM(term) AS DOUBLE), 6) AS jsd
+           FROM terms GROUP BY 1, 2)
+         SELECT lang_a, lang_b, jsd,
+           round(jsd / 0.6931471805599453, 6) AS jsd_norm
+         FROM ag ORDER BY lang_a, lang_b""",
+    // Burrows' delta on the 30-word / 20-source grid, frequencies
+    // quantized to 1e-9 so the panel moments are integer-exact
+    "q_burrows_delta" ->
+      """WITH words AS (SELECT source, u.w AS w FROM documents,
+             unnest(list_filter(regexp_split_to_array(lower(text),
+               '[^a-z0-9_]+'), x -> x <> '')) u(w)),
+         top AS (SELECT w, COUNT(*) AS c FROM words GROUP BY 1
+           ORDER BY c DESC, w LIMIT 30),
+         ns AS (SELECT source, COUNT(*) AS ntok FROM words GROUP BY 1),
+         fr AS (SELECT source, w,
+             CAST(COUNT(*) AS DOUBLE) / CAST(MIN(ntok) AS DOUBLE) AS f
+           FROM words JOIN top USING (w) JOIN ns USING (source)
+           GROUP BY source, w, ntok),
+         grid AS (SELECT top.w AS w, ns.source AS source,
+             coalesce(fr.f, 0.0) AS f
+           FROM top CROSS JOIN ns
+             LEFT JOIN fr ON fr.w = top.w AND fr.source = ns.source),
+         wstat AS (SELECT w, COUNT(*) AS k,
+             CAST(SUM(CAST(round(f * 1e9, 0) AS DECIMAL(18,0)))
+               AS DECIMAL(38,0)) AS sf,
+             CAST(SUM(CAST(round(f * 1e9, 0) AS DECIMAL(18,0))
+               * CAST(round(f * 1e9, 0) AS DECIMAL(18,0)))
+               AS DECIMAL(38,0)) AS sf2
+           FROM grid GROUP BY 1),
+         z AS (SELECT source, grid.w AS w,
+             round((round(f * 1e9, 0)
+               - CAST(sf AS DOUBLE) / CAST(k AS DOUBLE))
+               / sqrt(greatest(CAST(sf2 AS DOUBLE) / CAST(k AS DOUBLE)
+                 - (CAST(sf AS DOUBLE) / CAST(k AS DOUBLE))
+                   * (CAST(sf AS DOUBLE) / CAST(k AS DOUBLE)), 1e-6)),
+               6) + 0.0 AS z
+           FROM grid JOIN wstat ON grid.w = wstat.w),
+         d AS (SELECT a.source AS src_a, b.source AS src_b,
+             CAST(round(abs(a.z - b.z), 6) AS DECIMAL(18,6)) AS d
+           FROM z a JOIN z b ON a.w = b.w AND a.source < b.source)
+         SELECT src_a, src_b,
+           round(CAST(SUM(d) AS DOUBLE) / COUNT(*), 6) AS delta
+         FROM d GROUP BY 1, 2
+         ORDER BY delta, src_a, src_b LIMIT 15""",
+    // CCF at lags -7..7, exact DECIMAL cross-products, full-series
+    // normalization
+    "q_xcorr" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(18,2)) AS rev,
+             COUNT(*) AS cnt
+           FROM orders GROUP BY 1),
+         mom AS (SELECT COUNT(*) AS n, SUM(rev) AS sx,
+             CAST(SUM(cnt) AS BIGINT) AS sy
+           FROM daily),
+         d AS (SELECT row_number() OVER (ORDER BY day) AS rn,
+             CAST(round(CAST(rev AS DOUBLE)
+               - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0
+               AS DECIMAL(18,6)) AS dx,
+             CAST(round(CAST(cnt AS DOUBLE)
+               - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0
+               AS DECIMAL(18,6)) AS dy
+           FROM daily CROSS JOIN mom),
+         den AS (SELECT SUM(CAST(dx AS DECIMAL(19,6))
+               * CAST(dx AS DECIMAL(19,6))) AS dxx,
+             SUM(CAST(dy AS DECIMAL(19,6))
+               * CAST(dy AS DECIMAL(19,6))) AS dyy
+           FROM d),
+         lags AS (SELECT CAST(range AS BIGINT) AS lag_k
+           FROM range(-7, 8)),
+         num AS (SELECT lag_k, COUNT(*) AS n_pairs,
+             SUM(CAST(d1.dx AS DECIMAL(19,6))
+               * CAST(d2.dy AS DECIMAL(19,6))) AS num
+           FROM d d1 CROSS JOIN lags
+           JOIN d d2 ON d2.rn = d1.rn + lag_k
+           GROUP BY 1)
+         SELECT lag_k, n_pairs,
+           round(CAST(num AS DOUBLE)
+             / sqrt(CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE)), 6)
+             AS r
+         FROM num CROSS JOIN den ORDER BY lag_k""",
+    // isotonic fit via the Barlow minimax: prefix-sum interval means,
+    // suffix-min window, keyed max
+    "q_isotonic" ->
+      """WITH m0 AS (SELECT CAST(date_trunc('month', o_orderdate)
+               AS DATE) AS mon,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sp,
+             COUNT(*) AS cnt
+           FROM orders GROUP BY 1),
+         m AS (SELECT mon,
+             CAST(round(CAST(sp AS DOUBLE) / CAST(cnt AS DOUBLE), 6)
+               + 0.0 AS DECIMAL(18,6)) AS y,
+             row_number() OVER (ORDER BY mon) AS i
+           FROM m0),
+         pre AS (SELECT mon, y, i,
+             SUM(y) OVER (ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+           FROM m),
+         a AS (SELECT s.i AS si, t.i AS ti,
+             CAST(round(CAST(t.pp - (s.pp - s.y) AS DOUBLE)
+               / CAST(t.i - s.i + 1 AS DOUBLE), 6) + 0.0
+               AS DECIMAL(18,6)) AS avg_st
+           FROM pre s JOIN pre t ON t.i >= s.i),
+         inner_min AS (SELECT si, ti,
+             MIN(avg_st) OVER (PARTITION BY si ORDER BY ti
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS msuf
+           FROM a),
+         fit AS (SELECT ti AS i, MAX(msuf) AS fit0
+           FROM inner_min GROUP BY 1)
+         SELECT mon, CAST(y AS DOUBLE) AS y,
+           CAST(fit0 AS DOUBLE) AS fit
+         FROM m JOIN fit USING (i) ORDER BY mon""",
     // cross-slice brute-force near-dup truth (the Spark side is banded
     // LSH + exact verify — same pair set, never all-pairs)
     "q_contamination_fuzzy" ->

@@ -291,4 +291,55 @@ class Round10Spec extends AnyFunSuite {
     assert(math.abs(t - (b + w)) < 1e-3,
       s"decomposition broken: $t vs $b + $w")
   }
+
+  test("JSD is symmetric-by-construction, bounded by ln 2, and " +
+      "jsd_norm is its [0,1] rescaling") {
+    val rows = SparkEntry.queries("q_jsd")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val j = r.getDouble(r.fieldIndex("jsd"))
+      assert(j >= -1e-9 && j <= 0.6931471805599453 + 1e-6)
+      val jn = r.getDouble(r.fieldIndex("jsd_norm"))
+      assert(math.abs(jn - j / 0.6931471805599453) < 1e-5)
+      assert(r.getString(0) < r.getString(1))
+    }
+  }
+
+  test("Burrows' delta emits the 15 closest ordered source pairs " +
+      "with non-negative distances") {
+    val rows = SparkEntry.queries("q_burrows_delta")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 15)
+    val ds = rows.map(_.getDouble(2))
+    assert(ds.forall(_ >= 0.0))
+    assert(ds.sameElements(ds.sorted), "not ordered by delta")
+    rows.foreach(r => assert(r.getString(0) < r.getString(1)))
+  }
+
+  test("Cross-correlation at lag 0 equals the plain correlation " +
+      "sign-wise and every |r| <= 1; pair counts shrink with |lag|") {
+    val rows = SparkEntry.queries("q_xcorr")(
+      spark, "/root/testdata/sf0.001").collect()
+      .sortBy(_.getLong(0))
+    assert(rows.length == 15)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(r.fieldIndex("r"))) <= 1.0 + 1e-9)
+    }
+    val n0 = rows(7).getLong(1)
+    assert(rows.forall(_.getLong(1) <= n0))
+  }
+
+  test("Isotonic fit is monotone non-decreasing and stays inside " +
+      "the observed y range") {
+    val rows = SparkEntry.queries("q_isotonic")(
+      spark, "/root/testdata/sf0.001").collect()
+      .sortBy(_.getDate(0).getTime)
+    assert(rows.length > 24)
+    val fits = rows.map(_.getDouble(rows.head.fieldIndex("fit")))
+    fits.sliding(2).foreach(p =>
+      assert(p(1) >= p(0) - 1e-9, s"fit decreased: ${p(0)} -> ${p(1)}"))
+    val ys = rows.map(_.getDouble(rows.head.fieldIndex("y")))
+    assert(fits.max <= ys.max + 1e-6 && fits.min >= ys.min - 1e-6)
+  }
 }
