@@ -10394,6 +10394,164 @@ object SparkEntry {
       .orderBy("mon")
   }
 
+  // ---- round-10 batch 12: quantile sketch + survival + signed rank ----
+
+  /** FIXED-MEMORY QUANTILE SKETCH vs exact: a 256-bucket equi-width
+    * histogram of order totals (the mergeable constant-state shape a
+    * streaming percentile monitor carries), read out at p50/p90/p99 by
+    * in-bucket linear interpolation, NEXT TO the exact percentile_disc
+    * answers — the sketch's error is part of the result (q_countmin /
+    * q_ams_f2 contract). The sketch pass is one map-side-combined
+    * aggregate to ≤256 rows at any scale.
+    */
+  private def qQuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = tbl(s, dir, "orders").select(col("o_totalprice").as("x"))
+    val mm = o.agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
+      count(lit(1)).as("n"))
+    val hist = o.crossJoin(broadcast(mm))
+      .select(expr(
+        """least(CAST(floor((x - mn) / (mx - mn) * 256.0d) AS INT),
+           255)""").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .withColumn("cb", coalesce(sum(col("cnt")).over(Window
+        .orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val qs = s.range(0, 3).select(
+      expr("element_at(array(0.5d, 0.9d, 0.99d), CAST(id + 1 AS INT))")
+        .as("q"))
+    val est = qs.crossJoin(broadcast(mm))
+      .withColumn("target", col("q") * col("n").cast("double"))
+      .join(hist, col("cb").cast("double") + col("cnt").cast("double")
+        >= col("target"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q")
+          .orderBy("bucket")))
+      .filter(col("rn") === 1)
+      .select(col("q"), expr(
+        """mn + (CAST(bucket AS DOUBLE)
+             + (target - CAST(cb AS DOUBLE)) / CAST(cnt AS DOUBLE))
+           * (mx - mn) / 256.0d""").as("est"))
+    o.createOrReplaceTempView("qsk_orders_v")
+    val exact = s.sql(
+      """SELECT
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY x) AS e50,
+           percentile_disc(0.9) WITHIN GROUP (ORDER BY x) AS e90,
+           percentile_disc(0.99) WITHIN GROUP (ORDER BY x) AS e99
+         FROM qsk_orders_v""")
+    est.crossJoin(broadcast(exact))
+      .withColumn("exact", expr(
+        """CASE WHEN q = 0.5d THEN e50 WHEN q = 0.9d THEN e90
+           ELSE e99 END"""))
+      .select(col("q"), col("exact"), round(col("est"), 4).as("est"),
+        round(expr("abs(est - exact) / exact"), 6).as("rel_err"))
+      .orderBy("q")
+  }
+
+  /** LOG-RANK TEST between the two md5-arm customer cohorts on
+    * time-to-first-order (days since corpus start, no censoring): at
+    * each distinct event day the observed-minus-expected and
+    * hypergeometric variance come from pure-integer at-risk counts
+    * (suffix counts off one cumulative window over the days-sized
+    * event table), each term 9-dp-rounded into the exact DECIMAL sum,
+    * χ² = (ΣO−E)²/ΣV — the survival-curve-difference gate, all state
+    * calendar-bounded.
+    */
+  private def qLogRank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val first = tbl(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(min(to_date(col("o_orderdate"))).as("fd"))
+    val lo = first.agg(min(col("fd")).as("d0"))
+    val ev = first.crossJoin(broadcast(lo))
+      .select(datediff(col("fd"), col("d0")).cast("long").as("t"), expr(
+        """CAST(conv(substring(md5(concat('29:',
+             CAST(o_custkey AS STRING))), 1, 8), 16, 10) AS BIGINT)
+           % 2""").as("arm"))
+      .groupBy("t")
+      .agg(sum(when(col("arm") === 0, 1).otherwise(0)).cast("long")
+          .as("d1"),
+        sum(when(col("arm") === 1, 1).otherwise(0)).cast("long")
+          .as("d2"))
+    val tot = ev.agg(sum(col("d1")).as("n1"), sum(col("d2")).as("n2"))
+    val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    val risk = ev.crossJoin(broadcast(tot))
+      .withColumn("c1", coalesce(sum(col("d1")).over(w), lit(0L)))
+      .withColumn("c2", coalesce(sum(col("d2")).over(w), lit(0L)))
+      .select(col("n1"), col("n2"),
+        col("d1"), col("d2"),
+        (col("n1") - col("c1")).as("r1"),
+        (col("n2") - col("c2")).as("r2"))
+      .withColumn("oe", expr(
+        """CAST(round(CAST(d1 AS DOUBLE)
+             - CAST(d1 + d2 AS DOUBLE) * CAST(r1 AS DOUBLE)
+               / CAST(r1 + r2 AS DOUBLE), 9) + 0.0d
+           AS DECIMAL(18,9))"""))
+      .withColumn("v", expr(
+        """CAST(round(CASE WHEN r1 + r2 > 1 THEN
+             CAST(d1 + d2 AS DOUBLE)
+             * (CAST(r1 AS DOUBLE) / CAST(r1 + r2 AS DOUBLE))
+             * (CAST(r2 AS DOUBLE) / CAST(r1 + r2 AS DOUBLE))
+             * (CAST(r1 + r2 - d1 - d2 AS DOUBLE)
+               / CAST(r1 + r2 - 1 AS DOUBLE))
+           ELSE 0.0d END, 9) + 0.0d AS DECIMAL(18,9))"""))
+    risk.agg(max(col("n1")).as("n_a"), max(col("n2")).as("n_b"),
+        sum(col("d1")).as("o_a"), sum(col("oe")).as("soe"),
+        sum(col("v")).as("sv"))
+      .select(col("n_a"), col("n_b"), col("o_a"),
+        round(expr("CAST(o_a AS DOUBLE) - CAST(soe AS DOUBLE)"), 6)
+          .as("e_a"),
+        round(expr(
+          """CAST(soe AS DOUBLE) * CAST(soe AS DOUBLE)
+             / CAST(sv AS DOUBLE)"""), 6).as("chi2_logrank"))
+  }
+
+  /** WILCOXON SIGNED-RANK of the year-over-year daily revenue change
+    * (1996 vs 1995, paired on month+day): midranks of |diff| from
+    * cumulative counts over the DISTINCT |diff| domain (qSpearman
+    * contract), W⁺ as an exact DECIMAL rank sum, tie-corrected normal
+    * approximation — the paired, outlier-robust "did this year really
+    * move" answer.
+    */
+  private def qWilcoxonSigned(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = tbl(s, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy("day").agg(sum(col("p")).as("rev"))
+    val d95 = daily.filter(year(col("day")) === 1995)
+      .select(month(col("day")).as("m"), dayofmonth(col("day")).as("d"),
+        col("rev").as("r95"))
+    val d96 = daily.filter(year(col("day")) === 1996)
+      .select(month(col("day")).as("m"), dayofmonth(col("day")).as("d"),
+        col("rev").as("r96"))
+    val diffs = d95.join(d96, Seq("m", "d"))
+      .select((col("r96") - col("r95")).as("diff"))
+      .filter(col("diff") =!= 0)
+      .select(col("diff"), abs(col("diff")).as("ad"))
+    val dom = diffs.groupBy("ad").agg(count(lit(1)).as("t"))
+      .withColumn("cb", coalesce(sum(col("t")).over(Window
+        .orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("mr", expr(
+        """CAST(CAST(cb AS DOUBLE) + (CAST(t AS DOUBLE) + 1.0d) / 2.0d
+           AS DECIMAL(12,1))"""))
+    val ties = dom.agg(sum(col("t")).as("n"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("tsum"))
+    diffs.join(dom.select(col("ad"), col("mr")), "ad")
+      .agg(sum(when(col("diff") > 0, col("mr"))
+        .otherwise(lit(0).cast("decimal(12,1)"))).as("wp"))
+      .crossJoin(broadcast(ties))
+      .select(col("n").as("n_pairs"),
+        col("wp").cast("double").as("w_plus"),
+        round(expr(
+          """(CAST(wp AS DOUBLE)
+             - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0d) / 4.0d)
+             / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0d)
+               * (2.0d * CAST(n AS DOUBLE) + 1.0d) / 24.0d
+               - CAST(tsum AS DOUBLE) / 48.0d)"""), 6).as("z"))
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -10761,6 +10919,9 @@ object SparkEntry {
     "q_burrows_delta" -> qBurrowsDelta,
     "q_xcorr" -> qXcorr,
     "q_isotonic" -> qIsotonic,
+    "q_quantile_sketch" -> qQuantileSketch,
+    "q_log_rank" -> qLogRank,
+    "q_wilcoxon_signed" -> qWilcoxonSigned,
     "q_skew_audit" -> qSkewAudit,
     "q_tfidf_cosine_pairs" -> qTfidfCosinePairs,
     "q_diversity_index" -> qDiversityIndex,
@@ -14487,6 +14648,134 @@ object SparkEntry {
          SELECT mon, CAST(y AS DOUBLE) AS y,
            CAST(fit0 AS DOUBLE) AS fit
          FROM m JOIN fit USING (i) ORDER BY mon""",
+    // 256-bucket sketch readout vs percentile_disc truth
+    "q_quantile_sketch" ->
+      """WITH o AS (SELECT o_totalprice AS x FROM orders),
+         mm AS (SELECT MIN(x) AS mn, MAX(x) AS mx, COUNT(*) AS n
+           FROM o),
+         hist AS (SELECT LEAST(CAST(floor((x - mn) / (mx - mn)
+               * 256.0) AS INT), 255) AS bucket, COUNT(*) AS cnt
+           FROM o CROSS JOIN mm GROUP BY 1),
+         hc AS (SELECT bucket, cnt,
+             COALESCE(SUM(cnt) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cb
+           FROM hist),
+         qs AS (SELECT unnest([CAST(0.5 AS DOUBLE),
+             CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS q),
+         tj AS (SELECT q, q * CAST(n AS DOUBLE) AS target,
+             bucket, cnt, cb, mn, mx
+           FROM qs CROSS JOIN mm
+           JOIN hc ON CAST(cb AS DOUBLE) + CAST(cnt AS DOUBLE)
+             >= q * CAST(n AS DOUBLE)),
+         est AS (SELECT q, mn + (CAST(bucket AS DOUBLE)
+               + (target - CAST(cb AS DOUBLE)) / CAST(cnt AS DOUBLE))
+               * (mx - mn) / 256.0 AS est,
+             row_number() OVER (PARTITION BY q ORDER BY bucket) AS rn
+           FROM tj),
+         e1 AS (SELECT q, est FROM est WHERE rn = 1),
+         ex AS (SELECT
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY x) AS e50,
+             percentile_disc(0.9) WITHIN GROUP (ORDER BY x) AS e90,
+             percentile_disc(0.99) WITHIN GROUP (ORDER BY x) AS e99
+           FROM o),
+         e2 AS (SELECT q,
+             CASE WHEN q = 0.5 THEN e50 WHEN q = 0.9 THEN e90
+               ELSE e99 END AS exact, est
+           FROM e1 CROSS JOIN ex)
+         SELECT q, exact, round(est, 4) AS est,
+           round(abs(est - exact) / exact, 6) AS rel_err
+         FROM e2 ORDER BY q""",
+    // log-rank: integer at-risk suffix counts, 9-dp O-E and V terms
+    "q_log_rank" -> {
+      val fold =
+        """list_reduce(list_transform(range(1, 9),
+             i -> CAST(strpos('0123456789abcdef',
+               (md5('29:' || CAST(o_custkey AS VARCHAR)))[i:i]) - 1
+               AS BIGINT)), (a, d) -> a * 16 + d)"""
+      s"""WITH first AS (SELECT o_custkey,
+             MIN(CAST(o_orderdate AS DATE)) AS fd,
+             $fold % 2 AS arm
+           FROM orders GROUP BY o_custkey),
+         lo AS (SELECT MIN(fd) AS d0 FROM first),
+         ev AS (SELECT CAST(datediff('day', d0, fd) AS BIGINT) AS t,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS d1,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS d2
+           FROM first CROSS JOIN lo GROUP BY 1),
+         tot AS (SELECT CAST(SUM(d1) AS BIGINT) AS n1,
+             CAST(SUM(d2) AS BIGINT) AS n2 FROM ev),
+         risk AS (SELECT n1, n2, d1, d2,
+             n1 - COALESCE(SUM(d1) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS r1,
+             n2 - COALESCE(SUM(d2) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS r2
+           FROM ev CROSS JOIN tot),
+         terms AS (SELECT n1, n2, d1,
+             CAST(round(CAST(d1 AS DOUBLE)
+               - CAST(d1 + d2 AS DOUBLE) * CAST(r1 AS DOUBLE)
+                 / CAST(r1 + r2 AS DOUBLE), 9) + 0.0
+               AS DECIMAL(18,9)) AS oe,
+             CAST(round(CASE WHEN r1 + r2 > 1 THEN
+                 CAST(d1 + d2 AS DOUBLE)
+                 * (CAST(r1 AS DOUBLE) / CAST(r1 + r2 AS DOUBLE))
+                 * (CAST(r2 AS DOUBLE) / CAST(r1 + r2 AS DOUBLE))
+                 * (CAST(r1 + r2 - d1 - d2 AS DOUBLE)
+                   / CAST(r1 + r2 - 1 AS DOUBLE))
+               ELSE 0.0 END, 9) + 0.0 AS DECIMAL(18,9)) AS v
+           FROM risk),
+         ag AS (SELECT MAX(n1) AS n_a, MAX(n2) AS n_b,
+             CAST(SUM(d1) AS BIGINT) AS o_a, SUM(oe) AS soe,
+             SUM(v) AS sv
+           FROM terms)
+         SELECT n_a, n_b, o_a,
+           round(CAST(o_a AS DOUBLE) - CAST(soe AS DOUBLE), 6) AS e_a,
+           round(CAST(soe AS DOUBLE) * CAST(soe AS DOUBLE)
+             / CAST(sv AS DOUBLE), 6) AS chi2_logrank
+         FROM ag"""
+    },
+    // Wilcoxon signed-rank on paired YoY daily revenue, midrank
+    // domain + BIGINT tie correction
+    "q_wilcoxon_signed" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(18,2)) AS rev
+           FROM orders GROUP BY 1),
+         d95 AS (SELECT month(day) AS m, dayofmonth(day) AS d,
+             rev AS r95 FROM daily WHERE year(day) = 1995),
+         d96 AS (SELECT month(day) AS m, dayofmonth(day) AS d,
+             rev AS r96 FROM daily WHERE year(day) = 1996),
+         diffs AS (SELECT CAST(r96 AS DECIMAL(19,2))
+               - CAST(r95 AS DECIMAL(19,2)) AS diff,
+             abs(CAST(r96 AS DECIMAL(19,2))
+               - CAST(r95 AS DECIMAL(19,2))) AS ad
+           FROM d95 JOIN d96 USING (m, d)
+           WHERE r96 <> r95),
+         dom AS (SELECT ad, COUNT(*) AS t FROM diffs GROUP BY 1),
+         cum AS (SELECT ad, t,
+             COALESCE(SUM(t) OVER (ORDER BY ad
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cb
+           FROM dom),
+         mr AS (SELECT ad,
+             CAST(CAST(cb AS DOUBLE) + (CAST(t AS DOUBLE) + 1.0) / 2.0
+               AS DECIMAL(12,1)) AS mr
+           FROM cum),
+         ties AS (SELECT CAST(SUM(t) AS BIGINT) AS n,
+             CAST(SUM(t * t * t - t) AS BIGINT) AS tsum FROM dom),
+         wp AS (SELECT SUM(CASE WHEN diff > 0 THEN mr
+             ELSE CAST(0 AS DECIMAL(12,1)) END) AS wp
+           FROM diffs JOIN mr USING (ad))
+         SELECT n AS n_pairs, CAST(wp AS DOUBLE) AS w_plus,
+           round((CAST(wp AS DOUBLE)
+             - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0)
+             / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+               * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+               - CAST(tsum AS DOUBLE) / 48.0), 6) AS z
+         FROM wp CROSS JOIN ties""",
     // cross-slice brute-force near-dup truth (the Spark side is banded
     // LSH + exact verify — same pair set, never all-pairs)
     "q_contamination_fuzzy" ->

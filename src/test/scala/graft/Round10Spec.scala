@@ -342,4 +342,40 @@ class Round10Spec extends AnyFunSuite {
     val ys = rows.map(_.getDouble(rows.head.fieldIndex("y")))
     assert(fits.max <= ys.max + 1e-6 && fits.min >= ys.min - 1e-6)
   }
+
+  test("Quantile sketch estimates land within one bucket width of " +
+      "the exact percentiles") {
+    val rows = SparkEntry.queries("q_quantile_sketch")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val exact = r.getDouble(r.fieldIndex("exact"))
+      assert(r.getDouble(r.fieldIndex("rel_err")) < 0.05,
+        s"sketch too far off at q=${r.getDouble(0)}: exact $exact")
+    }
+    val ests = rows.sortBy(_.getDouble(0)).map(_.getDouble(2))
+    assert(ests.sameElements(ests.sorted),
+      "quantile estimates not monotone in q")
+  }
+
+  test("Log-rank observed and expected arm-A events agree in total " +
+      "scale and chi2 is non-negative") {
+    val r = SparkEntry.queries("q_log_rank")(
+      spark, "/root/testdata/sf0.001").head()
+    val oA = r.getLong(r.fieldIndex("o_a"))
+    val eA = r.getDouble(r.fieldIndex("e_a"))
+    assert(oA > 0 && eA > 0)
+    assert(math.abs(oA - eA) < oA * 0.5,
+      s"O=$oA vs E=$eA implausibly far under the null")
+    assert(r.getDouble(r.fieldIndex("chi2_logrank")) >= 0.0)
+  }
+
+  test("Wilcoxon W+ is bounded by the total rank sum n(n+1)/2") {
+    val r = SparkEntry.queries("q_wilcoxon_signed")(
+      spark, "/root/testdata/sf0.001").head()
+    val n = r.getLong(r.fieldIndex("n_pairs"))
+    val wp = r.getDouble(r.fieldIndex("w_plus"))
+    assert(n > 50, s"expected a sizable paired-day panel, got $n")
+    assert(wp >= 0 && wp <= n.toDouble * (n + 1) / 2)
+  }
 }
