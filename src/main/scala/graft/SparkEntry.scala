@@ -10552,6 +10552,120 @@ object SparkEntry {
                - CAST(tsum AS DOUBLE) / 48.0d)"""), 6).as("z"))
   }
 
+  // ---- round-10 batch 13: keyword extraction ----
+
+  private val rakeStopsSeq = Seq("the", "and", "of", "to", "in", "is",
+    "that", "for", "with", "a", "as", "on", "at", "by", "an", "be",
+    "or", "it", "this", "are", "was", "from", "not", "but", "have",
+    "has", "had", "they", "he", "she", "we", "you", "i")
+  private val rakeStopsSqlList =
+    rakeStopsSeq.map(w => s"'$w'").mkString(", ")
+
+  /** RAKE KEYWORD EXTRACTION over the corpus: phrases are maximal
+    * stopword/punctuation-free word runs (positions from ONE
+    * posexplode, phrase ids from a per-doc boundary-count window —
+    * never a per-phrase regex pass), word score = degree/frequency
+    * over kept (≤4-word) phrases, phrase score = Σ word scores with
+    * each term 6-dp-quantized so the DECIMAL sum is order-proof.
+    * Top 15 phrases by score — the classic unsupervised keyword
+    * harvest, one corpus explode + counts-sized joins.
+    */
+  private def qRakeKeywords(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), "[^a-z0-9]+"))
+          .as(Seq("pos", "w")))
+      .withColumn("b",
+        col("w") === "" || expr(s"w IN ($rakeStopsSqlList)"))
+      .withColumn("pid", sum(col("b").cast("int")).over(Window
+        .partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val members = toks.filter(!col("b"))
+      .select(col("doc_id"), col("pid"), col("pos"), col("w"))
+      .persist()
+    val phrases = members.groupBy("doc_id", "pid")
+      .agg(concat_ws(" ", expr(
+        "transform(array_sort(collect_list(struct(pos, w))), x -> x.w)"))
+        .as("phrase"), count(lit(1)).as("len"))
+      .filter(col("len") <= 4)
+    val wordRows = members
+      .join(phrases.select("doc_id", "pid", "len"), Seq("doc_id", "pid"))
+    val wstat = wordRows.groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+      .withColumn("score_w", expr(
+        """CAST(round(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE), 6)
+           AS DECIMAL(18,6))"""))
+    val psc = wordRows.join(broadcast(wstat.select("w", "score_w")), "w")
+      .groupBy("doc_id", "pid")
+      .agg(sum(col("score_w")).as("psc"))
+    phrases.join(psc, Seq("doc_id", "pid"))
+      .groupBy("phrase")
+      .agg(count(lit(1)).as("n_occur"),
+        min(col("psc")).cast("double").as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(15)
+  }
+
+  /** TEXTRANK KEYWORDS: the ±2-position co-occurrence graph over the
+    * top-100 content words (edges from two lead() windows — no
+    * corpus self-join), then 5 damped degree-normalized PageRank
+    * iterations with per-term AND per-score 12-dp DECIMAL
+    * re-quantization (the ops/PageRank determinism recipe, here over
+    * a ≤100-node graph so the loop is driver-trivial at any corpus
+    * size — the graph, not the corpus, is the state). Top 15 words.
+    */
+  private def qTextrank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), "[^a-z0-9]+"))
+          .as(Seq("pos", "w")))
+      .filter(col("w") =!= "" && !expr(s"w IN ($rakeStopsSqlList)"))
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(100)
+      .select(col("w"))
+    val wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    val nbr = toks
+      .withColumn("w1", lead(col("w"), 1).over(wdoc))
+      .withColumn("w2", lead(col("w"), 2).over(wdoc))
+    val raw = nbr.select(col("w").as("a"), col("w1").as("b"))
+      .union(nbr.select(col("w").as("a"), col("w2").as("b")))
+      .filter(col("b").isNotNull && col("a") =!= col("b"))
+      .join(broadcast(vocab.select(col("w").as("a"))), "a")
+      .join(broadcast(vocab.select(col("w").as("b"))), "b")
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("wt"))
+    val und = raw.select(col("a"), col("b"), col("wt"))
+      .union(raw.select(col("b").as("a"), col("a").as("b"), col("wt")))
+      .persist()
+    val outw = und.groupBy("a").agg(sum(col("wt")).as("ow"))
+    val nodes = und.select(col("a")).distinct()
+    var sc = nodes.withColumn("sc",
+      lit(BigDecimal(1.0)).cast("decimal(28,12)"))
+    for (_ <- 1 to 5) {
+      val contribs = und
+        .join(outw, "a").join(sc, "a")
+        .select(col("b").as("tgt"), expr(
+          """CAST(round(CAST(wt AS DOUBLE) / CAST(ow AS DOUBLE)
+               * CAST(sc AS DOUBLE), 12) AS DECIMAL(28,12))""")
+          .as("t"))
+        .groupBy("tgt").agg(sum(col("t")).as("st"))
+      sc = nodes.join(contribs.withColumnRenamed("tgt", "a"),
+          Seq("a"), "left")
+        .select(col("a"), expr(
+          """CAST(round(0.15d + 0.85d
+               * CAST(coalesce(st, CAST(0 AS DECIMAL(38,12)))
+                 AS DOUBLE), 12) AS DECIMAL(28,12))""").as("sc"))
+        .localCheckpoint(eager = true)
+    }
+    sc.select(col("a").as("word"),
+        round(col("sc").cast("double"), 6).as("score"))
+      .orderBy(col("score").desc, col("word"))
+      .limit(15)
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -10922,6 +11036,8 @@ object SparkEntry {
     "q_quantile_sketch" -> qQuantileSketch,
     "q_log_rank" -> qLogRank,
     "q_wilcoxon_signed" -> qWilcoxonSigned,
+    "q_rake_keywords" -> qRakeKeywords,
+    "q_textrank" -> qTextrank,
     "q_skew_audit" -> qSkewAudit,
     "q_tfidf_cosine_pairs" -> qTfidfCosinePairs,
     "q_diversity_index" -> qDiversityIndex,
@@ -14776,6 +14892,92 @@ object SparkEntry {
                * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
                - CAST(tsum AS DOUBLE) / 48.0), 6) AS z
          FROM wp CROSS JOIN ties""",
+    // RAKE replay: positional tokens via generate_subscripts/unnest
+    // zip, boundary-count phrase ids, 6-dp word-score quantization
+    "q_rake_keywords" ->
+      s"""WITH d AS (SELECT doc_id, regexp_split_to_array(lower(text),
+             '[^a-z0-9]+') AS arr
+           FROM documents),
+         toks AS (SELECT doc_id, generate_subscripts(arr, 1) AS pos,
+             unnest(arr) AS w
+           FROM d),
+         fl AS (SELECT doc_id, pos, w,
+             (w = '' OR w IN ($rakeStopsSqlList)) AS b
+           FROM toks),
+         pid AS (SELECT doc_id, pos, w, b,
+             SUM(CASE WHEN b THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS pid
+           FROM fl),
+         members AS (SELECT doc_id, pid, pos, w FROM pid WHERE NOT b),
+         phrases AS (SELECT doc_id, pid,
+             string_agg(w, ' ' ORDER BY pos) AS phrase,
+             COUNT(*) AS len
+           FROM members GROUP BY 1, 2 HAVING COUNT(*) <= 4),
+         wordrows AS (SELECT m.doc_id, m.pid, m.w, p.len
+           FROM members m JOIN phrases p USING (doc_id, pid)),
+         ws AS (SELECT w,
+             CAST(round(CAST(SUM(len) AS DOUBLE) / COUNT(*), 6)
+               AS DECIMAL(18,6)) AS score_w
+           FROM wordrows GROUP BY 1),
+         psc AS (SELECT doc_id, pid, SUM(score_w) AS psc
+           FROM wordrows JOIN ws USING (w) GROUP BY 1, 2),
+         ag AS (SELECT phrase, COUNT(*) AS n_occur,
+             CAST(MIN(psc) AS DOUBLE) AS score
+           FROM phrases JOIN psc USING (doc_id, pid) GROUP BY 1)
+         SELECT phrase, n_occur, score FROM ag
+         ORDER BY score DESC, phrase LIMIT 15""",
+    // TextRank: lead-window co-occurrence edges over the top-100
+    // vocab, 5 unrolled damped iterations, 12-dp DECIMAL per term
+    // and per score (the q_pagerank oracle recipe)
+    "q_textrank" -> {
+      def iter(prev: String, cn: String, gn: String, sn: String) =
+        s"""$cn AS (SELECT e.b AS tgt,
+             CAST(round(CAST(e.wt AS DOUBLE) / CAST(o.ow AS DOUBLE)
+               * CAST(s.sc AS DOUBLE), 12) AS DECIMAL(28,12)) AS t
+           FROM und e JOIN outw o USING (a) JOIN $prev s USING (a)),
+         $gn AS (SELECT tgt, SUM(t) AS st FROM $cn GROUP BY 1),
+         $sn AS (SELECT n.a,
+             CAST(round(0.15 + 0.85 * CAST(COALESCE(st, 0) AS DOUBLE),
+               12) AS DECIMAL(28,12)) AS sc
+           FROM nodes n LEFT JOIN $gn ON tgt = n.a)"""
+      s"""WITH d AS (SELECT doc_id, regexp_split_to_array(lower(text),
+             '[^a-z0-9]+') AS arr
+           FROM documents),
+         toks0 AS (SELECT doc_id, generate_subscripts(arr, 1) AS pos,
+             unnest(arr) AS w
+           FROM d),
+         toks AS (SELECT * FROM toks0
+           WHERE w <> '' AND w NOT IN ($rakeStopsSqlList)),
+         vocab AS (SELECT w FROM (SELECT w, COUNT(*) AS c FROM toks
+           GROUP BY 1 ORDER BY c DESC, w LIMIT 100)),
+         nbr AS (SELECT w,
+             lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+             lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+           FROM toks),
+         rawp AS (SELECT w AS a, w1 AS b FROM nbr
+           UNION ALL SELECT w AS a, w2 AS b FROM nbr),
+         flt AS (SELECT least(a, b) AS a, greatest(a, b) AS b
+           FROM rawp WHERE b IS NOT NULL AND a <> b
+             AND a IN (SELECT w FROM vocab)
+             AND b IN (SELECT w FROM vocab)),
+         rawe AS (SELECT a, b, COUNT(*) AS wt FROM flt GROUP BY 1, 2),
+         und AS (SELECT a, b, wt FROM rawe
+           UNION ALL SELECT b AS a, a AS b, wt FROM rawe),
+         outw AS (SELECT a, CAST(SUM(wt) AS BIGINT) AS ow
+           FROM und GROUP BY 1),
+         nodes AS (SELECT DISTINCT a FROM und),
+         s0 AS (SELECT a, CAST(1.0 AS DECIMAL(28,12)) AS sc
+           FROM nodes),
+         ${iter("s0", "c1", "g1", "s1")},
+         ${iter("s1", "c2", "g2", "s2")},
+         ${iter("s2", "c3", "g3", "s3")},
+         ${iter("s3", "c4", "g4", "s4")},
+         ${iter("s4", "c5", "g5", "s5")}
+         SELECT a AS word, round(CAST(sc AS DOUBLE), 6) AS score
+         FROM s5 ORDER BY score DESC, word LIMIT 15"""
+    },
     // cross-slice brute-force near-dup truth (the Spark side is banded
     // LSH + exact verify — same pair set, never all-pairs)
     "q_contamination_fuzzy" ->

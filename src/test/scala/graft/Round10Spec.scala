@@ -378,4 +378,37 @@ class Round10Spec extends AnyFunSuite {
     assert(n > 50, s"expected a sizable paired-day panel, got $n")
     assert(wp >= 0 && wp <= n.toDouble * (n + 1) / 2)
   }
+
+  test("RAKE phrases contain no stopwords, at most 4 words, and come " +
+      "out score-descending") {
+    val stops = Set("the", "and", "of", "to", "in", "is", "that",
+      "for", "with", "a", "as", "on", "at", "by", "an", "be", "or",
+      "it", "this", "are", "was", "from", "not", "but", "have", "has",
+      "had", "they", "he", "she", "we", "you", "i")
+    val rows = SparkEntry.queries("q_rake_keywords")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 15)
+    rows.foreach { r =>
+      val words = r.getString(0).split(" ")
+      assert(words.length <= 4 && words.forall(w => !stops(w)),
+        s"bad phrase: ${r.getString(0)}")
+      assert(r.getLong(1) >= 1)
+    }
+    val ss = rows.map(_.getDouble(2))
+    assert(ss.sameElements(ss.sorted.reverse))
+  }
+
+  test("TextRank scores are positive, the top list is 15 distinct " +
+      "vocabulary words, none a stopword") {
+    val rows = SparkEntry.queries("q_textrank")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 15)
+    assert(rows.map(_.getString(0)).distinct.length == 15)
+    rows.foreach { r =>
+      assert(r.getDouble(1) > 0.0)
+      assert(r.getString(0).nonEmpty)
+    }
+    val ss = rows.map(_.getDouble(1))
+    assert(ss.sameElements(ss.sorted.reverse))
+  }
 }
