@@ -10666,6 +10666,120 @@ object SparkEntry {
       .limit(15)
   }
 
+  // ---- round-10 batch 14: cluster quality + trusses + downside risk ----
+
+  /** SIMPLIFIED SILHOUETTE of the labeled embedding clusters: a(i) =
+    * distance to the own-label centroid, b(i) = min distance to any
+    * other centroid, s = (b−a)/max(a,b), averaged per label.
+    * Centroids come from the qEmbedDimStats exact-DECIMAL dim sums
+    * (9-dp-quantized means), every squared-difference term is
+    * 9-dp-quantized before its 64-dim DECIMAL sum, so the whole
+    * readout is order-proof. Shape: rows × dims × k — k is bounded,
+    * so this is one narrow fan-out + two keyed aggregates at any
+    * corpus size (never vectors × vectors).
+    */
+  private def qSilhouette(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "ef")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        col("ef").cast("double").as("v"))
+    val cent = e.groupBy(col("label").as("clabel"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(28,12)")).as("sv"))
+      .select(col("clabel"), col("dim"), expr(
+        """round(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE), 9) + 0.0d""")
+        .as("m"))
+    val dist = e.join(broadcast(cent), Seq("dim"))
+      .select(col("vec_id"), col("label"), col("clabel"), expr(
+        """CAST(round((v - m) * (v - m), 9) AS DECIMAL(18,9))""")
+        .as("t"))
+      .groupBy("vec_id", "label", "clabel")
+      .agg(expr("sqrt(CAST(sum(t) AS DOUBLE))").as("d"))
+    val ab = dist.groupBy("vec_id", "label")
+      .agg(max(when(col("label") === col("clabel"), col("d"))).as("a"),
+        min(when(col("label") =!= col("clabel"), col("d"))).as("b"))
+      .select(col("vec_id"), col("label"), col("a"), col("b"), expr(
+        """CAST(round((b - a) / greatest(a, b, 1e-12d), 6) + 0.0d
+           AS DECIMAL(18,6))""").as("sil"))
+    ab.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(expr("CAST(sum(sil) AS DOUBLE) / COUNT(1)"), 6)
+          .as("mean_silhouette"),
+        round(expr("""CAST(sum(CAST(round(a, 6) AS DECIMAL(18,6)))
+          AS DOUBLE) / COUNT(1)"""), 6).as("mean_a"),
+        round(expr("""CAST(sum(CAST(round(b, 6) AS DECIMAL(18,6)))
+          AS DOUBLE) / COUNT(1)"""), 6).as("mean_b"))
+      .orderBy("label")
+  }
+
+  /** K-TRUSS PEELING (k=4: every surviving edge sits in ≥2 triangles
+    * among surviving edges; 3 bounded rounds): per round one wedge
+    * join computes each edge's support and under-supported edges
+    * leave, localCheckpointed per round (qKcore recipe). The
+    * edge-level cohesion filter that strips tree-like fringe before
+    * community mining — and the DuckDB twin unrolls the same three
+    * rounds.
+    */
+  private def qKtruss(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    var und = writtenEdgesTable(s, dir)
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    for (it <- 1 to 3) {
+      val adj = und.select(col("u").as("a"), col("v").as("b"))
+        .union(und.select(col("v").as("a"), col("u").as("b")))
+      val sup = und
+        .join(adj.select(col("a").as("u"), col("b").as("w1")), Seq("u"))
+        .join(adj.select(col("a").as("v"), col("b").as("w2")), Seq("v"))
+        .filter(col("w1") === col("w2"))
+        .groupBy("u", "v").agg(count(lit(1)).as("support"))
+      val prev = und
+      und = und.join(sup.filter(col("support") >= 2), Seq("u", "v"),
+          "left_semi")
+        .localCheckpoint(true)
+      prev.unpersist()
+      val nn = und.select(explode(array(col("u"), col("v"))).as("n"))
+        .distinct().count()
+      out += ((it, nn, und.count()))
+    }
+    out.toSeq.toDF("iter", "n_nodes", "n_edges")
+  }
+
+  /** SORTINO RATIO of the daily revenue series: day-over-day returns
+    * 9-dp-quantized, mean return and DOWNSIDE deviation (√ of the
+    * mean squared negative return) from exact DECIMAL sums,
+    * annualized ×√252 — the risk metric that, unlike Sharpe, only
+    * charges for harmful volatility. Pairs with [[qDrawdown]] /
+    * [[qVarCvar]] on the same series.
+    */
+  private def qSortino(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rets = dailyRev18(s, dir)
+      .withColumn("prev", lag(col("rev"), 1).over(Window.orderBy("day")))
+      .filter(col("prev").isNotNull)
+      .select(expr(
+        """CAST(round(CAST(rev - prev AS DOUBLE) / CAST(prev AS DOUBLE),
+           9) + 0.0d AS DECIMAL(18,9))""").as("r"))
+    rets.agg(count(lit(1)).as("n_days"), sum(col("r")).as("sr"),
+        sum(expr("""CAST(round(CAST(least(r,
+            CAST(0 AS DECIMAL(18,9))) AS DOUBLE)
+            * CAST(least(r, CAST(0 AS DECIMAL(18,9))) AS DOUBLE), 9)
+          AS DECIMAL(18,9))""")).as("sd2"))
+      .select(col("n_days"),
+        round(expr("CAST(sr AS DOUBLE) / CAST(n_days AS DOUBLE)"), 6)
+          .as("mean_daily_ret"),
+        round(expr(
+          "sqrt(CAST(sd2 AS DOUBLE) / CAST(n_days AS DOUBLE))"), 6)
+          .as("downside_dev"),
+        round(expr(
+          """CAST(sr AS DOUBLE) / CAST(n_days AS DOUBLE)
+             / sqrt(CAST(sd2 AS DOUBLE) / CAST(n_days AS DOUBLE))
+             * 15.874507866387544d"""), 6).as("sortino_annual"))
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -11038,6 +11152,9 @@ object SparkEntry {
     "q_wilcoxon_signed" -> qWilcoxonSigned,
     "q_rake_keywords" -> qRakeKeywords,
     "q_textrank" -> qTextrank,
+    "q_silhouette" -> qSilhouette,
+    "q_ktruss" -> qKtruss,
+    "q_sortino" -> qSortino,
     "q_skew_audit" -> qSkewAudit,
     "q_tfidf_cosine_pairs" -> qTfidfCosinePairs,
     "q_diversity_index" -> qDiversityIndex,
@@ -14978,6 +15095,110 @@ object SparkEntry {
          SELECT a AS word, round(CAST(sc AS DOUBLE), 6) AS score
          FROM s5 ORDER BY score DESC, word LIMIT 15"""
     },
+    // simplified silhouette: 9-dp centroid means, 9-dp term sums
+    "q_silhouette" ->
+      """WITH e AS (SELECT vec_id, label,
+             generate_subscripts(embedding, 1) AS dim,
+             unnest(CAST(embedding AS DOUBLE[])) AS v
+           FROM embeddings),
+         cent AS (SELECT label AS clabel, dim,
+             round(CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE)
+               / COUNT(*), 9) + 0.0 AS m
+           FROM e GROUP BY 1, 2),
+         dist AS (SELECT vec_id, label, clabel,
+             sqrt(CAST(SUM(CAST(round((v - m) * (v - m), 9)
+               AS DECIMAL(18,9))) AS DOUBLE)) AS d
+           FROM e JOIN cent USING (dim) GROUP BY 1, 2, 3),
+         ab AS (SELECT vec_id, label,
+             MAX(CASE WHEN label = clabel THEN d END) AS a,
+             MIN(CASE WHEN label <> clabel THEN d END) AS b
+           FROM dist GROUP BY 1, 2),
+         ss AS (SELECT vec_id, label, a, b,
+             CAST(round((b - a) / greatest(a, b, 1e-12), 6) + 0.0
+               AS DECIMAL(18,6)) AS sil
+           FROM ab)
+         SELECT label, COUNT(*) AS n_vecs,
+           round(CAST(SUM(sil) AS DOUBLE) / COUNT(*), 6)
+             AS mean_silhouette,
+           round(CAST(SUM(CAST(round(a, 6) AS DECIMAL(18,6)))
+             AS DOUBLE) / COUNT(*), 6) AS mean_a,
+           round(CAST(SUM(CAST(round(b, 6) AS DECIMAL(18,6)))
+             AS DOUBLE) / COUNT(*), 6) AS mean_b
+         FROM ss GROUP BY 1 ORDER BY label""",
+    // k=4 truss: three unrolled support-peel rounds over the
+    // co-supplier edge set
+    "q_ktruss" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey
+           FROM lineitem WHERE l_quantity <= 2),
+         ed0 AS (SELECT DISTINCT a.l_suppkey AS src,
+             b.l_suppkey AS dst
+           FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+             AND a.l_suppkey <> b.l_suppkey),
+         e0 AS (SELECT src AS u, dst AS v FROM ed0 WHERE src < dst),
+         a0 AS (SELECT u AS a, v AS b FROM e0
+           UNION ALL SELECT v, u FROM e0),
+         t0 AS (SELECT e.u, e.v, COUNT(*) AS s FROM e0 e
+           JOIN a0 x ON x.a = e.u JOIN a0 y ON y.a = e.v
+             AND y.b = x.b
+           GROUP BY 1, 2),
+         e1 AS (SELECT e.u, e.v FROM e0 e
+           JOIN t0 t ON t.u = e.u AND t.v = e.v AND t.s >= 2),
+         a1 AS (SELECT u AS a, v AS b FROM e1
+           UNION ALL SELECT v, u FROM e1),
+         t1 AS (SELECT e.u, e.v, COUNT(*) AS s FROM e1 e
+           JOIN a1 x ON x.a = e.u JOIN a1 y ON y.a = e.v
+             AND y.b = x.b
+           GROUP BY 1, 2),
+         e2 AS (SELECT e.u, e.v FROM e1 e
+           JOIN t1 t ON t.u = e.u AND t.v = e.v AND t.s >= 2),
+         a2 AS (SELECT u AS a, v AS b FROM e2
+           UNION ALL SELECT v, u FROM e2),
+         t2 AS (SELECT e.u, e.v, COUNT(*) AS s FROM e2 e
+           JOIN a2 x ON x.a = e.u JOIN a2 y ON y.a = e.v
+             AND y.b = x.b
+           GROUP BY 1, 2),
+         e3 AS (SELECT e.u, e.v FROM e2 e
+           JOIN t2 t ON t.u = e.u AND t.v = e.v AND t.s >= 2)
+         SELECT CAST(1 AS INTEGER) AS iter,
+           (SELECT COUNT(*) FROM (SELECT u AS n FROM e1
+             UNION SELECT v FROM e1)) AS n_nodes,
+           (SELECT COUNT(*) FROM e1) AS n_edges
+         UNION ALL SELECT CAST(2 AS INTEGER),
+           (SELECT COUNT(*) FROM (SELECT u AS n FROM e2
+             UNION SELECT v FROM e2)),
+           (SELECT COUNT(*) FROM e2)
+         UNION ALL SELECT CAST(3 AS INTEGER),
+           (SELECT COUNT(*) FROM (SELECT u AS n FROM e3
+             UNION SELECT v FROM e3)),
+           (SELECT COUNT(*) FROM e3)
+         ORDER BY iter""",
+    // Sortino: 9-dp daily returns, DECIMAL downside moments, sqrt(252)
+    // as a literal
+    "q_sortino" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(18,2)) AS rev
+           FROM orders GROUP BY 1),
+         lagd AS (SELECT rev,
+             lag(rev, 1) OVER (ORDER BY day) AS prev
+           FROM daily),
+         rets AS (SELECT CAST(round(CAST(rev - prev AS DOUBLE)
+               / CAST(prev AS DOUBLE), 9) + 0.0 AS DECIMAL(18,9)) AS r
+           FROM lagd WHERE prev IS NOT NULL),
+         ag AS (SELECT COUNT(*) AS n_days, SUM(r) AS sr,
+             SUM(CAST(round(CAST(least(r, CAST(0 AS DECIMAL(18,9)))
+               AS DOUBLE) * CAST(least(r, CAST(0 AS DECIMAL(18,9)))
+               AS DOUBLE), 9) AS DECIMAL(18,9))) AS sd2
+           FROM rets)
+         SELECT n_days,
+           round(CAST(sr AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+             AS mean_daily_ret,
+           round(sqrt(CAST(sd2 AS DOUBLE) / CAST(n_days AS DOUBLE)), 6)
+             AS downside_dev,
+           round(CAST(sr AS DOUBLE) / CAST(n_days AS DOUBLE)
+             / sqrt(CAST(sd2 AS DOUBLE) / CAST(n_days AS DOUBLE))
+             * 15.874507866387544, 6) AS sortino_annual
+         FROM ag""",
     // cross-slice brute-force near-dup truth (the Spark side is banded
     // LSH + exact verify — same pair set, never all-pairs)
     "q_contamination_fuzzy" ->

@@ -411,4 +411,43 @@ class Round10Spec extends AnyFunSuite {
     val ss = rows.map(_.getDouble(1))
     assert(ss.sameElements(ss.sorted.reverse))
   }
+
+  test("Silhouette values stay in [-1, 1] and every label averages " +
+      "its own vectors") {
+    val rows = SparkEntry.queries("q_silhouette")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val s = r.getDouble(r.fieldIndex("mean_silhouette"))
+      assert(s >= -1.0 - 1e-6 && s <= 1.0 + 1e-6)
+      assert(r.getDouble(r.fieldIndex("mean_a")) >= 0.0)
+      assert(r.getDouble(r.fieldIndex("mean_b")) >= 0.0)
+      assert(r.getLong(r.fieldIndex("n_vecs")) > 0)
+    }
+  }
+
+  test("K-truss peeling is monotone: edges never increase across " +
+      "rounds, and the survivors are a subgraph of the k-core input") {
+    val rows = SparkEntry.queries("q_ktruss")(
+      spark, "/root/testdata/sf0.001").collect().sortBy(_.getInt(0))
+    assert(rows.length == 3)
+    val edges = rows.map(_.getLong(rows.head.fieldIndex("n_edges")))
+    edges.sliding(2).foreach(p =>
+      assert(p(1) <= p(0), s"edges grew: ${p(0)} -> ${p(1)}"))
+    rows.foreach(r =>
+      assert(r.getLong(r.fieldIndex("n_nodes"))
+        <= 2 * math.max(r.getLong(r.fieldIndex("n_edges")), 1)))
+  }
+
+  test("Sortino downside deviation never exceeds the full volatility " +
+      "scale implied by the returns") {
+    val r = SparkEntry.queries("q_sortino")(
+      spark, "/root/testdata/sf0.001").head()
+    assert(r.getLong(r.fieldIndex("n_days")) > 100)
+    val dd = r.getDouble(r.fieldIndex("downside_dev"))
+    assert(dd > 0.0)
+    val sortino = r.getDouble(r.fieldIndex("sortino_annual"))
+    val mean = r.getDouble(r.fieldIndex("mean_daily_ret"))
+    assert(math.abs(sortino - mean / dd * 15.874507866387544) < 1e-3)
+  }
 }
