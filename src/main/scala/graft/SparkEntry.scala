@@ -10780,6 +10780,145 @@ object SparkEntry {
              * 15.874507866387544d"""), 6).as("sortino_annual"))
   }
 
+  // ---- round-10 batch 15: exact test + extremes + dispersion ----
+
+  /** FISHER'S EXACT TEST (two-sided) of English vs above-median
+    * length over the documents 2×2: log-factorials as a CUMULATIVE
+    * 9-dp-rounded-ln DECIMAL prefix over 0..n (one corpus-count-sized
+    * window — the libm contract), every candidate table's log-pmf as
+    * pure DECIMAL lookups, the two-sided tail by the standard
+    * pmf ≤ pmf_obs·(1+ε) rule with ε applied on the EXACT DECIMAL
+    * log scale, and the p-value as a 12-dp-quantized exp sum. The
+    * small-cell answer where the χ² approximation lies.
+    */
+  private def qFisherExact(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    tbl(s, dir, "documents").select(col("lang"), col("n_chars"))
+      .createOrReplaceTempView("fe_docs_v")
+    val cells = s.sql(
+      """WITH med AS (SELECT percentile_disc(0.5)
+             WITHIN GROUP (ORDER BY n_chars) AS med FROM fe_docs_v)
+         SELECT
+           CAST(SUM(CASE WHEN lang = 'en' AND n_chars >= med
+             THEN 1 ELSE 0 END) AS BIGINT) AS a,
+           CAST(SUM(CASE WHEN lang = 'en' AND n_chars < med
+             THEN 1 ELSE 0 END) AS BIGINT) AS b,
+           CAST(SUM(CASE WHEN lang <> 'en' AND n_chars >= med
+             THEN 1 ELSE 0 END) AS BIGINT) AS c,
+           CAST(SUM(CASE WHEN lang <> 'en' AND n_chars < med
+             THEN 1 ELSE 0 END) AS BIGINT) AS d
+         FROM fe_docs_v CROSS JOIN med""")
+      .withColumn("n", expr("a + b + c + d"))
+      .withColumn("r1", expr("a + b"))
+      .withColumn("c1", expr("a + c"))
+    val lf = cells.select(explode(expr("sequence(0, n)")).as("i"))
+      .withColumn("lnp", expr(
+        """CASE WHEN i = 0 THEN CAST(0 AS DECIMAL(18,9))
+           ELSE CAST(round(ln(CAST(i AS DOUBLE)), 9)
+             AS DECIMAL(18,9)) END"""))
+      .withColumn("lf", sum(col("lnp")).over(Window.orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("i"), col("lf"))
+    def lfAt(k: String, as: String) = lf
+      .select(col("i").as(k), col("lf").as(as))
+    val ts = cells
+      .select(col("a"), col("b"), col("c"), col("d"), col("n"),
+        col("r1"), col("c1"),
+        explode(expr(
+          "sequence(greatest(0L, r1 + c1 - n), least(r1, c1))"))
+          .as("t"))
+      .join(lfAt("r1", "lf_r1"), "r1")
+      .join(lfAt("c1", "lf_c1"), "c1")
+      .join(lfAt("n", "lf_n"), "n")
+      .withColumn("r2", expr("n - r1"))
+      .withColumn("c2", expr("n - c1"))
+      .join(lfAt("r2", "lf_r2"), "r2")
+      .join(lfAt("c2", "lf_c2"), "c2")
+      .join(lfAt("t", "lf_t"), "t")
+      .withColumn("t2", expr("r1 - t"))
+      .join(lfAt("t2", "lf_t2"), "t2")
+      .withColumn("t3", expr("c1 - t"))
+      .join(lfAt("t3", "lf_t3"), "t3")
+      .withColumn("t4", expr("n - r1 - c1 + t"))
+      .join(lfAt("t4", "lf_t4"), "t4")
+      .withColumn("lnpmf", expr(
+        """lf_r1 + lf_r2 + lf_c1 + lf_c2 - lf_n
+           - lf_t - lf_t2 - lf_t3 - lf_t4"""))
+    val obs = ts.filter(col("t") === col("a"))
+      .select(col("lnpmf").as("lnobs"))
+    ts.crossJoin(broadcast(obs))
+      .filter(col("lnpmf") <= col("lnobs")
+        + lit(BigDecimal("0.0000001")).cast("decimal(18,9)"))
+      .agg(max(col("a")).as("a"), max(col("b")).as("b"),
+        max(col("c")).as("c"), max(col("d")).as("d"),
+        sum(expr(
+          """CAST(round(exp(CAST(lnpmf AS DOUBLE)), 12)
+           AS DECIMAL(18,12))""")).as("psum"))
+      .select(col("a"), col("b"), col("c"), col("d"),
+        round(expr("least(CAST(psum AS DOUBLE), 1.0d)"), 9)
+          .as("p_two_sided"),
+        round(expr(
+          """CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+             / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE))"""), 6)
+          .as("odds_ratio"))
+  }
+
+  /** GUMBEL EXTREME-VALUE FIT on monthly block maxima of daily
+    * revenue: method-of-moments (β = σ√6/π, μ = mean − γβ with γ, π
+    * as literals), plus the 12-month return level μ − β·ln(−ln(1−1/12))
+    * — "how big a day should we provision for each year". Maxima and
+    * moments from exact DECIMAL block aggregates; one ln pair at the
+    * end on constants.
+    */
+  private def qGumbelMaxima(s: SparkSession, dir: String): DataFrame = {
+    val bm = dailyRev18(s, dir)
+      .groupBy(date_trunc("month", col("day")).as("mon"))
+      .agg(max(col("rev")).as("mx"))
+    bm.agg(count(lit(1)).as("n_blocks"), sum(col("mx")).as("sm"),
+        sum(col("mx") * col("mx")).as("s2"))
+      .withColumn("sd", expr(
+        """sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n_blocks AS DOUBLE)
+           - (CAST(sm AS DOUBLE) / CAST(n_blocks AS DOUBLE))
+             * (CAST(sm AS DOUBLE) / CAST(n_blocks AS DOUBLE)),
+           0.0d))"""))
+      .withColumn("beta", expr("sd * 0.7796968012336761d"))
+      .withColumn("mu", expr(
+        """CAST(sm AS DOUBLE) / CAST(n_blocks AS DOUBLE)
+           - 0.5772156649015329d * beta"""))
+      .select(col("n_blocks"), round(col("beta"), 4).as("beta"),
+        round(col("mu"), 4).as("mu"),
+        round(expr(
+          "mu - beta * ln(-ln(1.0d - 1.0d / 12.0d))"), 4)
+          .as("ret_level_12mo"))
+  }
+
+  /** POISSON OVERDISPERSION of daily event counts: the index of
+    * dispersion var/mean and its χ² form (n−1)·s²/x̄ from one exact
+    * integer moment pass — the is-this-really-Poisson gate before
+    * anyone fits a rate model to arrival counts.
+    */
+  private def qDispersion(s: SparkSession, dir: String): DataFrame = {
+    val daily = withTsEvent(tbl(s, dir, "events"))
+      .groupBy(to_date(col("ts_event")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    daily.agg(count(lit(1)).as("n_days"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("s2"))
+      .select(col("n_days"),
+        round(expr("CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE)"), 6)
+          .as("mean_rate"),
+        round(expr(dispIdxSql), 6).as("dispersion_index"),
+        round(expr(
+          s"CAST(n_days - 1 AS DOUBLE) * $dispIdxSql"), 6)
+          .as("chi2_stat"))
+  }
+
+  private val dispIdxSql =
+    """((CAST(s2 AS DOUBLE)
+         - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+           / CAST(n_days AS DOUBLE))
+       / CAST(n_days - 1 AS DOUBLE)
+       / (CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE)))"""
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -11155,6 +11294,9 @@ object SparkEntry {
     "q_silhouette" -> qSilhouette,
     "q_ktruss" -> qKtruss,
     "q_sortino" -> qSortino,
+    "q_fisher_exact" -> qFisherExact,
+    "q_gumbel_maxima" -> qGumbelMaxima,
+    "q_dispersion" -> qDispersion,
     "q_skew_audit" -> qSkewAudit,
     "q_tfidf_cosine_pairs" -> qTfidfCosinePairs,
     "q_diversity_index" -> qDiversityIndex,
@@ -15199,6 +15341,110 @@ object SparkEntry {
              / sqrt(CAST(sd2 AS DOUBLE) / CAST(n_days AS DOUBLE))
              * 15.874507866387544, 6) AS sortino_annual
          FROM ag""",
+    // Fisher exact: cumulative 9-dp log-factorials, DECIMAL log-pmf
+    // table scan, 12-dp exp-sum tail
+    "q_fisher_exact" ->
+      """WITH med AS (SELECT percentile_disc(0.5)
+             WITHIN GROUP (ORDER BY n_chars) AS med FROM documents),
+         cells AS (SELECT
+             CAST(SUM(CASE WHEN lang = 'en' AND n_chars >= med
+               THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN lang = 'en' AND n_chars < med
+               THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN lang <> 'en' AND n_chars >= med
+               THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN lang <> 'en' AND n_chars < med
+               THEN 1 ELSE 0 END) AS BIGINT) AS d
+           FROM documents CROSS JOIN med),
+         c2 AS (SELECT a, b, c, d, a + b + c + d AS n, a + b AS r1,
+             a + c AS c1
+           FROM cells),
+         seq AS (SELECT CAST(row_number() OVER () - 1 AS BIGINT) AS i
+           FROM documents
+           UNION ALL
+           SELECT CAST(COUNT(*) AS BIGINT) FROM documents),
+         lf AS (SELECT i,
+             SUM(CASE WHEN i = 0 THEN CAST(0 AS DECIMAL(18,9))
+               ELSE CAST(round(ln(CAST(i AS DOUBLE)), 9)
+                 AS DECIMAL(18,9)) END)
+               OVER (ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS lf
+           FROM seq),
+         ts AS (SELECT c2.*, seq.i AS t FROM c2 JOIN seq
+           ON seq.i BETWEEN greatest(0, r1 + c1 - n)
+             AND least(r1, c1)),
+         lnp AS (SELECT ts.*,
+             l1.lf + l2.lf + l3.lf + l4.lf - l5.lf
+               - l6.lf - l7.lf - l8.lf - l9.lf AS lnpmf
+           FROM ts
+           JOIN lf l1 ON l1.i = ts.r1
+           JOIN lf l2 ON l2.i = ts.n - ts.r1
+           JOIN lf l3 ON l3.i = ts.c1
+           JOIN lf l4 ON l4.i = ts.n - ts.c1
+           JOIN lf l5 ON l5.i = ts.n
+           JOIN lf l6 ON l6.i = ts.t
+           JOIN lf l7 ON l7.i = ts.r1 - ts.t
+           JOIN lf l8 ON l8.i = ts.c1 - ts.t
+           JOIN lf l9 ON l9.i = ts.n - ts.r1 - ts.c1 + ts.t),
+         obs AS (SELECT lnpmf AS lnobs FROM lnp WHERE t = a),
+         sel AS (SELECT * FROM lnp CROSS JOIN obs
+           WHERE lnpmf <= lnobs + CAST(0.0000001 AS DECIMAL(18,9)))
+         SELECT MAX(a) AS a, MAX(b) AS b, MAX(c) AS c, MAX(d) AS d,
+           round(least(CAST(SUM(CAST(round(exp(CAST(lnpmf AS DOUBLE)),
+             12) AS DECIMAL(18,12))) AS DOUBLE), 1.0), 9)
+             AS p_two_sided,
+           round(CAST(MAX(a) AS DOUBLE) * CAST(MAX(d) AS DOUBLE)
+             / (CAST(MAX(b) AS DOUBLE) * CAST(MAX(c) AS DOUBLE)), 6)
+             AS odds_ratio
+         FROM sel""",
+    // Gumbel MoM on monthly maxima; sqrt6/pi and Euler gamma literals
+    "q_gumbel_maxima" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(18,2)) AS rev
+           FROM orders GROUP BY 1),
+         bm AS (SELECT date_trunc('month', day) AS mon,
+             MAX(rev) AS mx
+           FROM daily GROUP BY 1),
+         m AS (SELECT COUNT(*) AS n_blocks, SUM(mx) AS sm,
+             SUM(CAST(mx AS DECIMAL(19,2))
+               * CAST(mx AS DECIMAL(19,2))) AS s2
+           FROM bm),
+         f AS (SELECT n_blocks,
+             sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n_blocks AS DOUBLE)
+               - (CAST(sm AS DOUBLE) / CAST(n_blocks AS DOUBLE))
+                 * (CAST(sm AS DOUBLE) / CAST(n_blocks AS DOUBLE)),
+               0.0)) * 0.7796968012336761 AS beta,
+             CAST(sm AS DOUBLE) / CAST(n_blocks AS DOUBLE) AS mean_mx
+           FROM m),
+         g AS (SELECT n_blocks, beta,
+             mean_mx - 0.5772156649015329 * beta AS mu
+           FROM f)
+         SELECT n_blocks, round(beta, 4) AS beta, round(mu, 4) AS mu,
+           round(mu - beta * ln(-ln(1.0 - 1.0 / 12.0)), 4)
+             AS ret_level_12mo
+         FROM g""",
+    // Poisson dispersion on daily event counts
+    "q_dispersion" -> {
+      val idx =
+        """((CAST(s2 AS DOUBLE)
+             - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+               / CAST(n_days AS DOUBLE))
+           / CAST(n_days - 1 AS DOUBLE)
+           / (CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE)))"""
+      s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
+           FROM events GROUP BY 1),
+         m AS (SELECT COUNT(*) AS n_days, CAST(SUM(c) AS BIGINT) AS sc,
+             CAST(SUM(c * c) AS BIGINT) AS s2
+           FROM daily)
+         SELECT n_days,
+           round(CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+             AS mean_rate,
+           round($idx, 6) AS dispersion_index,
+           round(CAST(n_days - 1 AS DOUBLE) * $idx, 6) AS chi2_stat
+         FROM m"""
+    },
     // cross-slice brute-force near-dup truth (the Spark side is banded
     // LSH + exact verify — same pair set, never all-pairs)
     "q_contamination_fuzzy" ->

@@ -450,4 +450,37 @@ class Round10Spec extends AnyFunSuite {
     val mean = r.getDouble(r.fieldIndex("mean_daily_ret"))
     assert(math.abs(sortino - mean / dd * 15.874507866387544) < 1e-3)
   }
+
+  test("Fisher exact p-value is a valid probability and the 2x2 " +
+      "cells partition the corpus") {
+    val r = SparkEntry.queries("q_fisher_exact")(
+      spark, "/root/testdata/sf0.001").head()
+    val cells = Seq("a", "b", "c", "d").map(c =>
+      r.getLong(r.fieldIndex(c)))
+    assert(cells.forall(_ >= 0))
+    val p = r.getDouble(r.fieldIndex("p_two_sided"))
+    assert(p > 0.0 && p <= 1.0, s"p=$p outside (0,1]")
+    assert(r.getDouble(r.fieldIndex("odds_ratio")) > 0.0)
+  }
+
+  test("Gumbel return level exceeds the location parameter mu") {
+    val r = SparkEntry.queries("q_gumbel_maxima")(
+      spark, "/root/testdata/sf0.001").head()
+    assert(r.getLong(r.fieldIndex("n_blocks")) >= 24)
+    val mu = r.getDouble(r.fieldIndex("mu"))
+    val rl = r.getDouble(r.fieldIndex("ret_level_12mo"))
+    assert(r.getDouble(r.fieldIndex("beta")) > 0.0)
+    assert(rl > mu, s"12-month return level $rl <= mu $mu")
+  }
+
+  test("Dispersion chi2 recomputes as (n-1) * index") {
+    val r = SparkEntry.queries("q_dispersion")(
+      spark, "/root/testdata/sf0.001").head()
+    val n = r.getLong(r.fieldIndex("n_days"))
+    val idx = r.getDouble(r.fieldIndex("dispersion_index"))
+    val chi2 = r.getDouble(r.fieldIndex("chi2_stat"))
+    assert(r.getDouble(r.fieldIndex("mean_rate")) > 0.0)
+    assert(idx > 0.0)
+    assert(math.abs(chi2 - (n - 1) * idx) < math.abs(chi2) * 1e-4 + 1e-3)
+  }
 }
