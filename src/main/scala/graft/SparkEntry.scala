@@ -10919,6 +10919,812 @@ object SparkEntry {
        / CAST(n_days - 1 AS DOUBLE)
        / (CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE)))"""
 
+  // ---- round-10 batch 16: effect sizes + permutation inference ----
+
+  /** HODGES–LEHMANN pseudo-median of the YoY daily revenue change:
+    * the median of all Walsh averages (dᵢ+dⱼ)/2 over the paired-day
+    * panel — the robust location estimate that goes with
+    * [[qWilcoxonSigned]]. The pair grid is calendar-bounded (≤365²/2
+    * at ANY corpus size), sums stay exact DECIMAL and the median
+    * is percentile_disc over the exact sums (monotone ÷2 after).
+    */
+  private def qHodgesLehmann(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = tbl(s, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy("day").agg(sum(col("p")).as("rev"))
+    val d95 = daily.filter(year(col("day")) === 1995)
+      .select(month(col("day")).as("m"), dayofmonth(col("day")).as("d"),
+        col("rev").as("r95"))
+    val d96 = daily.filter(year(col("day")) === 1996)
+      .select(month(col("day")).as("m"), dayofmonth(col("day")).as("d"),
+        col("rev").as("r96"))
+    val diffs = d95.join(d96, Seq("m", "d"))
+      .select((col("r96") - col("r95")).as("diff"), col("m"), col("d"))
+      .withColumn("i", row_number().over(
+        Window.orderBy(col("diff"), col("m"), col("d"))))
+      .select(col("i"), col("diff"))
+    val walsh = diffs.alias("a")
+      .join(diffs.alias("b"), col("a.i") <= col("b.i"))
+      .select((col("a.diff") + col("b.diff")).as("ws"))
+    walsh.createOrReplaceTempView("hl_walsh_v")
+    s.sql(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_walsh,
+           round(CAST(percentile_disc(0.5)
+             WITHIN GROUP (ORDER BY ws) AS DOUBLE) / 2.0d, 4)
+             AS hl_estimate
+         FROM hl_walsh_v""")
+  }
+
+  /** COHEN'S d AND HEDGES' g for the md5-arm spend difference — the
+    * standardized effect sizes that turn [[qPowerMde]]'s machinery
+    * into an interpretable "how big is the gap" number, with the
+    * small-sample correction as a literal formula. One conditional-
+    * moment pass, everything exact until the final division.
+    */
+  private def qCohensD(s: SparkSession, dir: String): DataFrame = {
+    val spend = tbl(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("y"))
+      .withColumn("arm", expr(
+        """CAST(conv(substring(md5(concat('23:',
+             CAST(o_custkey AS STRING))), 1, 8), 16, 10) AS BIGINT)
+           % 2"""))
+    spend.agg(
+        sum(when(col("arm") === 0, 1).otherwise(0)).cast("long")
+          .as("n_a"),
+        sum(when(col("arm") === 1, 1).otherwise(0)).cast("long")
+          .as("n_b"),
+        sum(when(col("arm") === 0, col("y"))).as("sa"),
+        sum(when(col("arm") === 1, col("y"))).as("sb"),
+        sum(when(col("arm") === 0, col("y") * col("y"))).as("qa"),
+        sum(when(col("arm") === 1, col("y") * col("y"))).as("qb"))
+      .withColumn("sd_pooled", expr(
+        """sqrt(greatest(((CAST(qa AS DOUBLE)
+             - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+               / CAST(n_a AS DOUBLE))
+           + (CAST(qb AS DOUBLE)
+             - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+               / CAST(n_b AS DOUBLE)))
+           / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0d),
+           0.0d))"""))
+      .withColumn("md", expr(
+        """CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)
+           - CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE)"""))
+      .select(col("n_a"), col("n_b"),
+        round(col("md"), 4).as("mean_diff"),
+        round(expr("md / sd_pooled"), 6).as("cohens_d"),
+        round(expr(
+          """md / sd_pooled * (1.0d - 3.0d
+             / (4.0d * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
+               - 2.0d) - 1.0d))"""), 6).as("hedges_g"))
+  }
+
+  /** CRAMÉR'S V for the lang × source association: χ² over the
+    * bounded contingency grid with each (o−e)²/e term 9-dp-quantized
+    * into the exact DECIMAL sum, then V = √(χ²/(n·(min(r,c)−1))) —
+    * the scale-free "are these two categoricals entangled" readout
+    * a mixture auditor wants beside the raw χ².
+    */
+  private def qCramersV(s: SparkSession, dir: String): DataFrame = {
+    val ct = tbl(s, dir, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val rt = ct.groupBy("lang").agg(sum(col("o")).as("rl"))
+    val st = ct.groupBy("source").agg(sum(col("o")).as("cs"))
+    val tot = ct.agg(sum(col("o")).as("n"),
+      countDistinct(col("lang")).as("nr"),
+      countDistinct(col("source")).as("nc"))
+    // complete grid (absent cells are o = 0)
+    val grid = rt.crossJoin(st)
+      .join(ct, Seq("lang", "source"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("term", expr(
+        """CAST(round((CAST(o AS DOUBLE)
+             - CAST(rl AS DOUBLE) * CAST(cs AS DOUBLE)
+               / CAST(n AS DOUBLE))
+           * (CAST(o AS DOUBLE)
+             - CAST(rl AS DOUBLE) * CAST(cs AS DOUBLE)
+               / CAST(n AS DOUBLE))
+           / (CAST(rl AS DOUBLE) * CAST(cs AS DOUBLE)
+             / CAST(n AS DOUBLE)), 9) AS DECIMAL(18,9))"""))
+    grid.agg(max(col("n")).as("n_docs"), max(col("nr")).as("nr"),
+        max(col("nc")).as("nc"), sum(col("term")).as("chi2d"))
+      .select(col("n_docs"),
+        ((col("nr") - 1) * (col("nc") - 1)).as("df"),
+        round(col("chi2d").cast("double"), 6).as("chi2"),
+        round(expr(
+          """sqrt(CAST(chi2d AS DOUBLE) / (CAST(n_docs AS DOUBLE)
+             * CAST(least(nr, nc) - 1 AS DOUBLE)))"""), 6)
+          .as("cramers_v"))
+  }
+
+  /** PERMUTATION TEST of the arm spend difference: 200 deterministic
+    * md5-keyed relabelings (the q_bootstrap_ci replayable-randomness
+    * contract), each rep's mean difference from exact conditional
+    * DECIMAL sums, p = (1 + #{|Δ_perm| ≥ |Δ_obs|})/(R+1) with the
+    * comparison on 6-dp-rounded DECIMALs so both engines count the
+    * same exceedances. The 200× explode is map-side-combined to 200
+    * rows — the same scale shape as the bootstrap.
+    */
+  private def qPermutationTest(s: SparkSession, dir: String): DataFrame = {
+    val spend = tbl(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("y"))
+    val obs = spend
+      .withColumn("arm", expr(
+        """CAST(conv(substring(md5(concat('23:',
+             CAST(o_custkey AS STRING))), 1, 8), 16, 10) AS BIGINT)
+           % 2"""))
+      .agg(expr("""CAST(round(
+          CAST(SUM(CASE WHEN arm = 0 THEN y END) AS DOUBLE)
+            / SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+          - CAST(SUM(CASE WHEN arm = 1 THEN y END) AS DOUBLE)
+            / SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END), 6) + 0.0d
+        AS DECIMAL(18,6))""").as("obs_diff"))
+    val reps = spend
+      .select(col("o_custkey"), col("y"),
+        explode(expr("sequence(0, 199)")).as("rep"))
+      .withColumn("parm", expr(
+        """CAST(conv(substring(md5(concat('p31:', CAST(rep AS STRING),
+             ':', CAST(o_custkey AS STRING))), 1, 8), 16, 10)
+           AS BIGINT) % 2"""))
+      .groupBy("rep")
+      .agg(expr("""CAST(round(
+          CAST(SUM(CASE WHEN parm = 0 THEN y END) AS DOUBLE)
+            / SUM(CASE WHEN parm = 0 THEN 1 ELSE 0 END)
+          - CAST(SUM(CASE WHEN parm = 1 THEN y END) AS DOUBLE)
+            / SUM(CASE WHEN parm = 1 THEN 1 ELSE 0 END), 6) + 0.0d
+        AS DECIMAL(18,6))""").as("pd"))
+    reps.crossJoin(broadcast(obs))
+      .agg(count(lit(1)).as("n_reps"),
+        max(col("obs_diff")).cast("double").as("obs_diff"),
+        sum(when(abs(col("pd")) >= abs(col("obs_diff")), 1)
+          .otherwise(0)).cast("long").as("n_exceed"))
+      .select(col("n_reps"), col("obs_diff"), col("n_exceed"),
+        round(expr(
+          """(1.0d + CAST(n_exceed AS DOUBLE))
+             / (CAST(n_reps AS DOUBLE) + 1.0d)"""), 6).as("p_perm"))
+  }
+
+  // ---- round-10 batch 17: multiple regression battery ----
+
+  /** The shared (price ~ quantity + discount) moment pass: ONE
+    * map-side-combinable aggregate over lineitem computing the ten
+    * exact DECIMAL raw moments a 2-regressor normal-equation solve
+    * needs. Every downstream statistic (OLS, ridge path, VIF) is
+    * O(1) double math over this single row — the qLinreg contract
+    * widened to two regressors.
+    */
+  private def olsMoments(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .select(col("l_quantity").cast("decimal(12,2)").as("x"),
+        col("l_discount").cast("decimal(12,2)").as("z"),
+        col("l_extendedprice").cast("decimal(14,2)").as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("z")).as("sz"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("z") * col("z")).as("szz"),
+        sum(col("x") * col("z")).as("sxz"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("z") * col("y")).as("szy"),
+        sum(col("y") * col("y")).as("syy"))
+
+  /** Centered-moment SQL fragments shared by the OLS / ridge / VIF
+    * trio — written ONCE so the Spark select and the DuckDB twin use
+    * byte-identical double expressions (same casts, same operation
+    * order → bit-identical IEEE results, the qLinreg determinism
+    * contract).
+    */
+  private val cmSxx =
+    """(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+         / CAST(n AS DOUBLE))"""
+  private val cmSzz =
+    """(CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+         / CAST(n AS DOUBLE))"""
+  private val cmSxz =
+    """(CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE)
+         / CAST(n AS DOUBLE))"""
+  private val cmSxy =
+    """(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+         / CAST(n AS DOUBLE))"""
+  private val cmSzy =
+    """(CAST(szy AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sy AS DOUBLE)
+         / CAST(n AS DOUBLE))"""
+  private val cmSyy =
+    """(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+         / CAST(n AS DOUBLE))"""
+
+  /** TWO-REGRESSOR OLS (price ~ quantity + discount) solved in closed
+    * form from the 2×2 normal equations over exact centered moments —
+    * never an iterative fit. b₁, b₂ come from the explicit 2×2
+    * inverse, the intercept from the mean identity, R² from the
+    * explained-sum identity b₁Sxy + b₂Szy over Syy, and adjusted R²
+    * from the n−3 df correction. The 100 TB shape: one aggregate to a
+    * single row, then O(1) arithmetic.
+    */
+  private def qOlsMulti(s: SparkSession, dir: String): DataFrame =
+    olsMoments(s, dir)
+      .withColumn("det", expr(s"$cmSxx * $cmSzz - $cmSxz * $cmSxz"))
+      .withColumn("b1", expr(
+        s"($cmSzz * $cmSxy - $cmSxz * $cmSzy) / det"))
+      .withColumn("b2", expr(
+        s"($cmSxx * $cmSzy - $cmSxz * $cmSxy) / det"))
+      .withColumn("r2", expr(
+        s"(b1 * $cmSxy + b2 * $cmSzy) / $cmSyy"))
+      .select(col("n").cast("long").as("n"),
+        round(col("b1"), 6).as("b_qty"),
+        round(col("b2"), 6).as("b_disc"),
+        round(expr(
+          """(CAST(sy AS DOUBLE) - b1 * CAST(sx AS DOUBLE)
+               - b2 * CAST(sz AS DOUBLE)) / CAST(n AS DOUBLE)"""), 6)
+          .as("intercept"),
+        round(col("r2"), 6).as("r2"),
+        round(expr(
+          """1.0d - (1.0d - r2) * (CAST(n AS DOUBLE) - 1.0d)
+             / (CAST(n AS DOUBLE) - 3.0d)"""), 6).as("r2_adj"))
+
+  /** RIDGE REGRESSION PATH: the same centered normal equations with a
+    * per-λ diagonal bump, solved by the explicit 2×2 inverse at three
+    * penalties (0 / 10⁴ / 10⁷) via a 3-row lambda explode — the
+    * shrinkage trace that shows both coefficients contracting toward
+    * zero as λ grows. λ = 0 must reproduce [[qOlsMulti]] exactly
+    * (asserted in spec); the whole path costs one moment pass plus a
+    * 3-row crossJoin.
+    */
+  private def qRidgePath(s: SparkSession, dir: String): DataFrame = {
+    val lambdas = s.range(0, 3)
+      .select(when(col("id") === 0, 0.0d)
+        .when(col("id") === 1, 1.0e4d)
+        .otherwise(1.0e7d).as("lambda"))
+    olsMoments(s, dir).crossJoin(broadcast(lambdas))
+      .withColumn("det", expr(
+        s"($cmSxx + lambda) * ($cmSzz + lambda) - $cmSxz * $cmSxz"))
+      .select(col("lambda"),
+        round(expr(
+          s"(($cmSzz + lambda) * $cmSxy - $cmSxz * $cmSzy) / det"), 6)
+          .as("b_qty"),
+        round(expr(
+          s"(($cmSxx + lambda) * $cmSzy - $cmSxz * $cmSxy) / det"), 6)
+          .as("b_disc"))
+      .orderBy("lambda")
+  }
+
+  /** VARIANCE INFLATION FACTOR of the (quantity, discount) design,
+    * per return flag: VIF = 1/(1−r²ₓᵤ) where r²ₓᵤ = Sxz²/(SxxSzz) —
+    * the collinearity audit that says whether [[qOlsMulti]]'s
+    * coefficients are individually trustworthy. Grouped moments, one
+    * row per flag, everything exact until the final divisions.
+    */
+  private def qVif(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("decimal(12,2)").as("x"),
+        col("l_discount").cast("decimal(12,2)").as("z"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("z")).as("sz"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("z") * col("z")).as("szz"),
+        sum(col("x") * col("z")).as("sxz"))
+      .withColumn("r2xz", expr(
+        s"($cmSxz * $cmSxz) / ($cmSxx * $cmSzz)"))
+      .select(col("l_returnflag"), col("n").cast("long").as("n"),
+        round(expr(s"$cmSxz / sqrt($cmSxx * $cmSzz)"), 6)
+          .as("corr_xz"),
+        round(expr("1.0d / (1.0d - r2xz)"), 6).as("vif"))
+      .orderBy("l_returnflag")
+
+  // ---- round-10 batch 18: multivariate outliers + complexity ----
+
+  /** MAHALANOBIS OUTLIERS over the per-customer (order count, total
+    * spend) plane: the 2×2 covariance comes from ONE exact moment
+    * pass, its closed-form inverse turns each customer's deviation
+    * into d² = (vzz·dx² − 2vxz·dx·dz + vxx·dz²)/det, and the top-10
+    * ride a TakeOrdered head — never a global sort materialized. The
+    * correlation-aware upgrade of [[qVecOutlier]]'s centroid
+    * distance: a customer can be normal on each axis and still be a
+    * joint outlier.
+    */
+  private def qMahalanobis(s: SparkSession, dir: String): DataFrame = {
+    val feats = tbl(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).cast("decimal(12,0)").as("x"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("z"))
+    val mom = feats.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("z")).as("sz"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("z").cast("decimal(19,2)")
+        * col("z").cast("decimal(19,2)")).as("szz"),
+      sum(col("x").cast("decimal(12,0)")
+        * col("z").cast("decimal(19,2)")).as("sxz"))
+    feats.crossJoin(broadcast(mom))
+      .withColumn("dx", expr(
+        "CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)"))
+      .withColumn("dz", expr(
+        "CAST(z AS DOUBLE) - CAST(sz AS DOUBLE) / CAST(n AS DOUBLE)"))
+      .withColumn("vxx", expr(s"$cmSxx / CAST(n AS DOUBLE)"))
+      .withColumn("vzz", expr(s"$cmSzz / CAST(n AS DOUBLE)"))
+      .withColumn("vxz", expr(s"$cmSxz / CAST(n AS DOUBLE)"))
+      .withColumn("d2", round(expr(
+        """(vzz * dx * dx - 2.0d * vxz * dx * dz + vxx * dz * dz)
+           / (vxx * vzz - vxz * vxz)"""), 6))
+      .select(col("o_custkey"), col("x").cast("long").as("n_orders"),
+        col("z").cast("double").as("spend"), col("d2"))
+      .orderBy(col("d2").desc, col("o_custkey"))
+      .limit(10)
+  }
+
+  /** PERMUTATION ENTROPY (order 3) of the daily-revenue series: each
+    * day is classified by the ordinal pattern of (lag2, lag1, self)
+    * — encoded as the three ≥-comparison bits, a tie-robust,
+    * engine-identical code — and the Shannon entropy of the pattern
+    * histogram is the series-complexity readout (low = trending /
+    * predictable, ln 6 = white noise). ln rides the repo's
+    * round-to-9dp-then-DECIMAL-sum contract; windows run over the
+    * DAYS-sized aggregate only.
+    */
+  private def qPermEntropy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = tbl(s, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy("day").agg(sum(col("p")).as("rev"))
+    val w = Window.orderBy("day")
+    val pats = daily
+      .withColumn("r1", lag(col("rev"), 2).over(w))
+      .withColumn("r2", lag(col("rev"), 1).over(w))
+      .filter(col("r1").isNotNull)
+      .select(concat(
+        when(col("r1") >= col("r2"), lit("1")).otherwise(lit("0")),
+        when(col("r2") >= col("rev"), lit("1")).otherwise(lit("0")),
+        when(col("r1") >= col("rev"), lit("1")).otherwise(lit("0")))
+        .as("pat"))
+      .groupBy("pat").agg(count(lit(1)).as("c"))
+    val tot = pats.agg(sum(col("c")).as("nt"))
+    pats.crossJoin(broadcast(tot))
+      .select(col("pat"), col("c"),
+        (col("c").cast("decimal(18,0)")
+          * expr("CAST(round(ln(CAST(c AS DOUBLE)"
+            + " / CAST(nt AS DOUBLE)), 9) AS DECIMAL(12,9))"))
+          .as("term"), col("nt"))
+      .groupBy()
+      .agg(max(col("nt")).cast("long").as("n_windows"),
+        count(lit(1)).cast("long").as("n_patterns"),
+        sum(col("term")).as("tsum"))
+      .select(col("n_windows"), col("n_patterns"),
+        round(expr(
+          """-CAST(tsum AS DOUBLE) / CAST(n_windows AS DOUBLE)"""), 6)
+          .as("perm_entropy"),
+        round(expr(
+          """-CAST(tsum AS DOUBLE) / CAST(n_windows AS DOUBLE)
+             / ln(6.0d)"""), 6).as("normalized"))
+  }
+
+  /** SAMPLE ENTROPY (m = 2, r = 0.2σ) of one year of daily revenue:
+    * B counts template pairs whose 2-windows stay within Chebyshev
+    * tolerance r, A the same for 3-windows; SampEn = −ln(A/B). The
+    * pair grid is CALENDAR-BOUNDED (≤365²/2 at any corpus size — the
+    * qHodgesLehmann contract), the tolerance is one rounded-DECIMAL
+    * constant so the ≤ comparisons are exact on both engines, and
+    * the counts are plain integers: the only libm call is the final
+    * ln on an integer ratio.
+    */
+  private def qSampleEntropy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = tbl(s, dir, "orders")
+      .filter(year(to_date(col("o_orderdate"))) === 1995)
+      .select(to_date(col("o_orderdate")).as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy("day").agg(sum(col("p")).as("rev"))
+    val sd = daily.agg(count(lit(1)).as("n"),
+      sum(col("rev")).as("sy"),
+      sum(col("rev").cast("decimal(19,2)")
+        * col("rev").cast("decimal(19,2)")).as("syy"))
+      .select(expr(
+        """CAST(round(0.2d * sqrt((CAST(syy AS DOUBLE)
+             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+               / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)), 2)
+           AS DECIMAL(18,2))""").as("r"))
+    val w = Window.orderBy("day")
+    val tpl = daily
+      .withColumn("i", row_number().over(w))
+      .withColumn("v1", lead(col("rev"), 1).over(w))
+      .withColumn("v2", lead(col("rev"), 2).over(w))
+      .filter(col("v2").isNotNull)
+      .select(col("i"), col("rev").as("v0"), col("v1"), col("v2"))
+    val pairs = tpl.alias("a")
+      .join(tpl.alias("b"), col("a.i") < col("b.i"))
+      .crossJoin(broadcast(sd))
+      .select(
+        (greatest(abs(col("a.v0") - col("b.v0")),
+          abs(col("a.v1") - col("b.v1"))) <= col("r")).as("mb"),
+        (greatest(abs(col("a.v0") - col("b.v0")),
+          abs(col("a.v1") - col("b.v1")),
+          abs(col("a.v2") - col("b.v2"))) <= col("r")).as("ma"),
+        col("r"))
+    pairs.agg(max(col("r")).cast("double").as("tolerance"),
+        sum(when(col("mb"), 1L).otherwise(0L)).as("b_count"),
+        sum(when(col("ma"), 1L).otherwise(0L)).as("a_count"))
+      .select(col("tolerance"), col("b_count"), col("a_count"),
+        round(expr(
+          """-ln(CAST(a_count AS DOUBLE) / CAST(b_count AS DOUBLE))"""),
+          6).as("sampen"))
+  }
+
+  // ---- round-10 batch 19: spectral + structural-break + blocks ----
+
+  /** PERIODOGRAM of the daily-revenue series at five candidate
+    * periods (7/30/91/182/365 days): power(p) = (Σ ŷ·cos)² + (Σ ŷ·sin)²
+    * over the mean-centered series — the weekly spike should dominate.
+    * Determinism: the phase is 2π·(t mod p)/p (bounded argument, no
+    * libm range reduction), cos/sin are 9-dp-quantized into DECIMAL
+    * before the exact product-sum (the round-ln contract), and the
+    * deviations are exact DECIMALs off a once-rounded mean. Five
+    * periods × days-sized series — the grid stays calendar-bounded.
+    */
+  private def qPeriodogram(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = tbl(s, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy("day").agg(sum(col("p")).as("rev"))
+    val mean = daily.agg(expr(
+      """CAST(round(CAST(SUM(rev) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+           2) AS DECIMAL(18,2))""").as("mu"),
+      count(lit(1)).as("nd"))
+    val ts = daily
+      .withColumn("t", row_number().over(Window.orderBy("day")) - 1)
+      .crossJoin(broadcast(mean))
+      .select(col("t"), col("nd"),
+        (col("rev") - col("mu")).cast("decimal(19,2)").as("dev"))
+    val periods = s.range(0, 5).select(
+      when(col("id") === 0, 7).when(col("id") === 1, 30)
+        .when(col("id") === 2, 91).when(col("id") === 3, 182)
+        .otherwise(365).as("period"))
+    ts.crossJoin(broadcast(periods))
+      .withColumn("ang", expr(
+        """6.283185307179586d * CAST(t % period AS DOUBLE)
+           / CAST(period AS DOUBLE)"""))
+      .select(col("period"), col("nd"),
+        (col("dev") * expr(
+          "CAST(round(cos(ang), 9) AS DECIMAL(12,9))")).as("tc"),
+        (col("dev") * expr(
+          "CAST(round(sin(ang), 9) AS DECIMAL(12,9))")).as("tsn"))
+      .groupBy("period")
+      .agg(max(col("nd")).cast("long").as("n_days"),
+        sum(col("tc")).as("sc"), sum(col("tsn")).as("ss"))
+      .select(col("period"), col("n_days"),
+        round(expr(
+          """(CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+             + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+             / CAST(n_days AS DOUBLE)"""), 2).as("power"))
+      .orderBy("period")
+  }
+
+  /** CHOW TEST for a structural break in the (daily revenue ~ daily
+    * order count) regression at 1996-01-01: closed-form SSRs from
+    * exact per-segment moment sums (the qLinreg contract — raw
+    * moments ADD, so the pooled fit reuses the same two rows),
+    * F = ((SSRp − SSR₁ − SSR₂)/2) / ((SSR₁+SSR₂)/(n−4)). One grouped
+    * aggregate to two rows, one conditional pivot, O(1) double math.
+    */
+  private def qChowTest(s: SparkSession, dir: String): DataFrame = {
+    val daily = tbl(s, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy("day")
+      .agg(count(lit(1)).cast("decimal(12,0)").as("x"),
+        sum(col("p")).cast("decimal(19,2)").as("y"))
+      .withColumn("seg",
+        when(col("day") < lit("1996-01-01").cast("date"), 1)
+          .otherwise(2))
+    val m = daily.groupBy("seg")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+    def ssr(pre: String): String =
+      s"""((CAST(${pre}syy AS DOUBLE) - CAST(${pre}sy AS DOUBLE)
+             * CAST(${pre}sy AS DOUBLE) / CAST(${pre}n AS DOUBLE))
+           - (CAST(${pre}sxy AS DOUBLE) - CAST(${pre}sx AS DOUBLE)
+               * CAST(${pre}sy AS DOUBLE) / CAST(${pre}n AS DOUBLE))
+             * (CAST(${pre}sxy AS DOUBLE) - CAST(${pre}sx AS DOUBLE)
+               * CAST(${pre}sy AS DOUBLE) / CAST(${pre}n AS DOUBLE))
+             / (CAST(${pre}sxx AS DOUBLE) - CAST(${pre}sx AS DOUBLE)
+               * CAST(${pre}sx AS DOUBLE) / CAST(${pre}n AS DOUBLE)))"""
+    m.agg(
+        sum(when(col("seg") === 1, col("n"))).as("an"),
+        sum(when(col("seg") === 1, col("sx"))).as("asx"),
+        sum(when(col("seg") === 1, col("sy"))).as("asy"),
+        sum(when(col("seg") === 1, col("sxx"))).as("asxx"),
+        sum(when(col("seg") === 1, col("sxy"))).as("asxy"),
+        sum(when(col("seg") === 1, col("syy"))).as("asyy"),
+        sum(when(col("seg") === 2, col("n"))).as("bn"),
+        sum(when(col("seg") === 2, col("sx"))).as("bsx"),
+        sum(when(col("seg") === 2, col("sy"))).as("bsy"),
+        sum(when(col("seg") === 2, col("sxx"))).as("bsxx"),
+        sum(when(col("seg") === 2, col("sxy"))).as("bsxy"),
+        sum(when(col("seg") === 2, col("syy"))).as("bsyy"),
+        sum(col("n")).as("pn"), sum(col("sx")).as("psx"),
+        sum(col("sy")).as("psy"), sum(col("sxx")).as("psxx"),
+        sum(col("sxy")).as("psxy"), sum(col("syy")).as("psyy"))
+      .withColumn("ssr1", expr(ssr("a")))
+      .withColumn("ssr2", expr(ssr("b")))
+      .withColumn("ssrp", expr(ssr("p")))
+      // raw SSRs are ~1e14-magnitude doubles whose fixed-dp rounding
+      // is not engine-stable; emit only O(1) scale-free readouts
+      // (slopes, SSR ratio, F) — all safe at 6 dp
+      .select(col("an").cast("long").as("n_pre"),
+        col("bn").cast("long").as("n_post"),
+        round(expr(
+          """(CAST(asxy AS DOUBLE) - CAST(asx AS DOUBLE)
+               * CAST(asy AS DOUBLE) / CAST(an AS DOUBLE))
+             / (CAST(asxx AS DOUBLE) - CAST(asx AS DOUBLE)
+               * CAST(asx AS DOUBLE) / CAST(an AS DOUBLE))"""), 6)
+          .as("slope_pre"),
+        round(expr(
+          """(CAST(bsxy AS DOUBLE) - CAST(bsx AS DOUBLE)
+               * CAST(bsy AS DOUBLE) / CAST(bn AS DOUBLE))
+             / (CAST(bsxx AS DOUBLE) - CAST(bsx AS DOUBLE)
+               * CAST(bsx AS DOUBLE) / CAST(bn AS DOUBLE))"""), 6)
+          .as("slope_post"),
+        round(expr("ssrp / (ssr1 + ssr2)"), 6).as("ssr_ratio"),
+        round(expr(
+          """((ssrp - (ssr1 + ssr2)) / 2.0d)
+             / ((ssr1 + ssr2) / (CAST(an AS DOUBLE)
+               + CAST(bn AS DOUBLE) - 4.0d))"""), 6).as("f_stat"))
+  }
+
+  /** FRIEDMAN TEST over the month × order-priority revenue grid
+    * (1995): within-block midranks from exact DECIMAL comparisons
+    * (count-less + half-count-equal — no window-function rank, so
+    * ties are handled identically on both engines), then
+    * χ²_F = 12/(nk(k+1))·ΣR²ⱼ − 3n(k+1). The grid is 12×5 at ANY
+    * corpus size — the blocked nonparametric twin of [[qAnova]].
+    */
+  private def qFriedman(s: SparkSession, dir: String): DataFrame = {
+    val cells0 = tbl(s, dir, "orders")
+      .filter(year(to_date(col("o_orderdate"))) === 1995)
+      .groupBy(month(to_date(col("o_orderdate"))).as("m"),
+        col("o_orderpriority").as("trt"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("v"))
+    // Friedman requires COMPLETE blocks: keep only months where every
+    // treatment level is observed (at tiny SFs sparse months would
+    // otherwise make the uncorrected statistic negative)
+    val kAll = cells0.select(countDistinct(col("trt")).as("kk"))
+    val complete = cells0.groupBy("m")
+      .agg(count(lit(1)).as("nm"))
+      .crossJoin(broadcast(kAll))
+      .filter(col("nm") === col("kk"))
+      .select("m")
+    val cells = cells0.join(broadcast(complete), "m")
+    val ranks = cells.alias("a")
+      .join(cells.alias("b"), col("a.m") === col("b.m"))
+      .groupBy(col("a.m").as("m"), col("a.trt").as("trt"))
+      .agg(sum(when(col("b.v") < col("a.v"), 1L).otherwise(0L))
+          .as("cl"),
+        sum(when(col("b.v") === col("a.v"), 1L).otherwise(0L))
+          .as("ce"))
+      .select(col("m"), col("trt"), expr(
+        "CAST(cl AS DOUBLE) + (CAST(ce AS DOUBLE) + 1.0d) / 2.0d")
+        .as("r"))
+    val rj = ranks.groupBy("trt")
+      .agg(sum(col("r")).as("rsum"), count(lit(1)).as("nb"))
+    rj.agg(max(col("nb")).cast("long").as("n_blocks"),
+        count(lit(1)).cast("long").as("k"),
+        sum(col("rsum") * col("rsum")).as("sr2"))
+      .select(col("n_blocks"), col("k"),
+        round(expr(
+          """12.0d * CAST(sr2 AS DOUBLE)
+             / (CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+               * (CAST(k AS DOUBLE) + 1.0d))
+             - 3.0d * CAST(n_blocks AS DOUBLE)
+               * (CAST(k AS DOUBLE) + 1.0d)"""), 6).as("chi2_f"),
+        (col("k") - 1).cast("long").as("df"))
+  }
+
+  // ---- round-10 batch 20: distribution distance + blocked tests ----
+
+  /** 1-WASSERSTEIN (earth mover's) DISTANCE between the 1995 and 1996
+    * daily-revenue distributions, via the merged-support CDF
+    * integral: W₁ = Σ |F₁(v)−F₂(v)|·Δv over consecutive distinct
+    * values. The integrand is kept EXACT as |c₁·n₂ − c₂·n₁|·Δv
+    * (integer cross-products, the qKsTest contract) with one final
+    * division by n₁n₂ — no floating CDFs, no quantile interpolation,
+    * and the merged support is calendar-bounded (≤731 values at any
+    * corpus size).
+    */
+  private def qWasserstein(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = tbl(s, dir, "orders")
+      .select(year(to_date(col("o_orderdate"))).as("yr"),
+        to_date(col("o_orderdate")).as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .filter(col("yr").isin(1995, 1996))
+      .groupBy("yr", "day").agg(sum(col("p")).as("rev"))
+    val byVal = daily.groupBy("rev")
+      .agg(sum(when(col("yr") === 1995, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("yr") === 1996, 1L).otherwise(0L)).as("c2"))
+    val tot = daily.agg(
+      sum(when(col("yr") === 1995, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("yr") === 1996, 1L).otherwise(0L)).as("n2"))
+    val w = Window.orderBy("rev")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byVal
+      .withColumn("f1", sum(col("c1")).over(w))
+      .withColumn("f2", sum(col("c2")).over(w))
+      .withColumn("nxt", lead(col("rev"), 1).over(Window.orderBy("rev")))
+      .filter(col("nxt").isNotNull)
+      .crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"),
+        (abs(col("f1") * col("n2") - col("f2") * col("n1"))
+          .cast("decimal(18,0)")
+          * (col("nxt") - col("rev")).cast("decimal(19,2)"))
+          .as("term"))
+      .groupBy()
+      .agg(max(col("n1")).cast("long").as("n_1995"),
+        max(col("n2")).cast("long").as("n_1996"),
+        sum(col("term")).as("tsum"))
+      .select(col("n_1995"), col("n_1996"),
+        round(expr(
+          """CAST(tsum AS DOUBLE) / (CAST(n_1995 AS DOUBLE)
+             * CAST(n_1996 AS DOUBLE))"""), 4).as("w1_distance"))
+  }
+
+  /** CRAMÉR–VON MISES uniformity test of the daily-revenue CENTS
+    * distribution (the continuous-tail complement of [[qBenford]]'s
+    * leading-digit audit): T = 1/(12n) + Σᵢ(u₍ᵢ₎ − (2i−1)/(2n))².
+    * The order statistics are grouped over the 100 distinct cent
+    * values and the inner sum is expanded in CLOSED FORM via ΣK with
+    * K = 400i − 200 − 2n(2c+1): 6·ΣK² = 160000·P₂ + 2400·D·P₁ +
+    * 6·cnt·D² with P₂/P₁ the cube/square prefix-sum identities —
+    * pure BIGINT arithmetic over a calendar-bounded series (the
+    * Fisher log-factorial prefix-sum discipline), one double
+    * division at the end.
+    */
+  private def qCvmUniform(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = tbl(s, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy("day").agg(sum(col("p")).as("rev"))
+      .select((expr("CAST(rev * 100 AS BIGINT)") % 100).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("cnt"))
+    val tot = cents.agg(sum(col("cnt")).as("n"))
+    val w = Window.orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cents
+      .withColumn("hi", sum(col("cnt")).over(w))
+      .withColumn("lo", col("hi") - col("cnt"))
+      .crossJoin(broadcast(tot))
+      .withColumn("d", expr("-200L - 2L * n * (2L * c + 1L)"))
+      .withColumn("p2", expr(
+        """hi * (hi + 1L) * (2L * hi + 1L)
+           - lo * (lo + 1L) * (2L * lo + 1L)"""))
+      .withColumn("p1", expr(
+        "hi * (hi + 1L) - lo * (lo + 1L)"))
+      .withColumn("k6", expr(
+        """160000L * p2 + 2400L * d * p1 + 6L * cnt * d * d"""))
+      .groupBy()
+      .agg(max(col("n")).cast("long").as("n_days"),
+        sum(col("k6")).as("k6sum"))
+      .select(col("n_days"),
+        round(expr(
+          """1.0d / (12.0d * CAST(n_days AS DOUBLE))
+             + CAST(k6sum AS DOUBLE)
+               / (960000.0d * CAST(n_days AS DOUBLE)
+                 * CAST(n_days AS DOUBLE))"""), 6).as("t_stat"))
+  }
+
+  /** COCHRAN'S Q over the customer × year (1995/96/97) purchase
+    * indicator matrix: did the propensity to order change across
+    * years, blocked per customer? Q = (k−1)(kΣC²ⱼ − T²)/(kT − ΣR²ᵢ)
+    * — every term an exact BIGINT from two aggregates (one per-
+    * customer, one global), so the statistic is engine-identical
+    * with zero floating intermediates. The k=3 matched-binary
+    * extension of [[qMcnemar]].
+    */
+  private def qCochranQ(s: SparkSession, dir: String): DataFrame = {
+    val flags = tbl(s, dir, "orders")
+      .select(col("o_custkey"),
+        year(to_date(col("o_orderdate"))).as("yr"))
+      .filter(col("yr").isin(1995, 1996, 1997))
+      .groupBy("o_custkey")
+      .agg(max(when(col("yr") === 1995, 1L).otherwise(0L)).as("i95"),
+        max(when(col("yr") === 1996, 1L).otherwise(0L)).as("i96"),
+        max(when(col("yr") === 1997, 1L).otherwise(0L)).as("i97"))
+    flags.agg(count(lit(1)).as("n_cust"),
+        sum(col("i95")).as("c95"), sum(col("i96")).as("c96"),
+        sum(col("i97")).as("c97"),
+        sum(col("i95") + col("i96") + col("i97")).as("t"),
+        sum((col("i95") + col("i96") + col("i97"))
+          * (col("i95") + col("i96") + col("i97"))).as("sr2"))
+      .select(col("n_cust").cast("long").as("n_cust"),
+        col("c95").cast("long").as("c95"),
+        col("c96").cast("long").as("c96"),
+        col("c97").cast("long").as("c97"),
+        round(expr(
+          """2.0d * (3.0d * (CAST(c95 AS DOUBLE) * CAST(c95 AS DOUBLE)
+               + CAST(c96 AS DOUBLE) * CAST(c96 AS DOUBLE)
+               + CAST(c97 AS DOUBLE) * CAST(c97 AS DOUBLE))
+             - CAST(t AS DOUBLE) * CAST(t AS DOUBLE))
+             / (3.0d * CAST(t AS DOUBLE) - CAST(sr2 AS DOUBLE))"""), 6)
+          .as("q_stat"),
+        lit(2L).as("df"))
+  }
+
+  // ---- round-10 batch 21: graph centrality + chain fixpoints ----
+
+  /** Truncated KATZ CENTRALITY (α = 0.005, 4 steps) over the shared
+    * co-supplier edge artifact — walk-volume centrality that rewards
+    * raw connectivity where [[qPageRank]] normalizes it away. Rides
+    * [[graft.ops.Katz]]'s DECIMAL(28,12) requantized state (byte-
+    * identical under any partitioning, unrolled-CTE replayable) and
+    * the write-once edge build, so the marginal cost is four
+    * join+agg rounds over a parquet read. Top-10 by rounded score.
+    */
+  private def qKatz(s: SparkSession, dir: String): DataFrame = {
+    val edges = writtenEdgesTable(s, dir)
+    graft.ops.Katz.scores(edges, "src", "dst", iters = 4)
+      .select(col("node").as("suppkey"),
+        round(col("x").cast("double"), 8).as("katz"))
+      .orderBy(col("katz").desc, col("suppkey"))
+      .limit(10)
+  }
+
+  /** STATIONARY DISTRIBUTION of the event-type Markov chain: the
+    * [[qMarkov]] transition matrix (probabilities 9-dp-quantized so
+    * both engines iterate the SAME matrix), powered four steps from
+    * the uniform start with 12-dp requantized state — the
+    * steady-state page-mix readout. The state space is the event-type
+    * vocabulary (a handful), so after the one corpus-sized transition
+    * count every iteration is a constant-size join.
+    */
+  private def qMarkovStationary(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = tbl(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("prev_type"))
+      .withColumn("next_type", lead(col("prev_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+    val p = trans
+      .withColumn("p", expr(
+        """CAST(round(CAST(n AS DOUBLE) / CAST(SUM(n) OVER
+             (PARTITION BY prev_type) AS DOUBLE), 9)
+           AS DECIMAL(12,9))"""))
+      .select(col("prev_type"), col("next_type"), col("p"))
+      .persist()
+    val states = p.select(col("prev_type").as("state")).distinct()
+    val k = states.count()
+    var pi = states.select(col("state"),
+      expr(s"CAST(round(1.0 / $k, 12) AS DECIMAL(28,12))").as("pi"))
+    for (_ <- 1 to 4) {
+      val stepped = p
+        .join(pi.withColumnRenamed("state", "prev_type"), "prev_type")
+        .select(col("next_type").as("state"),
+          expr("CAST(round(CAST(pi AS DOUBLE) * CAST(p AS DOUBLE), 12) " +
+            "AS DECIMAL(28,12))").as("m"))
+        .groupBy("state").agg(sum(col("m")).as("pisum"))
+      pi = states.join(stepped, Seq("state"), "left")
+        .select(col("state"),
+          expr("CAST(round(CAST(coalesce(pisum, 0) AS DOUBLE), 12) " +
+            "AS DECIMAL(28,12))").as("pi"))
+        .localCheckpoint(true)
+    }
+    val out = pi.select(col("state"),
+        round(col("pi").cast("double"), 6).as("pi4"))
+      .orderBy("state")
+    p.unpersist(blocking = false)
+    out
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -11297,6 +12103,24 @@ object SparkEntry {
     "q_fisher_exact" -> qFisherExact,
     "q_gumbel_maxima" -> qGumbelMaxima,
     "q_dispersion" -> qDispersion,
+    "q_hodges_lehmann" -> qHodgesLehmann,
+    "q_cohens_d" -> qCohensD,
+    "q_cramers_v" -> qCramersV,
+    "q_permutation_test" -> qPermutationTest,
+    "q_ols_multi" -> qOlsMulti,
+    "q_ridge_path" -> qRidgePath,
+    "q_vif" -> qVif,
+    "q_mahalanobis" -> qMahalanobis,
+    "q_perm_entropy" -> qPermEntropy,
+    "q_sample_entropy" -> qSampleEntropy,
+    "q_periodogram" -> qPeriodogram,
+    "q_chow_test" -> qChowTest,
+    "q_friedman" -> qFriedman,
+    "q_wasserstein" -> qWasserstein,
+    "q_cvm_uniform" -> qCvmUniform,
+    "q_cochran_q" -> qCochranQ,
+    "q_katz" -> qKatz,
+    "q_markov_stationary" -> qMarkovStationary,
     "q_skew_audit" -> qSkewAudit,
     "q_tfidf_cosine_pairs" -> qTfidfCosinePairs,
     "q_diversity_index" -> qDiversityIndex,
@@ -15444,6 +16268,606 @@ object SparkEntry {
            round($idx, 6) AS dispersion_index,
            round(CAST(n_days - 1 AS DOUBLE) * $idx, 6) AS chi2_stat
          FROM m"""
+    },
+    // Hodges–Lehmann: Walsh-average median over the calendar pair grid
+    "q_hodges_lehmann" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(18,2)) AS rev
+           FROM orders GROUP BY 1),
+         d95 AS (SELECT month(day) AS m, dayofmonth(day) AS d,
+             rev AS r95 FROM daily WHERE year(day) = 1995),
+         d96 AS (SELECT month(day) AS m, dayofmonth(day) AS d,
+             rev AS r96 FROM daily WHERE year(day) = 1996),
+         diffs AS (SELECT CAST(r96 AS DECIMAL(19,2))
+               - CAST(r95 AS DECIMAL(19,2)) AS diff,
+             row_number() OVER (ORDER BY CAST(r96 AS DECIMAL(19,2))
+               - CAST(r95 AS DECIMAL(19,2)), m, d) AS i
+           FROM d95 JOIN d96 USING (m, d)),
+         walsh AS (SELECT a.diff + b.diff AS ws
+           FROM diffs a JOIN diffs b ON a.i <= b.i)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_walsh,
+           round(CAST(percentile_disc(0.5)
+             WITHIN GROUP (ORDER BY ws) AS DOUBLE) / 2.0, 4)
+             AS hl_estimate
+         FROM walsh""",
+    // Cohen's d / Hedges' g from the exact conditional moments
+    "q_cohens_d" -> {
+      val fold =
+        """list_reduce(list_transform(range(1, 9),
+             i -> CAST(strpos('0123456789abcdef',
+               (md5('23:' || CAST(o_custkey AS VARCHAR)))[i:i]) - 1
+               AS BIGINT)), (a, d) -> a * 16 + d)"""
+      s"""WITH spend AS (SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+           FROM orders GROUP BY 1),
+         arm AS (SELECT CAST(y AS DECIMAL(19,2)) AS y, $fold % 2 AS arm
+           FROM spend),
+         m AS (SELECT
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b,
+             SUM(CASE WHEN arm = 0 THEN y END) AS sa,
+             SUM(CASE WHEN arm = 1 THEN y END) AS sb,
+             SUM(CASE WHEN arm = 0 THEN y * y END) AS qa,
+             SUM(CASE WHEN arm = 1 THEN y * y END) AS qb
+           FROM arm),
+         c AS (SELECT *, sqrt(greatest(((CAST(qa AS DOUBLE)
+               - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+                 / CAST(n_a AS DOUBLE))
+             + (CAST(qb AS DOUBLE)
+               - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+                 / CAST(n_b AS DOUBLE)))
+             / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0),
+             0.0)) AS sd_pooled,
+             CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)
+               - CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) AS md
+           FROM m)
+         SELECT n_a, n_b, round(md, 4) AS mean_diff,
+           round(md / sd_pooled, 6) AS cohens_d,
+           round(md / sd_pooled * (1.0 - 3.0
+             / (4.0 * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
+               - 2.0) - 1.0)), 6) AS hedges_g
+         FROM c"""
+    },
+    // Cramér's V over the completed lang × source grid
+    "q_cramers_v" ->
+      """WITH ct AS (SELECT lang, source, COUNT(*) AS o
+           FROM documents GROUP BY 1, 2),
+         rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rl
+           FROM ct GROUP BY 1),
+         st AS (SELECT source, CAST(SUM(o) AS BIGINT) AS cs
+           FROM ct GROUP BY 1),
+         tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+             COUNT(DISTINCT lang) AS nr,
+             COUNT(DISTINCT source) AS nc
+           FROM ct),
+         grid AS (SELECT rt.lang, st.source, rl, cs,
+             COALESCE(ct.o, 0) AS o
+           FROM rt CROSS JOIN st
+             LEFT JOIN ct ON ct.lang = rt.lang
+               AND ct.source = st.source),
+         terms AS (SELECT rl, cs, o, n, nr, nc,
+             CAST(round((CAST(o AS DOUBLE)
+               - CAST(rl AS DOUBLE) * CAST(cs AS DOUBLE)
+                 / CAST(n AS DOUBLE))
+               * (CAST(o AS DOUBLE)
+                 - CAST(rl AS DOUBLE) * CAST(cs AS DOUBLE)
+                   / CAST(n AS DOUBLE))
+               / (CAST(rl AS DOUBLE) * CAST(cs AS DOUBLE)
+                 / CAST(n AS DOUBLE)), 9) AS DECIMAL(18,9)) AS term
+           FROM grid CROSS JOIN tot),
+         ag AS (SELECT MAX(n) AS n_docs, MAX(nr) AS nr, MAX(nc) AS nc,
+             SUM(term) AS chi2d
+           FROM terms)
+         SELECT n_docs, (nr - 1) * (nc - 1) AS df,
+           round(CAST(chi2d AS DOUBLE), 6) AS chi2,
+           round(sqrt(CAST(chi2d AS DOUBLE) / (CAST(n_docs AS DOUBLE)
+             * CAST(least(nr, nc) - 1 AS DOUBLE))), 6) AS cramers_v
+         FROM ag""",
+    // permutation test: 200 md5-relabelings, 6-dp diff comparison
+    "q_permutation_test" -> {
+      val foldObs =
+        """list_reduce(list_transform(range(1, 9),
+             i -> CAST(strpos('0123456789abcdef',
+               (md5('23:' || CAST(o_custkey AS VARCHAR)))[i:i]) - 1
+               AS BIGINT)), (a, d) -> a * 16 + d)"""
+      val foldRep =
+        """list_reduce(list_transform(range(1, 9),
+             i -> CAST(strpos('0123456789abcdef',
+               (md5('p31:' || CAST(rep AS VARCHAR) || ':'
+                 || CAST(o_custkey AS VARCHAR)))[i:i]) - 1
+               AS BIGINT)), (a, d) -> a * 16 + d)"""
+      s"""WITH spend AS (SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+           FROM orders GROUP BY 1),
+         obs AS (SELECT CAST(round(
+             CAST(SUM(CASE WHEN $foldObs % 2 = 0 THEN y END)
+               AS DOUBLE)
+               / SUM(CASE WHEN $foldObs % 2 = 0 THEN 1 ELSE 0 END)
+             - CAST(SUM(CASE WHEN $foldObs % 2 = 1 THEN y END)
+               AS DOUBLE)
+               / SUM(CASE WHEN $foldObs % 2 = 1 THEN 1 ELSE 0 END),
+             6) + 0.0 AS DECIMAL(18,6)) AS obs_diff
+           FROM spend),
+         reps AS (SELECT o_custkey, y, CAST(range AS INT) AS rep
+           FROM spend CROSS JOIN range(0, 200)),
+         pd AS (SELECT rep, CAST(round(
+             CAST(SUM(CASE WHEN $foldRep % 2 = 0 THEN y END)
+               AS DOUBLE)
+               / SUM(CASE WHEN $foldRep % 2 = 0 THEN 1 ELSE 0 END)
+             - CAST(SUM(CASE WHEN $foldRep % 2 = 1 THEN y END)
+               AS DOUBLE)
+               / SUM(CASE WHEN $foldRep % 2 = 1 THEN 1 ELSE 0 END),
+             6) + 0.0 AS DECIMAL(18,6)) AS pd
+           FROM reps GROUP BY 1),
+         ag AS (SELECT COUNT(*) AS n_reps,
+             CAST(MAX(obs_diff) AS DOUBLE) AS obs_diff,
+             CAST(SUM(CASE WHEN abs(pd) >= abs(obs_diff)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_exceed
+           FROM pd CROSS JOIN obs)
+         SELECT n_reps, obs_diff, n_exceed,
+           round((1.0 + CAST(n_exceed AS DOUBLE))
+             / (CAST(n_reps AS DOUBLE) + 1.0), 6) AS p_perm
+         FROM ag"""
+    },
+    // two-regressor OLS / ridge / VIF: identical centered-moment
+    // double algebra on both sides (the qLinreg determinism contract)
+    "q_ols_multi" ->
+      s"""WITH m AS (SELECT COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(19,2))) AS sx,
+             SUM(CAST(l_discount AS DECIMAL(19,2))) AS sz,
+             SUM(CAST(l_extendedprice AS DECIMAL(19,2))) AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(19,2))
+               * CAST(l_quantity AS DECIMAL(19,2))) AS sxx,
+             SUM(CAST(l_discount AS DECIMAL(19,2))
+               * CAST(l_discount AS DECIMAL(19,2))) AS szz,
+             SUM(CAST(l_quantity AS DECIMAL(19,2))
+               * CAST(l_discount AS DECIMAL(19,2))) AS sxz,
+             SUM(CAST(l_quantity AS DECIMAL(19,2))
+               * CAST(l_extendedprice AS DECIMAL(19,2))) AS sxy,
+             SUM(CAST(l_discount AS DECIMAL(19,2))
+               * CAST(l_extendedprice AS DECIMAL(19,2))) AS szy,
+             SUM(CAST(l_extendedprice AS DECIMAL(19,2))
+               * CAST(l_extendedprice AS DECIMAL(19,2))) AS syy
+           FROM lineitem),
+         d AS (SELECT n, sx, sz, sy,
+             $cmSxx * $cmSzz - $cmSxz * $cmSxz AS det,
+             ($cmSzz * $cmSxy - $cmSxz * $cmSzy)
+               / ($cmSxx * $cmSzz - $cmSxz * $cmSxz) AS b1,
+             ($cmSxx * $cmSzy - $cmSxz * $cmSxy)
+               / ($cmSxx * $cmSzz - $cmSxz * $cmSxz) AS b2,
+             $cmSxy AS csxy, $cmSzy AS cszy, $cmSyy AS csyy
+           FROM m)
+         SELECT CAST(n AS BIGINT) AS n,
+           round(b1, 6) AS b_qty, round(b2, 6) AS b_disc,
+           round((CAST(sy AS DOUBLE) - b1 * CAST(sx AS DOUBLE)
+             - b2 * CAST(sz AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+             AS intercept,
+           round((b1 * csxy + b2 * cszy) / csyy, 6) AS r2,
+           round(1.0 - (1.0 - (b1 * csxy + b2 * cszy) / csyy)
+             * (CAST(n AS DOUBLE) - 1.0)
+             / (CAST(n AS DOUBLE) - 3.0), 6) AS r2_adj
+         FROM d""",
+    "q_ridge_path" ->
+      s"""WITH m AS (SELECT COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(19,2))) AS sx,
+             SUM(CAST(l_discount AS DECIMAL(19,2))) AS sz,
+             SUM(CAST(l_extendedprice AS DECIMAL(19,2))) AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(19,2))
+               * CAST(l_quantity AS DECIMAL(19,2))) AS sxx,
+             SUM(CAST(l_discount AS DECIMAL(19,2))
+               * CAST(l_discount AS DECIMAL(19,2))) AS szz,
+             SUM(CAST(l_quantity AS DECIMAL(19,2))
+               * CAST(l_discount AS DECIMAL(19,2))) AS sxz,
+             SUM(CAST(l_quantity AS DECIMAL(19,2))
+               * CAST(l_extendedprice AS DECIMAL(19,2))) AS sxy,
+             SUM(CAST(l_discount AS DECIMAL(19,2))
+               * CAST(l_extendedprice AS DECIMAL(19,2))) AS szy,
+             SUM(CAST(l_extendedprice AS DECIMAL(19,2))
+               * CAST(l_extendedprice AS DECIMAL(19,2))) AS syy
+           FROM lineitem),
+         l AS (SELECT CASE WHEN range = 0 THEN 0.0
+             WHEN range = 1 THEN 1.0e4 ELSE 1.0e7 END AS lambda
+           FROM range(0, 3)),
+         d AS (SELECT lambda,
+             ($cmSxx + lambda) * ($cmSzz + lambda)
+               - $cmSxz * $cmSxz AS det,
+             $cmSxx AS csxx, $cmSzz AS cszz, $cmSxz AS csxz,
+             $cmSxy AS csxy, $cmSzy AS cszy
+           FROM m CROSS JOIN l)
+         SELECT lambda,
+           round(((cszz + lambda) * csxy - csxz * cszy) / det, 6)
+             AS b_qty,
+           round(((csxx + lambda) * cszy - csxz * csxy) / det, 6)
+             AS b_disc
+         FROM d ORDER BY lambda""",
+    "q_vif" ->
+      s"""WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(19,2))) AS sx,
+             SUM(CAST(l_discount AS DECIMAL(19,2))) AS sz,
+             SUM(CAST(l_quantity AS DECIMAL(19,2))
+               * CAST(l_quantity AS DECIMAL(19,2))) AS sxx,
+             SUM(CAST(l_discount AS DECIMAL(19,2))
+               * CAST(l_discount AS DECIMAL(19,2))) AS szz,
+             SUM(CAST(l_quantity AS DECIMAL(19,2))
+               * CAST(l_discount AS DECIMAL(19,2))) AS sxz
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           round($cmSxz / sqrt($cmSxx * $cmSzz), 6) AS corr_xz,
+           round(1.0 / (1.0 - ($cmSxz * $cmSxz)
+             / ($cmSxx * $cmSzz)), 6) AS vif
+         FROM m ORDER BY l_returnflag""",
+    // Mahalanobis top-10: identical closed-form 2x2 inverse algebra
+    "q_mahalanobis" ->
+      s"""WITH feats AS (SELECT o_custkey,
+             CAST(COUNT(*) AS DECIMAL(12,0)) AS x,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS z
+           FROM orders GROUP BY 1),
+         m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(z) AS sz,
+             SUM(x * x) AS sxx,
+             SUM(CAST(z AS DECIMAL(19,2))
+               * CAST(z AS DECIMAL(19,2))) AS szz,
+             SUM(CAST(x AS DECIMAL(12,0))
+               * CAST(z AS DECIMAL(19,2))) AS sxz
+           FROM feats),
+         d AS (SELECT o_custkey, x, z,
+             CAST(x AS DOUBLE) - CAST(sx AS DOUBLE)
+               / CAST(n AS DOUBLE) AS dx,
+             CAST(z AS DOUBLE) - CAST(sz AS DOUBLE)
+               / CAST(n AS DOUBLE) AS dz,
+             $cmSxx / CAST(n AS DOUBLE) AS vxx,
+             $cmSzz / CAST(n AS DOUBLE) AS vzz,
+             $cmSxz / CAST(n AS DOUBLE) AS vxz
+           FROM feats CROSS JOIN m)
+         SELECT o_custkey, CAST(x AS BIGINT) AS n_orders,
+           CAST(z AS DOUBLE) AS spend,
+           round((vzz * dx * dx - 2.0 * vxz * dx * dz
+             + vxx * dz * dz) / (vxx * vzz - vxz * vxz), 6) AS d2
+         FROM d ORDER BY d2 DESC, o_custkey LIMIT 10""",
+    // permutation entropy: tie-robust 3-bit ordinal codes, ln at 9 dp
+    "q_perm_entropy" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders GROUP BY 1),
+         lagd AS (SELECT rev,
+             lag(rev, 2) OVER (ORDER BY day) AS r1,
+             lag(rev, 1) OVER (ORDER BY day) AS r2
+           FROM daily),
+         pats AS (SELECT
+             (CASE WHEN r1 >= r2 THEN '1' ELSE '0' END)
+             || (CASE WHEN r2 >= rev THEN '1' ELSE '0' END)
+             || (CASE WHEN r1 >= rev THEN '1' ELSE '0' END) AS pat
+           FROM lagd WHERE r1 IS NOT NULL),
+         pc AS (SELECT pat, COUNT(*) AS c FROM pats GROUP BY 1),
+         t AS (SELECT SUM(c) AS nt FROM pc),
+         terms AS (SELECT CAST(c AS DECIMAL(18,0))
+             * CAST(round(ln(CAST(c AS DOUBLE) / CAST(nt AS DOUBLE)),
+               9) AS DECIMAL(12,9)) AS term, nt
+           FROM pc CROSS JOIN t)
+         SELECT CAST(MAX(nt) AS BIGINT) AS n_windows,
+           CAST(COUNT(*) AS BIGINT) AS n_patterns,
+           round(-CAST(SUM(term) AS DOUBLE)
+             / CAST(MAX(nt) AS DOUBLE), 6) AS perm_entropy,
+           round(-CAST(SUM(term) AS DOUBLE) / CAST(MAX(nt) AS DOUBLE)
+             / ln(6.0), 6) AS normalized
+         FROM terms""",
+    // sample entropy: exact DECIMAL tolerance comparisons, one ln
+    "q_sample_entropy" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders
+           WHERE year(CAST(o_orderdate AS DATE)) = 1995 GROUP BY 1),
+         sd AS (SELECT CAST(round(0.2 * sqrt(
+             (CAST(SUM(CAST(rev AS DECIMAL(19,2))
+                 * CAST(rev AS DECIMAL(19,2))) AS DOUBLE)
+               - CAST(SUM(rev) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE))
+             / CAST(COUNT(*) AS DOUBLE)), 2) AS DECIMAL(18,2)) AS r
+           FROM daily),
+         tpl AS (SELECT row_number() OVER (ORDER BY day) AS i,
+             rev AS v0,
+             lead(rev, 1) OVER (ORDER BY day) AS v1,
+             lead(rev, 2) OVER (ORDER BY day) AS v2
+           FROM daily),
+         t2 AS (SELECT * FROM tpl WHERE v2 IS NOT NULL),
+         p AS (SELECT
+             greatest(abs(a.v0 - b.v0), abs(a.v1 - b.v1)) <= r AS mb,
+             greatest(abs(a.v0 - b.v0), abs(a.v1 - b.v1),
+               abs(a.v2 - b.v2)) <= r AS ma, r
+           FROM t2 a JOIN t2 b ON a.i < b.i CROSS JOIN sd)
+         SELECT CAST(MAX(r) AS DOUBLE) AS tolerance,
+           CAST(SUM(CASE WHEN mb THEN 1 ELSE 0 END) AS BIGINT)
+             AS b_count,
+           CAST(SUM(CASE WHEN ma THEN 1 ELSE 0 END) AS BIGINT)
+             AS a_count,
+           round(-ln(CAST(SUM(CASE WHEN ma THEN 1 ELSE 0 END)
+               AS DOUBLE)
+             / CAST(SUM(CASE WHEN mb THEN 1 ELSE 0 END) AS DOUBLE)),
+             6) AS sampen
+         FROM p""",
+    // periodogram: bounded-phase 9-dp trig quantization, exact sums
+    "q_periodogram" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders GROUP BY 1),
+         mn AS (SELECT CAST(round(CAST(SUM(rev) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 2) AS DECIMAL(18,2)) AS mu,
+             COUNT(*) AS nd
+           FROM daily),
+         ts AS (SELECT row_number() OVER (ORDER BY day) - 1 AS t,
+             nd, CAST(rev - mu AS DECIMAL(19,2)) AS dev
+           FROM daily CROSS JOIN mn),
+         pr AS (SELECT CASE WHEN range = 0 THEN 7
+             WHEN range = 1 THEN 30 WHEN range = 2 THEN 91
+             WHEN range = 3 THEN 182 ELSE 365 END AS period
+           FROM range(0, 5)),
+         g AS (SELECT period, nd,
+             dev * CAST(round(cos(6.283185307179586
+               * CAST(t % period AS DOUBLE)
+               / CAST(period AS DOUBLE)), 9) AS DECIMAL(12,9)) AS tc,
+             dev * CAST(round(sin(6.283185307179586
+               * CAST(t % period AS DOUBLE)
+               / CAST(period AS DOUBLE)), 9) AS DECIMAL(12,9)) AS tsn
+           FROM ts CROSS JOIN pr),
+         ag AS (SELECT period, CAST(MAX(nd) AS BIGINT) AS n_days,
+             SUM(tc) AS sc, SUM(tsn) AS ss
+           FROM g GROUP BY 1)
+         SELECT period, n_days,
+           round((CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+             + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+             / CAST(n_days AS DOUBLE), 2) AS power
+         FROM ag ORDER BY period""",
+    // Chow test: per-segment raw moments add; identical SSR algebra
+    "q_chow_test" -> {
+      def ssr(pre: String): String =
+        s"""((CAST(${pre}syy AS DOUBLE) - CAST(${pre}sy AS DOUBLE)
+               * CAST(${pre}sy AS DOUBLE) / CAST(${pre}n AS DOUBLE))
+             - (CAST(${pre}sxy AS DOUBLE) - CAST(${pre}sx AS DOUBLE)
+                 * CAST(${pre}sy AS DOUBLE) / CAST(${pre}n AS DOUBLE))
+               * (CAST(${pre}sxy AS DOUBLE) - CAST(${pre}sx AS DOUBLE)
+                 * CAST(${pre}sy AS DOUBLE) / CAST(${pre}n AS DOUBLE))
+               / (CAST(${pre}sxx AS DOUBLE) - CAST(${pre}sx AS DOUBLE)
+                 * CAST(${pre}sx AS DOUBLE)
+                 / CAST(${pre}n AS DOUBLE)))"""
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(COUNT(*) AS DECIMAL(12,0)) AS x,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(19,2)) AS y
+           FROM orders GROUP BY 1),
+         seg AS (SELECT CASE WHEN day < DATE '1996-01-01' THEN 1
+             ELSE 2 END AS seg, x, y
+           FROM daily),
+         m AS (SELECT seg, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+           FROM seg GROUP BY 1),
+         pv AS (SELECT
+             SUM(CASE WHEN seg = 1 THEN n END) AS an,
+             SUM(CASE WHEN seg = 1 THEN sx END) AS asx,
+             SUM(CASE WHEN seg = 1 THEN sy END) AS asy,
+             SUM(CASE WHEN seg = 1 THEN sxx END) AS asxx,
+             SUM(CASE WHEN seg = 1 THEN sxy END) AS asxy,
+             SUM(CASE WHEN seg = 1 THEN syy END) AS asyy,
+             SUM(CASE WHEN seg = 2 THEN n END) AS bn,
+             SUM(CASE WHEN seg = 2 THEN sx END) AS bsx,
+             SUM(CASE WHEN seg = 2 THEN sy END) AS bsy,
+             SUM(CASE WHEN seg = 2 THEN sxx END) AS bsxx,
+             SUM(CASE WHEN seg = 2 THEN sxy END) AS bsxy,
+             SUM(CASE WHEN seg = 2 THEN syy END) AS bsyy,
+             SUM(n) AS pn, SUM(sx) AS psx, SUM(sy) AS psy,
+             SUM(sxx) AS psxx, SUM(sxy) AS psxy, SUM(syy) AS psyy
+           FROM m),
+         d AS (SELECT an, bn, asx, asy, asxx, asxy, bsx, bsy, bsxx,
+             bsxy, ${ssr("a")} AS ssr1, ${ssr("b")} AS ssr2,
+             ${ssr("p")} AS ssrp
+           FROM pv)
+         SELECT CAST(an AS BIGINT) AS n_pre,
+           CAST(bn AS BIGINT) AS n_post,
+           round((CAST(asxy AS DOUBLE) - CAST(asx AS DOUBLE)
+               * CAST(asy AS DOUBLE) / CAST(an AS DOUBLE))
+             / (CAST(asxx AS DOUBLE) - CAST(asx AS DOUBLE)
+               * CAST(asx AS DOUBLE) / CAST(an AS DOUBLE)), 6)
+             AS slope_pre,
+           round((CAST(bsxy AS DOUBLE) - CAST(bsx AS DOUBLE)
+               * CAST(bsy AS DOUBLE) / CAST(bn AS DOUBLE))
+             / (CAST(bsxx AS DOUBLE) - CAST(bsx AS DOUBLE)
+               * CAST(bsx AS DOUBLE) / CAST(bn AS DOUBLE)), 6)
+             AS slope_post,
+           round(ssrp / (ssr1 + ssr2), 6) AS ssr_ratio,
+           round(((ssrp - (ssr1 + ssr2)) / 2.0)
+             / ((ssr1 + ssr2) / (CAST(an AS DOUBLE)
+               + CAST(bn AS DOUBLE) - 4.0)), 6) AS f_stat
+         FROM d"""
+    },
+    // Friedman: join-counted midranks (no rank window), exact grid
+    "q_friedman" ->
+      """WITH cells0 AS (SELECT
+             month(CAST(o_orderdate AS DATE)) AS m,
+             o_orderpriority AS trt,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+           FROM orders
+           WHERE year(CAST(o_orderdate AS DATE)) = 1995
+           GROUP BY 1, 2),
+         kall AS (SELECT COUNT(DISTINCT trt) AS kk FROM cells0),
+         complete AS (SELECT m FROM cells0 CROSS JOIN kall
+           GROUP BY m, kk HAVING COUNT(*) = MAX(kk)),
+         cells AS (SELECT c.* FROM cells0 c
+           JOIN complete USING (m)),
+         rk AS (SELECT a.m AS m, a.trt AS trt,
+             CAST(SUM(CASE WHEN b.v < a.v THEN 1 ELSE 0 END)
+               AS DOUBLE)
+             + (CAST(SUM(CASE WHEN b.v = a.v THEN 1 ELSE 0 END)
+               AS DOUBLE) + 1.0) / 2.0 AS r
+           FROM cells a JOIN cells b ON a.m = b.m
+           GROUP BY 1, 2),
+         rj AS (SELECT trt, SUM(r) AS rsum, COUNT(*) AS nb
+           FROM rk GROUP BY 1),
+         ag AS (SELECT CAST(MAX(nb) AS BIGINT) AS n_blocks,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(rsum * rsum) AS sr2
+           FROM rj)
+         SELECT n_blocks, k,
+           round(12.0 * CAST(sr2 AS DOUBLE)
+             / (CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+               * (CAST(k AS DOUBLE) + 1.0))
+             - 3.0 * CAST(n_blocks AS DOUBLE)
+               * (CAST(k AS DOUBLE) + 1.0), 6) AS chi2_f,
+           CAST(k - 1 AS BIGINT) AS df
+         FROM ag""",
+    // Wasserstein-1: exact integer CDF cross-products times exact dv
+    "q_wasserstein" ->
+      """WITH daily AS (SELECT year(CAST(o_orderdate AS DATE)) AS yr,
+             CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders
+           WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996)
+           GROUP BY 1, 2),
+         bv AS (SELECT rev,
+             SUM(CASE WHEN yr = 1995 THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS c2
+           FROM daily GROUP BY 1),
+         tot AS (SELECT
+             SUM(CASE WHEN yr = 1995 THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS n2
+           FROM daily),
+         cdf AS (SELECT rev,
+             SUM(c1) OVER (ORDER BY rev
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS f1,
+             SUM(c2) OVER (ORDER BY rev
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS f2,
+             lead(rev, 1) OVER (ORDER BY rev) AS nxt
+           FROM bv),
+         terms AS (SELECT n1, n2,
+             CAST(abs(f1 * n2 - f2 * n1) AS DECIMAL(18,0))
+               * CAST(nxt - rev AS DECIMAL(19,2)) AS term
+           FROM cdf CROSS JOIN tot WHERE nxt IS NOT NULL)
+         SELECT CAST(MAX(n1) AS BIGINT) AS n_1995,
+           CAST(MAX(n2) AS BIGINT) AS n_1996,
+           round(CAST(SUM(term) AS DOUBLE)
+             / (CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n2) AS DOUBLE)),
+             4) AS w1_distance
+         FROM terms""",
+    // Cramer-von Mises: closed-form grouped order-statistic sums
+    "q_cvm_uniform" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders GROUP BY 1),
+         cents AS (SELECT CAST(rev * 100 AS BIGINT) % 100 AS c,
+             COUNT(*) AS cnt
+           FROM daily GROUP BY 1),
+         tot AS (SELECT SUM(cnt) AS n FROM cents),
+         pos AS (SELECT c, cnt,
+             SUM(cnt) OVER (ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS hi
+           FROM cents),
+         k AS (SELECT cnt, hi, hi - cnt AS lo,
+             -200 - 2 * n * (2 * c + 1) AS d, n
+           FROM pos CROSS JOIN tot),
+         k6 AS (SELECT n,
+             160000 * (hi * (hi + 1) * (2 * hi + 1)
+               - lo * (lo + 1) * (2 * lo + 1))
+             + 2400 * d * (hi * (hi + 1) - lo * (lo + 1))
+             + 6 * cnt * d * d AS k6
+           FROM k)
+         SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+           round(1.0 / (12.0 * CAST(MAX(n) AS DOUBLE))
+             + CAST(SUM(k6) AS DOUBLE)
+               / (960000.0 * CAST(MAX(n) AS DOUBLE)
+                 * CAST(MAX(n) AS DOUBLE)), 6) AS t_stat
+         FROM k6""",
+    // Cochran's Q: pure BIGINT identity over two aggregates
+    "q_cochran_q" ->
+      """WITH flags AS (SELECT o_custkey,
+             MAX(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1995
+               THEN 1 ELSE 0 END) AS i95,
+             MAX(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996
+               THEN 1 ELSE 0 END) AS i96,
+             MAX(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1997
+               THEN 1 ELSE 0 END) AS i97
+           FROM orders
+           WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996, 1997)
+           GROUP BY 1),
+         ag AS (SELECT COUNT(*) AS n_cust,
+             SUM(i95) AS c95, SUM(i96) AS c96, SUM(i97) AS c97,
+             SUM(i95 + i96 + i97) AS t,
+             SUM((i95 + i96 + i97) * (i95 + i96 + i97)) AS sr2
+           FROM flags)
+         SELECT CAST(n_cust AS BIGINT) AS n_cust,
+           CAST(c95 AS BIGINT) AS c95, CAST(c96 AS BIGINT) AS c96,
+           CAST(c97 AS BIGINT) AS c97,
+           round(2.0 * (3.0 * (CAST(c95 AS DOUBLE) * CAST(c95 AS DOUBLE)
+               + CAST(c96 AS DOUBLE) * CAST(c96 AS DOUBLE)
+               + CAST(c97 AS DOUBLE) * CAST(c97 AS DOUBLE))
+             - CAST(t AS DOUBLE) * CAST(t AS DOUBLE))
+             / (3.0 * CAST(t AS DOUBLE) - CAST(sr2 AS DOUBLE)), 6)
+             AS q_stat,
+           CAST(2 AS BIGINT) AS df
+         FROM ag""",
+    // truncated Katz: unrolled-CTE replay of the DECIMAL(28,12) state
+    "q_katz" -> {
+      def kiter(k: Int): String =
+        s"""kc$k AS (SELECT e.dst,
+               SUM(CAST(round(0.005 * CAST(xp.x AS DOUBLE), 12)
+                 AS DECIMAL(28,12))) AS s
+             FROM e JOIN x${k - 1} xp ON xp.node = e.src
+             GROUP BY e.dst),
+           x$k AS (SELECT node,
+               CAST(round(1.0 + CAST(coalesce(s, 0) AS DOUBLE), 12)
+                 AS DECIMAL(28,12)) AS x
+             FROM nodes LEFT JOIN kc$k ON node = dst)"""
+      s"""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+             WHERE l_quantity <= 2),
+         e AS (SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+             FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+               AND a.l_suppkey <> b.l_suppkey),
+         nodes AS (SELECT DISTINCT src AS node FROM e),
+         x0 AS (SELECT node, CAST(1.0 AS DECIMAL(28,12)) AS x
+             FROM nodes),
+         ${kiter(1)},
+         ${kiter(2)},
+         ${kiter(3)},
+         ${kiter(4)}
+         SELECT node AS suppkey, round(CAST(x AS DOUBLE), 8) AS katz
+         FROM x4 ORDER BY katz DESC, suppkey LIMIT 10"""
+    },
+    // stationary distribution: 9-dp transition matrix, 4 power steps
+    "q_markov_stationary" -> {
+      def piter(k: Int): String =
+        s"""s$k AS (SELECT p.next_type AS state,
+               SUM(CAST(round(CAST(pp.pi AS DOUBLE)
+                 * CAST(p.p AS DOUBLE), 12) AS DECIMAL(28,12))) AS ps
+             FROM p JOIN pi${k - 1} pp ON pp.state = p.prev_type
+             GROUP BY 1),
+           pi$k AS (SELECT st.state,
+               CAST(round(CAST(coalesce(ps, 0) AS DOUBLE), 12)
+                 AS DECIMAL(28,12)) AS pi
+             FROM states st LEFT JOIN s$k ON st.state = s$k.state)"""
+      s"""WITH tr AS (SELECT event_type AS prev_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS next_type
+           FROM events),
+         cnt AS (SELECT prev_type, next_type, COUNT(*) AS n
+           FROM tr WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         p AS (SELECT prev_type, next_type,
+             CAST(round(CAST(n AS DOUBLE) / CAST(SUM(n) OVER
+               (PARTITION BY prev_type) AS DOUBLE), 9)
+               AS DECIMAL(12,9)) AS p
+           FROM cnt),
+         states AS (SELECT DISTINCT prev_type AS state FROM p),
+         kk AS (SELECT COUNT(*) AS k FROM states),
+         pi0 AS (SELECT state,
+             CAST(round(1.0 / k, 12) AS DECIMAL(28,12)) AS pi
+           FROM states CROSS JOIN kk),
+         ${piter(1)},
+         ${piter(2)},
+         ${piter(3)},
+         ${piter(4)}
+         SELECT state, round(CAST(pi AS DOUBLE), 6) AS pi4
+         FROM pi4 ORDER BY state"""
     },
     // cross-slice brute-force near-dup truth (the Spark side is banded
     // LSH + exact verify — same pair set, never all-pairs)
