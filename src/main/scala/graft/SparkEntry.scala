@@ -11725,6 +11725,523 @@ object SparkEntry {
     out
   }
 
+  // ---- round-10 batch 22: ordered alternatives + homogeneity ----
+
+  /** JONCKHEERE–TERPSTRA ordered-alternative test: does order value
+    * rise monotonically across the five priority levels? JT sums the
+    * Mann–Whitney "lower group beats higher group" counts over every
+    * ordered group pair, computed from a (group × price-bucket) COUNT
+    * GRID — the qRocAuc distinct-values contract, so the pair join is
+    * grid², bounded at any corpus size, never row². Ties (same
+    * bucket) count half; mean/variance use the standard no-tie
+    * normal approximation (documented) from exact group sizes.
+    */
+  private def qJonckheere(s: SparkSession, dir: String): DataFrame = {
+    val grid = tbl(s, dir, "orders")
+      .select(col("o_orderpriority").as("g"),
+        floor(col("o_totalprice") / 1000.0d).cast("long").as("b"))
+      .groupBy("g", "b").agg(count(lit(1)).as("c"))
+      .persist()
+    val jt = grid.alias("a")
+      .join(grid.alias("b"), col("a.g") < col("b.g"))
+      .agg(sum(when(col("a.b") < col("b.b"),
+          col("a.c").cast("decimal(19,0)")
+            * col("b.c").cast("decimal(19,0)")).otherwise(lit(0L)))
+          .as("w"),
+        sum(when(col("a.b") === col("b.b"),
+          col("a.c").cast("decimal(19,0)")
+            * col("b.c").cast("decimal(19,0)")).otherwise(lit(0L)))
+          .as("ties"))
+    val sizes = grid.groupBy("g").agg(sum(col("c")).as("ng"))
+      .agg(sum(col("ng")).as("n"),
+        sum(col("ng") * col("ng")).as("sn2"),
+        sum(col("ng") * col("ng")
+          * (lit(2L) * col("ng") + lit(3L))).as("sn23"))
+    val out = jt.crossJoin(broadcast(sizes))
+      .select(
+        (col("w").cast("double") + col("ties").cast("double") / 2.0d)
+          .as("jt_stat"),
+        col("n").cast("long").as("n"),
+        expr("""(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+            - CAST(sn2 AS DOUBLE)) / 4.0d""").as("e_jt"),
+        expr("""(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+            * (2.0d * CAST(n AS DOUBLE) + 3.0d)
+            - CAST(sn23 AS DOUBLE)) / 72.0d""").as("v_jt"))
+      .select(col("n"), round(col("jt_stat"), 1).as("jt_stat"),
+        round(col("e_jt"), 1).as("e_jt"),
+        round(expr("(jt_stat - e_jt) / sqrt(v_jt)"), 6).as("z"))
+    grid.unpersist(blocking = false)
+    out
+  }
+
+  /** PAGE'S L TREND TEST over the (complete-block) month × priority
+    * rank grid: L = Σ j·Rⱼ with j the a-priori priority order — the
+    * directional sharpening of [[qFriedman]], sharing its join-counted
+    * midranks. Standardization uses the exact no-tie moments
+    * E(L) = nk(k+1)²/4, Var(L) = n k²(k+1)(k²−1)/144.
+    */
+  private def qPageTrend(s: SparkSession, dir: String): DataFrame = {
+    val cells0 = tbl(s, dir, "orders")
+      .filter(year(to_date(col("o_orderdate"))) === 1995)
+      .groupBy(month(to_date(col("o_orderdate"))).as("m"),
+        col("o_orderpriority").as("trt"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("v"))
+    val kAll = cells0.select(countDistinct(col("trt")).as("kk"))
+    val complete = cells0.groupBy("m")
+      .agg(count(lit(1)).as("nm"))
+      .crossJoin(broadcast(kAll))
+      .filter(col("nm") === col("kk"))
+      .select("m")
+    val cells = cells0.join(broadcast(complete), "m")
+    val ranks = cells.alias("a")
+      .join(cells.alias("b"), col("a.m") === col("b.m"))
+      .groupBy(col("a.m").as("m"), col("a.trt").as("trt"))
+      .agg(sum(when(col("b.v") < col("a.v"), 1L).otherwise(0L))
+          .as("cl"),
+        sum(when(col("b.v") === col("a.v"), 1L).otherwise(0L))
+          .as("ce"))
+      .select(col("m"), col("trt"), expr(
+        "CAST(cl AS DOUBLE) + (CAST(ce AS DOUBLE) + 1.0d) / 2.0d")
+        .as("r"))
+    val rj = ranks.groupBy("trt")
+      .agg(sum(col("r")).as("rsum"), count(lit(1)).as("nb"))
+      .withColumn("j", expr("CAST(substring(trt, 1, 1) AS DOUBLE)"))
+    rj.agg(max(col("nb")).cast("long").as("n_blocks"),
+        count(lit(1)).cast("long").as("k"),
+        sum(col("j") * col("rsum")).as("l_stat"))
+      .select(col("n_blocks"), col("k"),
+        round(col("l_stat"), 1).as("l_stat"),
+        round(expr(
+          """(l_stat - CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+               * (CAST(k AS DOUBLE) + 1.0d)
+               * (CAST(k AS DOUBLE) + 1.0d) / 4.0d)
+             / sqrt(CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+               * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0d)
+               * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0d)
+               / 144.0d)"""), 6).as("z"))
+  }
+
+  /** BARTLETT'S TEST for variance homogeneity of quantity across
+    * return flags: χ² = [(N−k)·ln s²ₚ − Σ(nᵢ−1)·ln s²ᵢ]/C from exact
+    * per-group moment sums. Every ln is 9-dp-quantized before the
+    * k-term combination (the repo libm contract) so the statistic is
+    * engine-identical; one grouped aggregate, k-row downstream.
+    */
+  private def qBartlett(s: SparkSession, dir: String): DataFrame = {
+    val m = tbl(s, dir, "lineitem")
+      .select(col("l_returnflag").as("g"),
+        col("l_quantity").cast("decimal(12,2)").as("x"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      // per-group terms are QUANTIZED to DECIMAL before the k-term
+      // sum so cross-group aggregation order can never perturb them
+      .withColumn("ss", expr(
+        """CAST(round(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+           * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6)
+           AS DECIMAL(28,6))"""))
+      .withColumn("lnsi", expr(
+        """CAST(round(ln(CAST(ss AS DOUBLE)
+           / (CAST(n AS DOUBLE) - 1.0d)), 9) AS DECIMAL(18,9))"""))
+      .withColumn("inv", expr(
+        """CAST(round(1.0d / (CAST(n AS DOUBLE) - 1.0d), 12)
+           AS DECIMAL(18,12))"""))
+    m.agg(sum(col("n")).cast("long").as("nn"),
+        count(lit(1)).cast("long").as("k"),
+        sum(col("ss")).as("ssp"),
+        sum((col("n") - 1).cast("decimal(18,0)") * col("lnsi"))
+          .as("slns"),
+        sum(col("inv")).as("sinv"))
+      .withColumn("lnsp", expr(
+        """CAST(round(ln(CAST(ssp AS DOUBLE) / (CAST(nn AS DOUBLE)
+           - CAST(k AS DOUBLE))), 9) AS DECIMAL(18,9))"""))
+      .select(col("nn").as("n"), col("k"),
+        round(expr(
+          """((CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))
+               * CAST(lnsp AS DOUBLE) - CAST(slns AS DOUBLE))
+             / (1.0d + (CAST(sinv AS DOUBLE)
+               - 1.0d / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)))
+               / (3.0d * (CAST(k AS DOUBLE) - 1.0d)))"""), 6)
+          .as("chi2"),
+        (col("k") - 1).cast("long").as("df"))
+  }
+
+  // ---- round-10 batch 23: regression diagnostics ----
+
+  /** Once-rounded OLS constants for the (price ~ quantity) fit —
+    * slope and intercept quantized to DECIMAL(18,6) so every
+    * residual-based diagnostic downstream works off the SAME frozen
+    * line on both engines (the qPerplexity rounded-constant
+    * contract). One moment pass, 1-row broadcast.
+    */
+  private def olsLineConsts(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .select(col("l_quantity").cast("decimal(12,2)").as("x"),
+        col("l_extendedprice").cast("decimal(14,2)").as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("n"), col("sx"), col("sxx"),
+        expr("""CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+          AS DECIMAL(18,6))""").as("b"),
+        expr("""CAST(round((CAST(sy AS DOUBLE)
+            - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+          AS DECIMAL(18,6))""").as("a"))
+
+  /** BREUSCH–PAGAN (Koenker) heteroskedasticity test: regress the
+    * squared residuals of the frozen [[olsLineConsts]] line on x and
+    * report LM = n·R²_aux. Residuals are exact DECIMALs off the
+    * rounded line, squared residuals are 2-dp-requantized before the
+    * moment pass (every sum exact, engine-identical), and the aux R²
+    * is closed form — two corpus passes, zero iterative fitting.
+    */
+  private def qBreuschPagan(s: SparkSession, dir: String): DataFrame = {
+    val consts = olsLineConsts(s, dir)
+    val res = tbl(s, dir, "lineitem")
+      .select(col("l_quantity").cast("decimal(12,2)").as("x"),
+        col("l_extendedprice").cast("decimal(14,2)").as("y"))
+      .crossJoin(broadcast(consts.select(col("a"), col("b"))))
+      .withColumn("e2", expr(
+        """CAST(round(CAST(y - (a + b * x) AS DOUBLE)
+           * CAST(y - (a + b * x) AS DOUBLE), 2) AS DECIMAL(19,2))"""))
+    res.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("e2")).as("se"),
+        sum(col("x") * col("e2")).as("sxe"),
+        // (18,2)x(18,2) -> (37,4): stays exact under Spark's 38-digit
+        // cap (the DuckDB twin uses (19,2) for its hugeint path; the
+        // VALUES are identical either way)
+        sum(col("e2").cast("decimal(18,2)")
+          * col("e2").cast("decimal(18,2)")).as("see"))
+      .select(col("n").cast("long").as("n"),
+        round(expr(
+          """CAST(n AS DOUBLE)
+             * ((CAST(sxe AS DOUBLE) - CAST(sx AS DOUBLE)
+                 * CAST(se AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(sxe AS DOUBLE) - CAST(sx AS DOUBLE)
+                 * CAST(se AS DOUBLE) / CAST(n AS DOUBLE)))
+             / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                 * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(see AS DOUBLE) - CAST(se AS DOUBLE)
+                 * CAST(se AS DOUBLE) / CAST(n AS DOUBLE)))"""), 6)
+          .as("lm_stat"),
+        lit(1L).as("df"))
+  }
+
+  /** COOK'S DISTANCE top-10 for the frozen (price ~ quantity) line:
+    * leverage hᵢ = 1/n + (xᵢ−x̄)²/Sxx, Dᵢ = eᵢ²·hᵢ/(2s²(1−hᵢ)²) —
+    * the single-pass influence audit. All per-row terms are doubles
+    * off broadcast exact moments and the once-rounded line; the
+    * top-10 rides a TakeOrdered head with full key tie-break.
+    */
+  private def qCooksDistance(s: SparkSession, dir: String): DataFrame = {
+    val consts = olsLineConsts(s, dir)
+    val res = tbl(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("decimal(12,2)").as("x"),
+        col("l_extendedprice").cast("decimal(14,2)").as("y"))
+      .crossJoin(broadcast(consts))
+      .withColumn("e2", expr(
+        """CAST(round(CAST(y - (a + b * x) AS DOUBLE)
+           * CAST(y - (a + b * x) AS DOUBLE), 2) AS DECIMAL(19,2))"""))
+    val ssr = res.agg(max(col("n")).as("n"), max(col("sx")).as("sx"),
+      max(col("sxx")).as("sxx"), sum(col("e2")).as("sse"))
+    res.crossJoin(broadcast(ssr.select(
+        expr("CAST(n AS DOUBLE)").as("nd"),
+        expr("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)").as("xbar"),
+        expr("""CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+          * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)""").as("csxx"),
+        expr("""CAST(sse AS DOUBLE)
+          / (CAST(n AS DOUBLE) - 2.0d)""").as("s2"))))
+      .withColumn("h", expr(
+        """1.0d / nd + (CAST(x AS DOUBLE) - xbar)
+           * (CAST(x AS DOUBLE) - xbar) / csxx"""))
+      .withColumn("d_cook", round(expr(
+        """CAST(e2 AS DOUBLE) * h
+           / (2.0d * s2 * (1.0d - h) * (1.0d - h))"""), 9))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("x").cast("double").as("quantity"),
+        col("d_cook"), round(col("h"), 9).as("leverage"))
+      .orderBy(col("d_cook").desc, col("l_orderkey"),
+        col("l_linenumber"))
+      .limit(10)
+  }
+
+  /** INTRACLASS CORRELATION ICC(1,1) of order value within priority
+    * groups (one-way random effects, unequal group sizes via the k₀
+    * correction): ICC = (MSB − MSW)/(MSB + (k₀−1)·MSW). Raw-moment
+    * algebra over one grouped pass; only scale-free readouts (ICC
+    * and the F ratio) are emitted — never raw mean squares (the
+    * qChowTest magnitude lesson).
+    */
+  private def qIcc(s: SparkSession, dir: String): DataFrame = {
+    val g = tbl(s, dir, "orders")
+      .select(col("o_orderpriority").as("g"),
+        col("o_totalprice").cast("decimal(18,2)").as("y"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("ng"), sum(col("y")).as("sy"),
+        sum(col("y").cast("decimal(18,2)")
+          * col("y").cast("decimal(18,2)")).as("syy"))
+      // per-group between/within pieces quantized before the k-term
+      // sum (the qBartlett ordering contract)
+      .withColumn("bg", expr(
+        """CAST(round(CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+           / CAST(ng AS DOUBLE), 4) AS DECIMAL(28,4))"""))
+    g.agg(sum(col("ng")).cast("long").as("n"),
+        count(lit(1)).cast("long").as("k"),
+        sum(col("ng") * col("ng")).as("sn2"),
+        sum(col("sy")).as("sy"), sum(col("syy")).as("syy"),
+        sum(col("bg")).as("sbg"))
+      .withColumn("ssb", expr(
+        """CAST(sbg AS DOUBLE) - CAST(sy AS DOUBLE)
+           * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)"""))
+      .withColumn("ssw", expr(
+        "CAST(syy AS DOUBLE) - CAST(sbg AS DOUBLE)"))
+      .withColumn("msb", expr("ssb / (CAST(k AS DOUBLE) - 1.0d)"))
+      .withColumn("msw", expr(
+        "ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))"))
+      .withColumn("k0", expr(
+        """(CAST(n AS DOUBLE) - CAST(sn2 AS DOUBLE)
+           / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0d)"""))
+      .select(col("n"), col("k"),
+        round(expr("msb / msw"), 6).as("f_ratio"),
+        round(expr(
+          "(msb - msw) / (msb + (k0 - 1.0d) * msw)"), 6).as("icc"))
+  }
+
+  // ---- round-10 batch 24: time-series structure tests ----
+
+  /** VARIANCE RATIO TEST (Lo–MacKinlay shape, q = 5) on daily revenue
+    * CHANGES: VR = Var(5-day change)/(5·Var(1-day change)) — the
+    * random-walk diagnostic (VR ≈ 1 under iid increments, < 1 under
+    * mean reversion). Both difference series are exact DECIMALs from
+    * calendar-bounded lag windows; variances come from exact moment
+    * sums (one (18,2)² pass each), so the ratio is engine-identical
+    * at 6 dp. Complements [[qAdfTest]]/[[qHurst]] with the
+    * variance-scaling view.
+    */
+  private def qVarianceRatio(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = tbl(s, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy("day").agg(sum(col("p")).as("rev"))
+    val w = Window.orderBy("day")
+    val diffs = daily
+      .withColumn("x", (col("rev") - lag(col("rev"), 1).over(w))
+        .cast("decimal(18,2)"))
+      .withColumn("y", (col("rev") - lag(col("rev"), 5).over(w))
+        .cast("decimal(18,2)"))
+    def varOf(c: String): Column = expr(
+      s"""(CAST(s${c}2 AS DOUBLE) - CAST(s$c AS DOUBLE)
+            * CAST(s$c AS DOUBLE) / CAST(n$c AS DOUBLE))
+          / CAST(n$c AS DOUBLE)""")
+    diffs.agg(
+        sum(when(col("x").isNotNull, 1L)).as("nx"),
+        sum(col("x")).as("sx"),
+        sum(col("x").cast("decimal(18,2)")
+          * col("x").cast("decimal(18,2)")).as("sx2"),
+        sum(when(col("y").isNotNull, 1L)).as("ny"),
+        sum(col("y")).as("sy"),
+        sum(col("y").cast("decimal(18,2)")
+          * col("y").cast("decimal(18,2)")).as("sy2"))
+      .select(col("nx").cast("long").as("n_1d"),
+        col("ny").cast("long").as("n_5d"),
+        round(varOf("y") / (lit(5.0d) * varOf("x")), 6)
+          .as("variance_ratio"))
+  }
+
+  /** SPECTRAL ENTROPY of the daily-revenue series: normalized Shannon
+    * entropy of the [[qPeriodogram]] power distribution over periods
+    * 2..30 — low when one cycle dominates (structured series), near 1
+    * for white noise. Powers reuse the bounded-phase 9-dp trig
+    * quantization (identical doubles on both engines); each p·ln p
+    * term is 9-dp-requantized before the 29-term sum (the qBartlett
+    * ordering contract).
+    */
+  private def qSpectralEntropy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = tbl(s, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy("day").agg(sum(col("p")).as("rev"))
+    val mean = daily.agg(expr(
+      """CAST(round(CAST(SUM(rev) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+           2) AS DECIMAL(18,2))""").as("mu"))
+    val ts = daily
+      .withColumn("t", row_number().over(Window.orderBy("day")) - 1)
+      .crossJoin(broadcast(mean))
+      .select(col("t"),
+        (col("rev") - col("mu")).cast("decimal(19,2)").as("dev"))
+    val periods = s.range(2, 31).select(col("id").as("period"))
+    val pw = ts.crossJoin(broadcast(periods))
+      .withColumn("ang", expr(
+        """6.283185307179586d * CAST(t % period AS DOUBLE)
+           / CAST(period AS DOUBLE)"""))
+      .select(col("period"),
+        (col("dev") * expr(
+          "CAST(round(cos(ang), 9) AS DECIMAL(12,9))")).as("tc"),
+        (col("dev") * expr(
+          "CAST(round(sin(ang), 9) AS DECIMAL(12,9))")).as("tsn"))
+      .groupBy("period")
+      .agg(sum(col("tc")).as("sc"), sum(col("tsn")).as("ss"))
+      .select(col("period"), expr(
+        """CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+           + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)""").as("pw"))
+    val tot = pw.agg(sum(expr(
+      "CAST(round(pw, 2) AS DECIMAL(38,2))")).as("ptot"))
+    pw.crossJoin(broadcast(tot))
+      .select(expr(
+        """CAST(round(pw / CAST(ptot AS DOUBLE)
+             * ln(pw / CAST(ptot AS DOUBLE)), 9)
+           AS DECIMAL(18,9))""").as("term"))
+      .groupBy()
+      .agg(count(lit(1)).cast("long").as("n_freqs"),
+        sum(col("term")).as("tsum"))
+      .select(col("n_freqs"),
+        round(expr("-CAST(tsum AS DOUBLE)"), 6).as("entropy"),
+        round(expr(
+          """-CAST(tsum AS DOUBLE)
+             / ln(CAST(n_freqs AS DOUBLE))"""), 6).as("normalized"))
+  }
+
+  /** TURNING-POINTS RANDOMNESS TEST on daily revenue: count local
+    * peaks and troughs; under iid the count is asymptotically normal
+    * with E = 2(n−2)/3, Var = (16n−29)/90 — the order-pattern
+    * complement of [[qRunsTest]] (which sees only signs, not shape).
+    * Pure integer counting over calendar-bounded lag windows.
+    */
+  private def qTurningPoints(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("day")
+    val daily = tbl(s, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy("day").agg(sum(col("p")).as("rev"))
+      .withColumn("prv", lag(col("rev"), 1).over(w))
+      .withColumn("nxt", lead(col("rev"), 1).over(w))
+      .filter(col("prv").isNotNull && col("nxt").isNotNull)
+    daily.agg(count(lit(1)).cast("long").as("n_interior"),
+        sum(when((col("rev") > col("prv") && col("rev") > col("nxt"))
+          || (col("rev") < col("prv") && col("rev") < col("nxt")),
+          1L).otherwise(0L)).cast("long").as("turning_points"))
+      .select(col("n_interior"), col("turning_points"),
+        round(expr(
+          """(CAST(turning_points AS DOUBLE)
+             - 2.0d * CAST(n_interior AS DOUBLE) / 3.0d)
+             / sqrt((16.0d * (CAST(n_interior AS DOUBLE) + 2.0d)
+               - 29.0d) / 90.0d)"""), 6).as("z"))
+  }
+
+  // ---- round-10 batch 25: stratified association + inequality ----
+
+  /** MANTEL–HAENSZEL common odds ratio across nation strata: does the
+    * BUILDING-segment → high-balance association hold after
+    * controlling for nation? Per-stratum 2×2 cells are exact integer
+    * counts; each a·d/n and b·c/n term is 9-dp-quantized before the
+    * stratum sum (the qBartlett ordering contract), so
+    * OR_MH = Σaᵢdᵢ/nᵢ / Σbᵢcᵢ/nᵢ is engine-identical. The
+    * confounder-adjusted upgrade of [[qOddsRatio]].
+    */
+  private def qMantelHaenszel(s: SparkSession, dir: String): DataFrame = {
+    val cells = tbl(s, dir, "customer")
+      .select(col("c_nationkey").as("strat"),
+        (col("c_mktsegment") === "BUILDING").as("expo"),
+        (col("c_acctbal") > 5000.0d).as("hi"))
+      .groupBy("strat")
+      .agg(sum(when(col("expo") && col("hi"), 1L).otherwise(0L))
+          .as("a"),
+        sum(when(col("expo") && !col("hi"), 1L).otherwise(0L))
+          .as("b"),
+        sum(when(!col("expo") && col("hi"), 1L).otherwise(0L))
+          .as("c"),
+        sum(when(!col("expo") && !col("hi"), 1L).otherwise(0L))
+          .as("d"))
+      .withColumn("n", expr("a + b + c + d"))
+      .withColumn("tad", expr(
+        """CAST(round(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+           / CAST(n AS DOUBLE), 9) AS DECIMAL(28,9))"""))
+      .withColumn("tbc", expr(
+        """CAST(round(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+           / CAST(n AS DOUBLE), 9) AS DECIMAL(28,9))"""))
+    cells.agg(count(lit(1)).cast("long").as("n_strata"),
+        sum(col("a")).cast("long").as("n_exposed_hi"),
+        sum(col("tad")).as("sad"), sum(col("tbc")).as("sbc"))
+      .select(col("n_strata"), col("n_exposed_hi"),
+        round(expr(
+          "CAST(sad AS DOUBLE) / CAST(sbc AS DOUBLE)"), 6)
+          .as("or_mh"))
+  }
+
+  /** ATKINSON INEQUALITY INDEX (ε = 1) of per-customer spend:
+    * A = 1 − geomean/mean, with the geometric mean carried in LOG
+    * space via the round-ln-to-9dp exact-DECIMAL-sum contract — the
+    * welfare-weighted complement of [[qLorenz]]'s Gini readout.
+    */
+  private def qAtkinson(s: SparkSession, dir: String): DataFrame = {
+    val spend = tbl(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("y"))
+    spend.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum(expr(
+          """CAST(round(ln(CAST(y AS DOUBLE)), 9)
+             AS DECIMAL(18,9))""")).as("slny"))
+      .select(col("n").cast("long").as("n_cust"),
+        round(expr(
+          """1.0d - exp(CAST(slny AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"""), 6)
+          .as("atkinson_1"))
+  }
+
+  /** RICH-CLUB COEFFICIENT over the co-supplier graph at degree
+    * thresholds 2/5/10: φ(k) = E_k / (n_k(n_k−1)) on the symmetric
+    * edge set — do high-degree suppliers preferentially interconnect?
+    * Degrees come off the shared write-once edge artifact; each
+    * threshold is one broadcast-semijoin count, so the whole curve is
+    * three counts over one parquet read (never a recomputation of
+    * the edge build).
+    */
+  private def qRichClub(s: SparkSession, dir: String): DataFrame = {
+    val e = writtenEdgesTable(s, dir)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ks = s.range(0, 3).select(
+      when(col("id") === 0, 2L).when(col("id") === 1, 5L)
+        .otherwise(10L).as("k"))
+    val nk = ks.join(
+      deg.crossJoin(broadcast(ks))
+        .filter(col("deg") > col("k"))
+        .groupBy("k").agg(count(lit(1)).as("cnt")),
+      Seq("k"), "left")
+      .select(col("k"), coalesce(col("cnt"), lit(0L)).as("n_k"))
+    val ek = e
+      .join(broadcast(deg.withColumnRenamed("src", "s2")
+          .withColumnRenamed("deg", "dsrc")),
+        col("src") === col("s2"))
+      .join(broadcast(deg.withColumnRenamed("src", "d2")
+          .withColumnRenamed("deg", "ddst")),
+        col("dst") === col("d2"))
+      .crossJoin(broadcast(ks.withColumnRenamed("k", "kk")))
+      .filter(col("dsrc") > col("kk") && col("ddst") > col("kk"))
+      .groupBy(col("kk").as("k")).agg(count(lit(1)).as("e_k"))
+    nk.join(ek, Seq("k"), "left")
+      .select(col("k"), col("n_k").cast("long").as("n_k"),
+        coalesce(col("e_k"), lit(0L)).cast("long").as("e_k"),
+        round(expr(
+          """CASE WHEN n_k > 1 THEN CAST(coalesce(e_k, 0) AS DOUBLE)
+             / (CAST(n_k AS DOUBLE) * (CAST(n_k AS DOUBLE) - 1.0d))
+             ELSE 0.0d END"""), 6).as("phi"))
+      .orderBy("k")
+  }
+
   // ------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -12121,6 +12638,18 @@ object SparkEntry {
     "q_cochran_q" -> qCochranQ,
     "q_katz" -> qKatz,
     "q_markov_stationary" -> qMarkovStationary,
+    "q_jonckheere" -> qJonckheere,
+    "q_page_trend" -> qPageTrend,
+    "q_bartlett" -> qBartlett,
+    "q_breusch_pagan" -> qBreuschPagan,
+    "q_cooks_distance" -> qCooksDistance,
+    "q_icc" -> qIcc,
+    "q_variance_ratio" -> qVarianceRatio,
+    "q_spectral_entropy" -> qSpectralEntropy,
+    "q_turning_points" -> qTurningPoints,
+    "q_mantel_haenszel" -> qMantelHaenszel,
+    "q_atkinson" -> qAtkinson,
+    "q_rich_club" -> qRichClub,
     "q_skew_audit" -> qSkewAudit,
     "q_tfidf_cosine_pairs" -> qTfidfCosinePairs,
     "q_diversity_index" -> qDiversityIndex,
@@ -16869,6 +17398,394 @@ object SparkEntry {
          SELECT state, round(CAST(pi AS DOUBLE), 6) AS pi4
          FROM pi4 ORDER BY state"""
     },
+    // Jonckheere-Terpstra: group x bucket count grid, pair join
+    "q_jonckheere" ->
+      """WITH grid AS (SELECT o_orderpriority AS g,
+             CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS b,
+             COUNT(*) AS c
+           FROM orders GROUP BY 1, 2),
+         jt AS (SELECT
+             SUM(CASE WHEN a.b < b.b THEN CAST(a.c AS DECIMAL(19,0))
+               * CAST(b.c AS DECIMAL(19,0)) ELSE 0 END) AS w,
+             SUM(CASE WHEN a.b = b.b THEN CAST(a.c AS DECIMAL(19,0))
+               * CAST(b.c AS DECIMAL(19,0)) ELSE 0 END) AS ties
+           FROM grid a JOIN grid b ON a.g < b.g),
+         sizes AS (SELECT SUM(ng) AS n, SUM(ng * ng) AS sn2,
+             SUM(ng * ng * (2 * ng + 3)) AS sn23
+           FROM (SELECT g, SUM(c) AS ng FROM grid GROUP BY 1)),
+         d AS (SELECT
+             CAST(w AS DOUBLE) + CAST(ties AS DOUBLE) / 2.0 AS jt_stat,
+             CAST(n AS BIGINT) AS n,
+             (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+               - CAST(sn2 AS DOUBLE)) / 4.0 AS e_jt,
+             (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+               * (2.0 * CAST(n AS DOUBLE) + 3.0)
+               - CAST(sn23 AS DOUBLE)) / 72.0 AS v_jt
+           FROM jt CROSS JOIN sizes)
+         SELECT n, round(jt_stat, 1) AS jt_stat,
+           round(e_jt, 1) AS e_jt,
+           round((jt_stat - e_jt) / sqrt(v_jt), 6) AS z
+         FROM d""",
+    // Page's L: Friedman midrank machinery with a-priori weights
+    "q_page_trend" ->
+      """WITH cells0 AS (SELECT
+             month(CAST(o_orderdate AS DATE)) AS m,
+             o_orderpriority AS trt,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+           FROM orders
+           WHERE year(CAST(o_orderdate AS DATE)) = 1995
+           GROUP BY 1, 2),
+         kall AS (SELECT COUNT(DISTINCT trt) AS kk FROM cells0),
+         complete AS (SELECT m FROM cells0 CROSS JOIN kall
+           GROUP BY m, kk HAVING COUNT(*) = MAX(kk)),
+         cells AS (SELECT c.* FROM cells0 c JOIN complete USING (m)),
+         rk AS (SELECT a.m AS m, a.trt AS trt,
+             CAST(SUM(CASE WHEN b.v < a.v THEN 1 ELSE 0 END)
+               AS DOUBLE)
+             + (CAST(SUM(CASE WHEN b.v = a.v THEN 1 ELSE 0 END)
+               AS DOUBLE) + 1.0) / 2.0 AS r
+           FROM cells a JOIN cells b ON a.m = b.m
+           GROUP BY 1, 2),
+         rj AS (SELECT trt, SUM(r) AS rsum, COUNT(*) AS nb,
+             CAST(substring(trt, 1, 1) AS DOUBLE) AS j
+           FROM rk GROUP BY 1),
+         ag AS (SELECT CAST(MAX(nb) AS BIGINT) AS n_blocks,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(j * rsum) AS l_stat
+           FROM rj)
+         SELECT n_blocks, k, round(l_stat, 1) AS l_stat,
+           round((l_stat - CAST(n_blocks AS DOUBLE)
+               * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0)
+               * (CAST(k AS DOUBLE) + 1.0) / 4.0)
+             / sqrt(CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+               * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0)
+               * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)
+               / 144.0), 6) AS z
+         FROM ag""",
+    // Bartlett: 9-dp quantized ln terms over exact group moments
+    "q_bartlett" ->
+      """WITH m AS (SELECT l_returnflag AS g, COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))
+               * CAST(l_quantity AS DECIMAL(12,2))) AS sxx
+           FROM lineitem GROUP BY 1),
+         t AS (SELECT n,
+             CAST(round(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+               * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS DECIMAL(28,6)) AS ss
+           FROM m),
+         t2 AS (SELECT n, ss,
+             CAST(round(ln(CAST(ss AS DOUBLE)
+               / (CAST(n AS DOUBLE) - 1.0)), 9)
+               AS DECIMAL(18,9)) AS lnsi,
+             CAST(round(1.0 / (CAST(n AS DOUBLE) - 1.0), 12)
+               AS DECIMAL(18,12)) AS inv
+           FROM t),
+         ag AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(COUNT(*) AS BIGINT) AS k, SUM(ss) AS ssp,
+             SUM(CAST(n - 1 AS DECIMAL(18,0)) * lnsi) AS slns,
+             SUM(inv) AS sinv
+           FROM t2),
+         f AS (SELECT nn, k, ssp, slns, sinv,
+             CAST(round(ln(CAST(ssp AS DOUBLE)
+               / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))), 9)
+               AS DECIMAL(18,9)) AS lnsp
+           FROM ag)
+         SELECT nn AS n, k,
+           round(((CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))
+               * CAST(lnsp AS DOUBLE) - CAST(slns AS DOUBLE))
+             / (1.0 + (CAST(sinv AS DOUBLE)
+               - 1.0 / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)))
+               / (3.0 * (CAST(k AS DOUBLE) - 1.0))), 6) AS chi2,
+           CAST(k - 1 AS BIGINT) AS df
+         FROM f""",
+    // Breusch-Pagan: frozen 6-dp line, 2-dp requantized residuals
+    "q_breusch_pagan" ->
+      """WITH m AS (SELECT COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(19,2))
+               * CAST(l_quantity AS DECIMAL(19,2))) AS sxx,
+             SUM(CAST(l_quantity AS DECIMAL(19,2))
+               * CAST(l_extendedprice AS DECIMAL(19,2))) AS sxy
+           FROM lineitem),
+         c AS (SELECT
+             CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+               AS DECIMAL(18,6)) AS b,
+             CAST(round((CAST(sy AS DOUBLE)
+                 - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+               AS DECIMAL(18,6)) AS a
+           FROM m),
+         r AS (SELECT CAST(l_quantity AS DECIMAL(12,2)) AS x,
+             CAST(round(CAST(CAST(l_extendedprice AS DECIMAL(14,2))
+                 - (a + b * CAST(l_quantity AS DECIMAL(12,2)))
+                 AS DOUBLE)
+               * CAST(CAST(l_extendedprice AS DECIMAL(14,2))
+                 - (a + b * CAST(l_quantity AS DECIMAL(12,2)))
+                 AS DOUBLE), 2) AS DECIMAL(19,2)) AS e2
+           FROM lineitem CROSS JOIN c),
+         ag AS (SELECT COUNT(*) AS n, SUM(x) AS sx,
+             SUM(CAST(x AS DECIMAL(19,2))
+               * CAST(x AS DECIMAL(19,2))) AS sxx,
+             SUM(e2) AS se,
+             SUM(CAST(x AS DECIMAL(19,2)) * e2) AS sxe,
+             SUM(CAST(e2 AS DECIMAL(19,2))
+               * CAST(e2 AS DECIMAL(19,2))) AS see
+           FROM r)
+         SELECT CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE)
+             * ((CAST(sxe AS DOUBLE) - CAST(sx AS DOUBLE)
+                 * CAST(se AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(sxe AS DOUBLE) - CAST(sx AS DOUBLE)
+                 * CAST(se AS DOUBLE) / CAST(n AS DOUBLE)))
+             / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                 * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(see AS DOUBLE) - CAST(se AS DOUBLE)
+                 * CAST(se AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+             AS lm_stat,
+           CAST(1 AS BIGINT) AS df
+         FROM ag""",
+    // Cook's distance: per-row doubles off broadcast exact moments
+    "q_cooks_distance" ->
+      """WITH m AS (SELECT COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(19,2))
+               * CAST(l_quantity AS DECIMAL(19,2))) AS sxx,
+             SUM(CAST(l_quantity AS DECIMAL(19,2))
+               * CAST(l_extendedprice AS DECIMAL(19,2))) AS sxy
+           FROM lineitem),
+         c AS (SELECT n, sx, sxx,
+             CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+               AS DECIMAL(18,6)) AS b,
+             CAST(round((CAST(sy AS DOUBLE)
+                 - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+               AS DECIMAL(18,6)) AS a
+           FROM m),
+         r AS (SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS DECIMAL(12,2)) AS x,
+             CAST(round(CAST(CAST(l_extendedprice AS DECIMAL(14,2))
+                 - (a + b * CAST(l_quantity AS DECIMAL(12,2)))
+                 AS DOUBLE)
+               * CAST(CAST(l_extendedprice AS DECIMAL(14,2))
+                 - (a + b * CAST(l_quantity AS DECIMAL(12,2)))
+                 AS DOUBLE), 2) AS DECIMAL(19,2)) AS e2,
+             n, sx, sxx
+           FROM lineitem CROSS JOIN c),
+         s AS (SELECT MAX(CAST(n AS DOUBLE)) AS nd,
+             MAX(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS xbar,
+             MAX(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+               * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS csxx,
+             CAST(SUM(e2) AS DOUBLE)
+               / (MAX(CAST(n AS DOUBLE)) - 2.0) AS s2
+           FROM r),
+         d AS (SELECT l_orderkey, l_linenumber,
+             CAST(x AS DOUBLE) AS quantity,
+             1.0 / nd + (CAST(x AS DOUBLE) - xbar)
+               * (CAST(x AS DOUBLE) - xbar) / csxx AS h, e2, s2
+           FROM r CROSS JOIN s)
+         SELECT l_orderkey, l_linenumber, quantity,
+           round(CAST(e2 AS DOUBLE) * h
+             / (2.0 * s2 * (1.0 - h) * (1.0 - h)), 9) AS d_cook,
+           round(h, 9) AS leverage
+         FROM d
+         ORDER BY d_cook DESC, l_orderkey, l_linenumber LIMIT 10""",
+    // ICC(1,1): quantized per-group pieces, scale-free readouts only
+    "q_icc" ->
+      """WITH g AS (SELECT o_orderpriority AS g, COUNT(*) AS ng,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sy,
+             SUM(CAST(o_totalprice AS DECIMAL(19,2))
+               * CAST(o_totalprice AS DECIMAL(19,2))) AS syy
+           FROM orders GROUP BY 1),
+         t AS (SELECT ng, sy, syy,
+             CAST(round(CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+               / CAST(ng AS DOUBLE), 4) AS DECIMAL(28,4)) AS bg
+           FROM g),
+         ag AS (SELECT CAST(SUM(ng) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(ng * ng) AS sn2, SUM(sy) AS sy, SUM(syy) AS syy,
+             SUM(bg) AS sbg
+           FROM t),
+         d AS (SELECT n, k,
+             (CAST(sbg AS DOUBLE) - CAST(sy AS DOUBLE)
+               * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(k AS DOUBLE) - 1.0) AS msb,
+             (CAST(syy AS DOUBLE) - CAST(sbg AS DOUBLE))
+               / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) AS msw,
+             (CAST(n AS DOUBLE) - CAST(sn2 AS DOUBLE)
+               / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0) AS k0
+           FROM ag)
+         SELECT n, k, round(msb / msw, 6) AS f_ratio,
+           round((msb - msw) / (msb + (k0 - 1.0) * msw), 6) AS icc
+         FROM d""",
+    // variance ratio: exact moment sums of both difference series
+    "q_variance_ratio" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders GROUP BY 1),
+         d2 AS (SELECT
+             CAST(rev - lag(rev, 1) OVER (ORDER BY day)
+               AS DECIMAL(18,2)) AS x,
+             CAST(rev - lag(rev, 5) OVER (ORDER BY day)
+               AS DECIMAL(18,2)) AS y
+           FROM daily),
+         ag AS (SELECT
+             SUM(CASE WHEN x IS NOT NULL THEN 1 END) AS nx,
+             SUM(x) AS sx,
+             SUM(CAST(x AS DECIMAL(19,2))
+               * CAST(x AS DECIMAL(19,2))) AS sx2,
+             SUM(CASE WHEN y IS NOT NULL THEN 1 END) AS ny,
+             SUM(y) AS sy,
+             SUM(CAST(y AS DECIMAL(19,2))
+               * CAST(y AS DECIMAL(19,2))) AS sy2
+           FROM d2)
+         SELECT CAST(nx AS BIGINT) AS n_1d,
+           CAST(ny AS BIGINT) AS n_5d,
+           round(((CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE)
+               * CAST(sy AS DOUBLE) / CAST(ny AS DOUBLE))
+               / CAST(ny AS DOUBLE))
+             / (5.0 * ((CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE)
+               * CAST(sx AS DOUBLE) / CAST(nx AS DOUBLE))
+               / CAST(nx AS DOUBLE))), 6) AS variance_ratio
+         FROM ag""",
+    // spectral entropy: quantized trig powers, 9-dp p ln p terms
+    "q_spectral_entropy" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders GROUP BY 1),
+         mn AS (SELECT CAST(round(CAST(SUM(rev) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 2) AS DECIMAL(18,2)) AS mu
+           FROM daily),
+         ts AS (SELECT row_number() OVER (ORDER BY day) - 1 AS t,
+             CAST(rev - mu AS DECIMAL(19,2)) AS dev
+           FROM daily CROSS JOIN mn),
+         pr AS (SELECT CAST(range AS BIGINT) AS period
+           FROM range(2, 31)),
+         g AS (SELECT period,
+             dev * CAST(round(cos(6.283185307179586
+               * CAST(t % period AS DOUBLE)
+               / CAST(period AS DOUBLE)), 9) AS DECIMAL(12,9)) AS tc,
+             dev * CAST(round(sin(6.283185307179586
+               * CAST(t % period AS DOUBLE)
+               / CAST(period AS DOUBLE)), 9) AS DECIMAL(12,9)) AS tsn
+           FROM ts CROSS JOIN pr),
+         pwt AS (SELECT period,
+             CAST(SUM(tc) AS DOUBLE) * CAST(SUM(tc) AS DOUBLE)
+             + CAST(SUM(tsn) AS DOUBLE) * CAST(SUM(tsn) AS DOUBLE)
+               AS pw
+           FROM g GROUP BY 1),
+         tot AS (SELECT SUM(CAST(round(pw, 2) AS DECIMAL(38,2)))
+             AS ptot
+           FROM pwt),
+         terms AS (SELECT CAST(round(pw / CAST(ptot AS DOUBLE)
+               * ln(pw / CAST(ptot AS DOUBLE)), 9)
+               AS DECIMAL(18,9)) AS term
+           FROM pwt CROSS JOIN tot)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_freqs,
+           round(-CAST(SUM(term) AS DOUBLE), 6) AS entropy,
+           round(-CAST(SUM(term) AS DOUBLE)
+             / ln(CAST(COUNT(*) AS DOUBLE)), 6) AS normalized
+         FROM terms""",
+    // turning points: integer peak/trough counting
+    "q_turning_points" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders GROUP BY 1),
+         lagd AS (SELECT rev,
+             lag(rev, 1) OVER (ORDER BY day) AS prv,
+             lead(rev, 1) OVER (ORDER BY day) AS nxt
+           FROM daily),
+         t AS (SELECT * FROM lagd
+           WHERE prv IS NOT NULL AND nxt IS NOT NULL),
+         ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_interior,
+             CAST(SUM(CASE WHEN (rev > prv AND rev > nxt)
+               OR (rev < prv AND rev < nxt) THEN 1 ELSE 0 END)
+               AS BIGINT) AS turning_points
+           FROM t)
+         SELECT n_interior, turning_points,
+           round((CAST(turning_points AS DOUBLE)
+             - 2.0 * CAST(n_interior AS DOUBLE) / 3.0)
+             / sqrt((16.0 * (CAST(n_interior AS DOUBLE) + 2.0)
+               - 29.0) / 90.0), 6) AS z
+         FROM ag""",
+    // Mantel-Haenszel: 9-dp quantized stratum terms, exact counts
+    "q_mantel_haenszel" ->
+      """WITH cells AS (SELECT c_nationkey AS strat,
+             SUM(CASE WHEN c_mktsegment = 'BUILDING'
+               AND c_acctbal > 5000.0 THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN c_mktsegment = 'BUILDING'
+               AND NOT (c_acctbal > 5000.0) THEN 1 ELSE 0 END) AS b,
+             SUM(CASE WHEN c_mktsegment <> 'BUILDING'
+               AND c_acctbal > 5000.0 THEN 1 ELSE 0 END) AS c,
+             SUM(CASE WHEN c_mktsegment <> 'BUILDING'
+               AND NOT (c_acctbal > 5000.0) THEN 1 ELSE 0 END) AS d
+           FROM customer GROUP BY 1),
+         t AS (SELECT a, b, c, d, a + b + c + d AS n FROM cells),
+         q AS (SELECT a,
+             CAST(round(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+               / CAST(n AS DOUBLE), 9) AS DECIMAL(28,9)) AS tad,
+             CAST(round(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+               / CAST(n AS DOUBLE), 9) AS DECIMAL(28,9)) AS tbc
+           FROM t)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+           CAST(SUM(a) AS BIGINT) AS n_exposed_hi,
+           round(CAST(SUM(tad) AS DOUBLE)
+             / CAST(SUM(tbc) AS DOUBLE), 6) AS or_mh
+         FROM q""",
+    // Atkinson(1): log-space geometric mean, 9-dp ln terms
+    "q_atkinson" ->
+      """WITH spend AS (SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+           FROM orders GROUP BY 1),
+         ag AS (SELECT COUNT(*) AS n, SUM(y) AS sy,
+             SUM(CAST(round(ln(CAST(y AS DOUBLE)), 9)
+               AS DECIMAL(18,9))) AS slny
+           FROM spend)
+         SELECT CAST(n AS BIGINT) AS n_cust,
+           round(1.0 - exp(CAST(slny AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+             AS atkinson_1
+         FROM ag""",
+    // rich club: degree-thresholded edge counts over the edge set
+    "q_rich_club" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+             WHERE l_quantity <= 2),
+         e AS (SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+             FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+               AND a.l_suppkey <> b.l_suppkey),
+         deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+         ks AS (SELECT CAST(CASE WHEN range = 0 THEN 2
+             WHEN range = 1 THEN 5 ELSE 10 END AS BIGINT) AS k
+           FROM range(0, 3)),
+         nk0 AS (SELECT k, COUNT(*) AS cnt
+           FROM deg CROSS JOIN ks WHERE deg > k GROUP BY 1),
+         nk AS (SELECT ks.k, CAST(coalesce(cnt, 0) AS BIGINT) AS n_k
+           FROM ks LEFT JOIN nk0 ON ks.k = nk0.k),
+         ek AS (SELECT k, COUNT(*) AS e_k
+           FROM e JOIN deg ds ON e.src = ds.src
+             JOIN deg dd ON e.dst = dd.src
+             CROSS JOIN ks
+           WHERE ds.deg > k AND dd.deg > k GROUP BY 1)
+         SELECT k, n_k,
+           CAST(coalesce(e_k, 0) AS BIGINT) AS e_k,
+           round(CASE WHEN n_k > 1 THEN CAST(coalesce(e_k, 0) AS DOUBLE)
+             / (CAST(n_k AS DOUBLE) * (CAST(n_k AS DOUBLE) - 1.0))
+             ELSE 0.0 END, 6) AS phi
+         FROM nk LEFT JOIN ek USING (k) ORDER BY k""",
     // cross-slice brute-force near-dup truth (the Spark side is banded
     // LSH + exact verify — same pair set, never all-pairs)
     "q_contamination_fuzzy" ->

@@ -680,4 +680,123 @@ class Round10Spec extends AnyFunSuite {
     // leakage to next-only states is possible but should be tiny
     assert(tot > 0.9 && tot <= 1.0 + 1e-6, s"sum=$tot")
   }
+
+  test("Jonckheere JT statistic stays within its hard combinatorial " +
+      "bounds [0, n^2/2]") {
+    val r = SparkEntry.queries("q_jonckheere")(
+      spark, "/root/testdata/sf0.001").head()
+    val n = r.getLong(r.fieldIndex("n"))
+    val jt = r.getDouble(r.fieldIndex("jt_stat"))
+    assert(jt >= 0.0 && jt <= n.toDouble * n / 2.0)
+    assert(r.getDouble(r.fieldIndex("e_jt")) > 0.0)
+  }
+
+  test("Page's L lies within the hard bounds nk(k+1)/2*[min,max] " +
+      "given complete blocks") {
+    val r = SparkEntry.queries("q_page_trend")(
+      spark, "/root/testdata/sf0.001").head()
+    val n = r.getLong(r.fieldIndex("n_blocks"))
+    val k = r.getLong(r.fieldIndex("k"))
+    val l = r.getDouble(r.fieldIndex("l_stat"))
+    // per block, sum j*r_j ranges between k(k+1)(k+2)/6 (reversed)
+    // and k(k+1)(2k+1)/6 (aligned)
+    val lo = n.toDouble * k * (k + 1) * (k + 2) / 6.0
+    val hi = n.toDouble * k * (k + 1) * (2 * k + 1) / 6.0
+    assert(l >= lo - 1e-6 && l <= hi + 1e-6, s"L=$l not in [$lo,$hi]")
+  }
+
+  test("Bartlett chi2 is non-negative with df = k - 1") {
+    val r = SparkEntry.queries("q_bartlett")(
+      spark, "/root/testdata/sf0.001").head()
+    assert(r.getDouble(r.fieldIndex("chi2")) >= 0.0)
+    assert(r.getLong(r.fieldIndex("df"))
+      == r.getLong(r.fieldIndex("k")) - 1)
+  }
+
+  test("Breusch-Pagan LM statistic is non-negative and bounded by n " +
+      "(it is n times an R-squared)") {
+    val r = SparkEntry.queries("q_breusch_pagan")(
+      spark, "/root/testdata/sf0.001").head()
+    val n = r.getLong(r.fieldIndex("n"))
+    val lm = r.getDouble(r.fieldIndex("lm_stat"))
+    assert(lm >= 0.0 && lm <= n.toDouble, s"LM=$lm n=$n")
+  }
+
+  test("Cook's distance top-10 is sorted and every leverage is in " +
+      "(0, 1)") {
+    val rows = SparkEntry.queries("q_cooks_distance")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 10)
+    val ds = rows.map(_.getDouble(3))
+    assert(ds.sliding(2).forall(p => p(0) >= p(1)))
+    rows.foreach { r =>
+      val h = r.getDouble(r.fieldIndex("leverage"))
+      assert(h > 0.0 && h < 1.0)
+    }
+  }
+
+  test("ICC lies in (-1, 1] and the F ratio is positive") {
+    val r = SparkEntry.queries("q_icc")(
+      spark, "/root/testdata/sf0.001").head()
+    val icc = r.getDouble(r.fieldIndex("icc"))
+    assert(icc > -1.0 && icc <= 1.0, s"icc=$icc")
+    assert(r.getDouble(r.fieldIndex("f_ratio")) > 0.0)
+  }
+
+  test("Variance ratio is positive and counts differ by exactly 4 " +
+      "(lag-5 loses four more observations)") {
+    val r = SparkEntry.queries("q_variance_ratio")(
+      spark, "/root/testdata/sf0.001").head()
+    assert(r.getDouble(r.fieldIndex("variance_ratio")) > 0.0)
+    assert(r.getLong(r.fieldIndex("n_1d"))
+      - r.getLong(r.fieldIndex("n_5d")) == 4)
+  }
+
+  test("Spectral entropy is in (0, ln 29] and normalized in (0, 1]") {
+    val r = SparkEntry.queries("q_spectral_entropy")(
+      spark, "/root/testdata/sf0.001").head()
+    assert(r.getLong(r.fieldIndex("n_freqs")) == 29)
+    val h = r.getDouble(r.fieldIndex("entropy"))
+    val hn = r.getDouble(r.fieldIndex("normalized"))
+    assert(h > 0.0 && h <= math.log(29.0) + 1e-6)
+    assert(hn > 0.0 && hn <= 1.0 + 1e-6)
+  }
+
+  test("Turning points count is at most the interior count") {
+    val r = SparkEntry.queries("q_turning_points")(
+      spark, "/root/testdata/sf0.001").head()
+    val n = r.getLong(r.fieldIndex("n_interior"))
+    val t = r.getLong(r.fieldIndex("turning_points"))
+    assert(t >= 0 && t <= n)
+    assert(n >= 300)
+  }
+
+  test("Mantel-Haenszel odds ratio is positive and finite") {
+    val r = SparkEntry.queries("q_mantel_haenszel")(
+      spark, "/root/testdata/sf0.001").head()
+    val or = r.getDouble(r.fieldIndex("or_mh"))
+    assert(or > 0.0 && !or.isInfinite, s"OR=$or")
+    assert(r.getLong(r.fieldIndex("n_strata")) >= 10)
+  }
+
+  test("Atkinson index lies in [0, 1) (geometric mean never exceeds " +
+      "arithmetic)") {
+    val r = SparkEntry.queries("q_atkinson")(
+      spark, "/root/testdata/sf0.001").head()
+    val a = r.getDouble(r.fieldIndex("atkinson_1"))
+    assert(a >= -1e-9 && a < 1.0, s"A=$a")
+  }
+
+  test("Rich-club phi is a valid density in [0, 1] and club sizes " +
+      "shrink as the threshold rises") {
+    val rows = SparkEntry.queries("q_rich_club")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 5L, 10L))
+    val sizes = rows.map(r => r.getLong(r.fieldIndex("n_k")))
+    assert(sizes.sliding(2).forall(p => p(0) >= p(1)))
+    rows.foreach { r =>
+      val phi = r.getDouble(r.fieldIndex("phi"))
+      assert(phi >= 0.0 && phi <= 1.0 + 1e-9)
+    }
+  }
 }
