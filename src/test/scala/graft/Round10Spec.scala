@@ -799,4 +799,61 @@ class Round10Spec extends AnyFunSuite {
       assert(phi >= 0.0 && phi <= 1.0 + 1e-9)
     }
   }
+
+  test("Brier score and calibration errors are valid: brier in [0,1], " +
+      "ECE <= MCE") {
+    val r = SparkEntry.queries("q_brier_ece")(
+      spark, "/root/testdata/sf0.001").head()
+    val brier = r.getDouble(r.fieldIndex("brier"))
+    val ece = r.getDouble(r.fieldIndex("ece"))
+    val mce = r.getDouble(r.fieldIndex("mce"))
+    assert(brier >= 0.0 && brier <= 1.0)
+    assert(ece >= 0.0 && mce >= ece - 1e-9, s"ECE=$ece MCE=$mce")
+  }
+
+  test("MCC lies in [-1, 1], the four cells partition the corpus, " +
+      "and balanced accuracy matches Youden's J") {
+    val r = SparkEntry.queries("q_mcc")(
+      spark, "/root/testdata/sf0.001").head()
+    val mcc = r.getDouble(r.fieldIndex("mcc"))
+    assert(mcc >= -1.0 && mcc <= 1.0)
+    val j = r.getDouble(r.fieldIndex("youden_j"))
+    val ba = r.getDouble(r.fieldIndex("balanced_acc"))
+    assert(math.abs(ba - (j + 1.0) / 2.0) < 1e-5)
+  }
+
+  test("Siegel repeated-median slope exists per event type") {
+    val rows = SparkEntry.queries("q_siegel_slopes")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_days")) > 10)
+      assert(!r.getDouble(r.fieldIndex("siegel_slope")).isNaN)
+    }
+  }
+
+  test("Qn scale is positive and the scaled value is the constant " +
+      "times the raw quartile") {
+    val r = SparkEntry.queries("q_qn_scale")(
+      spark, "/root/testdata/sf0.001").head()
+    val raw = r.getDouble(r.fieldIndex("qn_raw"))
+    val sc = r.getDouble(r.fieldIndex("qn_scaled"))
+    assert(raw > 0.0)
+    assert(math.abs(sc - 2.21914 * raw) < 0.01 + raw * 1e-6)
+  }
+
+  test("Fisher index is the geometric mean of Laspeyres and Paasche " +
+      "and the base year indexes to 1") {
+    val rows = SparkEntry.queries("q_fisher_index")(
+      spark, "/root/testdata/sf0.001").collect()
+    val base = rows.find(_.getLong(0) == 1995L).get
+    assert(math.abs(base.getDouble(base.fieldIndex("fisher")) - 1.0)
+      < 1e-6)
+    rows.foreach { r =>
+      val l = r.getDouble(r.fieldIndex("laspeyres"))
+      val p = r.getDouble(r.fieldIndex("paasche"))
+      val f = r.getDouble(r.fieldIndex("fisher"))
+      assert(math.abs(f - math.sqrt(l * p)) < 1e-5)
+    }
+  }
 }
