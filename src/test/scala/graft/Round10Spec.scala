@@ -856,4 +856,63 @@ class Round10Spec extends AnyFunSuite {
       assert(math.abs(f - math.sqrt(l * p)) < 1e-5)
     }
   }
+
+  test("PACF at lag 1 equals the lag-1 ACF and all PACF values are " +
+      "in [-1, 1]") {
+    val r = SparkEntry.queries("q_pacf")(
+      spark, "/root/testdata/sf0.001").head()
+    assert(r.getDouble(r.fieldIndex("pacf1"))
+      == r.getDouble(r.fieldIndex("acf1")))
+    Seq("pacf1", "pacf2", "pacf3").foreach { c =>
+      val v = r.getDouble(r.fieldIndex(c))
+      assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9, s"$c=$v")
+    }
+  }
+
+  test("Seasonal strength is a fraction in [0, 1]") {
+    val r = SparkEntry.queries("q_seasonal_strength")(
+      spark, "/root/testdata/sf0.001").head()
+    val fs = r.getDouble(r.fieldIndex("seasonal_strength"))
+    assert(fs >= 0.0 && fs <= 1.0, s"Fs=$fs")
+    assert(r.getLong(r.fieldIndex("n_days")) >= 300)
+  }
+
+  test("Mood's median chi2 is non-negative with df = k - 1") {
+    val r = SparkEntry.queries("q_moods_median")(
+      spark, "/root/testdata/sf0.001").head()
+    assert(r.getDouble(r.fieldIndex("chi2")) >= 0.0)
+    assert(r.getLong(r.fieldIndex("df"))
+      == r.getLong(r.fieldIndex("k")) - 1)
+  }
+
+  test("Entropy rate is positive and at most the uniform bound over " +
+      "the observed state count") {
+    val er = SparkEntry.queries("q_entropy_rate")(
+      spark, "/root/testdata/sf0.001").head()
+    val h = er.getDouble(er.fieldIndex("entropy_rate"))
+    val states = SparkEntry.queries("q_markov_stationary")(
+      spark, "/root/testdata/sf0.001").count()
+    assert(h > 0.0 && h <= math.log(states.toDouble) + 1e-6,
+      s"H=$h states=$states")
+  }
+
+  test("ABC classes partition the catalog with shares summing to 1 " +
+      "and A the largest share") {
+    val rows = SparkEntry.queries("q_abc_analysis")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("A", "B", "C"))
+    val shares = rows.map(r => r.getDouble(r.fieldIndex("revenue_share")))
+    assert(math.abs(shares.sum - 1.0) < 1e-5)
+    assert(shares(0) >= shares(1) && shares(1) >= shares(2))
+  }
+
+  test("Cointegration DF statistic is negative (residual spread " +
+      "mean-reverts) and phi is in (-2, 0)") {
+    val r = SparkEntry.queries("q_cointegration")(
+      spark, "/root/testdata/sf0.001").head()
+    val phi = r.getDouble(r.fieldIndex("phi"))
+    val df = r.getDouble(r.fieldIndex("df_stat"))
+    assert(phi < 0.0 && phi > -2.0, s"phi=$phi")
+    assert(df < 0.0, s"df=$df")
+  }
 }
