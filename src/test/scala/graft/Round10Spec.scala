@@ -915,4 +915,50 @@ class Round10Spec extends AnyFunSuite {
     assert(phi < 0.0 && phi > -2.0, s"phi=$phi")
     assert(df < 0.0, s"df=$df")
   }
+
+  // ---- plan-shape assertions for the late-round-10 heavy queries ----
+
+  test("q_katz final plan is a TakeOrdered head over the checkpointed " +
+      "fixpoint (no residual joins)") {
+    val plan = SparkEntry.queries("q_katz")(
+      spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+    assert(!plan.contains("SortMergeJoin"), plan.take(400))
+  }
+
+  test("q_cooks_distance plans a TakeOrdered head, never a global " +
+      "sort of the fact table") {
+    val qe = SparkEntry.queries("q_cooks_distance")(
+      spark, "/root/testdata/sf0.001").queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+    assert(!plan.contains("SortExec"), plan.take(400))
+  }
+
+  test("q_mahalanobis moment side rides broadcasts (no shuffle join " +
+      "of the customer features against the 1-row moments)") {
+    val plan = SparkEntry.queries("q_mahalanobis")(
+      spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("SortMergeJoin"), plan.take(400))
+  }
+
+  test("q_jonckheere's pair join runs over the bucket GRID, with the " +
+      "grid side broadcast") {
+    val plan = SparkEntry.queries("q_jonckheere")(
+      spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
+    assert(!plan.contains("CartesianProduct"), plan.take(400))
+  }
+
+  test("markovChain guards: the kernel returns one pi per transition " +
+      "row and pi values are non-negative") {
+    val rows = SparkEntry.queries("q_markov_stationary")(
+      spark, "/root/testdata/sf0.001").collect()
+    rows.foreach(r =>
+      assert(r.getDouble(r.fieldIndex("pi4")) >= 0.0))
+  }
 }
