@@ -993,4 +993,25 @@ class Round10Spec extends AnyFunSuite {
     assert(r.getLong(r.fieldIndex("n_en")) > 0)
     assert(r.getLong(r.fieldIndex("n_rest")) > 0)
   }
+
+  test("Median polish emits one row per priority with a shared " +
+      "max-residual column") {
+    val rows = SparkEntry.queries("q_median_polish")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length >= 4)
+    val resids = rows.map(r => r.getDouble(r.fieldIndex("max_abs_resid")))
+    assert(resids.distinct.length == 1, "max_abs_resid must be global")
+    assert(resids.head >= 0.0)
+  }
+
+  test("Seasonal Mann-Kendall |S| is bounded by the within-weekday " +
+      "pair count") {
+    val r = SparkEntry.queries("q_seasonal_mk")(
+      spark, "/root/testdata/sf0.001").head()
+    val n = r.getLong(r.fieldIndex("n_days"))
+    val s = r.getLong(r.fieldIndex("s_stat"))
+    // within-weekday pairs are at most n(n-1)/2 overall
+    assert(math.abs(s) <= n * (n - 1) / 2)
+    assert(!r.getDouble(r.fieldIndex("z")).isNaN)
+  }
 }
