@@ -1014,4 +1014,20 @@ class Round10Spec extends AnyFunSuite {
     assert(math.abs(s) <= n * (n - 1) / 2)
     assert(!r.getDouble(r.fieldIndex("z")).isNaN)
   }
+
+  test("Hoover index is a fraction in [0, 1)") {
+    val r = SparkEntry.queries("q_hoover")(
+      spark, "/root/testdata/sf0.001").head()
+    val h = r.getDouble(r.fieldIndex("hoover_index"))
+    assert(h >= 0.0 && h < 1.0, s"hoover=$h")
+  }
+
+  test("Palma ratio is positive and above the equal-distribution " +
+      "floor of 0.25") {
+    val r = SparkEntry.queries("q_palma")(
+      spark, "/root/testdata/sf0.001").head()
+    val p = r.getDouble(r.fieldIndex("palma_ratio"))
+    // top-10% share / bottom-40% share == 0.25 under perfect equality
+    assert(p >= 0.25 - 1e-6, s"palma=$p")
+  }
 }
