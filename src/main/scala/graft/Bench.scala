@@ -106,18 +106,10 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
-    // A broken query must NEVER improve the benchmark: the r6 fixtures
-    // broke 17 queries and the old blanket catch recorded their
-    // time-to-exception (0.05-0.09 s) as a "win". Any rep that throws
-    // marks the query FAILED — it is excluded from `queries` and the
-    // total and reported under a separate "failed" key instead.
-    val raw = selected.map { case (name, fn) =>
-      // Level the inter-query playing field: a System.gc() between
-      // queries lets the ContextCleaner release the previous queries'
-      // shuffle files and broadcast blocks (they are freed on reference
-      // GC, not eagerly) — without it, late-run queries inherit hundreds
-      // of earlier queries' tmp-disk + heap residue, which the r5 run
-      // showed as a 6× swing on a trivial scan+groupBy (events_tumbling).
+    // Median-timed single query, cache cleared per rep (shared by the
+    // solo pass and the in-suite loop).
+    def timed(name: String,
+        fn: (SparkSession, String) => DataFrame): (String, Double, Boolean) = {
       System.gc()
       var ok = true
       val times = Seq.fill(reps) {
@@ -134,6 +126,37 @@ object Bench {
       }
       (name, times.sorted.apply(reps / 2), ok)
     }
+    // SOLO pass over the 28-query r4-headline slice, timed BEFORE the
+    // full suite: warm JVM, zero suite residue — the like-for-like
+    // cross-round perf signal. In-suite totals move ±50% ambiently as
+    // the suite grows (GC/tmp-disk pressure from ~400 predecessors);
+    // recording the slice solo in the same emission stops each round
+    // re-adjudicating that noise (r10 VERDICT ask #5).
+    val r4Slice = Seq(
+      "q1_agg", "q3_topk", "q5_join", "q6_filter", "q_window_running",
+      "q_topk_per_group", "q_tfidf", "q_bm25", "events_tumbling",
+      "events_stream_tumbling", "events_stream_dedup", "dedup_exact",
+      "dedup_minhash", "dedup_fuzzy", "neardup_embedding",
+      "ann_bruteforce", "ann_lsh_indexed", "doc_embeddings",
+      "pipeline_e2e", "q_asof_join_native", "q_gapfill",
+      "q_session_window", "q_contamination", "q_seq_packing",
+      "dedup_incremental", "q_perplexity", "q_boilerplate", "q_knn_eval")
+    val solo: Seq[(String, Double)] =
+      if (only.nonEmpty) Seq.empty
+      else r4Slice.flatMap { n =>
+        SparkEntry.queries.get(n).map(fn => timed(n, fn))
+      }.collect { case (n, t, true) => n -> t }
+    // A broken query must NEVER improve the benchmark: the r6 fixtures
+    // broke 17 queries and the old blanket catch recorded their
+    // time-to-exception (0.05-0.09 s) as a "win". Any rep that throws
+    // marks the query FAILED — it is excluded from `queries` and the
+    // total and reported under a separate "failed" key instead.
+    // In-suite loop. The per-query System.gc() (inside timed) levels the
+    // inter-query playing field: shuffle files and broadcast blocks are
+    // freed on reference GC, not eagerly — without it, late-run queries
+    // inherit hundreds of earlier queries' tmp-disk + heap residue,
+    // which the r5 run showed as a 6× swing on a trivial scan+groupBy.
+    val raw = selected.map { case (name, fn) => timed(name, fn) }
     val results = raw.collect { case (n, t, true) => n -> t }.toSeq
     val resultMap = results.toMap
     val failedNames = raw.collect { case (n, _, false) => n }.toSeq
@@ -141,7 +164,8 @@ object Bench {
     // COMMAS under e.g. de_DE and the JSON line stops parsing
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def jsonLine(rs: Iterable[(String, Double)]): String = {
+    def jsonLine(rs: Iterable[(String, Double)],
+        soloDetail: Boolean): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + f3(v) }
         .mkString("{", ",", "}")
       // total is over all SUCCESSFUL queries; failures are named, never
@@ -149,7 +173,19 @@ object Bench {
       val total = results.map(_._2).sum
       val failedJson = failedNames.map("\"" + _ + "\"")
         .mkString("[", ",", "]")
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      // solo slice: full map in the file line, total-only on stdout
+      // (the harness keeps ~2000 stdout chars — the map won't fit)
+      val soloJson =
+        if (solo.isEmpty) ""
+        else {
+          val t = f3(solo.map(_._2).sum)
+          if (soloDetail) {
+            val m = solo.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+              .mkString("{", ",", "}")
+            s""","headline_solo_total":$t,"headline_solo":$m"""
+          } else s""","headline_solo_total":$t"""
+        }
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failedJson$soloJson,"sf":"$sfDir"}"""
     }
     // Full per-query detail goes to the file; stdout gets a HEADLINE subset.
     // The harness keeps only the last ~2000 chars of stdout — an 84-entry
@@ -175,8 +211,10 @@ object Bench {
       // Jaro-Winkler linkage, incremental MV maintenance, cohort LTV
       "q_hits", "q_bigram_lm", "q_jaro_dedup", "q_mv_incremental",
       "q_cohort_ltv")
-    val fullLine = jsonLine(results)
-    val headLine = jsonLine(headline.flatMap(h => resultMap.get(h).map(h -> _)))
+    val fullLine = jsonLine(results, soloDetail = true)
+    val headLine = jsonLine(
+      headline.flatMap(h => resultMap.get(h).map(h -> _)),
+      soloDetail = false)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(out),

@@ -43,10 +43,12 @@ object Katz {
       .union(e.select(col("dst").as("node")))
       .distinct()
       .persist()
-    require(nodes.limit(1).count() > 0, "empty graph")
-    var x = nodes.select(col("node"),
-      expr("CAST(1.0 AS DECIMAL(28,12))").as("x"))
     try {
+      // inside the try: an empty-graph throw must still release the
+      // two caches above via the finally
+      require(nodes.limit(1).count() > 0, "empty graph")
+      var x = nodes.select(col("node"),
+        expr("CAST(1.0 AS DECIMAL(28,12))").as("x"))
       for (_ <- 1 to iters) {
         val contrib = e
           .join(x.withColumnRenamed("node", "src"), "src")
@@ -60,10 +62,10 @@ object Katz {
               "AS DECIMAL(28,12))").as("x"))
           .localCheckpoint(true)
       }
+      x
     } finally {
       nodes.unpersist(blocking = false)
       e.unpersist(blocking = false)
     }
-    x
   }
 }

@@ -431,23 +431,29 @@ object Multimodal {
   private val resizeUdf =
     udf((b: Array[Byte], w: Int, h: Int) => resizeImage(b, w, h))
 
-  /** 56-bit DIFFERENCE HASH of an 8×8 thumbnail: bit (y·7+x) set when
-    * the red channel strictly increases from column x to x+1 — the
-    * standard perceptual near-dup key (dHash; resize to 8×8 first).
-    * Undecodable or too-small media hashes to -1 so failures group
-    * VISIBLY instead of silently joining bucket 0.
+  /** 56-bit DIFFERENCE HASH of the image's 8×8 thumbnail: bit (y·7+x)
+    * set when the red channel strictly increases from thumbnail column
+    * x to x+1 — the standard perceptual near-dup key. The thumbnail is
+    * sampled HERE (the [[resizeImage]] nearest-neighbor formula, which
+    * is the identity on an already-8×8 input), so the hash covers the
+    * whole image at any size — a public helper must not silently
+    * produce top-left-corner hashes when the caller forgets to resize
+    * first. Undecodable or sub-8×8 media hashes to -1 so failures
+    * group VISIBLY instead of silently joining bucket 0.
     */
   def dHash56(bytes: Array[Byte]): Long =
     decodePixels(bytes) match {
       case Some(img) if img.getWidth >= 8 && img.getHeight >= 8 =>
+        val sw = img.getWidth
+        val sh = img.getHeight
+        def red(x: Int, y: Int): Int =
+          (img.getRGB(x * sw / 8, y * sh / 8) >> 16) & 0xff
         var h = 0L
         var y = 0
         while (y < 8) {
           var x = 0
           while (x < 7) {
-            val a = (img.getRGB(x, y) >> 16) & 0xff
-            val b = (img.getRGB(x + 1, y) >> 16) & 0xff
-            if (b > a) h |= 1L << (y * 7 + x)
+            if (red(x + 1, y) > red(x, y)) h |= 1L << (y * 7 + x)
             x += 1
           }
           y += 1

@@ -403,9 +403,20 @@ class GraftScan(
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // Time travel is a batch-read concept; a micro-batch stream always
+    // follows the live table — silently streaming latest while the user
+    // asked for a pinned version would be a wrong-answer bug.
+    require(version.isEmpty,
+      "versionAsOf/timestampAsOf are batch-read options and do not " +
+        "apply to readStream — use startingVersion to begin the " +
+        "stream at a historical version")
+    // startingVersion N is INCLUSIVE (the Delta-source contract:
+    // "changes from version N on"), and the offset meaning is
+    // "delivered THROUGH", so the initial offset is N-1.
     new GraftMicroBatchStream(root, required,
-      startingVersion.getOrElse(-1L))
+      startingVersion.map(_ - 1L).getOrElse(-1L))
+  }
   override def description(): String =
     s"GraftTableScan pushed=[${filters.mkString(", ")}]" +
       limit.map(l => s" limit=$l").getOrElse("")
@@ -540,10 +551,25 @@ class GraftMicroBatchStream(
     if (e0 <= s0) return Array.empty
     val inRange = GraftTableProvider.listVersions(conf, root)
       .filter(v => v > s0 && v <= e0)
-    val nonAppend = inRange
-      .map(v => GraftTableProvider.manifestFor(conf, root, Some(v)))
-      .filterNot(m =>
-        m.op == "create" || m.op == "append" || m.op == "stream-append")
+    // e0 > s0 but nothing committed in range: the offsets reference a
+    // pruned log or another table's checkpoint — say so instead of
+    // throwing a bare empty.max
+    if (inRange.isEmpty)
+      throw new IllegalStateException(
+        s"graft table stream ($s0, $e0]: no committed versions in " +
+          s"range at $root — the checkpoint may belong to another " +
+          "table or reference pruned log versions")
+    // Initial snapshot (s0 < 0): old = ∅, so the batch is the full end
+    // manifest — correct by construction REGARDLESS of the table's
+    // operation history (Delta serves the initial snapshot on any
+    // table). The append-only soundness check applies to INCREMENTAL
+    // ranges only, where a rewrite would make the file diff lie.
+    val nonAppend =
+      if (s0 < 0) Seq.empty
+      else inRange
+        .map(v => GraftTableProvider.manifestFor(conf, root, Some(v)))
+        .filterNot(m =>
+          m.op == "create" || m.op == "append" || m.op == "stream-append")
     if (nonAppend.nonEmpty)
       throw new IllegalStateException(
         s"graft table stream ($s0, $e0]: non-append commit(s) " +

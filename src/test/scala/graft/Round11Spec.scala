@@ -55,4 +55,35 @@ class Round11Spec extends AnyFunSuite {
       spark.sharedState.cacheManager.clearCache()
     }
   }
+
+  test("dHash56 thumbnails the WHOLE image, not the top-left corner, " +
+      "and matches resize-to-8x8-then-hash exactly") {
+    import graft.ops.Multimodal
+    // top-left 8×8 is uniform; the right half is bright — a corner
+    // hash reads 0, a real thumbnail hash sees the step
+    val big = Multimodal.encodePng(16, 16,
+      (x, _) => if (x < 8) (50, 50, 50) else (200, 50, 50))
+    val h = Multimodal.dHash56(big)
+    assert(h != 0L, "hash covered only the uniform corner")
+    assert(h == Multimodal.dHash56(Multimodal.resizeImage(big, 8, 8)),
+      "in-hash thumbnail must equal the nearest-neighbor resize path")
+    // identity on an already-8×8 input (the in-repo caller contract)
+    val small = Multimodal.encodePng(8, 8, (x, y) => (x * 30, y, 0))
+    assert(Multimodal.dHash56(small) ==
+      Multimodal.dHash56(Multimodal.resizeImage(small, 8, 8)))
+    // sub-8×8 and garbage still group visibly at -1
+    assert(Multimodal.dHash56(
+      Multimodal.encodePng(4, 4, (_, _) => (1, 2, 3))) == -1L)
+    assert(Multimodal.dHash56("junk".getBytes) == -1L)
+  }
+
+  test("Katz on an empty graph throws without leaking cached datasets") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val e = spark.emptyDataset[(Long, Long)].toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      graft.ops.Katz.scores(e, "src", "dst", iters = 2)
+    }
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before,
+      "empty-graph throw left datasets in the block manager")
+  }
 }

@@ -156,4 +156,75 @@ class TableStreamSpec extends AnyFunSuite {
     // post-image value (false), not a sentinel-corrupted true
     assert(changes == Seq((1L, "update", false), (3L, "insert", true)))
   }
+
+  test("a table with a rewrite in its history can still START a " +
+      "stream: the initial snapshot is the end manifest, valid " +
+      "regardless of operation history") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, kv((1L, 1.0), (2L, 2.0)))
+    TxnTable.append(spark, root, kv((3L, 3.0)))
+    TxnTable.compact(spark, root) // v2: a rewrite
+    TxnTable.append(spark, root, kv((4L, 4.0)))
+    val ckpt = Files.createTempDirectory("graft_stbl_ck").toString
+    val out = Files.createTempDirectory("graft_stbl_out").toString
+    drain(root, ckpt, out) // initial snapshot across the compact: fine
+    assert(spark.read.parquet(out).select("k").as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L, 3L, 4L))
+    // incremental ranges still enforce append-only: a post-checkpoint
+    // rewrite fails the NEXT drain loudly
+    TxnTable.compact(spark, root)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(root, ckpt, out)
+    }
+    assert(e.getCause.getMessage.contains("non-append"))
+  }
+
+  test("startingVersion is INCLUSIVE (the Delta contract): changes " +
+      "from version N on, no initial snapshot") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, kv((1L, 1.0))) // v0
+    TxnTable.append(spark, root, kv((2L, 2.0))) // v1
+    TxnTable.append(spark, root, kv((3L, 3.0))) // v2
+    val ckpt = Files.createTempDirectory("graft_stbl_ck").toString
+    val out = Files.createTempDirectory("graft_stbl_out").toString
+    val q = spark.readStream.format(Fmt)
+      .option("startingVersion", "1").load(root)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(out); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    // v1's rows INCLUDED, v0's snapshot not re-delivered
+    assert(spark.read.parquet(out).select("k").as[Long].collect().sorted
+      .toSeq == Seq(2L, 3L))
+  }
+
+  test("time-travel options are rejected on readStream instead of " +
+      "silently streaming latest; empty offset ranges error " +
+      "descriptively") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, kv((1L, 1.0)))
+    val e = intercept[Exception] {
+      spark.readStream.format(Fmt).option("versionAsOf", "0").load(root)
+        .writeStream.format("noop")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("batch-read options")))
+    // fabricated offsets beyond the log: descriptive, not empty.max
+    val stream = new GraftMicroBatchStream(root,
+      TxnTable.snapshot(spark, root).schema, -1L)
+    val e2 = intercept[IllegalStateException] {
+      stream.planInputPartitions(
+        GraftStreamOffset(5L), GraftStreamOffset(9L))
+    }
+    assert(e2.getMessage.contains("no committed versions"))
+  }
 }
