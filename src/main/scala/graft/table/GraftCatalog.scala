@@ -1,0 +1,138 @@
+package graft.table
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** [[TxnTable]] as a Spark SQL CATALOG — the seam that makes the
+  * table format addressable from plain SQL, including Spark 4's
+  * standard time-travel syntax:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.g", "graft.table.GraftCatalog")
+  *   spark.conf.set("spark.sql.catalog.g.warehouse", "/data/tables")
+  *   spark.sql("SELECT * FROM g.events VERSION AS OF 3")
+  *   spark.sql("SELECT * FROM g.events TIMESTAMP AS OF '2026-01-01'")
+  * }}}
+  *
+  * `cat.ns1.ns2.t` resolves to `<warehouse>/ns1/ns2/t`; a table is any
+  * directory with a graft `_log`. The travel overloads resolve the
+  * version at `loadTable` time — O(manifest) metadata, no file listing
+  * — and hand [[GraftTable]] a pinned version so schema AND file set
+  * both come from the pinned manifest (`VERSION AS OF` on a
+  * pre-schema-evolution version serves the OLD schema, like Delta).
+  *
+  * Reads and ALTER TABLE RENAME/DROP COLUMN (column-mapping evolution,
+  * [[TxnTable.renameColumn]]/[[TxnTable.dropColumn]]) are the catalog
+  * surface; DDL that creates/drops/renames TABLES stays on the
+  * [[TxnTable]] API where the commit protocol lives.
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catName: String = _
+  private var warehouse: String = _
+  private def conf = new Configuration()
+
+  override def initialize(
+      name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    warehouse = options.get("warehouse")
+    require(warehouse != null && warehouse.nonEmpty,
+      s"graft catalog '$name' requires spark.sql.catalog.$name.warehouse")
+  }
+
+  override def name(): String = catName
+
+  private def rootFor(ident: Identifier): String =
+    (ident.namespace() :+ ident.name())
+      .mkString(warehouse.stripSuffix("/") + "/", "/", "")
+
+  private def schemaOf(m: TxnTable.Manifest): StructType =
+    // all-nullable for the same reason as the provider: evolved columns
+    // are absent (NULL) in pre-evolution files
+    StructType(StructType.fromDDL(m.schemaDdl)
+      .fields.map(_.copy(nullable = true)))
+
+  private def load(ident: Identifier, version: Option[Long]): Table = {
+    val root = rootFor(ident)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    // bad VERSION AS OF on an existing table stays loud (manifestFor's
+    // own range error), never a NoSuchTable mask
+    val m = GraftTableProvider.manifestFor(conf, root, version)
+    new GraftTable(root, schemaOf(m), pinned = version)
+  }
+
+  override def loadTable(ident: Identifier): Table = load(ident, None)
+
+  /** `SELECT ... FROM cat.t VERSION AS OF v` */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, Some(version.toLongOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"VERSION AS OF: integer version expected, got '$version'"))))
+
+  /** `SELECT ... FROM cat.t TIMESTAMP AS OF ts` — Spark hands the
+    * resolved timestamp in MICROseconds since the epoch.
+    */
+  override def loadTable(ident: Identifier, timestampUs: Long): Table = {
+    val root = rootFor(ident)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val v = GraftTableProvider.versionAtMs(conf, root,
+      Math.floorDiv(timestampUs, 1000L))
+    load(ident, Some(v))
+  }
+
+  override def tableExists(ident: Identifier): Boolean = {
+    val log = new Path(rootFor(ident), "_log")
+    log.getFileSystem(conf).exists(log)
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new Path((warehouse.stripSuffix("/") +: namespace)
+      .mkString("/"))
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) Array.empty
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory &&
+        fs.exists(new Path(s.getPath, "_log")))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+      .toArray
+  }
+
+  override def alterTable(
+      ident: Identifier, changes: TableChange*): Table = {
+    val root = rootFor(ident)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val spark = org.apache.spark.sql.SparkSession.active
+    changes.foreach {
+      case rc: TableChange.RenameColumn =>
+        require(rc.fieldNames().length == 1,
+          "graft tables have no nested columns to rename")
+        TxnTable.renameColumn(spark, root, rc.fieldNames()(0),
+          rc.newName())
+      case dc: TableChange.DeleteColumn =>
+        require(dc.fieldNames().length == 1,
+          "graft tables have no nested columns to drop")
+        TxnTable.dropColumn(spark, root, dc.fieldNames()(0))
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft catalog: unsupported table change $other — " +
+            "adds go through TxnTable append/overwrite schema " +
+            "evolution; type changes are refused by design")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "graft catalog is a read/evolve surface — drop tables via the " +
+        "TxnTable API / filesystem, where vacuum semantics live")
+
+  override def renameTable(
+      oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog is a read/evolve surface — a table's identity is " +
+        "its directory; move it on the filesystem")
+}

@@ -111,16 +111,24 @@ object GraftTableProvider {
       "specify at most one of versionAsOf / timestampAsOf")
     ts match {
       case None => v
-      case Some(tsMs) =>
-        val stamped = listVersions(conf, root)
-          .map(vv => vv -> manifestFor(conf, root, Some(vv)).timestampMs)
-        val at = stamped.filter(_._2 <= tsMs)
-        if (at.isEmpty)
-          throw new IllegalArgumentException(
-            s"timestampAsOf $tsMs: precedes the first commit " +
-              s"(${stamped.map(_._2).min}) at $root")
-        Some(at.map(_._1).max)
+      case Some(tsMs) => Some(versionAtMs(conf, root, tsMs))
     }
+  }
+
+  /** Newest committed version at-or-before `tsMs` (epoch millis) —
+    * the SparkSession-free twin of [[TxnTable.versionAtTimestamp]],
+    * shared by the reader option and the catalog's `TIMESTAMP AS OF`
+    * overload.
+    */
+  def versionAtMs(conf: Configuration, root: String, tsMs: Long): Long = {
+    val stamped = listVersions(conf, root)
+      .map(vv => vv -> manifestFor(conf, root, Some(vv)).timestampMs)
+    val at = stamped.filter(_._2 <= tsMs)
+    if (at.isEmpty)
+      throw new IllegalArgumentException(
+        s"timestampAsOf $tsMs: precedes the first commit " +
+          s"(${stamped.map(_._2).min}) at $root")
+    at.map(_._1).max
   }
 
   /** All committed versions at `root`, ascending — SparkSession-free
@@ -167,7 +175,13 @@ object GraftTableProvider {
     manifestFor(conf, root, None)
 }
 
-class GraftTable(root: String, tableSchema: StructType)
+/** `pinned` carries a catalog-level time-travel version (`SELECT ...
+  * VERSION AS OF` / `TIMESTAMP AS OF` resolve BEFORE scan building, at
+  * `loadTable` time) — it takes precedence over reader options, which
+  * SQL text has no way to set anyway.
+  */
+class GraftTable(root: String, tableSchema: StructType,
+    pinned: Option[Long] = None)
     extends Table
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
@@ -183,7 +197,8 @@ class GraftTable(root: String, tableSchema: StructType)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(root, tableSchema,
-      GraftTableProvider.resolveVersion(new Configuration(), root, options),
+      pinned.orElse(GraftTableProvider
+        .resolveVersion(new Configuration(), root, options)),
       Option(options.get("startingVersion")).map { v =>
         v.toLongOption.getOrElse(throw new IllegalArgumentException(
           s"startingVersion must be an integer version, got '$v'"))
@@ -302,7 +317,9 @@ class GraftScanBuilder(root: String, schema: StructType,
       case _ => None
     }
     def statsOf(c: String): Option[Seq[TxnTable.ColStats]] = {
-      val ss = nonEmpty.flatMap(_.stats.get(c))
+      val pc = m.colMap.getOrElse(Map.empty[String, String])
+        .getOrElse(c, c)
+      val ss = nonEmpty.flatMap(_.stats.get(pc))
       if (ss.length == nonEmpty.length) Some(ss) else None
     }
     // stats live in DOUBLE space: an integral value above 2^53 was
@@ -458,6 +475,12 @@ class GraftScan(
     acc.toMap
   }
 
+  /** Logical→physical column map of the pinned manifest (column
+    * mapping after RENAME/DROP COLUMN; empty = identity). */
+  private lazy val nameMap: Map[String, String] =
+    GraftTableProvider.manifestFor(new Configuration(), root, version)
+      .colMap.getOrElse(Map.empty)
+
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = new Configuration()
     val m = GraftTableProvider.manifestFor(conf, root, version)
@@ -467,9 +490,11 @@ class GraftScan(
       s"table at $root has unmaterialized MOR deletion vectors — " +
         "read via TxnTable.snapshot or compact() first")
     val bs = bounds
+    val cm = m.colMap.getOrElse(Map.empty[String, String])
     val pruned = m.files.filter { f =>
       bs.forall { case (c, (lo, hi)) =>
-        f.stats.get(c).forall(s => s.max >= lo && s.min <= hi)
+        f.stats.get(cm.getOrElse(c, c))
+          .forall(s => s.max >= lo && s.min <= hi)
       }
     }
     // LIMIT-only bound: the prefix of files whose cumulative manifest
@@ -494,7 +519,7 @@ class GraftScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required)
+    new GraftReaderFactory(required, nameMap)
 }
 
 /** Version offset for the streaming read: "everything up to and
@@ -593,21 +618,29 @@ class GraftMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(schema)
+    new GraftReaderFactory(schema,
+      GraftTableProvider.latestManifest(conf, root)
+        .colMap.getOrElse(Map.empty))
 }
 
-class GraftReaderFactory(required: StructType)
+class GraftReaderFactory(required: StructType,
+    nameMap: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(
-      partition.asInstanceOf[GraftInputPartition].filePath, required)
+      partition.asInstanceOf[GraftInputPartition].filePath, required,
+      nameMap)
 }
 
 /** Parquet example-API row reader: required columns only, missing
-  * columns (pre-evolution files) read as NULL.
+  * columns (pre-evolution files) read as NULL. `nameMap` translates a
+  * LOGICAL column to the PHYSICAL name data files carry (column
+  * mapping after RENAME/DROP COLUMN — [[TxnTable.renameColumn]]);
+  * identity when absent.
   */
-class GraftPartitionReader(filePath: String, required: StructType)
+class GraftPartitionReader(filePath: String, required: StructType,
+    nameMap: Map[String, String] = Map.empty)
     extends PartitionReader[InternalRow] {
   import org.apache.parquet.example.data.Group
   import org.apache.parquet.hadoop.ParquetReader
@@ -627,17 +660,18 @@ class GraftPartitionReader(filePath: String, required: StructType)
     val g = current
     val fileType = g.getType
     val vals = required.fields.map { f =>
-      if (fileType.containsField(f.name) &&
-          g.getFieldRepetitionCount(f.name) > 0) {
+      val n = nameMap.getOrElse(f.name, f.name)
+      if (fileType.containsField(n) &&
+          g.getFieldRepetitionCount(n) > 0) {
         import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-        fileType.getType(f.name).asPrimitiveType().getPrimitiveTypeName match {
-          case INT64 => g.getLong(f.name, 0)
-          case INT32 => g.getInteger(f.name, 0)
-          case DOUBLE => g.getDouble(f.name, 0)
-          case FLOAT => g.getFloat(f.name, 0)
-          case BOOLEAN => g.getBoolean(f.name, 0)
+        fileType.getType(n).asPrimitiveType().getPrimitiveTypeName match {
+          case INT64 => g.getLong(n, 0)
+          case INT32 => g.getInteger(n, 0)
+          case DOUBLE => g.getDouble(n, 0)
+          case FLOAT => g.getFloat(n, 0)
+          case BOOLEAN => g.getBoolean(n, 0)
           case BINARY | FIXED_LEN_BYTE_ARRAY =>
-            UTF8String.fromBytes(g.getBinary(f.name, 0).getBytes)
+            UTF8String.fromBytes(g.getBinary(n, 0).getBytes)
           case other => throw new UnsupportedOperationException(
             s"graft table DSv2 reader: unsupported parquet type $other " +
               s"for column ${f.name}")

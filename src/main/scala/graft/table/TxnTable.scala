@@ -101,6 +101,17 @@ object TxnTable {
     * values interleave across files; a bloom can). Set at [[create]],
     * carried forward by every commit like `constraints`.
     */
+  /** `colMap`: COLUMN MAPPING for rename/drop without rewriting files —
+    * LOGICAL column name → PHYSICAL name (the name the data files carry,
+    * fixed at the column's creation; entries exist only where they
+    * differ). [[renameColumn]] updates the map; [[dropColumn]] removes
+    * the logical column and parks its physical name in `retired` so a
+    * later add cannot silently resurrect the old files' data under the
+    * same name; any full rewrite ([[compact]]/[[overwrite]]/...)
+    * materializes the mapping and resets both. File-side metadata
+    * (per-file `stats`/`blooms` keys) is ALWAYS physical; readers
+    * translate probe columns through the map.
+    */
   case class Manifest(
       version: Long,
       op: String,
@@ -109,7 +120,9 @@ object TxnTable {
       files: Seq[FileEntry],
       streamHwm: Option[Long] = None,
       constraints: Option[Map[String, String]] = None,
-      bloomCols: Option[Seq[String]] = None)
+      bloomCols: Option[Seq[String]] = None,
+      colMap: Option[Map[String, String]] = None,
+      retired: Option[Seq[String]] = None)
 
   private implicit val fmts: Formats = Serialization.formats(NoTypeHints)
 
@@ -341,6 +354,41 @@ object TxnTable {
   private def bloomColsOf(m: Manifest): Seq[String] =
     m.bloomCols.getOrElse(Nil)
 
+  private def colMapOf(m: Manifest): Map[String, String] =
+    m.colMap.getOrElse(Map.empty)
+
+  /** Physical (file-side) name of a logical column — identity unless a
+    * rename mapped it. */
+  private[table] def physNameIn(m: Manifest, logical: String): String =
+    colMapOf(m).getOrElse(logical, logical)
+
+  /** Rename a logical-named df to the physical file-side names, so new
+    * data files keep writing a renamed column under its ORIGINAL
+    * physical name — one read schema then serves every file generation.
+    */
+  private def toPhysical(df: DataFrame, cm: Map[String, String]): DataFrame =
+    if (cm.isEmpty) df
+    else df.select(df.columns.toSeq.map(c =>
+      col(c).as(cm.getOrElse(c, c))): _*)
+
+  /** Refuse NEW logical columns whose name is still occupied as a
+    * physical name in live data files (a renamed column's original name,
+    * or a dropped column's) — mapping them identity would read the OLD
+    * column's bytes into the new column. `compact()` materializes the
+    * mapping and frees the names.
+    */
+  private def checkNewCols(cur: Manifest, curSchema: StructType,
+      merged: StructType): Unit = {
+    val occupied = (colMapOf(cur).values ++ cur.retired.getOrElse(Nil)).toSet
+    val fresh = merged.fieldNames.filterNot(curSchema.fieldNames.contains)
+    val bad = fresh.filter(occupied.contains)
+    require(bad.isEmpty,
+      s"new column(s) ${bad.mkString(", ")} collide with physical names " +
+        "still carried by existing data files (a renamed or dropped " +
+        "column used that name) — choose different names or compact() " +
+        "to materialize the column mapping first")
+  }
+
   /** Write `df` as a fresh immutable file set under `data/` and return
     * its manifest entries. ONE extra pass over exactly the new files
     * (grouped by `input_file_name`, ~one row per written file) collects
@@ -497,18 +545,25 @@ object TxnTable {
     val base = latestManifest(spark, root).getOrElse(
       sys.error(s"no table at $root — create() first"))
     enforceConstraints(df, constraintsOf(base))
-    val merged = mergeSchemas(
-      StructType.fromDDL(base.schemaDdl), df.schema)
+    val baseSchema = StructType.fromDDL(base.schemaDdl)
+    val merged = mergeSchemas(baseSchema, df.schema)
+    checkNewCols(base, baseSchema, merged)
+    val cm = colMapOf(base)
     val v0 = base.version + 1
-    val files = writeFiles(spark, root, conform(df, merged), statsCols,
-      v0.toString, bloomColsOf(base))
+    val files = writeFiles(spark, root,
+      toPhysical(conform(df, merged), cm),
+      statsCols.map(c => cm.getOrElse(c, c)),
+      v0.toString, bloomColsOf(base).map(c => cm.getOrElse(c, c)))
     var v = v0
     while (!tryCommit(spark, root, {
         val cur = readManifest(spark, root, v - 1)
         val curSchema = StructType.fromDDL(cur.schemaDdl)
+        require(colMapOf(cur) == cm,
+          "concurrent column rename/drop during append — retry the append")
         Manifest(v, "append", System.currentTimeMillis(),
           mergeSchemas(curSchema, merged).toDDL, cur.files ++ files,
-          cur.streamHwm, cur.constraints, cur.bloomCols)
+          cur.streamHwm, cur.constraints, cur.bloomCols,
+          cur.colMap, cur.retired)
       })) {
       v = latestVersion(spark, root).get + 1
     }
@@ -536,8 +591,14 @@ object TxnTable {
     val merged = base.map(b =>
       mergeSchemas(StructType.fromDDL(b.schemaDdl), df.schema))
       .getOrElse(df.schema)
-    val files = writeFiles(spark, root, conform(df, merged), statsCols,
-      s"b$batchId", base.map(bloomColsOf).getOrElse(Nil))
+    base.foreach(b =>
+      checkNewCols(b, StructType.fromDDL(b.schemaDdl), merged))
+    val cmB = base.map(colMapOf).getOrElse(Map.empty[String, String])
+    val files = writeFiles(spark, root,
+      toPhysical(conform(df, merged), cmB),
+      statsCols.map(c => cmB.getOrElse(c, c)),
+      s"b$batchId",
+      base.map(bloomColsOf).getOrElse(Nil).map(c => cmB.getOrElse(c, c)))
     var result: Option[Long] = None
     var done = false
     while (!done) {
@@ -549,11 +610,15 @@ object TxnTable {
         val schema = cur.map(c =>
           mergeSchemas(StructType.fromDDL(c.schemaDdl), merged))
           .getOrElse(merged)
+        require(cur.map(colMapOf).getOrElse(Map.empty) == cmB,
+          "concurrent column rename/drop during stream append — " +
+            "restart the batch")
         if (tryCommit(spark, root, Manifest(v, "stream-append",
             System.currentTimeMillis(), schema.toDDL,
             cur.map(_.files).getOrElse(Seq.empty) ++ files,
             Some(batchId), cur.flatMap(_.constraints),
-            cur.flatMap(_.bloomCols)))) {
+            cur.flatMap(_.bloomCols), cur.flatMap(_.colMap),
+            cur.flatMap(_.retired)))) {
           result = Some(v); done = true
         }
       }
@@ -585,6 +650,10 @@ object TxnTable {
       val v = cur.version + 1
       val files = writeFiles(spark, root, out, statsCols, v.toString,
         bloomColsOf(cur))
+      // a full rewrite MATERIALIZES any column mapping: `out` carries
+      // logical names, the new files are written under them, so
+      // colMap/retired reset to None (old manifests keep theirs for
+      // time travel)
       if (tryCommit(spark, root, Manifest(v, op,
           System.currentTimeMillis(), out.schema.toDDL, files,
           cur.streamHwm, cur.constraints, cur.bloomCols)))
@@ -685,7 +754,7 @@ object TxnTable {
         sys.error(s"no table at $root — create() first"))
       enforceConstraints(updates, constraintsOf(cur))
       val (hit, kept) = cur.files.partition(f =>
-        f.stats.get(scopeCol) match {
+        f.stats.get(physNameIn(cur, scopeCol)) match {
           case Some(s) => touched.exists(v => v >= s.min && v <= s.max)
           case None => true // no stats: must assume the file is touched
         })
@@ -696,11 +765,17 @@ object TxnTable {
           keyCols, "left_anti")
         .unionByName(updates.select(hitSnap.columns.toSeq.map(col): _*))
       val v = cur.version + 1
-      val files = writeFiles(spark, root, out, statsCols, v.toString,
-        bloomColsOf(cur))
+      // PARTIAL rewrite: `kept` files survive with their physical
+      // names, so the new files must use them too and the mapping
+      // carries forward (unlike the full-rewrite reset)
+      val cmS = colMapOf(cur)
+      val files = writeFiles(spark, root, toPhysical(out, cmS),
+        statsCols.map(c => cmS.getOrElse(c, c)), v.toString,
+        bloomColsOf(cur).map(c => cmS.getOrElse(c, c)))
       if (tryCommit(spark, root, Manifest(v, "merge",
           System.currentTimeMillis(), cur.schemaDdl, kept ++ files,
-          cur.streamHwm, cur.constraints, cur.bloomCols)))
+          cur.streamHwm, cur.constraints, cur.bloomCols,
+          cur.colMap, cur.retired)))
         committed = v
     }
     committed
@@ -752,7 +827,8 @@ object TxnTable {
         f.copy(dvs = Some(f.dvs.getOrElse(Seq.empty) :+ rel)))
       if (tryCommit(spark, root, Manifest(cur.version + 1, "delete-mor",
           System.currentTimeMillis(), cur.schemaDdl, files,
-          cur.streamHwm, cur.constraints, cur.bloomCols)))
+          cur.streamHwm, cur.constraints, cur.bloomCols,
+          cur.colMap, cur.retired)))
         committed = cur.version + 1
     }
     committed
@@ -778,10 +854,113 @@ object TxnTable {
       dvs = f.dvs.map(_.map(resolvePath(srcRoot, _)))))
     val m = Manifest(0L, "clone", System.currentTimeMillis(),
       src.schemaDdl, absolute, src.streamHwm, src.constraints,
-      src.bloomCols)
+      src.bloomCols, src.colMap, src.retired)
     require(tryCommit(spark, dstRoot, m),
       s"concurrent create at $dstRoot")
     0L
+  }
+
+  /** Word-boundary scan of the table's CHECK constraints for a column
+    * reference — rename/drop must not silently break a stored
+    * predicate's meaning.
+    */
+  private def constraintsReferencing(
+      m: Manifest, column: String): Seq[String] = {
+    val p = java.util.regex.Pattern
+      .compile("\\b" + java.util.regex.Pattern.quote(column) + "\\b")
+    constraintsOf(m).toSeq.collect {
+      case (n, sql) if p.matcher(sql).find() => n
+    }
+  }
+
+  private def evolveGuards(m: Manifest, column: String, op: String): Unit = {
+    require(m.files.forall(_.dvs.isEmpty),
+      s"$op: pending MOR deletion vectors — compact() first so " +
+        "tombstone keys and file columns stay aligned")
+    val refs = constraintsReferencing(m, column)
+    require(refs.isEmpty,
+      s"$op: constraint(s) ${refs.mkString(", ")} reference '$column' — " +
+        "drop the constraint(s) first")
+  }
+
+  /** COLUMN RENAME without rewriting a single data file — the
+    * column-mapping evolution (Delta/Iceberg's solution): the manifest
+    * maps the new LOGICAL name onto the column's original PHYSICAL
+    * name, old files keep serving, and every read path (snapshot,
+    * stats/bloom pruning, DSv2) translates through the map. O(metadata)
+    * commit; time travel to pre-rename versions serves the old name;
+    * any full rewrite materializes the mapping. Refused while MOR
+    * deletion vectors are pending or a CHECK constraint references the
+    * column.
+    */
+  def renameColumn(
+      spark: SparkSession, root: String, from: String, to: String): Long = {
+    require(from != to, "rename to the same name is a no-op")
+    var committed = -1L
+    while (committed < 0) {
+      val cur = latestManifest(spark, root).getOrElse(
+        sys.error(s"no table at $root"))
+      val schema = StructType.fromDDL(cur.schemaDdl)
+      require(schema.fieldNames.contains(from),
+        s"renameColumn: no column '$from' " +
+          s"(have ${schema.fieldNames.mkString(", ")})")
+      require(!schema.fieldNames.contains(to),
+        s"renameColumn: column '$to' already exists")
+      val occupied =
+        (colMapOf(cur).values ++ cur.retired.getOrElse(Nil)).toSet
+      require(!occupied.contains(to),
+        s"renameColumn: '$to' is still a physical name in existing " +
+          "data files — compact() to materialize the mapping first")
+      evolveGuards(cur, from, "renameColumn")
+      val phys = physNameIn(cur, from)
+      val cm2 = (colMapOf(cur) - from) ++
+        (if (to == phys) Map.empty[String, String] else Map(to -> phys))
+      val schema2 = StructType(schema.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f))
+      val blooms2 = cur.bloomCols.map(_.map(c => if (c == from) to else c))
+      if (tryCommit(spark, root, Manifest(cur.version + 1,
+          "rename-column", System.currentTimeMillis(), schema2.toDDL,
+          cur.files, cur.streamHwm, cur.constraints, blooms2,
+          if (cm2.isEmpty) None else Some(cm2), cur.retired)))
+        committed = cur.version + 1
+    }
+    committed
+  }
+
+  /** COLUMN DROP without touching data files: the column leaves the
+    * logical schema and its PHYSICAL name is parked in `retired`, so a
+    * later add of the same name cannot resurrect the old files' bytes
+    * (the collision is refused until a rewrite materializes the
+    * mapping). O(metadata) commit; time travel still serves the column
+    * at pre-drop versions; vacuum keeps working (file sets are
+    * untouched). Same guards as [[renameColumn]].
+    */
+  def dropColumn(
+      spark: SparkSession, root: String, column: String): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val cur = latestManifest(spark, root).getOrElse(
+        sys.error(s"no table at $root"))
+      val schema = StructType.fromDDL(cur.schemaDdl)
+      require(schema.fieldNames.contains(column),
+        s"dropColumn: no column '$column' " +
+          s"(have ${schema.fieldNames.mkString(", ")})")
+      require(schema.fields.length > 1,
+        "dropColumn: cannot drop the only column")
+      evolveGuards(cur, column, "dropColumn")
+      val phys = physNameIn(cur, column)
+      val cm2 = colMapOf(cur) - column
+      val retired2 = (cur.retired.getOrElse(Nil) :+ phys).distinct
+      val schema2 = StructType(schema.fields.filterNot(_.name == column))
+      val blooms2 = cur.bloomCols.map(_.filterNot(_ == column))
+        .filter(_.nonEmpty)
+      if (tryCommit(spark, root, Manifest(cur.version + 1,
+          "drop-column", System.currentTimeMillis(), schema2.toDDL,
+          cur.files, cur.streamHwm, cur.constraints, blooms2,
+          if (cm2.isEmpty) None else Some(cm2), Some(retired2))))
+        committed = cur.version + 1
+    }
+    committed
   }
 
   /** Small-file compaction as a COMMITTED no-op rewrite: data identical,
@@ -828,8 +1007,17 @@ object TxnTable {
   private def snapshotOf(
       spark: SparkSession, root: String, m: Manifest): DataFrame = {
     val schema = StructType.fromDDL(m.schemaDdl)
-    def read(paths: Seq[String]): DataFrame =
-      spark.read.schema(schema).parquet(paths: _*)
+    val cm = colMapOf(m)
+    // files carry PHYSICAL names; read them, then alias back to the
+    // logical schema (identity when no rename/drop is in effect)
+    val physical = StructType(schema.fields.map(f =>
+      f.copy(name = cm.getOrElse(f.name, f.name))))
+    def read(paths: Seq[String]): DataFrame = {
+      val raw = spark.read.schema(physical).parquet(paths: _*)
+      if (cm.isEmpty) raw
+      else raw.select(schema.fields.toSeq.map(f =>
+        col(cm.getOrElse(f.name, f.name)).as(f.name)): _*)
+    }
     if (m.files.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[Row](), schema)
     // group files by their deletion-vector set: each group scans once,
@@ -875,9 +1063,10 @@ object TxnTable {
     */
   def statsRange(
       spark: SparkSession, root: String, column: String): Option[ColStats] = {
-    val files = latestManifest(spark, root).getOrElse(
-      sys.error(s"no table at $root")).files.filter(_.rows > 0)
-    val stats = files.flatMap(_.stats.get(column))
+    val m = latestManifest(spark, root).getOrElse(
+      sys.error(s"no table at $root"))
+    val files = m.files.filter(_.rows > 0)
+    val stats = files.flatMap(_.stats.get(physNameIn(m, column)))
     // dvs: a deleted row may BE the min/max — metadata can't claim a range
     if (files.isEmpty || stats.length < files.length ||
         files.exists(_.dvs.nonEmpty)) None
@@ -934,8 +1123,9 @@ object TxnTable {
       hi: Double): DataFrame = {
     val m = latestManifest(spark, root).getOrElse(
       sys.error(s"no table at $root"))
+    val pc = physNameIn(m, statsCol)
     val keep = m.files.filter(f =>
-      f.stats.get(statsCol).forall(s => s.max >= lo && s.min <= hi))
+      f.stats.get(pc).forall(s => s.max >= lo && s.min <= hi))
     snapshotOf(spark, root, m.copy(files = keep))
   }
 
@@ -970,7 +1160,7 @@ object TxnTable {
       .select(xxhash64(lit(value).cast(colType).cast("string")))
       .head().getLong(0)
     val keep = m.files.filter(f =>
-      f.blooms.flatMap(_.get(column)).forall(b =>
+      f.blooms.flatMap(_.get(physNameIn(m, column))).forall(b =>
         Bloom.mightContain(Bloom.fromB64(b), h)))
     snapshotOf(spark, root, m.copy(files = keep))
       .filter(col(column) === lit(value))
@@ -991,7 +1181,8 @@ object TxnTable {
       org.apache.spark.sql.graft.GraftSqlBridge.predicateBounds(pred)
     val keep = m.files.filter(f =>
       bounds.forall { case (c, (lo, hi)) =>
-        f.stats.get(c).forall(s => s.max >= lo && s.min <= hi)
+        f.stats.get(physNameIn(m, c))
+          .forall(s => s.max >= lo && s.min <= hi)
       })
     snapshotOf(spark, root, m.copy(files = keep)).filter(pred)
   }

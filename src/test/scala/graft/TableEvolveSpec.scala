@@ -1,0 +1,202 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.TxnTable
+
+/** Column rename/drop via column mapping ([[TxnTable.renameColumn]] /
+  * [[TxnTable.dropColumn]]) and the SQL catalog surface
+  * ([[graft.table.GraftCatalog]]): O(metadata) evolution commits,
+  * mixed-generation reads, travel/vacuum across the evolution,
+  * collision refusals, and `VERSION AS OF` / `TIMESTAMP AS OF`
+  * binding.
+  */
+class TableEvolveSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_evo").toString
+
+  private def kv(rows: (Long, Double)*): DataFrame =
+    rows.toDF("k", "score")
+
+  test("rename is O(metadata): file set untouched, old files serve " +
+      "under the new name, new appends co-read with them") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, kv((1L, 1.0), (2L, 2.0)), Seq("k"))
+    val before = TxnTable.readManifest(spark, root, 0L).files
+    TxnTable.renameColumn(spark, root, "score", "weight")
+    val after = TxnTable.readManifest(spark, root, 1L).files
+    assert(after == before, "rename rewrote data files")
+    // mixed generations: post-rename append uses the NEW logical name
+    TxnTable.append(spark, root, Seq((3L, 3.0)).toDF("k", "weight"))
+    val snap = TxnTable.snapshot(spark, root)
+    assert(snap.columns.toSeq == Seq("k", "weight"))
+    assert(snap.select("k", "weight").as[(Long, Double)].collect()
+      .sortBy(_._1).toSeq == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+    // time travel to the pre-rename version serves the OLD name
+    val v0 = TxnTable.snapshotAt(spark, root, 0L)
+    assert(v0.columns.toSeq == Seq("k", "score"))
+    assert(v0.select("score").as[Double].collect().sorted.toSeq ==
+      Seq(1.0, 2.0))
+  }
+
+  test("drop is O(metadata): column gone, files untouched, re-adding " +
+      "the name is refused until a rewrite materializes the mapping") {
+    val root = freshRoot()
+    TxnTable.create(spark, root,
+      Seq((1L, 1.0, "a"), (2L, 2.0, "b")).toDF("k", "score", "tag"))
+    TxnTable.dropColumn(spark, root, "tag")
+    assert(TxnTable.readManifest(spark, root, 1L).files ==
+      TxnTable.readManifest(spark, root, 0L).files)
+    val snap = TxnTable.snapshot(spark, root)
+    assert(snap.columns.toSeq == Seq("k", "score"))
+    // the dropped column's physical name is retired: a new column
+    // named `tag` would resurrect the old files' bytes — refused
+    val e = intercept[IllegalArgumentException] {
+      TxnTable.append(spark, root,
+        Seq((3L, 3.0, "zzz")).toDF("k", "score", "tag"))
+    }
+    assert(e.getMessage.contains("collide with physical names"))
+    // travel: v0 still serves the dropped column
+    assert(TxnTable.snapshotAt(spark, root, 0L).columns.toSeq ==
+      Seq("k", "score", "tag"))
+    // a full rewrite materializes the mapping and frees the name
+    TxnTable.compact(spark, root)
+    assert(TxnTable.readManifest(spark, root,
+      TxnTable.latestVersion(spark, root).get).colMap.isEmpty)
+    TxnTable.append(spark, root,
+      Seq((3L, 3.0, "zzz")).toDF("k", "score", "tag"))
+    assert(TxnTable.snapshot(spark, root)
+      .filter(col("tag").isNotNull).count() == 1)
+  }
+
+  test("rename refusals: existing target, missing source, occupied " +
+      "physical, constraint reference, pending deletion vectors; " +
+      "type change stays refused") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, kv((1L, 1.0)), Seq("k"),
+      constraints = Map("pos_score" -> "score >= 0"))
+    intercept[IllegalArgumentException] {
+      TxnTable.renameColumn(spark, root, "nope", "x")
+    }
+    intercept[IllegalArgumentException] {
+      TxnTable.renameColumn(spark, root, "score", "k")
+    }
+    // the stored CHECK references score — renaming would break it
+    val e = intercept[IllegalArgumentException] {
+      TxnTable.renameColumn(spark, root, "score", "weight")
+    }
+    assert(e.getMessage.contains("pos_score"))
+    // pending MOR deletion vectors block evolution
+    val root2 = freshRoot()
+    TxnTable.create(spark, root2, kv((1L, 1.0), (2L, 2.0)), Seq("k"))
+    TxnTable.deleteMor(spark, root2, Seq(1L).toDF("k"), Seq("k"))
+    val e2 = intercept[IllegalArgumentException] {
+      TxnTable.renameColumn(spark, root2, "score", "weight")
+    }
+    assert(e2.getMessage.contains("deletion vectors"))
+    // type change is a rewrite, not an evolution — still refused
+    val e3 = intercept[IllegalArgumentException] {
+      TxnTable.append(spark, root2,
+        Seq((3L, "oops")).toDF("k", "score"))
+    }
+    assert(e3.getMessage.contains("cannot change"))
+  }
+
+  test("pruning, point lookup, DSv2 and vacuum all translate through " +
+      "the column map") {
+    val root = freshRoot()
+    TxnTable.create(spark, root,
+      (1L to 50L).map(i => (i, i.toDouble)).toDF("k", "score"),
+      Seq("k", "score"), bloomCols = Seq("k"))
+    TxnTable.renameColumn(spark, root, "score", "weight")
+    TxnTable.append(spark, root,
+      (51L to 60L).map(i => (i, i.toDouble)).toDF("k", "weight"),
+      Seq("k", "weight"))
+    // stats pruning on the RENAMED column still prunes + still answers
+    assert(TxnTable.snapshotPruned(spark, root, "weight", 55.0, 58.0)
+      .filter(col("weight").between(55.0, 58.0)).count() == 4)
+    assert(TxnTable.statsRange(spark, root, "weight")
+      .exists(r => r.min == 1.0 && r.max == 60.0))
+    // bloom point lookup through the renamed table
+    assert(TxnTable.snapshotPointEq(spark, root, "k", 7L).count() == 1)
+    // DSv2 read serves the new name over old physical files
+    val dsv2 = spark.read.format("graft.table.GraftTableProvider")
+      .load(root)
+    assert(dsv2.columns.toSeq == Seq("k", "weight"))
+    assert(dsv2.filter(col("weight") > 57.5).count() == 3)
+    assert(dsv2.agg(sum("k")).head().getLong(0) == (1L to 60L).sum)
+    // vacuum across the evolution: old manifests go, data stays readable
+    TxnTable.compact(spark, root)
+    TxnTable.vacuum(spark, root, retainLast = 1)
+    assert(TxnTable.snapshot(spark, root)
+      .agg(sum("weight")).head().getDouble(0) == (1L to 60L).map(_.toDouble).sum)
+  }
+
+  test("SQL catalog: VERSION AS OF and TIMESTAMP AS OF bind; bad " +
+      "version and pre-first timestamp fail loudly; ALTER TABLE " +
+      "RENAME/DROP COLUMN route through the catalog") {
+    val wh = Files.createTempDirectory("graft_wh_cat").toString
+    val root = s"$wh/t1"
+    TxnTable.create(spark, root, kv((1L, 1.0)), Seq("k"))
+    Thread.sleep(5)
+    TxnTable.append(spark, root, kv((2L, 2.0)), Seq("k"))
+    spark.conf.set("spark.sql.catalog.evocat", "graft.table.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.evocat.warehouse", wh)
+    assert(spark.sql("SELECT k FROM evocat.t1 VERSION AS OF 0")
+      .as[Long].collect().toSeq == Seq(1L))
+    assert(spark.sql("SELECT count(*) FROM evocat.t1").head().getLong(0) == 2)
+    val t0 = TxnTable.readManifest(spark, root, 0L).timestampMs
+    val tsLit = new java.sql.Timestamp(t0).toInstant.toString
+    assert(spark.sql(
+      s"SELECT count(*) FROM evocat.t1 TIMESTAMP AS OF '$tsLit'")
+      .head().getLong(0) == 1)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM evocat.t1 VERSION AS OF 99").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT * FROM evocat.t1 TIMESTAMP AS OF '1999-01-01'")
+        .collect()
+    }
+    intercept[Exception] { // unknown table → NoSuchTableException path
+      spark.sql("SELECT * FROM evocat.nope").collect()
+    }
+    // DDL surface: ALTER TABLE ... RENAME COLUMN / DROP COLUMN
+    spark.sql("ALTER TABLE evocat.t1 RENAME COLUMN score TO weight")
+    assert(TxnTable.snapshot(spark, root).columns.toSeq ==
+      Seq("k", "weight"))
+    spark.sql("ALTER TABLE evocat.t1 DROP COLUMN weight")
+    assert(TxnTable.snapshot(spark, root).columns.toSeq == Seq("k"))
+  }
+
+  test("streaming-into an evolved table: appendBatch writes physical " +
+      "names; scoped merge carries the mapping") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, kv((1L, 1.0), (2L, 2.0)), Seq("k"))
+    TxnTable.renameColumn(spark, root, "score", "weight")
+    TxnTable.appendBatch(spark, root,
+      Seq((3L, 3.0)).toDF("k", "weight"), batchId = 0L)
+    assert(TxnTable.snapshot(spark, root).agg(sum("weight"))
+      .head().getDouble(0) == 6.0)
+    // scoped merge: kept files keep physical names, written files match
+    TxnTable.mergeScoped(spark, root,
+      Seq((2L, 20.0)).toDF("k", "weight"), Seq("k"), "k",
+      Seq("k", "weight"))
+    assert(TxnTable.snapshot(spark, root).orderBy("k")
+      .select("weight").as[Double].collect().toSeq ==
+      Seq(1.0, 20.0, 3.0))
+  }
+}
