@@ -45,14 +45,23 @@ class GraftTableProvider extends TableProvider {
     // All-nullable: schema evolution means ANY column can be absent
     // (and thus NULL) in pre-evolution files — a non-nullable field
     // would let Spark constant-fold IsNull and mis-read the nulls.
-    StructType(StructType.fromDDL(m.schemaDdl)
+    val data = StructType(StructType.fromDDL(m.schemaDdl)
       .fields.map(_.copy(nullable = true)))
+    // readChangeFeed: rows are CHANGES, tagged with what happened and
+    // in which commit (the Delta-CDF column pair).
+    if (GraftTableProvider.cdfOf(options))
+      StructType(data.fields :+
+        StructField("_change_type", StringType, nullable = true) :+
+        StructField("_commit_version", LongType, nullable = true))
+    else data
   }
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    new GraftTable(properties.get("path"), schema)
+    new GraftTable(properties.get("path"), schema,
+      cdf = GraftTableProvider.cdfOf(
+        new CaseInsensitiveStringMap(properties)))
   override def supportsExternalMetadata(): Boolean = true
 }
 
@@ -62,6 +71,11 @@ object GraftTableProvider {
     require(p != null && p.nonEmpty, "graft table source requires a path")
     p
   }
+
+  /** `.option("readChangeFeed", true)` — stream the table as CHANGE
+    * ROWS instead of appended rows ([[GraftCdfMicroBatchStream]]). */
+  def cdfOf(options: CaseInsensitiveStringMap): Boolean =
+    options.getBoolean("readChangeFeed", false)
   /** Time travel through the connector: `.option("versionAsOf", v)`
     * pins both the schema inference and the scan to version v's
     * manifest — the DSv2 twin of [[TxnTable.snapshotAt]].
@@ -181,7 +195,7 @@ object GraftTableProvider {
   * SQL text has no way to set anyway.
   */
 class GraftTable(root: String, tableSchema: StructType,
-    pinned: Option[Long] = None)
+    pinned: Option[Long] = None, cdf: Boolean = false)
     extends Table
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
@@ -202,7 +216,8 @@ class GraftTable(root: String, tableSchema: StructType,
       Option(options.get("startingVersion")).map { v =>
         v.toLongOption.getOrElse(throw new IllegalArgumentException(
           s"startingVersion must be an integer version, got '$v'"))
-      })
+      },
+      cdf || GraftTableProvider.cdfOf(options))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -247,7 +262,8 @@ class GraftWriteBuilder(
 }
 
 class GraftScanBuilder(root: String, schema: StructType,
-    version: Option[Long] = None, startingVersion: Option[Long] = None)
+    version: Option[Long] = None, startingVersion: Option[Long] = None,
+    cdf: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -259,7 +275,10 @@ class GraftScanBuilder(root: String, schema: StructType,
   private var limit: Option[Int] = None
 
   override def pushFilters(fs: Array[sources.Filter]): Array[sources.Filter] = {
-    filters = fs
+    // CDF rows are changes, not table rows — manifest stats don't
+    // describe them, so no filter is recorded for pruning (all stay
+    // residual either way; Spark re-applies row-level).
+    if (!cdf) filters = fs
     fs // ALL residual: pruning is advisory, Spark re-applies row-level
   }
   override def pushedFilters(): Array[sources.Filter] = filters
@@ -363,19 +382,20 @@ class GraftScanBuilder(root: String, schema: StructType,
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = tryPlanAgg(agg).isDefined
+      : Boolean = !cdf && tryPlanAgg(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
-    aggResult = tryPlanAgg(agg)
+    aggResult = if (cdf) None else tryPlanAgg(agg)
     aggResult.isDefined
   }
 
   override def build(): Scan = aggResult match {
     case Some((aggSchema, values)) => new GraftAggScan(aggSchema, values)
     case None =>
-      new GraftScan(root, required, filters, version, limit, startingVersion)
+      new GraftScan(root, required, filters, version,
+        if (cdf) None else limit, startingVersion, cdf)
   }
 }
 
@@ -415,10 +435,15 @@ case class GraftInputPartition(filePath: String) extends InputPartition
 class GraftScan(
     root: String, required: StructType, filters: Array[sources.Filter],
     version: Option[Long] = None, limit: Option[Int] = None,
-    startingVersion: Option[Long] = None)
+    startingVersion: Option[Long] = None, cdf: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType = required
-  override def toBatch: Batch = this
+  override def toBatch: Batch = {
+    require(!cdf,
+      "readChangeFeed is a streaming option — for a batch change read " +
+        "use TxnTable.cdf(root, fromV, toV, keys)")
+    this
+  }
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     // Time travel is a batch-read concept; a micro-batch stream always
@@ -431,8 +456,9 @@ class GraftScan(
     // startingVersion N is INCLUSIVE (the Delta-source contract:
     // "changes from version N on"), and the offset meaning is
     // "delivered THROUGH", so the initial offset is N-1.
-    new GraftMicroBatchStream(root, required,
-      startingVersion.map(_ - 1L).getOrElse(-1L))
+    val start = startingVersion.map(_ - 1L).getOrElse(-1L)
+    if (cdf) new GraftCdfMicroBatchStream(root, required, start)
+    else new GraftMicroBatchStream(root, required, start)
   }
   override def description(): String =
     s"GraftTableScan pushed=[${filters.mkString(", ")}]" +
@@ -621,6 +647,161 @@ class GraftMicroBatchStream(
     new GraftReaderFactory(schema,
       GraftTableProvider.latestManifest(conf, root)
         .colMap.getOrElse(Map.empty))
+}
+
+/** One CDF input partition: a parquet file plus the commit version
+  * its rows belong to. `changeType = Some(t)` tags every row with a
+  * constant (append-family commits: the new data files ARE the
+  * inserts); `None` means the file is materialized change data and
+  * carries its own `_change_type` column.
+  */
+case class GraftCdfInputPartition(
+    filePath: String, version: Long, changeType: Option[String])
+    extends InputPartition
+
+/** CHANGE-DATA-FEED streaming read of the [[TxnTable]]
+  * (`.option("readChangeFeed", true)`) — the rewrite-crossing story
+  * the plain [[GraftMicroBatchStream]] refuses by design: instead of
+  * file diffs, each micro-batch emits `_change_type`-tagged CHANGE
+  * ROWS per commit (`insert` / `delete` / `update_preimage` /
+  * `update_postimage`, plus `_commit_version`), the Delta
+  * `readChangeFeed` shape. Per committed version in the planned
+  * range:
+  *
+  *   - append-family commits (`create`/`append`/`stream-append`/
+  *     `clone`) plan their NEW data files tagged `insert` — O(new
+  *     files), zero write-time cost, the common case;
+  *   - row-changing rewrites plan the change rows the writer
+  *     materialized at commit time ([[TxnTable.enableCdf]] →
+  *     `Manifest.cdfDir`) — reading them is O(changed rows), never a
+  *     re-diff;
+  *   - `compact`/`cluster` reorganize bytes without logical change and
+  *     emit NOTHING — maintenance no longer breaks consumers;
+  *   - a rewrite committed WITHOUT change data (CDF not enabled then,
+  *     or `delete-mor`/scoped-merge which bypass materialization, or a
+  *     schema-changing evolution) fails LOUDLY — silently skipping it
+  *     would desynchronize every downstream aggregate.
+  *
+  * Default start is a FULL HISTORY REPLAY from v0 (every change ever,
+  * version-attributed — deterministic and self-describing); use
+  * `startingVersion` to begin later. Replay reads old manifests'
+  * files, so it races [[TxnTable.vacuum]] like any time travel.
+  */
+class GraftCdfMicroBatchStream(
+    root: String, required: StructType, startVersion: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset}
+  private def conf = new Configuration()
+
+  override def initialOffset(): SOffset = GraftStreamOffset(startVersion)
+  override def latestOffset(): SOffset =
+    GraftStreamOffset(GraftTableProvider.listVersions(conf, root).max)
+  override def deserializeOffset(json: String): SOffset =
+    org.json4s.jackson.JsonMethods.parse(json) \ "version" match {
+      case org.json4s.JInt(n) => GraftStreamOffset(n.toLong)
+      case org.json4s.JLong(n) => GraftStreamOffset(n)
+      case _ => throw new IllegalArgumentException(
+        s"graft table CDF stream: malformed offset json '$json'")
+    }
+  override def commit(end: SOffset): Unit = ()
+  override def stop(): Unit = ()
+
+  private val AppendOps = Set("create", "append", "stream-append", "clone")
+
+  override def planInputPartitions(
+      start: SOffset, end: SOffset): Array[InputPartition] = {
+    val s0 = start.asInstanceOf[GraftStreamOffset].version
+    val e0 = end.asInstanceOf[GraftStreamOffset].version
+    if (e0 <= s0) return Array.empty
+    val all = GraftTableProvider.listVersions(conf, root)
+    val inRange = all.filter(v => v > s0 && v <= e0)
+    if (inRange.isEmpty)
+      throw new IllegalStateException(
+        s"graft table CDF stream ($s0, $e0]: no committed versions in " +
+          s"range at $root — the checkpoint may belong to another " +
+          "table or reference pruned log versions")
+    inRange.flatMap { v =>
+      val m = GraftTableProvider.manifestFor(conf, root, Some(v))
+      def abs(p: String): String =
+        if (p.startsWith("/") || p.contains("://")) p else s"$root/$p"
+      if (AppendOps.contains(m.op)) {
+        val old: Set[String] = all.filter(_ < v).lastOption match {
+          case Some(pv) => GraftTableProvider
+            .manifestFor(conf, root, Some(pv)).files.map(_.path).toSet
+          case None => Set.empty
+        }
+        val fresh = m.files.filterNot(f => old.contains(f.path))
+        require(fresh.forall(_.dvs.isEmpty),
+          s"graft table CDF stream at $root v$v: new file carries MOR " +
+            "deletion vectors — compact() before streaming")
+        fresh.map(f =>
+          GraftCdfInputPartition(abs(f.path), v, Some("insert")))
+      } else m.cdfDir match {
+        case Some(dir) =>
+          val d = new Path(abs(dir))
+          d.getFileSystem(conf).listStatus(d).toSeq
+            .map(_.getPath)
+            .filter(p => p.getName.endsWith(".parquet"))
+            .map(p => GraftCdfInputPartition(p.toString, v, None))
+        case None if m.op == "compact" || m.op == "cluster" =>
+          Nil // physical reorganization, no logical change
+        case None =>
+          throw new IllegalStateException(
+            s"graft table CDF stream at $root: v$v '${m.op}' committed " +
+              "no change data — TxnTable.enableCdf before rewrites " +
+              "(or restart the consumer from a fresh snapshot / " +
+              "consume via TxnTable.cdc)")
+      }
+    }.map(p => p: InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftCdfReaderFactory(required,
+      GraftTableProvider.latestManifest(conf, root)
+        .colMap.getOrElse(Map.empty[String, String]))
+}
+
+class GraftCdfReaderFactory(required: StructType,
+    nameMap: Map[String, String]) extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftCdfInputPartition]
+    new GraftCdfPartitionReader(p.filePath, required, p.version,
+      p.changeType, nameMap)
+  }
+}
+
+/** Wraps the plain file reader: data columns come from the file
+  * (change-data files additionally carry `_change_type` themselves),
+  * `_commit_version` and constant change types are stamped per
+  * partition. Handles any column-pruned subset of the CDF schema.
+  */
+class GraftCdfPartitionReader(filePath: String, required: StructType,
+    version: Long, constType: Option[String],
+    nameMap: Map[String, String])
+    extends PartitionReader[InternalRow] {
+  private val fromFile = required.fields.filter(f =>
+    f.name != "_commit_version" &&
+      (f.name != "_change_type" || constType.isEmpty))
+  private val inner =
+    new GraftPartitionReader(filePath, StructType(fromFile), nameMap)
+
+  override def next(): Boolean = inner.next()
+  override def get(): InternalRow = {
+    val r = inner.get()
+    var j = 0
+    val out = required.fields.map { f =>
+      f.name match {
+        case "_commit_version" => version: Any
+        case "_change_type" if constType.isDefined =>
+          UTF8String.fromString(constType.get)
+        case _ =>
+          val v = r.get(j, f.dataType); j += 1; v
+      }
+    }
+    InternalRow.fromSeq(out.toIndexedSeq)
+  }
+  override def close(): Unit = inner.close()
 }
 
 class GraftReaderFactory(required: StructType,

@@ -112,6 +112,14 @@ object TxnTable {
     * (per-file `stats`/`blooms` keys) is ALWAYS physical; readers
     * translate probe columns through the map.
     */
+  /** `cdfDir`: root-relative directory of THIS version's materialized
+    * change rows (parquet of table columns + `_change_type`), written
+    * at commit time by row-changing rewrites when the table has CHANGE
+    * DATA FEED enabled ([[enableCdf]]). Per-version, never carried
+    * forward; absent on appends (their data files ARE the inserts) and
+    * on physical-only reorganizations (compact/cluster — no logical
+    * change, so no change rows).
+    */
   case class Manifest(
       version: Long,
       op: String,
@@ -122,12 +130,14 @@ object TxnTable {
       constraints: Option[Map[String, String]] = None,
       bloomCols: Option[Seq[String]] = None,
       colMap: Option[Map[String, String]] = None,
-      retired: Option[Seq[String]] = None)
+      retired: Option[Seq[String]] = None,
+      cdfDir: Option[String] = None)
 
   private implicit val fmts: Formats = Serialization.formats(NoTypeHints)
 
   private val LogDir = "_log"
   private val DataDir = "data"
+  private val ChangeDir = "_cdf"
 
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -646,7 +656,8 @@ object TxnTable {
       val cur = latestManifest(spark, root).getOrElse(
         sys.error(s"no table at $root — create() first"))
       enforceOn.foreach(d => enforceConstraints(d, constraintsOf(cur)))
-      val out = compute(snapshotOf(spark, root, cur))
+      val snap = snapshotOf(spark, root, cur)
+      val out = compute(snap)
       val v = cur.version + 1
       val files = writeFiles(spark, root, out, statsCols, v.toString,
         bloomColsOf(cur))
@@ -654,9 +665,35 @@ object TxnTable {
       // logical names, the new files are written under them, so
       // colMap/retired reset to None (old manifests keep theirs for
       // time travel)
-      if (tryCommit(spark, root, Manifest(v, op,
-          System.currentTimeMillis(), out.schema.toDDL, files,
-          cur.streamHwm, cur.constraints, cur.bloomCols)))
+      val cand = Manifest(v, op, System.currentTimeMillis(),
+        out.schema.toDDL, files,
+        cur.streamHwm, cur.constraints, cur.bloomCols)
+      // CHANGE DATA FEED: a row-changing rewrite materializes its
+      // change rows BEFORE committing, into a uniquely-named per-
+      // version dir the manifest then points at (unique name, not
+      // `v$v`, so a lost commit race can never collide with the
+      // winner's change data — the loser's dir is orphaned like its
+      // data files). The post side re-reads the just-written files
+      // (fresh lineage — `out` derives from `snap`, and a direct
+      // snap-vs-out join would be a self-join on shared attributes).
+      // compact/cluster reorganize bytes without logical change and
+      // write nothing. Cost: one keyed diff join per rewrite, at
+      // write time — rewrites are already O(table), and appends (the
+      // hot path) pay nothing.
+      val cdfRel =
+        if (op == "compact" || op == "cluster") None
+        else cdfKeysOf(spark, root).map { keys =>
+          require(snap.columns.sorted.sameElements(out.columns.sorted),
+            s"$op under CDF: schema-changing rewrite (change rows " +
+              "cannot describe it) — drop _cdf/_keys.json to disable " +
+              "the feed first and restart downstream consumers")
+          val rel = s"$ChangeDir/v$v-" +
+            java.util.UUID.randomUUID.toString.take(8)
+          diffRows(snap, snapshotOf(spark, root, cand), keys)
+            .write.parquet(s"$root/$rel")
+          rel
+        }
+      if (tryCommit(spark, root, cand.copy(cdfDir = cdfRel)))
         committed = v
       // lost race: loop — recompute against the new latest snapshot;
       // the just-written files stay orphaned until vacuum().
@@ -1224,6 +1261,65 @@ object TxnTable {
     n
   }
 
+  /** Enable CHANGE DATA FEED on an existing table: every subsequent
+    * row-changing rewrite (overwrite / merge / merge-full / delete)
+    * materializes its change rows (table columns + `_change_type`) to
+    * a per-version `_cdf/` directory at commit time, keyed by
+    * `keyCols`. This is what lets a streaming reader
+    * (`readChangeFeed=true` on [[graft.table.GraftTableProvider]])
+    * ride THROUGH rewrites instead of failing on them: appends stream
+    * as plain inserts from the file diff, rewrites stream from their
+    * materialized change rows, compact/cluster (no logical change)
+    * stream as nothing. The cost model matches Delta's CDF: one keyed
+    * diff join per rewrite at WRITE time (rewrites are rare and
+    * already O(table)), zero extra work per append, zero read
+    * amplification for consumers.
+    *
+    * Keys are stored once in `_cdf/_keys.json` (not per-manifest — the
+    * key set is a table property, and a separate file keeps old
+    * manifests byte-stable). Idempotent for the same keys; refuses a
+    * key change (downstream checkpoints would misinterpret history).
+    */
+  def enableCdf(
+      spark: SparkSession, root: String, keyCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "enableCdf needs at least one key column")
+    latestVersion(spark, root).getOrElse(
+      sys.error(s"no table at $root — create() first"))
+    cdfKeysOf(spark, root) match {
+      case Some(existing) =>
+        require(existing == keyCols,
+          s"CDF already enabled with keys $existing — cannot change " +
+            s"to $keyCols (consumers' checkpoints would misread history)")
+      case None =>
+        val p = new Path(s"$root/$ChangeDir", "_keys.json")
+        val f = fs(spark, p)
+        val out = f.create(p, true)
+        try out.write(Serialization.write(keyCols)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+    }
+  }
+
+  /** CDF key columns if [[enableCdf]] has been called; None = feed
+    * disabled (rewrites write no change rows).
+    */
+  def cdfKeysOf(spark: SparkSession, root: String): Option[Seq[String]] = {
+    val p = new Path(s"$root/$ChangeDir", "_keys.json")
+    val f = fs(spark, p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val bytes =
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+          out.toByteArray
+        } finally in.close()
+      Some(Serialization.read[Seq[String]](
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8)))
+    }
+  }
+
   /** Row-level CHANGE DATA CAPTURE between two versions, computed as a
     * keyed full-outer join of the two snapshots (one shuffle per side;
     * at cluster scale, run it on the partitions whose file sets differ
@@ -1289,15 +1385,25 @@ object TxnTable {
       root: String,
       fromV: Long,
       toV: Long,
+      keyCols: Seq[String]): DataFrame =
+    diffRows(snapshotAt(spark, root, fromV),
+      snapshotAt(spark, root, toV), keyCols)
+
+  /** The [[cdf]] diff on two arbitrary same-schema frames — shared by
+    * the batch CDF read and the WRITE-time change-row materialization
+    * ([[rewrite]] under [[enableCdf]], where pre/post are the commit's
+    * input snapshot and output frame and no re-read is needed).
+    */
+  private[table] def diffRows(
+      pre0: DataFrame,
+      post0: DataFrame,
       keyCols: Seq[String]): DataFrame = {
     // Same non-null existence sentinel as [[cdc]]: a NULL-keyed row
     // present in both versions must classify by the `differs` probe,
     // not fall through to 'insert'. Sentinel name derived to avoid
     // clobbering a same-named user column (see [[cdc]]).
-    val post0 = snapshotAt(spark, root, toV)
     val ex = sentinelName(post0.columns)
-    val pre = snapshotAt(spark, root, fromV)
-      .withColumn(ex, lit(true)).alias("pre")
+    val pre = pre0.withColumn(ex, lit(true)).alias("pre")
     val allCols = post0.columns.toSeq
     val dataCols = allCols.filterNot(keyCols.contains)
     val post = post0.withColumn(ex, lit(true)).alias("post")
