@@ -241,6 +241,59 @@ object Similarity {
       .limit(k)
   }
 
+  /** MULTI-PROBE probe of a [[writeLshIndex]] layout (Lv et al., VLDB
+    * 2007): instead of the whole hamming ball (C(planes,≤r) buckets,
+    * most of them unlikely), probe the `nProbes` buckets MOST LIKELY
+    * to hold near neighbors — the home bucket plus perturbations that
+    * flip the planes with the SMALLEST query margin |q·plane| first
+    * (a near neighbor that lands across a plane almost certainly
+    * crossed one the query was close to). This is the standard
+    * recall/cost knob: at equal partitions read it strictly dominates
+    * ball probing because every probed bucket is chosen by evidence,
+    * not radius; SimilaritySpec measures recall ≥ home-bucket-only at
+    * nProbes partitions read. The probe set is computed DRIVER-SIDE
+    * from the query alone (≤2-bit perturbations, margin-sum ordered,
+    * deterministic mask tie-break) and pushed as an IN over the
+    * partition column, so the scan stays partition-pruned to exactly
+    * `nProbes` directories regardless of corpus size.
+    */
+  def lshTopKMultiProbe(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      query: Array[Float],
+      k: Int,
+      numPlanes: Int = 16,
+      nProbes: Int = 8
+  ): DataFrame = {
+    requireLshParams(spark, indexPath, numPlanes, query.length)
+    val planes = Dedup.hyperplanes(numPlanes, query.length)
+    val qBucket = Dedup.hyperplaneBucket(query, planes)
+    // |q·plane_p| in the exact fold [[Dedup.hyperplaneBucket]] uses
+    // (left-to-right double sum) — the DuckDB twin replays it verbatim
+    val margins = planes.map { pl =>
+      var dot = 0.0
+      val n = math.min(query.length, pl.length)
+      var i = 0
+      while (i < n) { dot += query(i).toDouble * pl(i); i += 1 }
+      math.abs(dot)
+    }
+    val cands = Seq((0, 0.0)) ++
+      (0 until numPlanes).map(p => (1 << p, margins(p))) ++
+      (for {
+        a <- 0 until numPlanes; b <- (a + 1) until numPlanes
+      } yield ((1 << a) | (1 << b), margins(a) + margins(b)))
+    val probes = cands.sortBy { case (mask, score) => (score, mask) }
+      .take(nProbes).map { case (mask, _) => qBucket ^ mask }
+    graft.functions.CosineSimilarity.register(spark)
+    spark.read.parquet(indexPath)
+      .filter(col("bucket").isin(probes: _*))
+      .select(col("vec_id"),
+        graft.functions.CosineSimilarity.cosine(
+          col("v"), array(query.toSeq.map(lit(_)): _*)).as("cosine"))
+      .orderBy(round(col("cosine"), 4).desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** IVF (inverted-file) approximate top-k: a coarse quantizer assigns
     * every vector to its nearest of `nLists` centroids (one narrow pass,
     * centroids broadcast); a query probes only the `nProbe` nearest

@@ -170,6 +170,34 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("ANN: multi-probe LSH — margin-ordered probes strictly beat the " +
+      "single (home) probe's recall, partition-pruned to nProbes dirs") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_mp").toString
+    Similarity.writeLshIndex(e, "vec_id", "embedding", dir,
+      numPlanes = 8, dim = 64)
+    val q = e.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    def found(n: Int): Set[Long] =
+      Similarity.lshTopKMultiProbe(spark, dir, q, 10,
+        numPlanes = 8, nProbes = n)
+        .collect().map(_.getLong(0)).toSet
+    val r1 = (exact intersect found(1)).size.toDouble / exact.size
+    val r8 = (exact intersect found(8)).size.toDouble / exact.size
+    // the recall/cost knob must actually buy recall on real data
+    assert(r8 > r1 || r1 == 1.0, s"multi-probe did not help: $r1 -> $r8")
+    assert(r8 >= 0.25, s"recall=$r8 at 8 of 256 buckets probed (3% of " +
+      "the corpus read; the hamming<=3 ball needs 93 buckets for ~0.5)")
+    // home bucket always probed first → self-match even at nProbes=1
+    assert(found(1).contains(0L), "self-match missing from home probe")
+    // the IN over the probe buckets must bind to the PARTITION column
+    val probe = Similarity.lshTopKMultiProbe(spark, dir, q, 5,
+      numPlanes = 8, nProbes = 8)
+    assert(partitionFilters(probe).nonEmpty, "no partition filter in scan")
+  }
+
   test("ANN: appendToLshIndex maintains the index — appended vector found partition-pruned, base results unchanged") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft_lsh_app").toString
