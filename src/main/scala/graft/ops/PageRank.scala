@@ -90,4 +90,74 @@ object PageRank {
     }
     rank
   }
+
+  /** PERSONALIZED PageRank: the teleport lands on the `seeds` node set
+    * (uniformly) instead of all nodes — the "similar to THESE" ranking
+    * behind related-item and local-community queries. Same exact
+    * DECIMAL(28,12) re-quantized state, join-contribution-aggregate
+    * shape, and per-iteration localCheckpoint as [[ranks]]; the only
+    * deltas are the seed-indicator base term and the r0 mass placement.
+    * `seeds` must be a subset of the graph's nodes (a seed with no
+    * edges would silently lose its teleport mass; require()d instead).
+    */
+  def personalizedRanks(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame, // one column: node id (castable to long)
+      iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist()
+    try {
+      val sd = seeds.select(seeds.columns.head)
+        .select(col(seeds.columns.head).cast("long").as("node"))
+        .distinct().persist()
+      val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
+      try {
+        val nSeeds = sd.count()
+        require(nSeeds > 0, "personalizedRanks needs at least one seed")
+        require(sd.join(nodes, "node", "left_anti").isEmpty,
+          "seed node(s) absent from the graph")
+        // seed indicator joined once; base = (1-d)/|S| on seeds, 0 off
+        val seeded = nodes.join(
+          sd.withColumn("is_seed", lit(1)), Seq("node"), "left")
+          .select(col("node"), coalesce(col("is_seed"), lit(0)).as("is_seed"))
+          .localCheckpoint(true)
+        val base = (1.0 - damping) / nSeeds
+        var rank = seeded.select(col("node"),
+          expr(s"CAST(round(is_seed * 1.0 / $nSeeds, 12) " +
+            "AS DECIMAL(28,12))").as("r"))
+        for (_ <- 1 to iters) {
+          val contrib = e.join(deg, "src")
+            .join(rank.withColumnRenamed("node", "src"), "src")
+            .select(col("dst"),
+              expr("CAST(round(CAST(r AS DOUBLE) / outdeg, 12) " +
+                "AS DECIMAL(28,12))").as("cg"))
+            .groupBy("dst").agg(sum("cg").as("s"))
+          rank = seeded
+            .join(contrib, seeded("node") === contrib("dst"), "left")
+            .select(col("node"),
+              expr(s"CAST(round(is_seed * $base + $damping * " +
+                "CAST(coalesce(s, 0) AS DOUBLE), 12) AS DECIMAL(28,12))")
+                .as("r"))
+            .localCheckpoint(true)
+        }
+        rank
+      } finally {
+        deg.unpersist(blocking = false)
+        sd.unpersist(blocking = false)
+      }
+    } finally {
+      nodes.unpersist(blocking = false)
+      e.unpersist(blocking = false)
+    }
+  }
 }

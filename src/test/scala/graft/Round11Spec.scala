@@ -77,6 +77,38 @@ class Round11Spec extends AnyFunSuite {
     assert(Multimodal.dHash56("junk".getBytes) == -1L)
   }
 
+  test("personalized PageRank: mass concentrates on/near the seeds, " +
+      "guards reject empty or foreign seed sets without cache leaks") {
+    // path graph 1-2-3-4-5 (symmetric), seed at node 1
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L),
+      (4L, 3L), (4L, 5L), (5L, 4L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val r = graft.ops.PageRank.personalizedRanks(e, "src", "dst",
+        seeds, iters = 8)
+      .collect().map(x => x.getLong(0) -> x.getDecimal(1).doubleValue())
+      .toMap
+    // proximity ordering to the single seed must be monotone
+    assert(r(1L) > r(2L) && r(2L) > r(3L) && r(3L) > r(4L),
+      s"ranks not seed-proximal: $r")
+    // total mass <= 1 (dangling-free symmetric graph conserves it)
+    assert(math.abs(r.values.sum - 1.0) < 1e-6)
+    // error paths run before any localCheckpoint, so the persistent-RDD
+    // set must be untouched afterwards (the Katz leak contract; the
+    // SUCCESS path intentionally leaves checkpoint blocks for the
+    // ContextCleaner, so set equality is only checkable here)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    intercept[IllegalArgumentException] {
+      graft.ops.PageRank.personalizedRanks(e, "src", "dst",
+        spark.emptyDataset[Long].toDF("node"), iters = 1)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.PageRank.personalizedRanks(e, "src", "dst",
+        Seq(99L).toDF("node"), iters = 1)
+    }
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before,
+      "personalizedRanks error path left cached datasets behind")
+  }
+
   test("Katz on an empty graph throws without leaking cached datasets") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val e = spark.emptyDataset[(Long, Long)].toDF("src", "dst")
