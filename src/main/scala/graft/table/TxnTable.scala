@@ -1439,6 +1439,51 @@ object TxnTable {
       .toDF("version", "op", "timestamp_ms", "n_files", "n_rows")
   }
 
+  /** RESTORE the table to an earlier version as a NEW commit (the
+    * Delta RESTORE shape): the target manifest's file set, schema and
+    * column mapping are re-committed at latest+1 — O(metadata), zero
+    * data rewritten, and the in-between history stays time-travelable.
+    * Governance state does NOT regress: `streamHwm` (the exactly-once
+    * ingest fence), `constraints` and `bloomCols` carry forward from
+    * the CURRENT version — a restore must never re-open a committed
+    * micro-batch id. Under [[enableCdf]] the restore materializes its
+    * change rows (current vs target diff) like any rewrite, so CDF
+    * consumers ride through it. Caveat shared with the public formats:
+    * the target's files must still exist ([[vacuum]] can reclaim
+    * them).
+    */
+  def restore(spark: SparkSession, root: String, toVersion: Long): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val cur = latestManifest(spark, root).getOrElse(
+        sys.error(s"no table at $root — create() first"))
+      require(toVersion < cur.version,
+        s"restore($toVersion): not an earlier version " +
+          s"(current is ${cur.version})")
+      val target = readManifest(spark, root, toVersion)
+      val v = cur.version + 1
+      val cdfRel = cdfKeysOf(spark, root).map { keys =>
+        require(StructType.fromDDL(cur.schemaDdl).fieldNames.sorted
+            .sameElements(
+              StructType.fromDDL(target.schemaDdl).fieldNames.sorted),
+          "restore under CDF: schema-changing restore (change rows " +
+            "cannot describe it) — drop _cdf/_keys.json first")
+        val rel = s"$ChangeDir/v$v-" +
+          java.util.UUID.randomUUID.toString.take(8)
+        diffRows(snapshotOf(spark, root, cur),
+          snapshotOf(spark, root, target), keys)
+          .write.parquet(s"$root/$rel")
+        rel
+      }
+      if (tryCommit(spark, root, Manifest(v, "restore",
+          System.currentTimeMillis(), target.schemaDdl, target.files,
+          cur.streamHwm, cur.constraints, cur.bloomCols,
+          target.colMap, target.retired, cdfDir = cdfRel)))
+        committed = v
+    }
+    committed
+  }
+
   /** Reclaim data files not referenced by the `retainLast` most recent
     * manifests (lost-race orphans and pre-rewrite file sets). Older
     * versions stop being time-travelable — their manifests remain as

@@ -140,6 +140,37 @@ class TableCdfStreamSpec extends AnyFunSuite {
       (5L, "insert", 4L)))
   }
 
+  test("RESTORE: snapshot equals the target version, history keeps all " +
+      "commits, governance does not regress, and under CDF the restore " +
+      "streams its deletes/updates as change rows") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, kv((1L, 1.0), (2L, 2.0)))
+    TxnTable.enableCdf(spark, root, Seq("k"))
+    TxnTable.append(spark, root, kv((3L, 3.0)))   // v1
+    TxnTable.merge(spark, root, kv((1L, 10.0)), Seq("k")) // v2: update
+    val v3 = TxnTable.restore(spark, root, 1L)     // v3: back to {1,2,3}
+    assert(v3 == 3L)
+    assert(TxnTable.snapshot(spark, root)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+    // all four commits remain; the restore is a new history entry
+    assert(TxnTable.history(spark, root)
+      .select("op").as[String].collect().toSeq ==
+      Seq("create", "append", "merge", "restore"))
+    // time travel to the in-between rewrite still works
+    assert(TxnTable.snapshotAt(spark, root, 2L)
+      .filter($"k" === 1L).select("score").as[Double].head() == 10.0)
+    intercept[IllegalArgumentException] {
+      TxnTable.restore(spark, root, 9L) // not earlier than current
+    }
+    // CDF: the restore emitted the 10.0 -> 1.0 update images
+    val ckpt = Files.createTempDirectory("graft_cdf_ck").toString
+    val out = Files.createTempDirectory("graft_cdf_out").toString
+    drainCdf(root, ckpt, out, startingVersion = Some(3L))
+    assert(rows(out).map(r => (r._1, r._2, r._3)) == Seq(
+      (1L, 1.0, "update_postimage"), (1L, 10.0, "update_preimage")))
+  }
+
   test("enableCdf guards: idempotent for same keys, refuses a key " +
       "change, and a schema-changing rewrite under CDF is refused at " +
       "write time") {
