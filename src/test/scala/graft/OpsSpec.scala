@@ -1879,6 +1879,48 @@ class OpsSpec extends AnyFunSuite {
     assert(viaSql.isNullAt(1))
   }
 
+  test("native bounded levenshtein: banded kernel == min(full builtin, " +
+      "k+1) on random pairs; codegen == interpreted; null-safe") {
+    import graft.functions.BoundedLevenshtein
+    BoundedLevenshtein.register(spark)
+    import spark.implicits._
+    // deterministic pair set incl. length gaps, unicode, equal strings
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcde"
+    def word(n: Int) =
+      (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val pairs = (Seq(("", ""), ("", "abc"), ("same", "same"),
+      ("kitten", "sitting"), ("café über", "cafe uber")) ++
+      (1 to 60).map(_ => (word(rnd.nextInt(30)), word(rnd.nextInt(30)))))
+    for (k <- Seq(0, 1, 3, 8)) {
+      val got = pairs.toDF("a", "b")
+        .select(col("a"), col("b"),
+          expr(s"graft_lev_bounded(a, b, $k)").as("d"),
+          least(expr("levenshtein(a, b)"), lit(k + 1)).as("ref"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getInt(2) == r.getInt(3),
+          s"k=$k diverged on ('${r.getString(0)}','${r.getString(1)}')" +
+            s": got ${r.getInt(2)}, builtin-clamped ${r.getInt(3)}")
+      }
+    }
+    // interpreted path agrees with the kernel
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val e = BoundedLevenshtein(
+      Literal.create(UTF8String.fromString("kitten"),
+        org.apache.spark.sql.types.StringType),
+      Literal.create(UTF8String.fromString("sitting"),
+        org.apache.spark.sql.types.StringType),
+      Literal.create(5, org.apache.spark.sql.types.IntegerType))
+    assert(e.eval(null) == 3)
+    assert(graft.util.StringAlgos.boundedLev("kitten", "sitting", 2) == 3)
+    // null in, null out via SQL
+    val viaSql = spark.sql(
+      "SELECT graft_lev_bounded(CAST(NULL AS STRING), 'x', 2)").head()
+    assert(viaSql.isNullAt(0))
+  }
+
   test("native jaro-winkler: DuckDB-pinned vectors; codegen == interpreted == kernel; null-safe") {
     import graft.functions.{JaroWinkler, JaroWinklerAlgo}
     JaroWinkler.register(spark)
