@@ -198,8 +198,33 @@ class GraftTable(root: String, tableSchema: StructType,
     pinned: Option[Long] = None, cdf: Boolean = false)
     extends Table
     with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graft_table($root)"
+
+  /** SQL `DELETE FROM cat.t WHERE p` (DSv2 SupportsDelete): the
+    * predicate arrives as v1 filters; every conjunct must convert to a
+    * Column or the delete is REFUSED at analysis time
+    * (`canDeleteWhere`) — silently deleting more or fewer rows than
+    * the predicate names is the one failure mode a table format can
+    * never have. Execution is [[TxnTable.deleteWhere]]: a full
+    * rewrite commit with constraints/CDF applied.
+    */
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    pinned.isEmpty && !cdf &&
+      filters.forall(f => GraftTable.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    require(canDeleteWhere(filters),
+      s"graft table DELETE: unsupported predicate " +
+        s"${filters.mkString(", ")} (or time-travel/CDF relation)")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val cond = filters.flatMap(GraftTable.filterToColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    TxnTable.deleteWhere(spark, root, cond)
+    ()
+  }
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
@@ -234,6 +259,40 @@ class GraftTable(root: String, tableSchema: StructType,
   * version). Write option `statsCols` (comma-separated) requests
   * per-file min/max stats so DSv2-written files prune like any others.
   */
+object GraftTable {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit, not}
+
+  /** Conservative v1-filter → Column translation for SQL DELETE: only
+    * predicates with exact Column semantics convert; anything else
+    * returns None and the delete is refused (never approximated).
+    */
+  def filterToColumn(f: sources.Filter): Option[Column] = f match {
+    case sources.AlwaysTrue() => Some(lit(true))
+    case sources.AlwaysFalse() => Some(lit(false))
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case sources.StringContains(a, v) => Some(col(a).contains(v))
+    case sources.And(l, r) =>
+      for (lc <- filterToColumn(l); rc <- filterToColumn(r))
+        yield lc && rc
+    case sources.Or(l, r) =>
+      for (lc <- filterToColumn(l); rc <- filterToColumn(r))
+        yield lc || rc
+    case sources.Not(c) => filterToColumn(c).map(not)
+    case _ => None
+  }
+}
+
 class GraftWriteBuilder(
     root: String,
     info: org.apache.spark.sql.connector.write.LogicalWriteInfo)

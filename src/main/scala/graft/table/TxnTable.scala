@@ -829,6 +829,22 @@ object TxnTable {
       graft.ops.Merge.applyDeletes(snap, tombstones, keyCols)
     }
 
+  /** Predicate DELETE (the `DELETE FROM t WHERE p` semantics — rows
+    * where `cond` is TRUE are removed; FALSE and NULL rows are kept,
+    * the SQL contract). Routed through [[rewrite]], so constraints,
+    * bloom maintenance and CDF change-row materialization all apply;
+    * [[graft.table.GraftTable]] exposes it to SQL via DSv2
+    * SupportsDelete.
+    */
+  def deleteWhere(
+      spark: SparkSession,
+      root: String,
+      cond: org.apache.spark.sql.Column,
+      statsCols: Seq[String] = Seq.empty): Long =
+    rewrite(spark, root, "delete", statsCols) { snap =>
+      snap.filter(!coalesce(cond, lit(false)))
+    }
+
   /** MERGE-ON-READ delete: commit a deletion-vector sidecar instead of
     * rewriting data — the O(|tombstones|) delete a 100 TB table needs
     * ([[delete]] rewrites the whole snapshot; a GDPR purge of a few

@@ -199,4 +199,39 @@ class TableEvolveSpec extends AnyFunSuite {
       .select("weight").as[Double].collect().toSeq ==
       Seq(1.0, 20.0, 3.0))
   }
+
+  test("SQL DELETE FROM: predicate rows removed with NULL-pred rows " +
+      "kept, history records a delete commit, inexpressible " +
+      "predicates refused at analysis") {
+    val root = freshRoot()
+    val rows = Seq[(Long, java.lang.Double)](
+      (1L, 1.0), (2L, 5.0), (3L, null), (4L, 9.0))
+      .toDF("k", "score")
+    TxnTable.create(spark, root, rows, Seq("k"))
+    val p = new org.apache.hadoop.fs.Path(root)
+    spark.conf.set("spark.sql.catalog.gcat_evo", "graft.table.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcat_evo.warehouse",
+      p.getParent.toString)
+    spark.sql(s"DELETE FROM gcat_evo.`${p.getName}` WHERE score > 4")
+    // score=5,9 deleted; score NULL (predicate NULL) KEPT — SQL contract
+    assert(TxnTable.snapshot(spark, root)
+      .select("k").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    assert(TxnTable.history(spark, root)
+      .select("op").as[String].collect().toSeq ==
+      Seq("create", "delete"))
+    // an RLIKE predicate has no v1-filter form → refused, not guessed
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM gcat_evo.`${p.getName}` " +
+        "WHERE CAST(k AS STRING) RLIKE '1.*'")
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m =>
+      m.toLowerCase.contains("cannot translate") ||
+        m.toLowerCase.contains("delete")),
+      s"unexpected: ${messages(e)}")
+    // refusal left the table untouched
+    assert(TxnTable.latestVersion(spark, root).contains(1L))
+  }
 }
