@@ -199,8 +199,23 @@ class GraftTable(root: String, tableSchema: StructType,
     extends Table
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"graft_table($root)"
+
+  /** SQL UPDATE / MERGE INTO (DSv2 row-level operations, group-based
+    * copy-on-write with the whole table as the group —
+    * [[GraftRowLevelOperation]]); DELETE binds via the cheaper
+    * SupportsDelete path above.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(pinned.isEmpty && !cdf,
+      "row-level operations are not supported on time-travel or " +
+        "change-feed relations")
+    () => new GraftRowLevelOperation(root, tableSchema, info.command())
+  }
 
   /** SQL `DELETE FROM cat.t WHERE p` (DSv2 SupportsDelete): the
     * predicate arrives as v1 filters; every conjunct must convert to a
@@ -320,9 +335,14 @@ class GraftWriteBuilder(
     }
 }
 
+/** `prune = false` (the row-level COW scan): the scan must read the
+  * WHOLE table — its output defines the replacement group, so a
+  * file-pruned scan would silently DROP the pruned files' rows when
+  * the write replaces the table.
+  */
 class GraftScanBuilder(root: String, schema: StructType,
     version: Option[Long] = None, startingVersion: Option[Long] = None,
-    cdf: Boolean = false)
+    cdf: Boolean = false, prune: Boolean = true)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -336,8 +356,9 @@ class GraftScanBuilder(root: String, schema: StructType,
   override def pushFilters(fs: Array[sources.Filter]): Array[sources.Filter] = {
     // CDF rows are changes, not table rows — manifest stats don't
     // describe them, so no filter is recorded for pruning (all stay
-    // residual either way; Spark re-applies row-level).
-    if (!cdf) filters = fs
+    // residual either way; Spark re-applies row-level). The COW scan
+    // (prune=false) likewise records nothing: it must read everything.
+    if (!cdf && prune) filters = fs
     fs // ALL residual: pruning is advisory, Spark re-applies row-level
   }
   override def pushedFilters(): Array[sources.Filter] = filters
@@ -441,12 +462,12 @@ class GraftScanBuilder(root: String, schema: StructType,
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = !cdf && tryPlanAgg(agg).isDefined
+      : Boolean = !cdf && prune && tryPlanAgg(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
-    aggResult = if (cdf) None else tryPlanAgg(agg)
+    aggResult = if (cdf || !prune) None else tryPlanAgg(agg)
     aggResult.isDefined
   }
 
@@ -454,7 +475,7 @@ class GraftScanBuilder(root: String, schema: StructType,
     case Some((aggSchema, values)) => new GraftAggScan(aggSchema, values)
     case None =>
       new GraftScan(root, required, filters, version,
-        if (cdf) None else limit, startingVersion, cdf)
+        if (cdf || !prune) None else limit, startingVersion, cdf)
   }
 }
 

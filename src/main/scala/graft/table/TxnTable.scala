@@ -139,6 +139,9 @@ object TxnTable {
   private val DataDir = "data"
   private val ChangeDir = "_cdf"
 
+  /** Data-directory name for sibling writers (the DSv2 COW path). */
+  private[table] def dataDirName: String = DataDir
+
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -828,6 +831,54 @@ object TxnTable {
     rewrite(spark, root, "delete", statsCols) { snap =>
       graft.ops.Merge.applyDeletes(snap, tombstones, keyCols)
     }
+
+  /** Commit a COPY-ON-WRITE replacement written by the DSv2 row-level
+    * path ([[graft.table.GraftRowLevelOperation]] — SQL UPDATE / MERGE
+    * INTO): the executor-written files REPLACE the whole table at
+    * `baseVersion + 1`. Unlike [[rewrite]] there is no recompute-and-
+    * retry — the replacement rows were produced by Spark's rewrite
+    * plan against `baseVersion`'s snapshot, so a concurrent commit
+    * means the plan's input is stale and the only sound outcome is a
+    * LOUD ABORT (the Delta/Iceberg serializable-conflict contract;
+    * the statement can simply be re-run). Under [[enableCdf]] the
+    * change rows are materialized here by diffing the base snapshot
+    * against the candidate's files — both sides fresh reads.
+    */
+  private[table] def commitCow(
+      spark: SparkSession,
+      root: String,
+      op: String,
+      schemaDdl: String,
+      files: Seq[FileEntry],
+      baseVersion: Long): Long = {
+    val cur = latestManifest(spark, root).getOrElse(
+      sys.error(s"no table at $root"))
+    if (cur.version != baseVersion)
+      throw new IllegalStateException(
+        s"$op: concurrent commit detected (planned against " +
+          s"v$baseVersion, table is at v${cur.version}) — re-run the " +
+          "statement")
+    val v = cur.version + 1
+    val cand = Manifest(v, op, System.currentTimeMillis(),
+      schemaDdl, files, cur.streamHwm, cur.constraints, cur.bloomCols)
+    // CHECK constraints hold on the replacement rows (one scan of the
+    // candidate files; rewrite() checks its incoming frame the same way)
+    if (constraintsOf(cur).nonEmpty)
+      enforceConstraints(snapshotOf(spark, root, cand),
+        constraintsOf(cur))
+    val cdfRel = cdfKeysOf(spark, root).map { keys =>
+      val rel = s"$ChangeDir/v$v-" +
+        java.util.UUID.randomUUID.toString.take(8)
+      diffRows(snapshotOf(spark, root, cur),
+        snapshotOf(spark, root, cand), keys)
+        .write.parquet(s"$root/$rel")
+      rel
+    }
+    if (!tryCommit(spark, root, cand.copy(cdfDir = cdfRel)))
+      throw new IllegalStateException(
+        s"$op: lost the commit race at v$v — re-run the statement")
+    v
+  }
 
   /** Predicate DELETE (the `DELETE FROM t WHERE p` semantics — rows
     * where `cond` is TRUE are removed; FALSE and NULL rows are kept,

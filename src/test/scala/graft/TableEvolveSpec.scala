@@ -219,19 +219,48 @@ class TableEvolveSpec extends AnyFunSuite {
     assert(TxnTable.history(spark, root)
       .select("op").as[String].collect().toSeq ==
       Seq("create", "delete"))
-    // an RLIKE predicate has no v1-filter form → refused, not guessed
-    val e = intercept[Exception] {
-      spark.sql(s"DELETE FROM gcat_evo.`${p.getName}` " +
-        "WHERE CAST(k AS STRING) RLIKE '1.*'")
-    }
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x =>
-        Option(x.getMessage).toSeq ++ messages(x.getCause))
-    assert(messages(e).exists(m =>
-      m.toLowerCase.contains("cannot translate") ||
-        m.toLowerCase.contains("delete")),
-      s"unexpected: ${messages(e)}")
-    // refusal left the table untouched
-    assert(TxnTable.latestVersion(spark, root).contains(1L))
+    // an RLIKE predicate has no v1-filter form, so the metadata
+    // SupportsDelete path refuses it — and Spark then FALLS BACK to
+    // the row-level COW delete, which executes it correctly (the
+    // two-tier contract: cheap filter deletes when expressible, full
+    // rewrite when not, never an approximation)
+    spark.sql(s"DELETE FROM gcat_evo.`${p.getName}` " +
+      "WHERE CAST(k AS STRING) RLIKE '1.*'")
+    assert(TxnTable.snapshot(spark, root)
+      .select("k").as[Long].collect().sorted.toSeq == Seq(3L))
+    assert(TxnTable.history(spark, root)
+      .select("op").as[String].collect().toSeq ==
+      Seq("create", "delete", "delete"))
+  }
+
+  test("SQL UPDATE and MERGE INTO (row-level COW): rows rewritten " +
+      "exactly per statement, history records the commands, " +
+      "unchanged rows survive the whole-table replace") {
+    val root = freshRoot()
+    TxnTable.create(spark, root,
+      kv((1L, 1.0), (2L, 2.0), (3L, 3.0)), Seq("k"))
+    val p = new org.apache.hadoop.fs.Path(root)
+    spark.conf.set("spark.sql.catalog.gcat_rl", "graft.table.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcat_rl.warehouse",
+      p.getParent.toString)
+    spark.sql(
+      s"UPDATE gcat_rl.`${p.getName}` SET score = score * 10 WHERE k >= 2")
+    assert(TxnTable.snapshot(spark, root).orderBy("k")
+      .as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 1.0), (2L, 20.0), (3L, 30.0)))
+    spark.sql("SELECT * FROM (VALUES (2, 200.0), (9, 9.0)) AS t(k, score)")
+      .selectExpr("CAST(k AS BIGINT) AS k", "CAST(score AS DOUBLE) AS score")
+      .createOrReplaceTempView("mrg_src")
+    spark.sql(
+      s"""MERGE INTO gcat_rl.`${p.getName}` t USING mrg_src s
+         ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET score = s.score
+         WHEN NOT MATCHED THEN INSERT *""")
+    assert(TxnTable.snapshot(spark, root).orderBy("k")
+      .as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 1.0), (2L, 200.0), (3L, 30.0), (9L, 9.0)))
+    assert(TxnTable.history(spark, root)
+      .select("op").as[String].collect().toSeq ==
+      Seq("create", "update", "merge"))
   }
 }
