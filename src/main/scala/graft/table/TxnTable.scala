@@ -1561,34 +1561,43 @@ object TxnTable {
       spark: SparkSession, root: String, retainLast: Int = 2): Seq[String] = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no table at $root")
-    val retained = vs.takeRight(math.max(1, retainLast))
-      .flatMap { v =>
-        val m = readManifest(spark, root, v)
+    val retainedManifests = vs.takeRight(math.max(1, retainLast))
+      .map(readManifest(spark, root, _))
+    val retained = retainedManifests
+      .flatMap { m =>
         // deletion-vector sidecars live under data/ too — a referenced
         // dv is as load-bearing as a referenced data file. Sidecar
         // paths are directories (one parquet write each): retain every
         // file under them by prefix.
         m.files.map(_.path) ++ m.files.flatMap(_.dvs.getOrElse(Seq.empty))
       }.toSet
+    // change-data dirs: a manifest's cdfDir becomes reclaimable only
+    // when its version ages out of retention; lost-race orphans (dirs
+    // no manifest ever pointed at) are reclaimable immediately
+    val retainedCdf = retainedManifests.flatMap(_.cdfDir).toSet
     def isRetained(rel: String): Boolean =
       retained.contains(rel) ||
-        retained.exists(p => rel.startsWith(p + "/"))
-    val dataRoot = new Path(root, DataDir)
-    val f = fs(spark, dataRoot)
-    if (!f.exists(dataRoot)) return Seq.empty
-    val it = f.listFiles(dataRoot, true)
+        retained.exists(p => rel.startsWith(p + "/")) ||
+        retainedCdf.exists(p => rel == p || rel.startsWith(p + "/"))
     val deleted = Seq.newBuilder[String]
     val rootUri = new Path(root).toUri.getPath.stripSuffix("/")
-    while (it.hasNext) {
-      val st = it.next()
-      val rel = st.getPath.toUri.getPath.stripPrefix(rootUri)
-        .stripPrefix("/")
-      if (st.isFile && !isRetained(rel) &&
-          !st.getPath.getName.startsWith("_")) {
-        f.delete(st.getPath, false)
-        deleted += rel
+    Seq(new Path(root, DataDir), new Path(root, ChangeDir))
+      .foreach { walkRoot =>
+        val f = fs(spark, walkRoot)
+        if (f.exists(walkRoot)) {
+          val it = f.listFiles(walkRoot, true)
+          while (it.hasNext) {
+            val st = it.next()
+            val rel = st.getPath.toUri.getPath.stripPrefix(rootUri)
+              .stripPrefix("/")
+            if (st.isFile && !isRetained(rel) &&
+                !st.getPath.getName.startsWith("_")) {
+              f.delete(st.getPath, false)
+              deleted += rel
+            }
+          }
+        }
       }
-    }
     deleted.result()
   }
 }

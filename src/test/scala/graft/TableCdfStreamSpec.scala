@@ -171,6 +171,37 @@ class TableCdfStreamSpec extends AnyFunSuite {
       (1L, 1.0, "update_postimage"), (1L, 10.0, "update_preimage")))
   }
 
+  test("the CDF stream rides through a SQL UPDATE (row-level COW " +
+      "commit materializes change rows), and vacuum reclaims only " +
+      "aged-out change data") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, kv((1L, 1.0), (2L, 2.0)))
+    TxnTable.enableCdf(spark, root, Seq("k"))
+    val p = new org.apache.hadoop.fs.Path(root)
+    spark.conf.set("spark.sql.catalog.gcat_cdf", "graft.table.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcat_cdf.warehouse",
+      p.getParent.toString)
+    spark.sql(s"UPDATE gcat_cdf.`${p.getName}` SET score = 99.0 WHERE k = 2")
+    val ckpt = Files.createTempDirectory("graft_cdf_ck").toString
+    val out = Files.createTempDirectory("graft_cdf_out").toString
+    drainCdf(root, ckpt, out, startingVersion = Some(1L))
+    assert(rows(out).map(r => (r._1, r._2, r._3)) == Seq(
+      (2L, 99.0, "update_postimage"), (2L, 2.0, "update_preimage")))
+    // v1's cdfDir is inside the retention window → vacuum keeps it;
+    // after two more commits push it out, its files are reclaimed
+    assert(TxnTable.vacuum(spark, root, retainLast = 2)
+      .forall(!_.startsWith("_cdf/")))
+    TxnTable.append(spark, root, kv((3L, 3.0)))
+    TxnTable.append(spark, root, kv((4L, 4.0)))
+    val reclaimed = TxnTable.vacuum(spark, root, retainLast = 2)
+    assert(reclaimed.exists(_.startsWith("_cdf/")),
+      s"aged-out change data not reclaimed: $reclaimed")
+    // the live snapshot is untouched by the vacuum
+    assert(TxnTable.snapshot(spark, root)
+      .select("k").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+  }
+
   test("enableCdf guards: idempotent for same keys, refuses a key " +
       "change, and a schema-changing rewrite under CDF is refused at " +
       "write time") {
