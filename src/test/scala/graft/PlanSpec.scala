@@ -646,4 +646,57 @@ class PlanSpec extends AnyFunSuite {
           s"(lineage would grow with iterations):\n$plan")
     }
   }
+
+  test("q4_priority: the EXISTS is a LEFT SEMI join, never a row " +
+      "explosion, and the quarter filter reaches the orders scan") {
+    val plan = planOf("q4_priority")
+    assert(plan.toLowerCase.contains("leftsemi"),
+      s"EXISTS did not plan as a semi join:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("PushedFilters:"))
+  }
+
+  test("q7_volume / q8_share: nation copies broadcast, fact joins " +
+      "left to runtime (no forced fact broadcast)") {
+    for (q <- Seq("q7_volume", "q8_share")) {
+      val plan = planNoAutoBroadcast(q)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q lost its dimension broadcasts:\n$plan")
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"),
+        s"$q forced a broadcast onto an SF-scaling side:\n$plan")
+      assert(!plan.contains("CartesianProduct"))
+    }
+  }
+
+  test("q_sentence_dedup: one content-keyed shuffle (sentence window) " +
+      "then counts-sized aggregation — no corpus-sized sort rank " +
+      "outside the window, no cartesian") {
+    val plan = planOf("q_sentence_dedup")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("Window"), s"first-occurrence window missing:\n$plan")
+  }
+
+  test("q_winnowing_pairs: fingerprint-keyed join only — no " +
+      "cartesian, no broadcast of the corpus-sized fingerprint side") {
+    val plan = planNoAutoBroadcast("q_winnowing_pairs")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_seq_patterns: the before-relation joins per-(user,type) " +
+      "min/max aggregates, never raw event pairs") {
+    val plan = planOf("q_seq_patterns")
+    // the join inputs must be aggregates (partial min/max below the
+    // exchange), so each side is user×type-sized, not event-sized
+    assert(plan.contains("HashAggregate"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_kneser_ney: continuation counts derive from ONE bigram-type " +
+      "aggregate — the corpus explode appears once in the plan") {
+    val plan = planOf("q_kneser_ney")
+    val explodes = "Generate explode".r.findAllIn(plan).length
+    assert(explodes <= 1, s"bigram explode planned $explodes times:\n$plan")
+  }
 }
