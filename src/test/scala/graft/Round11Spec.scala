@@ -109,6 +109,24 @@ class Round11Spec extends AnyFunSuite {
       "personalizedRanks error path left cached datasets behind")
   }
 
+  test("graft_lev_bounded stays inside whole-stage codegen (no UDF " +
+      "encoder round-trip, no BatchEvalPython-style fence)") {
+    graft.functions.BoundedLevenshtein.register(spark)
+    // parquet-backed input: a Seq-literal frame constant-folds to a
+    // LocalTableScan at plan time and proves nothing about codegen
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") < 20)
+      .selectExpr("graft_lev_bounded(text, concat(text, 'x'), 5) AS d")
+    val plan = df.queryExecution.executedPlan.toString
+    // the `*(n)` prefix marks a whole-stage-codegen stage; the
+    // expression's Project must carry it (a CodegenFallback expression
+    // would strip the star from its stage)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("graft_lev_bounded") && l.trim.startsWith("*(")),
+      s"bounded levenshtein fell out of codegen:\n$plan")
+    assert(df.as[Int].collect().forall(_ == 1)) // one appended char
+  }
+
   test("Katz on an empty graph throws without leaking cached datasets") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val e = spark.emptyDataset[(Long, Long)].toDF("src", "dst")
