@@ -3,6 +3,7 @@ package graft.table
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types._
@@ -10,67 +11,106 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** SQL `UPDATE` and `MERGE INTO` for the graft table — DSv2
   * SupportsRowLevelOperations in GROUP-BASED COPY-ON-WRITE mode with
-  * the WHOLE TABLE as the one replacement group:
+  * FILE-GROUP pruning:
   *
   *   - Spark rewrites the statement into a plan that reads the table,
-  *     applies the UPDATE/MERGE logic, and hands the FULL post-change
-  *     row set to this operation's write;
-  *   - the scan is pruning-DISABLED ([[GraftScanBuilder]] `prune =
-  *     false`): its output defines the replacement group, so a
-  *     file-pruned read would silently drop the pruned rows on
-  *     replace;
+  *     applies the UPDATE/MERGE logic, and hands the post-change rows
+  *     of the SCANNED FILES to this operation's write;
+  *   - `requiredMetadataAttributes` requests the `_file` metadata
+  *     column, so Spark's runtime group filtering
+  *     (`RowLevelOperationRuntimeGroupFiltering`) evaluates the
+  *     statement condition in a subquery, collects the distinct
+  *     `_file` values of MATCHED rows, and pushes them back into the
+  *     COW scan as an IN filter ([[GraftScan.filter]]) — a selective
+  *     UPDATE reads and rewrites O(matched files), not O(table);
+  *   - the scanned files ARE the replacement group: the write's commit
+  *     unions every UNTOUCHED manifest entry verbatim with the newly
+  *     written files ([[TxnTable.commitCow]]), so file-group pruning
+  *     changes WHICH files rewrite, never what the table contains.
+  *     Static predicate pruning stays disabled (`prune = false`): the
+  *     scan must return every row of each scanned file, matched or
+  *     not, or replaced files would silently lose their unmatched
+  *     rows;
+  *   - the base version is resolved ONCE at operation creation and
+  *     pins BOTH the scan and the commit — the driver commit
+  *     ([[TxnTable.commitCow]]) aborts loudly if anything else
+  *     committed after it (the serializable-conflict contract; the
+  *     statement re-runs), never overwrites the winner;
   *   - the write is a real distributed DSv2 BatchWrite: each task
   *     streams its partition into a parquet file under `data/`
-  *     ([[GraftCowDataWriter]]), and the driver commit assembles ONE
-  *     manifest ([[TxnTable.commitCow]]) with serializable-conflict
-  *     detection — a commit that raced anything ABORTS loudly (the
-  *     statement re-runs), never overwrites the winner.
+  *     ([[GraftCowDataWriter]]), writing PHYSICAL column names (the
+  *     base manifest's column mapping), so kept files and new files
+  *     serve one read schema.
   *
-  * The whole-table group is the honest baseline at this surface: a
-  * file-group refinement (replace only touched files via a `_file`
-  * metadata column) changes WHICH files rewrite, not the commit
-  * protocol, and is the documented scale follow-up. DELETE binds via
-  * the cheaper SupportsDelete path and never reaches here.
+  * DELETE binds via the cheaper SupportsDelete path and never reaches
+  * here.
   */
 class GraftRowLevelOperation(
     root: String, tableSchema: StructType,
     cmd: RowLevelOperation.Command)
     extends RowLevelOperation {
 
+  /** Base version pinned at operation creation: the COW scan reads
+    * this manifest and the commit conflicts against it — one version
+    * for planning, execution and commit (no planning/commit split).
+    */
+  private val baseVersion: Long =
+    GraftTableProvider.listVersions(new Configuration(), root).max
+
+  /** The configured COW scan — captured at build so the write can ask
+    * which files were ACTUALLY planned (post runtime group filtering):
+    * that set is the replacement group.
+    */
+  @volatile private var cowScan: GraftScan = _
+
   override def command(): RowLevelOperation.Command = cmd
 
   override def description(): String =
-    s"graft COW $cmd on $root (whole-table group)"
+    s"graft COW $cmd on $root (file-group pruned, base v$baseVersion)"
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(GraftScan.FileCol))
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(root, tableSchema, prune = false)
+    new GraftScanBuilder(root, tableSchema, version = Some(baseVersion),
+      prune = false, register = s => cowScan = s)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite =
+        override def toBatch: BatchWrite = {
+          val m = GraftTableProvider.manifestFor(
+            new Configuration(), root, Some(baseVersion))
           new GraftCowBatchWrite(root, info.schema(),
             cmd.toString.toLowerCase(java.util.Locale.ROOT),
-            GraftTableProvider.listVersions(new Configuration(), root).max)
+            baseVersion, m.colMap.getOrElse(Map.empty),
+            () => Option(cowScan).flatMap(_.plannedFiles))
+        }
       }
     }
 }
 
-/** One replaced-table commit: executor tasks write parquet files,
+/** One replaced-group commit: executor tasks write parquet files,
   * `commit` turns their messages into a manifest at `baseVersion + 1`
-  * (abort-on-conflict — see [[TxnTable.commitCow]]). Aborted tasks
-  * delete their files; an aborted JOB leaves only unreferenced files
-  * for vacuum, never a partial version (the manifest rename is the
-  * single commit point, same as every other write path).
+  * whose file set is (base files − replacement group) ++ new files
+  * (abort-on-conflict — see [[TxnTable.commitCow]]). `replacedFiles`
+  * is read AT COMMIT TIME (after the job ran, so the scan's runtime
+  * group filter has been applied); `None` — planning never happened —
+  * falls back to whole-table replace, which is always sound. Aborted
+  * tasks delete their files; an aborted JOB leaves only unreferenced
+  * files for vacuum, never a partial version (the manifest rename is
+  * the single commit point, same as every other write path).
   */
 class GraftCowBatchWrite(
-    root: String, schema: StructType, op: String, baseVersion: Long)
+    root: String, schema: StructType, op: String, baseVersion: Long,
+    physMap: Map[String, String],
+    replacedFiles: () => Option[Seq[TxnTable.FileEntry]])
     extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftCowWriterFactory(root, schema)
+    new GraftCowWriterFactory(root, schema, physMap)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.collect {
@@ -78,7 +118,8 @@ class GraftCowBatchWrite(
         TxnTable.FileEntry(m.relPath, m.rows, m.bytes, Map.empty)
     }.toSeq
     val spark = org.apache.spark.sql.SparkSession.active
-    TxnTable.commitCow(spark, root, op, schema.toDDL, files, baseVersion)
+    TxnTable.commitCow(spark, root, op, schema.toDDL, files, baseVersion,
+      replacedFiles().map(_.map(_.path)))
     ()
   }
 
@@ -97,20 +138,26 @@ class GraftCowBatchWrite(
 case class GraftCowCommit(relPath: String, rows: Long, bytes: Long)
     extends WriterCommitMessage
 
-class GraftCowWriterFactory(root: String, schema: StructType)
+class GraftCowWriterFactory(root: String, schema: StructType,
+    physMap: Map[String, String])
     extends DataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftCowDataWriter(root, schema, partitionId, taskId)
+    new GraftCowDataWriter(root, schema, partitionId, taskId, physMap)
 }
 
 /** Per-task parquet writer (example API Group writer — the symmetric
-  * twin of [[GraftPartitionReader]], same scalar type set). The file
-  * is created LAZILY on the first row, so empty partitions commit
-  * nothing instead of littering zero-row files.
+  * twin of [[GraftPartitionReader]]: the same scalar set PLUS arrays
+  * of scalars, so tables carrying `ARRAY<FLOAT>` embedding columns —
+  * this engine's flagship payload — take SQL UPDATE/MERGE). Columns
+  * are written under their PHYSICAL names (`physMap`), matching the
+  * kept files of a partial rewrite. The file is created LAZILY on the
+  * first row, so empty partitions commit nothing instead of littering
+  * zero-row files.
   */
 class GraftCowDataWriter(
-    root: String, schema: StructType, partitionId: Int, taskId: Long)
+    root: String, schema: StructType, partitionId: Int, taskId: Long,
+    physMap: Map[String, String] = Map.empty)
     extends DataWriter[InternalRow] {
   import org.apache.parquet.example.data.simple.SimpleGroup
   import org.apache.parquet.hadoop.ParquetWriter
@@ -126,22 +173,40 @@ class GraftCowDataWriter(
   private var messageType: MessageType = _
   private var rows = 0L
 
+  private def primType(dt: DataType): Option[
+      (PrimitiveTypeName, Option[LogicalTypeAnnotation])] = dt match {
+    case LongType => Some((PrimitiveTypeName.INT64, None))
+    case IntegerType => Some((PrimitiveTypeName.INT32, None))
+    case DoubleType => Some((PrimitiveTypeName.DOUBLE, None))
+    case FloatType => Some((PrimitiveTypeName.FLOAT, None))
+    case BooleanType => Some((PrimitiveTypeName.BOOLEAN, None))
+    case StringType => Some((PrimitiveTypeName.BINARY,
+      Some(LogicalTypeAnnotation.stringType())))
+    case _ => None
+  }
+
   private def open(): Unit = {
     val b = Types.buildMessage()
     schema.fields.foreach { f =>
-      val t = f.dataType match {
-        case LongType => Types.optional(PrimitiveTypeName.INT64)
-        case IntegerType => Types.optional(PrimitiveTypeName.INT32)
-        case DoubleType => Types.optional(PrimitiveTypeName.DOUBLE)
-        case FloatType => Types.optional(PrimitiveTypeName.FLOAT)
-        case BooleanType => Types.optional(PrimitiveTypeName.BOOLEAN)
-        case StringType => Types.optional(PrimitiveTypeName.BINARY)
-          .as(LogicalTypeAnnotation.stringType())
-        case other => throw new UnsupportedOperationException(
-          s"graft COW writer: unsupported type $other for ${f.name} " +
-            "(same scalar set as the DSv2 reader)")
+      val name = physMap.getOrElse(f.name, f.name)
+      val t: org.apache.parquet.schema.Type = f.dataType match {
+        case ArrayType(et, _) =>
+          val (p, ann) = primType(et).getOrElse(
+            throw new UnsupportedOperationException(
+              s"graft COW writer: unsupported array element $et for " +
+                s"${f.name}"))
+          // standard 3-level list, the layout Spark's own writer emits
+          val eb = Types.optionalList().optionalElement(p)
+          ann.fold(eb.named(name))(a => eb.as(a).named(name))
+        case other =>
+          val (p, ann) = primType(other).getOrElse(
+            throw new UnsupportedOperationException(
+              s"graft COW writer: unsupported type $other for ${f.name} " +
+                "(scalars and arrays of scalars — the DSv2 reader's set)"))
+          val pb = Types.optional(p)
+          ann.fold(pb.named(name))(a => pb.as(a).named(name))
       }
-      b.addField(t.named(f.name))
+      b.addField(t)
     }
     messageType = b.named("graft_cow")
     GroupWriteSupport.setSchema(messageType, conf)
@@ -150,6 +215,18 @@ class GraftCowDataWriter(
       .withConf(conf)
       .withType(messageType)
       .build()
+  }
+
+  private def addPrim(g: org.apache.parquet.example.data.Group,
+      n: String, dt: DataType, row: org.apache.spark.sql.catalyst.util.ArrayData,
+      i: Int): Unit = dt match {
+    case LongType => g.add(n, row.getLong(i))
+    case IntegerType => g.add(n, row.getInt(i))
+    case DoubleType => g.add(n, row.getDouble(i))
+    case FloatType => g.add(n, row.getFloat(i))
+    case BooleanType => g.add(n, row.getBoolean(i))
+    case StringType => g.add(n, row.getUTF8String(i).toString)
+    case _ => () // unreachable: open() refused the schema
   }
 
   // ReplaceData prepends internal bookkeeping column(s) — Spark 4.1's
@@ -173,7 +250,8 @@ class GraftCowDataWriter(
     while (i < schema.length) {
       val j = base + i
       if (!record.isNullAt(j)) {
-        val n = schema.fields(i).name
+        val n = physMap.getOrElse(schema.fields(i).name,
+          schema.fields(i).name)
         schema.fields(i).dataType match {
           case LongType => g.add(n, record.getLong(j))
           case IntegerType => g.add(n, record.getInt(j))
@@ -181,6 +259,15 @@ class GraftCowDataWriter(
           case FloatType => g.add(n, record.getFloat(j))
           case BooleanType => g.add(n, record.getBoolean(j))
           case StringType => g.add(n, record.getUTF8String(j).toString)
+          case ArrayType(et, _) =>
+            val arr = record.getArray(j)
+            val outer = g.addGroup(n)
+            var k = 0
+            while (k < arr.numElements()) {
+              val e = outer.addGroup("list")
+              if (!arr.isNullAt(k)) addPrim(e, "element", et, arr, k)
+              k += 1
+            }
           case _ => () // unreachable: open() refused the schema
         }
       }

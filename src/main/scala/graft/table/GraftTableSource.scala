@@ -200,8 +200,31 @@ class GraftTable(root: String, tableSchema: StructType,
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"graft_table($root)"
+
+  /** `_file` metadata column: the MANIFEST path of the data file each
+    * row came from (`SELECT _file, ... FROM cat.t`). Beyond ad-hoc
+    * provenance queries, this is the FILE-GROUP HANDLE the row-level
+    * COW path prunes on — Spark's runtime group filtering collects the
+    * distinct `_file` values matching an UPDATE/MERGE condition and
+    * pushes them back as an IN filter, so only matched files rewrite
+    * ([[GraftRowLevelOperation]]). Not exposed on change-feed
+    * relations: change rows are commit artifacts, not file rows.
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (cdf) Array.empty
+    else Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = GraftScan.FileCol
+        override def dataType()
+            : org.apache.spark.sql.types.DataType = StringType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "manifest path of the data file this row belongs to"
+      })
 
   /** SQL UPDATE / MERGE INTO (DSv2 row-level operations, group-based
     * copy-on-write with the whole table as the group —
@@ -342,7 +365,8 @@ class GraftWriteBuilder(
   */
 class GraftScanBuilder(root: String, schema: StructType,
     version: Option[Long] = None, startingVersion: Option[Long] = None,
-    cdf: Boolean = false, prune: Boolean = true)
+    cdf: Boolean = false, prune: Boolean = true,
+    register: GraftScan => Unit = _ => ())
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -474,8 +498,10 @@ class GraftScanBuilder(root: String, schema: StructType,
   override def build(): Scan = aggResult match {
     case Some((aggSchema, values)) => new GraftAggScan(aggSchema, values)
     case None =>
-      new GraftScan(root, required, filters, version,
+      val s = new GraftScan(root, required, filters, version,
         if (cdf || !prune) None else limit, startingVersion, cdf)
+      register(s)
+      s
   }
 }
 
@@ -509,14 +535,27 @@ class GraftAggScan(aggSchema: StructType, values: Array[Any])
 
 case class GraftAggPartition(values: Array[Any]) extends InputPartition
 
-/** One input partition per surviving data file. */
-case class GraftInputPartition(filePath: String) extends InputPartition
+/** One input partition per surviving data file. `relPath` is the
+  * MANIFEST path (the `_file` metadata value readers stamp); `nameMap`
+  * is the logical→physical column map of the manifest the partition was
+  * PLANNED against — carried with the partition so a commit landing
+  * between planning and reader-factory creation can never resolve a
+  * different mapping generation (the r11 ADVICE hazard).
+  */
+case class GraftInputPartition(filePath: String, relPath: String = "",
+    nameMap: Map[String, String] = Map.empty) extends InputPartition
+
+object GraftScan {
+  /** Metadata-column name for row provenance / COW group pruning. */
+  val FileCol = "_file"
+}
 
 class GraftScan(
     root: String, required: StructType, filters: Array[sources.Filter],
     version: Option[Long] = None, limit: Option[Int] = None,
     startingVersion: Option[Long] = None, cdf: Boolean = false)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = {
     require(!cdf,
@@ -581,15 +620,65 @@ class GraftScan(
     acc.toMap
   }
 
-  /** Logical→physical column map of the pinned manifest (column
-    * mapping after RENAME/DROP COLUMN; empty = identity). */
-  private lazy val nameMap: Map[String, String] =
+  /** The manifest this scan plans AND reads against, resolved ONCE:
+    * `planInputPartitions` (file set) and the readers' column map must
+    * come from the SAME version, or a rename-materializing commit
+    * landing between the two reads would feed old-generation files an
+    * empty map and serve silent NULLs (the r11 ADVICE hazard).
+    */
+  private lazy val pinnedManifest: TxnTable.Manifest =
     GraftTableProvider.manifestFor(new Configuration(), root, version)
-      .colMap.getOrElse(Map.empty)
+
+  /** RUNTIME file-group filtering (SupportsRuntimeV2Filtering) on the
+    * `_file` metadata column: Spark's row-level runtime group filter
+    * evaluates the UPDATE/MERGE condition in a subquery, collects the
+    * distinct `_file` values of MATCHED rows, and hands them back here
+    * as an IN predicate before `planInputPartitions` — so the COW scan
+    * (and therefore the replacement group) shrinks to the files that
+    * actually contain matched rows. Unrecognized predicates are
+    * ignored (filtering is an optimization; the kept-file carry in
+    * [[TxnTable.commitCow]] makes any subset sound).
+    */
+  @volatile private var runtimeFiles: Option[Set[String]] = None
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (cdf) Array.empty
+    else Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(GraftScan.FileCol))
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+    val sets = predicates.toSeq.flatMap { p =>
+      if (p.name() != "IN" || p.children().isEmpty) None
+      else p.children()(0) match {
+        case r: NamedReference
+            if r.fieldNames().sameElements(Array(GraftScan.FileCol)) =>
+          val vals: Seq[String] = p.children().drop(1).toSeq.collect {
+            case l: Literal[_] if l.value != null => l.value.toString
+          }
+          // every IN operand must be a literal we understood, or the
+          // predicate is not a complete file list and must be ignored
+          if (vals.length == p.children().length - 1) Some(vals.toSet)
+          else None
+        case _ => None
+      }
+    }
+    if (sets.nonEmpty) runtimeFiles = Some(sets.reduce(_ intersect _))
+  }
+
+  /** The file entries the last `planInputPartitions` actually planned —
+    * the REPLACEMENT GROUP the row-level COW write replaces (everything
+    * else in the base manifest carries forward verbatim). `None` until
+    * planning ran (the write then falls back to whole-table replace,
+    * which is always sound).
+    */
+  @volatile private var plannedVar: Option[Seq[TxnTable.FileEntry]] = None
+  def plannedFiles: Option[Seq[TxnTable.FileEntry]] = plannedVar
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = new Configuration()
-    val m = GraftTableProvider.manifestFor(conf, root, version)
+    val m = pinnedManifest
     // this file-at-a-time reader cannot apply MOR deletion-vector
     // anti-joins; refuse loudly rather than resurrect deleted rows
     require(m.files.forall(_.dvs.isEmpty),
@@ -597,11 +686,15 @@ class GraftScan(
         "read via TxnTable.snapshot or compact() first")
     val bs = bounds
     val cm = m.colMap.getOrElse(Map.empty[String, String])
-    val pruned = m.files.filter { f =>
+    val statsPruned = m.files.filter { f =>
       bs.forall { case (c, (lo, hi)) =>
         f.stats.get(cm.getOrElse(c, c))
           .forall(s => s.max >= lo && s.min <= hi)
       }
+    }
+    val pruned = runtimeFiles match {
+      case Some(allow) => statsPruned.filter(f => allow.contains(f.path))
+      case None => statsPruned
     }
     // LIMIT-only bound: the prefix of files whose cumulative manifest
     // row counts reach the limit is sufficient — sound ONLY because no
@@ -617,15 +710,16 @@ class GraftScan(
         }
       case _ => pruned
     }
+    plannedVar = Some(keep)
     keep.map { f =>
       val p = if (f.path.startsWith("/") || f.path.contains("://")) f.path
         else s"$root/${f.path}"
-      GraftInputPartition(p): InputPartition
+      GraftInputPartition(p, f.path, cm): InputPartition
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required, nameMap)
+    new GraftReaderFactory(required)
 }
 
 /** Version offset for the streaming read: "everything up to and
@@ -716,17 +810,20 @@ class GraftMicroBatchStream(
     require(fresh.forall(_.dvs.isEmpty),
       s"graft table stream at $root: planned file carries MOR deletion " +
         "vectors — compact() before streaming")
+    // column map resolved from the PLANNED end manifest and carried
+    // with the partitions — resolving it again at reader-factory time
+    // (from latest) would race a mapping-materializing commit and read
+    // renamed columns as NULL (the r11 ADVICE hazard)
+    val cm = mEnd.colMap.getOrElse(Map.empty[String, String])
     fresh.map { f =>
       val p = if (f.path.startsWith("/") || f.path.contains("://")) f.path
         else s"$root/${f.path}"
-      GraftInputPartition(p): InputPartition
+      GraftInputPartition(p, f.path, cm): InputPartition
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(schema,
-      GraftTableProvider.latestManifest(conf, root)
-        .colMap.getOrElse(Map.empty))
+    new GraftReaderFactory(schema)
 }
 
 /** One CDF input partition: a parquet file plus the commit version
@@ -736,7 +833,8 @@ class GraftMicroBatchStream(
   * carries its own `_change_type` column.
   */
 case class GraftCdfInputPartition(
-    filePath: String, version: Long, changeType: Option[String])
+    filePath: String, version: Long, changeType: Option[String],
+    nameMap: Map[String, String] = Map.empty)
     extends InputPartition
 
 /** CHANGE-DATA-FEED streaming read of the [[TxnTable]]
@@ -814,17 +912,27 @@ class GraftCdfMicroBatchStream(
         require(fresh.forall(_.dvs.isEmpty),
           s"graft table CDF stream at $root v$v: new file carries MOR " +
             "deletion vectors — compact() before streaming")
+        // data files carry PHYSICAL names: translate through the
+        // colMap of the COMMIT'S OWN manifest (pinned per partition —
+        // the latest map could postdate a materializing rewrite)
+        val cm = m.colMap.getOrElse(Map.empty[String, String])
         fresh.map(f =>
-          GraftCdfInputPartition(abs(f.path), v, Some("insert")))
+          GraftCdfInputPartition(abs(f.path), v, Some("insert"), cm))
       } else m.cdfDir match {
         case Some(dir) =>
           val d = new Path(abs(dir))
           d.getFileSystem(conf).listStatus(d).toSeq
             .map(_.getPath)
             .filter(p => p.getName.endsWith(".parquet"))
+            // materialized change rows are written from the LOGICAL
+            // snapshot (diffRows output) — no physical translation
             .map(p => GraftCdfInputPartition(p.toString, v, None))
-        case None if m.op == "compact" || m.op == "cluster" =>
-          Nil // physical reorganization, no logical change
+        case None if GraftCdfMicroBatchStream.NoChangeOps(m.op) =>
+          // compact/cluster reorganize bytes; rename/drop/add-column
+          // are metadata-only schema evolution — zero change rows
+          // either way, and failing here would permanently brick every
+          // CDF consumer over a zero-row-change commit
+          Nil
         case None =>
           throw new IllegalStateException(
             s"graft table CDF stream at $root: v$v '${m.op}' committed " +
@@ -836,18 +944,26 @@ class GraftCdfMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftCdfReaderFactory(required,
-      GraftTableProvider.latestManifest(conf, root)
-        .colMap.getOrElse(Map.empty[String, String]))
+    new GraftCdfReaderFactory(required)
 }
 
-class GraftCdfReaderFactory(required: StructType,
-    nameMap: Map[String, String]) extends PartitionReaderFactory {
+object GraftCdfMicroBatchStream {
+  /** Commits that change NO logical rows: physical reorganizations and
+    * metadata-only schema evolution. The CDF planner emits nothing for
+    * them instead of failing (the r11 ADVICE fix — a schema evolution
+    * must not be fatal to change-feed consumers).
+    */
+  val NoChangeOps: Set[String] =
+    Set("compact", "cluster", "rename-column", "drop-column", "add-column")
+}
+
+class GraftCdfReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftCdfInputPartition]
     new GraftCdfPartitionReader(p.filePath, required, p.version,
-      p.changeType, nameMap)
+      p.changeType, p.nameMap)
   }
 }
 
@@ -884,28 +1000,33 @@ class GraftCdfPartitionReader(filePath: String, required: StructType,
   override def close(): Unit = inner.close()
 }
 
-class GraftReaderFactory(required: StructType,
-    nameMap: Map[String, String] = Map.empty)
+class GraftReaderFactory(required: StructType)
     extends PartitionReaderFactory {
   override def createReader(
-      partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftPartitionReader(
-      partition.asInstanceOf[GraftInputPartition].filePath, required,
-      nameMap)
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    new GraftPartitionReader(p.filePath, required, p.nameMap, p.relPath)
+  }
 }
 
 /** Parquet example-API row reader: required columns only, missing
   * columns (pre-evolution files) read as NULL. `nameMap` translates a
   * LOGICAL column to the PHYSICAL name data files carry (column
   * mapping after RENAME/DROP COLUMN — [[TxnTable.renameColumn]]);
-  * identity when absent.
+  * identity when absent. A requested `_file` column is stamped with
+  * `relPath` (the manifest path), never read from the file. Scalar
+  * columns plus ARRAYs of scalars (both the standard 3-level parquet
+  * list and the 2-level legacy layout) are supported — embedding
+  * columns (`ARRAY<FLOAT>`) are this engine's flagship payload and
+  * must survive the row-level COW read path.
   */
 class GraftPartitionReader(filePath: String, required: StructType,
-    nameMap: Map[String, String] = Map.empty)
+    nameMap: Map[String, String] = Map.empty, relPath: String = "")
     extends PartitionReader[InternalRow] {
   import org.apache.parquet.example.data.Group
   import org.apache.parquet.hadoop.ParquetReader
   import org.apache.parquet.hadoop.example.GroupReadSupport
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 
   private val reader: ParquetReader[Group] =
     ParquetReader.builder(new GroupReadSupport(), new Path(filePath))
@@ -917,26 +1038,59 @@ class GraftPartitionReader(filePath: String, required: StructType,
     current != null
   }
 
+  private def primValue(g: Group, idx: Int, rep: Int,
+      t: org.apache.parquet.schema.PrimitiveType, col: String): Any =
+    t.getPrimitiveTypeName match {
+      case INT64 => g.getLong(idx, rep)
+      case INT32 => g.getInteger(idx, rep)
+      case DOUBLE => g.getDouble(idx, rep)
+      case FLOAT => g.getFloat(idx, rep)
+      case BOOLEAN => g.getBoolean(idx, rep)
+      case BINARY | FIXED_LEN_BYTE_ARRAY =>
+        UTF8String.fromBytes(g.getBinary(idx, rep).getBytes)
+      case other => throw new UnsupportedOperationException(
+        s"graft table DSv2 reader: unsupported parquet type $other " +
+          s"for column $col")
+    }
+
+  /** Array column: standard layout is `optional group c (LIST)
+    * { repeated group list { optional T element } }`; the legacy
+    * 2-level layout keeps a repeated primitive directly inside the
+    * outer group. Either way the value is one GenericArrayData.
+    */
+  private def arrayValue(outer: Group, col: String): Any = {
+    val ot = outer.getType
+    require(ot.getFieldCount == 1,
+      s"graft table DSv2 reader: unrecognized list layout for $col")
+    val inner = ot.getType(0)
+    val n = outer.getFieldRepetitionCount(0)
+    val vals: Array[Any] =
+      if (inner.isPrimitive) // 2-level legacy: repeated primitive
+        Array.tabulate(n)(i =>
+          primValue(outer, 0, i, inner.asPrimitiveType(), col))
+      else // 3-level standard: repeated group { optional element }
+        Array.tabulate(n) { i =>
+          val e = outer.getGroup(0, i)
+          if (e.getFieldRepetitionCount(0) == 0) null
+          else primValue(e, 0, 0,
+            e.getType.getType(0).asPrimitiveType(), col)
+        }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(vals)
+  }
+
   override def get(): InternalRow = {
     val g = current
     val fileType = g.getType
     val vals = required.fields.map { f =>
       val n = nameMap.getOrElse(f.name, f.name)
-      if (fileType.containsField(n) &&
+      if (f.name == GraftScan.FileCol) UTF8String.fromString(relPath)
+      else if (fileType.containsField(n) &&
           g.getFieldRepetitionCount(n) > 0) {
-        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-        fileType.getType(n).asPrimitiveType().getPrimitiveTypeName match {
-          case INT64 => g.getLong(n, 0)
-          case INT32 => g.getInteger(n, 0)
-          case DOUBLE => g.getDouble(n, 0)
-          case FLOAT => g.getFloat(n, 0)
-          case BOOLEAN => g.getBoolean(n, 0)
-          case BINARY | FIXED_LEN_BYTE_ARRAY =>
-            UTF8String.fromBytes(g.getBinary(n, 0).getBytes)
-          case other => throw new UnsupportedOperationException(
-            s"graft table DSv2 reader: unsupported parquet type $other " +
-              s"for column ${f.name}")
-        }
+        val t = fileType.getType(n)
+        if (t.isPrimitive)
+          primValue(g, fileType.getFieldIndex(n), 0,
+            t.asPrimitiveType(), f.name)
+        else arrayValue(g.getGroup(n, 0), f.name)
       } else null
     }
     InternalRow.fromSeq(vals.toIndexedSeq)

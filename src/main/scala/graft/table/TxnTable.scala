@@ -834,15 +834,23 @@ object TxnTable {
 
   /** Commit a COPY-ON-WRITE replacement written by the DSv2 row-level
     * path ([[graft.table.GraftRowLevelOperation]] — SQL UPDATE / MERGE
-    * INTO): the executor-written files REPLACE the whole table at
-    * `baseVersion + 1`. Unlike [[rewrite]] there is no recompute-and-
-    * retry — the replacement rows were produced by Spark's rewrite
-    * plan against `baseVersion`'s snapshot, so a concurrent commit
-    * means the plan's input is stale and the only sound outcome is a
-    * LOUD ABORT (the Delta/Iceberg serializable-conflict contract;
-    * the statement can simply be re-run). Under [[enableCdf]] the
-    * change rows are materialized here by diffing the base snapshot
-    * against the candidate's files — both sides fresh reads.
+    * INTO): the executor-written files replace the REPLACEMENT GROUP
+    * (`replaced` — the files the COW scan actually planned, post
+    * runtime group filtering) at `baseVersion + 1`; every other base
+    * manifest entry CARRIES FORWARD VERBATIM, so a selective UPDATE
+    * commits O(matched files) of new data, not O(table) (`replaced =
+    * None` falls back to whole-table replace — always sound).
+    * Unlike [[rewrite]] there is no recompute-and-retry — the
+    * replacement rows were produced by Spark's rewrite plan against
+    * `baseVersion`'s snapshot, so a concurrent commit means the plan's
+    * input is stale and the only sound outcome is a LOUD ABORT (the
+    * Delta/Iceberg serializable-conflict contract; the statement can
+    * simply be re-run). Column mapping carries forward — the COW
+    * writer writes PHYSICAL names, so kept and new files serve one
+    * read schema. Under [[enableCdf]] the change rows are materialized
+    * here by diffing the REPLACED files' rows against the NEW files'
+    * rows — kept files are identical on both sides by construction, so
+    * the scoped diff equals the full-table diff at O(group) cost.
     */
   private[table] def commitCow(
       spark: SparkSession,
@@ -850,7 +858,8 @@ object TxnTable {
       op: String,
       schemaDdl: String,
       files: Seq[FileEntry],
-      baseVersion: Long): Long = {
+      baseVersion: Long,
+      replaced: Option[Seq[String]] = None): Long = {
     val cur = latestManifest(spark, root).getOrElse(
       sys.error(s"no table at $root"))
     if (cur.version != baseVersion)
@@ -859,18 +868,27 @@ object TxnTable {
           s"v$baseVersion, table is at v${cur.version}) — re-run the " +
           "statement")
     val v = cur.version + 1
+    val replacedSet = replaced.map(_.toSet)
+      .getOrElse(cur.files.map(_.path).toSet)
+    val (gone, kept) = cur.files.partition(f => replacedSet(f.path))
     val cand = Manifest(v, op, System.currentTimeMillis(),
-      schemaDdl, files, cur.streamHwm, cur.constraints, cur.bloomCols)
+      cur.schemaDdl, kept ++ files, cur.streamHwm, cur.constraints,
+      cur.bloomCols, cur.colMap, cur.retired)
+    require(StructType.fromDDL(cur.schemaDdl).fieldNames.sorted.toSeq ==
+        StructType.fromDDL(schemaDdl).fieldNames.sorted.toSeq,
+      s"$op: row-level write schema [$schemaDdl] does not match the " +
+        s"table schema [${cur.schemaDdl}]")
     // CHECK constraints hold on the replacement rows (one scan of the
-    // candidate files; rewrite() checks its incoming frame the same way)
+    // NEW files only — kept rows passed at their own commit, the same
+    // O(incoming) pricing as append)
     if (constraintsOf(cur).nonEmpty)
-      enforceConstraints(snapshotOf(spark, root, cand),
+      enforceConstraints(snapshotOf(spark, root, cand.copy(files = files)),
         constraintsOf(cur))
     val cdfRel = cdfKeysOf(spark, root).map { keys =>
       val rel = s"$ChangeDir/v$v-" +
         java.util.UUID.randomUUID.toString.take(8)
-      diffRows(snapshotOf(spark, root, cur),
-        snapshotOf(spark, root, cand), keys)
+      diffRows(snapshotOf(spark, root, cur.copy(files = gone)),
+        snapshotOf(spark, root, cand.copy(files = files)), keys)
         .write.parquet(s"$root/$rel")
       rel
     }

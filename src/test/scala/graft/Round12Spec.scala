@@ -1,0 +1,192 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.TxnTable
+
+/** Round-12 guarantees: FILE-GROUP copy-on-write for SQL UPDATE /
+  * MERGE INTO ([[graft.table.GraftRowLevelOperation]]) — a selective
+  * statement rewrites O(matched files), not O(table), with every
+  * untouched manifest entry carried VERBATIM — plus array-column COW
+  * (embedding payloads take SQL DML) and physical-name writing under
+  * an active column mapping.
+  */
+class Round12Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_r12").toString
+
+  private def cat(root: String, name: String): String = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.table.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse",
+      p.getParent.toString)
+    s"$name.`${p.getName}`"
+  }
+
+  /** 4 range-partitioned files over k∈[0,400) with k-stats. */
+  private def rangedTable(root: String): Unit = {
+    val df = spark.range(0, 400)
+      .select(col("id").as("k"),
+        (col("id") % 7).cast("double").as("score"))
+      .repartitionByRange(4, col("k"))
+    TxnTable.create(spark, root, df, Seq("k"))
+    assert(TxnTable.readManifest(spark, root, 0L).files.size == 4)
+  }
+
+  test("selective SQL UPDATE rewrites only matched file groups: " +
+      "untouched manifest entries survive verbatim, new files are " +
+      "O(matched), rows exact") {
+    val root = freshRoot()
+    rangedTable(root)
+    val t = cat(root, "gcat_r12a")
+    val before = TxnTable.readManifest(spark, root, 0L).files
+    spark.sql(s"UPDATE $t SET score = -1.0 WHERE k = 5")
+    val after = TxnTable.readManifest(spark, root, 1L).files
+    val kept = after.map(_.path).toSet intersect before.map(_.path).toSet
+    val fresh = after.filterNot(f => kept(f.path))
+    // k=5 lives in exactly one of the four range files: three originals
+    // must carry forward BYTE-IDENTICAL (same path, same entry), and
+    // the replacement is O(1 matched file), never O(table)
+    assert(kept.size == 3,
+      s"expected 3 carried files, got ${kept.size} " +
+        s"(before=${before.size}, after=${after.size})")
+    assert(before.filter(f => kept(f.path)) ==
+      after.filter(f => kept(f.path)),
+      "carried entries must be verbatim")
+    assert(fresh.nonEmpty && fresh.forall(_.path.contains("/cow-")))
+    // the replacement rows are exactly the one matched file's 100 rows
+    assert(fresh.map(_.rows).sum == 100L,
+      s"replacement group should hold 100 rows, got ${fresh.map(_.rows).sum}")
+    val snap = TxnTable.snapshot(spark, root)
+    assert(snap.filter(col("score") === -1.0).select("k")
+      .as[Long].collect().toSeq == Seq(5L))
+    assert(snap.count() == 400L)
+    assert(snap.agg(sum("score")).as[Double].head() ==
+      (0L until 400L).map(k => if (k == 5) -1.0 else (k % 7).toDouble).sum)
+  }
+
+  test("selective MERGE INTO prunes to matched file groups and still " +
+      "inserts unmatched source rows") {
+    val root = freshRoot()
+    rangedTable(root)
+    val t = cat(root, "gcat_r12b")
+    val before = TxnTable.readManifest(spark, root, 0L).files
+    // touches k=7 (first range file) and inserts k=1000 (no file)
+    Seq((7L, 100.0), (1000L, 200.0)).toDF("k", "score")
+      .createOrReplaceTempView("r12_mrg_src")
+    spark.sql(
+      s"""MERGE INTO $t t USING r12_mrg_src s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET score = s.score
+         WHEN NOT MATCHED THEN INSERT *""")
+    val after = TxnTable.readManifest(spark, root, 1L).files
+    val kept = after.map(_.path).toSet intersect before.map(_.path).toSet
+    assert(kept.size == 3, s"expected 3 carried files, got ${kept.size}")
+    val snap = TxnTable.snapshot(spark, root)
+    assert(snap.count() == 401L)
+    assert(snap.filter(col("k") === 7L).select("score")
+      .as[Double].head() == 100.0)
+    assert(snap.filter(col("k") === 1000L).select("score")
+      .as[Double].head() == 200.0)
+  }
+
+  test("unconditioned UPDATE still replaces the whole table (no stale " +
+      "carry), and history records the command") {
+    val root = freshRoot()
+    rangedTable(root)
+    val t = cat(root, "gcat_r12c")
+    spark.sql(s"UPDATE $t SET score = score + 1.0")
+    val before = TxnTable.readManifest(spark, root, 0L).files.map(_.path)
+    val after = TxnTable.readManifest(spark, root, 1L).files.map(_.path)
+    assert(after.toSet.intersect(before.toSet).isEmpty,
+      "a whole-table update must replace every file")
+    assert(TxnTable.snapshot(spark, root).agg(sum("score"))
+      .as[Double].head() ==
+      (0L until 400L).map(k => (k % 7).toDouble + 1.0).sum)
+    assert(TxnTable.history(spark, root).select("op").as[String]
+      .collect().toSeq == Seq("create", "update"))
+  }
+
+  test("SQL UPDATE on a table carrying an ARRAY<FLOAT> embedding " +
+      "column: arrays survive the COW rewrite bit-exact") {
+    val root = freshRoot()
+    val df = spark.range(0, 60)
+      .select(col("id").as("k"),
+        array(col("id").cast("float"), lit(0.5f),
+          (col("id") * 2).cast("float")).as("emb"),
+        (col("id") % 3).cast("double").as("score"))
+      .repartitionByRange(3, col("k"))
+    TxnTable.create(spark, root, df, Seq("k"))
+    val t = cat(root, "gcat_r12d")
+    spark.sql(s"UPDATE $t SET score = 99.0 WHERE k = 10")
+    val snap = TxnTable.snapshot(spark, root)
+    assert(snap.count() == 60L)
+    assert(snap.filter(col("k") === 10L)
+      .select("score").as[Double].head() == 99.0)
+    // the rewritten file's arrays must round-trip exactly
+    val emb10 = snap.filter(col("k") === 10L)
+      .select("emb").as[Seq[Float]].head()
+    assert(emb10 == Seq(10.0f, 0.5f, 20.0f))
+    // and untouched files' arrays are untouched by construction
+    assert(snap.select(explode(col("emb")).as("e")).agg(sum("e"))
+      .as[Double].head() ==
+      (0L until 60L).map(k => k.toDouble + 0.5 + 2.0 * k).sum)
+    // file-group pruning applied here too: 2 of 3 files carried
+    val before = TxnTable.readManifest(spark, root, 0L).files.map(_.path)
+    val after = TxnTable.readManifest(spark, root, 1L).files.map(_.path)
+    assert(after.toSet.intersect(before.toSet).size == 2)
+  }
+
+  test("SQL UPDATE under an active column mapping writes PHYSICAL " +
+      "names: kept and new files co-read under one schema") {
+    val root = freshRoot()
+    val df = spark.range(0, 40)
+      .select(col("id").as("k"),
+        (col("id") % 5).cast("double").as("score"))
+      .repartitionByRange(2, col("k"))
+    TxnTable.create(spark, root, df, Seq("k"))
+    TxnTable.renameColumn(spark, root, "score", "pts")
+    val t = cat(root, "gcat_r12e")
+    spark.sql(s"UPDATE $t SET pts = 42.0 WHERE k = 30")
+    val m = TxnTable.readManifest(spark, root, 2L)
+    assert(m.colMap.exists(_.get("pts").contains("score")),
+      "partial COW must carry the column mapping forward")
+    // one file carried (k=30 lives in the second range file)
+    assert(m.files.map(_.path).toSet
+      .intersect(TxnTable.readManifest(spark, root, 0L).files
+        .map(_.path).toSet).size == 1)
+    val snap = TxnTable.snapshot(spark, root)
+    assert(snap.columns.toSeq == Seq("k", "pts"))
+    assert(snap.filter(col("k") === 30L).select("pts")
+      .as[Double].head() == 42.0)
+    assert(snap.filter(col("k") === 1L).select("pts")
+      .as[Double].head() == 1.0)
+    assert(snap.count() == 40L)
+  }
+
+  test("the `_file` metadata column is queryable and matches the " +
+      "manifest file set") {
+    val root = freshRoot()
+    rangedTable(root)
+    val t = cat(root, "gcat_r12f")
+    val perFile = spark.sql(
+      s"SELECT _file, COUNT(*) AS n FROM $t GROUP BY _file")
+      .as[(String, Long)].collect().toMap
+    val m = TxnTable.readManifest(spark, root, 0L)
+    assert(perFile.keySet == m.files.map(_.path).toSet)
+    assert(m.files.forall(f => perFile(f.path) == f.rows))
+  }
+}
