@@ -280,7 +280,15 @@ class GraftTable(root: String, tableSchema: StructType,
         v.toLongOption.getOrElse(throw new IllegalArgumentException(
           s"startingVersion must be an integer version, got '$v'"))
       },
-      cdf || GraftTableProvider.cdfOf(options))
+      cdf || GraftTableProvider.cdfOf(options),
+      maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger"))
+        .map(v => v.toIntOption.filter(_ > 0).getOrElse(
+          throw new IllegalArgumentException(
+            s"maxFilesPerTrigger must be a positive integer, got '$v'"))),
+      maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger"))
+        .map(v => v.toLongOption.filter(_ > 0).getOrElse(
+          throw new IllegalArgumentException(
+            s"maxBytesPerTrigger must be a positive long, got '$v'"))))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -366,7 +374,9 @@ class GraftWriteBuilder(
 class GraftScanBuilder(root: String, schema: StructType,
     version: Option[Long] = None, startingVersion: Option[Long] = None,
     cdf: Boolean = false, prune: Boolean = true,
-    register: GraftScan => Unit = _ => ())
+    register: GraftScan => Unit = _ => (),
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -499,7 +509,8 @@ class GraftScanBuilder(root: String, schema: StructType,
     case Some((aggSchema, values)) => new GraftAggScan(aggSchema, values)
     case None =>
       val s = new GraftScan(root, required, filters, version,
-        if (cdf || !prune) None else limit, startingVersion, cdf)
+        if (cdf || !prune) None else limit, startingVersion, cdf,
+        maxFilesPerTrigger, maxBytesPerTrigger)
       register(s)
       s
   }
@@ -553,7 +564,9 @@ object GraftScan {
 class GraftScan(
     root: String, required: StructType, filters: Array[sources.Filter],
     version: Option[Long] = None, limit: Option[Int] = None,
-    startingVersion: Option[Long] = None, cdf: Boolean = false)
+    startingVersion: Option[Long] = None, cdf: Boolean = false,
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends Scan with Batch
     with SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
@@ -576,8 +589,10 @@ class GraftScan(
     // "changes from version N on"), and the offset meaning is
     // "delivered THROUGH", so the initial offset is N-1.
     val start = startingVersion.map(_ - 1L).getOrElse(-1L)
-    if (cdf) new GraftCdfMicroBatchStream(root, required, start)
-    else new GraftMicroBatchStream(root, required, start)
+    if (cdf) new GraftCdfMicroBatchStream(root, required, start,
+      maxFilesPerTrigger, maxBytesPerTrigger)
+    else new GraftMicroBatchStream(root, required, start,
+      maxFilesPerTrigger, maxBytesPerTrigger)
   }
   override def description(): String =
     s"GraftTableScan pushed=[${filters.mkString(", ")}]" +
@@ -722,15 +737,115 @@ class GraftScan(
     new GraftReaderFactory(required)
 }
 
-/** Version offset for the streaming read: "everything up to and
-  * including manifest `version` has been delivered". `-1` = nothing
+/** Offset for the streaming reads. `(version, Long.MaxValue, false)`
+  * — the CANONICAL COMPLETE form — means "everything up to and
+  * including manifest `version` has been delivered"; `-1` = nothing
   * consumed yet (the initial offset when no `startingVersion` is
-  * given), so the first micro-batch delivers the full current
-  * snapshot — the Delta-source default.
+  * given), so the stream begins with the full current snapshot — the
+  * Delta-source default. `index < Long.MaxValue` marks a version
+  * delivered PARTWAY: the first `index` planned file-units of
+  * `version` are done — the admission-control split
+  * ([[GraftMicroBatchStream]] `maxFilesPerTrigger` /
+  * `maxBytesPerTrigger`), Delta's `DeltaSourceOffset(version, index)`
+  * shape. `snapshot = true` tags a partial INITIAL-SNAPSHOT offset
+  * (the unit space is the full manifest file list, not the
+  * fresh-file diff). Pre-round-12 checkpoints (`{"version":v}`)
+  * deserialize as the complete form — fully compatible.
   */
-case class GraftStreamOffset(version: Long)
+case class GraftStreamOffset(version: Long,
+    index: Long = Long.MaxValue, snapshot: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = s"""{"version":$version}"""
+  override def json(): String =
+    s"""{"version":$version,"index":$index,"snapshot":$snapshot}"""
+
+  /** Strictly-before ordering on the global unit sequence (versions
+    * ascend; within a version, delivered-unit count ascends; complete
+    * = MaxValue index).
+    */
+  def before(o: GraftStreamOffset): Boolean =
+    version < o.version || (version == o.version && index < o.index)
+}
+
+object GraftStreamOffset {
+  def parse(json: String): GraftStreamOffset = {
+    val j = org.json4s.jackson.JsonMethods.parse(json)
+    def long(f: String): Option[Long] = j \ f match {
+      case org.json4s.JInt(n) => Some(n.toLong)
+      case org.json4s.JLong(n) => Some(n)
+      case _ => None
+    }
+    val v = long("version").getOrElse(
+      throw new IllegalArgumentException(
+        s"graft table stream: malformed offset json '$json'"))
+    val snap = j \ "snapshot" match {
+      case org.json4s.JBool(b) => b
+      case _ => false
+    }
+    GraftStreamOffset(v, long("index").getOrElse(Long.MaxValue), snap)
+  }
+}
+
+/** Shared admission-control arithmetic for the two table streams: one
+  * planned file-unit sequence, consumed identically by
+  * `latestOffset(start, limit)` (prefix by budget) and
+  * `planInputPartitions(start, end)` (window between offsets) — the
+  * determinism that makes a mid-backlog restart exactly-once.
+  */
+private[table] object GraftStreamAdmission {
+  import org.apache.spark.sql.connector.read.streaming._
+
+  /** (maxFiles, maxBytes, maxRows) from a ReadLimit tree; None = that
+    * dimension unbounded. Unknown limit kinds (minRows triggers) are
+    * advisory minimums, not caps — ignored.
+    */
+  def caps(limit: ReadLimit): (Option[Int], Option[Long], Option[Long]) =
+    limit match {
+      case f: ReadMaxFiles => (Some(f.maxFiles()), None, None)
+      case b: ReadMaxBytes => (None, Some(b.maxBytes()), None)
+      case r: ReadMaxRows => (None, None, Some(r.maxRows()))
+      case c: CompositeReadLimit =>
+        c.getReadLimits.map(caps).foldLeft(
+          (Option.empty[Int], Option.empty[Long], Option.empty[Long])) {
+          case ((f0, b0, r0), (f1, b1, r1)) =>
+            def m[T](a: Option[T], b: Option[T])(min: (T, T) => T) =
+              (a, b) match {
+                case (Some(x), Some(y)) => Some(min(x, y))
+                case _ => a.orElse(b)
+              }
+            (m(f0, f1)(math.min), m(b0, b1)(math.min), m(r0, r1)(math.min))
+        }
+      case _ => (None, None, None) // ReadAllAvailable / minRows
+    }
+
+  /** One plannable unit: a partition plus its admission weights and
+    * the offset the stream stands at AFTER delivering it.
+    */
+  case class FileUnit(part: InputPartition, bytes: Long, rows: Long,
+      after: GraftStreamOffset)
+
+  /** Longest prefix of `units` within the caps — always at least one
+    * unit when any is pending (a single file larger than maxBytes must
+    * still make progress; the Delta/file-source contract).
+    */
+  def admit(units: Iterator[FileUnit], limit: ReadLimit): Seq[FileUnit] = {
+    val (mf, mb, mr) = caps(limit)
+    if (mf.isEmpty && mb.isEmpty && mr.isEmpty) return units.toSeq
+    val out = Seq.newBuilder[FileUnit]
+    var nF = 0L; var nB = 0L; var nR = 0L
+    var stop = false
+    while (!stop && units.hasNext) {
+      val u = units.next()
+      if (nF == 0L ||
+          (mf.forall(nF + 1 <= _) && mb.forall(nB + u.bytes <= _) &&
+            mr.forall(nR + u.rows <= _))) {
+        out += u; nF += 1; nB += u.bytes; nR += u.rows
+        // a full-file budget needs no lookahead; bytes/rows budgets
+        // stop as soon as the NEXT unit would overflow (checked above)
+        stop = mf.exists(nF >= _)
+      } else stop = true
+    }
+    out.result()
+  }
 }
 
 /** [[TxnTable]] as a STRUCTURED STREAMING SOURCE — the Delta-source
@@ -751,75 +866,176 @@ case class GraftStreamOffset(version: Long)
   * via [[TxnTable.cdc]].
   */
 class GraftMicroBatchStream(
-    root: String, schema: StructType, startVersion: Long)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset}
+    root: String, schema: StructType, startVersion: Long,
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset, ReadLimit}
+  import GraftStreamAdmission.FileUnit
   private def conf = new Configuration()
 
   override def initialOffset(): SOffset = GraftStreamOffset(startVersion)
   override def latestOffset(): SOffset =
     GraftStreamOffset(GraftTableProvider.listVersions(conf, root).max)
-  override def deserializeOffset(json: String): SOffset =
-    org.json4s.jackson.JsonMethods.parse(json) \ "version" match {
-      case org.json4s.JInt(n) => GraftStreamOffset(n.toLong)
-      case org.json4s.JLong(n) => GraftStreamOffset(n)
-      case _ => throw new IllegalArgumentException(
-        s"graft table stream: malformed offset json '$json'")
+  override def reportLatestOffset(): SOffset = latestOffset()
+
+  /** Trigger.AvailableNow: pin the end of the run at prepare time and
+    * keep honoring the read limits batch by batch — Spark's default
+    * AvailableNow wrapper would otherwise IGNORE admission control and
+    * deliver the whole backlog as one batch (it logs exactly that
+    * warning), defeating the point of the knob.
+    */
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap =
+      Some(GraftTableProvider.listVersions(conf, root).max)
+
+  /** ADMISSION CONTROL (`maxFilesPerTrigger` / `maxBytesPerTrigger`
+    * read options → the default ReadLimit; Trigger.AvailableNow
+    * composes its own). After consumer downtime the backlog drains in
+    * bounded micro-batches instead of one unbounded restart batch —
+    * at 100 TB the difference between a restart and an outage. The
+    * offset's `index` lets a batch stop PARTWAY through one version's
+    * files, so even a single giant commit (or the initial snapshot)
+    * splits.
+    */
+  override def getDefaultReadLimit: ReadLimit = {
+    val ls = maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
+      maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq
+    ls match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
     }
+  }
+
+  override def latestOffset(start: SOffset, limit: ReadLimit): SOffset = {
+    val s = start.asInstanceOf[GraftStreamOffset]
+    val latest = availableNowCap.getOrElse(
+      GraftTableProvider.listVersions(conf, root).max)
+    val pending = unitsAfter(s, latest)
+    if (pending.isEmpty) {
+      // nothing new: stand at the canonical complete form of `latest`
+      // (never regress below the start offset)
+      return if (s.before(GraftStreamOffset(latest))) GraftStreamOffset(latest)
+      else s
+    }
+    val admitted = GraftStreamAdmission.admit(pending.iterator, limit)
+    val last = admitted.last.after
+    // consumed everything pending → everything through `latest` is
+    // delivered, even when trailing versions contributed zero units
+    if (admitted.size == pending.size) GraftStreamOffset(latest) else last
+  }
+
+  override def deserializeOffset(json: String): SOffset =
+    GraftStreamOffset.parse(json)
   override def commit(end: SOffset): Unit = ()
   override def stop(): Unit = ()
 
+  /** The ordered unit sequence strictly after offset `s`, up to and
+    * including version `targetV` — the ONE enumeration both
+    * `latestOffset` (prefix by budget) and `planInputPartitions`
+    * (window to the end offset) consume, so the two can never
+    * disagree about what unit N is.
+    *
+    * Initial snapshot (`s.version < 0` or a partial snapshot offset):
+    * the unit space is the FULL manifest file list of the snapshot
+    * version — correct regardless of operation history (Delta serves
+    * the initial snapshot on any table). Incremental versions after
+    * it: the fresh-file diff per version, append-family commits only —
+    * a rewrite makes the file diff lie, so the stream FAILS LOUDLY
+    * there (restart from a fresh snapshot or consume the change feed).
+    */
+  private def unitsAfter(s: GraftStreamOffset, targetV: Long): Seq[FileUnit] = {
+    if (targetV < s.version)
+      throw new IllegalStateException(
+        s"graft table stream: end version $targetV precedes the start " +
+          s"offset $s at $root — the checkpoint may belong to another " +
+          "table or reference pruned log versions")
+    val all = GraftTableProvider.listVersions(conf, root)
+    val out = Seq.newBuilder[FileUnit]
+    def emit(m: TxnTable.Manifest, snap: Boolean, from: Long): Unit = {
+      val fs = m.files
+      require(fs.forall(_.dvs.isEmpty),
+        s"graft table stream at $root: planned file carries MOR " +
+          "deletion vectors — compact() before streaming")
+      val cm = m.colMap.getOrElse(Map.empty[String, String])
+      val n = fs.length
+      var i = from.toInt
+      while (i < n) {
+        val f = fs(i)
+        val p = if (f.path.startsWith("/") || f.path.contains("://")) f.path
+          else s"$root/${f.path}"
+        val after =
+          if (i + 1 < n) GraftStreamOffset(m.version, i + 1L, snap)
+          else GraftStreamOffset(m.version)
+        out += FileUnit(GraftInputPartition(p, f.path, cm), f.bytes,
+          f.rows, after)
+        i += 1
+      }
+    }
+    // fresh-file diff manifest for an incremental version
+    def freshOf(v: Long): TxnTable.Manifest = {
+      val m = GraftTableProvider.manifestFor(conf, root, Some(v))
+      if (!(m.op == "create" || m.op == "append" ||
+          m.op == "stream-append"))
+        throw new IllegalStateException(
+          s"graft table stream: non-append commit v$v:${m.op} at " +
+            s"$root — restart from a fresh snapshot or consume via " +
+            "TxnTable.cdc")
+      val old: Set[String] = all.filter(_ < v).lastOption match {
+        case Some(pv) => GraftTableProvider
+          .manifestFor(conf, root, Some(pv)).files.map(_.path).toSet
+        case None => Set.empty
+      }
+      m.copy(files = m.files.filterNot(f => old.contains(f.path)))
+    }
+    val incFrom: Long =
+      if (s.version < 0) {
+        // snapshot not started: pin it to the target version
+        val snapV = all.filter(_ <= targetV).lastOption.getOrElse(
+          throw new IllegalStateException(
+            s"graft table stream: no committed versions at or before " +
+              s"$targetV at $root — the checkpoint may belong to " +
+              "another table or reference pruned log versions"))
+        emit(GraftTableProvider.manifestFor(conf, root, Some(snapV)),
+          snap = true, from = 0L)
+        snapV
+      } else if (s.snapshot && s.index != Long.MaxValue) {
+        // snapshot partway done: finish it, then go incremental
+        emit(GraftTableProvider.manifestFor(conf, root, Some(s.version)),
+          snap = true, from = s.index)
+        s.version
+      } else if (s.index != Long.MaxValue) {
+        // incremental version partway done
+        emit(freshOf(s.version), snap = false, from = s.index)
+        s.version
+      } else s.version
+    all.filter(v => v > incFrom && v <= targetV)
+      .foreach(v => emit(freshOf(v), snap = false, from = 0L))
+    out.result()
+  }
+
   override def planInputPartitions(
       start: SOffset, end: SOffset): Array[InputPartition] = {
-    val s0 = start.asInstanceOf[GraftStreamOffset].version
-    val e0 = end.asInstanceOf[GraftStreamOffset].version
-    if (e0 <= s0) return Array.empty
-    val inRange = GraftTableProvider.listVersions(conf, root)
-      .filter(v => v > s0 && v <= e0)
-    // e0 > s0 but nothing committed in range: the offsets reference a
-    // pruned log or another table's checkpoint — say so instead of
-    // throwing a bare empty.max
-    if (inRange.isEmpty)
+    val s = start.asInstanceOf[GraftStreamOffset]
+    val e = end.asInstanceOf[GraftStreamOffset]
+    if (!s.before(e)) return Array.empty
+    // e beyond s but nothing committed in range and no partial version
+    // to finish: the offsets reference a pruned log or another table's
+    // checkpoint — say so instead of planning a silent empty batch
+    if (s.version >= 0 && s.index == Long.MaxValue &&
+        e.version > s.version &&
+        !GraftTableProvider.listVersions(conf, root)
+          .exists(v => v > s.version && v <= e.version))
       throw new IllegalStateException(
-        s"graft table stream ($s0, $e0]: no committed versions in " +
-          s"range at $root — the checkpoint may belong to another " +
-          "table or reference pruned log versions")
-    // Initial snapshot (s0 < 0): old = ∅, so the batch is the full end
-    // manifest — correct by construction REGARDLESS of the table's
-    // operation history (Delta serves the initial snapshot on any
-    // table). The append-only soundness check applies to INCREMENTAL
-    // ranges only, where a rewrite would make the file diff lie.
-    val nonAppend =
-      if (s0 < 0) Seq.empty
-      else inRange
-        .map(v => GraftTableProvider.manifestFor(conf, root, Some(v)))
-        .filterNot(m =>
-          m.op == "create" || m.op == "append" || m.op == "stream-append")
-    if (nonAppend.nonEmpty)
-      throw new IllegalStateException(
-        s"graft table stream ($s0, $e0]: non-append commit(s) " +
-          s"${nonAppend.map(m => s"v${m.version}:${m.op}").mkString(", ")}" +
-          " — restart from a fresh snapshot or consume via TxnTable.cdc")
-    val old: Set[String] =
-      if (s0 < 0) Set.empty
-      else GraftTableProvider.manifestFor(conf, root, Some(s0))
-        .files.map(_.path).toSet
-    val mEnd = GraftTableProvider.manifestFor(conf, root,
-      Some(inRange.max))
-    val fresh = mEnd.files.filterNot(f => old.contains(f.path))
-    require(fresh.forall(_.dvs.isEmpty),
-      s"graft table stream at $root: planned file carries MOR deletion " +
-        "vectors — compact() before streaming")
-    // column map resolved from the PLANNED end manifest and carried
-    // with the partitions — resolving it again at reader-factory time
-    // (from latest) would race a mapping-materializing commit and read
-    // renamed columns as NULL (the r11 ADVICE hazard)
-    val cm = mEnd.colMap.getOrElse(Map.empty[String, String])
-    fresh.map { f =>
-      val p = if (f.path.startsWith("/") || f.path.contains("://")) f.path
-        else s"$root/${f.path}"
-      GraftInputPartition(p, f.path, cm): InputPartition
-    }.toArray
+        s"graft table stream (${s.version}, ${e.version}]: no " +
+          s"committed versions in range at $root — the checkpoint may " +
+          "belong to another table or reference pruned log versions")
+    unitsAfter(s, e.version)
+      .takeWhile(u => !e.before(u.after))
+      .map(_.part).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -866,42 +1082,81 @@ case class GraftCdfInputPartition(
   * files, so it races [[TxnTable.vacuum]] like any time travel.
   */
 class GraftCdfMicroBatchStream(
-    root: String, required: StructType, startVersion: Long)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset}
+    root: String, required: StructType, startVersion: Long,
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset, ReadLimit}
+  import GraftStreamAdmission.FileUnit
   private def conf = new Configuration()
 
   override def initialOffset(): SOffset = GraftStreamOffset(startVersion)
   override def latestOffset(): SOffset =
     GraftStreamOffset(GraftTableProvider.listVersions(conf, root).max)
+  override def reportLatestOffset(): SOffset = latestOffset()
+
+  /** Same Trigger.AvailableNow contract as the plain stream: pin the
+    * run's end at prepare time, honor limits batch by batch.
+    */
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap =
+      Some(GraftTableProvider.listVersions(conf, root).max)
   override def deserializeOffset(json: String): SOffset =
-    org.json4s.jackson.JsonMethods.parse(json) \ "version" match {
-      case org.json4s.JInt(n) => GraftStreamOffset(n.toLong)
-      case org.json4s.JLong(n) => GraftStreamOffset(n)
-      case _ => throw new IllegalArgumentException(
-        s"graft table CDF stream: malformed offset json '$json'")
-    }
+    GraftStreamOffset.parse(json)
   override def commit(end: SOffset): Unit = ()
   override def stop(): Unit = ()
 
   private val AppendOps = Set("create", "append", "stream-append", "clone")
 
-  override def planInputPartitions(
-      start: SOffset, end: SOffset): Array[InputPartition] = {
-    val s0 = start.asInstanceOf[GraftStreamOffset].version
-    val e0 = end.asInstanceOf[GraftStreamOffset].version
-    if (e0 <= s0) return Array.empty
-    val all = GraftTableProvider.listVersions(conf, root)
-    val inRange = all.filter(v => v > s0 && v <= e0)
-    if (inRange.isEmpty)
+  /** Same admission surface as the plain stream: a history replay (or
+    * a backlog after downtime) drains in bounded micro-batches. Rows
+    * of materialized change-data files are unknown until read, so the
+    * rows dimension counts manifest-known units only; files/bytes
+    * bound everything.
+    */
+  override def getDefaultReadLimit: ReadLimit = {
+    val ls = maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
+      maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq
+    ls match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  override def latestOffset(start: SOffset, limit: ReadLimit): SOffset = {
+    val s = start.asInstanceOf[GraftStreamOffset]
+    val latest = availableNowCap.getOrElse(
+      GraftTableProvider.listVersions(conf, root).max)
+    val pending = unitsAfter(s, latest)
+    if (pending.isEmpty) {
+      return if (s.before(GraftStreamOffset(latest))) GraftStreamOffset(latest)
+      else s
+    }
+    val admitted = GraftStreamAdmission.admit(pending.iterator, limit)
+    if (admitted.size == pending.size) GraftStreamOffset(latest)
+    else admitted.last.after
+  }
+
+  /** Ordered change-unit sequence strictly after `s` through
+    * `targetV` — the CDF twin of the plain stream's enumeration (same
+    * one-sequence determinism; `index` counts this VERSION's planned
+    * units, whatever their kind).
+    */
+  private def unitsAfter(s: GraftStreamOffset, targetV: Long): Seq[FileUnit] = {
+    if (targetV < s.version)
       throw new IllegalStateException(
-        s"graft table CDF stream ($s0, $e0]: no committed versions in " +
-          s"range at $root — the checkpoint may belong to another " +
-          "table or reference pruned log versions")
-    inRange.flatMap { v =>
+        s"graft table CDF stream: end version $targetV precedes the " +
+          s"start offset $s at $root — the checkpoint may belong to " +
+          "another table or reference pruned log versions")
+    val all = GraftTableProvider.listVersions(conf, root)
+    def abs(p: String): String =
+      if (p.startsWith("/") || p.contains("://")) p else s"$root/$p"
+    /** This version's full unit list: (partition, bytes, rows). */
+    def rawUnits(v: Long): Seq[(GraftCdfInputPartition, Long, Long)] = {
       val m = GraftTableProvider.manifestFor(conf, root, Some(v))
-      def abs(p: String): String =
-        if (p.startsWith("/") || p.contains("://")) p else s"$root/$p"
       if (AppendOps.contains(m.op)) {
         val old: Set[String] = all.filter(_ < v).lastOption match {
           case Some(pv) => GraftTableProvider
@@ -917,16 +1172,19 @@ class GraftCdfMicroBatchStream(
         // the latest map could postdate a materializing rewrite)
         val cm = m.colMap.getOrElse(Map.empty[String, String])
         fresh.map(f =>
-          GraftCdfInputPartition(abs(f.path), v, Some("insert"), cm))
+          (GraftCdfInputPartition(abs(f.path), v, Some("insert"), cm),
+            f.bytes, f.rows))
       } else m.cdfDir match {
         case Some(dir) =>
           val d = new Path(abs(dir))
           d.getFileSystem(conf).listStatus(d).toSeq
-            .map(_.getPath)
-            .filter(p => p.getName.endsWith(".parquet"))
+            .filter(st => st.getPath.getName.endsWith(".parquet"))
+            .sortBy(_.getPath.getName) // listing order isn't a contract
             // materialized change rows are written from the LOGICAL
-            // snapshot (diffRows output) — no physical translation
-            .map(p => GraftCdfInputPartition(p.toString, v, None))
+            // snapshot (diffRows output) — no physical translation;
+            // row count unknown until read (0 for the rows dimension)
+            .map(st => (GraftCdfInputPartition(st.getPath.toString, v,
+              None), st.getLen, 0L))
         case None if GraftCdfMicroBatchStream.NoChangeOps(m.op) =>
           // compact/cluster reorganize bytes; rename/drop/add-column
           // are metadata-only schema evolution — zero change rows
@@ -940,7 +1198,46 @@ class GraftCdfMicroBatchStream(
               "(or restart the consumer from a fresh snapshot / " +
               "consume via TxnTable.cdc)")
       }
-    }.map(p => p: InputPartition).toArray
+    }
+    val out = Seq.newBuilder[FileUnit]
+    def emit(v: Long, from: Long): Unit = {
+      val us = rawUnits(v)
+      val n = us.length
+      var i = from.toInt
+      while (i < n) {
+        val (p, bytes, rows) = us(i)
+        val after =
+          if (i + 1 < n) GraftStreamOffset(v, i + 1L)
+          else GraftStreamOffset(v)
+        out += FileUnit(p, bytes, rows, after)
+        i += 1
+      }
+    }
+    val incFrom =
+      if (s.version >= 0 && s.index != Long.MaxValue) {
+        emit(s.version, s.index); s.version
+      } else s.version
+    all.filter(v => v > incFrom && v <= targetV)
+      .foreach(v => emit(v, 0L))
+    out.result()
+  }
+
+  override def planInputPartitions(
+      start: SOffset, end: SOffset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftStreamOffset]
+    val e = end.asInstanceOf[GraftStreamOffset]
+    if (!s.before(e)) return Array.empty
+    if (s.version >= 0 && s.index == Long.MaxValue &&
+        e.version > s.version &&
+        !GraftTableProvider.listVersions(conf, root)
+          .exists(v => v > s.version && v <= e.version))
+      throw new IllegalStateException(
+        s"graft table CDF stream (${s.version}, ${e.version}]: no " +
+          s"committed versions in range at $root — the checkpoint may " +
+          "belong to another table or reference pruned log versions")
+    unitsAfter(s, e.version)
+      .takeWhile(u => !e.before(u.after))
+      .map(_.part).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

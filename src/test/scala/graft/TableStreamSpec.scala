@@ -227,4 +227,124 @@ class TableStreamSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("no committed versions"))
   }
+
+  test("admission control: an N-file backlog drains in ceil(N/k) " +
+      "micro-batches under maxFilesPerTrigger=k, exactly once") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, kv((0L, 0.0)).coalesce(1))
+    (1L to 5L).foreach(i =>
+      TxnTable.append(spark, root, kv((i, i.toDouble)).coalesce(1)))
+    // 6 versions × 1 file = a 6-file backlog; k=2 → exactly 3 batches
+    val ckpt = Files.createTempDirectory("graft_adm_ck").toString
+    val out = Files.createTempDirectory("graft_adm_out").toString
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def drainLimited(): Unit = {
+      val q = spark.readStream.format(Fmt)
+        .option("maxFilesPerTrigger", "2").load(root)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          batchSizes.synchronized { batchSizes += b.count() }
+          b.write.mode("append").parquet(out); ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    }
+    drainLimited()
+    assert(batchSizes.size == 3,
+      s"expected ceil(6/2)=3 micro-batches, got $batchSizes")
+    assert(spark.read.parquet(out).select("k").as[Long].collect()
+      .sorted.toSeq == (0L to 5L))
+    // mid-stream backlog growth + restart from the same checkpoint:
+    // 3 more single-file commits drain in 2 more batches, no re-delivery
+    batchSizes.clear()
+    (6L to 8L).foreach(i =>
+      TxnTable.append(spark, root, kv((i, i.toDouble)).coalesce(1)))
+    drainLimited()
+    assert(batchSizes.size == 2,
+      s"expected ceil(3/2)=2 micro-batches, got $batchSizes")
+    assert(spark.read.parquet(out).select("k").as[Long].collect()
+      .sorted.toSeq == (0L to 8L))
+  }
+
+  test("admission offsets: within-version split, json round-trip, and " +
+      "budget-independent unit identity (restart mid-backlog is " +
+      "exactly-once by construction)") {
+    val root = freshRoot()
+    // ONE commit with 4 files — only the offset index can split it
+    TxnTable.create(spark, root,
+      (0L until 40L).map(i => (i, i.toDouble)).toDF("k", "score")
+        .repartition(4))
+    val schema = TxnTable.snapshot(spark, root).schema
+    val stream = new GraftMicroBatchStream(root, schema, -1L)
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val s0 = GraftStreamOffset(-1L)
+    val e1 = stream.latestOffset(s0, ReadLimit.maxFiles(3))
+      .asInstanceOf[GraftStreamOffset]
+    assert(e1 == GraftStreamOffset(0L, 3L, snapshot = true),
+      s"partial snapshot offset expected, got $e1")
+    // offsets survive their own json (checkpoint round-trip)
+    assert(stream.deserializeOffset(e1.json()) == e1)
+    // pre-r12 checkpoint format still parses as the complete form
+    assert(stream.deserializeOffset("""{"version":3}""") ==
+      GraftStreamOffset(3L))
+    val b1 = stream.planInputPartitions(s0, e1)
+    val e2 = stream.latestOffset(e1, ReadLimit.maxFiles(3))
+      .asInstanceOf[GraftStreamOffset]
+    assert(e2 == GraftStreamOffset(0L), s"drained offset: $e2")
+    val b2 = stream.planInputPartitions(e1, e2)
+    assert(b1.length == 3 && b2.length == 1)
+    // the two budget-bounded windows tile the unlimited plan exactly —
+    // the determinism that makes a mid-backlog restart exactly-once
+    val full = stream.planInputPartitions(s0, e2)
+    def paths(ps: Array[org.apache.spark.sql.connector.read.InputPartition]) =
+      ps.map(_.asInstanceOf[graft.table.GraftInputPartition].relPath).toSeq
+    assert(paths(b1) ++ paths(b2) == paths(full))
+    // nothing pending: offset stays put
+    assert(stream.latestOffset(e2, ReadLimit.maxFiles(3)) == e2)
+    // bytes-based admission makes progress one file at a time even
+    // when a single file exceeds the budget
+    val eb = stream.latestOffset(s0, ReadLimit.maxBytes(1L))
+      .asInstanceOf[GraftStreamOffset]
+    assert(eb == GraftStreamOffset(0L, 1L, snapshot = true))
+  }
+
+  test("CDF stream honors maxFilesPerTrigger across mixed " +
+      "append/rewrite history") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, kv((1L, 1.0), (2L, 2.0)).coalesce(1),
+      Seq("k"))
+    TxnTable.enableCdf(spark, root, Seq("k"))
+    TxnTable.append(spark, root, kv((3L, 3.0)).coalesce(1))
+    TxnTable.deleteWhere(spark, root, col("k") === 1L)
+    TxnTable.append(spark, root, kv((4L, 4.0)).coalesce(1))
+    val ckpt = Files.createTempDirectory("graft_cdfadm_ck").toString
+    val out = Files.createTempDirectory("graft_cdfadm_out").toString
+    var batches = 0
+    val q = spark.readStream.format(Fmt)
+      .option("readChangeFeed", "true")
+      .option("maxFilesPerTrigger", "1").load(root)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        this.synchronized { batches += 1 }
+        b.write.mode("append").parquet(out); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    // units: v0 1 insert file, v1 1 insert file, v2 ≥1 change file,
+    // v3 1 insert file → one per batch
+    assert(batches >= 4, s"expected ≥4 single-file batches, got $batches")
+    val got = spark.read.parquet(out)
+    assert(got.filter(col("_change_type") === "insert")
+      .select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(got.filter(col("_change_type") === "delete")
+      .select("k").as[Long].collect().toSeq == Seq(1L))
+  }
 }
