@@ -46,9 +46,20 @@ class GraftCatalog extends TableCatalog {
 
   override def name(): String = catName
 
-  private def rootFor(ident: Identifier): String =
-    (ident.namespace() :+ ident.name())
-      .mkString(warehouse.stripSuffix("/") + "/", "/", "")
+  private def rootFor(ident: Identifier): String = {
+    val segs = ident.namespace() :+ ident.name()
+    // identifier segments become filesystem path segments — refuse
+    // anything that could escape the warehouse root (`..`), alias the
+    // root (`.`, empty), or smuggle separators/schemes through a
+    // quoted identifier (path traversal via SQL)
+    segs.foreach { s =>
+      require(s.nonEmpty && s != "." && s != ".." &&
+          !s.contains("/") && !s.contains("\\") && !s.contains(":"),
+        s"graft catalog: illegal identifier segment '$s' — segments " +
+          "must not be empty, '.', '..', or contain path separators")
+    }
+    segs.mkString(warehouse.stripSuffix("/") + "/", "/", "")
+  }
 
   private def schemaOf(m: TxnTable.Manifest): StructType =
     // all-nullable for the same reason as the provider: evolved columns
@@ -116,11 +127,23 @@ class GraftCatalog extends TableCatalog {
         require(dc.fieldNames().length == 1,
           "graft tables have no nested columns to drop")
         TxnTable.dropColumn(spark, root, dc.fieldNames()(0))
+      case ac: TableChange.AddColumn =>
+        require(ac.fieldNames().length == 1,
+          "graft tables have no nested columns to add into")
+        // columns are nullable by construction (pre-existing files
+        // serve NULL); a NOT NULL add would be a lie about old rows
+        require(ac.isNullable,
+          "graft catalog: ADD COLUMN must be nullable — existing " +
+            "rows have no value for it")
+        require(ac.position() == null,
+          "graft catalog: FIRST/AFTER column positions are not " +
+            "supported — new columns append")
+        TxnTable.addColumn(spark, root, ac.fieldNames()(0),
+          ac.dataType())
       case other =>
         throw new UnsupportedOperationException(
           s"graft catalog: unsupported table change $other — " +
-            "adds go through TxnTable append/overwrite schema " +
-            "evolution; type changes are refused by design")
+            "type changes are refused by design")
     }
     loadTable(ident)
   }

@@ -1085,6 +1085,39 @@ object TxnTable {
     committed
   }
 
+  /** EXPLICIT COLUMN ADD without touching data files (the DDL twin of
+    * the write-path schema evolution): the column joins the logical
+    * schema as a NULLABLE field, O(metadata) commit, and every
+    * pre-existing file serves NULL for it (the same explicit-schema
+    * read that powers [[append]]'s evolution). Same physical-name
+    * collision guard as the write path — a name still carried by live
+    * data files (a renamed column's original, or a dropped column's)
+    * is refused, or old bytes would resurrect under the new column.
+    * Exposed to SQL as `ALTER TABLE ... ADD COLUMN` via
+    * [[graft.table.GraftCatalog]].
+    */
+  def addColumn(
+      spark: SparkSession, root: String, column: String,
+      dataType: org.apache.spark.sql.types.DataType): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val cur = latestManifest(spark, root).getOrElse(
+        sys.error(s"no table at $root"))
+      val schema = StructType.fromDDL(cur.schemaDdl)
+      require(!schema.fieldNames.contains(column),
+        s"addColumn: column '$column' already exists")
+      val schema2 = StructType(schema.fields :+
+        StructField(column, dataType, nullable = true))
+      checkNewCols(cur, schema, schema2)
+      if (tryCommit(spark, root, Manifest(cur.version + 1,
+          "add-column", System.currentTimeMillis(), schema2.toDDL,
+          cur.files, cur.streamHwm, cur.constraints, cur.bloomCols,
+          cur.colMap, cur.retired)))
+        committed = cur.version + 1
+    }
+    committed
+  }
+
   /** Small-file compaction as a COMMITTED no-op rewrite: data identical,
     * file count sized to `targetBytes` ([[graft.ops.Compaction]]'s
     * round-robin sizing). Old versions still time-travel to the
@@ -1547,6 +1580,34 @@ object TxnTable {
           s"(current is ${cur.version})")
       val target = readManifest(spark, root, toVersion)
       val v = cur.version + 1
+      // Carried-forward governance must RESOLVE in the restored
+      // namespace (the r11 ADVICE hazard: a rename between target and
+      // current leaves bloomCols/constraints naming columns the
+      // restored schema doesn't have). Bloom columns translate through
+      // the PHYSICAL namespace — the physical name is the invariant —
+      // and silently drop only if their column no longer exists at the
+      // target (the dropColumn precedent: a bloom is an index, absence
+      // is merely "might contain"). Constraints are SQL text and
+      // cannot be rewritten safely: any constraint referencing a
+      // column the target schema lacks REFUSES the restore.
+      val targetSchema = StructType.fromDDL(target.schemaDdl)
+      val physToTargetLogical = colMapOf(target).map(_.swap)
+      def inTarget(curLogical: String): Option[String] = {
+        val phys = physNameIn(cur, curLogical)
+        val tl = physToTargetLogical.getOrElse(phys, phys)
+        if (targetSchema.fieldNames.contains(tl)) Some(tl) else None
+      }
+      val blooms2 = cur.bloomCols.map(_.flatMap(c => inTarget(c).toSeq))
+        .filter(_.nonEmpty)
+      val curSchema = StructType.fromDDL(cur.schemaDdl)
+      val orphaned = curSchema.fieldNames
+        .filter(c => inTarget(c).isEmpty || !inTarget(c).contains(c))
+        .flatMap(c => constraintsReferencing(cur, c))
+        .distinct
+      require(orphaned.isEmpty,
+        s"restore($toVersion): constraint(s) ${orphaned.mkString(", ")} " +
+          "reference column(s) renamed or absent at the target version " +
+          "— drop or rewrite the constraint(s) first")
       val cdfRel = cdfKeysOf(spark, root).map { keys =>
         require(StructType.fromDDL(cur.schemaDdl).fieldNames.sorted
             .sameElements(
@@ -1562,7 +1623,7 @@ object TxnTable {
       }
       if (tryCommit(spark, root, Manifest(v, "restore",
           System.currentTimeMillis(), target.schemaDdl, target.files,
-          cur.streamHwm, cur.constraints, cur.bloomCols,
+          cur.streamHwm, cur.constraints, blooms2,
           target.colMap, target.retired, cdfDir = cdfRel)))
         committed = v
     }
@@ -1574,9 +1635,19 @@ object TxnTable {
     * versions stop being time-travelable — their manifests remain as
     * history but their files may be gone. Returns the deleted
     * root-relative paths.
+    *
+    * `graceMs` (default 20 min) skips unreferenced files YOUNGER than
+    * the window — the Delta tombstone-retention pattern. An in-flight
+    * distributed write (COW tasks, CDF materialization, appends)
+    * creates its files BEFORE the manifest rename publishes them; a
+    * vacuum racing that window would otherwise delete about-to-commit
+    * data and leave the winning manifest pointing at nothing. Pass 0
+    * only when no writer can be in flight (tests, single-writer
+    * maintenance windows).
     */
   def vacuum(
-      spark: SparkSession, root: String, retainLast: Int = 2): Seq[String] = {
+      spark: SparkSession, root: String, retainLast: Int = 2,
+      graceMs: Long = 20L * 60L * 1000L): Seq[String] = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no table at $root")
     val retainedManifests = vs.takeRight(math.max(1, retainLast))
@@ -1599,6 +1670,7 @@ object TxnTable {
         retainedCdf.exists(p => rel == p || rel.startsWith(p + "/"))
     val deleted = Seq.newBuilder[String]
     val rootUri = new Path(root).toUri.getPath.stripSuffix("/")
+    val cutoffMs = System.currentTimeMillis() - math.max(0L, graceMs)
     Seq(new Path(root, DataDir), new Path(root, ChangeDir))
       .foreach { walkRoot =>
         val f = fs(spark, walkRoot)
@@ -1609,6 +1681,7 @@ object TxnTable {
             val rel = st.getPath.toUri.getPath.stripPrefix(rootUri)
               .stripPrefix("/")
             if (st.isFile && !isRetained(rel) &&
+                st.getModificationTime <= cutoffMs &&
                 !st.getPath.getName.startsWith("_")) {
               f.delete(st.getPath, false)
               deleted += rel

@@ -189,11 +189,11 @@ class TableCdfStreamSpec extends AnyFunSuite {
       (2L, 99.0, "update_postimage"), (2L, 2.0, "update_preimage")))
     // v1's cdfDir is inside the retention window → vacuum keeps it;
     // after two more commits push it out, its files are reclaimed
-    assert(TxnTable.vacuum(spark, root, retainLast = 2)
+    assert(TxnTable.vacuum(spark, root, retainLast = 2, graceMs = 0L)
       .forall(!_.startsWith("_cdf/")))
     TxnTable.append(spark, root, kv((3L, 3.0)))
     TxnTable.append(spark, root, kv((4L, 4.0)))
-    val reclaimed = TxnTable.vacuum(spark, root, retainLast = 2)
+    val reclaimed = TxnTable.vacuum(spark, root, retainLast = 2, graceMs = 0L)
     assert(reclaimed.exists(_.startsWith("_cdf/")),
       s"aged-out change data not reclaimed: $reclaimed")
     // the live snapshot is untouched by the vacuum

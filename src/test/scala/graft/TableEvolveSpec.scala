@@ -141,7 +141,7 @@ class TableEvolveSpec extends AnyFunSuite {
     assert(dsv2.agg(sum("k")).head().getLong(0) == (1L to 60L).sum)
     // vacuum across the evolution: old manifests go, data stays readable
     TxnTable.compact(spark, root)
-    TxnTable.vacuum(spark, root, retainLast = 1)
+    TxnTable.vacuum(spark, root, retainLast = 1, graceMs = 0L)
     assert(TxnTable.snapshot(spark, root)
       .agg(sum("weight")).head().getDouble(0) == (1L to 60L).map(_.toDouble).sum)
   }
@@ -262,5 +262,110 @@ class TableEvolveSpec extends AnyFunSuite {
     assert(TxnTable.history(spark, root)
       .select("op").as[String].collect().toSeq ==
       Seq("create", "update", "merge"))
+  }
+
+  test("SQL ALTER TABLE ADD COLUMN: O(metadata) commit, old files " +
+      "serve NULL, post-add appends carry values; NOT NULL and " +
+      "positioned adds are refused") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, kv((1L, 1.0), (2L, 2.0)), Seq("k"))
+    val p = new org.apache.hadoop.fs.Path(root)
+    spark.conf.set("spark.sql.catalog.gcat_add", "graft.table.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcat_add.warehouse",
+      p.getParent.toString)
+    val before = TxnTable.readManifest(spark, root, 0L).files
+    spark.sql(s"ALTER TABLE gcat_add.`${p.getName}` ADD COLUMN tag STRING")
+    val m1 = TxnTable.readManifest(spark, root, 1L)
+    assert(m1.op == "add-column" && m1.files == before,
+      "add must be metadata-only")
+    TxnTable.append(spark, root,
+      Seq((3L, 3.0, "x")).toDF("k", "score", "tag"))
+    val snap = TxnTable.snapshot(spark, root)
+    assert(snap.columns.toSeq == Seq("k", "score", "tag"))
+    assert(snap.orderBy("k").select("tag").as[String].collect().toSeq ==
+      Seq(null, null, "x"))
+    // SQL reads see the evolved schema through the catalog too
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM gcat_add.`${p.getName}` WHERE tag IS NULL")
+      .as[Long].head() == 2L)
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE gcat_add.`${p.getName}` " +
+        "ADD COLUMN bad STRING NOT NULL")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE gcat_add.`${p.getName}` " +
+        "ADD COLUMN bad2 STRING FIRST")
+    }
+    // dropped column's physical name stays refused until materialized
+    TxnTable.dropColumn(spark, root, "tag")
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE gcat_add.`${p.getName}` ADD COLUMN tag STRING")
+    }
+  }
+
+  test("restore across a rename translates bloom columns into the " +
+      "target namespace") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, kv((1L, 1.0), (2L, 2.0)), Seq("k"),
+      bloomCols = Seq("score"))
+    TxnTable.renameColumn(spark, root, "score", "pts") // v1
+    // restore to v0 (schema k/score): current bloomCols says "pts",
+    // which does not exist at v0 — it must come back as "score"
+    TxnTable.restore(spark, root, 0L) // v2
+    val m2 = TxnTable.readManifest(spark, root, 2L)
+    assert(m2.bloomCols.contains(Seq("score")),
+      s"bloomCols must translate to the target namespace, got " +
+        s"${m2.bloomCols}")
+    // post-restore append keeps maintaining the bloom under the
+    // restored name (this is what broke before the translation)
+    TxnTable.append(spark, root, kv((9L, 9.0)), Seq("k"))
+    assert(TxnTable.snapshot(spark, root).columns.toSeq ==
+      Seq("k", "score"))
+    // (constraints are create-time-only and rename/drop refuse
+    // constrained columns, so a restore can never orphan one — the
+    // restore-side require is defense in depth)
+  }
+
+  test("vacuum grace window: a young unreferenced file survives the " +
+      "default vacuum (in-flight-write protection) and is reclaimed " +
+      "with graceMs = 0") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, kv((1L, 1.0)))
+    TxnTable.overwrite(spark, root, kv((2L, 2.0))) // v0's files now old
+    // orphan: written but never referenced (a lost race / in-flight
+    // write's file)
+    val orphan = new org.apache.hadoop.fs.Path(root, "data/cow-inflight.parquet")
+    val f = orphan.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val o = f.create(orphan, true); o.write(1); o.close()
+    val young = TxnTable.vacuum(spark, root, retainLast = 1)
+    assert(young.isEmpty,
+      s"default vacuum must skip young files, deleted $young")
+    assert(f.exists(orphan))
+    val now = TxnTable.vacuum(spark, root, retainLast = 1, graceMs = 0L)
+    assert(now.nonEmpty && !f.exists(orphan))
+  }
+
+  test("catalog identifiers cannot traverse outside the warehouse") {
+    spark.conf.set("spark.sql.catalog.gcat_tv", "graft.table.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcat_tv.warehouse",
+      Files.createTempDirectory("graft_wh").toString)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM gcat_tv.`..`.`..`.`etc`.`passwd`").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m =>
+      m.contains("illegal identifier segment") ||
+        m.contains("TABLE_OR_VIEW_NOT_FOUND")))
+    // and directly at the catalog seam, the guard is the error
+    val cat = new graft.table.GraftCatalog
+    cat.initialize("gtv", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("warehouse", "/tmp/graft_wh_direct")))
+    val e2 = intercept[IllegalArgumentException] {
+      cat.tableExists(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array(".."), "etc"))
+    }
+    assert(e2.getMessage.contains("illegal identifier segment"))
   }
 }

@@ -411,7 +411,7 @@ class TableSpec extends AnyFunSuite {
       col("k").between(40L, 49L)).inputFiles.length >= 10)
     TxnTable.compact(spark, root, statsCols = Seq("k"))
     TxnTable.cluster(spark, root, Seq("k"), 4, statsCols = Seq("k"))
-    val deleted = TxnTable.vacuum(spark, root, retainLast = 1)
+    val deleted = TxnTable.vacuum(spark, root, retainLast = 1, graceMs = 0L)
     assert(deleted.nonEmpty, "superseded files must be reclaimed")
     // Content survives the whole chain bit-exactly.
     assert(sortedRows(TxnTable.snapshot(spark, root)) == expected)
@@ -539,7 +539,7 @@ class TableSpec extends AnyFunSuite {
     TxnTable.overwrite(spark, root, kv((9L, "z", 9.0)))
     TxnTable.compact(spark, root)
     val before = sortedRows(TxnTable.snapshot(spark, root))
-    val deleted = TxnTable.vacuum(spark, root, retainLast = 2)
+    val deleted = TxnTable.vacuum(spark, root, retainLast = 2, graceMs = 0L)
     assert(deleted.nonEmpty) // v0's files are unreferenced by v1/v2
     assert(sortedRows(TxnTable.snapshot(spark, root)) == before)
     assert(sortedRows(TxnTable.snapshotAt(spark, root, 1)).map(_._1) ==
@@ -662,7 +662,7 @@ class TableSpec extends AnyFunSuite {
     val root = freshRoot()
     TxnTable.create(spark, root, kv((1L, "a", 1.0), (2L, "b", 2.0)))
     TxnTable.deleteMor(spark, root, Seq(1L).toDF("k"), Seq("k"))
-    TxnTable.vacuum(spark, root, retainLast = 1)
+    TxnTable.vacuum(spark, root, retainLast = 1, graceMs = 0L)
     // the dv sidecar must have survived the vacuum — the delete still applies
     assert(sortedRows(TxnTable.snapshot(spark, root)).map(_._1) == Seq(2L))
   }
@@ -685,7 +685,7 @@ class TableSpec extends AnyFunSuite {
     assert(sortedRows(TxnTable.snapshot(spark, src)).map(_._1) ==
       Seq(1L, 2L, 3L))
     // clone's vacuum deletes nothing it doesn't own
-    TxnTable.vacuum(spark, dst, retainLast = 1)
+    TxnTable.vacuum(spark, dst, retainLast = 1, graceMs = 0L)
     assert(sortedRows(TxnTable.snapshot(spark, src)).map(_._1) ==
       Seq(1L, 2L, 3L))
   }
