@@ -146,6 +146,22 @@ object Bench {
       else r4Slice.flatMap { n =>
         SparkEntry.queries.get(n).map(fn => timed(n, fn))
       }.collect { case (n, t, true) => n -> t }
+    // HEAVY-TAIL solo slice (r11 VERDICT ask #3): the ten most
+    // expensive in-suite rows, timed solo on the same warm JVM.
+    // In-suite numbers on these rows drift far past the ±50% ambient
+    // band (q_textrank: 2.87 s solo record vs 6.52 s in-suite at r11
+    // with ZERO code change), so without a per-round solo figure a
+    // real plan regression can hide under suite residue — this slice
+    // is the adjudicator.
+    val heavyTail = Seq("q_textrank", "q_hits", "q_bootstrap_ci",
+      "events_stream_join_agg", "q_permutation_test", "q_rake_keywords",
+      "q_markov_stationary", "events_stream_left_join",
+      "q_cooks_distance", "q_burrows_delta")
+    val heavySolo: Seq[(String, Double)] =
+      if (only.nonEmpty) Seq.empty
+      else heavyTail.flatMap { n =>
+        SparkEntry.queries.get(n).map(fn => timed(n, fn))
+      }.collect { case (n, t, true) => n -> t }
     // A broken query must NEVER improve the benchmark: the r6 fixtures
     // broke 17 queries and the old blanket catch recorded their
     // time-to-exception (0.05-0.09 s) as a "win". Any rep that throws
@@ -185,7 +201,17 @@ object Bench {
             s""","headline_solo_total":$t,"headline_solo":$m"""
           } else s""","headline_solo_total":$t"""
         }
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failedJson$soloJson,"sf":"$sfDir"}"""
+      val heavyJson =
+        if (heavySolo.isEmpty) ""
+        else {
+          val t = f3(heavySolo.map(_._2).sum)
+          if (soloDetail) {
+            val m = heavySolo.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+              .mkString("{", ",", "}")
+            s""","heavy_solo_total":$t,"heavy_solo":$m"""
+          } else s""","heavy_solo_total":$t"""
+        }
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failedJson$soloJson$heavyJson,"sf":"$sfDir"}"""
     }
     // Full per-query detail goes to the file; stdout gets a HEADLINE subset.
     // The harness keeps only the last ~2000 chars of stdout — an 84-entry

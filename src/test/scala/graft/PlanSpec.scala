@@ -669,12 +669,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("q_sentence_dedup: one content-keyed shuffle (sentence window) " +
-      "then counts-sized aggregation — no corpus-sized sort rank " +
-      "outside the window, no cartesian") {
+  test("q_sentence_dedup: first-occurrence keep is a map-side-" +
+      "combinable sentence-keyed aggregate (r12 de-skew) — no " +
+      "WindowExec a hot boilerplate sentence could pin, no cartesian") {
     val plan = planOf("q_sentence_dedup")
     assert(!plan.contains("CartesianProduct"))
-    assert(plan.contains("Window"), s"first-occurrence window missing:\n$plan")
+    assert(!plan.contains("Window"),
+      s"sentence-keyed window reappeared (skew hazard):\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("HashAggregate"),
+      s"expected partial aggregation on the sentence key:\n$plan")
   }
 
   test("q_winnowing_pairs: fingerprint-keyed join only — no " +
