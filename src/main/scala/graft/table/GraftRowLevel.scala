@@ -115,7 +115,7 @@ class GraftCowBatchWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.collect {
       case m: GraftCowCommit if m.rows > 0 =>
-        TxnTable.FileEntry(m.relPath, m.rows, m.bytes, Map.empty)
+        TxnTable.FileEntry(m.relPath, m.rows, m.bytes, m.stats)
     }.toSeq
     val spark = org.apache.spark.sql.SparkSession.active
     TxnTable.commitCow(spark, root, op, schema.toDDL, files, baseVersion,
@@ -135,7 +135,8 @@ class GraftCowBatchWrite(
   }
 }
 
-case class GraftCowCommit(relPath: String, rows: Long, bytes: Long)
+case class GraftCowCommit(relPath: String, rows: Long, bytes: Long,
+    stats: Map[String, TxnTable.ColStats] = Map.empty)
     extends WriterCommitMessage
 
 class GraftCowWriterFactory(root: String, schema: StructType,
@@ -153,7 +154,13 @@ class GraftCowWriterFactory(root: String, schema: StructType,
   * are written under their PHYSICAL names (`physMap`), matching the
   * kept files of a partial rewrite. The file is created LAZILY on the
   * first row, so empty partitions commit nothing instead of littering
-  * zero-row files.
+  * zero-row files. Per-file MIN/MAX STATS for numeric columns are
+  * tracked inline (keyed by PHYSICAL name, double-comparable space —
+  * the [[TxnTable]] stats contract): without them every SQL UPDATE
+  * would strip its rewritten files of pruning stats until the next
+  * compact, degrading manifest file-skipping a little more per
+  * statement — the quiet scale leak the whole-table COW never
+  * surfaced.
   */
 class GraftCowDataWriter(
     root: String, schema: StructType, partitionId: Int, taskId: Long,
@@ -172,6 +179,18 @@ class GraftCowDataWriter(
   private var writer: ParquetWriter[org.apache.parquet.example.data.Group] = _
   private var messageType: MessageType = _
   private var rows = 0L
+  // inline min/max per stats-eligible (numeric) column, physical names
+  private val statMin = scala.collection.mutable.Map.empty[String, Double]
+  private val statMax = scala.collection.mutable.Map.empty[String, Double]
+  private def trackStat(phys: String, v: Double): Unit = {
+    statMin.get(phys) match {
+      case Some(m) =>
+        if (v < m) statMin(phys) = v
+        if (v > statMax(phys)) statMax(phys) = v
+      case None =>
+        statMin(phys) = v; statMax(phys) = v
+    }
+  }
 
   private def primType(dt: DataType): Option[
       (PrimitiveTypeName, Option[LogicalTypeAnnotation])] = dt match {
@@ -253,10 +272,18 @@ class GraftCowDataWriter(
         val n = physMap.getOrElse(schema.fields(i).name,
           schema.fields(i).name)
         schema.fields(i).dataType match {
-          case LongType => g.add(n, record.getLong(j))
-          case IntegerType => g.add(n, record.getInt(j))
-          case DoubleType => g.add(n, record.getDouble(j))
-          case FloatType => g.add(n, record.getFloat(j))
+          case LongType =>
+            val v = record.getLong(j); g.add(n, v)
+            trackStat(n, v.toDouble)
+          case IntegerType =>
+            val v = record.getInt(j); g.add(n, v)
+            trackStat(n, v.toDouble)
+          case DoubleType =>
+            val v = record.getDouble(j); g.add(n, v)
+            trackStat(n, v)
+          case FloatType =>
+            val v = record.getFloat(j); g.add(n, v)
+            trackStat(n, v.toDouble)
           case BooleanType => g.add(n, record.getBoolean(j))
           case StringType => g.add(n, record.getUTF8String(j).toString)
           case ArrayType(et, _) =>
@@ -282,8 +309,10 @@ class GraftCowDataWriter(
     else {
       writer.close()
       val p = new Path(s"$root/$relPath")
+      val stats = statMin.keys.map(k =>
+        k -> TxnTable.ColStats(statMin(k), statMax(k))).toMap
       GraftCowCommit(relPath, rows,
-        p.getFileSystem(conf).getFileStatus(p).getLen)
+        p.getFileSystem(conf).getFileStatus(p).getLen, stats)
     }
   }
 

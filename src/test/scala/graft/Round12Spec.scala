@@ -177,6 +177,33 @@ class Round12Spec extends AnyFunSuite {
     assert(snap.count() == 40L)
   }
 
+  test("COW-rewritten files carry per-file min/max stats: manifest " +
+      "pruning does not degrade across SQL UPDATEs") {
+    val root = freshRoot()
+    rangedTable(root)
+    val t = cat(root, "gcat_r12g")
+    spark.sql(s"UPDATE $t SET score = -1.0 WHERE k = 5")
+    val before = TxnTable.readManifest(spark, root, 0L).files
+      .map(_.path).toSet
+    val fresh = TxnTable.readManifest(spark, root, 1L).files
+      .filterNot(f => before(f.path))
+    assert(fresh.nonEmpty)
+    fresh.foreach { f =>
+      assert(f.stats.contains("k") && f.stats.contains("score"),
+        s"rewritten file ${f.path} lost its pruning stats: ${f.stats}")
+      // the matched group held k in [0, 100): the rewrite's stats must
+      // stay inside it (accurate, not inherited from the whole table)
+      assert(f.stats("k").min >= 0.0 && f.stats("k").max <= 99.0,
+        s"stats drifted: ${f.stats("k")}")
+    }
+    assert(fresh.exists(_.stats("score").min == -1.0),
+      "the updated value must be visible in the new stats")
+    // and a range probe on the untouched half still prunes to one file
+    val probed = TxnTable.snapshotWhere(spark, root,
+      col("k").between(300L, 399L))
+    assert(probed.count() == 100L)
+  }
+
   test("q_sentence_dedup plans without a sentence-keyed window: the " +
       "first-occurrence keep is a map-side-combinable aggregate " +
       "(hot boilerplate sentences cannot pin one sort partition)") {
