@@ -78,16 +78,61 @@ class GraftRowLevelOperation(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
-      override def build(): Write = new Write {
-        override def toBatch: BatchWrite = {
-          val m = GraftTableProvider.manifestFor(
+      override def build(): Write =
+        new Write with RequiresDistributionAndOrdering {
+          private val manifest = GraftTableProvider.manifestFor(
             new Configuration(), root, Some(baseVersion))
-          new GraftCowBatchWrite(root, info.schema(),
-            cmd.toString.toLowerCase(java.util.Locale.ROOT),
-            baseVersion, m.colMap.getOrElse(Map.empty),
-            () => Option(cowScan).flatMap(_.plannedFiles))
+
+          /** CLUSTERING PRESERVATION under DML: the base manifest's
+            * per-file stats columns are the columns the table prunes
+            * on (the writers paid for those stats on purpose) —
+            * request a RANGE distribution + per-partition sort on
+            * them, so rewritten file groups come back with tight,
+            * disjoint min/max ranges instead of arbitrary shuffle
+            * residue. Without this, every SQL UPDATE would slowly
+            * de-cluster the touched ranges until a manual cluster()
+            * — stats would stay PRESENT (the writer collects them
+            * inline) but grow WIDE, which prunes like not having
+            * them. The 64 MB advisory partition size lets AQE
+            * coalesce a small replacement group back to few files.
+            */
+          private val sortCols: Array[String] = {
+            val phys = manifest.files.flatMap(_.stats.keys).toSet
+            val cm = manifest.colMap.getOrElse(Map.empty[String, String])
+            info.schema().fieldNames
+              .filter(n => phys.contains(cm.getOrElse(n, n)))
+          }
+
+          private def orders
+              : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+            sortCols.map(c => Expressions.sort(Expressions.column(c),
+              org.apache.spark.sql.connector.expressions.SortDirection
+                .ASCENDING))
+
+          override def requiredDistribution()
+              : org.apache.spark.sql.connector.distributions.Distribution =
+            if (sortCols.isEmpty)
+              org.apache.spark.sql.connector.distributions.Distributions
+                .unspecified()
+            else
+              org.apache.spark.sql.connector.distributions.Distributions
+                .ordered(orders)
+
+          override def requiredOrdering()
+              : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+            if (sortCols.isEmpty) Array.empty else orders
+
+          // advisory size is only legal WITH a distribution (Spark
+          // refuses it under unspecified)
+          override def advisoryPartitionSizeInBytes(): Long =
+            if (sortCols.isEmpty) 0L else 64L << 20
+
+          override def toBatch: BatchWrite =
+            new GraftCowBatchWrite(root, info.schema(),
+              cmd.toString.toLowerCase(java.util.Locale.ROOT),
+              baseVersion, manifest.colMap.getOrElse(Map.empty),
+              () => Option(cowScan).flatMap(_.plannedFiles))
         }
-      }
     }
 }
 

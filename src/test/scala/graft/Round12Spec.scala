@@ -204,6 +204,36 @@ class Round12Spec extends AnyFunSuite {
     assert(probed.count() == 100L)
   }
 
+  test("COW rewrites preserve clustering: a two-group UPDATE comes " +
+      "back range-distributed and sorted on the stats column, so the " +
+      "new files' ranges stay disjoint and pruning stays tight") {
+    val root = freshRoot()
+    rangedTable(root)
+    val t = cat(root, "gcat_r12h")
+    // touches the first two range files (k=5 and k=150)
+    spark.sql(s"UPDATE $t SET score = -2.0 WHERE k = 5 OR k = 150")
+    val before = TxnTable.readManifest(spark, root, 0L).files
+      .map(_.path).toSet
+    val fresh = TxnTable.readManifest(spark, root, 1L).files
+      .filterNot(f => before(f.path))
+      .filter(_.rows > 0)
+    assert(fresh.map(_.rows).sum == 200L,
+      s"two 100-row groups expected, got ${fresh.map(_.rows)}")
+    // ordered distribution on k: the rewritten files' k-ranges must
+    // not overlap (arbitrary shuffle residue would interleave them)
+    val ranges = fresh.map(_.stats("k")).sortBy(_.min)
+    ranges.sliding(2).foreach {
+      case Seq(a, b) => assert(a.max < b.min,
+        s"rewritten file ranges overlap: $ranges")
+      case _ => ()
+    }
+    // coverage exact: both groups' keys present, rows correct
+    val snap = TxnTable.snapshot(spark, root)
+    assert(snap.filter(col("score") === -2.0).select("k")
+      .as[Long].collect().sorted.toSeq == Seq(5L, 150L))
+    assert(snap.count() == 400L)
+  }
+
   test("q_sentence_dedup plans without a sentence-keyed window: the " +
       "first-occurrence keep is a map-side-combinable aggregate " +
       "(hot boilerplate sentences cannot pin one sort partition)") {
