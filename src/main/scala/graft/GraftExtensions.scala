@@ -45,6 +45,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(graft.functions.JaroWinkler.name),
       graft.functions.JaroWinkler.info,
       graft.functions.JaroWinkler.builder _))
+    // SQL admin surface: SELECT ... FROM graft_history('<root>')
+    ext.injectTableFunction((
+      FunctionIdentifier(graft.table.GraftHistoryFunction.name),
+      graft.table.GraftHistoryFunction.info,
+      graft.table.GraftHistoryFunction.builder _))
     // native as-of join planner rule (plans/AsOfJoinNative); the
     // DataFrame API also self-registers via experimental strategies for
     // sessions built without extensions

@@ -1,0 +1,61 @@
+package graft.table
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft_history('<table root>')` — the table-format's commit history
+  * as a SQL TABLE FUNCTION (the DESCRIBE-HISTORY surface, reachable
+  * from pure SQL via [[graft.GraftExtensions]]):
+  *
+  * {{{
+  *   SELECT version, op, n_rows FROM graft_history('/data/events')
+  * }}}
+  *
+  * Columns: `version, op, timestamp_ms, n_files, n_rows` — the
+  * [[TxnTable.history]] frame. Resolution reads the manifests ONLY
+  * (O(commits) driver-side metadata, zero data files — the admin-
+  * surface pricing history() already documents) and materializes a
+  * LocalRelation at analysis time, so the plan above it is ordinary
+  * Catalyst. The path must be a foldable string (a literal or constant
+  * expression): history is resolved during analysis, a per-row path
+  * has no meaning.
+  */
+object GraftHistoryFunction {
+  val name = "graft_history"
+
+  val info = new ExpressionInfo(getClass.getCanonicalName, name,
+    "graft_history(path) - commit history of the graft table at `path` " +
+      "(version, op, timestamp_ms, n_files, n_rows); metadata-only.")
+
+  private val schema = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField("timestamp_ms", LongType, nullable = false),
+    StructField("n_files", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = false)))
+
+  def builder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 1 && args.head.foldable &&
+        args.head.dataType == StringType,
+      s"$name expects exactly one foldable STRING argument " +
+        "(the table root path)")
+    val root = Option(args.head.eval(InternalRow.empty))
+      .map(_.toString)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$name: path must not be NULL"))
+    val conf = new Configuration()
+    val rows = GraftTableProvider.listVersions(conf, root).map { v =>
+      val m = GraftTableProvider.manifestFor(conf, root, Some(v))
+      InternalRow(m.version, UTF8String.fromString(m.op), m.timestampMs,
+        m.files.size.toLong, m.files.map(_.rows).sum)
+    }
+    LocalRelation(
+      schema.fields.toIndexedSeq.map(f =>
+        AttributeReference(f.name, f.dataType, f.nullable)()),
+      rows.toIndexedSeq)
+  }
+}
