@@ -568,8 +568,47 @@ class GraftScan(
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None)
     extends Scan with Batch
-    with SupportsRuntimeV2Filtering {
+    with SupportsRuntimeV2Filtering
+    with SupportsReportStatistics {
   override def readSchema(): StructType = required
+
+  /** PLANNER STATISTICS from the manifest, POST stats-pruning: exact
+    * byte/row totals of the files this scan will actually open (the
+    * writers already paid for them — zero extra IO). Without this the
+    * scan reports unknown size, Spark assumes it is enormous, and a
+    * join against a small graft table never auto-broadcasts — the
+    * manifest knows better, at any table size. CDF scans report
+    * nothing (change rows are planned per version, the manifest totals
+    * don't describe them).
+    */
+  override def estimateStatistics(): Statistics = {
+    if (cdf)
+      return new Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+      }
+    val m = pinnedManifest
+    val bs = bounds
+    val cm = m.colMap.getOrElse(Map.empty[String, String])
+    val files = m.files.filter { f =>
+      bs.forall { case (c, (lo, hi)) =>
+        f.stats.get(cm.getOrElse(c, c))
+          .forall(s => s.max >= lo && s.min <= hi)
+      }
+    }
+    val bytes = files.map(_.bytes).sum
+    val rows = files.map(_.rows).sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      // residual filters still apply above the scan, so the file
+      // totals are an UPPER bound — exactly what Statistics reports
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
   override def toBatch: Batch = {
     require(!cdf,
       "readChangeFeed is a streaming option — for a batch change read " +
@@ -656,11 +695,17 @@ class GraftScan(
     */
   @volatile private var runtimeFiles: Option[Set[String]] = None
 
+  // advertised ONLY when `_file` is actually in this scan's output
+  // (the COW scan always has it via requiredMetadataAttributes):
+  // Spark's dynamic partition pruning resolves filterAttributes
+  // against the relation output on ORDINARY joins too, and an
+  // unselected metadata column there is an analysis error.
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (cdf) Array.empty
-    else Array(org.apache.spark.sql.connector.expressions.Expressions
-      .column(GraftScan.FileCol))
+    if (!cdf && required.fieldNames.contains(GraftScan.FileCol))
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column(GraftScan.FileCol))
+    else Array.empty
 
   override def filter(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {

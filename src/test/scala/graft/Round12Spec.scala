@@ -234,6 +234,21 @@ class Round12Spec extends AnyFunSuite {
     assert(snap.count() == 400L)
   }
 
+  test("DSv2 scans report manifest statistics: a small graft table " +
+      "auto-broadcasts against a large probe side") {
+    val root = freshRoot()
+    TxnTable.create(spark, root,
+      spark.range(0, 50).select(col("id").as("k"),
+        (col("id") % 7).cast("double").as("score")), Seq("k"))
+    val g = spark.read.format("graft.table.GraftTableProvider").load(root)
+    val big = spark.range(0, 200000).select(col("id").as("k"),
+      (col("id") * 2).as("payload"))
+    val plan = big.join(g, "k").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"manifest-sized graft scan should broadcast:\n$plan")
+    assert(big.join(g, "k").count() == 50L)
+  }
+
   test("q_sentence_dedup plans without a sentence-keyed window: the " +
       "first-occurrence keep is a map-side-combinable aggregate " +
       "(hot boilerplate sentences cannot pin one sort partition)") {
