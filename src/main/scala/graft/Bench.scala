@@ -236,7 +236,9 @@ object Bench {
       // round-8 flagships: bipartite HITS, bigram LM, native
       // Jaro-Winkler linkage, incremental MV maintenance, cohort LTV
       "q_hits", "q_bigram_lm", "q_jaro_dedup", "q_mv_incremental",
-      "q_cohort_ltv")
+      "q_cohort_ltv",
+      // round-12 flagships: file-group COW and the paced stream drain
+      "q_table_cow_pruned", "q_table_stream_paced")
     val fullLine = jsonLine(results, soloDetail = true)
     val headLine = jsonLine(
       headline.flatMap(h => resultMap.get(h).map(h -> _)),
