@@ -23,6 +23,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * Catalyst. The path must be a foldable string (a literal or constant
   * expression): history is resolved during analysis, a per-row path
   * has no meaning.
+  *
+  * TRUST MODEL: by default the path argument is driver-trusted exactly
+  * like `spark.read.format("graft").load(path)` — whoever can run SQL
+  * can already read any path the driver can. Deployments that expose
+  * SQL to less-trusted users can pin the TVF under an allowlist root
+  * with `spark.graft.sql.history.root=<dir>`: the resolved path must
+  * then sit under that directory (after `..`/`.` normalization), and
+  * anything else is refused at analysis time — the same containment
+  * contract as [[GraftCatalog]]'s warehouse-rooted identifiers.
+  *
+  * COST MODEL: resolution reads one manifest per commit on the driver.
+  * Re-analysis of the same plan (Spark analyzes some queries more than
+  * once) hits a small bounded cache keyed by (root, latest version,
+  * commit count), so a stable table costs ONE manifest sweep per new
+  * commit, not per analysis pass. The Hadoop conf is the SESSION conf
+  * (`spark.hadoop.*` respected — credentials reach object stores).
   */
 object GraftHistoryFunction {
   val name = "graft_history"
@@ -47,15 +63,37 @@ object GraftHistoryFunction {
       .map(_.toString)
       .getOrElse(throw new IllegalArgumentException(
         s"$name: path must not be NULL"))
-    val conf = new Configuration()
-    val rows = GraftTableProvider.listVersions(conf, root).map { v =>
-      val m = GraftTableProvider.manifestFor(conf, root, Some(v))
-      InternalRow(m.version, UTF8String.fromString(m.op), m.timestampMs,
-        m.files.size.toLong, m.files.map(_.rows).sum)
+    val session = org.apache.spark.sql.SparkSession.active
+    // optional containment root (see trust model above)
+    Option(session.conf.get("spark.graft.sql.history.root", null))
+      .filter(_.nonEmpty).foreach { allow =>
+        val rootN = java.nio.file.Paths.get(root).normalize().toString
+        val allowN = java.nio.file.Paths.get(allow).normalize()
+          .toString.stripSuffix("/")
+        require(rootN == allowN || rootN.startsWith(allowN + "/"),
+          s"$name: path '$root' is outside the configured " +
+            s"spark.graft.sql.history.root '$allow'")
+      }
+    val conf = session.sessionState.newHadoopConf()
+    val versions = GraftTableProvider.listVersions(conf, root)
+    val cacheKey = (root, versions.lastOption.getOrElse(-1L),
+      versions.size)
+    val rows = cache.synchronized {
+      cache.getOrElseUpdate(cacheKey, {
+        if (cache.size >= 64) cache.clear() // bounded, metadata-sized
+        versions.map { v =>
+          val m = GraftTableProvider.manifestFor(conf, root, Some(v))
+          InternalRow(m.version, UTF8String.fromString(m.op),
+            m.timestampMs, m.files.size.toLong, m.files.map(_.rows).sum)
+        }
+      })
     }
     LocalRelation(
       schema.fields.toIndexedSeq.map(f =>
         AttributeReference(f.name, f.dataType, f.nullable)()),
       rows.toIndexedSeq)
   }
+
+  private val cache =
+    scala.collection.mutable.Map.empty[(String, Long, Int), Seq[InternalRow]]
 }

@@ -96,11 +96,18 @@ class GraftRowLevelOperation(
             * them. The 64 MB advisory partition size lets AQE
             * coalesce a small replacement group back to few files.
             */
+          // the table's opted-in stats columns, PHYSICAL names — the
+          // base manifest's stats key set. The writer tracks min/max
+          // for exactly this set (not every numeric column): stats
+          // are an opt-in pruning contract, and a rewritten file must
+          // carry the same keys the kept files do, no more.
+          private val statsPhys: Set[String] =
+            manifest.files.flatMap(_.stats.keys).toSet
+
           private val sortCols: Array[String] = {
-            val phys = manifest.files.flatMap(_.stats.keys).toSet
             val cm = manifest.colMap.getOrElse(Map.empty[String, String])
             info.schema().fieldNames
-              .filter(n => phys.contains(cm.getOrElse(n, n)))
+              .filter(n => statsPhys.contains(cm.getOrElse(n, n)))
           }
 
           private def orders
@@ -131,7 +138,7 @@ class GraftRowLevelOperation(
             new GraftCowBatchWrite(root, info.schema(),
               cmd.toString.toLowerCase(java.util.Locale.ROOT),
               baseVersion, manifest.colMap.getOrElse(Map.empty),
-              () => Option(cowScan).flatMap(_.plannedFiles))
+              () => Option(cowScan).flatMap(_.plannedFiles), statsPhys)
         }
     }
 }
@@ -150,12 +157,13 @@ class GraftRowLevelOperation(
 class GraftCowBatchWrite(
     root: String, schema: StructType, op: String, baseVersion: Long,
     physMap: Map[String, String],
-    replacedFiles: () => Option[Seq[TxnTable.FileEntry]])
+    replacedFiles: () => Option[Seq[TxnTable.FileEntry]],
+    statsPhys: Set[String] = Set.empty)
     extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftCowWriterFactory(root, schema, physMap)
+    new GraftCowWriterFactory(root, schema, physMap, statsPhys)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.collect {
@@ -185,11 +193,12 @@ case class GraftCowCommit(relPath: String, rows: Long, bytes: Long,
     extends WriterCommitMessage
 
 class GraftCowWriterFactory(root: String, schema: StructType,
-    physMap: Map[String, String])
+    physMap: Map[String, String], statsPhys: Set[String] = Set.empty)
     extends DataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftCowDataWriter(root, schema, partitionId, taskId, physMap)
+    new GraftCowDataWriter(root, schema, partitionId, taskId, physMap,
+      statsPhys)
 }
 
 /** Per-task parquet writer (example API Group writer — the symmetric
@@ -209,7 +218,8 @@ class GraftCowWriterFactory(root: String, schema: StructType,
   */
 class GraftCowDataWriter(
     root: String, schema: StructType, partitionId: Int, taskId: Long,
-    physMap: Map[String, String] = Map.empty)
+    physMap: Map[String, String] = Map.empty,
+    statsPhys: Set[String] = Set.empty)
     extends DataWriter[InternalRow] {
   import org.apache.parquet.example.data.simple.SimpleGroup
   import org.apache.parquet.hadoop.ParquetWriter
@@ -224,18 +234,28 @@ class GraftCowDataWriter(
   private var writer: ParquetWriter[org.apache.parquet.example.data.Group] = _
   private var messageType: MessageType = _
   private var rows = 0L
-  // inline min/max per stats-eligible (numeric) column, physical names
+  // inline min/max per OPTED-IN stats column (the base manifest's
+  // stats key set), physical names. NaN poisons a column's stats for
+  // the whole file: NaN compares false against everything, so a
+  // min/max window that "contains" it would be wrong either way —
+  // under Spark's NaN-is-largest ordering a `c > x` manifest-prune
+  // could skip the file and silently drop its NaN rows, and a
+  // ColStats(NaN, NaN) doesn't survive the JSON manifest round-trip.
+  // A poisoned column simply ships NO stats (never prunable — sound).
   private val statMin = scala.collection.mutable.Map.empty[String, Double]
   private val statMax = scala.collection.mutable.Map.empty[String, Double]
-  private def trackStat(phys: String, v: Double): Unit = {
-    statMin.get(phys) match {
-      case Some(m) =>
-        if (v < m) statMin(phys) = v
-        if (v > statMax(phys)) statMax(phys) = v
-      case None =>
-        statMin(phys) = v; statMax(phys) = v
+  private val statNaN = scala.collection.mutable.Set.empty[String]
+  private def trackStat(phys: String, v: Double): Unit =
+    if (statsPhys.contains(phys)) {
+      if (v.isNaN) { statNaN += phys; statMin -= phys; statMax -= phys }
+      else if (!statNaN.contains(phys)) statMin.get(phys) match {
+        case Some(m) =>
+          if (v < m) statMin(phys) = v
+          if (v > statMax(phys)) statMax(phys) = v
+        case None =>
+          statMin(phys) = v; statMax(phys) = v
+      }
     }
-  }
 
   private def primType(dt: DataType): Option[
       (PrimitiveTypeName, Option[LogicalTypeAnnotation])] = dt match {

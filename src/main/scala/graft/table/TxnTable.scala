@@ -453,7 +453,14 @@ object TxnTable {
           val stats = fields.flatMap { case (n, _) =>
             val mi = r.getAs[Any](s"_min_$n")
             val ma = r.getAs[Any](s"_max_$n")
-            if (mi == null || ma == null) None
+            // NaN poisons the column's stats for this file: Spark's
+            // min/max order NaN largest, so max=NaN whenever any value
+            // is NaN — ColStats(…, NaN) is not valid JSON and a
+            // NaN-excluding window would let `c > x` prune a file
+            // whose NaN rows qualify. No stats = never pruned = sound.
+            if (mi == null || ma == null ||
+                mi.asInstanceOf[Double].isNaN ||
+                ma.asInstanceOf[Double].isNaN) None
             else Some(n -> ColStats(
               mi.asInstanceOf[Double], ma.asInstanceOf[Double]))
           }.toMap
@@ -781,13 +788,22 @@ object TxnTable {
       .getOrElse(sys.error(s"no $scopeCol in updates"))
     val scopeExpr = statsExpr(scopeField).getOrElse(
       sys.error(s"$scopeCol: type ${scopeField.dataType} has no stats order"))
+    // misuse guard: the collect is bounded by PARTITION cardinality by
+    // contract — a row-cardinality scope column (an id, a timestamp)
+    // would OOM the driver here, so refuse loudly past a generous cap
+    // instead of dying in the collect
+    val maxScopes = 100000
     val touched = updates.select(scopeExpr.as("v")).distinct()
-      .collect().map { r =>
+      .limit(maxScopes + 1).collect().map { r =>
         require(!r.isNullAt(0),
           s"$scopeCol must be non-null in updates: a null scope cannot " +
             "be matched against file stats and would strand its stored row")
         r.getDouble(0)
       }
+    require(touched.length <= maxScopes,
+      s"mergeScoped: updates carry >$maxScopes distinct $scopeCol values " +
+        "— that is a row-scoped column, not a partition scope; use " +
+        "merge() (full) or pick a coarser scope column")
     var committed = -1L
     while (committed < 0) {
       val cur = latestManifest(spark, root).getOrElse(

@@ -38,12 +38,13 @@ class Round12Spec extends AnyFunSuite {
   }
 
   /** 4 range-partitioned files over k∈[0,400) with k-stats. */
-  private def rangedTable(root: String): Unit = {
+  private def rangedTable(root: String,
+      statsCols: Seq[String] = Seq("k")): Unit = {
     val df = spark.range(0, 400)
       .select(col("id").as("k"),
         (col("id") % 7).cast("double").as("score"))
       .repartitionByRange(4, col("k"))
-    TxnTable.create(spark, root, df, Seq("k"))
+    TxnTable.create(spark, root, df, statsCols)
     assert(TxnTable.readManifest(spark, root, 0L).files.size == 4)
   }
 
@@ -180,7 +181,7 @@ class Round12Spec extends AnyFunSuite {
   test("COW-rewritten files carry per-file min/max stats: manifest " +
       "pruning does not degrade across SQL UPDATEs") {
     val root = freshRoot()
-    rangedTable(root)
+    rangedTable(root, statsCols = Seq("k", "score"))
     val t = cat(root, "gcat_r12g")
     spark.sql(s"UPDATE $t SET score = -1.0 WHERE k = 5")
     val before = TxnTable.readManifest(spark, root, 0L).files
@@ -202,6 +203,64 @@ class Round12Spec extends AnyFunSuite {
     val probed = TxnTable.snapshotWhere(spark, root,
       col("k").between(300L, 399L))
     assert(probed.count() == 100L)
+  }
+
+  test("stats are opt-in under COW: rewritten files carry exactly the " +
+      "base manifest's stats key set, not every numeric column") {
+    val root = freshRoot()
+    rangedTable(root) // stats on k ONLY
+    val t = cat(root, "gcat_r12s")
+    spark.sql(s"UPDATE $t SET score = -1.0 WHERE k = 5")
+    val before = TxnTable.readManifest(spark, root, 0L).files
+      .map(_.path).toSet
+    val fresh = TxnTable.readManifest(spark, root, 1L).files
+      .filterNot(f => before(f.path)).filter(_.rows > 0)
+    assert(fresh.nonEmpty)
+    fresh.foreach { f =>
+      assert(f.stats.keySet == Set("k"),
+        s"rewritten file must carry the opted-in stats set {k}, " +
+          s"got ${f.stats.keySet}")
+    }
+  }
+
+  test("NaN poisons a column's per-file stats instead of the manifest: " +
+      "a COW rewrite that writes NaN ships NO stats for that column, " +
+      "k-stats survive, and NaN rows are never stats-pruned away") {
+    val root = freshRoot()
+    rangedTable(root, statsCols = Seq("k", "score"))
+    val t = cat(root, "gcat_r12n")
+    spark.sql(
+      s"UPDATE $t SET score = CAST('NaN' AS DOUBLE) WHERE k = 7")
+    val before = TxnTable.readManifest(spark, root, 0L).files
+      .map(_.path).toSet
+    val m = TxnTable.readManifest(spark, root, 1L)
+    val fresh = m.files.filterNot(f => before(f.path)).filter(_.rows > 0)
+    assert(fresh.nonEmpty)
+    // the group holding k=7 was rewritten with a NaN in score: its
+    // score stats must be ABSENT (sound: never pruned), k stats intact
+    assert(fresh.forall(f => !f.stats.contains("score")),
+      s"NaN file group must drop score stats, got ${fresh.map(_.stats)}")
+    assert(fresh.forall(f => f.stats.contains("k")),
+      "k stats must survive the NaN in an unrelated column")
+    // the manifest must survive a JSON round-trip (NaN is not JSON)
+    assert(TxnTable.readManifest(spark, root, 1L).version == 1L)
+    // NaN orders LARGEST in Spark: score > 6 must still find the NaN
+    // row — a NaN-excluding stats window would have pruned its file
+    val hits = TxnTable.snapshotWhere(spark, root, col("score") > 6.0)
+    assert(hits.filter(col("k") === 7L).count() == 1L,
+      "the NaN row was stats-pruned away — unsound stats window")
+    // base writeFiles path: creating a table WITH a NaN also drops
+    // only that column's stats for the affected file
+    val root2 = freshRoot()
+    val df2 = spark.range(0, 10)
+      .select(col("id").as("k"),
+        when(col("id") === 3L, lit(Double.NaN))
+          .otherwise(col("id").cast("double")).as("score"))
+      .coalesce(1)
+    TxnTable.create(spark, root2, df2, Seq("k", "score"))
+    val f2 = TxnTable.readManifest(spark, root2, 0L).files.head
+    assert(f2.stats.contains("k") && !f2.stats.contains("score"),
+      s"base writer must drop NaN-poisoned score stats, got ${f2.stats}")
   }
 
   test("COW rewrites preserve clustering: a two-group UPDATE comes " +
