@@ -876,42 +876,86 @@ object TxnTable {
       files: Seq[FileEntry],
       baseVersion: Long,
       replaced: Option[Seq[String]] = None): Long = {
-    val cur = latestManifest(spark, root).getOrElse(
-      sys.error(s"no table at $root"))
-    if (cur.version != baseVersion)
-      throw new IllegalStateException(
-        s"$op: concurrent commit detected (planned against " +
-          s"v$baseVersion, table is at v${cur.version}) — re-run the " +
-          "statement")
-    val v = cur.version + 1
+    val base = readManifest(spark, root, baseVersion)
     val replacedSet = replaced.map(_.toSet)
-      .getOrElse(cur.files.map(_.path).toSet)
-    val (gone, kept) = cur.files.partition(f => replacedSet(f.path))
-    val cand = Manifest(v, op, System.currentTimeMillis(),
-      cur.schemaDdl, kept ++ files, cur.streamHwm, cur.constraints,
-      cur.bloomCols, cur.colMap, cur.retired)
-    require(StructType.fromDDL(cur.schemaDdl).fieldNames.sorted.toSeq ==
+      .getOrElse(base.files.map(_.path).toSet)
+    require(StructType.fromDDL(base.schemaDdl).fieldNames.sorted.toSeq ==
         StructType.fromDDL(schemaDdl).fieldNames.sorted.toSeq,
       s"$op: row-level write schema [$schemaDdl] does not match the " +
-        s"table schema [${cur.schemaDdl}]")
-    // CHECK constraints hold on the replacement rows (one scan of the
-    // NEW files only — kept rows passed at their own commit, the same
-    // O(incoming) pricing as append)
-    if (constraintsOf(cur).nonEmpty)
-      enforceConstraints(snapshotOf(spark, root, cand.copy(files = files)),
-        constraintsOf(cur))
-    val cdfRel = cdfKeysOf(spark, root).map { keys =>
-      val rel = s"$ChangeDir/v$v-" +
-        java.util.UUID.randomUUID.toString.take(8)
-      diffRows(snapshotOf(spark, root, cur.copy(files = gone)),
-        snapshotOf(spark, root, cand.copy(files = files)), keys)
-        .write.parquet(s"$root/$rel")
-      rel
+        s"table schema [${base.schemaDdl}]")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val cur = latestManifest(spark, root).getOrElse(
+        sys.error(s"no table at $root"))
+      // OPTIMISTIC CONFLICT CHECK (the WriteSerializable rule): a
+      // statement planned against v_base may commit on top of LATER
+      // versions iff rebasing is provably equivalent to having run the
+      // statement BEFORE the intervening commits —
+      //   (1) every replaced file is still present in `cur` with an
+      //       IDENTICAL entry (same rows/stats/dvs): nobody rewrote,
+      //       deleted, compacted, or tombstoned the rows this
+      //       statement is replacing (files are immutable, so entry
+      //       equality pins content);
+      //   (2) schema / column map / constraints / retired set are
+      //       unchanged: the planned write schema is still the table's;
+      //   (3) no RESTORE intervened: a rewind is an operator's explicit
+      //       "make the table THIS again" — silently replaying DML on
+      //       top of it would surprise, so it stays a loud conflict.
+      // Under these, intervening appends commute with the rewrite
+      // (their files carry forward verbatim in `kept`) — the same
+      // blind-append-vs-UPDATE non-conflict the public lakehouse
+      // formats ship as their default isolation. Anything else aborts
+      // loudly, exactly as before.
+      if (cur.version != baseVersion) {
+        val rebasable =
+          cur.schemaDdl == base.schemaDdl &&
+          cur.colMap == base.colMap &&
+          cur.constraints == base.constraints &&
+          cur.retired == base.retired && {
+            val curByPath = cur.files.map(f => f.path -> f).toMap
+            val baseByPath = base.files.map(f => f.path -> f).toMap
+            replacedSet.forall(p =>
+              curByPath.get(p).exists(e => baseByPath.get(p).contains(e)))
+          } &&
+          ((baseVersion + 1) to cur.version).forall(i =>
+            readManifest(spark, root, i).op != "restore")
+        if (!rebasable)
+          throw new IllegalStateException(
+            s"$op: conflicting concurrent commit (planned against " +
+              s"v$baseVersion, table is at v${cur.version} and the " +
+              "intervening commits touched the replaced files, the " +
+              "schema, or restored history) — re-run the statement")
+      }
+      val v = cur.version + 1
+      val (gone, kept) = cur.files.partition(f => replacedSet(f.path))
+      val cand = Manifest(v, op, System.currentTimeMillis(),
+        cur.schemaDdl, kept ++ files, cur.streamHwm, cur.constraints,
+        cur.bloomCols, cur.colMap, cur.retired)
+      // CHECK constraints hold on the replacement rows (one scan of the
+      // NEW files only — kept rows passed at their own commit, the same
+      // O(incoming) pricing as append)
+      if (constraintsOf(cur).nonEmpty)
+        enforceConstraints(
+          snapshotOf(spark, root, cand.copy(files = files)),
+          constraintsOf(cur))
+      val cdfRel = cdfKeysOf(spark, root).map { keys =>
+        val rel = s"$ChangeDir/v$v-" +
+          java.util.UUID.randomUUID.toString.take(8)
+        diffRows(snapshotOf(spark, root, cur.copy(files = gone)),
+          snapshotOf(spark, root, cand.copy(files = files)), keys)
+          .write.parquet(s"$root/$rel")
+        rel
+      }
+      if (tryCommit(spark, root, cand.copy(cdfDir = cdfRel))) return v
+      if (attempt >= 8)
+        throw new IllegalStateException(
+          s"$op: lost the commit race $attempt times at $root — " +
+            "re-run the statement")
+      // lost the race to a commit that may still be rebasable: loop —
+      // the next iteration re-reads latest and re-checks eligibility
     }
-    if (!tryCommit(spark, root, cand.copy(cdfDir = cdfRel)))
-      throw new IllegalStateException(
-        s"$op: lost the commit race at v$v — re-run the statement")
-    v
+    -1L // unreachable
   }
 
   /** Predicate DELETE (the `DELETE FROM t WHERE p` semantics — rows
