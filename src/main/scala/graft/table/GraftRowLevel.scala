@@ -219,7 +219,8 @@ class GraftCowWriterFactory(root: String, schema: StructType,
 class GraftCowDataWriter(
     root: String, schema: StructType, partitionId: Int, taskId: Long,
     physMap: Map[String, String] = Map.empty,
-    statsPhys: Set[String] = Set.empty)
+    statsPhys: Set[String] = Set.empty,
+    prefix: String = "cow")
     extends DataWriter[InternalRow] {
   import org.apache.parquet.example.data.simple.SimpleGroup
   import org.apache.parquet.hadoop.ParquetWriter
@@ -228,7 +229,8 @@ class GraftCowDataWriter(
   import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 
   private val relPath =
-    s"${TxnTable.dataDirName}/cow-${java.util.UUID.randomUUID.toString.take(8)}" +
+    s"${TxnTable.dataDirName}/$prefix-" +
+      s"${java.util.UUID.randomUUID.toString.take(8)}" +
       s"-p$partitionId-t$taskId.parquet"
   private val conf = new Configuration()
   private var writer: ParquetWriter[org.apache.parquet.example.data.Group] = _

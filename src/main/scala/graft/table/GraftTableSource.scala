@@ -270,6 +270,7 @@ class GraftTable(root: String, tableSchema: StructType,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
@@ -363,6 +364,18 @@ class GraftWriteBuilder(
           else TxnTable.append(spark, root, data, statsCols)
           ()
         }
+
+      /** `writeStream.format("graft")` — the native exactly-once
+        * sink ([[GraftStreamingWrite]]). Append output mode only.
+        */
+      override def toStreaming: org.apache.spark.sql.connector.write
+          .streaming.StreamingWrite = {
+        require(!overwrite,
+          "graft streaming sink supports APPEND output mode only — " +
+            "for complete/upsert semantics use foreachBatch with " +
+            "TxnTable.mergeFull/appendBatch")
+        new GraftStreamingWrite(root, info.schema())
+      }
     }
 }
 

@@ -646,6 +646,53 @@ object TxnTable {
     result
   }
 
+  /** EXACTLY-ONCE epoch commit for the NATIVE streaming sink
+    * ([[graft.table.GraftStreamingWrite]] — `writeStream
+    * .format("graft")`): the executor tasks already wrote `files`
+    * under `data/`; this publishes them as micro-batch `batchId`
+    * with the id FENCED in the same atomic manifest rename
+    * ([[appendBatch]]'s contract, files-based so the sink never
+    * round-trips rows through the driver). Returns None for a
+    * crash-replayed epoch (hwm already at-or-past `batchId`) — the
+    * caller deletes its orphaned files; a LATER epoch landing first
+    * is impossible within one query (epochs commit in order), so the
+    * fence is exact, not approximate. One streaming query per table:
+    * the hwm is table-scoped, the same contract appendBatch has.
+    */
+  private[table] def commitStreamFiles(
+      spark: SparkSession,
+      root: String,
+      schemaDdl: String,
+      files: Seq[FileEntry],
+      batchId: Long,
+      plannedColMap: Map[String, String]): Option[Long] = {
+    while (true) {
+      val cur = latestManifest(spark, root).getOrElse(
+        sys.error(s"no table at $root — the graft streaming sink " +
+          "appends to an existing table; create() it first"))
+      if (cur.streamHwm.exists(_ >= batchId)) return None
+      require(StructType.fromDDL(cur.schemaDdl).fieldNames.sorted.toSeq ==
+          StructType.fromDDL(schemaDdl).fieldNames.sorted.toSeq,
+        s"stream sink: epoch schema [$schemaDdl] does not match the " +
+          s"table schema [${cur.schemaDdl}]")
+      require(colMapOf(cur) == plannedColMap,
+        "concurrent column rename/drop during stream epoch — " +
+          "restart the query")
+      // CHECK constraints on the epoch's rows only (same O(incoming)
+      // pricing as appendBatch)
+      if (constraintsOf(cur).nonEmpty)
+        enforceConstraints(snapshotOf(spark, root,
+          cur.copy(files = files)), constraintsOf(cur))
+      if (tryCommit(spark, root, Manifest(cur.version + 1,
+          "stream-append", System.currentTimeMillis(), cur.schemaDdl,
+          cur.files ++ files, Some(batchId), cur.constraints,
+          cur.bloomCols, cur.colMap, cur.retired)))
+        return Some(cur.version + 1)
+      // lost a race (a concurrent maintenance commit): re-read, re-fence
+    }
+    None // unreachable
+  }
+
   /** Full-snapshot rewrite op (overwrite / merge / delete / compact):
     * `compute` maps the CURRENT snapshot to the new table contents. On a
     * lost commit race the whole op recomputes against the winner's

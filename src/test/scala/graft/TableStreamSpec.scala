@@ -6,6 +6,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import scala.jdk.CollectionConverters._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.table.{GraftMicroBatchStream, GraftStreamOffset, GraftTableProvider, TxnTable}
@@ -346,5 +347,97 @@ class TableStreamSpec extends AnyFunSuite {
       .select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
     assert(got.filter(col("_change_type") === "delete")
       .select("k").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("native streaming SINK: writeStream.format(graft) lands each " +
+      "micro-batch as a fenced stream-append commit, and a restart " +
+      "from the same checkpoint appends only the new data") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, kv((0L, 0.0)).coalesce(1), Seq("k"))
+    val ckpt = Files.createTempDirectory("graft_sink_ck").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Double)](spark)
+    def run(): Unit = {
+      val q = mem.toDF().toDF("k", "score")
+        .writeStream.format(Fmt)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start(root)
+      try q.awaitTermination()
+      finally q.stop()
+    }
+    mem.addData((1L, 1.0), (2L, 2.0))
+    run()
+    val m1 = TxnTable.readManifest(spark, root,
+      TxnTable.versions(spark, root).max)
+    assert(m1.op == "stream-append" && m1.streamHwm.contains(0L),
+      s"epoch 0 must be fenced in the manifest, got $m1")
+    assert(TxnTable.snapshot(spark, root).select("k").as[Long]
+      .collect().sorted.toSeq == Seq(0L, 1L, 2L))
+    // restart from the SAME checkpoint with new data: only it lands
+    mem.addData((3L, 3.0))
+    run()
+    assert(TxnTable.snapshot(spark, root).select("k").as[Long]
+      .collect().sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    // stats plumbing: the sink's files carry the table's opted-in
+    // stats ({k}), so manifest pruning keeps working under streaming
+    val latest = TxnTable.readManifest(spark, root,
+      TxnTable.versions(spark, root).max)
+    val streamed = latest.files.filter(_.path.contains("stream-e"))
+    assert(streamed.nonEmpty &&
+      streamed.forall(f => f.stats.keySet == Set("k")),
+      s"sink files must carry exactly the opted-in stats, " +
+        s"got ${streamed.map(_.stats)}")
+  }
+
+  test("native streaming SINK is exactly-once across an epoch REPLAY: " +
+      "re-running a committed epoch (crash between sink commit and " +
+      "checkpoint commit) is a fenced no-op with no duplicate rows " +
+      "and no orphaned files") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, kv((0L, 0.0)).coalesce(1), Seq("k"))
+    val ckpt = Files.createTempDirectory("graft_sink_ck2").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Double)](spark)
+    def run(): Unit = {
+      val q = mem.toDF().toDF("k", "score")
+        .writeStream.format(Fmt)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start(root)
+      try q.awaitTermination()
+      finally q.stop()
+    }
+    mem.addData((1L, 1.0), (2L, 2.0))
+    run()
+    val vAfter = TxnTable.versions(spark, root).max
+    // simulate the crash window: the sink committed epoch 0 but the
+    // checkpoint's commit record is gone → restart re-runs epoch 0
+    val commit0 = new java.io.File(s"$ckpt/commits/0")
+    assert(commit0.exists, "harness assumption: commit log at commits/0")
+    assert(commit0.delete())
+    // the local ChecksumFs leaves a .crc sidecar that would block the
+    // replay's own commit write — not part of the crash being simulated
+    new java.io.File(s"$ckpt/commits/.0.crc").delete()
+    run()
+    // the replay was fenced: same rows, no new stream-append version
+    assert(TxnTable.snapshot(spark, root).select("k").as[Long]
+      .collect().sorted.toSeq == Seq(0L, 1L, 2L))
+    val vs = TxnTable.versions(spark, root)
+    assert(vs.max == vAfter,
+      s"a replayed epoch must not commit a new version: $vs")
+    // and the replay's orphaned files were deleted by the sink
+    val referenced = TxnTable.readManifest(spark, root, vs.max)
+      .files.map(_.path).toSet
+    val dataDir = java.nio.file.Paths.get(root, "data")
+    val onDisk = java.nio.file.Files.walk(dataDir).iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p))
+      .map(p => "data/" + dataDir.relativize(p).toString)
+      .filterNot(_.split("/").last.startsWith(".")) // checksum sidecars
+      .filter(_.endsWith(".parquet")).toSet
+    assert(onDisk == referenced,
+      s"replay must clean its files: disk=$onDisk manifest=$referenced")
   }
 }
