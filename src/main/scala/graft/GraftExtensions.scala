@@ -50,6 +50,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(graft.table.GraftHistoryFunction.name),
       graft.table.GraftHistoryFunction.info,
       graft.table.GraftHistoryFunction.builder _))
+    // SQL maintenance statements: OPTIMIZE [CLUSTER BY] / VACUUM —
+    // parsed ahead of Spark's grammar, everything else delegates
+    ext.injectParser((_, delegate) =>
+      new graft.table.GraftSqlParser(delegate))
     // native as-of join planner rule (plans/AsOfJoinNative); the
     // DataFrame API also self-registers via experimental strategies for
     // sessions built without extensions

@@ -1,0 +1,184 @@
+package graft.table
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+/** SQL MAINTENANCE surface for graft tables — the statements the
+  * `graft_history` TVF pattern can't carry (they MUTATE the table, so
+  * they must execute as commands at execution time, never during
+  * analysis where EXPLAIN / re-analysis would re-run them):
+  *
+  * {{{
+  *   OPTIMIZE '<path>'                              -- compact
+  *   OPTIMIZE cat.t CLUSTER BY (c1, c2) [INTO n FILES]
+  *   VACUUM '<path>' [RETAIN n VERSIONS]
+  * }}}
+  *
+  * The target is either a quoted filesystem path (trusted like
+  * `DataFrameReader.load`) or a dotted identifier resolved through a
+  * registered [[GraftCatalog]]'s warehouse with the same traversal
+  * guard the catalog applies. Each statement returns a result row
+  * (op, version, files_removed, files_added), so scripts can assert
+  * on the outcome. Injected as a PARSER DELEGATE via
+  * [[graft.GraftExtensions]] — anything that isn't one of these
+  * statements parses through Spark's own parser untouched (the Delta
+  * extension-parser pattern, public knowledge).
+  *
+  * Semantics ride the existing commit protocol: `OPTIMIZE` is
+  * [[TxnTable.compact]]/[[TxnTable.cluster]] (a committed rewrite —
+  * old versions still time-travel until vacuumed) with the table's
+  * opted-in STATS COLUMNS PRESERVED automatically (a SQL OPTIMIZE
+  * that silently dropped pruning stats would be a scale regression);
+  * `VACUUM` is [[TxnTable.vacuum]] with its retention floor and
+  * in-flight-writer grace window intact.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlParser.maintenancePlan(sqlText)
+      .getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(
+      sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String)
+      : org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+}
+
+object GraftSqlParser {
+  // target: '<path>' | ident(.ident)* with optional backticks
+  private val Target = """('[^']+'|(?:`[^`]+`|[\w$]+)(?:\.(?:`[^`]+`|[\w$]+))*)"""
+  private val OptimizeRe =
+    ("""(?is)^\s*OPTIMIZE\s+""" + Target +
+      """(?:\s+CLUSTER\s+BY\s*\(([^)]+)\))?""" +
+      """(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?\s*$""").r
+  private val VacuumRe =
+    ("""(?is)^\s*VACUUM\s+""" + Target +
+      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""").r
+
+  private[table] def maintenancePlan(sqlText: String): Option[LogicalPlan] =
+    sqlText match {
+      case OptimizeRe(target, clusterCols, nFiles) =>
+        val cols = Option(clusterCols).map(_.split(",").toSeq
+          .map(c => stripTicks(c.trim)).filter(_.nonEmpty))
+        if (cols.isEmpty && nFiles != null)
+          throw new IllegalArgumentException(
+            "OPTIMIZE ... INTO n FILES requires CLUSTER BY — plain " +
+              "compaction sizes files by target bytes")
+        Some(GraftMaintenanceCommand("optimize", parseTarget(target),
+          cols, Option(nFiles).map(_.toInt), None))
+      case VacuumRe(target, retain) =>
+        Some(GraftMaintenanceCommand("vacuum", parseTarget(target),
+          None, None, Option(retain).map(_.toInt)))
+      case _ => None
+    }
+
+  private def stripTicks(s: String): String =
+    if (s.startsWith("`") && s.endsWith("`") && s.length >= 2)
+      s.substring(1, s.length - 1)
+    else s
+
+  /** `Left(path)` for a quoted path, `Right(segments)` for an
+    * identifier to resolve through a graft catalog.
+    */
+  private def parseTarget(t: String): Either[String, Seq[String]] =
+    if (t.startsWith("'")) Left(t.substring(1, t.length - 1))
+    else Right(t.split("\\.").toSeq.map(stripTicks))
+}
+
+/** One maintenance statement, executed ONCE at command execution (the
+  * eager-command path `spark.sql(...)` takes), never at analysis.
+  */
+case class GraftMaintenanceCommand(
+    kind: String,
+    target: Either[String, Seq[String]],
+    clusterCols: Option[Seq[String]],
+    nFiles: Option[Int],
+    retainVersions: Option[Int]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("op", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("files_removed", LongType, nullable = false)(),
+    AttributeReference("files_added", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = resolveRoot(spark)
+    val before = TxnTable.readManifest(spark, root,
+      TxnTable.versions(spark, root).max)
+    kind match {
+      case "optimize" =>
+        // preserve the table's opted-in stats columns across the
+        // rewrite: physical stats keys mapped back to logical names
+        val cm = before.colMap.getOrElse(Map.empty[String, String])
+        val inv = cm.map(_.swap)
+        val statsCols = before.files.flatMap(_.stats.keys).toSet.toSeq
+          .map((p: String) => inv.getOrElse(p, p))
+        val v = clusterCols match {
+          case Some(cols) =>
+            TxnTable.cluster(spark, root, cols,
+              nFiles.getOrElse(math.max(1, before.files.size)),
+              // clustering columns are worth stats by definition
+              (statsCols ++ cols).distinct)
+          case None =>
+            TxnTable.compact(spark, root, statsCols = statsCols)
+        }
+        val after = TxnTable.readManifest(spark, root, v)
+        val beforeSet = before.files.map(_.path).toSet
+        val afterSet = after.files.map(_.path).toSet
+        Seq(Row(if (clusterCols.isDefined) "cluster" else "compact", v,
+          (beforeSet -- afterSet).size.toLong,
+          (afterSet -- beforeSet).size.toLong))
+      case "vacuum" =>
+        val deleted = TxnTable.vacuum(spark, root,
+          retainLast = retainVersions.getOrElse(2))
+        Seq(Row("vacuum", before.version, deleted.size.toLong, 0L))
+      case other => sys.error(s"unknown maintenance kind $other")
+    }
+  }
+
+  /** Same trust split as [[GraftHistoryFunction]]: a quoted path is
+    * driver-trusted; an identifier resolves through a REGISTERED graft
+    * catalog's warehouse with the catalog's own segment guard.
+    */
+  private def resolveRoot(spark: SparkSession): String = target match {
+    case Left(path) => path
+    case Right(parts) =>
+      require(parts.length >= 2,
+        s"maintenance target must be <catalog>.<table...>, got " +
+          parts.mkString("."))
+      val cat = parts.head
+      val impl = spark.conf.getOption(s"spark.sql.catalog.$cat")
+      require(impl.contains(classOf[GraftCatalog].getName),
+        s"'$cat' is not a registered graft catalog " +
+          s"(spark.sql.catalog.$cat=${impl.getOrElse("<unset>")})")
+      val wh = spark.conf.getOption(s"spark.sql.catalog.$cat.warehouse")
+        .getOrElse(sys.error(
+          s"graft catalog '$cat' has no warehouse configured"))
+      val segs = parts.tail
+      segs.foreach { s =>
+        require(s.nonEmpty && s != "." && s != ".." &&
+            !s.contains("/") && !s.contains("\\") && !s.contains(":"),
+          s"illegal identifier segment '$s' — segments must not be " +
+            "empty, '.', '..', or contain path separators")
+      }
+      segs.mkString(wh.stripSuffix("/") + "/", "/", "")
+  }
+}
