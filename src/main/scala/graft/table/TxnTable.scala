@@ -776,13 +776,38 @@ object TxnTable {
       root: String,
       updates: DataFrame,
       keyCols: Seq[String],
-      statsCols: Seq[String] = Seq.empty): Long =
+      statsCols: Seq[String] = Seq.empty,
+      evolveSchema: Boolean = false): Long =
     rewrite(spark, root, "merge", statsCols, Some(updates)) { snap =>
-      snap.join(
+      val (wide, cols) = evolveFor("merge", snap, updates, evolveSchema)
+      wide.join(
           updates.select(keyCols.map(col): _*).distinct(),
           keyCols, "left_anti")
-        .unionByName(updates.select(snap.columns.toSeq.map(col): _*))
+        .unionByName(updates.select(cols.map(col): _*))
     }
+
+  /** MERGE SCHEMA EVOLUTION (opt-in, the `WITH SCHEMA EVOLUTION`
+    * semantics of the public formats): with `evolve` set, source
+    * columns absent from the table are APPENDED to the schema —
+    * stored rows back-fill NULL, source rows carry their values, and
+    * the widened schema commits atomically with the merge (no
+    * separate DDL; [[rewrite]] commits `out.schema.toDDL`). Without
+    * it, extra source columns are silently projected away — merging a
+    * feed that grew a column must never widen a table by accident.
+    * Returns the (possibly widened) snapshot and the output column
+    * list. Dropping/retyping EXISTING columns is never evolution:
+    * a source missing a table column still fails the select below.
+    */
+  private def evolveFor(
+      op: String, snap: DataFrame, source: DataFrame,
+      evolve: Boolean): (DataFrame, Seq[String]) = {
+    if (!evolve) return (snap, snap.columns.toSeq)
+    val extra = source.schema.fields
+      .filterNot(f => snap.columns.contains(f.name))
+    val wide = extra.foldLeft(snap)((d, f) =>
+      d.withColumn(f.name, lit(null).cast(f.dataType)))
+    (wide, snap.columns.toSeq ++ extra.map(_.name))
+  }
 
   /** FULL three-clause MERGE — the complete SQL `MERGE INTO` surface:
     * WHEN MATCHED → replace with the source row; WHEN NOT MATCHED →
@@ -800,13 +825,16 @@ object TxnTable {
       source: DataFrame,
       keyCols: Seq[String],
       deleteWhen: org.apache.spark.sql.Column,
-      statsCols: Seq[String] = Seq.empty): Long =
+      statsCols: Seq[String] = Seq.empty,
+      evolveSchema: Boolean = false): Long =
     rewrite(spark, root, "merge-full", statsCols, Some(source)) { snap =>
-      snap.join(
+      val (wide, cols) =
+        evolveFor("merge-full", snap, source, evolveSchema)
+      wide.join(
           source.select(keyCols.map(col): _*).distinct(),
           keyCols, "left_anti")
         .filter(!coalesce(deleteWhen, lit(false)))
-        .unionByName(source.select(snap.columns.toSeq.map(col): _*))
+        .unionByName(source.select(cols.map(col): _*))
     }
 
   /** SCOPE-BOUNDED MERGE — the 100 TB form of [[merge]]: only files

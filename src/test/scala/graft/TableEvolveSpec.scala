@@ -368,4 +368,47 @@ class TableEvolveSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("illegal identifier segment"))
   }
+
+  test("MERGE schema evolution (opt-in): a source carrying a new " +
+      "column widens the table atomically with the merge — stored " +
+      "rows back-fill NULL, source rows carry values; without the " +
+      "option the extra column is projected away") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, kv((1L, 1.0), (2L, 2.0)), Seq("k"))
+    val src = Seq((2L, 20.0, "b"), (3L, 30.0, "c"))
+      .toDF("k", "score", "tag")
+    // default: NO evolution — the merge lands, tag is dropped
+    TxnTable.merge(spark, root, src, Seq("k"), Seq("k"))
+    assert(TxnTable.snapshot(spark, root).columns.toSeq ==
+      Seq("k", "score"))
+    // opt-in: the schema widens in the SAME commit as the merge
+    val src2 = Seq((3L, 33.0, "c3"), (4L, 44.0, "d4"))
+      .toDF("k", "score", "tag")
+    val v = TxnTable.merge(spark, root, src2, Seq("k"), Seq("k"),
+      evolveSchema = true)
+    val m = TxnTable.readManifest(spark, root, v)
+    assert(m.op == "merge" &&
+      m.schemaDdl.toLowerCase.contains("tag"),
+      s"schema must widen atomically with the merge: ${m.schemaDdl}")
+    val snap = TxnTable.snapshot(spark, root)
+      .select("k", "score", "tag").as[(Long, Double, Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(snap == Seq(
+      (1L, 1.0, None),          // stored row: NULL back-fill
+      (2L, 20.0, None),         // pre-evolution merge result: NULL
+      (3L, 33.0, Some("c3")),   // evolved source rows carry values
+      (4L, 44.0, Some("d4"))))
+    // time travel still serves the narrow generations
+    assert(!TxnTable.snapshotAt(spark, root, 0L).columns.contains("tag"))
+    // and mergeFull evolves the same way, atomically with its delete
+    val root2 = freshRoot()
+    TxnTable.create(spark, root2, kv((1L, 1.0), (2L, 2.0)), Seq("k"))
+    TxnTable.mergeFull(spark, root2,
+      Seq((2L, 22.0, 9L)).toDF("k", "score", "rev"),
+      Seq("k"), deleteWhen = lit(true), Seq("k"), evolveSchema = true)
+    val snap2 = TxnTable.snapshot(spark, root2)
+      .select("k", "score", "rev").as[(Long, Double, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(snap2 == Seq((2L, 22.0, Some(9L)))) // k=1 deleted-by-absence
+  }
 }
