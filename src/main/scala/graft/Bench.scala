@@ -18,7 +18,7 @@ object Bench {
     * of the operator. Hashing a struct of all columns and summing the
     * hashes is a single non-prunable pass with negligible overhead.
     */
-  private def materialize(df: DataFrame): Unit = {
+  private[graft] def materialize(df: DataFrame): Unit = {
     // xxhash64 rejects MapType, so map-valued columns are hashed through
     // sorted map_entries instead — falling back to a prunable count()
     // here would let Catalyst drop the map computation and under-time
@@ -49,9 +49,94 @@ object Bench {
     ()
   }
 
+  /** Solo slice in a FRESH JVM (r12 VERDICT ask #3): fork
+    * [[SoloBench]] with this process's own classpath/JVM options and
+    * read back its `name\tmedian\tstatus` lines. Fresh process =
+    * zero suite residue (the in-JVM solo pass drifted 23.2–32.2 s on
+    * identical code); 5-rep medians inside. Runs BEFORE the parent's
+    * SparkSession exists so the child competes with nothing. Any
+    * launch failure degrades to an empty slice with a stderr warning
+    * — never a crashed bench.
+    */
+  private def runSoloFork(
+      slice: Seq[String], sfDir: String): Seq[(String, Double)] = {
+    try {
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val cp = System.getProperty("java.class.path")
+      val outFile = java.nio.file.Files.createTempFile("graft_solo", ".tsv")
+      val logFile = java.nio.file.Files.createTempFile("graft_solo", ".log")
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar"
+      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+      val cmd = (Seq(javaBin) ++ addOpens ++
+        Seq(s"-Xmx$mem", "-cp", cp, "graft.SoloBench")).toArray
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_SOLO_ONLY", slice.mkString(","))
+      pb.environment().put("SPARK_GRAFT_SOLO_OUT", outFile.toString)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      // child logs must never reach this process's stdout (the harness
+      // parses only the tail of it)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(logFile.toFile)
+      val proc = pb.start()
+      val exit = proc.waitFor()
+      if (exit != 0)
+        System.err.println(s"[bench] solo fork exited $exit — see $logFile")
+      scala.io.Source.fromFile(outFile.toFile).getLines().toSeq
+        .map(_.split("\t")).collect {
+          case Array(n, t, "ok") => n -> t.toDouble
+        }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] solo fork failed: ${e.getMessage}")
+        Seq.empty
+    }
+  }
+
+  /** The 28-query r4-headline slice — the like-for-like cross-round
+    * perf signal (BASELINE.md).
+    */
+  private val r4Slice = Seq(
+    "q1_agg", "q3_topk", "q5_join", "q6_filter", "q_window_running",
+    "q_topk_per_group", "q_tfidf", "q_bm25", "events_tumbling",
+    "events_stream_tumbling", "events_stream_dedup", "dedup_exact",
+    "dedup_minhash", "dedup_fuzzy", "neardup_embedding",
+    "ann_bruteforce", "ann_lsh_indexed", "doc_embeddings",
+    "pipeline_e2e", "q_asof_join_native", "q_gapfill",
+    "q_session_window", "q_contamination", "q_seq_packing",
+    "dedup_incremental", "q_perplexity", "q_boilerplate", "q_knn_eval")
+
+  /** HEAVY-TAIL slice (r11 VERDICT ask #3): the most expensive
+    * in-suite rows — their in-suite numbers drift far past the
+    * ambient band, so the solo figure is the adjudicator. q_table_cdc
+    * joined at r13 (its CDF planner changed at r12; in-suite 1.72×).
+    */
+  private val heavyTail = Seq("q_textrank", "q_hits", "q_bootstrap_ci",
+    "events_stream_join_agg", "q_permutation_test", "q_rake_keywords",
+    "q_markov_stationary", "events_stream_left_join",
+    "q_cooks_distance", "q_burrows_delta", "q_table_cdc")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val onlyEnv = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // SOLO slices in FRESH JVMs, before this process's SparkSession
+    // exists (full isolation both ways); skipped when the run is an
+    // isolation experiment over named queries
+    val skipSolo = onlyEnv.nonEmpty ||
+      sys.env.get("SPARK_GRAFT_SKIP_SOLO").contains("1")
+    val solo: Seq[(String, Double)] =
+      if (skipSolo) Seq.empty else runSoloFork(r4Slice, sfDir)
+    val heavySolo: Seq[(String, Double)] =
+      if (skipSolo) Seq.empty else runSoloFork(heavyTail, sfDir)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -100,8 +185,7 @@ object Bench {
     // SPARK_GRAFT_BENCH_ONLY=a,b,c — time only the named queries
     // (isolation experiments: a query's solo cost vs its in-suite cost
     // separates plan regressions from run-order interference)
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val only = onlyEnv
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
@@ -126,42 +210,7 @@ object Bench {
       }
       (name, times.sorted.apply(reps / 2), ok)
     }
-    // SOLO pass over the 28-query r4-headline slice, timed BEFORE the
-    // full suite: warm JVM, zero suite residue — the like-for-like
-    // cross-round perf signal. In-suite totals move ±50% ambiently as
-    // the suite grows (GC/tmp-disk pressure from ~400 predecessors);
-    // recording the slice solo in the same emission stops each round
-    // re-adjudicating that noise (r10 VERDICT ask #5).
-    val r4Slice = Seq(
-      "q1_agg", "q3_topk", "q5_join", "q6_filter", "q_window_running",
-      "q_topk_per_group", "q_tfidf", "q_bm25", "events_tumbling",
-      "events_stream_tumbling", "events_stream_dedup", "dedup_exact",
-      "dedup_minhash", "dedup_fuzzy", "neardup_embedding",
-      "ann_bruteforce", "ann_lsh_indexed", "doc_embeddings",
-      "pipeline_e2e", "q_asof_join_native", "q_gapfill",
-      "q_session_window", "q_contamination", "q_seq_packing",
-      "dedup_incremental", "q_perplexity", "q_boilerplate", "q_knn_eval")
-    val solo: Seq[(String, Double)] =
-      if (only.nonEmpty) Seq.empty
-      else r4Slice.flatMap { n =>
-        SparkEntry.queries.get(n).map(fn => timed(n, fn))
-      }.collect { case (n, t, true) => n -> t }
-    // HEAVY-TAIL solo slice (r11 VERDICT ask #3): the ten most
-    // expensive in-suite rows, timed solo on the same warm JVM.
-    // In-suite numbers on these rows drift far past the ±50% ambient
-    // band (q_textrank: 2.87 s solo record vs 6.52 s in-suite at r11
-    // with ZERO code change), so without a per-round solo figure a
-    // real plan regression can hide under suite residue — this slice
-    // is the adjudicator.
-    val heavyTail = Seq("q_textrank", "q_hits", "q_bootstrap_ci",
-      "events_stream_join_agg", "q_permutation_test", "q_rake_keywords",
-      "q_markov_stationary", "events_stream_left_join",
-      "q_cooks_distance", "q_burrows_delta")
-    val heavySolo: Seq[(String, Double)] =
-      if (only.nonEmpty) Seq.empty
-      else heavyTail.flatMap { n =>
-        SparkEntry.queries.get(n).map(fn => timed(n, fn))
-      }.collect { case (n, t, true) => n -> t }
+    // (solo/heavy slices already ran in their own fresh JVMs above)
     // A broken query must NEVER improve the benchmark: the r6 fixtures
     // broke 17 queries and the old blanket catch recorded their
     // time-to-exception (0.05-0.09 s) as a "win". Any rep that throws

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SOLO benchmark slice in a FRESH JVM (r12 VERDICT ask #3): the
+  * headline/heavy solo figures were timed inside the same JVM as the
+  * full suite and inherited its heap/tmp-disk residue — same-code
+  * runs spanned 23.2–32.2 s, making the "a heavy row is a finding
+  * only if its SOLO figure moves" rule unusable. This main times ONLY
+  * the queries named in `SPARK_GRAFT_SOLO_ONLY` on a brand-new
+  * SparkSession in a brand-new process (launched by [[Bench]], or by
+  * hand via `sbt "runMain graft.SoloBench"`), 5-rep medians, and
+  * writes `name\tseconds` lines to `SPARK_GRAFT_SOLO_OUT`.
+  *
+  * Untimed warmup matches [[Bench]]: session/codegen startup absorbed
+  * by q6_filter, and the persisted index layouts (LSH/IVF/incremental)
+  * built once untimed when the slice probes them — the timed figure is
+  * the probe, not the one-off offline build.
+  */
+object SoloBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.get("SPARK_GRAFT_SOLO_REPS")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(5)
+    val names = sys.env.getOrElse("SPARK_GRAFT_SOLO_ONLY", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val out = sys.env.getOrElse("SPARK_GRAFT_SOLO_OUT", "solo_out.tsv")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "1min")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def materializeQuiet(n: String): Unit =
+      try Bench.materialize(SparkEntry.queries(n)(spark, sfDir))
+      catch { case _: Throwable => () }
+    materializeQuiet("q6_filter") // JVM/codegen warmup
+    // offline index builds, untimed, only when the slice probes them
+    Seq("ann_lsh_indexed", "ann_ivf_indexed", "dedup_incremental",
+      "ann_incremental").filter(names.contains).foreach(materializeQuiet)
+    val lines = names.flatMap { n =>
+      SparkEntry.queries.get(n).map { fn =>
+        System.gc()
+        var ok = true
+        val times = Seq.fill(reps) {
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          try Bench.materialize(fn(spark, sfDir))
+          catch { case e: Throwable =>
+            ok = false
+            System.err.println(s"[solo] $n FAILED: ${e.getMessage}")
+          }
+          (System.nanoTime() - t0) / 1e9
+        }
+        val med = times.sorted.apply(reps / 2)
+        val status = if (ok) "ok" else "failed"
+        f"$n%s\t$med%.3f\t$status%s"
+      }
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (lines.mkString("\n") + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try spark.stop() catch { case _: Throwable => () }
+    ()
+  }
+}
