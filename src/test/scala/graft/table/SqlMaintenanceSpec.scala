@@ -14,12 +14,24 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class SqlMaintenanceSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.extensions", "graft.GraftExtensions")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    // extensions (the injected parser) apply only at SESSION
+    // CONSTRUCTION: when an earlier suite in this JVM already built
+    // the shared session WITHOUT them, getOrCreate would hand it back
+    // with the conf set but the parser absent — rebuild instead.
+    // Suites run sequentially in the forked test JVM, so stopping the
+    // finished session is safe; later suites getOrCreate this one.
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .filterNot(_.conf.getOption("spark.sql.extensions")
+        .contains("graft.GraftExtensions"))
+      .foreach(_.stop())
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
 
   import spark.implicits._
 
