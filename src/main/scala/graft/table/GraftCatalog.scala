@@ -46,6 +46,13 @@ class GraftCatalog extends TableCatalog {
 
   override def name(): String = catName
 
+  // advertise CHECK-constraint DDL (Spark gates ALTER TABLE
+  // ADD/DROP CONSTRAINT on this catalog capability)
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   private def rootFor(ident: Identifier): String = {
     val segs = ident.namespace() :+ ident.name()
     // identifier segments become filesystem path segments — refuse
@@ -140,6 +147,25 @@ class GraftCatalog extends TableCatalog {
             "supported — new columns append")
         TxnTable.addColumn(spark, root, ac.fieldNames()(0),
           ac.dataType())
+      // DSv2 constraints (the Spark 4 constraint SPIP surface):
+      // CHECK lands in the manifest's constraint map, enforced by
+      // every write path; PRIMARY KEY / UNIQUE / FOREIGN KEY are
+      // refused — this format has no index to enforce them with, and
+      // an unenforced "informational" key would be a silent lie
+      case ac: TableChange.AddConstraint =>
+        ac.constraint() match {
+          case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            TxnTable.addConstraint(spark, root, c.name(),
+              Option(c.predicateSql()).getOrElse(sys.error(
+                "graft catalog: CHECK constraint needs a SQL predicate")))
+          case other =>
+            throw new UnsupportedOperationException(
+              s"graft catalog: only CHECK constraints are supported, " +
+                s"got ${other.toDDL}")
+        }
+      case dc: TableChange.DropConstraint =>
+        TxnTable.dropConstraint(spark, root, dc.name(),
+          ifExists = dc.ifExists())
       case other =>
         throw new UnsupportedOperationException(
           s"graft catalog: unsupported table change $other — " +

@@ -264,6 +264,27 @@ class GraftTable(root: String, tableSchema: StructType,
     ()
   }
   override def schema(): StructType = tableSchema
+
+  /** The table's CHECK constraints (DSv2 constraint surface): reported
+    * from the manifest so `DESCRIBE` and the analyzer see what every
+    * write path enforces. Always enforced + validated (addConstraint
+    * scanned existing rows before committing).
+    */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    if (cdf) Array.empty
+    else GraftTableProvider.manifestFor(new Configuration(), root, pinned)
+      .constraints.getOrElse(Map.empty).toSeq.sortBy(_._1).map {
+        case (name, sql) =>
+          org.apache.spark.sql.connector.catalog.constraints.Constraint
+            .check(name).predicateSql(sql)
+            .enforced(true)
+            .validationStatus(org.apache.spark.sql.connector.catalog
+              .constraints.Constraint.ValidationStatus.VALID)
+            .build(): org.apache.spark.sql.connector.catalog
+              .constraints.Constraint
+      }.toArray
+
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ,

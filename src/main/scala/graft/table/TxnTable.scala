@@ -1231,6 +1231,68 @@ object TxnTable {
     * Exposed to SQL as `ALTER TABLE ... ADD COLUMN` via
     * [[graft.table.GraftCatalog]].
     */
+  /** ADD a named CHECK constraint (the `ALTER TABLE … ADD CONSTRAINT
+    * name CHECK (expr)` semantics — SQL reaches here through
+    * [[GraftCatalog.alterTable]] and Spark 4's DSv2 constraint
+    * TableChanges). EXISTING rows are validated first (one aggregation
+    * over the snapshot — a constraint that the table already violates
+    * must never commit, or every subsequent write would "violate" it),
+    * then the constraint lands as an O(metadata) commit; every write
+    * path (append / appendBatch / rewrite / COW / streaming sink)
+    * already enforces the manifest's constraint map on incoming rows.
+    */
+  def addConstraint(
+      spark: SparkSession, root: String, name: String,
+      exprSql: String): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val cur = latestManifest(spark, root).getOrElse(
+        sys.error(s"no table at $root"))
+      require(!constraintsOf(cur).contains(name),
+        s"addConstraint: constraint '$name' already exists")
+      // validate the expression parses AND holds on current rows
+      enforceConstraints(snapshotOf(spark, root, cur),
+        Map(name -> exprSql))
+      if (tryCommit(spark, root, Manifest(cur.version + 1,
+          "add-constraint", System.currentTimeMillis(), cur.schemaDdl,
+          cur.files, cur.streamHwm,
+          Some(constraintsOf(cur) + (name -> exprSql)),
+          cur.bloomCols, cur.colMap, cur.retired)))
+        committed = cur.version + 1
+    }
+    committed
+  }
+
+  /** DROP a named CHECK constraint — O(metadata). `ifExists` makes a
+    * missing name a no-op returning -1 instead of an error.
+    */
+  def dropConstraint(
+      spark: SparkSession, root: String, name: String,
+      ifExists: Boolean = false): Long = {
+    var committed = -1L
+    var done = false
+    while (!done) {
+      val cur = latestManifest(spark, root).getOrElse(
+        sys.error(s"no table at $root"))
+      if (!constraintsOf(cur).contains(name)) {
+        require(ifExists,
+          s"dropConstraint: no constraint '$name' on the table " +
+            s"(have ${constraintsOf(cur).keys.mkString(", ")})")
+        done = true
+      } else {
+        val next = constraintsOf(cur) - name
+        if (tryCommit(spark, root, Manifest(cur.version + 1,
+            "drop-constraint", System.currentTimeMillis(),
+            cur.schemaDdl, cur.files, cur.streamHwm,
+            if (next.isEmpty) None else Some(next),
+            cur.bloomCols, cur.colMap, cur.retired))) {
+          committed = cur.version + 1; done = true
+        }
+      }
+    }
+    committed
+  }
+
   def addColumn(
       spark: SparkSession, root: String, column: String,
       dataType: org.apache.spark.sql.types.DataType): Long = {
