@@ -16,6 +16,7 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   * {{{
   *   OPTIMIZE '<path>'                              -- compact
   *   OPTIMIZE cat.t CLUSTER BY (c1, c2) [INTO n FILES]
+  *   OPTIMIZE cat.t ZORDER BY (c1, c2) [INTO n FILES]
   *   VACUUM '<path>' [RETAIN n VERSIONS]
   * }}}
   *
@@ -67,7 +68,7 @@ object GraftSqlParser {
   private val Target = """('[^']+'|(?:`[^`]+`|[\w$]+)(?:\.(?:`[^`]+`|[\w$]+))*)"""
   private val OptimizeRe =
     ("""(?is)^\s*OPTIMIZE\s+""" + Target +
-      """(?:\s+CLUSTER\s+BY\s*\(([^)]+)\))?""" +
+      """(?:\s+(CLUSTER|ZORDER)\s+BY\s*\(([^)]+)\))?""" +
       """(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?\s*$""").r
   private val VacuumRe =
     ("""(?is)^\s*VACUUM\s+""" + Target +
@@ -75,15 +76,17 @@ object GraftSqlParser {
 
   private[table] def maintenancePlan(sqlText: String): Option[LogicalPlan] =
     sqlText match {
-      case OptimizeRe(target, clusterCols, nFiles) =>
+      case OptimizeRe(target, kind, clusterCols, nFiles) =>
         val cols = Option(clusterCols).map(_.split(",").toSeq
           .map(c => stripTicks(c.trim)).filter(_.nonEmpty))
         if (cols.isEmpty && nFiles != null)
           throw new IllegalArgumentException(
-            "OPTIMIZE ... INTO n FILES requires CLUSTER BY — plain " +
-              "compaction sizes files by target bytes")
+            "OPTIMIZE ... INTO n FILES requires CLUSTER BY / ZORDER " +
+              "BY — plain compaction sizes files by target bytes")
+        val zorder = Option(kind)
+          .exists(_.equalsIgnoreCase("ZORDER"))
         Some(GraftMaintenanceCommand("optimize", parseTarget(target),
-          cols, Option(nFiles).map(_.toInt), None))
+          cols, Option(nFiles).map(_.toInt), None, zorder))
       case VacuumRe(target, retain) =>
         Some(GraftMaintenanceCommand("vacuum", parseTarget(target),
           None, None, Option(retain).map(_.toInt)))
@@ -111,7 +114,8 @@ case class GraftMaintenanceCommand(
     target: Either[String, Seq[String]],
     clusterCols: Option[Seq[String]],
     nFiles: Option[Int],
-    retainVersions: Option[Int]) extends LeafRunnableCommand {
+    retainVersions: Option[Int],
+    zorder: Boolean = false) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("op", StringType, nullable = false)(),
@@ -132,6 +136,11 @@ case class GraftMaintenanceCommand(
         val statsCols = before.files.flatMap(_.stats.keys).toSet.toSeq
           .map((p: String) => inv.getOrElse(p, p))
         val v = clusterCols match {
+          case Some(cols) if zorder =>
+            TxnTable.clusterZ(spark, root, cols,
+              nFiles.getOrElse(math.max(1, before.files.size)),
+              // every interleaved dimension prunes via its stats box
+              (statsCols ++ cols).distinct)
           case Some(cols) =>
             TxnTable.cluster(spark, root, cols,
               nFiles.getOrElse(math.max(1, before.files.size)),
@@ -143,7 +152,10 @@ case class GraftMaintenanceCommand(
         val after = TxnTable.readManifest(spark, root, v)
         val beforeSet = before.files.map(_.path).toSet
         val afterSet = after.files.map(_.path).toSet
-        Seq(Row(if (clusterCols.isDefined) "cluster" else "compact", v,
+        val opName =
+          if (clusterCols.isEmpty) "compact"
+          else if (zorder) "zorder" else "cluster"
+        Seq(Row(opName, v,
           (beforeSet -- afterSet).size.toLong,
           (afterSet -- beforeSet).size.toLong))
       case "vacuum" =>

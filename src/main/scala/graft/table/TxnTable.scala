@@ -1350,6 +1350,27 @@ object TxnTable {
         .sortWithinPartitions(cols.map(col): _*)
     }
 
+  /** Z-ORDER clustered rewrite ([[graft.ops.ZOrder]] as a committed
+    * table op — the `OPTIMIZE … ZORDER BY` shape): rows land in
+    * Morton-curve order over `cols`, so per-file manifest min/max
+    * stats form tight BOXES in every interleaved dimension and a
+    * predicate on ANY of them prunes — where [[cluster]]'s
+    * lexicographic sort prunes only its leading column. Same commit
+    * protocol and pricing as cluster (one rewrite).
+    */
+  def clusterZ(
+      spark: SparkSession,
+      root: String,
+      cols: Seq[String],
+      nFiles: Int,
+      statsCols: Seq[String] = Seq.empty): Long =
+    rewrite(spark, root, "cluster", statsCols) { snap =>
+      graft.ops.ZOrder.withZValue(snap, cols)
+        .repartitionByRange(nFiles, col("z_value"))
+        .sortWithinPartitions("z_value")
+        .drop("z_value")
+    }
+
   /** Root-relative manifests paths resolve under the table root;
     * absolute paths (shallow clones) pass through untouched.
     */

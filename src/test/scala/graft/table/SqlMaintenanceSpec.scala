@@ -38,6 +38,14 @@ class SqlMaintenanceSpec extends AnyFunSuite {
   private def freshRoot(): String =
     Files.createTempDirectory("graft_sqlmaint").toString
 
+  private def cat(root: String, name: String): String = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.table.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse",
+      p.getParent.toString)
+    s"$name.`${p.getName}`"
+  }
+
   private def smallFiles(root: String): Unit =
     TxnTable.create(spark, root,
       spark.range(0, 400).select(col("id").as("k"),
@@ -89,6 +97,39 @@ class SqlMaintenanceSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("illegal identifier segment") ||
       e.getMessage.contains("must be <catalog>"))
+  }
+
+  test("OPTIMIZE ZORDER BY (k, j): every interleaved dimension gets " +
+      "tight per-file stats boxes — multi-dim pruning, not just the " +
+      "leading sort column") {
+    val root = freshRoot()
+    // two INDEPENDENT dimensions (score = k % 7 would make every file
+    // span the full second range and prove nothing)
+    TxnTable.create(spark, root,
+      spark.range(0, 4096).select(col("id").as("k"),
+        ((col("id") * 2654435761L) % 4096L).as("j"))
+        .repartition(8), Seq("k", "j"))
+    val t = cat(root, "gmaint_z")
+    val r = spark.sql(
+      s"OPTIMIZE $t ZORDER BY (k, j) INTO 16 FILES").collect()
+    assert(r.head.getString(0) == "zorder")
+    val m = TxnTable.readManifest(spark, root, 1L)
+    assert(m.op == "cluster" && m.files.size == 16)
+    // a 16-file Morton layout over a 4096×4096-ish grid ≈ 4×4 boxes:
+    // every file's box must be FAR narrower than the full range in
+    // BOTH dims (a lexicographic sort would leave j spanning ~full)
+    Seq("k", "j").foreach { c =>
+      val widths = m.files.map(f =>
+        f.stats(c).max - f.stats(c).min)
+      assert(widths.max <= 4096.0 * 0.6,
+        s"$c box widths not clustered: $widths")
+    }
+    // rows intact, box probe exact
+    assert(TxnTable.snapshot(spark, root).count() == 4096L)
+    assert(TxnTable.snapshotWhere(spark, root,
+      col("k") < 100L && col("j") < 2048L).count() ==
+      spark.range(0, 4096).filter(col("id") < 100L &&
+        (col("id") * 2654435761L) % 4096L < 2048L).count())
   }
 
   test("VACUUM '<path>' RETAIN 1 VERSIONS deletes files referenced " +
