@@ -45,11 +45,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(graft.functions.JaroWinkler.name),
       graft.functions.JaroWinkler.info,
       graft.functions.JaroWinkler.builder _))
-    // SQL admin surface: SELECT ... FROM graft_history('<root>')
+    // SQL admin surface: SELECT ... FROM graft_history('<root>') /
+    // graft_files('<root>'[, version])
     ext.injectTableFunction((
       FunctionIdentifier(graft.table.GraftHistoryFunction.name),
       graft.table.GraftHistoryFunction.info,
       graft.table.GraftHistoryFunction.builder _))
+    ext.injectTableFunction((
+      FunctionIdentifier(graft.table.GraftFilesFunction.name),
+      graft.table.GraftFilesFunction.info,
+      graft.table.GraftFilesFunction.builder _))
     // SQL maintenance statements: OPTIMIZE [CLUSTER BY] / VACUUM —
     // parsed ahead of Spark's grammar, everything else delegates
     ext.injectParser((_, delegate) =>
