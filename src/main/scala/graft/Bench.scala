@@ -287,7 +287,11 @@ object Bench {
       "q_hits", "q_bigram_lm", "q_jaro_dedup", "q_mv_incremental",
       "q_cohort_ltv",
       // round-12 flagships: file-group COW and the paced stream drain
-      "q_table_cow_pruned", "q_table_stream_paced")
+      "q_table_cow_pruned", "q_table_stream_paced",
+      // round-13 flagships: native streaming sink, SQL maintenance,
+      // merge evolution, SQL z-order, dedup accounting
+      "q_table_stream_sink", "q_table_sql_maintenance",
+      "q_table_merge_evolve", "q_table_sql_zorder", "q_dup_size_hist")
     val fullLine = jsonLine(results, soloDetail = true)
     val headLine = jsonLine(
       headline.flatMap(h => resultMap.get(h).map(h -> _)),
