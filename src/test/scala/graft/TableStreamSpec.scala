@@ -391,6 +391,33 @@ class TableStreamSpec extends AnyFunSuite {
         s"got ${streamed.map(_.stats)}")
   }
 
+  test("native streaming SINK through the CATALOG: " +
+      "writeStream.toTable(cat.t) lands fenced epochs on the managed " +
+      "identifier (the day-one Delta-user route)") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, kv((0L, 0.0)).coalesce(1), Seq("k"))
+    val p = new org.apache.hadoop.fs.Path(root)
+    spark.conf.set("spark.sql.catalog.gsink", "graft.table.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gsink.warehouse",
+      p.getParent.toString)
+    val ckpt = Files.createTempDirectory("graft_sink_ck3").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Double)](spark)
+    mem.addData((1L, 1.0), (2L, 2.0))
+    val q = mem.toDF().toDF("k", "score")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .toTable(s"gsink.`${p.getName}`")
+    try q.processAllAvailable()
+    finally q.stop()
+    val m = TxnTable.readManifest(spark, root,
+      TxnTable.versions(spark, root).max)
+    assert(m.op == "stream-append" && m.streamHwm.contains(0L))
+    assert(TxnTable.snapshot(spark, root).select("k").as[Long]
+      .collect().sorted.toSeq == Seq(0L, 1L, 2L))
+  }
+
   test("native streaming SINK is exactly-once across an epoch REPLAY: " +
       "re-running a committed epoch (crash between sink commit and " +
       "checkpoint commit) is a fenced no-op with no duplicate rows " +
