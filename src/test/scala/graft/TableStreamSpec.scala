@@ -416,6 +416,23 @@ class TableStreamSpec extends AnyFunSuite {
     assert(m.op == "stream-append" && m.streamHwm.contains(0L))
     assert(TxnTable.snapshot(spark, root).select("k").as[Long]
       .collect().sorted.toSeq == Seq(0L, 1L, 2L))
+    // and the SYMMETRIC catalog route: readStream.table drains the
+    // same managed identifier through GraftMicroBatchStream
+    val out = Files.createTempDirectory("graft_sink_out3").toString
+    val ck2 = Files.createTempDirectory("graft_sink_ck3b").toString
+    val q2 = spark.readStream.table(s"gsink.`${p.getName}`")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ck2)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(out); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q2.awaitTermination()
+    finally q2.stop()
+    assert(spark.read.parquet(out).select("k").as[Long]
+      .collect().sorted.toSeq == Seq(0L, 1L, 2L))
   }
 
   test("native streaming SINK is exactly-once across an epoch REPLAY: " +
