@@ -30,7 +30,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * surface; DDL that creates/drops/renames TABLES stays on the
   * [[TxnTable]] API where the commit protocol lives.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catName: String = _
   private var warehouse: String = _
@@ -173,6 +174,29 @@ class GraftCatalog extends TableCatalog {
     }
     loadTable(ident)
   }
+
+  /** FunctionCatalog half: exactly one function, the bucketed-layout
+    * `bucket(n, col)` hash ([[GraftBucketFunction]]). Spark's
+    * storage-partitioned join loads it here to resolve the
+    * `KeyGroupedPartitioning` transform a bucketed scan reports —
+    * without this, the reported layout is silently discarded and every
+    * join shuffles.
+    */
+  override def listFunctions(
+      namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty)
+      Array(Identifier.of(namespace, "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace().isEmpty && ident.name() == "bucket")
+      GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
+
+  override def functionExists(ident: Identifier): Boolean =
+    ident.namespace().isEmpty && ident.name() == "bucket"
 
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(

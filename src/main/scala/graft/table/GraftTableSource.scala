@@ -590,6 +590,22 @@ case class GraftAggPartition(values: Array[Any]) extends InputPartition
 case class GraftInputPartition(filePath: String, relPath: String = "",
     nameMap: Map[String, String] = Map.empty) extends InputPartition
 
+/** Input partition of a BUCKETED table scan: one data file plus the
+  * bucket id the writer assigned its rows ([[TxnTable.BucketSpec]]).
+  * `HasPartitionKey` is what lets Spark's storage-partitioned join
+  * (SPARK-37375) group same-bucket files across BOTH join sides and
+  * skip the shuffle entirely — the key row carries the bucket id in
+  * the `bucket(n, col)` transform's result type (int).
+  */
+case class GraftBucketPartition(filePath: String, relPath: String,
+    nameMap: Map[String, String], bucket: Int)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucket))
+}
+
 object GraftScan {
   /** Metadata-column name for row provenance / COW group pruning. */
   val FileCol = "_file"
@@ -603,8 +619,55 @@ class GraftScan(
     maxBytesPerTrigger: Option[Long] = None)
     extends Scan with Batch
     with SupportsRuntimeV2Filtering
-    with SupportsReportStatistics {
+    with SupportsReportStatistics
+    with SupportsReportPartitioning {
   override def readSchema(): StructType = required
+
+  /** Bucket layout this scan can REPORT, resolved once per plan:
+    * requires the sidecar spec AND every live file in the pinned
+    * manifest to carry a bucket id (commits from non-bucketing writers
+    * — COW rewrites, compaction — drop ids, and a partial layout must
+    * not be reported: Spark would co-locate on a lie). The logical
+    * name is the spec's physical column translated back through the
+    * column map, and must still exist in the table (not dropped).
+    */
+  private lazy val bucketLayout: Option[(String, String, Int)] =
+    if (cdf) None
+    else TxnTable.bucketSpec(new Configuration(), root).flatMap { spec =>
+      val m = pinnedManifest
+      val cm = m.colMap.getOrElse(Map.empty[String, String])
+      val logical = cm.find(_._2 == spec.col).map(_._1).getOrElse(spec.col)
+      val live = StructType.fromDDL(m.schemaDdl).fieldNames
+        .contains(logical) && !cm.get(logical).exists(_ != spec.col)
+      if (live && m.files.forall(_.bucket.isDefined))
+        Some((logical, spec.col, spec.n))
+      else None
+    }
+
+  /** STORAGE-PARTITIONED JOIN surface (SupportsReportPartitioning):
+    * a bucketed table's scan declares `KeyGroupedPartitioning(
+    * bucket(n, col))`, so joining two tables bucketed on their join
+    * key by the same n is planned WITHOUT a shuffle on either side
+    * (`spark.sql.sources.v2.bucketing.enabled`) — at 100 TB the
+    * fact-dim join moves zero bytes between executors, the reason
+    * bucketed layouts exist. Scans that cannot prove the layout
+    * (unbucketed tables, mixed-writer manifests, LIMIT-bounded plans
+    * whose file prefix drops whole buckets) report unknown and plan
+    * exactly as before.
+    */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    bucketLayout match {
+      case Some((logical, _, n)) if limit.isEmpty =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(org.apache.spark.sql.connector.expressions.Expressions
+              .bucket(n, logical)),
+            pinnedManifest.files.flatMap(_.bucket).distinct.size)
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
 
   /** PLANNER STATISTICS from the manifest, POST stats-pruning: exact
     * byte/row totals of the files this scan will actually open (the
@@ -729,38 +792,174 @@ class GraftScan(
     */
   @volatile private var runtimeFiles: Option[Set[String]] = None
 
-  // advertised ONLY when `_file` is actually in this scan's output
-  // (the COW scan always has it via requiredMetadataAttributes):
-  // Spark's dynamic partition pruning resolves filterAttributes
-  // against the relation output on ORDINARY joins too, and an
-  // unselected metadata column there is an analysis error.
+  /** DYNAMIC FILE PRUNING state: runtime IN-values per DATA column
+    * (from Spark's dynamic partition pruning over ordinary joins — the
+    * broadcast side's distinct join keys, handed to `filter()` before
+    * partition planning). Each column's value list prunes the manifest
+    * through every index the writers paid for: bucket ids (exact),
+    * per-file min/max stats (range), per-file blooms (probabilistic).
+    * At 100 TB this is the difference between a fact scan sized by the
+    * DIM FILTER and one sized by the table: a join against "last
+    * week's customers" reads last week's files.
+    */
+  @volatile private var runtimeIn: Map[String, Seq[Any]] = Map.empty
+
+  /** Table schema (logical) of the pinned manifest — for runtime-probe
+    * typing; `required` is the pruned subset. */
+  private lazy val tableSchema: StructType =
+    StructType.fromDDL(pinnedManifest.schemaDdl)
+
+  /** Data columns a runtime IN-filter can actually prune files with:
+    * the bucket column (exact id match), bloom'd columns (point
+    * probes), and columns carrying min/max stats in at least one file
+    * (range overlap). Only columns in this scan's OUTPUT are
+    * advertised — Spark resolves filterAttributes against the relation
+    * output, and a join key is in the output by construction.
+    */
+  private lazy val runtimeEligible: Set[String] = {
+    val m = pinnedManifest
+    val cm = m.colMap.getOrElse(Map.empty[String, String])
+    def logicalOf(pc: String): String =
+      cm.find(_._2 == pc).map(_._1).getOrElse(pc)
+    val statsCols = m.files.flatMap(_.stats.keys).map(logicalOf).toSet
+    val bloomCols = m.bloomCols.getOrElse(Nil).toSet
+    val bucketCol = bucketLayout.map(_._1).toSet
+    (statsCols ++ bloomCols ++ bucketCol)
+      .filter(required.fieldNames.contains)
+  }
+
+  // `_file` advertised ONLY when actually in this scan's output (the
+  // COW scan always has it via requiredMetadataAttributes): Spark's
+  // dynamic partition pruning resolves filterAttributes against the
+  // relation output on ORDINARY joins too, and an unselected metadata
+  // column there is an analysis error. Eligible data columns are
+  // output columns by definition.
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (!cdf && required.fieldNames.contains(GraftScan.FileCol))
-      Array(org.apache.spark.sql.connector.expressions.Expressions
-        .column(GraftScan.FileCol))
-    else Array.empty
+    if (cdf) Array.empty
+    else {
+      // A scan that outputs `_file` is the row-level COW scan: Spark's
+      // runtime GROUP filter is built over ALL advertised attributes,
+      // so `_file` must be advertised ALONE there — mixing in data
+      // columns turns the group filter into a multi-column predicate
+      // the IN-parser correctly refuses, and the COW write degrades to
+      // whole-table replacement (caught by Round12Spec). Ordinary
+      // scans advertise the index-bearing data columns instead.
+      val cols =
+        if (required.fieldNames.contains(GraftScan.FileCol))
+          Seq(GraftScan.FileCol)
+        else runtimeEligible.toSeq.sorted
+      cols.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+        .toArray
+    }
 
   override def filter(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
     import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
-    val sets = predicates.toSeq.flatMap { p =>
+    // (column, complete literal list) of every IN predicate — a list
+    // with any non-literal operand is not a complete value set and
+    // must be ignored (pruning may only ever shrink soundly)
+    val ins: Seq[(String, Seq[Any])] = predicates.toSeq.flatMap { p =>
       if (p.name() != "IN" || p.children().isEmpty) None
       else p.children()(0) match {
-        case r: NamedReference
-            if r.fieldNames().sameElements(Array(GraftScan.FileCol)) =>
-          val vals: Seq[String] = p.children().drop(1).toSeq.collect {
-            case l: Literal[_] if l.value != null => l.value.toString
+        case r: NamedReference if r.fieldNames().length == 1 =>
+          val vals: Seq[Any] = p.children().drop(1).toSeq.collect {
+            case l: Literal[_] if l.value != null => l.value
           }
-          // every IN operand must be a literal we understood, or the
-          // predicate is not a complete file list and must be ignored
-          if (vals.length == p.children().length - 1) Some(vals.toSet)
+          if (vals.length == p.children().length - 1)
+            Some(r.fieldNames()(0) -> vals)
           else None
         case _ => None
       }
     }
+    val sets = ins.collect {
+      case (GraftScan.FileCol, vals) => vals.map(_.toString).toSet
+    }
     if (sets.nonEmpty) runtimeFiles = Some(sets.reduce(_ intersect _))
+    val dataIns = ins.filter { case (c, _) =>
+      c != GraftScan.FileCol && runtimeEligible.contains(c)
+    }
+    if (dataIns.nonEmpty)
+      // repeated columns conjoin: keep the shorter list (both sound)
+      runtimeIn = dataIns.groupBy(_._1).map { case (c, vs) =>
+        c -> vs.map(_._2).minBy(_.length)
+      }
   }
+
+  /** Catalyst runtime value → the double-comparable space manifest
+    * stats live in (numerics as-is, dates as epoch-days ints,
+    * timestamps as epoch-µs longs — matching TxnTable.statsExpr).
+    */
+  private def statsSpace(v: Any): Option[Double] = v match {
+    case i: java.lang.Integer => Some(i.doubleValue)
+    case l: java.lang.Long => Some(l.doubleValue)
+    case d: java.lang.Double => Some(d.doubleValue)
+    case f: java.lang.Float => Some(f.doubleValue)
+    case s: java.lang.Short => Some(s.doubleValue)
+    case b: java.lang.Byte => Some(b.doubleValue)
+    case d: java.math.BigDecimal => Some(d.doubleValue)
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+    case _ => None
+  }
+
+  /** The xxhash64 the write side stored in the bloom for this value:
+    * `CAST(col AS STRING)` then hash — replicated here for the types
+    * whose JVM string form provably matches Spark's cast (integrals,
+    * strings, dates). Other types return None and the bloom simply
+    * doesn't prune.
+    */
+  private def bloomHash(v: Any, colType: DataType): Option[Long] = {
+    val str: Option[UTF8String] = (v, colType) match {
+      case (u: UTF8String, StringType) => Some(u)
+      case (i: java.lang.Integer, IntegerType) =>
+        Some(UTF8String.fromString(i.toString))
+      case (l: java.lang.Long, LongType) =>
+        Some(UTF8String.fromString(l.toString))
+      case (i: java.lang.Integer, DateType) =>
+        Some(UTF8String.fromString(
+          java.time.LocalDate.ofEpochDay(i.longValue).toString))
+      case _ => None
+    }
+    str.map(u => org.apache.spark.sql.catalyst.expressions
+      .XxHash64Function.hash(u, StringType, 42L))
+  }
+
+  /** Apply the runtime IN-values to the file list through bucket ids,
+    * min/max stats, and blooms. Every index is consulted only when the
+    * ENTIRE value list converted for it — a partial conversion could
+    * prune the file holding an unconverted value. Files lacking an
+    * index entry for the column are conservatively kept.
+    */
+  private def dynamicPrune(files: Seq[TxnTable.FileEntry],
+      cm: Map[String, String]): Seq[TxnTable.FileEntry] =
+    runtimeIn.foldLeft(files) { case (fs, (c, vals)) =>
+      val pc = cm.getOrElse(c, c)
+      val colType = tableSchema.fields.find(_.name == c).map(_.dataType)
+      val bucketIds: Option[Set[Int]] = bucketLayout.collect {
+        case (l, _, n) if l == c =>
+          vals.map(v => TxnTable.bucketOf(v, n))
+      }.flatMap(ids =>
+        if (ids.forall(_.isDefined)) Some(ids.flatten.toSet) else None)
+      val nums: Option[Seq[Double]] = {
+        val ds = vals.map(statsSpace)
+        if (ds.forall(_.isDefined)) Some(ds.flatten) else None
+      }
+      val hashes: Option[Seq[Long]] = colType.flatMap { t =>
+        val hs = vals.map(bloomHash(_, t))
+        if (hs.forall(_.isDefined)) Some(hs.flatten) else None
+      }
+      fs.filter { f =>
+        val bOk = bucketIds.forall(ids => f.bucket.forall(ids.contains))
+        val sOk = nums.forall(ns => f.stats.get(pc).forall(s =>
+          ns.exists(v => v >= s.min && v <= s.max)))
+        val blOk = hashes.forall(hs =>
+          f.blooms.flatMap(_.get(pc)).forall { b64 =>
+            val words = TxnTable.Bloom.fromB64(b64)
+            hs.exists(h => TxnTable.Bloom.mightContain(words, h))
+          })
+        bOk && sOk && blOk
+      }
+    }
 
   /** The file entries the last `planInputPartitions` actually planned —
     * the REPLACEMENT GROUP the row-level COW write replaces (everything
@@ -786,10 +985,27 @@ class GraftScan(
           .forall(s => s.max >= lo && s.min <= hi)
       }
     }
-    val pruned = runtimeFiles match {
+    val runtimePruned = runtimeFiles match {
       case Some(allow) => statsPruned.filter(f => allow.contains(f.path))
       case None => statsPruned
     }
+    // BUCKET PRUNING: an equality probe on the bucket column keeps one
+    // bucket's files before stats are even consulted — the layout's
+    // point-lookup dividend (min/max stats cannot prune a hash-scattered
+    // key; the bucket id can). Conjunct-safe: every EqualTo tightens.
+    val bucketPruned = bucketLayout match {
+      case Some((logical, _, n)) =>
+        val probes = filters.collect {
+          case sources.EqualTo(c, v) if c == logical =>
+            TxnTable.bucketOf(v, n)
+        }.flatten
+        if (probes.isEmpty) runtimePruned
+        else runtimePruned.filter(f =>
+          f.bucket.exists(b => probes.forall(_ == b)))
+      case None => runtimePruned
+    }
+    // runtime IN-values from dynamic partition pruning (join-key sets)
+    val pruned = dynamicPrune(bucketPruned, cm)
     // LIMIT-only bound: the prefix of files whose cumulative manifest
     // row counts reach the limit is sufficient — sound ONLY because no
     // row-level filter applies (enforced: with filters the bound is
@@ -808,7 +1024,14 @@ class GraftScan(
     keep.map { f =>
       val p = if (f.path.startsWith("/") || f.path.contains("://")) f.path
         else s"$root/${f.path}"
-      GraftInputPartition(p, f.path, cm): InputPartition
+      // a reported KeyGroupedPartitioning requires EVERY partition to
+      // carry its key — emit the bucketed form exactly when the layout
+      // was reported (limit-bounded plans report unknown and stay plain)
+      bucketLayout match {
+        case Some(_) if limit.isEmpty =>
+          GraftBucketPartition(p, f.path, cm, f.bucket.get): InputPartition
+        case _ => GraftInputPartition(p, f.path, cm): InputPartition
+      }
     }.toArray
   }
 
@@ -1379,10 +1602,15 @@ class GraftCdfPartitionReader(filePath: String, required: StructType,
 class GraftReaderFactory(required: StructType)
     extends PartitionReaderFactory {
   override def createReader(
-      partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftInputPartition]
-    new GraftPartitionReader(p.filePath, required, p.nameMap, p.relPath)
-  }
+      partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: GraftInputPartition =>
+        new GraftPartitionReader(p.filePath, required, p.nameMap, p.relPath)
+      case p: GraftBucketPartition =>
+        new GraftPartitionReader(p.filePath, required, p.nameMap, p.relPath)
+      case other => throw new IllegalArgumentException(
+        s"graft reader factory: unexpected partition type $other")
+    }
 }
 
 /** Parquet example-API row reader: required columns only, missing

@@ -1,5 +1,6 @@
 package graft.table
 
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileContext, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -77,7 +78,8 @@ object TxnTable {
       bytes: Long,
       stats: Map[String, ColStats],
       blooms: Option[Map[String, String]] = None,
-      dvs: Option[Seq[String]] = None)
+      dvs: Option[Seq[String]] = None,
+      bucket: Option[Int] = None)
 
   /** One committed table version. `schemaDdl` is the snapshot's full
     * read schema — reads pass it explicitly, so files written before a
@@ -147,6 +149,94 @@ object TxnTable {
 
   private def manifestPath(root: String, v: Long): Path =
     new Path(s"$root/$LogDir", f"v$v%020d.json")
+
+  /** HASH-BUCKET LAYOUT spec (`_log/_bucket.json`): the table's rows are
+    * clustered into `n` buckets by `pmod(murmur3(col), n)` — Spark's own
+    * `repartition(n, col)` assignment — and every data file carries its
+    * bucket id in the manifest ([[FileEntry.bucket]]). Fixed at
+    * [[create]] and immutable for the table's lifetime (re-bucketing is
+    * a rewrite, not an evolution), which is why it lives in a sidecar
+    * rather than being carried through every commit: the spec cannot
+    * change, only the per-file ids matter per version.
+    *
+    * What it buys at 100 TB: two tables bucketed on their join key by
+    * the same `n` join WITHOUT A SHUFFLE — the DSv2 scan reports
+    * `KeyGroupedPartitioning(bucket(n, col))` and Spark's
+    * storage-partitioned join (SPARK-37375) aligns the bucket ids
+    * directly, so a fact-dim join over petabytes moves zero bytes
+    * between executors. An equality probe on the bucket column prunes
+    * to ONE bucket's files before stats are even consulted.
+    *
+    * `col` is the PHYSICAL column name (fixed at creation like stats
+    * keys; readers translate through `colMap`). Commits whose writers
+    * predate or bypass bucketing (COW rewrites, streaming-sink epochs)
+    * produce files without bucket ids — readers detect that and fall
+    * back to ordinary shuffled planning, so the layout degrades
+    * gracefully instead of lying.
+    */
+  case class BucketSpec(col: String, n: Int)
+
+  private def bucketSpecPath(root: String): Path =
+    new Path(s"$root/$LogDir", "_bucket.json")
+
+  /** The table's bucket layout spec, if any — SparkSession-free (the
+    * DSv2 scan resolves it at planning time). One existence probe per
+    * plan; absent for the overwhelmingly common unbucketed table.
+    */
+  def bucketSpec(conf: Configuration, root: String): Option[BucketSpec] = {
+    val p = bucketSpecPath(root)
+    val f = p.getFileSystem(conf)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val bytes =
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+          out.toByteArray
+        } finally in.close()
+      Some(Serialization.read[BucketSpec](
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8)))
+    }
+  }
+
+  private def writeBucketSpec(
+      spark: SparkSession, root: String, spec: BucketSpec): Unit = {
+    val p = bucketSpecPath(root)
+    val out = fs(spark, p).create(p, false) // never overwrite: immutable
+    try out.write(Serialization.write(spec)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The bucket id `repartition(n, col)` sends a value to: Spark's
+    * `HashPartitioning` — Murmur3 (seed 42) of the value, pmod n. The
+    * write side relies on Spark's own partitioner for the assignment;
+    * this twin exists for the READ side (equality-probe bucket pruning)
+    * and for the catalog's `bucket` V2 function, and must match Spark's
+    * hash exactly — BucketJoinSpec pins the agreement mechanically.
+    * None for types the layout doesn't support (and for NULL, which
+    * Spark hashes to the seed — callers treat that as unprunable).
+    */
+  def bucketOf(value: Any, n: Int): Option[Int] = {
+    import org.apache.spark.unsafe.hash.Murmur3_x86_32
+    val h: Option[Int] = value match {
+      case null => None
+      case i: Int => Some(Murmur3_x86_32.hashInt(i, 42))
+      case l: Long => Some(Murmur3_x86_32.hashLong(l, 42))
+      case s: String =>
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        Some(Murmur3_x86_32.hashUnsafeBytes(
+          u.getBaseObject, u.getBaseOffset, u.numBytes, 42))
+      case u: org.apache.spark.unsafe.types.UTF8String =>
+        Some(Murmur3_x86_32.hashUnsafeBytes(
+          u.getBaseObject, u.getBaseOffset, u.numBytes, 42))
+      case d: java.sql.Date =>
+        Some(Murmur3_x86_32.hashInt(d.toLocalDate.toEpochDay.toInt, 42))
+      case _ => None
+    }
+    h.map(v => ((v % n) + n) % n)
+  }
 
   /** All committed versions, ascending (one listing of `_log` — used by
     * the admin surfaces, [[history]] and [[vacuum]], where O(commits) is
@@ -414,10 +504,23 @@ object TxnTable {
       df: DataFrame,
       statsCols: Seq[String],
       tag: String,
-      bloomCols: Seq[String] = Nil): Seq[FileEntry] = {
+      bloomCols: Seq[String] = Nil,
+      bucket: Option[BucketSpec] = None): Seq[FileEntry] = {
     val rel = s"$DataDir/c$tag-${java.util.UUID.randomUUID.toString.take(8)}"
     val dir = new Path(root, rel)
-    df.write.parquet(dir.toString)
+    // Bucketed layout: route rows through Spark's own HashPartitioning
+    // (repartition(n, col) ⇒ partition index = pmod(murmur3(col), n)) so
+    // the task partition id IS the bucket id — recovered below from the
+    // `part-NNNNN` file prefix each task stamps. Degrades to an
+    // unbucketed write when the column is absent from this df's schema
+    // (an evolution-era append predating the column): readers detect
+    // unbucketed files and fall back rather than trust a wrong id.
+    val bucketed = bucket.filter(b => df.columns.contains(b.col))
+    val toWrite = bucketed match {
+      case Some(BucketSpec(c, n)) => df.repartition(n, col(c))
+      case None => df
+    }
+    toWrite.write.parquet(dir.toString)
 
     val f = fs(spark, dir)
     val parts = f.listStatus(dir).toSeq
@@ -446,6 +549,12 @@ object TxnTable {
         .map(r => new Path(r.getString(0)).getName -> r)
         .toMap
 
+    val partIdx = "part-(\\d+)-.*".r
+    def bucketIdOf(name: String): Option[Int] =
+      bucketed.flatMap(_ => name match {
+        case partIdx(i) => Some(i.toInt)
+        case _ => None
+      })
     parts.map { st =>
       val name = st.getPath.getName
       byFile.get(name) match {
@@ -469,9 +578,11 @@ object TxnTable {
               c -> java.util.Base64.getEncoder.encodeToString(bytes))
           }.toMap
           FileEntry(s"$rel/$name", r.getAs[Long]("_rows"), st.getLen, stats,
-            if (blooms.isEmpty) None else Some(blooms))
+            if (blooms.isEmpty) None else Some(blooms),
+            bucket = bucketIdOf(name))
         case None => // zero-row part file: no group, no stats
-          FileEntry(s"$rel/$name", 0L, st.getLen, Map.empty)
+          FileEntry(s"$rel/$name", 0L, st.getLen, Map.empty,
+            bucket = bucketIdOf(name))
       }
     }
   }
@@ -534,11 +645,20 @@ object TxnTable {
       df: DataFrame,
       statsCols: Seq[String] = Seq.empty,
       constraints: Map[String, String] = Map.empty,
-      bloomCols: Seq[String] = Seq.empty): Long = {
+      bloomCols: Seq[String] = Seq.empty,
+      bucketBy: Option[BucketSpec] = None): Long = {
     require(latestVersion(spark, root).isEmpty,
       s"table already exists at $root")
+    bucketBy.foreach { b =>
+      require(b.n > 0 && b.n <= 100000,
+        s"bucketBy: bucket count must be in [1, 100000], got ${b.n}")
+      require(df.columns.contains(b.col),
+        s"bucketBy column ${b.col} is not in the data")
+      writeBucketSpec(spark, root, b)
+    }
     enforceConstraints(df, constraints)
-    val files = writeFiles(spark, root, df, statsCols, "0", bloomCols)
+    val files = writeFiles(spark, root, df, statsCols, "0", bloomCols,
+      bucketBy)
     val m = Manifest(0L, "create", System.currentTimeMillis(),
       df.schema.toDDL, files,
       constraints = if (constraints.isEmpty) None else Some(constraints),
@@ -573,7 +693,8 @@ object TxnTable {
     val files = writeFiles(spark, root,
       toPhysical(conform(df, merged), cm),
       statsCols.map(c => cm.getOrElse(c, c)),
-      v0.toString, bloomColsOf(base).map(c => cm.getOrElse(c, c)))
+      v0.toString, bloomColsOf(base).map(c => cm.getOrElse(c, c)),
+      bucketSpec(spark.sparkContext.hadoopConfiguration, root))
     var v = v0
     while (!tryCommit(spark, root, {
         val cur = readManifest(spark, root, v - 1)
@@ -618,7 +739,8 @@ object TxnTable {
       toPhysical(conform(df, merged), cmB),
       statsCols.map(c => cmB.getOrElse(c, c)),
       s"b$batchId",
-      base.map(bloomColsOf).getOrElse(Nil).map(c => cmB.getOrElse(c, c)))
+      base.map(bloomColsOf).getOrElse(Nil).map(c => cmB.getOrElse(c, c)),
+      bucketSpec(spark.sparkContext.hadoopConfiguration, root))
     var result: Option[Long] = None
     var done = false
     while (!done) {
@@ -716,8 +838,19 @@ object TxnTable {
       val snap = snapshotOf(spark, root, cur)
       val out = compute(snap)
       val v = cur.version + 1
+      // BUCKETED tables stay bucketed through rewrites: compact,
+      // delete, overwrite re-route rows through the layout's hash (so
+      // maintenance heals the small-file fragmentation ingest causes —
+      // n appends × n buckets of small files bin-pack back to one file
+      // per bucket — instead of destroying the layout). cluster /
+      // zorder are EXPLICIT re-layouts: they intentionally trade the
+      // bucket layout for sorted ranges, and readers detect the
+      // dropped ids and fall back.
+      val bspec =
+        if (op == "cluster") None
+        else bucketSpec(spark.sparkContext.hadoopConfiguration, root)
       val files = writeFiles(spark, root, out, statsCols, v.toString,
-        bloomColsOf(cur))
+        bloomColsOf(cur), bspec)
       // a full rewrite MATERIALIZES any column mapping: `out` carries
       // logical names, the new files are written under them, so
       // colMap/retired reset to None (old manifests keep theirs for
@@ -902,7 +1035,8 @@ object TxnTable {
       val cmS = colMapOf(cur)
       val files = writeFiles(spark, root, toPhysical(out, cmS),
         statsCols.map(c => cmS.getOrElse(c, c)), v.toString,
-        bloomColsOf(cur).map(c => cmS.getOrElse(c, c)))
+        bloomColsOf(cur).map(c => cmS.getOrElse(c, c)),
+        bucketSpec(spark.sparkContext.hadoopConfiguration, root))
       if (tryCommit(spark, root, Manifest(v, "merge",
           System.currentTimeMillis(), cur.schemaDdl, kept ++ files,
           cur.streamHwm, cur.constraints, cur.bloomCols,
