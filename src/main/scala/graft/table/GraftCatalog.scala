@@ -25,10 +25,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * both come from the pinned manifest (`VERSION AS OF` on a
   * pre-schema-evolution version serves the OLD schema, like Delta).
   *
-  * Reads and ALTER TABLE RENAME/DROP COLUMN (column-mapping evolution,
-  * [[TxnTable.renameColumn]]/[[TxnTable.dropColumn]]) are the catalog
-  * surface; DDL that creates/drops/renames TABLES stays on the
-  * [[TxnTable]] API where the commit protocol lives.
+  * Reads, ALTER TABLE RENAME/DROP/ADD COLUMN and constraints
+  * (column-mapping evolution, [[TxnTable.renameColumn]]/
+  * [[TxnTable.dropColumn]]), CREATE TABLE / CTAS (including the
+  * bucketed layout via `PARTITIONED BY (bucket(n, col))`), and DROP
+  * TABLE are the catalog surface; RENAME TABLE stays refused — a
+  * table's identity is its directory.
   */
 class GraftCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.FunctionCatalog {
@@ -198,10 +200,80 @@ class GraftCatalog extends TableCatalog
   override def functionExists(ident: Identifier): Boolean =
     ident.namespace().isEmpty && ident.name() == "bucket"
 
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      "graft catalog is a read/evolve surface — drop tables via the " +
-        "TxnTable API / filesystem, where vacuum semantics live")
+  /** `CREATE TABLE cat.t (cols…) [PARTITIONED BY (bucket(n, col))]
+    * [TBLPROPERTIES ('statsCols'='a,b', 'bloomCols'='c')]` — and the
+    * non-atomic half of CTAS (Spark creates, then INSERTs through the
+    * table's writer). The only partition transform this format has a
+    * layout for is `bucket(n, col)` ([[TxnTable.BucketSpec]] — the
+    * storage-partitioned-join layout); identity/days/etc. are refused
+    * loudly rather than silently recorded-but-unenforced. Table
+    * property keys `statsCols`/`bloomCols` opt columns into per-file
+    * min/max stats and blooms for every future commit.
+    */
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val root = rootFor(ident)
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    val spark = org.apache.spark.sql.SparkSession.active
+    val bucket = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name() == "bucket" =>
+        import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+        val ns = t.arguments().collect {
+          case l: Literal[_] if l.value().isInstanceOf[Number] =>
+            l.value().asInstanceOf[Number].intValue()
+        }
+        val cols = t.arguments().collect {
+          case r: NamedReference if r.fieldNames().length == 1 =>
+            r.fieldNames()(0)
+        }
+        require(ns.length == 1 && cols.length == 1,
+          "graft catalog: bucket transform must be bucket(n, col) " +
+            "with a single top-level column")
+        require(schema.fieldNames.contains(cols(0)),
+          s"graft catalog: bucket column ${cols(0)} is not in the schema")
+        Some(TxnTable.BucketSpec(cols(0), ns(0)))
+      case other =>
+        throw new UnsupportedOperationException(
+          "graft catalog: only a single bucket(n, col) partition " +
+            s"transform is supported, got ${other.mkString(", ")} — " +
+            "this format has no layout for identity/time transforms " +
+            "(use cluster()/OPTIMIZE for sort layouts)")
+    }
+    def split(k: String): Seq[String] =
+      Option(properties.get(k)).toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    TxnTable.create(spark, root, empty,
+      statsCols = split("statsCols"),
+      bloomCols = split("bloomCols"),
+      bucketBy = bucket)
+    // persist the stats opt-in so SQL-driven writes (INSERT INTO, the
+    // CTAS data write) inherit it — bloomCols is already manifest-
+    // carried, statsCols needs the props sidecar
+    if (split("statsCols").nonEmpty)
+      TxnTable.writeTableProps(spark, root,
+        Map("statsCols" -> split("statsCols").mkString(",")))
+    loadTable(ident)
+  }
+
+  /** `DROP TABLE cat.t` — removes the table directory (manifests AND
+    * data; this format's files live under the table root by layout,
+    * clone-shared absolute paths excepted, which stay untouched).
+    * Also what Spark's non-atomic CTAS calls to clean up a failed
+    * write. Returns false when the table doesn't exist, per contract.
+    */
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) return false
+    val p = new Path(rootFor(ident))
+    p.getFileSystem(conf).delete(p, true)
+  }
 
   override def renameTable(
       oldIdent: Identifier, newIdent: Identifier): Unit =

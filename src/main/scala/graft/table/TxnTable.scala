@@ -209,6 +209,55 @@ object TxnTable {
     finally out.close()
   }
 
+  /** PERSISTED TABLE PROPERTIES (`_log/_props.json`) — currently one
+    * key, `statsCols`. Unlike `bloomCols` (manifest-carried since the
+    * bloom feature), per-file min/max stats were historically a
+    * PER-CALL opt-in, which SQL writers cannot pass: an
+    * `INSERT INTO cat.t` has no statsCols parameter. A table created
+    * through the catalog with `TBLPROPERTIES ('statsCols'='k')`
+    * records the opt-in here, and every write path whose caller did
+    * NOT pass explicit stats columns falls back to it — explicit
+    * arguments still win, so the Scala API behaves exactly as before.
+    */
+  private def propsPath(root: String): Path =
+    new Path(s"$root/$LogDir", "_props.json")
+
+  def tableProps(conf: Configuration, root: String): Map[String, String] = {
+    val p = propsPath(root)
+    val f = p.getFileSystem(conf)
+    if (!f.exists(p)) Map.empty
+    else {
+      val in = f.open(p)
+      val bytes =
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+          out.toByteArray
+        } finally in.close()
+      Serialization.read[Map[String, String]](
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
+  private[table] def writeTableProps(
+      spark: SparkSession, root: String, props: Map[String, String]): Unit = {
+    val p = propsPath(root)
+    val out = fs(spark, p).create(p, false)
+    try out.write(Serialization.write(props)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Effective stats columns for a write: explicit argument wins; an
+    * empty argument falls back to the persisted `statsCols` property.
+    */
+  private def statsColsFor(
+      spark: SparkSession, root: String, explicit: Seq[String]): Seq[String] =
+    if (explicit.nonEmpty) explicit
+    else tableProps(spark.sparkContext.hadoopConfiguration, root)
+      .get("statsCols").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
   /** The bucket id `repartition(n, col)` sends a value to: Spark's
     * `HashPartitioning` — Murmur3 (seed 42) of the value, pmod n. The
     * write side relies on Spark's own partitioner for the assignment;
@@ -692,7 +741,7 @@ object TxnTable {
     val v0 = base.version + 1
     val files = writeFiles(spark, root,
       toPhysical(conform(df, merged), cm),
-      statsCols.map(c => cm.getOrElse(c, c)),
+      statsColsFor(spark, root, statsCols).map(c => cm.getOrElse(c, c)),
       v0.toString, bloomColsOf(base).map(c => cm.getOrElse(c, c)),
       bucketSpec(spark.sparkContext.hadoopConfiguration, root))
     var v = v0
@@ -737,7 +786,7 @@ object TxnTable {
     val cmB = base.map(colMapOf).getOrElse(Map.empty[String, String])
     val files = writeFiles(spark, root,
       toPhysical(conform(df, merged), cmB),
-      statsCols.map(c => cmB.getOrElse(c, c)),
+      statsColsFor(spark, root, statsCols).map(c => cmB.getOrElse(c, c)),
       s"b$batchId",
       base.map(bloomColsOf).getOrElse(Nil).map(c => cmB.getOrElse(c, c)),
       bucketSpec(spark.sparkContext.hadoopConfiguration, root))
@@ -849,7 +898,8 @@ object TxnTable {
       val bspec =
         if (op == "cluster") None
         else bucketSpec(spark.sparkContext.hadoopConfiguration, root)
-      val files = writeFiles(spark, root, out, statsCols, v.toString,
+      val files = writeFiles(spark, root, out,
+        statsColsFor(spark, root, statsCols), v.toString,
         bloomColsOf(cur), bspec)
       // a full rewrite MATERIALIZES any column mapping: `out` carries
       // logical names, the new files are written under them, so
@@ -1034,7 +1084,8 @@ object TxnTable {
       // carries forward (unlike the full-rewrite reset)
       val cmS = colMapOf(cur)
       val files = writeFiles(spark, root, toPhysical(out, cmS),
-        statsCols.map(c => cmS.getOrElse(c, c)), v.toString,
+        statsColsFor(spark, root, statsCols).map(c => cmS.getOrElse(c, c)),
+        v.toString,
         bloomColsOf(cur).map(c => cmS.getOrElse(c, c)),
         bucketSpec(spark.sparkContext.hadoopConfiguration, root))
       if (tryCommit(spark, root, Manifest(v, "merge",

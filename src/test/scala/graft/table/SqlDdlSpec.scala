@@ -1,0 +1,129 @@
+package graft.table
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL DDL through [[GraftCatalog]]: CREATE TABLE (with the bucketed
+  * layout via `PARTITIONED BY (bucket(n, col))` and stats/bloom table
+  * properties), CTAS, INSERT INTO, and DROP TABLE — the surface that
+  * makes the format usable from pure SQL end to end.
+  */
+class SqlDdlSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession =
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+
+  private def warehouse(): String =
+    Files.createTempDirectory("graft_sqlddl").toString
+
+  private def cat(wh: String, name: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.table.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+  }
+
+  test("CREATE TABLE with bucket(n, col) partitioning and statsCols " +
+      "property: the layout and the stats opt-in govern every INSERT") {
+    val wh = warehouse(); cat(wh, "gd1")
+    spark.sql("CREATE TABLE gd1.t (k BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(4, k)) " +
+      "TBLPROPERTIES ('statsCols'='k')")
+    assert(TxnTable.bucketSpec(
+      spark.sparkContext.hadoopConfiguration, s"$wh/t")
+      .contains(TxnTable.BucketSpec("k", 4)))
+    spark.range(0, 100).selectExpr("id AS k", "CAST(id % 7 AS DOUBLE) AS v")
+      .createOrReplaceTempView("src1")
+    spark.sql("INSERT INTO gd1.t SELECT * FROM src1")
+    val m = TxnTable.readManifest(spark, s"$wh/t",
+      TxnTable.versions(spark, s"$wh/t").max)
+    val live = m.files.filter(_.rows > 0)
+    assert(live.nonEmpty)
+    assert(live.forall(_.bucket.isDefined), "inserted files carry buckets")
+    assert(live.forall(_.stats.contains("k")), "statsCols opt-in applies")
+    assert(spark.sql("SELECT COUNT(*) FROM gd1.t").head().getLong(0) == 100)
+  }
+
+  test("CTAS stores the query result; repeated CREATE fails with " +
+      "TableAlreadyExists; DROP TABLE removes it") {
+    val wh = warehouse(); cat(wh, "gd2")
+    spark.range(0, 50).selectExpr("id % 5 AS g", "id AS x")
+      .createOrReplaceTempView("src2")
+    spark.sql("CREATE TABLE gd2.agg AS " +
+      "SELECT g, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx " +
+      "FROM src2 GROUP BY g")
+    val got = spark.sql("SELECT * FROM gd2.agg ORDER BY g").collect()
+    assert(got.length == 5 && got.forall(_.getLong(1) == 10))
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gd2.agg (a INT)")
+    }
+    spark.sql("DROP TABLE gd2.agg")
+    assert(spark.sql("SHOW TABLES IN gd2").collect()
+      .forall(_.getString(1) != "agg"))
+    assert(!new java.io.File(s"$wh/agg").exists())
+  }
+
+  test("unsupported partition transforms are refused loudly — the " +
+      "format records no layout it cannot enforce") {
+    val wh = warehouse(); cat(wh, "gd3")
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE gd3.t (k BIGINT, d DATE) " +
+        "PARTITIONED BY (d)")
+    }
+    assert(e.getMessage.contains("bucket"))
+    // nothing half-created
+    assert(!new java.io.File(s"$wh/t").exists())
+  }
+
+  test("INSERT INTO a CREATE'd bucketed table joins shuffle-free " +
+      "against a co-bucketed sibling (the SQL-only SPJ path)") {
+    val wh = warehouse(); cat(wh, "gd4")
+    spark.sql("CREATE TABLE gd4.a (k BIGINT, x DOUBLE) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("CREATE TABLE gd4.b (k BIGINT, y DOUBLE) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.range(0, 80).selectExpr("id % 20 AS k", "CAST(id AS DOUBLE) AS x")
+      .createOrReplaceTempView("src4a")
+    spark.range(0, 20).selectExpr("id AS k", "CAST(id * 2 AS DOUBLE) AS y")
+      .createOrReplaceTempView("src4b")
+    spark.sql("INSERT INTO gd4.a SELECT * FROM src4a")
+    spark.sql("INSERT INTO gd4.b SELECT * FROM src4b")
+    val prevB = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevT = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = spark.sql(
+        "SELECT a.k, a.x, b.y FROM gd4.a a JOIN gd4.b b ON a.k = b.k")
+      assert(df.count() == 80)
+      def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+        val self = p match {
+          case _: org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeExec => 1
+          case _ => 0
+        }
+        val inner = p match {
+          case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive
+            .QueryStageExec => shuffles(q.plan)
+          case _ => 0
+        }
+        self + inner + p.children.map(shuffles).sum
+      }
+      assert(shuffles(df.queryExecution.executedPlan) == 0,
+        s"SQL-created co-bucketed join should be storage-partitioned:\n" +
+          df.queryExecution.executedPlan)
+    } finally {
+      prevB.fold(spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
+      prevT.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+    }
+  }
+}
