@@ -46,8 +46,15 @@ class GraftStreamingWrite(root: String, writeSchema: StructType)
     GraftTableProvider.latestManifest(new Configuration(), root)
   private val physMap: Map[String, String] =
     baseManifest.colMap.getOrElse(Map.empty)
+  // stats opt-in = what existing files already index PLUS the
+  // persisted statsCols property — a freshly CREATE'd (empty) table
+  // has no files to learn from, but its TBLPROPERTIES opt-in must
+  // still govern the stream's files
   private val statsPhys: Set[String] =
-    baseManifest.files.flatMap(_.stats.keys).toSet
+    baseManifest.files.flatMap(_.stats.keys).toSet ++
+      TxnTable.tableProps(new Configuration(), root).get("statsCols")
+        .toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        .map(c => physMap.getOrElse(c, c))
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =

@@ -285,6 +285,33 @@ class GraftTable(root: String, tableSchema: StructType,
               .constraints.Constraint
       }.toArray
 
+  /** Table metadata for `DESCRIBE TABLE EXTENDED` / `SHOW
+    * TBLPROPERTIES`: the layout and index opt-ins a user needs to
+    * understand the table's read/write behavior — bucket spec,
+    * bloom'd columns, the persisted stats opt-in, version, file
+    * count. O(1) metadata (the manifest read is the same one
+    * loadTable already paid for; sidecars are two existence probes).
+    */
+  override def properties(): java.util.Map[String, String] = {
+    val conf = new Configuration()
+    val out = new java.util.HashMap[String, String]()
+    try {
+      val m = GraftTableProvider.manifestFor(conf, root, pinned)
+      out.put("version", m.version.toString)
+      out.put("numFiles", m.files.size.toString)
+      m.bloomCols.filter(_.nonEmpty)
+        .foreach(bc => out.put("bloomCols", bc.mkString(",")))
+      TxnTable.bucketSpec(conf, root).foreach { b =>
+        out.put("bucketColumn", b.col)
+        out.put("numBuckets", b.n.toString)
+      }
+      TxnTable.tableProps(conf, root).foreach { case (k, v) =>
+        out.put(k, v)
+      }
+    } catch { case _: Exception => () } // properties are advisory
+    out
+  }
+
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ,
@@ -501,10 +528,25 @@ class GraftScanBuilder(root: String, schema: StructType,
         case FloatType => Some(v.toFloat)
         case _ => None
       }
+    // COUNT(col) = Σ(rows − nulls(col)) when every non-empty file
+    // carries a null count for the column (the writers' stats pass)
+    def nullsOf(c: String): Option[Seq[Long]] = {
+      val pc = m.colMap.getOrElse(Map.empty[String, String])
+        .getOrElse(c, c)
+      val ns = nonEmpty.flatMap(_.nulls.flatMap(_.get(pc)))
+      if (ns.length == nonEmpty.length) Some(ns) else None
+    }
     val planned = agg.aggregateExpressions().toSeq.map {
       case _: CountStar =>
         Some((StructField("count_star", LongType, nullable = false),
           m.files.map(_.rows).sum: Any))
+      case ct: org.apache.spark.sql.connector.expressions.aggregate.Count
+          if !ct.isDistinct =>
+        for {
+          c <- colName(ct.column)
+          ns <- nullsOf(c)
+        } yield (StructField(s"count_$c", LongType, nullable = false),
+          (nonEmpty.map(_.rows).sum - ns.sum): Any)
       case mn: Min =>
         for {
           c <- colName(mn.column)
@@ -979,10 +1021,22 @@ class GraftScan(
         "read via TxnTable.snapshot or compact() first")
     val bs = bounds
     val cm = m.colMap.getOrElse(Map.empty[String, String])
+    // NULL-count pruning: IS NULL skips files with zero nulls in the
+    // column; IS NOT NULL (which Spark implies under almost every
+    // predicate) skips ALL-null files — min/max cannot index either
+    // (an all-null file has no min/max entry at all). Files without a
+    // null count (pre-field writers, un-opted columns) are kept.
+    val nullProbes: Seq[(String, Boolean)] = filters.toSeq.collect {
+      case sources.IsNull(c) => (c, true)
+      case sources.IsNotNull(c) => (c, false)
+    }
     val statsPruned = m.files.filter { f =>
       bs.forall { case (c, (lo, hi)) =>
         f.stats.get(cm.getOrElse(c, c))
           .forall(s => s.max >= lo && s.min <= hi)
+      } && nullProbes.forall { case (c, wantNull) =>
+        f.nulls.flatMap(_.get(cm.getOrElse(c, c))).forall(n =>
+          if (wantNull) n > 0 else n < f.rows)
       }
     }
     val runtimePruned = runtimeFiles match {

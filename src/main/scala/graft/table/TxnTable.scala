@@ -72,6 +72,15 @@ object TxnTable {
     * with no `dvs`, so a re-inserted key is visible again (the semantics
     * a table-wide key blacklist would get wrong).
     */
+  /** `nulls`: per-column NULL counts for the table's stats columns —
+    * written by the same per-file pass as min/max, and the index that
+    * min/max cannot be: an all-null file has no min/max entry at all,
+    * but its null count prunes `IS NOT NULL` probes (which Spark
+    * implies under almost every predicate), and a zero prunes
+    * `IS NULL`. Also what answers a pushed-down COUNT(col) from
+    * metadata. Absent on files written before the field existed —
+    * readers treat absence as unknown, never as zero.
+    */
   case class FileEntry(
       path: String,
       rows: Long,
@@ -79,7 +88,8 @@ object TxnTable {
       stats: Map[String, ColStats],
       blooms: Option[Map[String, String]] = None,
       dvs: Option[Seq[String]] = None,
-      bucket: Option[Int] = None)
+      bucket: Option[Int] = None,
+      nulls: Option[Map[String, Long]] = None)
 
   /** One committed table version. `schemaDdl` is the snapshot's full
     * read schema — reads pass it explicitly, so files written before a
@@ -586,7 +596,11 @@ object TxnTable {
       org.apache.spark.sql.Encoders.LONG)
     val aggs = (count(lit(1)).as("_rows") +:
       fields.flatMap { case (n, e) =>
-        Seq(min(e).as(s"_min_$n"), max(e).as(s"_max_$n"))
+        // count(col) is the NON-NULL count: rows − it = the null count
+        // (free in the same pass; an all-null file has no min/max but
+        // its null count still indexes IS [NOT] NULL probes)
+        Seq(min(e).as(s"_min_$n"), max(e).as(s"_max_$n"),
+          count(col(n)).as(s"_nn_$n"))
       }) ++ bloomFields.map(c =>
         bloomUdaf(xxhash64(col(c).cast("string"))).as(s"_bloom_$c"))
     val byFile: Map[String, Row] =
@@ -626,9 +640,14 @@ object TxnTable {
             Option(r.getAs[Array[Byte]](s"_bloom_$c")).map(bytes =>
               c -> java.util.Base64.getEncoder.encodeToString(bytes))
           }.toMap
-          FileEntry(s"$rel/$name", r.getAs[Long]("_rows"), st.getLen, stats,
+          val rowsN = r.getAs[Long]("_rows")
+          val nulls = fields.map { case (n, _) =>
+            n -> (rowsN - r.getAs[Long](s"_nn_$n"))
+          }.toMap
+          FileEntry(s"$rel/$name", rowsN, st.getLen, stats,
             if (blooms.isEmpty) None else Some(blooms),
-            bucket = bucketIdOf(name))
+            bucket = bucketIdOf(name),
+            nulls = if (nulls.isEmpty) None else Some(nulls))
         case None => // zero-row part file: no group, no stats
           FileEntry(s"$rel/$name", 0L, st.getLen, Map.empty,
             bucket = bucketIdOf(name))

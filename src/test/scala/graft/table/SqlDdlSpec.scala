@@ -80,6 +80,20 @@ class SqlDdlSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$wh/t").exists())
   }
 
+  test("SHOW TBLPROPERTIES surfaces the layout and index opt-ins") {
+    val wh = warehouse(); cat(wh, "gd5")
+    spark.sql("CREATE TABLE gd5.t (k BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(4, k)) " +
+      "TBLPROPERTIES ('statsCols'='k', 'bloomCols'='k')")
+    val props = spark.sql("SHOW TBLPROPERTIES gd5.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("bucketColumn").contains("k"))
+    assert(props.get("numBuckets").contains("4"))
+    assert(props.get("statsCols").contains("k"))
+    assert(props.get("bloomCols").contains("k"))
+    assert(props.get("version").contains("0"))
+  }
+
   test("INSERT INTO a CREATE'd bucketed table joins shuffle-free " +
       "against a co-bucketed sibling (the SQL-only SPJ path)") {
     val wh = warehouse(); cat(wh, "gd4")
