@@ -14,7 +14,8 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   * analysis where EXPLAIN / re-analysis would re-run them):
   *
   * {{{
-  *   OPTIMIZE '<path>'                              -- compact
+  *   OPTIMIZE '<path>'                              -- compact (whole table)
+  *   OPTIMIZE cat.t SMALLER THAN 8 MB               -- bin-pack small files only
   *   OPTIMIZE cat.t CLUSTER BY (c1, c2) [INTO n FILES]
   *   OPTIMIZE cat.t ZORDER BY (c1, c2) [INTO n FILES]
   *   VACUUM '<path>' [RETAIN n VERSIONS]
@@ -68,6 +69,7 @@ object GraftSqlParser {
   private val Target = """('[^']+'|(?:`[^`]+`|[\w$]+)(?:\.(?:`[^`]+`|[\w$]+))*)"""
   private val OptimizeRe =
     ("""(?is)^\s*OPTIMIZE\s+""" + Target +
+      """(?:\s+SMALLER\s+THAN\s+(\d+)\s*(KB|MB|GB)?)?""" +
       """(?:\s+(CLUSTER|ZORDER)\s+BY\s*\(([^)]+)\))?""" +
       """(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?\s*$""").r
   private val VacuumRe =
@@ -76,17 +78,31 @@ object GraftSqlParser {
 
   private[table] def maintenancePlan(sqlText: String): Option[LogicalPlan] =
     sqlText match {
-      case OptimizeRe(target, kind, clusterCols, nFiles) =>
+      case OptimizeRe(target, smaller, unit, kind, clusterCols, nFiles) =>
         val cols = Option(clusterCols).map(_.split(",").toSeq
           .map(c => stripTicks(c.trim)).filter(_.nonEmpty))
         if (cols.isEmpty && nFiles != null)
           throw new IllegalArgumentException(
             "OPTIMIZE ... INTO n FILES requires CLUSTER BY / ZORDER " +
               "BY — plain compaction sizes files by target bytes")
+        // SMALLER THAN scopes the rewrite to small-file debris — a
+        // re-layout (cluster/zorder) is whole-table by definition
+        val minBytes = Option(smaller).map { s =>
+          s.toLong * (Option(unit).map(_.toUpperCase) match {
+            case Some("KB") => 1L << 10
+            case Some("MB") => 1L << 20
+            case Some("GB") => 1L << 30
+            case _ => 1L
+          })
+        }
+        if (minBytes.isDefined && cols.isDefined)
+          throw new IllegalArgumentException(
+            "OPTIMIZE ... SMALLER THAN cannot combine with CLUSTER " +
+              "BY / ZORDER BY — a re-layout rewrites the whole table")
         val zorder = Option(kind)
           .exists(_.equalsIgnoreCase("ZORDER"))
         Some(GraftMaintenanceCommand("optimize", parseTarget(target),
-          cols, Option(nFiles).map(_.toInt), None, zorder))
+          cols, Option(nFiles).map(_.toInt), None, zorder, minBytes))
       case VacuumRe(target, retain) =>
         Some(GraftMaintenanceCommand("vacuum", parseTarget(target),
           None, None, Option(retain).map(_.toInt)))
@@ -115,7 +131,8 @@ case class GraftMaintenanceCommand(
     clusterCols: Option[Seq[String]],
     nFiles: Option[Int],
     retainVersions: Option[Int],
-    zorder: Boolean = false) extends LeafRunnableCommand {
+    zorder: Boolean = false,
+    minBytes: Option[Long] = None) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("op", StringType, nullable = false)(),
@@ -146,15 +163,21 @@ case class GraftMaintenanceCommand(
               nFiles.getOrElse(math.max(1, before.files.size)),
               // clustering columns are worth stats by definition
               (statsCols ++ cols).distinct)
-          case None =>
-            TxnTable.compact(spark, root, statsCols = statsCols)
+          case None => minBytes match {
+            case Some(mb) =>
+              TxnTable.compactSmall(spark, root, mb,
+                statsCols = statsCols)
+            case None =>
+              TxnTable.compact(spark, root, statsCols = statsCols)
+          }
         }
         val after = TxnTable.readManifest(spark, root, v)
         val beforeSet = before.files.map(_.path).toSet
         val afterSet = after.files.map(_.path).toSet
         val opName =
-          if (clusterCols.isEmpty) "compact"
-          else if (zorder) "zorder" else "cluster"
+          if (clusterCols.nonEmpty) { if (zorder) "zorder" else "cluster" }
+          else if (minBytes.isDefined) "compact-small"
+          else "compact"
         Seq(Row(opName, v,
           (beforeSet -- afterSet).size.toLong,
           (afterSet -- beforeSet).size.toLong))

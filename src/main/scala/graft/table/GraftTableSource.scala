@@ -662,7 +662,8 @@ class GraftScan(
     extends Scan with Batch
     with SupportsRuntimeV2Filtering
     with SupportsReportStatistics
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning
+    with SupportsReportOrdering {
   override def readSchema(): StructType = required
 
   /** Bucket layout this scan can REPORT, resolved once per plan:
@@ -709,6 +710,33 @@ class GraftScan(
       case _ =>
         new org.apache.spark.sql.connector.read.partitioning
           .UnknownPartitioning(0)
+    }
+
+  /** PER-PARTITION ORDERING (SupportsReportOrdering): claimable
+    * exactly when the layout writers sorted inside buckets (the
+    * sidecar's `sorted` flag — tables from before the flag never
+    * claim it) AND each bucket resolves to at most one non-empty file
+    * (a grouped multi-file bucket concatenates files in arbitrary
+    * order). With both sides of a co-bucketed join reporting it, the
+    * storage-partitioned sort-merge drops its per-partition SortExecs
+    * — the join becomes a pure merge over pre-sorted files, the full
+    * bucketed-sorted-table dividend.
+    */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    bucketLayout match {
+      case Some((logical, _, _)) if limit.isEmpty &&
+          TxnTable.bucketSpec(new Configuration(), root)
+            .exists(_.sorted.contains(true)) &&
+          pinnedManifest.files.filter(_.rows > 0)
+            .groupBy(_.bucket).forall(_._2.size == 1) =>
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .sort(
+            org.apache.spark.sql.connector.expressions.Expressions
+              .column(logical),
+            org.apache.spark.sql.connector.expressions.SortDirection
+              .ASCENDING))
+      case _ => Array.empty
     }
 
   /** PLANNER STATISTICS from the manifest, POST stats-pruning: exact

@@ -184,7 +184,18 @@ object TxnTable {
     * back to ordinary shuffled planning, so the layout degrades
     * gracefully instead of lying.
     */
-  case class BucketSpec(col: String, n: Int)
+  /** `sorted`: rows inside every bucket file are sorted ascending on
+    * `col` (nulls first — Spark's default ascending order). Written
+    * `true` by every layout writer since the field existed; tables
+    * created before it lack the flag and never claim an ordering
+    * their files may not have. What it buys: a co-bucketed
+    * storage-partitioned join can run its sort-merge WITHOUT
+    * per-partition sorts when each bucket resolves to one file — the
+    * scan reports the ordering and EnsureRequirements drops both
+    * SortExecs.
+    */
+  case class BucketSpec(col: String, n: Int,
+      sorted: Option[Boolean] = None)
 
   private def bucketSpecPath(root: String): Path =
     new Path(s"$root/$LogDir", "_bucket.json")
@@ -576,7 +587,11 @@ object TxnTable {
     // unbucketed files and fall back rather than trust a wrong id.
     val bucketed = bucket.filter(b => df.columns.contains(b.col))
     val toWrite = bucketed match {
-      case Some(BucketSpec(c, n)) => df.repartition(n, col(c))
+      // sort inside each bucket file (cheap: per-task, in-memory) —
+      // what lets the scan report a per-partition ordering and a
+      // co-bucketed SMJ skip its sorts
+      case Some(BucketSpec(c, n, _)) =>
+        df.repartition(n, col(c)).sortWithinPartitions(col(c))
       case None => df
     }
     toWrite.write.parquet(dir.toString)
@@ -722,7 +737,9 @@ object TxnTable {
         s"bucketBy: bucket count must be in [1, 100000], got ${b.n}")
       require(df.columns.contains(b.col),
         s"bucketBy column ${b.col} is not in the data")
-      writeBucketSpec(spark, root, b)
+      // every layout writer sorts within buckets since the field
+      // existed — record it so scans can report the ordering
+      writeBucketSpec(spark, root, b.copy(sorted = Some(true)))
     }
     enforceConstraints(df, constraints)
     val files = writeFiles(spark, root, df, statsCols, "0", bloomCols,
@@ -1535,6 +1552,56 @@ object TxnTable {
       snap.repartition(graft.ops.Compaction.targetFileCount(
         bytes, targetBytes))
     }
+
+  /** SELECTIVE COMPACTION — the O(small) form of [[compact]], and the
+    * only one that makes sense at 100 TB: bin-pack ONLY the files
+    * below `minBytes` (the small-file debris ingest leaves behind);
+    * every file already at a healthy size is carried into the new
+    * manifest VERBATIM — zero IO for the bulk of the table, where
+    * [[compact]] rewrites everything every time. Files with deletion
+    * vectors are included and their deletes MATERIALIZE (the
+    * snapshot read applies them), same as the full compact. A
+    * bucketed table's rewritten rows re-route through the layout
+    * hash. No-op (no commit) when fewer than two files qualify.
+    * Returns the committed version (or the current one for a no-op).
+    */
+  def compactSmall(
+      spark: SparkSession,
+      root: String,
+      minBytes: Long,
+      targetBytes: Long = 128L << 20,
+      statsCols: Seq[String] = Seq.empty): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val cur = latestManifest(spark, root).getOrElse(
+        sys.error(s"no table at $root — create() first"))
+      val (small, kept) = cur.files.partition(_.bytes < minBytes)
+      if (small.size < 2 && small.forall(_.dvs.forall(_.isEmpty)))
+        return cur.version // nothing worth a commit
+      val snapSmall = snapshotOf(spark, root, cur.copy(files = small))
+      val bytes = math.max(1L, small.map(_.bytes).sum)
+      val out = snapSmall.repartition(
+        graft.ops.Compaction.targetFileCount(bytes, targetBytes))
+      val v = cur.version + 1
+      // PARTIAL rewrite: kept files survive under their physical
+      // names, so the new files write physical too and the mapping
+      // carries forward (the mergeScoped contract, not the full-
+      // rewrite materialization)
+      val cm = colMapOf(cur)
+      val files = writeFiles(spark, root, toPhysical(out, cm),
+        statsColsFor(spark, root, statsCols).map(c => cm.getOrElse(c, c)),
+        v.toString,
+        bloomColsOf(cur).map(c => cm.getOrElse(c, c)),
+        bucketSpec(spark.sparkContext.hadoopConfiguration, root))
+      if (tryCommit(spark, root, Manifest(v, "compact",
+          System.currentTimeMillis(), cur.schemaDdl, kept ++ files,
+          cur.streamHwm, cur.constraints, cur.bloomCols,
+          cur.colMap, cur.retired)))
+        committed = v
+      // lost race: loop — re-partition against the new latest
+    }
+    committed
+  }
 
   /** Clustered rewrite: range-partition into `nFiles` files sorted on
     * `cols` ([[graft.ops.Compaction.compactSorted]] as a committed op),

@@ -90,7 +90,7 @@ class BucketJoinSpec extends AnyFunSuite {
     assert(m.files.forall(f => f.bucket.exists(b => b >= 0 && b < N)))
     assert(TxnTable.bucketSpec(
       spark.sparkContext.hadoopConfiguration, root)
-      .contains(TxnTable.BucketSpec("k", N)))
+      .exists(s => s.col == "k" && s.n == N && s.sorted.contains(true)))
     // read each file back: all rows' keys must hash to the file's id
     m.files.filter(_.rows > 0).foreach { f =>
       val keys = spark.read.parquet(s"$root/${f.path}")
@@ -178,6 +178,51 @@ class BucketJoinSpec extends AnyFunSuite {
     val post = spark.read.format("graft.table.GraftTableProvider")
       .load(fRoot).filter(col("k") === probeKey)
     assert(post.count() == 10)
+  }
+
+  test("sorted buckets: the SPJ sort-merge runs with NO SortExec and " +
+      "NO shuffle — a pure merge over pre-sorted one-file buckets") {
+    val dRoot = freshRoot(); val fRoot = freshRoot()
+    dim(dRoot); fact(fRoot)
+    // sanity: layout qualifies (sorted flag + one non-empty file/bucket)
+    Seq(dRoot, fRoot).foreach { r =>
+      assert(TxnTable.bucketSpec(
+        spark.sparkContext.hadoopConfiguration, r)
+        .exists(_.sorted.contains(true)))
+      val m = TxnTable.readManifest(spark, r, 0L)
+      assert(m.files.filter(_.rows > 0).groupBy(_.bucket)
+        .forall(_._2.size == 1))
+      // files really are sorted inside
+      m.files.filter(_.rows > 0).foreach { f =>
+        val ks = spark.read.parquet(s"$r/${f.path}")
+          .select("k").collect().map(_.getLong(0))
+        assert(ks.sameElements(ks.sorted), s"unsorted bucket ${f.path}")
+      }
+    }
+    val d = cat(dRoot, "gbd3"); val f = cat(fRoot, "gbf3")
+    withSpj {
+      val df = spark.sql(
+        s"SELECT d.nm, f.v FROM $d d JOIN $f f ON d.k = f.k")
+      assert(df.count() == 400)
+      def sorts(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+        val self = p match {
+          case _: org.apache.spark.sql.execution.SortExec => 1
+          case _ => 0
+        }
+        val inner = p match {
+          case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => sorts(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive
+            .QueryStageExec => sorts(q.plan)
+          case _ => 0
+        }
+        self + inner + p.children.map(sorts).sum
+      }
+      assert(shuffles(df) == 0)
+      assert(sorts(df.queryExecution.executedPlan) == 0,
+        s"expected a sort-free merge join over the reported ordering:\n" +
+          df.queryExecution.executedPlan)
+    }
   }
 
   test("the catalog's V2 bucket function binds for supported key " +

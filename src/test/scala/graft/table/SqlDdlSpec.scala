@@ -36,7 +36,7 @@ class SqlDdlSpec extends AnyFunSuite {
       "TBLPROPERTIES ('statsCols'='k')")
     assert(TxnTable.bucketSpec(
       spark.sparkContext.hadoopConfiguration, s"$wh/t")
-      .contains(TxnTable.BucketSpec("k", 4)))
+      .exists(s => s.col == "k" && s.n == 4))
     spark.range(0, 100).selectExpr("id AS k", "CAST(id % 7 AS DOUBLE) AS v")
       .createOrReplaceTempView("src1")
     spark.sql("INSERT INTO gd1.t SELECT * FROM src1")

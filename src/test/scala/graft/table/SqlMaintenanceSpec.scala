@@ -52,6 +52,51 @@ class SqlMaintenanceSpec extends AnyFunSuite {
         (col("id") % 7).cast("double").as("score"))
         .repartition(8), Seq("k"))
 
+  test("OPTIMIZE ... SMALLER THAN bin-packs only the small files: " +
+      "the healthy file carries VERBATIM, content stays exact, and " +
+      "a second run is a no-op") {
+    val root = freshRoot()
+    // one healthy file (4000 rows) + 6 debris files (~60 rows each)
+    TxnTable.create(spark, root,
+      spark.range(0, 4000).select(col("id").as("k"),
+        (col("id") % 7).cast("double").as("score")).coalesce(1),
+      Seq("k"))
+    (0 until 6).foreach { i =>
+      TxnTable.append(spark, root,
+        spark.range(4000 + i * 60L, 4000 + (i + 1) * 60L)
+          .select(col("id").as("k"),
+            (col("id") % 7).cast("double").as("score")).coalesce(1),
+        Seq("k"))
+    }
+    val m0 = TxnTable.readManifest(spark, root,
+      TxnTable.versions(spark, root).max)
+    assert(m0.files.size == 7)
+    val bulk = m0.files.maxBy(_.bytes)
+    val r = spark.sql(
+      s"OPTIMIZE '$root' SMALLER THAN ${bulk.bytes}").collect()
+    assert(r.head.getString(0) == "compact-small")
+    assert(r.head.getLong(2) == 6 && r.head.getLong(3) >= 1)
+    val m1 = TxnTable.readManifest(spark, root,
+      TxnTable.versions(spark, root).max)
+    assert(m1.files.exists(_.path == bulk.path),
+      "the healthy file must carry verbatim")
+    assert(m1.files.size < 7)
+    // content exact, stats preserved on the packed files
+    assert(TxnTable.snapshot(spark, root).count() == 4360)
+    assert(m1.files.filter(_.rows > 0).forall(_.stats.contains("k")))
+    // second run: nothing below the threshold anymore except possibly
+    // the one packed file — no-op commits nothing
+    val v1 = TxnTable.versions(spark, root).max
+    val r2 = spark.sql(
+      s"OPTIMIZE '$root' SMALLER THAN 2").collect()
+    assert(r2.head.getLong(2) == 0 && r2.head.getLong(3) == 0)
+    assert(TxnTable.versions(spark, root).max == v1)
+    // refusal: SMALLER THAN cannot combine with a re-layout
+    intercept[Exception] {
+      spark.sql(s"OPTIMIZE '$root' SMALLER THAN 100 CLUSTER BY (k)")
+    }
+  }
+
   test("OPTIMIZE '<path>' compacts as a committed rewrite and " +
       "PRESERVES the table's opted-in stats columns") {
     val root = freshRoot()
