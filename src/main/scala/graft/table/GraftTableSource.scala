@@ -201,7 +201,24 @@ class GraftTable(root: String, tableSchema: StructType,
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+
+  /** SQL `TRUNCATE TABLE cat.t` — an empty-overwrite COMMIT, not a
+    * file purge: history keeps every version (time travel across the
+    * truncate works; vacuum reclaims when retention allows), and
+    * constraints / bloom opt-ins / the stats property all carry
+    * forward, so the next INSERT behaves exactly like before.
+    */
+  override def truncateTable(): Boolean = {
+    require(pinned.isEmpty && !cdf,
+      "TRUNCATE TABLE is not supported on time-travel or change-feed " +
+        "relations")
+    val spark = org.apache.spark.sql.SparkSession.active
+    TxnTable.overwrite(spark, root, spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), tableSchema))
+    true
+  }
   override def name(): String = s"graft_table($root)"
 
   /** `_file` metadata column: the MANIFEST path of the data file each

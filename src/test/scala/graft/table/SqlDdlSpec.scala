@@ -80,6 +80,23 @@ class SqlDdlSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$wh/t").exists())
   }
 
+  test("TRUNCATE TABLE is an empty-overwrite commit: content clears, " +
+      "history time-travels across it, inserts work after") {
+    val wh = warehouse(); cat(wh, "gd6")
+    spark.range(0, 30).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("src6")
+    spark.sql("CREATE TABLE gd6.t (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gd6.t SELECT * FROM src6")
+    spark.sql("TRUNCATE TABLE gd6.t")
+    assert(spark.sql("SELECT COUNT(*) FROM gd6.t").head().getLong(0) == 0)
+    // pre-truncate version still reads the rows
+    assert(spark.sql("SELECT COUNT(*) FROM gd6.t VERSION AS OF 1")
+      .head().getLong(0) == 30)
+    spark.sql("INSERT INTO gd6.t SELECT k + 100, v FROM src6")
+    val after = spark.sql("SELECT MIN(k), COUNT(*) FROM gd6.t").head()
+    assert(after.getLong(0) == 100 && after.getLong(1) == 30)
+  }
+
   test("SHOW TBLPROPERTIES surfaces the layout and index opt-ins") {
     val wh = warehouse(); cat(wh, "gd5")
     spark.sql("CREATE TABLE gd5.t (k BIGINT, v DOUBLE) " +
