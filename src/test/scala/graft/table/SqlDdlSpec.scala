@@ -80,6 +80,19 @@ class SqlDdlSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$wh/t").exists())
   }
 
+  test("CREATE OR REPLACE TABLE: the non-atomic drop+create path " +
+      "replaces schema and content") {
+    val wh = warehouse(); cat(wh, "gd7")
+    spark.range(0, 10).selectExpr("id AS k").createOrReplaceTempView("s7")
+    spark.sql("CREATE TABLE gd7.t AS SELECT k FROM s7")
+    assert(spark.sql("SELECT COUNT(*) FROM gd7.t").head().getLong(0) == 10)
+    spark.sql("CREATE OR REPLACE TABLE gd7.t AS " +
+      "SELECT k, CAST(k * 2 AS DOUBLE) AS v FROM s7 WHERE k < 5")
+    val got = spark.sql("SELECT COUNT(*), CAST(SUM(v) AS BIGINT) " +
+      "FROM gd7.t").head()
+    assert(got.getLong(0) == 5 && got.getLong(1) == 20)
+  }
+
   test("TRUNCATE TABLE is an empty-overwrite commit: content clears, " +
       "history time-travels across it, inserts work after") {
     val wh = warehouse(); cat(wh, "gd6")
