@@ -55,6 +55,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(graft.table.GraftFilesFunction.name),
       graft.table.GraftFilesFunction.info,
       graft.table.GraftFilesFunction.builder _))
+    ext.injectTableFunction((
+      FunctionIdentifier(graft.table.GraftChangesFunction.name),
+      graft.table.GraftChangesFunction.info,
+      graft.table.GraftChangesFunction.builder _))
     // SQL maintenance statements: OPTIMIZE [CLUSTER BY] / VACUUM —
     // parsed ahead of Spark's grammar, everything else delegates
     ext.injectParser((_, delegate) =>

@@ -19,6 +19,7 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *   OPTIMIZE cat.t CLUSTER BY (c1, c2) [INTO n FILES]
   *   OPTIMIZE cat.t ZORDER BY (c1, c2) [INTO n FILES]
   *   VACUUM '<path>' [RETAIN n VERSIONS]
+  *   RESTORE [TABLE] cat.t TO VERSION AS OF n
   * }}}
   *
   * The target is either a quoted filesystem path (trusted like
@@ -75,6 +76,9 @@ object GraftSqlParser {
   private val VacuumRe =
     ("""(?is)^\s*VACUUM\s+""" + Target +
       """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""").r
+  private val RestoreRe =
+    ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + Target +
+      """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
 
   private[table] def maintenancePlan(sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -106,6 +110,9 @@ object GraftSqlParser {
       case VacuumRe(target, retain) =>
         Some(GraftMaintenanceCommand("vacuum", parseTarget(target),
           None, None, Option(retain).map(_.toInt)))
+      case RestoreRe(target, toV) =>
+        Some(GraftMaintenanceCommand("restore", parseTarget(target),
+          None, None, None, toVersion = Some(toV.toLong)))
       case _ => None
     }
 
@@ -132,7 +139,8 @@ case class GraftMaintenanceCommand(
     nFiles: Option[Int],
     retainVersions: Option[Int],
     zorder: Boolean = false,
-    minBytes: Option[Long] = None) extends LeafRunnableCommand {
+    minBytes: Option[Long] = None,
+    toVersion: Option[Long] = None) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("op", StringType, nullable = false)(),
@@ -185,6 +193,19 @@ case class GraftMaintenanceCommand(
         val deleted = TxnTable.vacuum(spark, root,
           retainLast = retainVersions.getOrElse(2))
         Seq(Row("vacuum", before.version, deleted.size.toLong, 0L))
+      // RESTORE t TO VERSION AS OF n — a new commit whose file set is
+      // the target's (time travel made durable); TxnTable.restore
+      // carries streamHwm/constraints/bloomCols forward and
+      // materializes CDF rows like any rewrite
+      case "restore" =>
+        val v = TxnTable.restore(spark, root, toVersion.getOrElse(
+          sys.error("RESTORE requires TO VERSION AS OF n")))
+        val after = TxnTable.readManifest(spark, root, v)
+        val beforeSet = before.files.map(_.path).toSet
+        val afterSet = after.files.map(_.path).toSet
+        Seq(Row("restore", v,
+          (beforeSet -- afterSet).size.toLong,
+          (afterSet -- beforeSet).size.toLong))
       case other => sys.error(s"unknown maintenance kind $other")
     }
   }

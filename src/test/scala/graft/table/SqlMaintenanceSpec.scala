@@ -52,6 +52,57 @@ class SqlMaintenanceSpec extends AnyFunSuite {
         (col("id") % 7).cast("double").as("score"))
         .repartition(8), Seq("k"))
 
+  test("graft_changes TVF: distributed change rows between versions; " +
+      "refused without CDF") {
+    val root = freshRoot()
+    TxnTable.create(spark, root,
+      spark.range(0, 100).select(col("id").as("k"),
+        (col("id") % 5).cast("double").as("v")), Seq("k"))
+    // no CDF yet: loud refusal at analysis
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_changes('$root', 0, 0)").collect()
+    }
+    assert(e.getMessage.contains("change data feed"))
+    TxnTable.enableCdf(spark, root, Seq("k"))
+    TxnTable.append(spark, root,
+      spark.range(100, 150).select(col("id").as("k"),
+        lit(9.0).as("v")), Seq("k"))
+    TxnTable.deleteWhere(spark, root, col("k") < 10)
+    val got = spark.sql(
+      s"""SELECT _change_type, COUNT(*) AS n
+         FROM graft_changes('$root', 0, 2)
+         GROUP BY 1 ORDER BY 1""").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("delete" -> 10L, "insert" -> 50L))
+    // the plan is the distributed diff, not a driver materialization
+    val plan = spark.sql(
+      s"SELECT * FROM graft_changes('$root', 0, 2)")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("LocalRelation"),
+      s"change rows must never land on the driver:\n$plan")
+  }
+
+  test("RESTORE TABLE ... TO VERSION AS OF commits the target's file " +
+      "set; restoring to a non-earlier version is refused") {
+    val root = freshRoot()
+    TxnTable.create(spark, root,
+      spark.range(0, 100).select(col("id").as("k")), Seq("k"))
+    TxnTable.append(spark, root,
+      spark.range(100, 200).select(col("id").as("k")), Seq("k"))
+    TxnTable.append(spark, root,
+      spark.range(200, 300).select(col("id").as("k")), Seq("k"))
+    val r = spark.sql(
+      s"RESTORE TABLE '$root' TO VERSION AS OF 1").collect()
+    assert(r.head.getString(0) == "restore")
+    assert(r.head.getLong(1) == 3) // the restore commit
+    assert(TxnTable.snapshot(spark, root).count() == 200)
+    // the reverted slice still time-travels
+    assert(TxnTable.snapshotAt(spark, root, 2).count() == 300)
+    intercept[Exception] {
+      spark.sql(s"RESTORE TABLE '$root' TO VERSION AS OF 9")
+    }
+  }
+
   test("OPTIMIZE ... SMALLER THAN bin-packs only the small files: " +
       "the healthy file carries VERBATIM, content stays exact, and " +
       "a second run is a no-op") {
