@@ -291,7 +291,11 @@ object Bench {
       // round-13 flagships: native streaming sink, SQL maintenance,
       // merge evolution, SQL z-order, dedup accounting
       "q_table_stream_sink", "q_table_sql_maintenance",
-      "q_table_merge_evolve", "q_table_sql_zorder", "q_dup_size_hist")
+      "q_table_merge_evolve", "q_table_sql_zorder", "q_dup_size_hist",
+      // round-13 continuation flagships: storage-partitioned join,
+      // dynamic file pruning, selective compaction, SQL CDF
+      "q_table_bucket_join", "q_table_dyn_prune",
+      "q_table_compact_small", "q_table_sql_changes")
     val fullLine = jsonLine(results, soloDetail = true)
     val headLine = jsonLine(
       headline.flatMap(h => resultMap.get(h).map(h -> _)),
