@@ -145,6 +145,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // session-global so plan shapes are execution-order-independent:
+      // only bucketed graft scans report KeyGroupedPartitioning anyway
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       // in-suite interference mitigation (r6 verdict #4): shuffle files
       // and broadcast blocks are freed on REFERENCE GC, and the default
       // periodic-GC interval (30 min) never fires inside a bench run —

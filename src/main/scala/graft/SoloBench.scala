@@ -35,6 +35,9 @@ object SoloBench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // session-global so plan shapes are execution-order-independent:
+      // only bucketed graft scans report KeyGroupedPartitioning anyway
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

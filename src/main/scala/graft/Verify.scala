@@ -21,6 +21,9 @@ object Verify {
       // read ms-precision NTZ parquet timestamps as session-TZ timestamps
       // (session is UTC) so unix_micros matches DuckDB's epoch_us.
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // session-global so plan shapes are execution-order-independent:
+      // only bucketed graft scans report KeyGroupedPartitioning anyway
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

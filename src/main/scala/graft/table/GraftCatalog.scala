@@ -235,9 +235,15 @@ class GraftCatalog extends TableCatalog
         require(ns.length == 1 && cols.length == 1,
           "graft catalog: bucket transform must be bucket(n, col) " +
             "with a single top-level column")
-        require(schema.fieldNames.contains(cols(0)),
-          s"graft catalog: bucket column ${cols(0)} is not in the schema")
-        Some(TxnTable.BucketSpec(cols(0), ns(0)))
+        // SQL identifiers resolve case-insensitively: canonicalize to
+        // the schema's spelling rather than failing on bucket(4, K)
+        val canonical = schema.fields
+          .find(_.name.equalsIgnoreCase(cols(0)))
+          .getOrElse(throw new IllegalArgumentException(
+            s"graft catalog: bucket column ${cols(0)} is not in the " +
+              "schema"))
+          .name
+        Some(TxnTable.BucketSpec(canonical, ns(0)))
       case other =>
         throw new UnsupportedOperationException(
           "graft catalog: only a single bucket(n, col) partition " +

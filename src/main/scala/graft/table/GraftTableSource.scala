@@ -691,7 +691,7 @@ class GraftScan(
     * name is the spec's physical column translated back through the
     * column map, and must still exist in the table (not dropped).
     */
-  private lazy val bucketLayout: Option[(String, String, Int)] =
+  private lazy val bucketLayout: Option[(String, String, Int, Boolean)] =
     if (cdf) None
     else TxnTable.bucketSpec(new Configuration(), root).flatMap { spec =>
       val m = pinnedManifest
@@ -699,8 +699,11 @@ class GraftScan(
       val logical = cm.find(_._2 == spec.col).map(_._1).getOrElse(spec.col)
       val live = StructType.fromDDL(m.schemaDdl).fieldNames
         .contains(logical) && !cm.get(logical).exists(_ != spec.col)
-      if (live && m.files.forall(_.bucket.isDefined))
-        Some((logical, spec.col, spec.n))
+      // nonEmpty: an EMPTY table must not report a zero-partition
+      // KeyGroupedPartitioning (vacuous forall) — a freshly CREATE'd
+      // bucketed table scans as a plain empty relation until data lands
+      if (live && m.files.nonEmpty && m.files.forall(_.bucket.isDefined))
+        Some((logical, spec.col, spec.n, spec.sorted.contains(true)))
       else None
     }
 
@@ -718,7 +721,7 @@ class GraftScan(
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     bucketLayout match {
-      case Some((logical, _, n)) if limit.isEmpty =>
+      case Some((logical, _, n, _)) if limit.isEmpty =>
         new org.apache.spark.sql.connector.read.partitioning
           .KeyGroupedPartitioning(
             Array(org.apache.spark.sql.connector.expressions.Expressions
@@ -742,9 +745,7 @@ class GraftScan(
   override def outputOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     bucketLayout match {
-      case Some((logical, _, _)) if limit.isEmpty &&
-          TxnTable.bucketSpec(new Configuration(), root)
-            .exists(_.sorted.contains(true)) &&
+      case Some((logical, _, _, sorted)) if limit.isEmpty && sorted &&
           pinnedManifest.files.filter(_.rows > 0)
             .groupBy(_.bucket).forall(_._2.size == 1) =>
         Array(org.apache.spark.sql.connector.expressions.Expressions
@@ -1023,7 +1024,7 @@ class GraftScan(
       val pc = cm.getOrElse(c, c)
       val colType = tableSchema.fields.find(_.name == c).map(_.dataType)
       val bucketIds: Option[Set[Int]] = bucketLayout.collect {
-        case (l, _, n) if l == c =>
+        case (l, _, n, _) if l == c =>
           vals.map(v => TxnTable.bucketOf(v, n))
       }.flatMap(ids =>
         if (ids.forall(_.isDefined)) Some(ids.flatten.toSet) else None)
@@ -1093,7 +1094,7 @@ class GraftScan(
     // point-lookup dividend (min/max stats cannot prune a hash-scattered
     // key; the bucket id can). Conjunct-safe: every EqualTo tightens.
     val bucketPruned = bucketLayout match {
-      case Some((logical, _, n)) =>
+      case Some((logical, _, n, _)) =>
         val probes = filters.collect {
           case sources.EqualTo(c, v) if c == logical =>
             TxnTable.bucketOf(v, n)

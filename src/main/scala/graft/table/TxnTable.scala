@@ -260,10 +260,13 @@ object TxnTable {
     }
   }
 
+  // overwrite-allowed: the props sidecar is ADVISORY metadata (a
+  // default, never a correctness input) and column renames must be
+  // able to keep the statsCols names aligned with the live schema
   private[table] def writeTableProps(
       spark: SparkSession, root: String, props: Map[String, String]): Unit = {
     val p = propsPath(root)
-    val out = fs(spark, p).create(p, false)
+    val out = fs(spark, p).create(p, true)
     try out.write(Serialization.write(props)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -735,11 +738,15 @@ object TxnTable {
     bucketBy.foreach { b =>
       require(b.n > 0 && b.n <= 100000,
         s"bucketBy: bucket count must be in [1, 100000], got ${b.n}")
-      require(df.columns.contains(b.col),
-        s"bucketBy column ${b.col} is not in the data")
-      // every layout writer sorts within buckets since the field
-      // existed — record it so scans can report the ordering
-      writeBucketSpec(spark, root, b.copy(sorted = Some(true)))
+      val field = df.schema.fields.find(_.name == b.col).getOrElse(
+        sys.error(s"bucketBy column ${b.col} is not in the data"))
+      // only types the catalog's V2 bucket function can bind: a layout
+      // on any other type would record a partitioning the storage-
+      // partitioned join can never resolve — all cost, no benefit
+      require(Set[DataType](IntegerType, LongType, StringType, DateType)
+          .contains(field.dataType),
+        s"bucketBy column ${b.col}: type ${field.dataType} is not " +
+          "bucketable — supported: INT, BIGINT, STRING, DATE")
     }
     enforceConstraints(df, constraints)
     val files = writeFiles(spark, root, df, statsCols, "0", bloomCols,
@@ -750,6 +757,14 @@ object TxnTable {
       bloomCols = if (bloomCols.isEmpty) None else Some(bloomCols))
     require(tryCommit(spark, root, m),
       s"concurrent create at $root") // create races don't retry
+    // sidecar lands ONLY after the commit won: a failed or lost create
+    // can never leave an orphan spec that blocks a retry or haunts an
+    // unbucketed re-create. (An append racing into the tiny commit→
+    // sidecar window writes unbucketed files; readers detect that and
+    // fall back — sound, and the next rewrite heals it.) The `sorted`
+    // flag records that every layout writer sorts within buckets.
+    bucketBy.foreach(b =>
+      writeBucketSpec(spark, root, b.copy(sorted = Some(true))))
     0L
   }
 
@@ -1390,6 +1405,15 @@ object TxnTable {
         s"renameColumn: '$to' is still a physical name in existing " +
           "data files — compact() to materialize the mapping first")
       evolveGuards(cur, from, "renameColumn")
+      // the bucket layout's sidecar names the column's CREATION-time
+      // physical name forever — a rename whose eventual materializing
+      // rewrite renames the physical column would silently orphan the
+      // layout (files stop bucketing, SPJ dies with no error). Fixed
+      // at create by design: refuse, don't rot.
+      bucketSpec(spark.sparkContext.hadoopConfiguration, root)
+        .foreach(b => require(b.col != physNameIn(cur, from),
+          s"renameColumn: '$from' is the table's bucket column — the " +
+            "layout is fixed at create; re-create the table to change it"))
       val phys = physNameIn(cur, from)
       val cm2 = (colMapOf(cur) - from) ++
         (if (to == phys) Map.empty[String, String] else Map(to -> phys))
@@ -1399,8 +1423,19 @@ object TxnTable {
       if (tryCommit(spark, root, Manifest(cur.version + 1,
           "rename-column", System.currentTimeMillis(), schema2.toDDL,
           cur.files, cur.streamHwm, cur.constraints, blooms2,
-          if (cm2.isEmpty) None else Some(cm2), cur.retired)))
+          if (cm2.isEmpty) None else Some(cm2), cur.retired))) {
+        // keep the persisted stats opt-in speaking the LIVE logical
+        // names — a stale entry would silently stop stats collection
+        val conf = spark.sparkContext.hadoopConfiguration
+        val props = tableProps(conf, root)
+        props.get("statsCols").foreach { sc =>
+          val cols = sc.split(",").map(_.trim).filter(_.nonEmpty)
+          if (cols.contains(from))
+            writeTableProps(spark, root, props.updated("statsCols",
+              cols.map(c => if (c == from) to else c).mkString(",")))
+        }
         committed = cur.version + 1
+      }
     }
     committed
   }
@@ -1426,6 +1461,12 @@ object TxnTable {
       require(schema.fields.length > 1,
         "dropColumn: cannot drop the only column")
       evolveGuards(cur, column, "dropColumn")
+      // same rationale as renameColumn: the layout sidecar would
+      // outlive its column and silently rot every future write
+      bucketSpec(spark.sparkContext.hadoopConfiguration, root)
+        .foreach(b => require(b.col != physNameIn(cur, column),
+          s"dropColumn: '$column' is the table's bucket column — the " +
+            "layout is fixed at create; re-create the table to change it"))
       val phys = physNameIn(cur, column)
       val cm2 = colMapOf(cur) - column
       val retired2 = (cur.retired.getOrElse(Nil) :+ phys).distinct
@@ -1547,10 +1588,17 @@ object TxnTable {
       targetBytes: Long = 128L << 20,
       statsCols: Seq[String] = Seq.empty): Long =
     rewrite(spark, root, "compact", statsCols) { snap =>
-      val cur = latestManifest(spark, root).get
-      val bytes = math.max(1L, cur.files.map(_.bytes).sum)
-      snap.repartition(graft.ops.Compaction.targetFileCount(
-        bytes, targetBytes))
+      // a bucketed table's writeFiles re-routes rows through the
+      // layout hash anyway — the size-based repartition here would be
+      // a second, discarded shuffle (file count = bucket count there)
+      if (bucketSpec(spark.sparkContext.hadoopConfiguration,
+          root).isDefined) snap
+      else {
+        val cur = latestManifest(spark, root).get
+        val bytes = math.max(1L, cur.files.map(_.bytes).sum)
+        snap.repartition(graft.ops.Compaction.targetFileCount(
+          bytes, targetBytes))
+      }
     }
 
   /** SELECTIVE COMPACTION — the O(small) form of [[compact]], and the
@@ -1579,9 +1627,16 @@ object TxnTable {
       if (small.size < 2 && small.forall(_.dvs.forall(_.isEmpty)))
         return cur.version // nothing worth a commit
       val snapSmall = snapshotOf(spark, root, cur.copy(files = small))
-      val bytes = math.max(1L, small.map(_.bytes).sum)
-      val out = snapSmall.repartition(
-        graft.ops.Compaction.targetFileCount(bytes, targetBytes))
+      val bspecSmall = bucketSpec(
+        spark.sparkContext.hadoopConfiguration, root)
+      // bucketed: writeFiles re-buckets — skip the wasted pre-shuffle
+      val out =
+        if (bspecSmall.isDefined) snapSmall
+        else {
+          val bytes = math.max(1L, small.map(_.bytes).sum)
+          snapSmall.repartition(
+            graft.ops.Compaction.targetFileCount(bytes, targetBytes))
+        }
       val v = cur.version + 1
       // PARTIAL rewrite: kept files survive under their physical
       // names, so the new files write physical too and the mapping

@@ -225,6 +225,47 @@ class BucketJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("layout guards: failed create leaves no orphan sidecar; " +
+      "unbucketable types and bucket-column rename/drop are refused") {
+    val root = freshRoot()
+    // constraint violation aborts BEFORE any sidecar/manifest exists
+    intercept[Exception] {
+      TxnTable.create(spark, root,
+        spark.range(0, 10).selectExpr("id AS k", "CAST(-1 AS DOUBLE) AS v"),
+        constraints = Map("pos" -> "v > 0"),
+        bucketBy = Some(TxnTable.BucketSpec("k", 4)))
+    }
+    assert(TxnTable.bucketSpec(
+      spark.sparkContext.hadoopConfiguration, root).isEmpty,
+      "failed create must not leave an orphan _bucket.json")
+    // retry WITHOUT the layout: no stale spec haunts it
+    TxnTable.create(spark, root,
+      spark.range(0, 10).selectExpr("id AS k", "CAST(1 AS DOUBLE) AS v"))
+    assert(TxnTable.bucketSpec(
+      spark.sparkContext.hadoopConfiguration, root).isEmpty)
+    // unbucketable type refused at create, loudly
+    val root2 = freshRoot()
+    val e = intercept[Exception] {
+      TxnTable.create(spark, root2,
+        spark.range(0, 10).selectExpr("CAST(id AS DOUBLE) AS k"),
+        bucketBy = Some(TxnTable.BucketSpec("k", 4)))
+    }
+    assert(e.getMessage.contains("not bucketable"))
+    // bucket column rename/drop refused — the sidecar would rot
+    val root3 = freshRoot()
+    TxnTable.create(spark, root3,
+      spark.range(0, 10).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"),
+      bucketBy = Some(TxnTable.BucketSpec("k", 4)))
+    assert(intercept[Exception] {
+      TxnTable.renameColumn(spark, root3, "k", "kk")
+    }.getMessage.contains("bucket column"))
+    assert(intercept[Exception] {
+      TxnTable.dropColumn(spark, root3, "k")
+    }.getMessage.contains("bucket column"))
+    // non-bucket columns still evolve freely
+    TxnTable.renameColumn(spark, root3, "v", "vv")
+  }
+
   test("the catalog's V2 bucket function binds for supported key " +
       "types and matches the layout hash") {
     val bound = GraftBucketFunction.bind(new org.apache.spark.sql.types

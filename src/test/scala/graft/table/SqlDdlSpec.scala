@@ -80,6 +80,30 @@ class SqlDdlSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$wh/t").exists())
   }
 
+  test("an EMPTY bucketed table scans and joins without claiming the " +
+      "layout (no zero-partition KeyGroupedPartitioning)") {
+    val wh = warehouse(); cat(wh, "gd8")
+    spark.sql("CREATE TABLE gd8.a (k BIGINT, x DOUBLE) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("CREATE TABLE gd8.b (k BIGINT, y DOUBLE) " +
+      "PARTITIONED BY (bucket(4, k))")
+    val prev = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      assert(spark.sql("SELECT COUNT(*) FROM gd8.a").head().getLong(0) == 0)
+      // empty ⋈ empty and empty ⋈ nonempty both plan and answer
+      assert(spark.sql(
+        "SELECT * FROM gd8.a a JOIN gd8.b b ON a.k = b.k").count() == 0)
+      spark.range(0, 10).selectExpr("id AS k", "CAST(id AS DOUBLE) AS y")
+        .createOrReplaceTempView("s8")
+      spark.sql("INSERT INTO gd8.b SELECT * FROM s8")
+      assert(spark.sql(
+        "SELECT * FROM gd8.a a JOIN gd8.b b ON a.k = b.k").count() == 0)
+    } finally prev.fold(
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
+  }
+
   test("CREATE OR REPLACE TABLE: the non-atomic drop+create path " +
       "replaces schema and content") {
     val wh = warehouse(); cat(wh, "gd7")
