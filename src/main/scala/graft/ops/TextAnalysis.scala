@@ -94,10 +94,16 @@ object TextAnalysis {
     val t = trim(text)
     val nw = size(split(t, "[ \\t\\n]+"))
     val wordChars = length(regexp_replace(t, "[ \\t\\n]", ""))
-    val meanLen = round(wordChars.cast("double") / nw.cast("double"), 4)
+    // count ratios land ON .5 ties at 4dp (e.g. 39 chars / 8 words =
+    // 4.875·10⁴ = …5): deterministic floor-form rounding — floor of a
+    // double is exact on every engine, where round(double)'s tie rule
+    // is engine/version-specific (mirrored as floor(x*1e4+0.5)/1e4 in
+    // the oracle; see BASELINE.md "rounding determinism")
+    def rnd4(c: Column): Column = floor(c * lit(1e4) + lit(0.5d)) / lit(1e4)
+    val meanLen = rnd4(wordChars.cast("double") / nw.cast("double"))
     val nHash = length(t) - length(regexp_replace(t, "#", ""))
     val nEll = size(regexp_extract_all(t, lit("\\.\\.\\."), lit(0)))
-    val symRatio = round((nHash + nEll).cast("double") / nw.cast("double"), 4)
+    val symRatio = rnd4((nHash + nEll).cast("double") / nw.cast("double"))
     val stops = stopwordHits(text, "en")
     val wcOk = nw.between(50, 100000)
     val mlOk = meanLen.between(3.0, 10.0)

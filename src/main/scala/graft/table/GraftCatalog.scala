@@ -200,12 +200,15 @@ class GraftCatalog extends TableCatalog
   override def functionExists(ident: Identifier): Boolean =
     ident.namespace().isEmpty && ident.name() == "bucket"
 
-  /** `CREATE TABLE cat.t (cols…) [PARTITIONED BY (bucket(n, col))]
-    * [TBLPROPERTIES ('statsCols'='a,b', 'bloomCols'='c')]` — and the
-    * non-atomic half of CTAS (Spark creates, then INSERTs through the
-    * table's writer). The only partition transform this format has a
-    * layout for is `bucket(n, col)` ([[TxnTable.BucketSpec]] — the
-    * storage-partitioned-join layout); identity/days/etc. are refused
+  /** `CREATE TABLE cat.t (cols…) [PARTITIONED BY (bucket(n, col) |
+    * col | days(ts))] [TBLPROPERTIES ('statsCols'='a,b',
+    * 'bloomCols'='c')]` — and the non-atomic half of CTAS (Spark
+    * creates, then INSERTs through the table's writer). The format
+    * has two physical layouts, mutually exclusive: `bucket(n, col)`
+    * ([[TxnTable.BucketSpec]] — the storage-partitioned-join layout)
+    * and identity/`days` partitioning ([[TxnTable.PartitionSpec]] —
+    * per-file partition values, partition-pruned scans, O(metadata)
+    * `DELETE WHERE day = …` drops). Other transforms are refused
     * loudly rather than silently recorded-but-unenforced. Table
     * property keys `statsCols`/`bloomCols` opt columns into per-file
     * min/max stats and blooms for every future commit.
@@ -220,10 +223,31 @@ class GraftCatalog extends TableCatalog
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
     val spark = org.apache.spark.sql.SparkSession.active
-    val bucket = partitions.toSeq match {
-      case Seq() => None
+    import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+    // SQL identifiers resolve case-insensitively: canonicalize to the
+    // schema's spelling rather than failing on bucket(4, K)
+    def canonicalCol(raw: String, what: String): String = schema.fields
+      .find(_.name.equalsIgnoreCase(raw))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft catalog: $what column $raw is not in the schema"))
+      .name
+    def singleCol(
+        t: org.apache.spark.sql.connector.expressions.Transform,
+        what: String): String = {
+      val cols = t.arguments().collect {
+        case r: NamedReference if r.fieldNames().length == 1 =>
+          r.fieldNames()(0)
+      }
+      require(cols.length == 1 && t.arguments().length == cols.length,
+        s"graft catalog: $what transform takes a single top-level " +
+          "column")
+      canonicalCol(cols(0), what)
+    }
+    var bucket: Option[TxnTable.BucketSpec] = None
+    var part: Option[TxnTable.PartitionSpec] = None
+    partitions.toSeq match {
+      case Seq() => ()
       case Seq(t) if t.name() == "bucket" =>
-        import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
         val ns = t.arguments().collect {
           case l: Literal[_] if l.value().isInstanceOf[Number] =>
             l.value().asInstanceOf[Number].intValue()
@@ -235,21 +259,22 @@ class GraftCatalog extends TableCatalog
         require(ns.length == 1 && cols.length == 1,
           "graft catalog: bucket transform must be bucket(n, col) " +
             "with a single top-level column")
-        // SQL identifiers resolve case-insensitively: canonicalize to
-        // the schema's spelling rather than failing on bucket(4, K)
-        val canonical = schema.fields
-          .find(_.name.equalsIgnoreCase(cols(0)))
-          .getOrElse(throw new IllegalArgumentException(
-            s"graft catalog: bucket column ${cols(0)} is not in the " +
-              "schema"))
-          .name
-        Some(TxnTable.BucketSpec(canonical, ns(0)))
+        bucket = Some(TxnTable.BucketSpec(
+          canonicalCol(cols(0), "bucket"), ns(0)))
+      // `PARTITIONED BY (col)` — the identity layout: per-file
+      // partition values in the manifest, O(metadata) partition drops
+      case Seq(t) if t.name() == "identity" =>
+        part = Some(TxnTable.PartitionSpec(
+          singleCol(t, "identity partition"), "identity"))
+      // `PARTITIONED BY (days(ts))` — daily-partitioned ingest
+      case Seq(t) if t.name() == "days" =>
+        part = Some(TxnTable.PartitionSpec(
+          singleCol(t, "days partition"), "days"))
       case other =>
         throw new UnsupportedOperationException(
-          "graft catalog: only a single bucket(n, col) partition " +
-            s"transform is supported, got ${other.mkString(", ")} — " +
-            "this format has no layout for identity/time transforms " +
-            "(use cluster()/OPTIMIZE for sort layouts)")
+          "graft catalog: supported partitioning is a single " +
+            "bucket(n, col), identity column, or days(col) transform " +
+            s"— got ${other.mkString(", ")}")
     }
     def split(k: String): Seq[String] =
       Option(properties.get(k)).toSeq
@@ -259,7 +284,8 @@ class GraftCatalog extends TableCatalog
     TxnTable.create(spark, root, empty,
       statsCols = split("statsCols"),
       bloomCols = split("bloomCols"),
-      bucketBy = bucket)
+      bucketBy = bucket,
+      partitionBy = part)
     // persist the stats opt-in so SQL-driven writes (INSERT INTO, the
     // CTAS data write) inherit it — bloomCols is already manifest-
     // carried, statsCols needs the props sidecar

@@ -37,7 +37,10 @@ object GraftFilesFunction {
     StructField("n_rows", LongType, nullable = false),
     StructField("bytes", LongType, nullable = false),
     StructField("n_stats_cols", IntegerType, nullable = false),
-    StructField("n_dvs", IntegerType, nullable = false)))
+    StructField("n_dvs", IntegerType, nullable = false),
+    // identity/days layout: the file's partition value (canonical
+    // string space); NULL for layout-unaware or unpartitioned files
+    StructField("partition_value", StringType, nullable = true)))
 
   def builder(args: Seq[Expression]): LogicalPlan = {
     require(args.nonEmpty && args.length <= 2 &&
@@ -67,7 +70,8 @@ object GraftFilesFunction {
     val m = GraftTableProvider.manifestFor(conf, root, version)
     val rows = m.files.map { f =>
       InternalRow(UTF8String.fromString(f.path), f.rows, f.bytes,
-        f.stats.size, f.dvs.map(_.size).getOrElse(0))
+        f.stats.size, f.dvs.map(_.size).getOrElse(0),
+        f.pv.map(UTF8String.fromString).orNull)
     }
     LocalRelation(
       schema.fields.toIndexedSeq.map(f =>

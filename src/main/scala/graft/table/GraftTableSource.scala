@@ -274,11 +274,61 @@ class GraftTable(root: String, tableSchema: StructType,
       s"graft table DELETE: unsupported predicate " +
         s"${filters.mkString(", ")} (or time-travel/CDF relation)")
     val spark = org.apache.spark.sql.SparkSession.active
-    val cond = filters.flatMap(GraftTable.filterToColumn)
-      .reduceOption(_ && _)
-      .getOrElse(org.apache.spark.sql.functions.lit(true))
-    TxnTable.deleteWhere(spark, root, cond)
+    // PARTITION-DROP FAST PATH: a predicate that exactly names
+    // partition values of an identity-partitioned table (every
+    // conjunct an =/IN on the partition column) commits as an
+    // O(metadata) manifest operation — `DELETE WHERE day = …` never
+    // reads, let alone rewrites, a petabyte of untouched data.
+    partitionDropValues(filters) match {
+      case Some(vals) if vals.isEmpty => // contradictory =/IN conjuncts
+        () // predicate selects no partition: nothing to delete
+      case Some(vals) =>
+        TxnTable.dropPartitions(spark, root, vals)
+      case None =>
+        val cond = filters.flatMap(GraftTable.filterToColumn)
+          .reduceOption(_ && _)
+          .getOrElse(org.apache.spark.sql.functions.lit(true))
+        TxnTable.deleteWhere(spark, root, cond)
+    }
     ()
+  }
+
+  /** The exact partition-value set a DELETE predicate names, when —
+    * and only when — EVERY conjunct is an equality/IN on the
+    * identity-partition column with fully canonicalizable literals
+    * (conjuncts on other columns, or a non-identity transform, mean
+    * only SOME rows of a partition match → the rewrite path).
+    * Canonicalization must mirror the manifest's `CAST(value AS
+    * STRING)` space, same discipline as the scan's pv pruning.
+    */
+  private def partitionDropValues(
+      filters: Array[sources.Filter]): Option[Seq[String]] = {
+    if (filters.isEmpty) return None
+    val conf = new Configuration()
+    val spec = TxnTable.partitionSpec(conf, root)
+      .filter(_.transform == "identity").getOrElse(return None)
+    val m = GraftTableProvider.latestManifest(conf, root)
+    val cm = m.colMap.getOrElse(Map.empty[String, String])
+    val logical = cm.find(_._2 == spec.col).map(_._1).getOrElse(spec.col)
+    val colType = StructType.fromDDL(m.schemaDdl).fields
+      .find(_.name == logical).map(_.dataType).getOrElse(return None)
+    def canon(v: Any): Option[String] = (v, colType) match {
+      case (s: String, StringType) => Some(s)
+      case (i: java.lang.Integer, IntegerType) => Some(i.toString)
+      case (l: java.lang.Long, LongType) => Some(l.toString)
+      case (d: java.sql.Date, DateType) => Some(d.toLocalDate.toString)
+      case _ => None
+    }
+    val sets: Seq[Option[Set[String]]] = filters.toSeq.map {
+      case sources.EqualTo(c, v) if c == logical => canon(v).map(Set(_))
+      case sources.In(c, vs) if c == logical && vs.nonEmpty =>
+        val cs = vs.toSeq.map(canon)
+        if (cs.forall(_.isDefined)) Some(cs.flatten.toSet) else None
+      case _ => None
+    }
+    if (sets.forall(_.isDefined))
+      Some(sets.flatten.reduce(_ intersect _).toSeq.sorted)
+    else None
   }
   override def schema(): StructType = tableSchema
 
@@ -707,6 +757,47 @@ class GraftScan(
       else None
     }
 
+  /** Identity/days partition layout for pv file pruning, resolved once
+    * per plan: (logical column name, spec). Unlike [[bucketLayout]], a
+    * PARTIAL layout still prunes — files without a `pv` are kept
+    * conservatively per file, never trusted, so mixed-writer manifests
+    * degrade instead of disabling the index.
+    */
+  private lazy val partitionLayout
+      : Option[(String, TxnTable.PartitionSpec)] =
+    if (cdf) None
+    else TxnTable.partitionSpec(new Configuration(), root).flatMap {
+      spec =>
+        val m = pinnedManifest
+        val cm = m.colMap.getOrElse(Map.empty[String, String])
+        val logical =
+          cm.find(_._2 == spec.col).map(_._1).getOrElse(spec.col)
+        if (StructType.fromDDL(m.schemaDdl).fieldNames.contains(logical)
+            && !cm.get(logical).exists(_ != spec.col))
+          Some((logical, spec))
+        else None
+    }
+
+  /** A probe literal in the manifest's canonical pv space (`CAST(value
+    * AS STRING)`), for the types whose JVM rendering provably matches
+    * Spark's cast — the [[bloomHash]] discipline. Accepts both the v1
+    * filter EXTERNAL forms (String, java.sql.Date) and the runtime
+    * predicate INTERNAL forms (UTF8String, epoch-day Integer). None =
+    * this literal cannot prune.
+    */
+  private def pvCanonical(v: Any, colType: DataType): Option[String] =
+    (v, colType) match {
+      case (s: String, StringType) => Some(s)
+      case (u: UTF8String, StringType) => Some(u.toString)
+      case (i: java.lang.Integer, IntegerType) => Some(i.toString)
+      case (l: java.lang.Long, LongType) => Some(l.toString)
+      case (d: java.sql.Date, DateType) =>
+        Some(d.toLocalDate.toString)
+      case (i: java.lang.Integer, DateType) =>
+        Some(java.time.LocalDate.ofEpochDay(i.longValue).toString)
+      case _ => None
+    }
+
   /** STORAGE-PARTITIONED JOIN surface (SupportsReportPartitioning):
     * a bucketed table's scan declares `KeyGroupedPartitioning(
     * bucket(n, col))`, so joining two tables bucketed on their join
@@ -912,7 +1003,9 @@ class GraftScan(
     val statsCols = m.files.flatMap(_.stats.keys).map(logicalOf).toSet
     val bloomCols = m.bloomCols.getOrElse(Nil).toSet
     val bucketCol = bucketLayout.map(_._1).toSet
-    (statsCols ++ bloomCols ++ bucketCol)
+    val partCol = partitionLayout
+      .filter(_._2.transform == "identity").map(_._1).toSet
+    (statsCols ++ bloomCols ++ bucketCol ++ partCol)
       .filter(required.fieldNames.contains)
   }
 
@@ -1036,6 +1129,16 @@ class GraftScan(
         val hs = vals.map(bloomHash(_, t))
         if (hs.forall(_.isDefined)) Some(hs.flatten) else None
       }
+      // partition values (exact index, like bucket ids): only when the
+      // ENTIRE value list canonicalizes — a partial set could prune
+      // the file holding an unconverted value
+      val pvAllow: Option[Set[String]] = partitionLayout.collect {
+        case (l, spec) if l == c && spec.transform == "identity" =>
+          colType.map { t =>
+            val cs = vals.map(pvCanonical(_, t))
+            if (cs.forall(_.isDefined)) Some(cs.flatten.toSet) else None
+          }.flatten
+      }.flatten
       fs.filter { f =>
         val bOk = bucketIds.forall(ids => f.bucket.forall(ids.contains))
         val sOk = nums.forall(ns => f.stats.get(pc).forall(s =>
@@ -1045,7 +1148,8 @@ class GraftScan(
             val words = TxnTable.Bloom.fromB64(b64)
             hs.exists(h => TxnTable.Bloom.mightContain(words, h))
           })
-        bOk && sOk && blOk
+        val pOk = pvAllow.forall(a => f.pv.forall(a.contains))
+        bOk && sOk && blOk && pOk
       }
     }
 
@@ -1104,8 +1208,33 @@ class GraftScan(
           f.bucket.exists(b => probes.forall(_ == b)))
       case None => runtimePruned
     }
+    // PARTITION PRUNING: equality/IN probes on the partition column
+    // keep exactly the named partitions' files (files without a pv —
+    // layout-unaware writers — are kept conservatively). Conjuncts
+    // that fail to canonicalize simply don't prune; row-level filters
+    // still apply either way.
+    val partPruned = partitionLayout match {
+      case Some((logical, spec)) if spec.transform == "identity" =>
+        val colType =
+          tableSchema.fields.find(_.name == logical).map(_.dataType)
+        val probes: Seq[Set[String]] = colType.toSeq.flatMap { t =>
+          filters.toSeq.flatMap {
+            case sources.EqualTo(c, v) if c == logical =>
+              pvCanonical(v, t).map(Set(_))
+            case sources.In(c, vs) if c == logical && vs.nonEmpty =>
+              val cs = vs.toSeq.map(pvCanonical(_, t))
+              if (cs.forall(_.isDefined)) Some(cs.flatten.toSet)
+              else None
+            case _ => None
+          }
+        }
+        if (probes.isEmpty) bucketPruned
+        else bucketPruned.filter(f =>
+          f.pv.forall(p => probes.forall(_.contains(p))))
+      case _ => bucketPruned
+    }
     // runtime IN-values from dynamic partition pruning (join-key sets)
-    val pruned = dynamicPrune(bucketPruned, cm)
+    val pruned = dynamicPrune(partPruned, cm)
     // LIMIT-only bound: the prefix of files whose cumulative manifest
     // row counts reach the limit is sufficient — sound ONLY because no
     // row-level filter applies (enforced: with filters the bound is

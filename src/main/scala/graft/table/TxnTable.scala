@@ -81,6 +81,12 @@ object TxnTable {
     * metadata. Absent on files written before the field existed —
     * readers treat absence as unknown, never as zero.
     */
+  /** `pv`: the file's single partition value in canonical string form
+    * (see [[PartitionSpec]]; [[NullPv]] for all-null). Present only on
+    * files written through a partition-aware path; absence = unknown,
+    * readers keep the file conservatively and partition drops rewrite
+    * it scoped.
+    */
   case class FileEntry(
       path: String,
       rows: Long,
@@ -89,7 +95,8 @@ object TxnTable {
       blooms: Option[Map[String, String]] = None,
       dvs: Option[Seq[String]] = None,
       bucket: Option[Int] = None,
-      nulls: Option[Map[String, Long]] = None)
+      nulls: Option[Map[String, Long]] = None,
+      pv: Option[String] = None)
 
   /** One committed table version. `schemaDdl` is the snapshot's full
     * read schema — reads pass it explicitly, so files written before a
@@ -199,6 +206,91 @@ object TxnTable {
 
   private def bucketSpecPath(root: String): Path =
     new Path(s"$root/$LogDir", "_bucket.json")
+
+  /** IDENTITY / DATE PARTITION LAYOUT spec (`_log/_partition.json`):
+    * every data file holds rows of exactly ONE partition value —
+    * `col` itself (`identity`) or `to_date(col)` (`days`) — and the
+    * manifest records that value per file ([[FileEntry.pv]], the
+    * canonical `CAST(value AS STRING)` form; `"__NULL__"` for an
+    * all-null-partition file). Fixed at [[create]] and immutable,
+    * same sidecar rationale as [[BucketSpec]]; mutually exclusive
+    * with bucketing (one physical layout per table).
+    *
+    * What it buys at 100 TB — the single most common lakehouse
+    * layout (daily-partitioned ingest):
+    *   - `WHERE day = …` / `IN` probes and dynamic join-key pruning
+    *     keep exactly that partition's files, before stats or blooms
+    *     are consulted;
+    *   - `DELETE WHERE day = …` (retention, GDPR partition drops) is
+    *     an O(metadata) MANIFEST operation ([[dropPartitions]]) —
+    *     zero data IO where the COW path would rewrite the table;
+    *   - compaction bin-packs WITHIN partitions (the layout routes
+    *     every rewrite's rows back through the partition value).
+    *
+    * `col` is the PHYSICAL column name (fixed at create, like the
+    * bucket column — rename/drop of it is refused). Files written by
+    * layout-unaware writers (COW rewrites, streaming-sink epochs)
+    * carry no `pv`; readers keep them conservatively and
+    * [[dropPartitions]] rewrites exactly those files, scoped — the
+    * same graceful degradation the bucket layout has.
+    */
+  case class PartitionSpec(col: String, transform: String = "identity")
+
+  /** Manifest sentinel for "every row's partition value is NULL" —
+    * leads with a control char no CAST-to-STRING of a supported
+    * partition type can produce, so it cannot collide with a real
+    * string partition value.
+    */
+  private[table] val NullPv = "\u0001NULL"
+
+  private def partitionSpecPath(root: String): Path =
+    new Path(s"$root/$LogDir", "_partition.json")
+
+  /** The table's partition layout spec, if any — SparkSession-free
+    * (the DSv2 scan resolves it at planning time), one existence
+    * probe per plan, mirroring [[bucketSpec]].
+    */
+  def partitionSpec(
+      conf: Configuration, root: String): Option[PartitionSpec] = {
+    val p = partitionSpecPath(root)
+    val f = p.getFileSystem(conf)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val bytes =
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+          out.toByteArray
+        } finally in.close()
+      Some(Serialization.read[PartitionSpec](
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8)))
+    }
+  }
+
+  private def writePartitionSpec(
+      spark: SparkSession, root: String, spec: PartitionSpec): Unit = {
+    val p = partitionSpecPath(root)
+    val out = fs(spark, p).create(p, false) // never overwrite: immutable
+    try out.write(Serialization.write(spec)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The partition-value expression of a spec as a STRING column —
+    * the canonical space [[FileEntry.pv]] lives in. Probe literals
+    * must canonicalize through the SAME Spark cast (the scan and the
+    * DELETE fast path run a 1-row job for it, the
+    * [[snapshotPointEq]] discipline).
+    */
+  private[table] def partitionValueExpr(
+      spec: PartitionSpec): org.apache.spark.sql.Column =
+    spec.transform match {
+      case "identity" => col(spec.col).cast("string")
+      case "days" => to_date(col(spec.col)).cast("string")
+      case t => sys.error(s"unknown partition transform '$t' " +
+        "(supported: identity, days)")
+    }
 
   /** The table's bucket layout spec, if any — SparkSession-free (the
     * DSv2 scan resolves it at planning time). One existence probe per
@@ -578,7 +670,8 @@ object TxnTable {
       statsCols: Seq[String],
       tag: String,
       bloomCols: Seq[String] = Nil,
-      bucket: Option[BucketSpec] = None): Seq[FileEntry] = {
+      bucket: Option[BucketSpec] = None,
+      partition: Option[PartitionSpec] = None): Seq[FileEntry] = {
     val rel = s"$DataDir/c$tag-${java.util.UUID.randomUUID.toString.take(8)}"
     val dir = new Path(root, rel)
     // Bucketed layout: route rows through Spark's own HashPartitioning
@@ -589,20 +682,53 @@ object TxnTable {
     // (an evolution-era append predating the column): readers detect
     // unbucketed files and fall back rather than trust a wrong id.
     val bucketed = bucket.filter(b => df.columns.contains(b.col))
-    val toWrite = bucketed match {
-      // sort inside each bucket file (cheap: per-task, in-memory) —
-      // what lets the scan report a per-partition ordering and a
-      // co-bucketed SMJ skip its sorts
-      case Some(BucketSpec(c, n, _)) =>
-        df.repartition(n, col(c)).sortWithinPartitions(col(c))
-      case None => df
+    // Identity/date partition layout (mutually exclusive with buckets):
+    // rows shuffle by partition value, then Spark's dynamic-partition
+    // write (`partitionBy` on a derived column the data files do NOT
+    // carry — the real column stays in the data) splits each task's
+    // rows so every file holds exactly ONE value. Same evolution
+    // degradation as buckets when the column is absent from this df.
+    val parted = bucket match {
+      case Some(_) => None // layouts are exclusive; create() enforces
+      case None => partition.filter(p => df.columns.contains(p.col))
     }
-    toWrite.write.parquet(dir.toString)
+    val pvCol = "_graft_pv"
+    parted match {
+      case Some(p) =>
+        df.withColumn(pvCol, partitionValueExpr(p))
+          .repartition(col(pvCol))
+          .write.partitionBy(pvCol).parquet(dir.toString)
+      case None =>
+        val toWrite = bucketed match {
+          // sort inside each bucket file (cheap: per-task, in-memory) —
+          // what lets the scan report a per-partition ordering and a
+          // co-bucketed SMJ skip its sorts
+          case Some(BucketSpec(c, n, _)) =>
+            df.repartition(n, col(c)).sortWithinPartitions(col(c))
+          case None => df
+        }
+        toWrite.write.parquet(dir.toString)
+    }
 
     val f = fs(spark, dir)
-    val parts = f.listStatus(dir).toSeq
-      .filter(_.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName)
+    // partitioned writes land one directory level down (`_graft_pv=v/
+    // part-*`), where FILE NAMES repeat across value dirs (one task
+    // writes its name into every value it holds) — so files are keyed
+    // by their dir-relative SUBPATH, which is also what the manifest
+    // records. Flat writes: subpath == name, unchanged behavior.
+    val dirAbs = dir.toUri.getPath.stripSuffix("/")
+    def subOf(p: Path): String =
+      p.toUri.getPath.stripPrefix(dirAbs).stripPrefix("/")
+    val parts: Seq[org.apache.hadoop.fs.FileStatus] = {
+      val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+      val it = f.listFiles(dir, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+          out += st
+      }
+      out.result().sortBy(st => subOf(st.getPath))
+    }
 
     val fields = statsCols.flatMap(c =>
       df.schema.fields.find(_.name == c).flatMap(fd =>
@@ -612,7 +738,7 @@ object TxnTable {
     val bloomFields = bloomCols.filter(c => df.schema.fields.exists(_.name == c))
     val bloomUdaf = udaf(new BloomAgg,
       org.apache.spark.sql.Encoders.LONG)
-    val aggs = (count(lit(1)).as("_rows") +:
+    val aggs = ((count(lit(1)).as("_rows") +:
       fields.flatMap { case (n, e) =>
         // count(col) is the NON-NULL count: rows − it = the null count
         // (free in the same pass; an all-null file has no min/max but
@@ -620,14 +746,22 @@ object TxnTable {
         Seq(min(e).as(s"_min_$n"), max(e).as(s"_max_$n"),
           count(col(n)).as(s"_nn_$n"))
       }) ++ bloomFields.map(c =>
-        bloomUdaf(xxhash64(col(c).cast("string"))).as(s"_bloom_$c"))
+        bloomUdaf(xxhash64(col(c).cast("string"))).as(s"_bloom_$c"))) ++
+      // partition value recovered from the DATA in the same pass (not
+      // parsed out of escaped dir names): per-file min==max by the
+      // partitionBy split's construction; the agg proves it anyway
+      parted.toSeq.flatMap { p =>
+        val e = partitionValueExpr(p)
+        Seq(min(e).as("_pv_min"), max(e).as("_pv_max"),
+          count(e).as("_pv_nn"))
+      }
     val byFile: Map[String, Row] =
       if (parts.isEmpty) Map.empty
       else spark.read.parquet(dir.toString)
         .groupBy(input_file_name().as("_file"))
         .agg(aggs.head, aggs.tail: _*)
         .collect()
-        .map(r => new Path(r.getString(0)).getName -> r)
+        .map(r => subOf(new Path(r.getString(0))) -> r)
         .toMap
 
     val partIdx = "part-(\\d+)-.*".r
@@ -636,9 +770,21 @@ object TxnTable {
         case partIdx(i) => Some(i.toInt)
         case _ => None
       })
+    def pvOf(r: Row, rowsN: Long): Option[String] =
+      parted.flatMap { _ =>
+        val nn = r.getAs[Long]("_pv_nn")
+        if (nn == 0L) Some(NullPv)
+        else {
+          val mi = r.getAs[String]("_pv_min")
+          val ma = r.getAs[String]("_pv_max")
+          // single-valued with no null admixture, or no claim at all
+          if (nn == rowsN && mi != null && mi == ma) Some(mi) else None
+        }
+      }
     parts.map { st =>
+      val sub = subOf(st.getPath)
       val name = st.getPath.getName
-      byFile.get(name) match {
+      byFile.get(sub) match {
         case Some(r) =>
           val stats = fields.flatMap { case (n, _) =>
             val mi = r.getAs[Any](s"_min_$n")
@@ -662,12 +808,13 @@ object TxnTable {
           val nulls = fields.map { case (n, _) =>
             n -> (rowsN - r.getAs[Long](s"_nn_$n"))
           }.toMap
-          FileEntry(s"$rel/$name", rowsN, st.getLen, stats,
+          FileEntry(s"$rel/$sub", rowsN, st.getLen, stats,
             if (blooms.isEmpty) None else Some(blooms),
             bucket = bucketIdOf(name),
-            nulls = if (nulls.isEmpty) None else Some(nulls))
+            nulls = if (nulls.isEmpty) None else Some(nulls),
+            pv = pvOf(r, rowsN))
         case None => // zero-row part file: no group, no stats
-          FileEntry(s"$rel/$name", 0L, st.getLen, Map.empty,
+          FileEntry(s"$rel/$sub", 0L, st.getLen, Map.empty,
             bucket = bucketIdOf(name))
       }
     }
@@ -732,9 +879,13 @@ object TxnTable {
       statsCols: Seq[String] = Seq.empty,
       constraints: Map[String, String] = Map.empty,
       bloomCols: Seq[String] = Seq.empty,
-      bucketBy: Option[BucketSpec] = None): Long = {
+      bucketBy: Option[BucketSpec] = None,
+      partitionBy: Option[PartitionSpec] = None): Long = {
     require(latestVersion(spark, root).isEmpty,
       s"table already exists at $root")
+    require(bucketBy.isEmpty || partitionBy.isEmpty,
+      "bucketBy and partitionBy are mutually exclusive — one physical " +
+        "layout per table")
     bucketBy.foreach { b =>
       require(b.n > 0 && b.n <= 100000,
         s"bucketBy: bucket count must be in [1, 100000], got ${b.n}")
@@ -748,9 +899,31 @@ object TxnTable {
         s"bucketBy column ${b.col}: type ${field.dataType} is not " +
           "bucketable — supported: INT, BIGINT, STRING, DATE")
     }
+    partitionBy.foreach { p =>
+      val field = df.schema.fields.find(_.name == p.col).getOrElse(
+        sys.error(s"partitionBy column ${p.col} is not in the data"))
+      // identity: types whose CAST AS STRING the scan's probe
+      // canonicalization provably replicates; days: time types only
+      p.transform match {
+        case "identity" =>
+          require(Set[DataType](IntegerType, LongType, StringType,
+              DateType).contains(field.dataType),
+            s"partitionBy column ${p.col}: type ${field.dataType} is " +
+              "not identity-partitionable — supported: INT, BIGINT, " +
+              "STRING, DATE")
+        case "days" =>
+          require(field.dataType == TimestampType ||
+              field.dataType == TimestampNTZType ||
+              field.dataType == DateType,
+            s"partitionBy days(${p.col}): type ${field.dataType} is " +
+              "not a time type — supported: TIMESTAMP, DATE")
+        case t => sys.error(s"unknown partition transform '$t' " +
+          "(supported: identity, days)")
+      }
+    }
     enforceConstraints(df, constraints)
     val files = writeFiles(spark, root, df, statsCols, "0", bloomCols,
-      bucketBy)
+      bucketBy, partitionBy)
     val m = Manifest(0L, "create", System.currentTimeMillis(),
       df.schema.toDDL, files,
       constraints = if (constraints.isEmpty) None else Some(constraints),
@@ -765,6 +938,7 @@ object TxnTable {
     // flag records that every layout writer sorts within buckets.
     bucketBy.foreach(b =>
       writeBucketSpec(spark, root, b.copy(sorted = Some(true))))
+    partitionBy.foreach(p => writePartitionSpec(spark, root, p))
     0L
   }
 
@@ -794,7 +968,8 @@ object TxnTable {
       toPhysical(conform(df, merged), cm),
       statsColsFor(spark, root, statsCols).map(c => cm.getOrElse(c, c)),
       v0.toString, bloomColsOf(base).map(c => cm.getOrElse(c, c)),
-      bucketSpec(spark.sparkContext.hadoopConfiguration, root))
+      bucketSpec(spark.sparkContext.hadoopConfiguration, root),
+      partitionSpec(spark.sparkContext.hadoopConfiguration, root))
     var v = v0
     while (!tryCommit(spark, root, {
         val cur = readManifest(spark, root, v - 1)
@@ -840,7 +1015,8 @@ object TxnTable {
       statsColsFor(spark, root, statsCols).map(c => cmB.getOrElse(c, c)),
       s"b$batchId",
       base.map(bloomColsOf).getOrElse(Nil).map(c => cmB.getOrElse(c, c)),
-      bucketSpec(spark.sparkContext.hadoopConfiguration, root))
+      bucketSpec(spark.sparkContext.hadoopConfiguration, root),
+      partitionSpec(spark.sparkContext.hadoopConfiguration, root))
     var result: Option[Long] = None
     var done = false
     while (!done) {
@@ -949,9 +1125,17 @@ object TxnTable {
       val bspec =
         if (op == "cluster") None
         else bucketSpec(spark.sparkContext.hadoopConfiguration, root)
+      // the PARTITION layout survives even cluster/zorder: a file
+      // mixing partition values would lose its pv and silently turn
+      // O(metadata) partition drops back into rewrites — the layout
+      // is the stronger invariant, so OPTIMIZE sorts WITHIN the
+      // partition routing (partitionBy splits per value regardless of
+      // the incoming organization)
+      val pspec = partitionSpec(
+        spark.sparkContext.hadoopConfiguration, root)
       val files = writeFiles(spark, root, out,
         statsColsFor(spark, root, statsCols), v.toString,
-        bloomColsOf(cur), bspec)
+        bloomColsOf(cur), bspec, pspec)
       // a full rewrite MATERIALIZES any column mapping: `out` carries
       // logical names, the new files are written under them, so
       // colMap/retired reset to None (old manifests keep theirs for
@@ -1138,7 +1322,8 @@ object TxnTable {
         statsColsFor(spark, root, statsCols).map(c => cmS.getOrElse(c, c)),
         v.toString,
         bloomColsOf(cur).map(c => cmS.getOrElse(c, c)),
-        bucketSpec(spark.sparkContext.hadoopConfiguration, root))
+        bucketSpec(spark.sparkContext.hadoopConfiguration, root),
+      partitionSpec(spark.sparkContext.hadoopConfiguration, root))
       if (tryCommit(spark, root, Manifest(v, "merge",
           System.currentTimeMillis(), cur.schemaDdl, kept ++ files,
           cur.streamHwm, cur.constraints, cur.bloomCols,
@@ -1285,6 +1470,76 @@ object TxnTable {
       snap.filter(!coalesce(cond, lit(false)))
     }
 
+  /** O(METADATA) PARTITION DROP — the retention/GDPR operation an
+    * identity/days-partitioned table exists for: files whose manifest
+    * `pv` matches a dropped value leave the new manifest WITHOUT being
+    * read (zero data IO; their bytes await [[vacuum]] like any
+    * rewrite's). `values` are canonical partition-value strings (the
+    * [[FileEntry.pv]] space — [[NullPv]] drops the null partition).
+    *
+    * Layout-unaware files (COW rewrites, streaming-sink epochs carry
+    * no `pv`) may hold matching rows: EXACTLY those files are
+    * rewritten, scoped — O(stragglers), usually zero, never O(table).
+    * Under [[enableCdf]] the dropped rows materialize as delete change
+    * rows — priced O(dropped partitions), the unavoidable CDF floor.
+    * Returns the committed version (current one when nothing matched).
+    */
+  def dropPartitions(
+      spark: SparkSession,
+      root: String,
+      values: Seq[String],
+      statsCols: Seq[String] = Seq.empty): Long = {
+    val spec = partitionSpec(spark.sparkContext.hadoopConfiguration, root)
+      .getOrElse(sys.error(s"table at $root has no partition layout — " +
+        "use deleteWhere()"))
+    require(values.nonEmpty, "dropPartitions: no partition values given")
+    val vs = values.toSet
+    var committed = -1L
+    while (committed < 0) {
+      val cur = latestManifest(spark, root).getOrElse(
+        sys.error(s"no table at $root — create() first"))
+      val (dropped, rest) =
+        cur.files.partition(f => f.pv.exists(vs.contains))
+      val (unknown, kept) =
+        rest.partition(f => f.pv.isEmpty && f.rows > 0)
+      if (dropped.isEmpty && unknown.isEmpty)
+        return cur.version // nothing to drop, nothing to commit
+      val cm = colMapOf(cur)
+      val logicalPcol =
+        cm.find(_._2 == spec.col).map(_._1).getOrElse(spec.col)
+      val pvLogical = coalesce(
+        partitionValueExpr(spec.copy(col = logicalPcol)), lit(NullPv))
+      val v = cur.version + 1
+      val newFiles =
+        if (unknown.isEmpty) Seq.empty
+        else {
+          val snapU = snapshotOf(spark, root, cur.copy(files = unknown))
+          val outU = snapU.filter(!pvLogical.isin(vs.toSeq: _*))
+          writeFiles(spark, root, toPhysical(outU, cm),
+            statsColsFor(spark, root, statsCols)
+              .map(c => cm.getOrElse(c, c)),
+            v.toString,
+            bloomColsOf(cur).map(c => cm.getOrElse(c, c)),
+            partition = Some(spec))
+        }
+      val cand = Manifest(v, "drop-partition", System.currentTimeMillis(),
+        cur.schemaDdl, kept ++ newFiles, cur.streamHwm, cur.constraints,
+        cur.bloomCols, cur.colMap, cur.retired)
+      val cdfRel = cdfKeysOf(spark, root).map { keys =>
+        val rel = s"$ChangeDir/v$v-" +
+          java.util.UUID.randomUUID.toString.take(8)
+        diffRows(
+          snapshotOf(spark, root, cur.copy(files = dropped ++ unknown)),
+          snapshotOf(spark, root, cand.copy(files = newFiles)), keys)
+          .write.parquet(s"$root/$rel")
+        rel
+      }
+      if (tryCommit(spark, root, cand.copy(cdfDir = cdfRel)))
+        committed = v
+    }
+    committed
+  }
+
   /** MERGE-ON-READ delete: commit a deletion-vector sidecar instead of
     * rewriting data — the O(|tombstones|) delete a 100 TB table needs
     * ([[delete]] rewrites the whole snapshot; a GDPR purge of a few
@@ -1414,6 +1669,13 @@ object TxnTable {
         .foreach(b => require(b.col != physNameIn(cur, from),
           s"renameColumn: '$from' is the table's bucket column — the " +
             "layout is fixed at create; re-create the table to change it"))
+      // same invariant for the partition layout: its sidecar names the
+      // creation-time physical column forever
+      partitionSpec(spark.sparkContext.hadoopConfiguration, root)
+        .foreach(p => require(p.col != physNameIn(cur, from),
+          s"renameColumn: '$from' is the table's partition column — " +
+            "the layout is fixed at create; re-create the table to " +
+            "change it"))
       val phys = physNameIn(cur, from)
       val cm2 = (colMapOf(cur) - from) ++
         (if (to == phys) Map.empty[String, String] else Map(to -> phys))
@@ -1467,6 +1729,11 @@ object TxnTable {
         .foreach(b => require(b.col != physNameIn(cur, column),
           s"dropColumn: '$column' is the table's bucket column — the " +
             "layout is fixed at create; re-create the table to change it"))
+      partitionSpec(spark.sparkContext.hadoopConfiguration, root)
+        .foreach(p => require(p.col != physNameIn(cur, column),
+          s"dropColumn: '$column' is the table's partition column — " +
+            "the layout is fixed at create; re-create the table to " +
+            "change it"))
       val phys = physNameIn(cur, column)
       val cm2 = colMapOf(cur) - column
       val retired2 = (cur.retired.getOrElse(Nil) :+ phys).distinct
@@ -1647,7 +1914,8 @@ object TxnTable {
         statsColsFor(spark, root, statsCols).map(c => cm.getOrElse(c, c)),
         v.toString,
         bloomColsOf(cur).map(c => cm.getOrElse(c, c)),
-        bucketSpec(spark.sparkContext.hadoopConfiguration, root))
+        bucketSpec(spark.sparkContext.hadoopConfiguration, root),
+      partitionSpec(spark.sparkContext.hadoopConfiguration, root))
       if (tryCommit(spark, root, Manifest(v, "compact",
           System.currentTimeMillis(), cur.schemaDdl, kept ++ files,
           cur.streamHwm, cur.constraints, cur.bloomCols,

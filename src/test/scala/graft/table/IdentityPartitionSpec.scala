@@ -1,0 +1,219 @@
+package graft.table
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{sources, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IDENTITY / DAYS PARTITION LAYOUT ([[TxnTable.PartitionSpec]]):
+  * every data file carries its single partition value in the manifest
+  * (`pv`), equality/IN scans prune to the named partitions' files,
+  * and `DELETE WHERE <partition> = …` commits as an O(metadata)
+  * manifest operation ([[TxnTable.dropPartitions]]) — kept files
+  * carry forward VERBATIM, dropped files are never read. Also pins
+  * the degradation contract: layout-unaware files (no pv) are kept
+  * conservatively by scans and rewritten SCOPED by partition drops.
+  */
+class IdentityPartitionSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession =
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_idpart").toString
+
+  private def cat(root: String, name: String): String = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.table.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse",
+      p.getParent.toString)
+    s"$name.`${p.getName}`"
+  }
+
+  private def statusDf(lo: Int, hi: Int) = {
+    import spark.implicits._
+    spark.range(lo, hi).select(col("id").as("k"),
+      when(col("id") % 3 === 0, "A")
+        .when(col("id") % 3 === 1, "B").otherwise("C").as("st"),
+      (col("id") * 7 % 11).cast("double").as("v"))
+  }
+
+  private def latest(root: String): TxnTable.Manifest =
+    TxnTable.readManifest(spark, root,
+      TxnTable.versions(spark, root).max)
+
+  test("every file written through create/append carries its single " +
+      "partition value; snapshot round-trips") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, statusDf(0, 90), Seq("k"),
+      partitionBy = Some(TxnTable.PartitionSpec("st")))
+    TxnTable.append(spark, root, statusDf(90, 120), Seq("k"))
+    val m = latest(root)
+    assert(m.files.nonEmpty)
+    assert(m.files.filter(_.rows > 0).forall(_.pv.isDefined),
+      s"pv missing on ${m.files.filterNot(_.pv.isDefined)}")
+    assert(m.files.flatMap(_.pv).toSet == Set("A", "B", "C"))
+    // every file is genuinely single-valued
+    assert(TxnTable.snapshot(spark, root).count() == 120)
+    val perPart = TxnTable.snapshot(spark, root)
+      .groupBy("st").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perPart == Map("A" -> 40L, "B" -> 40L, "C" -> 40L))
+  }
+
+  test("equality and IN probes on the partition column prune the " +
+      "planned file set to the named partitions") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, statusDf(0, 90), Seq("k"),
+      partitionBy = Some(TxnTable.PartitionSpec("st")))
+    TxnTable.append(spark, root, statusDf(90, 120), Seq("k"))
+    val m = latest(root)
+    val schema = StructType.fromDDL(m.schemaDdl)
+    def planned(fs: Array[sources.Filter]): Seq[String] = {
+      val b = new GraftScanBuilder(root, schema)
+      b.pushFilters(fs)
+      b.build().asInstanceOf[GraftScan].planInputPartitions()
+        .map(_.asInstanceOf[GraftInputPartition].relPath).toSeq
+    }
+    val all = planned(Array.empty)
+    val eq = planned(Array(sources.EqualTo("st", "A")))
+    val in = planned(Array(sources.In("st", Array("A", "B"))))
+    val aFiles = m.files.filter(_.pv.contains("A")).map(_.path)
+    assert(eq.toSet == aFiles.toSet,
+      s"expected exactly partition A's files, got $eq of $all")
+    assert(in.toSet ==
+      m.files.filter(_.pv.exists(Set("A", "B"))).map(_.path).toSet)
+    assert(all.size > eq.size && in.size > eq.size)
+    // pruning never drops rows the predicate selects
+    assert(TxnTable.snapshot(spark, root)
+      .filter(col("st") === "A").count() == 40)
+  }
+
+  test("dropPartitions is O(metadata): kept files carry forward " +
+      "verbatim, dropped files leave without being read") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, statusDf(0, 90), Seq("k"),
+      partitionBy = Some(TxnTable.PartitionSpec("st")))
+    val before = latest(root)
+    val keptBefore = before.files.filterNot(_.pv.contains("B"))
+    val v = TxnTable.dropPartitions(spark, root, Seq("B"))
+    val after = latest(root)
+    assert(after.version == v && after.op == "drop-partition")
+    // VERBATIM carry: identical entries, not just same paths
+    assert(after.files.toSet == keptBefore.toSet)
+    assert(TxnTable.snapshot(spark, root)
+      .filter(col("st") === "B").count() == 0)
+    assert(TxnTable.snapshot(spark, root).count() == 60)
+    // idempotent no-op: nothing matches, no new commit
+    assert(TxnTable.dropPartitions(spark, root, Seq("B")) == v)
+  }
+
+  test("SQL DELETE WHERE <partition> = value routes through the " +
+      "O(metadata) drop; a mixed predicate stays a rewrite") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, statusDf(0, 90), Seq("k"),
+      partitionBy = Some(TxnTable.PartitionSpec("st")))
+    val t = cat(root, "gidp")
+    spark.sql(s"DELETE FROM $t WHERE st = 'C'")
+    assert(latest(root).op == "drop-partition")
+    assert(spark.sql(s"SELECT COUNT(*) c FROM $t").head().getLong(0)
+      == 60)
+    // predicate touching a non-partition column must NOT drop whole
+    // partitions — it rewrites
+    spark.sql(s"DELETE FROM $t WHERE st = 'A' AND k < 30")
+    assert(latest(root).op == "delete")
+    val left = spark.sql(
+      s"SELECT st, COUNT(*) c FROM $t GROUP BY st ORDER BY st")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(left("B") == 30 && left("A") == 20 && !left.contains("C"))
+  }
+
+  test("layout-unaware files (SQL UPDATE's COW writer) degrade " +
+      "gracefully: scans keep them, partition drops rewrite them " +
+      "scoped — rows stay exact") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, statusDf(0, 90), Seq("k"),
+      partitionBy = Some(TxnTable.PartitionSpec("st")))
+    val t = cat(root, "gidp2")
+    // COW rewrite: produces pv-less files for the touched group
+    spark.sql(s"UPDATE $t SET v = v + 100 WHERE k = 6")
+    val m = latest(root)
+    assert(m.files.exists(f => f.pv.isEmpty && f.rows > 0),
+      "expected the COW writer to produce layout-unaware files")
+    // equality probe still returns exact rows (unknown files kept)
+    assert(spark.sql(s"SELECT COUNT(*) c FROM $t WHERE st = 'B'")
+      .head().getLong(0) == 30)
+    // partition drop: B's known files leave via metadata; the unknown
+    // files are rewritten scoped; result is exact
+    TxnTable.dropPartitions(spark, root, Seq("B"))
+    val after = TxnTable.snapshot(spark, root)
+    assert(after.filter(col("st") === "B").count() == 0)
+    assert(after.count() == 60)
+    assert(after.filter(col("k") === 6).head().getDouble(2) > 100,
+      "the COW update must survive the scoped rewrite")
+    // the scoped rewrite's replacement files are partition-aware again
+    assert(latest(root).files.filter(_.rows > 0).forall(_.pv.isDefined))
+  }
+
+  test("days(ts) partitioning: per-file pv is the UTC day; DELETE of " +
+      "one day via dropPartitions") {
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try {
+      val root = freshRoot()
+      val df = spark.range(0, 96).select(col("id").as("k"),
+        timestamp_seconds(lit(1700000000L) + col("id") * 3600)
+          .as("ts"),
+        (col("id") % 5).cast("double").as("v"))
+      TxnTable.create(spark, root, df, Seq("k"),
+        partitionBy = Some(TxnTable.PartitionSpec("ts", "days")))
+      val m = latest(root)
+      assert(m.files.filter(_.rows > 0).forall(_.pv.isDefined))
+      val days = m.files.flatMap(_.pv).distinct.sorted
+      assert(days.size == 5, s"96 hourly rows span 5 UTC days: $days")
+      val dropDay = days.head
+      TxnTable.dropPartitions(spark, root, Seq(dropDay))
+      val snap = TxnTable.snapshot(spark, root)
+      assert(snap.filter(to_date(col("ts")).cast("string") === dropDay)
+        .count() == 0)
+      assert(snap.count() ==
+        96 - df.filter(to_date(col("ts")).cast("string") === dropDay)
+          .count())
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("catalog DDL: CREATE TABLE PARTITIONED BY (col), INSERT " +
+      "through SQL keeps the layout, graft_files surfaces pv, " +
+      "rename/drop of the partition column are refused") {
+    val root = freshRoot()
+    val t = cat(root, "gidp3")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, st STRING, v DOUBLE) " +
+      "PARTITIONED BY (st) TBLPROPERTIES ('statsCols'='k')")
+    assert(TxnTable.partitionSpec(
+      spark.sparkContext.hadoopConfiguration, root)
+      .contains(TxnTable.PartitionSpec("st", "identity")))
+    statusDf(0, 60).createOrReplaceTempView("idp_src")
+    spark.sql(s"INSERT INTO $t SELECT k, st, v FROM idp_src")
+    val m = latest(root)
+    assert(m.files.filter(_.rows > 0).forall(_.pv.isDefined),
+      "SQL INSERT must write partition-aware files")
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t RENAME COLUMN st TO status")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t DROP COLUMN st")
+    }
+    // mutually-exclusive layouts refused at create
+    intercept[Exception] {
+      TxnTable.create(spark, freshRoot(), statusDf(0, 10),
+        bucketBy = Some(TxnTable.BucketSpec("k", 4)),
+        partitionBy = Some(TxnTable.PartitionSpec("st")))
+    }
+  }
+}

@@ -71,11 +71,20 @@ class SqlDdlSpec extends AnyFunSuite {
   test("unsupported partition transforms are refused loudly — the " +
       "format records no layout it cannot enforce") {
     val wh = warehouse(); cat(wh, "gd3")
+    // identity (PARTITIONED BY (d)) and days(d) ARE layouts now
+    // (IdentityPartitionSpec); hours/years and composite specs are not
     val e = intercept[Exception] {
-      spark.sql("CREATE TABLE gd3.t (k BIGINT, d DATE) " +
-        "PARTITIONED BY (d)")
+      spark.sql("CREATE TABLE gd3.t (k BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (hours(ts))")
     }
-    assert(e.getMessage.contains("bucket"))
+    assert(e.getMessage.contains("bucket") ||
+      e.getMessage.contains("transform"))
+    val e2 = intercept[Exception] {
+      spark.sql("CREATE TABLE gd3.t (k BIGINT, d DATE, s STRING) " +
+        "PARTITIONED BY (d, s)")
+    }
+    assert(e2.getMessage.contains("single") ||
+      e2.getMessage.contains("transform"))
     // nothing half-created
     assert(!new java.io.File(s"$wh/t").exists())
   }
