@@ -256,11 +256,13 @@ class GraftCatalog extends TableCatalog
           case r: NamedReference if r.fieldNames().length == 1 =>
             r.fieldNames()(0)
         }
-        require(ns.length == 1 && cols.length == 1,
-          "graft catalog: bucket transform must be bucket(n, col) " +
-            "with a single top-level column")
-        bucket = Some(TxnTable.BucketSpec(
-          canonicalCol(cols(0), "bucket"), ns(0)))
+        require(ns.length == 1 && cols.nonEmpty &&
+            ns.length + cols.length == t.arguments().length,
+          "graft catalog: bucket transform must be " +
+            "bucket(n, col[, col…]) with top-level columns")
+        val canon = cols.toSeq.map(canonicalCol(_, "bucket"))
+        bucket = Some(TxnTable.BucketSpec(canon.head, ns(0),
+          cols = if (canon.length > 1) Some(canon) else None))
       // `PARTITIONED BY (col)` — the identity layout: per-file
       // partition values in the manifest, O(metadata) partition drops
       case Seq(t) if t.name() == "identity" =>

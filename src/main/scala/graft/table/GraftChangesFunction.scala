@@ -44,10 +44,11 @@ object GraftChangesFunction {
           a.dataType == LongType || a.dataType == IntegerType),
       s"$name expects (path STRING, fromVersion INT, toVersion INT), " +
         "all foldable")
-    val root = Option(args.head.eval(InternalRow.empty))
-      .map(_.toString)
-      .getOrElse(throw new IllegalArgumentException(
-        s"$name: path must not be NULL"))
+    val root = GraftTvf.resolveRoot(name,
+      Option(args.head.eval(InternalRow.empty))
+        .map(_.toString)
+        .getOrElse(throw new IllegalArgumentException(
+          s"$name: path must not be NULL")))
     def ver(e: Expression): Long =
       Option(e.eval(InternalRow.empty)) match {
         case Some(i: Integer) => i.longValue
@@ -57,15 +58,6 @@ object GraftChangesFunction {
       }
     val fromV = ver(args(1)); val toV = ver(args(2))
     val session = org.apache.spark.sql.SparkSession.active
-    Option(session.conf.get("spark.graft.sql.history.root", null))
-      .filter(_.nonEmpty).foreach { allow =>
-        val rootN = java.nio.file.Paths.get(root).normalize().toString
-        val allowN = java.nio.file.Paths.get(allow).normalize()
-          .toString.stripSuffix("/")
-        require(rootN == allowN || rootN.startsWith(allowN + "/"),
-          s"$name: path '$root' is outside the configured " +
-            s"spark.graft.sql.history.root '$allow'")
-      }
     val keys = TxnTable.cdfKeysOf(session, root).getOrElse(
       throw new IllegalArgumentException(
         s"$name: table at $root has no change data feed — enable it " +

@@ -47,25 +47,17 @@ object GraftFilesFunction {
         args.forall(_.foldable) && args.head.dataType == StringType,
       s"$name expects a foldable STRING path and an optional " +
         "INTEGER version")
-    val root = Option(args.head.eval(InternalRow.empty))
-      .map(_.toString)
-      .getOrElse(throw new IllegalArgumentException(
-        s"$name: path must not be NULL"))
+    val root = GraftTvf.resolveRoot(name,
+      Option(args.head.eval(InternalRow.empty))
+        .map(_.toString)
+        .getOrElse(throw new IllegalArgumentException(
+          s"$name: path must not be NULL")))
     val version = args.drop(1).headOption.map { e =>
       Option(e.eval(InternalRow.empty)).map(_.toString.toLong)
         .getOrElse(throw new IllegalArgumentException(
           s"$name: version must not be NULL"))
     }
     val session = org.apache.spark.sql.SparkSession.active
-    Option(session.conf.get("spark.graft.sql.history.root", null))
-      .filter(_.nonEmpty).foreach { allow =>
-        val rootN = java.nio.file.Paths.get(root).normalize().toString
-        val allowN = java.nio.file.Paths.get(allow).normalize()
-          .toString.stripSuffix("/")
-        require(rootN == allowN || rootN.startsWith(allowN + "/"),
-          s"$name: path '$root' is outside the configured " +
-            s"spark.graft.sql.history.root '$allow'")
-      }
     val conf = session.sessionState.newHadoopConf()
     val m = GraftTableProvider.manifestFor(conf, root, version)
     val rows = m.files.map { f =>

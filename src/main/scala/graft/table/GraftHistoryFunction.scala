@@ -44,8 +44,9 @@ object GraftHistoryFunction {
   val name = "graft_history"
 
   val info = new ExpressionInfo(getClass.getCanonicalName, name,
-    "graft_history(path) - commit history of the graft table at `path` " +
-      "(version, op, timestamp_ms, n_files, n_rows); metadata-only.")
+    "graft_history(pathOrIdent) - commit history of the graft table " +
+      "at a path or catalog identifier (version, op, timestamp_ms, " +
+      "n_files, n_rows); metadata-only.")
 
   private val schema = StructType(Seq(
     StructField("version", LongType, nullable = false),
@@ -59,21 +60,12 @@ object GraftHistoryFunction {
         args.head.dataType == StringType,
       s"$name expects exactly one foldable STRING argument " +
         "(the table root path)")
-    val root = Option(args.head.eval(InternalRow.empty))
-      .map(_.toString)
-      .getOrElse(throw new IllegalArgumentException(
-        s"$name: path must not be NULL"))
+    val root = GraftTvf.resolveRoot(name,
+      Option(args.head.eval(InternalRow.empty))
+        .map(_.toString)
+        .getOrElse(throw new IllegalArgumentException(
+          s"$name: path must not be NULL")))
     val session = org.apache.spark.sql.SparkSession.active
-    // optional containment root (see trust model above)
-    Option(session.conf.get("spark.graft.sql.history.root", null))
-      .filter(_.nonEmpty).foreach { allow =>
-        val rootN = java.nio.file.Paths.get(root).normalize().toString
-        val allowN = java.nio.file.Paths.get(allow).normalize()
-          .toString.stripSuffix("/")
-        require(rootN == allowN || rootN.startsWith(allowN + "/"),
-          s"$name: path '$root' is outside the configured " +
-            s"spark.graft.sql.history.root '$allow'")
-      }
     val conf = session.sessionState.newHadoopConf()
     val versions = GraftTableProvider.listVersions(conf, root)
     val cacheKey = (root, versions.lastOption.getOrElse(-1L),

@@ -36,7 +36,8 @@ import org.apache.spark.sql.types.StructType
   * streams). The table must exist — schema inference and the column
   * mapping are resolved from its manifest at query start.
   */
-class GraftStreamingWrite(root: String, writeSchema: StructType)
+class GraftStreamingWrite(root: String, writeSchema: StructType,
+    evolveSchema: Boolean = false)
     extends StreamingWrite {
 
   // resolved ONCE at query start; commitStreamFiles re-checks the map
@@ -68,7 +69,7 @@ class GraftStreamingWrite(root: String, writeSchema: StructType)
     }.toSeq
     val spark = org.apache.spark.sql.SparkSession.active
     val committed = TxnTable.commitStreamFiles(spark, root,
-      writeSchema.toDDL, files, epochId, physMap)
+      writeSchema.toDDL, files, epochId, physMap, evolveSchema)
     if (committed.isEmpty) deleteFiles(messages) // replayed epoch
   }
 

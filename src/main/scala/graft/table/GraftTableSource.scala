@@ -481,7 +481,10 @@ class GraftWriteBuilder(
         }
 
       /** `writeStream.format("graft")` — the native exactly-once
-        * sink ([[GraftStreamingWrite]]). Append output mode only.
+        * sink ([[GraftStreamingWrite]]). Append output mode only;
+        * `.option("mergeSchema", "true")` lets a restarted stream
+        * whose df grew a column WIDEN the table schema atomically
+        * with its first epoch ([[TxnTable.commitStreamFiles]]).
         */
       override def toStreaming: org.apache.spark.sql.connector.write
           .streaming.StreamingWrite = {
@@ -489,7 +492,9 @@ class GraftWriteBuilder(
           "graft streaming sink supports APPEND output mode only — " +
             "for complete/upsert semantics use foreachBatch with " +
             "TxnTable.mergeFull/appendBatch")
-        new GraftStreamingWrite(root, info.schema())
+        val evolve = Option(info.options.get("mergeSchema"))
+          .exists(_.equalsIgnoreCase("true"))
+        new GraftStreamingWrite(root, info.schema(), evolve)
       }
     }
 }
@@ -707,12 +712,12 @@ case class GraftInputPartition(filePath: String, relPath: String = "",
   * the `bucket(n, col)` transform's result type (int).
   */
 case class GraftBucketPartition(filePath: String, relPath: String,
-    nameMap: Map[String, String], bucket: Int)
+    nameMap: Map[String, String], key: Seq[Int])
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](bucket))
+      key.map(b => b: Any).toArray)
 }
 
 object GraftScan {
@@ -741,19 +746,24 @@ class GraftScan(
     * name is the spec's physical column translated back through the
     * column map, and must still exist in the table (not dropped).
     */
-  private lazy val bucketLayout: Option[(String, String, Int, Boolean)] =
+  /** (logical key columns in layout order, n, sortedInsideBuckets). */
+  private lazy val bucketLayout: Option[(Seq[String], Int, Boolean)] =
     if (cdf) None
     else TxnTable.bucketSpec(new Configuration(), root).flatMap { spec =>
       val m = pinnedManifest
       val cm = m.colMap.getOrElse(Map.empty[String, String])
-      val logical = cm.find(_._2 == spec.col).map(_._1).getOrElse(spec.col)
-      val live = StructType.fromDDL(m.schemaDdl).fieldNames
-        .contains(logical) && !cm.get(logical).exists(_ != spec.col)
+      val schemaNames = StructType.fromDDL(m.schemaDdl).fieldNames
+      val physCols = TxnTable.bucketColsOf(spec)
+      val logicals = physCols.map(pc =>
+        cm.find(_._2 == pc).map(_._1).getOrElse(pc))
+      val live = logicals.zip(physCols).forall { case (l, pc) =>
+        schemaNames.contains(l) && !cm.get(l).exists(_ != pc)
+      }
       // nonEmpty: an EMPTY table must not report a zero-partition
       // KeyGroupedPartitioning (vacuous forall) — a freshly CREATE'd
       // bucketed table scans as a plain empty relation until data lands
       if (live && m.files.nonEmpty && m.files.forall(_.bucket.isDefined))
-        Some((logical, spec.col, spec.n, spec.sorted.contains(true)))
+        Some((logicals, spec.n, spec.sorted.contains(true)))
       else None
     }
 
@@ -812,11 +822,20 @@ class GraftScan(
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     bucketLayout match {
-      case Some((logical, _, n, _)) if limit.isEmpty =>
+      case Some((logicals, n, _)) if limit.isEmpty =>
+        // ONE single-column transform per key: Spark's SPJ requires
+        // each partition expression to reference exactly one column
+        // (KeyGroupedShuffleSpec's one-leaf contract), so composite
+        // layouts report bucket(n, c1), bucket(n, c2), … — the
+        // partition key row carries the per-column ids in the same
+        // order ([[GraftBucketPartition.partitionKey]])
         new org.apache.spark.sql.connector.read.partitioning
           .KeyGroupedPartitioning(
-            Array(org.apache.spark.sql.connector.expressions.Expressions
-              .bucket(n, logical)),
+            logicals.map(l =>
+              org.apache.spark.sql.connector.expressions.Expressions
+                .bucket(n, l)
+              : org.apache.spark.sql.connector.expressions.Expression)
+              .toArray,
             pinnedManifest.files.flatMap(_.bucket).distinct.size)
       case _ =>
         new org.apache.spark.sql.connector.read.partitioning
@@ -836,15 +855,15 @@ class GraftScan(
   override def outputOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     bucketLayout match {
-      case Some((logical, _, _, sorted)) if limit.isEmpty && sorted &&
+      case Some((logicals, _, sorted)) if limit.isEmpty && sorted &&
           pinnedManifest.files.filter(_.rows > 0)
             .groupBy(_.bucket).forall(_._2.size == 1) =>
-        Array(org.apache.spark.sql.connector.expressions.Expressions
-          .sort(
+        logicals.map(l =>
+          org.apache.spark.sql.connector.expressions.Expressions.sort(
             org.apache.spark.sql.connector.expressions.Expressions
-              .column(logical),
+              .column(l),
             org.apache.spark.sql.connector.expressions.SortDirection
-              .ASCENDING))
+              .ASCENDING)).toArray
       case _ => Array.empty
     }
 
@@ -1002,7 +1021,7 @@ class GraftScan(
       cm.find(_._2 == pc).map(_._1).getOrElse(pc)
     val statsCols = m.files.flatMap(_.stats.keys).map(logicalOf).toSet
     val bloomCols = m.bloomCols.getOrElse(Nil).toSet
-    val bucketCol = bucketLayout.map(_._1).toSet
+    val bucketCol = bucketLayout.toSeq.flatMap(_._1).toSet
     val partCol = partitionLayout
       .filter(_._2.transform == "identity").map(_._1).toSet
     (statsCols ++ bloomCols ++ bucketCol ++ partCol)
@@ -1116,11 +1135,17 @@ class GraftScan(
     runtimeIn.foldLeft(files) { case (fs, (c, vals)) =>
       val pc = cm.getOrElse(c, c)
       val colType = tableSchema.fields.find(_.name == c).map(_.dataType)
-      val bucketIds: Option[Set[Int]] = bucketLayout.collect {
-        case (l, _, n, _) if l == c =>
-          vals.map(v => TxnTable.bucketOf(v, n))
-      }.flatMap(ids =>
-        if (ids.forall(_.isDefined)) Some(ids.flatten.toSet) else None)
+      // (digit position, allowed digit values) for this column's
+      // runtime IN-set — composite layouts prune per column's digit
+      val bucketIds: Option[(Int, Int, Int, Set[Int])] =
+        bucketLayout.collect {
+          case (logicals, n, _) if logicals.contains(c) =>
+            val ids = vals.map(v => TxnTable.bucketOf(v, n))
+            if (ids.forall(_.isDefined))
+              Some((logicals.indexOf(c), logicals.size, n,
+                ids.flatten.toSet))
+            else None
+        }.flatten
       val nums: Option[Seq[Double]] = {
         val ds = vals.map(statsSpace)
         if (ds.forall(_.isDefined)) Some(ds.flatten) else None
@@ -1140,7 +1165,10 @@ class GraftScan(
           }.flatten
       }.flatten
       fs.filter { f =>
-        val bOk = bucketIds.forall(ids => f.bucket.forall(ids.contains))
+        val bOk = bucketIds.forall { case (pos, k, n, allow) =>
+          f.bucket.forall(idx =>
+            allow.contains(TxnTable.decomposeIdx(idx, n, k)(pos)))
+        }
         val sOk = nums.forall(ns => f.stats.get(pc).forall(s =>
           ns.exists(v => v >= s.min && v <= s.max)))
         val blOk = hashes.forall(hs =>
@@ -1193,19 +1221,25 @@ class GraftScan(
       case Some(allow) => statsPruned.filter(f => allow.contains(f.path))
       case None => statsPruned
     }
-    // BUCKET PRUNING: an equality probe on the bucket column keeps one
-    // bucket's files before stats are even consulted — the layout's
-    // point-lookup dividend (min/max stats cannot prune a hash-scattered
-    // key; the bucket id can). Conjunct-safe: every EqualTo tightens.
+    // BUCKET PRUNING: an equality probe on ANY bucket key column
+    // constrains that column's digit of the file's (composite) id —
+    // the layout's point-lookup dividend (min/max stats cannot prune a
+    // hash-scattered key; the bucket id can). Conjunct-safe: every
+    // EqualTo tightens its own column's digit.
     val bucketPruned = bucketLayout match {
-      case Some((logical, _, n, _)) =>
-        val probes = filters.collect {
-          case sources.EqualTo(c, v) if c == logical =>
+      case Some((logicals, n, _)) =>
+        val k = logicals.size
+        val digitProbes: Seq[(Int, Int)] = filters.toSeq.flatMap {
+          case sources.EqualTo(c, v) if logicals.contains(c) =>
             TxnTable.bucketOf(v, n)
-        }.flatten
-        if (probes.isEmpty) runtimePruned
-        else runtimePruned.filter(f =>
-          f.bucket.exists(b => probes.forall(_ == b)))
+              .map(b => logicals.indexOf(c) -> b)
+          case _ => None
+        }
+        if (digitProbes.isEmpty) runtimePruned
+        else runtimePruned.filter(f => f.bucket.exists { idx =>
+          val digits = TxnTable.decomposeIdx(idx, n, k)
+          digitProbes.forall { case (pos, b) => digits(pos) == b }
+        })
       case None => runtimePruned
     }
     // PARTITION PRUNING: equality/IN probes on the partition column
@@ -1257,8 +1291,10 @@ class GraftScan(
       // carry its key — emit the bucketed form exactly when the layout
       // was reported (limit-bounded plans report unknown and stay plain)
       bucketLayout match {
-        case Some(_) if limit.isEmpty =>
-          GraftBucketPartition(p, f.path, cm, f.bucket.get): InputPartition
+        case Some((logicals, n, _)) if limit.isEmpty =>
+          GraftBucketPartition(p, f.path, cm,
+            TxnTable.decomposeIdx(f.bucket.get, n, logicals.size))
+            : InputPartition
         case _ => GraftInputPartition(p, f.path, cm): InputPartition
       }
     }.toArray
@@ -1872,16 +1908,33 @@ class GraftPartitionReader(filePath: String, required: StructType,
   }
 
   private def primValue(g: Group, idx: Int, rep: Int,
-      t: org.apache.parquet.schema.PrimitiveType, col: String): Any =
-    t.getPrimitiveTypeName match {
-      case INT64 => g.getLong(idx, rep)
-      case INT32 => g.getInteger(idx, rep)
-      case DOUBLE => g.getDouble(idx, rep)
-      case FLOAT => g.getFloat(idx, rep)
-      case BOOLEAN => g.getBoolean(idx, rep)
-      case BINARY | FIXED_LEN_BYTE_ARRAY =>
+      t: org.apache.parquet.schema.PrimitiveType, col: String,
+      sparkType: DataType = NullType): Any =
+    (t.getPrimitiveTypeName, sparkType) match {
+      // DECIMAL columns: parquet stores the UNSCALED value (int32/
+      // int64 for precision ≤ 18, binary beyond); Spark's internal
+      // row form is Decimal — handing back the raw long would CCE in
+      // the first generated projection
+      case (INT64, d: DecimalType) =>
+        org.apache.spark.sql.types.Decimal(
+          g.getLong(idx, rep), d.precision, d.scale)
+      case (INT32, d: DecimalType) =>
+        org.apache.spark.sql.types.Decimal(
+          g.getInteger(idx, rep).toLong, d.precision, d.scale)
+      case (BINARY | FIXED_LEN_BYTE_ARRAY, d: DecimalType) =>
+        org.apache.spark.sql.types.Decimal(
+          new java.math.BigDecimal(
+            new java.math.BigInteger(g.getBinary(idx, rep).getBytes),
+            d.scale),
+          d.precision, d.scale)
+      case (INT64, _) => g.getLong(idx, rep)
+      case (INT32, _) => g.getInteger(idx, rep)
+      case (DOUBLE, _) => g.getDouble(idx, rep)
+      case (FLOAT, _) => g.getFloat(idx, rep)
+      case (BOOLEAN, _) => g.getBoolean(idx, rep)
+      case (BINARY | FIXED_LEN_BYTE_ARRAY, _) =>
         UTF8String.fromBytes(g.getBinary(idx, rep).getBytes)
-      case other => throw new UnsupportedOperationException(
+      case (other, _) => throw new UnsupportedOperationException(
         s"graft table DSv2 reader: unsupported parquet type $other " +
           s"for column $col")
     }
@@ -1922,7 +1975,7 @@ class GraftPartitionReader(filePath: String, required: StructType,
         val t = fileType.getType(n)
         if (t.isPrimitive)
           primValue(g, fileType.getFieldIndex(n), 0,
-            t.asPrimitiveType(), f.name)
+            t.asPrimitiveType(), f.name, f.dataType)
         else arrayValue(g.getGroup(n, 0), f.name)
       } else null
     }

@@ -201,8 +201,30 @@ object TxnTable {
     * scan reports the ordering and EnsureRequirements drops both
     * SortExecs.
     */
+  /** `cols`: COMPOSITE bucket keys (Some(Seq(c1, c2, …))) — each key
+    * column is bucketed INDEPENDENTLY into `n` buckets (`pmod(
+    * murmur3(cᵢ), n)`), the file's id is the base-n composition of the
+    * per-column ids, and the scan reports one single-column transform
+    * PER KEY (`bucket(n, c1), bucket(n, c2)`), the Iceberg-style
+    * composition — Spark's storage-partitioned join requires every
+    * partition expression to reference exactly one column
+    * (KeyGroupedShuffleSpec), so a single chained-hash transform could
+    * never co-locate. Dividends of the per-column form: a join on ALL
+    * keys is storage-partitioned (zero exchange), and an equality
+    * probe on ANY ONE key already prunes to 1/n of the files. Absent
+    * on sidecars written before the field (single-column specs) —
+    * `col` stays the first key for compatibility; readers use
+    * [[bucketColsOf]]. Fixed at create like everything else here.
+    */
   case class BucketSpec(col: String, n: Int,
-      sorted: Option[Boolean] = None)
+      sorted: Option[Boolean] = None,
+      cols: Option[Seq[String]] = None)
+
+  /** The effective bucket key columns of a spec (1 for the classic
+    * single-column layout).
+    */
+  def bucketColsOf(spec: BucketSpec): Seq[String] =
+    spec.cols.filter(_.nonEmpty).getOrElse(Seq(spec.col))
 
   private def bucketSpecPath(root: String): Path =
     new Path(s"$root/$LogDir", "_bucket.json")
@@ -401,6 +423,32 @@ object TxnTable {
       case _ => None
     }
     h.map(v => ((v % n) + n) % n)
+  }
+
+  /** Base-n composition of a composite layout's per-column bucket ids
+    * into the single id [[FileEntry.bucket]] stores (big-endian:
+    * first key column is the most significant digit).
+    */
+  def compositeIdx(ids: Seq[Int], n: Int): Int =
+    ids.foldLeft(0)((acc, b) => acc * n + b)
+
+  /** Inverse of [[compositeIdx]]: the k per-column ids of a stored id. */
+  def decomposeIdx(idx: Int, n: Int, k: Int): Seq[Int] = {
+    var rest = idx
+    val out = new Array[Int](k)
+    var i = k - 1
+    while (i >= 0) { out(i) = rest % n; rest /= n; i -= 1 }
+    out.toSeq
+  }
+
+  /** Per-column bucket ids of a tuple under a composite spec; None when
+    * any value's type is unsupported (NULL hashes to the seed like
+    * Spark's single-column HashPartitioning — [[bucketOf]] maps it to
+    * None, so a NULL-keyed probe simply never prunes).
+    */
+  def bucketIdsOf(values: Seq[Any], n: Int): Option[Seq[Int]] = {
+    val ids = values.map(bucketOf(_, n))
+    if (ids.forall(_.isDefined)) Some(ids.flatten) else None
   }
 
   /** All committed versions, ascending (one listing of `_log` — used by
@@ -681,7 +729,8 @@ object TxnTable {
     // unbucketed write when the column is absent from this df's schema
     // (an evolution-era append predating the column): readers detect
     // unbucketed files and fall back rather than trust a wrong id.
-    val bucketed = bucket.filter(b => df.columns.contains(b.col))
+    val bucketed = bucket.filter(b =>
+      bucketColsOf(b).forall(df.columns.contains))
     // Identity/date partition layout (mutually exclusive with buckets):
     // rows shuffle by partition value, then Spark's dynamic-partition
     // write (`partitionBy` on a derived column the data files do NOT
@@ -693,18 +742,36 @@ object TxnTable {
       case None => partition.filter(p => df.columns.contains(p.col))
     }
     val pvCol = "_graft_pv"
-    parted match {
-      case Some(p) =>
+    val bkCol = "_graft_bk"
+    // Composite (multi-key) bucket layouts: each key column buckets
+    // independently (pmod(hash(c), n) — hash() IS HashPartitioning's
+    // murmur3-seed-42) and the base-n composite id routes the rows
+    // through the same dynamic-partition split the identity layout
+    // uses, so every file holds exactly ONE (b1, …, bk) tuple; the id
+    // is recovered from the data in the stats pass below.
+    def compositeIdxExpr(b: BucketSpec): org.apache.spark.sql.Column =
+      bucketColsOf(b).map(c => pmod(hash(col(c)), lit(b.n)))
+        .reduce((acc, x) => acc * lit(b.n) + x)
+    val bucketedMulti = bucketed.filter(b => bucketColsOf(b).length > 1)
+    (parted, bucketedMulti) match {
+      case (Some(p), _) =>
         df.withColumn(pvCol, partitionValueExpr(p))
           .repartition(col(pvCol))
           .write.partitionBy(pvCol).parquet(dir.toString)
-      case None =>
+      case (None, Some(b)) =>
+        df.withColumn(bkCol, compositeIdxExpr(b))
+          .repartition(col(bkCol))
+          .sortWithinPartitions(
+            col(bkCol) +: bucketColsOf(b).map(col): _*)
+          .write.partitionBy(bkCol).parquet(dir.toString)
+      case _ =>
         val toWrite = bucketed match {
           // sort inside each bucket file (cheap: per-task, in-memory) —
           // what lets the scan report a per-partition ordering and a
           // co-bucketed SMJ skip its sorts
-          case Some(BucketSpec(c, n, _)) =>
-            df.repartition(n, col(c)).sortWithinPartitions(col(c))
+          case Some(b) =>
+            val c0 = col(bucketColsOf(b).head)
+            df.repartition(b.n, c0).sortWithinPartitions(c0)
           case None => df
         }
         toWrite.write.parquet(dir.toString)
@@ -754,6 +821,12 @@ object TxnTable {
         val e = partitionValueExpr(p)
         Seq(min(e).as("_pv_min"), max(e).as("_pv_max"),
           count(e).as("_pv_nn"))
+      } ++
+      // composite bucket id recovered the same way (single-valued per
+      // file by the partitionBy split's construction)
+      bucketedMulti.toSeq.flatMap { b =>
+        val e = compositeIdxExpr(b)
+        Seq(min(e).as("_bk_min"), max(e).as("_bk_max"))
       }
     val byFile: Map[String, Row] =
       if (parts.isEmpty) Map.empty
@@ -765,11 +838,25 @@ object TxnTable {
         .toMap
 
     val partIdx = "part-(\\d+)-.*".r
-    def bucketIdOf(name: String): Option[Int] =
-      bucketed.flatMap(_ => name match {
-        case partIdx(i) => Some(i.toInt)
-        case _ => None
-      })
+    // single-key layouts: the repartition(n, col) task index IS the
+    // bucket id, stamped in the part-file prefix; composite layouts:
+    // the id comes from the data agg (min==max per file by the
+    // dynamic split's construction — anything else gets no id and
+    // readers fall back)
+    def bucketIdOf(name: String, r: Option[Row]): Option[Int] =
+      bucketedMulti match {
+        case Some(_) => r.flatMap { row =>
+          val mi = row.getAs[Any]("_bk_min")
+          val ma = row.getAs[Any]("_bk_max")
+          if (mi != null && mi == ma)
+            Some(mi.asInstanceOf[Number].intValue)
+          else None
+        }
+        case None => bucketed.flatMap(_ => name match {
+          case partIdx(i) => Some(i.toInt)
+          case _ => None
+        })
+      }
     def pvOf(r: Row, rowsN: Long): Option[String] =
       parted.flatMap { _ =>
         val nn = r.getAs[Long]("_pv_nn")
@@ -810,12 +897,12 @@ object TxnTable {
           }.toMap
           FileEntry(s"$rel/$sub", rowsN, st.getLen, stats,
             if (blooms.isEmpty) None else Some(blooms),
-            bucket = bucketIdOf(name),
+            bucket = bucketIdOf(name, Some(r)),
             nulls = if (nulls.isEmpty) None else Some(nulls),
             pv = pvOf(r, rowsN))
         case None => // zero-row part file: no group, no stats
           FileEntry(s"$rel/$sub", 0L, st.getLen, Map.empty,
-            bucket = bucketIdOf(name))
+            bucket = bucketIdOf(name, None))
       }
     }
   }
@@ -889,15 +976,25 @@ object TxnTable {
     bucketBy.foreach { b =>
       require(b.n > 0 && b.n <= 100000,
         s"bucketBy: bucket count must be in [1, 100000], got ${b.n}")
-      val field = df.schema.fields.find(_.name == b.col).getOrElse(
-        sys.error(s"bucketBy column ${b.col} is not in the data"))
-      // only types the catalog's V2 bucket function can bind: a layout
-      // on any other type would record a partitioning the storage-
-      // partitioned join can never resolve — all cost, no benefit
-      require(Set[DataType](IntegerType, LongType, StringType, DateType)
-          .contains(field.dataType),
-        s"bucketBy column ${b.col}: type ${field.dataType} is not " +
-          "bucketable — supported: INT, BIGINT, STRING, DATE")
+      val bcols = bucketColsOf(b)
+      require(bcols == bcols.distinct,
+        s"bucketBy: duplicate bucket column in ${bcols.mkString(", ")}")
+      require(math.pow(b.n.toDouble, bcols.length.toDouble) <= 100000,
+        s"bucketBy: n^k = ${b.n}^${bcols.length} exceeds 100000 " +
+          "partitions — choose a smaller n or fewer key columns")
+      require(b.cols.forall(_.headOption.contains(b.col)),
+        "bucketBy: spec.col must be the first of spec.cols")
+      bcols.foreach { c =>
+        val field = df.schema.fields.find(_.name == c).getOrElse(
+          sys.error(s"bucketBy column $c is not in the data"))
+        // only types the catalog's V2 bucket function can bind: a
+        // layout on any other type would record a partitioning the
+        // storage-partitioned join can never resolve
+        require(Set[DataType](IntegerType, LongType, StringType,
+            DateType).contains(field.dataType),
+          s"bucketBy column $c: type ${field.dataType} is not " +
+            "bucketable — supported: INT, BIGINT, STRING, DATE")
+      }
     }
     partitionBy.foreach { p =>
       val field = df.schema.fields.find(_.name == p.col).getOrElse(
@@ -1057,22 +1154,42 @@ object TxnTable {
     * fence is exact, not approximate. One streaming query per table:
     * the hwm is table-scoped, the same contract appendBatch has.
     */
+  /** `evolveSchema`: with the sink's `mergeSchema` option, an epoch
+    * whose schema carries NEW columns (same-typed existing ones)
+    * WIDENS the table schema in the same atomic commit — stored rows
+    * back-fill NULL through the explicit-schema read, exactly like
+    * [[append]]'s evolution; without it, any name-set mismatch stays
+    * a loud refusal (a feed that grew a column must never widen a
+    * table by accident — the [[merge]] evolveSchema contract).
+    */
   private[table] def commitStreamFiles(
       spark: SparkSession,
       root: String,
       schemaDdl: String,
       files: Seq[FileEntry],
       batchId: Long,
-      plannedColMap: Map[String, String]): Option[Long] = {
+      plannedColMap: Map[String, String],
+      evolveSchema: Boolean = false): Option[Long] = {
     while (true) {
       val cur = latestManifest(spark, root).getOrElse(
         sys.error(s"no table at $root — the graft streaming sink " +
           "appends to an existing table; create() it first"))
       if (cur.streamHwm.exists(_ >= batchId)) return None
-      require(StructType.fromDDL(cur.schemaDdl).fieldNames.sorted.toSeq ==
-          StructType.fromDDL(schemaDdl).fieldNames.sorted.toSeq,
-        s"stream sink: epoch schema [$schemaDdl] does not match the " +
-          s"table schema [${cur.schemaDdl}]")
+      val curSchema = StructType.fromDDL(cur.schemaDdl)
+      val epochSchema = StructType.fromDDL(schemaDdl)
+      val newSchema =
+        if (evolveSchema) {
+          val merged = mergeSchemas(curSchema, epochSchema)
+          checkNewCols(cur, curSchema, merged)
+          merged
+        } else {
+          require(curSchema.fieldNames.sorted.toSeq ==
+              epochSchema.fieldNames.sorted.toSeq,
+            s"stream sink: epoch schema [$schemaDdl] does not match " +
+              s"the table schema [${cur.schemaDdl}] — restart with " +
+              ".option(\"mergeSchema\", \"true\") to widen")
+          curSchema
+        }
       require(colMapOf(cur) == plannedColMap,
         "concurrent column rename/drop during stream epoch — " +
           "restart the query")
@@ -1080,9 +1197,10 @@ object TxnTable {
       // pricing as appendBatch)
       if (constraintsOf(cur).nonEmpty)
         enforceConstraints(snapshotOf(spark, root,
-          cur.copy(files = files)), constraintsOf(cur))
+          cur.copy(schemaDdl = newSchema.toDDL, files = files)),
+          constraintsOf(cur))
       if (tryCommit(spark, root, Manifest(cur.version + 1,
-          "stream-append", System.currentTimeMillis(), cur.schemaDdl,
+          "stream-append", System.currentTimeMillis(), newSchema.toDDL,
           cur.files ++ files, Some(batchId), cur.constraints,
           cur.bloomCols, cur.colMap, cur.retired)))
         return Some(cur.version + 1)
@@ -1666,9 +1784,11 @@ object TxnTable {
       // layout (files stop bucketing, SPJ dies with no error). Fixed
       // at create by design: refuse, don't rot.
       bucketSpec(spark.sparkContext.hadoopConfiguration, root)
-        .foreach(b => require(b.col != physNameIn(cur, from),
-          s"renameColumn: '$from' is the table's bucket column — the " +
-            "layout is fixed at create; re-create the table to change it"))
+        .foreach(b => require(
+          !bucketColsOf(b).contains(physNameIn(cur, from)),
+          s"renameColumn: '$from' is a bucket column of the table — " +
+            "the layout is fixed at create; re-create the table to " +
+            "change it"))
       // same invariant for the partition layout: its sidecar names the
       // creation-time physical column forever
       partitionSpec(spark.sparkContext.hadoopConfiguration, root)
@@ -1726,9 +1846,11 @@ object TxnTable {
       // same rationale as renameColumn: the layout sidecar would
       // outlive its column and silently rot every future write
       bucketSpec(spark.sparkContext.hadoopConfiguration, root)
-        .foreach(b => require(b.col != physNameIn(cur, column),
-          s"dropColumn: '$column' is the table's bucket column — the " +
-            "layout is fixed at create; re-create the table to change it"))
+        .foreach(b => require(
+          !bucketColsOf(b).contains(physNameIn(cur, column)),
+          s"dropColumn: '$column' is a bucket column of the table — " +
+            "the layout is fixed at create; re-create the table to " +
+            "change it"))
       partitionSpec(spark.sparkContext.hadoopConfiguration, root)
         .foreach(p => require(p.col != physNameIn(cur, column),
           s"dropColumn: '$column' is the table's partition column — " +
@@ -1855,10 +1977,13 @@ object TxnTable {
       targetBytes: Long = 128L << 20,
       statsCols: Seq[String] = Seq.empty): Long =
     rewrite(spark, root, "compact", statsCols) { snap =>
-      // a bucketed table's writeFiles re-routes rows through the
-      // layout hash anyway — the size-based repartition here would be
-      // a second, discarded shuffle (file count = bucket count there)
+      // a bucketed/partitioned table's writeFiles re-routes rows
+      // through its layout anyway — the size-based repartition here
+      // would be a second, discarded shuffle (file count = bucket /
+      // partition count there)
       if (bucketSpec(spark.sparkContext.hadoopConfiguration,
+          root).isDefined ||
+        partitionSpec(spark.sparkContext.hadoopConfiguration,
           root).isDefined) snap
       else {
         val cur = latestManifest(spark, root).get
@@ -1896,9 +2021,11 @@ object TxnTable {
       val snapSmall = snapshotOf(spark, root, cur.copy(files = small))
       val bspecSmall = bucketSpec(
         spark.sparkContext.hadoopConfiguration, root)
-      // bucketed: writeFiles re-buckets — skip the wasted pre-shuffle
+      val pspecSmall = partitionSpec(
+        spark.sparkContext.hadoopConfiguration, root)
+      // layout tables: writeFiles re-routes — skip the wasted pre-shuffle
       val out =
-        if (bspecSmall.isDefined) snapSmall
+        if (bspecSmall.isDefined || pspecSmall.isDefined) snapSmall
         else {
           val bytes = math.max(1L, small.map(_.bytes).sum)
           snapSmall.repartition(

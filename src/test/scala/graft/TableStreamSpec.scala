@@ -391,6 +391,57 @@ class TableStreamSpec extends AnyFunSuite {
         s"got ${streamed.map(_.stats)}")
   }
 
+  test("native streaming SINK schema evolution: a restarted stream " +
+      "whose df grew a column widens the table WITH mergeSchema, is " +
+      "refused without it, and stays exactly-once") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, kv((0L, 0.0)).coalesce(1), Seq("k"))
+    val ckpt = Files.createTempDirectory("graft_sink_ck_ev").toString
+    // ONE source throughout: its offsets drive every restart, so the
+    // refused run genuinely attempts an epoch instead of finding the
+    // checkpoint already drained
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Double, String)](spark)
+    def run(df: DataFrame, merge: Boolean): Unit = {
+      val w = df.writeStream.format(Fmt)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+      val q = (if (merge) w.option("mergeSchema", "true") else w)
+        .start(root)
+      try q.awaitTermination()
+      finally q.stop()
+    }
+    def narrow = mem.toDF().toDF("k", "score", "lang")
+      .select("k", "score")
+    def wide = mem.toDF().toDF("k", "score", "lang")
+    mem.addData((1L, 1.0, "x"), (2L, 2.0, "y"))
+    run(narrow, merge = false)
+    assert(TxnTable.snapshot(spark, root).count() == 3)
+    // widened df WITHOUT the option: loud refusal, nothing committed
+    mem.addData((3L, 3.0, "en"))
+    val vBefore = TxnTable.versions(spark, root).max
+    intercept[Exception] { run(wide, merge = false) }
+    assert(TxnTable.versions(spark, root).max == vBefore,
+      "a refused epoch must not commit")
+    // WITH mergeSchema: the replayed epoch widens the schema
+    // atomically with its data
+    run(wide, merge = true)
+    val snap = TxnTable.snapshot(spark, root)
+    assert(snap.columns.toSeq == Seq("k", "score", "lang"))
+    assert(snap.count() == 4)
+    assert(snap.filter(col("k") === 3L).head().getString(2) == "en")
+    // pre-evolution rows back-fill NULL
+    assert(snap.filter(col("lang").isNull).count() == 3)
+    // exactly-once across the evolution: restart with more data,
+    // nothing replays
+    mem.addData((4L, 4.0, "de"))
+    run(wide, merge = true)
+    assert(TxnTable.snapshot(spark, root).count() == 5)
+    assert(TxnTable.snapshot(spark, root)
+      .groupBy().agg(sum(col("k"))).head().getLong(0) == 10L)
+  }
+
   test("native streaming SINK through the CATALOG: " +
       "writeStream.toTable(cat.t) lands fenced epochs on the managed " +
       "identifier (the day-one Delta-user route)") {

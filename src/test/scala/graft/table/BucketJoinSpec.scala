@@ -124,6 +124,72 @@ class BucketJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("COMPOSITE-KEY co-bucketed join is storage-partitioned: zero " +
+      "shuffles on a two-column key; ids agree with bucketOfCompound; " +
+      "full-key equality probes prune") {
+    val dRoot = freshRoot(); val fRoot = freshRoot()
+    val spec = TxnTable.BucketSpec("k", N, cols = Some(Seq("k", "g")))
+    TxnTable.create(spark, dRoot,
+      spark.range(0, 40).select(col("id").as("k"),
+        (col("id") % 4).cast("string").as("g"),
+        concat(lit("d_"), col("id")).as("nm")),
+      statsCols = Seq("k"), bucketBy = Some(spec))
+    TxnTable.create(spark, fRoot,
+      spark.range(0, 400).select((col("id") % 40).as("k"),
+        ((col("id") % 40) % 4).cast("string").as("g"),
+        (col("id") * 3 % 17).cast("double").as("v")),
+      statsCols = Seq("k"), bucketBy = Some(spec))
+    // write/read hash agreement on the per-column composite id
+    val m = TxnTable.readManifest(spark, fRoot, 0L)
+    assert(m.files.forall(_.bucket.isDefined))
+    m.files.filter(_.rows > 0).foreach { f =>
+      spark.read.parquet(s"$fRoot/${f.path}")
+        .select("k", "g").collect().foreach { r =>
+          val ids = TxnTable.bucketIdsOf(
+            Seq(r.getLong(0), r.getString(1)), N).get
+          assert(TxnTable.compositeIdx(ids, N) == f.bucket.get,
+            s"(k=${r.getLong(0)}, g=${r.getString(1)}) ids $ids in " +
+              s"bucket ${f.bucket.get}")
+        }
+    }
+    val d = cat(dRoot, "gbcd"); val f = cat(fRoot, "gbcf")
+    val q = s"""SELECT d.nm, f.v FROM $d d
+      JOIN $f f ON d.k = f.k AND d.g = f.g"""
+    val expected = withSpj {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.sql(q).collect().map(_.toString).sorted
+    }
+    withSpj {
+      val df = spark.sql(q)
+      val got = df.collect().map(_.toString).sorted
+      assert(got.length == 400)
+      assert(got.sameElements(expected))
+      assert(shuffles(df) == 0,
+        s"expected a shuffle-free composite-key SPJ:\n" +
+          df.queryExecution.executedPlan)
+    }
+    // full-key equality probe pins every digit: exactly one composite
+    // bucket's files survive
+    val b0 = TxnTable.compositeIdx(
+      TxnTable.bucketIdsOf(Seq(7L, "3"), N).get, N)
+    val bucketFiles = m.files.count(_.bucket.contains(b0))
+    assert(bucketFiles < m.files.size)
+    val probe = spark.read.format("graft.table.GraftTableProvider")
+      .load(fRoot).filter(col("k") === 7L && col("g") === "3")
+    assert(probe.count() == 10)
+    assert(probe.rdd.getNumPartitions <= bucketFiles)
+    // a HALF-key probe prunes ITS digit (the per-column dividend the
+    // chained-hash design could never give): ~1/n of the files
+    val d0 = TxnTable.bucketOf(7L, N).get
+    val halfFiles = m.files.count(_.bucket.exists(idx =>
+      TxnTable.decomposeIdx(idx, N, 2).head == d0))
+    assert(halfFiles < m.files.size)
+    val half = spark.read.format("graft.table.GraftTableProvider")
+      .load(fRoot).filter(col("k") === 7L)
+    assert(half.count() == 10)
+    assert(half.rdd.getNumPartitions <= halfFiles)
+  }
+
   test("append to a bucketed table re-buckets the incoming rows — " +
       "the layout (and the shuffle-free join) survives ingest") {
     val dRoot = freshRoot(); val fRoot = freshRoot()

@@ -82,6 +82,58 @@ class SqlMaintenanceSpec extends AnyFunSuite {
       s"change rows must never land on the driver:\n$plan")
   }
 
+  test("TVFs accept catalog identifiers: graft_history / graft_files " +
+      "/ graft_changes on cat.t resolve through the catalog's " +
+      "warehouse; non-graft first segments stay paths") {
+    val root = freshRoot()
+    TxnTable.create(spark, root,
+      spark.range(0, 60).select(col("id").as("k"),
+        (col("id") % 3).cast("double").as("v")), Seq("k"))
+    TxnTable.enableCdf(spark, root, Seq("k"))
+    TxnTable.append(spark, root,
+      spark.range(60, 90).select(col("id").as("k"),
+        lit(7.0).as("v")), Seq("k"))
+    val tblName = new org.apache.hadoop.fs.Path(root).getName
+    cat(root, "gtvf") // registers gtvf with warehouse = parent dir
+    val ident = s"gtvf.$tblName"
+    // identifier and path forms answer identically
+    val hi = spark.sql(
+      s"SELECT version, op FROM graft_history('$ident') ORDER BY 1")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val hp = spark.sql(
+      s"SELECT version, op FROM graft_history('$root') ORDER BY 1")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(hi == hp && hi.map(_._2) == Seq("create", "append"))
+    val fi = spark.sql(
+      s"SELECT COUNT(*) c, CAST(SUM(n_rows) AS BIGINT) r " +
+        s"FROM graft_files('$ident')").head()
+    assert(fi.getLong(1) == 90)
+    val ci = spark.sql(
+      s"""SELECT _change_type, COUNT(*) AS n
+         FROM graft_changes('$ident', 0, 1) GROUP BY 1""").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ci == Map("insert" -> 30L))
+    // traversal guard: identifier segments cannot escape the warehouse
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_history('gtvf...$tblName')")
+        .collect()
+    }
+    assert(e.getMessage.contains("illegal identifier segment"))
+    // a dotted string whose first segment is NOT a graft catalog is a
+    // path and keeps the containment conf
+    spark.conf.set("spark.graft.sql.history.root", "/nonexistent_allow")
+    try {
+      val e2 = intercept[Exception] {
+        spark.sql("SELECT * FROM graft_history('no_such_cat.t')")
+          .collect()
+      }
+      assert(e2.getMessage.contains("outside the configured"))
+      // identifier form is warehouse-contained by construction: exempt
+      assert(spark.sql(s"SELECT COUNT(*) c FROM graft_history('$ident')")
+        .head().getLong(0) == 2)
+    } finally spark.conf.unset("spark.graft.sql.history.root")
+  }
+
   test("RESTORE TABLE ... TO VERSION AS OF commits the target's file " +
       "set; restoring to a non-earlier version is refused") {
     val root = freshRoot()
