@@ -16,6 +16,8 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   * {{{
   *   OPTIMIZE '<path>'                              -- compact (whole table)
   *   OPTIMIZE cat.t SMALLER THAN 8 MB               -- bin-pack small files only
+  *   OPTIMIZE cat.t WHERE day = '2026-01-01'        -- partition-scoped compaction
+  *   OPTIMIZE cat.t WHERE day IN ('a', 'b')
   *   OPTIMIZE cat.t CLUSTER BY (c1, c2) [INTO n FILES]
   *   OPTIMIZE cat.t ZORDER BY (c1, c2) [INTO n FILES]
   *   VACUUM '<path>' [RETAIN n VERSIONS]
@@ -73,6 +75,15 @@ object GraftSqlParser {
       """(?:\s+SMALLER\s+THAN\s+(\d+)\s*(KB|MB|GB)?)?""" +
       """(?:\s+(CLUSTER|ZORDER)\s+BY\s*\(([^)]+)\))?""" +
       """(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?\s*$""").r
+  private val OptimizeWhereRe =
+    ("""(?is)^\s*OPTIMIZE\s+""" + Target +
+      """\s+WHERE\s+(.+?)\s*;?\s*$""").r
+  // the only predicate forms a partition-scoped OPTIMIZE accepts:
+  // <col> = <literal>  |  <col> IN (<literal>, ...)
+  private val EqPredRe =
+    """(?is)^\s*(`[^`]+`|[\w$]+)\s*=\s*('[^']*'|[-\w.]+)\s*$""".r
+  private val InPredRe =
+    """(?is)^\s*(`[^`]+`|[\w$]+)\s+IN\s*\(([^)]+)\)\s*$""".r
   private val VacuumRe =
     ("""(?is)^\s*VACUUM\s+""" + Target +
       """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""").r
@@ -80,8 +91,26 @@ object GraftSqlParser {
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + Target +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
 
+  private def stripLit(s: String): String =
+    if (s.startsWith("'")) s.substring(1, s.length - 1) else s
+
   private[table] def maintenancePlan(sqlText: String): Option[LogicalPlan] =
     sqlText match {
+      // WHERE form first: partition-scoped compaction (a predicate
+      // cannot combine with SMALLER/CLUSTER/ZORDER by grammar)
+      case OptimizeWhereRe(target, pred) =>
+        val (col, vals) = pred match {
+          case EqPredRe(c, v) => (stripTicks(c), Seq(stripLit(v)))
+          case InPredRe(c, list) =>
+            (stripTicks(c),
+              list.split(",").toSeq.map(x => stripLit(x.trim)))
+          case other => throw new IllegalArgumentException(
+            "OPTIMIZE ... WHERE supports only <partition-col> = " +
+              s"<literal> or <partition-col> IN (...), got: $other")
+        }
+        Some(GraftMaintenanceCommand("optimize-where",
+          parseTarget(target), None, None, None,
+          partitionPred = Some((col, vals))))
       case OptimizeRe(target, smaller, unit, kind, clusterCols, nFiles) =>
         val cols = Option(clusterCols).map(_.split(",").toSeq
           .map(c => stripTicks(c.trim)).filter(_.nonEmpty))
@@ -140,7 +169,9 @@ case class GraftMaintenanceCommand(
     retainVersions: Option[Int],
     zorder: Boolean = false,
     minBytes: Option[Long] = None,
-    toVersion: Option[Long] = None) extends LeafRunnableCommand {
+    toVersion: Option[Long] = None,
+    partitionPred: Option[(String, Seq[String])] = None)
+    extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("op", StringType, nullable = false)(),
@@ -187,6 +218,34 @@ case class GraftMaintenanceCommand(
           else if (minBytes.isDefined) "compact-small"
           else "compact"
         Seq(Row(opName, v,
+          (beforeSet -- afterSet).size.toLong,
+          (afterSet -- beforeSet).size.toLong))
+      // OPTIMIZE t WHERE <partition> = v: partition-scoped compaction
+      // — O(named partitions) plus any layout-unaware stragglers,
+      // which it heals into the layout
+      case "optimize-where" =>
+        val (pcol, vals) = partitionPred.getOrElse(
+          sys.error("optimize-where without a predicate"))
+        val spec = TxnTable.partitionSpec(
+          spark.sparkContext.hadoopConfiguration, root).getOrElse(
+          throw new IllegalArgumentException(
+            "OPTIMIZE ... WHERE needs an identity/days-partitioned " +
+              s"table; the table at $root has no partition layout"))
+        val cmW = before.colMap.getOrElse(Map.empty[String, String])
+        val logical = cmW.find(_._2 == spec.col).map(_._1)
+          .getOrElse(spec.col)
+        require(pcol.equalsIgnoreCase(logical),
+          s"OPTIMIZE ... WHERE predicate column '$pcol' is not the " +
+            s"table's partition column '$logical'")
+        val invW = cmW.map(_.swap)
+        val statsColsW = before.files.flatMap(_.stats.keys).toSet.toSeq
+          .map((p: String) => invW.getOrElse(p, p))
+        val v = TxnTable.compactPartitions(spark, root, vals,
+          statsCols = statsColsW)
+        val after = TxnTable.readManifest(spark, root, v)
+        val beforeSet = before.files.map(_.path).toSet
+        val afterSet = after.files.map(_.path).toSet
+        Seq(Row("compact-partition", v,
           (beforeSet -- afterSet).size.toLong,
           (afterSet -- beforeSet).size.toLong))
       case "vacuum" =>

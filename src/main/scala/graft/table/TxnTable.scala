@@ -753,6 +753,13 @@ object TxnTable {
       bucketColsOf(b).map(c => pmod(hash(col(c)), lit(b.n)))
         .reduce((acc, x) => acc * lit(b.n) + x)
     val bucketedMulti = bucketed.filter(b => bucketColsOf(b).length > 1)
+    // the dynamic-partition routing columns are table-format internals:
+    // a user column with the same name would be silently REPLACED by
+    // withColumn and its data lost — refuse loudly instead
+    if (parted.isDefined || bucketedMulti.isDefined)
+      Seq(pvCol, bkCol).filter(df.columns.contains).foreach(c =>
+        sys.error(s"column name '$c' is reserved by the graft " +
+          "partition/bucket layout routing — rename the column"))
     (parted, bucketedMulti) match {
       case (Some(p), _) =>
         df.withColumn(pvCol, partitionValueExpr(p))
@@ -2049,6 +2056,54 @@ object TxnTable {
           cur.colMap, cur.retired)))
         committed = v
       // lost race: loop — re-partition against the new latest
+    }
+    committed
+  }
+
+  /** PARTITION-SCOPED COMPACTION — the maintenance op an identity/days
+    * layout makes cheap: bin-pack ONLY the named partitions' files
+    * (ingest leaves one small file per partition per append); every
+    * other partition's files carry into the new manifest VERBATIM —
+    * O(named partitions), never O(table). Layout-unaware straggler
+    * files (COW rewrites, streaming epochs — no `pv`) are included and
+    * HEALED into the layout (their rows re-route through the partition
+    * split), since they may hold the named partitions' rows. Physical
+    * reorganization only — no change rows under CDF, same as
+    * [[compact]]. No-op (no commit) when nothing would change.
+    */
+  def compactPartitions(
+      spark: SparkSession,
+      root: String,
+      values: Seq[String],
+      statsCols: Seq[String] = Seq.empty): Long = {
+    val spec = partitionSpec(spark.sparkContext.hadoopConfiguration, root)
+      .getOrElse(sys.error(s"table at $root has no partition layout — " +
+        "use compact()/compactSmall()"))
+    require(values.nonEmpty, "compactPartitions: no partition values")
+    val vs = values.toSet
+    var committed = -1L
+    while (committed < 0) {
+      val cur = latestManifest(spark, root).getOrElse(
+        sys.error(s"no table at $root — create() first"))
+      val (sel, kept) = cur.files.partition(f =>
+        f.pv.exists(vs.contains) || (f.pv.isEmpty && f.rows > 0))
+      val worthIt = sel.count(_.rows > 0) >= 2 ||
+        sel.exists(_.dvs.exists(_.nonEmpty)) ||
+        sel.exists(f => f.pv.isEmpty && f.rows > 0)
+      if (!worthIt) return cur.version
+      val cm = colMapOf(cur)
+      val v = cur.version + 1
+      val files = writeFiles(spark, root,
+        toPhysical(snapshotOf(spark, root, cur.copy(files = sel)), cm),
+        statsColsFor(spark, root, statsCols).map(c => cm.getOrElse(c, c)),
+        v.toString,
+        bloomColsOf(cur).map(c => cm.getOrElse(c, c)),
+        partition = Some(spec))
+      if (tryCommit(spark, root, Manifest(v, "compact",
+          System.currentTimeMillis(), cur.schemaDdl, kept ++ files,
+          cur.streamHwm, cur.constraints, cur.bloomCols,
+          cur.colMap, cur.retired)))
+        committed = v
     }
     committed
   }

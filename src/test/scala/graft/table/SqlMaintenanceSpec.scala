@@ -134,6 +134,43 @@ class SqlMaintenanceSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.sql.history.root")
   }
 
+  test("OPTIMIZE ... WHERE <partition> = v compacts ONLY the named " +
+      "partition: other partitions' files carry verbatim, rows exact") {
+    val root = freshRoot()
+    def slice(lo: Int, hi: Int) =
+      spark.range(lo, hi).select(col("id").as("k"),
+        when(col("id") % 2 === 0, "A").otherwise("B").as("st"),
+        (col("id") % 7).cast("double").as("v"))
+    TxnTable.create(spark, root, slice(0, 40), Seq("k"),
+      partitionBy = Some(TxnTable.PartitionSpec("st")))
+    (1 to 3).foreach(i => TxnTable.append(spark, root,
+      slice(40 * i, 40 * (i + 1)), Seq("k")))
+    val before = TxnTable.readManifest(spark, root,
+      TxnTable.versions(spark, root).max)
+    val aBefore = before.files.filter(_.pv.contains("A"))
+    val bBefore = before.files.filter(_.pv.contains("B"))
+    assert(aBefore.size >= 4 && bBefore.size >= 4) // ingest debris
+    val t = cat(root, "gow")
+    val r = spark.sql(s"OPTIMIZE $t WHERE st = 'A'").head()
+    assert(r.getString(0) == "compact-partition")
+    val after = TxnTable.readManifest(spark, root,
+      TxnTable.versions(spark, root).max)
+    // B's files carried VERBATIM; A's bin-packed down
+    assert(after.files.filter(_.pv.contains("B")).toSet == bBefore.toSet)
+    val aAfter = after.files.filter(_.pv.contains("A"))
+    assert(aAfter.size < aBefore.size,
+      s"expected A's ${aBefore.size} files to bin-pack, got ${aAfter.size}")
+    assert(aAfter.forall(_.pv.contains("A")))
+    assert(TxnTable.snapshot(spark, root).count() == 160)
+    assert(TxnTable.snapshot(spark, root)
+      .filter(col("st") === "A").count() == 80)
+    // wrong column / unpartitioned targets are refused loudly
+    val e = intercept[Exception] {
+      spark.sql(s"OPTIMIZE $t WHERE v = 3")
+    }
+    assert(e.getMessage.contains("partition column"))
+  }
+
   test("RESTORE TABLE ... TO VERSION AS OF commits the target's file " +
       "set; restoring to a non-earlier version is refused") {
     val root = freshRoot()
