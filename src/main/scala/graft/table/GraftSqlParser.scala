@@ -20,6 +20,7 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *   OPTIMIZE cat.t WHERE day IN ('a', 'b')
   *   OPTIMIZE cat.t CLUSTER BY (c1, c2) [INTO n FILES]
   *   OPTIMIZE cat.t ZORDER BY (c1, c2) [INTO n FILES]
+  *   SHOW PARTITIONS cat.t                          -- manifest-only listing
   *   VACUUM '<path>' [RETAIN n VERSIONS]
   *   RESTORE [TABLE] cat.t TO VERSION AS OF n
   * }}}
@@ -87,6 +88,9 @@ object GraftSqlParser {
   private val VacuumRe =
     ("""(?is)^\s*VACUUM\s+""" + Target +
       """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""").r
+  private val ShowPartsRe =
+    ("""(?is)^\s*SHOW\s+PARTITIONS\s+""" + Target +
+      """\s*;?\s*$""").r
   private val RestoreRe =
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + Target +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
@@ -142,6 +146,9 @@ object GraftSqlParser {
       case RestoreRe(target, toV) =>
         Some(GraftMaintenanceCommand("restore", parseTarget(target),
           None, None, None, toVersion = Some(toV.toLong)))
+      case ShowPartsRe(target) =>
+        Some(GraftShowPartitionsCommand(
+          GraftSqlParser.parseTarget(target)))
       case _ => None
     }
 
@@ -153,7 +160,7 @@ object GraftSqlParser {
   /** `Left(path)` for a quoted path, `Right(segments)` for an
     * identifier to resolve through a graft catalog.
     */
-  private def parseTarget(t: String): Either[String, Seq[String]] =
+  private[table] def parseTarget(t: String): Either[String, Seq[String]] =
     if (t.startsWith("'")) Left(t.substring(1, t.length - 1))
     else Right(t.split("\\.").toSeq.map(stripTicks))
 }
@@ -273,7 +280,7 @@ case class GraftMaintenanceCommand(
     * driver-trusted; an identifier resolves through a REGISTERED graft
     * catalog's warehouse with the catalog's own segment guard.
     */
-  private def resolveRoot(spark: SparkSession): String = target match {
+  private[table] def resolveRoot(spark: SparkSession): String = target match {
     case Left(path) => path
     case Right(parts) =>
       require(parts.length >= 2,
@@ -295,5 +302,51 @@ case class GraftMaintenanceCommand(
             "empty, '.', '..', or contain path separators")
       }
       segs.mkString(wh.stripSuffix("/") + "/", "/", "")
+  }
+}
+
+/** `SHOW PARTITIONS <table>` over an identity/days-partitioned graft
+  * table — a MANIFEST-ONLY listing (zero data IO at any table size):
+  * one row per partition value with its live file count, row count
+  * and byte size, straight from the FileEntry `pv`s. The NULL
+  * partition surfaces as the string 'NULL'; layout-unaware straggler
+  * files (COW rewrites, streaming epochs — no pv) group under SQL
+  * NULL so operators can SEE unhealed debris and schedule the
+  * OPTIMIZE/compaction that heals it.
+  */
+case class GraftShowPartitionsCommand(
+    target: Either[String, Seq[String]]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("partition_value", StringType, nullable = true)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = false)(),
+    AttributeReference("bytes", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    // same trust split as the maintenance command
+    val root = GraftMaintenanceCommand(
+      "unused", target, None, None, None).resolveRoot(spark)
+    val spec = TxnTable.partitionSpec(
+      spark.sparkContext.hadoopConfiguration, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"SHOW PARTITIONS: the table at $root has no identity/days " +
+          "partition layout"))
+    val _ = spec
+    val m = TxnTable.readManifest(spark, root,
+      TxnTable.versions(spark, root).max)
+    m.files.filter(_.rows > 0)
+      .groupBy(_.pv)
+      .toSeq
+      .map { case (pv, fs) =>
+        val shown = pv match {
+          case Some(TxnTable.NullPv) => "NULL"
+          case Some(v) => v
+          case None => null
+        }
+        Row(shown, fs.size.toLong, fs.map(_.rows).sum,
+          fs.map(_.bytes).sum)
+      }
+      .sortBy(r => Option(r.getString(0)).getOrElse("\uffff"))
   }
 }

@@ -279,11 +279,15 @@ class GraftTable(root: String, tableSchema: StructType,
     // conjunct an =/IN on the partition column) commits as an
     // O(metadata) manifest operation — `DELETE WHERE day = …` never
     // reads, let alone rewrites, a petabyte of untouched data.
-    partitionDropValues(filters) match {
-      case Some(vals) if vals.isEmpty => // contradictory =/IN conjuncts
-        () // predicate selects no partition: nothing to delete
-      case Some(vals) =>
-        TxnTable.dropPartitions(spark, root, vals)
+    partitionDropPredicate(filters) match {
+      case Some(pvPred) =>
+        // straggler (pv-less) files re-filter by the ORIGINAL
+        // predicate over the real columns — exact DELETE semantics
+        val cond = filters.flatMap(GraftTable.filterToColumn)
+          .reduceOption(_ && _)
+          .getOrElse(org.apache.spark.sql.functions.lit(true))
+        TxnTable.dropPartitionsWhere(spark, root, pvPred,
+          rowCond = _ => cond)
       case None =>
         val cond = filters.flatMap(GraftTable.filterToColumn)
           .reduceOption(_ && _)
@@ -293,16 +297,20 @@ class GraftTable(root: String, tableSchema: StructType,
     ()
   }
 
-  /** The exact partition-value set a DELETE predicate names, when —
-    * and only when — EVERY conjunct is an equality/IN on the
-    * identity-partition column with fully canonicalizable literals
+  /** The pv-space predicate a DELETE names, when — and only when —
+    * EVERY conjunct is an equality / IN / range comparison on the
+    * identity-partition column with typed-comparable literals
     * (conjuncts on other columns, or a non-identity transform, mean
-    * only SOME rows of a partition match → the rewrite path).
-    * Canonicalization must mirror the manifest's `CAST(value AS
-    * STRING)` space, same discipline as the scan's pv pruning.
+    * only SOME rows of a partition can match → the rewrite path).
+    * Comparison happens in the COLUMN's domain, decoded from the
+    * canonical pv string — lexical string compare would order ints
+    * wrongly ("10" < "9"). The range forms are the RETENTION shape:
+    * `DELETE WHERE day < '2026-01-01'` commits as a pure manifest
+    * operation. [[TxnTable.NullPv]] matches no comparison (SQL
+    * predicates reject NULL).
     */
-  private def partitionDropValues(
-      filters: Array[sources.Filter]): Option[Seq[String]] = {
+  private def partitionDropPredicate(
+      filters: Array[sources.Filter]): Option[String => Boolean] = {
     if (filters.isEmpty) return None
     val conf = new Configuration()
     val spec = TxnTable.partitionSpec(conf, root)
@@ -319,16 +327,40 @@ class GraftTable(root: String, tableSchema: StructType,
       case (d: java.sql.Date, DateType) => Some(d.toLocalDate.toString)
       case _ => None
     }
-    val sets: Seq[Option[Set[String]]] = filters.toSeq.map {
-      case sources.EqualTo(c, v) if c == logical => canon(v).map(Set(_))
-      case sources.In(c, vs) if c == logical && vs.nonEmpty =>
-        val cs = vs.toSeq.map(canon)
-        if (cs.forall(_.isDefined)) Some(cs.flatten.toSet) else None
+    // typed total order on canonical pv strings; None = incomparable
+    def cmp(pv: String, lit: String): Option[Int] = colType match {
+      case IntegerType | LongType =>
+        (pv.toLongOption, lit.toLongOption) match {
+          case (Some(a), Some(b)) => Some(java.lang.Long.compare(a, b))
+          case _ => None
+        }
+      case StringType | DateType => Some(pv.compareTo(lit)) // ISO dates
       case _ => None
     }
-    if (sets.forall(_.isDefined))
-      Some(sets.flatten.reduce(_ intersect _).toSeq.sorted)
-    else None
+    val preds: Seq[Option[String => Boolean]] = filters.toSeq.map {
+      case sources.EqualTo(c, v) if c == logical =>
+        canon(v).map(cv => (pv: String) => pv == cv)
+      case sources.In(c, vs) if c == logical && vs.nonEmpty =>
+        val cs = vs.toSeq.map(canon)
+        if (cs.forall(_.isDefined)) {
+          val set = cs.flatten.toSet
+          Some((pv: String) => set.contains(pv))
+        } else None
+      case sources.LessThan(c, v) if c == logical =>
+        canon(v).map(cv => (pv: String) => cmp(pv, cv).exists(_ < 0))
+      case sources.LessThanOrEqual(c, v) if c == logical =>
+        canon(v).map(cv => (pv: String) => cmp(pv, cv).exists(_ <= 0))
+      case sources.GreaterThan(c, v) if c == logical =>
+        canon(v).map(cv => (pv: String) => cmp(pv, cv).exists(_ > 0))
+      case sources.GreaterThanOrEqual(c, v) if c == logical =>
+        canon(v).map(cv => (pv: String) => cmp(pv, cv).exists(_ >= 0))
+      case _ => None
+    }
+    if (preds.forall(_.isDefined)) {
+      val ps = preds.flatten
+      Some((pv: String) =>
+        pv != TxnTable.NullPv && ps.forall(_(pv)))
+    } else None
   }
   override def schema(): StructType = tableSchema
 

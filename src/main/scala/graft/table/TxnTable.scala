@@ -835,13 +835,24 @@ object TxnTable {
         val e = compositeIdxExpr(b)
         Seq(min(e).as("_bk_min"), max(e).as("_bk_max"))
       }
+    // input_file_name() returns a URI STRING with %-ENCODED path
+    // characters (a space in a partition value arrives as %20), while
+    // the listing side carries the real filesystem characters — keying
+    // the join on the raw string silently missed every such file, so
+    // its entry recorded rows=0 with no stats/pv (and a partition DROP
+    // of that value became a no-op). Decode through java.net.URI.
+    def decodeInputFileName(u: String): Path =
+      try {
+        val uri = new java.net.URI(u)
+        if (uri.getPath != null) new Path(uri.getPath) else new Path(u)
+      } catch { case _: java.net.URISyntaxException => new Path(u) }
     val byFile: Map[String, Row] =
       if (parts.isEmpty) Map.empty
       else spark.read.parquet(dir.toString)
         .groupBy(input_file_name().as("_file"))
         .agg(aggs.head, aggs.tail: _*)
         .collect()
-        .map(r => subOf(new Path(r.getString(0))) -> r)
+        .map(r => subOf(decodeInputFileName(r.getString(0))) -> r)
         .toMap
 
     val partIdx = "part-(\\d+)-.*".r
@@ -907,7 +918,17 @@ object TxnTable {
             bucket = bucketIdOf(name, Some(r)),
             nulls = if (nulls.isEmpty) None else Some(nulls),
             pv = pvOf(r, rowsN))
-        case None => // zero-row part file: no group, no stats
+        case None =>
+          // zero-row part files exist only on the FLAT write path
+          // (tasks with no rows); the dynamic-partition paths write a
+          // file only when rows land in it, so a miss there is the
+          // stats-join losing a file — refuse loudly rather than
+          // commit a rows=0 entry whose partition silently stops
+          // dropping/pruning (the %-encoding bug this guard caught)
+          if (parted.isDefined || bucketedMulti.isDefined)
+            sys.error(s"writeFiles: stats pass lost track of $sub — " +
+              "file-name keying bug; refusing to commit a zero-row " +
+              "entry for a data-bearing file")
           FileEntry(s"$rel/$sub", 0L, st.getLen, Map.empty,
             bucket = bucketIdOf(name, None))
       }
@@ -1614,17 +1635,39 @@ object TxnTable {
       root: String,
       values: Seq[String],
       statsCols: Seq[String] = Seq.empty): Long = {
+    require(values.nonEmpty, "dropPartitions: no partition values given")
+    val vs = values.toSet
+    dropPartitionsWhere(spark, root, vs.contains,
+      rowCond = (pvLogical: org.apache.spark.sql.Column) =>
+        pvLogical.isin(vs.toSeq: _*),
+      statsCols)
+  }
+
+  /** PREDICATE form of [[dropPartitions]] — the RETENTION shape
+    * (`DELETE WHERE day < '2026-01-01'` over an identity layout):
+    * `pvPred` decides which pv-carrying files leave as pure metadata
+    * (called with the canonical pv string, [[NullPv]] included — a
+    * range predicate returns false for it, SQL comparisons reject
+    * NULL); `rowCond` is the SAME predicate over the logical
+    * partition-value column, applied row-level to layout-unaware
+    * straggler files so the result is EXACTLY `DELETE WHERE pred` at
+    * O(matching partitions + stragglers) cost.
+    */
+  def dropPartitionsWhere(
+      spark: SparkSession,
+      root: String,
+      pvPred: String => Boolean,
+      rowCond: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      statsCols: Seq[String] = Seq.empty): Long = {
     val spec = partitionSpec(spark.sparkContext.hadoopConfiguration, root)
       .getOrElse(sys.error(s"table at $root has no partition layout — " +
         "use deleteWhere()"))
-    require(values.nonEmpty, "dropPartitions: no partition values given")
-    val vs = values.toSet
     var committed = -1L
     while (committed < 0) {
       val cur = latestManifest(spark, root).getOrElse(
         sys.error(s"no table at $root — create() first"))
       val (dropped, rest) =
-        cur.files.partition(f => f.pv.exists(vs.contains))
+        cur.files.partition(f => f.pv.exists(pvPred))
       val (unknown, kept) =
         rest.partition(f => f.pv.isEmpty && f.rows > 0)
       if (dropped.isEmpty && unknown.isEmpty)
@@ -1639,7 +1682,8 @@ object TxnTable {
         if (unknown.isEmpty) Seq.empty
         else {
           val snapU = snapshotOf(spark, root, cur.copy(files = unknown))
-          val outU = snapU.filter(!pvLogical.isin(vs.toSeq: _*))
+          val outU =
+            snapU.filter(!coalesce(rowCond(pvLogical), lit(false)))
           writeFiles(spark, root, toPhysical(outU, cm),
             statsColsFor(spark, root, statsCols)
               .map(c => cm.getOrElse(c, c)),

@@ -161,6 +161,67 @@ class IdentityPartitionSpec extends AnyFunSuite {
     assert(latest(root).files.filter(_.rows > 0).forall(_.pv.isDefined))
   }
 
+  test("RANGE RETENTION: DELETE WHERE <partition> < bound commits as " +
+      "an O(metadata) partition drop with typed comparison (ints " +
+      "compare numerically, not lexically)") {
+    val root = freshRoot()
+    // identity partitioning on an INT-like column: day index 0..11
+    val df = spark.range(0, 120).select(col("id").as("k"),
+      (col("id") % 12).as("day"),
+      (col("id") % 5).cast("double").as("v"))
+    TxnTable.create(spark, root, df, Seq("k"),
+      partitionBy = Some(TxnTable.PartitionSpec("day")))
+    val t = cat(root, "gret")
+    val before = latest(root)
+    val keepFiles = before.files.filter(_.pv.exists(_.toLong >= 10))
+    // retention: drop everything older than day 10 — 10 and 11 stay.
+    // Lexical pv compare would wrongly keep day "2".."9" (> "10");
+    // the typed path must not.
+    spark.sql(s"DELETE FROM $t WHERE day < 10")
+    val after = latest(root)
+    assert(after.op == "drop-partition",
+      s"range retention must be a metadata drop, got ${after.op}")
+    assert(after.files.toSet == keepFiles.toSet,
+      "surviving partitions' files must carry verbatim")
+    val left = TxnTable.snapshot(spark, root)
+    assert(left.count() == 20)
+    assert(left.agg(min(col("day"))).head().getLong(0) == 10)
+    // mixed range + equality conjunction on the partition column also
+    // resolves to a metadata drop
+    spark.sql(s"DELETE FROM $t WHERE day >= 10 AND day IN (10, 11, 12)")
+    assert(latest(root).op == "drop-partition")
+    assert(TxnTable.snapshot(spark, root).count() == 0)
+  }
+
+  test("partition values with URI-escapable characters (spaces) keep " +
+      "full manifest entries — rows/stats/pv survive the encoded " +
+      "input_file_name round-trip, and their partition still drops") {
+    val root = freshRoot()
+    val df = spark.range(0, 60).select(col("id").as("k"),
+      when(col("id") % 3 === 0, "NOT SPECIFIED")
+        .when(col("id") % 3 === 1, "HIGH %20 TRICKY")
+        .otherwise("LOW").as("pri"),
+      (col("id") % 5).cast("double").as("v"))
+    TxnTable.create(spark, root, df, Seq("k"),
+      partitionBy = Some(TxnTable.PartitionSpec("pri")))
+    val m = latest(root)
+    assert(m.files.filter(_.rows > 0).forall(f =>
+      f.pv.isDefined && f.stats.contains("k")),
+      s"every data file must carry pv+stats, got ${m.files}")
+    assert(m.files.map(_.rows).sum == 60)
+    assert(m.files.flatMap(_.pv).toSet ==
+      Set("NOT SPECIFIED", "HIGH %20 TRICKY", "LOW"))
+    // the spaced partition drops as metadata like any other
+    val keep = m.files.filterNot(_.pv.contains("NOT SPECIFIED"))
+    TxnTable.dropPartitions(spark, root, Seq("NOT SPECIFIED"))
+    val after = latest(root)
+    assert(after.op == "drop-partition" &&
+      after.files.toSet == keep.toSet)
+    assert(TxnTable.snapshot(spark, root).count() == 40)
+    assert(TxnTable.snapshot(spark, root)
+      .filter(col("pri") === "NOT SPECIFIED").count() == 0)
+  }
+
   test("days(ts) partitioning: per-file pv is the UTC day; DELETE of " +
       "one day via dropPartitions") {
     val prevTz = spark.conf.get("spark.sql.session.timeZone")

@@ -171,6 +171,36 @@ class SqlMaintenanceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("partition column"))
   }
 
+  test("SHOW PARTITIONS lists per-partition file/row/byte counts " +
+      "from the manifest, with straggler (pv-less) files visible") {
+    val root = freshRoot()
+    def sdf(lo: Int, hi: Int) =
+      spark.range(lo, hi).select(col("id").as("k"),
+        when(col("id") % 3 === 0, "A")
+          .when(col("id") % 3 === 1, "B").otherwise("C").as("st"),
+        (col("id") % 5).cast("double").as("v"))
+    TxnTable.create(spark, root, sdf(0, 90), Seq("k"),
+      partitionBy = Some(TxnTable.PartitionSpec("st")))
+    val t = cat(root, "gshow")
+    val rows = spark.sql(s"SHOW PARTITIONS $t")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rows == Map("A" -> 30L, "B" -> 30L, "C" -> 30L))
+    // COW rewrite creates pv-less stragglers: they surface as NULL
+    spark.sql(s"UPDATE $t SET v = v + 1 WHERE k = 6")
+    val rows2 = spark.sql(s"SHOW PARTITIONS $t")
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(2)).toMap
+    assert(rows2.contains(None), s"stragglers must be visible: $rows2")
+    assert(rows2.values.sum == 90)
+    // unpartitioned table: loud refusal; non-graft SHOW PARTITIONS
+    // syntax still parses through the delegate
+    val root2 = freshRoot()
+    TxnTable.create(spark, root2, sdf(0, 10), Seq("k"))
+    val e = intercept[Exception] {
+      spark.sql(s"SHOW PARTITIONS '$root2'").collect()
+    }
+    assert(e.getMessage.contains("partition layout"))
+  }
+
   test("RESTORE TABLE ... TO VERSION AS OF commits the target's file " +
       "set; restoring to a non-earlier version is refused") {
     val root = freshRoot()
