@@ -337,29 +337,40 @@ class GraftTable(root: String, tableSchema: StructType,
       case StringType | DateType => Some(pv.compareTo(lit)) // ISO dates
       case _ => None
     }
+    val nn = TxnTable.NullPv
     val preds: Seq[Option[String => Boolean]] = filters.toSeq.map {
       case sources.EqualTo(c, v) if c == logical =>
-        canon(v).map(cv => (pv: String) => pv == cv)
+        canon(v).map(cv => (pv: String) => pv != nn && pv == cv)
       case sources.In(c, vs) if c == logical && vs.nonEmpty =>
         val cs = vs.toSeq.map(canon)
         if (cs.forall(_.isDefined)) {
           val set = cs.flatten.toSet
-          Some((pv: String) => set.contains(pv))
+          Some((pv: String) => pv != nn && set.contains(pv))
         } else None
       case sources.LessThan(c, v) if c == logical =>
-        canon(v).map(cv => (pv: String) => cmp(pv, cv).exists(_ < 0))
+        canon(v).map(cv =>
+          (pv: String) => pv != nn && cmp(pv, cv).exists(_ < 0))
       case sources.LessThanOrEqual(c, v) if c == logical =>
-        canon(v).map(cv => (pv: String) => cmp(pv, cv).exists(_ <= 0))
+        canon(v).map(cv =>
+          (pv: String) => pv != nn && cmp(pv, cv).exists(_ <= 0))
       case sources.GreaterThan(c, v) if c == logical =>
-        canon(v).map(cv => (pv: String) => cmp(pv, cv).exists(_ > 0))
+        canon(v).map(cv =>
+          (pv: String) => pv != nn && cmp(pv, cv).exists(_ > 0))
       case sources.GreaterThanOrEqual(c, v) if c == logical =>
-        canon(v).map(cv => (pv: String) => cmp(pv, cv).exists(_ >= 0))
+        canon(v).map(cv =>
+          (pv: String) => pv != nn && cmp(pv, cv).exists(_ >= 0))
+      // null-scoped conjuncts users commonly add alongside ranges:
+      // IS NOT NULL keeps everything but the null partition; DELETE
+      // WHERE <part> IS NULL drops exactly the null partition
+      case sources.IsNotNull(c) if c == logical =>
+        Some((pv: String) => pv != nn)
+      case sources.IsNull(c) if c == logical =>
+        Some((pv: String) => pv == nn)
       case _ => None
     }
     if (preds.forall(_.isDefined)) {
       val ps = preds.flatten
-      Some((pv: String) =>
-        pv != TxnTable.NullPv && ps.forall(_(pv)))
+      Some((pv: String) => ps.forall(_(pv)))
     } else None
   }
   override def schema(): StructType = tableSchema

@@ -193,6 +193,34 @@ class IdentityPartitionSpec extends AnyFunSuite {
     assert(TxnTable.snapshot(spark, root).count() == 0)
   }
 
+  test("IS [NOT] NULL conjuncts stay on the fast path: the NULL " +
+      "partition drops as metadata, and range+IS NOT NULL is still " +
+      "a metadata drop") {
+    val root = freshRoot()
+    val df = spark.range(0, 60).select(col("id").as("k"),
+      when(col("id") % 3 === 0, lit(null).cast("string"))
+        .when(col("id") % 3 === 1, "B").otherwise("C").as("st"),
+      (col("id") % 5).cast("double").as("v"))
+    TxnTable.create(spark, root, df, Seq("k"),
+      partitionBy = Some(TxnTable.PartitionSpec("st")))
+    val t = cat(root, "gnul")
+    assert(latest(root).files.filter(_.rows > 0)
+      .exists(_.pv.contains("NULL")),
+      "the null partition must carry the sentinel pv")
+    // range + IS NOT NULL: still a metadata drop; nulls survive a
+    // range predicate by SQL semantics
+    spark.sql(s"DELETE FROM $t WHERE st IS NOT NULL AND st >= 'C'")
+    assert(latest(root).op == "drop-partition")
+    assert(TxnTable.snapshot(spark, root).count() == 40)
+    // IS NULL drops exactly the null partition — as metadata
+    spark.sql(s"DELETE FROM $t WHERE st IS NULL")
+    assert(latest(root).op == "drop-partition")
+    val left = TxnTable.snapshot(spark, root)
+    assert(left.count() == 20)
+    assert(left.filter(col("st").isNull).count() == 0)
+    assert(left.filter(col("st") === "B").count() == 20)
+  }
+
   test("partition values with URI-escapable characters (spaces) keep " +
       "full manifest entries — rows/stats/pv survive the encoded " +
       "input_file_name round-trip, and their partition still drops") {
