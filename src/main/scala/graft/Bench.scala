@@ -195,10 +195,16 @@ object Bench {
     }
     // Median-timed single query, cache cleared per rep (shared by the
     // solo pass and the in-suite loop).
+    // per-gate micro-batch accounting (r14 VERDICT #7): drained after
+    // each timed query; name -> (micro-batches, stream wall sec) summed
+    // over the reps — sec/batch is the measured per-micro-batch floor
+    val streamFloors =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Long, Double)]
     def timed(name: String,
         fn: (SparkSession, String) => DataFrame): (String, Double, Boolean) = {
       System.gc()
       var ok = true
+      SparkEntry.StreamMeter.drain() // stray entries never mis-attribute
       val times = Seq.fill(reps) {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
@@ -211,6 +217,10 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      val drains = SparkEntry.StreamMeter.drain()
+      if (drains.nonEmpty && ok)
+        streamFloors(name) =
+          (drains.map(_._1).sum, drains.map(_._2).sum / 1e3)
       (name, times.sorted.apply(reps / 2), ok)
     }
     // (solo/heavy slices already ran in their own fresh JVMs above)
@@ -263,7 +273,21 @@ object Bench {
             s""","heavy_solo_total":$t,"heavy_solo":$m"""
           } else s""","heavy_solo_total":$t"""
         }
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failedJson$soloJson$heavyJson,"sf":"$sfDir"}"""
+      // measured micro-batch floors (file line only — stdout stays
+      // within the harness's ~2000-char window): batches are summed
+      // over the reps, sec_per_batch = stream wall sec / batches
+      val floorsJson =
+        if (!soloDetail || streamFloors.isEmpty) ""
+        else {
+          val m = streamFloors.map { case (k, (b, s)) =>
+            val perB = if (b > 0) s / b.toDouble else 0.0
+            "\"" + k + "\":{\"batches\":" + b +
+              ",\"stream_sec\":" + f3(s) +
+              ",\"sec_per_batch\":" + f3(perB) + "}"
+          }.mkString("{", ",", "}")
+          s""","stream_floors":$m"""
+        }
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failedJson$soloJson$heavyJson$floorsJson,"sf":"$sfDir"}"""
     }
     // Full per-query detail goes to the file; stdout gets a HEADLINE subset.
     // The harness keeps only the last ~2000 chars of stdout — an 84-entry

@@ -263,20 +263,27 @@ class GraftCatalog extends TableCatalog
         val canon = cols.toSeq.map(canonicalCol(_, "bucket"))
         bucket = Some(TxnTable.BucketSpec(canon.head, ns(0),
           cols = if (canon.length > 1) Some(canon) else None))
-      // `PARTITIONED BY (col)` — the identity layout: per-file
-      // partition values in the manifest, O(metadata) partition drops
-      case Seq(t) if t.name() == "identity" =>
-        part = Some(TxnTable.PartitionSpec(
-          singleCol(t, "identity partition"), "identity"))
-      // `PARTITIONED BY (days(ts))` — daily-partitioned ingest
-      case Seq(t) if t.name() == "days" =>
-        part = Some(TxnTable.PartitionSpec(
-          singleCol(t, "days partition"), "days"))
+      // `PARTITIONED BY (col | days(ts), …)` — the identity/days
+      // layout: per-file partition-value tuples in the manifest,
+      // component-wise pruning, O(metadata) partition drops. One or
+      // more components, any identity/days mix (`days(ts), source` is
+      // the date × tenant layout real lakehouses run).
+      case ts if ts.nonEmpty &&
+          ts.forall(t => t.name() == "identity" || t.name() == "days") =>
+        val comps = ts.map { t =>
+          TxnTable.PartitionSpec(
+            singleCol(t, s"${t.name()} partition"), t.name())
+        }
+        part = Some(
+          if (comps.length == 1) comps.head
+          else comps.head.copy(
+            cols = Some(comps.map(_.col)),
+            transforms = Some(comps.map(_.transform))))
       case other =>
         throw new UnsupportedOperationException(
           "graft catalog: supported partitioning is a single " +
-            "bucket(n, col), identity column, or days(col) transform " +
-            s"— got ${other.mkString(", ")}")
+            "bucket(n, col[, col…]) or one-or-more identity/days(col) " +
+            s"transforms — got ${other.mkString(", ")}")
     }
     def split(k: String): Seq[String] =
       Option(properties.get(k)).toSeq

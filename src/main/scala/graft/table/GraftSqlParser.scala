@@ -94,9 +94,31 @@ object GraftSqlParser {
   private val RestoreRe =
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + Target +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
+  private val AlterPartRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
+      """\s+SET\s+PARTITIONED\s+BY\s*\(([^)]+)\)\s*;?\s*$""").r
+  private val DaysComp =
+    """(?is)^days\s*\(\s*(`[^`]+`|[\w$]+)\s*\)$""".r
 
   private def stripLit(s: String): String =
     if (s.startsWith("'")) s.substring(1, s.length - 1) else s
+
+  /** Tokenize an IN (...) literal list: each element is a 'quoted
+    * string' (commas inside stay part of the VALUE) or a bare
+    * word/number, comma-separated. Anything the grammar doesn't fully
+    * cover throws — a naive split-on-comma would silently scope the
+    * compaction to garbage values.
+    */
+  private[table] def splitInList(list: String): Seq[String] = {
+    val Tok = """\G\s*(?:'([^']*)'|([-\w.]+))\s*(?:,|$)""".r
+    val ms = Tok.findAllMatchIn(list).toSeq
+    val consumed = ms.lastOption.map(_.end).getOrElse(0)
+    if (ms.isEmpty || consumed != list.length)
+      throw new IllegalArgumentException(
+        "IN list must be comma-separated 'quoted' or bare literals, " +
+          s"got: $list")
+    ms.map(m => Option(m.group(1)).getOrElse(m.group(2)))
+  }
 
   private[table] def maintenancePlan(sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -106,8 +128,7 @@ object GraftSqlParser {
         val (col, vals) = pred match {
           case EqPredRe(c, v) => (stripTicks(c), Seq(stripLit(v)))
           case InPredRe(c, list) =>
-            (stripTicks(c),
-              list.split(",").toSeq.map(x => stripLit(x.trim)))
+            (stripTicks(c), splitInList(list))
           case other => throw new IllegalArgumentException(
             "OPTIMIZE ... WHERE supports only <partition-col> = " +
               s"<literal> or <partition-col> IN (...), got: $other")
@@ -149,6 +170,23 @@ object GraftSqlParser {
       case ShowPartsRe(target) =>
         Some(GraftShowPartitionsCommand(
           GraftSqlParser.parseTarget(target)))
+      // partition-spec evolution: re-partition the table going forward
+      case AlterPartRe(target, list) =>
+        val BareCol = """(?s)^(`[^`]+`|[\w$]+)$""".r
+        val comps = list.split(",").toSeq.map(_.trim)
+          .filter(_.nonEmpty).map {
+            case DaysComp(c) => (stripTicks(c), "days")
+            case BareCol(c) => (stripTicks(c), "identity")
+            case other => throw new IllegalArgumentException(
+              "SET PARTITIONED BY components must be a column or " +
+                s"days(col), got: $other")
+          }
+        if (comps.isEmpty) throw new IllegalArgumentException(
+          "ALTER TABLE ... SET PARTITIONED BY needs at least one " +
+            "identity column or days(col) transform")
+        Some(GraftMaintenanceCommand("evolve-partition",
+          parseTarget(target), None, None, None,
+          evolveTo = Some(comps)))
       case _ => None
     }
 
@@ -177,7 +215,8 @@ case class GraftMaintenanceCommand(
     zorder: Boolean = false,
     minBytes: Option[Long] = None,
     toVersion: Option[Long] = None,
-    partitionPred: Option[(String, Seq[String])] = None)
+    partitionPred: Option[(String, Seq[String])] = None,
+    evolveTo: Option[Seq[(String, String)]] = None)
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -238,16 +277,36 @@ case class GraftMaintenanceCommand(
           throw new IllegalArgumentException(
             "OPTIMIZE ... WHERE needs an identity/days-partitioned " +
               s"table; the table at $root has no partition layout"))
+        val comps = TxnTable.partCompsOf(spec)
         val cmW = before.colMap.getOrElse(Map.empty[String, String])
-        val logical = cmW.find(_._2 == spec.col).map(_._1)
-          .getOrElse(spec.col)
-        require(pcol.equalsIgnoreCase(logical),
-          s"OPTIMIZE ... WHERE predicate column '$pcol' is not the " +
-            s"table's partition column '$logical'")
+        val logicals = comps.map(c =>
+          cmW.find(_._2 == c.col).map(_._1).getOrElse(c.col))
+        val ci = logicals.indexWhere(_.equalsIgnoreCase(pcol))
+        require(ci >= 0,
+          s"OPTIMIZE ... WHERE predicate column '$pcol' is not one of " +
+            s"the table's partition columns ${logicals.mkString(", ")}")
+        // single-column layout: the user's values ARE pv strings
+        // (pass through, matching nothing is fine; stragglers still
+        // heal); multi-column: component predicate resolves to the
+        // matching FULL pv tuples from the live manifest, plus a
+        // no-match sentinel so straggler healing survives an empty
+        // match (a control-char lead collides with no real pv;
+        // NullPv is the only control-char value the writer stamps)
+        val vset = vals.toSet
+        val pvVals =
+          if (comps.length == 1) vals
+          else {
+            val hit = before.files
+              .filter(TxnTable.pvCurrent(_, spec)) // this era's stamps
+              .flatMap(_.pv).distinct.filter(pv =>
+                TxnTable.pvComponents(pv, comps.length)
+                  .exists(parts => vset.contains(parts(ci))))
+            if (hit.isEmpty) Seq("\u0001NOMATCH") else hit
+          }
         val invW = cmW.map(_.swap)
         val statsColsW = before.files.flatMap(_.stats.keys).toSet.toSeq
           .map((p: String) => invW.getOrElse(p, p))
-        val v = TxnTable.compactPartitions(spark, root, vals,
+        val v = TxnTable.compactPartitions(spark, root, pvVals,
           statsCols = statsColsW)
         val after = TxnTable.readManifest(spark, root, v)
         val beforeSet = before.files.map(_.path).toSet
@@ -259,6 +318,21 @@ case class GraftMaintenanceCommand(
         val deleted = TxnTable.vacuum(spark, root,
           retainLast = retainVersions.getOrElse(2))
         Seq(Row("vacuum", before.version, deleted.size.toLong, 0L))
+      // ALTER TABLE t SET PARTITIONED BY (...) — partition-spec
+      // evolution: an atomic sidecar replace, zero data IO; the new
+      // generation is reported in the version column (no commit lands)
+      case "evolve-partition" =>
+        val comps0 = evolveTo.getOrElse(
+          sys.error("evolve-partition without a spec"))
+        val cmE = before.colMap.getOrElse(Map.empty[String, String])
+        val comps = comps0.map { case (c, t) => (cmE.getOrElse(c, c), t) }
+        val spec =
+          if (comps.length == 1)
+            TxnTable.PartitionSpec(comps.head._1, comps.head._2)
+          else TxnTable.PartitionSpec(comps.head._1, comps.head._2,
+            Some(comps.map(_._1)), Some(comps.map(_._2)))
+        val gen = TxnTable.evolvePartitionSpec(spark, root, spec)
+        Seq(Row("evolve-partition", gen.toLong, 0L, 0L))
       // RESTORE t TO VERSION AS OF n — a new commit whose file set is
       // the target's (time travel made durable); TxnTable.restore
       // carries streamHwm/constraints/bloomCols forward and
@@ -332,16 +406,26 @@ case class GraftShowPartitionsCommand(
       throw new IllegalArgumentException(
         s"SHOW PARTITIONS: the table at $root has no identity/days " +
           "partition layout"))
-    val _ = spec
+    val k = TxnTable.partCompsOf(spec).length
     val m = TxnTable.readManifest(spark, root,
       TxnTable.versions(spark, root).max)
     m.files.filter(_.rows > 0)
-      .groupBy(_.pv)
+      // prior-generation stamps (pre-evolution eras) group under SQL
+      // NULL with the other layout-unaware debris — operators SEE the
+      // unhealed era and schedule the OPTIMIZE that heals it
+      .groupBy(f => f.pv.filter(_ => TxnTable.pvCurrent(f, spec)))
       .toSeq
       .map { case (pv, fs) =>
+        // multi-column tuples render component-wise (unescaped, NULL
+        // per null slot, '/'-joined); an undecodable pv shows verbatim
+        // so operators can SEE a foreign stamp rather than mis-read it
         val shown = pv match {
-          case Some(TxnTable.NullPv) => "NULL"
-          case Some(v) => v
+          case Some(v) => TxnTable.pvComponents(v, k) match {
+            case Some(parts) => parts
+              .map(p => if (p == TxnTable.NullPv) "NULL" else p)
+              .mkString("/")
+            case None => v
+          }
           case None => null
         }
         Row(shown, fs.size.toLong, fs.map(_.rows).sum,

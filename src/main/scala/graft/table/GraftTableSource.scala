@@ -313,64 +313,103 @@ class GraftTable(root: String, tableSchema: StructType,
       filters: Array[sources.Filter]): Option[String => Boolean] = {
     if (filters.isEmpty) return None
     val conf = new Configuration()
-    val spec = TxnTable.partitionSpec(conf, root)
-      .filter(_.transform == "identity").getOrElse(return None)
+    val spec = TxnTable.partitionSpec(conf, root).getOrElse(return None)
+    val comps = TxnTable.partCompsOf(spec)
+    val k = comps.length
     val m = GraftTableProvider.latestManifest(conf, root)
     val cm = m.colMap.getOrElse(Map.empty[String, String])
-    val logical = cm.find(_._2 == spec.col).map(_._1).getOrElse(spec.col)
-    val colType = StructType.fromDDL(m.schemaDdl).fields
-      .find(_.name == logical).map(_.dataType).getOrElse(return None)
-    def canon(v: Any): Option[String] = (v, colType) match {
+    val schemaFields = StructType.fromDDL(m.schemaDdl).fields
+    // (component index, column type) per IDENTITY component, keyed by
+    // logical name — a days component's column cannot decide pv
+    // membership through an equality/range on the raw timestamp (many
+    // timestamps share one day), so conjuncts on it go the rewrite path
+    val identByLogical: Map[String, (Int, DataType)] =
+      comps.zipWithIndex.collect {
+        case (c, i) if c.transform == "identity" =>
+          val logical =
+            cm.find(_._2 == c.col).map(_._1).getOrElse(c.col)
+          schemaFields.find(_.name == logical)
+            .map(f => logical -> (i, f.dataType))
+      }.flatten.toMap
+    if (identByLogical.isEmpty) return None
+    def canon(v: Any, t: DataType): Option[String] = (v, t) match {
       case (s: String, StringType) => Some(s)
       case (i: java.lang.Integer, IntegerType) => Some(i.toString)
       case (l: java.lang.Long, LongType) => Some(l.toString)
       case (d: java.sql.Date, DateType) => Some(d.toLocalDate.toString)
       case _ => None
     }
-    // typed total order on canonical pv strings; None = incomparable
-    def cmp(pv: String, lit: String): Option[Int] = colType match {
+    // typed total order on canonical pv strings; None = incomparable.
+    // Strings order by UTF8String (code-point/binary order — Spark's
+    // own string ordering); Java String.compareTo is UTF-16 code-unit
+    // order, which disagrees beyond the BMP.
+    def cmp(t: DataType)(pv: String, lit: String): Option[Int] = t match {
       case IntegerType | LongType =>
         (pv.toLongOption, lit.toLongOption) match {
           case (Some(a), Some(b)) => Some(java.lang.Long.compare(a, b))
           case _ => None
         }
-      case StringType | DateType => Some(pv.compareTo(lit)) // ISO dates
+      case StringType =>
+        Some(UTF8String.fromString(pv).compareTo(UTF8String.fromString(lit)))
+      case DateType => Some(pv.compareTo(lit)) // ISO dates: digits only
       case _ => None
     }
     val nn = TxnTable.NullPv
-    val preds: Seq[Option[String => Boolean]] = filters.toSeq.map {
-      case sources.EqualTo(c, v) if c == logical =>
-        canon(v).map(cv => (pv: String) => pv != nn && pv == cv)
-      case sources.In(c, vs) if c == logical && vs.nonEmpty =>
-        val cs = vs.toSeq.map(canon)
+    // each conjunct resolves to (component index, per-VALUE predicate)
+    type VPred = String => Boolean
+    def at(c: String)(build: (DataType, Int) => Option[VPred])
+        : Option[(Int, VPred)] =
+      identByLogical.get(c).flatMap { case (i, t) =>
+        build(t, i).map(p => (i, p))
+      }
+    val preds: Seq[Option[(Int, VPred)]] = filters.toSeq.map {
+      case sources.EqualTo(c, v) => at(c) { (t, _) =>
+        canon(v, t).map(cv => (pv: String) => pv != nn && pv == cv)
+      }
+      case sources.In(c, vs) if vs.nonEmpty => at(c) { (t, _) =>
+        val cs = vs.toSeq.map(canon(_, t))
         if (cs.forall(_.isDefined)) {
           val set = cs.flatten.toSet
           Some((pv: String) => pv != nn && set.contains(pv))
         } else None
-      case sources.LessThan(c, v) if c == logical =>
-        canon(v).map(cv =>
-          (pv: String) => pv != nn && cmp(pv, cv).exists(_ < 0))
-      case sources.LessThanOrEqual(c, v) if c == logical =>
-        canon(v).map(cv =>
-          (pv: String) => pv != nn && cmp(pv, cv).exists(_ <= 0))
-      case sources.GreaterThan(c, v) if c == logical =>
-        canon(v).map(cv =>
-          (pv: String) => pv != nn && cmp(pv, cv).exists(_ > 0))
-      case sources.GreaterThanOrEqual(c, v) if c == logical =>
-        canon(v).map(cv =>
-          (pv: String) => pv != nn && cmp(pv, cv).exists(_ >= 0))
+      }
+      case sources.LessThan(c, v) => at(c) { (t, _) =>
+        canon(v, t).map(cv =>
+          (pv: String) => pv != nn && cmp(t)(pv, cv).exists(_ < 0))
+      }
+      case sources.LessThanOrEqual(c, v) => at(c) { (t, _) =>
+        canon(v, t).map(cv =>
+          (pv: String) => pv != nn && cmp(t)(pv, cv).exists(_ <= 0))
+      }
+      case sources.GreaterThan(c, v) => at(c) { (t, _) =>
+        canon(v, t).map(cv =>
+          (pv: String) => pv != nn && cmp(t)(pv, cv).exists(_ > 0))
+      }
+      case sources.GreaterThanOrEqual(c, v) => at(c) { (t, _) =>
+        canon(v, t).map(cv =>
+          (pv: String) => pv != nn && cmp(t)(pv, cv).exists(_ >= 0))
+      }
       // null-scoped conjuncts users commonly add alongside ranges:
       // IS NOT NULL keeps everything but the null partition; DELETE
       // WHERE <part> IS NULL drops exactly the null partition
-      case sources.IsNotNull(c) if c == logical =>
+      case sources.IsNotNull(c) => at(c) { (_, _) =>
         Some((pv: String) => pv != nn)
-      case sources.IsNull(c) if c == logical =>
+      }
+      case sources.IsNull(c) => at(c) { (_, _) =>
         Some((pv: String) => pv == nn)
+      }
       case _ => None
     }
     if (preds.forall(_.isDefined)) {
       val ps = preds.flatten
-      Some((pv: String) => ps.forall(_(pv)))
+      // composite pv: decode into components, apply each conjunct to
+      // ITS component's value. A conjunction over any SUBSET of the
+      // partition columns still decides every file outright — the
+      // unconstrained components simply don't filter.
+      Some((pv: String) => TxnTable.pvComponents(pv, k) match {
+        case Some(parts) => ps.forall { case (i, p) => p(parts(i)) }
+        case None => false // undecodable: dropPartitionsWhere rewrites
+      })
     } else None
   }
   override def schema(): StructType = tableSchema
@@ -811,25 +850,33 @@ class GraftScan(
     }
 
   /** Identity/days partition layout for pv file pruning, resolved once
-    * per plan: (logical column name, spec). Unlike [[bucketLayout]], a
-    * PARTIAL layout still prunes — files without a `pv` are kept
-    * conservatively per file, never trusted, so mixed-writer manifests
-    * degrade instead of disabling the index.
+    * per plan: per COMPONENT (logical column name, component spec,
+    * index into the pv tuple) plus the tuple arity. Unlike
+    * [[bucketLayout]], a PARTIAL layout still prunes — files without a
+    * `pv` are kept conservatively per file, never trusted, so
+    * mixed-writer manifests degrade instead of disabling the index;
+    * and a component whose column was renamed/dropped simply stops
+    * pruning while the others keep working.
     */
   private lazy val partitionLayout
-      : Option[(String, TxnTable.PartitionSpec)] =
+      : Option[(Seq[(String, TxnTable.PartitionSpec, Int)], Int,
+        TxnTable.PartitionSpec)] =
     if (cdf) None
-    else TxnTable.partitionSpec(new Configuration(), root).flatMap {
-      spec =>
-        val m = pinnedManifest
-        val cm = m.colMap.getOrElse(Map.empty[String, String])
+    else TxnTable.partitionSpec(new Configuration(), root).map { spec =>
+      val comps = TxnTable.partCompsOf(spec)
+      val m = pinnedManifest
+      val cm = m.colMap.getOrElse(Map.empty[String, String])
+      val names = StructType.fromDDL(m.schemaDdl).fieldNames
+      val live = comps.zipWithIndex.flatMap { case (c, i) =>
         val logical =
-          cm.find(_._2 == spec.col).map(_._1).getOrElse(spec.col)
-        if (StructType.fromDDL(m.schemaDdl).fieldNames.contains(logical)
-            && !cm.get(logical).exists(_ != spec.col))
-          Some((logical, spec))
+          cm.find(_._2 == c.col).map(_._1).getOrElse(c.col)
+        if (names.contains(logical) &&
+            !cm.get(logical).exists(_ != c.col))
+          Some((logical, c, i))
         else None
-    }
+      }
+      (live, comps.length, spec)
+    }.filter(_._1.nonEmpty)
 
   /** A probe literal in the manifest's canonical pv space (`CAST(value
     * AS STRING)`), for the types whose JVM rendering provably matches
@@ -1065,7 +1112,7 @@ class GraftScan(
     val statsCols = m.files.flatMap(_.stats.keys).map(logicalOf).toSet
     val bloomCols = m.bloomCols.getOrElse(Nil).toSet
     val bucketCol = bucketLayout.toSeq.flatMap(_._1).toSet
-    val partCol = partitionLayout
+    val partCol = partitionLayout.toSeq.flatMap(_._1)
       .filter(_._2.transform == "identity").map(_._1).toSet
     (statsCols ++ bloomCols ++ bucketCol ++ partCol)
       .filter(required.fieldNames.contains)
@@ -1199,14 +1246,21 @@ class GraftScan(
       }
       // partition values (exact index, like bucket ids): only when the
       // ENTIRE value list canonicalizes — a partial set could prune
-      // the file holding an unconverted value
-      val pvAllow: Option[Set[String]] = partitionLayout.collect {
-        case (l, spec) if l == c && spec.transform == "identity" =>
-          colType.map { t =>
-            val cs = vals.map(pvCanonical(_, t))
-            if (cs.forall(_.isDefined)) Some(cs.flatten.toSet) else None
+      // the file holding an unconverted value. Multi-column layouts
+      // match the probe column's COMPONENT of the pv tuple.
+      val pvAllow
+          : Option[(Int, Int, Set[String], TxnTable.PartitionSpec)] =
+        partitionLayout.flatMap { case (comps, k, spec0) =>
+          comps.collectFirst {
+            case (l, spec, i) if l == c && spec.transform == "identity" =>
+              colType.flatMap { t =>
+                val cs = vals.map(pvCanonical(_, t))
+                if (cs.forall(_.isDefined))
+                  Some((i, k, cs.flatten.toSet, spec0))
+                else None
+              }
           }.flatten
-      }.flatten
+        }
       fs.filter { f =>
         val bOk = bucketIds.forall { case (pos, k, n, allow) =>
           f.bucket.forall(idx =>
@@ -1219,7 +1273,11 @@ class GraftScan(
             val words = TxnTable.Bloom.fromB64(b64)
             hs.exists(h => TxnTable.Bloom.mightContain(words, h))
           })
-        val pOk = pvAllow.forall(a => f.pv.forall(a.contains))
+        val pOk = pvAllow.forall { case (i, k, a, spec0) =>
+          !TxnTable.pvCurrent(f, spec0) ||
+            f.pv.forall(pv => TxnTable.pvComponents(pv, k)
+              .forall(parts => a.contains(parts(i))))
+        }
         bOk && sOk && blOk && pOk
       }
     }
@@ -1291,23 +1349,33 @@ class GraftScan(
     // that fail to canonicalize simply don't prune; row-level filters
     // still apply either way.
     val partPruned = partitionLayout match {
-      case Some((logical, spec)) if spec.transform == "identity" =>
-        val colType =
-          tableSchema.fields.find(_.name == logical).map(_.dataType)
-        val probes: Seq[Set[String]] = colType.toSeq.flatMap { t =>
-          filters.toSeq.flatMap {
-            case sources.EqualTo(c, v) if c == logical =>
-              pvCanonical(v, t).map(Set(_))
-            case sources.In(c, vs) if c == logical && vs.nonEmpty =>
-              val cs = vs.toSeq.map(pvCanonical(_, t))
-              if (cs.forall(_.isDefined)) Some(cs.flatten.toSet)
-              else None
-            case _ => None
-          }
+      case Some((comps, k, spec0)) =>
+        // per-component allow-sets: an equality/IN probe on ANY
+        // identity component constrains ITS slot of the pv tuple —
+        // conjuncts on different components compose (date AND tenant)
+        val probes: Seq[(Int, Set[String])] = comps.flatMap {
+          case (logical, spec, i) if spec.transform == "identity" =>
+            val colType =
+              tableSchema.fields.find(_.name == logical).map(_.dataType)
+            colType.toSeq.flatMap { t =>
+              filters.toSeq.flatMap {
+                case sources.EqualTo(c, v) if c == logical =>
+                  pvCanonical(v, t).map(s => (i, Set(s)))
+                case sources.In(c, vs) if c == logical && vs.nonEmpty =>
+                  val cs = vs.toSeq.map(pvCanonical(_, t))
+                  if (cs.forall(_.isDefined))
+                    Some((i, cs.flatten.toSet))
+                  else None
+                case _ => None
+              }
+            }
+          case _ => Seq.empty
         }
         if (probes.isEmpty) bucketPruned
         else bucketPruned.filter(f =>
-          f.pv.forall(p => probes.forall(_.contains(p))))
+          !TxnTable.pvCurrent(f, spec0) || // prior-era stamp: keep
+            f.pv.forall(pv => TxnTable.pvComponents(pv, k).forall(parts =>
+              probes.forall { case (i, a) => a.contains(parts(i)) })))
       case _ => bucketPruned
     }
     // runtime IN-values from dynamic partition pruning (join-key sets)
@@ -1987,22 +2055,30 @@ class GraftPartitionReader(filePath: String, required: StructType,
     * 2-level layout keeps a repeated primitive directly inside the
     * outer group. Either way the value is one GenericArrayData.
     */
-  private def arrayValue(outer: Group, col: String): Any = {
+  private def arrayValue(outer: Group, col: String,
+      sparkType: DataType = NullType): Any = {
     val ot = outer.getType
     require(ot.getFieldCount == 1,
       s"graft table DSv2 reader: unrecognized list layout for $col")
     val inner = ot.getType(0)
     val n = outer.getFieldRepetitionCount(0)
+    // element type threaded from the required schema so array<decimal>
+    // decodes like scalar decimals (raw unscaled longs would CCE in
+    // the first generated projection — the scalar fix, mirrored)
+    val elemType = sparkType match {
+      case ArrayType(et, _) => et
+      case _ => NullType
+    }
     val vals: Array[Any] =
       if (inner.isPrimitive) // 2-level legacy: repeated primitive
         Array.tabulate(n)(i =>
-          primValue(outer, 0, i, inner.asPrimitiveType(), col))
+          primValue(outer, 0, i, inner.asPrimitiveType(), col, elemType))
       else // 3-level standard: repeated group { optional element }
         Array.tabulate(n) { i =>
           val e = outer.getGroup(0, i)
           if (e.getFieldRepetitionCount(0) == 0) null
           else primValue(e, 0, 0,
-            e.getType.getType(0).asPrimitiveType(), col)
+            e.getType.getType(0).asPrimitiveType(), col, elemType)
         }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(vals)
   }
@@ -2019,7 +2095,7 @@ class GraftPartitionReader(filePath: String, required: StructType,
         if (t.isPrimitive)
           primValue(g, fileType.getFieldIndex(n), 0,
             t.asPrimitiveType(), f.name, f.dataType)
-        else arrayValue(g.getGroup(n, 0), f.name)
+        else arrayValue(g.getGroup(n, 0), f.name, f.dataType)
       } else null
     }
     InternalRow.fromSeq(vals.toIndexedSeq)

@@ -87,6 +87,14 @@ object TxnTable {
     * readers keep the file conservatively and partition drops rewrite
     * it scoped.
     */
+  /** `pvg`: the partition-spec GENERATION the file's `pv` was stamped
+    * under (absent = generation 0, so every pre-evolution manifest
+    * stays byte-valid). A pv is TRUSTED only when `pvg` equals the
+    * current sidecar's generation — after [[evolvePartitionSpec]], a
+    * prior era's stamps are ignored (conservative scan, scoped-rewrite
+    * drop) rather than misread in the new spec's value space. The
+    * Iceberg spec-id discipline, one Option[Int] per file.
+    */
   case class FileEntry(
       path: String,
       rows: Long,
@@ -96,7 +104,8 @@ object TxnTable {
       dvs: Option[Seq[String]] = None,
       bucket: Option[Int] = None,
       nulls: Option[Map[String, Long]] = None,
-      pv: Option[String] = None)
+      pv: Option[String] = None,
+      pvg: Option[Int] = None)
 
   /** One committed table version. `schemaDdl` is the snapshot's full
     * read schema — reads pass it explicitly, so files written before a
@@ -255,8 +264,73 @@ object TxnTable {
     * carry no `pv`; readers keep them conservatively and
     * [[dropPartitions]] rewrites exactly those files, scoped — the
     * same graceful degradation the bucket layout has.
+    *
+    * MULTI-COLUMN layouts (`PARTITIONED BY (days(ts), source)` — the
+    * date × tenant layout real lakehouses run) mirror [[BucketSpec]]'s
+    * composite idiom: `cols`/`transforms` list EVERY component in
+    * order and `col`/`transform` must equal their heads (old sidecars
+    * deserialize with both absent = the single-column layout,
+    * bit-compatible). A file's `pv` is then the TUPLE encoding: each
+    * component's canonical string with `%`→`%25`, `/`→`%2F` escaped,
+    * joined by `/` ([[pvEncoded]]/[[pvComponents]]); single-column
+    * layouts keep the bare unescaped value so every existing manifest
+    * stays valid. Pruning and O(metadata) drops work per COMPONENT: a
+    * conjunct on any subset of the partition columns still decides
+    * every file's membership outright.
     */
-  case class PartitionSpec(col: String, transform: String = "identity")
+  /** `gen`: the spec's generation (absent = 0). [[evolvePartitionSpec]]
+    * replaces the sidecar with generation+1; per-file [[FileEntry.pvg]]
+    * stamps tie every pv to the generation that wrote it.
+    */
+  case class PartitionSpec(col: String, transform: String = "identity",
+      cols: Option[Seq[String]] = None,
+      transforms: Option[Seq[String]] = None,
+      gen: Option[Int] = None)
+
+  /** Does this file's pv stamp belong to `spec`'s generation? (pv-less
+    * files trivially don't; a mismatched-era stamp must never be read
+    * in the current spec's value space.)
+    */
+  private[table] def pvCurrent(f: FileEntry, spec: PartitionSpec): Boolean =
+    f.pv.isDefined && f.pvg.getOrElse(0) == spec.gen.getOrElse(0)
+
+  /** The layout's components, in order — `Seq(spec)`-shaped for the
+    * single-column layout ([[bucketColsOf]]'s contract, mirrored).
+    */
+  def partCompsOf(spec: PartitionSpec): Seq[PartitionSpec] =
+    (spec.cols.filter(_.nonEmpty), spec.transforms.filter(_.nonEmpty)) match {
+      case (Some(cs), Some(ts)) =>
+        require(cs.length == ts.length,
+          s"partition spec: ${cs.length} cols vs ${ts.length} transforms")
+        require(cs.headOption.contains(spec.col) &&
+            ts.headOption.contains(spec.transform),
+          "partition spec: col/transform must head cols/transforms")
+        cs.zip(ts).map { case (c, t) => PartitionSpec(c, t) }
+      case (None, None) => Seq(PartitionSpec(spec.col, spec.transform))
+      case _ => sys.error(
+        "partition spec: cols and transforms must be set together")
+    }
+
+  /** Escape ONE component value into the tuple-pv alphabet: `%` and
+    * the `/` separator become `%25`/`%2F`, everything else verbatim
+    * (NullPv's control char included — it contains neither).
+    */
+  private[table] def pvEscape(v: String): String =
+    v.replace("%", "%25").replace("/", "%2F")
+  private[table] def pvUnescape(v: String): String =
+    v.replace("%2F", "/").replace("%25", "%")
+
+  /** Decode a manifest pv into its `k` components — `None` when the
+    * string does not split into exactly `k` parts (a foreign or
+    * corrupt pv: callers must treat the file as layout-UNKNOWN, never
+    * guess). k=1 is the legacy bare encoding: the pv IS the value.
+    */
+  private[table] def pvComponents(pv: String, k: Int): Option[Seq[String]] =
+    if (k == 1) Some(Seq(pv))
+    else {
+      val parts = pv.split("/", -1).toSeq
+      if (parts.length != k) None else Some(parts.map(pvUnescape))
+    }
 
   /** Manifest sentinel for "every row's partition value is NULL" —
     * leads with a control char no CAST-to-STRING of a supported
@@ -299,6 +373,76 @@ object TxnTable {
     finally out.close()
   }
 
+  /** PARTITION-SPEC EVOLUTION — re-partition a table GOING FORWARD
+    * with zero data IO: atomically replace the sidecar with `newSpec`
+    * at generation latest+1. Every existing file keeps its pv stamp,
+    * but the stamp's generation ([[FileEntry.pvg]]) no longer matches,
+    * so readers stop trusting it (conservative scan — correct, just
+    * unpruned), partition drops rewrite those files SCOPED, and any
+    * [[compactPartitions]] (`OPTIMIZE … WHERE`) HEALS them into the
+    * new layout era by era — the Iceberg spec-id pattern. New writes
+    * stamp pv under the new spec immediately; a concurrent append that
+    * read the OLD sidecar stamps the OLD generation and is therefore
+    * ignored, never misread — no fence or clearing commit needed.
+    * Refused on bucketed tables (layouts stay mutually exclusive) and
+    * when a component column is missing or of an unsupported type.
+    * Returns the new generation.
+    */
+  def evolvePartitionSpec(
+      spark: SparkSession,
+      root: String,
+      newSpec: PartitionSpec): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    require(bucketSpec(conf, root).isEmpty,
+      "evolvePartitionSpec: table has a bucket layout — layouts are " +
+        "mutually exclusive")
+    val cur = latestManifest(spark, root).getOrElse(
+      sys.error(s"no table at $root — create() first"))
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    val cm = colMapOf(cur)
+    val comps = partCompsOf(newSpec)
+    require(comps.map(_.col) == comps.map(_.col).distinct,
+      "evolvePartitionSpec: duplicate partition column")
+    comps.foreach { p =>
+      // spec columns are PHYSICAL; the column must be live (mapped
+      // from some logical name, or unmapped and present by that name)
+      val logical = cm.find(_._2 == p.col).map(_._1).getOrElse(p.col)
+      val field = schema.fields.find(_.name == logical).getOrElse(
+        sys.error(s"evolvePartitionSpec: column ${p.col} is not in " +
+          "the table schema"))
+      require(!cm.get(logical).exists(_ != p.col),
+        s"evolvePartitionSpec: ${p.col} is not the physical name of " +
+          s"live column $logical")
+      p.transform match {
+        case "identity" =>
+          require(Set[DataType](IntegerType, LongType, StringType,
+              DateType).contains(field.dataType),
+            s"evolvePartitionSpec: ${p.col} type ${field.dataType} is " +
+              "not identity-partitionable")
+        case "days" =>
+          require(field.dataType == TimestampType ||
+              field.dataType == TimestampNTZType ||
+              field.dataType == DateType,
+            s"evolvePartitionSpec: days(${p.col}) needs a time type")
+        case t => sys.error(s"unknown partition transform '$t'")
+      }
+    }
+    val oldGen = partitionSpec(conf, root).flatMap(_.gen).getOrElse(0)
+    val newGen = oldGen + 1
+    val stamped = newSpec.copy(gen = Some(newGen))
+    val p = partitionSpecPath(root)
+    val tmp = new Path(s"$root/$LogDir",
+      s"._partition-${java.util.UUID.randomUUID.toString.take(8)}")
+    val f = fs(spark, tmp)
+    val out = f.create(tmp, true)
+    try out.write(Serialization.write(stamped)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    FileContext.getFileContext(p.toUri, conf)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    newGen
+  }
+
   /** The partition-value expression of a spec as a STRING column —
     * the canonical space [[FileEntry.pv]] lives in. Probe literals
     * must canonicalize through the SAME Spark cast (the scan and the
@@ -306,13 +450,26 @@ object TxnTable {
     * [[snapshotPointEq]] discipline).
     */
   private[table] def partitionValueExpr(
-      spec: PartitionSpec): org.apache.spark.sql.Column =
-    spec.transform match {
-      case "identity" => col(spec.col).cast("string")
-      case "days" => to_date(col(spec.col)).cast("string")
-      case t => sys.error(s"unknown partition transform '$t' " +
-        "(supported: identity, days)")
+      spec: PartitionSpec): org.apache.spark.sql.Column = {
+    def one(c: PartitionSpec): org.apache.spark.sql.Column =
+      c.transform match {
+        case "identity" => col(c.col).cast("string")
+        case "days" => to_date(col(c.col)).cast("string")
+        case t => sys.error(s"unknown partition transform '$t' " +
+          "(supported: identity, days)")
+      }
+    partCompsOf(spec) match {
+      case Seq(c) => one(c) // legacy bare encoding, manifests unchanged
+      case comps =>
+        // tuple encoding: per-component NULL sentinel BEFORE the join
+        // (concat_ws would silently drop a null and shift positions),
+        // %-escaping so a value containing '/' cannot forge a split
+        concat_ws("/", comps.map(c =>
+          regexp_replace(regexp_replace(
+              coalesce(one(c), lit(NullPv)),
+            "%", "%25"), "/", "%2F")): _*)
     }
+  }
 
   /** The table's bucket layout spec, if any — SparkSession-free (the
     * DSv2 scan resolves it at planning time). One existence probe per
@@ -739,7 +896,8 @@ object TxnTable {
     // degradation as buckets when the column is absent from this df.
     val parted = bucket match {
       case Some(_) => None // layouts are exclusive; create() enforces
-      case None => partition.filter(p => df.columns.contains(p.col))
+      case None => partition.filter(p =>
+        partCompsOf(p).forall(c => df.columns.contains(c.col)))
     }
     val pvCol = "_graft_pv"
     val bkCol = "_graft_bk"
@@ -913,11 +1071,16 @@ object TxnTable {
           val nulls = fields.map { case (n, _) =>
             n -> (rowsN - r.getAs[Long](s"_nn_$n"))
           }.toMap
+          val pvv = pvOf(r, rowsN)
           FileEntry(s"$rel/$sub", rowsN, st.getLen, stats,
             if (blooms.isEmpty) None else Some(blooms),
             bucket = bucketIdOf(name, Some(r)),
             nulls = if (nulls.isEmpty) None else Some(nulls),
-            pv = pvOf(r, rowsN))
+            pv = pvv,
+            // generation stamp rides only post-evolution writes (gen
+            // 0 stays absent, so pre-field manifests are byte-stable)
+            pvg = pvv.flatMap(_ =>
+              parted.flatMap(_.gen).filter(_ != 0)))
         case None =>
           // zero-row part files exist only on the FLAT write path
           // (tasks with no rows); the dynamic-partition paths write a
@@ -1024,26 +1187,32 @@ object TxnTable {
             "bucketable — supported: INT, BIGINT, STRING, DATE")
       }
     }
-    partitionBy.foreach { p =>
-      val field = df.schema.fields.find(_.name == p.col).getOrElse(
-        sys.error(s"partitionBy column ${p.col} is not in the data"))
-      // identity: types whose CAST AS STRING the scan's probe
-      // canonicalization provably replicates; days: time types only
-      p.transform match {
-        case "identity" =>
-          require(Set[DataType](IntegerType, LongType, StringType,
-              DateType).contains(field.dataType),
-            s"partitionBy column ${p.col}: type ${field.dataType} is " +
-              "not identity-partitionable — supported: INT, BIGINT, " +
-              "STRING, DATE")
-        case "days" =>
-          require(field.dataType == TimestampType ||
-              field.dataType == TimestampNTZType ||
-              field.dataType == DateType,
-            s"partitionBy days(${p.col}): type ${field.dataType} is " +
-              "not a time type — supported: TIMESTAMP, DATE")
-        case t => sys.error(s"unknown partition transform '$t' " +
-          "(supported: identity, days)")
+    partitionBy.foreach { spec =>
+      val comps = partCompsOf(spec) // validates cols/transforms shape
+      require(comps.map(_.col) == comps.map(_.col).distinct,
+        s"partitionBy: duplicate partition column in " +
+          comps.map(_.col).mkString(", "))
+      comps.foreach { p =>
+        val field = df.schema.fields.find(_.name == p.col).getOrElse(
+          sys.error(s"partitionBy column ${p.col} is not in the data"))
+        // identity: types whose CAST AS STRING the scan's probe
+        // canonicalization provably replicates; days: time types only
+        p.transform match {
+          case "identity" =>
+            require(Set[DataType](IntegerType, LongType, StringType,
+                DateType).contains(field.dataType),
+              s"partitionBy column ${p.col}: type ${field.dataType} is " +
+                "not identity-partitionable — supported: INT, BIGINT, " +
+                "STRING, DATE")
+          case "days" =>
+            require(field.dataType == TimestampType ||
+                field.dataType == TimestampNTZType ||
+                field.dataType == DateType,
+              s"partitionBy days(${p.col}): type ${field.dataType} is " +
+                "not a time type — supported: TIMESTAMP, DATE")
+          case t => sys.error(s"unknown partition transform '$t' " +
+            "(supported: identity, days)")
+        }
       }
     }
     enforceConstraints(df, constraints)
@@ -1662,21 +1831,30 @@ object TxnTable {
     val spec = partitionSpec(spark.sparkContext.hadoopConfiguration, root)
       .getOrElse(sys.error(s"table at $root has no partition layout — " +
         "use deleteWhere()"))
+    val k = partCompsOf(spec).length
     var committed = -1L
     while (committed < 0) {
       val cur = latestManifest(spark, root).getOrElse(
         sys.error(s"no table at $root — create() first"))
-      val (dropped, rest) =
-        cur.files.partition(f => f.pv.exists(pvPred))
-      val (unknown, kept) =
-        rest.partition(f => f.pv.isEmpty && f.rows > 0)
+      // a pv that does not decode into the layout's k components, or
+      // was stamped under a PRIOR spec generation, is not this
+      // layout's index: route the file through the row-level rewrite
+      // (exact semantics) rather than keep OR drop it on a guess
+      val (dropped, rest) = cur.files.partition(f =>
+        pvCurrent(f, spec) &&
+          f.pv.exists(pv => pvComponents(pv, k).isDefined && pvPred(pv)))
+      val (unknown, kept) = rest.partition(f => f.rows > 0 &&
+        (!pvCurrent(f, spec) ||
+          !f.pv.forall(pv => pvComponents(pv, k).isDefined)))
       if (dropped.isEmpty && unknown.isEmpty)
         return cur.version // nothing to drop, nothing to commit
       val cm = colMapOf(cur)
-      val logicalPcol =
-        cm.find(_._2 == spec.col).map(_._1).getOrElse(spec.col)
+      def logicalOf(pc: String): String =
+        cm.find(_._2 == pc).map(_._1).getOrElse(pc)
+      val logicalSpec = spec.copy(col = logicalOf(spec.col),
+        cols = spec.cols.map(_.map(logicalOf)))
       val pvLogical = coalesce(
-        partitionValueExpr(spec.copy(col = logicalPcol)), lit(NullPv))
+        partitionValueExpr(logicalSpec), lit(NullPv))
       val v = cur.version + 1
       val newFiles =
         if (unknown.isEmpty) Seq.empty
@@ -2130,10 +2308,11 @@ object TxnTable {
       val cur = latestManifest(spark, root).getOrElse(
         sys.error(s"no table at $root — create() first"))
       val (sel, kept) = cur.files.partition(f =>
-        f.pv.exists(vs.contains) || (f.pv.isEmpty && f.rows > 0))
+        (pvCurrent(f, spec) && f.pv.exists(vs.contains)) ||
+          (!pvCurrent(f, spec) && f.rows > 0))
       val worthIt = sel.count(_.rows > 0) >= 2 ||
         sel.exists(_.dvs.exists(_.nonEmpty)) ||
-        sel.exists(f => f.pv.isEmpty && f.rows > 0)
+        sel.exists(f => !pvCurrent(f, spec) && f.rows > 0)
       if (!worthIt) return cur.version
       val cm = colMapOf(cur)
       val v = cur.version + 1

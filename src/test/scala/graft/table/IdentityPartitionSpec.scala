@@ -18,12 +18,21 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class IdentityPartitionSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession =
+  lazy val spark: SparkSession = {
+    // the SHOW PARTITIONS / OPTIMIZE tests need the injected parser,
+    // which applies only at session CONSTRUCTION (SqlMaintenanceSpec's
+    // rebuild pattern): drop a shared session built without it
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .filterNot(_.conf.getOption("spark.sql.extensions")
+        .contains("graft.GraftExtensions"))
+      .foreach(_.stop())
     SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+  }
 
   private def freshRoot(): String =
     Files.createTempDirectory("graft_idpart").toString
@@ -304,5 +313,238 @@ class IdentityPartitionSpec extends AnyFunSuite {
         bucketBy = Some(TxnTable.BucketSpec("k", 4)),
         partitionBy = Some(TxnTable.PartitionSpec("st")))
     }
+  }
+
+  // ---- multi-column layouts (tuple pv) -------------------------------
+
+  private def multiSpec(cs: (String, String)*): TxnTable.PartitionSpec =
+    TxnTable.PartitionSpec(cs.head._1, cs.head._2,
+      Some(cs.map(_._1)), Some(cs.map(_._2)))
+
+  private def twoColDf(lo: Int, hi: Int) = {
+    import spark.implicits._
+    spark.range(lo, hi).select(col("id").as("k"),
+      when(col("id") % 3 === 0, "A")
+        .when(col("id") % 3 === 1, "B").otherwise("C").as("st"),
+      (col("id") % 2).cast("int").as("g"),
+      (col("id") * 7 % 11).cast("double").as("v"))
+  }
+
+  test("multi-column layout: every file carries a decodable pv TUPLE; " +
+      "probes on either component (and both) prune per-component") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, twoColDf(0, 90), Seq("k"),
+      partitionBy = Some(multiSpec("st" -> "identity", "g" -> "identity")))
+    TxnTable.append(spark, root, twoColDf(90, 120), Seq("k"))
+    val m = latest(root)
+    assert(m.files.filter(_.rows > 0).forall(_.pv.isDefined))
+    val tuples = m.files.flatMap(_.pv)
+      .flatMap(pv => TxnTable.pvComponents(pv, 2)).toSet
+    assert(tuples == (for (s <- Set("A", "B", "C"); g <- Set("0", "1"))
+      yield Seq(s, g)))
+    val schema = StructType.fromDDL(m.schemaDdl)
+    def planned(fs: Array[sources.Filter]): Set[String] = {
+      val b = new GraftScanBuilder(root, schema)
+      b.pushFilters(fs)
+      b.build().asInstanceOf[GraftScan].planInputPartitions()
+        .map(_.asInstanceOf[GraftInputPartition].relPath).toSet
+    }
+    def files(p: Seq[String] => Boolean): Set[String] =
+      m.files.filter(_.pv.flatMap(TxnTable.pvComponents(_, 2)).exists(p))
+        .map(_.path).toSet
+    assert(planned(Array(sources.EqualTo("st", "A"))) ==
+      files(t => t.head == "A"))
+    assert(planned(Array(sources.EqualTo("g", 1))) ==
+      files(t => t(1) == "1"))
+    assert(planned(Array(sources.EqualTo("st", "A"),
+      sources.EqualTo("g", 1))) == files(t => t == Seq("A", "1")))
+    // correctness under pruning
+    assert(TxnTable.snapshot(spark, root)
+      .filter(col("st") === "A" && col("g") === 1).count() ==
+      twoColDf(0, 120).filter(col("st") === "A" && col("g") === 1)
+        .count())
+  }
+
+  test("multi-column layout: DELETE on a component subset commits as " +
+      "an O(metadata) drop; ranges and full tuples too; mixed " +
+      "predicates rewrite") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, twoColDf(0, 90), Seq("k"),
+      partitionBy = Some(multiSpec("st" -> "identity", "g" -> "identity")))
+    val t = cat(root, "gmc1")
+    val keep = latest(root).files.filterNot(
+      _.pv.flatMap(TxnTable.pvComponents(_, 2)).exists(_.head == "C"))
+    // subset conjunct (st only): whole metadata drop, g unconstrained
+    spark.sql(s"DELETE FROM $t WHERE st = 'C'")
+    assert(latest(root).op == "drop-partition")
+    assert(latest(root).files.toSet == keep.toSet)
+    // both components constrained: still metadata
+    spark.sql(s"DELETE FROM $t WHERE st = 'A' AND g = 0")
+    assert(latest(root).op == "drop-partition")
+    assert(TxnTable.snapshot(spark, root)
+      .filter(col("st") === "A" && col("g") === 0).count() == 0)
+    // range on the int component: typed comparison
+    spark.sql(s"DELETE FROM $t WHERE g < 1")
+    assert(latest(root).op == "drop-partition")
+    assert(TxnTable.snapshot(spark, root).filter(col("g") === 0)
+      .count() == 0)
+    // non-partition column in the predicate: rewrite, exact rows
+    spark.sql(s"DELETE FROM $t WHERE st = 'B' AND k < 30")
+    assert(latest(root).op == "delete")
+    assert(TxnTable.snapshot(spark, root)
+      .filter(col("st") === "B" && col("k") < 30).count() == 0)
+  }
+
+  test("multi-column layout: values containing '/' and '%' escape " +
+      "into the tuple pv and round-trip through prune + drop") {
+    import spark.implicits._
+    val root = freshRoot()
+    val df = spark.range(0, 40).select(col("id").as("k"),
+      when(col("id") % 2 === 0, "a/b").otherwise("c%2Fd").as("seg"),
+      (col("id") % 2).cast("int").as("g"))
+    TxnTable.create(spark, root, df, Seq("k"),
+      partitionBy = Some(multiSpec("seg" -> "identity", "g" -> "identity")))
+    val m = latest(root)
+    val tuples = m.files.flatMap(_.pv)
+      .flatMap(pv => TxnTable.pvComponents(pv, 2)).map(_.head).toSet
+    assert(tuples == Set("a/b", "c%2Fd"),
+      s"escape round-trip broke: $tuples")
+    val t = cat(root, "gmc2")
+    spark.sql(s"DELETE FROM $t WHERE seg = 'a/b'")
+    assert(latest(root).op == "drop-partition")
+    assert(TxnTable.snapshot(spark, root).count() == 20)
+    assert(TxnTable.snapshot(spark, root)
+      .filter(col("seg") === "c%2Fd").count() == 20)
+  }
+
+  test("multi-column catalog DDL: PARTITIONED BY (days(ts), st) " +
+      "creates the composite layout; SHOW PARTITIONS lists tuples; " +
+      "OPTIMIZE WHERE scopes to one component") {
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try {
+      import spark.implicits._
+      val root = freshRoot()
+      val t = cat(root, "gmc3")
+      spark.sql(s"CREATE TABLE $t (k BIGINT, ts TIMESTAMP, st STRING) " +
+        "PARTITIONED BY (days(ts), st) TBLPROPERTIES ('statsCols'='k')")
+      val spec = TxnTable.partitionSpec(
+        spark.sparkContext.hadoopConfiguration, root).get
+      assert(TxnTable.partCompsOf(spec) == Seq(
+        TxnTable.PartitionSpec("ts", "days"),
+        TxnTable.PartitionSpec("st", "identity")))
+      val df = spark.range(0, 48).select(col("id").as("k"),
+        concat(lit("2026-03-0"), (col("id") % 3 + 1).cast("string"))
+          .cast("timestamp").as("ts"),
+        when(col("id") % 2 === 0, "x").otherwise("y").as("st"))
+      df.createOrReplaceTempView("gmc3_src")
+      spark.sql(s"INSERT INTO $t SELECT k, ts, st FROM gmc3_src")
+      spark.sql(s"INSERT INTO $t SELECT k + 100, ts, st FROM gmc3_src")
+      val parts = spark.sql(s"SHOW PARTITIONS $t").collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(parts.keySet == (for (d <- Set("1", "2", "3");
+        s <- Set("x", "y")) yield s"2026-03-0$d/$s"))
+      assert(parts.values.sum == 96)
+      // partition-scoped compaction on ONE component: each day-03/x|y
+      // partition had 2 files (two inserts) -> 1 after; others keep
+      // their debris
+      val before = latest(root)
+      spark.sql(s"OPTIMIZE $t WHERE st = 'x'")
+      val after = latest(root)
+      def nFiles(pred: Seq[String] => Boolean, m: TxnTable.Manifest) =
+        m.files.filter(_.pv.flatMap(TxnTable.pvComponents(_, 2))
+          .exists(pred)).size
+      assert(nFiles(_.last == "x", before) == 6 &&
+        nFiles(_.last == "x", after) == 3,
+        "OPTIMIZE WHERE st='x' must bin-pack exactly the x partitions")
+      assert(nFiles(_.last == "y", after) == 6,
+        "y partitions' debris must carry verbatim")
+      // retention across the days component: range drop is metadata
+      spark.sql(s"DELETE FROM $t WHERE st = 'y'")
+      assert(latest(root).op == "drop-partition")
+      assert(spark.sql(s"SELECT COUNT(*) c FROM $t").head().getLong(0)
+        == 48)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("partition-spec EVOLUTION: the new era stamps generation-tagged " +
+      "pvs, the old era's stamps are never misread (the st->g aliasing " +
+      "trap), drops rewrite the old era scoped, OPTIMIZE heals it") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, twoColDf(0, 60), Seq("k"),
+      partitionBy = Some(TxnTable.PartitionSpec("st")))
+    // evolve identity(st) -> identity(g) via SQL; atomic, zero data IO
+    val t = cat(root, "gevo1")
+    val r = spark.sql(s"ALTER TABLE $t SET PARTITIONED BY (g)").collect()
+    assert(r.head.getString(0) == "evolve-partition" &&
+      r.head.getLong(1) == 1L)
+    assert(TxnTable.partitionSpec(
+      spark.sparkContext.hadoopConfiguration, root)
+      .contains(TxnTable.PartitionSpec("g", "identity", gen = Some(1))))
+    TxnTable.append(spark, root, twoColDf(60, 120), Seq("k"))
+    val m = latest(root)
+    val (newEra, oldEra) = m.files.partition(_.pvg.contains(1))
+    assert(oldEra.nonEmpty && newEra.nonEmpty)
+    assert(oldEra.forall(f => f.pv.isDefined && f.pvg.isEmpty),
+      "old-era files keep their stamps, just untrusted")
+    assert(newEra.flatMap(_.pv).toSet == Set("0", "1"))
+    // the aliasing trap: WITHOUT generations, EqualTo(g, 1) would
+    // prune old-era files (pv 'A'/'B'/'C' not in {'1'}) and LOSE rows
+    val schema = StructType.fromDDL(m.schemaDdl)
+    def planned(fs: Array[sources.Filter]): Set[String] = {
+      val b = new GraftScanBuilder(root, schema)
+      b.pushFilters(fs)
+      b.build().asInstanceOf[GraftScan].planInputPartitions()
+        .map(_.asInstanceOf[GraftInputPartition].relPath).toSet
+    }
+    val g1 = planned(Array(sources.EqualTo("g", 1)))
+    assert(oldEra.map(_.path).toSet.subsetOf(g1),
+      "old-era files must be kept conservatively under the new spec")
+    assert(g1.intersect(newEra.map(_.path).toSet) ==
+      newEra.filter(_.pv.contains("1")).map(_.path).toSet,
+      "new-era files must prune exactly on the new component")
+    assert(TxnTable.snapshot(spark, root).filter(col("g") === 1)
+      .count() == twoColDf(0, 120).filter(col("g") === 1).count())
+    // DELETE on the NEW partition column: new era drops as metadata,
+    // old era rewrites scoped — and comes out re-stamped gen 1
+    spark.sql(s"DELETE FROM $t WHERE g = 0")
+    val after = latest(root)
+    assert(after.op == "drop-partition")
+    assert(TxnTable.snapshot(spark, root).filter(col("g") === 0)
+      .count() == 0)
+    assert(TxnTable.snapshot(spark, root).count() ==
+      twoColDf(0, 120).filter(col("g") === 1).count())
+    assert(after.files.filter(_.rows > 0).forall(_.pvg.contains(1)),
+      "the scoped rewrite must heal old-era files into the new layout")
+    // SHOW PARTITIONS now lists only the new-era value space
+    val parts = spark.sql(s"SHOW PARTITIONS $t").collect()
+      .map(_.getString(0)).toSet
+    assert(parts == Set("1"))
+  }
+
+  test("partition-spec EVOLUTION to a multi-column spec; prior-era " +
+      "debris groups under NULL in SHOW PARTITIONS until OPTIMIZE " +
+      "heals it era by era") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, twoColDf(0, 60), Seq("k"),
+      partitionBy = Some(TxnTable.PartitionSpec("st")))
+    val t = cat(root, "gevo2")
+    spark.sql(s"ALTER TABLE $t SET PARTITIONED BY (st, g)")
+    TxnTable.append(spark, root, twoColDf(60, 90), Seq("k"))
+    val listed = spark.sql(s"SHOW PARTITIONS $t").collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(2)).toMap
+    assert(listed.contains(None), "old era must surface as NULL debris")
+    assert(listed.keys.flatten.toSet ==
+      (for (s <- Set("A", "B", "C"); g <- Set("0", "1"))
+        yield s"$s/$g"))
+    // OPTIMIZE ... WHERE heals the old era into tuple partitions
+    spark.sql(s"OPTIMIZE $t WHERE st = 'A'")
+    val healed = latest(root)
+    assert(healed.files.filter(_.rows > 0).forall(_.pvg.contains(1)),
+      "partition-scoped compaction must heal ALL prior-era files")
+    assert(TxnTable.snapshot(spark, root).count() == 90)
+    // and the listing is now fully tuple-partitioned
+    assert(spark.sql(s"SHOW PARTITIONS $t").collect()
+      .forall(_.getString(0) != null))
   }
 }

@@ -71,8 +71,9 @@ class SqlDdlSpec extends AnyFunSuite {
   test("unsupported partition transforms are refused loudly — the " +
       "format records no layout it cannot enforce") {
     val wh = warehouse(); cat(wh, "gd3")
-    // identity (PARTITIONED BY (d)) and days(d) ARE layouts now
-    // (IdentityPartitionSpec); hours/years and composite specs are not
+    // identity (single or composite, PARTITIONED BY (d[, s])) and
+    // days(d) ARE layouts now (IdentityPartitionSpec); hours/years
+    // and bucket-mixed-with-identity are not
     val e = intercept[Exception] {
       spark.sql("CREATE TABLE gd3.t (k BIGINT, ts TIMESTAMP) " +
         "PARTITIONED BY (hours(ts))")
@@ -81,12 +82,21 @@ class SqlDdlSpec extends AnyFunSuite {
       e.getMessage.contains("transform"))
     val e2 = intercept[Exception] {
       spark.sql("CREATE TABLE gd3.t (k BIGINT, d DATE, s STRING) " +
-        "PARTITIONED BY (d, s)")
+        "PARTITIONED BY (bucket(4, k), s)")
     }
-    assert(e2.getMessage.contains("single") ||
+    assert(e2.getMessage.contains("bucket") ||
       e2.getMessage.contains("transform"))
     // nothing half-created
     assert(!new java.io.File(s"$wh/t").exists())
+    // composite identity/days specs ARE a layout now: the sidecar
+    // records every component (multi-column tests live in
+    // IdentityPartitionSpec; this pins only the DDL acceptance)
+    spark.sql("CREATE TABLE gd3.t2 (k BIGINT, d DATE, s STRING) " +
+      "PARTITIONED BY (d, s)")
+    assert(TxnTable.partitionSpec(
+      spark.sparkContext.hadoopConfiguration, s"$wh/t2")
+      .map(TxnTable.partCompsOf(_).map(_.col))
+      .contains(Seq("d", "s")))
   }
 
   test("an EMPTY bucketed table scans and joins without claiming the " +

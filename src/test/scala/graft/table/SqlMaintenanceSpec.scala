@@ -373,4 +373,22 @@ class SqlMaintenanceSpec extends AnyFunSuite {
     assert(spark.sql("SELECT COUNT(*) FROM optimize").head().getLong(0)
       == 3L)
   }
+
+  test("OPTIMIZE ... WHERE IN tokenizes quoted literals exactly: a " +
+      "comma INSIDE a value stays part of the value, malformed lists " +
+      "are refused instead of silently mis-scoping") {
+    // a quoted value containing a comma must scope to THAT partition
+    assert(GraftSqlParser.splitInList("'a,b', 'c'") == Seq("a,b", "c"))
+    assert(GraftSqlParser.splitInList("1, 2,3") == Seq("1", "2", "3"))
+    assert(GraftSqlParser.splitInList("'x'") == Seq("x"))
+    intercept[IllegalArgumentException] {
+      GraftSqlParser.splitInList("'a,b', 'c") // unbalanced quote
+    }
+    intercept[IllegalArgumentException] {
+      GraftSqlParser.splitInList("a b, c") // junk between separators
+    }
+    intercept[IllegalArgumentException] {
+      GraftSqlParser.splitInList("a,,b") // empty element
+    }
+  }
 }

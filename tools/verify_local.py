@@ -103,13 +103,28 @@ def main(sf_dir, out_dir):
                 {"col": c, "spark": stypes[c], "oracle": otypes[c]}
                 for c in scols if stypes[c] != otypes[c]
             ]
+        # A final DECIMAL column is a driver-red trap even when both
+        # sides agree bit-for-bit here: the driver's compare reads the
+        # oracle via pandas, where DuckDB DECIMAL surfaces as float64
+        # ("123.0", lossy past 2^53) while Spark's parquet decimal
+        # reads back exact — the r12-r14 q_emb_norm_stats /
+        # q_eigencentrality divergence. Flag it locally so it can
+        # never ship again; readouts must be BIGINT/DOUBLE.
+        decimal_cols = [c for c in scols
+                        if tclass(tab.schema.field(c).type) == "decimal"]
+        decimal_cols += [c for c in ocols
+                         if tclass(otab.schema.field(c).type) == "decimal"
+                         and c not in decimal_cols]
         results[name] = {"check": "oracle", "rows": len(srows),
                          "oracle_rows": len(orows), "schema_ok": schema_ok,
                          "rows_ok": rows_ok, "hash_ok": hash_ok,
                          "ok": (schema_ok and rows_ok and hash_ok
-                                and not type_mismatch)}
+                                and not type_mismatch
+                                and not decimal_cols)}
         if type_mismatch:
             results[name]["arrow_type_mismatch"] = type_mismatch
+        if decimal_cols:
+            results[name]["decimal_output_cols"] = decimal_cols
         if not results[name]["ok"]:
             # dump first differing line for debugging
             order_s = sorted(range(len(scols)), key=lambda i: scols[i])
