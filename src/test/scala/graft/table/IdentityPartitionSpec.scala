@@ -547,4 +547,30 @@ class IdentityPartitionSpec extends AnyFunSuite {
     assert(spark.sql(s"SHOW PARTITIONS $t").collect()
       .forall(_.getString(0) != null))
   }
+
+  test("time travel ACROSS a partition-spec evolution reads exact rows " +
+      "— pre-evolution versions' old-era stamps are never pruned in " +
+      "the new spec's value space") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, twoColDf(0, 60), Seq("k"),
+      partitionBy = Some(TxnTable.PartitionSpec("st")))
+    val t = cat(root, "gevo3")
+    spark.sql(s"ALTER TABLE $t SET PARTITIONED BY (g)")
+    TxnTable.append(spark, root, twoColDf(60, 90), Seq("k"))
+    // pinned pre-evolution version, probed on the NEW partition column:
+    // version 0's files carry 'A'/'B'/'C' stamps (gen 0); under the
+    // evolved sidecar (gen 1) they must read conservatively, not prune
+    val v0 = spark.read.format("graft.table.GraftTableProvider")
+      .option("versionAsOf", "0").load(root)
+    assert(v0.count() == 60)
+    assert(v0.filter(col("g") === 1).count() ==
+      twoColDf(0, 60).filter(col("g") === 1).count())
+    // pinned pre-evolution version probed on the OLD partition column
+    // also stays exact (its stamps are simply untrusted now)
+    assert(v0.filter(col("st") === "A").count() ==
+      twoColDf(0, 60).filter(col("st") === "A").count())
+    // current version: both eras, new-era pruning, exact rows
+    assert(TxnTable.snapshot(spark, root).filter(col("g") === 0)
+      .count() == twoColDf(0, 90).filter(col("g") === 0).count())
+  }
 }
