@@ -221,6 +221,42 @@ class GraftTable(root: String, tableSchema: StructType,
   }
   override def name(): String = s"graft_table($root)"
 
+  /** DSv2 layout report (`Table.partitioning()`): DESCRIBE TABLE and
+    * catalog tooling see the table's bucket or identity/days layout
+    * as standard transforms over LOGICAL column names. Report-only —
+    * the write path routes layouts through TxnTable itself; dropped/
+    * renamed layout columns simply vanish from the report (the scan
+    * degrades the same way).
+    */
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val conf = new Configuration()
+    val cm = GraftTableProvider.manifestFor(conf, root, pinned)
+      .colMap.getOrElse(Map.empty[String, String])
+    def logicalOf(pc: String): Option[String] = {
+      val l = cm.find(_._2 == pc).map(_._1).getOrElse(pc)
+      if (tableSchema.fieldNames.contains(l) &&
+          !cm.get(l).exists(_ != pc)) Some(l) else None
+    }
+    val buckets = TxnTable.bucketSpec(conf, root).toSeq.flatMap { b =>
+      val ls = TxnTable.bucketColsOf(b).map(logicalOf)
+      if (ls.forall(_.isDefined))
+        Some(Expressions.bucket(b.n, ls.flatten: _*)
+          : org.apache.spark.sql.connector.expressions.Transform)
+      else None
+    }
+    val parts = TxnTable.partitionSpec(conf, root).toSeq
+      .flatMap(TxnTable.partCompsOf)
+      .flatMap(c => logicalOf(c.col).map(l => c.transform match {
+        case "days" => Expressions.days(l)
+          : org.apache.spark.sql.connector.expressions.Transform
+        case _ => Expressions.identity(l)
+          : org.apache.spark.sql.connector.expressions.Transform
+      }))
+    (buckets ++ parts).toArray
+  }
+
   /** `_file` metadata column: the MANIFEST path of the data file each
     * row came from (`SELECT _file, ... FROM cat.t`). Beyond ad-hoc
     * provenance queries, this is the FILE-GROUP HANDLE the row-level

@@ -143,6 +143,32 @@ class DynPruneSpec extends AnyFunSuite {
         "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", _))
   }
 
+  test("runtime IN-values prune a MULTI-COLUMN partition layout by " +
+      "component: the probe column's slot of the pv tuple filters, " +
+      "the other component stays unconstrained") {
+    val root = freshRoot()
+    val df = spark.range(0, 120).select(col("id").as("k"),
+      when(col("id") % 3 === 0, "A")
+        .when(col("id") % 3 === 1, "B").otherwise("C").as("st"),
+      (col("id") % 4).as("g"), // LONG component
+      (col("id") % 7).cast("double").as("v"))
+    TxnTable.create(spark, root, df, Seq("k"),
+      partitionBy = Some(TxnTable.PartitionSpec("st", "identity",
+        Some(Seq("st", "g")), Some(Seq("identity", "identity")))))
+    val m = TxnTable.readManifest(spark, root,
+      TxnTable.versions(spark, root).max)
+    assert(m.files.size == 12) // 3 st × 4 g tuples
+    val schema = StructType.fromDDL(m.schemaDdl)
+    assert(plannedFiles(root, None, schema) == 12)
+    // runtime IN on the g component keeps 3 files (st unconstrained)
+    val g1 = plannedFiles(root,
+      Some(inPredicate("g", Seq(1L))), schema)
+    assert(g1 == 3, s"expected 3 planned files, got $g1")
+    val g2 = plannedFiles(root,
+      Some(inPredicate("g", Seq(1L, 3L))), schema)
+    assert(g2 == 6)
+  }
+
   test("unknown or partial IN lists are ignored — pruning never " +
       "guesses") {
     val root = freshRoot()

@@ -97,6 +97,17 @@ class SqlDdlSpec extends AnyFunSuite {
       spark.sparkContext.hadoopConfiguration, s"$wh/t2")
       .map(TxnTable.partCompsOf(_).map(_.col))
       .contains(Seq("d", "s")))
+    // DSv2 partitioning() report: DESCRIBE gains a Partition
+    // Information section listing both components, in spec order
+    val desc = spark.sql("DESCRIBE TABLE EXTENDED gd3.t2").collect()
+      .map(r => r.getString(0))
+    val pi = desc.indexOf("# Partition Information")
+    assert(pi >= 0, s"DESCRIBE must report the layout, got " +
+      desc.mkString("; "))
+    val after = desc.drop(pi)
+    assert(after.indexOf("d") > 0 && after.indexOf("s") > after.indexOf("d"),
+      s"partition columns must list after the header, got " +
+        after.mkString("; "))
   }
 
   test("an EMPTY bucketed table scans and joins without claiming the " +
