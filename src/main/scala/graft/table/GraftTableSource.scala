@@ -593,7 +593,17 @@ class GraftWriteBuilder(
           val statsCols = Option(info.options.get("statsCols"))
             .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
             .getOrElse(Seq.empty)
-          if (overwrite) TxnTable.overwrite(spark, root, data, statsCols)
+          // Delta-style dynamic partition overwrite: mode("overwrite")
+          // + .option("partitionOverwriteMode","dynamic") replaces
+          // exactly the partitions present in the incoming batch
+          // (TxnTable.overwritePartitions) instead of the whole table
+          val dynamic = Option(
+            info.options.get("partitionOverwriteMode"))
+            .exists(_.equalsIgnoreCase("dynamic"))
+          if (overwrite && dynamic)
+            TxnTable.overwritePartitions(spark, root, data, statsCols)
+          else if (overwrite)
+            TxnTable.overwrite(spark, root, data, statsCols)
           else TxnTable.append(spark, root, data, statsCols)
           ()
         }

@@ -1499,6 +1499,109 @@ object TxnTable {
       statsCols: Seq[String] = Seq.empty): Long =
     rewrite(spark, root, "overwrite", statsCols, Some(df))(_ => df)
 
+  /** DYNAMIC PARTITION OVERWRITE — the daily BACKFILL op on an
+    * identity/days layout: atomically replace exactly the partitions
+    * PRESENT in `df` (every other partition's files carry into the new
+    * manifest VERBATIM — zero IO for the untouched 99.9% of a 100 TB
+    * table, where [[overwrite]] would rewrite all of it). Incoming
+    * rows are written once through the partition split; replaced
+    * partitions' current-generation files leave as pure metadata;
+    * layout-unaware or prior-generation straggler files may hold rows
+    * of the replaced partitions, so they are rewritten SCOPED with
+    * those rows anti-joined out (the [[dropPartitionsWhere]]
+    * discipline — exact semantics, priced O(stragglers)). The touched
+    * partition list is an O(touched-partitions) driver-side set (a
+    * backfill touches a handful; 100k bounds the pathological case).
+    * Same append-style schema evolution and constraint enforcement as
+    * every other write. An empty `df` is a no-op (it names no
+    * partitions to replace). Delta's `partitionOverwriteMode=dynamic`
+    * / Iceberg's `replacePartitions`, as one commit.
+    */
+  def overwritePartitions(
+      spark: SparkSession,
+      root: String,
+      df: DataFrame,
+      statsCols: Seq[String] = Seq.empty): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val spec = partitionSpec(conf, root).getOrElse(
+      sys.error(s"table at $root has no identity/days partition " +
+        "layout — use overwrite()"))
+    val base = latestManifest(spark, root).getOrElse(
+      sys.error(s"no table at $root — create() first"))
+    enforceConstraints(df, constraintsOf(base))
+    val baseSchema = StructType.fromDDL(base.schemaDdl)
+    val merged = mergeSchemas(baseSchema, df.schema)
+    checkNewCols(base, baseSchema, merged)
+    val cm = colMapOf(base)
+    def logicalOf(pc: String): String =
+      cm.find(_._2 == pc).map(_._1).getOrElse(pc)
+    val logicalSpec = spec.copy(col = logicalOf(spec.col),
+      cols = spec.cols.map(_.map(logicalOf)))
+    val pvLogical = coalesce(
+      partitionValueExpr(logicalSpec), lit(NullPv))
+    val touched = df.select(pvLogical.as("pv")).distinct()
+      .limit(100001).collect().map(_.getString(0)).toSet
+    require(touched.size <= 100000,
+      "overwritePartitions: incoming batch names over 100k distinct " +
+        "partitions — that is a table rewrite; use overwrite()")
+    if (touched.isEmpty) return base.version // no partitions named
+    val v0 = base.version + 1
+    val newFiles = writeFiles(spark, root,
+      toPhysical(conform(df, merged), cm),
+      statsColsFor(spark, root, statsCols).map(c => cm.getOrElse(c, c)),
+      v0.toString, bloomColsOf(base).map(c => cm.getOrElse(c, c)),
+      bucket = None, partition = Some(spec))
+    import org.apache.spark.sql.Encoders
+    val touchedDf = spark.createDataset(touched.toSeq)(Encoders.STRING)
+      .toDF("_graft_ow_pv")
+    val k = partCompsOf(spec).length
+    var committed = -1L
+    while (committed < 0) {
+      val cur = latestManifest(spark, root).get
+      require(colMapOf(cur) == cm,
+        "concurrent column rename/drop during overwritePartitions — " +
+          "retry the write")
+      val (replaced, rest) = cur.files.partition(f =>
+        pvCurrent(f, spec) && f.pv.exists(pv =>
+          pvComponents(pv, k).isDefined && touched.contains(pv)))
+      val (unknown, kept) = rest.partition(f => f.rows > 0 &&
+        (!pvCurrent(f, spec) ||
+          !f.pv.forall(pv => pvComponents(pv, k).isDefined)))
+      val v = cur.version + 1
+      val rewritten =
+        if (unknown.isEmpty) Seq.empty
+        else {
+          val snapU = snapshotOf(spark, root, cur.copy(files = unknown))
+          // anti-join (broadcast O(touched)) instead of a giant isin
+          val outU = snapU.join(broadcast(touchedDf),
+            pvLogical === col("_graft_ow_pv"), "left_anti")
+          writeFiles(spark, root, toPhysical(outU, cm),
+            statsColsFor(spark, root, statsCols)
+              .map(c => cm.getOrElse(c, c)),
+            v.toString, bloomColsOf(cur).map(c => cm.getOrElse(c, c)),
+            partition = Some(spec))
+        }
+      val cand = Manifest(v, "overwrite-partitions",
+        System.currentTimeMillis(),
+        mergeSchemas(StructType.fromDDL(cur.schemaDdl), merged).toDDL,
+        kept ++ rewritten ++ newFiles, cur.streamHwm, cur.constraints,
+        cur.bloomCols, cur.colMap, cur.retired)
+      val cdfRel = cdfKeysOf(spark, root).map { keys =>
+        val rel = s"$ChangeDir/v$v-" +
+          java.util.UUID.randomUUID.toString.take(8)
+        diffRows(
+          snapshotOf(spark, root, cur.copy(files = replaced ++ unknown)),
+          snapshotOf(spark, root,
+            cand.copy(files = rewritten ++ newFiles)), keys)
+          .write.parquet(s"$root/$rel")
+        rel
+      }
+      if (tryCommit(spark, root, cand.copy(cdfDir = cdfRel)))
+        committed = v
+    }
+    committed
+  }
+
   /** MERGE/upsert: rows of `updates` replace same-key rows and insert
     * new keys ([[graft.ops.Merge.upsert]] semantics with updates always
     * winning). One anti-join + union — shuffle volume O(|snapshot| +

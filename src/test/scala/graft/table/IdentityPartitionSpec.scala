@@ -573,4 +573,54 @@ class IdentityPartitionSpec extends AnyFunSuite {
     assert(TxnTable.snapshot(spark, root).filter(col("g") === 0)
       .count() == twoColDf(0, 90).filter(col("g") === 0).count())
   }
+
+  test("DYNAMIC PARTITION OVERWRITE: the backfill batch replaces " +
+      "exactly its partitions (untouched files carry VERBATIM), " +
+      "straggler files rewrite scoped, empty batch is a no-op") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, statusDf(0, 90), Seq("k"),
+      partitionBy = Some(TxnTable.PartitionSpec("st")))
+    val before = latest(root)
+    val untouched = before.files.filterNot(_.pv.contains("B"))
+    // backfill partition B with a corrected slice (30 -> 10 rows)
+    val backfill = statusDf(0, 90).filter(col("st") === "B" && col("k") < 30)
+      .withColumn("v", col("v") + 1000)
+    val v = TxnTable.overwritePartitions(spark, root, backfill, Seq("k"))
+    val after = latest(root)
+    assert(after.version == v && after.op == "overwrite-partitions")
+    assert(untouched.forall(after.files.contains),
+      "untouched partitions' files must carry verbatim")
+    val snap = TxnTable.snapshot(spark, root)
+    assert(snap.count() == 70) // 60 untouched + 10 backfilled
+    assert(snap.filter(col("st") === "B").count() == 10)
+    assert(snap.filter(col("st") === "B").agg(min(col("v"))).head()
+      .getDouble(0) >= 1000, "partition B must hold ONLY the backfill")
+    // the write-option surface routes the same way
+    statusDf(200, 230).filter(col("st") === "C")
+      .write.format("graft.table.GraftTableProvider")
+      .mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .option("statsCols", "k").save(root)
+    assert(latest(root).op == "overwrite-partitions")
+    val snap2 = TxnTable.snapshot(spark, root)
+    assert(snap2.filter(col("st") === "C").count() ==
+      statusDf(200, 230).filter(col("st") === "C").count())
+    assert(snap2.filter(col("st") === "A").count() == 30,
+      "partition A must be untouched by both dynamic overwrites")
+    // empty incoming batch: no partitions named, no commit
+    val vBefore = latest(root).version
+    assert(TxnTable.overwritePartitions(spark, root,
+      statusDf(0, 90).filter(col("k") < 0)) == vBefore)
+    // straggler healing: a COW UPDATE leaves pv-less files; a dynamic
+    // overwrite of B must remove B's rows from them scoped, keep others
+    val t = cat(root, "gdpo")
+    spark.sql(s"UPDATE $t SET v = v + 1 WHERE k = 3") // touches A's group
+    assert(latest(root).files.exists(f => f.pv.isEmpty && f.rows > 0))
+    TxnTable.overwritePartitions(spark, root,
+      statusDf(0, 9).filter(col("st") === "B"), Seq("k"))
+    val snap3 = TxnTable.snapshot(spark, root)
+    assert(snap3.filter(col("st") === "B").count() == 3) // k=1,4,7
+    assert(snap3.filter(col("st") === "A").count() == 30)
+    assert(snap3.filter(col("k") === 3).head().getDouble(2) > 10,
+      "the COW update must survive the scoped straggler rewrite")
+  }
 }
