@@ -416,6 +416,24 @@ object Dedup {
   /** Banded (band, bucket) rows for a signature table — shared by the
     * one-shot pair search and the persisted index below.
     */
+  /** Per-row MinHash signature column — STREAMING-SAFE (pure per-row
+    * UDFs, no shuffle, no state), the building block for dedup AT
+    * INGEST: a streaming query keys band buckets on raw signature
+    * slices (`element_at(sig, …)`) instead of [[bandRows]]'s murmur
+    * bucket, so an exact-SQL oracle can replay the whole pipeline
+    * bit-for-bit (splitmix64/FNV live in graft.util.Hashing and have
+    * DuckDB twins).
+    */
+  def withMinHashSignature(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWidth: Int = 3,
+      numHashes: Int = 8): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+      minhashUdf(shinglesUdf(col(textCol), lit(shingleWidth)),
+        lit(numHashes)).as("sig"))
+
   private def bandRows(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
     sigs.select(col("doc_id"), posexplode(expr(
       s"transform(sequence(0, ${bands - 1}), b -> " +
