@@ -94,9 +94,13 @@ object GraftSqlParser {
   private val RestoreRe =
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + Target +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
+  // component list matches one nesting level of parens (days(ts) et al)
+  // — a flat [^)]+ would stop at the transform's ')' and silently fall
+  // through to Spark's parser (ADVICE r15)
   private val AlterPartRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
-      """\s+SET\s+PARTITIONED\s+BY\s*\(([^)]+)\)\s*;?\s*$""").r
+      """\s+SET\s+PARTITIONED\s+BY\s*""" +
+      """\(((?:[^()]|\([^()]*\))+)\)\s*;?\s*$""").r
   private val DaysComp =
     """(?is)^days\s*\(\s*(`[^`]+`|[\w$]+)\s*\)$""".r
 

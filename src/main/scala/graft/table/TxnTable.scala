@@ -95,6 +95,16 @@ object TxnTable {
     * drop) rather than misread in the new spec's value space. The
     * Iceberg spec-id discipline, one Option[Int] per file.
     */
+  /** `pvf`: FINGERPRINT of the spec VALUE (columns + transforms, not
+    * the generation counter) the pv was stamped under. Closes the
+    * generation-collision race (ADVICE r15): two concurrent
+    * [[evolvePartitionSpec]] calls can both install gen N with
+    * DIFFERENT specs (last rename wins), so a gen-equality check alone
+    * would trust pvs stamped in the LOSING spec's value space. With
+    * the fingerprint, those stamps mismatch the surviving sidecar and
+    * fall back to the conservative (unpruned, scoped-rewrite) path.
+    * Absent = legacy stamp, trusted on gen equality alone.
+    */
   case class FileEntry(
       path: String,
       rows: Long,
@@ -105,7 +115,8 @@ object TxnTable {
       bucket: Option[Int] = None,
       nulls: Option[Map[String, Long]] = None,
       pv: Option[String] = None,
-      pvg: Option[Int] = None)
+      pvg: Option[Int] = None,
+      pvf: Option[Int] = None)
 
   /** One committed table version. `schemaDdl` is the snapshot's full
     * read schema — reads pass it explicitly, so files written before a
@@ -292,7 +303,15 @@ object TxnTable {
     * in the current spec's value space.)
     */
   private[table] def pvCurrent(f: FileEntry, spec: PartitionSpec): Boolean =
-    f.pv.isDefined && f.pvg.getOrElse(0) == spec.gen.getOrElse(0)
+    f.pv.isDefined && f.pvg.getOrElse(0) == spec.gen.getOrElse(0) &&
+      f.pvf.forall(_ == specFingerprint(spec))
+
+  /** Order-sensitive hash of the spec's VALUE — its component columns
+    * and transforms, never the generation counter ([[FileEntry.pvf]]).
+    */
+  private[table] def specFingerprint(spec: PartitionSpec): Int =
+    scala.util.hashing.MurmurHash3.orderedHash(
+      partCompsOf(spec).flatMap(c => Seq(c.col, c.transform)))
 
   /** The layout's components, in order — `Seq(spec)`-shaped for the
     * single-column layout ([[bucketColsOf]]'s contract, mirrored).
@@ -440,6 +459,19 @@ object TxnTable {
     finally out.close()
     FileContext.getFileContext(p.toUri, conf)
       .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // Read-back-and-verify (ADVICE r15): two concurrent evolutions both
+    // read oldGen and both rename gen = oldGen+1 — last wins. The loser
+    // must LEARN it lost (its caller would otherwise write under a spec
+    // that is not installed). Value-space safety does not depend on
+    // this check — pv stamps carry [[specFingerprint]] and mismatched
+    // stamps are never trusted — but the loud failure turns a silent
+    // lost update into a retryable error.
+    val installed = partitionSpec(conf, root)
+    if (!installed.contains(stamped))
+      throw new java.util.ConcurrentModificationException(
+        s"evolvePartitionSpec: concurrent evolution won generation " +
+          s"$newGen at $root (installed: $installed) — re-read the " +
+          "table's spec and retry")
     newGen
   }
 
@@ -1078,9 +1110,13 @@ object TxnTable {
             nulls = if (nulls.isEmpty) None else Some(nulls),
             pv = pvv,
             // generation stamp rides only post-evolution writes (gen
-            // 0 stays absent, so pre-field manifests are byte-stable)
+            // 0 stays absent, so pre-field manifests are byte-stable);
+            // the spec fingerprint rides the same writes, tying the pv
+            // to the spec VALUE, not just the collision-prone counter
             pvg = pvv.flatMap(_ =>
-              parted.flatMap(_.gen).filter(_ != 0)))
+              parted.flatMap(_.gen).filter(_ != 0)),
+            pvf = pvv.flatMap(_ =>
+              parted.filter(_.gen.exists(_ != 0)).map(specFingerprint)))
         case None =>
           // zero-row part files exist only on the FLAT write path
           // (tasks with no rows); the dynamic-partition paths write a
@@ -1537,6 +1573,13 @@ object TxnTable {
       cm.find(_._2 == pc).map(_._1).getOrElse(pc)
     val logicalSpec = spec.copy(col = logicalOf(spec.col),
       cols = spec.cols.map(_.map(logicalOf)))
+    val missingPart = partCompsOf(logicalSpec).map(_.col)
+      .filterNot(df.columns.contains)
+    require(missingPart.isEmpty,
+      "overwritePartitions: incoming batch lacks partition column(s) " +
+        s"${missingPart.mkString(", ")} — dynamic overwrite derives " +
+        "the replaced partitions from the batch itself; add the " +
+        "column(s) or use append()/overwrite()")
     val pvLogical = coalesce(
       partitionValueExpr(logicalSpec), lit(NullPv))
     val touched = df.select(pvLogical.as("pv")).distinct()

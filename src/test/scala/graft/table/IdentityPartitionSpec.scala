@@ -623,4 +623,90 @@ class IdentityPartitionSpec extends AnyFunSuite {
     assert(snap3.filter(col("k") === 3).head().getDouble(2) > 10,
       "the COW update must survive the scoped straggler rewrite")
   }
+
+  test("ALTER ... SET PARTITIONED BY accepts days(ts) and tuple " +
+      "(days(ts), col) specs — the transform parens must not truncate " +
+      "the component list (ADVICE r15)") {
+    val root = freshRoot()
+    val df = statusDf(0, 60).withColumn("ts", expr(
+      "timestamp'2026-03-01 00:00:00' + " +
+        "make_interval(0, 0, 0, CAST(k % 3 AS INT))"))
+    TxnTable.create(spark, root, df, Seq("k"))
+    val t = cat(root, "gdays1")
+    // single days() component — previously fell through to Spark's
+    // parser and threw ParseException
+    val r1 = spark.sql(s"ALTER TABLE $t SET PARTITIONED BY (days(ts))")
+      .collect()
+    assert(r1.head.getString(0) == "evolve-partition" &&
+      r1.head.getLong(1) == 1L)
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(TxnTable.partitionSpec(conf, root).contains(
+      TxnTable.PartitionSpec("ts", "days", gen = Some(1))))
+    // writes now stamp day pvs and day drops are O(metadata)
+    TxnTable.append(spark, root, df.withColumn("k", col("k") + 100),
+      Seq("k"))
+    assert(latest(root).files.filter(_.pvg.contains(1))
+      .flatMap(_.pv).toSet ==
+      Set("2026-03-01", "2026-03-02", "2026-03-03"))
+    // tuple spec with a transform component
+    val r2 = spark.sql(s"ALTER TABLE $t SET PARTITIONED BY (days(ts), st)")
+      .collect()
+    assert(r2.head.getLong(1) == 2L)
+    assert(TxnTable.partitionSpec(conf, root).contains(
+      TxnTable.PartitionSpec("ts", "days",
+        Some(Seq("ts", "st")), Some(Seq("days", "identity")),
+        gen = Some(2))))
+  }
+
+  test("generation-collision safety: pv stamps carry the spec " +
+      "fingerprint, so a same-generation DIFFERENT spec (the lost " +
+      "evolution race) never trusts them (ADVICE r15)") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, statusDf(0, 60), Seq("k"),
+      partitionBy = Some(TxnTable.PartitionSpec("st")))
+    val gen = TxnTable.evolvePartitionSpec(spark, root,
+      TxnTable.PartitionSpec("k"))
+    assert(gen == 1)
+    TxnTable.append(spark, root, statusDf(60, 70), Seq("k"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val installed = TxnTable.partitionSpec(conf, root).get
+    val stamped = latest(root).files.filter(_.pvg.contains(1))
+    assert(stamped.nonEmpty && stamped.forall(f =>
+      f.pvf.contains(TxnTable.specFingerprint(installed))))
+    assert(stamped.forall(f => TxnTable.pvCurrent(f, installed)))
+    // simulate the LOSING race: a concurrent evolution to a different
+    // column also installed generation 1 and won the sidecar rename —
+    // the files stamped above now carry pvs in the WRONG value space
+    val winner = TxnTable.PartitionSpec("st", gen = Some(1))
+    val p = new org.apache.hadoop.fs.Path(s"$root/_log",
+      "_partition.json")
+    val f = p.getFileSystem(conf)
+    val out = f.create(p, true)
+    try out.write(org.json4s.jackson.Serialization.write(winner)(
+      org.json4s.jackson.Serialization.formats(org.json4s.NoTypeHints))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // gen matches (the collision!) but the fingerprint does not: the
+    // stamps must be UNTRUSTED — conservative reads, scoped rewrites
+    assert(stamped.forall(f => !TxnTable.pvCurrent(f, winner)),
+      "k-space pvs must never be read as st-space partitions")
+    // functional: a snapshot filter on st still returns exact rows
+    // (k-stamped files are scanned conservatively, never pruned away)
+    assert(TxnTable.snapshot(spark, root)
+      .filter(col("st") === "A").count() ==
+      statusDf(0, 70).filter(col("st") === "A").count())
+  }
+
+  test("overwritePartitions refuses a batch missing the partition " +
+      "column(s) with a named error, like append degrades (ADVICE r15)") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, statusDf(0, 30), Seq("k"),
+      partitionBy = Some(TxnTable.PartitionSpec("st")))
+    val e = intercept[IllegalArgumentException] {
+      TxnTable.overwritePartitions(spark, root,
+        statusDf(0, 10).drop("st"))
+    }
+    assert(e.getMessage.contains("lacks partition column(s) st"),
+      s"unexpected message: ${e.getMessage}")
+  }
 }
