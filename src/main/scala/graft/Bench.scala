@@ -113,6 +113,49 @@ object Bench {
     "q_session_window", "q_contamination", "q_seq_packing",
     "dedup_incremental", "q_perplexity", "q_boilerplate", "q_knn_eval")
 
+  /** Recorded per-micro-batch floors (sec/batch, sf0.1) for every
+    * streaming gate — per-gate max of BASELINE.md "Round-15 streaming
+    * micro-batch floors" and the r15 closing run's `stream_floors`.
+    * The regression fence (r15 VERDICT ask #7→#16.7) flags any gate
+    * whose measured sec/batch exceeds [[FloorFenceFactor]]× its
+    * recorded floor: a floor is a fixed per-batch cost (state-store
+    * init + offset/commit log), so a 2× move is a structural
+    * regression (an extra stateful exec node, a re-planned static
+    * side), never data volume.
+    */
+  private[graft] val recordedFloors: Map[String, Double] = Map(
+    "events_stream_tumbling" -> 1.00, "events_stream_hopping" -> 0.98,
+    "events_stream_dedup" -> 0.975, "orders_stream_merge" -> 0.94,
+    "events_stream_ohlc" -> 0.84, "events_stream_left_join" -> 1.581,
+    "events_stream_join_agg" -> 3.42, "events_stream_static_join" -> 7.77,
+    "events_stream_interval_join" -> 6.13, "events_stream_sessions" -> 0.907,
+    "q_table_stream_paced" -> 0.42, "q_cdf_stream_agg" -> 2.769,
+    "q_table_stream_agg" -> 2.39, "q_table_cdf_stream" -> 0.887,
+    "q_table_stream_read" -> 0.528, "docs_stream_curation" -> 0.639,
+    "docs_stream_incr_stats" -> 2.024, "docs_stream_neardup" -> 1.198,
+    "q_table_stream_sink" -> 0.794, "docs_stream_table" -> 0.681,
+    "q_table_stream_evolve" -> 0.825, "q_cdf_incremental_agg" -> 0.723,
+    "docs_stream_kmv" -> 1.685)
+
+  private[graft] val FloorFenceFactor = 2.0
+
+  /** Pure fence decision — spec-testable with injected slowdowns.
+    * Input is the per-gate (micro-batches, stream wall sec) Bench
+    * meters; output is every (gate, measured sec/batch, recorded
+    * floor) that breaches. Gates with no recorded floor (new this
+    * round) never fire — they get a floor entry next re-band.
+    */
+  private[graft] def floorBreaches(
+      measured: Iterable[(String, (Long, Double))],
+      recorded: Map[String, Double] = recordedFloors,
+      factor: Double = FloorFenceFactor): Seq[(String, Double, Double)] =
+    measured.iterator.flatMap { case (g, (b, s)) =>
+      recorded.get(g).collect {
+        case f if b > 0 && s / b.toDouble > f * factor =>
+          (g, s / b.toDouble, f)
+      }
+    }.toSeq
+
   /** HEAVY-TAIL slice (r11 VERDICT ask #3): the most expensive
     * in-suite rows — their in-suite numbers drift far past the
     * ambient band, so the solo figure is the adjudicator. q_table_cdc
@@ -235,6 +278,13 @@ object Bench {
     // inherit hundreds of earlier queries' tmp-disk + heap residue,
     // which the r5 run showed as a 6× swing on a trivial scan+groupBy.
     val raw = selected.map { case (name, fn) => timed(name, fn) }
+    // loud stderr fence report — the JSON flag alone could scroll past
+    floorBreaches(streamFloors).foreach { case (g, got, floor) =>
+      System.err.println(
+        f"[bench] FLOOR BREACH $g%s: ${got}%.3f s/batch vs recorded " +
+          f"floor ${floor}%.3f (>${FloorFenceFactor}%.1f×) — " +
+          "structural streaming regression, adjudicate before shipping")
+    }
     val results = raw.collect { case (n, t, true) => n -> t }.toSeq
     val resultMap = results.toMap
     val failedNames = raw.collect { case (n, _, false) => n }.toSeq
@@ -287,7 +337,20 @@ object Bench {
           }.mkString("{", ",", "}")
           s""","stream_floors":$m"""
         }
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failedJson$soloJson$heavyJson$floorsJson,"sf":"$sfDir"}"""
+      // regression fence: present in BOTH lines when it fires (it is
+      // rare and small), omitted entirely when silent — the stdout
+      // budget only pays on a real regression
+      val breaches = floorBreaches(streamFloors)
+      val breachJson =
+        if (breaches.isEmpty) ""
+        else {
+          val m = breaches.map { case (g, got, floor) =>
+            "\"" + g + "\":{\"sec_per_batch\":" + f3(got) +
+              ",\"recorded_floor\":" + f3(floor) + "}"
+          }.mkString("{", ",", "}")
+          s""","floor_breaches":$m"""
+        }
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failedJson$soloJson$heavyJson$floorsJson$breachJson,"sf":"$sfDir"}"""
     }
     // Full per-query detail goes to the file; stdout gets a HEADLINE subset.
     // The harness keeps only the last ~2000 chars of stdout — an 84-entry
@@ -322,7 +385,10 @@ object Bench {
       // round-13 continuation flagships: storage-partitioned join,
       // dynamic file pruning, selective compaction, SQL CDF
       "q_table_bucket_join", "q_table_dyn_prune",
-      "q_table_compact_small", "q_table_sql_changes")
+      "q_table_compact_small", "q_table_sql_changes",
+      // round-16 flagships: composed partition×bucket layout,
+      // source-bound post-delete ANN probe
+      "q_table_part_bucket", "ann_post_delete")
     val fullLine = jsonLine(results, soloDetail = true)
     val headLine = jsonLine(
       headline.flatMap(h => resultMap.get(h).map(h -> _)),

@@ -201,17 +201,20 @@ class GraftCatalog extends TableCatalog
     ident.namespace().isEmpty && ident.name() == "bucket"
 
   /** `CREATE TABLE cat.t (cols…) [PARTITIONED BY (bucket(n, col) |
-    * col | days(ts))] [TBLPROPERTIES ('statsCols'='a,b',
-    * 'bloomCols'='c')]` — and the non-atomic half of CTAS (Spark
-    * creates, then INSERTs through the table's writer). The format
-    * has two physical layouts, mutually exclusive: `bucket(n, col)`
-    * ([[TxnTable.BucketSpec]] — the storage-partitioned-join layout)
-    * and identity/`days` partitioning ([[TxnTable.PartitionSpec]] —
-    * per-file partition values, partition-pruned scans, O(metadata)
-    * `DELETE WHERE day = …` drops). Other transforms are refused
-    * loudly rather than silently recorded-but-unenforced. Table
-    * property keys `statsCols`/`bloomCols` opt columns into per-file
-    * min/max stats and blooms for every future commit.
+    * col | days(ts) | days(ts), bucket(n, col), …)] [TBLPROPERTIES
+    * ('statsCols'='a,b', 'bloomCols'='c')]` — and the non-atomic half
+    * of CTAS (Spark creates, then INSERTs through the table's writer).
+    * The format has two physical layout roles that COMPOSE:
+    * `bucket(n, col)` ([[TxnTable.BucketSpec]] — the
+    * storage-partitioned-join layout) and identity/`days` partitioning
+    * ([[TxnTable.PartitionSpec]] — per-file partition values,
+    * partition-pruned scans, O(metadata) `DELETE WHERE day = …`
+    * drops); a spec may carry at most one bucket transform plus any
+    * identity/days components, and every data file then holds exactly
+    * one (partition tuple, bucket id) pair. Other transforms are
+    * refused loudly rather than silently recorded-but-unenforced.
+    * Table property keys `statsCols`/`bloomCols` opt columns into
+    * per-file min/max stats and blooms for every future commit.
     */
   override def createTable(
       ident: Identifier,
@@ -247,43 +250,52 @@ class GraftCatalog extends TableCatalog
     var part: Option[TxnTable.PartitionSpec] = None
     partitions.toSeq match {
       case Seq() => ()
-      case Seq(t) if t.name() == "bucket" =>
-        val ns = t.arguments().collect {
-          case l: Literal[_] if l.value().isInstanceOf[Number] =>
-            l.value().asInstanceOf[Number].intValue()
+      // `PARTITIONED BY ([bucket(n, col[, col…])] [, col | days(ts),
+      // …])` — at most one bucket transform ([[TxnTable.BucketSpec]],
+      // the storage-partitioned-join layout) freely COMPOSED with
+      // identity/days components ([[TxnTable.PartitionSpec]]: per-file
+      // partition-value tuples, component-wise pruning, O(metadata)
+      // drops). `PARTITIONED BY (days(ts), bucket(4, id))` is the
+      // canonical 100-TB fact layout: pruning bounds the scan to the
+      // probed days, the bucket layout joins zero-exchange inside them.
+      case ts if ts.nonEmpty && ts.forall(t =>
+            Seq("bucket", "identity", "days").contains(t.name())) &&
+          ts.count(_.name() == "bucket") <= 1 =>
+        ts.find(_.name() == "bucket").foreach { t =>
+          val ns = t.arguments().collect {
+            case l: Literal[_] if l.value().isInstanceOf[Number] =>
+              l.value().asInstanceOf[Number].intValue()
+          }
+          val cols = t.arguments().collect {
+            case r: NamedReference if r.fieldNames().length == 1 =>
+              r.fieldNames()(0)
+          }
+          require(ns.length == 1 && cols.nonEmpty &&
+              ns.length + cols.length == t.arguments().length,
+            "graft catalog: bucket transform must be " +
+              "bucket(n, col[, col…]) with top-level columns")
+          val canon = cols.toSeq.map(canonicalCol(_, "bucket"))
+          bucket = Some(TxnTable.BucketSpec(canon.head, ns(0),
+            cols = if (canon.length > 1) Some(canon) else None))
         }
-        val cols = t.arguments().collect {
-          case r: NamedReference if r.fieldNames().length == 1 =>
-            r.fieldNames()(0)
+        val pcs = ts.filter(t =>
+          t.name() == "identity" || t.name() == "days")
+        if (pcs.nonEmpty) {
+          val comps = pcs.map { t =>
+            TxnTable.PartitionSpec(
+              singleCol(t, s"${t.name()} partition"), t.name())
+          }
+          part = Some(
+            if (comps.length == 1) comps.head
+            else comps.head.copy(
+              cols = Some(comps.map(_.col)),
+              transforms = Some(comps.map(_.transform))))
         }
-        require(ns.length == 1 && cols.nonEmpty &&
-            ns.length + cols.length == t.arguments().length,
-          "graft catalog: bucket transform must be " +
-            "bucket(n, col[, col…]) with top-level columns")
-        val canon = cols.toSeq.map(canonicalCol(_, "bucket"))
-        bucket = Some(TxnTable.BucketSpec(canon.head, ns(0),
-          cols = if (canon.length > 1) Some(canon) else None))
-      // `PARTITIONED BY (col | days(ts), …)` — the identity/days
-      // layout: per-file partition-value tuples in the manifest,
-      // component-wise pruning, O(metadata) partition drops. One or
-      // more components, any identity/days mix (`days(ts), source` is
-      // the date × tenant layout real lakehouses run).
-      case ts if ts.nonEmpty &&
-          ts.forall(t => t.name() == "identity" || t.name() == "days") =>
-        val comps = ts.map { t =>
-          TxnTable.PartitionSpec(
-            singleCol(t, s"${t.name()} partition"), t.name())
-        }
-        part = Some(
-          if (comps.length == 1) comps.head
-          else comps.head.copy(
-            cols = Some(comps.map(_.col)),
-            transforms = Some(comps.map(_.transform))))
       case other =>
         throw new UnsupportedOperationException(
-          "graft catalog: supported partitioning is a single " +
-            "bucket(n, col[, col…]) or one-or-more identity/days(col) " +
-            s"transforms — got ${other.mkString(", ")}")
+          "graft catalog: supported partitioning is at most one " +
+            "bucket(n, col[, col…]) composed with any identity/" +
+            "days(col) transforms — got " + other.mkString(", "))
     }
     def split(k: String): Seq[String] =
       Option(properties.get(k)).toSeq

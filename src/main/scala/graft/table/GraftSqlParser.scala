@@ -48,6 +48,19 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     GraftSqlParser.maintenancePlan(sqlText)
       .getOrElse(delegate.parsePlan(sqlText))
 
+  // Spark 4.1's `sql(text, args)` front door. The interface DEFAULT
+  // drops the ParameterContext on the floor (it just calls
+  // parsePlan), so a delegating parser that fails to forward this
+  // breaks every parameterized query in the session with
+  // UNBOUND_SQL_PARAMETER — the maintenance statements themselves
+  // take no parameters, so they keep matching on the raw text first.
+  override def parsePlanWithParameters(
+      sqlText: String,
+      parameters: org.apache.spark.sql.catalyst.parser.ParameterContext)
+      : LogicalPlan =
+    GraftSqlParser.maintenancePlan(sqlText)
+      .getOrElse(delegate.parsePlanWithParameters(sqlText, parameters))
+
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =

@@ -920,17 +920,16 @@ object TxnTable {
     // unbucketed files and fall back rather than trust a wrong id.
     val bucketed = bucket.filter(b =>
       bucketColsOf(b).forall(df.columns.contains))
-    // Identity/date partition layout (mutually exclusive with buckets):
-    // rows shuffle by partition value, then Spark's dynamic-partition
-    // write (`partitionBy` on a derived column the data files do NOT
-    // carry — the real column stays in the data) splits each task's
-    // rows so every file holds exactly ONE value. Same evolution
-    // degradation as buckets when the column is absent from this df.
-    val parted = bucket match {
-      case Some(_) => None // layouts are exclusive; create() enforces
-      case None => partition.filter(p =>
-        partCompsOf(p).forall(c => df.columns.contains(c.col)))
-    }
+    // Identity/date partition layout: rows shuffle by partition value,
+    // then Spark's dynamic-partition write (`partitionBy` on a derived
+    // column the data files do NOT carry — the real column stays in
+    // the data) splits each task's rows so every file holds exactly
+    // ONE value. Composes with a bucket layout (create() validates the
+    // column sets are disjoint): the composed branch below routes by
+    // BOTH derived columns. Same evolution degradation as buckets when
+    // the column is absent from this df.
+    val parted = partition.filter(p =>
+      partCompsOf(p).forall(c => df.columns.contains(c.col)))
     val pvCol = "_graft_pv"
     val bkCol = "_graft_bk"
     // Composite (multi-key) bucket layouts: each key column buckets
@@ -950,28 +949,40 @@ object TxnTable {
       Seq(pvCol, bkCol).filter(df.columns.contains).foreach(c =>
         sys.error(s"column name '$c' is reserved by the graft " +
           "partition/bucket layout routing — rename the column"))
-    (parted, bucketedMulti) match {
-      case (Some(p), _) =>
+    (parted, bucketed) match {
+      case (Some(p), Some(b)) =>
+        // COMPOSED layout: one dynamic split over BOTH derived routing
+        // columns — every file holds exactly one (pv tuple, bucket id)
+        // pair, so partition pruning and the storage-partitioned join
+        // index the same file set. The bucket id is recovered from the
+        // DATA below (the single-key name-prefix trick doesn't survive
+        // the two-column routing); sort inside each file by the bucket
+        // keys for the scan's per-partition-ordering claim.
+        df.withColumn(pvCol, partitionValueExpr(p))
+          .withColumn(bkCol, compositeIdxExpr(b))
+          .repartition(col(pvCol), col(bkCol))
+          .sortWithinPartitions(
+            col(pvCol) +: col(bkCol) +: bucketColsOf(b).map(col): _*)
+          .write.partitionBy(pvCol, bkCol).parquet(dir.toString)
+      case (Some(p), None) =>
         df.withColumn(pvCol, partitionValueExpr(p))
           .repartition(col(pvCol))
           .write.partitionBy(pvCol).parquet(dir.toString)
-      case (None, Some(b)) =>
+      case (None, Some(b)) if bucketedMulti.isDefined =>
         df.withColumn(bkCol, compositeIdxExpr(b))
           .repartition(col(bkCol))
           .sortWithinPartitions(
             col(bkCol) +: bucketColsOf(b).map(col): _*)
           .write.partitionBy(bkCol).parquet(dir.toString)
+      case (None, Some(b)) =>
+        // sort inside each bucket file (cheap: per-task, in-memory) —
+        // what lets the scan report a per-partition ordering and a
+        // co-bucketed SMJ skip its sorts
+        val c0 = col(bucketColsOf(b).head)
+        df.repartition(b.n, c0).sortWithinPartitions(c0)
+          .write.parquet(dir.toString)
       case _ =>
-        val toWrite = bucketed match {
-          // sort inside each bucket file (cheap: per-task, in-memory) —
-          // what lets the scan report a per-partition ordering and a
-          // co-bucketed SMJ skip its sorts
-          case Some(b) =>
-            val c0 = col(bucketColsOf(b).head)
-            df.repartition(b.n, c0).sortWithinPartitions(c0)
-          case None => df
-        }
-        toWrite.write.parquet(dir.toString)
+        df.write.parquet(dir.toString)
     }
 
     val f = fs(spark, dir)
@@ -1019,12 +1030,14 @@ object TxnTable {
         Seq(min(e).as("_pv_min"), max(e).as("_pv_max"),
           count(e).as("_pv_nn"))
       } ++
-      // composite bucket id recovered the same way (single-valued per
-      // file by the partitionBy split's construction)
-      bucketedMulti.toSeq.flatMap { b =>
-        val e = compositeIdxExpr(b)
-        Seq(min(e).as("_bk_min"), max(e).as("_bk_max"))
-      }
+      // composite and composed-layout bucket ids recovered the same
+      // way (single-valued per file by the partitionBy split's
+      // construction)
+      bucketed.filter(_ => bucketedMulti.isDefined || parted.isDefined)
+        .toSeq.flatMap { b =>
+          val e = compositeIdxExpr(b)
+          Seq(min(e).as("_bk_min"), max(e).as("_bk_max"))
+        }
     // input_file_name() returns a URI STRING with %-ENCODED path
     // characters (a space in a partition value arrives as %20), while
     // the listing side carries the real filesystem characters — keying
@@ -1052,19 +1065,18 @@ object TxnTable {
     // dynamic split's construction — anything else gets no id and
     // readers fall back)
     def bucketIdOf(name: String, r: Option[Row]): Option[Int] =
-      bucketedMulti match {
-        case Some(_) => r.flatMap { row =>
-          val mi = row.getAs[Any]("_bk_min")
-          val ma = row.getAs[Any]("_bk_max")
-          if (mi != null && mi == ma)
-            Some(mi.asInstanceOf[Number].intValue)
-          else None
-        }
-        case None => bucketed.flatMap(_ => name match {
-          case partIdx(i) => Some(i.toInt)
-          case _ => None
-        })
+      if (bucketedMulti.isDefined ||
+          (bucketed.isDefined && parted.isDefined)) r.flatMap { row =>
+        val mi = row.getAs[Any]("_bk_min")
+        val ma = row.getAs[Any]("_bk_max")
+        if (mi != null && mi == ma)
+          Some(mi.asInstanceOf[Number].intValue)
+        else None
       }
+      else bucketed.flatMap(_ => name match {
+        case partIdx(i) => Some(i.toInt)
+        case _ => None
+      })
     def pvOf(r: Row, rowsN: Long): Option[String] =
       parted.flatMap { _ =>
         val nn = r.getAs[Long]("_pv_nn")
@@ -1197,9 +1209,21 @@ object TxnTable {
       partitionBy: Option[PartitionSpec] = None): Long = {
     require(latestVersion(spark, root).isEmpty,
       s"table already exists at $root")
-    require(bucketBy.isEmpty || partitionBy.isEmpty,
-      "bucketBy and partitionBy are mutually exclusive — one physical " +
-        "layout per table")
+    // COMPOSED layouts (r15 VERDICT ask #8): partition + bucket in one
+    // table — `PARTITIONED BY (days(ts), bucket(n, id))` — is the
+    // canonical 100-TB fact layout: partition pruning bounds the scan
+    // to the probed days, the bucket layout joins zero-exchange inside
+    // them. Every data file holds exactly ONE (pv tuple, bucket id)
+    // pair; the only constraint is that a column cannot serve both
+    // roles (its file placement would be over-constrained).
+    for (b <- bucketBy; p <- partitionBy) {
+      val overlap =
+        bucketColsOf(b).toSet intersect partCompsOf(p).map(_.col).toSet
+      require(overlap.isEmpty,
+        s"column(s) ${overlap.mkString(", ")} appear in BOTH the " +
+          "bucket and the partition spec — a column can anchor one " +
+          "physical layout role, not both")
+    }
     bucketBy.foreach { b =>
       require(b.n > 0 && b.n <= 100000,
         s"bucketBy: bucket count must be in [1, 100000], got ${b.n}")

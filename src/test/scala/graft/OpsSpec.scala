@@ -2120,4 +2120,128 @@ class OpsSpec extends AnyFunSuite {
       .select("split").distinct().count()
     assert(trio == 1L)
   }
+
+  /** (relative path → (length, mtime)) of every data file in the index
+    * layout's partition dirs — the fingerprint the scoped-refresh
+    * assertions compare. */
+  private def indexFiles(dir: String): Map[String, (Long, Long)] = {
+    val root = new java.io.File(dir)
+    root.listFiles().filter(f => f.isDirectory && f.getName.contains("="))
+      .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => s"${d.getName}/${f.getName}" ->
+          (f.length(), f.lastModified())))
+      .toMap
+  }
+
+  test("ANN: source-bound LSH index — a table delete STALES it; the " +
+      "checked probe refuses; refresh rewrites ONLY the deleted " +
+      "vector's bucket dir and the probe stops returning it") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_lsh_src").toString
+    val tableRoot = s"$base/table"; val idx = s"$base/index"
+    graft.table.TxnTable.create(spark, tableRoot, e)
+    graft.table.TxnTable.enableCdf(spark, tableRoot, Seq("vec_id"))
+    Similarity.writeLshIndexFromTable(
+      spark, tableRoot, "vec_id", "embedding", idx,
+      numPlanes = 8, dim = 64)
+    assert(Similarity.indexStaleness(spark, idx).isEmpty,
+      "a just-built index must be fresh")
+    val q = e.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+    val before = Similarity.lshTopKIndexedChecked(
+      spark, idx, q, 10, numPlanes = 8, probeHamming = 3).collect()
+    assert(before.head.getLong(0) == 0L, "self-match before the delete")
+    // the staling write: vector 0 leaves the table, not the index
+    graft.table.TxnTable.deleteWhere(spark, tableRoot,
+      col("vec_id") === 0)
+    assert(Similarity.indexStaleness(spark, idx).nonEmpty,
+      "the delete must be visible as staleness")
+    // refuse path: a plain checked probe must fail LOUDLY
+    val ex = intercept[Similarity.StaleIndexException] {
+      Similarity.lshTopKIndexedChecked(
+        spark, idx, q, 10, numPlanes = 8, probeHamming = 3)
+    }
+    assert(ex.getMessage.contains(tableRoot))
+    // refresh path: scoped to the deleted vector's bucket dir
+    val filesBefore = indexFiles(idx)
+    val after = Similarity.lshTopKIndexedChecked(
+      spark, idx, q, 10, numPlanes = 8, probeHamming = 3,
+      refreshIfStale = true).collect()
+    assert(!after.map(_.getLong(0)).contains(0L),
+      "refreshed probe must not return the deleted vector")
+    assert(Similarity.indexStaleness(spark, idx).isEmpty,
+      "refresh must record the new source version")
+    val filesAfter = indexFiles(idx)
+    val untouchedBefore = filesBefore.filter { case (k, _) =>
+      filesAfter.get(k).contains(filesBefore(k)) }
+    val changedDirs = (filesBefore.keySet ++ filesAfter.keySet)
+      .filterNot(k => untouchedBefore.contains(k))
+      .map(_.split("/").head)
+    assert(changedDirs.size == 1,
+      s"refresh must rewrite exactly the deleted vector's bucket dir, " +
+        s"touched: $changedDirs")
+    // idempotence: a second refresh is a no-op
+    assert(!Similarity.refreshLshIndex(spark, idx,
+      numPlanes = 8, dim = 64))
+  }
+
+  test("ANN: source-bound IVF index — refuse on stale, refresh drops " +
+      "the deleted vector, centroids stay frozen") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ivf_src").toString
+    val tableRoot = s"$base/table"; val idx = s"$base/index"
+    graft.table.TxnTable.create(spark, tableRoot, e)
+    graft.table.TxnTable.enableCdf(spark, tableRoot, Seq("vec_id"))
+    Similarity.writeIvfIndexFromTable(
+      spark, tableRoot, "vec_id", "embedding", idx,
+      nLists = 8, dim = 64)
+    val cBefore = Similarity.readIvfCentroids(spark, idx)
+      .map { case (i, c) => (i, c.toSeq) }.toSeq
+    val q = e.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+    assert(Similarity.ivfTopKIndexedChecked(spark, idx, q, 10,
+      nProbe = 3).collect().head.getLong(0) == 0L)
+    graft.table.TxnTable.deleteWhere(spark, tableRoot,
+      col("vec_id") === 0)
+    intercept[Similarity.StaleIndexException] {
+      Similarity.ivfTopKIndexedChecked(spark, idx, q, 10, nProbe = 3)
+    }
+    val after = Similarity.ivfTopKIndexedChecked(spark, idx, q, 10,
+      nProbe = 3, refreshIfStale = true).collect()
+    assert(!after.map(_.getLong(0)).contains(0L))
+    assert(Similarity.indexStaleness(spark, idx).isEmpty)
+    // the refresh assigns against the persisted centroids — it must
+    // never move them (the appendToIvfIndex maintenance contract)
+    val cAfter = Similarity.readIvfCentroids(spark, idx)
+      .map { case (i, c) => (i, c.toSeq) }.toSeq
+    assert(cBefore == cAfter, "refresh must not retrain centroids")
+  }
+
+  test("ANN: source-bound refresh folds INSERTS too — an appended " +
+      "vector surfaces through the checked probe after refresh") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_lsh_ins").toString
+    val tableRoot = s"$base/table"; val idx = s"$base/index"
+    graft.table.TxnTable.create(spark, tableRoot,
+      e.filter(col("vec_id") =!= 7))
+    graft.table.TxnTable.enableCdf(spark, tableRoot, Seq("vec_id"))
+    Similarity.writeLshIndexFromTable(
+      spark, tableRoot, "vec_id", "embedding", idx,
+      numPlanes = 8, dim = 64)
+    val q = e.filter(col("vec_id") === 7)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+    val before = Similarity.lshTopKIndexedChecked(
+      spark, idx, q, 10, numPlanes = 8, probeHamming = 3).collect()
+    assert(!before.map(_.getLong(0)).contains(7L))
+    graft.table.TxnTable.append(spark, tableRoot,
+      e.filter(col("vec_id") === 7))
+    val after = Similarity.lshTopKIndexedChecked(
+      spark, idx, q, 10, numPlanes = 8, probeHamming = 3,
+      refreshIfStale = true).collect()
+    assert(after.head.getLong(0) == 7L && after.head.getDouble(1) > 0.999,
+      "appended self-match must surface after the source-bound refresh")
+  }
 }

@@ -561,19 +561,21 @@ class PlanSpec extends AnyFunSuite {
       s"matryoshka must never global-sort:\n$plan")
   }
 
-  test("q_pareto: running-share window runs over the top-25 head, not the per-user aggregate") {
-    // Tree order: parents print before children, so the distributed
-    // top-k (TakeOrderedAndProject) must appear BELOW the unpartitioned
-    // Window — i.e. the single-reducer window input is the 25-row head.
-    // The pre-fix plan had the opposite shape (TakeOrdered on top of a
-    // window over ALL users — a single-reducer sort at 100 TB).
+  test("q_pareto: running share is a higher-order-function fold over " +
+      "the distributed top-25 head — no Window node at all") {
+    // Round-16 rework (r15 VERDICT ask #2): the 25-row running share
+    // is array_sort + transform/aggregate prefix sums over the top-k
+    // head, so the executed plan carries NO WindowExec — the top-25
+    // itself stays the distributed TakeOrderedAndProject. The pre-fix
+    // plan ran a single-reducer window over ALL users (a scale-killer
+    // at 100 TB); the intermediate fix windowed over the 25-row head;
+    // this shape removes the single-partition window entirely.
     val plan = SparkEntry.queries("q_pareto")(spark, sf)
       .queryExecution.executedPlan.toString
-    val wIdx = plan.indexOf("Window")
-    val tIdx = plan.indexOf("TakeOrderedAndProject")
-    assert(wIdx >= 0, s"expected a Window node:\n$plan")
-    assert(tIdx > wIdx,
-      s"top-25 must be taken below the window, not above it:\n$plan")
+    assert(!plan.contains("Window"),
+      s"q_pareto must not window at all:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-25 head must stay a distributed top-k:\n$plan")
   }
 
   test("q_heavy_hitters: exact recount filters via broadcast semi join inside codegen, not a UDF") {

@@ -307,10 +307,11 @@ class IdentityPartitionSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql(s"ALTER TABLE $t DROP COLUMN st")
     }
-    // mutually-exclusive layouts refused at create
+    // composed layouts are allowed on DISJOINT columns (r16 — see
+    // PartBucketSpec); the same column in both roles stays refused
     intercept[Exception] {
       TxnTable.create(spark, freshRoot(), statusDf(0, 10),
-        bucketBy = Some(TxnTable.BucketSpec("k", 4)),
+        bucketBy = Some(TxnTable.BucketSpec("st", 4)),
         partitionBy = Some(TxnTable.PartitionSpec("st")))
     }
   }
