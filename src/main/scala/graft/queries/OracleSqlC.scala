@@ -2387,6 +2387,14 @@ private[graft] trait SparkEntryOracleC { this: SparkEntry.type =>
            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
              AS sum_bal
          FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // compaction is physical only: the per-partition rollup equals the
+    // raw table's at every policy step (the no-op fence is asserted in
+    // the fixture build itself)
+    "q_table_compact_policy" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price
+         FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
     // metadata-answered counts: rows and non-null n_chars
     "q_table_null_agg" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -3619,6 +3619,59 @@ private[graft] trait SparkEntryRelational { this: SparkEntry.type =>
       .orderBy("c_mktsegment")
   }
 
+  /** COMPACTION-POLICY gate over the MULTI-COLUMN partition layout
+    * (r15 VERDICT stretch #9): four interleaved ingest slices leave
+    * ~4 debris files in every (status, priority) partition; one
+    * `OPTIMIZE … SMALLER THAN` bin-packs each partition to one file,
+    * and — the policy under test — a SECOND pass with the same
+    * threshold is a version-for-version NO-OP. The pre-r16 table-wide
+    * `≥2 small files` guard would rewrite every partition's lone file
+    * on every maintenance run (O(partitions), forever); the
+    * per-(pv, bucket) group policy keeps maintenance O(debris) at any
+    * partition count. The build refuses a non-converging layout; the
+    * oracle replays the per-partition rollup on the raw table.
+    */
+  def qTableCompactPolicy(s: SparkSession, dir: String): DataFrame = {
+    val root = scratchBuildOnce(s, "cmppolicy", "orders", dir) { r =>
+      val p = new org.apache.hadoop.fs.Path(r)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      val o = tbl(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority",
+          "o_totalprice")
+      val stats = Seq("o_orderkey")
+      graft.table.TxnTable.create(s, r,
+        o.filter(col("o_orderkey") % 4 === 0).coalesce(1), stats,
+        partitionBy = Some(graft.table.TxnTable.PartitionSpec(
+          "o_orderstatus", "identity",
+          Some(Seq("o_orderstatus", "o_orderpriority")),
+          Some(Seq("identity", "identity")))))
+      (1 to 3).foreach { rr =>
+        graft.table.TxnTable.append(s, r,
+          o.filter(col("o_orderkey") % 4 === rr).coalesce(1), stats)
+      }
+      def files = graft.table.TxnTable.readManifest(s, r,
+        graft.table.TxnTable.latestVersion(s, r).get).files
+      if (!files.groupBy(_.pv).values.exists(_.size >= 2))
+        sys.error("compact-policy fixture landed no per-partition debris")
+      val v1 = graft.table.TxnTable.compactSmall(s, r, 64L << 20,
+        statsCols = stats)
+      if (!files.groupBy(_.pv).values.forall(_.size == 1))
+        sys.error("OPTIMIZE SMALLER THAN must bin-pack every " +
+          "partition to one file")
+      val v2 = graft.table.TxnTable.compactSmall(s, r, 64L << 20,
+        statsCols = stats)
+      if (v2 != v1)
+        sys.error(s"re-running OPTIMIZE must be a no-op (the " +
+          s"anti-churn policy) — committed v$v2 over v$v1")
+      ()
+    }
+    graft.table.TxnTable.snapshot(s, root)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
   /** NULL-STATS fixture: documents projected into a graft table with
     * doc_id and n_chars opted into per-file stats — which now includes
     * per-file NULL COUNTS ([[graft.table.TxnTable.FileEntry]] nulls),

@@ -2414,8 +2414,41 @@ object TxnTable {
     while (committed < 0) {
       val cur = latestManifest(spark, root).getOrElse(
         sys.error(s"no table at $root — create() first"))
-      val (small, kept) = cur.files.partition(_.bytes < minBytes)
-      if (small.size < 2 && small.forall(_.dvs.forall(_.isEmpty)))
+      // DICTIONARY/ZSTD-AWARE accounting (r15 VERDICT stretch): a
+      // byte threshold alone misreads heavily-compressed files as
+      // debris — a dictionary-encoded file can hold a full file's
+      // rows in a fraction of the bytes, and re-packing it buys
+      // nothing. Judge smallness by ROWS too: rowFloor is the row
+      // count a typical minBytes-sized file of THIS table holds
+      // (median manifest bytes-per-row — free, the writers already
+      // paid for the counts); a sub-threshold file at or above the
+      // floor is a full file compressed well, not debris. For files
+      // at the median ratio the guard is arithmetic-neutral (bytes <
+      // minBytes ⇒ rows < floor), so it only exempts the
+      // better-than-median outliers it exists for.
+      val bprMedian = {
+        val rs = cur.files.filter(_.rows > 0)
+          .map(f => f.bytes.toDouble / f.rows).sorted
+        if (rs.isEmpty) None else Some(rs(rs.size / 2))
+      }
+      val rowFloor = bprMedian.map(b => (minBytes / b).toLong)
+      val (small0, kept0) = cur.files.partition(f =>
+        f.bytes < minBytes && rowFloor.forall(f.rows < _))
+      // PER-GROUP POLICY: debris groups by physical placement —
+      // (partition tuple, bucket id). A group with a single small
+      // file is already as packed as the layout allows; rewriting it
+      // is pure churn, and on a partitioned table the old table-wide
+      // `< 2` guard made every maintenance run O(partitions) forever
+      // (each partition legitimately holds one small file after its
+      // last compaction). Only groups with ≥ 2 small files, or a
+      // deletion vector to materialize, rewrite — O(debris) at any
+      // partition count.
+      val groups = small0.groupBy(f => (f.pv, f.bucket))
+      val (rw, skip) = groups.partition { case (_, fs) =>
+        fs.size >= 2 || fs.exists(_.dvs.exists(_.nonEmpty)) }
+      val small = rw.values.flatten.toSeq
+      val kept = kept0 ++ skip.values.flatten.toSeq
+      if (small.isEmpty)
         return cur.version // nothing worth a commit
       val snapSmall = snapshotOf(spark, root, cur.copy(files = small))
       val bspecSmall = bucketSpec(

@@ -391,4 +391,72 @@ class SqlMaintenanceSpec extends AnyFunSuite {
       GraftSqlParser.splitInList("a,,b") // empty element
     }
   }
+
+  test("compaction policy is O(debris) on a partitioned table: a " +
+      "partition already packed to one file never re-churns, and a " +
+      "second pass is a version-for-version no-op") {
+    val root = freshRoot()
+    val df = spark.range(0, 1200).select(
+      col("id").as("k"),
+      expr("substr('ABC', CAST(id % 3 AS INT) + 1, 1)").as("st"),
+      (col("id") % 7).cast("double").as("v"))
+    TxnTable.create(spark, root, df.filter(col("k") % 4 === 0),
+      Seq("k"), partitionBy = Some(TxnTable.PartitionSpec("st")))
+    (1 to 3).foreach(i => TxnTable.append(spark, root,
+      df.filter(col("k") % 4 === i), Seq("k")))
+    def files = TxnTable.readManifest(spark, root,
+      TxnTable.versions(spark, root).max).files
+    assert(files.groupBy(_.pv).values.forall(_.size >= 2),
+      "fixture must land per-partition debris")
+    // threshold ABOVE every file: byte-wise everything reads "small"
+    val v1 = TxnTable.compactSmall(spark, root, 64L << 20,
+      statsCols = Seq("k"))
+    assert(files.groupBy(_.pv).values.forall(_.size == 1),
+      "first pass must bin-pack every partition to one file")
+    // anti-churn fence: the old table-wide >=2 guard would now
+    // rewrite every partition's lone file forever, O(partitions) per
+    // maintenance run — the per-group policy must no-op instead
+    val v2 = TxnTable.compactSmall(spark, root, 64L << 20,
+      statsCols = Seq("k"))
+    assert(v2 == v1,
+      s"second pass must commit nothing, got v$v2 over v$v1")
+    assert(TxnTable.snapshot(spark, root).count() == 1200)
+  }
+
+  test("dictionary/ZSTD-aware accounting: a well-compressed FULL file " +
+      "(rows >= the table's minBytes-worth) is not debris, however " +
+      "few bytes it holds") {
+    val root = freshRoot()
+    // file A: 100k rows that encode to almost nothing (low-cardinality
+    // key + constant string — dictionary/RLE heaven); B, C: 500
+    // genuinely small row slices of high-entropy values
+    TxnTable.create(spark, root,
+      spark.range(0, 100000).select((col("id") % 100).as("k"),
+        lit("zzzz").as("tag")).coalesce(1), Seq("k"))
+    TxnTable.append(spark, root,
+      spark.range(100000, 100500).select(col("id").as("k"),
+        concat(lit("t"), col("id")).as("tag")).coalesce(1), Seq("k"))
+    TxnTable.append(spark, root,
+      spark.range(100500, 101000).select(col("id").as("k"),
+        concat(lit("t"), col("id")).as("tag")).coalesce(1), Seq("k"))
+    def files = TxnTable.readManifest(spark, root,
+      TxnTable.versions(spark, root).max).files
+    val a = files.maxBy(_.rows)
+    assert(a.rows == 100000L)
+    // a threshold ABOVE every file's bytes but BELOW 100k × the
+    // debris files' bytes-per-row: byte-wise everything reads small,
+    // and the rows floor (minBytes / median bpr) exempts exactly the
+    // well-compressed full file
+    val minBytes = 512L << 10
+    assert(files.forall(_.bytes < minBytes),
+      s"fixture assumption: every file under the threshold — $files")
+    TxnTable.compactSmall(spark, root, minBytes, statsCols = Seq("k"))
+    val after = files
+    assert(after.exists(_.path == a.path),
+      "the dictionary-compressed full file must carry VERBATIM — " +
+        "byte-threshold accounting would churn it every run")
+    assert(after.size == 2,
+      s"the two true-debris files must pack to one: $after")
+    assert(TxnTable.snapshot(spark, root).count() == 101000)
+  }
 }
