@@ -403,18 +403,29 @@ object TxnTable {
     * stamp pv under the new spec immediately; a concurrent append that
     * read the OLD sidecar stamps the OLD generation and is therefore
     * ignored, never misread — no fence or clearing commit needed.
-    * Refused on bucketed tables (layouts stay mutually exclusive) and
-    * when a component column is missing or of an unsupported type.
-    * Returns the new generation.
+    * On bucketed tables the evolution COMPOSES (r16): the partition
+    * half evolves, the bucket layout stays — refused only when a new
+    * component column anchors the bucket spec, is missing, or is of
+    * an unsupported type. Returns the new generation.
     */
   def evolvePartitionSpec(
       spark: SparkSession,
       root: String,
       newSpec: PartitionSpec): Int = {
     val conf = spark.sparkContext.hadoopConfiguration
-    require(bucketSpec(conf, root).isEmpty,
-      "evolvePartitionSpec: table has a bucket layout — layouts are " +
-        "mutually exclusive")
+    // a bucket layout COMPOSES with partitioning (r16): evolution may
+    // add/replace the partition half as long as no column serves both
+    // roles — new writes then stamp (pv, bucket) pairs, old files keep
+    // their bucket ids and read conservatively in pv space until
+    // OPTIMIZE heals them, exactly like any other evolution era
+    bucketSpec(conf, root).foreach { b =>
+      val overlap =
+        bucketColsOf(b).toSet intersect partCompsOf(newSpec).map(_.col).toSet
+      require(overlap.isEmpty,
+        s"evolvePartitionSpec: column(s) ${overlap.mkString(", ")} " +
+          "anchor the table's bucket layout — a column can serve one " +
+          "physical layout role, not both")
+    }
     val cur = latestManifest(spark, root).getOrElse(
       sys.error(s"no table at $root — create() first"))
     val schema = StructType.fromDDL(cur.schemaDdl)

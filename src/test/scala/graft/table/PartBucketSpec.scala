@@ -237,6 +237,49 @@ class PartBucketSpec extends AnyFunSuite {
     }
   }
 
+  test("EVOLUTION onto a bucketed table composes: ALTER SET " +
+      "PARTITIONED BY adds the partition half, new writes stamp both " +
+      "roles, the SPJ survives, drops scope by era") {
+    val root = freshRoot(); val droot = freshRoot()
+    // plain-bucketed era 0
+    TxnTable.create(spark, root, factDf(0, 60), Seq("k"),
+      bucketBy = Some(TxnTable.BucketSpec("k", N)))
+    bucketedDim(droot)
+    val gen = TxnTable.evolvePartitionSpec(spark, root,
+      TxnTable.PartitionSpec("st"))
+    assert(gen == 1)
+    // evolving onto a bucket column stays refused
+    intercept[IllegalArgumentException] {
+      TxnTable.evolvePartitionSpec(spark, root,
+        TxnTable.PartitionSpec("k"))
+    }
+    // era-1 append: files carry pv (gen-stamped) AND bucket id
+    TxnTable.append(spark, root, factDf(60, 120), Seq("k"))
+    val m = TxnTable.readManifest(spark, root,
+      TxnTable.versions(spark, root).max)
+    val era1 = m.files.filter(_.pvg.contains(1))
+    assert(era1.nonEmpty && era1.forall(f =>
+      f.pv.isDefined && f.bucket.isDefined),
+      s"post-evolution writes must stamp both roles: ${m.files}")
+    assert(m.files.forall(_.bucket.isDefined),
+      "era-0 files keep their bucket ids")
+    // the SPJ layout survives the evolution + append
+    val f = cat(root, "gpbe"); val d = cat(droot, "gpbe2")
+    withSpj {
+      val bare = spark.sql(
+        s"SELECT nm, v FROM $f fact JOIN $d dim ON fact.k = dim.k")
+      assert(shuffles(bare) == 0,
+        "post-evolution composed join must stay storage-partitioned:\n" +
+          bare.queryExecution.executedPlan)
+    }
+    // a drop on the evolved partition column: era-1 leaves as
+    // metadata, era-0 (no pv) rewrites scoped — rows exact
+    TxnTable.dropPartitionsWhere(spark, root, _ == "B",
+      rowCond = pv => pv === "B")
+    assert(TxnTable.snapshot(spark, root).count() ==
+      factDf(0, 120).filter(col("st") =!= "B").count())
+  }
+
   test("a column cannot anchor both layout roles") {
     val root = freshRoot()
     val e = intercept[IllegalArgumentException] {

@@ -80,13 +80,25 @@ class SqlDdlSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("bucket") ||
       e.getMessage.contains("transform"))
+    // nothing half-created
+    assert(!new java.io.File(s"$wh/t").exists())
+    // bucket mixed with identity/days is the COMPOSED layout now
+    // (r16, PartBucketSpec) — both sidecars land; a SECOND bucket
+    // transform stays refused
+    spark.sql("CREATE TABLE gd3.tc (k BIGINT, d DATE, s STRING) " +
+      "PARTITIONED BY (bucket(4, k), s)")
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(TxnTable.bucketSpec(conf, s"$wh/tc")
+      .exists(b => b.col == "k" && b.n == 4))
+    assert(TxnTable.partitionSpec(conf, s"$wh/tc")
+      .exists(_.col == "s"))
+    spark.sql("DROP TABLE gd3.tc")
     val e2 = intercept[Exception] {
       spark.sql("CREATE TABLE gd3.t (k BIGINT, d DATE, s STRING) " +
-        "PARTITIONED BY (bucket(4, k), s)")
+        "PARTITIONED BY (bucket(4, k), bucket(4, s))")
     }
     assert(e2.getMessage.contains("bucket") ||
       e2.getMessage.contains("transform"))
-    // nothing half-created
     assert(!new java.io.File(s"$wh/t").exists())
     // composite identity/days specs ARE a layout now: the sidecar
     // records every component (multi-column tests live in
