@@ -684,17 +684,23 @@ object Similarity {
         col("_change_type").as("_ct")))
     val adds = tagged
       .filter(col("_ct").isin("insert", "update_postimage")).drop("_ct")
+    // BOUNDED collect: distinct partition ids of the change rows —
+    // ≤ the layout's partition count (2^numPlanes / nLists) and
+    // ≤ 2×|changes|, never corpus-sized
     val touched = tagged.select(partCol).distinct()
       .collect().map(_.get(0)).toSeq
     if (touched.isEmpty) return
+    // no broadcast hint: a small delta auto-broadcasts (AQE), a bulk
+    // delete's id set shuffles instead of blowing the driver
     val changedIds = tagged.select("vec_id").distinct()
     val existing = spark.read.parquet(indexPath)
       .filter(col(partCol).isin(touched: _*))
-      .join(broadcast(changedIds), Seq("vec_id"), "left_anti")
+      .join(changedIds, Seq("vec_id"), "left_anti")
     val fresh = existing.select("vec_id", "v", partCol)
       .unionByName(adds.select("vec_id", "v", partCol))
       .persist()
     try {
+      // BOUNDED collect: same partition-count bound as `touched`
       val nonEmpty = fresh.select(partCol).distinct()
         .collect().map(_.get(0)).toSet
       fresh

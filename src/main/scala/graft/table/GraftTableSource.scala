@@ -172,17 +172,10 @@ object GraftTableProvider {
       s"versionAsOf $v: no such committed version at $root " +
         s"(have ${vs.min}..${vs.max})")
     val p = new Path(dir, f"v$v%020d.json")
-    val in = fs.open(p)
-    val bytes =
-      try {
-        val out = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
-        out.toByteArray
-      } finally in.close()
-    implicit val fmts: org.json4s.Formats =
-      org.json4s.jackson.Serialization.formats(org.json4s.NoTypeHints)
-    org.json4s.jackson.Serialization.read[TxnTable.Manifest](
-      new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+    // immutable-manifest cache (see TxnTable.readManifestCached): one
+    // plan touches the manifest many times; the hit costs a
+    // getFileStatus, not a re-read+parse of the whole file list
+    TxnTable.readManifestCached(fs, p)
   }
 
   def latestManifest(conf: Configuration, root: String): TxnTable.Manifest =

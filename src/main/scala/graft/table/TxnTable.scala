@@ -722,12 +722,63 @@ object TxnTable {
       case _ => versions(spark, root).lastOption
     }
 
-  def readManifest(spark: SparkSession, root: String, v: Long): Manifest = {
-    val p = manifestPath(root, v)
-    val in = fs(spark, p).open(p)
-    try Serialization.read[Manifest](new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8))
-    finally in.close()
+  def readManifest(spark: SparkSession, root: String, v: Long): Manifest =
+    readManifestCached(fs(spark, manifestPath(root, v)),
+      manifestPath(root, v))
+
+  /** IMMUTABLE-MANIFEST CACHE. A committed `vN.json` never changes
+    * (the no-overwrite rename IS the commit), and one query plan
+    * touches the manifest many times — schema inference, statistics,
+    * partitioning report, scan build — while a 100-TB table's
+    * manifest holds 10^5–10^6 file entries: re-reading and re-parsing
+    * hundreds of MB of JSON per touch is a pure driver bottleneck.
+    * The key carries the file's (mtime, length) alongside its path,
+    * so a DROP + re-CREATE at the same root (a NEW v0 with different
+    * content — the CREATE OR REPLACE path) can never serve stale
+    * state: the hit costs one getFileStatus (a metadata RPC), not the
+    * read+parse. Eviction is WEIGHT-aware (total cached file entries),
+    * since one huge manifest is worth thousands of small ones.
+    */
+  private val manifestCache =
+    new java.util.LinkedHashMap[(String, Long, Long), Manifest](
+      64, 0.75f, true)
+  private val manifestCacheParses =
+    new java.util.concurrent.atomic.AtomicLong(0) // spec observability
+  private[table] def manifestParseCount: Long = manifestCacheParses.get
+  private val ManifestCacheMaxEntries = 64
+  private val ManifestCacheMaxFiles = 2000000L
+
+  private[table] def readManifestCached(
+      f: org.apache.hadoop.fs.FileSystem, p: Path): Manifest = {
+    val st = f.getFileStatus(p)
+    val key = (p.toString, st.getModificationTime, st.getLen)
+    val hit = manifestCache.synchronized(manifestCache.get(key))
+    if (hit != null) return hit
+    // parse OUTSIDE the lock (concurrent misses on different tables
+    // must not serialize); a racing duplicate parse is benign
+    val in = f.open(p)
+    val m =
+      try Serialization.read[Manifest](new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    manifestCacheParses.incrementAndGet()
+    manifestCache.synchronized {
+      manifestCache.put(key, m)
+      var totalFiles = 0L
+      val it0 = manifestCache.values().iterator()
+      while (it0.hasNext) totalFiles += it0.next().files.size
+      val it = manifestCache.entrySet().iterator()
+      while (it.hasNext &&
+          (manifestCache.size() > ManifestCacheMaxEntries ||
+            totalFiles > ManifestCacheMaxFiles)) {
+        val e = it.next()
+        if (!(e.getKey == key)) { // never evict what we just inserted
+          totalFiles -= e.getValue.files.size
+          it.remove()
+        }
+      }
+    }
+    m
   }
 
   private def latestManifest(

@@ -280,6 +280,33 @@ class PartBucketSpec extends AnyFunSuite {
       factDf(0, 120).filter(col("st") =!= "B").count())
   }
 
+  test("the immutable-manifest cache serves repeat reads without " +
+      "re-parsing, and a DROP + re-CREATE at the same root is never " +
+      "served stale (mtime/length key)") {
+    val root = freshRoot()
+    TxnTable.create(spark, root, factDf(0, 30), Seq("k"))
+    val p0 = TxnTable.manifestParseCount
+    val a = TxnTable.readManifest(spark, root, 0L)
+    val afterFirst = TxnTable.manifestParseCount
+    val b = TxnTable.readManifest(spark, root, 0L)
+    val c = TxnTable.readManifest(spark, root, 0L)
+    assert(TxnTable.manifestParseCount == afterFirst,
+      "repeat reads of a committed version must be cache hits")
+    assert((afterFirst - p0) <= 1)
+    assert(a.files == b.files && b.files == c.files)
+    // drop + re-create at the SAME root: new v0, different content —
+    // the (mtime, length) key must miss, never serve the old manifest
+    val hp = new org.apache.hadoop.fs.Path(root)
+    val hf = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hf.delete(hp, true)
+    Thread.sleep(5) // distinct mtime granularity on local fs
+    TxnTable.create(spark, root, factDf(0, 90), Seq("k"))
+    val d = TxnTable.readManifest(spark, root, 0L)
+    assert(d.files.map(_.rows).sum == 90L,
+      s"stale cache: got ${d.files.map(_.rows).sum} rows' manifest " +
+        "for the re-created table")
+  }
+
   test("a column cannot anchor both layout roles") {
     val root = freshRoot()
     val e = intercept[IllegalArgumentException] {
