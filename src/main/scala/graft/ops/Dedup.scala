@@ -464,13 +464,18 @@ object Dedup {
       numHashes: Int,
       bands: Int,
       maxBucketSize: Int,
-      mode: String): Unit = {
+      mode: String,
+      epoch: Long = 0L): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sigs = df.select(col(idCol).cast("long").as("doc_id"),
       minhashUdf(shinglesUdf(col(textCol), lit(shingleWidth)),
         lit(numHashes)).as("sig"))
-    sigs.select("doc_id", "sig")
+    // `epoch` fences rows against tombstones ([[refreshMinhashIndex]]):
+    // a tombstone (doc_id, dead_below) kills exactly the rows written
+    // BEFORE the staling commit, so a re-inserted/updated doc's fresh
+    // rows (stamped at the new source version) survive its own delete
+    sigs.select("doc_id", "sig").withColumn("epoch", lit(epoch))
       .write.mode(mode).parquet(s"$path/sigs")
     bandRows(sigs, bands, rows)
       .groupBy("band", "bucket")
@@ -478,11 +483,49 @@ object Dedup {
         .as("ids"))
       .select(col("band"), col("bucket"),
         explode(col("ids")).as("doc_id"))
+      .withColumn("epoch", lit(epoch))
       .write.mode(mode).parquet(s"$path/bands")
     graft.util.Sidecar.write(
       df.sparkSession.sparkContext.hadoopConfiguration, path,
       "_params.json", indexParamsJson(shingleWidth, numHashes, bands))
   }
+
+  /** Tombstone table of a source-bound index: (doc_id, dead_below) —
+    * a row of the index is DEAD iff a tombstone matches its doc_id and
+    * the row's epoch < dead_below. Append-only, O(total deletes);
+    * rebuild the index (writeMinhashIndexFromTable again) to fold them
+    * away when they accumulate.
+    */
+  private def tombstonesOf(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) Some(spark.read.parquet(p.toString)
+      .groupBy("doc_id")
+      .agg(max(col("dead_below")).as("dead_below")))
+    else None
+  }
+
+  /** Drop dead rows from an index-side table read. Legacy layouts
+    * (written before the epoch column) can have no tombstones — the
+    * filter is the identity there.
+    */
+  private def liveRows(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      df: DataFrame): DataFrame =
+    tombstonesOf(spark, path) match {
+      case None => df
+      case Some(t) =>
+        val withEpoch =
+          if (df.columns.contains("epoch")) df
+          else df.withColumn("epoch", lit(0L))
+        withEpoch.join(t, Seq("doc_id"), "left")
+          .filter(col("dead_below").isNull ||
+            col("epoch") >= col("dead_below"))
+          .drop("dead_below")
+    }
 
   /** Persist a MinHash LSH index for INCREMENTAL dedup: `bands/`
     * (band, bucket, doc_id — bucket membership capped at `maxBucketSize`
@@ -525,6 +568,116 @@ object Dedup {
       bands, maxBucketSize, "append")
   }
 
+  /** Build the MinHash index FROM a TxnTable snapshot and bind it to
+    * the committed version it reflects (the [[Similarity.IndexSource]]
+    * contract) — rows are epoch-stamped with that version so later
+    * incremental refreshes can tombstone exactly the staled rows.
+    */
+  def writeMinhashIndexFromTable(
+      spark: org.apache.spark.sql.SparkSession,
+      tableRoot: String,
+      idCol: String,
+      textCol: String,
+      path: String,
+      shingleWidth: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucketSize: Int = 64): Unit = {
+    val v = graft.table.TxnTable.latestVersion(spark, tableRoot)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no table at $tableRoot — create() first"))
+    // clear any tombstones from a previous binding: a full rebuild
+    // folds them away by construction
+    val tp = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    val tf = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (tf.exists(tp)) tf.delete(tp, true)
+    writeIndexTables(
+      graft.table.TxnTable.snapshotAt(spark, tableRoot, v),
+      idCol, textCol, path, shingleWidth, numHashes, bands,
+      maxBucketSize, "overwrite", epoch = v)
+    Similarity.writeIndexSource(spark, path,
+      Similarity.IndexSource(tableRoot, v, idCol, textCol))
+  }
+
+  /** Bring a source-bound MinHash index up to its table's current
+    * version — the TOMBSTONE alternative to the ANN indexes'
+    * partition-scoped rewrite ([[Similarity.refreshLshIndex]]), since
+    * `bands/`/`sigs/` are flat layouts: the CDF net diff appends the
+    * changed docs' fresh rows (epoch = current version) and one
+    * tombstone (doc_id, dead_below = current version) per
+    * deleted/updated id — O(changes) appended, NOTHING rewritten, the
+    * probes fence rows by epoch. Tombstones accumulate O(total
+    * deletes); rebuild via [[writeMinhashIndexFromTable]] to fold them
+    * away. Returns true iff a refresh ran.
+    */
+  def refreshMinhashIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      shingleWidth: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucketSize: Int = 64): Boolean =
+    Similarity.indexStaleness(spark, path) match {
+      case None => false
+      case Some((src, cur)) =>
+        requireIndexParams(spark.sparkContext.hadoopConfiguration,
+          path, shingleWidth, numHashes, bands)
+        val keys = graft.table.TxnTable.cdfKeysOf(spark, src.root)
+          .getOrElse(Seq(src.idCol))
+        val ch = graft.table.TxnTable.cdf(
+          spark, src.root, src.version, cur, keys)
+        val adds = ch
+          .filter(col("_change_type")
+            .isin("insert", "update_postimage"))
+          .select(col(src.idCol), col(src.vecCol))
+        val dead = ch
+          .filter(col("_change_type")
+            .isin("delete", "update_preimage"))
+          .select(col(src.idCol).cast("long").as("doc_id"))
+          .distinct()
+          .withColumn("dead_below", lit(cur))
+        if (!dead.isEmpty)
+          dead.write.mode("append").parquet(s"$path/_tombstones")
+        if (!adds.isEmpty)
+          writeIndexTables(adds, src.idCol, src.vecCol, path,
+            shingleWidth, numHashes, bands, maxBucketSize, "append",
+            epoch = cur)
+        Similarity.writeIndexSource(spark, path,
+          src.copy(version = cur))
+        true
+    }
+
+  /** [[probeMinhashIndex]] with the staleness contract enforced —
+    * refuse loudly or refresh-then-probe when the index lags its
+    * source table. Unbound legacy layouts probe as-is.
+    */
+  def probeMinhashIndexChecked(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWidth: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 64,
+      refreshIfStale: Boolean = false): DataFrame = {
+    Similarity.indexStaleness(spark, path).foreach { case (src, cur) =>
+      if (refreshIfStale)
+        refreshMinhashIndex(spark, path, shingleWidth, numHashes,
+          bands, maxBucketSize)
+      else throw new Similarity.StaleIndexException(
+        s"minhash index at $path reflects ${src.root} version " +
+          s"${src.version} but the table is at $cur — a probe would " +
+          "match against deleted/overwritten documents; refresh the " +
+          "index (refreshMinhashIndex) or probe with " +
+          "refreshIfStale=true")
+    }
+    probeMinhashIndex(spark, path, newDf, idCol, textCol,
+      shingleWidth, numHashes, bands, threshold)
+  }
+
   /** Probe the persisted index with a new batch: returns
     * (old_id, new_id, est_jaccard) pairs with est >= threshold.
     *
@@ -557,14 +710,18 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newBands = bandRows(newSigs, bands, rows)
       .withColumnRenamed("doc_id", "new_id")
-    val idx = spark.read.parquet(s"$path/bands")
+    // tombstone fence (source-bound indexes): rows staled by a source
+    // delete/update never produce candidates or verify signatures
+    val idx = liveRows(spark, path,
+      spark.read.parquet(s"$path/bands"))
     // cands feeds both the sigs semi-filter and the final join; its
     // distinct's exchange is identical in both consumers, so AQE reuses
     // the materialized stage — the index-bands scan runs once
     val cands = idx.join(broadcast(newBands), Seq("band", "bucket"))
       .select(col("doc_id").as("old_id"), col("new_id"))
       .distinct()
-    val oldSigsHit = spark.read.parquet(s"$path/sigs")
+    val oldSigsHit = liveRows(spark, path,
+        spark.read.parquet(s"$path/sigs"))
       .withColumnRenamed("doc_id", "old_id")
       .join(broadcast(cands.select("old_id").distinct()), "old_id")
       .select(col("old_id"), col("sig").as("sig_old"))

@@ -573,9 +573,9 @@ object Similarity {
   private implicit val srcFormats: org.json4s.Formats =
     org.json4s.jackson.Serialization.formats(org.json4s.NoTypeHints)
 
-  private val SourceSidecar = "_source.json"
+  private[ops] val SourceSidecar = "_source.json"
 
-  private def writeIndexSource(
+  private[ops] def writeIndexSource(
       spark: org.apache.spark.sql.SparkSession,
       indexPath: String,
       src: IndexSource): Unit =

@@ -665,7 +665,18 @@ private[graft] trait SparkEntryOracleCore { this: SparkEntry.type =>
     * such pair exists in this corpus). Replicating the band-bucket hash
     * in the oracle would close even that; recorded as accepted residual.
     */
-  lazy val dedupIncrementalOracleSql: String = {
+  lazy val dedupIncrementalOracleSql: String =
+    dedupIncrementalOracleSqlBase("")
+
+  /** The incremental replay minus the deleted corpus slice — the twin
+    * of dedup_post_delete's source-bound refresh: after the tombstone
+    * fence, the index must behave exactly as if the deleted docs had
+    * never been written.
+    */
+  lazy val dedupPostDeleteOracleSql: String =
+    dedupIncrementalOracleSqlBase("AND (o.doc_id % 10) <> 5")
+
+  private def dedupIncrementalOracleSqlBase(corpusExcl: String): String = {
     import Duck.{M, toS, mix64, fnv}
     s"""WITH cut AS (SELECT (MAX(doc_id) * 9) // 10 AS c FROM documents),
          w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
@@ -699,7 +710,7 @@ private[graft] trait SparkEntryOracleCore { this: SparkEntry.type =>
                o.s // 4 AS band,
                SUM(CASE WHEN o.m = n.m THEN 1 ELSE 0 END) AS beq
              FROM sig o JOIN sig n ON o.s = n.s CROSS JOIN cut
-             WHERE o.doc_id <= cut.c AND n.doc_id > cut.c
+             WHERE o.doc_id <= cut.c AND n.doc_id > cut.c $corpusExcl
              GROUP BY old_id, new_id, band),
          agg AS (SELECT old_id, new_id, SUM(beq) AS eq,
                MAX(CASE WHEN beq = 4 THEN 1 ELSE 0 END) AS hasband

@@ -33,6 +33,7 @@ private[graft] trait SparkEntryOracleA { this: SparkEntry.type =>
     "ann_ivf" -> annIvfOracleSql,
     "ann_ivf_indexed" -> annIvfOracleSql,
     "dedup_incremental" -> dedupIncrementalOracleSql,
+    "dedup_post_delete" -> dedupPostDeleteOracleSql,
     "q_kmeans" -> kmeansOracleSql,
     // A-ES weighted sampling: hash-uniform u from md5 hex (fold of the
     // first 8 digits), key = ln(u)*1000/weight rounded to 6dp + id

@@ -2177,6 +2177,49 @@ private[graft] trait SparkEntryRelational { this: SparkEntry.type =>
       .orderBy("old_id", "new_id")
   }
 
+  val minhashPostDelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  /** Post-delete incremental dedup (source-bound MinHash index — the
+    * TOMBSTONE sibling of ann_post_delete): the index is built FROM a
+    * TxnTable of the corpus slice and bound to its version; a
+    * `deleteWhere(doc_id % 10 = 5)` then STALES it (the residue
+    * chosen to intersect the matched pairs at BOTH test scales, so
+    * the gate is never vacuous), and the checked
+    * probe refreshes — appending ONE tombstone row per deleted id
+    * (epoch-fenced; `bands/`/`sigs/` are never rewritten) — before
+    * probing the ingest batch. Every pair whose old side was deleted
+    * must vanish; the DuckDB twin replays the incremental probe with
+    * the deleted ids excluded from the corpus side.
+    */
+  def qDedupPostDelete(s: SparkSession, dir: String): DataFrame = {
+    val (root, cut) = minhashPostDelCache.computeIfAbsent(dir, { d =>
+      val docs0 = tbl(s, d, "documents").select(col("doc_id"), col("text"))
+      val maxId = docs0.agg(max(col("doc_id"))).head().getLong(0)
+      val c = maxId * 9 / 10
+      val built = scratchBuildOnce(s, "mh_txn_del5", "documents", d) { p =>
+        graft.table.TxnTable.create(s, s"$p/table",
+          docs0.filter(col("doc_id") <= c))
+        graft.table.TxnTable.enableCdf(s, s"$p/table", Seq("doc_id"))
+        graft.ops.Dedup.writeMinhashIndexFromTable(
+          s, s"$p/table", "doc_id", "text", s"$p/index")
+        graft.table.TxnTable.deleteWhere(s, s"$p/table",
+          col("doc_id") % 10 === 5)
+        ()
+      }
+      (built, c)
+    })
+    val batch = tbl(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id") > cut)
+    graft.ops.Dedup
+      .probeMinhashIndexChecked(s, s"$root/index", batch,
+        "doc_id", "text", threshold = 0.5, refreshIfStale = true)
+      .select(col("old_id"), col("new_id"),
+        round(col("est_jaccard"), 6).as("est_jaccard"))
+      .orderBy("old_id", "new_id")
+  }
+
   /** Benchmark decontamination (training-data hygiene): flag training
     * docs sharing any word 8-gram with the benchmark slice (doc_id<50
     * stands in for a held-out eval set). One tokenize+explode subtree

@@ -2219,6 +2219,66 @@ class OpsSpec extends AnyFunSuite {
     assert(cBefore == cAfter, "refresh must not retrain centroids")
   }
 
+  test("DEDUP: source-bound MinHash index — tombstone refresh drops " +
+      "deleted docs' pairs WITHOUT rewriting bands/sigs; a later " +
+      "insert folds in as an append") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val cut = maxId * 9 / 10
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_mh_src").toString
+    val tableRoot = s"$base/table"; val idx = s"$base/index"
+    graft.table.TxnTable.create(spark, tableRoot,
+      docs.filter(col("doc_id") <= cut))
+    graft.table.TxnTable.enableCdf(spark, tableRoot, Seq("doc_id"))
+    Dedup.writeMinhashIndexFromTable(
+      spark, tableRoot, "doc_id", "text", idx)
+    val batch = docs.filter(col("doc_id") > cut)
+    def probe(refresh: Boolean): Set[(Long, Long)] = {
+      spark.catalog.clearCache()
+      Dedup.probeMinhashIndexChecked(spark, idx, batch,
+        "doc_id", "text", refreshIfStale = refresh)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val before = probe(refresh = false)
+    assert(before.nonEmpty, "fixture must land at least one near-dup pair")
+    val victim = before.map(_._1).min
+    graft.table.TxnTable.deleteWhere(spark, tableRoot,
+      col("doc_id") === victim)
+    // refuse path
+    intercept[Similarity.StaleIndexException] { probe(refresh = false) }
+    def listing(sub: String): Map[String, Long] =
+      new java.io.File(s"$idx/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.length()).toMap
+    val sigsBefore = listing("sigs"); val bandsBefore = listing("bands")
+    val after = probe(refresh = true)
+    assert(!after.exists(_._1 == victim),
+      "deleted doc must stop matching")
+    assert(after == before.filterNot(_._1 == victim),
+      "only the deleted doc's pairs may change")
+    // a delete-only refresh appends ONE tombstone — index tables are
+    // byte-identical, nothing was rewritten
+    assert(listing("sigs") == sigsBefore &&
+      listing("bands") == bandsBefore,
+      "tombstone refresh must never rewrite bands/sigs")
+    assert(new java.io.File(s"$idx/_tombstones").exists())
+    // INSERT fold: a corpus append identical to a batch doc surfaces
+    // as a new self-match pair after the next refresh
+    val bdoc = batch.orderBy("doc_id").head()
+    val newId = maxId + 1000
+    graft.table.TxnTable.append(spark, tableRoot,
+      spark.createDataFrame(java.util.Arrays.asList(
+          org.apache.spark.sql.Row(newId, bdoc.getString(1))),
+        batch.schema))
+    val after2 = probe(refresh = true)
+    assert(after2.contains((newId, bdoc.getLong(0))),
+      s"appended duplicate $newId of batch doc ${bdoc.getLong(0)} " +
+        "must surface through the refreshed index")
+  }
+
   test("ANN: source-bound refresh folds INSERTS too — an appended " +
       "vector surfaces through the checked probe after refresh") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
