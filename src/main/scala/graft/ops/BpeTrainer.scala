@@ -114,14 +114,18 @@ object BpeTrainer {
     var step = 1
     var exhausted = false
     while (step <= numMerges && !exhausted) {
-      val cur = if (step % checkpointEvery == 0) seqs.localCheckpoint(true)
-        else { val c = seqs.persist(); c.count(); c }
-      prev.foreach(_.unpersist())
-      prev = Some(cur)
+      // r16: no dedicated materialization job — the argmax collect below
+      // is the step's one action and it materializes cur (lazy
+      // checkpoint / persist) as a side effect; the previous step's
+      // blocks are released only after that collect has run.
+      val cur = if (step % checkpointEvery == 0) seqs.localCheckpoint(false)
+        else seqs.persist()
       // deterministic arg-max: count desc, then (lhs, rhs) lexicographic
       val top = pairCounts(cur)
         .orderBy(col("n").desc, col("lhs"), col("rhs"))
         .limit(1).collect()
+      prev.foreach(_.unpersist())
+      prev = Some(cur)
       if (top.isEmpty) exhausted = true // every word fully merged
       else {
         val (l, r, n) =

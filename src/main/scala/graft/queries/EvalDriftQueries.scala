@@ -957,23 +957,36 @@ private[graft] trait SparkEntryEvalDrift { this: SparkEntry.type =>
       .join(bySrc.select(col("g"), col("source").as("j"),
         col("sc").as("sj")), "g")
       .filter(col("i") < col("j") && col("si") =!= col("sj"))
+    // wins/nij/wt are consumed by every minorization sweep below; lazy
+    // checkpoints compute each ONCE instead of re-deriving the duels
+    // self-join per sweep (state is O(#sources²) — bounded)
     val wins = duels.select(
         when(col("si") > col("sj"), col("i")).otherwise(col("j"))
           .as("win"),
         when(col("si") > col("sj"), col("j")).otherwise(col("i"))
           .as("lose"))
       .groupBy("win", "lose").agg(count(lit(1)).as("w"))
+      .localCheckpoint(false)
     val nij = wins.select(col("win").as("u"), col("lose").as("v"),
         col("w"))
       .unionByName(wins.select(col("lose").as("u"), col("win").as("v"),
         col("w")))
       .groupBy("u", "v").agg(sum(col("w")).as("n"))
+      .localCheckpoint(false)
     val wt = wins.groupBy(col("win").as("u")).agg(sum(col("w")).as("wtot"))
+      .localCheckpoint(false)
     var p = nij.select(col("u")).distinct()
       .withColumn("p", expr("CAST(1.0 AS DECIMAL(18,9))"))
+    // Each sweep references p TWICE (own strength + opponent's), so an
+    // unfenced loop doubles the plan per sweep — 8 copies of the duels
+    // subtree by sweep 3, each re-executed. A LAZY localCheckpoint per
+    // sweep truncates the plan and dedups the double reference to one
+    // computation (r16 optimization; values unchanged — same sweeps,
+    // same 9-dp quantization).
     for (_ <- 1 to 3) {
-      val pv = p.select(col("u").as("v"), col("p").as("pvv"))
-      p = nij.join(p, "u").join(pv, "v")
+      val pc = p.localCheckpoint(false)
+      val pv = pc.select(col("u").as("v"), col("p").as("pvv"))
+      p = nij.join(pc, "u").join(pv, "v")
         .select(col("u"), expr(
           "CAST(round(CAST(n AS DOUBLE) / (CAST(p AS DOUBLE) " +
             "+ CAST(pvv AS DOUBLE)), 9) AS DECIMAL(18,9))").as("t"))
@@ -1863,6 +1876,7 @@ private[graft] trait SparkEntryEvalDrift { this: SparkEntry.type =>
     * tie-break so the limit is deterministic.
     */
   def qItemCooccur(s: SparkSession, dir: String): DataFrame = {
+    // (r16: same fence-tried-and-reverted note as qBasketRules)
     val ob = tbl(s, dir, "lineitem")
       .join(tbl(s, dir, "part")
         .select(col("p_partkey").as("l_partkey"), col("p_brand")),
@@ -1903,6 +1917,9 @@ private[graft] trait SparkEntryEvalDrift { this: SparkEntry.type =>
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val source = edges.agg(min(col("src"))).head().getLong(0)
+      // EAGER per hop (r16: a lazy-intermediates variant was tried and
+      // REVERTED — 1.14× slower; eager checkpoints keep size stats so
+      // the frontier⋈edges join broadcasts the frontier side)
       var dist = s.range(1)
         .select(lit(source).as("node"), lit(0).as("d"))
         .localCheckpoint(true)
@@ -2057,7 +2074,10 @@ private[graft] trait SparkEntryEvalDrift { this: SparkEntry.type =>
     // stream (corpus-sized at 100 TB); the count model derives from
     // it and the scoring sum weights each type term by k, which is
     // exactly the instance sum in exact DECIMAL (r11 persist audit).
-    val db = tbl(s, dir, "documents")
+    // fanout (r16): tokenize+bigram-explode amplifies the single-row-
+    // group scan ~50× before the first shuffle — parallelize the pass
+    val db = fanout(tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text")))
       .select(col("doc_id"), expr(tokensSql).as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -2098,7 +2118,7 @@ private[graft] trait SparkEntryEvalDrift { this: SparkEntry.type =>
     * count with the probability rounded once at 9 dp.
     */
   def qKneserNey(s: SparkSession, dir: String): DataFrame = {
-    val bc = tbl(s, dir, "documents")
+    val bc = fanout(tbl(s, dir, "documents").select(col("text")))
       .select(expr(tokensSql).as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(explode(expr(
@@ -3262,6 +3282,10 @@ private[graft] trait SparkEntryEvalDrift { this: SparkEntry.type =>
     * confidence with full tie-break.
     */
   def qBasketRules(s: SparkSession, dir: String): DataFrame = {
+    // (r16: fencing ob — lazy checkpoint AND persist variants — was
+    // tried and REVERTED; AQE exchange reuse already dedups the distinct
+    // across the four consumers and both fences measured 1.2–1.5×
+    // slower)
     val ob = tbl(s, dir, "lineitem")
       .join(tbl(s, dir, "part")
         .select(col("p_partkey").as("l_partkey"), col("p_brand")),
@@ -3341,7 +3365,9 @@ private[graft] trait SparkEntryEvalDrift { this: SparkEntry.type =>
     graft.functions.FnvHash64.register(s)
     val base = tbl(s, dir, "events")
       .select(col("event_id"), col("value").cast("decimal(18,6)").as("v"))
-    base.select(col("event_id"), col("v"),
+    // fanout (r16): the ×200 explode+hash below amplifies a single-row-
+    // group scan into 20M hashed rows on ONE task without it
+    fanout(base).select(col("event_id"), col("v"),
         explode(expr("sequence(0, 199)")).as("b"))
       .filter(expr(
         """graft_fnv64(concat(CAST(event_id AS STRING), ':',
@@ -3460,10 +3486,19 @@ private[graft] trait SparkEntryEvalDrift { this: SparkEntry.type =>
     */
   def qHeapsLaw(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = tbl(s, dir, "documents")
+    // r16 optimization: perDoc and newTypes each re-ran the tokenize+
+    // explode subtree (the corpus-sized pass) — both derive from the
+    // (doc_id, w, k) TYPE-count aggregate, which is strictly smaller
+    // than the token stream. One tokenize pass, fenced; n_tok = Σk per
+    // doc is exactly the old per-doc token count, and min(doc_id) per w
+    // over types equals min over instances. Values identical.
+    val types = fanout(tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text")))
       .select(col("doc_id"), explode(expr(tokensSql)).as("w"))
-    val perDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
-    val newTypes = toks.groupBy("w").agg(min(col("doc_id")).as("doc_id"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("k"))
+      .localCheckpoint(false)
+    val perDoc = types.groupBy("doc_id").agg(sum(col("k")).as("n_tok"))
+    val newTypes = types.groupBy("w").agg(min(col("doc_id")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("new_types"))
     val joined = perDoc
       .join(newTypes, Seq("doc_id"), "left")
@@ -3978,11 +4013,14 @@ private[graft] trait SparkEntryEvalDrift { this: SparkEntry.type =>
         .select(col("p_partkey").as("l_partkey"), col("p_brand")),
         "l_partkey")
       .select(col("o_custkey"), col("p_brand"), col("m"))
+    // r16 optimization: first_m = MIN(m) per (customer, brand) was a
+    // second aggregate over cb joined back onto cb — one extra pass and
+    // a join. The same value is an unbounded-frame window MIN over the
+    // key cb is already shuffled on: one exchange, one pass, no join.
+    val wFirst = Window.partitionBy("o_custkey", "p_brand")
     val cb = li.groupBy("o_custkey", "p_brand", "m")
       .agg(count(lit(1)).as("n_lines"))
-    val first = cb.groupBy("o_custkey", "p_brand")
-      .agg(min(col("m")).as("first_m"))
-    cb.join(first, Seq("o_custkey", "p_brand"))
+    cb.withColumn("first_m", min(col("m")).over(wFirst))
       .select(col("m"),
         when(col("m") === col("first_m"), 1L).otherwise(0L)
           .as("is_novel"))

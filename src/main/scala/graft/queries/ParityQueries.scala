@@ -163,7 +163,10 @@ private[graft] trait SparkEntryParity { this: SparkEntry.type =>
     */
   def qDocReassembly(s: SparkSession, dir: String): DataFrame = {
     val (eng, checked) = packedCorpus(s, dir)
-    eng.embedDocuments(checked, "doc_id", "text2")
+    // fanout (r16): per-doc chunk+embed is the heaviest per-row kernel
+    // in the suite and rows are independent — parallelize past the
+    // single-row-group scan task (no-op at real input widths)
+    eng.embedDocuments(fanout(checked), "doc_id", "text2")
       .toDF()
       .select(col("doc_id"),
         posexplode(col("embeddings")).as(Seq("pos", "ce")))

@@ -406,20 +406,29 @@ private[graft] trait SparkEntryRelational { this: SparkEntry.type =>
     * equality predicate is engine-safe), rounded only for display.
     */
   def qMinCostSupplier(s: SparkSession, dir: String): DataFrame = {
-    tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_mc_v")
-    tbl(s, dir, "part").createOrReplaceTempView("part_mc_v")
-    tbl(s, dir, "supplier").createOrReplaceTempView("supplier_mc_v")
-    s.sql(
-      """WITH ps AS (SELECT l_partkey, l_suppkey,
-             MIN(l_extendedprice / l_quantity) AS cost
-           FROM lineitem_mc_v GROUP BY l_partkey, l_suppkey)
-         SELECT p.p_partkey, s.s_name, round(ps.cost, 4) AS cost
-         FROM ps JOIN part_mc_v p ON ps.l_partkey = p.p_partkey
-           JOIN supplier_mc_v s ON ps.l_suppkey = s.s_suppkey
-         WHERE p.p_size = 10
-           AND ps.cost = (SELECT MIN(ps2.cost) FROM ps ps2
-                          WHERE ps2.l_partkey = ps.l_partkey)
-         ORDER BY p.p_partkey, s.s_name""")
+    // r16 optimization: the correlated-MIN SQL form evaluated the `ps`
+    // lineitem aggregate TWICE (CTEs aren't materialized; the
+    // decorrelated scalar subquery re-derives ps). Same result from ONE
+    // fenced ps: the per-part minimum is a second keyed aggregate over
+    // ps, and the equality filter is unchanged (cost = per-part MIN over
+    // ALL suppliers of the part, before the p_size restriction — the
+    // oracle's correlated form replays that exactly).
+    val ps = tbl(s, dir, "lineitem")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
+      .persist()
+    val minc = ps.groupBy("l_partkey").agg(min(col("cost")).as("mc"))
+    ps.join(minc, "l_partkey")
+      .filter(col("cost") === col("mc"))
+      .join(tbl(s, dir, "part").filter(col("p_size") === 10)
+        .select(col("p_partkey").as("l_partkey"), col("p_partkey")),
+        "l_partkey")
+      .join(tbl(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name")),
+        "l_suppkey")
+      .select(col("p_partkey"), col("s_name"),
+        round(col("cost"), 4).as("cost"))
+      .orderBy("p_partkey", "s_name")
   }
 
   /** TPC-H Q15-shaped TOP-REVENUE SUPPLIER: a revenue "view" (decimal-
@@ -2229,7 +2238,11 @@ private[graft] trait SparkEntryRelational { this: SparkEntry.type =>
     * ratio is per-doc distinct-gram overlap.
     */
   def qContamination(s: SparkSession, dir: String): DataFrame = {
-    val toks = tbl(s, dir, "documents")
+    // fanout (r16): the 8-gram transform+explode amplifies each doc into
+    // ~n_tokens rows of ~8-token strings — parallelize past the single
+    // scan task before paying it
+    val toks = fanout(tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         expr(tokensSql)
           .as("ws"))
@@ -2241,12 +2254,19 @@ private[graft] trait SparkEntryRelational { this: SparkEntry.type =>
       .distinct()
     val bench = grams.filter(col("doc_id") < 50).select("g").distinct()
     val train = grams.filter(col("doc_id") >= 50)
-    val tot = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val hit = train.join(broadcast(bench), "g")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-    // hit rows all have n_shared >= 1, so "contaminated docs only" is a
-    // plain inner join against the per-doc totals
-    tot.join(hit, Seq("doc_id"))
+    // r16 optimization: the old tot/hit pair scanned the training grams
+    // TWICE (per-doc totals, then join+count of benchmark hits) and
+    // joined the two aggregates back together. A broadcast LEFT join
+    // computes both counts in ONE pass over the training grams; the old
+    // inner tot⋈hit kept exactly the docs with ≥1 shared gram, which is
+    // the n_shared >= 1 filter. Row set and values identical (grams are
+    // per-doc DISTINCT, bench is distinct, so the left join never
+    // duplicates a row).
+    train.join(broadcast(bench.withColumn("bhit", lit(1))),
+        Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("bhit")).as("n_shared"))
+      .filter(col("n_shared") >= 1)
       .select(col("doc_id"), col("n_shared"), col("n_grams"),
         round(col("n_shared") / col("n_grams"), 6).as("ratio"))
       .orderBy("doc_id")
@@ -2374,6 +2394,9 @@ private[graft] trait SparkEntryRelational { this: SparkEntry.type =>
     * gram key, so the exchange is reused; no driver-side state.
     */
   def qBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    // (r16: a fanout here was tried and REVERTED — slightly slower; the
+    // df-agg and the join-back share the gram-key exchange, and the
+    // extra repartition perturbed that reuse)
     val grams = tbl(s, dir, "documents")
       .select(col("doc_id"),
         expr(tokensSql)

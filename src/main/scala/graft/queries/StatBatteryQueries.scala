@@ -372,10 +372,13 @@ private[graft] trait SparkEntryStatBatteries { this: SparkEntry.type =>
     */
   def qKtruss(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // lazy checkpoints + fused per-round readout (r16, the qKcore
+    // recipe): 1 job per round instead of 3; the exploded count is
+    // exactly 2× the edge count, so n_edges = count/2 is value-identical
     var und = writtenEdgesTable(s, dir)
       .filter(col("src") < col("dst"))
       .select(col("src").as("u"), col("dst").as("v"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
     for (it <- 1 to 3) {
       val adj = und.select(col("u").as("a"), col("v").as("b"))
@@ -388,11 +391,11 @@ private[graft] trait SparkEntryStatBatteries { this: SparkEntry.type =>
       val prev = und
       und = und.join(sup.filter(col("support") >= 2), Seq("u", "v"),
           "left_semi")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
+      val r = und.select(explode(array(col("u"), col("v"))).as("n"))
+        .agg(countDistinct(col("n")), count(lit(1))).head()
       prev.unpersist()
-      val nn = und.select(explode(array(col("u"), col("v"))).as("n"))
-        .distinct().count()
-      out += ((it, nn, und.count()))
+      out += ((it, r.getLong(0), r.getLong(1) / 2))
     }
     out.toSeq.toDF("iter", "n_nodes", "n_edges")
   }
@@ -712,7 +715,15 @@ private[graft] trait SparkEntryStatBatteries { this: SparkEntry.type =>
           - CAST(SUM(CASE WHEN arm = 1 THEN y END) AS DOUBLE)
             / SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END), 6) + 0.0d
         AS DECIMAL(18,6))""").as("obs_diff"))
+    // fanout (r16): ×200 explode + an md5 per exploded row. spend is a
+    // post-shuffle aggregate that AQE rightly coalesces to ~1 tiny
+    // partition — right for its BYTES, wrong for the 200× compute
+    // amplification it feeds (the optimizer can't see that). An explicit
+    // repartition pins the relabeling pass at cluster parallelism (AQE
+    // honours user-specified partition counts); it shuffles only the
+    // customer-sized pre-amplification rows.
     val reps = spend
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("o_custkey"), col("y"),
         explode(expr("sequence(0, 199)")).as("rep"))
       .withColumn("parm", expr(
@@ -1372,6 +1383,11 @@ private[graft] trait SparkEntryStatBatteries { this: SparkEntry.type =>
           expr("CAST(round(CAST(pi AS DOUBLE) * CAST(p AS DOUBLE), 12) " +
             "AS DECIMAL(28,12))").as("m"))
         .groupBy("state").agg(sum(col("m")).as("pisum"))
+      // EAGER on purpose (r16: a lazy variant was tried and REVERTED —
+      // measured 1.4–1.7× slower: an eager localCheckpoint's LogicalRDD
+      // carries accurate size stats, so the p⋈pi joins stay broadcast;
+      // the lazy form loses the stats and the planner falls back to
+      // sort-merge. See OPTIMIZATION_r16.md "statistics lesson".)
       pi = states.join(stepped, Seq("state"), "left")
         .select(col("state"),
           expr("CAST(round(CAST(coalesce(pisum, 0) AS DOUBLE), 12) " +
@@ -1611,10 +1627,13 @@ private[graft] trait SparkEntryStatBatteries { this: SparkEntry.type =>
     */
   def qCooksDistance(s: SparkSession, dir: String): DataFrame = {
     val consts = olsLineConsts(s, dir)
-    val res = tbl(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_linenumber"),
-        col("l_quantity").cast("decimal(12,2)").as("x"),
-        col("l_extendedprice").cast("decimal(14,2)").as("y"))
+    // fanout (r16): two full decimal-residual passes over lineitem run
+    // downstream of this scan — without it both are pinned to the one
+    // task the single-row-group fixture file allows
+    val res = fanout(tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("decimal(12,2)").as("x"),
+          col("l_extendedprice").cast("decimal(14,2)").as("y")))
       .crossJoin(broadcast(consts))
       .withColumn("e2", expr(
         """CAST(round(CAST(y - (a + b * x) AS DOUBLE)

@@ -439,7 +439,10 @@ private[graft] trait SparkEntryStatTests { this: SparkEntry.type =>
     */
   def qNaiveBayes(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = tbl(s, dir, "documents")
+    // fanout (r16): tokenize + per-token explode otherwise runs on the
+    // one scan task the single-row-group file allows
+    val d = fanout(tbl(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text")))
       .select(col("doc_id"), col("lang"), expr(tokensSql).as("ws"))
     val train = d.filter(col("doc_id") % 5 =!= 0)
     val test = d.filter(col("doc_id") % 5 === 0)
@@ -608,18 +611,29 @@ private[graft] trait SparkEntryStatTests { this: SparkEntry.type =>
     * 4dp-rounded cosines are bit-identical; buckets are floor(10·cos).
     */
   def qCosineHistogram(s: SparkSession, dir: String): DataFrame = {
-    val sample = tbl(s, dir, "embeddings")
-      .filter(col("vec_id") % 4 === 0 && col("vec_id") < 4000)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (a, b) => a * b),
         lit(0.0d), (acc, t) => acc + t)
-    val a = sample.select(col("vec_id").as("id_a"), col("v").as("va"))
-    val b = sample.select(col("vec_id").as("id_b"), col("v").as("vb"))
+    // r16 optimization: each vector's norm is a pure per-row quantity —
+    // computing sqrt(dot(v,v)) inside the pair loop re-folded each
+    // 64-element array once per PAIR (2 of the 3 folds per pair were
+    // redundant). Hoisted to one fold per VECTOR before the self-join;
+    // the per-pair expression sqrt(na)*sqrt(nb) is the same IEEE double
+    // sequence as before, so the 4-dp cosines are bit-identical.
+    // fanout (r16): the self-join below amplifies ~n rows into n²/2
+    // folded pairs — a single-row-group scan would otherwise stream the
+    // whole nested-loop join through one task
+    val sample = fanout(tbl(s, dir, "embeddings")
+      .filter(col("vec_id") % 4 === 0 && col("vec_id") < 4000)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
+    val a = sample.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("nv").as("na"))
+    val b = sample.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("nv").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
       .select(round(dot(col("va"), col("vb"))
-        / (sqrt(dot(col("va"), col("va")))
-          * sqrt(dot(col("vb"), col("vb")))), 4).as("cosine"))
+        / (col("na") * col("nb")), 4).as("cosine"))
       .select(floor(col("cosine") * 10.0).cast("long").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
       .orderBy("bucket")
@@ -772,7 +786,12 @@ private[graft] trait SparkEntryStatTests { this: SparkEntry.type =>
     */
   def qKcore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    var ed = writtenEdgesTable(s, dir).localCheckpoint(true)
+    // lazy checkpoints + fused per-round readout (r16): the one
+    // countDistinct/count aggregate materializes the round's checkpoint
+    // as a side effect — 1 job per round instead of 3 (eager
+    // materialization + two separate counts); values are identical
+    // (countDistinct(src) ≡ distinct().count(), count ≡ count).
+    var ed = writtenEdgesTable(s, dir).localCheckpoint(false)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
     for (it <- 1 to 3) {
       val keep = ed.groupBy("src").agg(count(lit(1)).as("d"))
@@ -782,9 +801,10 @@ private[graft] trait SparkEntryStatTests { this: SparkEntry.type =>
         .join(keep.withColumnRenamed("node", "src"), Seq("src"))
         .join(keep.withColumnRenamed("node", "dst"), Seq("dst"))
         .select("src", "dst")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
+      val r = ed.agg(countDistinct(col("src")), count(lit(1))).head()
       prev.unpersist()
-      out += ((it, ed.select("src").distinct().count(), ed.count() / 2))
+      out += ((it, r.getLong(0), r.getLong(1) / 2))
     }
     out.toSeq.toDF("iter", "n_nodes", "n_edges")
   }
@@ -1044,8 +1064,10 @@ private[graft] trait SparkEntryStatTests { this: SparkEntry.type =>
     * One keyed lineitem→part join, then brand-sized moments.
     */
   def qPriceElasticity(s: SparkSession, dir: String): DataFrame = {
-    val li = tbl(s, dir, "lineitem")
-      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    // fanout (r16): two ln+round's and four decimal-moment terms per
+    // row — parallelize past the single-row-group scan task
+    val li = fanout(tbl(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice")))
     val p = tbl(s, dir, "part").select(col("p_partkey"), col("p_brand"))
     li.join(p, col("l_partkey") === col("p_partkey"))
       .select(col("p_brand"),
@@ -1519,6 +1541,9 @@ private[graft] trait SparkEntryStatTests { this: SparkEntry.type =>
                + (CAST(cnt AS DOUBLE) + 1.0d) / 2.0d, 1)
              AS DECIMAL(18,1))""").as("rk"))
     }
+    // (r16: a fanout here was tried and REVERTED — 1.2× slower; the
+    // repartition broke the scan-exchange reuse between the two midrank
+    // builds and the join pass)
     val li = tbl(s, dir, "lineitem")
       .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))
     val m = li
@@ -2622,7 +2647,8 @@ private[graft] trait SparkEntryStatTests { this: SparkEntry.type =>
     // — never the raw exploded tokens; top-words, per-source totals,
     // and the top-word frequencies all derive from it (r10 VERDICT
     // ask #1).
-    val sw = tbl(s, dir, "documents")
+    val sw = fanout(tbl(s, dir, "documents")
+        .select(col("source"), col("text")))
       .select(col("source"), explode(expr(tokensSql)).as("w"))
       .groupBy("source", "w").agg(count(lit(1)).as("csw"))
       .persist()

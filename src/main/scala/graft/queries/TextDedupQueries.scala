@@ -527,7 +527,10 @@ private[graft] trait SparkEntryTextDedup { this: SparkEntry.type =>
     * OpsSpec against exact distinct counts.
     */
   def qKmvOverlap(s: SparkSession, dir: String): DataFrame = {
-    val toks = tbl(s, dir, "documents")
+    // fanout (r16): tokenize+explode+FNV-per-token off a single-row-
+    // group scan — parallelize the sketch build
+    val toks = fanout(tbl(s, dir, "documents")
+        .select(col("lang"), col("text")))
       .select(col("lang"), explode(expr(tokensSql)).as("w"))
     graft.ops.Sketch.kmvOverlap(toks, "lang", "w", k = 128)
       .orderBy("grp_a", "grp_b")
