@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.FnvHash64.info,
       graft.functions.FnvHash64.builder _))
     ext.injectFunction((
+      FunctionIdentifier(graft.functions.FnvHash64Cont.name),
+      graft.functions.FnvHash64Cont.info,
+      graft.functions.FnvHash64Cont.builder _))
+    ext.injectFunction((
       FunctionIdentifier(graft.functions.WordShingles.name),
       graft.functions.WordShingles.info,
       graft.functions.WordShingles.builder _))

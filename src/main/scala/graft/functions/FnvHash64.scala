@@ -33,23 +33,17 @@ case class FnvHash64(child: Expression)
   override def prettyName: String = "graft_fnv64"
 
   override protected def nullSafeEval(s: Any): Any =
-    graft.util.Hashing.fnv(s.asInstanceOf[UTF8String].toString)
+    graft.util.Hashing.fnvUtf8(s.asInstanceOf[UTF8String])
 
+  // r16: hash the UTF8String's bytes in place (decode UTF-8 → UTF-16
+  // code units inside the fold) instead of `toString()` — the per-row
+  // String alloc + transcode was the dominant per-row cost for the
+  // KMV/bootstrap consumers. Kernel shared with the interpreted path
+  // via the FnvKernel static forwarder; FunctionsSpec still pins
+  // codegen == interpreted == Hashing.fnv(String).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val s = ctx.freshName("s")
-      val h = ctx.freshName("h")
-      val i = ctx.freshName("i")
-      s"""
-         |java.lang.String $s = $c.toString();
-         |long $h = 0xcbf29ce484222325L;
-         |for (int $i = 0; $i < $s.length(); $i++) {
-         |  $h ^= (long) $s.charAt($i);
-         |  $h *= 0x100000001b3L;
-         |}
-         |${ev.value} = $h;
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.FnvKernel.cont(0xcbf29ce484222325L, $c);")
 
   override protected def withNewChildInternal(
       newChild: Expression): FnvHash64 =

@@ -3114,6 +3114,15 @@ private[graft] trait SparkEntryEvalDrift { this: SparkEntry.type =>
     * when line sizes vary by orders of magnitude.
     */
   def qWeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    // (r16: a qSpearman-style bucketed prefix-sum rewrite — range
+    // buckets + carry window + within-bucket running sums — was tried
+    // and measured CONSISTENTLY ~1.15× slower in interleaved A/B solos:
+    // the carry chain re-aggregates the (flag, v) table for a third and
+    // fourth consumer, and only the scan+partial-agg is deduped by
+    // exchange reuse. The surviving window is 3-way parallel (one
+    // partition per l_returnflag) over the distinct-cents domain; at
+    // 100 TB the spearman bucketing recipe applies verbatim if this
+    // ever dominates.)
     val perV = tbl(s, dir, "lineitem")
       .select(col("l_returnflag"),
         expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("v"),
@@ -3363,15 +3372,29 @@ private[graft] trait SparkEntryEvalDrift { this: SparkEntry.type =>
     */
   def qBootstrapCi(s: SparkSession, dir: String): DataFrame = {
     graft.functions.FnvHash64.register(s)
+    graft.functions.FnvHash64Cont.register(s)
     val base = tbl(s, dir, "events")
       .select(col("event_id"), col("value").cast("decimal(18,6)").as("v"))
     // fanout (r16): the ×200 explode+hash below amplifies a single-row-
     // group scan into 20M hashed rows on ONE task without it
-    fanout(base).select(col("event_id"), col("v"),
+    //
+    // prefix-state fold (r16): fnv("id:" ++ b) == fnvCont(fnv("id:"), b)
+    // by the FNV-1a left-fold algebra, so hash the per-event "id:"
+    // prefix ONCE before the ×200 explode and continue the fold over
+    // the 1–3-char replicate label per exploded row — the
+    // per-exploded-row work drops from (long→string cast + concat +
+    // ~10-char hash + String alloc) to one tiny cast + a ≤3-code-unit
+    // in-place fold. Same hash values bit for bit; the oracle's
+    // HUGEINT replay is untouched. (A transform(sequence(...))-literal
+    // carrying precomputed label strings was tried and measured SLOWER:
+    // lambda functions are not foldable, so the struct array was
+    // rebuilt per event row instead of constant-folded.)
+    fanout(base)
+      .withColumn("hp", expr(
+        "graft_fnv64(concat(CAST(event_id AS STRING), ':'))"))
+      .select(col("v"), col("hp"),
         explode(expr("sequence(0, 199)")).as("b"))
-      .filter(expr(
-        """graft_fnv64(concat(CAST(event_id AS STRING), ':',
-           CAST(b AS STRING))) % 2 = 0"""))
+      .filter(expr("graft_fnv64_cont(hp, CAST(b AS STRING)) % 2 = 0"))
       .groupBy("b")
       .agg((sum(col("v")).cast("double") / count(lit(1))).as("mean_b"))
       .createOrReplaceTempView("boot_means_v")

@@ -1531,11 +1531,39 @@ private[graft] trait SparkEntryStatTests { this: SparkEntry.type =>
     */
   def qSpearman(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // r16: the l_extendedprice value domain is CORPUS-sized (583k of
+    // 600k rows distinct at sf0.1), so the old global
+    // Window.orderBy("v") prefix-count funneled the whole domain
+    // through ONE task — the q_heaps_law/q_pareto single-partition
+    // class (guide §2.5). Rebuilt on the q_concurrency recipe: a
+    // monotone-in-v value-range bucketing (scale-adaptive count, from
+    // the 1-row (lo,hi) broadcast), per-bucket running sums in
+    // parallel, and a buckets-sized carry window whose input is
+    // BOUNDED by construction. `before` (and so every midrank) is
+    // bit-identical: carry(bk) + within-bucket prefix == global prefix
+    // because the bucket id is monotone non-decreasing in v.
     def midranks(d: DataFrame, c: String): DataFrame = {
-      val w = Window.orderBy("v")
+      val nBk = d.sparkSession.sparkContext.defaultParallelism * 32
+      val perV = d.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+      val mm = perV.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      val bucketed = perV.crossJoin(broadcast(mm))
+        .withColumn("bk", when(col("hi") <= col("lo"), lit(0))
+          .otherwise(least(floor(
+            (col("v").cast("double") - col("lo").cast("double"))
+              * lit(nBk.toDouble)
+              / (col("hi").cast("double") - col("lo").cast("double")))
+            .cast("int"), lit(nBk - 1))))
+        .select(col("v"), col("cnt"), col("bk"))
+      val carry = bucketed.groupBy("bk").agg(sum(col("cnt")).as("bc"))
+        .withColumn("carry", coalesce(sum(col("bc")).over(Window
+          .orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select(col("bk"), col("carry"))
+      val wIn = Window.partitionBy("bk").orderBy("v")
         .rowsBetween(Window.unboundedPreceding, -1)
-      d.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
-        .withColumn("before", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      bucketed.join(broadcast(carry), "bk")
+        .withColumn("before",
+          col("carry") + coalesce(sum(col("cnt")).over(wIn), lit(0L)))
         .select(col("v"), expr(
           """CAST(round(CAST(before AS DOUBLE)
                + (CAST(cnt AS DOUBLE) + 1.0d) / 2.0d, 1)
@@ -1941,21 +1969,33 @@ private[graft] trait SparkEntryStatTests { this: SparkEntry.type =>
     */
   def qCountMin(s: SparkSession, dir: String): DataFrame = {
     graft.functions.FnvHash64.register(s)
-    val bucket =
-      """pmod(graft_fnv64(concat(CAST(j AS STRING), ':',
-           CAST(l_partkey AS STRING))), 256)"""
+    graft.functions.FnvHash64Cont.register(s)
+    // prefix-state fold (r16): fnv("j:" ++ key) == fnvCont(fnv("j:"), key)
+    // and j has exactly 4 values, so the 4 prefix states are computed
+    // HERE (plan-time literals, same single source of truth the oracle
+    // replays) and the key→string cast is hoisted above the ×4 explode —
+    // one cast per corpus row instead of four, no concat, no per-row
+    // String alloc in the hash. Same bucket values bit for bit.
+    val jst = (0 to 3).map(j => graft.util.Hashing.fnv(s"$j:"))
+    val jArr = (0 to 3).map(j => s"named_struct('j', $j, 'st', ${jst(j)}L)")
+      .mkString("array(", ", ", ")")
+    val bucket = "pmod(graft_fnv64_cont(js.st, ks), 256)"
     val li = tbl(s, dir, "lineitem").select(col("l_partkey"))
     val exact = li.groupBy("l_partkey").agg(count(lit(1)).as("exact_cnt"))
     val top = exact
       .orderBy(col("exact_cnt").desc, col("l_partkey")).limit(8)
     val cms = li
-      .select(col("l_partkey"), explode(expr("array(0,1,2,3)")).as("j"))
-      .withColumn("b", expr(bucket))
+      .select(col("l_partkey"),
+        expr("CAST(l_partkey AS STRING)").as("ks"),
+        explode(expr(jArr)).as("js"))
+      .select(col("l_partkey"), col("js.j").as("j"), expr(bucket).as("b"))
       .groupBy("j", "b").agg(count(lit(1)).as("cnt"))
     top
       .select(col("l_partkey"), col("exact_cnt"),
-        explode(expr("array(0,1,2,3)")).as("j"))
-      .withColumn("b", expr(bucket))
+        expr("CAST(l_partkey AS STRING)").as("ks"),
+        explode(expr(jArr)).as("js"))
+      .select(col("l_partkey"), col("exact_cnt"),
+        col("js.j").as("j"), expr(bucket).as("b"))
       .join(cms, Seq("j", "b"))
       .groupBy("l_partkey", "exact_cnt")
       .agg(min(col("cnt")).as("cms_est"))

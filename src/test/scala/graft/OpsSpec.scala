@@ -1879,6 +1879,56 @@ class OpsSpec extends AnyFunSuite {
     assert(viaSql.isNullAt(1))
   }
 
+  test("fnv64 UTF8String kernel: byte-decode == toString fold on all " +
+      "UTF-8 shapes incl. malformed; cont algebra; codegen == interpreted") {
+    import graft.functions.{FnvHash64, FnvHash64Cont}
+    import org.apache.spark.unsafe.types.UTF8String
+    val H = graft.util.Hashing
+    // 1/2/3/4-byte sequences, boundaries, mixes — the in-place decoder
+    // must land on exactly the code units String decoding produces
+    val samples = Seq("", "a", "hello world", "café über", "漢字",
+      "߿ࠀ￿", "🙂 mixed🚀 ascii", "𝄞clef",
+      "tok12345", ":", "0:", "199")
+    samples.foreach { x =>
+      assert(H.fnvUtf8(UTF8String.fromString(x)) == H.fnv(x),
+        s"fnvUtf8 diverged on '$x'")
+    }
+    // malformed/overlong/truncated bytes: must fall back to Java's
+    // replacement-char decoding, i.e. still equal fnv(toString)
+    val bad = Seq(
+      Array[Byte](0x61, 0xc0.toByte, 0xaf.toByte),          // overlong 2B
+      Array[Byte](0xe0.toByte, 0x80.toByte, 0x80.toByte),   // overlong 3B
+      Array[Byte](0xed.toByte, 0xa0.toByte, 0x80.toByte),   // surrogate
+      Array[Byte](0xf5.toByte, 0x80.toByte, 0x80.toByte, 0x80.toByte),
+      Array[Byte](0x61, 0xe2.toByte),                        // truncated
+      Array[Byte](0x80.toByte, 0x61))                        // bare cont
+    bad.foreach { b =>
+      val u = UTF8String.fromBytes(b)
+      assert(H.fnvUtf8(u) == H.fnv(u.toString),
+        s"fnvUtf8 diverged on malformed ${b.mkString(",")}")
+    }
+    // continuation algebra: cont(fnv(p), s) == fnv(p ++ s)
+    for (p <- Seq("", "12345:", "id:", "漢"); x <- Seq("", "0", "199", "字"))
+      assert(H.fnvCont(H.fnv(p), x) == H.fnv(p + x),
+        s"fnvCont algebra broke on '$p' ++ '$x'")
+    // expression surface: codegen (column) and interpreted (eval) agree
+    FnvHash64.register(spark)
+    FnvHash64Cont.register(spark)
+    val viaSql = spark.sql(
+      """SELECT graft_fnv64_cont(graft_fnv64('id7:'), '42') AS c,
+           graft_fnv64('id7:42') AS f,
+           graft_fnv64_cont(CAST(NULL AS BIGINT), 'x') AS n""").head()
+    assert(viaSql.getLong(0) == viaSql.getLong(1))
+    assert(viaSql.getLong(0) == H.fnv("id7:42"))
+    assert(viaSql.isNullAt(2))
+    val interp = FnvHash64Cont(
+      org.apache.spark.sql.catalyst.expressions.Literal(H.fnv("id7:")),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        UTF8String.fromString("42"),
+        org.apache.spark.sql.types.StringType))
+    assert(interp.eval(null) == H.fnv("id7:42"))
+  }
+
   test("native bounded levenshtein: banded kernel == min(full builtin, " +
       "k+1) on random pairs; codegen == interpreted; null-safe") {
     import graft.functions.BoundedLevenshtein
