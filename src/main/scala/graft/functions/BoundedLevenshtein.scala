@@ -18,7 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * majority of any blocked candidate set) is after a handful of rows.
   * Codegen emits one static call into the shared kernel, so the probe
   * stays inside whole-stage codegen (no UDF encoder round-trip, no
-  * codegen fence). FunctionsSpec pins codegen == interpreted ==
+  * codegen fence). OpsSpec pins codegen == interpreted ==
   * min(builtin levenshtein, k+1).
   */
 case class BoundedLevenshtein(

@@ -19,7 +19,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The FNV constants appear once in Scala ([[graft.util.Hashing]],
   * which the interpreted path delegates to) and once in the generated
-  * Java template below; FunctionsSpec pins codegen == interpreted ==
+  * Java template below; OpsSpec pins codegen == interpreted ==
   * Hashing.fnv so the copies cannot drift silently. The DuckDB oracles
   * replicate the same fold in HUGEINT arithmetic (Duck.fnv).
   */
@@ -39,7 +39,7 @@ case class FnvHash64(child: Expression)
   // code units inside the fold) instead of `toString()` — the per-row
   // String alloc + transcode was the dominant per-row cost for the
   // KMV/bootstrap consumers. Kernel shared with the interpreted path
-  // via the FnvKernel static forwarder; FunctionsSpec still pins
+  // via the FnvKernel static forwarder; OpsSpec still pins
   // codegen == interpreted == Hashing.fnv(String).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>

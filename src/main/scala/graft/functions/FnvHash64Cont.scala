@@ -13,7 +13,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * generated Java can call directly — no per-row `UTF8String.toString`
   * allocation, no MODULE$ plumbing in the template. Delegates to the
   * single Scala source of truth ([[graft.util.Hashing.fnvContUtf8]]);
-  * FunctionsSpec pins codegen == interpreted == Hashing.fnv.
+  * OpsSpec pins codegen == interpreted == Hashing.fnv.
   */
 object FnvKernel {
   def cont(state: Long, s: UTF8String): Long =

@@ -18,7 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * definition for interpreted, codegen, and spec paths).
   *
   * Semantics are pinned to DuckDB 1.0 `jaro_winkler_similarity`
-  * (empirically verified, FunctionsSpec carries the vectors):
+  * (empirically verified, OpsSpec carries the vectors):
   *   - either side empty → 0.0 (even when both are empty);
   *   - match window `max(0, max(len)/2 - 1)` (so "ab" vs "ba" → 0.0);
   *   - Winkler prefix boost (scale 0.1, prefix capped at 4) applied

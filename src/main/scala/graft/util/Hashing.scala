@@ -41,7 +41,7 @@ private[graft] object Hashing {
   /** Continue the [[fnv]] fold from a prior state: FNV-1a is a strict
     * left fold over code units, so `fnvCont(fnv(p), s) == fnv(p + s)`
     * for every prefix p and suffix s — the algebra the bootstrap/CMS
-    * prefix-state rewrites rely on (FunctionsSpec pins it).
+    * prefix-state rewrites rely on (OpsSpec pins it).
     */
   @inline def fnvCont(state: Long, s: CharSequence): Long = {
     var h = state
