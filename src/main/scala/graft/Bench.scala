@@ -139,6 +139,51 @@ object Bench {
 
   private[graft] val FloorFenceFactor = 2.0
 
+  /** Ambient-CPU calibration for the floor fence (r16 VERDICT ask #5):
+    * the recorded floors are fixed per-batch choreography costs
+    * measured on calm hardware, so on a contended host the fence fired
+    * false breaches on unchanged code (9× in the builder's slow r16
+    * session, 1× in the driver's contended c32 run). A fence that
+    * cries wolf under load gets ignored when a real structural
+    * regression lands. Fix: time a fixed single-threaded FNV fold over
+    * a deterministic buffer IN THE SAME JVM, divide by its calm-
+    * hardware baseline, and stretch the fence by that ratio — ambient
+    * contention inflates the probe and the per-batch floors alike,
+    * while a structural regression (an extra stateful exec node)
+    * moves only the floors. The probe runs OUTSIDE every timed region.
+    */
+  private[graft] def calibrationProbeSec(reps: Int = 7): Double = {
+    val buf = Array.tabulate(1 << 20)(i => (i * 31 + 7).toByte)
+    var sink = 0L
+    def pass(): Double = {
+      val t0 = System.nanoTime()
+      var r = 0
+      while (r < 16) {
+        var acc = 0xcbf29ce484222325L
+        var i = 0
+        while (i < buf.length) {
+          acc = (acc ^ buf(i)) * 0x100000001b3L
+          i += 1
+        }
+        sink ^= acc
+        r += 1
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val ts = Seq.fill(math.max(1, reps))(pass()).sorted
+    if (sink == 42L) System.err.print("") // defeat dead-code elimination
+    ts(ts.length / 2)
+  }
+
+  /** Calm-hardware median of [[calibrationProbeSec]] on the reference
+    * sandbox (measured r17, idle 32-core host, 5 fresh JVMs:
+    * 0.0241/0.0245/0.0251/0.0253/0.0261 — median 0.0251, rounded to
+    * 0.025). The fence scale is probe/baseline clamped to ≥ 1 — a
+    * faster host must never TIGHTEN the fence below the recorded-floor
+    * contract, and sub-1.1× ambient wobble barely moves it.
+    */
+  private[graft] val CalibrationBaselineSec = 0.025
+
   /** Pure fence decision — spec-testable with injected slowdowns.
     * Input is the per-gate (micro-batches, stream wall sec) Bench
     * meters; output is every (gate, measured sec/batch, recorded
@@ -277,13 +322,28 @@ object Bench {
     // freed on reference GC, not eagerly — without it, late-run queries
     // inherit hundreds of earlier queries' tmp-disk + heap residue,
     // which the r5 run showed as a 6× swing on a trivial scan+groupBy.
+    // ambient calibration for the floor fence — sampled once before
+    // the loop and once after (contention can start mid-run; take the
+    // max), never inside any timed region
+    val ambientScalePre =
+      math.max(1.0, calibrationProbeSec() / CalibrationBaselineSec)
     val raw = selected.map { case (name, fn) => timed(name, fn) }
+    val ambientScale = math.max(ambientScalePre,
+      math.max(1.0, calibrationProbeSec() / CalibrationBaselineSec))
+    val fenceFactor = FloorFenceFactor * ambientScale
+    if (ambientScale > 1.25)
+      System.err.println(
+        f"[bench] ambient CPU contention detected: calibration probe " +
+          f"${ambientScale}%.2f× the calm-hardware baseline — floor " +
+          "fence stretched accordingly")
     // loud stderr fence report — the JSON flag alone could scroll past
-    floorBreaches(streamFloors).foreach { case (g, got, floor) =>
+    floorBreaches(streamFloors, factor = fenceFactor)
+      .foreach { case (g, got, floor) =>
       System.err.println(
         f"[bench] FLOOR BREACH $g%s: ${got}%.3f s/batch vs recorded " +
-          f"floor ${floor}%.3f (>${FloorFenceFactor}%.1f×) — " +
-          "structural streaming regression, adjudicate before shipping")
+          f"floor ${floor}%.3f (>${fenceFactor}%.1f× ambient-" +
+          "normalized) — structural streaming regression, adjudicate " +
+          "before shipping")
     }
     val results = raw.collect { case (n, t, true) => n -> t }.toSeq
     val resultMap = results.toMap
@@ -340,7 +400,7 @@ object Bench {
       // regression fence: present in BOTH lines when it fires (it is
       // rare and small), omitted entirely when silent — the stdout
       // budget only pays on a real regression
-      val breaches = floorBreaches(streamFloors)
+      val breaches = floorBreaches(streamFloors, factor = fenceFactor)
       val breachJson =
         if (breaches.isEmpty) ""
         else {
@@ -350,7 +410,11 @@ object Bench {
           }.mkString("{", ",", "}")
           s""","floor_breaches":$m"""
         }
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failedJson$soloJson$heavyJson$floorsJson$breachJson,"sf":"$sfDir"}"""
+      // ambient calibration rides the file line only (stdout budget)
+      val ambientJson =
+        if (soloDetail) s""","ambient_scale":${f3(ambientScale)}"""
+        else ""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failedJson$soloJson$heavyJson$floorsJson$breachJson$ambientJson,"sf":"$sfDir"}"""
     }
     // Full per-query detail goes to the file; stdout gets a HEADLINE subset.
     // The harness keeps only the last ~2000 chars of stdout — an 84-entry

@@ -78,10 +78,23 @@ object SparkEntry
     * no shuffle is added; when it does fire it shuffles only the small
     * PRE-amplification rows (guide §8: move lightweight proxies, let
     * the heavy work happen after placement).
+    *
+    * r17 (VERDICT "what's wrong" #4): the split-count probe no longer
+    * forces physical planning + RDD materialization per call
+    * (`df.rdd.getNumPartitions`) — it estimates scan splits the same
+    * way Spark's own FilePartition packing does, bytes ÷
+    * maxPartitionBytes, from the optimizer's size estimate. At real
+    * scale the estimate is ≫ parallelism and the happy path costs one
+    * stats lookup; the conservative direction (an underestimate fires
+    * a repartition of small pre-amplification rows) is harmless.
     */
   private[graft] def fanout(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+    val maxPB = math.max(1L,
+      df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
+    val estSplits =
+      (df.queryExecution.optimizedPlan.stats.sizeInBytes / maxPB) + 1
+    if (estSplits >= p) df else df.repartition(p)
   }
 
   /** Exact decimal sum of a double column, emitted as double. */

@@ -1733,12 +1733,17 @@ private[graft] trait SparkEntryEvalDrift { this: SparkEntry.type =>
 
   /** ROC AUC of a ranking signal (n_chars) against a binary label
     * (lang = 'en') via the tie-aware Mann-Whitney midrank identity:
-    * AUC = (Σ_pos midrank − nPos(nPos+1)/2) / (nPos·nNeg). The
-    * unpartitioned running window runs over DISTINCT score values only
-    * (a bounded vocabulary, never the corpus — the qPareto head-bound
-    * lesson); midranks are integer-and-half values, so the Σ pos·midrank
-    * double sum is exact under any partitioning below 2⁵². One corpus
-    * scan, one vocab-sized window, a 1-row result.
+    * AUC = (Σ_pos midrank − nPos(nPos+1)/2) / (nPos·nNeg). r17: the
+    * cumulative count over the distinct-score domain no longer runs as
+    * ONE unpartitioned window task (the q_spearman single-partition
+    * class, guide §2.5) — the score domain is value-range-bucketed
+    * (bucket id monotone in score), per-bucket running sums run in
+    * parallel, and a buckets-sized carry window (input BOUNDED at nBk
+    * rows by construction) stitches the global prefix back together:
+    * carry(bk) + within-bucket prefix == global prefix exactly.
+    * Midranks are integer-and-half values, so the Σ pos·midrank double
+    * sum is exact under any partitioning below 2⁵². One corpus scan,
+    * vocab-sized parallel windows, a 1-row result.
     */
   def qRocAuc(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1747,10 +1752,29 @@ private[graft] trait SparkEntryEvalDrift { this: SparkEntry.type =>
         when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
       .groupBy("score")
       .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("p"))
-    val w = Window.orderBy("score")
+    // score (n_chars) is non-nullable in the fixture schema; a null
+    // score would land in a null bucket and drop out of the carry
+    // join (the midranks NULL caveat) — guarded here for reuse safety
+    val nBk = s.sparkContext.defaultParallelism * 32
+    val mm = perScore.agg(min(col("score")).as("lo"),
+      max(col("score")).as("hi"))
+    val bucketed = perScore.crossJoin(broadcast(mm))
+      .withColumn("bk", when(col("hi") <= col("lo"), lit(0))
+        .otherwise(least(floor(
+          (col("score").cast("double") - col("lo").cast("double"))
+            * lit(nBk.toDouble)
+            / (col("hi").cast("double") - col("lo").cast("double")))
+          .cast("int"), lit(nBk - 1))))
+      .select(col("score"), col("cnt"), col("p"), col("bk"))
+    val carry = bucketed.groupBy("bk").agg(sum(col("cnt")).as("bc"))
+      .withColumn("carry", coalesce(sum(col("bc")).over(Window
+        .orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("bk"), col("carry"))
+    val wIn = Window.partitionBy("bk").orderBy("score")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perScore
-      .withColumn("cum", sum(col("cnt")).over(w))
+    bucketed.join(broadcast(carry), "bk")
+      .withColumn("cum", col("carry") + sum(col("cnt")).over(wIn))
       .withColumn("midrank",
         (col("cum") - col("cnt")).cast("double")
           + (col("cnt").cast("double") + 1.0) / 2.0)
@@ -3114,25 +3138,47 @@ private[graft] trait SparkEntryEvalDrift { this: SparkEntry.type =>
     * when line sizes vary by orders of magnitude.
     */
   def qWeightedMedian(s: SparkSession, dir: String): DataFrame = {
-    // (r16: a qSpearman-style bucketed prefix-sum rewrite — range
-    // buckets + carry window + within-bucket running sums — was tried
-    // and measured CONSISTENTLY ~1.15× slower in interleaved A/B solos:
-    // the carry chain re-aggregates the (flag, v) table for a third and
-    // fourth consumer, and only the scan+partial-agg is deduped by
-    // exchange reuse. The surviving window is 3-way parallel (one
-    // partition per l_returnflag) over the distinct-cents domain; at
-    // 100 TB the spearman bucketing recipe applies verbatim if this
-    // ever dominates.)
+    // r17 (VERDICT #4): the per-flag cumulative-weight window ran
+    // 3-way parallel only (one task per l_returnflag) over the
+    // distinct-cents domain — the q_spearman single-partition class
+    // (guide §2.5). Rebuilt on the bucketed prefix-sum recipe, with
+    // the r16 failure mode fixed: the per-flag TOTAL rides the same
+    // (lo, hi) broadcast aggregate instead of a separate third
+    // consumer of the (flag, v) subtree, so the carry chain adds only
+    // the bounded (3 × nBk)-row carry window to the original plan.
+    // cw is an exact DECIMAL sum either way (carry + within-bucket
+    // prefix == global prefix; bucket id monotone in v), so the
+    // doubled-cumulative-weight comparison is bit-identical. v is
+    // non-null by construction (round() of a non-nullable column).
     val perV = tbl(s, dir, "lineitem")
       .select(col("l_returnflag"),
         expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("v"),
         col("l_quantity").cast("decimal(12,2)").as("q"))
       .groupBy("l_returnflag", "v").agg(sum(col("q")).as("w"))
-    val wc = Window.partitionBy("l_returnflag").orderBy("v")
+    val nBk = s.sparkContext.defaultParallelism * 32
+    val mm = perV.groupBy("l_returnflag")
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        sum(col("w")).as("tw"))
+    val bucketed = perV.join(broadcast(mm), "l_returnflag")
+      .withColumn("bk", when(col("hi") <= col("lo"), lit(0))
+        .otherwise(least(floor(
+          (col("v").cast("double") - col("lo").cast("double"))
+            * lit(nBk.toDouble)
+            / (col("hi").cast("double") - col("lo").cast("double")))
+          .cast("int"), lit(nBk - 1))))
+      .select(col("l_returnflag"), col("v"), col("w"), col("tw"),
+        col("bk"))
+    val carry = bucketed.groupBy("l_returnflag", "bk")
+      .agg(sum(col("w")).as("bc"))
+      .withColumn("carry", sum(col("bc")).over(Window
+        .partitionBy("l_returnflag").orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("l_returnflag"), col("bk"), col("carry"))
+    val wIn = Window.partitionBy("l_returnflag", "bk").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = perV.groupBy("l_returnflag").agg(sum(col("w")).as("tw"))
-    perV.withColumn("cw", sum(col("w")).over(wc))
-      .join(tot, "l_returnflag")
+    bucketed.join(broadcast(carry), Seq("l_returnflag", "bk"))
+      .withColumn("cw",
+        coalesce(col("carry"), lit(0)) + sum(col("w")).over(wIn))
       .filter(col("cw") * 2 >= col("tw"))
       .groupBy("l_returnflag")
       .agg(min(col("v")).as("med_cents"))
@@ -3383,18 +3429,23 @@ private[graft] trait SparkEntryEvalDrift { this: SparkEntry.type =>
     // prefix ONCE before the ×200 explode and continue the fold over
     // the 1–3-char replicate label per exploded row — the
     // per-exploded-row work drops from (long→string cast + concat +
-    // ~10-char hash + String alloc) to one tiny cast + a ≤3-code-unit
-    // in-place fold. Same hash values bit for bit; the oracle's
-    // HUGEINT replay is untouched. (A transform(sequence(...))-literal
-    // carrying precomputed label strings was tried and measured SLOWER:
-    // lambda functions are not foldable, so the struct array was
-    // rebuilt per event row instead of constant-folded.)
+    // ~10-char hash + String alloc) to a ≤3-code-unit in-place fold.
+    // Same hash values bit for bit; the oracle's HUGEINT replay is
+    // untouched.
+    //
+    // r17 (VERDICT #7): the remaining per-exploded-row int→string CAST
+    // is gone too — posexplode a TRUE literal array of the 200
+    // replicate labels (typedlit builds a foldable ArrayType Literal;
+    // the r16 transform(sequence(...)) attempt was slower only because
+    // lambda functions are not foldable and the array was rebuilt per
+    // event row). pos IS the replicate id, so grouping is unchanged.
     fanout(base)
       .withColumn("hp", expr(
         "graft_fnv64(concat(CAST(event_id AS STRING), ':'))"))
       .select(col("v"), col("hp"),
-        explode(expr("sequence(0, 199)")).as("b"))
-      .filter(expr("graft_fnv64_cont(hp, CAST(b AS STRING)) % 2 = 0"))
+        posexplode(typedlit((0 until 200).map(_.toString)))
+          .as(Seq("b", "bl")))
+      .filter(expr("graft_fnv64_cont(hp, bl) % 2 = 0"))
       .groupBy("b")
       .agg((sum(col("v")).cast("double") / count(lit(1))).as("mean_b"))
       .createOrReplaceTempView("boot_means_v")

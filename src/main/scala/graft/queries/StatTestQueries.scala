@@ -1542,6 +1542,12 @@ private[graft] trait SparkEntryStatTests { this: SparkEntry.type =>
     // BOUNDED by construction. `before` (and so every midrank) is
     // bit-identical: carry(bk) + within-bucket prefix == global prefix
     // because the bucket id is monotone non-decreasing in v.
+    // NULL caveat (r16 ADVICE): a null v would get a null bucket id and
+    // drop out of the carry equi-join, where the old global window
+    // ranked nulls first — midranks is only reusable on NON-NULLABLE
+    // ranked columns (l_quantity / l_extendedprice here are NOT NULL by
+    // the fixture schema). Callers ranking nullable input must filter
+    // or bucket nulls explicitly first.
     def midranks(d: DataFrame, c: String): DataFrame = {
       val nBk = d.sparkSession.sparkContext.defaultParallelism * 32
       val perV = d.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
@@ -1672,8 +1678,16 @@ private[graft] trait SparkEntryStatTests { this: SparkEntry.type =>
       .select(explode(expr(tokensSql)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
     val tot = c.agg(sum(col("c")).as("nt"))
+    // r17 (guide §2.5): only ranks ≤ 20 survive the filter, so the
+    // rank + running sum never needed the whole vocabulary — a
+    // parallel TakeOrderedAndProject bounds the window's input to 20
+    // rows ((c DESC, w) is a TOTAL order, so the global top-20 IS
+    // ranks 1..20 with identical cumulative sums), where the old
+    // unpartitioned Window.orderBy funneled the full vocab domain
+    // through ONE task.
     val wOrd = Window.orderBy(col("c").desc, col("w"))
-    c.withColumn("rk", row_number().over(wOrd))
+    c.orderBy(col("c").desc, col("w")).limit(20)
+      .withColumn("rk", row_number().over(wOrd))
       .withColumn("cum", sum(col("c")).over(
         wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter(col("rk").isin(5, 10, 20))
@@ -1751,12 +1765,34 @@ private[graft] trait SparkEntryStatTests { this: SparkEntry.type =>
     val cnts = tbl(s, dir, "lineitem")
       .groupBy("l_partkey").agg(count(lit(1)).as("c"))
     val cc = cnts.groupBy("c").agg(count(lit(1)).as("k"))
-    val wRun = Window.orderBy("c")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = cc.withColumn("cum", sum(col("k")).over(wRun))
+    // r17 (guide §2.5): the running count over the distinct-count
+    // domain ran as ONE unpartitioned window task — the q_spearman
+    // class. Same bucketed prefix-sum recipe: value-range buckets on c
+    // (monotone bucket id; min rides the existing moment aggregate),
+    // parallel per-bucket running sums, a bounded nBk-row carry
+    // window. cum is the same exact BIGINT prefix, so the percentile
+    // threshold scan is bit-identical. c is non-null (a count).
     val mom = cnts.agg(count(lit(1)).as("nk"), sum(col("c")).as("sc"),
-      sum(col("c") * col("c")).as("scc"), max(col("c")).as("mx"))
-    val pct = cum.crossJoin(broadcast(mom))
+      sum(col("c") * col("c")).as("scc"), max(col("c")).as("mx"),
+      min(col("c")).as("mn"))
+    val nBk = s.sparkContext.defaultParallelism * 32
+    val bucketed = cc.crossJoin(broadcast(mom))
+      .withColumn("bk", when(col("mx") <= col("mn"), lit(0))
+        .otherwise(least(floor(
+          (col("c").cast("double") - col("mn").cast("double"))
+            * lit(nBk.toDouble)
+            / (col("mx").cast("double") - col("mn").cast("double")))
+          .cast("int"), lit(nBk - 1))))
+    val carry = bucketed.groupBy("bk").agg(sum(col("k")).as("bc"))
+      .withColumn("carry", coalesce(sum(col("bc")).over(Window
+        .orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("bk"), col("carry"))
+    val wIn = Window.partitionBy("bk").orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bucketed.join(broadcast(carry), "bk")
+      .withColumn("cum", col("carry") + sum(col("k")).over(wIn))
+    val pct = cum
       .agg(
         min(when(col("cum") >= ceil(col("nk") * 0.5), col("c")))
           .as("p50_cnt"),
