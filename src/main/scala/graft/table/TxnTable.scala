@@ -956,11 +956,159 @@ object TxnTable {
         "to materialize the column mapping first")
   }
 
+  /** Spark datatypes whose parquet footer min/max are EXACT and
+    * bit-identical to the scan-pass `statsExpr` double space: fixed-
+    * width integral primitives (INT32/INT64 footer stats are never
+    * truncated — truncation applies only to BINARY), dates (INT32
+    * days == `unix_date`) and instant timestamps (INT64 micros ==
+    * `unix_micros`, session-tz independent). long→double is monotone
+    * non-decreasing, so min(double(x)) == double(min(x)) — footer
+    * mins/maxes land on the same doubles the scan pass computes.
+    * Excluded on purpose: float/double (the scan pass drops a file's
+    * stats when ANY value is NaN; footer NaN behavior is writer-
+    * version-dependent, and a NaN-excluding footer max would let
+    * `c > x` prune a file whose NaN rows qualify), decimals (three
+    * physical encodings), NTZ timestamps (`statsExpr` routes them
+    * through the session timezone).
+    */
+  private def footerExactType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+        TimestampType => true
+    case _ => false
+  }
+
+  /** Thrown when a footer lacks something the stats contract needs —
+    * caught by [[footerEntries]], which then falls back wholesale.
+    */
+  private final class FooterBail extends RuntimeException
+
+  /** Per-file manifest entries recovered from parquet FOOTERS instead
+    * of the re-scan job (guide §6 — stop re-reading every written byte
+    * to learn what was just written): row counts, per-column min/max
+    * and null counts all live in the footer metadata the write tasks
+    * already produced, so eligible layouts pay O(KB) of footer I/O per
+    * file instead of a full Spark job over the new files. Eligible =
+    * flat or single-key-bucket layouts (bucket id comes from the
+    * part-file name, not the data), no bloom columns, and only
+    * [[footerExactType]] stats columns. ALL-OR-NOTHING: any missing
+    * footer stat, unexpected physical type or read error returns None
+    * and the caller runs the scan job for the whole file set — a
+    * manifest never mixes footer-derived and scan-derived semantics.
+    */
+  private def footerEntries(
+      spark: SparkSession,
+      rel: String,
+      parts: Seq[org.apache.hadoop.fs.FileStatus],
+      subOf: Path => String,
+      schema: StructType,
+      statsFields: Seq[String],
+      bucket: Option[BucketSpec]): Option[Seq[FileEntry]] = {
+    if (statsFields.exists(n => !footerExactType(schema(n).dataType)))
+      return None
+    val conf = spark.sparkContext.hadoopConfiguration
+    val partIdx = "part-(\\d+)-.*".r
+    def bucketIdOf(name: String): Option[Int] =
+      bucket.flatMap(_ => name match {
+        case partIdx(i) => Some(i.toInt)
+        case _ => None
+      })
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    def bail(): Nothing = throw new FooterBail
+    // footer value → the scan pass's double space; bails on any
+    // encoding statsExpr's cast chain would not have produced
+    def toD(dt: DataType,
+        pt: org.apache.parquet.schema.PrimitiveType, v: Any): Double =
+      (dt, pt.getPrimitiveTypeName, pt.getLogicalTypeAnnotation) match {
+        case (ByteType | ShortType | IntegerType,
+            PrimitiveTypeName.INT32, a)
+            if a == null || (a match {
+              case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+                i.isSigned && i.getBitWidth <= 32
+              case _ => false
+            }) =>
+          v.asInstanceOf[java.lang.Integer].intValue.toDouble
+        case (DateType, PrimitiveTypeName.INT32,
+            _: LogicalTypeAnnotation.DateLogicalTypeAnnotation) =>
+          v.asInstanceOf[java.lang.Integer].intValue.toDouble
+        case (LongType, PrimitiveTypeName.INT64, a)
+            if a == null || (a match {
+              case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+                i.isSigned && i.getBitWidth == 64
+              case _ => false
+            }) =>
+          v.asInstanceOf[java.lang.Long].longValue.toDouble
+        case (TimestampType, PrimitiveTypeName.INT64,
+            t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation)
+            if t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS =>
+          v.asInstanceOf[java.lang.Long].longValue.toDouble
+        case _ => bail() // INT96 timestamps, unsigned ints, anything else
+      }
+    def entryOf(st: org.apache.hadoop.fs.FileStatus): FileEntry = {
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        val blocks = rd.getFooter.getBlocks.asScala.toSeq
+        val rowsN = blocks.map(_.getRowCount).sum
+        val name = st.getPath.getName
+        val sub = subOf(st.getPath)
+        if (rowsN == 0L)
+          // mirror the scan pass exactly: a zero-row file gets no
+          // stats and no nulls map (it never appeared in `byFile`)
+          FileEntry(s"$rel/$sub", 0L, st.getLen, Map.empty,
+            bucket = bucketIdOf(name))
+        else {
+          val perCol = statsFields.map { n =>
+            val dt = schema(n).dataType
+            var nn = 0L
+            var mi = Double.NaN
+            var ma = Double.NaN
+            var seen = false
+            blocks.foreach { b =>
+              val cc = b.getColumns.asScala
+                .find(_.getPath.toDotString == n).getOrElse(bail())
+              val s = cc.getStatistics
+              if (s == null || !s.isNumNullsSet || s.getNumNulls < 0)
+                bail()
+              val chunkNn = b.getRowCount - s.getNumNulls
+              nn += chunkNn
+              if (chunkNn > 0) {
+                if (!s.hasNonNullValue) bail()
+                val lo = toD(dt, cc.getPrimitiveType, s.genericGetMin())
+                val hi = toD(dt, cc.getPrimitiveType, s.genericGetMax())
+                if (!seen) { mi = lo; ma = hi; seen = true }
+                else { mi = math.min(mi, lo); ma = math.max(ma, hi) }
+              }
+            }
+            (n, nn, if (seen) Some(ColStats(mi, ma)) else None)
+          }
+          val stats = perCol.flatMap { case (n, _, cs) =>
+            cs.map(n -> _)
+          }.toMap
+          val nulls = perCol.map { case (n, nn, _) =>
+            n -> (rowsN - nn)
+          }.toMap
+          FileEntry(s"$rel/$sub", rowsN, st.getLen, stats,
+            bucket = bucketIdOf(name),
+            nulls = if (nulls.isEmpty) None else Some(nulls))
+        }
+      } finally rd.close()
+    }
+    try Some(parts.map(entryOf))
+    catch { case _: FooterBail => None }
+  }
+
   /** Write `df` as a fresh immutable file set under `data/` and return
     * its manifest entries. ONE extra pass over exactly the new files
     * (grouped by `input_file_name`, ~one row per written file) collects
     * row counts and min/max stats — never a driver-side loop over
-    * files, never a second scan of pre-existing table data.
+    * files, never a second scan of pre-existing table data. r17: for
+    * footer-exact layouts (see [[footerEntries]]) that pass reads only
+    * the parquet footers the write already produced — no data re-read
+    * at all (`spark.graft.write.footerStats=false` restores the scan
+    * job; both paths emit identical manifests, pinned by
+    * TableFooterStatsSpec).
     */
   private def writeFiles(
       spark: SparkSession,
@@ -1073,6 +1221,19 @@ object TxnTable {
     // bloom columns present in this write's schema (evolution: an older
     // writer's df may predate the column — its files simply get no bloom)
     val bloomFields = bloomCols.filter(c => df.schema.fields.exists(_.name == c))
+    // r17 (guide §6, VERDICT item 6): footer fast path — layouts whose
+    // manifest entries are fully recoverable from parquet footers skip
+    // the stats re-scan job entirely. Partitioned/composite layouts
+    // (pv/bk recovered from DATA by design), bloom columns and
+    // non-footer-exact stats types fall through to the scan job.
+    if (parted.isEmpty && bucketedMulti.isEmpty && bloomFields.isEmpty &&
+        spark.conf.get("spark.graft.write.footerStats", "true") == "true") {
+      footerEntries(spark, rel, parts, subOf, df.schema,
+        fields.map(_._1), bucketed) match {
+        case Some(entries) => return entries
+        case None => () // footer gap — fall back to the scan pass
+      }
+    }
     val bloomUdaf = udaf(new BloomAgg,
       org.apache.spark.sql.Encoders.LONG)
     val aggs = ((count(lit(1)).as("_rows") +:
