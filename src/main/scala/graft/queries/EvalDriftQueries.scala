@@ -2351,15 +2351,24 @@ private[graft] trait SparkEntryEvalDrift { this: SparkEntry.type =>
         expr("CAST(n_chars AS BIGINT) DIV 200").as("bucket"))
     val w = Window.partitionBy("source", "bucket")
       .orderBy(col("n_chars").desc, col("doc_id"))
-    val agg = d.groupBy("source", "bucket")
-      .agg(count(lit(1)).as("n_members"),
-        sum(col("n_chars")).as("total_chars"),
-        concat_ws(",", array_sort(collect_set(col("lang")))).as("langs"))
+    // r17 (guide §2.4 "window functions partitioned by the same key as
+    // a preceding aggregation do not need a second shuffle", VERDICT
+    // item 8): the group attributes used to come from a SECOND scan +
+    // aggregate + join back to the survivor row — but the survivor
+    // window already holds the whole entity group in one partition, so
+    // count/sum/collect_set ride the SAME window pass (whole-partition
+    // frame) and the join disappears. One scan, one exchange, values
+    // identical (count/sum/set over the same groups).
+    val wAll = Window.partitionBy("source", "bucket")
     d.withColumn("rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(wAll))
+      .withColumn("total_chars", sum(col("n_chars")).over(wAll))
+      .withColumn("langs",
+        concat_ws(",", array_sort(collect_set(col("lang")).over(wAll))))
       .filter(col("rn") === 1)
       .select(col("source"), col("bucket"),
-        col("doc_id").as("keep_id"), col("n_chars").as("keep_chars"))
-      .join(agg, Seq("source", "bucket"))
+        col("doc_id").as("keep_id"), col("n_chars").as("keep_chars"),
+        col("n_members"), col("total_chars"), col("langs"))
       .orderBy("source", "bucket")
   }
 
@@ -3206,7 +3215,21 @@ private[graft] trait SparkEntryEvalDrift { this: SparkEntry.type =>
         """CAST(round(CAST(sum(ep) AS DOUBLE) / CAST(sum(q) AS DOUBLE),
              6) AS DECIMAL(18,6))""").as("avgp"),
         sum(col("q")).as("qty"))
-    val all = perPart(li)
+    // r17 (guide §2.4/§5, VERDICT item 8): the base-year (1995) prices
+    // used to come from a FILTERED COPY of the same aggregate joined
+    // back on l_partkey — and because the yr=1995 filter pushes below
+    // the copy's aggregate, the two subtrees differ and exchange reuse
+    // never fires: the plan scanned and aggregated lineitem TWICE
+    // (plans/r17/q_price_index_before.txt, ops (1)-(6) vs (8)-(13)).
+    // An eager localCheckpoint of the (yr, part) aggregate fences the
+    // common subtree so both consumers read the materialized rows (one
+    // lineitem scan + one aggregate total), and its accurate size
+    // stats keep the base side broadcasting (the r16 eager-vs-lazy
+    // rule: state feeding a join that should broadcast stays eager).
+    // (A window-over-l_partkey variant that also removes the join was
+    // measured SLOWER at sf0.1 — |parts| tiny window partitions cost
+    // more than the broadcast join.)
+    val all = perPart(li).localCheckpoint(true)
     val base = all.filter(col("yr") === 1995L)
       .select(col("l_partkey"), col("avgp").as("pb"),
         col("qty").as("qb"))
@@ -4187,21 +4210,33 @@ private[graft] trait SparkEntryEvalDrift { this: SparkEntry.type =>
       .select(col("user_id"), col("ts_us"), col("event_id"),
         col("event_type"))
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    // r17 (guide §2.4, VERDICT item 8): the first-purchase position
+    // used to be a separate aggregate joined back onto the journey
+    // rows, and the terminal rows re-derived it through a distinct +
+    // two more joins. The journey window already holds each user's
+    // whole partition, so prn rides the SAME exchange as rn (a
+    // whole-partition MIN frame), truncation becomes a plain filter,
+    // and the terminal rows fall out of one keyed aggregate — three
+    // joins and a distinct removed, zero new shuffles (every node
+    // stays partitioned by user_id).
+    val wAll = Window.partitionBy("user_id")
     val rn = ev.withColumn("rn", row_number().over(w))
-    val firstP = rn.filter(col("event_type") === "purchase")
-      .groupBy("user_id").agg(min(col("rn")).as("prn"))
-    val tou = rn.join(firstP, Seq("user_id"), "left_outer")
-      .filter(col("prn").isNull || col("rn") < col("prn"))
+      .withColumn("prn", min(when(col("event_type") === "purchase",
+        col("rn"))).over(wAll))
+    val tou = rn.filter(col("prn").isNull || col("rn") < col("prn"))
     val wt = Window.partitionBy("user_id").orderBy("rn")
     val edges = tou
       .withColumn("f",
         coalesce(lag(col("event_type"), 1).over(wt), lit("START")))
       .select(col("f"), col("event_type").as("t"))
-    val lastTouch = tou.groupBy("user_id")
-      .agg(expr("max_by(event_type, rn)").as("lt"))
-    val term = rn.select("user_id").distinct()
-      .join(lastTouch, Seq("user_id"), "left_outer")
-      .join(firstP, Seq("user_id"), "left_outer")
+    // terminal row per user: last pre-purchase touch (max_by ignores
+    // null keys, so users whose first event IS the purchase yield null
+    // → START), CONV iff a purchase exists anywhere in the journey
+    val term = rn.groupBy("user_id")
+      .agg(expr("""max_by(CASE WHEN prn IS NULL OR rn < prn
+               THEN event_type END,
+             CASE WHEN prn IS NULL OR rn < prn THEN rn END)""").as("lt"),
+        max(col("prn")).as("prn"))
       .select(coalesce(col("lt"), lit("START")).as("f"),
         when(col("prn").isNotNull, lit("CONV")).otherwise(lit("DROP"))
           .as("t"))
