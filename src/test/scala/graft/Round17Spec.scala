@@ -107,4 +107,26 @@ class Round17Spec extends AnyFunSuite {
       "q_ngram_coverage must bound its rank window with a parallel " +
         "top-k (TakeOrderedAndProject), not a vocab-sized global sort")
   }
+
+  test("fanout self-disables when the optimizer's size estimate implies " +
+      "at least parallelism scan splits (r16 VERDICT 'what's wrong' #4)") {
+    def roundRobins(q: String): Int = {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
+      allNodes(plan).count(_.toString.contains("RoundRobinPartitioning"))
+    }
+    // default 128 MB maxPartitionBytes: the tiny fixture estimates a
+    // single split, fanout fires its repartition-to-parallelism
+    assert(roundRobins("q_bootstrap_ci") >= 1,
+      "small-estimate input must fire the fanout repartition")
+    // a split estimate >= parallelism (the 100 TB shape, simulated by
+    // shrinking maxPartitionBytes below fixtureBytes/parallelism)
+    // makes fanout a no-op — no RoundRobin exchange in the plan
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "1024")
+      assert(roundRobins("q_bootstrap_ci") == 0,
+        "large-estimate input must leave the plan repartition-free")
+    } finally spark.conf.set(key, prev)
+  }
 }
