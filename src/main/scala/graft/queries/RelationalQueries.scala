@@ -1904,7 +1904,13 @@ private[graft] trait SparkEntryRelational { this: SparkEntry.type =>
     * data values, so the hash compare is exact — no interpolation.
     */
   def qPercentileDisc(s: SparkSession, dir: String): DataFrame = {
-    tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_pd_v")
+    // fanout (r17, guide §2.5): percentile_disc's partial aggregate
+    // BUFFERS every value — on the single-split fixture the whole
+    // collect ran as one task; fanned out, 32 partial buffers merge
+    // into the 3 groups (same values, same discrete percentiles)
+    fanout(tbl(s, dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice"))
+      .createOrReplaceTempView("lineitem_pd_v")
     s.sql(
       """SELECT l_returnflag,
            percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)
@@ -2133,7 +2139,11 @@ private[graft] trait SparkEntryRelational { this: SparkEntry.type =>
     * state.
     */
   def qRepetition(s: SparkSession, dir: String): DataFrame =
-    tbl(s, dir, "documents")
+    // fanout (r17, guide §2.5): tokenize + trigram explode + keyed agg
+    // with a SINGLE consumer — the q_burrows_delta shape (no reuse to
+    // perturb, unlike q_boilerplate's recorded revert); shuffles only
+    // the raw doc rows ahead of the amplification
+    fanout(tbl(s, dir, "documents"))
       .select(col("doc_id"),
         expr(tokensSql)
           .as("ws"))

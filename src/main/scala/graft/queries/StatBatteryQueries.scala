@@ -1595,9 +1595,13 @@ private[graft] trait SparkEntryStatBatteries { this: SparkEntry.type =>
     */
   def qBreuschPagan(s: SparkSession, dir: String): DataFrame = {
     val consts = olsLineConsts(s, dir)
-    val res = tbl(s, dir, "lineitem")
+    // fanout (r17, guide §2.5): the per-row decimal residual battery is
+    // the q_cooks_distance shape the r16 sweep missed — single-split
+    // scan pinning the amplifying stage to one task; shuffles only the
+    // (x, y) pre-amplification pairs, no-op at real split counts
+    val res = fanout(tbl(s, dir, "lineitem")
       .select(col("l_quantity").cast("decimal(12,2)").as("x"),
-        col("l_extendedprice").cast("decimal(14,2)").as("y"))
+        col("l_extendedprice").cast("decimal(14,2)").as("y")))
       .crossJoin(broadcast(consts.select(col("a"), col("b"))))
       .withColumn("e2", expr(
         """CAST(round(CAST(y - (a + b * x) AS DOUBLE)
